@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-appropriate defaults.
+  *
+  * The reference engine creates a fresh `lithops.FunctionExecutor()` per
+  * operator call (reference: dataframe/core.py:258,271,306 — no session
+  * reuse). We instead hold one long-lived SparkSession; AQE + shuffle
+  * partition sizing are the knobs that matter at 100 TB.
+  */
+object GraftSession {
+  def builder(
+      appName: String = "graft",
+      master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
+      shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(master)
+      // On a real cluster AQE coalesces/splits these at runtime; the static
+      // number is just the pre-AQE default (200 is wrong for local mode).
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import scala.reflect.ClassTag
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Row}
+
+/** The reference's UDF surface: per-row `apply(func, axis=1)`
+  * (reference: dataframe/core.py:171-262), per-partition `map_partitions`
+  * (core.py:407-548), and the generic `reduction(chunk, combine,
+  * aggregate, split_every)` engine (core.py:15-144).
+  *
+  * Spark-first mapping: `apply` is `Dataset.map` with an explicit output
+  * Encoder (the analog of the reference's `meta` declaration);
+  * `map_partitions` is `Dataset.mapPartitions`; the chunk/combine/
+  * aggregate contract is `treeReduce` over per-partition chunk results,
+  * with `splitEvery` as the tree depth control — the same bounded fan-in
+  * the reference documents at core.py:57-59.
+  *
+  * Unlike the reference (whose workers discard their results and return
+  * `self` — core.py:253-262), these return real distributed results.
+  */
+object Apply {
+
+  /** Per-row UDF with declared output type — `df.apply(f, axis=1)`.
+    * The Encoder plays the role of the reference's `meta`: it declares
+    * the output schema statically so the plan resolves before execution
+    * (core.py:452-457 infers it by emulation; Catalyst gets it for free).
+    */
+  def applyRows[T: Encoder](df: DataFrame)(f: Row => T): Dataset[T] =
+    df.map(f)
+
+  /** Per-partition UDF — `map_partitions(func, meta=...)`. The function
+    * sees the full partition iterator, preserving the reference's
+    * "function runs once per pandas chunk" semantics (core.py:429-433).
+    */
+  def mapPartitions[T: Encoder](df: DataFrame)(f: Iterator[Row] => Iterator[T]): Dataset[T] =
+    df.mapPartitions(f)
+
+  /** Typed variant aligned with `map_partitions` over a typed frame. */
+  def mapPartitionsTyped[I, T: Encoder](ds: Dataset[I])(f: Iterator[I] => Iterator[T]): Dataset[T] =
+    ds.mapPartitions(f)
+
+  /** Generic chunk → tree-combine → aggregate reduction
+    * (core.py:15-144): `chunk` runs once per partition, partial results
+    * are merged with `combine` in a tree of fan-in `splitEvery`
+    * (core.py:57-59, default 8), and `aggregate` finishes on the driver.
+    *
+    * At 100 TB the tree matters: with tens of thousands of partitions a
+    * flat reduce would funnel every chunk result to the driver;
+    * `treeReduce` inserts O(log_splitEvery(n)) distributed combine
+    * rounds so driver traffic is bounded.
+    */
+  def reduction[B: ClassTag, O](df: DataFrame)(
+      chunk: Iterator[Row] => B,
+      combine: (B, B) => B,
+      aggregate: B => O,
+      splitEvery: Int = 8): O = {
+    val parts = df.rdd.mapPartitions(it => Iterator.single(chunk(it)))
+    val n = math.max(parts.getNumPartitions, 2)
+    val fanIn = math.max(splitEvery, 2)
+    val depth = math.max(1, math.ceil(math.log(n) / math.log(fanIn)).toInt)
+    aggregate(parts.treeReduce(combine, depth))
+  }
+}
