@@ -1,7 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -74,5 +73,6 @@ case class ProductAgg(child: Expression)
 object ProductAgg {
   /** `product(col)` as a [[Column]], usable inside `df.agg(...)`. */
   def product(c: Column): Column =
-    ExpressionUtils.column(ProductAgg(ExpressionUtils.expression(c)).toAggregateExpression())
+    GraftColumnBridge.column(
+      ProductAgg(GraftColumnBridge.expression(c)).toAggregateExpression())
 }
