@@ -1,13 +1,367 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftFrame
+import graft.operators.{Apply, Reductions}
+import graft.sources.{CsvOptions, CsvReader}
+
+/** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
+  * implemented operator from SURVEY.md §2.
+  *
+  * Conventions keeping the hash compare robust:
+  *  - every computed column is aliased identically in the Spark query and
+  *    the oracle SQL (driver sorts columns by name before hashing);
+  *  - floating-point aggregates are `round(..., k)`-ed on BOTH sides so
+  *    accumulation-order ulp differences between engines can't flip the
+  *    hash;
+  *  - per-row results are restricted to a deterministic slice and ordered
+  *    by an explicit key;
+  *  - oracle outputs are CAST to the Spark result's type (BIGINT/DOUBLE)
+  *    so schema compare sees the same shape.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def li(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: TPC-H-Q1-style pricing summary — scan → filter-free
+    * groupBy → 2-phase hash agg, the canonical 100 TB-safe plan. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    li(spark, "/root/testdata/sf0.001")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Numeric double columns of lineitem used by the reduction queries. */
+  private val dCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- §2.4 named reductions (axis=0) ------------------------------
+    "red_sum" -> ((s, dir) => {
+      val r = Reductions.sum0(li(s, dir), dCols :+ "l_orderkey")
+      r.select(
+        round(col("l_quantity"), 2).as("l_quantity"),
+        round(col("l_extendedprice"), 2).as("l_extendedprice"),
+        round(col("l_discount"), 2).as("l_discount"),
+        round(col("l_tax"), 2).as("l_tax"),
+        col("l_orderkey"))
+    }),
+    "red_prod" -> ((s, dir) => {
+      val sub = li(s, dir).where(col("l_orderkey") <= 64)
+        .withColumn("disc_factor", lit(1.0) + col("l_discount"))
+      Reductions.prod0(sub, Seq("disc_factor"))
+        .select(round(col("disc_factor"), 6).as("disc_factor"))
+    }),
+    "red_max" -> ((s, dir) => Reductions.max0(li(s, dir))),
+    "red_min" -> ((s, dir) => Reductions.min0(li(s, dir))),
+    "red_count" -> ((s, dir) => Reductions.count0(li(s, dir))),
+    "red_mean" -> ((s, dir) => {
+      val r = Reductions.mean0(li(s, dir), dCols)
+      r.select(dCols.map(c => round(col(c), 6).as(c)): _*)
+    }),
+    "red_std" -> ((s, dir) => {
+      val r = Reductions.std0(li(s, dir), dCols, ddof = 1)
+      r.select(dCols.map(c => round(col(c), 6).as(c)): _*)
+    }),
+    "red_std_ddof2" -> ((s, dir) => {
+      val r = Reductions.std0(li(s, dir), Seq("l_quantity"), ddof = 2)
+      r.select(round(col("l_quantity"), 6).as("l_quantity"))
+    }),
+    "red_all" -> ((s, dir) =>
+      Reductions.all0(li(s, dir), Seq("l_quantity", "l_discount"))),
+    "red_any" -> ((s, dir) =>
+      Reductions.any0(li(s, dir), Seq("l_quantity", "l_discount"))),
+    "red_sum_mincount" -> ((s, dir) =>
+      Reductions.sum0(li(s, dir), Seq("l_quantity"), minCount = 10000000)),
+
+    // ----- §2.4 axis=1 row reductions ----------------------------------
+    "row_sum" -> ((s, dir) => {
+      val d = li(s, dir).where(col("l_orderkey") < 400)
+      d.select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(Reductions.rowSum(dCols.map(col)), 4).as("row_sum"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "row_count" -> ((s, dir) => {
+      val d = li(s, dir).where(col("l_orderkey") < 400)
+      val maybeNullDisc = when(col("l_discount") > 0, col("l_discount"))
+      d.select(
+        col("l_orderkey"), col("l_linenumber"),
+        Reductions.rowCount(Seq(col("l_quantity"), maybeNullDisc)).as("row_count"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "row_mean" -> ((s, dir) => {
+      val d = li(s, dir).where(col("l_orderkey") < 400)
+      val maybeNullDisc = when(col("l_discount") > 0, col("l_discount"))
+      d.select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(Reductions.rowMean(Seq(col("l_quantity"), col("l_tax"), maybeNullDisc)), 6)
+          .as("row_mean"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "row_max" -> ((s, dir) => {
+      val d = li(s, dir).where(col("l_orderkey") < 400)
+      d.select(
+        col("l_orderkey"), col("l_linenumber"),
+        Reductions.rowMax(Seq(col("l_quantity"), col("l_discount"), col("l_tax"))).as("row_max"),
+        Reductions.rowMin(Seq(col("l_quantity"), col("l_discount"), col("l_tax"))).as("row_min"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ----- §2.3 apply / map_partitions / generic reduction -------------
+    // Reproduces the reference's own smoke test semantics
+    // (test_df.py:17-20: myadd(row, a=2, b=1.5) = row.sum() + a + b).
+    "apply_rowsum" -> ((s, dir) => {
+      import s.implicits._
+      val d = li(s, dir)
+        .where(col("l_orderkey") < 400)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_discount", "l_tax")
+      val applied = Apply.applyRows(d) { row =>
+        val rowSum = row.getLong(0).toDouble + row.getInt(1).toDouble +
+          row.getDouble(2) + row.getDouble(3) + row.getDouble(4) + row.getDouble(5)
+        (row.getLong(0), row.getInt(1), rowSum + 2.0 + 1.5)
+      }
+      applied.toDF("l_orderkey", "l_linenumber", "apply_val")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("apply_val"), 4).as("apply_val"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "map_partitions_count" -> ((s, dir) => {
+      import s.implicits._
+      val counts = Apply.mapPartitions(li(s, dir))(it => Iterator.single(it.size.toLong))
+      counts.toDF("c").agg(sum("c").as("n_rows"))
+    }),
+    "reduction_count" -> ((s, dir) => {
+      import s.implicits._
+      val n = Apply.reduction(li(s, dir))(
+        chunk = it => it.size.toLong,
+        combine = (a: Long, b: Long) => a + b,
+        aggregate = (x: Long) => x)
+      Seq(n).toDF("n_rows")
+    }),
+
+    // ----- §2.1 read_csv round-trip ------------------------------------
+    "csv_roundtrip" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_csv_${dir.hashCode.toHexString}"
+      li(s, dir).select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val back = CsvReader.readCsv(s, out, CsvOptions(header = true))
+      back.agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        min("l_returnflag").as("min_flag"))
+    }),
+
+    // ----- §2.2 filter / query facade ----------------------------------
+    "filter_query" -> ((s, dir) => {
+      new GraftFrame(li(s, dir))
+        .query("l_quantity > 45 AND l_discount < 0.02")
+        .toDF
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+    }),
+
+    // ----- §2.4 groupBy.agg --------------------------------------------
+    "groupby_agg" -> ((s, dir) => {
+      new GraftFrame(li(s, dir)).groupby("l_returnflag")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          count(lit(1)).as("n"))
+        .toDF.orderBy("l_returnflag")
+    }),
+
+    // ----- §2.5 joins ---------------------------------------------------
+    // Broadcast join: orders ⋈ customer (dimension side broadcast — no
+    // shuffle of the fact side; the 100 TB-correct plan for small dims).
+    "join_broadcast" -> ((s, dir) => {
+      val orders = new GraftFrame(tbl(s, dir, "orders")
+        .withColumnRenamed("o_custkey", "custkey"))
+      val cust = new GraftFrame(tbl(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "custkey"))
+      orders.merge(cust, Seq("custkey"), "inner", broadcastOther = true)
+        .toDF.groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+    // Big-big join: lineitem ⋈ orders on the orderkey — shuffle-hash /
+    // sort-merge territory; AQE picks at runtime.
+    "join_big" -> ((s, dir) => {
+      li(s, dir).join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ----- §2.6 sort / top-k / set ops ---------------------------------
+    "topk_orders" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    }),
+    "set_intersect" -> ((s, dir) => {
+      val a = tbl(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      val b = tbl(s, dir, "customer").where(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      new GraftFrame(a).intersect(new GraftFrame(b)).toDF
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ----- §2.10 exact dedup -------------------------------------------
+    "dedup_exact" -> ((s, dir) => {
+      new GraftFrame(tbl(s, dir, "documents"))
+        .drop_duplicates(Seq("text")).toDF
+        .agg(count(lit(1)).as("n_unique"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "red_sum" ->
+      """SELECT round(sum(l_quantity), 2) AS l_quantity,
+        |round(sum(l_extendedprice), 2) AS l_extendedprice,
+        |round(sum(l_discount), 2) AS l_discount,
+        |round(sum(l_tax), 2) AS l_tax,
+        |CAST(sum(l_orderkey) AS BIGINT) AS l_orderkey
+        |FROM lineitem""".stripMargin,
+    "red_prod" ->
+      """SELECT CAST(round(product(1.0 + l_discount), 6) AS DOUBLE) AS disc_factor
+        |FROM lineitem WHERE l_orderkey <= 64""".stripMargin,
+    "red_max" ->
+      """SELECT max(l_orderkey) AS l_orderkey, max(l_partkey) AS l_partkey,
+        |max(l_suppkey) AS l_suppkey, max(l_linenumber) AS l_linenumber,
+        |max(l_quantity) AS l_quantity, max(l_extendedprice) AS l_extendedprice,
+        |max(l_discount) AS l_discount, max(l_tax) AS l_tax
+        |FROM lineitem""".stripMargin,
+    "red_min" ->
+      """SELECT min(l_orderkey) AS l_orderkey, min(l_partkey) AS l_partkey,
+        |min(l_suppkey) AS l_suppkey, min(l_linenumber) AS l_linenumber,
+        |min(l_quantity) AS l_quantity, min(l_extendedprice) AS l_extendedprice,
+        |min(l_discount) AS l_discount, min(l_tax) AS l_tax
+        |FROM lineitem""".stripMargin,
+    "red_count" ->
+      """SELECT count(l_orderkey) AS l_orderkey, count(l_partkey) AS l_partkey,
+        |count(l_suppkey) AS l_suppkey, count(l_linenumber) AS l_linenumber,
+        |count(l_quantity) AS l_quantity, count(l_extendedprice) AS l_extendedprice,
+        |count(l_discount) AS l_discount, count(l_tax) AS l_tax
+        |FROM lineitem""".stripMargin,
+    "red_mean" ->
+      """SELECT CAST(round(avg(l_quantity), 6) AS DOUBLE) AS l_quantity,
+        |CAST(round(avg(l_extendedprice), 6) AS DOUBLE) AS l_extendedprice,
+        |CAST(round(avg(l_discount), 6) AS DOUBLE) AS l_discount,
+        |CAST(round(avg(l_tax), 6) AS DOUBLE) AS l_tax
+        |FROM lineitem""".stripMargin,
+    "red_std" ->
+      """SELECT CAST(round(stddev_samp(l_quantity), 6) AS DOUBLE) AS l_quantity,
+        |CAST(round(stddev_samp(l_extendedprice), 6) AS DOUBLE) AS l_extendedprice,
+        |CAST(round(stddev_samp(l_discount), 6) AS DOUBLE) AS l_discount,
+        |CAST(round(stddev_samp(l_tax), 6) AS DOUBLE) AS l_tax
+        |FROM lineitem""".stripMargin,
+    "red_std_ddof2" ->
+      """SELECT CAST(round(sqrt(var_samp(l_quantity) * (count(l_quantity) - 1)
+        |  / (count(l_quantity) - 2)), 6) AS DOUBLE) AS l_quantity
+        |FROM lineitem""".stripMargin,
+    "red_all" ->
+      """SELECT bool_and(l_quantity <> 0) AS l_quantity,
+        |bool_and(l_discount <> 0) AS l_discount
+        |FROM lineitem""".stripMargin,
+    "red_any" ->
+      """SELECT bool_or(l_quantity <> 0) AS l_quantity,
+        |bool_or(l_discount <> 0) AS l_discount
+        |FROM lineitem""".stripMargin,
+    "red_sum_mincount" ->
+      """SELECT CASE WHEN count(l_quantity) >= 10000000
+        |  THEN CAST(sum(l_quantity) AS DOUBLE) END AS l_quantity
+        |FROM lineitem""".stripMargin,
+    "row_sum" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(round(l_quantity + l_extendedprice + l_discount + l_tax, 4) AS DOUBLE)
+        |  AS row_sum
+        |FROM lineitem WHERE l_orderkey < 400
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "row_count" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST((CASE WHEN l_quantity IS NOT NULL THEN 1 ELSE 0 END)
+        |  + (CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) AS BIGINT) AS row_count
+        |FROM lineitem WHERE l_orderkey < 400
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "row_mean" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(round((l_quantity + l_tax + CASE WHEN l_discount > 0 THEN l_discount ELSE 0 END)
+        |  / (2 + CASE WHEN l_discount > 0 THEN 1 ELSE 0 END), 6) AS DOUBLE) AS row_mean
+        |FROM lineitem WHERE l_orderkey < 400
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "row_max" ->
+      """SELECT l_orderkey, l_linenumber,
+        |greatest(l_quantity, l_discount, l_tax) AS row_max,
+        |least(l_quantity, l_discount, l_tax) AS row_min
+        |FROM lineitem WHERE l_orderkey < 400
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "apply_rowsum" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CAST(round(l_orderkey + l_linenumber + l_quantity + l_extendedprice
+        |  + l_discount + l_tax + 2 + 1.5, 4) AS DOUBLE) AS apply_val
+        |FROM lineitem WHERE l_orderkey < 400
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "map_partitions_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
+    "reduction_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
+    "csv_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+        |min(l_returnflag) AS min_flag
+        |FROM lineitem""".stripMargin,
+    "filter_query" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02""".stripMargin,
+    "groupby_agg" ->
+      """SELECT l_returnflag,
+        |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+        |CAST(round(avg(l_extendedprice), 6) AS DOUBLE) AS avg_price,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "join_broadcast" ->
+      """SELECT c_mktsegment,
+        |CAST(count(*) AS BIGINT) AS n_orders,
+        |CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_big" ->
+      """SELECT o_orderpriority,
+        |CAST(round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS DOUBLE) AS revenue,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "set_intersect" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  INTERSECT
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |)""".stripMargin,
+    "dedup_exact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_unique FROM (
+        |  SELECT DISTINCT text FROM documents
+        |)""".stripMargin,
+  )
 }

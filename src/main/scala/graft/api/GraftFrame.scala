@@ -1,0 +1,210 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Apply, Reductions}
+import graft.sources.{CsvOptions, CsvReader}
+
+/** pandas-flavored facade over a Spark [[DataFrame]] — the user-facing
+  * surface of the engine.
+  *
+  * The reference exposes a single wrapper class `DataFrame(df, filepath,
+  * npartitions)` (reference: dataframe/core.py:9-13) whose declared
+  * capability target (duck-type checks, reference: dataframe/utils.py:323,
+  * 333) requires `groupby`, `merge`, `head`, plus the implemented
+  * `apply`/reductions surface. This class is that target re-expressed over
+  * Spark: every method is a thin delegation to a declarative DataFrame
+  * operation so Catalyst sees the whole plan (pushdown, pruning, join
+  * selection, AQE all apply) — nothing here schedules work itself.
+  *
+  * Scale notes are per-method; the general rule: transformations stay
+  * lazy, no method calls an action, and nothing collects to the driver.
+  */
+final class GraftFrame(val df: DataFrame) {
+
+  def spark: SparkSession = df.sparkSession
+  def schema = df.schema
+  def columns: Seq[String] = df.columns.toSeq
+  def count(): Long = df.count()
+  def show(): Unit = df.show()
+  def toDF: DataFrame = df
+
+  // ----- projection / mutation (§2.2) ---------------------------------
+
+  /** Column projection — `df[cols]` / `usecols`. Pruning reaches the scan
+    * via Catalyst ColumnPruning. */
+  def select(cols: String*): GraftFrame = new GraftFrame(df.select(cols.map(col): _*))
+  def selectExpr(exprs: String*): GraftFrame = new GraftFrame(df.selectExpr(exprs: _*))
+
+  /** Boolean-mask filter — `df[mask]` / `df.where`. Predicates push down
+    * to the source (parquet row-group skipping at scale). */
+  def where(cond: Column): GraftFrame = new GraftFrame(df.where(cond))
+  def filter(cond: Column): GraftFrame = where(cond)
+
+  /** pandas `df.query("a > 3 and b < 2")` — SQL-expression filter. */
+  def query(sqlCond: String): GraftFrame = new GraftFrame(df.where(expr(sqlCond)))
+
+  def withColumn(name: String, c: Column): GraftFrame = new GraftFrame(df.withColumn(name, c))
+  def drop(cols: String*): GraftFrame = new GraftFrame(df.drop(cols: _*))
+
+  /** pandas `df.rename(columns=...)`. */
+  def rename(mapping: Map[String, String]): GraftFrame =
+    new GraftFrame(mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
+
+  // ----- sort / limit / top-k (§2.6) ----------------------------------
+
+  /** pandas `sort_values`. Global sort = range-partitioned shuffle
+    * (sampled boundaries), scale-safe; prefer [[nlargest]] for top-k —
+    * TakeOrderedAndProject never materializes a full sort. */
+  def sort_values(by: Seq[String], ascending: Boolean = true): GraftFrame = {
+    val cols = by.map(c => if (ascending) col(c).asc else col(c).desc)
+    new GraftFrame(df.orderBy(cols: _*))
+  }
+
+  /** First n rows as a frame (pandas `head` analog; lazy `limit`). */
+  def head(n: Int): GraftFrame = new GraftFrame(df.limit(n))
+
+  /** Top-k by columns. Plans as TakeOrderedAndProject: per-partition
+    * heap of k + single merge — no global sort even at 100 TB. */
+  def nlargest(n: Int, by: String*): GraftFrame =
+    new GraftFrame(df.orderBy(by.map(col(_).desc): _*).limit(n))
+  def nsmallest(n: Int, by: String*): GraftFrame =
+    new GraftFrame(df.orderBy(by.map(col(_).asc): _*).limit(n))
+
+  // ----- set ops (§2.6) ------------------------------------------------
+
+  /** pandas `pd.concat([a, b])` — by-name union (allows missing columns). */
+  def concat(other: GraftFrame): GraftFrame =
+    new GraftFrame(df.unionByName(other.df, allowMissingColumns = true))
+  def union(other: GraftFrame): GraftFrame = concat(other)
+  def intersect(other: GraftFrame): GraftFrame = new GraftFrame(df.intersect(other.df))
+  def except(other: GraftFrame): GraftFrame = new GraftFrame(df.except(other.df))
+
+  /** Exact dedup — pandas `drop_duplicates(subset)`. Hash-partitioned
+    * groupBy under the hood: one shuffle on the subset key, scale-safe. */
+  def drop_duplicates(subset: Seq[String] = Nil): GraftFrame =
+    new GraftFrame(if (subset.isEmpty) df.dropDuplicates() else df.dropDuplicates(subset))
+
+  // ----- join (§2.5) ---------------------------------------------------
+
+  /** pandas `merge`. `how` accepts pandas names (left/right/outer/inner/
+    * cross/semi/anti). Set `broadcastOther=true` when the other side is a
+    * dimension table — plans a BroadcastHashJoin (no shuffle of the big
+    * side); otherwise the planner picks (AQE may still auto-broadcast
+    * from runtime stats).
+    */
+  def merge(
+      other: GraftFrame,
+      on: Seq[String],
+      how: String = "inner",
+      broadcastOther: Boolean = false): GraftFrame = {
+    val joinType = how match {
+      case "outer" => "full_outer"
+      case h       => h
+    }
+    val right = if (broadcastOther) broadcast(other.df) else other.df
+    new GraftFrame(df.join(right, on, joinType))
+  }
+
+  // ----- groupBy (§2.4) ------------------------------------------------
+
+  /** `df.groupby(keys)` — grouped aggregation surface. */
+  def groupby(keys: String*): GraftGroupBy = new GraftGroupBy(df, keys)
+
+  // ----- UDF surface (§2.3) --------------------------------------------
+
+  /** Per-row UDF — `apply(func, axis=1)`. */
+  def apply[T: Encoder](f: Row => T): Dataset[T] = Apply.applyRows(df)(f)
+
+  /** Per-partition UDF — `map_partitions(func)`. */
+  def map_partitions[T: Encoder](f: Iterator[Row] => Iterator[T]): Dataset[T] =
+    Apply.mapPartitions(df)(f)
+
+  // ----- named reductions (§2.4), axis=0 -------------------------------
+
+  def sum(minCount: Int = 0): GraftFrame = new GraftFrame(Reductions.sum0(df, Nil, minCount))
+  def prod(minCount: Int = 0): GraftFrame = new GraftFrame(Reductions.prod0(df, Nil, minCount))
+  def max(): GraftFrame = new GraftFrame(Reductions.max0(df))
+  def min(): GraftFrame = new GraftFrame(Reductions.min0(df))
+  def countNonNull(): GraftFrame = new GraftFrame(Reductions.count0(df))
+  def mean(): GraftFrame = new GraftFrame(Reductions.mean0(df))
+  def std(ddof: Int = 1): GraftFrame = new GraftFrame(Reductions.std0(df, Nil, ddof))
+  def all(): GraftFrame = new GraftFrame(Reductions.all0(df))
+  def any(): GraftFrame = new GraftFrame(Reductions.any0(df))
+
+  // ----- partitioning --------------------------------------------------
+
+  def npartitions: Int = df.rdd.getNumPartitions
+  /** Full-shuffle repartition — explicit user request only (see
+    * CsvReader scale note: prefer maxPartitionBytes for read width). */
+  def repartition(n: Int): GraftFrame = new GraftFrame(df.repartition(n))
+  /** Shuffle-free partition reduction. */
+  def coalesce(n: Int): GraftFrame = new GraftFrame(df.coalesce(n))
+
+  // ----- sinks (§2.1) --------------------------------------------------
+
+  def to_parquet(path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).parquet(path)
+  def to_csv(path: String, header: Boolean = true, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", header.toString).csv(path)
+}
+
+object GraftFrame {
+  /** `read_csv` — the reference's single public entry point
+    * (reference: dataframe/__init__.py:1, io.py:13-88). */
+  def read_csv(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): GraftFrame =
+    new GraftFrame(CsvReader.readCsv(spark, path, opts))
+
+  /** Parquet source (fixtures + any real deployment's columnar data). */
+  def read_parquet(spark: SparkSession, path: String): GraftFrame =
+    new GraftFrame(spark.read.parquet(path))
+}
+
+/** Grouped-aggregation surface — `df.groupby(keys).agg(...)`.
+  *
+  * The reference never ships `groupby` but declares it as a required
+  * capability (duck-type check, reference: dataframe/utils.py:323) and
+  * built `aca`'s `split_out` precisely for hash-partitioned grouped
+  * output (reference: dataframe/core.py:596-603). Spark's groupBy IS that
+  * design: partial agg per partition → hash shuffle on keys (`split_out`
+  * ≈ shuffle partitions, AQE-coalesced) → final agg.
+  */
+final class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
+
+  private def grouped = df.groupBy(keys.map(col): _*)
+
+  /** pandas-style `agg({"col": "fn"})`: pairs of (column, fnName) where
+    * fnName ∈ sum/prod/max/min/count/mean/std/all/any. Output column is
+    * `fn_col` (aliased — stable names for oracles). */
+  def agg(pairs: (String, String)*): GraftFrame = {
+    import graft.functions.ProductAgg.product
+    import org.apache.spark.sql.{functions => F}
+    val aggCols = pairs.map { case (c, fn) =>
+      val a = fn match {
+        case "sum"   => F.sum(col(c))
+        case "prod"  => product(col(c))
+        case "max"   => F.max(col(c))
+        case "min"   => F.min(col(c))
+        case "count" => F.count(col(c))
+        case "mean"  => F.avg(col(c))
+        case "std"   => F.stddev_samp(col(c))
+        case "all"   => F.bool_and(col(c).cast("boolean"))
+        case "any"   => F.bool_or(col(c).cast("boolean"))
+        case other   => throw new IllegalArgumentException(s"unknown agg fn: $other")
+      }
+      a.as(s"${fn}_$c")
+    }
+    new GraftFrame(grouped.agg(aggCols.head, aggCols.tail: _*))
+  }
+
+  /** Spark-native column aggregates. */
+  def agg(first: Column, rest: Column*): GraftFrame =
+    new GraftFrame(grouped.agg(first, rest: _*))
+
+  def sum(cols: String*): GraftFrame = agg(cols.map(_ -> "sum"): _*)
+  def mean(cols: String*): GraftFrame = agg(cols.map(_ -> "mean"): _*)
+  def size(): GraftFrame = {
+    import org.apache.spark.sql.{functions => F}
+    new GraftFrame(grouped.agg(F.count(F.lit(1)).as("count")))
+  }
+}

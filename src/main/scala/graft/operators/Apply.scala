@@ -49,6 +49,18 @@ object Apply {
     * flat reduce would funnel every chunk result to the driver;
     * `treeReduce` inserts O(log_splitEvery(n)) distributed combine
     * rounds so driver traffic is bounded.
+    *
+    * Contract notes: `combine` must be associative AND commutative —
+    * Spark's tree reduce merges partials in completion order, not
+    * partition order (the reference's concat order is not guaranteed
+    * here). For SQL-expressible aggregations prefer `df.agg(...)`: this
+    * path deserializes rows out of Tungsten and exits codegen; it exists
+    * for opaque-closure parity with the reference.
+    *
+    * An empty frame (zero rows) still runs `chunk` on each (possibly
+    * empty) partition iterator; a frame with ZERO partitions throws
+    * IllegalArgumentException rather than treeReduce's opaque
+    * UnsupportedOperationException.
     */
   def reduction[B: ClassTag, O](df: DataFrame)(
       chunk: Iterator[Row] => B,
@@ -56,7 +68,9 @@ object Apply {
       aggregate: B => O,
       splitEvery: Int = 8): O = {
     val parts = df.rdd.mapPartitions(it => Iterator.single(chunk(it)))
-    val n = math.max(parts.getNumPartitions, 2)
+    val np = parts.getNumPartitions
+    require(np > 0, "reduction: frame has zero partitions (nothing to chunk)")
+    val n = math.max(np, 2)
     val fanIn = math.max(splitEvery, 2)
     val depth = math.max(1, math.ceil(math.log(n) / math.log(fanIn)).toInt)
     aggregate(parts.treeReduce(combine, depth))

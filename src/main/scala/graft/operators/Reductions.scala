@@ -42,41 +42,57 @@ object Reductions {
   private def gated(agg: Column, c: Column, minCount: Int): Column =
     if (minCount <= 0) agg else when(count(c) >= minCount, agg)
 
-  /** Per-column `sum`. pandas returns 0.0 for an all-null column when
-    * `min_count == 0` — Spark's `sum` returns null — so we coalesce. */
+  private def requireCols(cs: Seq[String], op: String): Unit =
+    require(
+      cs.nonEmpty,
+      s"$op: no numeric columns to reduce (pass cols= explicitly for non-numeric frames)")
+
+  /** Per-column `sum`. pandas returns 0 for an all-null column when
+    * `min_count == 0` — Spark's `sum` returns null — so we coalesce with a
+    * zero of the sum's own result type (keeps int64 sums integral, as
+    * pandas does for non-empty int columns). */
   def sum0(df: DataFrame, cols: Seq[String] = Nil, minCount: Int = 0): DataFrame = {
     val cs = if (cols.nonEmpty) cols else numericCols(df)
-    df.agg(
-      gated(coalesce(sum(col(cs.head)), lit(0.0)), col(cs.head), minCount).as(cs.head),
-      cs.tail.map(c => gated(coalesce(sum(col(c)), lit(0.0)), col(c), minCount).as(c)): _*)
+    requireCols(cs, "sum")
+    def zero(c: String) = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => lit(0L)
+      case _                                             => lit(0.0)
+    }
+    def one(c: String) = gated(coalesce(sum(col(c)), zero(c)), col(c), minCount).as(c)
+    df.agg(one(cs.head), cs.tail.map(one): _*)
   }
 
   /** Per-column `prod` via the native product aggregate. Empty product
     * identity is 1.0 (pandas), gated by `min_count`. */
   def prod0(df: DataFrame, cols: Seq[String] = Nil, minCount: Int = 0): DataFrame = {
     val cs = if (cols.nonEmpty) cols else numericCols(df)
+    requireCols(cs, "prod")
     def one(c: String) = gated(coalesce(product(col(c)), lit(1.0)), col(c), minCount).as(c)
     df.agg(one(cs.head), cs.tail.map(one): _*)
   }
 
   def max0(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val cs = if (cols.nonEmpty) cols else numericCols(df)
+    requireCols(cs, "max")
     df.agg(max(cs.head).as(cs.head), cs.tail.map(c => max(c).as(c)): _*)
   }
 
   def min0(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val cs = if (cols.nonEmpty) cols else numericCols(df)
+    requireCols(cs, "min")
     df.agg(min(cs.head).as(cs.head), cs.tail.map(c => min(c).as(c)): _*)
   }
 
   /** Per-column non-null count (pandas `count`). */
   def count0(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val cs = if (cols.nonEmpty) cols else numericCols(df)
+    requireCols(cs, "count")
     df.agg(count(col(cs.head)).as(cs.head), cs.tail.map(c => count(col(c)).as(c)): _*)
   }
 
   def mean0(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val cs = if (cols.nonEmpty) cols else numericCols(df)
+    requireCols(cs, "mean")
     df.agg(avg(cs.head).as(cs.head), cs.tail.map(c => avg(c).as(c)): _*)
   }
 
@@ -87,6 +103,7 @@ object Reductions {
     * var_samp*(n-1)/(n-ddof). */
   def std0(df: DataFrame, cols: Seq[String] = Nil, ddof: Int = 1): DataFrame = {
     val cs = if (cols.nonEmpty) cols else numericCols(df)
+    requireCols(cs, "std")
     def one(c: String): Column = {
       val base =
         if (ddof == 1) stddev_samp(col(c))
@@ -105,6 +122,7 @@ object Reductions {
     * (pandas semantics: nonzero == true). */
   def all0(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val cs = if (cols.nonEmpty) cols else boolish(df)
+    requireCols(cs, "all")
     def truthy(c: String) = df.schema(c).dataType match {
       case BooleanType => col(c)
       case _           => col(c) =!= lit(0)
@@ -115,6 +133,7 @@ object Reductions {
   /** Per-column disjunction (pandas `any`). */
   def any0(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
     val cs = if (cols.nonEmpty) cols else boolish(df)
+    requireCols(cs, "any")
     def truthy(c: String) = df.schema(c).dataType match {
       case BooleanType => col(c)
       case _           => col(c) =!= lit(0)
