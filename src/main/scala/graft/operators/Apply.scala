@@ -58,9 +58,9 @@ object Apply {
     * for opaque-closure parity with the reference.
     *
     * An empty frame (zero rows) still runs `chunk` on each (possibly
-    * empty) partition iterator; a frame with ZERO partitions throws
-    * IllegalArgumentException rather than treeReduce's opaque
-    * UnsupportedOperationException.
+    * empty) partition iterator; a frame with ZERO partitions degrades to
+    * `aggregate(chunk(empty))` on the driver rather than treeReduce's
+    * opaque UnsupportedOperationException.
     */
   def reduction[B: ClassTag, O](df: DataFrame)(
       chunk: Iterator[Row] => B,
@@ -69,7 +69,7 @@ object Apply {
       splitEvery: Int = 8): O = {
     val parts = df.rdd.mapPartitions(it => Iterator.single(chunk(it)))
     val np = parts.getNumPartitions
-    require(np > 0, "reduction: frame has zero partitions (nothing to chunk)")
+    if (np == 0) return aggregate(chunk(Iterator.empty))
     val n = math.max(np, 2)
     val fanIn = math.max(splitEvery, 2)
     val depth = math.max(1, math.ceil(math.log(n) / math.log(fanIn)).toInt)

@@ -63,6 +63,9 @@ object CsvReader {
       .option("samplingRatio", opts.samplingRatio.toString)
     opts.comment.foreach(c => r = r.option("comment", c))
     opts.timestampFormat.foreach(f => r = r.option("timestampFormat", f))
+    // pandas accepts a LIST of na_values (io.py:33); Spark's `nullValue`
+    // is a single string. First sentinel goes to the reader; the rest are
+    // nulled post-read (see below).
     if (opts.naValues.nonEmpty) r = r.option("nullValue", opts.naValues.head)
 
     val fullDtype = opts.names.nonEmpty && opts.dtype.nonEmpty &&
@@ -77,6 +80,20 @@ object CsvReader {
         if (opts.names.nonEmpty) inferred.toDF(opts.names: _*) else inferred
       }
 
+    // Remaining na_values sentinels → null. With an explicit schema the
+    // PERMISSIVE reader already nulls unparseable cells, so only string
+    // columns can still carry sentinels; with inference, a sentinel in a
+    // numeric column forces StringType (pass dtype= to recover the
+    // numeric type — the cast below happens after this rewrite).
+    if (opts.naValues.size > 1) {
+      val rest = opts.naValues.tail
+      df = df.select(df.schema.fields.map { f =>
+        if (f.dataType == StringType)
+          when(col(f.name).isin(rest: _*), lit(null)).otherwise(col(f.name)).as(f.name)
+        else col(f.name)
+      }.toSeq: _*)
+    }
+
     if (!fullDtype && opts.dtype.nonEmpty)
       df = df.select(df.columns.map { c =>
         opts.dtype.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
@@ -86,6 +103,15 @@ object CsvReader {
         .map(f => to_timestamp(col(c), f)).getOrElse(to_timestamp(col(c))))
     }
     if (opts.usecols.nonEmpty) df = df.select(opts.usecols.map(col): _*)
-    opts.npartitions.map(df.repartition).getOrElse(df)
+    // The reference's `npartitions` means "number of read chunks"
+    // (io.py:73), not "shuffle everything". Reducing → shuffle-free
+    // coalesce; increasing → repartition (unavoidable shuffle, explicit
+    // user request). At scale prefer spark.sql.files.maxPartitionBytes
+    // to control read width instead.
+    opts.npartitions match {
+      case Some(n) if n < df.rdd.getNumPartitions => df.coalesce(n)
+      case Some(n)                                => df.repartition(n)
+      case None                                   => df
+    }
   }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+
+import graft.sources.{CsvOptions, CsvReader}
+
+class CsvReaderSpec extends SparkSpec {
+
+  private def writeCsv(lines: String*): String = {
+    val dir = Files.createTempDirectory("graft_csv_test")
+    val f = dir.resolve("data.csv")
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  test("header + inference") {
+    val p = writeCsv("a,b,c", "1,2.5,x", "2,3.5,y")
+    val df = CsvReader.readCsv(spark, p)
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    assert(df.schema("a").dataType == IntegerType)
+    assert(df.schema("b").dataType == DoubleType)
+    assert(df.count() == 2)
+  }
+
+  test("headerless with names (the reference's own smoke shape, test_df.py:14-15)") {
+    val p = writeCsv("1,2,3,4,5,6", "7,8,9,10,11,12")
+    val df = CsvReader.readCsv(spark, p,
+      CsvOptions(header = false, names = Seq("A", "B", "C", "D", "E", "F")))
+    assert(df.columns.toSeq == Seq("A", "B", "C", "D", "E", "F"))
+    assert(df.count() == 2)
+  }
+
+  test("explicit names + dtype skips inference and applies schema") {
+    val p = writeCsv("1,x", "2,y")
+    val df = CsvReader.readCsv(spark, p,
+      CsvOptions(header = false, names = Seq("n", "s"),
+        dtype = Map("n" -> LongType, "s" -> StringType)))
+    assert(df.schema("n").dataType == LongType)
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("na_values: ALL sentinels become null, not just the first") {
+    val p = writeCsv("s,t", "NA,keep", "null,x", "ok,null")
+    val df = CsvReader.readCsv(spark, p,
+      CsvOptions(naValues = Seq("NA", "null")))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0) && rows(0).getString(1) == "keep")
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).getString(0) == "ok" && rows(2).isNullAt(1))
+  }
+
+  test("na_values + dtype recovers numeric type past sentinels") {
+    val p = writeCsv("x", "1", "NA", "miss", "4")
+    val df = CsvReader.readCsv(spark, p,
+      CsvOptions(naValues = Seq("NA", "miss"), dtype = Map("x" -> DoubleType)))
+    assert(df.schema("x").dataType == DoubleType)
+    val got = df.collect()
+    assert(got(0).getDouble(0) == 1.0)
+    assert(got(1).isNullAt(0) && got(2).isNullAt(0))
+    assert(got(3).getDouble(0) == 4.0)
+  }
+
+  test("usecols prunes columns") {
+    val p = writeCsv("a,b,c", "1,2,3")
+    val df = CsvReader.readCsv(spark, p, CsvOptions(usecols = Seq("c", "a")))
+    assert(df.columns.toSeq == Seq("c", "a"))
+  }
+
+  test("npartitions reduction uses coalesce (no shuffle), increase repartitions") {
+    val p = writeCsv("a" +: (1 to 50).map(_.toString): _*)
+    val down = CsvReader.readCsv(spark, p, CsvOptions(npartitions = Some(1)))
+    assert(down.rdd.getNumPartitions == 1)
+    val up = CsvReader.readCsv(spark, p, CsvOptions(npartitions = Some(5)))
+    assert(up.rdd.getNumPartitions == 5)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftFrame
+
+class GraftFrameSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def people = new GraftFrame(
+    Seq((1L, "ann", 34, 120.0), (2L, "bob", 28, 80.0), (3L, "cat", 34, 95.0),
+      (4L, "dan", 41, 60.0)).toDF("id", "name", "age", "score"))
+
+  test("select / where / query") {
+    assert(people.select("name", "age").columns == Seq("name", "age"))
+    assert(people.where(col("age") > 30).count() == 3)
+    assert(people.query("age = 34 AND score > 100").count() == 1)
+  }
+
+  test("sort_values / head / nlargest / nsmallest") {
+    val sorted = people.sort_values(Seq("age"), ascending = false)
+    assert(sorted.toDF.collect()(0).getString(1) == "dan")
+    assert(people.head(2).count() == 2)
+    val top = people.nlargest(2, "score").toDF.collect().map(_.getString(1))
+    assert(top.toSeq == Seq("ann", "cat"))
+    val bottom = people.nsmallest(1, "score").toDF.collect()(0).getString(1)
+    assert(bottom == "dan")
+  }
+
+  test("merge maps pandas how names; outer → full_outer") {
+    val extra = new GraftFrame(Seq((1L, "NYC"), (9L, "LA")).toDF("id", "city"))
+    val inner = people.merge(extra, Seq("id"))
+    assert(inner.count() == 1)
+    val outer = people.merge(extra, Seq("id"), how = "outer")
+    assert(outer.count() == 5) // 4 people + unmatched LA
+    val left = people.merge(extra, Seq("id"), how = "left", broadcastOther = true)
+    assert(left.count() == 4)
+    val anti = people.merge(extra, Seq("id"), how = "anti")
+    assert(anti.count() == 3)
+  }
+
+  test("groupby.agg pandas-style pairs with stable output names") {
+    val g = people.groupby("age").agg("score" -> "sum", "id" -> "count")
+    assert(g.columns == Seq("age", "sum_score", "count_id"))
+    val m = g.toDF.where(col("age") === 34).collect()(0)
+    assert(m.getDouble(1) == 215.0 && m.getLong(2) == 2L)
+  }
+
+  test("groupby.size counts rows per group") {
+    val s = people.groupby("age").size().toDF.where(col("age") === 34).collect()(0)
+    assert(s.getLong(1) == 2L)
+  }
+
+  test("concat is by-name union allowing missing columns") {
+    val other = new GraftFrame(Seq((5L, "eve")).toDF("id", "name"))
+    val u = people.concat(other)
+    assert(u.count() == 5)
+    val eve = u.toDF.where(col("id") === 5).collect()(0)
+    assert(eve.getAs[Any]("age") == null)
+  }
+
+  test("intersect / except are set-semantics") {
+    val a = new GraftFrame(Seq(1, 2, 2, 3).toDF("x"))
+    val b = new GraftFrame(Seq(2, 3, 4).toDF("x"))
+    assert(a.intersect(b).toDF.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    assert(a.except(b).toDF.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("drop_duplicates with and without subset") {
+    val d = new GraftFrame(Seq((1, "a"), (1, "b"), (1, "a")).toDF("k", "v"))
+    assert(d.drop_duplicates().count() == 2)
+    assert(d.drop_duplicates(Seq("k")).count() == 1)
+  }
+
+  test("rename / withColumn / drop") {
+    val r = people.rename(Map("name" -> "who")).select("who")
+    assert(r.columns == Seq("who"))
+    assert(people.withColumn("dbl", col("score") * 2).toDF
+      .where(col("id") === 2).collect()(0).getAs[Double]("dbl") == 160.0)
+    assert(!people.drop("score").columns.contains("score"))
+  }
+
+  test("named reductions through the facade") {
+    val s = people.drop("name").sum().toDF.collect()(0)
+    // id: 1+2+3+4 = 10 (long); age: 137 (long); score: 355.0
+    assert(s.getLong(0) == 10L)
+    assert(s.getDouble(2) == 355.0)
+  }
+}
