@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, Reductions}
+import graft.operators.{Apply, Dedup, Multimodal, Reductions, Similarity, TextOps}
 import graft.sources.{CsvOptions, CsvReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -230,7 +230,125 @@ object SparkEntry {
         .drop_duplicates(Seq("text")).toDF
         .agg(count(lit(1)).as("n_unique"))
     }),
+
+    // ----- §2.10 near-dedup --------------------------------------------
+    // The fixture has no near-dups, so each query constructs them
+    // deterministically: every ≥30-token doc gets a copy (id+100000)
+    // with the last 5 tokens dropped — shingle-jaccard ≥ ~0.75 vs ~0.0
+    // for unrelated pairs. The oracle rebuilds the same corpus in SQL.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+      Dedup.nearDupMinHash(corpus, "doc_id", "text",
+          threshold = 0.6, numHashes = 128, bands = 64)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val corpus = nearDupCorpus(tbl(s, dir, "documents").where(col("doc_id") < 60))
+      Dedup.nearDupJaccardBrute(corpus, "doc_id", "text", threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    // SimHash has no SQL-expressible oracle (hash-specific); rows-only.
+    "dedup_simhash" -> ((s, dir) => {
+      val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+      Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 10)
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_embedding" -> ((s, dir) => {
+      val base = tbl(s, dir, "embeddings").where(col("vec_id") < 100)
+        .select(col("vec_id"), Similarity.asDoubleVec(col("embedding")).as("vec"))
+      val scaled = base.select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("vec"), x => x * lit(2.0)).as("vec"))
+      Similarity.cosineNearDupPairs(base.unionAll(scaled), "vec_id", "vec", 0.99)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ----- §2.10 similarity search -------------------------------------
+    "simsearch_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+      Similarity.bruteForceTopK(q, "query_id", "qv", c, "corpus_id", "cv", k = 10)
+        .select(col("query_id"), col("corpus_id"), col("rank"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+    // ANN recall < 1 by construction → rows-only (no SQL oracle).
+    "simsearch_ann" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+      Similarity.annTopK(q, "query_id", "qv", c, "corpus_id", "cv",
+          k = 10, dim = 64, nPlanes = 8)
+        .select(col("query_id"), col("corpus_id"), col("rank"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ----- §2.10 text analysis -----------------------------------------
+    "text_langid" -> ((s, dir) => {
+      tbl(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+    "text_quality" -> ((s, dir) => {
+      val metrics = TextOps.qualityMetrics(col("text")).map { case (n, c) => c.as(n) }
+      tbl(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id") +: metrics: _*)
+        .orderBy("doc_id")
+    }),
+    "text_tokens" -> ((s, dir) => {
+      tbl(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_ws"),
+          TextOps.bpeishTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+    "text_fingerprint" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(countDistinct(col("fp")).as("n_fp"))
+    }),
+
+    // ----- §2.10 multimodal columns ------------------------------------
+    "multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.withMediaColumn(
+        tbl(s, dir, "documents"), "doc_id", "text", Seq("lang", "n_chars"))
+      Multimodal.extractFeatures(media).toDF()
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum("byteLen").as("total_bytes"),
+          sum("width").as("sum_width"),
+          sum("headByte").as("sum_head"))
+    }),
+    "multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.withMediaColumn(
+        tbl(s, dir, "documents"), "doc_id", "text", Seq("lang"))
+      Multimodal.sampleFrames(media, stride = 10)
+        .agg(count(lit(1)).as("n_frames"))
+    }),
   )
+
+  /** Deterministic near-dup corpus: ≥30-token docs plus a copy
+    * (doc_id+100000) with the last 5 tokens dropped. */
+  private def nearDupCorpus(documents: DataFrame): DataFrame = {
+    val base = documents
+      .where(size(split(col("text"), " ")) >= 30)
+      .select(col("doc_id"), col("text"))
+    val perturbed = base.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      array_join(
+        slice(split(col("text"), " "), lit(1), size(split(col("text"), " ")) - 5),
+        " ").as("text"))
+    base.unionAll(perturbed)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "red_sum" ->
@@ -363,5 +481,121 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_unique FROM (
         |  SELECT DISTINCT text FROM documents
         |)""".stripMargin,
+    "dedup_minhash_lsh" -> nearDupOracle(restrict = "", threshold = 0.6),
+    "dedup_ngram_jaccard" -> nearDupOracle(restrict = "AND doc_id < 60", threshold = 0.5),
+    "dedup_embedding" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id < 100
+        |), corpus AS (
+        |  SELECT vec_id, vec FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(vec, x -> x * 2) FROM base
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(round(list_cosine_similarity(a.vec, b.vec), 6) AS DOUBLE) AS sim
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
+    "simsearch_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5
+        |), c AS (
+        |  SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id >= 5
+        |), s AS (
+        |  SELECT query_id, corpus_id, list_cosine_similarity(qv, cv) AS sim
+        |  FROM q CROSS JOIN c
+        |), r AS (
+        |  SELECT query_id, corpus_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rk
+        |  FROM s
+        |)
+        |SELECT query_id, corpus_id, CAST(rk AS INTEGER) AS rank,
+        |  CAST(round(sim, 4) AS DOUBLE) AS sim
+        |FROM r WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 200
+        |), s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('el','los','que','y','es'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','les','une','et','est'))) AS s_fr
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+        |    WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+        |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+        |    WHEN s_fr > 0 THEN 'fr'
+        |    ELSE 'unknown'
+        |  END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |    CAST(length(text) AS INTEGER) AS n_chars
+        |  FROM documents WHERE doc_id < 100
+        |)
+        |SELECT doc_id, n_chars,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(round((n_chars - (len(toks) - 1)) / len(toks)::DOUBLE, 6) AS DOUBLE)
+        |    AS avg_token_chars,
+        |  CAST(round(len(list_filter(toks, x -> x IN ('the','a','of','and','is')))
+        |    / len(toks)::DOUBLE, 6) AS DOUBLE) AS stopword_ratio,
+        |  CAST(round(len(list_distinct(toks)) / len(toks)::DOUBLE, 6) AS DOUBLE)
+        |    AS distinct_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+        |    AS INTEGER) AS n_bpe
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT CAST(count(DISTINCT lower(trim(text))) AS BIGINT) AS n_fp
+        |FROM documents""".stripMargin,
+    "multimodal_features" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |  CAST(sum(strlen(text) % 640 + 1) AS BIGINT) AS sum_width,
+        |  CAST(sum(ascii(substr(text, 1, 1))) AS BIGINT) AS sum_head
+        |FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT CAST(sum(CAST(ceil(strlen(text) / 10.0) AS BIGINT)) AS BIGINT)
+        |  AS n_frames
+        |FROM documents WHERE strlen(text) > 0""".stripMargin,
   )
+
+  /** Shared oracle for the constructed near-dup corpus: exact word-3-gram
+    * Jaccard over base ∪ perturbed, pairs ≥ threshold. */
+  private def nearDupOracle(restrict: String, threshold: Double): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 30 $restrict
+       |), corpus AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 100000,
+       |    array_to_string(
+       |      list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 5),
+       |      ' ')
+       |  FROM base
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
+       |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM corpus)
+       |), pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.s, b.s))::DOUBLE
+       |      / len(list_distinct(list_concat(a.s, b.s))) AS j
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(round(j, 6) AS DOUBLE) AS jaccard
+       |FROM pairs WHERE j >= $threshold ORDER BY id_a, id_b""".stripMargin
 }

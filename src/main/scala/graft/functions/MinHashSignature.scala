@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signature of a shingle set as a native Catalyst expression:
+  * `array<string>` shingles → `array<long>` of `numHashes` minima.
+  *
+  * One pass over the shingles computes all k hashes (the reference's
+  * near-dup ambition has no implementation to cite; the algorithm is the
+  * standard Broder MinHash: per shingle a 64-bit base hash (FNV-1a over
+  * UTF-8 bytes), then k affine transforms `a_i*h + b_i` with odd `a_i`
+  * drawn from SplitMix64(seed), taking the per-i minimum). O(|shingles|·k)
+  * multiply-adds per row, no allocation besides the output array — this
+  * is the hot loop of 100 TB dedup, so it must not box per element.
+  *
+  * Row-local (no shuffle); the LSH banding that follows it is where the
+  * one shuffle happens ([[graft.operators.Dedup]]).
+  *
+  * Returns null for a null or EMPTY shingle array (a doc too short to
+  * shingle has no signature; callers filter those out explicitly).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"numHashes must be positive, got $numHashes")
+    case t =>
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_signature requires array<string>, got ${t.catalogString}")
+  }
+
+  // Affine coefficients from SplitMix64 (public-domain PRNG; Steele et al.,
+  // "Fast Splittable Pseudorandom Number Generators", OOPSLA'14).
+  @transient private lazy val (coefA: Array[Long], coefB: Array[Long]) = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = Array.fill(numHashes)(next() | 1L) // odd => bijective mod 2^64
+    val b = Array.fill(numHashes)(next())
+    (a, b)
+  }
+
+  /** FNV-1a 64-bit over UTF-8 bytes (public-domain hash). */
+  private def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Single-pass k-way min; called from both interpreted and generated code. */
+  def compute(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = fnv1a64(shingles.getUTF8String(i))
+      var j = 0
+      while (j < numHashes) {
+        val v = coefA(j) * base + coefB(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $self.compute($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** `minhash_signature(shingles)` as a [[Column]]. */
+  def minhash(shingles: Column, numHashes: Int = 128, seed: Long = 42L): Column =
+    GraftColumnBridge.column(
+      MinHashSignature(GraftColumnBridge.expression(shingles), numHashes, seed))
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.CosineSimilarity.cosineSim
+
+/** Similarity search over embedding columns (`array<float>` /
+  * `array<double>`): brute-force cosine top-k as the exact baseline, and
+  * an SRP-LSH (random-hyperplane) bucketed variant as the scale path.
+  *
+  * Scale design: brute force is O(|Q|·|C|) — correct for small query
+  * sets against a broadcastable corpus slice, a scale-killer otherwise.
+  * The ANN path buckets both sides by hyperplane sign bits (row-local),
+  * joins on the bucket (ONE shuffle), and only scores within buckets.
+  * Recall is tunable via fewer planes (bigger buckets) or multi-probe.
+  */
+object Similarity {
+
+  /** Embeddings arrive as `array<float>`; the cosine expression computes
+    * in double. One cast, pushed into the same codegen stage. */
+  def asDoubleVec(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  /** Exact top-k: every query row scored against every corpus row.
+    * Queries are broadcast (the small side by contract); ranking is a
+    * per-query window — `row_number` keeps ties deterministic via the
+    * corpus-id tiebreak. */
+  def bruteForceTopK(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(
+        col(qId), col(cId),
+        cosineSim(asDoubleVec(col(qVec)), asDoubleVec(col(cVec))).as("sim"))
+    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5),
+    * derived from (plane, dim) via SplitMix64 — no RNG state, so every
+    * executor materializes identical planes. */
+  private def planeComponent(plane: Int, dim: Int, seed: Long): Double = {
+    var z = seed + plane.toLong * 0x9e3779b97f4a7c15L + dim.toLong * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  }
+
+  /** SRP bucket id: sign bit of the vector's dot product with each of
+    * `nPlanes` fixed hyperplanes, packed into a long. Built from
+    * codegen'd higher-order functions over literal plane arrays. */
+  def srpBucket(vec: Column, dim: Int, nPlanes: Int = 12, seed: Long = 42L): Column = {
+    require(nPlanes <= 62, "nPlanes must fit in a long")
+    val bits = (0 until nPlanes).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeComponent(p, d, seed))): _*)
+      val dot = aggregate(
+        zip_with(asDoubleVec(vec), plane, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via SRP-LSH: queries and corpus bucketed by the SAME
+    * planes, joined on the bucket, scored only within buckets. Recall
+    * < 1 by construction (a near neighbor across a hyperplane is
+    * missed); raise recall with fewer planes or by multi-probing
+    * neighbor buckets. Returns the same shape as [[bruteForceTopK]]. */
+  def annTopK(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, dim: Int, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+    val qb = queries.select(
+      col(qId), col(qVec), srpBucket(col(qVec), dim, nPlanes, seed).as("bucket"))
+    val cb = corpus.select(
+      col(cId), col(cVec), srpBucket(col(cVec), dim, nPlanes, seed).as("bucket"))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .select(
+        col(qId), col(cId),
+        cosineSim(asDoubleVec(col(qVec)), asDoubleVec(col(cVec))).as("sim"))
+    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** All pairs with cosine ≥ threshold within a frame (embedding-space
+    * near-dup). Brute-force self-join — subset/bucket first at scale
+    * (same SRP bucketing applies). */
+  def cosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineSim(asDoubleVec(col("v_a")), asDoubleVec(col("v_b"))).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+}

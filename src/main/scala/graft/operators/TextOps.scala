@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * token counting, language ID, quality scoring, fingerprinting.
+  *
+  * Everything is built from codegen'd built-in functions (split,
+  * higher-order array functions, regexp) — no UDFs, so these run inside
+  * whole-stage codegen at full scan speed; all are row-local (zero
+  * shuffles at any scale).
+  */
+object TextOps {
+
+  /** Whitespace tokenization, lowercased. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish pre-tokenizer count: letter runs, digit runs, and single
+    * non-alphanumeric marks counted separately (the shape GPT-style
+    * pre-tokenizers produce, without a merges table). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  // Small high-frequency stopword sets per language. Public knowledge;
+  // kept tiny so the SQL oracle can mirror them verbatim.
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "que", "y", "es"),
+    "fr" -> Seq("le", "les", "une", "et", "est"))
+
+  /** Number of tokens that hit a stopword set. */
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(stopwords(lang))))
+
+  /** n-gram-heuristic language ID: stopword-hit votes per language,
+    * argmax with a fixed priority order (en > de > es > fr), `unknown`
+    * when nothing hits. Deliberately simple and exactly mirrorable in
+    * SQL; a production pipeline would swap in a trained n-gram model
+    * behind the same column contract. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val en = stopwordHits(t, "en")
+    val de = stopwordHits(t, "de")
+    val es = stopwordHits(t, "es")
+    val fr = stopwordHits(t, "fr")
+    when(en >= greatest(de, es, fr) && en > 0, lit("en"))
+      .when(de >= greatest(es, fr) && de > 0, lit("de"))
+      .when(es >= fr && es > 0, lit("es"))
+      .when(fr > 0, lit("fr"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** Quality metrics struct: char/token counts, average token length,
+    * stopword ratio, distinct-token ratio. The standard cheap filters a
+    * 100 TB corpus pass runs before anything expensive. */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    val nChars = length(text)
+    val nToks = size(t)
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nToks,
+      "avg_token_chars" ->
+        round((nChars - (nToks - 1)).cast(DoubleType) / nToks.cast(DoubleType), 6),
+      "stopword_ratio" ->
+        round(stopwordHits(t, "en").cast(DoubleType) / nToks.cast(DoubleType), 6),
+      "distinct_ratio" ->
+        round(size(array_distinct(t)).cast(DoubleType) / nToks.cast(DoubleType), 6))
+  }
+
+  /** 64-bit content fingerprint of normalized text (xxhash64 — stable
+    * across executors/runs; the cheap equality key for exact dedup and
+    * incremental recompute). */
+  def fingerprint(text: Column): Column = xxhash64(lower(trim(text)))
+
+  /** Winnowing-style rolling fingerprint: hash every word n-gram and
+    * keep the per-document minimum k hashes (a deterministic sketch of
+    * document content; near-dup docs share most sketch elements).
+    * Returns `array<long>` of at most k. */
+  def minKFingerprint(text: Column, n: Int = 3, k: Int = 8): Column = {
+    val grams = Dedup.shingles(text, n)
+    slice(array_sort(transform(grams, g => xxhash64(g))), 1, k)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.MinHashSignature.minhash
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while rain falls on the quiet town square tonight"
+  // near-dup: last two words changed
+  private val near = base.replace("square tonight", "plaza today")
+  private val other =
+    "completely different content about databases and distributed systems running large scale jobs"
+
+  private def docs = Seq(
+    (1L, base), (2L, near), (3L, other), (4L, base)).toDF("id", "text")
+
+  test("shingles: distinct word n-grams, short docs yield empty") {
+    val sh = Seq(("a b c d", 1)).toDF("t", "i")
+      .select(Dedup.shingles(col("t"), 3)).collect()(0).getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq(("a b", 1)).toDF("t", "i")
+      .select(Dedup.shingles(col("t"), 3)).collect()(0).getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("minhash signature: identical texts → identical signatures; deterministic") {
+    val sigs = docs.select(col("id"), minhash(Dedup.shingles(col("text")), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(sigs(1L) != sigs(3L))
+    // near-dup shares most signature positions
+    val agree = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree > 32, s"only $agree/64 positions agree")
+  }
+
+  test("minhash of empty shingle set is null (filtered from LSH)") {
+    val r = Seq(("ab", 1)).toDF("t", "i")
+      .select(minhash(Dedup.shingles(col("t"), 3))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("LSH candidates include exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.lshCandidatePairs(docs, "id", "text", numHashes = 128, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical — must always be candidates
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("nearDupMinHash verifies with exact jaccard") {
+    val got = Dedup.nearDupMinHash(docs, "id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((1L, 4L)) == 1.0)
+    assert(got((1L, 2L)) > 0.5 && got((1L, 2L)) < 1.0)
+    assert(!got.contains((1L, 3L)))
+    // matches the brute-force oracle exactly
+    val brute = Dedup.nearDupJaccardBrute(docs, "id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == brute)
+  }
+
+  test("simhash pairs: identical → hamming 0; near-dup small; unrelated absent") {
+    val pairs = Dedup.simHashPairs(docs, "id", "text", maxHamming = 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs.get((1L, 2L)).exists(_ <= 12))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("exactByHash keeps one row per distinct text") {
+    assert(Dedup.exactByHash(docs, "text").count() == 3)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (10L, Array(1.0f, 0.0f, 0.0f)),
+    (11L, Array(0.9f, 0.1f, 0.0f)),
+    (12L, Array(0.0f, 1.0f, 0.0f)),
+    (13L, Array(0.0f, 0.0f, 1.0f)),
+    (14L, Array(-1.0f, 0.0f, 0.0f))).toDF("cid", "cvec")
+
+  private def queries = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+
+  test("bruteForceTopK ranks by cosine with deterministic tiebreak") {
+    val got = Similarity
+      .bruteForceTopK(queries, "qid", "qvec", corpus, "cid", "cvec", k = 3)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("cid")).toSeq == Seq(10L, 11L, 12L))
+    assert(math.abs(got(0).getAs[Double]("sim") - 1.0) < 1e-6)
+    // orthogonal candidates tie at 0.0 → lower cid wins
+    assert(got(2).getAs[Double]("sim") == 0.0)
+  }
+
+  test("annTopK finds the exact match in its own bucket") {
+    val got = Similarity
+      .annTopK(queries, "qid", "qvec", corpus, "cid", "cvec",
+        k = 1, dim = 3, nPlanes = 4)
+      .collect()
+    assert(got.nonEmpty)
+    assert(got(0).getAs[Long]("cid") == 10L) // identical vector shares every sign bit
+    assert(math.abs(got(0).getAs[Double]("sim") - 1.0) < 1e-6)
+  }
+
+  test("annTopK scores strictly fewer pairs than brute force") {
+    // opposite vector (14) is guaranteed into a different bucket; so ANN
+    // candidate count < brute-force count for the same inputs.
+    val ann = Similarity.annTopK(queries, "qid", "qvec", corpus, "cid", "cvec",
+      k = 100, dim = 3, nPlanes = 4).count()
+    val brute = Similarity.bruteForceTopK(queries, "qid", "qvec", corpus, "cid", "cvec",
+      k = 100).count()
+    assert(ann < brute)
+  }
+
+  test("cosineNearDupPairs finds scaled copies (cos == 1)") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(2.0f, 4.0f, 6.0f)), // same direction
+      (3L, Array(-1.0f, 5.0f, 0.5f))).toDF("id", "vec")
+    val got = Similarity.cosineNearDupPairs(df, "id", "vec", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("t")
+
+  test("language ID picks the language whose stopwords dominate") {
+    val cases = Seq(
+      "The cat and the dog is on a mat of straw" -> "en",
+      "Der Hund und die Katze ist da und der Vogel" -> "de",
+      "el perro y los gatos es que corren y saltan" -> "es",
+      "le chien et les chats est une famille et le chat" -> "fr",
+      "xyzzy plugh quux" -> "unknown")
+    for ((text, want) <- cases) {
+      val got = one(text).select(TextOps.langId(col("t"))).collect()(0).getString(0)
+      assert(got == want, s"text='$text' got=$got want=$want")
+    }
+  }
+
+  test("token counting: whitespace and BPE-ish regex") {
+    val t = "Hello, world! x2 = 40 items"
+    assert(one(t).select(TextOps.tokenCount(col("t"))).collect()(0).getInt(0) == 6)
+    // Hello , world ! x 2 = 40 items  → 9 BPE-ish pieces
+    assert(one(t).select(TextOps.bpeishTokenCount(col("t"))).collect()(0).getInt(0) == 9)
+  }
+
+  test("quality metrics on a known string") {
+    val metrics = TextOps.qualityMetrics(col("t")).map { case (n, c) => c.as(n) }
+    val r = one("the cat the cat").select(metrics: _*).collect()(0)
+    assert(r.getAs[Int]("n_chars") == 15)
+    assert(r.getAs[Int]("n_tokens") == 4)
+    assert(r.getAs[Double]("avg_token_chars") == 3.0)
+    assert(r.getAs[Double]("stopword_ratio") == 0.5)
+    assert(r.getAs[Double]("distinct_ratio") == 0.5)
+  }
+
+  test("fingerprint: normalization-invariant equality, content sensitivity") {
+    val df = Seq(("  The Quick FOX  ", 1), ("the quick fox", 2), ("other", 3))
+      .toDF("t", "i")
+    val fps = df.select(TextOps.fingerprint(col("t"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("min-k fingerprint: near-dup docs share most sketch elements") {
+    val a = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    val b = a.replace("today", "tonight")
+    val c = "unrelated text about completely different things happening somewhere else entirely now"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "t")
+    val sk = df.select(col("id"), TextOps.minKFingerprint(col("t")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((sk(1L) & sk(2L)).size >= 6) // k=8, one changed word
+    assert((sk(1L) & sk(3L)).isEmpty)
+  }
+}
