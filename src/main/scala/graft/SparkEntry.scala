@@ -237,9 +237,13 @@ object SparkEntry {
     // with the last 5 tokens dropped — shingle-jaccard ≥ ~0.75 vs ~0.0
     // for unrelated pairs. The oracle rebuilds the same corpus in SQL.
     "dedup_minhash_lsh" -> ((s, dir) => {
+      // Banding tuned for t=0.6: r=4 rows/band puts the s-curve midpoint
+      // at (1/64)^(1/4)=0.35, so the corpus's heavy tail of s≈0.1-0.3
+      // pairs almost never collides (candidate set stays linear-ish),
+      // while a true 0.6-pair is missed with p=(1-0.6^4)^64 ≈ 1.4e-4.
       val corpus = nearDupCorpus(tbl(s, dir, "documents"))
       Dedup.nearDupMinHash(corpus, "doc_id", "text",
-          threshold = 0.6, numHashes = 128, bands = 64)
+          threshold = 0.6, numHashes = 256, bands = 64)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
