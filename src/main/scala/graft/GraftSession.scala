@@ -25,6 +25,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Parquet TIMESTAMP(NANOS) (e.g. pandas-written event streams) is
+      // rejected by default; read as LongType nanos and convert at the
+      // edge (see SparkEntry.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft"): SparkSession = {

@@ -28,6 +28,14 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events carries TIMESTAMP(NANOS), read as long nanos
+    * (nanosAsLong) — convert to a microsecond TimestampType at the edge.
+    * Integer `div` (not `/`) : double math would lose precision on
+    * 1.7e18-scale nanos. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   /** Flagship: TPC-H-Q1-style pricing summary — scan → filter-free
     * groupBy → 2-phase hash agg, the canonical 100 TB-safe plan. */
   def entry(spark: SparkSession): DataFrame =
@@ -223,6 +231,43 @@ object SparkEntry {
       new GraftFrame(a).intersect(new GraftFrame(b)).toDF
         .agg(count(lit(1)).as("n"))
     }),
+
+    // ----- §2.7 scalar-function surface --------------------------------
+    "scalar_funcs" -> ((s, dir) => {
+      li(s, dir).where(col("l_orderkey") < 200)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          upper(substring(col("l_returnflag"), 1, 1)).as("flag_u"),
+          concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("flag_pair"),
+          year(col("l_shipdate")).as("ship_year"),
+          month(col("l_shipdate")).as("ship_month"),
+          round(abs(col("l_discount") - lit(0.05)), 6).as("disc_dev"),
+          ceil(col("l_quantity") / 10).as("qty_bucket"),
+          round(pow(col("l_tax") + 1.0, 2), 6).as("tax_sq"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ----- §2.6 window functions ---------------------------------------
+    "window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      tbl(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy("o_orderpriority", "rk")
+    }),
+
+    // ----- §2.9 event streams (batch form of the streaming op) ---------
+    "events_window" -> ((s, dir) =>
+      graft.streaming.EventWindows.tumbling(events(s, dir), "1 hour")
+        .orderBy("window_start", "event_type")),
+    "events_sessions" -> ((s, dir) =>
+      graft.streaming.EventWindows.sessionStats(events(s, dir), gapMinutes = 30)
+        .where(col("user_id") < 50)
+        .orderBy("user_id", "session_idx")),
 
     // ----- §2.10 exact dedup -------------------------------------------
     "dedup_exact" -> ((s, dir) => {
@@ -485,6 +530,53 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_unique FROM (
         |  SELECT DISTINCT text FROM documents
         |)""".stripMargin,
+    "scalar_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  upper(substr(l_returnflag, 1, 1)) AS flag_u,
+        |  l_returnflag || '-' || l_linestatus AS flag_pair,
+        |  CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |  CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+        |  CAST(round(abs(l_discount - 0.05), 6) AS DOUBLE) AS disc_dev,
+        |  CAST(ceil(l_quantity / 10) AS BIGINT) AS qty_bucket,
+        |  CAST(round(pow(l_tax + 1.0, 2), 6) AS DOUBLE) AS tax_sq
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "window_rank" ->
+      """SELECT o_orderpriority, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders
+        |) WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "events_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start,
+        |  event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_sessions" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events WHERE user_id < 50
+        |), flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(floor(min(epoch(ts))) AS BIGINT) AS start_ts,
+        |  CAST(floor(max(epoch(ts))) AS BIGINT) AS end_ts
+        |FROM sessions GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "dedup_minhash_lsh" -> nearDupOracle(restrict = "", threshold = 0.6),
     "dedup_ngram_jaccard" -> nearDupOracle(restrict = "AND doc_id < 60", threshold = 0.5),
     "dedup_embedding" ->

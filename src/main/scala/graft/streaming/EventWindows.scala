@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators: tumbling/sliding window aggregation and
+  * lag-based sessionization, written once against a DataFrame so the
+  * SAME code runs in batch (finite table) and Structured Streaming
+  * (`spark.readStream` source + `withWatermark`) — the Spark-native
+  * way to keep batch and streaming semantics identical.
+  *
+  * Scale notes: windowed aggregation is a hash shuffle on
+  * (window, keys) with partial aggregation; streaming state is bounded
+  * by the watermark horizon. Sessionization shuffles once on the user
+  * key and sorts within partitions — at 100 TB the key shuffle is the
+  * cost, identical to any groupBy on user_id.
+  */
+object EventWindows {
+
+  /** Tumbling-window counts/sums per event type. In streaming mode pass
+    * a `readStream` frame with `withWatermark("ts", ...)` applied;
+    * late-arriving data beyond the watermark is dropped by Spark. */
+  def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming variant: the identical aggregation with an explicit
+    * watermark (required for append-mode state cleanup). */
+  def tumblingStream(events: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    tumbling(events.withWatermark("ts", watermark), width)
+
+  /** Lag-based sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapMinutes`. Batch
+    * (window-function) formulation; the streaming analog is
+    * `flatMapGroupsWithState`, which holds per-user state instead of
+    * sorting. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          (col("ts").cast("long") - col("prev_ts").cast("long")) > gapSec).cast("long"))
+      .withColumn("session_idx", sum("new_session").over(byUser))
+      .drop("prev_ts", "new_session")
+  }
+
+  /** Per-session rollup on top of [[sessionize]]. */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts").cast("long")).as("start_ts"),
+        max(col("ts").cast("long")).as("end_ts"))
+}

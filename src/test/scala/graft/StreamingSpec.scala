@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventWindows
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  private def batchEvents = Seq(
+    (1L, ts(0), "click", 1.0),
+    (1L, ts(10), "click", 2.0),
+    (1L, ts(55), "view", 3.0),   // same session (gap 45 < 60)
+    (2L, ts(5), "click", 4.0))
+    .toDF("user_id", "ts", "event_type", "value")
+
+  test("tumbling window aggregation (batch)") {
+    val got = EventWindows.tumbling(batchEvents, "1 hour")
+      .orderBy("window_start", "event_type").collect()
+    // all events fall in the 00:00 hour
+    assert(got.length == 2)
+    assert(got.map(_.getAs[Long]("n_events")).sum == 4)
+  }
+
+  test("sessionization splits on gap, not on event count") {
+    val ev = Seq(
+      (1L, ts(0), "a", 0.0),
+      (1L, ts(10), "a", 0.0),  // gap 10 < 15 → same session
+      (1L, ts(40), "a", 0.0),  // gap 30 > 15 → new session
+      (2L, ts(0), "a", 0.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val stats = EventWindows.sessionStats(ev, gapMinutes = 15)
+      .orderBy("user_id", "session_idx").collect()
+    assert(stats.length == 3)
+    assert(stats(0).getAs[Long]("n_events") == 2)
+    assert(stats(1).getAs[Long]("n_events") == 1)
+    assert(stats(2).getAs[Long]("n_events") == 1)
+  }
+
+  test("the SAME windowed aggregation runs as a structured stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, String, Double)]
+    val streamDf = source.toDF().toDF("user_id", "ts", "event_type", "value")
+
+    val agg = EventWindows.tumblingStream(streamDf, "1 hour", "2 hours")
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("graft_stream_test")
+      .outputMode("complete")
+      .start()
+    try {
+      source.addData(
+        (1L, ts(0), "click", 1.0),
+        (1L, ts(30), "click", 2.0),
+        (2L, ts(45), "view", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("graft_stream_test").collect()
+      assert(got.length == 2) // click + view windows
+      val click = got.find(_.getAs[String]("event_type") == "click").get
+      assert(click.getAs[Long]("n_events") == 2L)
+      assert(click.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+}
