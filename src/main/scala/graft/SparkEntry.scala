@@ -232,6 +232,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ----- §2.2/§2.7 missing-data & dtype surface ----------------------
+    "value_counts" -> ((s, dir) =>
+      new GraftFrame(tbl(s, dir, "documents")).value_counts("lang").toDF),
+    "fillna_dropna" -> ((s, dir) => {
+      val base = li(s, dir)
+        .withColumn("d", when(col("l_discount") > 0, col("l_discount")))
+      val filled = new GraftFrame(base).fillna(0.0, Seq("d")).toDF
+        .agg(round(sum("d"), 2).as("filled_sum"))
+      val kept = new GraftFrame(base).dropna(subset = Seq("d")).toDF
+        .agg(count(lit(1)).as("n_nonnull"))
+      filled.crossJoin(kept)
+    }),
+
     // ----- §2.7 scalar-function surface --------------------------------
     "scalar_funcs" -> ((s, dir) => {
       li(s, dir).where(col("l_orderkey") < 200)
@@ -530,6 +543,15 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_unique FROM (
         |  SELECT DISTINCT text FROM documents
         |)""".stripMargin,
+    "value_counts" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS count
+        |FROM documents GROUP BY lang ORDER BY count DESC, lang ASC""".stripMargin,
+    "fillna_dropna" ->
+      """SELECT
+        |  CAST(round(sum(CASE WHEN l_discount > 0 THEN l_discount ELSE 0 END), 2)
+        |    AS DOUBLE) AS filled_sum,
+        |  CAST(count(CASE WHEN l_discount > 0 THEN 1 END) AS BIGINT) AS n_nonnull
+        |FROM lineitem""".stripMargin,
     "scalar_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |  upper(substr(l_returnflag, 1, 1)) AS flag_u,

@@ -2,6 +2,8 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.{DataType, DoubleType}
 import graft.operators.{Apply, Reductions}
 import graft.sources.{CsvOptions, CsvReader}
 
@@ -131,6 +133,69 @@ final class GraftFrame(val df: DataFrame) {
   def std(ddof: Int = 1): GraftFrame = new GraftFrame(Reductions.std0(df, Nil, ddof))
   def all(): GraftFrame = new GraftFrame(Reductions.all0(df))
   def any(): GraftFrame = new GraftFrame(Reductions.any0(df))
+
+  // ----- missing-data & dtype surface (pandas parity) ------------------
+
+  /** pandas `fillna(value)` on the given columns (all by default). */
+  def fillna(value: Any, subset: Seq[String] = Nil): GraftFrame = {
+    val cols = if (subset.nonEmpty) subset else df.columns.toSeq
+    new GraftFrame(value match {
+      case d: Double => df.na.fill(d, cols)
+      case l: Long   => df.na.fill(l, cols)
+      case i: Int    => df.na.fill(i.toLong, cols)
+      case s: String => df.na.fill(s, cols)
+      case b: Boolean => df.na.fill(b, cols)
+      case other => throw new IllegalArgumentException(s"unsupported fill value: $other")
+    })
+  }
+
+  /** pandas `dropna(how="any"|"all", subset=...)`. */
+  def dropna(how: String = "any", subset: Seq[String] = Nil): GraftFrame = {
+    val cols = if (subset.nonEmpty) subset else df.columns.toSeq
+    new GraftFrame(df.na.drop(how, cols))
+  }
+
+  /** pandas `astype({"col": dtype})` — column casts. */
+  def astype(dtypes: Map[String, DataType]): GraftFrame =
+    new GraftFrame(df.select(df.columns.map { c =>
+      dtypes.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+    }.toSeq: _*))
+
+  /** pandas `value_counts()` for a column: (value, count) descending,
+    * ties broken by value for determinism. One hash shuffle. */
+  def value_counts(c: String): GraftFrame =
+    new GraftFrame(
+      df.groupBy(col(c)).agg(F.count(lit(1)).as("count"))
+        .orderBy(col("count").desc, col(c).asc))
+
+  /** Distinct count for a column (exact). For 100 TB ballparks prefer
+    * [[approx_nunique]] — one pass, no shuffle of distinct values. */
+  def nunique(c: String): Long = df.select(c).distinct().count()
+
+  /** HyperLogLog++ distinct estimate — the scale-safe cardinality path. */
+  def approx_nunique(c: String, rsd: Double = 0.05): Long =
+    df.agg(approx_count_distinct(col(c), rsd)).collect()(0).getLong(0)
+
+  /** pandas `describe()` for numeric columns: count/mean/std/min/max
+    * per column, returned long-form (column, stat, value). */
+  def describe_(cols: Seq[String] = Nil): GraftFrame = {
+    val cs = if (cols.nonEmpty) cols else graft.operators.Reductions.numericCols(df)
+    require(cs.nonEmpty, "describe: no numeric columns")
+    val stats = cs.map { c =>
+      struct(lit(c).as("column"),
+        F.count(col(c)).cast(DoubleType).as("count"),
+        F.avg(col(c)).as("mean"),
+        F.stddev_samp(col(c)).as("std"),
+        F.min(col(c)).cast(DoubleType).as("min"),
+        F.max(col(c)).cast(DoubleType).as("max"))
+    }
+    new GraftFrame(
+      df.agg(array(stats: _*).as("s")).select(explode(col("s")).as("s")).select("s.*"))
+  }
+
+  /** Boolean-mask helper — pandas `df[df.col.isin(values)]`. */
+  def isin(c: String, values: Seq[Any]): GraftFrame =
+    new GraftFrame(df.where(col(c).isInCollection(values)))
 
   // ----- partitioning --------------------------------------------------
 

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Dedup, Reductions}
+
+/** Property tests over scalacheck-generated data (SURVEY §5): results
+  * must be invariant to partitioning (the reference's chunk-boundary
+  * header bug is the cautionary tale, core.py:254-255 + io.py:17-18),
+  * and pandas skipna semantics must hold for arbitrary null patterns.
+  *
+  * Generators are driven with fixed seeds (deterministic CI) — the
+  * scalatest/scalacheck bridge isn't on the offline classpath, so this
+  * drives `Gen` directly.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val dataGen: Gen[List[Option[Double]]] =
+    Gen.listOfN(60, Gen.option(Gen.chooseNum(-1e6, 1e6).map(v => math.rint(v) / 4)))
+
+  test("sum/count/mean/min/max match Scala references for any null pattern") {
+    for (seed <- 1L to 8L) {
+      val xs = sample(dataGen, seed)
+      val present = xs.flatten
+      val df = xs.map(o => Tuple1(o.map(Double.box).orNull)).toDF("x")
+        .select(col("x").cast("double").as("x"))
+      val r = df.agg(
+        coalesce(sum("x"), lit(0.0)).as("s"),
+        count(col("x")).as("c"),
+        avg("x").as("m"),
+        min("x").as("mn"),
+        max("x").as("mx")).collect()(0)
+      assert(math.abs(r.getDouble(0) - present.sum) < 1e-6, s"seed=$seed sum")
+      assert(r.getLong(1) == present.size, s"seed=$seed count")
+      if (present.nonEmpty) {
+        assert(math.abs(r.getDouble(2) - present.sum / present.size) < 1e-6, s"seed=$seed mean")
+        assert(r.getDouble(3) == present.min && r.getDouble(4) == present.max, s"seed=$seed minmax")
+      } else {
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4), s"seed=$seed empties")
+      }
+    }
+  }
+
+  test("every reduction is invariant under repartition(n)") {
+    for (seed <- 1L to 4L) {
+      val xs = sample(dataGen, seed)
+      val df = xs.map(o => Tuple1(o.map(Double.box).orNull)).toDF("x")
+        .select(col("x").cast("double").as("x"))
+      val reference = Reductions.count0(df.repartition(1), Seq("x")).collect()(0)
+      val refSum = Reductions.sum0(df.repartition(1), Seq("x")).collect()(0)
+      val refProd = Reductions.prod0(
+        df.repartition(1).select((abs(col("x")) / 1e6 + 0.5).as("x")), Seq("x"))
+        .collect()(0).getDouble(0)
+      for (n <- Seq(3, 8, 17)) {
+        val d = df.repartition(n)
+        assert(Reductions.count0(d, Seq("x")).collect()(0) == reference, s"seed=$seed n=$n count")
+        assert(Reductions.sum0(d, Seq("x")).collect()(0) == refSum ||
+          math.abs(Reductions.sum0(d, Seq("x")).collect()(0).getDouble(0) -
+            refSum.getDouble(0)) < 1e-6, s"seed=$seed n=$n sum")
+        val p = Reductions.prod0(
+          d.select((abs(col("x")) / 1e6 + 0.5).as("x")), Seq("x")).collect()(0).getDouble(0)
+        assert(math.abs(p - refProd) <= math.abs(refProd) * 1e-12, s"seed=$seed n=$n prod")
+      }
+    }
+  }
+
+  test("min_count: sum is null iff non-null count < min_count") {
+    for (seed <- 10L to 14L) {
+      val xs = sample(dataGen, seed)
+      val present = xs.flatten.size
+      val df = xs.map(o => Tuple1(o.map(Double.box).orNull)).toDF("x")
+        .select(col("x").cast("double").as("x"))
+      for (mc <- Seq(0, present, present + 1)) {
+        val r = Reductions.sum0(df, Seq("x"), minCount = mc).collect()(0)
+        if (mc > present) assert(r.isNullAt(0), s"seed=$seed mc=$mc")
+        else assert(!r.isNullAt(0), s"seed=$seed mc=$mc")
+      }
+    }
+  }
+
+  private val wordGen: Gen[String] =
+    Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+  private val textGen: Gen[String] =
+    Gen.chooseNum(3, 40).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+
+  test("jaccard properties: self=1, symmetric, in [0,1]") {
+    for (seed <- 1L to 6L) {
+      val a = sample(textGen, seed)
+      val b = sample(textGen, seed + 100)
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        Dedup.jaccard(Dedup.shingles(col("a")), Dedup.shingles(col("a"))).as("self"),
+        Dedup.jaccard(Dedup.shingles(col("a")), Dedup.shingles(col("b"))).as("ab"),
+        Dedup.jaccard(Dedup.shingles(col("b")), Dedup.shingles(col("a"))).as("ba"))
+        .collect()(0)
+      assert(r.getDouble(0) == 1.0, s"seed=$seed self")
+      assert(r.getDouble(1) == r.getDouble(2), s"seed=$seed symmetry")
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0, s"seed=$seed range")
+    }
+  }
+
+  test("minhash: identical texts always collide; signature length is k") {
+    for (seed <- 1L to 6L) {
+      val t = sample(textGen, seed)
+      val df = Seq((1L, t), (2L, t)).toDF("id", "text")
+      val sigs = df.select(
+        graft.functions.MinHashSignature.minhash(Dedup.shingles(col("text")), 96).as("sig"))
+        .collect()
+      assert(sigs(0).getSeq[Long](0) == sigs(1).getSeq[Long](0), s"seed=$seed equal")
+      assert(sigs(0).getSeq[Long](0).length == 96, s"seed=$seed length")
+    }
+  }
+}
