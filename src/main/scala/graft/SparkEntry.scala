@@ -232,6 +232,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // ----- §2.4 skew-safe salted aggregation ---------------------------
+    // Only 3 distinct return flags over the whole table — the textbook
+    // hot-key shape. Result is provably salt-invariant (stage 2 merges).
+    "groupby_salted" -> ((s, dir) =>
+      graft.operators.Skew.saltedCountSum(li(s, dir), "l_returnflag", "l_quantity", salts = 32)
+        .select(col("l_returnflag"), col("n"),
+          round(col("sum"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")),
+
+    // ----- §2.4 quantiles ----------------------------------------------
+    "quantiles" -> ((s, dir) =>
+      li(s, dir).agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))),
+
     // ----- §2.2/§2.7 missing-data & dtype surface ----------------------
     "value_counts" -> ((s, dir) =>
       new GraftFrame(tbl(s, dir, "documents")).value_counts("lang").toDF),
@@ -348,7 +363,7 @@ object SparkEntry {
       val c = emb.where(col("vec_id") >= 5)
         .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
       Similarity.annTopK(q, "query_id", "qv", c, "corpus_id", "cv",
-          k = 10, dim = 64, nPlanes = 8)
+          k = 10, dim = 64, nPlanes = 8, multiProbe = true)
         .select(col("query_id"), col("corpus_id"), col("rank"),
           round(col("sim"), 4).as("sim"))
         .orderBy("query_id", "rank")
@@ -543,6 +558,14 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_unique FROM (
         |  SELECT DISTINCT text FROM documents
         |)""".stripMargin,
+    "groupby_salted" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "quantiles" ->
+      """SELECT CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50,
+        |CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DOUBLE) AS p95
+        |FROM lineitem""".stripMargin,
     "value_counts" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS count
         |FROM documents GROUP BY lang ORDER BY count DESC, lang ASC""".stripMargin,

@@ -16,6 +16,15 @@ import graft.functions.CosineSimilarity.cosineSim
   * The ANN path buckets both sides by hyperplane sign bits (row-local),
   * joins on the bucket (ONE shuffle), and only scores within buckets.
   * Recall is tunable via fewer planes (bigger buckets) or multi-probe.
+  *
+  * Recall caveat (measured on the synthetic fixture): SRP-LSH recall
+  * tracks how CLOSE true neighbors are. A true neighbor at cos≈1
+  * agrees on almost every sign bit and is found reliably; on
+  * near-orthogonal data (fixture max pairwise cos ≈ 0.4) sign buckets
+  * carry no signal and recall@10 is ~0.1 even multi-probed. That is
+  * inherent to LSH, not a bug — embedding dedup (cos ≥ 0.9x) is the
+  * intended workload; use [[bruteForceTopK]] when the corpus side is
+  * small enough to broadcast or neighbors are weak.
   */
 object Similarity {
 
@@ -68,20 +77,29 @@ object Similarity {
   /** ANN top-k via SRP-LSH: queries and corpus bucketed by the SAME
     * planes, joined on the bucket, scored only within buckets. Recall
     * < 1 by construction (a near neighbor across a hyperplane is
-    * missed); raise recall with fewer planes or by multi-probing
-    * neighbor buckets. Returns the same shape as [[bruteForceTopK]]. */
+    * missed); `multiProbe=true` also probes every bucket at Hamming
+    * distance 1 from the query's bucket (flip one sign bit), trading
+    * (nPlanes+1)× more candidate buckets for sharply better recall —
+    * near neighbors differ in few sign bits. Returns the same shape as
+    * [[bruteForceTopK]]. */
   def annTopK(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
-      k: Int, dim: Int, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
-    val qb = queries.select(
-      col(qId), col(qVec), srpBucket(col(qVec), dim, nPlanes, seed).as("bucket"))
+      k: Int, dim: Int, nPlanes: Int = 12, seed: Long = 42L,
+      multiProbe: Boolean = false): DataFrame = {
+    val qBucket = srpBucket(col(qVec), dim, nPlanes, seed)
+    val probes =
+      if (!multiProbe) array(qBucket)
+      else array(qBucket +: (0 until nPlanes).map(p =>
+        qBucket.bitwiseXOR(lit(1L << p))): _*)
+    val qb = queries.select(col(qId), col(qVec), explode(probes).as("bucket"))
     val cb = corpus.select(
       col(cId), col(cVec), srpBucket(col(cVec), dim, nPlanes, seed).as("bucket"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .select(
         col(qId), col(cId),
         cosineSim(asDoubleVec(col(qVec)), asDoubleVec(col(cVec))).as("sim"))
+      .distinct() // a pair can match through several probe buckets
     val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId).asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

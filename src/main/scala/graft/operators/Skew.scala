@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling aggregation: two-stage salted groupBy.
+  *
+  * A hot grouping key funnels its entire data volume through one
+  * reducer; at 100 TB that single task is the job's wall clock. Salting
+  * splits each key into `salts` sub-keys for a first partial aggregation
+  * (spreading the hot key over `salts` reducers), then merges the
+  * partials in a second, tiny aggregation.
+  *
+  * Note Spark's map-side partial aggregation already handles MOST skew
+  * for algebraic aggregates — salting matters when the partial-agg hash
+  * table overflows (huge per-key cardinality) or for exchange-bound
+  * plans; AQE's skew-join handles the join-side equivalent. This
+  * operator exists for the explicit-control path.
+  *
+  * The salt is derived from `monotonically_increasing_id()` — stable
+  * within a job run, and the final merge makes the result independent of
+  * the salt assignment entirely.
+  */
+object Skew {
+
+  /** Salted count+sum per key: semantically identical to
+    * `df.groupBy(key).agg(count(1), sum(valueCol))`, executed as
+    * partial-on-(key,salt) → merge-on-key. */
+  def saltedCountSum(
+      df: DataFrame, key: String, valueCol: String, salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val partial = salted
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
+    partial
+      .groupBy(col(key))
+      .agg(sum("__n").as("n"), sum("__s").as("sum"))
+  }
+
+  /** General salted aggregation: caller supplies the partial aggregates
+    * and the merge aggregates (named consistently). */
+  def salted(
+      df: DataFrame, key: String, salts: Int,
+      partialAggs: Seq[Column], mergeAggs: Seq[Column]): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedDf = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val partial = saltedDf
+      .groupBy(col(key), col("__salt"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    partial.groupBy(col(key)).agg(mergeAggs.head, mergeAggs.tail: _*)
+  }
+}

@@ -47,6 +47,17 @@ class SimilaritySpec extends SparkSpec {
     assert(ann < brute)
   }
 
+  test("multi-probe ANN recall is at least single-bucket recall") {
+    val brute = Similarity.bruteForceTopK(queries, "qid", "qvec", corpus, "cid", "cvec", k = 5)
+      .collect().map(_.getAs[Long]("cid")).toSet
+    val single = Similarity.annTopK(queries, "qid", "qvec", corpus, "cid", "cvec",
+      k = 5, dim = 3, nPlanes = 4).collect().map(_.getAs[Long]("cid")).toSet
+    val multi = Similarity.annTopK(queries, "qid", "qvec", corpus, "cid", "cvec",
+      k = 5, dim = 3, nPlanes = 4, multiProbe = true).collect().map(_.getAs[Long]("cid")).toSet
+    assert((single & brute).size <= (multi & brute).size)
+    assert(multi.contains(10L)) // exact match always found
+  }
+
   test("cosineNearDupPairs finds scaled copies (cos == 1)") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f)),
