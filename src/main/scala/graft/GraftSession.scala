@@ -24,6 +24,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // graft's native expressions as SQL functions (cosine_similarity,
+      // minhash_signature, simhash64, word_ngrams, product_agg)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.sql.session.timeZone", "UTC")
       // Parquet TIMESTAMP(NANOS) (e.g. pandas-written event streams) is
       // rejected by default; read as LongType nanos and convert at the

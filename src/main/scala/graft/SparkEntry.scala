@@ -217,6 +217,62 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // ----- TPC-H-style analytics (bench headliners) --------------------
+    "q1_pricing" -> ((s, dir) =>
+      li(s, dir)
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-12-31")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q3_shipping" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val orders = tbl(s, dir, "orders")
+      li(s, dir)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    "q5_region" -> ((s, dir) => {
+      val nation = tbl(s, dir, "nation")
+      val region = tbl(s, dir, "region").where(col("r_name") === "ASIA")
+      val cust = tbl(s, dir, "customer")
+      val supp = tbl(s, dir, "supplier")
+      li(s, dir)
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // ----- §2.1 parquet round-trip (write sink) ------------------------
+    "parquet_roundtrip" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_pq_${dir.hashCode.toHexString}"
+      new GraftFrame(li(s, dir).select("l_orderkey", "l_quantity"))
+        .to_parquet(out)
+      GraftFrame.read_parquet(s, out).toDF
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
     // ----- §2.6 sort / top-k / set ops ---------------------------------
     "topk_orders" -> ((s, dir) => {
       tbl(s, dir, "orders")
@@ -545,6 +601,46 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(round(avg(l_quantity), 6) AS DOUBLE) AS avg_qty,
+        |  CAST(round(avg(l_discount), 6) AS DOUBLE) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |  CAST(round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_region" ->
+      """SELECT n_name,
+        |  CAST(round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "parquet_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
