@@ -297,6 +297,28 @@ object SparkEntry {
           round(col("sum"), 2).as("sum_qty"))
         .orderBy("l_returnflag")),
 
+    // ----- §2.4 correlation / covariance -------------------------------
+    "corr_covar" -> ((s, dir) =>
+      li(s, dir).agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 4).as("covar_qty_price"))),
+
+    // ----- §2.4 pivot ---------------------------------------------------
+    "pivot_events" -> ((s, dir) =>
+      new GraftFrame(events(s, dir).where(col("user_id") < 20))
+        .groupby("user_id")
+        .pivotCount("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .toDF.orderBy("user_id")),
+
+    // ----- §2.6 cumulative window --------------------------------------
+    "cumsum_events" -> ((s, dir) =>
+      new GraftFrame(events(s, dir).where(col("user_id") < 10))
+        .cumsum("value", "ts", Seq("user_id"))
+        .toDF
+        .select(col("user_id"), col("ts").cast("long").as("ts_sec"),
+          round(col("value_cumsum"), 2).as("running_value"))
+        .orderBy("user_id", "ts_sec")),
+
     // ----- §2.4 quantiles ----------------------------------------------
     "quantiles" -> ((s, dir) =>
       li(s, dir).agg(
@@ -385,7 +407,10 @@ object SparkEntry {
     // SimHash has no SQL-expressible oracle (hash-specific); rows-only.
     "dedup_simhash" -> ((s, dir) => {
       val corpus = nearDupCorpus(tbl(s, dir, "documents"))
-      Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 10)
+      // maxHamming 6: tight enough to cut the small-vocab chunk-collision
+      // noise (10x fewer candidate pairs at sf0.1), loose enough that the
+      // planted drop-5-token copies (hamming ~0-4) all survive.
+      Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 6)
         .orderBy("id_a", "id_b")
     }),
     "dedup_embedding" -> ((s, dir) => {
@@ -654,6 +679,27 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_unique FROM (
         |  SELECT DISTINCT text FROM documents
         |)""".stripMargin,
+    "corr_covar" ->
+      """SELECT CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE)
+        |  AS corr_qty_price,
+        |CAST(round(covar_samp(l_quantity, l_extendedprice), 4) AS DOUBLE)
+        |  AS covar_qty_price
+        |FROM lineitem""".stripMargin,
+    "pivot_events" ->
+      """SELECT user_id,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS "click",
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS "view",
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS "purchase",
+        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS "signup",
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS "error"
+        |FROM events WHERE user_id < 20
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "cumsum_events" ->
+      """SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  CAST(round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_value
+        |FROM events WHERE user_id < 10
+        |ORDER BY user_id, ts_sec""".stripMargin,
     "groupby_salted" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty

@@ -197,6 +197,17 @@ final class GraftFrame(val df: DataFrame) {
   def isin(c: String, values: Seq[Any]): GraftFrame =
     new GraftFrame(df.where(col(c).isInCollection(values)))
 
+  /** pandas `cumsum` within optional groups, ordered by `orderCol` —
+    * running total as a window aggregate (range-partitioned by group,
+    * sorted within; no driver-side state). */
+  def cumsum(valueCol: String, orderCol: String, partitionCols: Seq[String] = Nil): GraftFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w0 = if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+    else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new GraftFrame(df.withColumn(s"${valueCol}_cumsum", F.sum(col(valueCol)).over(w)))
+  }
+
   // ----- partitioning --------------------------------------------------
 
   def npartitions: Int = df.rdd.getNumPartitions
@@ -271,5 +282,19 @@ final class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
   def size(): GraftFrame = {
     import org.apache.spark.sql.{functions => F}
     new GraftFrame(grouped.agg(F.count(F.lit(1)).as("count")))
+  }
+
+  /** pandas `pivot_table(index=keys, columns=pivotCol, aggfunc="count")`
+    * with an EXPLICIT value list — at 100 TB never let Spark scan for
+    * distinct pivot values first (that's an extra full pass). Missing
+    * cells are 0, matching a count semantics. */
+  def pivotCount(pivotCol: String, values: Seq[String]): GraftFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val counted = grouped.pivot(pivotCol, values).count()
+    new GraftFrame(counted.select(
+      counted.columns.map { c =>
+        if (values.contains(c)) F.coalesce(F.col(s"`$c`"), F.lit(0L)).as(c)
+        else F.col(s"`$c`")
+      }.toSeq: _*))
   }
 }
