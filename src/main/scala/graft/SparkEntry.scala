@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, Dedup, Multimodal, Reductions, Similarity, TextOps}
+import graft.operators.{Apply, AsofJoin, Dedup, Multimodal, Reductions, Similarity, TextOps}
 import graft.sources.{CsvOptions, CsvReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -375,6 +375,58 @@ object SparkEntry {
         .where(col("user_id") < 50)
         .orderBy("user_id", "session_idx")),
 
+    // ----- §2.5 as-of (temporal) join ----------------------------------
+    // For each click, the user's most recent purchase at-or-before it.
+    // Single shuffle + window — no range cross-join (see AsofJoin doc).
+    "asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).where(col("user_id") < 30)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("p_value"))
+      AsofJoin.mergeAsof(clicks, purchases, on = "ts", by = "user_id",
+          valueCols = Seq("p_value"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("ts_sec"),
+          round(col("value"), 2).as("value"),
+          round(col("p_value"), 2).as("p_value"))
+        .orderBy("event_id")
+    }),
+
+    // ----- §2.6 rolling window -----------------------------------------
+    "rolling_mean" -> ((s, dir) =>
+      new GraftFrame(events(s, dir).where(col("user_id") < 10))
+        .rolling("value", "ts", window = 4, fn = "mean", partitionCols = Seq("user_id"))
+        .toDF
+        .select(col("user_id"), col("ts").cast("long").as("ts_sec"),
+          round(col("value_roll_mean"), 4).as("roll_mean"))
+        .orderBy("user_id", "ts_sec")),
+
+    // ----- §2.6 shift / diff -------------------------------------------
+    "shift_diff" -> ((s, dir) =>
+      new GraftFrame(events(s, dir).where(col("user_id") < 10))
+        .shift("value", "ts", periods = 1, partitionCols = Seq("user_id"))
+        .diff("value", "ts", partitionCols = Seq("user_id"))
+        .toDF
+        .select(col("user_id"), col("ts").cast("long").as("ts_sec"),
+          round(col("value_shift"), 2).as("prev_value"),
+          round(col("value_diff"), 2).as("delta"))
+        .orderBy("user_id", "ts_sec")),
+
+    // ----- §2.6 melt (wide-to-long unpivot) ----------------------------
+    "melt_lineitem" -> ((s, dir) =>
+      new GraftFrame(li(s, dir).where(col("l_orderkey") < 100))
+        .melt(Seq("l_orderkey", "l_linenumber"), Seq("l_quantity", "l_tax"))
+        .toDF
+        .orderBy("l_orderkey", "l_linenumber", "variable")),
+
+    // ----- §2.2 deterministic modulo sampling --------------------------
+    "sample_mod" -> ((s, dir) =>
+      new GraftFrame(li(s, dir)).sample_mod("l_orderkey", mod = 10, bucket = 3)
+        .toDF.agg(
+          count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"))),
+
     // ----- §2.10 exact dedup -------------------------------------------
     "dedup_exact" -> ((s, dir) => {
       new GraftFrame(tbl(s, dir, "documents"))
@@ -448,6 +500,34 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("rank"),
           round(col("sim"), 4).as("sim"))
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF coarse-quantizer ANN: recall < 1 by construction → rows-only.
+    "simsearch_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+      Similarity.ivfTopK(q, "query_id", "qv", c, "corpus_id", "cv",
+          k = 10, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("corpus_id"), col("rank"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+    // ANN quality gate: mean recall@10 of IVF vs exact brute force.
+    // Deterministic (fixed centroid rule) but not SQL-expressible → rows-only.
+    "simsearch_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+      val exact = Similarity.bruteForceTopK(q, "query_id", "qv", c, "corpus_id", "cv", k = 10)
+      val ann = Similarity.ivfTopK(q, "query_id", "qv", c, "corpus_id", "cv",
+        k = 10, nCells = 16, nProbe = 4)
+      Similarity.recallAtK(ann, exact, "query_id", "corpus_id")
+        .agg(round(avg("recall"), 4).as("mean_recall"))
     }),
 
     // ----- §2.10 text analysis -----------------------------------------
@@ -764,6 +844,48 @@ object SparkEntry {
         |  CAST(floor(max(epoch(ts))) AS BIGINT) AS end_ts
         |FROM sessions GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    "asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE user_id < 30 AND event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, ts, value AS p_value FROM events
+        |  WHERE user_id < 30 AND event_type = 'purchase'
+        |)
+        |SELECT l.event_id, l.user_id,
+        |  CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_sec,
+        |  CAST(round(l.value, 2) AS DOUBLE) AS value,
+        |  CAST(round(r.p_value, 2) AS DOUBLE) AS p_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+    "rolling_mean" ->
+      """SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  CAST(round(CASE WHEN count(value) OVER w >= 4
+        |    THEN avg(value) OVER w END, 4) AS DOUBLE) AS roll_mean
+        |FROM events WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_sec""".stripMargin,
+    "shift_diff" ->
+      """SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  CAST(round(lag(value) OVER w, 2) AS DOUBLE) AS prev_value,
+        |  CAST(round(value - lag(value) OVER w, 2) AS DOUBLE) AS delta
+        |FROM events WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |ORDER BY user_id, ts_sec""".stripMargin,
+    "melt_lineitem" ->
+      """SELECT l_orderkey, l_linenumber, variable, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+        |    l_quantity AS value FROM lineitem WHERE l_orderkey < 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |  FROM lineitem WHERE l_orderkey < 100
+        |) ORDER BY l_orderkey, l_linenumber, variable""".stripMargin,
+    "sample_mod" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 10 = 3""".stripMargin,
     "dedup_minhash_lsh" -> nearDupOracle(restrict = "", threshold = 0.6),
     "dedup_ngram_jaccard" -> nearDupOracle(restrict = "AND doc_id < 60", threshold = 0.5),
     "dedup_embedding" ->

@@ -208,6 +208,73 @@ final class GraftFrame(val df: DataFrame) {
     new GraftFrame(df.withColumn(s"${valueCol}_cumsum", F.sum(col(valueCol)).over(w)))
   }
 
+  /** pandas `rolling(window, min_periods=window).agg(fn)` over `orderCol`,
+    * optionally per group. A bounded `rowsBetween` frame — Spark keeps
+    * only `window` rows of state per partition, so this scales to
+    * arbitrarily long histories. Output column `{valueCol}_roll_{fn}`,
+    * null until a full window has been seen (pandas min_periods default).
+    */
+  def rolling(
+      valueCol: String,
+      orderCol: String,
+      window: Int,
+      fn: String = "mean",
+      partitionCols: Seq[String] = Nil): GraftFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w0 = if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+    else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = w0.rowsBetween(-(window - 1).toLong, Window.currentRow)
+    val agg = fn match {
+      case "mean" => F.avg(col(valueCol))
+      case "sum"  => F.sum(col(valueCol))
+      case "min"  => F.min(col(valueCol))
+      case "max"  => F.max(col(valueCol))
+      case other  => throw new IllegalArgumentException(s"unknown rolling fn: $other")
+    }
+    val full = F.count(col(valueCol)).over(w) >= window
+    new GraftFrame(df.withColumn(s"${valueCol}_roll_$fn", when(full, agg.over(w))))
+  }
+
+  /** pandas `shift(periods)` within optional groups — `lag` window. */
+  def shift(
+      valueCol: String,
+      orderCol: String,
+      periods: Int = 1,
+      partitionCols: Seq[String] = Nil): GraftFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+    else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    new GraftFrame(df.withColumn(s"${valueCol}_shift", lag(col(valueCol), periods).over(w)))
+  }
+
+  /** pandas `diff()` — value minus previous value in order. */
+  def diff(
+      valueCol: String,
+      orderCol: String,
+      partitionCols: Seq[String] = Nil): GraftFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = if (partitionCols.isEmpty) Window.orderBy(col(orderCol))
+    else Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    new GraftFrame(df.withColumn(s"${valueCol}_diff",
+      col(valueCol) - lag(col(valueCol), 1).over(w)))
+  }
+
+  /** pandas `melt` — wide-to-long. Spark-native `unpivot`: a row-local
+    * generator, no shuffle. */
+  def melt(
+      ids: Seq[String],
+      valueVars: Seq[String],
+      varName: String = "variable",
+      valueName: String = "value"): GraftFrame =
+    new GraftFrame(df.unpivot(
+      ids.map(col).toArray, valueVars.map(col).toArray, varName, valueName))
+
+  /** Deterministic hash-free sampling: keep rows where `key % mod ==
+    * bucket`. Reproducible across engines and runs (unlike fraction
+    * sampling), prunes at the scan when `key` is a partition column. */
+  def sample_mod(keyCol: String, mod: Int, bucket: Int = 0): GraftFrame =
+    new GraftFrame(df.where(pmod(col(keyCol), lit(mod)) === bucket))
+
   // ----- partitioning --------------------------------------------------
 
   def npartitions: Int = df.rdd.getNumPartitions

@@ -104,6 +104,74 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer route:
+    * partition the corpus into `nCells` Voronoi cells, search only the
+    * `nProbe` cells nearest each query.
+    *
+    * Training the quantizer = choosing centroids. Real deployments run
+    * k-means; here the centroids are a deterministic spread of corpus
+    * vectors (every ceil(n/nCells)-th id), collected to the driver and
+    * broadcast as literal arrays — the standard IVF shape (centroid set
+    * is tiny and driver-resident by design, like any k-means model).
+    *
+    * Scale: cell assignment is row-local codegen (no shuffle); the probe
+    * join broadcasts the query side; cost is |C|·nProbe/nCells scored
+    * pairs instead of |C| per query. Recall < 1 by construction —
+    * a neighbor in an unprobed cell is missed; raise `nProbe` to trade
+    * compute for recall. */
+  def ivfTopK(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    // Deterministic centroid pick: order by id, take an even id-spread.
+    val ids = corpus.select(col(cId).cast("long")).orderBy(col(cId)).collect().map(_.getLong(0))
+    require(ids.nonEmpty, "ivfTopK: empty corpus")
+    val step = math.max(1, ids.length / nCells)
+    val centIds = ids.grouped(step).map(_.head).take(nCells).toSet
+    val cents: Array[Array[Double]] = corpus
+      .where(col(cId).isInCollection(centIds))
+      .orderBy(col(cId))
+      .select(asDoubleVec(col(cVec)))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+    def cellSims(vec: Column): Column = array(cents.map { cvec =>
+      cosineSim(asDoubleVec(vec), array(cvec.map(lit): _*))
+    }: _*)
+    // argmax over the sims array; first index wins ties (deterministic).
+    def bestCell(vec: Column): Column = {
+      val sims = cellSims(vec)
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    }
+    // Top-nProbe cells for a query: sort (−sim, cell) structs ascending.
+    def probeCells(vec: Column): Column = {
+      val sims = cellSims(vec)
+      val structs = transform(sequence(lit(0), lit(cents.length - 1)),
+        i => struct((-element_at(sims, i + 1)).as("neg"), i.as("cell")))
+      transform(slice(sort_array(structs), 1, nProbe), s => s.getField("cell"))
+    }
+
+    val cb = corpus.select(col(cId), col(cVec), bestCell(col(cVec)).as("cell"))
+    val qb = queries.select(col(qId), col(qVec), explode(probeCells(col(qVec))).as("cell"))
+    val scored = cb.join(broadcast(qb), Seq("cell"))
+      .select(col(qId), col(cId),
+        cosineSim(asDoubleVec(col(qVec)), asDoubleVec(col(cVec))).as("sim"))
+    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId).asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Recall@k of an ANN result against the exact brute-force result —
+    * the quality gate for approximate search. Both inputs are outputs of
+    * the topK operators (columns qId, cId, rank ≤ k). */
+  def recallAtK(ann: DataFrame, exact: DataFrame, qId: String, cId: String): DataFrame = {
+    val hits = exact.join(ann, Seq(qId, cId), "left_semi")
+      .groupBy(col(qId)).agg(count(lit(1)).as("n_hit"))
+    val totals = exact.groupBy(col(qId)).agg(count(lit(1)).as("n_true"))
+    totals.join(hits, Seq(qId), "left")
+      .select(col(qId),
+        (coalesce(col("n_hit"), lit(0L)) / col("n_true")).as("recall"))
+  }
+
   /** All pairs with cosine ≥ threshold within a frame (embedding-space
     * near-dup). Brute-force self-join — subset/bucket first at scale
     * (same SRP bucketing applies). */

@@ -58,6 +58,30 @@ class SimilaritySpec extends SparkSpec {
     assert(multi.contains(10L)) // exact match always found
   }
 
+  test("ivfTopK finds the exact match when its cell is probed") {
+    val got = Similarity.ivfTopK(queries, "qid", "qvec", corpus, "cid", "cvec",
+      k = 1, nCells = 3, nProbe = 3).collect()
+    assert(got.nonEmpty)
+    assert(got(0).getAs[Long]("cid") == 10L)
+    assert(math.abs(got(0).getAs[Double]("sim") - 1.0) < 1e-6)
+  }
+
+  test("ivfTopK with full probing equals brute force (recall 1.0)") {
+    val exact = Similarity.bruteForceTopK(queries, "qid", "qvec", corpus, "cid", "cvec", k = 3)
+    val ann = Similarity.ivfTopK(queries, "qid", "qvec", corpus, "cid", "cvec",
+      k = 3, nCells = 2, nProbe = 2) // probe every cell → no misses possible
+    val rec = Similarity.recallAtK(ann, exact, "qid", "cid").collect()
+    assert(rec.length == 1)
+    assert(rec(0).getAs[Double]("recall") == 1.0)
+  }
+
+  test("recallAtK reports fractional recall for partial overlap") {
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "cid", "rank")
+    val ann = Seq((1L, 10L, 1), (1L, 99L, 2)).toDF("qid", "cid", "rank")
+    val rec = Similarity.recallAtK(ann, exact, "qid", "cid").collect()
+    assert(rec(0).getAs[Double]("recall") == 0.5)
+  }
+
   test("cosineNearDupPairs finds scaled copies (cos == 1)") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f)),
