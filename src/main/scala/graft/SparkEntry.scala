@@ -427,6 +427,84 @@ object SparkEntry {
           count(lit(1)).as("n_rows"),
           round(sum("l_quantity"), 2).as("sum_qty"))),
 
+    // ----- §2.7 JSON extraction ----------------------------------------
+    // props is a JSON string column; get_json_object is row-local codegen
+    // (no shuffle) and prunes to the two columns read.
+    "json_extract" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count("k").as("n_k"))
+        .orderBy("event_type")),
+
+    // ----- §2.7 explode / token frequency ------------------------------
+    "explode_tokens" -> ((s, dir) =>
+      tbl(s, dir, "documents").where(col("doc_id") < 100)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)),
+
+    // ----- §2.4 exact distinct count -----------------------------------
+    "nunique_partkey" -> ((s, dir) =>
+      li(s, dir).agg(countDistinct("l_partkey").as("n_parts"))),
+
+    // ----- §2.6 except set-op ------------------------------------------
+    "set_except" -> ((s, dir) => {
+      val a = tbl(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      val b = tbl(s, dir, "customer").where(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      new GraftFrame(a).except(new GraftFrame(b)).toDF
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ----- §2.4 histogram / binning ------------------------------------
+    "histogram_price" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .select(floor(col("o_totalprice") / 60000).as("bucket"),
+          col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("bucket")),
+
+    // ----- §2.4 grouped arg-max (first/last by value) ------------------
+    "arg_max_group" -> ((s, dir) =>
+      li(s, dir).groupBy("l_returnflag")
+        .agg(
+          max_by(col("l_orderkey"), col("l_extendedprice")).as("top_order"),
+          round(max(col("l_extendedprice")), 2).as("top_price"))
+        .orderBy("l_returnflag")),
+
+    // ----- §2.4 rollup (hierarchical subtotals) ------------------------
+    "rollup_agg" -> ((s, dir) =>
+      li(s, dir).rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")),
+
+    // ----- TPC-H q6: forecast revenue (scan + filter + agg, no shuffle
+    // beyond the final 1-row combine) --------------------------------------
+    "q6_forecast" -> ((s, dir) =>
+      li(s, dir)
+        .where(year(col("l_shipdate")) === 1996 &&
+          col("l_discount").between(0.02, 0.08) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))),
+
+    // ----- §2.6 concat (pandas concat / UNION ALL) ---------------------
+    "concat_frames" -> ((s, dir) => {
+      val hi = new GraftFrame(li(s, dir).where(col("l_quantity") >= 45))
+      val lo = new GraftFrame(li(s, dir).where(col("l_quantity") <= 5))
+      hi.concat(lo).toDF.agg(
+        count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+    }),
+
     // ----- §2.10 exact dedup -------------------------------------------
     "dedup_exact" -> ((s, dir) => {
       new GraftFrame(tbl(s, dir, "documents"))
@@ -844,6 +922,57 @@ object SparkEntry {
         |  CAST(floor(max(epoch(ts))) AS BIGINT) AS end_ts
         |FROM sessions GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    "json_extract" ->
+      """SELECT event_type,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |  AS sum_k,
+        |CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "explode_tokens" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id < 100
+        |) GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "nunique_partkey" ->
+      "SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts FROM lineitem",
+    "set_except" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |)""".stripMargin,
+    "histogram_price" ->
+      """SELECT CAST(floor(o_totalprice / 60000) AS BIGINT) AS bucket,
+        |CAST(count(*) AS BIGINT) AS n,
+        |CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "arg_max_group" ->
+      """SELECT l_returnflag,
+        |arg_max(l_orderkey, l_extendedprice) AS top_order,
+        |CAST(round(max(l_extendedprice), 2) AS DOUBLE) AS top_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |coalesce(l_linestatus, 'ALL') AS status,
+        |CAST(count(*) AS BIGINT) AS n,
+        |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE)
+        |  AS revenue
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1996
+        |  AND l_discount BETWEEN 0.02 AND 0.08
+        |  AND l_quantity < 24""".stripMargin,
+    "concat_frames" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT * FROM lineitem WHERE l_quantity >= 45
+        |  UNION ALL
+        |  SELECT * FROM lineitem WHERE l_quantity <= 5
+        |)""".stripMargin,
     "asof_join" ->
       """WITH l AS (
         |  SELECT event_id, user_id, ts, value FROM events
