@@ -109,10 +109,12 @@ object Similarity {
     * `nProbe` cells nearest each query.
     *
     * Training the quantizer = choosing centroids. Real deployments run
-    * k-means; here the centroids are a deterministic spread of corpus
-    * vectors (every ceil(n/nCells)-th id), collected to the driver and
-    * broadcast as literal arrays — the standard IVF shape (centroid set
-    * is tiny and driver-resident by design, like any k-means model).
+    * k-means; here the centroid set is an even id-spread of corpus
+    * vectors picked via a DISTRIBUTED quantile sketch of the id column
+    * (one sketch row returns to the driver — never the id list itself),
+    * then broadcast as literal arrays — the standard IVF shape (the
+    * trained model is tiny and driver-resident by design, like any
+    * k-means model; the training scan is executor-side).
     *
     * Scale: cell assignment is row-local codegen (no shuffle); the probe
     * join broadcasts the query side; cost is |C|·nProbe/nCells scored
@@ -123,11 +125,15 @@ object Similarity {
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    // Deterministic centroid pick: order by id, take an even id-spread.
-    val ids = corpus.select(col(cId).cast("long")).orderBy(col(cId)).collect().map(_.getLong(0))
-    require(ids.nonEmpty, "ivfTopK: empty corpus")
-    val step = math.max(1, ids.length / nCells)
-    val centIds = ids.grouped(step).map(_.head).take(nCells).toSet
+    // Centroid ids = approximate quantiles of the id column. GK-sketch
+    // values are actual data elements, so each is a real corpus id; the
+    // driver receives O(nCells) values, independent of |corpus|.
+    val probes = (0 until nCells).map(i => (i + 0.5) / nCells).toArray
+    val centIds = corpus
+      .select(col(cId).cast("double").as("__id"))
+      .stat.approxQuantile("__id", probes, 0.001)
+      .map(_.toLong).distinct.toSet
+    require(centIds.nonEmpty, "ivfTopK: empty corpus")
     val cents: Array[Array[Double]] = corpus
       .where(col(cId).isInCollection(centIds))
       .orderBy(col(cId))
