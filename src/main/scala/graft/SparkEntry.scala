@@ -374,6 +374,15 @@ object SparkEntry {
       graft.streaming.EventWindows.sessionStats(events(s, dir), gapMinutes = 30)
         .where(col("user_id") < 50)
         .orderBy("user_id", "session_idx")),
+    // Same sessionization through the flatMapGroupsWithState custom-state
+    // operator (batch mode: end-of-data closes trailing sessions). The
+    // oracle is the SAME lag-window SQL — proving the stateful fold and
+    // the window formulation agree.
+    "events_sessions_stateful" -> ((s, dir) =>
+      graft.streaming.StatefulSessions.sessionStats(
+          events(s, dir).where(col("user_id") < 50), gapMinutes = 30)
+        .select("user_id", "start_ts", "end_ts", "n_events")
+        .orderBy("user_id", "start_ts")),
 
     // ----- §2.5 as-of (temporal) join ----------------------------------
     // For each click, the user's most recent purchase at-or-before it.
@@ -922,6 +931,28 @@ object SparkEntry {
         |  CAST(floor(max(epoch(ts))) AS BIGINT) AS end_ts
         |FROM sessions GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    "events_sessions_stateful" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events WHERE user_id < 50
+        |), flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |  CAST(floor(min(epoch(ts))) AS BIGINT) AS start_ts,
+        |  CAST(floor(max(epoch(ts))) AS BIGINT) AS end_ts,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM sessions GROUP BY user_id, session_idx
+        |ORDER BY user_id, start_ts""".stripMargin,
     "json_extract" ->
       """SELECT event_type,
         |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state sessionization via `flatMapGroupsWithState` — the
+  * streaming analog of [[EventWindows.sessionize]]'s sort-based batch
+  * formulation (reference capability: grouped session rollups; cf.
+  * /root/reference/dataframe/core.py:596-603 grouped split_out output).
+  *
+  * Why custom state instead of the lag-window form: a stream can't sort
+  * all history per user; instead each user key holds ONE open-session
+  * struct (start, end, count, sum) that is folded forward as events
+  * arrive. A session closes — and is emitted downstream, append-mode —
+  * when a later event of the same user arrives more than `gapMinutes`
+  * after the session's end, or when the event-time watermark passes
+  * end + gap (the `GroupStateTimeout.EventTimeTimeout` path: no more
+  * on-time events can extend the session, so it is final).
+  *
+  * Scale: state is O(active users), one small struct each — bounded by
+  * the watermark horizon, not by history length. The only shuffle is the
+  * groupByKey on user_id, identical to any grouped aggregation at
+  * 100 TB. The typed fold exits whole-stage codegen (inherent to
+  * arbitrary-state operators); keep it for genuinely stateful session
+  * logic and use [[EventWindows.sessionize]] for batch.
+  */
+object StatefulSessions {
+
+  /** Input event: epoch handling matches the batch formulation —
+    * gap compares floor-second values, like `cast(ts as long)`. */
+  case class Ev(user_id: Long, ts: Timestamp, value: Double)
+
+  /** Per-user open-session state held between micro-batches. */
+  case class Open(start: Long, end: Long, n: Long, sum: Double)
+
+  /** A closed session (what the operator emits). */
+  case class Session(
+      user_id: Long, start_ts: Long, end_ts: Long, n_events: Long,
+      sum_value: Double)
+
+  /** Fold events into sessions. `emitOpen = true` is the batch mode:
+    * end-of-data closes every session, so trailing open sessions are
+    * emitted too and the result equals [[EventWindows.sessionStats]].
+    * `emitOpen = false` is the streaming mode: trailing sessions stay
+    * in state and are emitted by the event-time timeout once the
+    * watermark passes session end + gap (input must carry
+    * `withWatermark("ts", ...)`). */
+  def sessions(
+      events: Dataset[Ev], gapMinutes: Int,
+      emitOpen: Boolean): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapSec = gapMinutes * 60L
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Open, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[Open]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed end + gap: the session is final.
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(uid, s.start, s.end, s.n, s.sum))
+          } else {
+            // Events within one micro-batch (or the whole group, in
+            // batch mode) are sorted here; cross-batch reordering is
+            // bounded by the watermark.
+            val sorted = it.toArray.sortBy(_.ts.getTime)
+            val out = Vector.newBuilder[Session]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = Math.floorDiv(e.ts.getTime, 1000L)
+              open match {
+                case Some(s) if t - s.end <= gapSec =>
+                  open = Some(Open(s.start, math.max(t, s.end), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out += Session(uid, s.start, s.end, s.n, s.sum)
+                  open = Some(Open(t, t, 1L, e.value))
+                case None =>
+                  open = Some(Open(t, t, 1L, e.value))
+              }
+            }
+            if (emitOpen) {
+              open.foreach(s => out += Session(uid, s.start, s.end, s.n, s.sum))
+              if (state.exists) state.remove()
+            } else {
+              open.foreach { s =>
+                state.update(s)
+                // Never set a timeout at-or-before the current watermark
+                // (Spark rejects it); such a session is emitted on the
+                // next batch's timeout sweep anyway.
+                state.setTimeoutTimestamp(
+                  math.max((s.end + gapSec) * 1000L,
+                    state.getCurrentWatermarkMs() + 1L))
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Untyped convenience: project a DataFrame with (user_id, ts, value)
+    * columns into the typed stream and run [[sessions]]. */
+  def sessionStats(
+      events: DataFrame, gapMinutes: Int = 30,
+      emitOpen: Boolean = true): DataFrame = {
+    import events.sparkSession.implicits._
+    sessions(
+      events.selectExpr("user_id", "ts", "value").as[Ev],
+      gapMinutes, emitOpen).toDF()
+  }
+}

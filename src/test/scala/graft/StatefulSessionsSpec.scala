@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{EventWindows, StatefulSessions}
+
+class StatefulSessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("batch mode (emitOpen) equals the lag-window sessionStats") {
+    val ev = Seq(
+      (1L, ts(0), "a", 1.0),
+      (1L, ts(10), "a", 2.0),  // gap 10 <= 15 → same session
+      (1L, ts(40), "a", 3.0),  // gap 30 > 15 → new session
+      (2L, ts(5), "a", 4.0))
+      .toDF("user_id", "ts", "event_type", "value")
+
+    val got = StatefulSessions.sessionStats(ev, gapMinutes = 15)
+      .orderBy("user_id", "start_ts")
+      .select("user_id", "start_ts", "end_ts", "n_events")
+      .collect()
+    val want = EventWindows.sessionStats(ev, gapMinutes = 15)
+      .orderBy("user_id", "start_ts")
+      .select("user_id", "start_ts", "end_ts", "n_events")
+      .collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("batch mode sums session values") {
+    val ev = Seq(
+      (1L, ts(0), "a", 1.5),
+      (1L, ts(5), "a", 2.5))
+      .toDF("user_id", "ts", "event_type", "value")
+    val row = StatefulSessions.sessionStats(ev, gapMinutes = 15).collect().head
+    assert(row.getAs[Long]("n_events") == 2L)
+    assert(row.getAs[Double]("sum_value") == 4.0)
+  }
+
+  test("streaming: gap closes a session mid-stream; watermark timeout closes the trailing one") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Double)]
+    val stream = source.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+
+    val sessions = StatefulSessions.sessionStats(
+      stream, gapMinutes = 15, emitOpen = false)
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName("graft_stateful_sessions")
+      .outputMode("append")
+      .start()
+    try {
+      // Batch 1: an open session for user 1 (events at minute 0 and 10).
+      source.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("graft_stateful_sessions").count() == 0)
+
+      // Batch 2: an event 110 min later — the gap closes session 1
+      // immediately (emitted via the data path, not the timeout).
+      source.addData((1L, ts(120), 3.0))
+      q.processAllAvailable()
+      val afterGap = spark.table("graft_stateful_sessions").collect()
+      assert(afterGap.length == 1)
+      assert(afterGap.head.getAs[Long]("n_events") == 2L)
+      assert(afterGap.head.getAs[Double]("sum_value") == 3.0)
+
+      // Batches 3+4 (other user) push the watermark past
+      // minute 120 + gap → user 1's trailing session times out.
+      source.addData((99L, ts(200), 0.0))
+      q.processAllAvailable()
+      source.addData((99L, ts(210), 0.0))
+      q.processAllAvailable()
+      val user1 = spark.table("graft_stateful_sessions")
+        .where(col("user_id") === 1L).orderBy("start_ts").collect()
+      assert(user1.length == 2)
+      assert(user1(1).getAs[Long]("n_events") == 1L)
+      assert(user1(1).getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+}
