@@ -112,3 +112,87 @@ object MinHashSignature {
     GraftColumnBridge.column(
       MinHashSignature(GraftColumnBridge.expression(shingles), numHashes, seed))
 }
+
+/** Fused MinHash → LSH band hashes: `array<string>` shingles →
+  * `array<long>` of `bands` band hashes, where band j is a 64-bit hash
+  * of signature rows [j·r, (j+1)·r), r = numHashes / bands.
+  *
+  * This is [[MinHashSignature]] plus the banding step in ONE codegen'd
+  * pass — no intermediate numHashes-long array column, and no
+  * interpreted higher-order `transform`/`slice`/`xxhash64` pipeline
+  * (measured ~2× the banding cost at sf0.1). Band hashes only ever
+  * feed equality grouping, so any deterministic 64-bit mix works; this
+  * uses FNV-1a over the row bytes, seeded per band.
+  */
+case class MinHashBands(child: Expression, numHashes: Int, bands: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def prettyName: String = "minhash_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _)
+        if numHashes > 0 && bands > 0 && numHashes % bands == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"bands=$bands must be positive and divide numHashes=$numHashes")
+    case t =>
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_bands requires array<string>, got ${t.catalogString}")
+  }
+
+  @transient private lazy val sig = MinHashSignature(child, numHashes, seed)
+
+  def compute(shingles: ArrayData): ArrayData = {
+    val mins = sig.compute(shingles)
+    if (mins == null) return null
+    val r = numHashes / bands
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var h = 0xcbf29ce484222325L ^ (j * 0x9e3779b97f4a7c15L)
+      var i = j * r
+      val end = i + r
+      while (i < end) {
+        val v = mins.getLong(i)
+        var b = 0
+        while (b < 8) {
+          h ^= (v >>> (b * 8)) & 0xffL
+          h *= 0x100000001b3L
+          b += 1
+        }
+        i += 1
+      }
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashBandsExpr", this, classOf[MinHashBands].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $self.compute($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+object MinHashBands {
+  /** `minhash_bands(shingles)` as a [[Column]]. */
+  def minhashBands(
+      shingles: Column, numHashes: Int = 128, bands: Int = 32,
+      seed: Long = 42L): Column =
+    GraftColumnBridge.column(
+      MinHashBands(GraftColumnBridge.expression(shingles), numHashes, bands, seed))
+}

@@ -42,23 +42,28 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
-  /** (bandIdx, bandHash) table for LSH banding: the signature is split
-    * into `bands` bands of `sig.length / bands` rows each; each band is
-    * hashed. Docs sharing ANY (bandIdx, bandHash) are candidates. */
-  private def bandTable(
-      df: DataFrame, idCol: String, sigCol: String, bands: Int, rowsPerBand: Int): DataFrame =
-    df.select(
-        col(idCol),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            j => xxhash64(slice(col(sigCol), j * rowsPerBand + 1, lit(rowsPerBand)), j)))
-          .as(Seq("band_idx", "band_hash")))
+  /** All (a, b) pairs, a < b, of the sorted `elems` array column —
+    * the within-bucket pair expansion for the minhash-LSH bucket table.
+    * Quadratic ONLY inside a bucket, and banding keeps minhash buckets
+    * tiny (a degenerate mega-bucket means near-identical docs — run
+    * exact dedup first). For band schemes with LARGE buckets (e.g.
+    * 16-bit simhash chunks) a codegen'd self-join beats this HOF
+    * expansion — see [[simHashPairs]]. */
+  private def inBucketPairs(elems: Column)(pair: (Column, Column) => Column): Column =
+    flatten(transform(elems, (x, i) =>
+      transform(slice(elems, i + 2, size(elems)), y => pair(x, y))))
 
   /** Candidate near-duplicate id pairs via banded MinHash-LSH.
     * `threshold`-tuned banding is the caller's job (b·r = numHashes;
-    * the s-curve midpoint is (1/b)^(1/r)). One shuffle on
-    * (band_idx, band_hash); never all-pairs. */
+    * the s-curve midpoint is (1/b)^(1/r)).
+    *
+    * Shape: shingle → fused minhash+band hash (ONE native codegen'd
+    * pass, [[graft.functions.MinHashBands]]) → posexplode → ONE grouped
+    * shuffle on (band_idx, band_hash) → in-bucket pair expansion —
+    * never all-pairs, and the signature compute runs ONCE (a bucket
+    * self-join would run it per join side). `collect_list` not
+    * `collect_set`: a doc contributes each band index exactly once, so
+    * duplicates are impossible and set-dedup hashing is wasted work. */
   def lshCandidatePairs(
       docs: DataFrame,
       idCol: String,
@@ -68,16 +73,19 @@ object Dedup {
       shingleN: Int = 3,
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
-    val r = numHashes / bands
-    val sigs = docs
-      .select(col(idCol), minhash(shingles(col(textCol), shingleN), numHashes, seed).as("sig"))
-      .where(col("sig").isNotNull)
-    val bt = bandTable(sigs, idCol, "sig", bands, r)
-    val left = bt.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
-    val right = bt.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))
-    left.join(right, Seq("band_idx", "band_hash"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    docs
+      .select(
+        col(idCol),
+        posexplode(
+          graft.functions.MinHashBands.minhashBands(
+            shingles(col(textCol), shingleN), numHashes, bands, seed))
+          .as(Seq("band_idx", "band_hash")))
+      .groupBy("band_idx", "band_hash")
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(inBucketPairs(col("ids"))((a, b) =>
+        struct(a.as("id_a"), b.as("id_b")))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 
@@ -124,10 +132,17 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16).
-    * Banding by the four 16-bit chunks (pigeonhole: hamming ≤ 3 means at
-    * least one chunk matches exactly), then exact `bit_count(xor)`
-    * verify. One shuffle on (chunk_idx, chunk_value). */
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
+    * Banding by the four 16-bit chunks (pigeonhole: hamming ≤ 3
+    * GUARANTEES a matching chunk; larger `maxHamming` keeps recall high
+    * but not certain — bits can spread across all 4 chunks), then exact
+    * `bit_count(xor)` verify.
+    *
+    * Shape: ONE grouped shuffle on (chunk_idx, chunk_val) with
+    * in-bucket pair expansion — the simhash compute runs once (a
+    * self-join would run it per side), and the hamming filter runs
+    * BEFORE the distinct so the dedup shuffle only carries surviving
+    * pairs. */
   def simHashPairs(
       docs: DataFrame,
       idCol: String,
@@ -144,15 +159,19 @@ object Dedup {
         array((0 until 4).map(j =>
           shiftrightunsigned(col("sh"), j * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk_idx", "chunk_val")))
-    val left = chunks.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
-      col("chunk_idx"), col("chunk_val"))
-    val right = chunks.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
-      col("chunk_idx"), col("chunk_val"))
-    left.join(right, Seq("chunk_idx", "chunk_val"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
+    chunks
+      .groupBy("chunk_idx", "chunk_val")
+      .agg(array_sort(
+        collect_set(struct(col(idCol).as("id"), col("sh").as("sh")))).as("es"))
+      .where(size(col("es")) > 1)
+      .select(explode(inBucketPairs(col("es"))((a, b) =>
+        struct(
+          a.getField("id").as("id_a"),
+          b.getField("id").as("id_b"),
+          bit_count(a.getField("sh").bitwiseXOR(b.getField("sh"))).as("hamming"))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
