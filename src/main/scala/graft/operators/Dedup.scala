@@ -53,6 +53,19 @@ object Dedup {
     flatten(transform(elems, (x, i) =>
       transform(slice(elems, i + 2, size(elems)), y => pair(x, y))))
 
+  /** [[inBucketPairs]] with the verify predicate pushed INSIDE the
+    * expansion: candidates failing `keep` are filtered before the pair
+    * struct is allocated or exploded into a row. For selective
+    * verifies (simhash hamming keeps ~1% of candidates) this shrinks
+    * the explode output and the downstream distinct shuffle by the
+    * same ~100×. */
+  private def inBucketPairsWhere(elems: Column)(keep: (Column, Column) => Column)(
+      pair: (Column, Column) => Column): Column =
+    flatten(transform(elems, (x, i) =>
+      transform(
+        filter(slice(elems, i + 2, size(elems)), y => keep(x, y)),
+        y => pair(x, y))))
+
   /** Candidate near-duplicate id pairs via banded MinHash-LSH.
     * `threshold`-tuned banding is the caller's job (b·r = numHashes;
     * the s-curve midpoint is (1/b)^(1/r)).
@@ -138,11 +151,12 @@ object Dedup {
     * but not certain — bits can spread across all 4 chunks), then exact
     * `bit_count(xor)` verify.
     *
-    * Shape: ONE grouped shuffle on (chunk_idx, chunk_val) with
-    * in-bucket pair expansion — the simhash compute runs once (a
-    * self-join would run it per side), and the hamming filter runs
-    * BEFORE the distinct so the dedup shuffle only carries surviving
-    * pairs. */
+    * Shape: fused tokenize+simhash (ONE native pass over the raw
+    * bytes — no token array, no lowercased copy) → ONE grouped shuffle
+    * on (chunk_idx, chunk_val) → in-bucket pair expansion with the
+    * hamming verify pushed INSIDE the expansion
+    * ([[inBucketPairsWhere]]), so only surviving pairs are ever
+    * allocated, exploded, or carried by the distinct shuffle. */
   def simHashPairs(
       docs: DataFrame,
       idCol: String,
@@ -151,7 +165,7 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val hashed = docs.select(
       col(idCol),
-      simhash(split(lower(trim(col(textCol))), "\\s+"), seed).as("sh"))
+      simhash(col(textCol), seed).as("sh"))
       .where(col("sh").isNotNull)
     val chunks = hashed.select(
       col(idCol), col("sh"),
@@ -161,17 +175,22 @@ object Dedup {
         .as(Seq("chunk_idx", "chunk_val")))
     chunks
       .groupBy("chunk_idx", "chunk_val")
+      // collect_list, not collect_set: a doc contributes each chunk_idx
+      // exactly once, so duplicates are impossible and set-hashing of
+      // the structs is wasted work. Sorted so pairs emit id_a < id_b.
       .agg(array_sort(
-        collect_set(struct(col(idCol).as("id"), col("sh").as("sh")))).as("es"))
+        collect_list(struct(col(idCol).as("id"), col("sh").as("sh")))).as("es"))
       .where(size(col("es")) > 1)
-      .select(explode(inBucketPairs(col("es"))((a, b) =>
-        struct(
-          a.getField("id").as("id_a"),
-          b.getField("id").as("id_b"),
-          bit_count(a.getField("sh").bitwiseXOR(b.getField("sh"))).as("hamming"))))
+      .select(explode(
+        inBucketPairsWhere(col("es"))((a, b) =>
+          bit_count(a.getField("sh").bitwiseXOR(b.getField("sh"))) <= maxHamming)(
+          (a, b) =>
+            struct(
+              a.getField("id").as("id_a"),
+              b.getField("id").as("id_b"),
+              bit_count(a.getField("sh").bitwiseXOR(b.getField("sh"))).as("hamming"))))
         .as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
-      .where(col("hamming") <= maxHamming)
       .distinct()
   }
 }
