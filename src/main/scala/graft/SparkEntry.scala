@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Dedup, Multimodal, Reductions, Similarity, TextOps}
+import graft.operators.{Apply, AsofJoin, Dedup, Multimodal, Pipeline, Reductions, Similarity, TextOps}
 import graft.sources.{CsvOptions, CsvReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -659,6 +659,48 @@ object SparkEntry {
       Multimodal.sampleFrames(media, stride = 10)
         .agg(count(lit(1)).as("n_frames"))
     }),
+
+    // ----- §2.10 training-data pipeline --------------------------------
+    // Token-window chunking: row-local sequence+explode, no shuffle.
+    "pipeline_chunk" -> ((s, dir) =>
+      Pipeline.chunkDocuments(
+        tbl(s, dir, "documents").where(col("doc_id") < 100),
+        "doc_id", "text", maxTokens = 40, overlap = 10)
+        .orderBy("doc_id", "chunk_idx")),
+    // Deterministic hash split: pure projection, reproducible per row.
+    "pipeline_split" -> ((s, dir) =>
+      Pipeline.trainTestSplit(tbl(s, dir, "documents"), "doc_id", testPerMille = 100)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_chars"))
+        .orderBy("split")),
+    // Source re-weighting: row-local hash-rate filter.
+    "pipeline_mixture" -> ((s, dir) =>
+      Pipeline.mixtureSample(
+        tbl(s, dir, "documents"), "doc_id", "source",
+        weights = Map("src0" -> 1000, "src1" -> 250), defaultPerMille = 500)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("source")),
+    // Global shuffle: ONE range-partitioned sort. Uses the arithmetic
+    // key (not xxhash64) so the oracle reproduces the permutation
+    // bit-for-bit; the emitted key column verifies the assignment.
+    "pipeline_shuffle" -> ((s, dir) =>
+      Pipeline.globalShuffleBy(
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            Pipeline.hashBucket(col("doc_id"), 1 << 20).as("shuffle_key")),
+        col("shuffle_key"), col("doc_id"))),
+    // Sequence packing: running-total window sharded by source.
+    "pipeline_pack" -> ((s, dir) =>
+      Pipeline.packSequences(
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "n_tokens", budget = 2000, orderCol = "doc_id",
+        partitionCols = Seq("source"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("source", "bin")),
   )
 
   /** Deterministic near-dup corpus: ≥30-token docs plus a copy
@@ -1135,6 +1177,59 @@ object SparkEntry {
       """SELECT CAST(sum(CAST(ceil(strlen(text) / 10.0) AS BIGINT)) AS BIGINT)
         |  AS n_frames
         |FROM documents WHERE strlen(text) > 0""".stripMargin,
+    "pipeline_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 100
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 40 THEN 1
+        |         ELSE 1 + CAST(ceil((len(toks) - 40) / 30.0) AS INT) END AS nc
+        |  FROM t
+        |)
+        |, e AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(nc), i -> struct_pack(
+        |      chunk_idx := CAST(i AS INT),
+        |      chunk_text := array_to_string(toks[(i*30 + 1):(i*30 + 40)], ' ')))) AS s
+        |  FROM c
+        |)
+        |SELECT doc_id, s.chunk_idx AS chunk_idx, s.chunk_text AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "pipeline_split" ->
+      """SELECT
+        |  CASE WHEN (doc_id * 2654435761) % 1000 < 100
+        |       THEN 'test' ELSE 'train' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "pipeline_mixture" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 <
+        |  CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 250 ELSE 500 END
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "pipeline_shuffle" ->
+      """SELECT doc_id, n_chars,
+        |  (doc_id * 2654435761) % 1048576 AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id""".stripMargin,
+    "pipeline_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), w AS (
+        |  SELECT source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t
+        |)
+        |SELECT source, CAST(floor(prior / 2000) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM w GROUP BY source, bin ORDER BY source, bin""".stripMargin,
   )
 
   /** Shared oracle for the constructed near-dup corpus: exact word-3-gram

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: document chunking, deterministic
+  * splits/sampling, global shuffle, and sequence packing.
+  *
+  * Scale design (the 100 TB contract): chunking, splitting and sampling
+  * are pure row-local expressions (no shuffle, whole-stage codegen);
+  * the global shuffle is ONE range-partitioned sort (what
+  * `orderBy` compiles to); sequence packing uses a running-total window
+  * — partition it by a shard column (`partitionCols`) so no single
+  * ordered stream spans the corpus.
+  *
+  * Determinism: every operator here is a pure function of its inputs —
+  * sampling and splits use multiplicative hashing on a key column, not
+  * `rand()`, so results are stable across retries, partitionings, and
+  * re-runs (a lineage requirement for training-data provenance).
+  */
+object Pipeline {
+
+  /** Knuth's multiplicative constant — spreads consecutive ids across
+    * the modulus. Kept as a plain arithmetic expression (not xxhash64)
+    * so external engines can reproduce the assignment bit-for-bit. */
+  private val Knuth = 2654435761L
+
+  /** Per-mille bucket in [0, 1000) for a numeric id column. */
+  def hashBucket(id: Column, buckets: Int = 1000): Column =
+    pmod(id * lit(Knuth), lit(buckets.toLong))
+
+  /** Split `text` into overlapping token windows of `maxTokens` tokens
+    * (stride = maxTokens - overlap). Output: one row per chunk with
+    * `chunk_idx` and `chunk_text`. Row-local: tokenize, count, expand
+    * with a `sequence` + `explode` — no shuffle, and the doc text is
+    * never copied more than the overlap factor.
+    *
+    * Tokenization is a single-space split so the semantics are exactly
+    * reproducible by any engine (pass pre-normalized text for real
+    * corpora — see [[TextOps]]). */
+  def chunkDocuments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"maxTokens=$maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap=$overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // 1 chunk when n <= maxTokens, else 1 + ceil((n - maxTokens) / stride)
+    val numChunks = when(n <= maxTokens, lit(1))
+      .otherwise(lit(1) + ceil((n - lit(maxTokens)).cast("double") / stride).cast("int"))
+    docs
+      .select(col(idCol), toks.as("__toks"), numChunks.as("__nc"))
+      .select(
+        col(idCol),
+        posexplode(transform(
+          sequence(lit(0), col("__nc") - 1),
+          i => array_join(slice(col("__toks"), i * stride + 1, lit(maxTokens)), " ")))
+          .as(Seq("chunk_idx", "chunk_text")))
+  }
+
+  /** Deterministic train/test split: rows whose id hash-bucket falls
+    * below `testPerMille` go to "test". Pure projection — no shuffle,
+    * no rand(); the same row lands in the same split on every run and
+    * every partitioning. */
+  def trainTestSplit(df: DataFrame, idCol: String, testPerMille: Int): DataFrame = {
+    require(testPerMille >= 0 && testPerMille <= 1000)
+    df.withColumn(
+      "split",
+      when(hashBucket(col(idCol)) < testPerMille, lit("test")).otherwise(lit("train")))
+  }
+
+  /** Weighted mixture sampling: keep a row with per-mille rate
+    * `weights(source)` (unlisted sources use `defaultPerMille`).
+    * The sampling decision is a row-local hash comparison — the
+    * standard way to re-weight training-data sources (e.g. upsample
+    * wiki, downsample crawl) without a shuffle or RNG state. */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weights: Map[String, Int],
+      defaultPerMille: Int = 0): DataFrame = {
+    require((defaultPerMille +: weights.values.toSeq).forall(w => w >= 0 && w <= 1000))
+    val rate = weights.foldLeft(lit(defaultPerMille): Column) {
+      case (acc, (src, w)) => when(col(sourceCol) === src, lit(w)).otherwise(acc)
+    }
+    df.where(hashBucket(col(idCol)) < rate)
+  }
+
+  /** Deterministic global shuffle: total order by `shuffleKey(id)`,
+    * ties broken by the id itself. Compiles to ONE range-partitioned
+    * sort (sampled range boundaries, then sort-within-partition) — the
+    * scalable way to decorrelate training examples from their source
+    * order. Different `seed` → a different permutation. */
+  def globalShuffle(df: DataFrame, idCol: String, seed: Long = 0L): DataFrame =
+    globalShuffleBy(df, shuffleKey(col(idCol), seed), col(idCol))
+
+  /** [[globalShuffle]] with a caller-supplied sort key (e.g. the
+    * arithmetic [[hashBucket]] when an external system must reproduce
+    * the exact permutation). */
+  def globalShuffleBy(df: DataFrame, key: Column, tiebreak: Column): DataFrame =
+    df.orderBy(key, tiebreak)
+
+  /** Shuffle sort key: 64-bit avalanche hash of id + seed. */
+  def shuffleKey(id: Column, seed: Long): Column = xxhash64(id, lit(seed))
+
+  /** Pack documents into fixed token-budget bins: bin(i) =
+    * floor(exclusive-running-sum(tokens) / budget) in `orderCol` order
+    * within each `partitionCols` shard. One window over one shuffle;
+    * shard first (e.g. by source or hash range) so no single ordered
+    * stream spans the corpus. This is the streaming running-total
+    * relaxation of bin packing (bins can exceed `budget` by one doc's
+    * tail — exact first-fit is inherently sequential and does not
+    * scale). Output: input columns + `bin`. */
+  def packSequences(
+      df: DataFrame,
+      tokenCountCol: String,
+      budget: Int,
+      orderCol: String,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    require(budget > 0)
+    val w0 = if (partitionCols.isEmpty) Window.partitionBy(lit(1))
+             else Window.partitionBy(partitionCols.map(col): _*)
+    val w = w0.orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn(
+      "bin",
+      floor(coalesce(sum(col(tokenCountCol)).over(w), lit(0L)) / budget))
+  }
+}

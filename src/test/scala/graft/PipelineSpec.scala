@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pipeline
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, nTokens: Int): (Long, String) =
+    (id, (1 to nTokens).map(i => s"t$i").mkString(" "))
+
+  test("chunkDocuments: windows cover every token with the right overlap") {
+    val df = Seq(doc(1, 100), doc(2, 40), doc(3, 41), doc(4, 5))
+      .toDF("doc_id", "text")
+    val chunks = Pipeline.chunkDocuments(df, "doc_id", "text", maxTokens = 40, overlap = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+
+    // 100 tokens, stride 30: chunks at 0, 30, 60 → 1 + ceil(60/30) = 3
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.length == 3)
+    assert(d1(0)._3.startsWith("t1 ") && d1(0)._3.endsWith(" t40"))
+    assert(d1(1)._3.startsWith("t31 ") && d1(1)._3.endsWith(" t70"))
+    assert(d1(2)._3.startsWith("t61 ") && d1(2)._3.endsWith(" t100"))
+    // exactly fits → 1 chunk; one over → 2; short doc → 1 whole chunk
+    assert(chunks.count(_._1 == 2L) == 1)
+    assert(chunks.count(_._1 == 3L) == 2)
+    assert(chunks.filter(_._1 == 4L).map(_._3).toSeq == Seq("t1 t2 t3 t4 t5"))
+  }
+
+  test("chunkDocuments: consecutive chunks share exactly `overlap` tokens") {
+    val df = Seq(doc(1, 100)).toDF("doc_id", "text")
+    val chunks = Pipeline.chunkDocuments(df, "doc_id", "text", 40, 10)
+      .orderBy("chunk_idx").collect().map(_.getString(2).split(" ").toSeq)
+    chunks.sliding(2).foreach { w =>
+      assert(w(0).takeRight(10) == w(1).take(10))
+    }
+  }
+
+  test("trainTestSplit: deterministic, disjoint, and roughly proportional") {
+    val df = (1L to 2000L).map(i => (i, i * 2)).toDF("id", "v")
+    val s1 = Pipeline.trainTestSplit(df, "id", 100)
+    val s2 = Pipeline.trainTestSplit(df.repartition(13), "id", 100)
+    assert(s1.orderBy("id").collect().toSeq == s2.orderBy("id").collect().toSeq)
+    val nTest = s1.where($"split" === "test").count()
+    assert(nTest > 120 && nTest < 280, s"test fraction off: $nTest/2000")
+    assert(s1.count() == 2000)
+  }
+
+  test("mixtureSample: rate 1000 keeps all, rate 0 drops all, default applies") {
+    val df = (1L to 900L).map(i => (i, s"src${i % 3}")).toDF("id", "source")
+    val kept = Pipeline.mixtureSample(
+      df, "id", "source", Map("src0" -> 1000, "src1" -> 0), defaultPerMille = 500)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 300)
+    assert(!bySrc.contains("src1"))
+    assert(bySrc("src2") > 100 && bySrc("src2") < 200)
+  }
+
+  test("globalShuffle: a permutation, deterministic per seed, seed-sensitive") {
+    val df = (1L to 500L).map(i => (i, i)).toDF("id", "v")
+    val a = Pipeline.globalShuffle(df, "id", seed = 1L).select("id").collect().map(_.getLong(0))
+    val b = Pipeline.globalShuffle(df, "id", seed = 1L).select("id").collect().map(_.getLong(0))
+    val c = Pipeline.globalShuffle(df, "id", seed = 2L).select("id").collect().map(_.getLong(0))
+    assert(a.toSeq == b.toSeq)
+    assert(a.toSeq != c.toSeq)
+    assert(a.sorted.toSeq == (1L to 500L))
+    assert(a.take(20).toSeq != (1L to 20L))
+  }
+
+  test("packSequences: bins respect the running-total budget law") {
+    val df = (1L to 100L).map(i => (i, "s", 100L)).toDF("id", "shard", "n_tok")
+    val packed = Pipeline.packSequences(df, "n_tok", budget = 1000,
+      orderCol = "id", partitionCols = Seq("shard"))
+    // 100-token docs into 1000-token bins → exactly 10 docs per bin
+    val sizes = packed.groupBy("bin").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ == 10) && sizes.length == 10)
+    // bin is monotone in id order
+    val bins = packed.orderBy("id").collect().map(_.getAs[Long]("bin"))
+    assert(bins.toSeq == bins.sorted.toSeq)
+  }
+}
