@@ -497,9 +497,13 @@ object SparkEntry {
 
     // ----- TPC-H q6: forecast revenue (scan + filter + agg, no shuffle
     // beyond the final 1-row combine) --------------------------------------
+    // Range predicate, not year(col)==1996: a function over the column
+    // defeats parquet filter pushdown; the half-open timestamp range
+    // reaches the scan as PushedFilters (asserted by PlanAuditSpec).
     "q6_forecast" -> ((s, dir) =>
       li(s, dir)
-        .where(year(col("l_shipdate")) === 1996 &&
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount").between(0.02, 0.08) &&
           col("l_quantity") < 24)
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
@@ -1035,7 +1039,8 @@ object SparkEntry {
       """SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE)
         |  AS revenue
         |FROM lineitem
-        |WHERE year(l_shipdate) = 1996
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.02 AND 0.08
         |  AND l_quantity < 24""".stripMargin,
     "concat_frames" ->

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions for the headline queries — the 100 TB
+  * design contract, pinned as executable checks rather than prose:
+  * dimension joins broadcast, scan filters reach parquet, aggregations
+  * are two-phase, top-k never globally sorts.
+  *
+  * Runs on the sf0.001 fixtures: plan SHAPE is scale-independent (the
+  * one exception, broadcast-threshold autodetection, is forced by the
+  * explicit `broadcast()` hints the queries use).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  /** Count physical NODES of a kind — matches the `(N) Name` detail
+    * headers, not every textual mention. */
+  private def nodes(p: String, kind: String): Int =
+    s"""\\(\\d+\\) $kind""".r.findAllIn(p).size
+
+  test("q3: dimension join is broadcast, agg is two-phase hash") {
+    val p = plan("q3_shipping")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(nodes(p, "HashAggregate") >= 2, p)
+  }
+
+  test("q5: all dimension sides broadcast — no sort-merge join of dims") {
+    val p = plan("q5_region")
+    assert(nodes(p, "BroadcastHashJoin") >= 3, p)
+  }
+
+  test("q6: filters are pushed to the parquet scan") {
+    val p = plan("q6_forecast")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate") || pushed.contains("IsNotNull(l_shipdate)"), p)
+    assert(pushed.contains("l_quantity"), p)
+    // and the projection prunes: no l_comment in the read schema
+    assert(!p.linesIterator.filter(_.contains("ReadSchema")).mkString.contains("l_comment"), p)
+  }
+
+  test("reductions: partial + final aggregate, one row per partition shuffled") {
+    val p = plan("red_sum")
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("top-k: TakeOrderedAndProject, never a global sort") {
+    val p = plan("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("pipeline chunking: row-local generate, zero exchanges") {
+    val p = plan("pipeline_chunk")
+    assert(p.contains("Generate"), p)
+    // orderBy for the gate adds one range exchange; the chunk expansion
+    // itself must add none → at most that single exchange in the plan.
+    assert(nodes(p, "Exchange") <= 1, p)
+  }
+
+  test("pipeline split/mixture: pure projection — no exchange, no generate") {
+    for (name <- Seq("pipeline_split", "pipeline_mixture")) {
+      val p = plan(name)
+      // one exchange for the groupBy + one for the gate's orderBy; the
+      // split/sample itself is a scan-projection adding none
+      assert(nodes(p, "Exchange") <= 2, s"$name:\n$p")
+      assert(nodes(p, "Generate") == 0 && nodes(p, "Sort Merge") == 0, s"$name:\n$p")
+    }
+  }
+
+  test("broadcast join query does broadcast; big join stays shuffle") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+    // join_big must not HINT a broadcast: disable the size-based
+    // auto-broadcast (at sf0.001 everything fits under the threshold,
+    // which a 100 TB run would not) and require a shuffle join.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("join_big")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set(key, prev)
+  }
+}
