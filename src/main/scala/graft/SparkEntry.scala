@@ -370,6 +370,17 @@ object SparkEntry {
     "events_window" -> ((s, dir) =>
       graft.streaming.EventWindows.tumbling(events(s, dir), "1 hour")
         .orderBy("window_start", "event_type")),
+    // Ingestion dedup, batch form (streaming form uses the same entry
+    // point with dropDuplicatesWithinWatermark — StreamingSpec): a
+    // doubled feed collapses back to one row per event id.
+    "events_dedup" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.streaming.EventWindows.dedupEvents(ev.unionAll(ev), "event_id")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("event_id")).as("n_ids"),
+          round(sum("value"), 2).as("sum_value"))
+    }),
     "events_sessions" -> ((s, dir) =>
       graft.streaming.EventWindows.sessionStats(events(s, dir), gapMinutes = 30)
         .where(col("user_id") < 50)
@@ -955,6 +966,11 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,
+        |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin,
     "events_sessions" ->
       """WITH lagged AS (
         |  SELECT user_id, ts,

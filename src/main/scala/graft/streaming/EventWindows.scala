@@ -62,4 +62,28 @@ object EventWindows {
         count(lit(1)).as("n_events"),
         min(col("ts").cast("long")).as("start_ts"),
         max(col("ts").cast("long")).as("end_ts"))
+
+  /** Exactly-once ingestion dedup on an id column. Batch frames use the
+    * plain hash-shuffle dropDuplicates; streaming frames (which must
+    * carry a watermark on `tsCol`) use `dropDuplicatesWithinWatermark`,
+    * so the dedup state store holds only the watermark horizon — the
+    * bounded-state form of at-least-once → exactly-once repair at
+    * ingest (duplicate delivery beyond the horizon is the upstream
+    * system's contract, not ours). */
+  def dedupEvents(events: DataFrame, idCol: String, tsCol: String = "ts"): DataFrame =
+    if (events.isStreaming) events.dropDuplicatesWithinWatermark(idCol)
+    else events.dropDuplicates(idCol)
+
+  /** Stream-static enrichment: join each event against a (small, slowly
+    * changing) dimension table. The static side is broadcast — no
+    * stream-side state, no shuffle of the stream; the same call works
+    * on a batch frame. `how` is left by default so unmatched events
+    * survive (enrichment must never drop data). */
+  def enrich(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: String,
+      dimKey: String,
+      how: String = "left"): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), how)
 }

@@ -67,4 +67,48 @@ class StreamingSpec extends SparkSpec {
       assert(click.getAs[Double]("sum_value") == 3.0)
     } finally q.stop()
   }
+
+  test("streaming dedup drops within-watermark duplicate event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Double)]
+    val streamDf = source.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "1 hour")
+
+    val q = EventWindows.dedupEvents(streamDf, "event_id").writeStream
+      .format("memory").queryName("graft_dedup_test")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, ts(0), 1.0), (1L, ts(1), 1.0), (2L, ts(2), 2.0))
+      q.processAllAvailable()
+      source.addData((2L, ts(3), 2.0), (3L, ts(4), 3.0)) // 2 is a re-delivery
+      q.processAllAvailable()
+      val ids = spark.table("graft_dedup_test").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("dedupEvents on a batch frame is plain dropDuplicates") {
+    val df = Seq((1L, ts(0), 1.0), (1L, ts(5), 1.0), (2L, ts(1), 2.0))
+      .toDF("event_id", "ts", "value")
+    assert(EventWindows.dedupEvents(df, "event_id").count() == 2)
+  }
+
+  test("stream-static enrich broadcasts the dimension and keeps unmatched") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dim_user", "tier")
+    val source = MemoryStream[(Long, Timestamp, Double)]
+    val streamDf = source.toDF().toDF("user_id", "ts", "value")
+
+    val q = EventWindows.enrich(streamDf, dim, "user_id", "dim_user").writeStream
+      .format("memory").queryName("graft_enrich_test")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, ts(0), 1.0), (9L, ts(1), 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("graft_enrich_test").collect()
+      assert(rows.length == 2) // left join: the unmatched user survives
+      assert(rows.find(_.getLong(0) == 1L).get.getAs[String]("tier") == "gold")
+      assert(rows.find(_.getLong(0) == 9L).get.isNullAt(rows(0).fieldIndex("tier")))
+    } finally q.stop()
+  }
 }
