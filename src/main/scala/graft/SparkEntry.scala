@@ -657,6 +657,39 @@ object SparkEntry {
         .agg(countDistinct(col("fp")).as("n_fp"))
     }),
 
+    // PII scrub over a corpus with deterministically injected emails/
+    // URLs/numbers (the fixture text is clean, so the query plants one
+    // of each): the gate compares the full scrubbed text.
+    "text_scrub" -> ((s, dir) =>
+      tbl(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextOps.scrubPii(concat(
+            col("text"),
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com via https://ex.com/p/"), col("doc_id").cast("string"),
+            lit(" or call 0123 456 7890"))).as("scrubbed"))
+        .orderBy("doc_id")),
+    // Composed curation pass — the end-to-end training-data shape:
+    // language filter → cheap quality gates → content-hash dedup →
+    // per-source accounting. One scan + one agg shuffle.
+    "pipeline_curate" -> ((s, dir) => {
+      val t = TextOps.tokens(col("text"))
+      val kept = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(t).as("n_tokens"),
+          (size(array_distinct(t)).cast("double") / size(t).cast("double"))
+            .as("distinct_ratio"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        .where(col("lang") === "en" && col("n_tokens") >= 30 &&
+          col("distinct_ratio") >= 0.2)
+      kept.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          countDistinct(col("fp")).as("n_unique"),
+          sum("n_tokens").as("sum_tokens"))
+        .orderBy("source")
+    }),
+
     // ----- §2.10 multimodal columns ------------------------------------
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.withMediaColumn(
@@ -1198,6 +1231,34 @@ object SparkEntry {
       """SELECT CAST(sum(CAST(ceil(strlen(text) / 10.0) AS BIGINT)) AS BIGINT)
         |  AS n_frames
         |FROM documents WHERE strlen(text) > 0""".stripMargin,
+    "text_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact u' || doc_id ||
+        |          '@example.com via https://ex.com/p/' || doc_id ||
+        |          ' or call 0123 456 7890',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9][0-9 ()\-]{6,}[0-9]', '<NUMBER>', 'g') AS scrubbed
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "pipeline_curate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, lang, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), kept AS (
+        |  SELECT source, lower(trim(text)) AS norm, len(toks) AS n_tokens
+        |  FROM t
+        |  WHERE lang = 'en' AND len(toks) >= 30
+        |    AND len(list_distinct(toks))::DOUBLE / len(toks) >= 0.2
+        |)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(count(DISTINCT norm) AS BIGINT) AS n_unique,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_chunk" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks

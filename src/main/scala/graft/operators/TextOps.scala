@@ -87,4 +87,16 @@ object TextOps {
     val grams = Dedup.shingles(text, n)
     slice(array_sort(transform(grams, g => xxhash64(g))), 1, k)
   }
+
+  /** PII scrub: mask emails, URLs, and long digit runs (phone/account
+    * numbers) with typed placeholder tokens. Three chained
+    * `regexp_replace` — row-local codegen, no UDF; the standard
+    * redaction pass a training corpus gets before anything is retained.
+    * Patterns are deliberately simple and high-recall: over-masking an
+    * ambiguous token is the safe failure mode for training data. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
+    regexp_replace(url, "[0-9][0-9 ()\\-]{6,}[0-9]", "<NUMBER>")
+  }
 }

@@ -116,4 +116,23 @@ class PropertySpec extends SparkSpec {
       assert(sigs(0).getSeq[Long](0).length == 96, s"seed=$seed length")
     }
   }
+
+  test("chunking law: dropping each chunk's overlap prefix reconstructs the doc") {
+    import graft.operators.Pipeline
+    val lenGen = Gen.chooseNum(1, 400)
+    for (seed <- 1L to 8L) {
+      val n = sample(lenGen, seed)
+      val maxTokens = 40
+      val overlap = (seed % maxTokens).toInt // 1..8 — any overlap < maxTokens
+      val text = (1 to n).map(i => s"w$i").mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val chunks = Pipeline.chunkDocuments(df, "doc_id", "text", maxTokens, overlap)
+        .orderBy("chunk_idx").collect().map(_.getString(2).split(" ").toSeq)
+      // chunk 0 whole, later chunks minus their overlap prefix, concatenated
+      val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(overlap))
+      assert(rebuilt == text.split(" ").toSeq, s"seed=$seed n=$n overlap=$overlap")
+      // every chunk except possibly the last is exactly maxTokens long
+      chunks.dropRight(1).foreach(c => assert(c.length == maxTokens, s"seed=$seed"))
+    }
+  }
 }

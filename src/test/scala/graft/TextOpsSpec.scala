@@ -47,6 +47,12 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("scrubPii masks emails, urls, and number runs; leaves prose alone") {
+    val got = one("mail a.b+c@ex-site.org or https://ex.org/x?y=1 call 0123 456 7890 year 2024 ok")
+      .select(TextOps.scrubPii(col("t"))).collect()(0).getString(0)
+    assert(got == "mail <EMAIL> or <URL> call <NUMBER> year 2024 ok", got)
+  }
+
   test("min-k fingerprint: near-dup docs share most sketch elements") {
     val a = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
     val b = a.replace("today", "tonight")
