@@ -196,3 +196,144 @@ object MinHashBands {
     GraftColumnBridge.column(
       MinHashBands(GraftColumnBridge.expression(shingles), numHashes, bands, seed))
 }
+
+/** Fully-fused text → LSH band hashes: raw string in, `array<long>` of
+  * `bands` band hashes out, ONE pass over the UTF-8 bytes.
+  *
+  * Pipeline folded into the loop: whitespace tokenize + ASCII lowercase
+  * (no lowercased copy, no token array), per-token FNV-1a, rolling
+  * word-n-gram hash from the last n token hashes (no shingle strings),
+  * k affine minima, band fold. Works because minhash is
+  * DUPLICATE-INSENSITIVE — a repeated shingle can't change any minimum
+  * — so the distinct-shingle set materialized by
+  * [[WordNGrams]]+[[MinHashBands]] is unnecessary for candidate
+  * generation. Gram hashes differ from the string-based path (hash
+  * family choice is arbitrary for LSH); recall/banding behavior is
+  * identical, and pair VERIFICATION (exact jaccard) stays on the
+  * canonical shingle sets.
+  *
+  * Fewer than n tokens → null (no shingles → no signature), matching
+  * [[MinHashSignature]] on an empty array.
+  */
+case class TextMinHashBands(
+    child: Expression, n: Int, numHashes: Int, bands: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def prettyName: String = "text_minhash_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 && numHashes > 0 && bands > 0 && numHashes % bands == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType =>
+      TypeCheckResult.TypeCheckFailure(
+        s"need n>0, bands>0, bands | numHashes; got n=$n numHashes=$numHashes bands=$bands")
+    case t =>
+      TypeCheckResult.TypeCheckFailure(
+        s"text_minhash_bands requires string, got ${t.catalogString}")
+  }
+
+  @transient private lazy val (coefA: Array[Long], coefB: Array[Long]) = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (Array.fill(numHashes)(next() | 1L), Array.fill(numHashes)(next()))
+  }
+
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val ring = new Array[Long](n) // last n token hashes
+    var nTokens = 0
+    var nGrams = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isSpace(bytes(i))) i += 1
+      if (i < len) {
+        var h = 0xcbf29ce484222325L
+        while (i < len && !isSpace(bytes(i))) {
+          var b = bytes(i) & 0xff
+          if (b >= 'A' && b <= 'Z') b += 32
+          h ^= b
+          h *= 0x100000001b3L
+          i += 1
+        }
+        ring(nTokens % n) = h
+        nTokens += 1
+        if (nTokens >= n) {
+          // order-sensitive combine of the window's n token hashes
+          var g = 0xcbf29ce484222325L
+          var j = nTokens - n
+          while (j < nTokens) {
+            g = (g ^ ring(j % n)) * 0x100000001b3L
+            j += 1
+          }
+          nGrams += 1
+          var k = 0
+          while (k < numHashes) {
+            val v = coefA(k) * g + coefB(k)
+            if (v < mins(k)) mins(k) = v
+            k += 1
+          }
+        }
+      }
+    }
+    if (nGrams == 0) return null
+    val r = numHashes / bands
+    val out = new Array[Long](bands)
+    var bnd = 0
+    while (bnd < bands) {
+      var h = 0xcbf29ce484222325L ^ (bnd * 0x9e3779b97f4a7c15L)
+      var idx = bnd * r
+      val end = idx + r
+      while (idx < end) {
+        val v = mins(idx)
+        var byte = 0
+        while (byte < 8) {
+          h ^= (v >>> (byte * 8)) & 0xffL
+          h *= 0x100000001b3L
+          byte += 1
+        }
+        idx += 1
+      }
+      out(bnd) = h
+      bnd += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("textMinhashBandsExpr", this, classOf[TextMinHashBands].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $self.compute($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextMinHashBands =
+    copy(child = newChild)
+}
+
+object TextMinHashBands {
+  /** `text_minhash_bands(text)` as a [[Column]]. */
+  def textMinhashBands(
+      text: Column, n: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      seed: Long = 42L): Column =
+    GraftColumnBridge.column(
+      TextMinHashBands(GraftColumnBridge.expression(text), n, numHashes, bands, seed))
+}

@@ -70,10 +70,13 @@ object Dedup {
     * `threshold`-tuned banding is the caller's job (b·r = numHashes;
     * the s-curve midpoint is (1/b)^(1/r)).
     *
-    * Shape: shingle → fused minhash+band hash (ONE native codegen'd
-    * pass, [[graft.functions.MinHashBands]]) → posexplode → ONE grouped
-    * shuffle on (band_idx, band_hash) → in-bucket pair expansion —
-    * never all-pairs, and the signature compute runs ONCE (a bucket
+    * Shape: raw text → fused tokenize+shingle+minhash+band hash (ONE
+    * native codegen'd pass over the bytes,
+    * [[graft.functions.TextMinHashBands]] — no token array, no shingle
+    * strings, no signature array; valid because minhash is
+    * duplicate-insensitive) → posexplode → ONE grouped shuffle on
+    * (band_idx, band_hash) → in-bucket pair expansion — never
+    * all-pairs, and the signature compute runs ONCE (a bucket
     * self-join would run it per join side). `collect_list` not
     * `collect_set`: a doc contributes each band index exactly once, so
     * duplicates are impossible and set-dedup hashing is wasted work. */
@@ -90,8 +93,8 @@ object Dedup {
       .select(
         col(idCol),
         posexplode(
-          graft.functions.MinHashBands.minhashBands(
-            shingles(col(textCol), shingleN), numHashes, bands, seed))
+          graft.functions.TextMinHashBands.textMinhashBands(
+            col(textCol), shingleN, numHashes, bands, seed))
           .as(Seq("band_idx", "band_hash")))
       .groupBy("band_idx", "band_hash")
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
