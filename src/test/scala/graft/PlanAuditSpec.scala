@@ -75,6 +75,10 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("driver contract: entry() flagship returns rows on the smoke fixture") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("broadcast join query does broadcast; big join stays shuffle") {
     assert(plan("join_broadcast").contains("BroadcastHashJoin"))
     // join_big must not HINT a broadcast: disable the size-based
