@@ -39,7 +39,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val outcome =
-        try { fn(spark, sfDir).count(); Right(()) }
+        // noop sink, not count(): count lets the optimizer drop sorts
+        // and column work, under-measuring; noop materializes every
+        // output row and column without any write IO.
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Right(()) }
         catch { case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
       (name, (System.nanoTime() - t0) / 1e9, outcome)
     }

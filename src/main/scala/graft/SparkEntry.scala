@@ -320,10 +320,14 @@ object SparkEntry {
         .orderBy("user_id", "ts_sec")),
 
     // ----- §2.4 quantiles ----------------------------------------------
+    // ONE percentile agg with an array of percentages — two separate
+    // percentile(...) calls would each buffer the full column.
     "quantiles" -> ((s, dir) =>
-      li(s, dir).agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))),
+      li(s, dir)
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ps"))
+        .select(
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p95"))),
 
     // ----- §2.2/§2.7 missing-data & dtype surface ----------------------
     "value_counts" -> ((s, dir) =>
