@@ -677,13 +677,17 @@ object SparkEntry {
     // language filter → cheap quality gates → content-hash dedup →
     // per-source accounting. One scan + one agg shuffle.
     "pipeline_curate" -> ((s, dir) => {
-      val t = TextOps.tokens(col("text"))
+      // tokenize ONCE into a column; referencing the expression three
+      // times would re-split per use (subexpr elimination is
+      // best-effort, a materialized column is guaranteed).
       val kept = tbl(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"),
-          size(t).as("n_tokens"),
-          (size(array_distinct(t)).cast("double") / size(t).cast("double"))
-            .as("distinct_ratio"),
+          TextOps.tokens(col("text")).as("toks"),
           TextOps.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), col("source"), col("lang"), col("fp"),
+          size(col("toks")).as("n_tokens"),
+          (size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double")).as("distinct_ratio"))
         .where(col("lang") === "en" && col("n_tokens") >= 30 &&
           col("distinct_ratio") >= 0.2)
       kept.groupBy("source")
