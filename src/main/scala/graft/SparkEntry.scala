@@ -698,6 +698,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // SQL front-end: the injected native expressions are first-class in
+    // spark.sql — same codegen'd WordNGrams as the DataFrame path.
+    "sql_native_fns" -> ((s, dir) => {
+      tbl(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      s.sql("""
+        SELECT doc_id, size(word_ngrams(text, 3)) AS n_shingles
+        FROM graft_docs WHERE doc_id < 100 ORDER BY doc_id
+      """)
+    }),
+
     // ----- §2.10 multimodal columns ------------------------------------
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.withMediaColumn(
@@ -1239,6 +1249,14 @@ object SparkEntry {
       """SELECT CAST(sum(CAST(ceil(strlen(text) / 10.0) AS BIGINT)) AS BIGINT)
         |  AS n_frames
         |FROM documents WHERE strlen(text) > 0""".stripMargin,
+    "sql_native_fns" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN len(w) >= 3 THEN len(list_distinct(
+        |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]))
+        |  ELSE 0 END AS INTEGER) AS n_shingles
+        |FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |      FROM documents WHERE doc_id < 100)
+        |ORDER BY doc_id""".stripMargin,
     "text_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(
