@@ -332,6 +332,17 @@ object SparkEntry {
     // ----- §2.2/§2.7 missing-data & dtype surface ----------------------
     "value_counts" -> ((s, dir) =>
       new GraftFrame(tbl(s, dir, "documents")).value_counts("lang").toDF),
+    // Long-form describe: ONE aggregate pass over all columns (struct
+    // array + explode), not one job per column.
+    "describe_stats" -> ((s, dir) =>
+      new GraftFrame(li(s, dir)).describe_(Seq("l_quantity", "l_discount")).toDF
+        .select(col("column"),
+          round(col("count"), 2).as("count"),
+          round(col("mean"), 6).as("mean"),
+          round(col("std"), 6).as("std"),
+          round(col("min"), 2).as("min"),
+          round(col("max"), 2).as("max"))
+        .orderBy("column")),
     "fillna_dropna" -> ((s, dir) => {
       val base = li(s, dir)
         .withColumn("d", when(col("l_discount") > 0, col("l_discount")))
@@ -986,6 +997,23 @@ object SparkEntry {
     "value_counts" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS count
         |FROM documents GROUP BY lang ORDER BY count DESC, lang ASC""".stripMargin,
+    "describe_stats" ->
+      """SELECT "column", CAST(round(count, 2) AS DOUBLE) AS count,
+        |  CAST(round(mean, 6) AS DOUBLE) AS mean,
+        |  CAST(round(std, 6) AS DOUBLE) AS std,
+        |  CAST(round(mn, 2) AS DOUBLE) AS min,
+        |  CAST(round(mx, 2) AS DOUBLE) AS max
+        |FROM (
+        |  SELECT 'l_quantity' AS "column", count(l_quantity)::DOUBLE AS count,
+        |    avg(l_quantity) AS mean, stddev_samp(l_quantity) AS std,
+        |    min(l_quantity)::DOUBLE AS mn, max(l_quantity)::DOUBLE AS mx
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(l_discount)::DOUBLE, avg(l_discount),
+        |    stddev_samp(l_discount), min(l_discount)::DOUBLE,
+        |    max(l_discount)::DOUBLE
+        |  FROM lineitem
+        |) ORDER BY "column"""".stripMargin,
     "fillna_dropna" ->
       """SELECT
         |  CAST(round(sum(CASE WHEN l_discount > 0 THEN l_discount ELSE 0 END), 2)
