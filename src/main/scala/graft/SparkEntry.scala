@@ -520,6 +520,14 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("n"), col("sum_qty"))
         .orderBy("flag", "status")),
+    "cube_agg" -> ((s, dir) =>
+      li(s, dir).cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")),
 
     // ----- TPC-H q6: forecast revenue (scan + filter + agg, no shuffle
     // beyond the final 1-row combine) --------------------------------------
@@ -1129,6 +1137,13 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS n,
         |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "cube_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |coalesce(l_linestatus, 'ALL') AS status,
+        |CAST(count(*) AS BIGINT) AS n,
+        |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
     "q6_forecast" ->
       """SELECT CAST(round(sum(l_extendedprice * l_discount), 2) AS DOUBLE)
