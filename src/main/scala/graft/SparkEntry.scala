@@ -744,6 +744,13 @@ object SparkEntry {
       Multimodal.sampleFrames(media, stride = 10)
         .agg(count(lit(1)).as("n_frames"))
     }),
+    "multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.withMediaColumn(
+        tbl(s, dir, "documents"), "doc_id", "text", Nil)
+      Multimodal.resizeStub(media, 50)
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("data")).cast("long")).as("total_bytes"))
+    }),
 
     // ----- §2.10 training-data pipeline --------------------------------
     // Token-window chunking: row-local sequence+explode, no shuffle.
@@ -1292,6 +1299,11 @@ object SparkEntry {
       """SELECT CAST(sum(CAST(ceil(strlen(text) / 10.0) AS BIGINT)) AS BIGINT)
         |  AS n_frames
         |FROM documents WHERE strlen(text) > 0""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(strlen(text) * 50 / 100) AS BIGINT)) AS BIGINT)
+        |    AS total_bytes
+        |FROM documents""".stripMargin,
     "sql_native_fns" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN len(w) >= 3 THEN len(list_distinct(

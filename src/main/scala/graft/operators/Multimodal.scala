@@ -74,6 +74,17 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — the transform shape of a media re-encode: row-local
+    * projection over (id, data), emitting a smaller payload whose size
+    * tracks the scale factor deterministically (`substring` operates on
+    * binary natively). A real implementation swaps a codec resize in
+    * here and nothing else changes. Payloads never shuffle. */
+  def resizeStub(media: DataFrame, scalePercent: Int): DataFrame = {
+    require(scalePercent > 0 && scalePercent <= 100)
+    media.withColumn("data",
+      col("data").substr(lit(1), (length(col("data")) * scalePercent / 100).cast("int")))
+  }
+
   /** Deterministic frame-sampling demo over a binary payload: pick every
     * `stride`-th byte offset as a "frame" index (the real operator would
     * seek keyframes). Shows the explode/array plumbing for

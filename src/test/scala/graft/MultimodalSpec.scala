@@ -36,6 +36,16 @@ class MultimodalSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("resizeStub shrinks payloads proportionally, row-locally") {
+    import graft.operators.Multimodal
+    val media = Multimodal.withMediaColumn(
+      Seq((1L, "abcdefghij"), (2L, "xy")).toDF("id", "payload"), "id", "payload", Nil)
+    val out = Multimodal.resizeStub(media, 50)
+      .select(col("media_id"), length(col("data")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) == 5 && out(2L) == 1)
+  }
+
   test("sampleFrames explodes one row per stride offset") {
     val m = Multimodal.withMediaColumn(docs.where(col("doc_id") === 1), "doc_id", "text", Seq("lang"))
     // 11 bytes, stride 4 → offsets 0,4,8
