@@ -48,7 +48,13 @@ final case class CsvOptions(
     quote: String = "\"",
     escape: String = "\\",
     comment: Option[String] = None,
-    mode: String = "PERMISSIVE")
+    mode: String = "PERMISSIVE",
+    // pandas `converters` (io.py:30): per-column post-read transform —
+    // a Column expression, not an opaque closure, so it stays codegen'd
+    converters: Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      Map.empty,
+    // pandas `nrows`: cap rows read (a LIMIT — pushes into the scan)
+    nrows: Option[Int] = None)
 
 object CsvReader {
 
@@ -102,6 +108,8 @@ object CsvReader {
       df = df.withColumn(c, opts.timestampFormat
         .map(f => to_timestamp(col(c), f)).getOrElse(to_timestamp(col(c))))
     }
+    opts.converters.foreach { case (c, f) => df = df.withColumn(c, f(col(c))) }
+    opts.nrows.foreach(n => df = df.limit(n))
     if (opts.usecols.nonEmpty) df = df.select(opts.usecols.map(col): _*)
     // The reference's `npartitions` means "number of read chunks"
     // (io.py:73), not "shuffle everything". Reducing → shuffle-free

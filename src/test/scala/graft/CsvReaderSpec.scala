@@ -68,6 +68,17 @@ class CsvReaderSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("c", "a"))
   }
 
+  test("converters transform columns post-read; nrows caps the read") {
+    import org.apache.spark.sql.functions._
+    val p = writeCsv("a,b", "1,x", "2,y", "3,z")
+    val df = CsvReader.readCsv(spark, p, CsvOptions(
+      converters = Map("b" -> (c => upper(c)), "a" -> (c => c * 10)),
+      nrows = Some(2)))
+    val rows = df.orderBy("a").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.length == 2)
+    assert(rows(0) == (10, "X") && rows(1) == (20, "Y"))
+  }
+
   test("npartitions reduction uses coalesce (no shuffle), increase repartitions") {
     val p = writeCsv("a" +: (1 to 50).map(_.toString): _*)
     val down = CsvReader.readCsv(spark, p, CsvOptions(npartitions = Some(1)))
