@@ -613,6 +613,19 @@ object SparkEntry {
           round(col("sim"), 4).as("sim"))
         .orderBy("query_id", "rank")
     }),
+    // Same exact top-k through the k-bounded partial aggregate (shuffle
+    // carries k rows per query per partition, not every scored pair).
+    "simsearch_topk_agg" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+      Similarity.bruteForceTopKAgg(q, "query_id", "qv", c, "corpus_id", "cv", k = 10)
+        .select(col("query_id"), col("corpus_id"), col("rank"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
     // ANN recall < 1 by construction → rows-only (no SQL oracle).
     "simsearch_ann" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -1226,6 +1239,24 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
     "simsearch_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5
+        |), c AS (
+        |  SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE vec_id >= 5
+        |), s AS (
+        |  SELECT query_id, corpus_id, list_cosine_similarity(qv, cv) AS sim
+        |  FROM q CROSS JOIN c
+        |), r AS (
+        |  SELECT query_id, corpus_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rk
+        |  FROM s
+        |)
+        |SELECT query_id, corpus_id, CAST(rk AS INTEGER) AS rank,
+        |  CAST(round(sim, 4) AS DOUBLE) AS sim
+        |FROM r WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "simsearch_topk_agg" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |  FROM embeddings WHERE vec_id < 5

@@ -48,6 +48,30 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Exact top-k with a k-bounded PARTIAL aggregate instead of a window
+    * ([[graft.functions.TopKAgg]]): each map task reduces its partition
+    * to ≤ k candidates per query before the exchange, so the shuffle
+    * carries k·partitions rows per query — not every scored pair, which
+    * is what the window/row_number formulation of [[bruteForceTopK]]
+    * must shuffle. Same result set; THE scale shape for brute-force
+    * scoring of a corpus too big to window. */
+  def bruteForceTopKAgg(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int): DataFrame = {
+    val topk = graft.functions.TopKAgg.topK(k)
+    corpus.crossJoin(broadcast(queries))
+      .select(
+        col(qId),
+        cosineSim(asDoubleVec(col(qVec)), asDoubleVec(col(cVec))).as("sim"),
+        col(cId).cast("long").as("id"))
+      .groupBy(col(qId))
+      .agg(topk(col("sim"), col("id")).as("top"))
+      .select(col(qId), posexplode(col("top")).as(Seq("rank0", "s")))
+      .select(col(qId), col("s.id").as(cId),
+        col("s.sim").as("sim"), (col("rank0") + 1).as("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5),
     * derived from (plane, dim) via SplitMix64 — no RNG state, so every
     * executor materializes identical planes. */

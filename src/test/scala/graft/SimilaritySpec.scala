@@ -27,6 +27,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2).getAs[Double]("sim") == 0.0)
   }
 
+  test("bruteForceTopKAgg matches the window formulation and partial-aggregates") {
+    val win = Similarity
+      .bruteForceTopK(queries, "qid", "qvec", corpus, "cid", "cvec", k = 3)
+      .select("qid", "cid", "rank").orderBy("rank").collect().toSeq
+    val agg = Similarity
+      .bruteForceTopKAgg(queries, "qid", "qvec", corpus, "cid", "cvec", k = 3)
+      .select("qid", "cid", "rank").orderBy("rank").collect().toSeq
+    assert(agg == win)
+    // the scale contract: a partial (ObjectHashAggregate/SortAggregate)
+    // phase exists before the exchange — top-k reduces map-side
+    val plan = Similarity
+      .bruteForceTopKAgg(queries, "qid", "qvec", corpus, "cid", "cvec", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Aggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("annTopK finds the exact match in its own bucket") {
     val got = Similarity
       .annTopK(queries, "qid", "qvec", corpus, "cid", "cvec",
