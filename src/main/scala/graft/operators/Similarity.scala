@@ -148,31 +148,56 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    // Centroid ids = approximate quantiles of the id column. GK-sketch
-    // values are actual data elements, so each is a real corpus id; the
-    // driver receives O(nCells) values, independent of |corpus|.
+      k: Int, nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 1): DataFrame = {
+    // Seed centroid ids = approximate quantiles of the id column.
+    // GK-sketch values are actual data elements, so each is a real
+    // corpus id; the driver receives O(nCells) values, independent of
+    // |corpus|.
     val probes = (0 until nCells).map(i => (i + 0.5) / nCells).toArray
     val centIds = corpus
       .select(col(cId).cast("double").as("__id"))
       .stat.approxQuantile("__id", probes, 0.001)
       .map(_.toLong).distinct.toSet
     require(centIds.nonEmpty, "ivfTopK: empty corpus")
-    val cents: Array[Array[Double]] = corpus
+    val seeds: Array[Array[Double]] = corpus
       .where(col(cId).isInCollection(centIds))
       .orderBy(col(cId))
       .select(asDoubleVec(col(cVec)))
       .collect()
       .map(_.getSeq[Double](0).toArray)
 
-    def cellSims(vec: Column): Column = array(cents.map { cvec =>
-      cosineSim(asDoubleVec(vec), array(cvec.map(lit): _*))
-    }: _*)
+    def cellSimsFor(cs: Array[Array[Double]])(vec: Column): Column =
+      array(cs.map { cvec =>
+        cosineSim(asDoubleVec(vec), array(cvec.map(lit): _*))
+      }: _*)
     // argmax over the sims array; first index wins ties (deterministic).
-    def bestCell(vec: Column): Column = {
-      val sims = cellSims(vec)
+    def bestCellFor(cs: Array[Array[Double]])(vec: Column): Column = {
+      val sims = cellSimsFor(cs)(vec)
       (array_position(sims, array_max(sims)) - 1).cast("int")
     }
+
+    // Lloyd refinement: assign → per-cell element-wise mean (explode by
+    // dimension, ONE grouped aggregation) → re-collect the tiny model
+    // (nCells × dim doubles — driver-resident by design, like any
+    // k-means model). Executor-side cost is a row-local assign plus one
+    // hash agg per iteration; empty cells keep their previous centroid.
+    val cents = (1 to kmeansIters).foldLeft(seeds) { (cs, _) =>
+      val means = corpus
+        .select(bestCellFor(cs)(col(cVec)).as("cell"),
+          posexplode(asDoubleVec(col(cVec))).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ms"))
+        .select(col("cell"),
+          transform(col("ms"), s => s.getField("m")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      cs.indices.map(i => means.getOrElse(i, cs(i))).toArray
+    }
+
+    def cellSims(vec: Column): Column = cellSimsFor(cents)(vec)
+    def bestCell(vec: Column): Column = bestCellFor(cents)(vec)
     // Top-nProbe cells for a query: sort (−sim, cell) structs ascending.
     def probeCells(vec: Column): Column = {
       val sims = cellSims(vec)
