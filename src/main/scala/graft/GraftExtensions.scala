@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64, WordNGrams, ProductAgg}
+import graft.functions.{CosineSimilarity, MinHashBands, MinHashSignature, SimHash64,
+  TextMinHashBands, WordNGrams, ProductAgg}
 
 /** Registers graft's native expressions in the SQL function registry so
   * `spark.sql("SELECT cosine_similarity(a, b) ...")` works — installed
@@ -64,6 +65,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.nonEmpty && args.length <= 2, "word_ngrams(text[, n])")
         WordNGrams(args(0), if (args.length == 2) intArg(args(1), "n") else 3)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "minhash_bands(shingles, numHashes, bands)")
+        MinHashBands(args(0), intArg(args(1), "numHashes"), intArg(args(2), "bands"), 42L)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("text_minhash_bands"),
+      new ExpressionInfo(classOf[TextMinHashBands].getName, "text_minhash_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "text_minhash_bands(text, n, numHashes, bands)")
+        TextMinHashBands(args(0), intArg(args(1), "n"),
+          intArg(args(2), "numHashes"), intArg(args(3), "bands"), 42L)
       }))
 
     ext.injectFunction((

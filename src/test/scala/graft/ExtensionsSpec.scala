@@ -11,12 +11,16 @@ class ExtensionsSpec extends SparkSpec {
     val r = spark.sql(
       """SELECT round(cosine_similarity(x, y), 6) AS cs,
         |  size(minhash_signature(word_ngrams(t, 2), 16)) AS sig_len,
-        |  simhash64(word_ngrams(t, 1)) AS sh
+        |  simhash64(word_ngrams(t, 1)) AS sh,
+        |  size(minhash_bands(word_ngrams(t, 2), 16, 4)) AS n_bands,
+        |  size(text_minhash_bands(t, 2, 16, 4)) AS n_bands_fused
         |FROM ext_t""".stripMargin).collect()
     assert(r(0).getDouble(0) == 1.0)
     assert(r(1).getDouble(0) == 0.0)
     assert(r.forall(_.getInt(1) == 16))
     assert(r(0).getLong(2) == r(1).getLong(2)) // same tokens → same simhash
+    assert(r.forall(_.getInt(3) == 4))
+    assert(r.forall(_.getInt(4) == 4))
 
     val agg = spark.sql("SELECT product_agg(v) FROM ext_t").collect()(0)
     assert(agg.getDouble(0) == 6.0)

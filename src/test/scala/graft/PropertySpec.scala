@@ -117,6 +117,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("LSH candidate pairs are invariant under repartition(n)") {
+    val docs = (1 to 40).map { i =>
+      val base = (1 to 40).map(t => s"tok${(i * 7 + t) % 13}").mkString(" ")
+      (i.toLong, if (i % 2 == 0) base else base + " extra tail tokens here")
+    }.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshCandidatePairs(df, "doc_id", "text", 64, 16, 3, 7L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairs(docs.repartition(1))
+    val p7 = pairs(docs.repartition(7))
+    assert(p1 == p7)
+    assert(p1.nonEmpty)
+  }
+
   test("chunking law: dropping each chunk's overlap prefix reconstructs the doc") {
     import graft.operators.Pipeline
     val lenGen = Gen.chooseNum(1, 400)
