@@ -1340,7 +1340,7 @@ object SparkEntry {
         |  CAST(CASE WHEN len(w) >= 3 THEN len(list_distinct(
         |    [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]))
         |  ELSE 0 END AS INTEGER) AS n_shingles
-        |FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
         |      FROM documents WHERE doc_id < 100)
         |ORDER BY doc_id""".stripMargin,
     "text_scrub" ->

@@ -41,21 +41,9 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
         s"minhash_signature requires array<string>, got ${t.catalogString}")
   }
 
-  // Affine coefficients from SplitMix64 (public-domain PRNG; Steele et al.,
-  // "Fast Splittable Pseudorandom Number Generators", OOPSLA'14).
-  @transient private lazy val (coefA: Array[Long], coefB: Array[Long]) = {
-    var x = seed
-    def next(): Long = {
-      x += 0x9e3779b97f4a7c15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val a = Array.fill(numHashes)(next() | 1L) // odd => bijective mod 2^64
-    val b = Array.fill(numHashes)(next())
-    (a, b)
-  }
+  // Affine coefficients from SplitMix64 ([[Hashing.splitMixCoefs]]).
+  @transient private lazy val (coefA: Array[Long], coefB: Array[Long]) =
+    Hashing.splitMixCoefs(seed, numHashes)
 
   /** FNV-1a 64-bit over UTF-8 bytes (public-domain hash). */
   private def fnv1a64(s: UTF8String): Long = {
@@ -148,27 +136,7 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int, seed: Lon
   def compute(shingles: ArrayData): ArrayData = {
     val mins = sig.compute(shingles)
     if (mins == null) return null
-    val r = numHashes / bands
-    val out = new Array[Long](bands)
-    var j = 0
-    while (j < bands) {
-      var h = 0xcbf29ce484222325L ^ (j * 0x9e3779b97f4a7c15L)
-      var i = j * r
-      val end = i + r
-      while (i < end) {
-        val v = mins.getLong(i)
-        var b = 0
-        while (b < 8) {
-          h ^= (v >>> (b * 8)) & 0xffL
-          h *= 0x100000001b3L
-          b += 1
-        }
-        i += 1
-      }
-      out(j) = h
-      j += 1
-    }
-    new GenericArrayData(out)
+    new GenericArrayData(Hashing.bandFold(mins.toLongArray(), numHashes, bands))
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -200,17 +168,23 @@ object MinHashBands {
 /** Fully-fused text → LSH band hashes: raw string in, `array<long>` of
   * `bands` band hashes out, ONE pass over the UTF-8 bytes.
   *
-  * Pipeline folded into the loop: whitespace tokenize + ASCII lowercase
-  * (no lowercased copy, no token array), per-token FNV-1a, rolling
-  * word-n-gram hash from the last n token hashes (no shingle strings),
-  * k affine minima, band fold. Works because minhash is
-  * DUPLICATE-INSENSITIVE — a repeated shingle can't change any minimum
-  * — so the distinct-shingle set materialized by
+  * Pipeline folded into the loop: whitespace tokenize + lowercase,
+  * per-token FNV-1a, word-n-gram hash from consecutive token hashes
+  * (no shingle strings), k affine minima, band fold. Works because
+  * minhash is DUPLICATE-INSENSITIVE — a repeated shingle can't change
+  * any minimum — so the distinct-shingle set materialized by
   * [[WordNGrams]]+[[MinHashBands]] is unnecessary for candidate
   * generation. Gram hashes differ from the string-based path (hash
   * family choice is arbitrary for LSH); recall/banding behavior is
   * identical, and pair VERIFICATION (exact jaccard) stays on the
   * canonical shingle sets.
+  *
+  * Tokenization is EXACTLY [[WordNGrams]]'s (full Unicode lowercase +
+  * `Character.isWhitespace`): pure-ASCII rows take a zero-copy byte
+  * path that is equal by construction; any row with a multi-byte
+  * character falls back to the canonical path — so a pair that the
+  * canonical shingle sets would bucket together is never missed due to
+  * tokenization drift.
   *
   * Fewer than n tokens → null (no shingles → no signature), matching
   * [[MinHashSignature]] on an empty array.
@@ -234,82 +208,51 @@ case class TextMinHashBands(
         s"text_minhash_bands requires string, got ${t.catalogString}")
   }
 
-  @transient private lazy val (coefA: Array[Long], coefB: Array[Long]) = {
-    var x = seed
-    def next(): Long = {
-      x += 0x9e3779b97f4a7c15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    (Array.fill(numHashes)(next() | 1L), Array.fill(numHashes)(next()))
-  }
+  @transient private lazy val (coefA: Array[Long], coefB: Array[Long]) =
+    Hashing.splitMixCoefs(seed, numHashes)
 
-  private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
-
-  def compute(s: UTF8String): ArrayData = {
+  /** Per-token FNV hashes: byte fast path for pure-ASCII input (exact
+    * vs the canonical tokenization by construction), Unicode fallback
+    * ([[Hashing.tokenHashesUnicode]] — full lowercase +
+    * `Character.isWhitespace`, matching [[WordNGrams]]) otherwise. */
+  private def tokenHashes(s: UTF8String): Array[Long] = {
     val bytes = s.getBytes
+    if (!Hashing.isAscii(bytes)) return Hashing.tokenHashesUnicode(s, 0L)
     val len = bytes.length
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    val ring = new Array[Long](n) // last n token hashes
-    var nTokens = 0
-    var nGrams = 0
+    val out = new scala.collection.mutable.ArrayBuffer[Long](64)
     var i = 0
     while (i < len) {
-      while (i < len && isSpace(bytes(i))) i += 1
-      if (i < len) {
-        var h = 0xcbf29ce484222325L
-        while (i < len && !isSpace(bytes(i))) {
-          var b = bytes(i) & 0xff
-          if (b >= 'A' && b <= 'Z') b += 32
-          h ^= b
-          h *= 0x100000001b3L
-          i += 1
-        }
-        ring(nTokens % n) = h
-        nTokens += 1
-        if (nTokens >= n) {
-          // order-sensitive combine of the window's n token hashes
-          var g = 0xcbf29ce484222325L
-          var j = nTokens - n
-          while (j < nTokens) {
-            g = (g ^ ring(j % n)) * 0x100000001b3L
-            j += 1
-          }
-          nGrams += 1
-          var k = 0
-          while (k < numHashes) {
-            val v = coefA(k) * g + coefB(k)
-            if (v < mins(k)) mins(k) = v
-            k += 1
-          }
-        }
-      }
+      while (i < len && Hashing.isAsciiSpace(bytes(i))) i += 1
+      val start = i
+      while (i < len && !Hashing.isAsciiSpace(bytes(i))) i += 1
+      if (i > start) out += Hashing.fnv1aAsciiLower(bytes, start, i, 0L)
     }
-    if (nGrams == 0) return null
-    val r = numHashes / bands
-    val out = new Array[Long](bands)
-    var bnd = 0
-    while (bnd < bands) {
-      var h = 0xcbf29ce484222325L ^ (bnd * 0x9e3779b97f4a7c15L)
-      var idx = bnd * r
-      val end = idx + r
-      while (idx < end) {
-        val v = mins(idx)
-        var byte = 0
-        while (byte < 8) {
-          h ^= (v >>> (byte * 8)) & 0xffL
-          h *= 0x100000001b3L
-          byte += 1
-        }
-        idx += 1
+    out.toArray
+  }
+
+  def compute(s: UTF8String): ArrayData = {
+    val th = tokenHashes(s)
+    val nGrams = th.length - n + 1
+    if (nGrams <= 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var g = 0
+    while (g < nGrams) {
+      // order-sensitive combine of the window's n token hashes
+      var gh = Hashing.FnvOffset
+      var j = g
+      while (j < g + n) {
+        gh = (gh ^ th(j)) * Hashing.FnvPrime
+        j += 1
       }
-      out(bnd) = h
-      bnd += 1
+      var k = 0
+      while (k < numHashes) {
+        val v = coefA(k) * gh + coefB(k)
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      g += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(Hashing.bandFold(mins, numHashes, bands))
   }
 
   override def nullSafeEval(input: Any): Any =

@@ -75,38 +75,37 @@ case class SimHash64(child: Expression, seed: Long)
     sign(votes)
   }
 
-  /** Fused tokenize+hash path for a raw string child: whitespace-split
-    * and ASCII-lowercase happen inline over the UTF-8 bytes — no token
-    * array, no lowercased copy (the `lower`+`split`+array pipeline
-    * measured ~2× this). Multi-byte UTF-8 passes through unchanged
-    * (hash-stable; only ASCII A–Z case-folds, which is what the
-    * synthetic and typical web corpora need from a fingerprint). */
+  /** Fused tokenize+hash path for a raw string child: pure-ASCII rows
+    * tokenize inline over the UTF-8 bytes (no token array, no
+    * lowercased copy — the `lower`+`split`+array pipeline measured ~2×
+    * this); rows with multi-byte characters fall back to the canonical
+    * Unicode tokenization ([[Hashing.tokenHashesUnicode]] — full
+    * lowercase + `Character.isWhitespace`), so both paths agree with
+    * [[graft.functions.WordNGrams]]'s token boundaries. */
   def computeText(s: UTF8String): Any = {
     val bytes = s.getBytes
+    if (!Hashing.isAscii(bytes)) {
+      val th = Hashing.tokenHashesUnicode(s, seed)
+      if (th.isEmpty) return null
+      val votes = new Array[Int](64)
+      th.foreach(vote(votes, _))
+      return sign(votes)
+    }
     val len = bytes.length
     val votes = new Array[Int](64)
     var nTokens = 0
     var i = 0
     while (i < len) {
-      while (i < len && isSpace(bytes(i))) i += 1
-      if (i < len) {
-        var h = 0xcbf29ce484222325L ^ seed
-        while (i < len && !isSpace(bytes(i))) {
-          var b = bytes(i) & 0xff
-          if (b >= 'A' && b <= 'Z') b += 32
-          h ^= b
-          h *= 0x100000001b3L
-          i += 1
-        }
-        vote(votes, h)
+      while (i < len && Hashing.isAsciiSpace(bytes(i))) i += 1
+      val start = i
+      while (i < len && !Hashing.isAsciiSpace(bytes(i))) i += 1
+      if (i > start) {
+        vote(votes, Hashing.fnv1aAsciiLower(bytes, start, i, seed))
         nTokens += 1
       }
     }
     if (nTokens == 0) null else sign(votes)
   }
-
-  private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
 
   @transient private lazy val isTextInput: Boolean = child.dataType == StringType
 

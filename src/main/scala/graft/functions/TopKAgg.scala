@@ -24,8 +24,14 @@ final class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]]
 
   override def zero: Seq[Scored] = Vector.empty
 
-  private def better(a: Scored, b: Scored): Boolean =
-    a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+  // java.lang.Double.compare, not `>`: NaN must rank ABOVE every real
+  // sim (Spark's descending sort order treats NaN as largest), so this
+  // aggregate and the window/row_number formulation agree on inputs
+  // with NaN similarities (e.g. zero vectors).
+  private def better(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.sim, b.sim)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   override def reduce(buf: Seq[Scored], a: Scored): Seq[Scored] =
     if (buf.size >= k && !better(a, buf.last)) buf

@@ -154,8 +154,9 @@ object Dedup {
     * but not certain — bits can spread across all 4 chunks), then exact
     * `bit_count(xor)` verify.
     *
-    * Shape: fused tokenize+simhash (ONE native pass over the raw
-    * bytes — no token array, no lowercased copy) → ONE grouped shuffle
+    * Shape: fused tokenize+simhash (ONE native pass over the raw bytes
+    * for ASCII rows; canonical Unicode tokenization fallback otherwise
+    * — see [[graft.functions.SimHash64.computeText]]) → ONE grouped shuffle
     * on (chunk_idx, chunk_val) → in-bucket pair expansion with the
     * hamming verify pushed INSIDE the expansion
     * ([[inBucketPairsWhere]]), so only surviving pairs are ever

@@ -81,8 +81,11 @@ object Multimodal {
     * here and nothing else changes. Payloads never shuffle. */
   def resizeStub(media: DataFrame, scalePercent: Int): DataFrame = {
     require(scalePercent > 0 && scalePercent <= 100)
+    // long arithmetic: length * scalePercent overflows Int for payloads
+    // over ~Int.MaxValue/scale bytes (a 50 MB blob at 50% would wrap)
     media.withColumn("data",
-      col("data").substr(lit(1), (length(col("data")) * scalePercent / 100).cast("int")))
+      col("data").substr(lit(1),
+        (length(col("data")).cast("long") * scalePercent / 100).cast("int")))
   }
 
   /** Deterministic frame-sampling demo over a binary payload: pick every

@@ -59,6 +59,14 @@ object Similarity {
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       k: Int): DataFrame = {
+    // The aggregate buffer carries the corpus id as a long; a string id
+    // would silently cast to null — reject it up front.
+    corpus.schema(cId).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"bruteForceTopKAgg needs an integral corpus id, got $cId: ${t.catalogString}" +
+          " — use bruteForceTopK for non-numeric ids")
+    }
     val topk = graft.functions.TopKAgg.topK(k)
     corpus.crossJoin(broadcast(queries))
       .select(

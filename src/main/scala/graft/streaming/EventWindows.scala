@@ -64,13 +64,14 @@ object EventWindows {
         max(col("ts").cast("long")).as("end_ts"))
 
   /** Exactly-once ingestion dedup on an id column. Batch frames use the
-    * plain hash-shuffle dropDuplicates; streaming frames (which must
-    * carry a watermark on `tsCol`) use `dropDuplicatesWithinWatermark`,
-    * so the dedup state store holds only the watermark horizon — the
-    * bounded-state form of at-least-once → exactly-once repair at
-    * ingest (duplicate delivery beyond the horizon is the upstream
-    * system's contract, not ours). */
-  def dedupEvents(events: DataFrame, idCol: String, tsCol: String = "ts"): DataFrame =
+    * plain hash-shuffle dropDuplicates; streaming frames use
+    * `dropDuplicatesWithinWatermark`, so the dedup state store holds
+    * only the watermark horizon — the bounded-state form of
+    * at-least-once → exactly-once repair at ingest (duplicate delivery
+    * beyond the horizon is the upstream system's contract, not ours).
+    * A streaming input MUST already carry a watermark (applied with
+    * `withWatermark` upstream) — Spark rejects the query otherwise. */
+  def dedupEvents(events: DataFrame, idCol: String): DataFrame =
     if (events.isStreaming) events.dropDuplicatesWithinWatermark(idCol)
     else events.dropDuplicates(idCol)
 
@@ -78,12 +79,17 @@ object EventWindows {
     * changing) dimension table. The static side is broadcast — no
     * stream-side state, no shuffle of the stream; the same call works
     * on a batch frame. `how` is left by default so unmatched events
-    * survive (enrichment must never drop data). */
+    * survive (enrichment must never drop data). Join keys are resolved
+    * against their own frames, so `eventKey == dimKey` is fine (the
+    * duplicate dim key column is dropped from the output). */
   def enrich(
       events: DataFrame,
       dim: DataFrame,
       eventKey: String,
       dimKey: String,
-      how: String = "left"): DataFrame =
-    events.join(broadcast(dim), col(eventKey) === col(dimKey), how)
+      how: String = "left"): DataFrame = {
+    val d = broadcast(dim)
+    events.join(d, events.col(eventKey) === d.col(dimKey), how)
+      .drop(d.col(dimKey))
+  }
 }

@@ -71,6 +71,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("non-ASCII case variants still pair: fused paths match Unicode tokenization") {
+    val base = "der schnelle braune Fuchs springt über den faulen Hund im alten München heute"
+    val docs = Seq(
+      (1L, base.toUpperCase),
+      (2L, base.toLowerCase),
+      (3L, "völlig anderer Text über ganz andere Dinge die irgendwo anders passieren")
+    ).toDF("doc_id", "text")
+    // minhash-LSH: identical-after-lowercase docs must be candidates
+    val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text", 64, 16, 3, 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), cands)
+    assert(!cands.contains((1L, 3L)))
+    // simhash: identical-after-lowercase → hamming 0
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), pairs)
+  }
+
   test("exactByHash keeps one row per distinct text") {
     assert(Dedup.exactByHash(docs, "text").count() == 3)
   }
