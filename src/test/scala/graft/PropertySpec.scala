@@ -117,6 +117,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mergeAsof matches a naive per-row scan on random data (both directions)") {
+    import graft.operators.AsofJoin
+    val tsGen = Gen.listOfN(30, Gen.chooseNum(0L, 1000L))
+    for (seed <- 1L to 6L; dir <- Seq("backward", "forward")) {
+      val lTs = sample(tsGen, seed).distinct
+      val rTs = sample(tsGen, seed + 100).distinct
+      val key = "k"
+      val left = lTs.map(t => (key, new java.sql.Timestamp(t * 1000), t)).toDF("by", "ts", "lv")
+      val right = rTs.map(t => (key, new java.sql.Timestamp(t * 1000), t * 10)).toDF("by", "ts", "rv")
+      val got = AsofJoin.mergeAsof(left, right, on = "ts", by = "by",
+          valueCols = Seq("rv"), direction = dir)
+        .orderBy("lv").collect()
+        .map(r => r.getLong(2) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      val want = lTs.map { t =>
+        val cands = if (dir == "backward") rTs.filter(_ <= t) else rTs.filter(_ >= t)
+        val best = if (dir == "backward") cands.sorted.lastOption else cands.sorted.headOption
+        t -> best.map(_ * 10)
+      }.toMap
+      assert(got == want, s"seed=$seed dir=$dir")
+    }
+  }
+
   test("LSH candidate pairs are invariant under repartition(n)") {
     val docs = (1 to 40).map { i =>
       val base = (1 to 40).map(t => s"tok${(i * 7 + t) % 13}").mkString(" ")
