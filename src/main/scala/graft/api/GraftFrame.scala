@@ -162,15 +162,20 @@ final class GraftFrame(val df: DataFrame) {
     }.toSeq: _*))
 
   /** pandas `value_counts()` for a column: (value, count) descending,
-    * ties broken by value for determinism. One hash shuffle. */
+    * ties broken by value for determinism, nulls excluded (pandas
+    * `dropna=True` default). One hash shuffle. */
   def value_counts(c: String): GraftFrame =
     new GraftFrame(
-      df.groupBy(col(c)).agg(F.count(lit(1)).as("count"))
+      df.where(col(c).isNotNull)
+        .groupBy(col(c)).agg(F.count(lit(1)).as("count"))
         .orderBy(col("count").desc, col(c).asc))
 
-  /** Distinct count for a column (exact). For 100 TB ballparks prefer
+  /** Distinct count for a column (exact), excluding nulls — pandas
+    * `nunique(dropna=True)`, and what [[approx_nunique]] estimates, so
+    * the exact and approximate paths agree. For 100 TB ballparks prefer
     * [[approx_nunique]] — one pass, no shuffle of distinct values. */
-  def nunique(c: String): Long = df.select(c).distinct().count()
+  def nunique(c: String): Long =
+    df.select(c).where(col(c).isNotNull).distinct().count()
 
   /** HyperLogLog++ distinct estimate — the scale-safe cardinality path. */
   def approx_nunique(c: String, rsd: Double = 0.05): Long =
@@ -198,8 +203,12 @@ final class GraftFrame(val df: DataFrame) {
     new GraftFrame(df.where(col(c).isInCollection(values)))
 
   /** pandas `cumsum` within optional groups, ordered by `orderCol` —
-    * running total as a window aggregate (range-partitioned by group,
-    * sorted within; no driver-side state). */
+    * running total as a window aggregate. With `partitionCols` the work
+    * spreads across the group shuffle; WITHOUT them the global order
+    * forces the whole frame through ONE window partition — fine for
+    * small frames, a deliberate non-scale path otherwise (pass a shard
+    * column at scale, as [[graft.operators.Pipeline.packSequences]]
+    * does). */
   def cumsum(valueCol: String, orderCol: String, partitionCols: Seq[String] = Nil): GraftFrame = {
     import org.apache.spark.sql.expressions.Window
     val w0 = if (partitionCols.isEmpty) Window.orderBy(col(orderCol))

@@ -52,17 +52,24 @@ object AsofJoin {
     require(collisions.isEmpty, s"value columns collide with left: $collisions")
 
     val leftCols = left.columns.toSeq
-    // Common layout: by, on, side, every left col, every right value col
-    // (null on the opposite side).
+    // Common layout: by, on, side, every left col, plus ONE struct
+    // carrying the whole right row (value cols + right timestamp).
+    // A single struct — not per-column fills — so the match has pandas'
+    // whole-row semantics: last(ignoreNulls) picks the latest right ROW
+    // atomically, and a null INSIDE that row stays null instead of
+    // falling through to a value stitched from an older right row.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c).copy()) :+
+        right.schema(on).copy(name = "__r_on"))
     val lTagged = left.select(
-      (leftCols.map(col) :+ lit(1).as("__side")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
-        lit(null).cast(right.schema(on).dataType).as("__r_on"): _*)
+      (leftCols.map(col) :+ lit(1).as("__side")) :+
+        lit(null).cast(rStructType).as("__rrow"): _*)
     val rTagged = right.select(
       leftCols.map(c =>
         if (c == on || c == by) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        (lit(0).as("__side") +: valueCols.map(col)) :+ col(on).as("__r_on"): _*)
+        Seq(lit(0).as("__side"),
+          struct(valueCols.map(col) :+ col(on).as("__r_on"): _*).as("__rrow")): _*)
 
     // backward: ascending scan, right-before-left at ties, running last().
     // forward: the same scan mirrored (descending), so "first right row at
@@ -75,20 +82,19 @@ object AsofJoin {
 
     val filled = lTagged.unionByName(rTagged)
       .select(
-        (leftCols.map(col) :+ col("__side")) ++
-          valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
-          last(col("__r_on"), ignoreNulls = true).over(w).as("__r_on"): _*)
+        (leftCols.map(col) :+ col("__side")) :+
+          last(col("__rrow"), ignoreNulls = true).over(w).as("__rrow"): _*)
       .where(col("__side") === 1)
 
-    val withTol = toleranceSeconds match {
+    val matched = toleranceSeconds match {
       case None => filled
       case Some(tol) =>
-        val gap = abs(col(on).cast("long") - col("__r_on").cast("long"))
-        filled.select(
-          (leftCols.map(col) :+ col("__side")) ++
-            valueCols.map(c => when(gap <= tol, col(c)).as(c)) :+
-            col("__r_on"): _*)
+        // Tolerance nulls the WHOLE matched row (pandas semantics), and
+        // the gap is measured against the same row the values come from.
+        val gap = abs(col(on).cast("long") - col("__rrow.__r_on").cast("long"))
+        filled.withColumn("__rrow", when(gap <= tol, col("__rrow")))
     }
-    withTol.drop("__side", "__r_on")
+    matched.select(
+      leftCols.map(col) ++ valueCols.map(c => col(s"__rrow.$c").as(c)): _*)
   }
 }

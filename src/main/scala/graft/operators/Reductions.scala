@@ -56,7 +56,11 @@ object Reductions {
     requireCols(cs, "sum")
     def zero(c: String) = df.schema(c).dataType match {
       case ByteType | ShortType | IntegerType | LongType => lit(0L)
-      case _                                             => lit(0.0)
+      // a decimal zero of the column's own type: a 0.0 double literal
+      // would coerce the whole coalesce — every row, not just the
+      // all-null fallback — to DoubleType, silently losing precision
+      case d: DecimalType => lit(java.math.BigDecimal.ZERO).cast(d)
+      case _              => lit(0.0)
     }
     def one(c: String) = gated(coalesce(sum(col(c)), zero(c)), col(c), minCount).as(c)
     df.agg(one(cs.head), cs.tail.map(one): _*)
@@ -163,7 +167,11 @@ object Reductions {
     when(n > 0, rowSum(cols) / n.cast(DoubleType))
   }
 
-  /** Row-wise max/min via `greatest`/`least` (null-skipping). */
-  def rowMax(cols: Seq[Column]): Column = greatest(cols: _*)
-  def rowMin(cols: Seq[Column]): Column = least(cols: _*)
+  /** Row-wise max/min via `greatest`/`least` (null-skipping).
+    * `greatest`/`least` require ≥ 2 arguments; a one-column row
+    * reduction is the column itself. */
+  def rowMax(cols: Seq[Column]): Column =
+    if (cols.size == 1) cols.head else greatest(cols: _*)
+  def rowMin(cols: Seq[Column]): Column =
+    if (cols.size == 1) cols.head else least(cols: _*)
 }

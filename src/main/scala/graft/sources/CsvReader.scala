@@ -117,9 +117,14 @@ object CsvReader {
     // user request). At scale prefer spark.sql.files.maxPartitionBytes
     // to control read width instead.
     opts.npartitions match {
-      case Some(n) if n < df.rdd.getNumPartitions => df.coalesce(n)
-      case Some(n)                                => df.repartition(n)
-      case None                                   => df
+      case Some(n) =>
+        // current count computed only when asked for — df.rdd forces
+        // physical planning, which the npartitions=None path must skip
+        val cur = df.rdd.getNumPartitions
+        if (n == cur) df
+        else if (n < cur) df.coalesce(n)
+        else df.repartition(n)
+      case None => df
     }
   }
 }

@@ -73,8 +73,16 @@ object StatefulSessions {
             sorted.foreach { e =>
               val t = Math.floorDiv(e.ts.getTime, 1000L)
               open match {
-                case Some(s) if t - s.end <= gapSec =>
-                  open = Some(Open(s.start, math.max(t, s.end), s.n + 1, s.sum + e.value))
+                // Merge iff within gap of the session INTERVAL — a late
+                // (cross-batch) event can extend the session downward,
+                // so start must take the min; an event more than a gap
+                // BEFORE the open session is its own (already-closable)
+                // session, matching the batch lag-window semantics.
+                case Some(s) if t >= s.start - gapSec && t - s.end <= gapSec =>
+                  open = Some(Open(
+                    math.min(t, s.start), math.max(t, s.end), s.n + 1, s.sum + e.value))
+                case Some(s) if t < s.start - gapSec =>
+                  out += Session(uid, t, t, 1L, e.value)
                 case Some(s) =>
                   out += Session(uid, s.start, s.end, s.n, s.sum)
                   open = Some(Open(t, t, 1L, e.value))
@@ -88,11 +96,14 @@ object StatefulSessions {
             } else {
               open.foreach { s =>
                 state.update(s)
-                // Never set a timeout at-or-before the current watermark
-                // (Spark rejects it); such a session is emitted on the
-                // next batch's timeout sweep anyway.
+                // end is floor-second truncated, so a mergeable event can
+                // arrive up to (end + gap + 1s) exclusive — time out only
+                // past that, or the session splits on same-second events.
+                // Also never set a timeout at-or-before the current
+                // watermark (Spark rejects it); such a session is emitted
+                // on the next batch's timeout sweep anyway.
                 state.setTimeoutTimestamp(
-                  math.max((s.end + gapSec) * 1000L,
+                  math.max((s.end + gapSec + 1L) * 1000L,
                     state.getCurrentWatermarkMs() + 1L))
               }
             }

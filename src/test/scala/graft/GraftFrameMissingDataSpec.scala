@@ -39,7 +39,9 @@ class GraftFrameMissingDataSpec extends SparkSpec {
   }
 
   test("nunique exact and approx agree on small data") {
-    assert(frame.nunique("s") == 3) // a, b, null
+    // pandas nunique(dropna=True): null is NOT a distinct value — and
+    // approx_count_distinct ignores nulls too, so both paths agree
+    assert(frame.nunique("s") == 2) // a, b (null excluded)
     assert(frame.approx_nunique("k") == 3L)
   }
 
