@@ -83,4 +83,39 @@ class StatefulSessionsSpec extends SparkSpec {
       assert(user1(1).getAs[Double]("sum_value") == 3.0)
     } finally q.stop()
   }
+
+  test("streaming: a cross-batch late event extends the open session DOWNWARD") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Double)]
+    // generous watermark delay so the late event is still on-time
+    val stream = source.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "2 hours")
+
+    val q = StatefulSessions.sessionStats(stream, gapMinutes = 15, emitOpen = false)
+      .writeStream.format("memory").queryName("graft_late_sessions")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, ts(60), 1.0))
+      q.processAllAvailable()
+      // late event 10 min BEFORE the session start — merges, lowers start
+      source.addData((1L, ts(50), 2.0))
+      q.processAllAvailable()
+      // an event far before (more than a gap): its own singleton session
+      source.addData((1L, ts(10), 7.0))
+      q.processAllAvailable()
+      val singleton = spark.table("graft_late_sessions").collect()
+      assert(singleton.length == 1)
+      assert(singleton.head.getAs[Double]("sum_value") == 7.0)
+
+      // close the open session via the gap path; start must be ts(50)
+      source.addData((1L, Timestamp.valueOf("2024-01-01 05:00:00"), 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("graft_late_sessions")
+        .where(col("n_events") === 2L).collect()
+      assert(closed.length == 1)
+      assert(closed.head.getAs[Long]("start_ts") == ts(50).getTime / 1000)
+      assert(closed.head.getAs[Long]("end_ts") == ts(60).getTime / 1000)
+      assert(closed.head.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
 }
