@@ -16,17 +16,6 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"'          => "\\\""
-        case '\\'         => "\\\\"
-        case '\n'         => "\\n"
-        case '\r'         => "\\r"
-        case '\t'         => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c            => c.toString
-      } + "\""
-
     // Untimed warmup: pay one-time JVM/codegen/parquet-reader costs here
     // so the alphabetically-first query isn't charged for them.
     try {
@@ -48,11 +37,11 @@ object Bench {
     }
     val ok = results.collect { case (n, t, Right(_)) => n -> t }
     val errs = results.collect { case (n, _, Left(m)) => n -> m }
-    val qs = ok.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }.mkString("{", ",", "}")
+    val qs = ok.map { case (k, v) => s"${JsonOut.q(k)}:$v" }.mkString("{", ",", "}")
+    val es = errs.map { case (k, v) => s"${JsonOut.q(k)}:${JsonOut.q(v.take(200))}" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":${JsonOut.q(sfDir)}}""")
     spark.stop()
   }
 }

@@ -21,8 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def intArg(e: Expression, name: String): Int = e match {
     case lit if lit.foldable =>
       lit.eval(null) match {
-        case i: Int  => i
-        case l: Long => l.toInt
+        case i: Int => i
+        case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+        case l: Long =>
+          // silent l.toInt truncation would accept e.g. seed 5000000000
+          // as 705032704 — wrong results instead of an error
+          throw new IllegalArgumentException(s"$name out of Int range: $l")
         case other =>
           throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
       }

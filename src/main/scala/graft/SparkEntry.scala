@@ -1086,7 +1086,7 @@ object SparkEntry {
         |), flagged AS (
         |  SELECT user_id, ts,
         |    CASE WHEN prev_ts IS NULL
-        |      OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session
+        |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS new_session
         |  FROM lagged
         |), sessions AS (
         |  SELECT user_id, ts,
@@ -1108,7 +1108,7 @@ object SparkEntry {
         |), flagged AS (
         |  SELECT user_id, ts,
         |    CASE WHEN prev_ts IS NULL
-        |      OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_session
+        |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS new_session
         |  FROM lagged
         |), sessions AS (
         |  SELECT user_id, ts,
@@ -1298,14 +1298,15 @@ object SparkEntry {
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text,
-        |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0) AS toks,
         |    CAST(length(text) AS INTEGER) AS n_chars
         |  FROM documents WHERE doc_id < 100
         |)
         |SELECT doc_id, n_chars,
         |  CAST(len(toks) AS INTEGER) AS n_tokens,
-        |  CAST(round((n_chars - (len(toks) - 1)) / len(toks)::DOUBLE, 6) AS DOUBLE)
-        |    AS avg_token_chars,
+        |  CAST(round(list_sum(list_transform(toks, x -> len(x)))
+        |    / len(toks)::DOUBLE, 6) AS DOUBLE) AS avg_token_chars,
         |  CAST(round(len(list_filter(toks, x -> x IN ('the','a','of','and','is')))
         |    / len(toks)::DOUBLE, 6) AS DOUBLE) AS stopword_ratio,
         |  CAST(round(len(list_distinct(toks)) / len(toks)::DOUBLE, 6) AS DOUBLE)
@@ -1313,7 +1314,8 @@ object SparkEntry {
         |FROM t ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
-        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS n_ws,
+        |  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0)) AS INTEGER) AS n_ws,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
         |    AS INTEGER) AS n_bpe
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
@@ -1358,7 +1360,8 @@ object SparkEntry {
     "pipeline_curate" ->
       """WITH t AS (
         |  SELECT doc_id, source, lang, text,
-        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0) AS toks
         |  FROM documents
         |), kept AS (
         |  SELECT source, lower(trim(text)) AS norm, len(toks) AS n_tokens
@@ -1392,7 +1395,8 @@ object SparkEntry {
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "pipeline_split" ->
       """SELECT
-        |  CASE WHEN (doc_id * 2654435761) % 1000 < 100
+        |  CASE WHEN xor(doc_id % 2147483647 * 1103515245 % 2147483647, 101)
+        |         * 1103515245 % 2147483647 % 1000 < 100
         |       THEN 'test' ELSE 'train' END AS split,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -1400,12 +1404,14 @@ object SparkEntry {
     "pipeline_mixture" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 1000 <
+        |WHERE xor(doc_id % 2147483647 * 1103515245 % 2147483647, 202)
+        |    * 1103515245 % 2147483647 % 1000 <
         |  CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 250 ELSE 500 END
         |GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_shuffle" ->
       """SELECT doc_id, n_chars,
-        |  (doc_id * 2654435761) % 1048576 AS shuffle_key
+        |  xor(doc_id % 2147483647 * 1103515245 % 2147483647, 0)
+        |    * 1103515245 % 2147483647 % 1048576 AS shuffle_key
         |FROM documents
         |ORDER BY shuffle_key, doc_id""".stripMargin,
     "pipeline_pack" ->

@@ -20,9 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * and dedupes through a hash set: ~50 µs/doc, 10×+ faster, and it's
   * the per-row stage of every near-dedup pipeline at 100 TB.
   *
-  * Tokenization: split on runs of ASCII whitespace after lowercasing
-  * (matches `split(lower(trim(text)), "\\s+")` for the corpora this
-  * handles). Docs with fewer than n tokens yield an empty array.
+  * Tokenization: full Unicode lowercase, split on runs of
+  * `Character.isWhitespace` — a SUPERSET of Java regex `\s` (it adds
+  * U+001C-1F and Unicode separators like U+2028), so documents using
+  * such separators tokenize here but not in a `split(..., "\\s+")`
+  * pipeline. Docs with fewer than n tokens yield an empty array.
   */
 case class WordNGrams(child: Expression, n: Int)
     extends UnaryExpression {

@@ -92,7 +92,8 @@ object Multimodal {
     * `stride`-th byte offset as a "frame" index (the real operator would
     * seek keyframes). Shows the explode/array plumbing for
     * one-row-per-frame outputs. */
-  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
     media.select(
       col("media_id"),
       // empty payloads yield no frames (sequence(0,-1) would be a
@@ -102,4 +103,5 @@ object Multimodal {
           sequence(lit(0), length(col("data")) - 1, lit(stride)))
           .otherwise(array().cast(ArrayType(IntegerType, containsNull = false))))
         .as("frame_offset"))
+  }
 }

@@ -21,14 +21,31 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** Knuth's multiplicative constant — spreads consecutive ids across
-    * the modulus. Kept as a plain arithmetic expression (not xxhash64)
-    * so external engines can reproduce the assignment bit-for-bit. */
-  private val Knuth = 2654435761L
+  /** Multiplicative hash modulo the Mersenne prime 2^31-1, with an XOR
+    * seed injection between two multiplication rounds. Chosen so that
+    * (a) every intermediate fits a 64-bit signed integer for ANY 64-bit
+    * id — no ANSI-mode overflow (operands stay < 2^31 before each
+    * multiply by K < 2^31); (b) the bucket depends on the WHOLE id, not
+    * id mod buckets (a raw `id*K mod m` collapses structured ids —
+    * e.g. all multiples of 1000 — into one bucket); (c) seeds compose
+    * NON-affinely (an additive seed only shifts the hash by a constant,
+    * leaving two seeded decisions perfectly correlated — XOR between
+    * rounds breaks that); (d) it stays plain arithmetic + xor that
+    * external engines reproduce bit-for-bit:
+    * `xor(id % 2147483647 * 1103515245 % 2147483647, seed)
+    *    * 1103515245 % 2147483647`. */
+  private val M = 2147483647L // 2^31 - 1, prime
+  private val K = 1103515245L
 
-  /** Per-mille bucket in [0, 1000) for a numeric id column. */
-  def hashBucket(id: Column, buckets: Int = 1000): Column =
-    pmod(id * lit(Knuth), lit(buckets.toLong))
+  /** Bucket in [0, buckets) for a numeric id column. `seed` separates
+    * operators: a sample at rate r composed with a split at rate t must
+    * make INDEPENDENT decisions, which sharing one unseeded hash would
+    * break (every sample survivor would land in the same split). */
+  def hashBucket(id: Column, buckets: Int = 1000, seed: Long = 0L): Column = {
+    require(seed >= 0 && seed < M, s"seed must be in [0, $M), got $seed")
+    val r1 = pmod(pmod(id, lit(M)) * K, lit(M))
+    pmod(r1.bitwiseXOR(lit(seed)) * K, lit(M)) % buckets
+  }
 
   /** Split `text` into overlapping token windows of `maxTokens` tokens
     * (stride = maxTokens - overlap). Output: one row per chunk with
@@ -68,11 +85,17 @@ object Pipeline {
     * below `testPerMille` go to "test". Pure projection — no shuffle,
     * no rand(); the same row lands in the same split on every run and
     * every partitioning. */
+  /** Domain-separation seeds: split and sample decisions must be
+    * independent when composed (see [[hashBucket]]). */
+  val SplitSeed = 101L
+  val SampleSeed = 202L
+
   def trainTestSplit(df: DataFrame, idCol: String, testPerMille: Int): DataFrame = {
     require(testPerMille >= 0 && testPerMille <= 1000)
     df.withColumn(
       "split",
-      when(hashBucket(col(idCol)) < testPerMille, lit("test")).otherwise(lit("train")))
+      when(hashBucket(col(idCol), 1000, SplitSeed) < testPerMille, lit("test"))
+        .otherwise(lit("train")))
   }
 
   /** Weighted mixture sampling: keep a row with per-mille rate
@@ -90,7 +113,7 @@ object Pipeline {
     val rate = weights.foldLeft(lit(defaultPerMille): Column) {
       case (acc, (src, w)) => when(col(sourceCol) === src, lit(w)).otherwise(acc)
     }
-    df.where(hashBucket(col(idCol)) < rate)
+    df.where(hashBucket(col(idCol), 1000, SampleSeed) < rate)
   }
 
   /** Deterministic global shuffle: total order by `shuffleKey(id)`,

@@ -173,6 +173,13 @@ object Similarity {
       .select(asDoubleVec(col(cVec)))
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    // the quantile sketch round-trips ids through Double: ids above
+    // 2^53 don't survive the cast, the filter matches nothing, and the
+    // failure would otherwise surface as an inscrutable ANSI array
+    // error deep in probeCells
+    require(seeds.nonEmpty,
+      "ivfTopK: no seed vectors found — corpus ids must round-trip through" +
+        " Double (|id| < 2^53) for quantile-based centroid seeding")
 
     def cellSimsFor(cs: Array[Array[Double]])(vec: Column): Column =
       array(cs.map { cvec =>

@@ -14,8 +14,12 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
-  /** Whitespace tokenization, lowercased. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Whitespace tokenization, lowercased. Empty tokens are filtered:
+    * `split("", "\\s+")` yields `[""]`, which would otherwise count a
+    * phantom token for empty/whitespace-only documents — exactly the
+    * junk rows quality filters exist to catch. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -58,20 +62,24 @@ object TextOps {
 
   /** Quality metrics struct: char/token counts, average token length,
     * stopword ratio, distinct-token ratio. The standard cheap filters a
-    * 100 TB corpus pass runs before anything expensive. */
+    * 100 TB corpus pass runs before anything expensive.
+    * avg_token_chars sums actual token lengths (robust to runs of
+    * whitespace and leading/trailing space — a chars-minus-separators
+    * shortcut is only right for single-spaced text); ratio metrics are
+    * null for token-free documents rather than a fake 1.0. */
   def qualityMetrics(text: Column): Seq[(String, Column)] = {
     val t = tokens(text)
     val nChars = length(text)
     val nToks = size(t)
+    val sumTokChars = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    def ratio(num: Column) =
+      when(nToks > 0, round(num.cast(DoubleType) / nToks.cast(DoubleType), 6))
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> nToks,
-      "avg_token_chars" ->
-        round((nChars - (nToks - 1)).cast(DoubleType) / nToks.cast(DoubleType), 6),
-      "stopword_ratio" ->
-        round(stopwordHits(t, "en").cast(DoubleType) / nToks.cast(DoubleType), 6),
-      "distinct_ratio" ->
-        round(size(array_distinct(t)).cast(DoubleType) / nToks.cast(DoubleType), 6))
+      "avg_token_chars" -> ratio(sumTokChars),
+      "stopword_ratio" -> ratio(stopwordHits(t, "en")),
+      "distinct_ratio" -> ratio(size(array_distinct(t))))
   }
 
   /** 64-bit content fingerprint of normalized text (xxhash64 — stable

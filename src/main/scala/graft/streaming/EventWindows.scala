@@ -44,12 +44,15 @@ object EventWindows {
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts")
-    val gapSec = gapMinutes * 60L
+    // millisecond gap test: cast-to-long truncates to whole seconds,
+    // which silently merges sessions whose gap exceeds the threshold by
+    // under a second
+    val gapMs = gapMinutes * 60000L
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         (col("prev_ts").isNull ||
-          (col("ts").cast("long") - col("prev_ts").cast("long")) > gapSec).cast("long"))
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs).cast("long"))
       .withColumn("session_idx", sum("new_session").over(byUser))
       .drop("prev_ts", "new_session")
   }

@@ -28,11 +28,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulSessions {
 
-  /** Input event: epoch handling matches the batch formulation —
-    * gap compares floor-second values, like `cast(ts as long)`. */
+  /** Input event. Gap arithmetic runs in MILLISECONDS (matching the
+    * batch formulation's `unix_millis` test — whole-second truncation
+    * would merge sessions whose gap overshoots by under a second);
+    * emitted session bounds are floor-seconds. */
   case class Ev(user_id: Long, ts: Timestamp, value: Double)
 
-  /** Per-user open-session state held between micro-batches. */
+  /** Per-user open-session state held between micro-batches
+    * (start/end in epoch ms). */
   case class Open(start: Long, end: Long, n: Long, sum: Double)
 
   /** A closed session (what the operator emits). */
@@ -51,7 +54,9 @@ object StatefulSessions {
       events: Dataset[Ev], gapMinutes: Int,
       emitOpen: Boolean): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapSec = gapMinutes * 60L
+    val gapMs = gapMinutes * 60000L
+    def close(uid: Long, s: Open): Session =
+      Session(uid, Math.floorDiv(s.start, 1000L), Math.floorDiv(s.end, 1000L), s.n, s.sum)
 
     events
       .groupByKey(_.user_id)
@@ -62,7 +67,7 @@ object StatefulSessions {
             // Watermark passed end + gap: the session is final.
             val s = state.get
             state.remove()
-            Iterator.single(Session(uid, s.start, s.end, s.n, s.sum))
+            Iterator.single(close(uid, s))
           } else {
             // Events within one micro-batch (or the whole group, in
             // batch mode) are sorted here; cross-batch reordering is
@@ -71,39 +76,39 @@ object StatefulSessions {
             val out = Vector.newBuilder[Session]
             var open = state.getOption
             sorted.foreach { e =>
-              val t = Math.floorDiv(e.ts.getTime, 1000L)
+              val t = e.ts.getTime
               open match {
                 // Merge iff within gap of the session INTERVAL — a late
                 // (cross-batch) event can extend the session downward,
                 // so start must take the min; an event more than a gap
                 // BEFORE the open session is its own (already-closable)
                 // session, matching the batch lag-window semantics.
-                case Some(s) if t >= s.start - gapSec && t - s.end <= gapSec =>
+                case Some(s) if t >= s.start - gapMs && t - s.end <= gapMs =>
                   open = Some(Open(
                     math.min(t, s.start), math.max(t, s.end), s.n + 1, s.sum + e.value))
-                case Some(s) if t < s.start - gapSec =>
-                  out += Session(uid, t, t, 1L, e.value)
+                case Some(s) if t < s.start - gapMs =>
+                  out += Session(uid, Math.floorDiv(t, 1000L), Math.floorDiv(t, 1000L),
+                    1L, e.value)
                 case Some(s) =>
-                  out += Session(uid, s.start, s.end, s.n, s.sum)
+                  out += close(uid, s)
                   open = Some(Open(t, t, 1L, e.value))
                 case None =>
                   open = Some(Open(t, t, 1L, e.value))
               }
             }
             if (emitOpen) {
-              open.foreach(s => out += Session(uid, s.start, s.end, s.n, s.sum))
+              open.foreach(s => out += close(uid, s))
               if (state.exists) state.remove()
             } else {
               open.foreach { s =>
                 state.update(s)
-                // end is floor-second truncated, so a mergeable event can
-                // arrive up to (end + gap + 1s) exclusive — time out only
-                // past that, or the session splits on same-second events.
-                // Also never set a timeout at-or-before the current
-                // watermark (Spark rejects it); such a session is emitted
-                // on the next batch's timeout sweep anyway.
+                // An event AT end + gap still merges (<=), so time out
+                // strictly past it. Also never set a timeout at-or-before
+                // the current watermark (Spark rejects it); such a
+                // session is emitted on the next batch's timeout sweep
+                // anyway.
                 state.setTimeoutTimestamp(
-                  math.max((s.end + gapSec + 1L) * 1000L,
+                  math.max(s.end + gapMs + 1L,
                     state.getCurrentWatermarkMs() + 1L))
               }
             }

@@ -58,6 +58,29 @@ class PipelineSpec extends SparkSpec {
     assert(bySrc("src2") > 100 && bySrc("src2") < 200)
   }
 
+  test("hash ops survive 64-bit ids, spread structured ids, compose independently") {
+    // ANSI-mode safety: ids near Long.MaxValue must not overflow
+    val huge = Seq(Long.MaxValue - 1, Long.MaxValue / 2, 5000000000L)
+      .map(i => (i, "s")).toDF("id", "source")
+    assert(Pipeline.trainTestSplit(huge, "id", 100).count() == 3)
+    // structured ids (all multiples of 1000) must not collapse into one
+    // bucket: the split fraction stays near the nominal rate
+    val structured = (1L to 2000L).map(i => (i * 1000, i)).toDF("id", "v")
+    val nTest = Pipeline.trainTestSplit(structured, "id", 100)
+      .where($"split" === "test").count()
+    assert(nTest > 120 && nTest < 280, s"structured ids collapsed: $nTest/2000")
+    // composition: sample-then-split must make independent decisions —
+    // the test fraction of sample survivors stays ~10%, not 0% or 100%
+    val df = (1L to 5000L).map(i => (i, "s")).toDF("id", "source")
+    val sampled = Pipeline.mixtureSample(df, "id", "source", Map("s" -> 500))
+    val nS = sampled.count()
+    val nST = Pipeline.trainTestSplit(sampled, "id", 100)
+      .where($"split" === "test").count()
+    assert(nS > 2200 && nS < 2800, s"sample rate off: $nS/5000")
+    val frac = nST.toDouble / nS
+    assert(frac > 0.05 && frac < 0.16, s"composed split biased: $nST/$nS = $frac")
+  }
+
   test("globalShuffle: a permutation, deterministic per seed, seed-sensitive") {
     val df = (1L to 500L).map(i => (i, i)).toDF("id", "v")
     val a = Pipeline.globalShuffle(df, "id", seed = 1L).select("id").collect().map(_.getLong(0))
