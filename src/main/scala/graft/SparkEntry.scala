@@ -575,6 +575,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    // Pairs → clusters → canonical representative per duplicate group:
+    // iterative min-label propagation (one join+groupBy per round, the
+    // scale-safe connected components). Oracle: recursive closure.
+    "dedup_clusters" -> ((s, dir) => {
+      val corpus = nearDupCorpus(tbl(s, dir, "documents").where(col("doc_id") < 60))
+      val pairs = Dedup.nearDupJaccardBrute(corpus, "doc_id", "text", threshold = 0.5)
+      Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+        .orderBy("id")
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val corpus = nearDupCorpus(tbl(s, dir, "documents").where(col("doc_id") < 60))
       Dedup.nearDupJaccardBrute(corpus, "doc_id", "text", threshold = 0.5)
@@ -1224,6 +1233,38 @@ object SparkEntry {
         |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 10 = 3""".stripMargin,
     "dedup_minhash_lsh" -> nearDupOracle(restrict = "", threshold = 0.6),
+    "dedup_clusters" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 30 AND doc_id < 60
+        |), corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(
+        |      list_slice(string_split(text, ' '), 1,
+        |        len(string_split(text, ' ')) - 5), ' ')
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ')
+        |                   for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |        FROM corpus)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.r FROM edges e JOIN reach r ON r.id = e.id_b
+        |)
+        |SELECT id, CAST(min(r) AS BIGINT) AS cluster
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "dedup_ngram_jaccard" -> nearDupOracle(restrict = "AND doc_id < 60", threshold = 0.5),
     "dedup_embedding" ->
       """WITH base AS (

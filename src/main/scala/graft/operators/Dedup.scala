@@ -147,6 +147,58 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-duplicate pairs: (id, cluster)
+    * where cluster = the minimum id reachable through the pair graph.
+    * This is the step that turns pair OUTPUT into an actual dedup
+    * decision — every document in a duplicate cluster maps to one
+    * canonical representative.
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * node takes the min of its own label and its neighbors' labels
+    * (one join + one groupBy per round), until a fixpoint. Rounds
+    * needed = graph diameter; near-dup clusters are shallow (most are
+    * pairs/stars), so this converges in a few rounds where a recursive
+    * closure would not scale. `localCheckpoint` truncates the plan
+    * lineage each round — without it the iterated join plan grows
+    * exponentially. */
+  def duplicateClusters(
+      pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("id_b"), col("label").as("nl")), "id_b")
+        .groupBy(col("id_a").as("id"))
+        .agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") < col("old")).isEmpty
+      labels = next
+      iters += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Drop near-duplicates: keep every row not in any pair, plus the
+    * minimum-id representative of each duplicate cluster. `pairs` is
+    * the output of any of the pair generators above. */
+  def dropNearDuplicates(
+      docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    val losers = clusters.where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact all-pairs n-gram Jaccard ≥ threshold — the brute-force
     * oracle path. QUADRATIC: for small frames / within-bucket verify
     * only; the scale path is [[nearDupMinHash]]. */

@@ -89,6 +89,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), pairs)
   }
 
+  test("duplicateClusters: chains collapse to min-id components; drop keeps reps") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // a 5-chain (diameter > 1 round)
+      (10L, 11L),                             // a simple pair
+      (20L, 22L), (21L, 22L))                 // a star
+      .toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(clusters(_) == 1L))
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(clusters(_) == 20L))
+
+    val docs = (1L to 30L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs,
+      "doc_id", pairs.select(col("id_a").as("id_a"), col("id_b").as("id_b")))
+      .collect().map(_.getLong(0)).toSet
+    // losers 2..5, 11, 21, 22 dropped; reps and untouched ids kept
+    assert(!kept.exists(Set(2L, 3L, 4L, 5L, 11L, 21L, 22L)))
+    assert(Set(1L, 10L, 20L, 6L, 30L).subsetOf(kept))
+    assert(kept.size == 30 - 7)
+  }
+
   test("exactByHash keeps one row per distinct text") {
     assert(Dedup.exactByHash(docs, "text").count() == 3)
   }
