@@ -584,6 +584,14 @@ object SparkEntry {
       Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
         .orderBy("id")
     }),
+    // End-to-end near-dedup: pairs → clusters → keep only cluster
+    // representatives (plus untouched docs).
+    "dedup_drop" -> ((s, dir) => {
+      val corpus = nearDupCorpus(tbl(s, dir, "documents").where(col("doc_id") < 60))
+      val pairs = Dedup.nearDupJaccardBrute(corpus, "doc_id", "text", threshold = 0.5)
+      Dedup.dropNearDuplicates(corpus, "doc_id", pairs.select(col("id_a"), col("id_b")))
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val corpus = nearDupCorpus(tbl(s, dir, "documents").where(col("doc_id") < 60))
       Dedup.nearDupJaccardBrute(corpus, "doc_id", "text", threshold = 0.5)
@@ -1265,6 +1273,45 @@ object SparkEntry {
         |)
         |SELECT id, CAST(min(r) AS BIGINT) AS cluster
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "dedup_drop" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 30 AND doc_id < 60
+        |), corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(
+        |      list_slice(string_split(text, ' '), 1,
+        |        len(string_split(text, ' ')) - 5), ' ')
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ')
+        |                   for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |        FROM corpus)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.r FROM edges e JOIN reach r ON r.id = e.id_b
+        |)
+        |, comp AS (
+        |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
+        |), losers AS (
+        |  SELECT id FROM comp WHERE id != cluster
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM corpus
+        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
     "dedup_ngram_jaccard" -> nearDupOracle(restrict = "AND doc_id < 60", threshold = 0.5),
     "dedup_embedding" ->
       """WITH base AS (
