@@ -757,6 +757,15 @@ object SparkEntry {
       """)
     }),
 
+    // TF-IDF top terms: two grouped shuffles + a broadcast of the
+    // vocabulary-sized document-frequency table.
+    "text_tfidf" -> ((s, dir) =>
+      TextOps.tfIdfTopTerms(
+        tbl(s, dir, "documents").where(col("doc_id") < 50), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("term"),
+          round(col("tfidf"), 6).as("tfidf"), col("rank"))
+        .orderBy("doc_id", "rank")),
+
     // ----- §2.10 multimodal columns ------------------------------------
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.withMediaColumn(
@@ -1433,6 +1442,32 @@ object SparkEntry {
         |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
         |      FROM documents WHERE doc_id < 100)
         |ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 50
+        |), tf AS (
+        |  SELECT doc_id, u.term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM d, unnest(d.toks) AS u(term)
+        |  GROUP BY doc_id, u.term
+        |), dfreq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * (ln((1.0 + (SELECT count(*) FROM d)) / (1.0 + dfreq.df)) + 1.0)
+        |      AS tfidf
+        |  FROM tf JOIN dfreq USING (term)
+        |), ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+        |      AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, CAST(round(tfidf, 6) AS DOUBLE) AS tfidf,
+        |  CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "text_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(

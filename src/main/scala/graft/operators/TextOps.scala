@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -94,6 +94,36 @@ object TextOps {
   def minKFingerprint(text: Column, n: Int = 3, k: Int = 8): Column = {
     val grams = Dedup.shingles(text, n)
     slice(array_sort(transform(grams, g => xxhash64(g))), 1, k)
+  }
+
+  /** Top-k TF-IDF terms per document: term frequency per (doc, term),
+    * document frequency per term, smooth idf `ln((1+N)/(1+df)) + 1`,
+    * then a per-doc top-k window (ties broken by term for determinism).
+    *
+    * Scale shape: ONE shuffle for the (doc, term) counts, ONE for the
+    * term document-frequencies (tiny — vocabulary-sized, broadcast back
+    * onto the tf table), and the per-doc window partitions by doc id —
+    * millions of small partitions, no global sort. The corpus size N is
+    * a driver-side scalar (one count job), like any fitted-statistic
+    * parameter. */
+  def tfIdfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0)
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .withColumn("tfidf",
+        col("tf") * (log((lit(1.0) + n) / (lit(1.0) + col("df"))) + 1.0))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tfidf"), col("rank"))
   }
 
   /** PII scrub: mask emails, URLs, and long digit runs (phone/account

@@ -47,6 +47,19 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("tfIdfTopTerms ranks rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common rare1"),
+      (2L, "common rare2 rare2"),
+      (3L, "common other")).toDF("id", "t")
+    val top = TextOps.tfIdfTopTerms(docs, "id", "t", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'common' is in every doc (df=3, idf term lowest); the rare term wins
+    assert(top(1L) == "rare1")
+    assert(top(2L) == "rare2")
+    assert(top(3L) == "other")
+  }
+
   test("scrubPii masks emails, urls, and number runs; leaves prose alone") {
     val got = one("mail a.b+c@ex-site.org or https://ex.org/x?y=1 call 0123 456 7890 year 2024 ok")
       .select(TextOps.scrubPii(col("t"))).collect()(0).getString(0)
