@@ -385,6 +385,20 @@ object SparkEntry {
     "events_window" -> ((s, dir) =>
       graft.streaming.EventWindows.tumbling(events(s, dir), "1 hour")
         .orderBy("window_start", "event_type")),
+    // Stream-stream interval join, batch form (the streaming form with
+    // watermarks is exercised in StreamingSpec): click → purchase
+    // attribution within 10 minutes.
+    "events_correlate" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      graft.streaming.EventWindows
+        .correlate(clicks, purchases, "user_id", "ts", withinSeconds = 600)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
     // Ingestion dedup, batch form (streaming form uses the same entry
     // point with dropDuplicatesWithinWatermark — StreamingSpec): a
     // doubled feed collapses back to one row per event id.
@@ -1099,6 +1113,16 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_correlate" ->
+      """WITH c AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 600 SECONDS""".stripMargin,
     "events_dedup" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,

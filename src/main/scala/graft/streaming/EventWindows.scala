@@ -78,6 +78,31 @@ object EventWindows {
     if (events.isStreaming) events.dropDuplicatesWithinWatermark(idCol)
     else events.dropDuplicates(idCol)
 
+  /** Stream-stream interval join: pair each left event with right
+    * events of the same key whose timestamp falls in
+    * [left.ts, left.ts + withinSeconds] — e.g. click → conversion
+    * attribution. Both sides MUST carry watermarks upstream; the time
+    * bound makes the join state droppable once the watermark passes
+    * (unbounded stream-stream joins otherwise hold state forever).
+    * The same call works on batch frames (where it is a plain range
+    * join). Right columns are prefixed to avoid collisions. */
+  def correlate(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      withinSeconds: Long,
+      rightPrefix: String = "r_"): DataFrame = {
+    val r = right.columns.foldLeft(right)((df, c) =>
+      df.withColumnRenamed(c, s"$rightPrefix$c"))
+    left.join(
+      r,
+      col(key) === col(s"$rightPrefix$key") &&
+        col(s"$rightPrefix$tsCol") >= col(tsCol) &&
+        col(s"$rightPrefix$tsCol") <=
+          col(tsCol) + expr(s"INTERVAL $withinSeconds SECONDS"))
+  }
+
   /** Stream-static enrichment: join each event against a (small, slowly
     * changing) dimension table. The static side is broadcast — no
     * stream-side state, no shuffle of the stream; the same call works

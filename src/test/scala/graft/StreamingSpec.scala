@@ -93,6 +93,35 @@ class StreamingSpec extends SparkSpec {
     assert(EventWindows.dedupEvents(df, "event_id").count() == 2)
   }
 
+  test("correlate: stream-stream interval join pairs events within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val convs = MemoryStream[(Long, Timestamp)]
+    val cDf = clicks.toDF().toDF("user_id", "ts").withWatermark("ts", "1 hour")
+    val vDf = convs.toDF().toDF("user_id", "ts").withWatermark("ts", "1 hour")
+
+    val q = EventWindows.correlate(cDf, vDf, "user_id", "ts", withinSeconds = 600)
+      .writeStream.format("memory").queryName("graft_correlate_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0)), (2L, ts(0)))
+      convs.addData((1L, ts(5)), (2L, ts(30)), (1L, ts(2)))
+      q.processAllAvailable()
+      val rows = spark.table("graft_correlate_test")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(3)))
+      // user 1: both conversions within 10 min; user 2's at +30 min misses
+      assert(rows.count(_._1 == 1L) == 2)
+      assert(!rows.exists(_._1 == 2L))
+    } finally q.stop()
+  }
+
+  test("correlate works identically on batch frames") {
+    val l = Seq((1L, ts(0))).toDF("user_id", "ts")
+    val r = Seq((1L, ts(5)), (1L, ts(20))).toDF("user_id", "ts")
+    val got = EventWindows.correlate(l, r, "user_id", "ts", withinSeconds = 600)
+    assert(got.count() == 1)
+  }
+
   test("stream-static enrich broadcasts the dimension and keeps unmatched") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dim_user", "tier")
