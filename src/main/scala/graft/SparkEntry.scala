@@ -592,17 +592,25 @@ object SparkEntry {
     // Pairs → clusters → canonical representative per duplicate group:
     // iterative min-label propagation (one join+groupBy per round, the
     // scale-safe connected components). Oracle: recursive closure.
+    // Pairs come from the banded MinHash-LSH SCALE path (threshold-
+    // matched banding: r=4 puts the s-curve midpoint at 0.35; planted
+    // drop-5-token copies sit at jaccard ≈ 0.75 where the miss
+    // probability is (1-0.75⁴)⁶⁴ ≈ 3e-11, and the exact-Jaccard verify
+    // inside nearDupMinHash removes any sub-threshold collisions — so
+    // the pair set, and hence the closure, matches the brute oracle).
     "dedup_clusters" -> ((s, dir) => {
-      val corpus = nearDupCorpus(tbl(s, dir, "documents").where(col("doc_id") < 60))
-      val pairs = Dedup.nearDupJaccardBrute(corpus, "doc_id", "text", threshold = 0.5)
+      val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+      val pairs = Dedup.nearDupMinHash(corpus, "doc_id", "text",
+        threshold = 0.5, numHashes = 256, bands = 64)
       Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
         .orderBy("id")
     }),
     // End-to-end near-dedup: pairs → clusters → keep only cluster
-    // representatives (plus untouched docs).
+    // representatives (plus untouched docs) — all on the LSH scale path.
     "dedup_drop" -> ((s, dir) => {
-      val corpus = nearDupCorpus(tbl(s, dir, "documents").where(col("doc_id") < 60))
-      val pairs = Dedup.nearDupJaccardBrute(corpus, "doc_id", "text", threshold = 0.5)
+      val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+      val pairs = Dedup.nearDupMinHash(corpus, "doc_id", "text",
+        threshold = 0.5, numHashes = 256, bands = 64)
       Dedup.dropNearDuplicates(corpus, "doc_id", pairs.select(col("id_a"), col("id_b")))
         .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
     }),
@@ -621,13 +629,18 @@ object SparkEntry {
       Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 6)
         .orderBy("id_a", "id_b")
     }),
+    // Scale path: SRP-bucketed self-join (never a cross join). Planted
+    // duplicates are exact-direction (cos = 1) so bucket codes match
+    // bit-for-bit and recall is certain; oracle = brute-force DuckDB
+    // list_cosine_similarity over the full (uncapped) fixture.
     "dedup_embedding" -> ((s, dir) => {
-      val base = tbl(s, dir, "embeddings").where(col("vec_id") < 100)
+      val base = tbl(s, dir, "embeddings")
         .select(col("vec_id"), Similarity.asDoubleVec(col("embedding")).as("vec"))
       val scaled = base.select(
         (col("vec_id") + 100000).as("vec_id"),
         transform(col("vec"), x => x * lit(2.0)).as("vec"))
-      Similarity.cosineNearDupPairs(base.unionAll(scaled), "vec_id", "vec", 0.99)
+      Similarity.bucketedCosinePairs(base.unionAll(scaled), "vec_id", "vec", 0.99,
+          dim = 64, nPlanes = 16)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy("id_a", "id_b")
     }),
@@ -1277,7 +1290,7 @@ object SparkEntry {
     "dedup_clusters" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, text FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 30 AND doc_id < 60
+        |  WHERE len(string_split(text, ' ')) >= 30
         |), corpus AS (
         |  SELECT doc_id, text FROM base
         |  UNION ALL
@@ -1309,7 +1322,7 @@ object SparkEntry {
     "dedup_drop" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, text FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 30 AND doc_id < 60
+        |  WHERE len(string_split(text, ' ')) >= 30
         |), corpus AS (
         |  SELECT doc_id, text FROM base
         |  UNION ALL
@@ -1348,7 +1361,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> nearDupOracle(restrict = "AND doc_id < 60", threshold = 0.5),
     "dedup_embedding" ->
       """WITH base AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings WHERE vec_id < 100
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
         |), corpus AS (
         |  SELECT vec_id, vec FROM base
         |  UNION ALL

@@ -73,6 +73,11 @@ object Similarity {
         col(qId),
         cosineSim(asDoubleVec(col(qVec)), asDoubleVec(col(cVec))).as("sim"),
         col(cId).cast("long").as("id"))
+      // cosineSim is null for mismatched-dimension / null-element vectors;
+      // the typed aggregator's Double field is non-nullable, so one corrupt
+      // embedding would fail the whole job. Drop it here — the window
+      // formulation degrades the same way (null sim sorts last).
+      .where(col("sim").isNotNull)
       .groupBy(col(qId))
       .agg(topk(col("sim"), col("id")).as("top"))
       .select(col(qId), posexplode(col("top")).as(Seq("rank0", "s")))
@@ -243,13 +248,53 @@ object Similarity {
   }
 
   /** All pairs with cosine ≥ threshold within a frame (embedding-space
-    * near-dup). Brute-force self-join — subset/bucket first at scale
-    * (same SRP bucketing applies). */
+    * near-dup). Brute-force self-join — QUADRATIC, oracle/verify path
+    * only; the scale path is [[bucketedCosinePairs]]. */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineSim(asDoubleVec(col("v_a")), asDoubleVec(col("v_b"))).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** Embedding-space near-dup pairs at scale: SRP-bucket both sides of
+    * the self-join ([[srpBucket]]), join on the bucket (ONE equi-join
+    * shuffle — never a cross join), exact-cosine verify within buckets.
+    * Same output as [[cosineNearDupPairs]] whenever every ≥-threshold
+    * pair lands in a shared probe bucket.
+    *
+    * Recall: one side probes every bucket at Hamming distance ≤ 1 from
+    * its own code (flip each sign bit), so a pair is found iff its two
+    * codes differ in ≤ 1 bit. A random hyperplane separates a pair at
+    * angle θ with p = θ/π; at threshold 0.99 (θ ≤ 8.1°, p ≤ 0.045) the
+    * expected differing bits at nPlanes=16 is ≤ 0.72 — and planted
+    * exact-direction duplicates (cos = 1) differ in ZERO bits, so they
+    * are found with certainty. For looser thresholds lower `nPlanes`
+    * (bigger buckets) rather than relying on deeper probes.
+    *
+    * Scale: candidates ≈ (nPlanes+1)·n²/2^nPlanes — raise `nPlanes`
+    * with log₂(corpus) to hold the per-bucket population constant. The
+    * probe explode is (nPlanes+1)× on ONE side only; payload vectors
+    * shuffle once per side. */
+  def bucketedCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      dim: Int, nPlanes: Int = 16, seed: Long = 42L): DataFrame = {
+    val bucket = srpBucket(col(vecCol), dim, nPlanes, seed)
+    // Probe side carries its own bucket plus every 1-bit flip; the other
+    // side keeps its exact bucket. A pair (a,b) with hamming(code_a,
+    // code_b) ≤ 1 then matches on exactly ONE probe value, so no
+    // post-join distinct is needed.
+    val probes = array(bucket +: (0 until nPlanes).map(p =>
+      bucket.bitwiseXOR(lit(1L << p))): _*)
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      explode(probes).as("bucket"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      bucket.as("bucket"))
+    a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineSim(asDoubleVec(col("v_a")), asDoubleVec(col("v_b"))).as("sim"))

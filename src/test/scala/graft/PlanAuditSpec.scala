@@ -79,6 +79,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("embedding near-dup: bucketed equi-join — never a cross join") {
+    val p = plan("dedup_embedding")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 0, p)
+    // the bucket join is a real equi-join on the SRP code
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dedup clusters/drop gates ride the LSH path — no cross join") {
+    for (name <- Seq("dedup_clusters", "dedup_drop")) {
+      val p = plan(name)
+      assert(nodes(p, "CartesianProduct") == 0, s"$name:\n$p")
+      assert(nodes(p, "BroadcastNestedLoopJoin") == 0, s"$name:\n$p")
+    }
+  }
+
   test("broadcast join query does broadcast; big join stays shuffle") {
     assert(plan("join_broadcast").contains("BroadcastHashJoin"))
     // join_big must not HINT a broadcast: disable the size-based

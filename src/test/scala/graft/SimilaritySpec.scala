@@ -108,4 +108,25 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((1L, 2L)))
   }
+
+  test("bucketedCosinePairs matches brute force on exact-direction dups") {
+    // 40 pseudo-random base vectors + scaled copies of the first 10:
+    // the copies (cos = 1) share every SRP sign bit, so the bucketed
+    // path must reproduce the brute-force pair set exactly.
+    val dim = 8
+    def v(i: Int): Array[Float] =
+      Array.tabulate(dim)(d => (((i * 37 + d * 11) % 19) - 9).toFloat)
+    val base = (0 until 40).map(i => (i.toLong, v(i)))
+    val dups = (0 until 10).map(i => (100L + i, v(i).map(_ * 3.0f)))
+    val df = (base ++ dups).toDF("id", "vec")
+    val brute = Similarity.cosineNearDupPairs(df, "id", "vec", 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.bucketedCosinePairs(df, "id", "vec", 0.99, dim = dim)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == brute)
+    assert(brute.size >= 10) // every planted dup found
+    // and no pair is emitted twice (single-probe match guarantee)
+    val n = Similarity.bucketedCosinePairs(df, "id", "vec", 0.99, dim = dim).count()
+    assert(n == bucketed.size)
+  }
 }
