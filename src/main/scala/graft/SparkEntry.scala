@@ -620,12 +620,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
-    // SimHash has no SQL-expressible oracle (hash-specific); rows-only.
+    // Full pair-level oracle: the DuckDB side reimplements seeded
+    // FNV-1a + bit-vote simhash in pure SQL (HUGEINT mod-2^64
+    // arithmetic), reproducing the exact (id_a, id_b, hamming) set —
+    // the strongest check an LSH gate can carry.
     "dedup_simhash" -> ((s, dir) => {
       val corpus = nearDupCorpus(tbl(s, dir, "documents"))
       // maxHamming 6: tight enough to cut the small-vocab chunk-collision
       // noise (10x fewer candidate pairs at sf0.1), loose enough that the
-      // planted drop-5-token copies (hamming ~0-4) all survive.
+      // planted drop-5-token copies (hamming ~0-4) mostly survive.
       Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 6)
         .orderBy("id_a", "id_b")
     }),
@@ -670,35 +673,57 @@ object SparkEntry {
           round(col("sim"), 4).as("sim"))
         .orderBy("query_id", "rank")
     }),
-    // ANN recall < 1 by construction → rows-only (no SQL oracle).
+    // SRP-LSH ANN with PLANTED ground truth: each query's scaled copy
+    // (cos = 1, hence identical sign bits — bucket match is certain) is
+    // planted in the corpus at query_id+100000; the gate emits the
+    // planted retrievals, which the oracle reproduces exactly. An LSH
+    // regression (plane hashing, probing, bucket join) loses the
+    // planted copy and breaks the gate.
     "simsearch_ann" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val planted = q.select(
+        (col("query_id") + 100000).as("corpus_id"),
+        transform(Similarity.asDoubleVec(col("qv")), x => x * lit(2.0)).as("cv"))
       val c = emb.where(col("vec_id") >= 5)
-        .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+        .select(col("vec_id").as("corpus_id"),
+          Similarity.asDoubleVec(col("embedding")).as("cv"))
+        .unionAll(planted)
       Similarity.annTopK(q, "query_id", "qv", c, "corpus_id", "cv",
           k = 10, dim = 64, nPlanes = 8, multiProbe = true)
-        .select(col("query_id"), col("corpus_id"), col("rank"),
-          round(col("sim"), 4).as("sim"))
-        .orderBy("query_id", "rank")
+        .where(col("corpus_id") === col("query_id") + 100000)
+        .select(col("query_id"), col("corpus_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id")
     }),
 
-    // IVF coarse-quantizer ANN: recall < 1 by construction → rows-only.
+    // IVF coarse-quantizer ANN, same planted ground truth: the scaled
+    // copy lands in the query's own best cell (identical cell sims —
+    // scaling by 2 is exact in fp), which is always probed first.
     "simsearch_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val planted = q.select(
+        (col("query_id") + 100000).as("corpus_id"),
+        transform(Similarity.asDoubleVec(col("qv")), x => x * lit(2.0)).as("cv"))
       val c = emb.where(col("vec_id") >= 5)
-        .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+        .select(col("vec_id").as("corpus_id"),
+          Similarity.asDoubleVec(col("embedding")).as("cv"))
+        .unionAll(planted)
       Similarity.ivfTopK(q, "query_id", "qv", c, "corpus_id", "cv",
           k = 10, nCells = 16, nProbe = 4)
-        .select(col("query_id"), col("corpus_id"), col("rank"),
-          round(col("sim"), 4).as("sim"))
-        .orderBy("query_id", "rank")
+        .where(col("corpus_id") === col("query_id") + 100000)
+        .select(col("query_id"), col("corpus_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id")
     }),
-    // ANN quality gate: mean recall@10 of IVF vs exact brute force.
-    // Deterministic (fixed centroid rule) but not SQL-expressible → rows-only.
+    // ANN quality gate: mean recall@10 of IVF vs exact brute force,
+    // gated against a documented floor. Measured ≈ 0.48-0.50 at
+    // sf0.01/sf0.1 — the nProbe/nCells = 1/4 baseline expected on this
+    // weak-cluster fixture. Floor 0.3: a probe-selection or
+    // cell-assignment regression collapses recall to ~k/|C| ≈ 0.02 and
+    // breaks the gate, while run-to-run noise (deterministic seeding)
+    // is zero.
     "simsearch_recall" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 5)
@@ -709,7 +734,8 @@ object SparkEntry {
       val ann = Similarity.ivfTopK(q, "query_id", "qv", c, "corpus_id", "cv",
         k = 10, nCells = 16, nProbe = 4)
       Similarity.recallAtK(ann, exact, "query_id", "corpus_id")
-        .agg(round(avg("recall"), 4).as("mean_recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          (avg("recall") >= 0.3).as("recall_ok"))
     }),
 
     // ----- §2.10 text analysis -----------------------------------------
@@ -873,6 +899,65 @@ object SparkEntry {
         slice(split(col("text"), " "), lit(1), size(split(col("text"), " ")) - 5),
         " ").as("text"))
     base.unionAll(perturbed)
+  }
+
+  /** DuckDB oracle for [[graft.operators.Dedup.simHashPairs]]: pure-SQL
+    * seeded FNV-1a + bit-vote SimHash over the near-dup corpus, then
+    * all pairs sharing a 16-bit chunk with hamming ≤ 6. Validated
+    * byte-for-byte against the Scala implementation. */
+  private lazy val simHashOracle: String = {
+    // 2^0..2^63 (HUGEINT-safe literals) and 2^0..2^15 for chunk packing.
+    val p64 = (0 until 64).map(b => BigInt(1) << b).mkString("[", ",", "]")
+    val s16 = (0 until 16).map(b => 1 << b).mkString("[", ",", "]")
+    // 0xcbf29ce484222325 XOR seed(42); FNV prime 0x100000001b3.
+    val init = (BigInt("cbf29ce484222325", 16) ^ BigInt(42)).toString
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 30
+       |), corpus AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 100000,
+       |    array_to_string(list_slice(string_split(text, ' '), 1,
+       |      len(string_split(text, ' ')) - 5), ' ')
+       |  FROM base
+       |), th AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '), t ->
+       |      list_reduce(
+       |        list_prepend(CAST($init AS HUGEINT),
+       |          flatten(list_transform(range(1, length(t)+1),
+       |            i -> [CAST(ord(lower(t)[i]) AS HUGEINT), CAST(-1 AS HUGEINT)]))),
+       |        (h, x) -> CASE WHEN x >= 0
+       |          THEN h - (h % 256)
+       |               + CAST(xor(CAST(h % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT)
+       |          ELSE ((h % 4294967296) * 1099511628211
+       |                + (((h // 4294967296) * 1099511628211) % 4294967296) * 4294967296)
+       |               % 18446744073709551616 END)) AS hs
+       |  FROM corpus
+       |), bits AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), b -> CASE WHEN
+       |      list_sum(list_transform(hs, h ->
+       |        CASE WHEN (h // ($p64)[b+1]) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+       |      THEN 1 ELSE 0 END) AS bv
+       |  FROM th
+       |), chunks AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(0,16), i -> bv[i+1]  * ($s16)[i+1])) AS BIGINT) AS c0,
+       |    CAST(list_sum(list_transform(range(0,16), i -> bv[i+17] * ($s16)[i+1])) AS BIGINT) AS c1,
+       |    CAST(list_sum(list_transform(range(0,16), i -> bv[i+33] * ($s16)[i+1])) AS BIGINT) AS c2,
+       |    CAST(list_sum(list_transform(range(0,16), i -> bv[i+49] * ($s16)[i+1])) AS BIGINT) AS c3
+       |  FROM bits
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.c0,b.c0)) + bit_count(xor(a.c1,b.c1))
+       |     + bit_count(xor(a.c2,b.c2)) + bit_count(xor(a.c3,b.c3)) AS INTEGER) AS hamming
+       |FROM chunks a JOIN chunks b ON a.doc_id < b.doc_id
+       |WHERE (a.c0=b.c0 OR a.c1=b.c1 OR a.c2=b.c2 OR a.c3=b.c3)
+       |  AND bit_count(xor(a.c0,b.c0)) + bit_count(xor(a.c1,b.c1))
+       |    + bit_count(xor(a.c2,b.c2)) + bit_count(xor(a.c3,b.c3)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1359,6 +1444,27 @@ object SparkEntry {
         |FROM corpus
         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
     "dedup_ngram_jaccard" -> nearDupOracle(restrict = "AND doc_id < 60", threshold = 0.5),
+    // Exact SQL reimplementation of seeded FNV-1a + bit-vote SimHash
+    // (graft.functions.SimHash64 semantics, bit-for-bit): per token,
+    // h := ((h XOR byte) * 0x100000001b3) mod 2^64 from
+    // h₀ = 0xcbf29ce484222325 XOR 42; each hash votes ±1 per bit; bit
+    // set iff votes > 0. Mod-2^64 multiply is done in HUGEINT via a
+    // 32-bit hi/lo split; the byte stream is interleaved with -1
+    // sentinels so one list_reduce alternates XOR and multiply steps.
+    // Pairs = share a 16-bit chunk AND hamming ≤ 6 — exactly what the
+    // banded simHashPairs emits.
+    "dedup_simhash" -> simHashOracle,
+    "simsearch_ann" ->
+      """SELECT vec_id AS query_id, vec_id + 100000 AS corpus_id,
+        |  CAST(1.0 AS DOUBLE) AS sim
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "simsearch_ivf" ->
+      """SELECT vec_id AS query_id, vec_id + 100000 AS corpus_id,
+        |  CAST(1.0 AS DOUBLE) AS sim
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "simsearch_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "dedup_embedding" ->
       """WITH base AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
