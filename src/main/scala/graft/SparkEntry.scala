@@ -820,15 +820,24 @@ object SparkEntry {
         .orderBy("doc_id", "rank")),
 
     // ----- §2.10 multimodal columns ------------------------------------
+    // Real round-trip: encode a valid 24-bit BMP per doc (dims derived
+    // from table columns), then parse width/height back from the actual
+    // header BYTES. The oracle independently rebuilds the same 54-byte
+    // header blob in SQL and parses it back by blob slicing — both
+    // sides exercise the byte layout, not the construction arithmetic.
     "multimodal_features" -> ((s, dir) => {
-      val media = Multimodal.withMediaColumn(
-        tbl(s, dir, "documents"), "doc_id", "text", Seq("lang", "n_chars"))
+      val dims = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        (col("n_chars") % 64 + 1).cast("int").as("w"),
+        (col("doc_id") % 48 + 1).cast("int").as("h"))
+      val media = Multimodal.encodeBmpFrame(dims, "doc_id", "w", "h")
       Multimodal.extractFeatures(media).toDF()
         .agg(
           count(lit(1)).as("n_media"),
           sum("byteLen").as("total_bytes"),
           sum("width").as("sum_width"),
-          sum("headByte").as("sum_head"))
+          sum("height").as("sum_height"),
+          sum(when(col("format") === "bmp", 1L).otherwise(0L)).as("n_bmp"))
     }),
     "multimodal_frames" -> ((s, dir) => {
       val media = Multimodal.withMediaColumn(
@@ -958,6 +967,51 @@ object SparkEntry {
        |  AND bit_count(xor(a.c0,b.c0)) + bit_count(xor(a.c1,b.c1))
        |    + bit_count(xor(a.c2,b.c2)) + bit_count(xor(a.c3,b.c3)) <= 6
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB oracle for the multimodal_features gate: rebuild the
+    * 54-byte BMP header (BITMAPINFOHEADER, little-endian) as a BLOB and
+    * parse width/height back from the raw header bytes. */
+  private lazy val bmpHeaderOracle: String = {
+    // hex of byte k of little-endian int32 `v`
+    def leb(v: String, k: Int): String = {
+      val shift = Seq("% 256", "// 256 % 256", "// 65536 % 256", "// 16777216 % 256")(k)
+      s"lpad(to_hex(($v) $shift), 2, '0')"
+    }
+    def le32hex(v: String): String = (0 until 4).map(leb(v, _)).mkString(", ")
+    // byte i (0-based) of the blob, via hex slicing → 1-byte blob → BIT → INT
+    def b(i: Int): String =
+      s"CAST(CAST(from_hex(substr(to_hex(blob), 2*$i+1, 2)) AS BIT) AS INTEGER)"
+    def le32parse(off: Int): String =
+      s"${b(off)} + ${b(off + 1)}*256 + ${b(off + 2)}*65536 + ${b(off + 3)}*16777216"
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(n_chars % 64 + 1 AS INTEGER) AS w,
+       |         CAST(doc_id % 48 + 1 AS INTEGER) AS h
+       |  FROM documents
+       |), enc AS (
+       |  SELECT doc_id, w, h, 54 + ((w * 3 + 3) // 4) * 4 * h AS filesize
+       |  FROM d
+       |), hdr AS (
+       |  SELECT doc_id, filesize, from_hex(concat(
+       |    '424d', ${le32hex("filesize")},
+       |    '00000000', '36000000', '28000000',
+       |    ${le32hex("w")}, ${le32hex("h")},
+       |    '0100', '1800', '00000000',
+       |    ${le32hex("filesize - 54")},
+       |    '130b0000', '130b0000', '00000000', '00000000')) AS blob
+       |  FROM enc
+       |), parsed AS (
+       |  SELECT doc_id, filesize,
+       |    ${le32parse(18)} AS pw,
+       |    ${le32parse(22)} AS ph
+       |  FROM hdr
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_media,
+       |  CAST(sum(filesize) AS BIGINT) AS total_bytes,
+       |  CAST(sum(pw) AS BIGINT) AS sum_width,
+       |  CAST(sum(ph) AS BIGINT) AS sum_height,
+       |  CAST(count(*) AS BIGINT) AS n_bmp
+       |FROM parsed""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1562,12 +1616,11 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT CAST(count(DISTINCT lower(trim(text))) AS BIGINT) AS n_fp
         |FROM documents""".stripMargin,
-    "multimodal_features" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_media,
-        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
-        |  CAST(sum(strlen(text) % 640 + 1) AS BIGINT) AS sum_width,
-        |  CAST(sum(ascii(substr(text, 1, 1))) AS BIGINT) AS sum_head
-        |FROM documents""".stripMargin,
+    // Builds the same 54-byte BMP header as a BLOB (from_hex of
+    // little-endian field hex) and parses width/height back by slicing
+    // header bytes 18-21 / 22-25 — an independent exercise of the BMP
+    // byte layout against the Scala encoder+parser round-trip.
+    "multimodal_features" -> bmpHeaderOracle,
     "multimodal_frames" ->
       """SELECT CAST(sum(CAST(ceil(strlen(text) / 10.0) AS BIGINT)) AS BIGINT)
         |  AS n_frames

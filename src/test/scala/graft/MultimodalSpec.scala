@@ -20,20 +20,57 @@ class MultimodalSpec extends SparkSpec {
     assert(m.count() == 3)
   }
 
-  test("extractFeatures: per-partition batch decode with stable fake decoder") {
-    val m = Multimodal.withMediaColumn(docs, "doc_id", "text", Seq("lang"))
-    val f = Multimodal.extractFeatures(m).collect().map(x => x.mediaId -> x).toMap
-    assert(f(1L).byteLen == 11L)
-    assert(f(1L).headByte == 'h'.toInt)
-    assert(f(1L).width == 12 && f(1L).height == ('h'.toInt % 480) + 1)
-    assert(f(3L).byteLen == 0L && f(3L).headByte == -1 && f(3L).width == 0)
+  test("parseDims reads golden BMP header bytes (hand-written, little-endian)") {
+    // 54-byte header for a 3x2 bitmap, written out field by field from
+    // the public BITMAPINFOHEADER layout — pins offsets + endianness
+    // independently of the encoder.
+    val golden: Array[Byte] = (Array(
+      0x42, 0x4d,             // "BM"
+      0x4e, 0x00, 0x00, 0x00, // file size 78 = 54 + 12*2
+      0x00, 0x00, 0x00, 0x00,
+      0x36, 0x00, 0x00, 0x00, // pixel offset 54
+      0x28, 0x00, 0x00, 0x00, // header size 40
+      0x03, 0x00, 0x00, 0x00, // width 3
+      0x02, 0x00, 0x00, 0x00, // height 2
+      0x01, 0x00, 0x18, 0x00) ++ Array.fill(26)(0)).map(_.toByte)
+    assert(Multimodal.parseDims(golden) == (("bmp", 3, 2)))
+  }
+
+  test("parseDims reads golden PNG IHDR bytes (big-endian)") {
+    val golden: Array[Byte] = (Array(
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0x00, 0x00, 0x00, 0x0d,                         // IHDR length 13
+      0x49, 0x48, 0x44, 0x52,                         // "IHDR"
+      0x00, 0x00, 0x01, 0x00,                         // width 256
+      0x00, 0x00, 0x00, 0x78)).map(_.toByte)          // height 120
+    assert(Multimodal.parseDims(golden) == (("png", 256, 120)))
+    assert(Multimodal.parseDims("not an image".getBytes) == (("unknown", 0, 0)))
+    assert(Multimodal.parseDims(null) == (("unknown", 0, 0)))
+  }
+
+  test("encodeBmp → parseDims round-trips real bytes at spec size") {
+    val bytes = Multimodal.encodeBmp(7L, width = 5, height = 3)
+    // rowSize(5) = 16 (3*5=15 padded to 4-byte boundary)
+    assert(bytes.length == 54 + 16 * 3)
+    assert(Multimodal.parseDims(bytes) == (("bmp", 5, 3)))
+  }
+
+  test("encodeBmpFrame + extractFeatures: distributed encode/parse round-trip") {
+    val dims = Seq((1L, 3, 2), (2L, 64, 48), (3L, 1, 1)).toDF("id", "w", "h")
+    val media = Multimodal.encodeBmpFrame(dims, "id", "w", "h")
+    val f = Multimodal.extractFeatures(media).collect().map(x => x.mediaId -> x).toMap
+    assert(f(1L).format == "bmp" && f(1L).width == 3 && f(1L).height == 2)
+    assert(f(2L).width == 64 && f(2L).height == 48)
+    assert(f(2L).byteLen == 54L + Multimodal.bmpRowSize(64) * 48)
+    assert(f(3L).width == 1 && f(3L).height == 1)
   }
 
   test("extractFeatures is partition-invariant") {
-    val m = Multimodal.withMediaColumn(docs, "doc_id", "text", Seq("lang"))
-    val one = Multimodal.extractFeatures(m.repartition(1)).collect().sortBy(_.mediaId).toSeq
-    val many = Multimodal.extractFeatures(m.repartition(3)).collect().sortBy(_.mediaId).toSeq
-    assert(one == many)
+    val dims = Seq((1L, 3, 2), (2L, 10, 4), (3L, 2, 2)).toDF("id", "w", "h")
+    def feats(n: Int) = Multimodal.extractFeatures(
+      Multimodal.encodeBmpFrame(dims.repartition(n), "id", "w", "h"))
+      .collect().sortBy(_.mediaId).toSeq
+    assert(feats(1) == feats(3))
   }
 
   test("resizeStub shrinks payloads proportionally, row-locally") {
