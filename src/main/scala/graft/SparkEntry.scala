@@ -156,6 +156,42 @@ object SparkEntry {
         aggregate = (x: Long) => x)
       Seq(n).toDF("n_rows")
     }),
+    // partition_info injection: every row sees a valid (number, total)
+    // context; the aggregate is partition-count-invariant so the oracle
+    // holds under any parallelism.
+    "map_partitions_info" -> ((s, dir) => {
+      import s.implicits._
+      val tagged = Apply.mapPartitionsWithInfo(li(s, dir)) { (info, it) =>
+        val ok = info.number >= 0 && info.number < info.numPartitions
+        it.map(_ => ok)
+      }
+      tagged.toDF("ok").agg(
+        count(lit(1)).as("n_rows"),
+        min(col("ok")).as("all_valid"))
+    }),
+    // Multi-frame map_partitions: orders and per-order lineitem counts
+    // hash-aligned on the key, then a partition-LOCAL merge join inside
+    // the zipped iterators — no row-level join shuffle beyond the two
+    // alignment exchanges. Oracle = the plain SQL join.
+    "zip_partitions_join" -> ((s, dir) => {
+      import s.implicits._
+      val ords = tbl(s, dir, "orders").where(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val items = li(s, dir).where(col("l_orderkey") < 2000)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      val merged = Apply.zipPartitionsAligned(
+        ords, items, Seq("o_orderkey"), numPartitions = 8) { (oit, iit) =>
+        val counts = iit.map(r => r.getLong(0) -> r.getLong(1)).toMap
+        oit.flatMap { r =>
+          counts.get(r.getLong(0)).map(n => (r.getLong(0), r.getDouble(1), n))
+        }
+      }
+      merged.toDF("o_orderkey", "o_totalprice", "n_items")
+        .agg(count(lit(1)).as("n_matched"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          sum("n_items").as("sum_items"))
+    }),
 
     // ----- §2.1 read_csv round-trip ------------------------------------
     "csv_roundtrip" -> ((s, dir) => {
@@ -1105,6 +1141,16 @@ object SparkEntry {
       "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
     "reduction_count" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
+    "map_partitions_info" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS all_valid FROM lineitem",
+    "zip_partitions_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_matched,
+        |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_price,
+        |  CAST(sum(n_items) AS BIGINT) AS sum_items
+        |FROM (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 2000) o
+        |JOIN (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+        |      FROM lineitem WHERE l_orderkey < 2000 GROUP BY 1) i
+        |  ON o.o_orderkey = i.l_orderkey""".stripMargin,
     "csv_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,

@@ -2,7 +2,9 @@ package graft.operators
 
 import scala.reflect.ClassTag
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Row}
+import org.apache.spark.sql.functions.col
 
 /** The reference's UDF surface: per-row `apply(func, axis=1)`
   * (reference: dataframe/core.py:171-262), per-partition `map_partitions`
@@ -39,6 +41,62 @@ object Apply {
   /** Typed variant aligned with `map_partitions` over a typed frame. */
   def mapPartitionsTyped[I, T: Encoder](ds: Dataset[I])(f: Iterator[I] => Iterator[T]): Dataset[T] =
     ds.mapPartitions(f)
+
+  /** The reference's `partition_info` injection (core.py:434-435,
+    * 531-545): the per-partition `{number, division}` context a
+    * partition function can request. Spark's analog of `number` is the
+    * task's partition id; `division` (the range boundary) only exists
+    * under explicit range partitioning, so the total partition count —
+    * which IS statically known — stands in as the scale context. */
+  final case class PartitionInfo(number: Int, numPartitions: Int)
+
+  /** `map_partitions(func, partition_info=True)`: the function receives
+    * ([[PartitionInfo]], rows). Implemented with `TaskContext` inside
+    * the closure — no extra column, no shuffle; the partition id is
+    * exactly the id the scheduler runs the task under. */
+  def mapPartitionsWithInfo[T: Encoder](df: DataFrame)(
+      f: (PartitionInfo, Iterator[Row]) => Iterator[T]): Dataset[T] = {
+    val np = df.rdd.getNumPartitions
+    df.mapPartitions { it =>
+      f(PartitionInfo(TaskContext.getPartitionId(), np), it)
+    }
+  }
+
+  /** Multi-frame `map_partitions` (the reference aligns partitions
+    * across frame args before zipping them — core.py:445-448
+    * `_maybe_align_partitions`): both frames are hash-repartitioned on
+    * `keys` into `numPartitions` shards — the SAME deterministic
+    * partitioner, so equal keys co-locate by construction — then the
+    * function sees the two aligned partition iterators.
+    *
+    * Scale: this is the partition-local merge shape — two shuffles to
+    * align, then zero further data movement regardless of what `f`
+    * computes. If both inputs are ALREADY co-partitioned (bucketed
+    * tables, reused prior shuffle), use [[zipPartitionsStrict]] and
+    * skip the shuffles entirely. */
+  def zipPartitionsAligned[T: Encoder: ClassTag](
+      a: DataFrame, b: DataFrame, keys: Seq[String], numPartitions: Int)(
+      f: (Iterator[Row], Iterator[Row]) => Iterator[T]): Dataset[T] = {
+    require(keys.nonEmpty, "zipPartitionsAligned needs at least one alignment key")
+    val ap = a.repartition(numPartitions, keys.map(col): _*)
+    val bp = b.repartition(numPartitions, keys.map(col): _*)
+    zipPartitionsStrict(ap, bp)(f)
+  }
+
+  /** Zip two frames partition-by-partition with NO alignment shuffle —
+    * the caller asserts co-partitioning (same partition count and same
+    * key→partition mapping, e.g. both sides just repartitioned on the
+    * same keys). Mis-matched counts fail fast with a clear message
+    * instead of zipPartitions' opaque error. */
+  def zipPartitionsStrict[T: Encoder: ClassTag](a: DataFrame, b: DataFrame)(
+      f: (Iterator[Row], Iterator[Row]) => Iterator[T]): Dataset[T] = {
+    val spark = a.sparkSession
+    val (na, nb) = (a.rdd.getNumPartitions, b.rdd.getNumPartitions)
+    require(na == nb,
+      s"zipPartitions needs equal partition counts, got $na vs $nb — " +
+        "align first (zipPartitionsAligned / repartition on the join keys)")
+    spark.createDataset(a.rdd.zipPartitions(b.rdd)(f))
+  }
 
   /** Generic chunk → tree-combine → aggregate reduction
     * (core.py:15-144): `chunk` runs once per partition, partial results

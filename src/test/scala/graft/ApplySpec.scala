@@ -50,4 +50,37 @@ class ApplySpec extends SparkSpec {
       assert(s == 5050L, s"fanIn=$fanIn")
     }
   }
+
+  test("mapPartitionsWithInfo injects a valid (number, numPartitions) context") {
+    val parts = Apply.mapPartitionsWithInfo(df.repartition(7)) { (info, it) =>
+      Iterator.single((info.number, info.numPartitions, it.size))
+    }.collect()
+    assert(parts.length == 7)
+    assert(parts.map(_._1).sorted.toSeq == (0 until 7).toSeq) // each id once
+    assert(parts.forall(_._2 == 7))
+    assert(parts.map(_._3).sum == 100)
+  }
+
+  test("zipPartitionsAligned co-locates equal keys and merges locally") {
+    val a = (1 to 50).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+    val b = (26 to 75).map(i => (i.toLong, i * 10L)).toDF("k", "bv")
+    for (n <- Seq(3, 8)) {
+      val merged = Apply.zipPartitionsAligned(a, b, Seq("k"), n) { (ia, ib) =>
+        val right = ib.map(r => r.getLong(0) -> r.getLong(1)).toMap
+        ia.flatMap(r => right.get(r.getLong(0)).map(v => (r.getLong(0), v)))
+      }.collect().sortBy(_._1)
+      // result must be the full key intersection regardless of shard count
+      assert(merged.map(_._1).toSeq == (26L to 50L).toSeq, s"n=$n")
+      assert(merged.forall { case (k, v) => v == k * 10 })
+    }
+  }
+
+  test("zipPartitionsStrict rejects mismatched partition counts with a clear error") {
+    val a = df.repartition(4)
+    val b = df.repartition(5)
+    val e = intercept[IllegalArgumentException] {
+      Apply.zipPartitionsStrict(a, b)((x, _) => x.map(_.getLong(0)))
+    }
+    assert(e.getMessage.contains("equal partition counts"))
+  }
 }
