@@ -58,6 +58,39 @@ final case class CsvOptions(
 
 object CsvReader {
 
+  /** pandas `mangle_dupe_cols` (io.py:24 inherits it from `pd.read_csv`;
+    * always-on in modern pandas): duplicate names become `x`, `x.1`,
+    * `x.2`, …, and a mangled name that collides with a LATER literal
+    * name keeps incrementing (`["a","a","a.1"]` → `a, a.1, a.1.1` —
+    * pandas' `maybe_dedup_names` truth table, pinned in CsvReaderSpec). */
+  def mangleDupeCols(names: Seq[String]): Seq[String] = {
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    val used = scala.collection.mutable.Set.empty[String]
+    names.map { n =>
+      if (!used.contains(n)) { used += n; n }
+      else {
+        var k = counts.getOrElse(n, 0) + 1
+        while (used.contains(s"$n.$k")) k += 1
+        counts(n) = k
+        val m = s"$n.$k"
+        used += m
+        m
+      }
+    }
+  }
+
+  /** Bind user `names` to file columns, pandas-style: names attach to
+    * the RIGHTMOST columns (pandas turns the leading unnamed columns
+    * into the index; Spark has no index, so they keep their inferred
+    * names — the one documented divergence). More names than columns is
+    * an error, as in pandas. */
+  private[sources] def bindNames(fileCols: Seq[String], names: Seq[String]): Seq[String] = {
+    require(names.length <= fileCols.length,
+      s"Too many columns specified: expected at most ${fileCols.length} names, " +
+        s"got ${names.length}")
+    fileCols.dropRight(names.length) ++ mangleDupeCols(names)
+  }
+
   def readCsv(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
     var r = spark.read
       .option("sep", opts.sep)
@@ -79,11 +112,19 @@ object CsvReader {
     var df =
       if (fullDtype) {
         // Explicit schema: skips the inference pass entirely (fast path).
-        val schema = StructType(opts.names.map(n => StructField(n, opts.dtype(n), nullable = true)))
+        // Binds LEFT-to-right and assumes `names` covers every file
+        // column (duplicate names are mangled; dtype is looked up by the
+        // pre-mangle name, positionally).
+        val mangled = mangleDupeCols(opts.names)
+        val schema = StructType(opts.names.zip(mangled).map { case (orig, m) =>
+          StructField(m, opts.dtype(orig), nullable = true)
+        })
         r.schema(schema).csv(path)
       } else {
         val inferred = r.option("inferSchema", opts.inferSchema.toString).csv(path)
-        if (opts.names.nonEmpty) inferred.toDF(opts.names: _*) else inferred
+        if (opts.names.nonEmpty)
+          inferred.toDF(bindNames(inferred.columns.toSeq, opts.names): _*)
+        else inferred
       }
 
     // Remaining na_values sentinels → null. With an explicit schema the

@@ -32,6 +32,41 @@ class CsvReaderSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("mangle_dupe_cols follows the pandas maybe_dedup_names truth table") {
+    assert(CsvReader.mangleDupeCols(Seq("a", "b", "c")) == Seq("a", "b", "c"))
+    assert(CsvReader.mangleDupeCols(Seq("a", "a", "a")) == Seq("a", "a.1", "a.2"))
+    // a mangled name colliding with a later literal keeps incrementing
+    assert(CsvReader.mangleDupeCols(Seq("a", "a", "a.1")) == Seq("a", "a.1", "a.1.1"))
+    assert(CsvReader.mangleDupeCols(Seq("a.1", "a", "a")) == Seq("a.1", "a", "a.2"))
+  }
+
+  test("duplicate names are mangled on read, not silently mis-bound") {
+    val p = writeCsv("1,2,3", "4,5,6")
+    val df = CsvReader.readCsv(spark, p,
+      CsvOptions(header = false, names = Seq("x", "x", "y")))
+    assert(df.columns.toSeq == Seq("x", "x.1", "y"))
+    assert(df.select("`x.1`").collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 5))
+  }
+
+  test("short names bind to the RIGHTMOST columns (pandas index analog)") {
+    // pandas would make the leading column the index; here it keeps its
+    // inferred name — the documented divergence.
+    val p = writeCsv("1,2,3", "4,5,6")
+    val df = CsvReader.readCsv(spark, p,
+      CsvOptions(header = false, names = Seq("x", "y")))
+    assert(df.columns.toSeq == Seq("_c0", "x", "y"))
+    assert(df.select("x").collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 5))
+  }
+
+  test("more names than columns errors like pandas, not a silent bind") {
+    val p = writeCsv("1,2", "3,4")
+    val e = intercept[IllegalArgumentException] {
+      CsvReader.readCsv(spark, p,
+        CsvOptions(header = false, names = Seq("a", "b", "c")))
+    }
+    assert(e.getMessage.contains("Too many columns"))
+  }
+
   test("explicit names + dtype skips inference and applies schema") {
     val p = writeCsv("1,x", "2,y")
     val df = CsvReader.readCsv(spark, p,
