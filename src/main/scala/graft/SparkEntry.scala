@@ -602,6 +602,27 @@ object SparkEntry {
         round(sum("l_extendedprice"), 2).as("sum_price"))
     }),
 
+    // ----- §2.6 divisions analog: range partitioning -------------------
+    // Range-partition + sort-within: proves every partition holds a
+    // disjoint ordered key range (the Dask `divisions` contract). The
+    // aggregate is partition-boundary-invariant: whatever boundaries the
+    // sampler picks, ranges must be disjoint and the row count conserved.
+    "range_partition" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rp = new GraftFrame(li(s, dir))
+        .repartition_by_range(4, "l_shipdate")
+        .sort_within_partitions("l_shipdate")
+      val per = rp.toDF
+        .select(col("l_shipdate"), spark_partition_id().as("pid"))
+        .groupBy("pid")
+        .agg(min("l_shipdate").as("mn"), max("l_shipdate").as("mx"),
+          count(lit(1)).as("n"))
+      val w = Window.orderBy("pid")
+      per.select(col("n"), col("mn"), lag(col("mx"), 1).over(w).as("prev_mx"))
+        .agg(sum("n").as("n_rows"),
+          min(coalesce(col("prev_mx") <= col("mn"), lit(true))).as("ranges_disjoint"))
+    }),
+
     // ----- §2.10 exact dedup -------------------------------------------
     "dedup_exact" -> ((s, dir) => {
       new GraftFrame(tbl(s, dir, "documents"))
@@ -1143,6 +1164,8 @@ object SparkEntry {
       "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
     "map_partitions_info" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS all_valid FROM lineitem",
+    "range_partition" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS ranges_disjoint FROM lineitem",
     "zip_partitions_join" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_matched,
         |  CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_price,

@@ -292,6 +292,20 @@ final class GraftFrame(val df: DataFrame) {
   def repartition(n: Int): GraftFrame = new GraftFrame(df.repartition(n))
   /** Shuffle-free partition reduction. */
   def coalesce(n: Int): GraftFrame = new GraftFrame(df.coalesce(n))
+  /** The `divisions` analog (reference: dataframe/core.py:517-529 keeps
+    * sorted range boundaries as frame metadata): range-partition into
+    * `n` shards on `cols` — each partition covers a disjoint, ordered
+    * key range, with boundaries picked by a distributed sample. The
+    * layout Dask's divisions metadata describes, and the precondition
+    * for merge-join/as-of locality at scale. */
+  def repartition_by_range(n: Int, cols: String*): GraftFrame =
+    new GraftFrame(df.repartitionByRange(n, cols.map(col): _*))
+  /** Sort INSIDE each partition, no exchange — composed after
+    * [[repartition_by_range]] it yields the globally-ordered,
+    * range-partitioned layout (Dask's `set_index(sorted=True)`) without
+    * a global sort's single ordering bottleneck. */
+  def sort_within_partitions(cols: String*): GraftFrame =
+    new GraftFrame(df.sortWithinPartitions(cols.map(col): _*))
 
   // ----- sinks (§2.1) --------------------------------------------------
 
@@ -352,6 +366,18 @@ final class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
   /** Spark-native column aggregates. */
   def agg(first: Column, rest: Column*): GraftFrame =
     new GraftFrame(grouped.agg(first, rest: _*))
+
+  /** `split_out` (reference: dataframe/core.py:596-603) — per-call
+    * control of the grouped OUTPUT shard count, independent of the
+    * global `spark.sql.shuffle.partitions`/AQE setting. The extra
+    * exchange re-hashes the already-aggregated rows (one per group), so
+    * its cost is proportional to the number of groups, not the input —
+    * exactly the knob's purpose: high-cardinality groupings write `n`
+    * balanced shards instead of one giant AQE-coalesced partition. */
+  def agg(splitOut: Int, pairs: (String, String)*): GraftFrame = {
+    require(splitOut > 0, s"split_out must be positive, got $splitOut")
+    new GraftFrame(agg(pairs: _*).toDF.repartition(splitOut, keys.map(col): _*))
+  }
 
   def sum(cols: String*): GraftFrame = agg(cols.map(_ -> "sum"): _*)
   def mean(cols: String*): GraftFrame = agg(cols.map(_ -> "mean"): _*)

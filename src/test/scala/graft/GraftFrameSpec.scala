@@ -86,4 +86,39 @@ class GraftFrameSpec extends SparkSpec {
     assert(s.getLong(0) == 10L)
     assert(s.getDouble(2) == 355.0)
   }
+
+  test("split_out controls grouped-output shard count without changing results") {
+    val big = new GraftFrame(
+      (1 to 200).map(i => (i % 10, i.toDouble)).toDF("k", "v"))
+    val base = big.groupby("k").agg("v" -> "sum").toDF
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (n <- Seq(3, 7)) {
+      val sharded = big.groupby("k").agg(n, "v" -> "sum")
+      assert(sharded.npartitions == n, s"split_out=$n")
+      val got = sharded.toDF.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(got == base, s"split_out=$n")
+    }
+  }
+
+  test("repartition_by_range + sort_within_partitions: disjoint sorted ranges") {
+    val big = new GraftFrame(
+      (1 to 500).map(i => ((i * 37) % 500, s"r$i")).toDF("k", "v"))
+    val rp = big.repartition_by_range(4, "k").sort_within_partitions("k")
+    assert(rp.npartitions == 4)
+    // each partition internally sorted, and partition key ranges disjoint
+    val perPart = rp.toDF.select("k").rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val ks = it.map(_.getInt(0)).toSeq
+        Iterator.single((pid, ks))
+      }.collect().sortBy(_._1)
+    perPart.foreach { case (pid, ks) =>
+      assert(ks == ks.sorted, s"partition $pid not sorted")
+    }
+    val nonEmpty = perPart.filter(_._2.nonEmpty)
+    nonEmpty.sliding(2).foreach {
+      case Array((_, a), (_, b)) => assert(a.max <= b.min)
+      case _ =>
+    }
+    assert(perPart.map(_._2.size).sum == 500)
+  }
 }
