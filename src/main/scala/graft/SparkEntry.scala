@@ -477,6 +477,22 @@ object SparkEntry {
           round(col("p_value"), 2).as("p_value"))
         .orderBy("event_id")
     }),
+    // Skew-proof two-level variant — same semantics, same oracle;
+    // parallelism = keys × time buckets instead of keys.
+    "asof_join_bucketed" -> ((s, dir) => {
+      val ev = events(s, dir).where(col("user_id") < 30)
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("p_value"))
+      AsofJoin.mergeAsofBucketed(clicks, purchases, on = "ts", by = "user_id",
+          valueCols = Seq("p_value"), bucketSeconds = 6L * 3600L)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("ts_sec"),
+          round(col("value"), 2).as("value"),
+          round(col("p_value"), 2).as("p_value"))
+        .orderBy("event_id")
+    }),
 
     // ----- §2.6 rolling window -----------------------------------------
     "rolling_mean" -> ((s, dir) =>
@@ -1453,6 +1469,21 @@ object SparkEntry {
         |  SELECT * FROM lineitem WHERE l_quantity <= 5
         |)""".stripMargin,
     "asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE user_id < 30 AND event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, ts, value AS p_value FROM events
+        |  WHERE user_id < 30 AND event_type = 'purchase'
+        |)
+        |SELECT l.event_id, l.user_id,
+        |  CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_sec,
+        |  CAST(round(l.value, 2) AS DOUBLE) AS value,
+        |  CAST(round(r.p_value, 2) AS DOUBLE) AS p_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
+    "asof_join_bucketed" ->
       """WITH l AS (
         |  SELECT event_id, user_id, ts, value FROM events
         |  WHERE user_id < 30 AND event_type = 'click'

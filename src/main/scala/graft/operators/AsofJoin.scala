@@ -97,4 +97,109 @@ object AsofJoin {
     matched.select(
       leftCols.map(col) ++ valueCols.map(c => col(s"__rrow.$c").as(c)): _*)
   }
+
+  /** Skew-proof two-level as-of join. [[mergeAsof]] windows on `by`
+    * alone, so one hot key (one user generating 1% of a 100 TB event
+    * stream) serializes into a single window partition that AQE cannot
+    * split. This variant windows on (`by`, coarse time bucket) —
+    * parallelism = keys × buckets — then stitches bucket boundaries:
+    *
+    *  1. within-bucket pass: the same union + running-last window, but
+    *     partitioned by (`by`, `floor(on / bucketSeconds)`);
+    *  2. per-bucket summary: the boundary right-row of each (key,
+    *     bucket) — ONE row per key×bucket, grouped not windowed;
+    *  3. carry pass: a running-last window over the summaries (tiny:
+    *     |buckets| rows per key) yields each bucket's carry-in — the
+    *     match a row would have found in earlier buckets;
+    *  4. stitch: `coalesce(within-bucket match, carry-in)`, joined back
+    *     on (`by`, bucket) — the big side is already hash-partitioned
+    *     on exactly those keys by the window, so no extra exchange.
+    *
+    * Same results as [[mergeAsof]] (asserted in AsofJoinSpec and by the
+    * shared oracle); `bucketSeconds` only tunes parallelism. */
+  def mergeAsofBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      on: String,
+      by: String,
+      valueCols: Seq[String],
+      direction: String = "backward",
+      toleranceSeconds: Option[Long] = None,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    val collisions = valueCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"value columns collide with left: $collisions")
+
+    val leftCols = left.columns.toSeq
+    val rStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c).copy()) :+
+        right.schema(on).copy(name = "__r_on"))
+    val bucketOf = floor(col(on).cast("long") / bucketSeconds).as("__bucket")
+    val lTagged = left.select(
+      (leftCols.map(col) :+ lit(1).as("__side")) ++
+        Seq(lit(null).cast(rStructType).as("__rrow"), bucketOf): _*)
+    val rTagged = right.select(
+      leftCols.map(c =>
+        if (c == on || c == by) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(lit(0).as("__side"),
+          struct(valueCols.map(col) :+ col(on).as("__r_on"): _*).as("__rrow"),
+          bucketOf): _*)
+    val unioned = lTagged.unionByName(rTagged)
+
+    val backward = direction == "backward"
+    val ordered =
+      if (backward) Seq(col(on).asc, col("__side").asc)
+      else Seq(col(on).desc, col("__side").asc)
+    // (1) within-bucket running last — parallel across key×bucket.
+    val w1 = Window.partitionBy(col(by), col("__bucket")).orderBy(ordered: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = unioned.select(
+      (leftCols.map(col) :+ col("__side") :+ col("__bucket")) :+
+        last(col("__rrow"), ignoreNulls = true).over(w1).as("__within"): _*)
+
+    // (2) boundary right-row per (key, bucket): the row the mirrored
+    // scan would leave the bucket holding — max `on` for backward, min
+    // for forward. A grouped aggregate, so the hot key still fans out.
+    // Aggregate over the UNION, not just the right side: a bucket that
+    // holds only left rows still needs a spine row (with a null
+    // boundary), or its carry-in would be lost in the stitch join.
+    // max_by/min_by ignore rows with a null ordering key, so gating the
+    // key on __side keeps left rows out of the boundary pick.
+    val rOn = when(col("__side") === 0, col(on))
+    val boundaryPick =
+      if (backward) max_by(col("__rrow"), rOn) else min_by(col("__rrow"), rOn)
+    val summaries = unioned
+      .groupBy(col(by), col("__bucket"))
+      .agg(boundaryPick.as("__blast"))
+
+    // (3) carry-in per bucket = last boundary row of any PRIOR bucket
+    // (scan order mirrored for forward). |buckets| rows per key — the
+    // only per-key-serial work, and it is tiny by construction.
+    val bucketOrder = if (backward) col("__bucket").asc else col("__bucket").desc
+    val wCarry = Window.partitionBy(col(by)).orderBy(bucketOrder)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = summaries.select(
+      col(by), col("__bucket"),
+      last(col("__blast"), ignoreNulls = true).over(wCarry).as("__carry"))
+
+    // (4) stitch. Left join: buckets with no right rows have no carry
+    // row. The big side arrives hash-partitioned on (by, bucket) from
+    // the w1 exchange, so this adds no exchange on the big side.
+    val filled = within
+      .where(col("__side") === 1)
+      .join(carries, Seq(by, "__bucket"), "left")
+      .withColumn("__rrow", coalesce(col("__within"), col("__carry")))
+
+    val matched = toleranceSeconds match {
+      case None => filled
+      case Some(tol) =>
+        val gap = abs(col(on).cast("long") - col("__rrow.__r_on").cast("long"))
+        filled.withColumn("__rrow", when(gap <= tol, col("__rrow")))
+    }
+    matched.select(
+      leftCols.map(col) ++ valueCols.map(c => col(s"__rrow.$c").as(c)): _*)
+  }
 }

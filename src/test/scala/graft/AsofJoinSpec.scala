@@ -71,4 +71,42 @@ class AsofJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("join"))
   }
+
+  test("bucketed variant matches mergeAsof on the reference fixture") {
+    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(10L))) {
+      val base = AsofJoin.mergeAsof(left, right, "ts", "user",
+          Seq("px"), dir, tol)
+        .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+      // bucketSeconds=60: the fixture spans several buckets, so carries
+      // are exercised (e.g. trade at 200 matched by quote at 180 across
+      // the 180/240 boundary... and at 50 with no earlier quote).
+      val bucketed = AsofJoin.mergeAsofBucketed(left, right, "ts", "user",
+          Seq("px"), dir, tol, bucketSeconds = 60L)
+        .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+      assert(bucketed == base, s"dir=$dir tol=$tol")
+    }
+  }
+
+  test("bucketed variant: one hot key fans out and still agrees") {
+    // one key, 2000 left rows + 500 right rows over 5000s — with
+    // bucketSeconds=500 the hot key spreads over ~10 window partitions
+    // instead of 1.
+    val hotLeft = (1 to 2000)
+      .map(i => (i.toLong, "hot", ts(i.toLong * 5 / 2), i.toDouble))
+      .toDF("trade_id", "user", "ts", "qty")
+    val hotRight = (0 until 500)
+      .map(i => ("hot", ts(i * 10L + 1), i.toDouble))
+      .toDF("user", "ts", "px")
+    val base = AsofJoin.mergeAsof(hotLeft, hotRight, "ts", "user", Seq("px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    val bucketed = AsofJoin.mergeAsofBucketed(
+        hotLeft, hotRight, "ts", "user", Seq("px"), bucketSeconds = 500L)
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(bucketed == base)
+    // and the within-bucket window really partitions on the time bucket
+    val plan = AsofJoin.mergeAsofBucketed(
+        hotLeft, hotRight, "ts", "user", Seq("px"), bucketSeconds = 500L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__bucket"), plan)
+  }
 }
