@@ -1814,7 +1814,7 @@ object SparkEntry {
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "pipeline_split" ->
       """SELECT
-        |  CASE WHEN xor(doc_id % 2147483647 * 1103515245 % 2147483647, 101)
+        |  CASE WHEN xor(xor(doc_id, doc_id // 2147483648) % 2147483647 * 1103515245 % 2147483647, 101)
         |         * 1103515245 % 2147483647 % 1000 < 100
         |       THEN 'test' ELSE 'train' END AS split,
         |  CAST(count(*) AS BIGINT) AS n_rows,
@@ -1823,13 +1823,13 @@ object SparkEntry {
     "pipeline_mixture" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows
         |FROM documents
-        |WHERE xor(doc_id % 2147483647 * 1103515245 % 2147483647, 202)
+        |WHERE xor(xor(doc_id, doc_id // 2147483648) % 2147483647 * 1103515245 % 2147483647, 202)
         |    * 1103515245 % 2147483647 % 1000 <
         |  CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 250 ELSE 500 END
         |GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_shuffle" ->
       """SELECT doc_id, n_chars,
-        |  xor(doc_id % 2147483647 * 1103515245 % 2147483647, 0)
+        |  xor(xor(doc_id, doc_id // 2147483648) % 2147483647 * 1103515245 % 2147483647, 0)
         |    * 1103515245 % 2147483647 % 1048576 AS shuffle_key
         |FROM documents
         |ORDER BY shuffle_key, doc_id""".stripMargin,

@@ -185,6 +185,15 @@ object Dedup {
       labels = next
       iters += 1
     }
+    // A component whose diameter exceeds maxIters would return SPLIT
+    // clusters (several "representatives" for one duplicate group) —
+    // silently wrong for the downstream drop. Fail loudly instead;
+    // near-dup graphs are shallow, so hitting this means either a
+    // pathological corpus or a caller who should raise maxIters.
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIters rounds — a duplicate " +
+          "component has diameter > maxIters; raise maxIters")
     labels.select(col("id"), col("label").as("cluster"))
   }
 

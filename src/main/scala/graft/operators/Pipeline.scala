@@ -22,18 +22,23 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   /** Multiplicative hash modulo the Mersenne prime 2^31-1, with an XOR
-    * seed injection between two multiplication rounds. Chosen so that
+    * seed injection between two multiplication rounds, over the
+    * high-bits-folded id. Chosen so that
     * (a) every intermediate fits a 64-bit signed integer for ANY 64-bit
     * id — no ANSI-mode overflow (operands stay < 2^31 before each
-    * multiply by K < 2^31); (b) the bucket depends on the WHOLE id, not
-    * id mod buckets (a raw `id*K mod m` collapses structured ids —
-    * e.g. all multiples of 1000 — into one bucket); (c) seeds compose
+    * multiply by K < 2^31); (b) the bucket depends on the WHOLE id: the
+    * initial `xor(id, id >>> 31)` folds the high 32 bits into the low
+    * word, so two ids congruent mod 2^31-1 (invisible to a bare
+    * `id % M` first step) still hash independently, and a raw
+    * `id*K mod m` collapsing structured ids — e.g. all multiples of
+    * 1000 — into one bucket is likewise avoided; (c) seeds compose
     * NON-affinely (an additive seed only shifts the hash by a constant,
     * leaving two seeded decisions perfectly correlated — XOR between
     * rounds breaks that); (d) it stays plain arithmetic + xor that
-    * external engines reproduce bit-for-bit:
-    * `xor(id % 2147483647 * 1103515245 % 2147483647, seed)
-    *    * 1103515245 % 2147483647`. */
+    * external engines reproduce bit-for-bit for non-negative ids
+    * (`>>> 31` ≡ integer-divide by 2^31):
+    * `xor(xor(id, id // 2147483648) % 2147483647
+    *      * 1103515245 % 2147483647, seed) * 1103515245 % 2147483647`. */
   private val M = 2147483647L // 2^31 - 1, prime
   private val K = 1103515245L
 
@@ -43,7 +48,9 @@ object Pipeline {
     * break (every sample survivor would land in the same split). */
   def hashBucket(id: Column, buckets: Int = 1000, seed: Long = 0L): Column = {
     require(seed >= 0 && seed < M, s"seed must be in [0, $M), got $seed")
-    val r1 = pmod(pmod(id, lit(M)) * K, lit(M))
+    val idl = id.cast("long")
+    val folded = idl.bitwiseXOR(shiftrightunsigned(idl, 31))
+    val r1 = pmod(pmod(folded, lit(M)) * K, lit(M))
     pmod(r1.bitwiseXOR(lit(seed)) * K, lit(M)) % buckets
   }
 

@@ -93,6 +93,15 @@ object EventWindows {
       tsCol: String,
       withinSeconds: Long,
       rightPrefix: String = "r_"): DataFrame = {
+    // The join condition uses unqualified col() on the prefixed names;
+    // a left column that already looks prefixed would make resolution
+    // ambiguous and fail analysis with a confusing error — reject it up
+    // front (mirrors AsofJoin's collision check).
+    val collisions =
+      left.columns.toSet.intersect(right.columns.map(rightPrefix + _).toSet)
+    require(collisions.isEmpty,
+      s"left columns collide with prefixed right columns: $collisions — " +
+        "pass a different rightPrefix")
     val r = right.columns.foldLeft(right)((df, c) =>
       df.withColumnRenamed(c, s"$rightPrefix$c"))
     left.join(

@@ -75,20 +75,33 @@ object StatefulSessions {
             val sorted = it.toArray.sortBy(_.ts.getTime)
             val out = Vector.newBuilder[Session]
             var open = state.getOption
+            // Far-late events (more than a gap BEFORE the open session)
+            // fold into their own secondary session so that several of
+            // them within a gap of each other MERGE — matching the batch
+            // lag-window semantics — instead of each emitting a
+            // singleton. Ascending order keeps at most one such session
+            // live, and it can never catch up to the open session
+            // (every member is > gap before its start by construction).
+            var openBefore: Option[Open] = None
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
                 // Merge iff within gap of the session INTERVAL — a late
                 // (cross-batch) event can extend the session downward,
-                // so start must take the min; an event more than a gap
-                // BEFORE the open session is its own (already-closable)
-                // session, matching the batch lag-window semantics.
+                // so start must take the min.
                 case Some(s) if t >= s.start - gapMs && t - s.end <= gapMs =>
                   open = Some(Open(
                     math.min(t, s.start), math.max(t, s.end), s.n + 1, s.sum + e.value))
                 case Some(s) if t < s.start - gapMs =>
-                  out += Session(uid, Math.floorDiv(t, 1000L), Math.floorDiv(t, 1000L),
-                    1L, e.value)
+                  openBefore match {
+                    case Some(b) if t - b.end <= gapMs =>
+                      openBefore = Some(Open(b.start, t, b.n + 1, b.sum + e.value))
+                    case Some(b) =>
+                      out += close(uid, b)
+                      openBefore = Some(Open(t, t, 1L, e.value))
+                    case None =>
+                      openBefore = Some(Open(t, t, 1L, e.value))
+                  }
                 case Some(s) =>
                   out += close(uid, s)
                   open = Some(Open(t, t, 1L, e.value))
@@ -96,6 +109,9 @@ object StatefulSessions {
                   open = Some(Open(t, t, 1L, e.value))
               }
             }
+            // A before-session is final: it ends > gap before the open
+            // session's start, so nothing can ever merge into it.
+            openBefore.foreach(b => out += close(uid, b))
             if (emitOpen) {
               open.foreach(s => out += close(uid, s))
               if (state.exists) state.remove()

@@ -111,6 +111,20 @@ class DedupSpec extends SparkSpec {
     assert(kept.size == 30 - 7)
   }
 
+  test("duplicateClusters fails loudly when a component outruns maxIters") {
+    // a 12-node path has diameter 11 — label propagation cannot finish
+    // in 2 rounds, and split clusters must not be returned silently
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds the same chain collapses fine
+    val ok = Dedup.duplicateClusters(chain, maxIters = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).forall(ok(_) == 1L))
+  }
+
   test("exactByHash keeps one row per distinct text") {
     assert(Dedup.exactByHash(docs, "text").count() == 3)
   }

@@ -81,6 +81,20 @@ class PipelineSpec extends SparkSpec {
     assert(frac > 0.05 && frac < 0.16, s"composed split biased: $nST/$nS = $frac")
   }
 
+  test("hashBucket decouples ids congruent mod 2^31-1 (high-bit fold)") {
+    // ids differing only by multiples of 2^31-1 are invisible to a bare
+    // `id % M` first step; the xor(id, id >>> 31) fold must separate
+    // them under (almost) every seed.
+    val m = 2147483647L
+    val ids = (0 until 8).map(j => 5L + j * m)
+    val df = ids.map(Tuple1(_)).toDF("id")
+    val buckets = df
+      .select(graft.operators.Pipeline.hashBucket($"id", 1000, 7L).as("b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(buckets.size > 1, s"congruent ids still coupled: $buckets")
+    assert(buckets.size >= 6, s"weak spread over congruent ids: $buckets")
+  }
+
   test("globalShuffle: a permutation, deterministic per seed, seed-sensitive") {
     val df = (1L to 500L).map(i => (i, i)).toDF("id", "v")
     val a = Pipeline.globalShuffle(df, "id", seed = 1L).select("id").collect().map(_.getLong(0))

@@ -118,4 +118,30 @@ class StatefulSessionsSpec extends SparkSpec {
       assert(closed.head.getAs[Double]("sum_value") == 3.0)
     } finally q.stop()
   }
+
+  test("streaming: far-late events within a gap of each other MERGE (batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Double)]
+    val stream = source.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "6 hours")
+
+    val q = StatefulSessions.sessionStats(stream, gapMinutes = 15, emitOpen = false)
+      .writeStream.format("memory").queryName("graft_farlate_sessions")
+      .outputMode("append").start()
+    try {
+      // open session at minute 120
+      source.addData((1L, ts(120), 1.0))
+      q.processAllAvailable()
+      // one micro-batch carrying TWO far-late events 5 min apart — the
+      // batch lag-window would make them ONE session, so this must too
+      source.addData((1L, ts(10), 2.0), (1L, ts(15), 3.0))
+      q.processAllAvailable()
+      val merged = spark.table("graft_farlate_sessions").collect()
+      assert(merged.length == 1)
+      assert(merged.head.getAs[Long]("n_events") == 2L)
+      assert(merged.head.getAs[Double]("sum_value") == 5.0)
+      assert(merged.head.getAs[Long]("start_ts") == ts(10).getTime / 1000)
+      assert(merged.head.getAs[Long]("end_ts") == ts(15).getTime / 1000)
+    } finally q.stop()
+  }
 }

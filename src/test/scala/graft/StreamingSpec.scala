@@ -122,6 +122,15 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == 1)
   }
 
+  test("correlate rejects left columns that collide with prefixed right names") {
+    val l = Seq((1L, ts(0), "x")).toDF("user_id", "ts", "r_ts")
+    val r = Seq((1L, ts(5))).toDF("user_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      EventWindows.correlate(l, r, "user_id", "ts", withinSeconds = 600)
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("stream-static enrich broadcasts the dimension and keeps unmatched") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dim_user", "tier")
