@@ -176,13 +176,15 @@ object Dedup {
         .join(labels.select(col("id").as("id_b"), col("label").as("nl")), "id_b")
         .groupBy(col("id_a").as("id"))
         .agg(min(col("nl")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+      // Keep the old label alongside the new one so the convergence
+      // check is a filter over this round's (checkpointed) result — one
+      // join per round, not a second join against the previous labels.
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") < col("old")).isEmpty
-      labels = next
+      converged = stepped.where(col("label") < col("old")).isEmpty
+      labels = stepped.select(col("id"), col("label"))
       iters += 1
     }
     // A component whose diameter exceeds maxIters would return SPLIT

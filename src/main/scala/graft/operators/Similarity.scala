@@ -124,12 +124,18 @@ object Similarity {
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, dim: Int, nPlanes: Int = 12, seed: Long = 42L,
       multiProbe: Boolean = false): DataFrame = {
-    val qBucket = srpBucket(col(qVec), dim, nPlanes, seed)
+    // Alias the bucket ONCE before fanning out the probe array: the
+    // probe expression references it nPlanes+1 times, and higher-order
+    // aggregate/zip_with exprs are not CSE'd — inlining would recompute
+    // the nPlanes×dim dot products per reference (CollapseProject won't
+    // duplicate it across this projection boundary either).
+    val qBucketed = queries.select(col(qId), col(qVec),
+      srpBucket(col(qVec), dim, nPlanes, seed).as("__b"))
     val probes =
-      if (!multiProbe) array(qBucket)
-      else array(qBucket +: (0 until nPlanes).map(p =>
-        qBucket.bitwiseXOR(lit(1L << p))): _*)
-    val qb = queries.select(col(qId), col(qVec), explode(probes).as("bucket"))
+      if (!multiProbe) array(col("__b"))
+      else array(col("__b") +: (0 until nPlanes).map(p =>
+        col("__b").bitwiseXOR(lit(1L << p))): _*)
+    val qb = qBucketed.select(col(qId), col(qVec), explode(probes).as("bucket"))
     val cb = corpus.select(
       col(cId), col(cVec), srpBucket(col(cVec), dim, nPlanes, seed).as("bucket"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
@@ -190,11 +196,12 @@ object Similarity {
       array(cs.map { cvec =>
         cosineSim(asDoubleVec(vec), array(cvec.map(lit): _*))
       }: _*)
-    // argmax over the sims array; first index wins ties (deterministic).
-    def bestCellFor(cs: Array[Array[Double]])(vec: Column): Column = {
-      val sims = cellSimsFor(cs)(vec)
-      (array_position(sims, array_max(sims)) - 1).cast("int")
-    }
+    // argmax over an ALIASED sims column; first index wins ties
+    // (deterministic). The alias matters: array_position + array_max
+    // reference the sims twice and the nCells×dim literal dot-product
+    // array is not CSE'd — inlining it would double the per-row cost.
+    def argmaxCell(simsCol: Column): Column =
+      (array_position(simsCol, array_max(simsCol)) - 1).cast("int")
 
     // Lloyd refinement: assign → per-cell element-wise mean (explode by
     // dimension, ONE grouped aggregation) → re-collect the tiny model
@@ -203,7 +210,8 @@ object Similarity {
     // hash agg per iteration; empty cells keep their previous centroid.
     val cents = (1 to kmeansIters).foldLeft(seeds) { (cs, _) =>
       val means = corpus
-        .select(bestCellFor(cs)(col(cVec)).as("cell"),
+        .select(col(cVec), cellSimsFor(cs)(col(cVec)).as("__sims"))
+        .select(argmaxCell(col("__sims")).as("cell"),
           posexplode(asDoubleVec(col(cVec))).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(avg("x").as("m"))
         .groupBy("cell")
@@ -217,17 +225,22 @@ object Similarity {
     }
 
     def cellSims(vec: Column): Column = cellSimsFor(cents)(vec)
-    def bestCell(vec: Column): Column = bestCellFor(cents)(vec)
     // Top-nProbe cells for a query: sort (−sim, cell) structs ascending.
-    def probeCells(vec: Column): Column = {
-      val sims = cellSims(vec)
+    // `simsCol` must be an aliased attribute — the lambda body is
+    // evaluated per sequence element, so an inlined sims expression
+    // would be recomputed nCells times per row.
+    def probeCells(simsCol: Column): Column = {
       val structs = transform(sequence(lit(0), lit(cents.length - 1)),
-        i => struct((-element_at(sims, i + 1)).as("neg"), i.as("cell")))
+        i => struct((-element_at(simsCol, i + 1)).as("neg"), i.as("cell")))
       transform(slice(sort_array(structs), 1, nProbe), s => s.getField("cell"))
     }
 
-    val cb = corpus.select(col(cId), col(cVec), bestCell(col(cVec)).as("cell"))
-    val qb = queries.select(col(qId), col(qVec), explode(probeCells(col(qVec))).as("cell"))
+    val cb = corpus
+      .select(col(cId), col(cVec), cellSims(col(cVec)).as("__sims"))
+      .select(col(cId), col(cVec), argmaxCell(col("__sims")).as("cell"))
+    val qb = queries
+      .select(col(qId), col(qVec), cellSims(col(qVec)).as("__sims"))
+      .select(col(qId), col(qVec), explode(probeCells(col("__sims"))).as("cell"))
     val scored = cb.join(broadcast(qb), Seq("cell"))
       .select(col(qId), col(cId),
         cosineSim(asDoubleVec(col(qVec)), asDoubleVec(col(cVec))).as("sim"))
@@ -287,11 +300,14 @@ object Similarity {
     // Probe side carries its own bucket plus every 1-bit flip; the other
     // side keeps its exact bucket. A pair (a,b) with hamming(code_a,
     // code_b) ≤ 1 then matches on exactly ONE probe value, so no
-    // post-join distinct is needed.
-    val probes = array(bucket +: (0 until nPlanes).map(p =>
-      bucket.bitwiseXOR(lit(1L << p))): _*)
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
-      explode(probes).as("bucket"))
+    // post-join distinct is needed. The bucket is aliased ONCE before
+    // the probe fan-out — the probe array references it nPlanes+1
+    // times, and the higher-order dot-product expression is not CSE'd.
+    val probes = array(col("__b") +: (0 until nPlanes).map(p =>
+      col("__b").bitwiseXOR(lit(1L << p))): _*)
+    val a = df
+      .select(col(idCol).as("id_a"), col(vecCol).as("v_a"), bucket.as("__b"))
+      .select(col("id_a"), col("v_a"), explode(probes).as("bucket"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
       bucket.as("bucket"))
     a.join(b, Seq("bucket"))
