@@ -1004,8 +1004,12 @@ object SparkEntry {
        |      len(string_split(text, ' ')) - 5), ' ')
        |  FROM base
        |), th AS (
+       |  -- tokenize like SimHash64.computeText: split on whitespace
+       |  -- RUNS and skip empty tokens (a bare string_split(' ') would
+       |  -- hash empties — each casting a bit-vote with h = seed)
        |  SELECT doc_id,
-       |    list_transform(string_split(text, ' '), t ->
+       |    list_transform(
+       |      list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0), t ->
        |      list_reduce(
        |        list_prepend(CAST($init AS HUGEINT),
        |          flatten(list_transform(range(1, length(t)+1),

@@ -80,8 +80,10 @@ object StatefulSessions {
             // them within a gap of each other MERGE — matching the batch
             // lag-window semantics — instead of each emitting a
             // singleton. Ascending order keeps at most one such session
-            // live, and it can never catch up to the open session
-            // (every member is > gap before its start by construction).
+            // live. NOTE the open session's start can DROP after a
+            // far-late event was routed here (a later event merging
+            // downward), so the two may touch by the end of the batch —
+            // the final emission below re-checks and merges them.
             var openBefore: Option[Open] = None
             sorted.foreach { e =>
               val t = e.ts.getTime
@@ -109,9 +111,21 @@ object StatefulSessions {
                   open = Some(Open(t, t, 1L, e.value))
               }
             }
-            // A before-session is final: it ends > gap before the open
-            // session's start, so nothing can ever merge into it.
-            openBefore.foreach(b => out += close(uid, b))
+            // The before-session was > gap before the open session when
+            // its members arrived, but a later in-batch event can have
+            // LOWERED the open session's start to within a gap of it
+            // (e.g. gap 15: state open at 120, batch carries 104 then
+            // 105 — 104 goes to openBefore, 105 merges and drops start
+            // to 105, and the batch semantics demand ONE session
+            // 104..120). Merge in that case; otherwise it is final.
+            (openBefore, open) match {
+              case (Some(b), Some(s)) if s.start - b.end <= gapMs =>
+                open = Some(Open(
+                  math.min(b.start, s.start), math.max(b.end, s.end),
+                  s.n + b.n, s.sum + b.sum))
+              case (Some(b), _) => out += close(uid, b)
+              case _ => ()
+            }
             if (emitOpen) {
               open.foreach(s => out += close(uid, s))
               if (state.exists) state.remove()
