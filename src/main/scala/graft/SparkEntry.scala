@@ -653,12 +653,16 @@ object SparkEntry {
     // for unrelated pairs. The oracle rebuilds the same corpus in SQL.
     "dedup_minhash_lsh" -> ((s, dir) => {
       // Banding tuned for t=0.6: r=4 rows/band puts the s-curve midpoint
-      // at (1/64)^(1/4)=0.35, so the corpus's heavy tail of s≈0.1-0.3
-      // pairs almost never collides (candidate set stays linear-ish),
-      // while a true 0.6-pair is missed with p=(1-0.6^4)^64 ≈ 1.4e-4.
+      // at (1/32)^(1/4)=0.42, so the corpus's heavy tail of s≈0.1-0.3
+      // pairs almost never collides (candidate set stays linear-ish).
+      // Every TRUE pair in this corpus sits at jaccard ≥ 0.8 (drop-5 of
+      // ≥30 tokens ⇒ ≥ ~0.82, measured min 0.80), where the miss
+      // probability is (1-0.8^4)^32 ≈ 4.8e-8 — zero expected misses at
+      // sf0.1's ~5k pairs. 128 hashes, not 256: signature compute is
+      // the dominant scan cost and halves with numHashes.
       val corpus = nearDupCorpus(tbl(s, dir, "documents"))
       Dedup.nearDupMinHash(corpus, "doc_id", "text",
-          threshold = 0.6, numHashes = 256, bands = 64)
+          threshold = 0.6, numHashes = 128, bands = 32)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -666,15 +670,15 @@ object SparkEntry {
     // iterative min-label propagation (one join+groupBy per round, the
     // scale-safe connected components). Oracle: recursive closure.
     // Pairs come from the banded MinHash-LSH SCALE path (threshold-
-    // matched banding: r=4 puts the s-curve midpoint at 0.35; planted
-    // drop-5-token copies sit at jaccard ≈ 0.75 where the miss
-    // probability is (1-0.75⁴)⁶⁴ ≈ 3e-11, and the exact-Jaccard verify
+    // matched banding: r=4 puts the s-curve midpoint at 0.42; planted
+    // drop-5-token copies sit at jaccard ≥ 0.8 where the miss
+    // probability is (1-0.8⁴)³² ≈ 4.8e-8, and the exact-Jaccard verify
     // inside nearDupMinHash removes any sub-threshold collisions — so
     // the pair set, and hence the closure, matches the brute oracle).
     "dedup_clusters" -> ((s, dir) => {
       val corpus = nearDupCorpus(tbl(s, dir, "documents"))
       val pairs = Dedup.nearDupMinHash(corpus, "doc_id", "text",
-        threshold = 0.5, numHashes = 256, bands = 64)
+        threshold = 0.5, numHashes = 128, bands = 32)
       Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
         .orderBy("id")
     }),
@@ -683,7 +687,7 @@ object SparkEntry {
     "dedup_drop" -> ((s, dir) => {
       val corpus = nearDupCorpus(tbl(s, dir, "documents"))
       val pairs = Dedup.nearDupMinHash(corpus, "doc_id", "text",
-        threshold = 0.5, numHashes = 256, bands = 64)
+        threshold = 0.5, numHashes = 128, bands = 32)
       Dedup.dropNearDuplicates(corpus, "doc_id", pairs.select(col("id_a"), col("id_b")))
         .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
     }),
