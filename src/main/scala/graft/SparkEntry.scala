@@ -364,6 +364,24 @@ object SparkEntry {
         .select(
           round(element_at(col("ps"), 1), 4).as("p50"),
           round(element_at(col("ps"), 2), 4).as("p95"))),
+    // The 100 TB quantile route: percentile_approx (Greenwald–Khanna
+    // sketch, mergeable partial agg — bounded memory, one pass) gated
+    // against its own rank-error contract. accuracy=10000 bounds rank
+    // error by n/10000; the exact quantiles at p ± 0.001 therefore
+    // bracket the sketch value with 10× margin. Exact percentile
+    // buffers the column and exists here only to CHECK the sketch.
+    "quantiles_approx" -> ((s, dir) =>
+      li(s, dir)
+        .agg(
+          expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("ap"),
+          expr("percentile(l_extendedprice, array(0.249, 0.251, 0.499, 0.501, 0.749, 0.751))").as("ex"))
+        .select(
+          (element_at(col("ap"), 1).between(
+            element_at(col("ex"), 1), element_at(col("ex"), 2))).as("ok_q25"),
+          (element_at(col("ap"), 2).between(
+            element_at(col("ex"), 3), element_at(col("ex"), 4))).as("ok_q50"),
+          (element_at(col("ap"), 3).between(
+            element_at(col("ex"), 5), element_at(col("ex"), 6))).as("ok_q75"))),
 
     // ----- §2.2/§2.7 missing-data & dtype surface ----------------------
     "value_counts" -> ((s, dir) =>
@@ -724,6 +742,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
         .orderBy("id_a", "id_b")
     }),
+    // K-means over the embedding corpus, deterministic end-to-end
+    // (id-seeded, rounded centroids) so DuckDB can REPLAY the training
+    // loop in SQL and reproduce every assignment: the gate compares
+    // per-cell counts AND sum of member ids — any single reassignment
+    // breaks it. One Lloyd round = one assign scan + ONE vector-sum
+    // shuffle (k × partitions arrays, never rows × dim exploded values).
+    "embed_kmeans" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 1)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), sum("vec_id").as("sum_ids"))
+        .orderBy("cell")
+    }),
 
     // ----- §2.10 similarity search -------------------------------------
     "simsearch_topk" -> ((s, dir) => {
@@ -838,6 +869,19 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(TextOps.fingerprint(col("text")).as("fp"))
         .agg(countDistinct(col("fp")).as("n_fp"))
+    }),
+    // Gopher-style repetition signals. The fixture text is clean, so
+    // even ids get their whole body repeated (text + '\n' + text) —
+    // planting known line- and n-gram-level duplication the metrics
+    // must detect; odd ids stay as-is as the control group.
+    "text_repetition" -> ((s, dir) => {
+      val planted = tbl(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(col("text"), lit("\n"), col("text")))
+            .otherwise(col("text")).as("t"))
+      val metrics = TextOps.repetitionMetrics(col("t")).map { case (n, c) => c.as(n) }
+      planted.select(col("doc_id") +: metrics: _*).orderBy("doc_id")
     }),
 
     // PII scrub over a corpus with deterministically injected emails/
@@ -1307,6 +1351,10 @@ object SparkEntry {
       """SELECT CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50,
         |CAST(round(quantile_cont(l_extendedprice, 0.95), 4) AS DOUBLE) AS p95
         |FROM lineitem""".stripMargin,
+    // The Spark side proves the GK sketch lands inside its own
+    // rank-error contract; the oracle pins the three booleans.
+    "quantiles_approx" ->
+      "SELECT true AS ok_q25, true AS ok_q50, true AS ok_q75",
     "value_counts" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS count
         |FROM documents GROUP BY lang ORDER BY count DESC, lang ASC""".stripMargin,
@@ -1640,6 +1688,44 @@ object SparkEntry {
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
+    // Full SQL replay of the deterministic k-means training loop:
+    // id-ordered seeds, argmax-cosine assignment (ties to the lowest
+    // cell, matching argmaxCell's first-index-wins), element-wise mean
+    // rounded to 9 decimals (the rounding both sides share is what
+    // makes fp summation order irrelevant), empty cells keep seeds.
+    "embed_kmeans" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |         list_transform(v, x -> round(x, 9)) AS c
+        |  FROM emb ORDER BY vec_id LIMIT 8
+        |), a0 AS (
+        |  SELECT e.vec_id, e.v,
+        |    (SELECT s.cell FROM seeds s
+        |      ORDER BY list_cosine_similarity(e.v, s.c) DESC, s.cell
+        |      LIMIT 1) AS cell
+        |  FROM emb e
+        |), dims AS (
+        |  SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a0
+        |), m AS (
+        |  SELECT cell, dim, round(sum(x) / count(*), 9) AS mx
+        |  FROM dims GROUP BY cell, dim
+        |), cent1 AS (
+        |  SELECT cell, list(mx ORDER BY dim) AS c FROM m GROUP BY cell
+        |), cent AS (
+        |  SELECT s.cell, coalesce(c1.c, s.c) AS c
+        |  FROM seeds s LEFT JOIN cent1 c1 USING (cell)
+        |), a1 AS (
+        |  SELECT e.vec_id,
+        |    (SELECT c.cell FROM cent c
+        |      ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cell
+        |      LIMIT 1) AS cell
+        |  FROM emb e
+        |)
+        |SELECT CAST(cell AS INTEGER) AS cell, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+        |FROM a1 GROUP BY cell ORDER BY cell""".stripMargin,
     "simsearch_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -1724,6 +1810,45 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT CAST(count(DISTINCT lower(trim(text))) AS BIGINT) AS n_fp
         |FROM documents""".stripMargin,
+    // Mirrors repetitionMetrics with DuckDB list functions: same planted
+    // doubling, same trim/lowercase/whitespace tokenization, same
+    // excess-occurrence fractions (1 - distinct/total) rounded at 6.
+    "text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN text || chr(10) || text
+        |         ELSE text END AS t
+        |  FROM documents WHERE doc_id < 200
+        |), l AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+        |      x -> len(x) > 0) AS ls,
+        |    list_filter(string_split_regex(lower(t), '\s+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM base
+        |), g AS (
+        |  SELECT doc_id, ls,
+        |    list_sum(list_transform(ls, x -> len(x))) AS lc,
+        |    list_sum(list_transform(list_distinct(ls), x -> len(x))) AS dlc,
+        |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS g2,
+        |    list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
+        |  FROM l
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN len(ls) > 0 THEN CAST(round(
+        |    (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls), 6) AS DOUBLE)
+        |  END AS dup_line_frac,
+        |  CASE WHEN lc > 0 THEN CAST(round(
+        |    (lc - dlc)::DOUBLE / lc, 6) AS DOUBLE)
+        |  END AS dup_line_char_frac,
+        |  CASE WHEN len(g2) > 0 THEN CAST(round(
+        |    (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2), 6) AS DOUBLE)
+        |  END AS dup_2gram_frac,
+        |  CASE WHEN len(g3) > 0 THEN CAST(round(
+        |    (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3), 6) AS DOUBLE)
+        |  END AS dup_3gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     // Builds the same 54-byte BMP header as a BLOB (from_hex of
     // little-endian field hex) and parses width/height back by slicing
     // header bytes 18-21 / 22-25 — an independent exercise of the BMP

@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * such separators tokenize here but not in a `split(..., "\\s+")`
   * pipeline. Docs with fewer than n tokens yield an empty array.
   */
-case class WordNGrams(child: Expression, n: Int)
+case class WordNGrams(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression {
 
   override def prettyName: String = "word_ngrams"
@@ -55,25 +55,44 @@ case class WordNGrams(child: Expression, n: Int)
     }
     val m = tokens.length - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](m * 2)
     val sb = new java.lang.StringBuilder(64)
-    var g = 0
-    while (g < m) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(tokens(g + j))
-        j += 1
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[String](m * 2)
+      var g = 0
+      while (g < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(g + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        g += 1
       }
-      seen.add(sb.toString)
-      g += 1
+      val out = new Array[Any](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    } else {
+      // all occurrences in document order — repetition metrics need the
+      // multiplicity that shingle dedup intentionally throws away
+      val out = new Array[Any](m)
+      var g = 0
+      while (g < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(g + j))
+          j += 1
+        }
+        out(g) = UTF8String.fromString(sb.toString)
+        g += 1
+      }
+      new GenericArrayData(out)
     }
-    val out = new Array[Any](seen.size())
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
-    new GenericArrayData(out)
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -89,7 +108,14 @@ case class WordNGrams(child: Expression, n: Int)
 }
 
 object WordNGrams {
-  /** `word_ngrams(text, n)` as a [[Column]]. */
+  /** `word_ngrams(text, n)` as a [[Column]] — distinct shingles. */
   def wordNGrams(text: Column, n: Int = 3): Column =
     GraftColumnBridge.column(WordNGrams(GraftColumnBridge.expression(text), n))
+
+  /** All word n-grams with multiplicity, in document order — the input
+    * repetition metrics need (`distinct=false` keeps every occurrence
+    * that shingle dedup intentionally throws away). */
+  def wordNGramsAll(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      WordNGrams(GraftColumnBridge.expression(text), n, distinct = false))
 }

@@ -32,6 +32,94 @@ object Similarity {
     * in double. One cast, pushed into the same codegen stage. */
   def asDoubleVec(c: Column): Column = c.cast(ArrayType(DoubleType))
 
+  /** Cosine of `vec` against each centroid in `cs`, as an array column.
+    * Centroids are literal arrays — broadcast inside the plan, row-local
+    * codegen, no shuffle or join for cell assignment. */
+  private def cellSimsFor(cs: Array[Array[Double]])(vec: Column): Column =
+    array(cs.map { cvec =>
+      cosineSim(asDoubleVec(vec), array(cvec.map(lit): _*))
+    }: _*)
+
+  /** Argmax over an ALIASED sims column; first index wins ties
+    * (deterministic). The alias matters: array_position + array_max
+    * reference the sims twice and the nCells×dim literal dot-product
+    * array is not CSE'd — inlining it would double the per-row cost. */
+  private def argmaxCell(simsCol: Column): Column =
+    (array_position(simsCol, array_max(simsCol)) - 1).cast("int")
+
+  /** Spark `round(expr, d)` semantics (BigDecimal HALF_UP) on the
+    * driver, so driver-rounded seeds match executor-rounded means. */
+  private def roundTo(d: Int)(x: Double): Double =
+    BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** One Lloyd round: assign each vector to its argmax-cosine cell
+    * (row-local codegen against literal centroids), then per-cell
+    * element-wise mean via the native vector-sum partial aggregate
+    * ([[graft.functions.VecSumAgg]]) — ONE grouped shuffle carrying
+    * `cells × partitions` arrays, never `rows × dim` exploded doubles.
+    * Returns the tiny cell→centroid model (empty cells absent).
+    * `centRound` optionally rounds each mean to that many decimals,
+    * which makes the trained model bit-reproducible across engines and
+    * partition orders (summation order is not associative in fp). */
+  private def lloydStep(
+      df: DataFrame, vecCol: String, cs: Array[Array[Double]],
+      centRound: Option[Int]): Map[Int, Array[Double]] = {
+    val vecSum = graft.functions.VecSumAgg.vecSum
+    val mean = centRound match {
+      case Some(d) => transform(col("__s"), x => round(x / col("__n"), d))
+      case None    => transform(col("__s"), x => x / col("__n"))
+    }
+    df
+      .select(asDoubleVec(col(vecCol)).as("__v"))
+      .select(col("__v"), cellSimsFor(cs)(col("__v")).as("__sims"))
+      .select(argmaxCell(col("__sims")).as("cell"), col("__v"))
+      .groupBy("cell")
+      .agg(vecSum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("cell"), mean.as("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+  }
+
+  /** K-means clustering of an embedding column (cosine assignment) —
+    * the embedding-space partitioner a training pipeline uses for
+    * curriculum buckets, dedup sharding, or IVF-style indexing.
+    *
+    * Deliberately deterministic end-to-end so the result is
+    * oracle-checkable and stable across reruns:
+    *   - seeds = the vectors of the `k` smallest ids (no RNG);
+    *   - assignment = argmax cosine, ties to the lowest cell;
+    *   - centroid update = element-wise mean ROUNDED to `centRound`
+    *     decimals — fp summation is not associative, so unrounded means
+    *     differ in the last ulp across partition counts and engines;
+    *     rounding renders the trained model, and hence every
+    *     assignment, bit-reproducible (a 1e-9 perturbation is far
+    *     below any meaningful centroid separation).
+    *
+    * Scale: each iteration is one row-local assign scan + ONE grouped
+    * vector-sum shuffle of `k × partitions` arrays; the k×dim model
+    * lives on the driver like any fitted model. Empty cells keep their
+    * previous centroid. Returns (idCol, cell) assignments. */
+  def kmeansAssign(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 1, centRound: Int = 9): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val seeds: Array[Array[Double]] = df
+      .orderBy(col(idCol)).limit(k)
+      .select(asDoubleVec(col(vecCol)))
+      .collect()
+      .map(_.getSeq[Double](0).toArray.map(roundTo(centRound)))
+    require(seeds.nonEmpty, "kmeansAssign: empty input")
+    val cents = (1 to iters).foldLeft(seeds) { (cs, _) =>
+      val means = lloydStep(df, vecCol, cs, centRound = Some(centRound))
+      cs.indices.map(i => means.getOrElse(i, cs(i))).toArray
+    }
+    df.select(col(idCol), asDoubleVec(col(vecCol)).as("__v"))
+      .select(col(idCol), cellSimsFor(cents)(col("__v")).as("__sims"))
+      .select(col(idCol), argmaxCell(col("__sims")).as("cell"))
+  }
+
   /** Exact top-k: every query row scored against every corpus row.
     * Queries are broadcast (the small side by contract); ranking is a
     * per-query window — `row_number` keeps ties deterministic via the
@@ -192,35 +280,13 @@ object Similarity {
       "ivfTopK: no seed vectors found — corpus ids must round-trip through" +
         " Double (|id| < 2^53) for quantile-based centroid seeding")
 
-    def cellSimsFor(cs: Array[Array[Double]])(vec: Column): Column =
-      array(cs.map { cvec =>
-        cosineSim(asDoubleVec(vec), array(cvec.map(lit): _*))
-      }: _*)
-    // argmax over an ALIASED sims column; first index wins ties
-    // (deterministic). The alias matters: array_position + array_max
-    // reference the sims twice and the nCells×dim literal dot-product
-    // array is not CSE'd — inlining it would double the per-row cost.
-    def argmaxCell(simsCol: Column): Column =
-      (array_position(simsCol, array_max(simsCol)) - 1).cast("int")
-
-    // Lloyd refinement: assign → per-cell element-wise mean (explode by
-    // dimension, ONE grouped aggregation) → re-collect the tiny model
-    // (nCells × dim doubles — driver-resident by design, like any
-    // k-means model). Executor-side cost is a row-local assign plus one
-    // hash agg per iteration; empty cells keep their previous centroid.
+    // Lloyd refinement: assign → per-cell element-wise mean → re-collect
+    // the tiny model (nCells × dim doubles — driver-resident by design,
+    // like any k-means model). Executor-side cost is a row-local assign
+    // plus ONE vector-sum hash agg per iteration ([[lloydStep]]); empty
+    // cells keep their previous centroid.
     val cents = (1 to kmeansIters).foldLeft(seeds) { (cs, _) =>
-      val means = corpus
-        .select(col(cVec), cellSimsFor(cs)(col(cVec)).as("__sims"))
-        .select(argmaxCell(col("__sims")).as("cell"),
-          posexplode(asDoubleVec(col(cVec))).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg("x").as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ms"))
-        .select(col("cell"),
-          transform(col("ms"), s => s.getField("m")).as("centroid"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-        .toMap
+      val means = lloydStep(corpus, cVec, cs, centRound = None)
       cs.indices.map(i => means.getOrElse(i, cs(i))).toArray
     }
 

@@ -82,6 +82,36 @@ object TextOps {
       "distinct_ratio" -> ratio(size(array_distinct(t))))
   }
 
+  /** Repetition signals — the Gopher-style quality heuristics (Rae et
+    * al. 2021, "Scaling Language Models: Methods, Analysis & Insights
+    * from Training Gopher", table A1 — public) that catch boilerplate
+    * and crawler loops which slip past length/stopword filters:
+    * fraction of duplicate lines, fraction of characters inside
+    * duplicate lines, and duplicate word-n-gram fractions (n = 2, 3).
+    *
+    * "Duplicate fraction" counts EXCESS occurrences: 1 − distinct/total,
+    * so a document whose every line appears exactly twice scores 0.5.
+    * Fractions are null when the document has no lines / too few tokens
+    * (the junk-row convention [[qualityMetrics]] uses).
+    *
+    * All row-local single-pass expressions (split / shingle + distinct),
+    * zero shuffles at any scale; n-grams keep multiplicity via
+    * [[graft.functions.WordNGrams.wordNGramsAll]] — the distinct
+    * shingle path would hide exactly the repetition being measured. */
+  def repetitionMetrics(text: Column): Seq[(String, Column)] = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    val dLines = array_distinct(lines)
+    def chars(arr: Column) = aggregate(arr, lit(0), (a, x) => a + length(x))
+    def frac(num: Column, den: Column) =
+      when(den > 0, round(num.cast(DoubleType) / den.cast(DoubleType), 6))
+    def dupFrac(all: Column) = frac(size(all) - size(array_distinct(all)), size(all))
+    Seq(
+      "dup_line_frac" -> frac(size(lines) - size(dLines), size(lines)),
+      "dup_line_char_frac" -> frac(chars(lines) - chars(dLines), chars(lines)),
+      "dup_2gram_frac" -> dupFrac(graft.functions.WordNGrams.wordNGramsAll(text, 2)),
+      "dup_3gram_frac" -> dupFrac(graft.functions.WordNGrams.wordNGramsAll(text, 3)))
+  }
+
   /** 64-bit content fingerprint of normalized text (xxhash64 — stable
     * across executors/runs; the cheap equality key for exact dedup and
     * incremental recompute). */

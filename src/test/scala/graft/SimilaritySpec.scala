@@ -129,4 +129,35 @@ class SimilaritySpec extends SparkSpec {
     val n = Similarity.bucketedCosinePairs(df, "id", "vec", 0.99, dim = dim).count()
     assert(n == bucketed.size)
   }
+
+  test("kmeansAssign separates well-clustered vectors and is deterministic") {
+    // Two tight cosine clusters around e1 and e2; ids 0 and 1 land in
+    // different clusters so the id-ordered seeds start one per cluster.
+    def a(i: Int): (Long, Array[Float]) =
+      (i.toLong, Array(1.0f, 0.01f * (i % 5), 0.0f))
+    def b(i: Int): (Long, Array[Float]) =
+      (i.toLong, Array(0.01f * (i % 5), 1.0f, 0.0f))
+    val rows = (0 until 40).map(i => if (i % 2 == 0) a(i) else b(i))
+    val df = rows.toDF("id", "vec")
+    val got = Similarity.kmeansAssign(df, "id", "vec", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every even id clusters with id 0, every odd id with id 1
+    assert((0 until 40).forall(i => got(i.toLong) == got(i.toLong % 2)))
+    assert(got(0L) != got(1L))
+    // deterministic across partition counts (rounded-centroid contract)
+    val again = Similarity.kmeansAssign(df.repartition(7), "id", "vec", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == got)
+  }
+
+  test("kmeansAssign keeps empty cells on their seed centroid") {
+    // k=3 but only two real clusters: the third seed's cell may empty
+    // out; the operator must not crash and every row keeps a valid cell.
+    val df = (0 until 12).map { i =>
+      if (i % 2 == 0) (i.toLong, Array(1.0f, 0.0f)) else (i.toLong, Array(0.0f, 1.0f))
+    }.toDF("id", "vec")
+    val got = Similarity.kmeansAssign(df, "id", "vec", k = 3, iters = 2)
+      .collect().map(r => r.getInt(1))
+    assert(got.length == 12 && got.forall(c => c >= 0 && c < 3))
+  }
 }

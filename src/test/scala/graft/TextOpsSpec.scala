@@ -66,6 +66,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got == "mail <EMAIL> or <URL> call <NUMBER> year 2024 ok", got)
   }
 
+  test("repetition metrics: doubled doc scores 0.5 on line and high on n-gram dup") {
+    val body = "alpha beta gamma\ndelta epsilon zeta\neta theta iota"
+    val doubled = body + "\n" + body
+    val m = TextOps.repetitionMetrics(col("t")).map { case (n, c) => c.as(n) }
+    val got = Seq(Tuple1(doubled)).toDF("t").select(m: _*).collect()(0)
+    // 6 lines, 3 distinct → half are excess occurrences (chars likewise)
+    assert(got.getAs[Double]("dup_line_frac") == 0.5)
+    assert(got.getAs[Double]("dup_line_char_frac") == 0.5)
+    // 17 bigrams, 9 distinct ("gamma delta" repeats via the seam too)
+    assert(got.getAs[Double]("dup_2gram_frac") > 0.4)
+    val clean = Seq(Tuple1(body)).toDF("t").select(m: _*).collect()(0)
+    assert(clean.getAs[Double]("dup_line_frac") == 0.0)
+    assert(clean.getAs[Double]("dup_3gram_frac") == 0.0)
+  }
+
+  test("repetition metrics: null fractions for empty / sub-n-gram docs") {
+    val m = TextOps.repetitionMetrics(col("t")).map { case (n, c) => c.as(n) }
+    val empty = one("   \n  ").select(m: _*).collect()(0)
+    assert((0 until 4).forall(empty.isNullAt))
+    val short = one("word").select(m: _*).collect()(0)
+    assert(!short.isNullAt(0) && short.isNullAt(2) && short.isNullAt(3))
+  }
+
   test("min-k fingerprint: near-dup docs share most sketch elements") {
     val a = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
     val b = a.replace("today", "tonight")
