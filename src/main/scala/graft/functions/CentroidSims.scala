@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Cosine similarity of one `array<double>` vector against a FIXED
+  * centroid matrix, returning `array<double>` of one sim per centroid —
+  * the cell-assignment kernel of IVF indexing and k-means
+  * ([[graft.operators.Similarity]]).
+  *
+  * Why an expression holding the matrix as a reference object: the
+  * composable alternative — `array(cosineSim(vec, array(lit…)), …)` —
+  * materializes `cells × dim` literal NODES in the plan (16×64 = 1024+),
+  * which Catalyst must analyze and Janino must compile on every
+  * instantiation; at sf0.1 that compile time dominated the whole IVF
+  * query. Here the matrix rides along as one broadcast-able Java
+  * `double[][]` (`ctx.addReferenceObj`), the tree is a single node, and
+  * the loop is compiled once. Per-row it also beats the unrolled form:
+  * the query vector is decoded and its norm computed ONCE for all
+  * cells, not per centroid, and centroid norms are precomputed.
+  *
+  * Per-cell semantics are bit-identical to
+  * [[CosineSimilarity]]`(vec, lit(centroid))`: sequential 0..n-1
+  * accumulation (engine-comparable determinism), null element or
+  * dimension mismatch → null sim for that cell (data error, not a
+  * number), zero norm → 0.0.
+  */
+case class CentroidSims(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def prettyName: String = "centroid_sims"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if cents.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckFailure("centroid_sims requires at least one centroid")
+    case t =>
+      TypeCheckResult.TypeCheckFailure(
+        s"centroid_sims requires an array<double> input, got ${t.catalogString}")
+  }
+
+  // sqrt of sum-of-squares accumulated 0..n-1 — the same order
+  // CosineSimilarity uses, so the product sqrt(nx)*sqrt(ny) is the
+  // identical double.
+  @transient private lazy val norms: Array[Double] = cents.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  def compute(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](cents.length)
+    val v = new Array[Double](n)
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) {
+      if (arr.isNullAt(i)) hasNull = true
+      else { v(i) = arr.getDouble(i); i += 1 }
+    }
+    if (!hasNull) {
+      var nx = 0.0
+      i = 0
+      while (i < n) { nx += v(i) * v(i); i += 1 }
+      val nxs = math.sqrt(nx)
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)
+        if (cv.length != n) { out(c) = null }
+        else {
+          var dot = 0.0
+          var j = 0
+          while (j < n) { dot += v(j) * cv(j); j += 1 }
+          val denom = nxs * norms(c)
+          out(c) = if (denom == 0.0) 0.0 else dot / denom
+        }
+        c += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("centroidSims", this, classOf[CentroidSims].getName)
+    defineCodeGen(ctx, ev, c => s"$self.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidSims =
+    copy(child = newChild)
+}
+
+object CentroidSims {
+  /** `centroid_sims(vec)` against a fixed matrix, as a [[Column]].
+    * Input must be `array<double>`. */
+  def centroidSims(vec: Column, cents: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(
+      CentroidSims(GraftColumnBridge.expression(vec), cents))
+}

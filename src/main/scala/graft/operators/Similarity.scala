@@ -32,13 +32,15 @@ object Similarity {
     * in double. One cast, pushed into the same codegen stage. */
   def asDoubleVec(c: Column): Column = c.cast(ArrayType(DoubleType))
 
-  /** Cosine of `vec` against each centroid in `cs`, as an array column.
-    * Centroids are literal arrays — broadcast inside the plan, row-local
-    * codegen, no shuffle or join for cell assignment. */
+  /** Cosine of `vec` against each centroid in `cs`, as an array column —
+    * one [[graft.functions.CentroidSims]] node carrying the matrix as a
+    * reference object. Row-local, no shuffle or join for cell
+    * assignment; the matrix never appears as plan literals (an unrolled
+    * `array(cosineSim(vec, array(lit…)))` put cells×dim literal nodes
+    * through the analyzer and Janino per instantiation — that compile
+    * time dominated the IVF queries at bench scale). */
   private def cellSimsFor(cs: Array[Array[Double]])(vec: Column): Column =
-    array(cs.map { cvec =>
-      cosineSim(asDoubleVec(vec), array(cvec.map(lit): _*))
-    }: _*)
+    graft.functions.CentroidSims.centroidSims(asDoubleVec(vec), cs)
 
   /** Argmax over an ALIASED sims column; first index wins ties
     * (deterministic). The alias matters: array_position + array_max
