@@ -252,6 +252,18 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
+    // Explicit runtime-filter semi-join: bloom of the hot orders' keys
+    // pushed into the lineitem scan before the exchange (the bloom only
+    // PRUNES — the exact semi-join after it makes false positives
+    // harmless, so the oracle is the plain IN-subquery).
+    "bloom_semi_join" -> ((s, dir) => {
+      val hot = tbl(s, dir, "orders").where(col("o_totalprice") > 150000)
+      graft.operators.BloomJoin
+        .bloomSemiJoin(li(s, dir), "l_orderkey", hot, "o_orderkey",
+          expectedItems = 200000)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).cast("double").as("sum_qty"))
+    }),
 
     // ----- TPC-H-style analytics (bench headliners) --------------------
     "q1_pricing" -> ((s, dir) =>
@@ -1269,6 +1281,12 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "bloom_semi_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
