@@ -978,12 +978,24 @@ object SparkEntry {
       Multimodal.sampleFrames(media, stride = 10)
         .agg(count(lit(1)).as("n_frames"))
     }),
+    // REAL pixel path end-to-end: encode spec-valid BMPs, nearest-
+    // neighbor resize the pixel rows, parse the RESIZED headers back.
+    // The oracle recomputes output dims (integer floor, min 1) and the
+    // exact padded byte size from the same dims formula.
     "multimodal_resize" -> ((s, dir) => {
-      val media = Multimodal.withMediaColumn(
-        tbl(s, dir, "documents"), "doc_id", "text", Nil)
-      Multimodal.resizeStub(media, 50)
-        .agg(count(lit(1)).as("n"),
-          sum(length(col("data")).cast("long")).as("total_bytes"))
+      val dims = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        (col("n_chars") % 64 + 1).cast("int").as("w"),
+        (col("doc_id") % 48 + 1).cast("int").as("h"))
+      val media = Multimodal.encodeBmpFrame(dims, "doc_id", "w", "h")
+      val resized = Multimodal.resizeBmpFrame(media, 50)
+      Multimodal.extractFeatures(resized).toDF()
+        .agg(
+          count(lit(1)).as("n"),
+          sum("width").as("sum_w"),
+          sum("height").as("sum_h"),
+          sum("byteLen").as("total_bytes"),
+          sum(when(col("format") === "bmp", 1L).otherwise(0L)).as("n_bmp"))
     }),
 
     // ----- §2.10 training-data pipeline --------------------------------
@@ -1876,11 +1888,21 @@ object SparkEntry {
       """SELECT CAST(sum(CAST(ceil(strlen(text) / 10.0) AS BIGINT)) AS BIGINT)
         |  AS n_frames
         |FROM documents WHERE strlen(text) > 0""".stripMargin,
+    // Output dims = max(1, dim*50 // 100); byte size = 54-byte header +
+    // 4-byte-padded 24bpp rows — the same public BMP layout the Scala
+    // encoder/resizer implement.
     "multimodal_resize" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(floor(strlen(text) * 50 / 100) AS BIGINT)) AS BIGINT)
-        |    AS total_bytes
-        |FROM documents""".stripMargin,
+      """WITH dims AS (
+        |  SELECT greatest(1, (n_chars % 64 + 1) * 50 // 100) AS nw,
+        |         greatest(1, (doc_id % 48 + 1) * 50 // 100) AS nh
+        |  FROM documents
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(nw) AS BIGINT) AS sum_w,
+        |  CAST(sum(nh) AS BIGINT) AS sum_h,
+        |  CAST(sum(54 + ((3 * nw + 3) // 4) * 4 * nh) AS BIGINT) AS total_bytes,
+        |  CAST(count(*) AS BIGINT) AS n_bmp
+        |FROM dims""".stripMargin,
     "sql_native_fns" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN len(w) >= 3 THEN len(list_distinct(

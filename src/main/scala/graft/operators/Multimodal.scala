@@ -11,9 +11,12 @@ import org.apache.spark.sql.types._
   * Header decoding is REAL: [[parseDims]] parses width/height from the
   * raw bytes of BMP (BITMAPINFOHEADER, little-endian fields) and PNG
   * (IHDR, big-endian fields) containers — both byte layouts are public
-  * spec. Full pixel decode (which needs a codec library this
-  * environment lacks) is where [[resizeStub]] remains an honest stub;
-  * the batch-iteration plumbing around it is real.
+  * spec. Pixel work on BMP is REAL too: [[encodeBmp]] writes spec-valid
+  * files and [[resizeBmp24]] does an actual nearest-neighbor resample
+  * of the pixel rows. Only entropy-coded formats (PNG/JPEG pixel
+  * decode, which needs a codec library this environment lacks) stay
+  * behind the clearly-marked [[resizeStub]]; the batch-iteration
+  * plumbing is identical either way.
   *
   * Scale notes: payload bytes never shuffle (all transforms are
   * row-local `mapPartitions`); metadata-only queries prune the binary
@@ -68,11 +71,10 @@ object Multimodal {
     * bottom-up padded pixel rows). Pixels are a deterministic gradient
     * of the media id so payloads are reproducible; any BMP reader
     * renders the output. */
-  def encodeBmp(id: Long, width: Int, height: Int): Array[Byte] = {
-    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+  /** Write the 54-byte BMP+BITMAPINFOHEADER for a 24bpp bottom-up
+    * bitmap into `b` (which must already be `54 + rowSize*height`). */
+  private def writeBmpHeader(b: Array[Byte], width: Int, height: Int): Unit = {
     val rowSize = bmpRowSize(width)
-    val fileSize = 54 + rowSize * height
-    val b = new Array[Byte](fileSize)
     def putLe32(off: Int, v: Int): Unit = {
       b(off) = (v & 0xff).toByte
       b(off + 1) = ((v >>> 8) & 0xff).toByte
@@ -80,7 +82,7 @@ object Multimodal {
       b(off + 3) = ((v >>> 24) & 0xff).toByte
     }
     b(0) = 'B'; b(1) = 'M'
-    putLe32(2, fileSize)
+    putLe32(2, 54 + rowSize * height)
     putLe32(10, 54)            // pixel-array offset
     putLe32(14, 40)            // BITMAPINFOHEADER size
     putLe32(18, width)
@@ -89,6 +91,13 @@ object Multimodal {
     b(28) = 24                 // bits per pixel (LE16)
     putLe32(34, rowSize * height)
     putLe32(38, 2835); putLe32(42, 2835) // 72 DPI in px/metre
+  }
+
+  def encodeBmp(id: Long, width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val rowSize = bmpRowSize(width)
+    val b = new Array[Byte](54 + rowSize * height)
+    writeBmpHeader(b, width, height)
     var y = 0
     while (y < height) {
       val row = 54 + y * rowSize
@@ -150,11 +159,64 @@ object Multimodal {
     }
   }
 
-  /** STUB resize — the transform shape of a media re-encode: row-local
-    * projection over (id, data), emitting a smaller payload whose size
-    * tracks the scale factor deterministically (`substring` operates on
-    * binary natively). A real implementation swaps a codec resize in
-    * here and nothing else changes. Payloads never shuffle. */
+  /** REAL nearest-neighbor resize of a 24bpp bottom-up BMP payload —
+    * pure byte math over the public spec layout, no codec library:
+    * parse the header, sample source pixel (x·w/nw, y·h/nh) for every
+    * destination pixel, re-pad rows to the 4-byte boundary, write a
+    * fresh header. Output dims are `max(1, dim·scalePercent/100)`
+    * (integer floor — mirrored exactly by the SQL oracle).
+    *
+    * Honest boundary: PNG/JPEG resize needs an entropy codec this
+    * environment lacks; BMP is the format whose pixels ARE addressable
+    * bytes, so this is the real thing, not a stub. Top-down
+    * (negative-height) and non-24bpp BMPs are rejected loudly. */
+  def resizeBmp24(bytes: Array[Byte], scalePercent: Int): Array[Byte] = {
+    require(scalePercent > 0, s"scalePercent must be positive, got $scalePercent")
+    val (fmt, w, h) = parseDims(bytes)
+    require(fmt == "bmp", s"resizeBmp24 requires a BMP payload, got '$fmt'")
+    require(le32(bytes, 22) > 0, "top-down (negative-height) BMP not supported")
+    val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+    require(bpp == 24, s"resizeBmp24 requires 24bpp, got $bpp")
+    val srcOff = le32(bytes, 10)
+    val srcStride = bmpRowSize(w)
+    val nw = math.max(1, w * scalePercent / 100)
+    val nh = math.max(1, h * scalePercent / 100)
+    val dstStride = bmpRowSize(nw)
+    val out = new Array[Byte](54 + dstStride * nh)
+    writeBmpHeader(out, nw, nh)
+    var y = 0
+    while (y < nh) {
+      val srcRow = srcOff + (y * h / nh) * srcStride
+      val dstRow = 54 + y * dstStride
+      var x = 0
+      while (x < nw) {
+        val s = srcRow + (x * w / nw) * 3
+        val d = dstRow + x * 3
+        out(d) = bytes(s); out(d + 1) = bytes(s + 1); out(d + 2) = bytes(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Resize every BMP payload of a (media_id, data) frame — row-local
+    * per-partition batches, payloads never shuffle. */
+  def resizeBmpFrame(media: DataFrame, scalePercent: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => (id, resizeBmp24(b, scalePercent)) })
+      .toDF("media_id", "data")
+  }
+
+  /** STUB resize for OPAQUE payloads (formats whose pixels need a codec
+    * library this environment lacks — see [[resizeBmp24]] for the real
+    * BMP path): a row-local projection emitting a smaller payload whose
+    * size tracks the scale factor deterministically (`substring`
+    * operates on binary natively). A real implementation swaps a codec
+    * resize in here and nothing else changes. Payloads never shuffle. */
   def resizeStub(media: DataFrame, scalePercent: Int): DataFrame = {
     require(scalePercent > 0 && scalePercent <= 100)
     // long arithmetic: length * scalePercent overflows Int for payloads

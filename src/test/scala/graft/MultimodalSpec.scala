@@ -83,6 +83,44 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == 5 && out(2L) == 1)
   }
 
+  test("resizeBmp24: 50% of a 4x4 keeps exactly the even-indexed source pixels") {
+    val src = Multimodal.encodeBmp(7L, 4, 4)
+    val out = Multimodal.resizeBmp24(src, 50)
+    val (fmt, w, h) = Multimodal.parseDims(out)
+    assert((fmt, w, h) == ("bmp", 2, 2))
+    assert(out.length == 54 + Multimodal.bmpRowSize(2) * 2)
+    // nearest-neighbor with nw=w/2: dst(x,y) = src(2x,2y); strides pad to 4
+    val srcStride = Multimodal.bmpRowSize(4)
+    val dstStride = Multimodal.bmpRowSize(2)
+    for (y <- 0 until 2; x <- 0 until 2; c <- 0 until 3) {
+      val d = out(54 + y * dstStride + x * 3 + c)
+      val s = src(54 + (2 * y) * srcStride + (2 * x) * 3 + c)
+      assert(d == s, s"pixel ($x,$y) channel $c")
+    }
+  }
+
+  test("resizeBmp24: dims floor to at least 1; upscale also works") {
+    val tiny = Multimodal.resizeBmp24(Multimodal.encodeBmp(1L, 3, 5), 10)
+    assert(Multimodal.parseDims(tiny) == (("bmp", 1, 1)))
+    val up = Multimodal.resizeBmp24(Multimodal.encodeBmp(1L, 2, 2), 200)
+    assert(Multimodal.parseDims(up) == (("bmp", 4, 4)))
+    // non-BMP payloads are rejected loudly, not resized wrongly
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.resizeBmp24("notabmp".getBytes, 50)
+    }
+    assert(e.getMessage.contains("BMP"))
+  }
+
+  test("resizeBmpFrame resizes payloads row-locally across partitions") {
+    val dims = Seq((1L, 8, 6), (2L, 31, 17), (3L, 1, 1)).toDF("id", "w", "h")
+    val media = Multimodal.encodeBmpFrame(dims, "id", "w", "h").repartition(3)
+    val got = Multimodal.extractFeatures(Multimodal.resizeBmpFrame(media, 50))
+      .collect().map(f => f.mediaId -> ((f.width, f.height, f.byteLen))).toMap
+    assert(got(1L) == ((4, 3, 54 + Multimodal.bmpRowSize(4) * 3)))
+    assert(got(2L) == ((15, 8, 54 + Multimodal.bmpRowSize(15) * 8)))
+    assert(got(3L) == ((1, 1, 54 + Multimodal.bmpRowSize(1) * 1)))
+  }
+
   test("sampleFrames explodes one row per stride offset") {
     val m = Multimodal.withMediaColumn(docs.where(col("doc_id") === 1), "doc_id", "text", Seq("lang"))
     // 11 bytes, stride 4 → offsets 0,4,8
