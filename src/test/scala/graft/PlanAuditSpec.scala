@@ -96,6 +96,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("kmeans gate: row-local assignment — exchanges only for agg + orderBy") {
+    val p = plan("embed_kmeans")
+    // assignment is a scan projection (CentroidSims); the plan's only
+    // exchanges are the final count/sum groupBy and the gate's orderBy
+    assert(nodes(p, "Exchange") <= 2, p)
+    assert(nodes(p, "Generate") == 0, p) // no posexplode-by-dimension
+  }
+
+  test("repetition metrics: row-local, zero joins, single sort for the gate") {
+    val p = plan("text_repetition")
+    assert(nodes(p, "Exchange") <= 1, p)
+    assert(nodes(p, "SortMergeJoin") + nodes(p, "BroadcastHashJoin") == 0, p)
+  }
+
+  test("bloom semi-join: might_contain filter sits under the join") {
+    val p = plan("bloom_semi_join")
+    assert(p.contains("might_contain"), p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+  }
+
   test("broadcast join query does broadcast; big join stays shuffle") {
     assert(plan("join_broadcast").contains("BroadcastHashJoin"))
     // join_big must not HINT a broadcast: disable the size-based
