@@ -1841,8 +1841,12 @@ object SparkEntry {
       """SELECT CAST(count(DISTINCT lower(trim(text))) AS BIGINT) AS n_fp
         |FROM documents""".stripMargin,
     // Mirrors repetitionMetrics with DuckDB list functions: same planted
-    // doubling, same trim/lowercase/whitespace tokenization, same
-    // excess-occurrence fractions (1 - distinct/total) rounded at 6.
+    // doubling, same trim/lowercase, same excess-occurrence fractions
+    // (1 - distinct/total) rounded at 6. Tokenization caveat shared with
+    // the simhash/minhash oracles: WordNGrams splits on
+    // Character.isWhitespace, a SUPERSET of this oracle's '\s+' —
+    // equivalent on the fixture's ASCII whitespace, divergent on exotic
+    // separators (U+2028 etc.), which the fixture does not contain.
     "text_repetition" ->
       """WITH base AS (
         |  SELECT doc_id,

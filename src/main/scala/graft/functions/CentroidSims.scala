@@ -94,6 +94,20 @@ case class CentroidSims(child: Expression, cents: Array[Array[Double]])
     defineCodeGen(ctx, ev, c => s"$self.compute($c)")
   }
 
+  // Array fields default to reference equality, which would make two
+  // content-identical nodes (e.g. the corpus and query branches of one
+  // IVF plan) semantically unequal — defeating subexpression
+  // elimination and plan/exchange reuse. Compare the matrix by value.
+  override def equals(o: Any): Boolean = o match {
+    case c: CentroidSims => child == c.child &&
+      java.util.Arrays.deepEquals(
+        cents.asInstanceOf[Array[AnyRef]], c.cents.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])
+
   override protected def withNewChildInternal(newChild: Expression): CentroidSims =
     copy(child = newChild)
 }

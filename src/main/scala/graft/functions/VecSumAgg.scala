@@ -21,8 +21,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * convention, matching built-in `sum`). A dimension mismatch inside
   * one group is a data error and fails fast with a clear message —
   * silently truncating or padding would corrupt every centroid
-  * downstream. Null ELEMENTS inside a vector are rejected the same way
-  * (an embedding with missing dimensions is corrupt, not zero).
+  * downstream. Null ELEMENTS inside a vector and ZERO-LENGTH vectors
+  * are rejected the same way (an embedding with missing dimensions is
+  * corrupt, not zero — and a tolerated empty vector would be
+  * indistinguishable from "no input" in the null result).
   */
 final class VecSumAgg extends Aggregator[Seq[java.lang.Double], Array[Double], Seq[Double]] {
 
@@ -49,7 +51,12 @@ final class VecSumAgg extends Aggregator[Seq[java.lang.Double], Array[Double], S
 
   override def reduce(buf: Array[Double], v: Seq[java.lang.Double]): Array[Double] = {
     if (v == null) buf
-    else if (buf.length == 0 && v.nonEmpty) checkedAdd(new Array[Double](v.length), v)
+    // A zero-length vector is corrupt data, same contract as a null
+    // element — and silently treating it as "no input" would conflate
+    // an all-empty group with an all-null group at finish().
+    else if (v.isEmpty) throw new IllegalArgumentException(
+      "vec_sum: zero-length vector — corrupt embedding")
+    else if (buf.length == 0) checkedAdd(new Array[Double](v.length), v)
     else checkedAdd(buf, v)
   }
 

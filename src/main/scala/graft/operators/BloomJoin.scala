@@ -41,9 +41,25 @@ object BloomJoin {
       small: DataFrame, smallKey: String,
       expectedItems: Long = 1000000L): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    // xxhash64 hashes the RAW bytes of its input type, so the two sides
+    // must hash the SAME type even though the semi-join would coerce
+    // them (int 5 and bigint 5 hash differently — the bloom would then
+    // reject every true match). Mirror the join's coercion: widen both
+    // integral keys to long; otherwise require identical types.
+    val (lt, st) = (large.schema(largeKey).dataType, small.schema(smallKey).dataType)
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    val (probeKey, buildKey) =
+      if (lt == st) (col(largeKey), col(smallKey))
+      else if (integral(lt) && integral(st))
+        (col(largeKey).cast("long"), col(smallKey).cast("long"))
+      else throw new IllegalArgumentException(
+        s"bloomSemiJoin keys must share a type (or both be integral): " +
+          s"$largeKey is ${lt.catalogString}, $smallKey is ${st.catalogString}")
     val buildAgg = GraftColumnBridge.column(
       new BloomFilterAggregate(
-        GraftColumnBridge.expression(xxhash64(col(smallKey))), expectedItems)
+        GraftColumnBridge.expression(xxhash64(buildKey)), expectedItems)
         .toAggregateExpression())
     // One tiny driver fetch: the serialized filter (the fitted-model
     // pattern — same shape as any broadcast dimension table's hash map).
@@ -54,7 +70,7 @@ object BloomJoin {
       if (blob == null) large
       else large.where(GraftColumnBridge.column(BloomFilterMightContain(
         Literal(blob, BinaryType),
-        GraftColumnBridge.expression(xxhash64(col(largeKey))))))
+        GraftColumnBridge.expression(xxhash64(probeKey)))))
     // No distinct on the build keys: a semi-join never duplicates left
     // rows, so deduping first would only add a shuffle.
     val rightKeys = small.select(col(smallKey).as(largeKey))

@@ -67,10 +67,6 @@ object Multimodal {
   /** BMP row stride: pixel rows pad to a 4-byte boundary (spec). */
   def bmpRowSize(width: Int): Int = ((width * 3 + 3) / 4) * 4
 
-  /** Serialize a REAL 24-bit BMP (BITMAPINFOHEADER, 54-byte header +
-    * bottom-up padded pixel rows). Pixels are a deterministic gradient
-    * of the media id so payloads are reproducible; any BMP reader
-    * renders the output. */
   /** Write the 54-byte BMP+BITMAPINFOHEADER for a 24bpp bottom-up
     * bitmap into `b` (which must already be `54 + rowSize*height`). */
   private def writeBmpHeader(b: Array[Byte], width: Int, height: Int): Unit = {
@@ -93,6 +89,10 @@ object Multimodal {
     putLe32(38, 2835); putLe32(42, 2835) // 72 DPI in px/metre
   }
 
+  /** Serialize a REAL 24-bit BMP (BITMAPINFOHEADER, 54-byte header +
+    * bottom-up padded pixel rows). Pixels are a deterministic gradient
+    * of the media id so payloads are reproducible; any BMP reader
+    * renders the output. */
   def encodeBmp(id: Long, width: Int, height: Int): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     val rowSize = bmpRowSize(width)

@@ -73,6 +73,10 @@ object Similarity {
     }
     df
       .select(asDoubleVec(col(vecCol)).as("__v"))
+      // a null embedding has no cell: drop it from training (the old
+      // posexplode formulation dropped such rows implicitly; without
+      // this filter the null cell group would NPE the model collect)
+      .where(col("__v").isNotNull)
       .select(col("__v"), cellSimsFor(cs)(col("__v")).as("__sims"))
       .select(argmaxCell(col("__sims")).as("cell"), col("__v"))
       .groupBy("cell")
@@ -107,7 +111,12 @@ object Similarity {
       k: Int, iters: Int = 1, centRound: Int = 9): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    // Null embeddings are excluded from seeding and training; in the
+    // returned assignments they carry a null cell (no nearest centroid
+    // exists for a missing vector — inventing one would be a wrong
+    // number, the same contract CosineSimilarity applies).
     val seeds: Array[Array[Double]] = df
+      .where(col(vecCol).isNotNull)
       .orderBy(col(idCol)).limit(k)
       .select(asDoubleVec(col(vecCol)))
       .collect()

@@ -31,6 +31,20 @@ class BloomJoinSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("mixed integral key types hash consistently (int probe vs bigint build)") {
+    val large = spark.range(0, 1000).select(col("id").cast("int").as("k"))
+    val small = spark.range(0, 1000).where(col("id") % 10 === 0)
+      .select(col("id").as("sk")) // bigint
+    val got = BloomJoin.bloomSemiJoin(large, "k", small, "sk", expectedItems = 100)
+      .count()
+    assert(got == 100) // every multiple of 10 must survive the bloom
+    // non-coercible types are rejected loudly
+    val bad = intercept[IllegalArgumentException] {
+      BloomJoin.bloomSemiJoin(large, "k", small.select(col("sk").cast("string")), "sk")
+    }
+    assert(bad.getMessage.contains("share a type"))
+  }
+
   test("the bloom predicate sits in the plan before the join") {
     val large = spark.range(0, 100).select(col("id").as("k"))
     val small = spark.range(0, 10).select(col("id").as("sk"))

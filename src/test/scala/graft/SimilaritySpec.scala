@@ -150,6 +150,17 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("kmeansAssign: null embeddings don't crash training and get a null cell") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, null: Array[Float]), (3L, Array(0.9f, 0.1f))).toDF("id", "vec")
+    val got = Similarity.kmeansAssign(df, "id", "vec", k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got(2L).isEmpty)           // missing vector → no invented cell
+    assert(got(0L) == got(3L))        // real vectors still cluster
+    assert(got.size == 4)
+  }
+
   test("kmeansAssign keeps empty cells on their seed centroid") {
     // k=3 but only two real clusters: the third seed's cell may empty
     // out; the operator must not crash and every row keeps a valid cell.

@@ -46,6 +46,16 @@ class VecSumAggSpec extends SparkSpec {
     assert(one(0L)(1) == math.ceil(n / 7.0))
   }
 
+  test("zero-length vector is rejected (corrupt, not 'no input')") {
+    val df = Seq(("a", Seq(1.0)), ("a", Seq.empty[Double])).toDF("g", "v")
+    val e = intercept[Exception] {
+      df.coalesce(1).groupBy("g").agg(vecSum(col("v")).as("s")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("zero-length")))
+  }
+
   test("dimension mismatch fails fast with a clear message") {
     val df = Seq(("a", Seq(1.0, 2.0)), ("a", Seq(1.0))).toDF("g", "v")
     val e = intercept[Exception] {
