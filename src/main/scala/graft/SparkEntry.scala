@@ -252,6 +252,29 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
+    // Salted shuffle join (explicit-control skew handling): fact side
+    // salted, dim side replicated per salt — same rows as join_big's
+    // plain join, proven by sharing its aggregate-and-oracle shape.
+    "join_salted" -> ((s, dir) => {
+      val dim = tbl(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li(s, dir), dim, Seq("l_orderkey"), salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+    // HLL++ sketch path for distinct counts (mergeable, bounded memory —
+    // the 100 TB route; exact countDistinct double-shuffles the keys).
+    // Gate: relative error within 5% of exact (rsd configured at 2%).
+    "nunique_approx" -> ((s, dir) =>
+      li(s, dir).agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          countDistinct(col("l_partkey")).as("ex"))
+        .select((abs(col("ap") - col("ex")).cast("double") / col("ex") <= 0.05)
+          .as("ok_rel_err"))),
     // Explicit runtime-filter semi-join: bloom of the hot orders' keys
     // pushed into the lineitem scan before the exchange (the bloom only
     // PRUNES — the exact semi-join after it makes false positives
@@ -1293,6 +1316,13 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_salted" ->
+      """SELECT o_orderpriority,
+        |CAST(round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS DOUBLE) AS revenue,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "nunique_approx" -> "SELECT true AS ok_rel_err",
     "bloom_semi_join" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty

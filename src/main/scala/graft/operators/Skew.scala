@@ -50,4 +50,33 @@ object Skew {
       .agg(partialAggs.head, partialAggs.tail: _*)
     partial.groupBy(col(key)).agg(mergeAggs.head, mergeAggs.tail: _*)
   }
+
+  /** Salted shuffle JOIN — the explicit-control form of what AQE's
+    * skew-join does adaptively: a hot join key would funnel every
+    * matching row of BOTH sides through one reducer; salting splits the
+    * skewed (fact) side into `salts` random sub-keys and REPLICATES
+    * every build (dim) row into all `salts` sub-keys, so the hot key's
+    * volume spreads over `salts` reducers. Output equals
+    * `skewed.join(build, keys, joinType)` exactly; cost is `salts`× the
+    * build side's shuffle volume — use when the build side is too big to
+    * broadcast but far smaller than the fact side (else broadcast and
+    * no salt is needed at all).
+    *
+    * Inner and left_outer only: right/full outer would need unmatched
+    * BUILD rows deduped across their `salts` replicas — a wrong-result
+    * trap, rejected loudly. */
+  def saltedJoin(
+      skewed: DataFrame, build: DataFrame, keys: Seq[String],
+      joinType: String = "inner", salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "leftouter" || jt == "left",
+      s"saltedJoin supports inner/left_outer, got '$joinType' — an outer build " +
+        "side would duplicate unmatched rows across salt replicas")
+    val saltedFact = skewed.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    saltedFact.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -27,4 +27,30 @@ class SkewSpec extends SparkSpec {
       Skew.saltedCountSum(df, "k", "v", salts = s).collect()(0))
     assert(results.distinct.size == 1)
   }
+
+  test("saltedJoin equals the plain join for inner and left_outer") {
+    // hot fact key + keys that miss the build side (left-outer coverage)
+    val fact = (1 to 5000).map { i =>
+      val k = if (i % 10 == 0) i % 5 else 1 // key 1 is hot; 0,2,3,4 cold
+      (k.toLong, i.toLong)
+    }.toDF("k", "v").repartition(8)
+    val build = Seq((1L, "hot"), (2L, "two"), (9L, "unmatched"))
+      .toDF("k", "name")
+    for (jt <- Seq("inner", "left_outer")) {
+      val plain = fact.join(build, Seq("k"), jt)
+        .orderBy("k", "v").collect().toSeq
+      val salted = Skew.saltedJoin(fact, build, Seq("k"), jt, salts = 8)
+        .select("k", "v", "name")
+        .orderBy("k", "v").collect().toSeq
+      assert(salted == plain, jt)
+    }
+  }
+
+  test("saltedJoin rejects outer-build join types that would duplicate rows") {
+    val df = Seq((1L, "a")).toDF("k", "x")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df, Seq("k"), joinType = "right_outer")
+    }
+    assert(e.getMessage.contains("saltedJoin supports"))
+  }
 }
