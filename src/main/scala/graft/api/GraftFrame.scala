@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row, SparkSess
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types.{DataType, DoubleType}
-import graft.operators.{Apply, Reductions}
+import graft.operators.{Apply, BloomJoin, Dedup, Reductions, Similarity, TextOps}
 import graft.sources.{CsvOptions, CsvReader}
 
 /** pandas-flavored facade over a Spark [[DataFrame]] — the user-facing
@@ -306,6 +306,45 @@ final class GraftFrame(val df: DataFrame) {
     * a global sort's single ordering bottleneck. */
   def sort_within_partitions(cols: String*): GraftFrame =
     new GraftFrame(df.sortWithinPartitions(cols.map(col): _*))
+
+  // ----- LLM-pipeline surface ------------------------------------------
+  // One-call forms of the training-data operators (COVERAGE.md) so a
+  // facade user never has to drop to graft.operators.* — each is a thin
+  // delegation carrying the operator's scale shape unchanged.
+
+  /** Near-duplicate pairs (id_a, id_b, jaccard) via banded MinHash-LSH —
+    * ONE shuffle on (band, hash), never all-pairs. */
+  def near_dup_pairs(idCol: String, textCol: String,
+      threshold: Double = 0.8): GraftFrame =
+    new GraftFrame(Dedup.nearDupMinHash(df, idCol, textCol, threshold))
+
+  /** Drop near-duplicates: keep rows in no ≥-threshold pair plus the
+    * min-id representative of each duplicate cluster. */
+  def drop_near_duplicates(idCol: String, textCol: String,
+      threshold: Double = 0.8): GraftFrame =
+    new GraftFrame(Dedup.dropNearDuplicates(df, idCol,
+      Dedup.nearDupMinHash(df, idCol, textCol, threshold)
+        .select(col("id_a"), col("id_b"))))
+
+  /** Semi-join against `other`'s keys with a bloom pre-filter pushed
+    * before the exchange ([[graft.operators.BloomJoin]]). */
+  def semi_join_bloom(other: GraftFrame, key: String, otherKey: String,
+      expectedItems: Long = 1000000L): GraftFrame =
+    new GraftFrame(BloomJoin.bloomSemiJoin(df, key, other.df, otherKey, expectedItems))
+
+  /** Deterministic cosine k-means assignments (id, cell) —
+    * [[graft.operators.Similarity.kmeansAssign]]. */
+  def kmeans(idCol: String, vecCol: String, k: Int, iters: Int = 1): GraftFrame =
+    new GraftFrame(Similarity.kmeansAssign(df, idCol, vecCol, k, iters))
+
+  /** Append the text quality + repetition metric columns for `textCol`
+    * (row-local, one scan — the standard cheap-filter pass). */
+  def with_text_metrics(textCol: String): GraftFrame = {
+    val metrics =
+      (TextOps.qualityMetrics(col(textCol)) ++ TextOps.repetitionMetrics(col(textCol)))
+        .map { case (n, c) => c.as(n) }
+    new GraftFrame(df.select(col("*") +: metrics: _*))
+  }
 
   // ----- sinks (§2.1) --------------------------------------------------
 

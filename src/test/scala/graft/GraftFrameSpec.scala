@@ -121,4 +121,40 @@ class GraftFrameSpec extends SparkSpec {
     }
     assert(perPart.map(_._2.size).sum == 500)
   }
+
+  test("LLM-pipeline facade: near-dup, bloom semi-join, kmeans, text metrics") {
+    // near-dup: a doc and its 1-token-dropped copy are found as a pair
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = new GraftFrame(Seq(
+      (1L, base), (2L, base.stripSuffix(" upsilon")),
+      (3L, "completely different text about other things entirely here now " +
+        "with many more unrelated words to keep jaccard at zero")).toDF("id", "txt"))
+    val pairs = docs.near_dup_pairs("id", "txt", threshold = 0.6)
+      .toDF.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    val kept = docs.drop_near_duplicates("id", "txt", threshold = 0.6)
+      .toDF.select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+
+    // bloom semi-join delegates with exact results
+    val large = new GraftFrame(spark.range(0, 100).toDF("k"))
+    val smallF = new GraftFrame(spark.range(0, 100).where(col("id") % 9 === 0).toDF("sk"))
+    assert(large.semi_join_bloom(smallF, "k", "sk").count() == 12)
+
+    // kmeans facade returns one cell per row
+    val vecs = new GraftFrame((0 until 10)
+      .map(i => (i.toLong, Array.tabulate(4)(d => (i * 7 + d).toFloat)))
+      .toDF("id", "vec"))
+    val cells = vecs.kmeans("id", "vec", k = 2, iters = 1).toDF.collect()
+    assert(cells.length == 10 && cells.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 2))
+
+    // text metrics appends the 9 quality+repetition columns
+    val m = docs.with_text_metrics("txt")
+    val added = m.columns.toSet -- docs.columns.toSet
+    assert(added == Set("n_chars", "n_tokens", "avg_token_chars",
+      "stopword_ratio", "distinct_ratio", "dup_line_frac",
+      "dup_line_char_frac", "dup_2gram_frac", "dup_3gram_frac"))
+    assert(m.count() == 3)
+  }
 }
