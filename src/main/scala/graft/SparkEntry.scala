@@ -905,6 +905,14 @@ object SparkEntry {
         .select(TextOps.fingerprint(col("text")).as("fp"))
         .agg(countDistinct(col("fp")).as("n_fp"))
     }),
+    // Unigram log-prob fluency score: corpus-estimated token frequencies
+    // broadcast back onto the token stream, per-doc mean log prob.
+    "text_logprob" -> ((s, dir) => {
+      TextOps.unigramLogProb(
+          tbl(s, dir, "documents").where(col("doc_id") < 300), "doc_id", "text")
+        .select(col("doc_id"), round(col("unigram_logprob"), 6).as("unigram_logprob"))
+        .orderBy("doc_id")
+    }),
     // Gopher-style repetition signals. The fixture text is clean, so
     // even ids get their whole body repeated (text + '\n' + text) —
     // planting known line- and n-gram-level duplication the metrics
@@ -1870,6 +1878,24 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT CAST(count(DISTINCT lower(trim(text))) AS BIGINT) AS n_fp
         |FROM documents""".stripMargin,
+    "text_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents WHERE doc_id < 300
+        |), f AS (
+        |  SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f
+        |), s AS (
+        |  SELECT doc_id, ln(CAST(cnt AS DOUBLE)) - ln(total) AS lp
+        |  FROM t JOIN f USING (tok) CROSS JOIN tot
+        |)
+        |SELECT d.doc_id, CAST(round(avg(s.lp), 6) AS DOUBLE) AS unigram_logprob
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+        |LEFT JOIN s USING (doc_id)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     // Mirrors repetitionMetrics with DuckDB list functions: same planted
     // doubling, same trim/lowercase, same excess-occurrence fractions
     // (1 - distinct/total) rounded at 6. Tokenization caveat shared with

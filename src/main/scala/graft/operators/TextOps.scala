@@ -156,6 +156,36 @@ object TextOps {
       .select(col(idCol), col("term"), col("tfidf"), col("rank"))
   }
 
+  /** Unigram log-probability score per document — the classic cheap
+    * LM-free fluency/quality signal (a document of globally-rare tokens
+    * scores low; natural prose tracks the corpus distribution):
+    * `mean over tokens of ln(count(token) / total_tokens)`, with the
+    * unigram counts estimated from the corpus itself.
+    *
+    * Scale shape: ONE explode+groupBy shuffle builds the
+    * vocabulary-sized frequency table, which then broadcast-joins back
+    * onto the exploded tokens; per-doc mean is a second grouped
+    * aggregation on the doc id. The corpus token total rides the
+    * frequency table (window-free: summed into the broadcast side).
+    * Same two-shuffle pattern as [[tfIdfTopTerms]]. Token-free docs
+    * get a null score. */
+  def unigramLogProb(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // total corpus tokens: a scalar agg over the tiny vocab table —
+    // computed once, attached as a literal via crossJoin of one row
+    val total = freq.agg(sum("cnt").as("__total"))
+    val scored = toks
+      .join(broadcast(freq), "tok")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        (log(col("cnt").cast(DoubleType)) - log(col("__total").cast(DoubleType)))
+          .as("lp"))
+    docs.select(col(idCol))
+      .join(scored.groupBy(idCol).agg(avg("lp").as("unigram_logprob")), Seq(idCol), "left")
+  }
+
   /** PII scrub: mask emails, URLs, and long digit runs (phone/account
     * numbers) with typed placeholder tokens. Three chained
     * `regexp_replace` — row-local codegen, no UDF; the standard

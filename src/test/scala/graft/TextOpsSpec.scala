@@ -89,6 +89,18 @@ class TextOpsSpec extends SparkSpec {
     assert(!short.isNullAt(0) && short.isNullAt(2) && short.isNullAt(3))
   }
 
+  test("unigram log-prob: hand-computed corpus frequencies; null for empty docs") {
+    val docs = Seq((1L, "a a b"), (2L, "b"), (3L, "  ")).toDF("id", "t")
+    val got = TextOps.unigramLogProb(docs, "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // freq: a=2, b=2, total=4 → every token lp = ln(1/2)
+    val half = math.log(0.5)
+    assert(math.abs(got(1L).get - half) < 1e-12)
+    assert(math.abs(got(2L).get - half) < 1e-12)
+    assert(got(3L).isEmpty) // token-free doc → null, not 0
+  }
+
   test("min-k fingerprint: near-dup docs share most sketch elements") {
     val a = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
     val b = a.replace("today", "tonight")
