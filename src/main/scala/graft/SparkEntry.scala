@@ -343,6 +343,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           round(sum("l_quantity"), 2).as("sum_qty"))
     }),
+    // Per-GROUP sketch quantiles: percentile_approx is a mergeable
+    // partial aggregate, so group medians come out of ONE two-phase
+    // shuffle — no per-group sort, no column buffering (the exact
+    // percentile here only exists to bracket the sketch, gate-style).
+    "groupby_quantiles" -> ((s, dir) =>
+      li(s, dir).groupBy("l_returnflag")
+        .agg(
+          element_at(expr(
+            "percentile_approx(l_extendedprice, array(0.5), 10000)"), 1).as("ap"),
+          expr("percentile(l_extendedprice, array(0.499, 0.501))").as("ex"))
+        .select(col("l_returnflag"),
+          col("ap").between(element_at(col("ex"), 1), element_at(col("ex"), 2))
+            .as("ok_q50"))
+        .orderBy("l_returnflag")),
+    // Hive-style partitioned layout — THE scan-side lever at 100 TB: a
+    // query filtering on the partition column reads only its
+    // directories (partition pruning), so the filtered aggregate below
+    // scans 1/3 of the files, not all of them. PlanAuditSpec pins the
+    // pruning in the plan; this gate pins the data fidelity.
+    "partitioned_write" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_part_${dir.hashCode.toHexString}"
+      new GraftFrame(li(s, dir)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity")))
+        .to_parquet_partitioned(out, Seq("l_returnflag"))
+      GraftFrame.read_parquet(s, out).toDF
+        .where(col("l_returnflag") === "R")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
 
     // ----- §2.6 sort / top-k / set ops ---------------------------------
     "topk_orders" -> ((s, dir) => {
@@ -1377,6 +1406,13 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem""".stripMargin,
+    "partitioned_write" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+    "groupby_quantiles" ->
+      """SELECT l_returnflag, true AS ok_q50 FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,

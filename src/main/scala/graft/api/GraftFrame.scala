@@ -350,6 +350,15 @@ final class GraftFrame(val df: DataFrame) {
 
   def to_parquet(path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).parquet(path)
+  /** Hive-style partitioned parquet layout (`path/col=value/...`) — the
+    * data-lake write shape: queries filtering on a partition column
+    * prune whole directories at planning time, so a selective read
+    * scans its partitions only, never the full 100 TB. Choose LOW
+    * cardinality partition columns (each value is a directory; a
+    * high-cardinality key would explode the file count). */
+  def to_parquet_partitioned(
+      path: String, partitionCols: Seq[String], mode: String = "overwrite"): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
   def to_csv(path: String, header: Boolean = true, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", header.toString).csv(path)
 }

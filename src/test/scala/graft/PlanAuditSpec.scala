@@ -116,6 +116,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0, p)
   }
 
+  test("partitioned write: read-back filter prunes partitions at the scan") {
+    val p = plan("partitioned_write") // invoking the gate performs the write
+    val scan = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(scan.contains("l_returnflag"), p)
+  }
+
   test("broadcast join query does broadcast; big join stays shuffle") {
     assert(plan("join_broadcast").contains("BroadcastHashJoin"))
     // join_big must not HINT a broadcast: disable the size-based
