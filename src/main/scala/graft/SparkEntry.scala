@@ -1079,6 +1079,16 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_rows"))
         .orderBy("source")),
+    // Temperature rebalancing: keep-rates derived from the source
+    // counts (alpha=0.5 → sqrt law; IEEE sqrt makes the rate
+    // computation bit-reproducible in SQL), then the same row-local
+    // hash filter as pipeline_mixture.
+    "pipeline_temperature" -> ((s, dir) =>
+      Pipeline.temperatureMixture(
+        tbl(s, dir, "documents"), "doc_id", "source", alpha = 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")),
     // Global shuffle: ONE range-partitioned sort. Uses the arithmetic
     // key (not xxhash64) so the oracle reproduces the permutation
     // bit-for-bit; the emitted key column verifies the assignment.
@@ -2096,6 +2106,21 @@ object SparkEntry {
         |    * 1103515245 % 2147483647 % 1000 <
         |  CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 250 ELSE 500 END
         |GROUP BY source ORDER BY source""".stripMargin,
+    "pipeline_temperature" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n FROM documents GROUP BY source
+        |), m AS (
+        |  SELECT min(n) AS nmin FROM c
+        |), r AS (
+        |  SELECT source,
+        |    CAST(floor(1000 * sqrt(nmin::DOUBLE / n::DOUBLE)) AS BIGINT) AS rate
+        |  FROM c CROSS JOIN m
+        |)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE xor(xor(doc_id, doc_id // 2147483648) % 2147483647 * 1103515245 % 2147483647, 202)
+        |    * 1103515245 % 2147483647 % 1000 < rate
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "pipeline_shuffle" ->
       """SELECT doc_id, n_chars,
         |  xor(xor(doc_id, doc_id // 2147483648) % 2147483647 * 1103515245 % 2147483647, 0)

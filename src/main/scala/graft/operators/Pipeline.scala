@@ -123,6 +123,38 @@ object Pipeline {
     df.where(hashBucket(col(idCol), 1000, SampleSeed) < rate)
   }
 
+  /** Temperature-weighted mixture: per-source keep-rates computed FROM
+    * the data so post-sampling proportions track `n_s^alpha`
+    * (alpha = 1/T < 1 flattens the source distribution — the standard
+    * multilingual/multi-source rebalancing, e.g. mBERT/XLM exponent
+    * 0.7 or T=2 → alpha 0.5). The smallest source is kept whole; source
+    * s keeps `floor(1000·(n_min/n_s)^(1-alpha))` per-mille via the
+    * row-local hash filter of [[mixtureSample]].
+    *
+    * One tiny grouped count reaches the driver (source-cardinality
+    * rows — fitted sampler weights, like any model parameter); nothing
+    * else leaves the executors. Determinism note: `Math.pow` is
+    * within 1 ulp (IEEE `sqrt` exact at alpha=0.5), so rates replay
+    * bit-for-bit in any engine except when `1000·pow(...)` lands within
+    * an ulp of an integer — use simple alphas for cross-engine gates. */
+  def temperatureMixture(
+      df: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureMixture: empty input")
+    val nMin = counts.values.min.toDouble
+    val expo = 1.0 - alpha
+    // sqrt, not pow, at the alpha=0.5 default: Math.sqrt is IEEE
+    // correctly rounded (pow is only 1-ulp), so SQL replays it exactly
+    def p(x: Double): Double = if (expo == 0.5) math.sqrt(x) else math.pow(x, expo)
+    val rates = counts.map { case (s, n) =>
+      s -> math.floor(1000.0 * p(nMin / n.toDouble)).toInt
+    }
+    mixtureSample(df, idCol, sourceCol, rates)
+  }
+
   /** Deterministic global shuffle: total order by `shuffleKey(id)`,
     * ties broken by the id itself. Compiles to ONE range-partitioned
     * sort (sampled range boundaries, then sort-within-partition) — the

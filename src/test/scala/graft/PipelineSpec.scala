@@ -117,4 +117,21 @@ class PipelineSpec extends SparkSpec {
     val bins = packed.orderBy("id").collect().map(_.getAs[Long]("bin"))
     assert(bins.toSeq == bins.sorted.toSeq)
   }
+
+  test("temperatureMixture: smallest source kept whole, big source sqrt-rated") {
+    // a: 800 rows, b: 200 rows → rate_b = 1000‰ (whole), rate_a =
+    // floor(1000·sqrt(200/800)) = 500‰
+    val df = ((1L to 800L).map(i => (i, "a")) ++ (1001L to 1200L).map(i => (i, "b")))
+      .toDF("id", "source")
+    val kept = Pipeline.temperatureMixture(df, "id", "source", alpha = 0.5)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("b") == 200L) // rate 1000 keeps every row
+    assert(kept("a") > 300L && kept("a") < 700L) // ~50% hash keep
+    // deterministic: a second run reproduces the exact counts
+    val again = Pipeline.temperatureMixture(df, "id", "source", alpha = 0.5)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
 }
