@@ -1113,7 +1113,7 @@ object SparkEntry {
 
   /** Deterministic near-dup corpus: ≥30-token docs plus a copy
     * (doc_id+100000) with the last 5 tokens dropped. */
-  private def nearDupCorpus(documents: DataFrame): DataFrame = {
+  private[graft] def nearDupCorpus(documents: DataFrame): DataFrame = {
     val base = documents
       .where(size(split(col("text"), " ")) >= 30)
       .select(col("doc_id"), col("text"))
