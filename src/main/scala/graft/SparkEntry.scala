@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Dedup, Multimodal, Pipeline, Reductions, Similarity, TextOps}
+import graft.operators.{Apply, AsofJoin, Contamination, Dedup, Multimodal, Pipeline, Reductions, Similarity, TextOps}
 import graft.sources.{CsvOptions, CsvReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -819,6 +819,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("vec_id").as("sum_ids"))
         .orderBy("cell")
     }),
+    // Train/eval decontamination (GPT-3-style 8-gram collision): eval =
+    // suffix-truncated copies of every 13th doc, so each source doc
+    // shares a long run of 8-grams with "its" eval doc by construction;
+    // the oracle recomputes the full n-gram intersection in SQL.
+    "decontam_ids" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Contamination.contaminatedIds(
+          docs, "doc_id", "text", contamEval(docs), "text", n = 8)
+        .orderBy("doc_id")
+    }),
+    "decontam_drop" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Contamination.decontaminate(
+          docs, "doc_id", "text", contamEval(docs), "text", n = 8)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
+    }),
+    // Same result through the bloom-prefiltered scale path — equality
+    // with decontam_drop's oracle proves the bloom stage only prunes.
+    "decontam_bloom" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Contamination.decontaminateBloom(
+          docs, "doc_id", "text", contamEval(docs), "text", n = 8)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
+    }),
 
     // ----- §2.10 similarity search -------------------------------------
     "simsearch_topk" -> ((s, dir) => {
@@ -1113,6 +1139,17 @@ object SparkEntry {
 
   /** Deterministic near-dup corpus: ≥30-token docs plus a copy
     * (doc_id+100000) with the last 5 tokens dropped. */
+  /** Eval corpus for the decontamination gates: suffix-truncated copies
+    * (drop the last 5 tokens) of every 13th ≥30-token document —
+    * guaranteed 8-gram overlap with the source doc, zero overlap with
+    * unrelated synthetic docs except by oracle-checked coincidence. */
+  private def contamEval(documents: DataFrame): DataFrame =
+    documents
+      .where(size(split(col("text"), " ")) >= 30 && col("doc_id") % 13 === 0)
+      .select(array_join(
+        slice(split(col("text"), " "), lit(1), size(split(col("text"), " ")) - 5),
+        " ").as("text"))
+
   private[graft] def nearDupCorpus(documents: DataFrame): DataFrame = {
     val base = documents
       .where(size(split(col("text"), " ")) >= 30)
@@ -1768,6 +1805,12 @@ object SparkEntry {
         |FROM corpus
         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
     "dedup_ngram_jaccard" -> nearDupOracle(restrict = "AND doc_id < 60", threshold = 0.5),
+    "decontam_ids" ->
+      s"""$contamOracleCte
+         |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
+         |FROM hits ORDER BY doc_id""".stripMargin,
+    "decontam_drop" -> contamDropOracle,
+    "decontam_bloom" -> contamDropOracle,
     // Exact SQL reimplementation of seeded FNV-1a + bit-vote SimHash
     // (graft.functions.SimHash64 semantics, bit-for-bit): per token,
     // h := ((h XOR byte) * 0x100000001b3) mod 2^64 from
@@ -2144,6 +2187,37 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM w GROUP BY source, bin ORDER BY source, bin""".stripMargin,
   )
+
+  /** Shared CTEs for the decontamination oracles: rebuild the truncated
+    * eval corpus, expand DISTINCT word-8-grams on both sides (mirroring
+    * [[graft.functions.WordNGrams]] tokenization: lowercase, whitespace
+    * split), and intersect — `hits` = (doc_id, n_shared) per
+    * contaminated training doc. */
+  private def contamOracleCte: String =
+    """WITH ev AS (
+      |  SELECT array_to_string(
+      |      list_slice(string_split(text, ' '), 1, len(string_split(text, ' ')) - 5),
+      |      ' ') AS text
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 30 AND doc_id % 13 = 0
+      |), evng AS (
+      |  SELECT DISTINCT unnest([array_to_string(w[i:i+7], ' ')
+      |                          for i in range(1, len(w) - 6)]) AS ng
+      |  FROM (SELECT string_split(lower(trim(text)), ' ') AS w FROM ev)
+      |), trng AS (
+      |  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+      |                                       for i in range(1, len(w) - 6)])) AS ng
+      |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents)
+      |), hits AS (
+      |  SELECT doc_id, count(*) AS n_shared
+      |  FROM trng JOIN evng USING (ng) GROUP BY doc_id
+      |)""".stripMargin
+
+  private def contamDropOracle: String =
+    s"""$contamOracleCte
+       |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+       |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin
 
   /** Shared oracle for the constructed near-dup corpus: exact word-3-gram
     * Jaccard over base ∪ perturbed, pairs ≥ threshold. */

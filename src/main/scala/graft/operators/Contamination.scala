@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/eval contamination guard — the n-gram-collision decontamination
+  * step every LLM training pipeline runs before a data release: a
+  * training document is CONTAMINATED if it shares at least one word
+  * n-gram with any document of the held-out eval corpus (the GPT-3 /
+  * PaLM style 8-to-13-gram overlap rule; published in the GPT-3
+  * appendix and the Dolma/RedPajama pipeline docs).
+  *
+  * Scale shape (the asymmetry is the whole design): eval corpora are
+  * tiny (benchmark suites — thousands of docs) while the train side is
+  * the 100 TB corpus. So the eval n-gram set is DISTINCT-ed and
+  * broadcast; the train side streams through a map-side explode →
+  * broadcast-hash semi-probe, and only the HITS (a sliver) reach the
+  * one grouped shuffle that counts shared n-grams per doc. The train
+  * corpus itself is never shuffled; the decontaminate step is a
+  * broadcast anti-join of the (tiny) contaminated-id set.
+  *
+  * Tokenization matches [[Dedup.shingles]] (lowercase, whitespace
+  * split, distinct n-grams per doc) so contamination and near-dedup
+  * agree on what a "shared shingle" means.
+  */
+object Contamination {
+
+  /** (idCol, n_shared) for every training doc sharing ≥ 1 word n-gram
+    * with the eval corpus; `n_shared` = count of DISTINCT shared
+    * n-grams (both sides dedupe per doc, so the join emits each shared
+    * shingle once per train doc). */
+  def contaminatedIds(
+      train: DataFrame, idCol: String, textCol: String,
+      eval: DataFrame, evalTextCol: String,
+      n: Int = 8): DataFrame = {
+    val evalNg = eval
+      .select(explode(Dedup.shingles(col(evalTextCol), n)).as("__ng"))
+      .distinct()
+    train
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("__ng"))
+      .join(broadcast(evalNg), Seq("__ng"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The training corpus minus contaminated docs — same schema as
+    * `train`. The contaminated-id set is tiny, so the anti-join
+    * broadcasts it; train rows never shuffle. */
+  def decontaminate(
+      train: DataFrame, idCol: String, textCol: String,
+      eval: DataFrame, evalTextCol: String,
+      n: Int = 8): DataFrame =
+    train.join(
+      broadcast(contaminatedIds(train, idCol, textCol, eval, evalTextCol, n)
+        .select(col(idCol))),
+      Seq(idCol), "left_anti")
+
+  /** Decontamination for an eval corpus too big to broadcast exactly:
+    * bloom-filter the train side's exploded n-grams first
+    * ([[BloomJoin.bloomSemiJoin]] on the shingle string), so the
+    * shuffle of the exact semi-join sees only probable hits. Results
+    * are EXACTLY [[decontaminate]]'s — the bloom stage only prunes
+    * (false positives are removed by the exact join that follows). */
+  def decontaminateBloom(
+      train: DataFrame, idCol: String, textCol: String,
+      eval: DataFrame, evalTextCol: String,
+      n: Int = 8, expectedEvalNgrams: Long = 10000000L): DataFrame = {
+    val evalNg = eval
+      .select(explode(Dedup.shingles(col(evalTextCol), n)).as("__ng"))
+      .distinct()
+    val hits = BloomJoin.bloomSemiJoin(
+      train.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("__ng")),
+      "__ng", evalNg, "__ng", expectedEvalNgrams)
+      .select(col(idCol)).distinct()
+    train.join(broadcast(hits), Seq(idCol), "left_anti")
+  }
+}
