@@ -64,13 +64,20 @@ object Contamination {
   def decontaminateBloom(
       train: DataFrame, idCol: String, textCol: String,
       eval: DataFrame, evalTextCol: String,
-      n: Int = 8, expectedEvalNgrams: Long = 10000000L): DataFrame = {
+      n: Int = 8, expectedEvalNgrams: Long = -1L): DataFrame = {
     val evalNg = eval
       .select(explode(Dedup.shingles(col(evalTextCol), n)).as("__ng"))
       .distinct()
+    // Auto-size the filter with one pre-count of the SMALL side (cheap
+    // by contract). An oversized guess is not free: the blob scales
+    // with expectedItems and ships to every task as a literal — a 10M
+    // default would embed ~12 MB of filter for a 200k-ngram eval set.
+    val expected =
+      if (expectedEvalNgrams > 0) expectedEvalNgrams
+      else math.max(evalNg.count(), 1024L)
     val hits = BloomJoin.bloomSemiJoin(
       train.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("__ng")),
-      "__ng", evalNg, "__ng", expectedEvalNgrams)
+      "__ng", evalNg, "__ng", expected)
       .select(col(idCol)).distinct()
     train.join(broadcast(hits), Seq(idCol), "left_anti")
   }

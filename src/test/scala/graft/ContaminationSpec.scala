@@ -34,8 +34,9 @@ class ContaminationSpec extends SparkSpec {
   test("bloom variant returns exactly the broadcast variant's result") {
     val exact = Contamination.decontaminate(train, "doc_id", "text", eval_, "text", n = 8)
       .collect().map(_.getLong(0)).sorted.toSeq
+    // default expectedEvalNgrams = auto (pre-count of the eval n-gram set)
     val bloom = Contamination.decontaminateBloom(
-        train, "doc_id", "text", eval_, "text", n = 8, expectedEvalNgrams = 100L)
+        train, "doc_id", "text", eval_, "text", n = 8)
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(bloom == exact)
   }

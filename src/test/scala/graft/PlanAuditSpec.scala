@@ -96,6 +96,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("decontamination: eval side broadcast, train side never cross-joined") {
+    val p = plan("decontam_ids")
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 0, p)
+    // the n-gram probe is a broadcast hash join — the train corpus is
+    // not shuffled to meet the (tiny) eval n-gram set
+    assert(nodes(p, "BroadcastHashJoin") >= 1, p)
+  }
+
   test("kmeans gate: row-local assignment — exchanges only for agg + orderBy") {
     val p = plan("embed_kmeans")
     // assignment is a scan projection (CentroidSims); the plan's only
