@@ -347,16 +347,25 @@ object SparkEntry {
     // partial aggregate, so group medians come out of ONE two-phase
     // shuffle — no per-group sort, no column buffering (the exact
     // percentile here only exists to bracket the sketch, gate-style).
-    "groupby_quantiles" -> ((s, dir) =>
-      li(s, dir).groupBy("l_returnflag")
-        .agg(
-          element_at(expr(
-            "percentile_approx(l_extendedprice, array(0.5), 10000)"), 1).as("ap"),
-          expr("percentile(l_extendedprice, array(0.499, 0.501))").as("ex"))
+    "groupby_quantiles" -> ((s, dir) => {
+      // Per-group sketch + per-group rank audit (see quantiles_approx):
+      // the group-median sketch table is tiny, so it broadcasts back
+      // onto the fact scan and conditional counts verify each group's
+      // rank contract — no exact per-group percentile buffering.
+      val l = li(s, dir)
+      val ap = l.groupBy("l_returnflag")
+        .agg(element_at(expr(
+          "percentile_approx(l_extendedprice, array(0.5), 10000)"), 1).as("ap"))
+      l.join(broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("ap"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("l_extendedprice") <= col("ap"), 1L).otherwise(0L)).as("le"))
         .select(col("l_returnflag"),
-          col("ap").between(element_at(col("ex"), 1), element_at(col("ex"), 2))
+          (col("lt") <= (col("n") * 0.501) && col("le") >= (col("n") * 0.499))
             .as("ok_q50"))
-        .orderBy("l_returnflag")),
+        .orderBy("l_returnflag")
+    }),
     // Hive-style partitioned layout — THE scan-side lever at 100 TB: a
     // query filtering on the partition column reads only its
     // directories (partition pruning), so the filtered aggregate below
@@ -434,18 +443,32 @@ object SparkEntry {
     // error by n/10000; the exact quantiles at p ± 0.001 therefore
     // bracket the sketch value with 10× margin. Exact percentile
     // buffers the column and exists here only to CHECK the sketch.
-    "quantiles_approx" -> ((s, dir) =>
-      li(s, dir)
-        .agg(
-          expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("ap"),
-          expr("percentile(l_extendedprice, array(0.249, 0.251, 0.499, 0.501, 0.749, 0.751))").as("ex"))
-        .select(
-          (element_at(col("ap"), 1).between(
-            element_at(col("ex"), 1), element_at(col("ex"), 2))).as("ok_q25"),
-          (element_at(col("ap"), 2).between(
-            element_at(col("ex"), 3), element_at(col("ex"), 4))).as("ok_q50"),
-          (element_at(col("ap"), 3).between(
-            element_at(col("ex"), 5), element_at(col("ex"), 6))).as("ok_q75"))),
+    "quantiles_approx" -> ((s, dir) => {
+      // Audit the sketch by RANK, not by exact percentile: count values
+      // strictly below / at-or-below each sketch output (one extra
+      // linear scan, plain conditional sums) and demand the value's
+      // true rank interval [lt+1, le] intersect n·(p ± 0.001) — 10× the
+      // sketch's n/accuracy contract, tie-robust. Unlike the previous
+      // exact-`percentile` bracket, NOTHING here buffers the column:
+      // both passes are mergeable bounded-memory aggregates, so the
+      // audit itself survives 100 TB (and is ~5× faster here).
+      val l = li(s, dir)
+      val ap = l.agg(
+        expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("ap"))
+      def lt(i: Int) = sum(when(
+        col("l_extendedprice") < element_at(col("ap"), i), 1L).otherwise(0L))
+      def le(i: Int) = sum(when(
+        col("l_extendedprice") <= element_at(col("ap"), i), 1L).otherwise(0L))
+      def ok(i: Int, p: Double) =
+        (col(s"lt$i") <= (col("n") * (p + 0.001)) &&
+          col(s"le$i") >= (col("n") * (p - 0.001))).as(s"ok_q${(p * 100).toInt}")
+      l.crossJoin(broadcast(ap))
+        .agg(count(lit(1)).as("n"),
+          lt(1).as("lt1"), le(1).as("le1"),
+          lt(2).as("lt2"), le(2).as("le2"),
+          lt(3).as("lt3"), le(3).as("le3"))
+        .select(ok(1, 0.25), ok(2, 0.50), ok(3, 0.75))
+    }),
 
     // ----- §2.2/§2.7 missing-data & dtype surface ----------------------
     "value_counts" -> ((s, dir) =>

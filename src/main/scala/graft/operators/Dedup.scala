@@ -179,11 +179,16 @@ object Dedup {
       // Keep the old label alongside the new one so the convergence
       // check is a filter over this round's (checkpointed) result — one
       // join per round, not a second join against the previous labels.
+      // LAZY checkpoint + a full-scan count() fuses materialization and
+      // the convergence check into ONE job per round (an eager
+      // checkpoint followed by isEmpty was two); count aggregates every
+      // partition, so the checkpoint is fully materialized before the
+      // lineage is truncated.
       val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      converged = stepped.where(col("label") < col("old")).isEmpty
+        .localCheckpoint(false)
+      converged = stepped.where(col("label") < col("old")).count() == 0
       labels = stepped.select(col("id"), col("label"))
       iters += 1
     }
