@@ -153,6 +153,31 @@ class PropertySpec extends SparkSpec {
     assert(p1.nonEmpty)
   }
 
+  test("decontamination law: kept ∪ flagged partitions train; flags match brute truth") {
+    import graft.operators.Contamination
+    for (seed <- 1L to 4L) {
+      val vocab = 8 + (seed % 5).toInt // small vocab → organic collisions
+      val docs = (1 to 30).map { i =>
+        (i.toLong, (1 to 20).map(t => s"w${(i * 3 + t * seed) % vocab}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val eval_ = docs.where(col("doc_id") % 5 === 0).select(col("text"))
+      val n = 4
+      val flagged = Contamination.contaminatedIds(docs, "doc_id", "text", eval_, "text", n)
+        .collect().map(_.getLong(0)).toSet
+      val kept = Contamination.decontaminate(docs, "doc_id", "text", eval_, "text", n)
+        .collect().map(_.getLong(0)).toSet
+      assert((flagged & kept).isEmpty, s"seed=$seed")
+      assert((flagged | kept) == (1L to 30L).toSet, s"seed=$seed")
+      // brute-force ground truth via local n-gram sets
+      def grams(t: String) = t.toLowerCase.split("\\s+").toSeq
+        .sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+      val local = docs.collect().map(r => r.getLong(0) -> grams(r.getString(1))).toMap
+      val evGrams = eval_.collect().flatMap(r => grams(r.getString(0))).toSet
+      val truth = local.filter(_._2.exists(evGrams)).keySet
+      assert(flagged == truth, s"seed=$seed")
+    }
+  }
+
   test("chunking law: dropping each chunk's overlap prefix reconstructs the doc") {
     import graft.operators.Pipeline
     val lenGen = Gen.chooseNum(1, 400)
