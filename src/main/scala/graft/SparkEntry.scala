@@ -1120,6 +1120,14 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_chars"))
         .orderBy("split")),
+    // Per-source uniform sample via k-bounded partial aggregate (never
+    // a per-group window); the oracle replays hash order + row_number.
+    "pipeline_stratified" -> ((s, dir) =>
+      Pipeline.stratifiedSample(
+          tbl(s, dir, "documents"), "source", "doc_id", k = 25, seed = 77)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("sum_ids"))
+        .orderBy("source")),
     // Source re-weighting: row-local hash-rate filter.
     "pipeline_mixture" -> ((s, dir) =>
       Pipeline.mixtureSample(
@@ -2165,6 +2173,20 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "pipeline_stratified" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    xor(xor(doc_id, doc_id // 2147483648) % 2147483647 * 1103515245 % 2147483647, 77)
+        |      * 1103515245 % 2147483647 AS hv
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+        |  FROM h
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM ranked WHERE rn <= 25 GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_mixture" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows
         |FROM documents

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row, SparkSess
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types.{DataType, DoubleType}
-import graft.operators.{Apply, BloomJoin, Dedup, Reductions, Similarity, TextOps}
+import graft.operators.{Apply, BloomJoin, Contamination, Dedup, Reductions, Similarity, TextOps}
 import graft.sources.{CsvOptions, CsvReader}
 
 /** pandas-flavored facade over a Spark [[DataFrame]] — the user-facing
@@ -336,6 +336,14 @@ final class GraftFrame(val df: DataFrame) {
     * [[graft.operators.Similarity.kmeansAssign]]. */
   def kmeans(idCol: String, vecCol: String, k: Int, iters: Int = 1): GraftFrame =
     new GraftFrame(Similarity.kmeansAssign(df, idCol, vecCol, k, iters))
+
+  /** Drop every row sharing a word n-gram with the (small) eval
+    * corpus — train/eval decontamination
+    * ([[graft.operators.Contamination.decontaminate]]). */
+  def decontaminate(idCol: String, textCol: String,
+      eval: GraftFrame, evalTextCol: String, n: Int = 8): GraftFrame =
+    new GraftFrame(Contamination.decontaminate(
+      df, idCol, textCol, eval.df, evalTextCol, n))
 
   /** Append the text quality + repetition metric columns for `textCol`
     * (row-local, one scan — the standard cheap-filter pass). */

@@ -172,6 +172,47 @@ object Pipeline {
   /** Shuffle sort key: 64-bit avalanche hash of id + seed. */
   def shuffleKey(id: Column, seed: Long): Column = xxhash64(id, lit(seed))
 
+  /** Deterministic stratified sample: the `k` rows of each group with
+    * the smallest seeded [[hashBucket]] of `idCol` — a uniform
+    * without-replacement per-group sample (hash order is independent of
+    * storage order) that an external engine reproduces bit-for-bit
+    * (order by the mirrored hash, id ascending, take k per group).
+    *
+    * Scale shape: selection is a k-bounded PARTIAL aggregate
+    * ([[graft.functions.TopKAgg]]) — each map task reduces to ≤ k
+    * candidates per group BEFORE the exchange, so the shuffle carries
+    * k·partitions rows per group. The per-group-window formulation
+    * (`row_number() <= k` over partitionBy(group)) would funnel every
+    * row of a group through ONE partition — a skew-killer when a group
+    * is a terabyte. The chosen-id table (k × groups) broadcasts back
+    * for the semi-join, so the corpus itself never shuffles. */
+  def stratifiedSample(
+      df: DataFrame, groupCol: String, idCol: String,
+      k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"stratifiedSample needs an integral id, got $idCol: ${t.catalogString}")
+    }
+    val topk = graft.functions.TopKAgg.topK(k)
+    // negate: TopKAgg keeps the HIGHEST sims, we want the smallest
+    // hashes; ties (equal hash) break toward the smaller id in both
+    // this aggregate and the documented mirror order.
+    val chosen = df
+      .select(col(groupCol),
+        (-hashBucket(col(idCol), Int.MaxValue, seed)).cast("double").as("__nh"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(groupCol)
+      .agg(topk(col("__nh"), col("__id")).as("__top"))
+      .select(col(groupCol), explode(col("__top.id")).as("__sid"))
+    df.join(broadcast(chosen),
+      df(groupCol) === chosen(groupCol) &&
+        df(idCol).cast("long") === chosen("__sid"),
+      "left_semi")
+  }
+
   /** Pack documents into fixed token-budget bins: bin(i) =
     * floor(exclusive-running-sum(tokens) / budget) in `orderCol` order
     * within each `partitionCols` shard. One window over one shuffle;

@@ -149,6 +149,14 @@ class GraftFrameSpec extends SparkSpec {
     val cells = vecs.kmeans("id", "vec", k = 2, iters = 1).toDF.collect()
     assert(cells.length == 10 && cells.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 2))
 
+    // decontaminate drops the two docs sharing an 8-gram with the eval
+    // corpus (doc 3's vocabulary is disjoint)
+    val evalF = new GraftFrame(Seq(
+      Tuple1("alpha beta gamma delta epsilon zeta eta theta")).toDF("txt"))
+    val clean = docs.decontaminate("id", "txt", evalF, "txt", n = 8)
+      .toDF.select("id").collect().map(_.getLong(0)).sorted
+    assert(clean.toSeq == Seq(3L))
+
     // text metrics appends the 9 quality+repetition columns
     val m = docs.with_text_metrics("txt")
     val added = m.columns.toSet -- docs.columns.toSet

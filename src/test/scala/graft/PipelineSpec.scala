@@ -118,6 +118,30 @@ class PipelineSpec extends SparkSpec {
     assert(bins.toSeq == bins.sorted.toSeq)
   }
 
+  test("stratifiedSample: k per group, matches the window formulation, seed-sensitive") {
+    import org.apache.spark.sql.expressions.Window
+    val df = ((1L to 100L).map(i => (i, "a")) ++ (201L to 215L).map(i => (i, "b")))
+      .toDF("id", "source")
+    val got = Pipeline.stratifiedSample(df, "source", "id", k = 10, seed = 7L)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    // exactly k from the big group, the whole small group (15 < k? no: 15 ≥ 10 → 10)
+    assert(got.count(_._1 == "a") == 10 && got.count(_._1 == "b") == 10)
+    // agrees with the (non-scale) window formulation on the same hash
+    val w = Window.partitionBy("source")
+      .orderBy(Pipeline.hashBucket(col("id"), Int.MaxValue, 7L), col("id"))
+    val want = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got == want)
+    // a group smaller than k is kept whole
+    val small = Pipeline.stratifiedSample(df.where(col("source") === "b"),
+      "source", "id", k = 100, seed = 7L)
+    assert(small.count() == 15)
+    // a different seed picks a different sample
+    val other = Pipeline.stratifiedSample(df, "source", "id", k = 10, seed = 8L)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(other != got)
+  }
+
   test("temperatureMixture: smallest source kept whole, big source sqrt-rated") {
     // a: 800 rows, b: 200 rows → rate_b = 1000‰ (whole), rate_a =
     // floor(1000·sqrt(200/800)) = 500‰
