@@ -337,6 +337,12 @@ final class GraftFrame(val df: DataFrame) {
   def kmeans(idCol: String, vecCol: String, k: Int, iters: Int = 1): GraftFrame =
     new GraftFrame(Similarity.kmeansAssign(df, idCol, vecCol, k, iters))
 
+  /** Deterministic per-group uniform sample of `k` rows
+    * ([[graft.operators.Pipeline.stratifiedSample]]). */
+  def stratified_sample(groupCol: String, idCol: String, k: Int,
+      seed: Long = 0L): GraftFrame =
+    new GraftFrame(graft.operators.Pipeline.stratifiedSample(df, groupCol, idCol, k, seed))
+
   /** Drop every row sharing a word n-gram with the (small) eval
     * corpus — train/eval decontamination
     * ([[graft.operators.Contamination.decontaminate]]). */

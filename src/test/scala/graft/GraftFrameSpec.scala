@@ -157,6 +157,12 @@ class GraftFrameSpec extends SparkSpec {
       .toDF.select("id").collect().map(_.getLong(0)).sorted
     assert(clean.toSeq == Seq(3L))
 
+    // stratified sample keeps k per group
+    val strat = new GraftFrame(spark.range(0, 60)
+      .select(col("id"), (col("id") % 3).cast("string").as("g")))
+      .stratified_sample("g", "id", k = 5)
+    assert(strat.toDF.groupBy("g").count().collect().map(_.getLong(1)).toSeq == Seq(5L, 5L, 5L))
+
     // text metrics appends the 9 quality+repetition columns
     val m = docs.with_text_metrics("txt")
     val added = m.columns.toSet -- docs.columns.toSet
