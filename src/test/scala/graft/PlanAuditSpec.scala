@@ -105,6 +105,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(p, "BroadcastHashJoin") >= 1, p)
   }
 
+  test("stratified sample: partial-aggregate selection, no per-group window") {
+    val p = plan("pipeline_stratified")
+    // the k-per-group selection must NOT be a window (one partition per
+    // group = skew-killer); TopKAgg runs as an ObjectHashAggregate pair
+    assert(!p.contains("Window"), p)
+    assert(nodes(p, "ObjectHashAggregate") >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("kmeans gate: row-local assignment — exchanges only for agg + orderBy") {
     val p = plan("embed_kmeans")
     // assignment is a scan projection (CentroidSims); the plan's only
