@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Contamination, Dedup, Multimodal, Pipeline, Reductions, Similarity, TextOps}
+import graft.operators.{Apply, AsofJoin, Contamination, Dedup, HeavyHitters, Multimodal, Pipeline, Reductions, Similarity, TextOps}
 import graft.sources.{CsvOptions, CsvReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -841,6 +841,27 @@ object SparkEntry {
         .groupBy("cell")
         .agg(count(lit(1)).as("n"), sum("vec_id").as("sum_ids"))
         .orderBy("cell")
+    }),
+    // Misra–Gries heavy hitters, audited: the sketch's three guarantees
+    // (no overestimate, undercount ≤ n/(k+1), full recall of the
+    // > n/(k+1) head) are checked against exact counts — the exact
+    // groupBy exists for the AUDIT; at corpus scale the sketch replaces
+    // it (the shuffle carries ≤ k rows per partition, not the vocab).
+    "text_heavyhitters" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      val sk = HeavyHitters.heavyHitters(toks, "tok", 50)
+      val ex = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      ex.join(sk, Seq("tok"), "left").crossJoin(broadcast(tot))
+        .agg(
+          sum(when(col("cnt") > col("n") / 51.0, 1L).otherwise(0L)).as("n_heavy"),
+          (sum(when(col("cnt") > col("n") / 51.0 && col("est").isNull, 1L)
+            .otherwise(0L)) === 0).as("all_heavy_found"),
+          (sum(when(col("est").isNotNull &&
+              (col("est") > col("cnt") ||
+                (col("cnt") - col("est")) > col("n") / 51.0), 1L)
+            .otherwise(0L)) === 0).as("bounds_ok"))
     }),
     // Train/eval decontamination (GPT-3-style 8-gram collision): eval =
     // suffix-truncated copies of every 13th doc, so each source doc
@@ -1836,6 +1857,14 @@ object SparkEntry {
         |FROM corpus
         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
     "dedup_ngram_jaccard" -> nearDupOracle(restrict = "AND doc_id < 60", threshold = 0.5),
+    "text_heavyhitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents
+        |), ex AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT CAST((SELECT count(*) FROM ex, tot WHERE cnt > n / 51.0) AS BIGINT)
+        |    AS n_heavy,
+        |  true AS all_heavy_found, true AS bounds_ok""".stripMargin,
     "decontam_ids" ->
       s"""$contamOracleCte
          |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
