@@ -842,6 +842,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("vec_id").as("sum_ids"))
         .orderBy("cell")
     }),
+    // Bucketed range join: ship-date-in-order-window as a hash
+    // equi-join on 4-day buckets — never the BroadcastNestedLoopJoin a
+    // bare BETWEEN predicate compiles to (PlanAuditSpec pins this).
+    "range_join" -> ((s, dir) => {
+      val pts = li(s, dir).select(col("l_orderkey"), col("l_quantity"),
+        datediff(col("l_shipdate"), lit("1970-01-01").cast("date")).as("pday"))
+      val ivs = tbl(s, dir, "orders").where(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("win_key"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("lo"))
+        .withColumn("hi", col("lo") + 3)
+      operators.RangeJoin.pointInInterval(pts, "pday", ivs, "lo", "hi", bucketWidth = 4L)
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          sum(col("win_key")).as("sum_keys"))
+    }),
     // Misra–Gries heavy hitters, audited: the sketch's three guarantees
     // (no overestimate, undercount ≤ n/(k+1), full recall of the
     // > n/(k+1) head) are checked against exact counts — the exact
@@ -1857,6 +1872,13 @@ object SparkEntry {
         |FROM corpus
         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
     "dedup_ngram_jaccard" -> nearDupOracle(restrict = "AND doc_id < 60", threshold = 0.5),
+    "range_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM lineitem l JOIN orders o
+        |  ON o.o_orderkey % 97 = 0
+        | AND datediff('day', o.o_orderdate, l.l_shipdate) BETWEEN 0 AND 3""".stripMargin,
     "text_heavyhitters" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents

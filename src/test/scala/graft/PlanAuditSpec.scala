@@ -105,6 +105,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(p, "BroadcastHashJoin") >= 1, p)
   }
 
+  test("range join: bucketed equi-join — never a nested-loop join") {
+    val p = plan("range_join")
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 0, p)
+    assert(nodes(p, "CartesianProduct") == 0, p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("stratified sample: partial-aggregate selection, no per-group window") {
     val p = plan("pipeline_stratified")
     // the k-per-group selection must NOT be a window (one partition per
