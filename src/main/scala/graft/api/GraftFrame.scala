@@ -337,6 +337,19 @@ final class GraftFrame(val df: DataFrame) {
   def kmeans(idCol: String, vecCol: String, k: Int, iters: Int = 1): GraftFrame =
     new GraftFrame(Similarity.kmeansAssign(df, idCol, vecCol, k, iters))
 
+  /** Frequent-value candidates of `colName` with lower-bound estimates
+    * ([[graft.operators.HeavyHitters.heavyHitters]]). */
+  def heavy_hitters(colName: String, k: Int): GraftFrame =
+    new GraftFrame(graft.operators.HeavyHitters.heavyHitters(df, colName, k))
+
+  /** Join rows of this frame whose `pointCol` falls inside `[loCol,
+    * hiCol]` of `intervals` — bucketed range join
+    * ([[graft.operators.RangeJoin.pointInInterval]]). */
+  def join_range(intervals: GraftFrame, pointCol: String,
+      loCol: String, hiCol: String, bucketWidth: Long): GraftFrame =
+    new GraftFrame(graft.operators.RangeJoin.pointInInterval(
+      df, pointCol, intervals.df, loCol, hiCol, bucketWidth))
+
   /** Deterministic per-group uniform sample of `k` rows
     * ([[graft.operators.Pipeline.stratifiedSample]]). */
   def stratified_sample(groupCol: String, idCol: String, k: Int,

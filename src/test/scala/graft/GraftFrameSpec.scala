@@ -163,6 +163,19 @@ class GraftFrameSpec extends SparkSpec {
       .stratified_sample("g", "id", k = 5)
     assert(strat.toDF.groupBy("g").count().collect().map(_.getLong(1)).toSeq == Seq(5L, 5L, 5L))
 
+    // heavy hitters surfaces the frequent value
+    val hh = new GraftFrame(
+      (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"cold$i")).toDF("v"))
+      .heavy_hitters("v", 5).toDF.collect().map(r => r.getString(0))
+    assert(hh.contains("hot"))
+
+    // range join delegates (one in-window point)
+    val pts = new GraftFrame(Seq((1L, 10L), (2L, 99L)).toDF("pid", "p"))
+    val ivs = new GraftFrame(Seq((7L, 8L, 12L)).toDF("iid", "lo", "hi"))
+    val rj = pts.join_range(ivs, "p", "lo", "hi", bucketWidth = 5L)
+      .toDF.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rj.toSeq == Seq((1L, 7L)))
+
     // text metrics appends the 9 quality+repetition columns
     val m = docs.with_text_metrics("txt")
     val added = m.columns.toSet -- docs.columns.toSet
