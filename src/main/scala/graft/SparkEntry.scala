@@ -1164,6 +1164,19 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("sum_ids"))
         .orderBy("source")),
+    // Exact-k global sample: TakeOrderedAndProject by seeded hash —
+    // per-partition heaps, no global sort (PlanAuditSpec pins it).
+    "pipeline_sample_global" -> ((s, dir) =>
+      Pipeline.uniformSample(tbl(s, dir, "documents"), "doc_id", k = 100, seed = 55)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+    // Best-N-per-domain curation: k-bounded partial aggregate on the
+    // score (same shape as the stratified sample, real score column).
+    "pipeline_topn_group" -> ((s, dir) =>
+      Pipeline.topNPerGroup(tbl(s, dir, "documents"), "source", "doc_id",
+          "n_chars", k = 10)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy("source", "doc_id")),
     // Source re-weighting: row-local hash-rate filter.
     "pipeline_mixture" -> ((s, dir) =>
       Pipeline.mixtureSample(
@@ -2238,6 +2251,21 @@ object SparkEntry {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM ranked WHERE rn <= 25 GROUP BY source ORDER BY source""".stripMargin,
+    "pipeline_sample_global" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source FROM documents
+        |  ORDER BY xor(xor(doc_id, doc_id // 2147483648) % 2147483647
+        |      * 1103515245 % 2147483647, 55) * 1103515245 % 2147483647,
+        |    doc_id
+        |  LIMIT 100
+        |) ORDER BY doc_id""".stripMargin,
+    "pipeline_topn_group" ->
+      """SELECT source, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin,
     "pipeline_mixture" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_rows
         |FROM documents

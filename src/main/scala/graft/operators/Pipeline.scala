@@ -188,30 +188,56 @@ object Pipeline {
     * for the semi-join, so the corpus itself never shuffles. */
   def stratifiedSample(
       df: DataFrame, groupCol: String, idCol: String,
-      k: Int, seed: Long = 0L): DataFrame = {
+      k: Int, seed: Long = 0L): DataFrame =
+    // negate: TopKAgg keeps the HIGHEST ranks, we want the smallest
+    // hashes; ties (equal hash) break toward the smaller id in both
+    // this aggregate and the documented mirror order.
+    selectTopPerGroup(df, groupCol, idCol,
+      (-hashBucket(col(idCol), Int.MaxValue, seed)).cast("double"), k,
+      "stratifiedSample")
+
+  /** The curation sibling of [[stratifiedSample]]: keep the `k`
+    * HIGHEST-`scoreCol` rows of each group (ties toward the smaller
+    * id) — "best N documents per domain". Same k-bounded partial
+    * aggregate shape, same external-mirror order
+    * (score descending, id ascending, take k per group). */
+  def topNPerGroup(
+      df: DataFrame, groupCol: String, idCol: String, scoreCol: String,
+      k: Int): DataFrame =
+    selectTopPerGroup(df, groupCol, idCol, col(scoreCol).cast("double"), k,
+      "topNPerGroup")
+
+  private def selectTopPerGroup(
+      df: DataFrame, groupCol: String, idCol: String, rank: Column,
+      k: Int, opName: String): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     df.schema(idCol).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
       case t => throw new IllegalArgumentException(
-        s"stratifiedSample needs an integral id, got $idCol: ${t.catalogString}")
+        s"$opName needs an integral id, got $idCol: ${t.catalogString}")
     }
     val topk = graft.functions.TopKAgg.topK(k)
-    // negate: TopKAgg keeps the HIGHEST sims, we want the smallest
-    // hashes; ties (equal hash) break toward the smaller id in both
-    // this aggregate and the documented mirror order.
     val chosen = df
-      .select(col(groupCol),
-        (-hashBucket(col(idCol), Int.MaxValue, seed)).cast("double").as("__nh"),
-        col(idCol).cast("long").as("__id"))
+      .select(col(groupCol), rank.as("__rk"), col(idCol).cast("long").as("__id"))
       .groupBy(groupCol)
-      .agg(topk(col("__nh"), col("__id")).as("__top"))
+      .agg(topk(col("__rk"), col("__id")).as("__top"))
       .select(col(groupCol), explode(col("__top.id")).as("__sid"))
     df.join(broadcast(chosen),
       df(groupCol) === chosen(groupCol) &&
         df(idCol).cast("long") === chosen("__sid"),
       "left_semi")
   }
+
+  /** Deterministic GLOBAL uniform sample of exactly `k` rows: the k
+    * smallest seeded hashes corpus-wide. Compiles to
+    * `TakeOrderedAndProject` — per-partition k-element heaps, k rows
+    * per partition to the driver-side merge, NO global sort and no
+    * full shuffle. The mirror order is the seeded hash ascending, id
+    * ascending, LIMIT k. */
+  def uniformSample(
+      df: DataFrame, idCol: String, k: Int, seed: Long = 0L): DataFrame =
+    df.orderBy(hashBucket(col(idCol), Int.MaxValue, seed), col(idCol)).limit(k)
 
   /** Pack documents into fixed token-budget bins: bin(i) =
     * floor(exclusive-running-sum(tokens) / budget) in `orderCol` order

@@ -142,6 +142,29 @@ class PipelineSpec extends SparkSpec {
     assert(other != got)
   }
 
+  test("topNPerGroup: highest scores win, ties break to the smaller id") {
+    val df = Seq(
+      (1L, "a", 5.0), (2L, "a", 9.0), (3L, "a", 9.0), (4L, "a", 1.0),
+      (5L, "b", 2.0), (6L, "b", 3.0)
+    ).toDF("id", "g", "score")
+    val got = Pipeline.topNPerGroup(df, "g", "id", "score", k = 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 3L, 5L, 6L)) // a: the two 9.0s; b: both rows
+  }
+
+  test("uniformSample: exactly k rows, deterministic, seed-sensitive") {
+    val df = spark.range(0, 1000).select(col("id"), (col("id") % 5).as("payload"))
+    val s1 = Pipeline.uniformSample(df, "id", k = 50, seed = 3L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1.length == 50 && s1.distinct.length == 50)
+    val again = Pipeline.uniformSample(df.repartition(13), "id", k = 50, seed = 3L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again.sorted == s1.sorted) // partitioning-invariant
+    val s2 = Pipeline.uniformSample(df, "id", k = 50, seed = 4L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s2.sorted != s1.sorted)
+  }
+
   test("temperatureMixture: smallest source kept whole, big source sqrt-rated") {
     // a: 800 rows, b: 200 rows → rate_b = 1000‰ (whole), rate_a =
     // floor(1000·sqrt(200/800)) = 500‰

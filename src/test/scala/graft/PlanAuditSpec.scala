@@ -113,6 +113,11 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("global sample: per-partition heaps (TakeOrderedAndProject), no full sort of the corpus") {
+    val p = plan("pipeline_sample_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("stratified sample: partial-aggregate selection, no per-group window") {
     val p = plan("pipeline_stratified")
     // the k-per-group selection must NOT be a window (one partition per
