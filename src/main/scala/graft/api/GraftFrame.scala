@@ -356,6 +356,17 @@ final class GraftFrame(val df: DataFrame) {
       seed: Long = 0L): GraftFrame =
     new GraftFrame(graft.operators.Pipeline.stratifiedSample(df, groupCol, idCol, k, seed))
 
+  /** Deterministic global sample of exactly `k` rows
+    * ([[graft.operators.Pipeline.uniformSample]]). */
+  def sample_exact(idCol: String, k: Int, seed: Long = 0L): GraftFrame =
+    new GraftFrame(graft.operators.Pipeline.uniformSample(df, idCol, k, seed))
+
+  /** The `k` highest-`scoreCol` rows per group
+    * ([[graft.operators.Pipeline.topNPerGroup]]). */
+  def top_n_per_group(groupCol: String, idCol: String, scoreCol: String,
+      k: Int): GraftFrame =
+    new GraftFrame(graft.operators.Pipeline.topNPerGroup(df, groupCol, idCol, scoreCol, k))
+
   /** Drop every row sharing a word n-gram with the (small) eval
     * corpus — train/eval decontamination
     * ([[graft.operators.Contamination.decontaminate]]). */

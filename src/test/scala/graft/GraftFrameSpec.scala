@@ -163,6 +163,15 @@ class GraftFrameSpec extends SparkSpec {
       .stratified_sample("g", "id", k = 5)
     assert(strat.toDF.groupBy("g").count().collect().map(_.getLong(1)).toSeq == Seq(5L, 5L, 5L))
 
+    // exact-k global sample and per-group top-n delegate
+    assert(new GraftFrame(spark.range(0, 200).toDF("id"))
+      .sample_exact("id", k = 17).count() == 17)
+    val topn = new GraftFrame(spark.range(0, 40)
+      .select(col("id"), (col("id") % 2).cast("string").as("g"), (col("id") * 2).as("sc")))
+      .top_n_per_group("g", "id", "sc", k = 3)
+    assert(topn.toDF.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(34L, 35L, 36L, 37L, 38L, 39L))
+
     // heavy hitters surfaces the frequent value
     val hh = new GraftFrame(
       (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"cold$i")).toDF("v"))
