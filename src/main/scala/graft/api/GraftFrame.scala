@@ -378,10 +378,14 @@ final class GraftFrame(val df: DataFrame) {
   /** Append the text quality + repetition metric columns for `textCol`
     * (row-local, one scan — the standard cheap-filter pass). */
   def with_text_metrics(textCol: String): GraftFrame = {
-    val metrics =
-      (TextOps.qualityMetrics(col(textCol)) ++ TextOps.repetitionMetrics(col(textCol)))
-        .map { case (n, c) => c.as(n) }
-    new GraftFrame(df.select(col("*") +: metrics: _*))
+    val named = TextOps.qualityMetrics(col(textCol)) ++ TextOps.repetitionMetrics(col(textCol))
+    // duplicate column names would poison every later reference with
+    // AMBIGUOUS_REFERENCE (the documents fixture itself carries n_chars)
+    val clash = named.map(_._1).toSet.intersect(df.columns.toSet)
+    require(clash.isEmpty,
+      s"with_text_metrics would duplicate columns ${clash.mkString(", ")} — " +
+        "drop or rename them first")
+    new GraftFrame(df.select(col("*") +: named.map { case (n, c) => c.as(n) }: _*))
   }
 
   // ----- sinks (§2.1) --------------------------------------------------

@@ -141,7 +141,14 @@ object Pipeline {
       df: DataFrame, idCol: String, sourceCol: String,
       alpha: Double = 0.5): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    require(!df.columns.contains("__src"),
+      "temperatureMixture reserves the __src column name — rename it first")
+    // Normalize the group key: cast to string (integer-coded sources
+    // would fail the driver-side getString) and give nulls their own
+    // sentinel group — otherwise null-source rows silently sample at
+    // rate 0 while still deflating nMin for every real source.
+    val srcKey = coalesce(col(sourceCol).cast("string"), lit("__null__"))
+    val counts = df.groupBy(srcKey.as("__src")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperatureMixture: empty input")
     val nMin = counts.values.min.toDouble
@@ -152,7 +159,8 @@ object Pipeline {
     val rates = counts.map { case (s, n) =>
       s -> math.floor(1000.0 * p(nMin / n.toDouble)).toInt
     }
-    mixtureSample(df, idCol, sourceCol, rates)
+    mixtureSample(df.withColumn("__src", srcKey), idCol, "__src", rates)
+      .drop("__src")
   }
 
   /** Deterministic global shuffle: total order by `shuffleKey(id)`,
@@ -218,13 +226,19 @@ object Pipeline {
         s"$opName needs an integral id, got $idCol: ${t.catalogString}")
     }
     val topk = graft.functions.TopKAgg.topK(k)
+    // null ids can never be selected (the aggregate's id field is
+    // non-nullable and no equality matches them back) — exclude them
+    // from candidacy up front instead of failing mid-job.
     val chosen = df
+      .where(col(idCol).isNotNull)
       .select(col(groupCol), rank.as("__rk"), col(idCol).cast("long").as("__id"))
       .groupBy(groupCol)
       .agg(topk(col("__rk"), col("__id")).as("__top"))
       .select(col(groupCol), explode(col("__top.id")).as("__sid"))
+    // <=> on the group key: a null group is a real group (the window
+    // mirror keeps its partition) and plain === would silently drop it
     df.join(broadcast(chosen),
-      df(groupCol) === chosen(groupCol) &&
+      df(groupCol) <=> chosen(groupCol) &&
         df(idCol).cast("long") === chosen("__sid"),
       "left_semi")
   }

@@ -73,8 +73,16 @@ object Skew {
     require(jt == "inner" || jt == "leftouter" || jt == "left",
       s"saltedJoin supports inner/left_outer, got '$joinType' — an outer build " +
         "side would duplicate unmatched rows across salt replicas")
+    require(!skewed.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name — rename it before joining")
+    // Salt = hash of the WHOLE fact row, not monotonically_increasing_id:
+    // the id is non-deterministic downstream of an exchange, so a task
+    // retry would re-salt rows differently and duplicate/lose join rows
+    // (the SPARK-23207 failure class). A content hash replays identically
+    // on retry; fully identical duplicate rows share a salt, which only
+    // costs balance in that pathological case, never correctness.
     val saltedFact = skewed.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(salts.toLong)))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1L))))
     saltedFact.join(replicated, keys :+ "__salt", joinType).drop("__salt")

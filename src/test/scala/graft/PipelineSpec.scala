@@ -165,6 +165,30 @@ class PipelineSpec extends SparkSpec {
     assert(s2.sorted != s1.sorted)
   }
 
+  test("topNPerGroup/stratifiedSample: a null group is kept, null ids never chosen") {
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[String], 5.0),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[String], 9.0),
+      (java.lang.Long.valueOf(3L), "a", 7.0),
+      (null.asInstanceOf[java.lang.Long], "a", 99.0) // best score but null id
+    ).toDF("id", "g", "score")
+    val got = Pipeline.topNPerGroup(df, "g", "id", "score", k = 1)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 3L)) // null group's best + a's best non-null-id row
+    val strat = Pipeline.stratifiedSample(df, "g", "id", k = 5)
+    assert(strat.where(col("g").isNull).count() == 2)
+  }
+
+  test("temperatureMixture: integer-coded and null sources are real groups") {
+    val df = ((1L to 300L).map(i => (i, java.lang.Integer.valueOf(1))) ++
+      (1001L to 1100L).map(i => (i, null.asInstanceOf[java.lang.Integer])))
+      .toDF("id", "source")
+    val kept = Pipeline.temperatureMixture(df, "id", "source", alpha = 0.5)
+    // the null group is the smallest → kept whole; source columns intact
+    assert(kept.where(col("source").isNull).count() == 100)
+    assert(kept.columns.toSeq == Seq("id", "source"))
+  }
+
   test("temperatureMixture: smallest source kept whole, big source sqrt-rated") {
     // a: 800 rows, b: 200 rows → rate_b = 1000‰ (whole), rate_a =
     // floor(1000·sqrt(200/800)) = 500‰

@@ -46,6 +46,21 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin salt is content-derived: replay-stable across partitionings") {
+    val fact = (1 to 2000).map(i => (1L, i.toLong)).toDF("k", "v")
+    val build = Seq((1L, "hot")).toDF("k", "name")
+    def run(parts: Int) = Skew.saltedJoin(
+        fact.repartition(parts), build, Seq("k"), "inner", salts = 8)
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq
+    // same rows regardless of partitioning/scheduling — the salt is a
+    // function of row content, never of execution order
+    assert(run(3) == run(11) && run(3).length == 2000)
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact.withColumn("__salt", lit(1)), build, Seq("k"))
+    }
+    assert(e.getMessage.contains("__salt"))
+  }
+
   test("saltedJoin rejects outer-build join types that would duplicate rows") {
     val df = Seq((1L, "a")).toDF("k", "x")
     val e = intercept[IllegalArgumentException] {
