@@ -248,10 +248,13 @@ object Pipeline {
     * `TakeOrderedAndProject` — per-partition k-element heaps, k rows
     * per partition to the driver-side merge, NO global sort and no
     * full shuffle. The mirror order is the seeded hash ascending, id
-    * ascending, LIMIT k. */
+    * ascending, LIMIT k. Null ids are never selected (engines disagree
+    * on null sort position, so they cannot be mirrored — same contract
+    * as [[stratifiedSample]]). */
   def uniformSample(
       df: DataFrame, idCol: String, k: Int, seed: Long = 0L): DataFrame =
-    df.orderBy(hashBucket(col(idCol), Int.MaxValue, seed), col(idCol)).limit(k)
+    df.where(col(idCol).isNotNull)
+      .orderBy(hashBucket(col(idCol), Int.MaxValue, seed), col(idCol)).limit(k)
 
   /** Pack documents into fixed token-budget bins: bin(i) =
     * floor(exclusive-running-sum(tokens) / budget) in `orderCol` order
