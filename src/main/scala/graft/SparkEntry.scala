@@ -275,6 +275,19 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("ex"))
         .select((abs(col("ap") - col("ex")).cast("double") / col("ex") <= 0.05)
           .as("ok_rel_err"))),
+    // Grouped HLL++: one two-phase shuffle of fixed-size sketches (the
+    // exact countDistinct expands to a double shuffle of the raw keys —
+    // at 100 TB the sketch IS the grouped-cardinality route). Audited
+    // per group against the exact count like the global gate.
+    "nunique_approx_group" -> ((s, dir) =>
+      li(s, dir).groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          countDistinct(col("l_partkey")).as("ex"))
+        .select(col("l_returnflag"),
+          (abs(col("ap") - col("ex")).cast("double") / col("ex") <= 0.05)
+            .as("ok_rel_err"))
+        .orderBy("l_returnflag")),
     // Explicit runtime-filter semi-join: bloom of the hot orders' keys
     // pushed into the lineitem scan before the exchange (the bloom only
     // PRUNES — the exact semi-join after it makes false positives
@@ -1487,6 +1500,9 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "nunique_approx" -> "SELECT true AS ok_rel_err",
+    "nunique_approx_group" ->
+      """SELECT l_returnflag, true AS ok_rel_err
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "bloom_semi_join" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty

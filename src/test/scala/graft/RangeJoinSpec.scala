@@ -28,6 +28,20 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("negative domains bucket correctly (floor division, not truncation)") {
+    val rnd = new scala.util.Random(7)
+    val points = (1L to 300L).map(i => (i, rnd.nextInt(400).toLong - 200L)).toDF("pid", "p")
+    val intervals = (1L to 40L).map { i =>
+      val lo = rnd.nextInt(400).toLong - 200L
+      (i, lo, lo + rnd.nextInt(30).toLong)
+    }.toDF("iid", "lo", "hi")
+    for (width <- Seq(3L, 16L)) {
+      val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", width)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute(points, intervals), s"width=$width")
+    }
+  }
+
   test("empty and inverted intervals match nothing; no duplicate pairs") {
     val points = Seq((1L, 10L), (2L, 20L)).toDF("pid", "p")
     val intervals = Seq((1L, 15L, 12L), (2L, 5L, 25L)).toDF("iid", "lo", "hi")
