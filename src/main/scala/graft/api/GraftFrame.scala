@@ -381,10 +381,7 @@ final class GraftFrame(val df: DataFrame) {
     val named = TextOps.qualityMetrics(col(textCol)) ++ TextOps.repetitionMetrics(col(textCol))
     // duplicate column names would poison every later reference with
     // AMBIGUOUS_REFERENCE (the documents fixture itself carries n_chars)
-    val clash = named.map(_._1).toSet.intersect(df.columns.toSet)
-    require(clash.isEmpty,
-      s"with_text_metrics would duplicate columns ${clash.mkString(", ")} — " +
-        "drop or rename them first")
+    graft.operators.OpUtil.requireNoColumns(df, named.map(_._1).toSet, "with_text_metrics")
     new GraftFrame(df.select(col("*") +: named.map { case (n, c) => c.as(n) }: _*))
   }
 

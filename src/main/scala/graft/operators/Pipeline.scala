@@ -141,15 +141,26 @@ object Pipeline {
       df: DataFrame, idCol: String, sourceCol: String,
       alpha: Double = 0.5): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    require(!df.columns.contains("__src"),
-      "temperatureMixture reserves the __src column name — rename it first")
+    OpUtil.requireNoColumns(df, Set("__src"), "temperatureMixture")
     // Normalize the group key: cast to string (integer-coded sources
     // would fail the driver-side getString) and give nulls their own
     // sentinel group — otherwise null-source rows silently sample at
-    // rate 0 while still deflating nMin for every real source.
+    // rate 0 while still deflating nMin for every real source. Rows
+    // with null ids are excluded from BOTH counting and output: the
+    // hash filter can never keep them, so counting them would deflate
+    // every source's keep-rate (same contract as the other samplers).
     val srcKey = coalesce(col(sourceCol).cast("string"), lit("__null__"))
-    val counts = df.groupBy(srcKey.as("__src")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = df.where(col(idCol).isNotNull)
+    val grouped = base
+      .groupBy(srcKey.as("__src"), col(sourceCol).isNull.as("__isn"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    // a REAL source valued "__null__" would silently merge with the
+    // null group under the sentinel — reject the ambiguity loudly
+    require(!grouped.exists { case (s, isn, _) => s == "__null__" && !isn },
+      "temperatureMixture: source column contains the literal \"__null__\", " +
+        "which collides with the null-group sentinel — rename that value first")
+    val counts = grouped.map { case (s, _, n) => s -> n }.toMap
     require(counts.nonEmpty, "temperatureMixture: empty input")
     val nMin = counts.values.min.toDouble
     val expo = 1.0 - alpha
@@ -159,7 +170,7 @@ object Pipeline {
     val rates = counts.map { case (s, n) =>
       s -> math.floor(1000.0 * p(nMin / n.toDouble)).toInt
     }
-    mixtureSample(df.withColumn("__src", srcKey), idCol, "__src", rates)
+    mixtureSample(base.withColumn("__src", srcKey), idCol, "__src", rates)
       .drop("__src")
   }
 
@@ -226,11 +237,12 @@ object Pipeline {
         s"$opName needs an integral id, got $idCol: ${t.catalogString}")
     }
     val topk = graft.functions.TopKAgg.topK(k)
-    // null ids can never be selected (the aggregate's id field is
-    // non-nullable and no equality matches them back) — exclude them
-    // from candidacy up front instead of failing mid-job.
+    // null ids and null ranks can never be selected (the aggregate's
+    // fields are non-nullable primitives, and a null rank has no
+    // position in the mirror order) — exclude both from candidacy up
+    // front instead of failing mid-job.
     val chosen = df
-      .where(col(idCol).isNotNull)
+      .where(col(idCol).isNotNull && rank.isNotNull)
       .select(col(groupCol), rank.as("__rk"), col(idCol).cast("long").as("__id"))
       .groupBy(groupCol)
       .agg(topk(col("__rk"), col("__id")).as("__top"))

@@ -35,9 +35,8 @@ object RangeJoin {
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"points and intervals share columns ${overlap.mkString(", ")} — rename before joining")
-    val reserved = (points.columns ++ intervals.columns).toSet.intersect(Set("__b", "__bs"))
-    require(reserved.isEmpty,
-      s"pointInInterval reserves ${reserved.mkString(", ")} — rename before joining")
+    OpUtil.requireNoColumns(points, Set("__b", "__bs"), "pointInInterval")
+    OpUtil.requireNoColumns(intervals, Set("__b", "__bs"), "pointInInterval")
     def bucketOf(c: Column): Column = floor(c / bucketWidth)
     val p = points.withColumn("__b", bucketOf(col(pointCol)))
     // sequence() materializes the bucket ids an interval spans — one

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * plans; AQE's skew-join handles the join-side equivalent. This
   * operator exists for the explicit-control path.
   *
-  * The salt is derived from `monotonically_increasing_id()` — stable
-  * within a job run, and the final merge makes the result independent of
-  * the salt assignment entirely.
+  * The salt is a content hash of the row ([[OpUtil.contentSalt]]) — a
+  * retry-stable assignment (see that scaladoc for why an
+  * execution-order id would corrupt results under task retry), and the
+  * final merge makes the result independent of the assignment entirely.
   */
 object Skew {
 
@@ -29,7 +30,8 @@ object Skew {
   def saltedCountSum(
       df: DataFrame, key: String, valueCol: String, salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    OpUtil.requireNoColumns(df, Set("__salt"), "saltedCountSum")
+    val salted = df.withColumn("__salt", OpUtil.contentSalt(df, salts))
     val partial = salted
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
@@ -44,7 +46,8 @@ object Skew {
       df: DataFrame, key: String, salts: Int,
       partialAggs: Seq[Column], mergeAggs: Seq[Column]): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltedDf = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    OpUtil.requireNoColumns(df, Set("__salt"), "salted")
+    val saltedDf = df.withColumn("__salt", OpUtil.contentSalt(df, salts))
     val partial = saltedDf
       .groupBy(col(key), col("__salt"))
       .agg(partialAggs.head, partialAggs.tail: _*)
@@ -73,16 +76,9 @@ object Skew {
     require(jt == "inner" || jt == "leftouter" || jt == "left",
       s"saltedJoin supports inner/left_outer, got '$joinType' — an outer build " +
         "side would duplicate unmatched rows across salt replicas")
-    require(!skewed.columns.contains("__salt") && !build.columns.contains("__salt"),
-      "saltedJoin reserves the __salt column name — rename it before joining")
-    // Salt = hash of the WHOLE fact row, not monotonically_increasing_id:
-    // the id is non-deterministic downstream of an exchange, so a task
-    // retry would re-salt rows differently and duplicate/lose join rows
-    // (the SPARK-23207 failure class). A content hash replays identically
-    // on retry; fully identical duplicate rows share a salt, which only
-    // costs balance in that pathological case, never correctness.
-    val saltedFact = skewed.withColumn("__salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(salts.toLong)))
+    OpUtil.requireNoColumns(skewed, Set("__salt"), "saltedJoin")
+    OpUtil.requireNoColumns(build, Set("__salt"), "saltedJoin")
+    val saltedFact = skewed.withColumn("__salt", OpUtil.contentSalt(skewed, salts))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1L))))
     saltedFact.join(replicated, keys :+ "__salt", joinType).drop("__salt")

@@ -179,6 +179,36 @@ class PipelineSpec extends SparkSpec {
     assert(strat.where(col("g").isNull).count() == 2)
   }
 
+  test("topNPerGroup: null scores are excluded from candidacy, not a crash") {
+    val df = Seq(
+      (1L, "a", java.lang.Double.valueOf(5.0)),
+      (2L, "a", null.asInstanceOf[java.lang.Double]),
+      (3L, "a", java.lang.Double.valueOf(7.0))
+    ).toDF("id", "g", "score")
+    val got = Pipeline.topNPerGroup(df, "g", "id", "score", k = 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L))
+  }
+
+  test("temperatureMixture: null ids excluded from counts; sentinel collision rejected") {
+    // 100 "b" rows of which 50 have null ids: without the exclusion,
+    // b's n=100 would deflate a's rate below 1000 even though only 50
+    // b rows are keepable
+    val df = ((1L to 100L).map(i => (java.lang.Long.valueOf(i), "a")) ++
+      (1L to 50L).map(i => (java.lang.Long.valueOf(1000L + i), "b")) ++
+      (1L to 50L).map(_ => (null.asInstanceOf[java.lang.Long], "b")))
+      .toDF("id", "source")
+    val kept = Pipeline.temperatureMixture(df, "id", "source", alpha = 0.5)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("b") == 50L) // smallest countable source kept whole
+    val bad = Seq((1L, "__null__"), (2L, null.asInstanceOf[String])).toDF("id", "source")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.temperatureMixture(bad, "id", "source")
+    }
+    assert(e.getMessage.contains("__null__"))
+  }
+
   test("temperatureMixture: integer-coded and null sources are real groups") {
     val df = ((1L to 300L).map(i => (i, java.lang.Integer.valueOf(1))) ++
       (1001L to 1100L).map(i => (i, null.asInstanceOf[java.lang.Integer])))

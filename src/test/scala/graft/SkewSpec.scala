@@ -61,6 +61,18 @@ class SkewSpec extends SparkSpec {
     assert(e.getMessage.contains("__salt"))
   }
 
+  test("map-typed columns are excluded from the content salt, not a crash") {
+    val fact = spark.range(0, 500)
+      .select((col("id") % 3).as("k"), col("id").as("v"),
+        map(lit("x"), col("id")).as("m"))
+    val agg = Skew.saltedCountSum(fact, "k", "v", salts = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agg.values.sum == 500L)
+    val build = Seq((0L, "z")).toDF("k", "name")
+    assert(Skew.saltedJoin(fact, build, Seq("k")).count() ==
+      fact.where(col("k") === 0).count())
+  }
+
   test("saltedJoin rejects outer-build join types that would duplicate rows") {
     val df = Seq((1L, "a")).toDF("k", "x")
     val e = intercept[IllegalArgumentException] {
