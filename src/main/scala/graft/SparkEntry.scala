@@ -258,7 +258,8 @@ object SparkEntry {
     "join_salted" -> ((s, dir) => {
       val dim = tbl(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      graft.operators.Skew.saltedJoin(li(s, dir), dim, Seq("l_orderkey"), salts = 8)
+      graft.operators.Skew.saltedJoin(li(s, dir), dim, Seq("l_orderkey"), salts = 8,
+          saltCols = Seq("l_orderkey", "l_linenumber"))
         .groupBy("o_orderpriority")
         .agg(
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)

@@ -32,11 +32,14 @@ private[graft] object OpUtil {
     * balance, never correctness. Map-typed columns (at any nesting) are
     * excluded — `xxhash64` rejects them; if NO column is hashable the
     * salt degrades to a constant (correct, no balancing). */
-  def contentSalt(df: DataFrame, salts: Int): Column = {
-    val hashable = df.schema.fields
+  def contentSalt(df: DataFrame, salts: Int, saltCols: Seq[String] = Nil): Column = {
+    val fields =
+      if (saltCols.isEmpty) df.schema.fields.toSeq
+      else saltCols.map(n => df.schema(n))
+    val hashable = fields
       .filterNot(f => hashUnsupported(f.dataType))
       .map(f => col(s"`${f.name}`"))
     if (hashable.isEmpty) lit(0L)
-    else pmod(xxhash64(hashable.toIndexedSeq: _*), lit(salts.toLong))
+    else pmod(xxhash64(hashable: _*), lit(salts.toLong))
   }
 }

@@ -70,7 +70,8 @@ object Skew {
     * trap, rejected loudly. */
   def saltedJoin(
       skewed: DataFrame, build: DataFrame, keys: Seq[String],
-      joinType: String = "inner", salts: Int = 16): DataFrame = {
+      joinType: String = "inner", salts: Int = 16,
+      saltCols: Seq[String] = Nil): DataFrame = {
     require(salts > 0, "salts must be positive")
     val jt = joinType.toLowerCase.replace("_", "")
     require(jt == "inner" || jt == "leftouter" || jt == "left",
@@ -78,7 +79,12 @@ object Skew {
         "side would duplicate unmatched rows across salt replicas")
     OpUtil.requireNoColumns(skewed, Set("__salt"), "saltedJoin")
     OpUtil.requireNoColumns(build, Set("__salt"), "saltedJoin")
-    val saltedFact = skewed.withColumn("__salt", OpUtil.contentSalt(skewed, salts))
+    // saltCols: a small row-distinguishing subset (e.g. the line-item
+    // composite key) recovers the hash cost of salting a wide fact row;
+    // default = every hashable column. Hashing the JOIN keys alone
+    // would be useless — constant within the hot key.
+    val saltedFact = skewed.withColumn("__salt",
+      OpUtil.contentSalt(skewed, salts, saltCols))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1L))))
     saltedFact.join(replicated, keys :+ "__salt", joinType).drop("__salt")

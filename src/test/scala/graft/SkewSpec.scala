@@ -55,6 +55,11 @@ class SkewSpec extends SparkSpec {
     // same rows regardless of partitioning/scheduling — the salt is a
     // function of row content, never of execution order
     assert(run(3) == run(11) && run(3).length == 2000)
+    // explicit saltCols gives the same join result
+    val sub = Skew.saltedJoin(fact, build, Seq("k"), "inner", salts = 8,
+        saltCols = Seq("v"))
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sub == run(3))
     val e = intercept[IllegalArgumentException] {
       Skew.saltedJoin(fact.withColumn("__salt", lit(1)), build, Seq("k"))
     }
