@@ -764,6 +764,13 @@ object SparkEntry {
         .drop_duplicates(Seq("text")).toDF
         .agg(count(lit(1)).as("n_unique"))
     }),
+    // Slim-shuffle exact dedup: only a (fingerprint, id) projection
+    // enters an exchange; the payload anti-joins back against the
+    // loser-id set (small on mostly-unique corpora → AQE broadcast).
+    "dedup_exact_hash" -> ((s, dir) => {
+      Dedup.exactByHashById(tbl(s, dir, "documents"), "text", "doc_id")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+    }),
 
     // ----- §2.10 near-dedup --------------------------------------------
     // The fixture has no near-dups, so each query constructs them
@@ -786,8 +793,8 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     // Pairs → clusters → canonical representative per duplicate group:
-    // iterative min-label propagation (one join+groupBy per round, the
-    // scale-safe connected components). Oracle: recursive closure.
+    // alternating large-star/small-star contraction (≈log d rounds,
+    // the scale-safe connected components). Oracle: recursive closure.
     // Pairs come from the banded MinHash-LSH SCALE path (threshold-
     // matched banding: r=4 puts the s-curve midpoint at 0.42; planted
     // drop-5-token copies sit at jaccard ≥ 0.8 where the miss
@@ -1901,6 +1908,11 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM corpus
         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+    "dedup_exact_hash" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
     "dedup_ngram_jaccard" -> nearDupOracle(restrict = "AND doc_id < 60", threshold = 0.5),
     "range_join" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_pairs,

@@ -33,13 +33,49 @@ object Dedup {
   def exact(df: DataFrame, subset: Seq[String] = Nil): DataFrame =
     if (subset.isEmpty) df.dropDuplicates() else df.dropDuplicates(subset)
 
-  /** Exact dedup by content hash — the classic "hash-groupBy" dedup for
-    * wide payloads: compares 64-bit fingerprints instead of full values
-    * so the shuffle carries hashes, not documents. */
+  /** Exact dedup by content hash, windowed formulation. Honest cost
+    * note: the window SHUFFLES AND SORTS THE FULL ROW — partitioning by
+    * `xxhash64(text)` only cheapens the partition key; the payload
+    * still moves and the within-partition sort compares full text.
+    * Fine when rows are narrow or no row-id exists; for wide payloads
+    * use [[exactByHashById]], whose shuffles carry a slim
+    * (fingerprint, id) projection instead. */
   def exactByHash(df: DataFrame, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(textCol))
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact dedup by content fingerprint keeping the minimum-`idCol`
+    * row per distinct text — the slim-shuffle plan for wide payloads:
+    *
+    *   1. project (fingerprint, id) — the ONLY thing the dedup
+    *      groupBy shuffles; the payload never enters an exchange;
+    *   2. loser ids = every id except the per-fingerprint minimum
+    *      (for mostly-unique corpora this set is TINY);
+    *   3. `left_anti` join back on id — AQE broadcasts the small
+    *      loser set, so the payload is never shuffled at all.
+    *
+    * Fingerprint = (xxhash64(text), xxhash64(salt, text), length):
+    * two INDEPENDENT 64-bit hashes (the salt leads, so the internal
+    * states diverge from byte 0 — `xxhash64(text, salt)` would share
+    * the text-prefix state and collide together) plus the length. A
+    * false merge needs a simultaneous collision in both hashes at
+    * equal length (~2⁻¹²⁸) — the standard content-hash dedup contract;
+    * resolving byte-exactly would require shuffling the payload, which
+    * is exactly what this plan exists to avoid. */
+  def exactByHashById(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val slim = df.select(
+      xxhash64(col(textCol)).as("__h1"),
+      xxhash64(lit("graft-dedup-h2"), col(textCol)).as("__h2"),
+      length(col(textCol)).as("__len"),
+      col(idCol))
+    val keepers = slim.groupBy("__h1", "__h2", "__len")
+      .agg(min(col(idCol)).as("__keep"))
+    val losers = slim.join(keepers, Seq("__h1", "__h2", "__len"))
+      .where(col(idCol) =!= col("__keep"))
+      .select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** All (a, b) pairs, a < b, of the sorted `elems` array column —
@@ -153,55 +189,126 @@ object Dedup {
     * decision — every document in a duplicate cluster maps to one
     * canonical representative.
     *
-    * Algorithm: iterative min-label propagation — each round every
-    * node takes the min of its own label and its neighbors' labels
-    * (one join + one groupBy per round), until a fixpoint. Rounds
-    * needed = graph diameter; near-dup clusters are shallow (most are
-    * pairs/stars), so this converges in a few rounds where a recursive
-    * closure would not scale. `localCheckpoint` truncates the plan
-    * lineage each round — without it the iterated join plan grows
-    * exponentially. */
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — public). Each round:
+    *   - large-star: every node, over its SYMMETRIC neighborhood,
+    *     re-attaches each strictly-larger neighbor to the minimum of
+    *     the neighborhood (one groupBy + join);
+    *   - small-star: over the big→small edge orientation, every node
+    *     re-attaches its smaller neighbors (and itself) to the
+    *     neighborhood minimum (one groupBy + join).
+    * Both steps preserve connectivity, and the edge structure contracts
+    * toward per-component STARS rooted at the component minimum.
+    * Convergence is O(log² n) rounds proven (in practice ≈ log₂ d:
+    * large-star halves every chain each round). Plain min-label
+    * propagation needs `diameter` rounds — a legal 100 TB input with
+    * one long-chain component would FAIL (throw, or worse, emit split
+    * clusters), not just slow down; a naive min-label + one
+    * label-jump-per-round scheme was tried and empirically does NOT
+    * fix this (a shuffled-id 1000-chain still outran 20 rounds).
+    *
+    * Convergence detection is EXACT, not a hash fingerprint: the star
+    * state is equivalent to "every source appears exactly once AND no
+    * node is both a source and a target", checked by ONE node-grouped
+    * aggregate per round whose full scan doubles as the lazy
+    * checkpoint's materialization job.
+    *
+    * Checkpointing: the iterated plan must be truncated every round or
+    * it grows exponentially. Default is `localCheckpoint` (fast,
+    * executor-local blocks — lost executor = recompute impossible,
+    * job restarts). When the session has a RELIABLE checkpoint dir
+    * configured (`sparkContext.setCheckpointDir`, typically HDFS/S3),
+    * rounds checkpoint there instead, so a multi-hour 100 TB dedup
+    * survives executor loss at the cost of per-round distributed-FS
+    * writes. */
   def duplicateClusters(
-      pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    duplicateClustersWithRounds(pairs, maxIters)._1
+
+  /** [[duplicateClusters]] exposing the round count — the convergence
+    * contract (≈log₂ d rounds, not O(d)) is asserted by tests, not
+    * just claimed. */
+  private[graft] def duplicateClustersWithRounds(
+      pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
+    val reliable =
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
+      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    // Canonical big→small orientation. Self-pairs (a, a) carry no
+    // connectivity; split them off ONCE from the checkpointed base —
+    // re-scanning `pairs` at the end would re-run the upstream LSH
+    // plan — and re-attach them as singleton clusters at the end.
+    val base = ckpt(
+      pairs.select(
+        greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v")).distinct(),
+      eager = true)
+    var edges = base.where(col("u") =!= col("v"))
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("id_b"), col("label").as("nl")), "id_b")
-        .groupBy(col("id_a").as("id"))
-        .agg(min(col("nl")).as("nmin"))
-      // Keep the old label alongside the new one so the convergence
-      // check is a filter over this round's (checkpointed) result — one
-      // join per round, not a second join against the previous labels.
-      // LAZY checkpoint + a full-scan count() fuses materialization and
-      // the convergence check into ONE job per round (an eager
-      // checkpoint followed by isEmpty was two); count aggregates every
-      // partition, so the checkpoint is fully materialized before the
-      // lineage is truncated.
-      val stepped = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(false)
-      converged = stepped.where(col("label") < col("old")).count() == 0
-      labels = stepped.select(col("id"), col("label"))
+      // Large-star: node n, symmetric neighborhood N(n),
+      // m = min(N(n) ∪ {n}); emit (v, m) for every neighbor v > n.
+      // Output preserves the big→small invariant (v > n ≥ m) and has
+      // no self-loops (v > m strictly).
+      val sym = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // Small-star: over big→small edges, node n's neighbors are all
+      // smaller, m = min(N(n)); emit (v, m) for v ∈ N(n) \ {m} plus
+      // (n, m). Again v > m strictly, so the invariant holds.
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(ssMin.select(col("u"), col("m").as("v")))
+        .distinct()
+      val stepped = ckpt(ss, eager = false)
+      // Exact star test: the edge set is per-component stars iff every
+      // source appears exactly once AND no node is both a source and a
+      // target (a twice-source would be rewritten by small-star, a
+      // source-and-target is a chain link large-star would shorten;
+      // stars themselves are a fixed point of both steps). LAZY
+      // checkpoint + this full-scan aggregate fuses materialization
+      // and the convergence check into ONE job per round.
+      val violations = stepped
+        .select(col("u").as("n"), lit(1).as("s"), lit(0).as("t"))
+        .unionAll(stepped.select(col("v").as("n"), lit(0).as("s"), lit(1).as("t")))
+        .groupBy("n")
+        .agg(sum(col("s")).as("srcs"), max(col("t")).as("tgt"))
+        .where(col("srcs") > 1 || (col("srcs") > 0 && col("tgt") > 0))
+      converged = violations.count() == 0
+      edges = stepped
       iters += 1
     }
-    // A component whose diameter exceeds maxIters would return SPLIT
-    // clusters (several "representatives" for one duplicate group) —
-    // silently wrong for the downstream drop. Fail loudly instead;
-    // near-dup graphs are shallow, so hitting this means either a
-    // pathological corpus or a caller who should raise maxIters.
+    // A component that outruns maxIters would return SPLIT clusters
+    // (several "representatives" for one duplicate group) — silently
+    // wrong for the downstream drop. Fail loudly instead; star
+    // contraction converges in O(log² n) rounds, so 20 covers any
+    // realistic corpus and hitting the bound means something is
+    // pathological, not merely a long chain.
     if (!converged)
       throw new IllegalStateException(
-        s"duplicateClusters did not converge in $maxIters rounds — a duplicate " +
-          "component has diameter > maxIters; raise maxIters")
-    labels.select(col("id"), col("label").as("cluster"))
+        s"duplicateClusters did not converge in $maxIters rounds of star " +
+          "contraction; raise maxIters")
+    // At the star fixed point every non-root appears exactly once as a
+    // source pointing at its component minimum; roots appear only as
+    // targets.
+    val labels = edges.select(col("u").as("id"), col("v").as("cluster"))
+      .unionAll(
+        edges.select(col("v").as("id"), col("v").as("cluster")).distinct())
+    // Singleton clusters for ids seen only in self-pairs — parity with
+    // the label-propagation formulation, which kept them.
+    val selfOnly = base.where(col("u") === col("v"))
+      .select(col("u").as("id"), col("u").as("cluster"))
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+    (labels.unionAll(selfOnly), iters)
   }
 
   /** Drop near-duplicates: keep every row not in any pair, plus the

@@ -111,6 +111,60 @@ class DedupSpec extends SparkSpec {
     assert(kept.size == 30 - 7)
   }
 
+  test("duplicateClusters: star contraction collapses long chains in ~log d rounds") {
+    // A 64-node path (diameter 63) in worst-case sequential id order:
+    // min-label propagation needs 63 rounds and would THROW at the
+    // default maxIters=20. Large-star halves every chain per round, so
+    // star contraction must finish in ≈ ⌈log₂ 63⌉ + 1 rounds.
+    val chain64 = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (c64, rounds64) = Dedup.duplicateClustersWithRounds(chain64)
+    val m64 = c64.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 64L).forall(m64(_) == 1L))
+    assert(rounds64 <= 8, s"expected <= 8 star-contraction rounds for diameter 63, got $rounds64")
+
+    // Diameter 1000 — far beyond anything propagate-only could finish
+    // in 20 rounds — still converges within the DEFAULT maxIters.
+    // Shuffle the ids along the path so the minimum isn't conveniently
+    // at one end (adversarial id placement).
+    val perm = new scala.util.Random(7).shuffle((1L to 1001L).toVector)
+    val chain1k = (0 until 1000).map(i => (perm(i), perm(i + 1))).toDF("id_a", "id_b")
+    val (c1k, rounds1k) = Dedup.duplicateClustersWithRounds(chain1k)
+    val m1k = c1k.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 1001L).forall(m1k(_) == 1L))
+    assert(rounds1k <= 13, s"expected <= 13 star-contraction rounds for diameter 1000, got $rounds1k")
+  }
+
+  test("duplicateClusters keeps self-pair-only ids as singleton clusters") {
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b")
+    val m = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+  }
+
+  test("duplicateClusters uses reliable checkpoints when a checkpoint dir is set") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "precondition: no checkpoint dir")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      val m = Dedup.duplicateClusters(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 3L).forall(m(_) == 1L))
+      // the round materializations actually landed in reliable storage
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "expected checkpoint files under the reliable dir")
+    } finally {
+      // SparkContext has no un-set API; the shared-session contract for
+      // other suites is restored via the private field.
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("duplicateClusters fails loudly when a component outruns maxIters") {
     // a 12-node path has diameter 11 — label propagation cannot finish
     // in 2 rounds, and split clusters must not be returned silently
@@ -123,6 +177,16 @@ class DedupSpec extends SparkSpec {
     val ok = Dedup.duplicateClusters(chain, maxIters = 20)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 12L).forall(ok(_) == 1L))
+  }
+
+  test("exactByHashById keeps the min-id row per distinct text") {
+    val d = Seq(
+      (1L, "aaa", "x"), (2L, "aaa", "y"), (3L, "bbb", "z"),
+      (4L, "ccc", "w"), (5L, "bbb", "v"))
+      .toDF("doc_id", "text", "extra")
+    val kept = Dedup.exactByHashById(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(kept == Set((1L, "aaa", "x"), (3L, "bbb", "z"), (4L, "ccc", "w")))
   }
 
   test("exactByHash keeps one row per distinct text") {

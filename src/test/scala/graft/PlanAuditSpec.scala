@@ -153,6 +153,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(scan.contains("l_returnflag"), p)
   }
 
+  test("exactByHashById: the dedup-decision exchanges are slim — no payload") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.Dedup.exactByHashById(docs, "text", "doc_id")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // every exchange keyed on the content fingerprint must carry only
+    // (fingerprint, id) — the text payload stays out of the shuffle
+    val blocks = p.split("""(?m)^\(\d+\) """).toSeq
+    val fpExchanges = blocks.filter(b => b.startsWith("Exchange") && b.contains("__h1"))
+    assert(fpExchanges.nonEmpty, p)
+    for (b <- fpExchanges)
+      assert(!b.contains("text#"), s"payload column in a fingerprint exchange:\n$b")
+  }
+
   test("broadcast join query does broadcast; big join stays shuffle") {
     assert(plan("join_broadcast").contains("BroadcastHashJoin"))
     // join_big must not HINT a broadcast: disable the size-based
