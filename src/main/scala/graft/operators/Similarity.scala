@@ -184,6 +184,33 @@ object Similarity {
         col("s.sim").as("sim"), (col("rank0") + 1).as("rank"))
   }
 
+  /** Rank scored (qId, cId, sim) candidates down to top-k per query.
+    * Integral corpus ids ride the k-bounded [[graft.functions.TopKAgg]]
+    * PARTIAL aggregate: each map task reduces to ≤ k candidates per
+    * query before the exchange, so a hot query (one degenerate
+    * LSH bucket / IVF cell at 100 TB) never funnels its whole candidate
+    * set through a single reducer. Non-integral ids fall back to the
+    * per-query window — the funnel shape — acceptable only because the
+    * candidate sets that reach it are small; integral ids are the
+    * normal case for corpus keys. Null sims (corrupt/mismatched-dim
+    * vectors) are dropped on both paths for identical output. */
+  private def rankTopK(scored: DataFrame, qId: String, cId: String, k: Int): DataFrame =
+    scored.schema(cId).dataType match {
+      case idType @ (ByteType | ShortType | IntegerType | LongType) =>
+        val topk = graft.functions.TopKAgg.topK(k)
+        scored
+          .where(col("sim").isNotNull)
+          .groupBy(col(qId))
+          .agg(topk(col("sim"), col(cId).cast("long")).as("top"))
+          .select(col(qId), posexplode(col("top")).as(Seq("rank0", "s")))
+          .select(col(qId), col("s.id").cast(idType).as(cId),
+            col("s.sim").as("sim"), (col("rank0") + 1).as("rank"))
+      case _ =>
+        val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId).asc)
+        scored.where(col("sim").isNotNull)
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    }
+
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5),
     * derived from (plane, dim) via SplitMix64 — no RNG state, so every
     * executor materializes identical planes. */
@@ -242,8 +269,7 @@ object Similarity {
         col(qId), col(cId),
         cosineSim(asDoubleVec(col(qVec)), asDoubleVec(col(cVec))).as("sim"))
       .distinct() // a pair can match through several probe buckets
-    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId).asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    rankTopK(scored, qId, cId, k)
   }
 
   /** IVF (inverted-file) ANN top-k — the classic coarse-quantizer route:
@@ -321,8 +347,7 @@ object Similarity {
     val scored = cb.join(broadcast(qb), Seq("cell"))
       .select(col(qId), col(cId),
         cosineSim(asDoubleVec(col(qVec)), asDoubleVec(col(cVec))).as("sim"))
-    val w = Window.partitionBy(col(qId)).orderBy(col("sim").desc, col(cId).asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    rankTopK(scored, qId, cId, k)
   }
 
   /** Recall@k of an ANN result against the exact brute-force result —

@@ -153,6 +153,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(scan.contains("l_returnflag"), p)
   }
 
+  test("ann/ivf ranking: k-bounded partial aggregate — no per-query window") {
+    for (name <- Seq("simsearch_ann", "simsearch_ivf")) {
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name:\n$p")
+      // TopKAgg runs as a partial+final ObjectHashAggregate pair
+      assert(nodes(p, "ObjectHashAggregate") >= 2, s"$name:\n$p")
+    }
+  }
+
   test("exactByHashById: the dedup-decision exchanges are slim — no payload") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = graft.operators.Dedup.exactByHashById(docs, "text", "doc_id")
