@@ -44,16 +44,27 @@ object Contamination {
   }
 
   /** The training corpus minus contaminated docs — same schema as
-    * `train`. The contaminated-id set is tiny, so the anti-join
-    * broadcasts it; train rows never shuffle. */
+    * `train`. The contaminated-id set is USUALLY tiny, so the anti-join
+    * broadcasts it and train rows never shuffle — but "usually" is not
+    * a contract: a boilerplate-heavy or adversarial corpus can turn a
+    * large fraction of train ids into hits and blow the broadcast. The
+    * id set is therefore materialized once (localCheckpoint — slim
+    * either way), counted against `maxBroadcastIds` (a scan of the
+    * already-materialized blocks, not a recompute), and only
+    * hint-broadcast under the threshold; above it the anti-join is left
+    * to the planner (AQE still broadcasts at runtime if it happens to
+    * fit — the knob removes the unconditional FORCE, not the
+    * optimization). Same results either side of the threshold. */
   def decontaminate(
       train: DataFrame, idCol: String, textCol: String,
       eval: DataFrame, evalTextCol: String,
-      n: Int = 8): DataFrame =
-    train.join(
-      broadcast(contaminatedIds(train, idCol, textCol, eval, evalTextCol, n)
-        .select(col(idCol))),
-      Seq(idCol), "left_anti")
+      n: Int = 8, maxBroadcastIds: Long = 10000000L): DataFrame = {
+    val ids = contaminatedIds(train, idCol, textCol, eval, evalTextCol, n)
+      .select(col(idCol))
+      .localCheckpoint(true)
+    val right = if (ids.count() <= maxBroadcastIds) broadcast(ids) else ids
+    train.join(right, Seq(idCol), "left_anti")
+  }
 
   /** Decontamination for an eval corpus too big to broadcast exactly:
     * bloom-filter the train side's exploded n-grams first
@@ -65,9 +76,13 @@ object Contamination {
       train: DataFrame, idCol: String, textCol: String,
       eval: DataFrame, evalTextCol: String,
       n: Int = 8, expectedEvalNgrams: Long = -1L): DataFrame = {
+    // Materialized ONCE: the auto-size count, the bloom build, and the
+    // exact semi-join inside bloomSemiJoin all read this set —
+    // unmaterialized, each would re-run the eval explode+distinct.
     val evalNg = eval
       .select(explode(Dedup.shingles(col(evalTextCol), n)).as("__ng"))
       .distinct()
+      .localCheckpoint(true)
     // Auto-size the filter with one pre-count of the SMALL side (cheap
     // by contract). An oversized guess is not free: the blob scales
     // with expectedItems and ships to every task as a literal — a 10M

@@ -271,18 +271,30 @@ object Pipeline {
   /** Pack documents into fixed token-budget bins: bin(i) =
     * floor(exclusive-running-sum(tokens) / budget) in `orderCol` order
     * within each `partitionCols` shard. One window over one shuffle;
-    * shard first (e.g. by source or hash range) so no single ordered
-    * stream spans the corpus. This is the streaming running-total
-    * relaxation of bin packing (bins can exceed `budget` by one doc's
-    * tail — exact first-fit is inherently sequential and does not
-    * scale). Output: input columns + `bin`. */
+    * sharding (e.g. by source or hash range) keeps any single ordered
+    * stream from spanning the corpus. This is the streaming
+    * running-total relaxation of bin packing (bins can exceed `budget`
+    * by one doc's tail — exact first-fit is inherently sequential and
+    * does not scale). Output: input columns + `bin`; bin ids are
+    * per-shard (disambiguate with the shard columns downstream).
+    *
+    * `partitionCols = Nil` is REJECTED unless `singleStream = true`:
+    * the unsharded window is `partitionBy(lit(1))` — the entire corpus
+    * through one ordered reducer, a silent scale-killer as a default.
+    * Opt in explicitly for small frames where one global stream is the
+    * intended semantics. */
   def packSequences(
       df: DataFrame,
       tokenCountCol: String,
       budget: Int,
       orderCol: String,
-      partitionCols: Seq[String] = Nil): DataFrame = {
+      partitionCols: Seq[String] = Nil,
+      singleStream: Boolean = false): DataFrame = {
     require(budget > 0)
+    require(partitionCols.nonEmpty || singleStream,
+      "packSequences without partitionCols funnels the whole corpus through ONE " +
+        "ordered window partition. Pass shard columns (source, or a hash bucket " +
+        "of the order key), or opt in with singleStream=true for a small frame.")
     val w0 = if (partitionCols.isEmpty) Window.partitionBy(lit(1))
              else Window.partitionBy(partitionCols.map(col): _*)
     val w = w0.orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, -1)

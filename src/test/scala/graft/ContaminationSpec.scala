@@ -31,6 +31,14 @@ class ContaminationSpec extends SparkSpec {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L, 4L))
   }
 
+  test("decontaminate above the broadcast cap falls back to a plain anti-join, same result") {
+    // maxBroadcastIds = 0 forces the non-broadcast path
+    val fallback = Contamination.decontaminate(
+        train, "doc_id", "text", eval_, "text", n = 8, maxBroadcastIds = 0L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(fallback == Seq(2L, 3L, 4L))
+  }
+
   test("bloom variant returns exactly the broadcast variant's result") {
     val exact = Contamination.decontaminate(train, "doc_id", "text", eval_, "text", n = 8)
       .collect().map(_.getLong(0)).sorted.toSeq

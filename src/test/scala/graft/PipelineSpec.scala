@@ -106,6 +106,18 @@ class PipelineSpec extends SparkSpec {
     assert(a.take(20).toSeq != (1L to 20L))
   }
 
+  test("packSequences rejects the unsharded single-stream form unless opted in") {
+    val df = (1L to 10L).map(i => (i, 100L)).toDF("id", "n_tok")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.packSequences(df, "n_tok", budget = 1000, orderCol = "id")
+    }
+    assert(e.getMessage.contains("singleStream"))
+    // explicit opt-in still works for small frames
+    val packed = Pipeline.packSequences(df, "n_tok", budget = 500,
+      orderCol = "id", singleStream = true)
+    assert(packed.groupBy("bin").count().count() == 2)
+  }
+
   test("packSequences: bins respect the running-total budget law") {
     val df = (1L to 100L).map(i => (i, "s", 100L)).toDF("id", "shard", "n_tok")
     val packed = Pipeline.packSequences(df, "n_tok", budget = 1000,
