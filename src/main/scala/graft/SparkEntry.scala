@@ -2309,7 +2309,8 @@ object SparkEntry {
         |  SELECT min(n) AS nmin FROM c
         |), r AS (
         |  SELECT source,
-        |    CAST(floor(1000 * sqrt(nmin::DOUBLE / n::DOUBLE)) AS BIGINT) AS rate
+        |    greatest(1, CAST(floor(1000 * sqrt(nmin::DOUBLE / n::DOUBLE)) AS BIGINT))
+        |      AS rate
         |  FROM c CROSS JOIN m
         |)
         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept

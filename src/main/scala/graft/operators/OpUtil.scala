@@ -29,9 +29,21 @@ private[graft] object OpUtil {
     * original and re-executed map output double-counts or loses rows
     * (the SPARK-23207 failure class). A content hash replays
     * identically; fully identical rows share a salt, which only costs
-    * balance, never correctness. Map-typed columns (at any nesting) are
-    * excluded — `xxhash64` rejects them; if NO column is hashable the
-    * salt degrades to a constant (correct, no balancing). */
+    * balance, never correctness.
+    *
+    * DEGENERATE CASE (documented contract, silent at runtime): if a hot
+    * key's rows are IDENTICAL on the hashed columns — exact-duplicate
+    * rows with `saltCols = Nil`, or a `saltCols` subset that is
+    * constant within the key — every such row gets the SAME salt and
+    * the hot key collapses back into one reducer: the skew returns.
+    * Callers with duplicate-heavy data must pass `saltCols` covering a
+    * row-distinguishing column (a unique id is ideal; a composite line
+    * key works). Detecting this at runtime would need its own grouped
+    * count over the data (a shuffle as big as the one being salted), so
+    * it is a caller contract, not a check. Map-typed columns (at any
+    * nesting) are excluded — `xxhash64` rejects them; if NO column is
+    * hashable the salt degrades to a constant (correct, no
+    * balancing). */
   def contentSalt(df: DataFrame, salts: Int, saltCols: Seq[String] = Nil): Column = {
     val fields =
       if (saltCols.isEmpty) df.schema.fields.toSeq

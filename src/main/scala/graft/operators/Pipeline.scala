@@ -128,8 +128,10 @@ object Pipeline {
     * (alpha = 1/T < 1 flattens the source distribution — the standard
     * multilingual/multi-source rebalancing, e.g. mBERT/XLM exponent
     * 0.7 or T=2 → alpha 0.5). The smallest source is kept whole; source
-    * s keeps `floor(1000·(n_min/n_s)^(1-alpha))` per-mille via the
-    * row-local hash filter of [[mixtureSample]].
+    * s keeps `max(1, floor(1000·(n_min/n_s)^(1-alpha)))` per-mille via
+    * the row-local hash filter of [[mixtureSample]] — clamped so an
+    * extreme size ratio can only downsample a source to 1‰, never
+    * silently drop it.
     *
     * One tiny grouped count reaches the driver (source-cardinality
     * rows — fitted sampler weights, like any model parameter); nothing
@@ -167,8 +169,13 @@ object Pipeline {
     // sqrt, not pow, at the alpha=0.5 default: Math.sqrt is IEEE
     // correctly rounded (pow is only 1-ulp), so SQL replays it exactly
     def p(x: Double): Double = if (expo == 0.5) math.sqrt(x) else math.pow(x, expo)
+    // Clamp to ≥ 1 per-mille: temperature REBALANCING must keep every
+    // source represented, but an extreme size ratio — n_s/n_min beyond
+    // 1000^(1/(1-alpha)), e.g. 10⁶× at alpha 0.5 — floors to rate 0 and
+    // would silently DELETE the source. The clamp is mirrored in the
+    // oracle (greatest(1, floor(...))).
     val rates = counts.map { case (s, n) =>
-      s -> math.floor(1000.0 * p(nMin / n.toDouble)).toInt
+      s -> math.max(1, math.floor(1000.0 * p(nMin / n.toDouble)).toInt)
     }
     mixtureSample(base.withColumn("__src", srcKey), idCol, "__src", rates)
       .drop("__src")

@@ -82,7 +82,10 @@ object Skew {
     // saltCols: a small row-distinguishing subset (e.g. the line-item
     // composite key) recovers the hash cost of salting a wide fact row;
     // default = every hashable column. Hashing the JOIN keys alone
-    // would be useless — constant within the hot key.
+    // would be useless — constant within the hot key. Same trap with
+    // exact-duplicate rows under the default: identical rows share a
+    // salt and a duplicate-heavy hot key re-collapses into one reducer
+    // (see [[OpUtil.contentSalt]] — pass a unique-id saltCol).
     val saltedFact = skewed.withColumn("__salt",
       OpUtil.contentSalt(skewed, salts, saltCols))
     val replicated = build.withColumn("__salt",

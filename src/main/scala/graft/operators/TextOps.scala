@@ -163,21 +163,25 @@ object TextOps {
     * unigram counts estimated from the corpus itself.
     *
     * Scale shape: ONE explode+groupBy shuffle builds the
-    * vocabulary-sized frequency table, which then broadcast-joins back
-    * onto the exploded tokens; per-doc mean is a second grouped
-    * aggregation on the doc id. The corpus token total rides the
-    * frequency table (window-free: summed into the broadcast side).
-    * Same two-shuffle pattern as [[tfIdfTopTerms]]. Token-free docs
-    * get a null score. */
+    * vocabulary-sized frequency table, which joins back onto the
+    * exploded tokens. The frequency join carries NO broadcast hint on
+    * purpose: a clean vocabulary fits and AQE broadcasts it at runtime,
+    * but a web-scale corpus's distinct-token table (typos, ids, hashes)
+    * can run to billions of rows — past any broadcast/driver cap — and
+    * a forced hint would OOM the driver where the unhinted plan just
+    * degrades to a shuffled hash join on the token. Per-doc mean is a
+    * second grouped aggregation on the doc id; the corpus token total
+    * (one row, always safe) rides a broadcast crossJoin. Token-free
+    * docs get a null score. */
   def unigramLogProb(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    // total corpus tokens: a scalar agg over the tiny vocab table —
+    // total corpus tokens: a scalar agg over the vocab table —
     // computed once, attached as a literal via crossJoin of one row
     val total = freq.agg(sum("cnt").as("__total"))
     val scored = toks
-      .join(broadcast(freq), "tok")
+      .join(freq, "tok")
       .crossJoin(broadcast(total))
       .select(col(idCol),
         (log(col("cnt").cast(DoubleType)) - log(col("__total").cast(DoubleType)))

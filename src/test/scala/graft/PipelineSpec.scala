@@ -106,6 +106,29 @@ class PipelineSpec extends SparkSpec {
     assert(a.take(20).toSeq != (1L to 20L))
   }
 
+  test("temperatureMixture clamps extreme-ratio sources to 1 per-mille, never 0") {
+    // alpha=0.01 → expo 0.99: a 1-vs-1100 size ratio floors the big
+    // source's rate to 0 before the clamp — rebalancing must keep the
+    // source represented, not delete it. Seed the big source with ids
+    // whose sample-hash bucket is 0, which rate>=1 MUST keep.
+    val bucket0 = (1L to 20000L).filter { i =>
+      val folded = i ^ (i >>> 31)
+      val r1 = (folded % 2147483647L) * 1103515245L % 2147483647L
+      ((r1 ^ 202L) * 1103515245L % 2147483647L) % 1000L == 0L
+    }.take(2)
+    assert(bucket0.nonEmpty, "fixture: no bucket-0 id found")
+    val rows = Seq((999999L, "a")) ++
+      ((1L to 1100L).filterNot(bucket0.contains).take(1100 - bucket0.size) ++ bucket0)
+        .map((_, "b"))
+    val kept = Pipeline.temperatureMixture(
+        rows.toDF("doc_id", "source"), "doc_id", "source", alpha = 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the small source survives whole; the big source keeps exactly its
+    // bucket-0 ids (rate clamped to 1 per-mille)
+    assert(kept.contains(999999L))
+    assert(bucket0.forall(kept.contains), s"clamp failed: kept=$kept")
+  }
+
   test("packSequences rejects the unsharded single-stream form unless opted in") {
     val df = (1L to 10L).map(i => (i, 100L)).toDF("id", "n_tok")
     val e = intercept[IllegalArgumentException] {
