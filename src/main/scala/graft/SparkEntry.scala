@@ -204,6 +204,35 @@ object SparkEntry {
         round(sum("l_quantity"), 2).as("sum_qty"),
         min("l_returnflag").as("min_flag"))
     }),
+    // read_csv parity knobs end-to-end: a European-formatted file
+    // ("1.234,56", ';'-separated) behind a 2-line preamble, read back
+    // with skiprows + decimal + thousands (+ dtype, which owns numeric
+    // conversion on this path). Values are integral×1000, so the
+    // format_number round-trip is exact against the oracle's arithmetic.
+    "csv_skiprows_decimal" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"/root/repo/target/tmp/graft_csveu_${dir.hashCode.toHexString}"
+      val body = li(s, dir).where(col("l_orderkey") < 100)
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_quantity")) * 1000, 2).as("v"))
+        .select(lit(2L).as("ord"), col("l_orderkey").cast("long").as("sub"),
+          concat(col("l_orderkey"), lit(";"),
+            translate(format_number(col("v"), 2), ",.", ".,")).as("line"))
+      val pre = Seq((0L, 0L, "junk preamble line"), (0L, 1L, "another;junk"),
+        (1L, 0L, "key;val")).toDF("ord", "sub", "line")
+      pre.union(body).coalesce(1).sortWithinPartitions("ord", "sub")
+        .select("line").write.mode("overwrite").text(out)
+      val back = CsvReader.readCsv(s, out, CsvOptions(
+        sep = ";", header = true, skiprows = 2, decimal = ",",
+        thousands = Some("."),
+        dtype = Map(
+          "key" -> org.apache.spark.sql.types.LongType,
+          "val" -> org.apache.spark.sql.types.DoubleType)))
+      back.agg(
+        count(lit(1)).as("n_rows"),
+        round(sum("val"), 2).as("sum_val"),
+        sum("key").as("sum_keys"))
+    }),
 
     // ----- §2.2 filter / query facade ----------------------------------
     "filter_query" -> ((s, dir) => {
@@ -1479,6 +1508,15 @@ object SparkEntry {
         |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
         |min(l_returnflag) AS min_flag
         |FROM lineitem""".stripMargin,
+    "csv_skiprows_decimal" ->
+      """WITH per AS (
+        |  SELECT l_orderkey, round(sum(l_quantity) * 1000, 2) AS v
+        |  FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(round(sum(v), 2) AS DOUBLE) AS sum_val,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_keys
+        |FROM per""".stripMargin,
     "filter_query" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_price

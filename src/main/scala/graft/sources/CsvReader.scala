@@ -26,6 +26,20 @@ import org.apache.spark.sql.types._
   *  - `compression`/`encoding`/`quotechar`/`escapechar`/`comment` → same-
   *    named Spark options; object-store URL schemes (io.py:80-81) are
   *    Hadoop FileSystem URIs (`s3a://…`) — no custom parsing needed.
+  *  - `skiprows=N` → Spark CSV has no skip option, so the file is read
+  *    as lines, the first N dropped by line index (`zipWithIndex` — a
+  *    per-partition line-count job, no shuffle), and the remainder
+  *    parsed via `csv(Dataset[String])`; `header` then applies to the
+  *    first KEPT line, as in pandas. This path decodes through the text
+  *    reader (UTF-8).
+  *  - `decimal` / `thousands` → pandas applies these during numeric
+  *    parse; Spark's parser and inference know neither, and inference
+  *    would silently MISparse "1.234" (thousands='.') as 1.234. So when
+  *    either is set, inference is disabled and the separators are
+  *    stripped/normalized post-read on the columns `dtype` declares
+  *    numeric, then cast. Columns not covered by `dtype` come back as
+  *    raw strings (pandas parity for separator-formatted numerics
+  *    REQUIRES dtype — pinned in CsvReaderSpec).
   *
   * Unlike the reference, which re-parses chunk byte-ranges with a bare
   * `pd.read_csv` and mis-reads headers on non-first chunks
@@ -54,7 +68,14 @@ final case class CsvOptions(
     converters: Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
       Map.empty,
     // pandas `nrows`: cap rows read (a LIMIT — pushes into the scan)
-    nrows: Option[Int] = None)
+    nrows: Option[Int] = None,
+    // pandas `skiprows` (int form): drop the first N file lines before
+    // header detection
+    skiprows: Int = 0,
+    // pandas `decimal` / `thousands`: numeric separator characters —
+    // effective on dtype-declared numeric columns (see header doc)
+    decimal: String = ".",
+    thousands: Option[String] = None)
 
 object CsvReader {
 
@@ -92,6 +113,26 @@ object CsvReader {
   }
 
   def readCsv(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
+    require(opts.skiprows >= 0, s"skiprows must be >= 0, got ${opts.skiprows}")
+    require(opts.decimal.length == 1, s"decimal must be one char, got '${opts.decimal}'")
+    opts.thousands.foreach(t =>
+      require(t.length == 1 && t != opts.decimal,
+        s"thousands must be one char distinct from decimal, got '$t'"))
+    // decimal/thousands: the parser and schema inference know neither
+    // separator, so the clean-then-cast rewrite below owns the numeric
+    // conversion and inference must not pre-empt it with a misparse.
+    val needsClean = opts.decimal != "." || opts.thousands.isDefined
+    // skiprows: drop the first N lines by global line index, then parse
+    // the remainder as CSV. zipWithIndex costs one per-partition
+    // line-count pass (no shuffle); text-file splits keep line order.
+    val skipped: Option[org.apache.spark.sql.Dataset[String]] =
+      if (opts.skiprows == 0) None
+      else Some(spark.createDataset(
+        spark.read.textFile(path).rdd.zipWithIndex()
+          .filter(_._2 >= opts.skiprows).map(_._1))(
+        org.apache.spark.sql.Encoders.STRING))
+    def load(rr: org.apache.spark.sql.DataFrameReader): DataFrame =
+      skipped.map(rr.csv).getOrElse(rr.csv(path))
     var r = spark.read
       .option("sep", opts.sep)
       .option("header", opts.header.toString)
@@ -107,8 +148,11 @@ object CsvReader {
     // nulled post-read (see below).
     if (opts.naValues.nonEmpty) r = r.option("nullValue", opts.naValues.head)
 
+    // The explicit-schema fast path hands numeric types to the PARSER,
+    // which nulls separator-formatted cells ("1,5" as double) in
+    // PERMISSIVE mode — so it is disabled when cleaning is needed.
     val fullDtype = opts.names.nonEmpty && opts.dtype.nonEmpty &&
-      opts.names.forall(opts.dtype.contains)
+      opts.names.forall(opts.dtype.contains) && !needsClean
     var df =
       if (fullDtype) {
         // Explicit schema: skips the inference pass entirely (fast path).
@@ -119,9 +163,10 @@ object CsvReader {
         val schema = StructType(opts.names.zip(mangled).map { case (orig, m) =>
           StructField(m, opts.dtype(orig), nullable = true)
         })
-        r.schema(schema).csv(path)
+        load(r.schema(schema))
       } else {
-        val inferred = r.option("inferSchema", opts.inferSchema.toString).csv(path)
+        val inferred = load(
+          r.option("inferSchema", (opts.inferSchema && !needsClean).toString))
         if (opts.names.nonEmpty)
           inferred.toDF(bindNames(inferred.columns.toSeq, opts.names): _*)
         else inferred
@@ -141,9 +186,21 @@ object CsvReader {
       }.toSeq: _*)
     }
 
+    // Numeric separator normalization: strip thousands, then swap the
+    // decimal char for '.', then cast — on dtype-declared numerics only.
+    def cleanNumeric(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val noTh = opts.thousands.fold(c)(t =>
+        regexp_replace(c, java.util.regex.Pattern.quote(t), ""))
+      if (opts.decimal == ".") noTh
+      else regexp_replace(noTh, java.util.regex.Pattern.quote(opts.decimal), ".")
+    }
     if (!fullDtype && opts.dtype.nonEmpty)
       df = df.select(df.columns.map { c =>
-        opts.dtype.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+        opts.dtype.get(c) match {
+          case Some(t: NumericType) if needsClean => cleanNumeric(col(c)).cast(t).as(c)
+          case Some(t) => col(c).cast(t).as(c)
+          case None => col(c)
+        }
       }.toSeq: _*)
     opts.parseDates.foreach { c =>
       df = df.withColumn(c, opts.timestampFormat

@@ -97,6 +97,46 @@ class CsvReaderSpec extends SparkSpec {
     assert(got(3).getDouble(0) == 4.0)
   }
 
+  test("skiprows drops leading lines before the header, like pandas skiprows=N") {
+    val p = writeCsv("junk preamble", "more;junk", "k;v", "1;10", "2;20")
+    val df = CsvReader.readCsv(spark, p, CsvOptions(sep = ";", skiprows = 2))
+    assert(df.columns.toSeq == Seq("k", "v"))
+    assert(df.collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq ==
+      Seq((1, 10), (2, 20)))
+  }
+
+  test("skiprows composes with headerless names") {
+    val p = writeCsv("title line", "1,2", "3,4")
+    val df = CsvReader.readCsv(spark, p,
+      CsvOptions(header = false, names = Seq("a", "b"), skiprows = 1))
+    assert(df.collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq ==
+      Seq((1, 2), (3, 4)))
+  }
+
+  test("decimal + thousands parse European-formatted numerics via dtype") {
+    // pandas: read_csv(..., sep=';', decimal=',', thousands='.') turns
+    // "1.234,56" into 1234.56 and "9.876" (int col) into 9876
+    val p = writeCsv("n;x", "9.876;1.234,56", "1;0,5")
+    val df = CsvReader.readCsv(spark, p, CsvOptions(
+      sep = ";", decimal = ",", thousands = Some("."),
+      dtype = Map("n" -> LongType, "x" -> DoubleType)))
+    assert(df.schema("n").dataType == LongType)
+    assert(df.schema("x").dataType == DoubleType)
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq ==
+      Seq((1L, 0.5), (9876L, 1234.56)))
+  }
+
+  test("decimal without dtype leaves raw strings (no silent misparse)") {
+    // inference would read "1.234" (thousands='.') as the double 1.234;
+    // with separators set and no dtype, columns stay strings instead
+    val p = writeCsv("a;b", "1.234;2,5")
+    val df = CsvReader.readCsv(spark, p,
+      CsvOptions(sep = ";", decimal = ",", thousands = Some(".")))
+    assert(df.schema("a").dataType == StringType)
+    assert(df.schema("b").dataType == StringType)
+    assert(df.head() == org.apache.spark.sql.Row("1.234", "2,5"))
+  }
+
   test("usecols prunes columns") {
     val p = writeCsv("a,b,c", "1,2,3")
     val df = CsvReader.readCsv(spark, p, CsvOptions(usecols = Seq("c", "a")))
