@@ -49,7 +49,23 @@ object StatefulSessions {
     * `emitOpen = false` is the streaming mode: trailing sessions stay
     * in state and are emitted by the event-time timeout once the
     * watermark passes session end + gap (input must carry
-    * `withWatermark("ts", ...)`). */
+    * `withWatermark("ts", ...)`).
+    *
+    * FAR-LATE CONTRACT (the one pinned batch/stream divergence):
+    * far-late events — more than a gap BEFORE the open session — merge
+    * with each other within a micro-batch (batch parity, see
+    * `openBefore` below), but NOT across micro-batches: per-key state
+    * holds exactly one open-session struct whose timeout slot belongs
+    * to the open session, so each batch's secondary session closes at
+    * batch end. A far-late pair split across two batches therefore
+    * emits two singleton sessions where the batch formulation emits
+    * one merged session — same event totals, different grouping; the
+    * exact delta is asserted in StatefulSessionsSpec ("pinned
+    * divergence"). Holding a second struct per key would double every
+    * key's state for an event class the watermark is supposed to
+    * bound; pipelines that need exact far-late grouping should widen
+    * the watermark (making those events on-time) or reconcile in
+    * batch. */
   def sessions(
       events: Dataset[Ev], gapMinutes: Int,
       emitOpen: Boolean): Dataset[Session] = {

@@ -119,6 +119,48 @@ class StatefulSessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pinned divergence: a far-late pair SPLIT ACROSS batches emits two singletons") {
+    // Same events as the merge test above, but the far-late pair
+    // arrives in SEPARATE micro-batches. The secondary session cannot
+    // survive a batch boundary (one state struct per key — see the
+    // far-late contract in StatefulSessions), so streaming emits two
+    // singleton sessions where batch mode emits one merged pair. This
+    // test pins that exact delta; if cross-batch merging is ever
+    // implemented, it should start failing.
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, Double)]
+    val stream = source.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "6 hours")
+    val q = StatefulSessions.sessionStats(stream, gapMinutes = 15, emitOpen = false)
+      .writeStream.format("memory").queryName("graft_farlate_split")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, ts(120), 1.0))
+      q.processAllAvailable()
+      source.addData((1L, ts(10), 2.0))
+      q.processAllAvailable()
+      source.addData((1L, ts(15), 3.0))
+      q.processAllAvailable()
+      val got = spark.table("graft_farlate_split").orderBy("start_ts")
+        .select("start_ts", "end_ts", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == Seq(
+        (ts(10).getTime / 1000, ts(10).getTime / 1000, 1L, 2.0),
+        (ts(15).getTime / 1000, ts(15).getTime / 1000, 1L, 3.0)))
+      // batch replay of the SAME events merges the pair — the delta
+      val batch = StatefulSessions.sessionStats(
+          Seq((1L, ts(120), "a", 1.0), (1L, ts(10), "a", 2.0), (1L, ts(15), "a", 3.0))
+            .toDF("user_id", "ts", "event_type", "value"),
+          gapMinutes = 15)
+        .orderBy("start_ts")
+        .select("start_ts", "end_ts", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(batch.toSeq == Seq(
+        (ts(10).getTime / 1000, ts(15).getTime / 1000, 2L, 5.0),
+        (ts(120).getTime / 1000, ts(120).getTime / 1000, 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("streaming: far-late events within a gap of each other MERGE (batch parity)") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Timestamp, Double)]
