@@ -1193,6 +1193,27 @@ object SparkEntry {
           sum(when(col("format") === "bmp", 1L).otherwise(0L)).as("n_bmp"))
     }),
 
+    // REAL PNG pixel path: encode spec-valid stored-deflate PNGs,
+    // decode+unfilter+resample+re-encode (PngCodec), parse the resized
+    // headers back. Oracle recomputes output dims and the closed-form
+    // stored-deflate file size: 63 + raw + 5*ceil(raw/65535), with
+    // raw = nh*(1 + 3*nw).
+    "multimodal_resize_png" -> ((s, dir) => {
+      val dims = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        (col("n_chars") % 64 + 1).cast("int").as("w"),
+        (col("doc_id") % 48 + 1).cast("int").as("h"))
+      val media = Multimodal.encodePngFrame(dims, "doc_id", "w", "h")
+      val resized = Multimodal.resizePngFrame(media, 50)
+      Multimodal.extractFeatures(resized).toDF()
+        .agg(
+          count(lit(1)).as("n"),
+          sum("width").as("sum_w"),
+          sum("height").as("sum_h"),
+          sum("byteLen").as("total_bytes"),
+          sum(when(col("format") === "png", 1L).otherwise(0L)).as("n_png"))
+    }),
+
     // ----- §2.10 training-data pipeline --------------------------------
     // Token-window chunking: row-local sequence+explode, no shuffle.
     "pipeline_chunk" -> ((s, dir) =>
@@ -2214,6 +2235,23 @@ object SparkEntry {
         |  CAST(sum(54 + ((3 * nw + 3) // 4) * 4 * nh) AS BIGINT) AS total_bytes,
         |  CAST(count(*) AS BIGINT) AS n_bmp
         |FROM dims""".stripMargin,
+    // PNG file size is closed-form because the encoder writes STORED
+    // deflate blocks: 8 sig + 25 IHDR + 12 IEND + IDAT(12 + 2 zlib hdr
+    // + 5/block + raw + 4 adler) = 63 + raw + 5*ceil(raw/65535).
+    "multimodal_resize_png" ->
+      """WITH dims AS (
+        |  SELECT greatest(1, (n_chars % 64 + 1) * 50 // 100) AS nw,
+        |         greatest(1, (doc_id % 48 + 1) * 50 // 100) AS nh
+        |  FROM documents
+        |), sz AS (
+        |  SELECT nw, nh, nh * (1 + 3 * nw) AS raw FROM dims
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(nw) AS BIGINT) AS sum_w,
+        |  CAST(sum(nh) AS BIGINT) AS sum_h,
+        |  CAST(sum(63 + raw + 5 * ((raw + 65534) // 65535)) AS BIGINT) AS total_bytes,
+        |  CAST(count(*) AS BIGINT) AS n_png
+        |FROM sz""".stripMargin,
     "sql_native_fns" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN len(w) >= 3 THEN len(list_distinct(

@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   * Header decoding is REAL: [[parseDims]] parses width/height from the
   * raw bytes of BMP (BITMAPINFOHEADER, little-endian fields) and PNG
   * (IHDR, big-endian fields) containers — both byte layouts are public
-  * spec. Pixel work on BMP is REAL too: [[encodeBmp]] writes spec-valid
-  * files and [[resizeBmp24]] does an actual nearest-neighbor resample
-  * of the pixel rows. Only entropy-coded formats (PNG/JPEG pixel
-  * decode, which needs a codec library this environment lacks) stay
-  * behind the clearly-marked [[resizeStub]]; the batch-iteration
-  * plumbing is identical either way.
+  * spec. Pixel work is REAL for BMP ([[encodeBmp]]/[[resizeBmp24]] —
+  * addressable pixel rows, pure byte math) AND for 8-bit
+  * truecolor/RGBA non-interlaced PNG ([[PngCodec]] — chunk + zlib
+  * framing, stored-block deflate and all five scanline filters by
+  * hand; compressed-block inflate via the JDK's built-in zlib
+  * binding). Only formats needing a true image codec (JPEG's DCT +
+  * entropy coding) stay behind the clearly-marked [[resizeStub]]; the
+  * batch-iteration plumbing is identical either way.
   *
   * Scale notes: payload bytes never shuffle (all transforms are
   * row-local `mapPartitions`); metadata-only queries prune the binary
@@ -211,12 +213,42 @@ object Multimodal {
       .toDF("media_id", "data")
   }
 
-  /** STUB resize for OPAQUE payloads (formats whose pixels need a codec
-    * library this environment lacks — see [[resizeBmp24]] for the real
-    * BMP path): a row-local projection emitting a smaller payload whose
-    * size tracks the scale factor deterministically (`substring`
-    * operates on binary natively). A real implementation swaps a codec
-    * resize in here and nothing else changes. Payloads never shuffle. */
+  /** Encode one real PNG per (id, width, height) row — spec-valid
+    * stored-deflate files carrying the deterministic
+    * [[PngCodec.gradient]] pixels; same ingest shape as
+    * [[encodeBmpFrame]] (row-local, payloads never shuffle). */
+  def encodePngFrame(dims: DataFrame, idCol: String, wCol: String,
+      hCol: String): DataFrame = {
+    val spark = dims.sparkSession
+    import spark.implicits._
+    dims.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        (id, PngCodec.encode(PngCodec.gradient(id, w, h)))
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Resize every PNG payload of a (media_id, data) frame — the REAL
+    * pixel path (inflate → unfilter → resample → re-encode,
+    * [[PngCodec.resizePng]]); row-local per-partition batches, payloads
+    * never shuffle. */
+  def resizePngFrame(media: DataFrame, scalePercent: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => (id, PngCodec.resizePng(b, scalePercent)) })
+      .toDF("media_id", "data")
+  }
+
+  /** STUB resize for OPAQUE payloads — now only formats that need a
+    * true image codec (JPEG: DCT + entropy coding); BMP and common PNG
+    * have real paths ([[resizeBmp24]], [[resizePngFrame]]): a row-local
+    * projection emitting a smaller payload whose size tracks the scale
+    * factor deterministically (`substring` operates on binary
+    * natively). A real implementation swaps a codec resize in here and
+    * nothing else changes. Payloads never shuffle. */
   def resizeStub(media: DataFrame, scalePercent: Int): DataFrame = {
     require(scalePercent > 0 && scalePercent <= 100)
     // long arithmetic: length * scalePercent overflows Int for payloads

@@ -121,6 +121,133 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) == ((1, 1, 54 + Multimodal.bmpRowSize(1) * 1)))
   }
 
+  // ---- PNG codec: real decode / unfilter / resample ------------------
+
+  test("PNG golden round-trip: encode → decode is pixel-exact") {
+    val img = graft.operators.PngCodec.gradient(7L, 8, 5)
+    val bytes = graft.operators.PngCodec.encode(img)
+    // container header parses like any PNG
+    assert(Multimodal.parseDims(bytes) == (("png", 8, 5)))
+    // closed-form stored-deflate size: 63 + raw + 5*ceil(raw/65535)
+    val raw = 5 * (1 + 8 * 3)
+    assert(bytes.length == 63 + raw + 5)
+    val back = graft.operators.PngCodec.decode(bytes)
+    assert(back.width == 8 && back.height == 5 && back.channels == 3)
+    assert(back.pixels.sameElements(img.pixels))
+  }
+
+  test("PNG resize 50% keeps exactly the even-indexed source pixels (mirrors the BMP golden)") {
+    val img = graft.operators.PngCodec.gradient(3L, 4, 4)
+    val resized = graft.operators.PngCodec.decode(
+      graft.operators.PngCodec.resizePng(graft.operators.PngCodec.encode(img), 50))
+    assert(resized.width == 2 && resized.height == 2)
+    for (y <- 0 until 2; x <- 0 until 2; k <- 0 until 3)
+      assert(resized.pixels((y * 2 + x) * 3 + k) ==
+        img.pixels(((y * 2) * 4 + x * 2) * 3 + k),
+        s"pixel ($x,$y) channel $k")
+  }
+
+  /** Hand-build a PNG with caller-supplied FILTERED scanline bytes and
+    * a Deflater-compressed IDAT — exercises the compressed-block
+    * inflate path and filters the encoder never writes. */
+  private def buildPng(w: Int, h: Int, colorType: Int, filtered: Array[Byte]): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      def be(off: Int, v: Int): Unit = {
+        out(off) = ((v >>> 24) & 0xff).toByte; out(off + 1) = ((v >>> 16) & 0xff).toByte
+        out(off + 2) = ((v >>> 8) & 0xff).toByte; out(off + 3) = (v & 0xff).toByte
+      }
+      be(0, data.length)
+      typ.zipWithIndex.foreach { case (c, i) => out(4 + i) = c.toByte }
+      System.arraycopy(data, 0, out, 8, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 4, 4 + data.length)
+      be(8 + data.length, crc.getValue.toInt)
+      out
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = 0; ihdr(1) = 0; ihdr(2) = 0; ihdr(3) = w.toByte
+    ihdr(4) = 0; ihdr(5) = 0; ihdr(6) = 0; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = colorType.toByte
+    val d = new java.util.zip.Deflater()
+    d.setInput(filtered); d.finish()
+    val zbuf = new Array[Byte](filtered.length + 64)
+    val zlen = d.deflate(zbuf); d.end()
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.take(zlen)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("PNG unfilter handles Sub/Up/Average/Paeth rows from a compressed stream") {
+    // 3x4 RGB raster with arbitrary pixels; rows filtered 1,2,3,4 —
+    // apply each filter forward here, decode must invert them exactly.
+    val w = 3; val h = 4; val ch = 3; val stride = w * ch
+    val px = Array.tabulate(h * stride)(i => ((i * 37 + 11) & 0xff).toByte)
+    def p(y: Int, x: Int): Int = if (x < 0 || y < 0) 0 else px(y * stride + x) & 0xff
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val q = a + b - c
+      val (pa, pb, pc) = (math.abs(q - a), math.abs(q - b), math.abs(q - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val filtered = new Array[Byte](h * (stride + 1))
+    for (y <- 0 until h) {
+      val ft = y + 1 // Sub, Up, Average, Paeth
+      filtered(y * (stride + 1)) = ft.toByte
+      for (x <- 0 until stride) {
+        val a = p(y, x - ch); val b = p(y - 1, x); val c = p(y - 1, x - ch)
+        val pred = ft match {
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 => paeth(a, b, c)
+        }
+        filtered(y * (stride + 1) + 1 + x) = ((p(y, x) - pred) & 0xff).toByte
+      }
+    }
+    val back = graft.operators.PngCodec.decode(buildPng(w, h, 2, filtered))
+    assert(back.pixels.sameElements(px))
+  }
+
+  test("PNG RGBA (color type 6) round-trips") {
+    val px = Array.tabulate(2 * 2 * 4)(i => ((i * 53 + 5) & 0xff).toByte)
+    val img = graft.operators.PngCodec.Raster(2, 2, 4, px)
+    val back = graft.operators.PngCodec.decode(graft.operators.PngCodec.encode(img))
+    assert(back.channels == 4 && back.pixels.sameElements(px))
+  }
+
+  test("PNG decode fails loudly on unsupported classes, never wrong pixels") {
+    val good = graft.operators.PngCodec.encode(graft.operators.PngCodec.gradient(1L, 3, 3))
+    // palette color type (3)
+    val pal = good.clone(); pal(8 + 8 + 9) = 3
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.PngCodec.decode(pal)
+    }.getMessage.contains("color type"))
+    // 16-bit depth
+    val deep = good.clone(); deep(8 + 8 + 8) = 16
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.PngCodec.decode(deep)
+    }.getMessage.contains("bit depth"))
+    // interlaced
+    val il = good.clone(); il(8 + 8 + 12) = 1
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.PngCodec.decode(il)
+    }.getMessage.contains("interlaced"))
+    // not a PNG at all
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.PngCodec.decode("definitely not png".getBytes)
+    }.getMessage.contains("not a PNG"))
+  }
+
+  test("encodePngFrame + resizePngFrame: distributed real-pixel path across partitions") {
+    val dims = Seq((1L, 8, 6), (2L, 31, 17), (3L, 1, 1)).toDF("id", "w", "h")
+    val media = Multimodal.encodePngFrame(dims, "id", "w", "h").repartition(3)
+    val got = Multimodal.extractFeatures(Multimodal.resizePngFrame(media, 50))
+      .collect().map(f => f.mediaId -> ((f.format, f.width, f.height))).toMap
+    assert(got(1L) == (("png", 4, 3)))
+    assert(got(2L) == (("png", 15, 8)))
+    assert(got(3L) == (("png", 1, 1)))
+  }
+
   test("sampleFrames explodes one row per stride offset") {
     val m = Multimodal.withMediaColumn(docs.where(col("doc_id") === 1), "doc_id", "text", Seq("lang"))
     // 11 bytes, stride 4 → offsets 0,4,8
