@@ -466,6 +466,30 @@ final class GraftGroupBy(df: DataFrame, keys: Seq[String]) {
     new GraftFrame(agg(pairs: _*).toDF.repartition(splitOut, keys.map(col): _*))
   }
 
+  /** `sort=` (reference: dataframe/core.py:724-731): order the grouped
+    * output by the group keys. Like the reference, incompatible with
+    * `split_out > 1` — a keyed sort imposes one global range ordering,
+    * which a hash-sharded output contract contradicts; `splitOut = 1`
+    * composes (ordered single shard). The sort is the standard
+    * range-partitioned orderBy over the POST-aggregation rows (one per
+    * group), so its cost scales with groups, not input. */
+  def agg(pairs: Seq[(String, String)], sort: Boolean): GraftFrame = {
+    val out = agg(pairs: _*)
+    if (sort) new GraftFrame(out.toDF.orderBy(keys.map(col): _*)) else out
+  }
+
+  /** [[agg(splitOut*]] + `sort` — rejects the contradictory combination
+    * the way the reference does (core.py:724-731). */
+  def agg(splitOut: Int, sort: Boolean, pairs: (String, String)*): GraftFrame = {
+    require(!(sort && splitOut > 1),
+      s"sort=true is incompatible with split_out=$splitOut > 1 " +
+        "(reference core.py:724-731): a keyed sort is one global range " +
+        "ordering; a sharded output is hash-partitioned")
+    if (sort)
+      new GraftFrame(agg(pairs: _*).toDF.orderBy(keys.map(col): _*).coalesce(1))
+    else agg(splitOut, pairs: _*)
+  }
+
   def sum(cols: String*): GraftFrame = agg(cols.map(_ -> "sum"): _*)
   def mean(cols: String*): GraftFrame = agg(cols.map(_ -> "mean"): _*)
   def size(): GraftFrame = {

@@ -46,6 +46,39 @@ class GraftFrameSpec extends SparkSpec {
     assert(m.getDouble(1) == 215.0 && m.getLong(2) == 2L)
   }
 
+  test("groupby.agg sort= orders output by key; rejected with split_out > 1") {
+    val sorted = people.groupby("age").agg(Seq("score" -> "sum"), sort = true)
+      .toDF.collect().map(_.getAs[Int]("age"))
+    assert(sorted.toSeq == sorted.toSeq.sorted)
+    // split_out=1 composes: one ordered shard
+    val one = people.groupby("age").agg(1, true, "score" -> "sum").toDF
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.collect().map(_.getAs[Int]("age")).toSeq == sorted.toSeq.sorted)
+    val e = intercept[IllegalArgumentException] {
+      people.groupby("age").agg(4, true, "score" -> "sum")
+    }
+    assert(e.getMessage.contains("split_out"))
+  }
+
+  test("Units.parseBytes mirrors the reference's dask-style table") {
+    import graft.api.Units.parseBytes
+    assert(parseBytes("100") == 100L)
+    assert(parseBytes("100 MB") == 100000000L)
+    assert(parseBytes("100M") == 100000000L)
+    assert(parseBytes("5kB") == 5000L)
+    assert(parseBytes("5.4 kB") == 5400L)
+    assert(parseBytes("1kiB") == 1024L)
+    assert(parseBytes("1e6") == 1000000L)
+    assert(parseBytes("1e6 kB") == 1000000000L)
+    assert(parseBytes("MB") == 1000000L)
+    assert(parseBytes("1GiB") == (1L << 30))
+    assert(parseBytes("2ki") == 2048L)
+    assert(intercept[IllegalArgumentException](parseBytes("5 foos"))
+      .getMessage.contains("byte unit"))
+    assert(intercept[IllegalArgumentException](parseBytes("x5x B"))
+      .getMessage.contains("as a number"))
+  }
+
   test("groupby.size counts rows per group") {
     val s = people.groupby("age").size().toDF.where(col("age") === 34).collect()(0)
     assert(s.getLong(1) == 2L)
