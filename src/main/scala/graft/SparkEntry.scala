@@ -1103,6 +1103,78 @@ object SparkEntry {
             lit("@example.com via https://ex.com/p/"), col("doc_id").cast("string"),
             lit(" or call 0123 456 7890"))).as("scrubbed"))
         .orderBy("doc_id")),
+    // Gopher quality-rule verdicts (Rae et al. 2021, table A1) with
+    // planted spam shapes: %5==0 docs get their body doubled (trips the
+    // dup-line/5-gram rules), %5==1 get symbol spam appended (trips the
+    // symbol ratio), %5==2 get extra Gopher stopwords (the fixture soup
+    // usually has only 'the', so these become the kept class when long
+    // enough). The gate compares the per-rule measured metrics AND the
+    // composed keep verdict; everything is row-local.
+    "text_gopher" -> ((s, dir) => {
+      val planted = tbl(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit("\n"), col("text")))
+            .when(col("doc_id") % 5 === 1,
+              concat(col("text"), lit(" # # # # # # # # # #")))
+            .when(col("doc_id") % 5 === 2, concat(col("text"), lit(" of that have")))
+            .otherwise(col("text")).as("t"))
+      val m = TextOps.gopherMetrics(col("t")).toMap
+      planted.select(col("doc_id"),
+        m("n_tokens").as("n_tokens"),
+        m("symbol_ratio").as("symbol_ratio"),
+        m("gopher_stopword_hits").as("stopword_hits"),
+        m("dup_line_frac").as("dup_line_frac"),
+        m("top_2gram_char_frac").as("top_2gram_char_frac"),
+        m("dup_5gram_char_frac").as("dup_5gram_char_frac"),
+        TextOps.gopherKeep(col("t")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // C4 page cleaning (Raffel et al. 2020 §2.2). The fixture text is a
+    // single line of unpunctuated word soup, so the gate builds a
+    // deterministic multi-line page per doc: one sentence cut from the
+    // doc's own text, two planted good sentences, three planted bad
+    // lines (short / javascript / no terminal punct), and lorem-ipsum /
+    // curly-brace poison on %7 / %11 ids. Compares the cleaned text
+    // itself plus the line/sentence counts and the document verdict.
+    "text_c4" -> ((s, dir) => {
+      val page = concat(
+        substring(col("text"), 1, 60), lit(".\n"),
+        lit("Second proper sentence built for the cleaning gate.\n"),
+        lit("Third full sentence completes the page nicely today!\n"),
+        lit("Short line.\n"),
+        lit("Please enable javascript to continue reading.\n"),
+        substring(col("text"), 61, 40))
+      val poisoned = when(col("doc_id") % 7 === 0,
+          concat(page, lit("\nmore Lorem Ipsum filler text.")))
+        .when(col("doc_id") % 11 === 0, concat(page, lit("\n{ code block }")))
+        .otherwise(page)
+      val planted = tbl(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), poisoned.as("t"))
+      val cols = TextOps.c4Clean(col("t")).map { case (n, c) => c.as(n) }
+      planted.select(col("doc_id") +: cols: _*).orderBy("doc_id")
+    }),
+
+    // Bigram stupid-backoff LM score (Brants et al. 2007): counts from
+    // the held-out half of the corpus (doc_id >= 150), scores on the
+    // other half — held-out counting is what makes the backoff branch
+    // reachable. The oracle replays the whole model: unigram/bigram
+    // count tables, N and V, the seen-bigram ML ratio and the smoothed
+    // backoff floor, then the per-document mean.
+    "text_bigram_lm" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      // The fixture's vocabulary is tiny, so a raw split would see every
+      // bigram; appending a per-doc OOV token forces the backoff branch
+      // (unseen bigram AND unseen unigram) through the gate too.
+      val scored = docs.where(col("doc_id") < 150)
+        .withColumn("text",
+          concat(col("text"), lit(" oovtok"), col("doc_id").cast("string")))
+      TextOps.bigramLogProb(
+          scored, docs.where(col("doc_id") >= 150), "doc_id", "text")
+        .select(col("doc_id"), round(col("bigram_logprob"), 6).as("bigram_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // Composed curation pass — the end-to-end training-data shape:
     // language filter → cheap quality gates → content-hash dedup →
     // per-source accounting. One scan + one agg shuffle.
@@ -2298,6 +2370,189 @@ object SparkEntry {
         |      'https?://[^\s]+', '<URL>', 'g'),
         |    '[0-9][0-9 ()\-]{6,}[0-9]', '<NUMBER>', 'g') AS scrubbed
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // Full mirror of the Gopher rule set: same planted spam, same
+    // tokenization ('\s+' on lower(trim) — the WordNGrams whitespace
+    // caveat shared with text_repetition), same round-6 metrics, and
+    // the same null-coalesced conjunction for the keep verdict.
+    // Character-coverage gram stats divide by len(t) (the raw text
+    // length; ASCII fixture, so code units == code points).
+    "text_gopher" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text
+        |         WHEN doc_id % 5 = 1 THEN text || ' # # # # # # # # # #'
+        |         WHEN doc_id % 5 = 2 THEN text || ' of that have'
+        |         ELSE text END AS t
+        |  FROM documents WHERE doc_id < 200
+        |), l AS (
+        |  SELECT doc_id, t,
+        |    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+        |      x -> len(x) > 0) AS ls,
+        |    list_filter(string_split_regex(lower(trim(t)), '\s+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM base
+        |), g AS (
+        |  SELECT doc_id, t, ls, tk,
+        |    list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS g2,
+        |    list_transform(range(1, len(tk) - 3),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |           tk[i+3] || ' ' || tk[i+4]) AS g5
+        |  FROM l
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS INTEGER) AS n_tokens,
+        |    CASE WHEN len(tk) > 0 THEN round(
+        |      list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk), 6)
+        |    END AS avg_token_chars,
+        |    CASE WHEN len(tk) > 0 THEN round(
+        |      len(regexp_extract_all(t, '#|\.\.\.'))::DOUBLE / len(tk), 6)
+        |    END AS symbol_ratio,
+        |    CASE WHEN len(ls) > 0 THEN round(
+        |      len(list_filter(ls, x -> regexp_matches(x, '^[-*•‣▪]')))::DOUBLE
+        |        / len(ls), 6)
+        |    END AS bullet_line_frac,
+        |    CASE WHEN len(ls) > 0 THEN round(
+        |      len(list_filter(ls, x -> regexp_matches(x, '\.\.\.$')))::DOUBLE
+        |        / len(ls), 6)
+        |    END AS ellipsis_line_frac,
+        |    CASE WHEN len(tk) > 0 THEN round(
+        |      len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+        |        / len(tk), 6)
+        |    END AS alpha_word_frac,
+        |    CAST(len(list_filter(
+        |      ['the','be','to','of','and','that','have','with'],
+        |      sw -> list_contains(tk, sw))) AS INTEGER) AS stopword_hits,
+        |    CASE WHEN len(ls) > 0 THEN round(
+        |      (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls), 6)
+        |    END AS dup_line_frac,
+        |    CASE WHEN list_sum(list_transform(ls, x -> len(x))) > 0 THEN round(
+        |      (list_sum(list_transform(ls, x -> len(x))) -
+        |       list_sum(list_transform(list_distinct(ls), x -> len(x))))::DOUBLE
+        |        / list_sum(list_transform(ls, x -> len(x))), 6)
+        |    END AS dup_line_char_frac,
+        |    CASE WHEN len(g2) > 0 AND len(t) > 0 THEN round(
+        |      list_max(list_transform(list_distinct(g2),
+        |        x -> len(list_filter(g2, y -> y = x)) * len(x)))::DOUBLE / len(t), 6)
+        |    END AS top_2gram_char_frac,
+        |    CASE WHEN len(g5) > 0 AND len(t) > 0 THEN round(
+        |      coalesce(list_sum(list_transform(list_distinct(g5),
+        |        x -> CASE WHEN len(list_filter(g5, y -> y = x)) > 1
+        |             THEN len(list_filter(g5, y -> y = x)) * len(x) ELSE 0 END)), 0)
+        |        ::DOUBLE / len(t), 6)
+        |    END AS dup_5gram_char_frac
+        |  FROM g
+        |)
+        |SELECT doc_id, n_tokens, symbol_ratio, stopword_hits, dup_line_frac,
+        |  top_2gram_char_frac, dup_5gram_char_frac,
+        |  (n_tokens BETWEEN 50 AND 100000)
+        |    AND coalesce(avg_token_chars BETWEEN 3.0 AND 10.0, false)
+        |    AND coalesce(symbol_ratio <= 0.1, true)
+        |    AND coalesce(bullet_line_frac <= 0.9, true)
+        |    AND coalesce(ellipsis_line_frac <= 0.3, true)
+        |    AND coalesce(alpha_word_frac >= 0.8, false)
+        |    AND stopword_hits >= 2
+        |    AND coalesce(dup_line_frac <= 0.30, true)
+        |    AND coalesce(dup_line_char_frac <= 0.20, true)
+        |    AND coalesce(top_2gram_char_frac <= 0.20, true)
+        |    AND coalesce(dup_5gram_char_frac <= 0.15, true) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // Same page construction, same line predicates (terminal punct +
+    // >= 5 words + no 'javascript'), same document verdict.
+    "text_c4" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 60) || '.' || chr(10) ||
+        |    'Second proper sentence built for the cleaning gate.' || chr(10) ||
+        |    'Third full sentence completes the page nicely today!' || chr(10) ||
+        |    'Short line.' || chr(10) ||
+        |    'Please enable javascript to continue reading.' || chr(10) ||
+        |    substr(text, 61, 40) AS page
+        |  FROM documents WHERE doc_id < 200
+        |), p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |           THEN page || chr(10) || 'more Lorem Ipsum filler text.'
+        |         WHEN doc_id % 11 = 0
+        |           THEN page || chr(10) || '{ code block }'
+        |         ELSE page END AS t
+        |  FROM base
+        |), l AS (
+        |  SELECT doc_id, t,
+        |    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+        |      x -> len(x) > 0) AS ls
+        |  FROM p
+        |), k AS (
+        |  SELECT doc_id, t, ls,
+        |    list_filter(ls, x ->
+        |      regexp_matches(x, '[.!?]["'']?$')
+        |      AND len(list_filter(string_split_regex(x, '\s+'),
+        |            w -> len(w) > 0)) >= 5
+        |      AND NOT contains(lower(x), 'javascript')) AS kept
+        |  FROM l
+        |), c AS (
+        |  SELECT doc_id, t, ls, kept,
+        |    array_to_string(kept, chr(10)) AS clean_text
+        |  FROM k
+        |)
+        |SELECT doc_id, clean_text,
+        |  CAST(len(ls) AS INTEGER) AS n_lines,
+        |  CAST(len(kept) AS INTEGER) AS n_lines_kept,
+        |  CAST(len(regexp_extract_all(clean_text, '[.!?]')) AS INTEGER)
+        |    AS n_sentences,
+        |  NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{')
+        |    AND len(regexp_extract_all(clean_text, '[.!?]')) >= 3 AS keep_doc
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // Replays the stupid-backoff model end-to-end: unigram/bigram count
+    // tables from the held-out half, N and V scalars, seen-bigram ML
+    // ratio vs smoothed backoff floor, per-document mean. Bigram keys
+    // ride as 'w1 w2' strings (tokens cannot contain whitespace), which
+    // is the same join the Scala side does on the (w1, w2) pair.
+    "text_bigram_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), cn AS (
+        |  SELECT tk FROM d WHERE doc_id >= 150
+        |), sc AS (
+        |  SELECT doc_id, list_append(tk, 'oovtok' || doc_id) AS tk
+        |  FROM d WHERE doc_id < 150
+        |), uni AS (
+        |  SELECT w, count(*) AS cnt_u
+        |  FROM (SELECT unnest(tk) AS w FROM cn) GROUP BY w
+        |), tot AS (
+        |  SELECT sum(cnt_u)::DOUBLE AS n, count(*)::DOUBLE AS v FROM uni
+        |), bi AS (
+        |  SELECT bg, count(*) AS cnt_b
+        |  FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |    FROM cn WHERE len(tk) >= 2)
+        |  GROUP BY bg
+        |), spx AS (
+        |  SELECT doc_id, pr[1] AS w1, pr[2] AS w2, pr[3] AS bg
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |      i -> [tk[i], tk[i+1], tk[i] || ' ' || tk[i+1]])) AS pr
+        |    FROM sc WHERE len(tk) >= 2)
+        |), scored AS (
+        |  SELECT doc_id,
+        |    CASE WHEN b.cnt_b IS NOT NULL
+        |      THEN ln(b.cnt_b::DOUBLE) - ln(u1.cnt_u::DOUBLE)
+        |      ELSE ln(0.4) + ln(coalesce(u2.cnt_u, 0)::DOUBLE + 1.0)
+        |           - ln(t.n + t.v)
+        |    END AS lp
+        |  FROM spx
+        |  LEFT JOIN bi b USING (bg)
+        |  LEFT JOIN uni u1 ON spx.w1 = u1.w
+        |  LEFT JOIN uni u2 ON spx.w2 = u2.w
+        |  CROSS JOIN tot t
+        |)
+        |SELECT ids.doc_id, CAST(round(avg(s.lp), 6) AS DOUBLE) AS bigram_logprob
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 150) ids
+        |LEFT JOIN scored s USING (doc_id)
+        |GROUP BY ids.doc_id ORDER BY ids.doc_id""".stripMargin,
     "pipeline_curate" ->
       """WITH t AS (
         |  SELECT doc_id, source, lang, text,

@@ -201,4 +201,203 @@ object TextOps {
     val url = regexp_replace(email, "https?://[^\\s]+", "<URL>")
     regexp_replace(url, "[0-9][0-9 ()\\-]{6,}[0-9]", "<NUMBER>")
   }
+
+  /** Gopher stopword set (Rae et al. 2021, §A1.1: "contains at least
+    * two of the following English words: the, be, to, of, and, that,
+    * have, with" — public). Distinct words, not occurrences. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher document-quality rule set (Rae et al. 2021, table A1 —
+    * public), composed from [[qualityMetrics]]/[[repetitionMetrics]]
+    * signals plus the character-coverage n-gram stats
+    * ([[graft.functions.GramStats]]). Returns (metric, column) pairs —
+    * the measured value for each rule, so a pipeline can log WHY a
+    * document was dropped, not just that it was:
+    *
+    *   - `n_tokens` — word count (rule: 50..100,000)
+    *   - `avg_token_chars` — mean word length (rule: 3..10)
+    *   - `symbol_ratio` — (`#` + `...` occurrences) / words (rule: ≤ 0.1)
+    *   - `bullet_line_frac` — lines starting with a bullet (rule: ≤ 0.9)
+    *   - `ellipsis_line_frac` — lines ending in `...` (rule: ≤ 0.3)
+    *   - `alpha_word_frac` — words containing ≥1 alphabetic char
+    *     (rule: ≥ 0.8)
+    *   - `gopher_stopword_hits` — distinct hits in [[gopherStopwords]]
+    *     (rule: ≥ 2)
+    *   - `dup_line_frac` / `dup_line_char_frac` — from
+    *     [[repetitionMetrics]] (rules: ≤ 0.30 / ≤ 0.20)
+    *   - `top_2gram_char_frac` — most-repeated 2-gram char coverage
+    *     (rule: ≤ 0.20)
+    *   - `dup_5gram_char_frac` — repeated-5-gram char coverage
+    *     (rule: ≤ 0.15)
+    *
+    * Everything is row-local (zero shuffles at any scale); the n-gram
+    * stats run as single-pass native expressions. Ratio metrics follow
+    * the null-for-empty convention of [[qualityMetrics]]. */
+  def gopherMetrics(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    val nToks = size(t)
+    def ratio(num: Column) =
+      when(nToks > 0, round(num.cast(DoubleType) / nToks.cast(DoubleType), 6))
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    val nLines = size(lines)
+    def lineFrac(num: Column) =
+      when(nLines > 0, round(num.cast(DoubleType) / nLines.cast(DoubleType), 6))
+    val sumTokChars = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    val nSymbols =
+      size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+    val bulletLines =
+      size(filter(lines, l => l.rlike("^[\\-\\*•‣▪]")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    val alphaWords = size(filter(t, w => w.rlike("[a-z]")))
+    val stopHits =
+      size(filter(lit(gopherStopwords.toArray), sw => array_contains(t, sw)))
+    val rep = repetitionMetrics(text).toMap
+    Seq(
+      "n_tokens" -> nToks,
+      "avg_token_chars" ->
+        when(nToks > 0, round(sumTokChars.cast(DoubleType) / nToks.cast(DoubleType), 6)),
+      "symbol_ratio" -> ratio(nSymbols),
+      "bullet_line_frac" -> lineFrac(bulletLines),
+      "ellipsis_line_frac" -> lineFrac(ellipsisLines),
+      "alpha_word_frac" -> ratio(alphaWords),
+      "gopher_stopword_hits" -> stopHits,
+      "dup_line_frac" -> rep("dup_line_frac"),
+      "dup_line_char_frac" -> rep("dup_line_char_frac"),
+      "top_2gram_char_frac" ->
+        round(graft.functions.GramStats.topNGramCharFrac(text, 2), 6),
+      "dup_5gram_char_frac" ->
+        round(graft.functions.GramStats.dupNGramCharFrac(text, 5), 6))
+  }
+
+  /** Boolean keep/drop verdict under the Gopher thresholds (table A1).
+    * A null metric (empty/too-short document structure) fails only the
+    * rules whose null CAUSE is disqualifying — a token-free document
+    * already fails the word-count rule; a document with no lines
+    * trivially passes the line-shape rules (there are no bullet lines).
+    * Null-safe: every threshold comparison coalesces to its pass
+    * default before the conjunction, so the verdict is never null. */
+  def gopherKeep(text: Column): Column = {
+    val m = gopherMetrics(text).toMap
+    def atMost(c: Column, x: Double) = coalesce(c <= x, lit(true))
+    m("n_tokens").between(50, 100000) &&
+      coalesce(m("avg_token_chars").between(3.0, 10.0), lit(false)) &&
+      atMost(m("symbol_ratio"), 0.1) &&
+      atMost(m("bullet_line_frac"), 0.9) &&
+      atMost(m("ellipsis_line_frac"), 0.3) &&
+      coalesce(m("alpha_word_frac") >= 0.8, lit(false)) &&
+      m("gopher_stopword_hits") >= 2 &&
+      atMost(m("dup_line_frac"), 0.30) &&
+      atMost(m("dup_line_char_frac"), 0.20) &&
+      atMost(m("top_2gram_char_frac"), 0.20) &&
+      atMost(m("dup_5gram_char_frac"), 0.15)
+  }
+
+  /** C4-style page cleaning (Raffel et al. 2020, §2.2 — public): the
+    * line- and document-level heuristics that turned Common Crawl into
+    * C4, as row-local columns.
+    *
+    * Line level — a line survives iff it
+    *   - ends in terminal punctuation (`.`, `!`, `?`, or a closing
+    *     quote after one), AND
+    *   - has at least 5 words, AND
+    *   - does not mention "javascript" (the enable-JS boilerplate).
+    * Document level — the page is dropped iff
+    *   - it contains "lorem ipsum" (case-insensitive), OR
+    *   - it contains a curly brace (code), OR
+    *   - fewer than 3 sentences survive cleaning (sentence ≈ terminal
+    *     punctuation mark in the kept text).
+    *
+    * Returns (name, column) pairs: `clean_text` (kept lines re-joined
+    * with newlines), `n_lines`, `n_lines_kept`, `n_sentences`, and the
+    * document verdict `keep_doc`. Deliberately built from
+    * split/filter/join list primitives so a SQL oracle can mirror it
+    * exactly; every column is codegen'd and shuffle-free. */
+  def c4Clean(text: Column): Seq[(String, Column)] = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    val kept = filter(lines, l =>
+      l.rlike("[.!?][\"']?$") &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= 5 &&
+        !lower(l).contains("javascript"))
+    val cleanText = array_join(kept, "\n")
+    val nSentences = size(regexp_extract_all(cleanText, lit("[.!?]"), lit(0)))
+    val keepDoc = !lower(text).contains("lorem ipsum") &&
+      !text.contains("{") && nSentences >= 3
+    Seq(
+      "clean_text" -> cleanText,
+      "n_lines" -> size(lines),
+      "n_lines_kept" -> size(kept),
+      "n_sentences" -> nSentences,
+      "keep_doc" -> keepDoc)
+  }
+
+  /** Document fluency under a bigram language model with stupid
+    * backoff (Brants et al. 2007, "Large Language Models in Machine
+    * Translation", §4 — public): the cheap distributed-counting LM
+    * score pipelines use where a trained KenLM is overkill.
+    *
+    * Counts are estimated on `countDocs` and scored on `scoreDocs` —
+    * two DISTINCT corpora by contract (held-out counting is what gives
+    * backoff meaning; scoring the counting corpus would never back
+    * off, every bigram counts itself). Per adjacent token pair
+    * (w₁, w₂) of a scored document:
+    *
+    *   S(w₂|w₁) = count(w₁w₂) / count(w₁)        if the bigram was seen
+    *            = α · (count(w₂)+1) / (N+V)      otherwise
+    *
+    * with α = 0.4 (the paper's constant), N = total count-corpus
+    * tokens, V = vocabulary size. The backoff unigram is add-one
+    * smoothed so an out-of-vocabulary w₂ gets a finite floor instead
+    * of ln(0) — the score must rank junk, not crash on it. Stupid
+    * backoff is a SCORE, not a normalized probability (the paper's
+    * point) — which is exactly what a quality filter thresholds.
+    * Returns (idCol, bigram_logprob = mean over pairs of ln S);
+    * documents with <2 tokens score null.
+    *
+    * Scale shape: ONE explode+groupBy each for unigram and bigram
+    * counts over the count corpus; the score side joins its pairs to
+    * the bigram table WITHOUT a broadcast hint — at web scale the
+    * bigram table dwarfs any driver cap (it is quadratically richer
+    * than the vocabulary), so the join must be free to stay a shuffled
+    * hash join; AQE still broadcasts when counts are actually small.
+    * N and V are one scalar row riding a broadcast crossJoin. */
+  def bigramLogProb(
+      scoreDocs: DataFrame, countDocs: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+    def pairs(df: DataFrame, extra: Seq[Column]): DataFrame = {
+      val t = tokens(col(textCol))
+      df.select(extra :+ t.as("__t"): _*)
+        .where(size(col("__t")) >= 2)
+        .select(extra :+ explode(transform(
+          sequence(lit(1), size(col("__t")) - 1),
+          i => struct(
+            element_at(col("__t"), i).as("w1"),
+            element_at(col("__t"), i + 1).as("w2")))).as("__pr"): _*)
+        .select(extra ++ Seq(col("__pr.w1").as("w1"), col("__pr.w2").as("w2")): _*)
+    }
+    val cPairs = pairs(countDocs, Seq.empty)
+    val uni = countDocs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt_u"))
+    val bi = cPairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt_b"))
+    val totals = uni.agg(
+      sum("cnt_u").cast(DoubleType).as("__n"),
+      count(lit(1)).cast(DoubleType).as("__v"))
+    val sPairs = pairs(scoreDocs, Seq(col(idCol)))
+    val scored = sPairs
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("cnt_u").as("cnt_w1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("cnt_u").as("cnt_w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        when(col("cnt_b").isNotNull,
+          log(col("cnt_b").cast(DoubleType)) - log(col("cnt_w1").cast(DoubleType)))
+          .otherwise(
+            log(lit(alpha)) +
+              log(coalesce(col("cnt_w2"), lit(0L)).cast(DoubleType) + 1.0) -
+              log(col("__n") + col("__v")))
+          .as("lp"))
+    scoreDocs.select(col(idCol))
+      .join(scored.groupBy(idCol).agg(avg("lp").as("bigram_logprob")), Seq(idCol), "left")
+  }
 }

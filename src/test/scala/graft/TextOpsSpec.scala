@@ -101,6 +101,81 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L).isEmpty) // token-free doc → null, not 0
   }
 
+  test("gram char-coverage stats: hand-computed top and dup fractions") {
+    import graft.functions.GramStats._
+    // tokens a,b,a,b,c,d,c,d,e → 2-grams: "a b"×2, "b a", "b c",
+    // "c d"×2, "d c", "d e"; text length 17
+    val t = "a b a b c d c d e"
+    val r = one(t).select(
+      topNGramCharFrac(col("t"), 2).as("top"),
+      dupNGramCharFrac(col("t"), 2).as("dup")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 2.0 * 3 / 17) < 1e-12)
+    assert(math.abs(r.getDouble(1) - (6.0 + 6.0) / 17) < 1e-12)
+    // fewer than n tokens, or empty text → null (no grams to measure)
+    val nulls = one("solo").select(
+      topNGramCharFrac(col("t"), 2), dupNGramCharFrac(col("t"), 2)).collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    assert(one("").select(topNGramCharFrac(col("t"), 2)).collect()(0).isNullAt(0))
+  }
+
+  test("gopher rules: clean doc kept; spam shapes dropped for the right rule") {
+    val good = ((1 to 60).map(i => s"tok$i") ++ Seq("the", "of")).mkString(" ")
+    val spam = ((1 to 60).map(_ => "spam") ++ Seq("the", "of")).mkString(" ")
+    val symbols = good + " # # # # # # # #"
+    val short = "the of"
+    val df = Seq((1L, good), (2L, spam), (3L, symbols), (4L, short), (5L, ""))
+      .toDF("id", "t")
+    val keep = df.select(col("id"), TextOps.gopherKeep(col("t")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keep(1L))
+    assert(!keep(2L)) // top-2-gram char coverage way past 0.20
+    assert(!keep(3L)) // symbol ratio 8/70 > 0.1
+    assert(!keep(4L)) // word count < 50
+    assert(!keep(5L)) // empty: verdict is false, never null
+    val m = df.where(col("id") === 2)
+      .select(TextOps.gopherMetrics(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .collect()(0)
+    assert(m.getAs[Double]("top_2gram_char_frac") > 0.2)
+    assert(m.getAs[Int]("gopher_stopword_hits") == 2)
+  }
+
+  test("c4 cleaning: line rules and document verdict") {
+    val page = Seq(
+      "This is a good first sentence with plenty of words.",
+      "Too short here.",
+      "Please enable javascript to continue reading this page.",
+      "no terminal punctuation on this line at all",
+      "Another proper sentence follows the first one closely.",
+      "And a third full sentence completes the cleaned page!").mkString("\n")
+    val cols = TextOps.c4Clean(col("t")).map { case (n, c) => c.as(n) }
+    val r = one(page).select(cols: _*).collect()(0)
+    assert(r.getAs[Int]("n_lines") == 6)
+    assert(r.getAs[Int]("n_lines_kept") == 3)
+    assert(r.getAs[Int]("n_sentences") == 3)
+    assert(r.getAs[Boolean]("keep_doc"))
+    assert(!r.getAs[String]("clean_text").toLowerCase.contains("javascript"))
+    // lorem ipsum and curly braces kill the whole page
+    val lorem = one(page + "\nSome Lorem Ipsum filler appears down here somewhere.")
+      .select(cols: _*).collect()(0)
+    assert(!lorem.getAs[Boolean]("keep_doc"))
+    val code = one(page + "\nfunction f() { return 1; }").select(cols: _*).collect()(0)
+    assert(!code.getAs[Boolean]("keep_doc"))
+  }
+
+  test("bigram stupid backoff: seen bigrams score ML, unseen back off") {
+    val countDocs = Seq(Tuple1("a b a b")).toDF("t").withColumn("id", lit(0L))
+    val scoreDocs = Seq((1L, "a b x"), (2L, "a")).toDF("id", "t")
+    val got = TextOps.bigramLogProb(scoreDocs, countDocs, "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // counts: uni a=2 b=2 (N=4, V=2); bi (a,b)=2 (b,a)=1
+    // pair (a,b): seen → ln(2/2) = 0
+    // pair (b,x): unseen, x OOV → ln(0.4) + ln(0+1) - ln(4+2)
+    val want = (0.0 + (math.log(0.4) - math.log(6.0))) / 2.0
+    assert(math.abs(got(1L).get - want) < 1e-12)
+    assert(got(2L).isEmpty) // single-token doc: no pairs → null
+  }
+
   test("min-k fingerprint: near-dup docs share most sketch elements") {
     val a = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
     val b = a.replace("today", "tonight")
