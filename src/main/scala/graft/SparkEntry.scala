@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Contamination, Dedup, HeavyHitters, Multimodal, Pipeline, Reductions, Similarity, TextOps}
+import graft.operators.{Apply, AsofJoin, Contamination, Dedup, HeavyHitters, Multimodal, Pipeline, Quantization, Reductions, Similarity, TextOps}
 import graft.sources.{CsvOptions, CsvReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -891,6 +891,38 @@ object SparkEntry {
         .groupBy("cell")
         .agg(count(lit(1)).as("n"), sum("vec_id").as("sum_ids"))
         .orderBy("cell")
+    }),
+    // Product quantization (Jégou et al. 2011): train 2 subspace
+    // codebooks of 4 codes (deterministic L2 Lloyd, joint single-
+    // shuffle training), encode every vector to its (sub, code) pair.
+    // The oracle REPLAYS training + encoding in SQL — per-(sub, code)
+    // counts and member-id sums break on any single reassignment.
+    "embed_pq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cb = Quantization.pqTrain(emb, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+      Quantization.pqEncode(emb, "vec_id", "embedding", cb)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .groupBy("sub", "code")
+        .agg(count(lit(1)).as("n"), sum("vec_id").as("sum_ids"))
+        .orderBy("sub", "code")
+    }),
+    // ADC search over PQ codes: codebooks trained on the corpus side
+    // only (the index exists before queries arrive), exact queries
+    // score candidates via per-subspace lookup tables, ranking rides
+    // the k-bounded TopKAgg partial aggregate. The oracle replays
+    // train → encode → ADC distance → rank end-to-end.
+    "simsearch_pq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = emb.where(col("vec_id") >= 5)
+      val cb = Quantization.pqTrain(corpus, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+      val codes = Quantization.pqEncode(corpus, "vec_id", "embedding", cb)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Quantization.adcTopK(queries, "query_id", "embedding",
+          codes, "vec_id", "codes", cb, k = 10)
+        .select(col("query_id"), col("vec_id").as("corpus_id"), col("rank"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
     }),
     // Bucketed range join: ship-date-in-order-window as a hash
     // equi-join on 4-day buckets — never the BroadcastNestedLoopJoin a
@@ -2138,6 +2170,129 @@ object SparkEntry {
         |SELECT CAST(cell AS INTEGER) AS cell, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
         |FROM a1 GROUP BY cell ORDER BY cell""".stripMargin,
+    // Replays PQ training + encoding: per-subspace seeds from the 4
+    // smallest ids, argmin-L2 assignment (ties to the lowest code —
+    // list_distance is the monotone sqrt of the Scala side's squared
+    // L2), round-9 centroid means, empty codes keep seeds, then the
+    // final per-(sub, code) membership census.
+    "embed_pq" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), sub AS (
+        |  SELECT vec_id, v[1:32] AS s0, v[33:64] AS s1 FROM emb
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+        |    list_transform(s0, x -> round(x, 9)) AS c0,
+        |    list_transform(s1, x -> round(x, 9)) AS c1
+        |  FROM sub ORDER BY vec_id LIMIT 4
+        |), a0 AS (
+        |  SELECT vec_id, s0, s1,
+        |    (SELECT s.code FROM seeds s
+        |      ORDER BY list_distance(sub.s0, s.c0), s.code LIMIT 1) AS k0,
+        |    (SELECT s.code FROM seeds s
+        |      ORDER BY list_distance(sub.s1, s.c1), s.code LIMIT 1) AS k1
+        |  FROM sub
+        |), m0 AS (
+        |  SELECT code, dim, round(sum(x) / count(*), 9) AS mx
+        |  FROM (SELECT k0 AS code, generate_subscripts(s0, 1) AS dim,
+        |          unnest(s0) AS x FROM a0)
+        |  GROUP BY code, dim
+        |), n0 AS (
+        |  SELECT code, list(mx ORDER BY dim) AS c FROM m0 GROUP BY code
+        |), m1 AS (
+        |  SELECT code, dim, round(sum(x) / count(*), 9) AS mx
+        |  FROM (SELECT k1 AS code, generate_subscripts(s1, 1) AS dim,
+        |          unnest(s1) AS x FROM a0)
+        |  GROUP BY code, dim
+        |), n1 AS (
+        |  SELECT code, list(mx ORDER BY dim) AS c FROM m1 GROUP BY code
+        |), cent AS (
+        |  SELECT s.code, coalesce(n0.c, s.c0) AS c0, coalesce(n1.c, s.c1) AS c1
+        |  FROM seeds s
+        |  LEFT JOIN n0 ON s.code = n0.code
+        |  LEFT JOIN n1 ON s.code = n1.code
+        |), enc AS (
+        |  SELECT vec_id,
+        |    (SELECT c.code FROM cent c
+        |      ORDER BY list_distance(sub.s0, c.c0), c.code LIMIT 1) AS k0,
+        |    (SELECT c.code FROM cent c
+        |      ORDER BY list_distance(sub.s1, c.c1), c.code LIMIT 1) AS k1
+        |  FROM sub
+        |), x AS (
+        |  SELECT vec_id, 0 AS sub, k0 AS code FROM enc
+        |  UNION ALL
+        |  SELECT vec_id, 1 AS sub, k1 AS code FROM enc
+        |)
+        |SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(vec_id) AS BIGINT) AS sum_ids
+        |FROM x GROUP BY sub, code ORDER BY sub, code""".stripMargin,
+    // Same codebook replay (trained on the corpus side only), then the
+    // asymmetric distance: exact query subvector to each candidate's
+    // reconstructed code centroid, per-query dense rank on (dist, id).
+    "simsearch_pq" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), sub AS (
+        |  SELECT vec_id, v[1:32] AS s0, v[33:64] AS s1 FROM emb
+        |  WHERE vec_id >= 5
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+        |    list_transform(s0, x -> round(x, 9)) AS c0,
+        |    list_transform(s1, x -> round(x, 9)) AS c1
+        |  FROM sub ORDER BY vec_id LIMIT 4
+        |), a0 AS (
+        |  SELECT vec_id, s0, s1,
+        |    (SELECT s.code FROM seeds s
+        |      ORDER BY list_distance(sub.s0, s.c0), s.code LIMIT 1) AS k0,
+        |    (SELECT s.code FROM seeds s
+        |      ORDER BY list_distance(sub.s1, s.c1), s.code LIMIT 1) AS k1
+        |  FROM sub
+        |), m0 AS (
+        |  SELECT code, dim, round(sum(x) / count(*), 9) AS mx
+        |  FROM (SELECT k0 AS code, generate_subscripts(s0, 1) AS dim,
+        |          unnest(s0) AS x FROM a0)
+        |  GROUP BY code, dim
+        |), n0 AS (
+        |  SELECT code, list(mx ORDER BY dim) AS c FROM m0 GROUP BY code
+        |), m1 AS (
+        |  SELECT code, dim, round(sum(x) / count(*), 9) AS mx
+        |  FROM (SELECT k1 AS code, generate_subscripts(s1, 1) AS dim,
+        |          unnest(s1) AS x FROM a0)
+        |  GROUP BY code, dim
+        |), n1 AS (
+        |  SELECT code, list(mx ORDER BY dim) AS c FROM m1 GROUP BY code
+        |), cent AS (
+        |  SELECT s.code, coalesce(n0.c, s.c0) AS c0, coalesce(n1.c, s.c1) AS c1
+        |  FROM seeds s
+        |  LEFT JOIN n0 ON s.code = n0.code
+        |  LEFT JOIN n1 ON s.code = n1.code
+        |), enc AS (
+        |  SELECT vec_id,
+        |    (SELECT c.code FROM cent c
+        |      ORDER BY list_distance(sub.s0, c.c0), c.code LIMIT 1) AS k0,
+        |    (SELECT c.code FROM cent c
+        |      ORDER BY list_distance(sub.s1, c.c1), c.code LIMIT 1) AS k1
+        |  FROM sub
+        |), q AS (
+        |  SELECT vec_id AS query_id, v[1:32] AS q0, v[33:64] AS q1
+        |  FROM emb WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id AS corpus_id,
+        |    power(list_distance(q.q0, ca.c0), 2) +
+        |    power(list_distance(q.q1, cb.c1), 2) AS dist
+        |  FROM q
+        |  CROSS JOIN enc e
+        |  JOIN cent ca ON e.k0 = ca.code
+        |  JOIN cent cb ON e.k1 = cb.code
+        |), r AS (
+        |  SELECT query_id, corpus_id, dist,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY dist, corpus_id) AS rk
+        |  FROM scored
+        |)
+        |SELECT query_id, corpus_id, CAST(rk AS INTEGER) AS rank,
+        |  CAST(round(dist, 4) AS DOUBLE) AS dist
+        |FROM r WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
     "simsearch_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

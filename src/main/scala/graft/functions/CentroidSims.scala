@@ -29,10 +29,13 @@ import org.apache.spark.sql.types._
   * dimension mismatch → null sim for that cell (data error, not a
   * number), zero norm → 0.0.
   */
-case class CentroidSims(child: Expression, cents: Array[Array[Double]])
+case class CentroidSims(child: Expression, cents: Array[Array[Double]],
+    metric: String = "cosine")
     extends UnaryExpression {
 
-  override def prettyName: String = "centroid_sims"
+  require(metric == "cosine" || metric == "l2sq", s"unknown metric: $metric")
+
+  override def prettyName: String = s"centroid_${if (metric == "cosine") "sims" else "dists_sq"}"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def nullable: Boolean = true
 
@@ -73,7 +76,15 @@ case class CentroidSims(child: Expression, cents: Array[Array[Double]])
       while (c < cents.length) {
         val cv = cents(c)
         if (cv.length != n) { out(c) = null }
-        else {
+        else if (metric == "l2sq") {
+          // squared L2, sequential 0..n-1 accumulation (PQ's ADC /
+          // codebook-assignment distance; no sqrt — argmin and additive
+          // lookup tables only ever need the square)
+          var acc = 0.0
+          var j = 0
+          while (j < n) { val d = v(j) - cv(j); acc += d * d; j += 1 }
+          out(c) = acc
+        } else {
           var dot = 0.0
           var j = 0
           while (j < n) { dot += v(j) * cv(j); j += 1 }
@@ -99,13 +110,13 @@ case class CentroidSims(child: Expression, cents: Array[Array[Double]])
   // IVF plan) semantically unequal — defeating subexpression
   // elimination and plan/exchange reuse. Compare the matrix by value.
   override def equals(o: Any): Boolean = o match {
-    case c: CentroidSims => child == c.child &&
+    case c: CentroidSims => child == c.child && metric == c.metric &&
       java.util.Arrays.deepEquals(
         cents.asInstanceOf[Array[AnyRef]], c.cents.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   override def hashCode(): Int =
-    31 * child.hashCode() +
+    31 * (31 * child.hashCode() + metric.hashCode) +
       java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])
 
   override protected def withNewChildInternal(newChild: Expression): CentroidSims =
@@ -118,4 +129,10 @@ object CentroidSims {
   def centroidSims(vec: Column, cents: Array[Array[Double]]): Column =
     GraftColumnBridge.column(
       CentroidSims(GraftColumnBridge.expression(vec), cents))
+
+  /** Squared-L2 distance of `vec` to each centroid — the PQ codebook
+    * assignment / ADC kernel. Input must be `array<double>`. */
+  def centroidDistsSq(vec: Column, cents: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(
+      CentroidSims(GraftColumnBridge.expression(vec), cents, "l2sq"))
 }

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.CentroidSims
+
+/** Product quantization of embedding columns (Jégou, Douze, Schmid
+  * 2011, "Product Quantization for Nearest Neighbor Search", IEEE
+  * TPAMI — public): split each d-dim vector into `m` subvectors,
+  * vector-quantize each subspace against its own k-entry codebook, and
+  * store `m` small integer codes instead of `d` floats — a 64-dim
+  * float vector becomes 4–8 bytes. Queries stay exact on their side
+  * and score codes via additive lookup tables (asymmetric distance
+  * computation, ADC).
+  *
+  * Why this matters at 100 TB: the embedding column IS the storage and
+  * shuffle cost of a vector corpus. PQ codes cut both by ~30× while
+  * keeping distances approximately rankable, and the ADC scan does
+  * `m` table lookups per candidate instead of `d` multiplies.
+  *
+  * Everything is deterministic end-to-end (id-ordered seeds, argmin
+  * ties to the lowest code, centroid means rounded to `centRound`
+  * decimals — the same bit-reproducibility contract as
+  * [[Similarity.kmeansAssign]]), so a SQL oracle can replay training,
+  * encoding, and ADC scoring exactly.
+  *
+  * Scale shape: training runs ALL `m` subspace k-means jointly — per
+  * Lloyd round, ONE row-local assign scan and ONE grouped vector-sum
+  * shuffle keyed (subspace, code) carrying `m × k × partitions`
+  * subvector arrays (the same bytes a single full-vector k-means
+  * shuffles, never rows × dim exploded doubles). Encoding and query
+  * lookup tables are row-local codegen'd [[CentroidSims]] nodes
+  * holding each codebook as ONE reference object, not plan literals.
+  */
+object Quantization {
+
+  import Similarity.asDoubleVec
+
+  /** Subvector `s` (0-based) of an `array<double>` column split into
+    * `m` equal parts of `subDim` elements. */
+  private def subvec(vec: Column, subDim: Int, s: Int): Column =
+    slice(vec, s * subDim + 1, subDim)
+
+  /** Argmin over an ALIASED dists column; first (lowest) code wins
+    * ties — deterministic, and the alias keeps the k×subDim distance
+    * array from being computed twice (array_position + array_min). */
+  private def argminCode(distsCol: Column): Column =
+    (array_position(distsCol, array_min(distsCol)) - 1).cast("int")
+
+  private def roundTo(d: Int)(x: Double): Double =
+    BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Train `m` per-subspace codebooks of `k` entries each over the
+    * vector column — deterministic Lloyd iterations, squared-L2
+    * assignment. Returns `codebooks(sub)(code)` = subDim-dim centroid.
+    *
+    * Seeds are the subvectors of the `k` smallest ids; empty codes
+    * keep their previous centroid; means are rounded to `centRound`
+    * decimals so the trained model is bit-reproducible across engines
+    * and partition orders. Null vectors are excluded from training. */
+  def pqTrain(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int = 1, centRound: Int = 9): Array[Array[Array[Double]]] = {
+    require(m > 0 && k > 0 && iters >= 0)
+    val seedRows = df.where(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).limit(k)
+      .select(asDoubleVec(col(vecCol)))
+      .collect()
+      .map(_.getSeq[Double](0).toArray.map(roundTo(centRound)))
+    require(seedRows.nonEmpty, "pqTrain: empty input")
+    val dim = seedRows(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val seeds: Array[Array[Array[Double]]] =
+      Array.tabulate(m, seedRows.length)((s, c) =>
+        seedRows(c).slice(s * subDim, (s + 1) * subDim))
+
+    val vecSum = graft.functions.VecSumAgg.vecSum
+    (1 to iters).foldLeft(seeds) { (cbs, _) =>
+      // one scan: per subspace, (sub, argmin code, subvector) entries;
+      // the explode multiplies rows by m but splits each row's bytes m
+      // ways — total shuffle volume equals one full-vector k-means
+      val base = df.select(asDoubleVec(col(vecCol)).as("__v"))
+        .where(col("__v").isNotNull)
+        .select(col("__v") +: (0 until m).map(s =>
+          CentroidSims.centroidDistsSq(subvec(col("__v"), subDim, s), cbs(s))
+            .as(s"__d$s")): _*)
+      val entries = (0 until m).map { s =>
+        struct(lit(s).as("sub"), argminCode(col(s"__d$s")).as("code"),
+          subvec(col("__v"), subDim, s).as("sv"))
+      }
+      val means = base
+        .select(explode(array(entries: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.code").as("code"), col("e.sv").as("sv"))
+        .groupBy("sub", "code")
+        .agg(vecSum(col("sv")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("sub"), col("code"),
+          transform(col("__s"), x => round(x / col("__n"), centRound)).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      Array.tabulate(m, cbs(0).length)((s, c) => means.getOrElse((s, c), cbs(s)(c)))
+    }
+  }
+
+  /** PQ code array (`array<int>` of length m) for a vector column —
+    * row-local, one codegen'd distance node per subspace. */
+  def pqEncodeCol(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
+    val v = asDoubleVec(vec)
+    array((0 until m).map { s =>
+      val d = CentroidSims.centroidDistsSq(subvec(v, subDim, s), codebooks(s))
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** (id, codes) encoding of a vector corpus. Null vectors get a null
+    * code array (no nearest code exists for a missing vector). */
+  def pqEncode(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(idCol),
+      when(col(vecCol).isNotNull, pqEncodeCol(col(vecCol), codebooks)).as("codes"))
+
+  /** ADC top-k: exact query vectors against PQ-coded corpus rows.
+    * Per query, ONE row-local pass builds the m×k lookup table of
+    * subspace distances (query subvector → every codebook entry);
+    * each candidate's distance is then `m` array lookups summed —
+    * no per-candidate vector math at all.
+    *
+    * Queries are the broadcast side by contract (the same contract as
+    * [[Similarity.bruteForceTopK]], whose exact scan this replaces at
+    * 30× less memory traffic); ranking rides the k-bounded
+    * [[graft.functions.TopKAgg]] partial aggregate on negated distance
+    * (≤ k candidates per query leave each map task — never a
+    * per-query window funnel). Corpus ids must be integral (the
+    * TopKAgg id contract). Ties break to the lower corpus id.
+    * Returns (qId, cId, rank, dist) with dist = summed squared L2. */
+  def adcTopK(
+      queries: DataFrame, qId: String, qVec: String,
+      codes: DataFrame, cId: String, codesCol: String,
+      codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    require(k > 0)
+    val m = codebooks.length
+    val nCodes = codebooks(0).length
+    val subDim = codebooks(0)(0).length
+    val qv = asDoubleVec(col(qVec))
+    val lut = flatten(array((0 until m).map(s =>
+      CentroidSims.centroidDistsSq(subvec(qv, subDim, s), codebooks(s))): _*))
+    val q = queries.select(col(qId), lut.as("__lut"))
+    val dist = aggregate(
+      zip_with(col(codesCol), sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(col("__lut"), s * nCodes + c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = codes.where(col(codesCol).isNotNull)
+      .crossJoin(broadcast(q))
+      .select(col(qId), col(cId), dist.as("__dist"))
+      .where(col("__dist").isNotNull)
+    val topk = graft.functions.TopKAgg.topK(k)
+    scored
+      .groupBy(col(qId))
+      .agg(topk(negate(col("__dist")), col(cId).cast("long")).as("top"))
+      .select(col(qId), posexplode(col("top")).as(Seq("rank0", "s")))
+      .select(col(qId), col("s.id").as(cId),
+        (col("rank0") + 1).as("rank"), negate(col("s.sim")).as("dist"))
+  }
+}

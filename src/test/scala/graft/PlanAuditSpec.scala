@@ -162,6 +162,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("pq: encode is row-local; ADC ranking is k-bounded, no window, no shuffle join") {
+    val p = plan("simsearch_pq")
+    assert(!p.contains("Window"), p)
+    // queries (lookup tables) ride a broadcast; the corpus side never
+    // shuffles for the scoring join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // TopKAgg partial+final pair bounds what leaves each map task
+    assert(nodes(p, "ObjectHashAggregate") >= 2, p)
+    // embed_pq: codes are computed row-local — the only exchange in the
+    // plan is the census groupBy's
+    val pe = plan("embed_pq")
+    assert(nodes(pe, "Exchange") <= 2, pe)
+  }
+
   test("exactByHashById: the dedup-decision exchanges are slim — no payload") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = graft.operators.Dedup.exactByHashById(docs, "text", "doc_id")

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quantization
+
+class QuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // dim 4, m=2 → subspaces [0:2] and [2:4]; crafted so each half has
+  // two well-separated clusters
+  private val vecs = Seq(
+    (0L, Seq(0.0, 0.0, 10.0, 10.0)),
+    (1L, Seq(0.2, 0.0, 10.0, 10.2)),
+    (2L, Seq(5.0, 5.0, 0.0, 0.0)),
+    (3L, Seq(5.2, 5.0, 0.0, 0.2)))
+  private def df = vecs.toDF("id", "v")
+
+  test("pqTrain: hand-computed Lloyd round, empty codes keep seeds") {
+    val cb = Quantization.pqTrain(df, "id", "v", m = 2, k = 2, iters = 1)
+    assert(cb.length == 2 && cb(0).length == 2 && cb(0)(0).length == 2)
+    // seeds (ids 0,1) sub0: [0,0] and [0.2,0]. Assignment: v0→code0,
+    // v1,v2,v3→code1 (v2 [5,5]: d=50 vs 48.04; v3 [5.2,5]: 52.04 vs 50)
+    assert(cb(0)(0).toSeq == Seq(0.0, 0.0))
+    assert(cb(0)(1).toSeq == Seq(
+      BigDecimal((0.2 + 5.0 + 5.2) / 3).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(10.0 / 3).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // sub1 seeds: [10,10], [10,10.2]; v0→code0, v1→code1, v2/v3:
+    // d0 = 200 vs d1 = 100+104.04 → v2→code0? no: [0,0] to [10,10] is
+    // 200, to [10,10.2] is 204.04 → code0; v3 [0,0.2]: 196.04 vs 200 → code0
+    assert(cb(1)(0).toSeq == Seq(10.0 / 3, (10.0 + 0.0 + 0.2) / 3).map(x =>
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(cb(1)(1).toSeq == Seq(10.0, 10.2))
+  }
+
+  test("pqEncode: codes are the argmin cells; null vector → null codes") {
+    val cb = Quantization.pqTrain(df, "id", "v", m = 2, k = 2, iters = 1)
+    val withNull = df.union(Seq((9L, null.asInstanceOf[Seq[Double]])).toDF("id", "v"))
+    val codes = Quantization.pqEncode(withNull, "id", "v", cb)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+    // v0 sub1 [10,10]: updated cb(1)(0) ≈ [3.33,3.4] is now far; the
+    // untouched seed cb(1)(1) = [10,10.2] wins → code 1
+    assert(codes(0L) == Seq(0, 1))
+    assert(codes(2L) == Seq(1, 0))
+    assert(codes(9L) == null)
+  }
+
+  test("adcTopK: distances are codebook lookups, ranks ascending, ties to low id") {
+    val cb = Quantization.pqTrain(df, "id", "v", m = 2, k = 2, iters = 1)
+    val codes = Quantization.pqEncode(df, "id", "v", cb)
+    val queries = df.select(col("id").as("qid"), col("v"))
+    val got = Quantization.adcTopK(queries, "qid", "v", codes, "id", "codes", cb, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // expected ADC dist for (q=0, c=2): c2's codes are (1,0);
+    // dist = |q_sub0 - cb[0][1]|² + |q_sub1 - cb[1][0]|²
+    def l2sq(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = l2sq(Seq(0.0, 0.0), cb(0)(1).toSeq) + l2sq(Seq(10.0, 10.0), cb(1)(0).toSeq)
+    val d02 = got.collect { case (0L, 2L, _, d) => d }.head
+    assert(math.abs(d02 - want) < 1e-12)
+    // per query: 4 ranked rows, distances nondecreasing with rank
+    for (q <- 0L to 3L) {
+      val rows = got.filter(_._1 == q).sortBy(_._3)
+      assert(rows.length == 4)
+      assert(rows.map(_._4).sliding(2).forall(p => p.head <= p.last))
+    }
+    // q=0 and c∈{0,1} share codes (0,0) → identical dists; tie → lower id first
+    val q0 = got.filter(_._1 == 0L).sortBy(_._3)
+    assert(q0(0)._4 == q0(1)._4 && q0(0)._2 < q0(1)._2)
+  }
+}
