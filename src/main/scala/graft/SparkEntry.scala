@@ -924,6 +924,22 @@ object SparkEntry {
           round(col("dist"), 4).as("dist"))
         .orderBy("query_id", "rank")
     }),
+    // Row-wise absmax int8 quantization: codes + per-row scale are pure
+    // row-local expressions (no aggregate anywhere); the gate checks
+    // the exact code bytes (via their sum), the scale, and that the
+    // reconstruction stays cosine-faithful to the original.
+    "embed_int8" -> ((s, dir) => {
+      val enc = Quantization.int8Encode(col("embedding")).map { case (n, c) => c.as(n) }
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id") +: col("embedding") +: enc: _*)
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x.cast("long")).as("sum_codes"),
+          round(col("scale"), 9).as("scale"),
+          round(graft.functions.CosineSimilarity.cosineSim(
+            Similarity.asDoubleVec(col("embedding")),
+            Quantization.int8Decode(col("codes"), col("scale"))), 6).as("cos_sim"))
+        .orderBy("vec_id")
+    }),
     // Bucketed range join: ship-date-in-order-window as a hash
     // equi-join on 4-day buckets — never the BroadcastNestedLoopJoin a
     // bare BETWEEN predicate compiles to (PlanAuditSpec pins this).
@@ -1204,6 +1220,19 @@ object SparkEntry {
       TextOps.bigramLogProb(
           scored, docs.where(col("doc_id") >= 150), "doc_id", "text")
         .select(col("doc_id"), round(col("bigram_logprob"), 6).as("bigram_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // Okapi BM25 against a fixed keyword query. The scale story IS the
+    // gate: term frequencies and doc length are row-local array math,
+    // the only distributed step is one corpus-stats aggregate (N,
+    // avgdl, per-term document frequencies in a single row) broadcast
+    // back — two jobs at any corpus size, no explode, no per-term join.
+    "text_bm25" -> ((s, dir) => {
+      TextOps.bm25Score(
+          tbl(s, dir, "documents").where(col("doc_id") < 200),
+          "doc_id", "text", Seq("spark", "join", "window"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
         .orderBy("doc_id")
     }),
 
@@ -2226,6 +2255,29 @@ object SparkEntry {
         |SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(vec_id) AS BIGINT) AS sum_ids
         |FROM x GROUP BY sub, code ORDER BY sub, code""".stripMargin,
+    // Mirrors the absmax scheme arithmetic exactly: scale = max|x|/127,
+    // codes = floor(x/scale + 0.5) (explicit half-up — round() half
+    // conventions differ across engines, floor(x+0.5) does not),
+    // reconstruction = code · scale.
+    "embed_int8" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+        |  FROM emb
+        |), c AS (
+        |  SELECT vec_id, v, sc,
+        |    CASE WHEN sc > 0 THEN list_transform(v, x -> floor(x / sc + 0.5))
+        |         ELSE list_transform(v, x -> 0.0) END AS codes
+        |  FROM s
+        |)
+        |SELECT vec_id,
+        |  CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+        |  CAST(round(sc, 9) AS DOUBLE) AS scale,
+        |  CAST(round(list_cosine_similarity(v,
+        |    list_transform(codes, x -> x * sc)), 6) AS DOUBLE) AS cos_sim
+        |FROM c ORDER BY vec_id""".stripMargin,
     // Same codebook replay (trained on the corpus side only), then the
     // asymmetric distance: exact query subvector to each candidate's
     // reconstructed code centroid, per-query dense rank on (dist, id).
@@ -2657,6 +2709,40 @@ object SparkEntry {
         |  NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{')
         |    AND len(regexp_extract_all(clean_text, '[.!?]')) >= 3 AS keep_doc
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Replays BM25 with the same association order (left-assoc products,
+    // (1-b) + (b·dl)/avgdl) so the doubles match before the round-6;
+    // avgdl = exact-integer sum / exact-integer count on both sides.
+    "text_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> len(x) > 0) AS tk
+        |  FROM documents WHERE doc_id < 200
+        |), st AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |    sum(len(tk))::DOUBLE / count(*) AS avgdl,
+        |    sum(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+        |    sum(CASE WHEN list_contains(tk, 'join') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |    sum(CASE WHEN list_contains(tk, 'window') THEN 1 ELSE 0 END)::DOUBLE AS df2
+        |  FROM t
+        |), f AS (
+        |  SELECT doc_id, len(tk)::DOUBLE AS dl,
+        |    len(list_filter(tk, x -> x = 'spark'))::DOUBLE AS f0,
+        |    len(list_filter(tk, x -> x = 'join'))::DOUBLE AS f1,
+        |    len(list_filter(tk, x -> x = 'window'))::DOUBLE AS f2
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(round(
+        |  (CASE WHEN f0 > 0 THEN ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+        |     * f0 * 2.2 / (f0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |   ELSE 0.0 END) +
+        |  (CASE WHEN f1 > 0 THEN ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+        |     * f1 * 2.2 / (f1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |   ELSE 0.0 END) +
+        |  (CASE WHEN f2 > 0 THEN ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+        |     * f2 * 2.2 / (f2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |   ELSE 0.0 END), 6) AS DOUBLE) AS bm25
+        |FROM f CROSS JOIN st ORDER BY doc_id""".stripMargin,
     // Replays the stupid-backoff model end-to-end: unigram/bigram count
     // tables from the held-out half, N and V scalars, seen-bigram ML
     // ratio vs smoothed backoff floor, per-document mean. Bigram keys

@@ -331,6 +331,51 @@ object TextOps {
       "keep_doc" -> keepDoc)
   }
 
+  /** Okapi BM25 relevance of each document to a FIXED keyword query
+    * (Robertson & Spärck Jones; the BM25 form with the Lucene-style
+    * `+1` inside the idf log so scores stay positive — public):
+    *
+    *   score(D, Q) = Σ_t idf(t) · f(t,D)·(k1+1) /
+    *                       (f(t,D) + k1·(1 − b + b·|D|/avgdl))
+    *   idf(t) = ln((N − df(t) + 0.5) / (df(t) + 0.5) + 1)
+    *
+    * Scale shape — the part worth copying: because the query term set
+    * is small and fixed, term frequencies f(t,D) and document length
+    * |D| are computed ROW-LOCALLY from the token array (no explode, no
+    * per-term shuffle at all). The only distributed work is ONE tiny
+    * corpus-stats aggregate (N, avgdl, and df per query term as |Q|
+    * conditional counts in the same row), broadcast back onto the
+    * scan. Two jobs total at any corpus size; the classic
+    * explode→join formulation shuffles rows×terms. avgdl divides two
+    * exactly-representable integers, so it is bit-identical across
+    * engines and partition orders. */
+  def bm25Score(
+      docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Score: empty query")
+    require(queryTerms.distinct == queryTerms, "bm25Score: duplicate query terms")
+    val withToks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val dfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("__t"), t), 1L).otherwise(0L)).as(s"__df$i")
+    }
+    val statCols = Seq(
+      count(lit(1)).cast(DoubleType).as("__n"),
+      (sum(size(col("__t"))).cast(DoubleType) / count(lit(1))).as("__avgdl")) ++ dfCols
+    val stats = withToks.agg(statCols.head, statCols.tail: _*)
+    val dl = size(col("__t")).cast(DoubleType)
+    val perTerm = queryTerms.zipWithIndex.map { case (t, i) =>
+      val f = size(filter(col("__t"), x => x === t)).cast(DoubleType)
+      val idf = log((col("__n") - col(s"__df$i") + 0.5) / (col(s"__df$i") + 0.5) + 1.0)
+      when(f > 0,
+        idf * f * lit(k1 + 1.0) /
+          (f + lit(k1) * (lit(1.0 - b) + lit(b) * dl / col("__avgdl"))))
+        .otherwise(0.0)
+    }
+    withToks
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), perTerm.reduce(_ + _).as("bm25"))
+  }
+
   /** Document fluency under a bigram language model with stupid
     * backoff (Brants et al. 2007, "Large Language Models in Machine
     * Translation", §4 — public): the cheap distributed-counting LM

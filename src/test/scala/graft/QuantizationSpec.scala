@@ -46,6 +46,27 @@ class QuantizationSpec extends SparkSpec {
     assert(codes(9L) == null)
   }
 
+  test("int8: half-up codes, zero-vector safety, near-lossless cosine") {
+    import graft.operators.Quantization.{int8Encode, int8Decode}
+    val df2 = Seq(
+      (1L, Seq(1.0, -0.5, 0.25, 0.0)),
+      (2L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("id", "v")
+    val enc = int8Encode(col("v")).map { case (n, c) => c.as(n) }
+    val r = df2.select(col("id") +: col("v") +: enc: _*)
+      .select(col("id"), col("codes"), col("scale"),
+        graft.functions.CosineSimilarity.cosineSim(
+          col("v").cast("array<double>"),
+          int8Decode(col("codes"), col("scale"))).as("cos"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // scale = 1/127; codes = floor(x*127 + 0.5)
+    assert(r(1L).getSeq[Byte](1) == Seq[Byte](127, -63, 32, 0))
+    assert(math.abs(r(1L).getDouble(2) - 1.0 / 127) < 1e-15)
+    assert(r(1L).getDouble(3) > 0.9999)
+    // all-zero vector: scale 0, all-zero codes, decode is exact zeros
+    assert(r(2L).getSeq[Byte](1) == Seq[Byte](0, 0, 0, 0))
+    assert(r(2L).getDouble(2) == 0.0)
+  }
+
   test("adcTopK: distances are codebook lookups, ranks ascending, ties to low id") {
     val cb = Quantization.pqTrain(df, "id", "v", m = 2, k = 2, iters = 1)
     val codes = Quantization.pqEncode(df, "id", "v", cb)

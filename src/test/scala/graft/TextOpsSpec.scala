@@ -176,6 +176,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L).isEmpty) // single-token doc: no pairs → null
   }
 
+  test("bm25: hand-computed scores, absent terms contribute zero") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c d")).toDF("id", "t")
+    val got = TextOps.bm25Score(docs, "id", "t", Seq("a", "c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, avgdl=8/3, df(a)=1, df(c)=2
+    val n = 3.0; val avgdl = 8.0 / 3
+    val idfA = math.log((n - 1 + 0.5) / 1.5 + 1)
+    val idfC = math.log((n - 2 + 0.5) / 2.5 + 1)
+    def term(idf: Double, f: Double, dl: Double) =
+      if (f > 0) idf * f * 2.2 / (f + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) else 0.0
+    assert(math.abs(got(1L) - term(idfA, 2, 3)) < 1e-12) // only 'a' hits
+    assert(math.abs(got(2L) - term(idfC, 1, 2)) < 1e-12)
+    assert(math.abs(got(3L) - term(idfC, 2, 3)) < 1e-12)
+  }
+
   test("min-k fingerprint: near-dup docs share most sketch elements") {
     val a = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
     val b = a.replace("today", "tonight")
