@@ -385,6 +385,36 @@ final class GraftFrame(val df: DataFrame) {
     new GraftFrame(df.select(col("*") +: named.map { case (n, c) => c.as(n) }: _*))
   }
 
+  /** Append the Gopher quality-rule metric columns plus the composed
+    * `gopher_keep` verdict (row-local; [[graft.operators.TextOps.gopherMetrics]]). */
+  def with_gopher_quality(textCol: String): GraftFrame = {
+    val named = TextOps.gopherMetrics(col(textCol)) :+
+      ("gopher_keep" -> TextOps.gopherKeep(col(textCol)))
+    graft.operators.OpUtil.requireNoColumns(df, named.map(_._1).toSet, "with_gopher_quality")
+    new GraftFrame(df.select(col("*") +: named.map { case (n, c) => c.as(n) }: _*))
+  }
+
+  /** Append C4 page-cleaning columns (`clean_text`, line/sentence
+    * counts, `keep_doc`; [[graft.operators.TextOps.c4Clean]]). */
+  def with_c4_cleaning(textCol: String): GraftFrame = {
+    val named = TextOps.c4Clean(col(textCol))
+    graft.operators.OpUtil.requireNoColumns(df, named.map(_._1).toSet, "with_c4_cleaning")
+    new GraftFrame(df.select(col("*") +: named.map { case (n, c) => c.as(n) }: _*))
+  }
+
+  /** BM25 relevance of each row's `textCol` to the fixed keyword query
+    * ([[graft.operators.TextOps.bm25Score]] — two jobs at any size). */
+  def bm25(idCol: String, textCol: String, terms: Seq[String]): GraftFrame =
+    new GraftFrame(TextOps.bm25Score(df, idCol, textCol, terms))
+
+  /** Append int8 absmax quantization columns (`codes`, `scale`) for an
+    * embedding column ([[graft.operators.Quantization.int8Encode]]). */
+  def with_int8_codes(vecCol: String): GraftFrame = {
+    val named = graft.operators.Quantization.int8Encode(col(vecCol))
+    graft.operators.OpUtil.requireNoColumns(df, named.map(_._1).toSet, "with_int8_codes")
+    new GraftFrame(df.select(col("*") +: named.map { case (n, c) => c.as(n) }: _*))
+  }
+
   // ----- sinks (§2.1) --------------------------------------------------
 
   def to_parquet(path: String, mode: String = "overwrite"): Unit =

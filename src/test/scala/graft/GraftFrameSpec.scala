@@ -225,5 +225,24 @@ class GraftFrameSpec extends SparkSpec {
       "stopword_ratio", "distinct_ratio", "dup_line_frac",
       "dup_line_char_frac", "dup_2gram_frac", "dup_3gram_frac"))
     assert(m.count() == 3)
+
+    // gopher verdict + metrics columns, never-null verdict
+    val g = docs.with_gopher_quality("txt")
+    assert(g.columns.contains("gopher_keep") && g.columns.contains("top_2gram_char_frac"))
+    assert(g.toDF.select("gopher_keep").collect().forall(!_.isNullAt(0)))
+
+    // c4 columns
+    val c4 = docs.with_c4_cleaning("txt")
+    assert(c4.columns.contains("clean_text") && c4.columns.contains("keep_doc"))
+
+    // bm25 returns one score per row, absent terms score 0
+    val b = docs.bm25("id", "txt", Seq("zzz_absent")).toDF
+      .collect().map(_.getDouble(1))
+    assert(b.length == 3 && b.forall(_ == 0.0))
+
+    // int8 codes: codes + scale appended, code count = dim
+    val qvecs = new GraftFrame(Seq((1L, Seq(0.5, -1.0))).toDF("id", "v"))
+    val q = qvecs.with_int8_codes("v").toDF.collect()(0)
+    assert(q.getSeq[Byte](2).length == 2)
   }
 }

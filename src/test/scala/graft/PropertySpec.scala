@@ -178,6 +178,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("int8 law: |x - decode(encode(x))| <= scale/2 elementwise; verdicts never null") {
+    import graft.operators.Quantization
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-100.0, 100.0).map(v => math.rint(v * 8) / 8))
+    for (seed <- 1L to 8L) {
+      val v = sample(vecGen, seed)
+      val df = Seq(Tuple1(v)).toDF("v")
+      val enc = Quantization.int8Encode(col("v")).map { case (n, c) => c.as(n) }
+      val r = df.select(col("v") +: enc: _*)
+        .select(col("v"), col("scale"),
+          Quantization.int8Decode(col("codes"), col("scale")).as("d"))
+        .collect()(0)
+      val scale = r.getDouble(1)
+      val dec = r.getSeq[Double](2)
+      // half-up rounding puts every element within half a quantization
+      // step of the original (exact for the all-zero vector)
+      v.zip(dec).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= scale / 2 + 1e-12, s"seed=$seed x=$x y=$y scale=$scale")
+      }
+    }
+  }
+
+  test("gopher/c4 verdicts are total: never null on arbitrary unicode junk") {
+    import graft.operators.TextOps
+    val junkGen = Gen.listOfN(40,
+      Gen.oneOf(Gen.alphaNumStr.map(_.take(8)), Gen.oneOf("\n", "\t", " ", "…", "##", "...", "{", "é∆ ")))
+      .map(_.mkString(" "))
+    for (seed <- 1L to 10L) {
+      val t = sample(junkGen, seed)
+      val df = Seq(Tuple1(t)).toDF("t")
+      val r = df.select(
+        TextOps.gopherKeep(col("t")).as("g"),
+        TextOps.c4Clean(col("t")).toMap.apply("keep_doc").as("c")).collect()(0)
+      assert(!r.isNullAt(0) && !r.isNullAt(1), s"seed=$seed text=${t.take(60)}")
+    }
+  }
+
+  test("bm25 law: no query hits → score 0; adding a hit term strictly increases it") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "x y z"), (2L, "x q y"), (3L, "p q r")).toDF("id", "t")
+    val base = TextOps.bm25Score(docs, "id", "t", Seq("absent"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(base.values.forall(_ == 0.0))
+    val one = TextOps.bm25Score(docs, "id", "t", Seq("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val two = TextOps.bm25Score(docs, "id", "t", Seq("q", "p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one(1L) == 0.0 && one(2L) > 0 && one(3L) > 0)
+    assert(two(3L) > one(3L)) // doc 3 gains the 'p' term
+    assert(two(2L) == one(2L)) // doc 2 has no 'p': unchanged
+  }
+
   test("chunking law: dropping each chunk's overlap prefix reconstructs the doc") {
     import graft.operators.Pipeline
     val lenGen = Gen.chooseNum(1, 400)
