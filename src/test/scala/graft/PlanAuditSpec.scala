@@ -177,6 +177,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(pe, "Exchange") <= 2, pe)
   }
 
+  test("bm25: one stats aggregate broadcast back — no explode, no per-term join") {
+    val p = plan("text_bm25")
+    // scoring side: no generator (explode) and no shuffle join of a
+    // term table — term frequencies are row-local array math
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // the corpus-stats single row rides a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // stats aggregate is the standard two-phase pair
+    assert(nodes(p, "HashAggregate") >= 2, p)
+  }
+
+  test("int8 quantization: fully row-local — only the gate's sort exchanges") {
+    val p = plan("embed_int8")
+    // encode/decode/cosine are row-local; the single exchange in the
+    // plan belongs to the output orderBy
+    assert(nodes(p, "Exchange") <= 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("exactByHashById: the dedup-decision exchanges are slim — no payload") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = graft.operators.Dedup.exactByHashById(docs, "text", "doc_id")
