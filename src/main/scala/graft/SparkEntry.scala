@@ -892,6 +892,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("vec_id").as("sum_ids"))
         .orderBy("cell")
     }),
+    // SemDeDup (Abbas et al. 2023): cluster the embedding space with the
+    // deterministic k-means trainer, then report near-dup pairs ONLY
+    // within clusters. Planted scaled copies (cos = 1 with their base,
+    // so same argmax-cosine cell — cosine is scale-invariant) are the
+    // known duplicates; the oracle REPLAYS clustering end-to-end and
+    // re-derives the within-cell pair set, so a single reassignment or
+    // a cross-cluster comparison breaks the hash.
+    "dedup_semantic" -> ((s, dir) => {
+      Similarity.semDupPairs(semDedupCorpus(s, dir), "vec_id", "vec",
+          k = 8, tau = 0.99, iters = 1)
+        .select(col("cell"), col("id_a"), col("id_b"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("id_a", "id_b")
+    }),
+    // The drop step: larger id of each within-cluster ≥ tau pair is
+    // dropped; census of the survivors (count + id-sum breaks on any
+    // single wrong keep/drop).
+    "dedup_semantic_drop" -> ((s, dir) => {
+      Similarity.semDedup(semDedupCorpus(s, dir), "vec_id", "vec",
+          k = 8, tau = 0.99, iters = 1)
+        .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("sum_ids"))
+    }),
     // Product quantization (Jégou et al. 2011): train 2 subspace
     // codebooks of 4 codes (deterministic L2 Lloyd, joint single-
     // shuffle training), encode every vector to its (sub, code) pair.
@@ -1445,6 +1467,62 @@ object SparkEntry {
         " ").as("text"))
     base.unionAll(perturbed)
   }
+
+  /** Corpus for the SemDeDup gates: every embedding plus a ×2-scaled
+    * copy at id+100000 — cosine is scale-invariant, so each copy lands
+    * in its base's cluster with sim exactly 1 (the planted duplicate
+    * class), while the fixture's natural pairs stay far below tau. */
+  private def semDedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.asDoubleVec(col("embedding")).as("vec"))
+    base.unionAll(base.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("vec"), x => x * lit(2.0)).as("vec")))
+  }
+
+  /** Shared replay CTEs for the SemDeDup oracles: build the scaled-copy
+    * corpus, replay the deterministic one-round Lloyd training (same
+    * arithmetic as the embed_kmeans oracle, over the UNIONED corpus),
+    * and emit the within-cell ≥ tau pairs. */
+  private lazy val semDedupOracleCte: String =
+    """WITH emb AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), corpus AS (
+      |  SELECT vec_id, v FROM emb
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(v, x -> x * 2) FROM emb
+      |), seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+      |         list_transform(v, x -> round(x, 9)) AS c
+      |  FROM corpus ORDER BY vec_id LIMIT 8
+      |), a0 AS (
+      |  SELECT e.vec_id, e.v,
+      |    (SELECT s.cell FROM seeds s
+      |      ORDER BY list_cosine_similarity(e.v, s.c) DESC, s.cell
+      |      LIMIT 1) AS cell
+      |  FROM corpus e
+      |), dims AS (
+      |  SELECT cell, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a0
+      |), m AS (
+      |  SELECT cell, dim, round(sum(x) / count(*), 9) AS mx
+      |  FROM dims GROUP BY cell, dim
+      |), cent1 AS (
+      |  SELECT cell, list(mx ORDER BY dim) AS c FROM m GROUP BY cell
+      |), cent AS (
+      |  SELECT s.cell, coalesce(c1.c, s.c) AS c
+      |  FROM seeds s LEFT JOIN cent1 c1 USING (cell)
+      |), a1 AS (
+      |  SELECT e.vec_id, e.v,
+      |    (SELECT c.cell FROM cent c
+      |      ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cell
+      |      LIMIT 1) AS cell
+      |  FROM corpus e
+      |), pairs AS (
+      |  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_cosine_similarity(a.v, b.v) AS sim
+      |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+      |)""".stripMargin
 
   /** DuckDB oracle for [[graft.operators.Dedup.simHashPairs]]: pure-SQL
     * seeded FNV-1a + bit-vote SimHash over the near-dup corpus, then
@@ -2161,6 +2239,22 @@ object SparkEntry {
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
+    // Replays SemDeDup end-to-end: the same Lloyd replay as
+    // embed_kmeans but over the scaled-copy corpus, then the
+    // within-cell >= tau pair sweep and (for _drop) the larger-id drop
+    // rule. Any reassignment, missed pair, or cross-cluster comparison
+    // changes the hash.
+    "dedup_semantic" ->
+      s"""$semDedupOracleCte
+         |SELECT CAST(cell AS INTEGER) AS cell, id_a, id_b,
+         |  CAST(round(sim, 6) AS DOUBLE) AS sim
+         |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "dedup_semantic_drop" ->
+      s"""$semDedupOracleCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM corpus
+         |WHERE vec_id NOT IN (SELECT DISTINCT id_b FROM pairs)""".stripMargin,
     // Full SQL replay of the deterministic k-means training loop:
     // id-ordered seeds, argmax-cosine assignment (ties to the lowest
     // cell, matching argmaxCell's first-index-wins), element-wise mean

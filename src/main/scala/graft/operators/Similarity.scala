@@ -109,6 +109,18 @@ object Similarity {
   def kmeansAssign(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 1, centRound: Int = 9): DataFrame = {
+    val cents = trainCentroids(df, idCol, vecCol, k, iters, centRound)
+    df.select(col(idCol), asDoubleVec(col(vecCol)).as("__v"))
+      .select(col(idCol), cellSimsFor(cents)(col("__v")).as("__sims"))
+      .select(col(idCol), argmaxCell(col("__sims")).as("cell"))
+  }
+
+  /** The deterministic Lloyd trainer behind [[kmeansAssign]] (and
+    * [[semDupPairs]]): id-ordered seeds, `iters` rounds of
+    * assign + rounded-mean update. Returns the k×dim centroid model. */
+  private def trainCentroids(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, centRound: Int): Array[Array[Double]] = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     // Null embeddings are excluded from seeding and training; in the
@@ -121,14 +133,69 @@ object Similarity {
       .select(asDoubleVec(col(vecCol)))
       .collect()
       .map(_.getSeq[Double](0).toArray.map(roundTo(centRound)))
-    require(seeds.nonEmpty, "kmeansAssign: empty input")
-    val cents = (1 to iters).foldLeft(seeds) { (cs, _) =>
+    require(seeds.nonEmpty, "trainCentroids: empty input")
+    (1 to iters).foldLeft(seeds) { (cs, _) =>
       val means = lloydStep(df, vecCol, cs, centRound = Some(centRound))
       cs.indices.map(i => means.getOrElse(i, cs(i))).toArray
     }
-    df.select(col(idCol), asDoubleVec(col(vecCol)).as("__v"))
-      .select(col(idCol), cellSimsFor(cents)(col("__v")).as("__sims"))
-      .select(col(idCol), argmaxCell(col("__sims")).as("cell"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-
+    * duplicate pairs via k-means partitioning — cluster the embedding
+    * space, then compare vectors ONLY within their cluster and report
+    * pairs with cosine ≥ `tau`. Deterministic end-to-end (the same
+    * id-seeded rounded-centroid trainer as [[kmeansAssign]]) so an
+    * external oracle can replay clustering AND pair selection exactly.
+    *
+    * Returns (cell, id_a, id_b, sim) with id_a < id_b.
+    *
+    * Scale: assignment is row-local (the k×dim model rides ONE codegen
+    * node as a reference object); candidate generation is a self-
+    * equi-join on `cell` — ONE shuffle per side, never a cross join.
+    * Per-cluster work is O(|cell|²): `k` is the knob that bounds it
+    * (the paper runs k≈110k on LAION; size k so the expected cell is
+    * 10³–10⁴ rows). For clusters that still come out hot, compose with
+    * [[srpBucket]] inside the cell — the join key becomes (cell,
+    * bucket) and recall follows the SRP caveat above. Null embeddings
+    * have no cell and thus produce no pairs. */
+  def semDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, tau: Double, iters: Int = 1, centRound: Int = 9): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"tau must be in [-1, 1], got $tau")
+    val cents = trainCentroids(df, idCol, vecCol, k, iters, centRound)
+    val assigned = df
+      .select(col(idCol), asDoubleVec(col(vecCol)).as("__v"))
+      .where(col("__v").isNotNull)
+      .select(col(idCol), col("__v"), cellSimsFor(cents)(col("__v")).as("__sims"))
+      .select(col(idCol), col("__v"), argmaxCell(col("__sims")).as("cell"))
+    val a = assigned.select(
+      col("cell"), col(idCol).as("id_a"), col("__v").as("__va"))
+    val b = assigned.select(
+      col("cell").as("__cb"), col(idCol).as("id_b"), col("__v").as("__vb"))
+    a.join(b, col("cell") === col("__cb") && col("id_a") < col("id_b"))
+      .select(col("cell"), col("id_a"), col("id_b"),
+        cosineSim(col("__va"), col("__vb")).as("sim"))
+      .where(col("sim") >= tau)
+  }
+
+  /** SemDeDup drop step: keep one representative per semantic-duplicate
+    * pair — the smaller id survives, every id that appears as the
+    * LARGER side of a ≥ `tau` within-cluster pair is dropped. (The
+    * min-id rule is the deterministic, oracle-replayable stand-in for
+    * the paper's keep-farthest-from-centroid choice; both keep exactly
+    * one of a mutually-similar group under transitive closure of the
+    * greedy sweep.) Returns the surviving rows of `df`, all columns.
+    *
+    * Scale: [[semDupPairs]]' shape plus one id-projected distinct and a
+    * shuffled LEFT ANTI join back — the dup-id set can be a large
+    * fraction of the corpus, so it is never broadcast by hint (AQE may
+    * still choose to if it measures small). */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, tau: Double, iters: Int = 1, centRound: Int = 9): DataFrame = {
+    val dups = semDupPairs(df, idCol, vecCol, k, tau, iters, centRound)
+      .select(col("id_b").as("__dup_id")).distinct()
+    df.join(dups, col(idCol) === col("__dup_id"), "left_anti")
   }
 
   /** Exact top-k: every query row scored against every corpus row.

@@ -171,4 +171,47 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getInt(1))
     assert(got.length == 12 && got.forall(c => c >= 0 && c < 3))
   }
+
+  test("semDupPairs finds within-cluster near-dups and never crosses clusters") {
+    // two tight clusters around e1 and e2; 0≈1≈2 and 10≈11 are near-dup
+    // groups, 3 and 12 sit in the clusters but below tau.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.001f)), (2L, Array(0.999f, 0.0f)),
+      (3L, Array(0.8f, 0.45f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.001f, 1.0f)), (12L, Array(0.45f, 0.8f)))
+      .toDF("id", "vec")
+    val pairs = Similarity.semDupPairs(df, "id", "vec", k = 2, tau = 0.999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L)))
+    // candidate generation is an equi-join on cell, never a cross join
+    val plan = Similarity.semDupPairs(df, "id", "vec", k = 2, tau = 0.999)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("semDedup keeps the smallest id of each duplicate group; nulls survive") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.001f)), (2L, Array(0.999f, 0.0f)),
+      (5L, null: Array[Float]),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.001f, 1.0f)))
+      .toDF("id", "vec")
+    val kept = Similarity.semDedup(df, "id", "vec", k = 2, tau = 0.999)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // 1,2 duplicate 0; 11 duplicates 10; the null-embedding row has no
+    // cluster, pairs with nothing, and survives.
+    assert(kept == Set(0L, 5L, 10L))
+  }
+
+  test("semDedup is deterministic across partition counts") {
+    val df = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
+      (i.toLong, base.map(x => x * (1.0f + (i / 2) * 1e-5f)))
+    }.toDF("id", "vec")
+    val a = Similarity.semDedup(df, "id", "vec", k = 2, tau = 0.9999)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Similarity.semDedup(df.repartition(7), "id", "vec", k = 2, tau = 0.9999)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a == Set(0L, 1L)) // scaled copies are cos=1 dups of the two bases
+  }
 }
