@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Contamination, Dedup, HeavyHitters, Multimodal, Pipeline, Quantization, Reductions, Similarity, TextOps}
+import graft.operators.{Apply, AsofJoin, Contamination, Dedup, Dsir, HeavyHitters, Multimodal, Pipeline, Quantization, Reductions, Similarity, TextOps}
 import graft.sources.{CsvOptions, CsvReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -1258,6 +1258,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance weights (Xie et al. 2023): target = the English
+    // slice, raw = the whole corpus; hashed unigram+bigram histograms →
+    // per-bucket nano-scaled log-likelihood ratios → exact integer
+    // per-doc sums. The oracle refits the model from scratch in SQL
+    // (FNV-1a gram hashing, same ln arithmetic) and re-scores every
+    // doc — a single count drift or hash divergence breaks it.
+    "text_dsir" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val model = Dsir.fit(docs.where(col("lang") === "en"), docs, "text",
+        ns = Seq(1, 2), numBuckets = 2048, seed = 7L, alpha = 1.0)
+      docs.where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          Dsir.scoreNano(col("text"), model).as("nano_weight"),
+          Dsir.score(col("text"), model).as("weight"))
+        .orderBy("doc_id")
+    }),
+    // The resample step: deterministic top-50 by (weight, id) over the
+    // full corpus — integer weights make the cut line exactly
+    // replayable, including ties.
+    "text_dsir_sample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val model = Dsir.fit(docs.where(col("lang") === "en"), docs, "text",
+        ns = Seq(1, 2), numBuckets = 2048, seed = 7L, alpha = 1.0)
+      Dsir.resampleTopN(docs, "doc_id", "text", model, n = 50)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // Composed curation pass — the end-to-end training-data shape:
     // language filter → cheap quality gates → content-hash dedup →
     // per-source accounting. One scan + one agg shuffle.
@@ -1523,6 +1550,68 @@ object SparkEntry {
       |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.99
       |)""".stripMargin
+
+  /** HUGEINT SQL expression: seeded FNV-1a over the characters of the
+    * (already-lowercased) string column `expr` — the same
+    * interleaved-sentinel list_reduce the simhash oracle uses, with the
+    * same ASCII caveat (`ord` reads codepoints; equals UTF-8 bytes only
+    * for ASCII, which is all the fixture contains). */
+  private def fnvSql(expr: String, seed: Long): String = {
+    val init = (BigInt("cbf29ce484222325", 16) ^ BigInt(seed)).toString
+    s"""list_reduce(
+       |      list_prepend(CAST($init AS HUGEINT),
+       |        flatten(list_transform(range(1, length($expr)+1),
+       |          i -> [CAST(ord($expr[i]) AS HUGEINT), CAST(-1 AS HUGEINT)]))),
+       |      (h, x) -> CASE WHEN x >= 0
+       |        THEN h - (h % 256)
+       |             + CAST(xor(CAST(h % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT)
+       |        ELSE ((h % 4294967296) * 1099511628211
+       |              + (((h // 4294967296) * 1099511628211) % 4294967296) * 4294967296)
+       |             % 18446744073709551616 END)""".stripMargin
+  }
+
+  /** Shared replay CTEs for the DSIR oracles: refit the whole model in
+    * SQL — tokenize, build unigram+bigram strings, FNV-hash each gram
+    * into 2048 buckets, histogram target (lang='en') and raw (all)
+    * corpora, form nano-scaled log-likelihood ratios with the exact
+    * Scala association (((ln ct − ln Tt) − ln cr) + ln Tr), and
+    * re-score every document as the integer sum of its grams' nanos. */
+  private lazy val dsirOracleCte: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
+       |  FROM documents
+       |), grams AS (
+       |  SELECT doc_id, lang, unnest(tk) AS gram FROM tk
+       |  UNION ALL
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+       |  FROM tk
+       |), hashed AS (
+       |  SELECT doc_id, lang,
+       |    CAST(${fnvSql("gram", 7L)} % 2048 AS INTEGER) AS bucket
+       |  FROM grams
+       |), ct AS (
+       |  SELECT bucket, count(*) AS c FROM hashed WHERE lang = 'en' GROUP BY bucket
+       |), cr AS (
+       |  SELECT bucket, count(*) AS c FROM hashed GROUP BY bucket
+       |), tot AS (
+       |  SELECT (SELECT sum(c) FROM ct) AS tt, (SELECT sum(c) FROM cr) AS tr
+       |), lam AS (
+       |  SELECT r.range AS bucket,
+       |    CAST(round((ln(coalesce(ct.c, 0) + 1.0) - ln(tt + 1.0 * 2048)
+       |      - ln(coalesce(cr.c, 0) + 1.0) + ln(tr + 1.0 * 2048)) * 1e9) AS BIGINT) AS nano
+       |  FROM range(0, 2048) r
+       |  LEFT JOIN ct ON ct.bucket = r.range
+       |  LEFT JOIN cr ON cr.bucket = r.range
+       |  CROSS JOIN tot
+       |), scored AS (
+       |  SELECT d.doc_id, CAST(coalesce(sum(l.nano), 0) AS BIGINT) AS nano_weight
+       |  FROM documents d
+       |  LEFT JOIN hashed h ON h.doc_id = d.doc_id
+       |  LEFT JOIN lam l ON l.bucket = h.bucket
+       |  GROUP BY d.doc_id
+       |)""".stripMargin
 
   /** DuckDB oracle for [[graft.operators.Dedup.simHashPairs]]: pure-SQL
     * seeded FNV-1a + bit-vote SimHash over the near-dup corpus, then
@@ -2255,6 +2344,17 @@ object SparkEntry {
          |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
          |FROM corpus
          |WHERE vec_id NOT IN (SELECT DISTINCT id_b FROM pairs)""".stripMargin,
+    "text_dsir" ->
+      s"""$dsirOracleCte
+         |SELECT doc_id, nano_weight,
+         |  CAST(nano_weight AS DOUBLE) / 1e9 AS weight
+         |FROM scored WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+    "text_dsir_sample" ->
+      s"""$dsirOracleCte
+         |SELECT doc_id FROM (
+         |  SELECT doc_id FROM scored
+         |  ORDER BY nano_weight DESC, doc_id LIMIT 50
+         |) ORDER BY doc_id""".stripMargin,
     // Full SQL replay of the deterministic k-means training loop:
     // id-ordered seeds, argmax-cosine assignment (ties to the lowest
     // cell, matching argmaxCell's first-index-wins), element-wise mean
