@@ -1258,6 +1258,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Cross-doc duplicated-span fraction (the RefinedWeb/Dolma
+    // "duplicate n-gram fraction"): every third doc gets the SAME
+    // 12-token boilerplate tail (5 fully-shared 8-grams each; the
+    // grams straddling the splice stay doc-unique), the rest are the
+    // control group. The oracle recomputes per-(gram, doc) counts,
+    // document frequencies, and the occurrence-weighted fraction.
+    "text_dupspans" -> ((s, dir) => {
+      val planted = tbl(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(dupSpanTail))).otherwise(col("text")).as("t"))
+      TextOps.crossDocDupNgramFraction(planted, "doc_id", "t", n = 8)
+        .select(col("doc_id"),
+          round(col("dup_ngram_frac"), 6).as("dup_ngram_frac"))
+        .orderBy("doc_id")
+    }),
     // DSIR importance weights (Xie et al. 2023): target = the English
     // slice, raw = the whole corpus; hashed unigram+bigram histograms →
     // per-bucket nano-scaled log-likelihood ratios → exact integer
@@ -1550,6 +1566,45 @@ object SparkEntry {
       |  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.99
       |)""".stripMargin
+
+  /** The planted boilerplate for the text_dupspans gate: 12 tokens →
+    * five 8-grams fully inside the tail, shared by every planted doc. */
+  private val dupSpanTail: String =
+    " shared boilerplate tail one two three four five six seven eight nine"
+
+  /** DuckDB oracle for [[graft.operators.TextOps.crossDocDupNgramFraction]]
+    * over the planted corpus: same tokenization caveats as the other
+    * text oracles (ASCII whitespace), 8-grams with multiplicity,
+    * occurrence-weighted dup fraction, null for gram-less docs. */
+  private lazy val dupSpansOracle: String = {
+    val g8 = (0 until 8).map(j => if (j == 0) "tk[i]" else s"tk[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text || '$dupSpanTail'
+       |         ELSE text END AS t
+       |  FROM documents WHERE doc_id < 200
+       |), tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(t), '\\s+'), x -> len(x) > 0) AS tk
+       |  FROM base
+       |), grams AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(tk) - 6), i -> $g8)) AS gram
+       |  FROM tk
+       |), perdoc AS (
+       |  SELECT gram, doc_id, count(*) AS cnt FROM grams GROUP BY gram, doc_id
+       |), freq AS (
+       |  SELECT gram, count(*) AS n_docs FROM perdoc GROUP BY gram
+       |)
+       |SELECT b.doc_id,
+       |  CAST(round(CAST(sum(CASE WHEN freq.n_docs >= 2 THEN p.cnt ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(p.cnt) AS DOUBLE), 6) AS DOUBLE) AS dup_ngram_frac
+       |FROM (SELECT doc_id FROM base) b
+       |LEFT JOIN perdoc p ON p.doc_id = b.doc_id
+       |LEFT JOIN freq ON freq.gram = p.gram
+       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+  }
 
   /** HUGEINT SQL expression: seeded FNV-1a over the characters of the
     * (already-lowercased) string column `expr` — the same
@@ -2344,6 +2399,7 @@ object SparkEntry {
          |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
          |FROM corpus
          |WHERE vec_id NOT IN (SELECT DISTINCT id_b FROM pairs)""".stripMargin,
+    "text_dupspans" -> dupSpansOracle,
     "text_dsir" ->
       s"""$dsirOracleCte
          |SELECT doc_id, nano_weight,

@@ -415,6 +415,27 @@ final class GraftFrame(val df: DataFrame) {
     new GraftFrame(df.select(col("*") +: named.map { case (n, c) => c.as(n) }: _*))
   }
 
+  /** Semantic near-dedup ([[graft.operators.Similarity.semDedup]]):
+    * cluster embeddings, drop the larger id of every within-cluster
+    * pair with cosine ≥ `tau`; returns the survivors. */
+  def semantic_dedup(idCol: String, vecCol: String, k: Int,
+      tau: Double, iters: Int = 1): GraftFrame =
+    new GraftFrame(graft.operators.Similarity.semDedup(df, idCol, vecCol, k, tau, iters))
+
+  /** DSIR resampling ([[graft.operators.Dsir]]): fit the hashed-n-gram
+    * importance model of `target` against THIS frame as the raw
+    * corpus, keep the top-`n` rows by importance weight. */
+  def dsir_resample(idCol: String, textCol: String,
+      target: GraftFrame, n: Int): GraftFrame = {
+    val model = graft.operators.Dsir.fit(target.df, df, textCol)
+    new GraftFrame(graft.operators.Dsir.resampleTopN(df, idCol, textCol, model, n))
+  }
+
+  /** Cross-doc duplicated-span fraction per document
+    * ([[graft.operators.TextOps.crossDocDupNgramFraction]]). */
+  def dup_span_fraction(idCol: String, textCol: String, n: Int = 8): GraftFrame =
+    new GraftFrame(TextOps.crossDocDupNgramFraction(df, idCol, textCol, n))
+
   // ----- sinks (§2.1) --------------------------------------------------
 
   def to_parquet(path: String, mode: String = "overwrite"): Unit =

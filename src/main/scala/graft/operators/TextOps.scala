@@ -445,4 +445,41 @@ object TextOps {
     scoreDocs.select(col(idCol))
       .join(scored.groupBy(idCol).agg(avg("lp").as("bigram_logprob")), Seq(idCol), "left")
   }
+
+  /** Cross-document duplicated-span signal (the "duplicate n-gram
+    * fraction" used by RefinedWeb / Dolma curation): for each document,
+    * the fraction of its word `n`-gram OCCURRENCES whose gram also
+    * appears in at least one other document — high values flag
+    * boilerplate, mirrored pages, and template spam that document-level
+    * near-dup (MinHash/SimHash) misses because the surrounding text
+    * differs. Complements [[GramStats.dupNGramCharFrac]], which is the
+    * WITHIN-document version of the same signal.
+    *
+    * Returns (idCol, dup_ngram_frac); a document with fewer than `n`
+    * tokens has no grams and gets a null fraction (undefined, not 0).
+    *
+    * Scale: occurrences collapse to per-(gram, doc) counts in the first
+    * aggregate (map-side partial agg eats within-doc repeats), then a
+    * per-gram document-frequency count whose output the gram-keyed join
+    * reuses without a new exchange. The shuffles carry gram STRINGS —
+    * exact and oracle-transparent; at extreme scale substitute
+    * `xxhash64(gram)` for the key (64-bit collisions ≈ n²/2⁶⁴) to slim
+    * them. Grams shared by millions of docs (site chrome) are absorbed
+    * by the partial count, never a single reducer's row explosion. */
+  def crossDocDupNgramFraction(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val perDoc = df
+      .select(col(idCol),
+        explode(graft.functions.WordNGrams.wordNGramsAll(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"), col(idCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val docFreq = perDoc.groupBy("gram")
+      .agg(count(lit(1)).as("__n_docs"))
+    val frac = perDoc.join(docFreq, "gram")
+      .groupBy(col(idCol))
+      .agg((sum(when(col("__n_docs") >= 2, col("__cnt")).otherwise(0L)).cast(DoubleType) /
+        sum(col("__cnt")).cast(DoubleType)).as("dup_ngram_frac"))
+    df.select(col(idCol)).join(frac, Seq(idCol), "left")
+  }
 }

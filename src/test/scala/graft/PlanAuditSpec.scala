@@ -210,6 +210,36 @@ class PlanAuditSpec extends SparkSpec {
       assert(!b.contains("text#"), s"payload column in a fingerprint exchange:\n$b")
   }
 
+  test("semdedup: candidate generation is an equi-join on the cell, never a cross join") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // cell assignment is row-local: the centroid model is one reference
+    // object, not unrolled literals
+    assert(p.contains("centroid_sims"), p)
+  }
+
+  test("dsir scoring: row-local expression — only the gate's sort exchange") {
+    val p = plan("text_dsir")
+    // the model is fitted before the plan exists; scoring itself is a
+    // scan + project, so the only exchange is the output orderBy
+    assert(nodes(p, "Exchange") <= 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("dsir_score"), p)
+  }
+
+  test("dsir resample: bounded top-n heaps, never a global sort of the corpus") {
+    val p = plan("text_dsir_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("dupspans: two-phase aggregates, no window, no cross join") {
+    val p = plan("text_dupspans")
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("broadcast join query does broadcast; big join stays shuffle") {
     assert(plan("join_broadcast").contains("BroadcastHashJoin"))
     // join_big must not HINT a broadcast: disable the size-based

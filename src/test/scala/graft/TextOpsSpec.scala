@@ -201,4 +201,37 @@ class TextOpsSpec extends SparkSpec {
     assert((sk(1L) & sk(2L)).size >= 6) // k=8, one changed word
     assert((sk(1L) & sk(3L)).isEmpty)
   }
+
+  test("crossDocDupNgramFraction flags shared spans, not unique text") {
+    // docs 1 and 2 share a 4-token boilerplate tail; doc 3 is unique;
+    // doc 4 is too short for any 3-gram.
+    val df = Seq(
+      (1L, "alpha beta gamma shared span marker here"),
+      (2L, "delta epsilon zeta shared span marker here"),
+      (3L, "one two three four five six seven"),
+      (4L, "tiny doc")).toDF("id", "t")
+    val got = TextOps.crossDocDupNgramFraction(df, "id", "t", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // 7 tokens → 5 3-grams; "shared span marker", "span marker here"
+    // appear in both docs 1 and 2 → 2/5.
+    assert(got(1L).contains(0.4))
+    assert(got(2L).contains(0.4))
+    assert(got(3L).contains(0.0))
+    assert(got(4L).isEmpty) // no grams → undefined, not 0
+  }
+
+  test("crossDocDupNgramFraction counts occurrences, and within-doc repeats alone don't flag") {
+    // doc 1 repeats its own phrase (within-doc dup, no other doc has
+    // it) → fraction 0; docs 2,3 share every gram → fraction 1.
+    val df = Seq(
+      (1L, "own phrase repeated own phrase repeated"),
+      (2L, "the same exact words"),
+      (3L, "the same exact words")).toDF("id", "t")
+    val got = TextOps.crossDocDupNgramFraction(df, "id", "t", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) == 1.0 && got(3L) == 1.0)
+  }
 }
