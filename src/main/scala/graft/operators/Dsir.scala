@@ -41,6 +41,12 @@ import graft.functions.DsirFeatures
   * the raw histogram may be fit on a uniform SAMPLE (rates are ratios;
   * subsampling the denominator corpus only adds variance, not bias) —
   * callers pass the sample as `raw`.
+  *
+  * The same machinery doubles as the classic "quality classifier"
+  * filter (the GPT-3/LLaMA wiki-and-books-vs-crawl style): λ IS the
+  * Naive-Bayes log-odds of the target class under the hashed-n-gram
+  * bag model, so `fit(positive, negative)` + a threshold on
+  * [[score]] is that classifier with no extra code.
   */
 object Dsir {
 

@@ -244,5 +244,33 @@ class GraftFrameSpec extends SparkSpec {
     val qvecs = new GraftFrame(Seq((1L, Seq(0.5, -1.0))).toDF("id", "v"))
     val q = qvecs.with_int8_codes("v").toDF.collect()(0)
     assert(q.getSeq[Byte](2).length == 2)
+
+    // semantic dedup: scaled copy (cos = 1) in the same cluster is dropped
+    val sem = new GraftFrame(Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("id", "vec"))
+      .semantic_dedup("id", "vec", k = 2, tau = 0.99)
+      .toDF.select("id").collect().map(_.getLong(0)).sorted
+    assert(sem.toSeq == Seq(1L, 3L))
+
+    // dsir resample: cooking target surfaces the cooking doc from raw
+    val tgt = new GraftFrame(Seq((0L, "bake the sauce and stir the bread"))
+      .toDF("id", "txt"))
+    val rawDocs = new GraftFrame(Seq(
+      (1L, "the court dismissed the appeal yesterday"),
+      (2L, "stir the sauce then bake the bread")).toDF("id", "txt"))
+    val picked = rawDocs.dsir_resample("id", "txt", tgt, n = 1)
+      .toDF.select("id").collect().map(_.getLong(0))
+    assert(picked.toSeq == Seq(2L))
+
+    // dup-span fraction: the shared-tail docs flag, the unique one doesn't
+    val spans = new GraftFrame(Seq(
+      (1L, "unique prefix one shared tail marker span here"),
+      (2L, "unique prefix two shared tail marker span here"),
+      (3L, "entirely different words with nothing in common at all"))
+      .toDF("id", "txt"))
+      .dup_span_fraction("id", "txt", n = 4)
+      .toDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(spans(1L) > 0.0 && spans(2L) > 0.0 && spans(3L) == 0.0)
   }
 }
