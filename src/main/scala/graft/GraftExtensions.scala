@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinHashBands, MinHashSignature, SimHash64,
-  TextMinHashBands, WordNGrams, ProductAgg}
+import graft.functions.{CharEntropy, CosineSimilarity, MinHashBands, MinHashSignature,
+  SimHash64, TextMinHashBands, WordNGrams, ProductAgg}
 
 /** Registers graft's native expressions in the SQL function registry so
   * `spark.sql("SELECT cosine_similarity(a, b) ...")` works — installed
@@ -94,6 +94,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "product_agg(col) takes 1 argument")
         ProductAgg(args(0)).toAggregateExpression()
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "char_entropy(text) takes 1 argument")
+        CharEntropy(args(0))
       }))
   }
 }

@@ -1258,6 +1258,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Character-distribution entropy with planted low-entropy spam
+    // (every 4th doc gets 500 'z's — its entropy must drop): the
+    // oracle recomputes per-char counts and folds −Σ p·ln p in the
+    // same ascending-char order, so the doubles match bit-for-bit
+    // before the shared round-6.
+    "text_entropy" -> ((s, dir) =>
+      tbl(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" "), repeat(lit("z"), 500)))
+            .otherwise(col("text")).as("t"))
+        .select(col("doc_id"),
+          round(TextOps.charEntropy(col("t")), 6).as("char_entropy"))
+        .orderBy("doc_id")),
     // Cross-doc duplicated-span fraction (the RefinedWeb/Dolma
     // "duplicate n-gram fraction"): every third doc gets the SAME
     // 12-token boilerplate tail (5 fully-shared 8-grams each; the
@@ -2399,6 +2413,35 @@ object SparkEntry {
          |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
          |FROM corpus
          |WHERE vec_id NOT IN (SELECT DISTINCT id_b FROM pairs)""".stripMargin,
+    // Per-doc char histogram → −Σ p·ln p folded over chars in
+    // ascending binary-collation order = the expression's ascending
+    // code-unit order (identical on the ASCII fixture). Each term
+    // computes p = c/n once and multiplies by ln(c/n) — the exact IEEE
+    // sequence the Scala kernel runs.
+    "text_entropy" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text || ' ' || repeat('z', 500)
+        |         ELSE text END AS t
+        |  FROM documents WHERE doc_id < 300
+        |), chars AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(t)+1), i -> t[i])) AS ch
+        |  FROM base
+        |), cnts AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+        |), ordered AS (
+        |  SELECT doc_id, list(CAST(c AS DOUBLE) ORDER BY ch) AS cs
+        |  FROM cnts GROUP BY doc_id
+        |), lens AS (
+        |  SELECT doc_id, CAST(length(t) AS DOUBLE) AS n FROM base
+        |)
+        |SELECT o.doc_id,
+        |  CAST(round(list_reduce(
+        |    list_prepend(0.0, list_transform(o.cs, c -> (c / l.n) * ln(c / l.n))),
+        |    (a, x) -> a - x), 6) AS DOUBLE) AS char_entropy
+        |FROM ordered o JOIN lens l ON o.doc_id = l.doc_id
+        |ORDER BY o.doc_id""".stripMargin,
     "text_dupspans" -> dupSpansOracle,
     "text_dsir" ->
       s"""$dsirOracleCte

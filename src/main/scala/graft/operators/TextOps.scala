@@ -446,6 +446,12 @@ object TextOps {
       .join(scored.groupBy(idCol).agg(avg("lp").as("bigram_logprob")), Seq(idCol), "left")
   }
 
+  /** Shannon entropy (nats) of the character distribution — flags
+    * low-entropy filler spam and high-entropy base64/minified blobs;
+    * row-local codegen'd kernel ([[graft.functions.CharEntropy]]). */
+  def charEntropy(text: Column): Column =
+    graft.functions.CharEntropy.charEntropy(text)
+
   /** Cross-document duplicated-span signal (the "duplicate n-gram
     * fraction" used by RefinedWeb / Dolma curation): for each document,
     * the fraction of its word `n`-gram OCCURRENCES whose gram also

@@ -202,6 +202,32 @@ class TextOpsSpec extends SparkSpec {
     assert((sk(1L) & sk(3L)).isEmpty)
   }
 
+  test("charEntropy: uniform text maxes, repeated char zeroes, empty is null") {
+    val df = Seq(
+      (1L, "abcd"),        // 4 distinct chars, uniform → ln 4
+      (2L, "aaaa"),        // single char → 0
+      (3L, ""),            // no distribution → null
+      (4L, "aabb"))        // two chars uniform → ln 2
+      .toDF("id", "t")
+    val got = df.select(col("id"), TextOps.charEntropy(col("t")).as("h"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(math.abs(got(1L).get - math.log(4)) < 1e-12)
+    assert(got(2L).contains(0.0))
+    assert(got(3L).isEmpty)
+    assert(math.abs(got(4L).get - math.log(2)) < 1e-12)
+    // low-entropy spam scores clearly below normal prose
+    val spamH = df.sparkSession.createDataFrame(
+      Seq(Tuple1("z" * 500 + " normal words here"))).toDF("t")
+      .select(TextOps.charEntropy(col("t"))).collect()(0).getDouble(0)
+    val proseH = df.sparkSession.createDataFrame(
+      Seq(Tuple1("the quick brown fox jumps over the lazy dog")))
+      .toDF("t")
+      .select(TextOps.charEntropy(col("t"))).collect()(0).getDouble(0)
+    assert(spamH < proseH)
+  }
+
   test("crossDocDupNgramFraction flags shared spans, not unique text") {
     // docs 1 and 2 share a 4-token boilerplate tail; doc 3 is unique;
     // doc 4 is too short for any 3-gram.
