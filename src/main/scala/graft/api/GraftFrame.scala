@@ -326,6 +326,12 @@ final class GraftFrame(val df: DataFrame) {
       Dedup.nearDupMinHash(df, idCol, textCol, threshold)
         .select(col("id_a"), col("id_b"))))
 
+  /** CCNet-style cross-document line dedup: remove lines occurring in
+    * ≥ `minDocs` distinct docs ([[graft.operators.Dedup.dedupLines]]). */
+  def dedup_lines(idCol: String, textCol: String,
+      minDocs: Int = 2): GraftFrame =
+    new GraftFrame(Dedup.dedupLines(df, idCol, textCol, minDocs))
+
   /** Semi-join against `other`'s keys with a bloom pre-filter pushed
     * before the exchange ([[graft.operators.BloomJoin]]). */
   def semi_join_bloom(other: GraftFrame, key: String, otherKey: String,
@@ -451,6 +457,11 @@ final class GraftFrame(val df: DataFrame) {
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
   def to_csv(path: String, header: Boolean = true, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", header.toString).csv(path)
+  /** JSON-Lines sink ([[graft.sources.JsonlReader.writeJsonl]]) — the
+    * corpus interchange format; zstd preferred at scale. */
+  def to_jsonl(path: String, mode: String = "overwrite",
+      compression: Option[String] = None): Unit =
+    graft.sources.JsonlReader.writeJsonl(df, path, mode, compression)
 }
 
 object GraftFrame {
@@ -462,6 +473,12 @@ object GraftFrame {
   /** Parquet source (fixtures + any real deployment's columnar data). */
   def read_parquet(spark: SparkSession, path: String): GraftFrame =
     new GraftFrame(spark.read.parquet(path))
+
+  /** JSON-Lines source ([[graft.sources.JsonlReader]]) — pass an
+    * explicit schema at scale to skip the inference scan. */
+  def read_jsonl(spark: SparkSession, path: String,
+      opts: graft.sources.JsonlOptions = graft.sources.JsonlOptions()): GraftFrame =
+    new GraftFrame(graft.sources.JsonlReader.readJsonl(spark, path, opts))
 }
 
 /** Grouped-aggregation surface — `df.groupby(keys).agg(...)`.

@@ -75,7 +75,8 @@ object Contamination {
   def decontaminateBloom(
       train: DataFrame, idCol: String, textCol: String,
       eval: DataFrame, evalTextCol: String,
-      n: Int = 8, expectedEvalNgrams: Long = -1L): DataFrame = {
+      n: Int = 8, expectedEvalNgrams: Long = -1L,
+      maxBroadcastIds: Long = 10000000L): DataFrame = {
     // Materialized ONCE: the auto-size count, the bloom build, and the
     // exact semi-join inside bloomSemiJoin all read this set —
     // unmaterialized, each would re-run the eval explode+distinct.
@@ -90,10 +91,15 @@ object Contamination {
     val expected =
       if (expectedEvalNgrams > 0) expectedEvalNgrams
       else math.max(evalNg.count(), 1024L)
+    // Same broadcast size-gate as [[decontaminate]]: the hit set is
+    // usually a sliver but not by contract, so materialize it once and
+    // only FORCE the broadcast under the threshold.
     val hits = BloomJoin.bloomSemiJoin(
       train.select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("__ng")),
       "__ng", evalNg, "__ng", expected)
       .select(col(idCol)).distinct()
-    train.join(broadcast(hits), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val right = if (hits.count() <= maxBroadcastIds) broadcast(hits) else hits
+    train.join(right, Seq(idCol), "left_anti")
   }
 }

@@ -386,4 +386,63 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
   }
+
+  /** CCNet-style cross-document LINE deduplication (Wenzek et al. 2020;
+    * also the Dolma/RefinedWeb "remove duplicated lines" pass): a line
+    * whose normalized form — `lower(trim(line))` — occurs in at least
+    * `minDocs` DISTINCT documents is boilerplate (nav bars, cookie
+    * banners, footers) and is removed from EVERY document, first
+    * occurrence included. Whitespace-only lines are structural
+    * separators: always kept, never counted. Documents keep their
+    * remaining lines in original order; a fully-boilerplate doc comes
+    * back with empty text rather than disappearing.
+    *
+    * Output: `df`'s columns with `textCol` rebuilt, plus
+    * `n_lines_kept` / `n_lines_dropped` (blank lines count as kept).
+    *
+    * Scale shape: the boilerplate-frequency aggregate shuffles only
+    * slim `(line_hash, id)` pairs — 16 bytes/line, never line text.
+    * The surviving-key set is materialized once and broadcast when
+    * under `maxBroadcastKeys` (boilerplate vocabularies are small —
+    * that's what makes them boilerplate), making the drop a map-side
+    * anti-probe; above the gate the planner shuffles the anti-join.
+    * Line text enters an exchange exactly once, in the per-document
+    * rebuild groupBy — the same volume a plain repartition of the
+    * corpus would move. */
+  def dedupLines(
+      df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2, maxBroadcastKeys: Long = 10000000L): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__key", xxhash64(lower(trim(col("__line")))))
+      .withColumn("__blank", trim(col("__line")) === "")
+    val dupKeys = lines.where(!col("__blank"))
+      .groupBy("__key")
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select("__key")
+      .localCheckpoint(true)
+    val probe = if (dupKeys.count() <= maxBroadcastKeys) broadcast(dupKeys) else dupKeys
+    // Blank lines bypass the anti-join entirely (their shared key must
+    // not collide a doc's separators away when OTHER docs' blanks made
+    // the key frequent — they can't: blanks never reach dupKeys — but
+    // routing them around the join also keeps the probe side smaller).
+    val kept = lines.where(col("__blank"))
+      .unionByName(lines.where(!col("__blank")).join(probe, Seq("__key"), "left_anti"))
+    val rebuilt = kept
+      .groupBy(idCol)
+      .agg(
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            e => e.getField("__line"))).as("__text"),
+        count(lit(1)).as("n_lines_kept"))
+    df.withColumn("n_lines_total", size(split(col(textCol), "\n")))
+      .drop(textCol)
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__text"), lit("")))
+      .withColumn("n_lines_kept", coalesce(col("n_lines_kept"), lit(0L)))
+      .withColumn("n_lines_dropped", col("n_lines_total") - col("n_lines_kept"))
+      .drop("__text", "n_lines_total")
+  }
 }

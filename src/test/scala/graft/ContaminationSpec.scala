@@ -49,6 +49,13 @@ class ContaminationSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("bloom variant above the broadcast cap falls back to a plain anti-join, same result") {
+    val fallback = Contamination.decontaminateBloom(
+        train, "doc_id", "text", eval_, "text", n = 8, maxBroadcastIds = 0L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(fallback == Seq(2L, 3L, 4L))
+  }
+
   test("empty eval corpus flags nothing") {
     val kept = Contamination.decontaminate(
       train, "doc_id", "text", eval_.where(lit(false)), "text", n = 8)

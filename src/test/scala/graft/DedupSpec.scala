@@ -192,4 +192,32 @@ class DedupSpec extends SparkSpec {
   test("exactByHash keeps one row per distinct text") {
     assert(Dedup.exactByHash(docs, "text").count() == 3)
   }
+
+  test("dedupLines removes cross-doc boilerplate lines, keeps order, blanks, and empty docs") {
+    val d = Seq(
+      (1L, "unique one\nSubscribe to our newsletter\n\nbody text a"),
+      (2L, "unique two\n subscribe to our newsletter \n\nbody text b"),
+      (3L, "Subscribe to our newsletter"),        // fully boilerplate after dedup
+      (4L, "solo line\nrepeated within doc\nrepeated within doc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLines(d, "doc_id", "text", minDocs = 2)
+      .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      // normalized match (trim+lower) removes the banner everywhere
+      (1L, "unique one\n\nbody text a", 3L, 1L),
+      (2L, "unique two\n\nbody text b", 3L, 1L),
+      (3L, "", 0L, 1L),                           // doc survives as an empty row
+      // within-doc repetition alone is NOT cross-doc boilerplate
+      (4L, "solo line\nrepeated within doc\nrepeated within doc", 3L, 0L)))
+  }
+
+  test("dedupLines above the broadcast cap falls back to a shuffled anti-join, same result") {
+    val d = Seq(
+      (1L, "a\nshared"), (2L, "b\nshared"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLines(d, "doc_id", "text", minDocs = 2, maxBroadcastKeys = 0L)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
 }
