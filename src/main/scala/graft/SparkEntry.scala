@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Contamination, Dedup, Dsir, HeavyHitters, Multimodal, Pipeline, Quantization, Reductions, Similarity, TextOps}
-import graft.sources.{CsvOptions, CsvReader}
+import graft.operators.{Apply, AsofJoin, Contamination, Dedup, Dsir, HeavyHitters, Multimodal, Pipeline, Quantization, Reductions, Similarity, TextOps, UrlOps}
+import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2.
@@ -232,6 +232,26 @@ object SparkEntry {
         count(lit(1)).as("n_rows"),
         round(sum("val"), 2).as("sum_val"),
         sum("key").as("sum_keys"))
+    }),
+
+    // JSONL round-trip (§2.1 extension): write the documents slice as
+    // JSON Lines through the sink, read back on the explicit-schema
+    // fast path (no inference scan), aggregate. Oracle recomputes the
+    // aggregate straight from parquet — a field dropped, retyped, or
+    // corrupted by either direction breaks the hash.
+    "jsonl_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val out = s"/root/repo/target/tmp/graft_jsonl_${dir.hashCode.toHexString}"
+      JsonlReader.writeJsonl(
+        tbl(s, dir, "documents").select("doc_id", "lang", "n_chars"), out)
+      val back = JsonlReader.readJsonl(s, out, JsonlOptions(schema = Some(StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType))))))
+      back.agg(
+        count(lit(1)).as("n_rows"),
+        sum("n_chars").as("sum_chars"),
+        min("lang").as("min_lang"),
+        sum("doc_id").as("sum_ids"))
     }),
 
     // ----- §2.2 filter / query facade ----------------------------------
@@ -800,6 +820,25 @@ object SparkEntry {
       Dedup.exactByHashById(tbl(s, dir, "documents"), "text", "doc_id")
         .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
     }),
+    // CCNet-style cross-doc LINE dedup over planted multi-line docs:
+    // unique head/mid/tail lines per doc, a blank separator, and two
+    // boilerplate lines (one on doc%2, one on doc%3 — case/padding
+    // variants prove the trim+lower normalization). The oracle replays
+    // split → normalize → doc-frequency → filter → ordered reassembly.
+    "dedup_lines" -> ((s, dir) => {
+      val planted = tbl(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat_ws("\n",
+            concat(lit("u"), col("doc_id"), lit(" "), substring(col("text"), 1, 40)),
+            when(col("doc_id") % 2 === 0, lit("  Subscribe To Our Newsletter"))
+              .otherwise(concat(lit("mid "), col("doc_id"))),
+            lit(""),
+            when(col("doc_id") % 3 === 0, lit("all rights reserved"))
+              .otherwise(concat(lit("tail "), col("doc_id")))).as("t"))
+      Dedup.dedupLines(planted, "doc_id", "t", minDocs = 2)
+        .select(col("doc_id"), col("t"), col("n_lines_kept"), col("n_lines_dropped"))
+        .orderBy("doc_id")
+    }),
 
     // ----- §2.10 near-dedup --------------------------------------------
     // The fixture has no near-dups, so each query constructs them
@@ -1113,6 +1152,47 @@ object SparkEntry {
       Similarity.recallAtK(ann, exact, "query_id", "corpus_id")
         .agg(count(lit(1)).as("n_queries"),
           (avg("recall") >= 0.3).as("recall_ok"))
+    }),
+
+    // ----- URL curation ------------------------------------------------
+    // Synthesized per-doc URLs exercising every normalization branch:
+    // userinfo (÷4), non-default port 8080 (÷5) vs default 443 (÷2),
+    // empty path (÷7), tracking runs at both query edges (÷3 adds a
+    // second run), uppercase scheme/host, fragment. The oracle replays
+    // the IDENTICAL RE2-safe regex pipeline in DuckDB.
+    "url_canonicalize" -> ((s, dir) => {
+      tbl(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(
+            lit("HTTPS://"),
+            when(col("doc_id") % 4 === 0, lit("user:pw@")).otherwise(lit("")),
+            lit("WWW."), col("source"), lit(".Example.COM"),
+            when(col("doc_id") % 5 === 0, lit(":8080"))
+              .when(col("doc_id") % 2 === 0, lit(":443"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, lit(""))
+              .otherwise(concat(lit("/Docs/"), col("doc_id"))),
+            lit("?utm_source=feed&id="), col("doc_id"),
+            when(col("doc_id") % 3 === 0, lit("&gclid=abc&page=2"))
+              .otherwise(lit("&page=1")),
+            lit("&utm_campaign=x#Sec")).as("url"))
+        .select(col("doc_id"),
+          UrlOps.canonicalize(col("url")).as("canon"),
+          UrlOps.host(col("url")).as("host"),
+          UrlOps.registrableDomain(col("url")).as("domain"),
+          UrlOps.stripTrackingParams(col("url")).as("stripped"))
+        .orderBy("doc_id")
+    }),
+    // Domain-level corpus accounting — the grouping shuffles only
+    // (host, counters), never URLs or text.
+    "url_host_stats" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("n_chars"),
+          concat(lit("https://"), col("source"), lit(".example.org/d/"),
+            col("doc_id")).as("url"))
+        .groupBy(UrlOps.host(col("url")).as("host"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("host")
     }),
 
     // ----- §2.10 text analysis -----------------------------------------
@@ -1618,6 +1698,57 @@ object SparkEntry {
        |LEFT JOIN perdoc p ON p.doc_id = b.doc_id
        |LEFT JOIN freq ON freq.gram = p.gram
        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of the [[graft.operators.UrlOps]] regex pipeline.
+    * Patterns are shared verbatim (RE2-safe subset, `trackingNames`
+    * interpolated from the operator so the lists can't drift); the only
+    * dialect differences are `\1` vs `$1` backreference syntax and
+    * DuckDB's explicit 'g' flag (Spark's regexp_replace is
+    * always-global). */
+  private lazy val urlCanonOracle: String = {
+    def strip(x: String) =
+      s"regexp_replace(regexp_replace(regexp_replace($x, " +
+        s"'(?i)([?&])((?:${graft.operators.UrlOps.trackingNames})=[^&#]*&?)+', '\\1', 'g'), " +
+        "'[?&]+#', '#', 'g'), '[?&]+$', '', 'g')"
+    val rest = strip("regexp_replace(regexp_replace(url, '#.*$', '', 'g'), " +
+      "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '', 'g')")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    'HTTPS://' || CASE WHEN doc_id % 4 = 0 THEN 'user:pw@' ELSE '' END ||
+       |    'WWW.' || source || '.Example.COM' ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ':8080'
+       |         WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN '' ELSE '/Docs/' || doc_id END ||
+       |    '?utm_source=feed&id=' || doc_id ||
+       |    CASE WHEN doc_id % 3 = 0 THEN '&gclid=abc&page=2' ELSE '&page=1' END ||
+       |    '&utm_campaign=x#Sec' AS url
+       |  FROM documents WHERE doc_id < 200
+       |), parts AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS sch,
+       |    regexp_replace(regexp_extract(url,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', '', 'g') AS hp,
+       |    ${strip("url")} AS stripped,
+       |    $rest AS rest
+       |  FROM base
+       |), parts2 AS (
+       |  SELECT *,
+       |    lower(regexp_replace(hp, ':[0-9]*$$', '', 'g')) AS host,
+       |    regexp_extract(hp, ':([0-9]+)$$', 1) AS port
+       |  FROM parts
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN sch = '' THEN url ELSE
+       |    sch || '://' || host ||
+       |    CASE WHEN port <> '' AND NOT ((sch = 'http' AND port = '80')
+       |        OR (sch = 'https' AND port = '443'))
+       |      THEN ':' || port ELSE '' END ||
+       |    CASE WHEN rest = '' THEN '/' ELSE rest END END AS canon,
+       |  host,
+       |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+       |  stripped
+       |FROM parts2 ORDER BY doc_id""".stripMargin
   }
 
   /** HUGEINT SQL expression: seeded FNV-1a over the characters of the
@@ -2341,7 +2472,59 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
+    "dedup_lines" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'u' || doc_id || ' ' || substring(text, 1, 40) || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '  Subscribe To Our Newsletter'
+        |         ELSE 'mid ' || doc_id END || chr(10) ||
+        |    chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'all rights reserved'
+        |         ELSE 'tail ' || doc_id END AS t
+        |  FROM documents WHERE doc_id < 200
+        |), lines AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10))) AS line,
+        |    unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos
+        |  FROM base
+        |), norm AS (
+        |  SELECT doc_id, pos, line, lower(trim(line)) AS k,
+        |    trim(line) = '' AS blank
+        |  FROM lines
+        |), dup AS (
+        |  SELECT k FROM norm WHERE NOT blank
+        |  GROUP BY k HAVING count(DISTINCT doc_id) >= 2
+        |), kept AS (
+        |  SELECT doc_id, pos, line FROM norm
+        |  WHERE blank OR k NOT IN (SELECT k FROM dup)
+        |), reb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t,
+        |    CAST(count(*) AS BIGINT) AS n_lines_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, coalesce(r.t, '') AS t,
+        |  coalesce(r.n_lines_kept, 0) AS n_lines_kept,
+        |  CAST(len(string_split(b.t, chr(10))) - coalesce(r.n_lines_kept, 0)
+        |    AS BIGINT) AS n_lines_dropped
+        |FROM base b LEFT JOIN reb r USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> nearDupOracle(restrict = "AND doc_id < 60", threshold = 0.5),
+    "url_canonicalize" -> urlCanonOracle,
+    "url_host_stats" ->
+      """SELECT
+        |  lower(regexp_replace(regexp_replace(regexp_extract(
+        |    'https://' || source || '.example.org/d/' || doc_id,
+        |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+        |    '^[^@]*@', '', 'g'), ':[0-9]*$', '', 'g')) AS host,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY host""".stripMargin,
+    "jsonl_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(lang) AS min_lang,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents""".stripMargin,
     "range_join" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_pairs,
         |  CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,

@@ -409,18 +409,29 @@ object Dedup {
     * Line text enters an exchange exactly once, in the per-document
     * rebuild groupBy — the same volume a plain repartition of the
     * corpus would move. */
-  def dedupLines(
-      df: DataFrame, idCol: String, textCol: String,
-      minDocs: Int = 2, maxBroadcastKeys: Long = 10000000L): DataFrame = {
-    val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+  /** The exploded (id, pos, line, key, blank) line table of
+    * [[dedupLines]] — row-local (one Generate, no exchange). */
+  private[graft] def lineTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__key", xxhash64(lower(trim(col("__line")))))
       .withColumn("__blank", trim(col("__line")) === "")
-    val dupKeys = lines.where(!col("__blank"))
+
+  /** [[dedupLines]]' boilerplate-key set, un-materialized: the
+    * doc-frequency aggregate shuffles only `(__key, id)` — line text
+    * never enters this exchange (pinned in PlanAuditSpec). */
+  private[graft] def boilerplateKeys(
+      df: DataFrame, idCol: String, textCol: String, minDocs: Int): DataFrame =
+    lineTable(df, idCol, textCol).where(!col("__blank"))
       .groupBy("__key")
       .agg(count_distinct(col(idCol)).as("__nd"))
       .where(col("__nd") >= minDocs)
       .select("__key")
+
+  def dedupLines(
+      df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2, maxBroadcastKeys: Long = 10000000L): DataFrame = {
+    val lines = lineTable(df, idCol, textCol)
+    val dupKeys = boilerplateKeys(df, idCol, textCol, minDocs)
       .localCheckpoint(true)
     val probe = if (dupKeys.count() <= maxBroadcastKeys) broadcast(dupKeys) else dupKeys
     // Blank lines bypass the anti-join entirely (their shared key must

@@ -26,7 +26,7 @@ object UrlOps {
   /** Query-parameter names that carry click-tracking state, not
     * content identity: the utm_* family plus the big ad/mail-platform
     * click ids (public lists: Google/Facebook/Microsoft docs). */
-  private val trackingNames =
+  private[graft] val trackingNames =
     "utm_[a-z0-9_]*|fbclid|gclid|msclkid|yclid|igshid|mc_eid|mc_cid|_ga"
 
   private val schemePrefix = "^[a-zA-Z][a-zA-Z0-9+.-]*://"

@@ -240,6 +240,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dedupLines: slim frequency shuffle, broadcast anti-probe, no cartesian") {
+    val p = plan("dedup_lines")
+    assert(!p.contains("CartesianProduct"), p)
+    // under the size gate the boilerplate-key probe is a map-side
+    // broadcast anti-join — line text never shuffles for the FILTER
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the doc-frequency aggregate carries (key, id), never line text —
+    // planned on the un-checkpointed key set (the checkpoint hides the
+    // aggregate's job from the gate plan)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val kp = graft.operators.Dedup.boilerplateKeys(docs, "doc_id", "text", 2)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val blocks = kp.split("""(?m)^\(\d+\) """).toSeq
+    val keyExchanges = blocks.filter(b => b.startsWith("Exchange") && b.contains("__key"))
+    assert(keyExchanges.nonEmpty, kp)
+    for (b <- keyExchanges)
+      assert(!b.contains("__line#"), s"line text in the frequency exchange:\n$b")
+  }
+
+  test("url ops: pure row-local projection — only the gate's sort exchange") {
+    val p = plan("url_canonicalize")
+    assert(nodes(p, "Exchange") <= 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("url host stats: two-phase hash aggregate over (host, counters)") {
+    val p = plan("url_host_stats")
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("broadcast join query does broadcast; big join stays shuffle") {
     assert(plan("join_broadcast").contains("BroadcastHashJoin"))
     // join_big must not HINT a broadcast: disable the size-based
