@@ -1352,6 +1352,23 @@ object SparkEntry {
         .select(col("doc_id"),
           round(TextOps.charEntropy(col("t")), 6).as("char_entropy"))
         .orderBy("doc_id")),
+    // Unicode NFC normalization: planted decomposed sequences —
+    // e+combining-acute (composes to U+00E9), a+combining-ring
+    // (U+00E5), and the composition-EXCLUDED U+1E9B+U+0323 (stays
+    // decomposed under NFC) — appended to ASCII text (identity fast
+    // path). Oracle = DuckDB's own nfc_normalize (same UAX #15
+    // tables), comparing the normalized string AND codepoint counts.
+    "text_nfc" -> ((s, dir) =>
+      tbl(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" e\u0301 a\u030A \u1E9B\u0323")))
+            .otherwise(col("text")).as("t"))
+        .select(col("doc_id"),
+          TextOps.nfcNormalize(col("t")).as("norm_text"),
+          length(col("t")).as("n_raw"),
+          length(TextOps.nfcNormalize(col("t"))).as("n_norm"))
+        .orderBy("doc_id")),
     // Cross-doc duplicated-span fraction (the RefinedWeb/Dolma
     // "duplicate n-gram fraction"): every third doc gets the SAME
     // 12-token boilerplate tail (5 fully-shared 8-grams each; the
@@ -2625,6 +2642,20 @@ object SparkEntry {
         |    (a, x) -> a - x), 6) AS DOUBLE) AS char_entropy
         |FROM ordered o JOIN lens l ON o.doc_id = l.doc_id
         |ORDER BY o.doc_id""".stripMargin,
+    "text_nfc" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' ' || chr(101) || chr(769) || ' ' || chr(97) ||
+        |           chr(778) || ' ' || chr(7835) || chr(803)
+        |      ELSE text END AS t
+        |  FROM documents WHERE doc_id < 200
+        |)
+        |SELECT doc_id,
+        |  nfc_normalize(t) AS norm_text,
+        |  CAST(length(t) AS INT) AS n_raw,
+        |  CAST(length(nfc_normalize(t)) AS INT) AS n_norm
+        |FROM base ORDER BY doc_id""".stripMargin,
     "text_dupspans" -> dupSpansOracle,
     "text_dsir" ->
       s"""$dsirOracleCte

@@ -452,6 +452,13 @@ object TextOps {
   def charEntropy(text: Column): Column =
     graft.functions.CharEntropy.charEntropy(text)
 
+  /** Unicode NFC normalization — run BEFORE any hash-identity operator
+    * (exact/near dedup, line dedup, decontamination) so canonically
+    * equal text hashes equally; ASCII rows return the input untouched
+    * ([[graft.functions.NfcNormalize]]). */
+  def nfcNormalize(text: Column): Column =
+    graft.functions.NfcNormalize.nfc(text)
+
   /** Cross-document duplicated-span signal (the "duplicate n-gram
     * fraction" used by RefinedWeb / Dolma curation): for each document,
     * the fraction of its word `n`-gram OCCURRENCES whose gram also

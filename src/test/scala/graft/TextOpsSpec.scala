@@ -228,6 +228,31 @@ class TextOpsSpec extends SparkSpec {
     assert(spamH < proseH)
   }
 
+  test("nfcNormalize composes decomposed sequences, respects exclusions, ASCII is identity") {
+    val df = Seq(
+      (1L, "e\u0301"),          // composes to U+00E9
+      (2L, "a\u030A"),          // composes to U+00E5
+      (3L, "\u1E9B\u0323"),    // composition-excluded: stays decomposed
+      (4L, "plain ascii"),       // identity fast path
+      (5L, "\u00E9"))           // already NFC
+      .toDF("id", "t")
+    val got = df.select(col("id"), TextOps.nfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "\u00E9")
+    assert(got(2L) == "\u00E5")
+    assert(got(3L) == "\u1E9B\u0323")
+    assert(got(4L) == "plain ascii")
+    assert(got(5L) == "\u00E9")
+    // null propagates, not NPEs
+    val n = df.select(TextOps.nfcNormalize(lit(null).cast("string"))).collect()(0)
+    assert(n.isNullAt(0))
+    // the hash-identity motivation: decomposed == composed AFTER normalize
+    val pair = Seq(("e\u0301", "\u00E9")).toDF("a", "b")
+      .select((TextOps.nfcNormalize(col("a")) === TextOps.nfcNormalize(col("b"))).as("eq"))
+      .collect()(0).getBoolean(0)
+    assert(pair)
+  }
+
   test("crossDocDupNgramFraction flags shared spans, not unique text") {
     // docs 1 and 2 share a 4-token boilerplate tail; doc 3 is unique;
     // doc 4 is too short for any 3-gram.
