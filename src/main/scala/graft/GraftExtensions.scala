@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CharEntropy, CosineSimilarity, MinHashBands, MinHashSignature,
-  SimHash64, TextMinHashBands, WordNGrams, ProductAgg}
+  NfcNormalize, SimHash64, TextMinHashBands, WordNGrams, ProductAgg}
 
 /** Registers graft's native expressions in the SQL function registry so
   * `spark.sql("SELECT cosine_similarity(a, b) ...")` works — installed
@@ -102,6 +102,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "char_entropy(text) takes 1 argument")
         CharEntropy(args(0))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize(text) takes 1 argument")
+        NfcNormalize(args(0))
       }))
   }
 }

@@ -24,6 +24,12 @@ class ExtensionsSpec extends SparkSpec {
 
     val agg = spark.sql("SELECT product_agg(v) FROM ext_t").collect()(0)
     assert(agg.getDouble(0) == 6.0)
+
+    val nfc = spark.sql(
+      "SELECT nfc_normalize('e\\u0301') = '\\u00E9', char_entropy('aa')")
+      .collect()(0)
+    assert(nfc.getBoolean(0))
+    assert(nfc.getDouble(1) == 0.0)
   }
 
   test("SQL function argument validation surfaces clear errors") {
