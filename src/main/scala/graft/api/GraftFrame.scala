@@ -326,6 +326,15 @@ final class GraftFrame(val df: DataFrame) {
       Dedup.nearDupMinHash(df, idCol, textCol, threshold)
         .select(col("id_a"), col("id_b"))))
 
+  /** Drop near-duplicates keeping the BEST-scoring cluster member
+    * (quality-aware representative; ties to min id) —
+    * [[graft.operators.Dedup.dropNearDuplicatesBy]]. */
+  def drop_near_duplicates_by(idCol: String, textCol: String, scoreCol: String,
+      threshold: Double = 0.8): GraftFrame =
+    new GraftFrame(Dedup.dropNearDuplicatesBy(df, idCol, scoreCol,
+      Dedup.nearDupMinHash(df, idCol, textCol, threshold)
+        .select(col("id_a"), col("id_b"))))
+
   /** CCNet-style cross-document line dedup: remove lines occurring in
     * ≥ `minDocs` distinct docs ([[graft.operators.Dedup.dedupLines]]). */
   def dedup_lines(idCol: String, textCol: String,

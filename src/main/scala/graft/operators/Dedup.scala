@@ -322,6 +322,29 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Drop near-duplicates keeping the BEST-scoring member of each
+    * duplicate cluster — the quality-aware curation rule (keep the
+    * highest-quality copy, not an arbitrary one; Dolma/RefinedWeb both
+    * select representatives by quality signals). Ties break to the
+    * smaller id, so the result is deterministic. `scoreCol` must be
+    * numeric and non-null on every doc that appears in `pairs`; `idCol`
+    * must be numeric (the tie-break negates it).
+    *
+    * Shape on top of [[duplicateClusters]]' log-round contraction: ONE
+    * `max_by` aggregate over slim (cluster, score, id) rows picks
+    * winners, losers anti-join back — the payload never shuffles. */
+  def dropNearDuplicatesBy(
+      docs: DataFrame, idCol: String, scoreCol: String, pairs: DataFrame): DataFrame = {
+    val member = duplicateClusters(pairs)
+      .join(docs.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+    val winners = member.groupBy("cluster")
+      .agg(max_by(col("id"), struct(col("__score"), -col("id"))).as("__win"))
+    val losers = member.join(winners, Seq("cluster"))
+      .where(col("id") =!= col("__win"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact all-pairs n-gram Jaccard ≥ threshold — the brute-force
     * oracle path. QUADRATIC: for small frames / within-bucket verify
     * only; the scale path is [[nearDupMinHash]]. */

@@ -212,6 +212,19 @@ class DedupSpec extends SparkSpec {
       (4L, "solo line\nrepeated within doc\nrepeated within doc", 3L, 0L)))
   }
 
+  test("dropNearDuplicatesBy keeps the best-scoring member; ties go to min id") {
+    val d = Seq(
+      (1L, "a", 10.0), (2L, "a2", 50.0), (3L, "a3", 50.0), // cluster {1,2,3}
+      (4L, "b", 7.0), (5L, "b2", 3.0),                     // cluster {4,5}
+      (6L, "solo", 0.0))                                   // unpaired: always kept
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicatesBy(d, "doc_id", "score", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // {1,2,3}: max score 50 tie between 2 and 3 → min id 2; {4,5}: 4 wins
+    assert(kept == Seq(2L, 4L, 6L))
+  }
+
   test("dedupLines above the broadcast cap falls back to a shuffled anti-join, same result") {
     val d = Seq(
       (1L, "a\nshared"), (2L, "b\nshared"), (3L, "c"))

@@ -247,4 +247,56 @@ class PropertySpec extends SparkSpec {
       chunks.dropRight(1).foreach(c => assert(c.length == maxTokens, s"seed=$seed"))
     }
   }
+
+  test("url canonicalize laws: idempotent, fragment-free, lowercase authority") {
+    import graft.operators.UrlOps
+    val urlGen = for {
+      sch <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "ftp")
+      user <- Gen.oneOf("", "u:p@")
+      host <- Gen.oneOf("Example.COM", "sub.ex.org", "LOCALHOST", "a.b.co.uk")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/x%20y")
+      query <- Gen.oneOf("", "?id=1", "?utm_source=x", "?utm_a=1&id=2",
+        "?id=2&gclid=z", "?utm_a=1&utm_b=2", "?myutm=1&fbclid=q&id=3")
+      frag <- Gen.oneOf("", "#f", "#Sec One")
+    } yield s"$sch://$user$host$port$path$query$frag"
+    val urls = (1L to 40L).map(sample(urlGen, _)).distinct
+    val df = urls.map(Tuple1(_)).toDF("u")
+    val rows = df.select(col("u"),
+      UrlOps.canonicalize(col("u")).as("c1"),
+      UrlOps.canonicalize(UrlOps.canonicalize(col("u"))).as("c2"),
+      UrlOps.host(col("u")).as("h")).collect()
+    for (r <- rows) {
+      val (u, c1, c2, h) = (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+      assert(c1 == c2, s"not idempotent: $u -> $c1 -> $c2")
+      assert(!c1.contains("#"), s"fragment survived: $u -> $c1")
+      assert(!c1.contains("@"), s"userinfo survived: $u -> $c1")
+      assert(h == h.toLowerCase, s"host not lowercased: $u")
+      assert(c1.startsWith(u.takeWhile(_ != ':').toLowerCase + "://"), s"$u -> $c1")
+      // no tracking param survives as a whole param name
+      for (bad <- Seq("utm_source", "utm_a", "utm_b", "gclid", "fbclid"))
+        assert(!c1.matches(s".*[?&]$bad=.*"), s"tracking survived: $u -> $c1")
+    }
+  }
+
+  test("dedupLines law: the output is a fixpoint (second pass drops nothing)") {
+    import graft.operators.Dedup
+    val lineGen = Gen.listOfN(5, Gen.oneOf(
+      Gen.oneOf("SHARED banner", "shared banner  ", "All Rights Reserved", ""),
+      Gen.alphaNumStr.map("uniq " + _.take(10))))
+    val docs = (1L to 20L).map { i =>
+      (i, sample(lineGen, i).mkString("\n") + s"\ntail $i")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val once = Dedup.dedupLines(df, "doc_id", "text", minDocs = 2)
+      .select("doc_id", "text").localCheckpoint(true)
+    val twice = Dedup.dedupLines(once, "doc_id", "text", minDocs = 2)
+    assert(twice.agg(sum("n_lines_dropped")).collect()(0).getLong(0) == 0L)
+    // and no non-blank normalized line is left in >= 2 docs
+    val texts = once.collect().map(r => r.getLong(0) -> r.getString(1))
+    val freq = texts.flatMap { case (id, t) =>
+      t.split("\n").map(_.trim.toLowerCase).filter(_.nonEmpty).distinct.map(_ -> id)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
+    assert(freq.values.forall(_ < 2), freq.filter(_._2 >= 2).toString)
+  }
 }
