@@ -272,6 +272,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("drop-best dedup: winner selection is a slim aggregate, no cartesian, no window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val p = graft.operators.Dedup.dropNearDuplicatesBy(
+        docs.withColumn("score", pmod(col("doc_id"), lit(7L))), "doc_id", "score", pairs)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // the winner aggregate groups on cluster and never carries text
+    // (max_by with a struct ordering plans as SortAggregate)
+    val blocks = p.split("""(?m)^\(\d+\) """).toSeq
+    val winnerAggs = blocks.filter(b =>
+      b.takeWhile(_ != '\n').contains("Aggregate") && b.contains("max_by"))
+    assert(winnerAggs.nonEmpty, p)
+    for (b <- winnerAggs) assert(!b.contains("text#"), s"payload in winner agg:\n$b")
+  }
+
   test("broadcast join query does broadcast; big join stays shuffle") {
     assert(plan("join_broadcast").contains("BroadcastHashJoin"))
     // join_big must not HINT a broadcast: disable the size-based
