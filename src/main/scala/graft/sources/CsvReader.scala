@@ -32,6 +32,14 @@ import org.apache.spark.sql.types._
   *    parsed via `csv(Dataset[String])`; `header` then applies to the
   *    first KEPT line, as in pandas. This path decodes through the text
   *    reader (UTF-8).
+  *  - `skipfooter=N` → drop the last N file lines. Needs the total
+  *    line count, so it costs ONE extra counting job over the text —
+  *    the same whole-file buffering pandas' python engine does for this
+  *    option; leave it 0 on data too big to pay that.
+  *  - `dayfirst` → pandas' hint for ambiguous slashed/dashed dates
+  *    ("03/02/21" = Feb 3). Applied in `parse_dates` as a
+  *    day-first-format parse chain (slash, dash, then ISO fallback);
+  *    an explicit `timestampFormat` always wins.
   *  - `decimal` / `thousands` → pandas applies these during numeric
   *    parse; Spark's parser and inference know neither, and inference
   *    would silently MISparse "1.234" (thousands='.') as 1.234. So when
@@ -72,6 +80,11 @@ final case class CsvOptions(
     // pandas `skiprows` (int form): drop the first N file lines before
     // header detection
     skiprows: Int = 0,
+    // pandas `skipfooter`: drop the last N file lines (costs a count
+    // job — see header doc)
+    skipfooter: Int = 0,
+    // pandas `dayfirst`: day-before-month for ambiguous parse_dates
+    dayfirst: Boolean = false,
     // pandas `decimal` / `thousands`: numeric separator characters —
     // effective on dtype-declared numeric columns (see header doc)
     decimal: String = ".",
@@ -114,6 +127,7 @@ object CsvReader {
 
   def readCsv(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
     require(opts.skiprows >= 0, s"skiprows must be >= 0, got ${opts.skiprows}")
+    require(opts.skipfooter >= 0, s"skipfooter must be >= 0, got ${opts.skipfooter}")
     require(opts.decimal.length == 1, s"decimal must be one char, got '${opts.decimal}'")
     opts.thousands.foreach(t =>
       require(t.length == 1 && t != opts.decimal,
@@ -122,15 +136,22 @@ object CsvReader {
     // separator, so the clean-then-cast rewrite below owns the numeric
     // conversion and inference must not pre-empt it with a misparse.
     val needsClean = opts.decimal != "." || opts.thousands.isDefined
-    // skiprows: drop the first N lines by global line index, then parse
+    // skiprows/skipfooter: drop lines by global line index, then parse
     // the remainder as CSV. zipWithIndex costs one per-partition
     // line-count pass (no shuffle); text-file splits keep line order.
+    // skipfooter additionally needs the TOTAL count — one more job.
     val skipped: Option[org.apache.spark.sql.Dataset[String]] =
-      if (opts.skiprows == 0) None
-      else Some(spark.createDataset(
-        spark.read.textFile(path).rdd.zipWithIndex()
-          .filter(_._2 >= opts.skiprows).map(_._1))(
-        org.apache.spark.sql.Encoders.STRING))
+      if (opts.skiprows == 0 && opts.skipfooter == 0) None
+      else {
+        val lines = spark.read.textFile(path).rdd.zipWithIndex()
+        val upper: Long =
+          if (opts.skipfooter == 0) Long.MaxValue
+          else lines.count() - opts.skipfooter
+        Some(spark.createDataset(
+          lines.filter { case (_, i) => i >= opts.skiprows && i < upper }
+            .map(_._1))(
+          org.apache.spark.sql.Encoders.STRING))
+      }
     def load(rr: org.apache.spark.sql.DataFrameReader): DataFrame =
       skipped.map(rr.csv).getOrElse(rr.csv(path))
     var r = spark.read
@@ -204,7 +225,21 @@ object CsvReader {
       }.toSeq: _*)
     opts.parseDates.foreach { c =>
       df = df.withColumn(c, opts.timestampFormat
-        .map(f => to_timestamp(col(c), f)).getOrElse(to_timestamp(col(c))))
+        .map(f => to_timestamp(col(c), f))
+        .getOrElse(
+          if (opts.dayfirst)
+            // day-first chain: slashed, dashed (with and without time),
+            // then the ISO default. try_to_timestamp, not to_timestamp:
+            // under ANSI (Spark 4 default) a non-matching format THROWS
+            // instead of yielding null, which would kill the chain on
+            // the first row that needs a later format.
+            coalesce(
+              try_to_timestamp(col(c), lit("d/M/yyyy H:mm:ss")),
+              try_to_timestamp(col(c), lit("d/M/yyyy")),
+              try_to_timestamp(col(c), lit("d-M-yyyy H:mm:ss")),
+              try_to_timestamp(col(c), lit("d-M-yyyy")),
+              try_to_timestamp(col(c)))
+          else to_timestamp(col(c))))
     }
     opts.converters.foreach { case (c, f) => df = df.withColumn(c, f(col(c))) }
     opts.nrows.foreach(n => df = df.limit(n))

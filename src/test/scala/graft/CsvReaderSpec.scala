@@ -113,6 +113,31 @@ class CsvReaderSpec extends SparkSpec {
       Seq((1, 2), (3, 4)))
   }
 
+  test("skipfooter drops trailing lines; composes with skiprows and header") {
+    val p = writeCsv("preamble", "k;v", "1;10", "2;20", "footer junk", "-- end --")
+    val df = CsvReader.readCsv(spark, p,
+      CsvOptions(sep = ";", skiprows = 1, skipfooter = 2))
+    assert(df.columns.toSeq == Seq("k", "v"))
+    assert(df.collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq ==
+      Seq((1, 10), (2, 20)))
+    // footer alone, no skiprows
+    val p2 = writeCsv("x", "1", "2", "trailer")
+    val df2 = CsvReader.readCsv(spark, p2, CsvOptions(skipfooter = 1))
+    assert(df2.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("dayfirst parses ambiguous slashed/dashed dates day-first; ISO still works") {
+    val p = writeCsv("d", "03/02/2021", "3/2/2021 4:05:06", "25-12-2020", "2021-07-01")
+    val df = CsvReader.readCsv(spark, p,
+      CsvOptions(parseDates = Seq("d"), dayfirst = true, inferSchema = false))
+    val got = df.collect().map(r =>
+      if (r.isNullAt(0)) null else r.getTimestamp(0).toString)
+    assert(got(0) == "2021-02-03 00:00:00.0", got(0)) // Feb 3, NOT Mar 2
+    assert(got(1) == "2021-02-03 04:05:06.0", got(1))
+    assert(got(2) == "2020-12-25 00:00:00.0", got(2))
+    assert(got(3) == "2021-07-01 00:00:00.0", got(3)) // ISO fallback
+  }
+
   test("decimal + thousands parse European-formatted numerics via dtype") {
     // pandas: read_csv(..., sep=';', decimal=',', thousands='.') turns
     // "1.234,56" into 1234.56 and "9.876" (int col) into 9876
