@@ -1198,6 +1198,23 @@ object SparkEntry {
           UrlOps.stripTrackingParams(col("url")).as("stripped"))
         .orderBy("doc_id")
     }),
+    // Domain blocklist filter: block every source whose trailing digit
+    // is even (a deterministic, SQL-replayable list built from the
+    // corpus itself), keep the rest. The corpus never shuffles — the
+    // blocklist broadcasts (plan-asserted).
+    "url_blocklist" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          concat(lit("https://www."), col("source"), lit(".example-"),
+            col("source"), lit(".net/d/"), col("doc_id")).as("url"))
+      val block = tbl(s, dir, "documents")
+        .select(col("source")).distinct()
+        .where(substring(col("source"), -1, 1).cast("int") % 2 === 0)
+        .select(concat(lit("EXAMPLE-"), col("source"), lit(".NET")).as("domain"))
+      UrlOps.dropBlockedDomains(docs, "url", block, "domain")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"),
+          count_distinct(col("source")).as("n_sources"))
+    }),
     // Domain-level corpus accounting — the grouping shuffles only
     // (host, counters), never URLs or text.
     "url_host_stats" -> ((s, dir) => {
@@ -2589,6 +2606,29 @@ object SparkEntry {
         |ORDER BY b.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> nearDupOracle(restrict = "AND doc_id < 60", threshold = 0.5),
     "url_canonicalize" -> urlCanonOracle,
+    "url_blocklist" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    'https://www.' || source || '.example-' || source || '.net/d/'
+        |      || doc_id AS url
+        |  FROM documents
+        |), block AS (
+        |  SELECT DISTINCT lower('EXAMPLE-' || source || '.NET') AS bad
+        |  FROM documents
+        |  WHERE CAST(substring(source, -1, 1) AS INT) % 2 = 0
+        |), withdom AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract(
+        |      lower(regexp_replace(regexp_replace(regexp_extract(url,
+        |        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+        |        '^[^@]*@', '', 'g'), ':[0-9]*$', '', 'g')),
+        |      '([^.]+\.[^.]+)$', 1) AS dom
+        |  FROM docs
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM withdom WHERE dom NOT IN (SELECT bad FROM block)""".stripMargin,
     "url_host_stats" ->
       """SELECT
         |  lower(regexp_replace(regexp_replace(regexp_extract(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL normalization and host extraction for web-corpus curation — the
@@ -93,5 +93,25 @@ object UrlOps {
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
       when(rest === "", lit("/")).otherwise(rest))
     when(sch === "", url).otherwise(built)
+  }
+
+  /** Remove rows whose registrable domain is on a blocklist — the
+    * URL-level filter every web-corpus pipeline runs (spam/adult/SEO
+    * domain lists). Matching is by [[registrableDomain]], so
+    * `spam.example.com` is caught by a `example.com` entry exactly when
+    * the naive last-two-labels rule says so (same caveat as
+    * registrableDomain; bring a PSL join for two-level suffixes).
+    *
+    * Scale: blocklists are millions of rows at most — the anti-join
+    * broadcasts the lowercased domain set (a forced hint; even a 10M ×
+    * 20-char list is ~moderate broadcast state), so the corpus never
+    * shuffles. For a list too big even for that, pre-filter with
+    * [[BloomJoin.bloomSemiJoin]] on the domain instead. */
+  def dropBlockedDomains(
+      df: DataFrame, urlCol: String,
+      blocklist: DataFrame, domainCol: String): DataFrame = {
+    val bad = blocklist.select(lower(col(domainCol)).as("__bad_domain")).distinct()
+    df.join(broadcast(bad),
+      registrableDomain(col(urlCol)) === col("__bad_domain"), "left_anti")
   }
 }

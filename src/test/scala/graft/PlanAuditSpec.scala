@@ -272,6 +272,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("url blocklist: corpus never shuffles — broadcast anti-join only") {
+    val p = plan("url_blocklist")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("drop-best dedup: winner selection is a slim aggregate, no cartesian, no window") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     import org.apache.spark.sql.functions._

@@ -38,6 +38,19 @@ class UrlOpsSpec extends SparkSpec {
       == "https://a.com/p?myutm_a=2")
   }
 
+  test("dropBlockedDomains removes listed registrable domains, case-insensitively") {
+    val docs = Seq(
+      (1L, "https://spam.Bad.COM/x"),       // subdomain of a listed domain
+      (2L, "https://bad.com/y"),            // exact listed domain
+      (3L, "https://good.org/z"),
+      (4L, "https://notbad.com.good.org/")) // bad.com only as an inner label
+      .toDF("id", "url")
+    val block = Seq(Tuple1("BAD.com")).toDF("domain")
+    val kept = UrlOps.dropBlockedDomains(docs, "url", block, "domain")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(3L, 4L))
+  }
+
   test("canonicalize: case, userinfo, default/non-default port, empty path, fragment") {
     assert(one("HTTPS://U:p@WWW.A.COM:443/Docs/9?utm_x=1&id=9#Sec", UrlOps.canonicalize)
       == "https://www.a.com/Docs/9?id=9")
