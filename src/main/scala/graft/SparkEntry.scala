@@ -885,6 +885,22 @@ object SparkEntry {
       Dedup.dropNearDuplicates(corpus, "doc_id", pairs.select(col("id_a"), col("id_b")))
         .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
     }),
+    // Incremental dedup: the full documents table is the INDEX; the
+    // "new batch" is the drop-5-token copies. Every copy must pair with
+    // its original (and only index-side docs — copy-vs-copy pairs are
+    // out of contract). Oracle: exact cross-group jaccard sweep.
+    "dedup_incremental" -> ((s, dir) => {
+      val corpus = tbl(s, dir, "documents")
+      val batch = nearDupCorpus(corpus).where(col("doc_id") >= 100000)
+      val index = Dedup.minHashIndex(corpus, "doc_id", "text",
+        numHashes = 128, bands = 32)
+      Dedup.nearDupAgainstIndex(batch, "doc_id", "text",
+          index, corpus, "doc_id", "text",
+          threshold = 0.5, numHashes = 128, bands = 32)
+        .select(col("id_new"), col("id_idx"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_new", "id_idx")
+    }),
     // Quality-aware representative selection: same clusters as
     // dedup_drop, but the keeper is the max of a deterministic
     // pseudo-quality score ((id * 2654435761) % 1000 — Knuth hash,
@@ -2563,6 +2579,36 @@ object SparkEntry {
         |  CAST(sum((doc_id * 2654435761) % 1000) AS BIGINT) AS sum_scores
         |FROM corpus
         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+    "dedup_incremental" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 30
+        |), news AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(
+        |      list_slice(string_split(text, ' '), 1,
+        |        len(string_split(text, ' ')) - 5), ' ') AS text
+        |  FROM base
+        |), shI AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ')
+        |                   for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |        FROM documents)
+        |), shN AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ')
+        |                   for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |        FROM news)
+        |)
+        |SELECT n.doc_id AS id_new, i.doc_id AS id_idx,
+        |  CAST(round(len(list_intersect(n.s, i.s))::DOUBLE
+        |    / len(list_distinct(list_concat(n.s, i.s))), 6) AS DOUBLE) AS jaccard
+        |FROM shN n JOIN shI i
+        |  ON len(list_intersect(n.s, i.s))::DOUBLE
+        |     / len(list_distinct(list_concat(n.s, i.s))) >= 0.5
+        |ORDER BY id_new, id_idx""".stripMargin,
     "dedup_exact_hash" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids

@@ -183,6 +183,64 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Persistable band-hash INDEX of a corpus — `(band_idx, band_hash,
+    * id)` rows, one per (doc, band). Write it partitioned/bucketed by
+    * `(band_idx, band_hash)` and probe it incrementally with
+    * [[nearDupAgainstIndex]]: the daily-ingest dedup shape, where the
+    * 100 TB corpus is signatured ONCE and each new batch only pays for
+    * itself. Parameters must match between index build and probe
+    * (same seed/numHashes/bands/shingleN — the hashes are the contract). */
+  def minHashIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    docs.select(
+      col(idCol).as("id"),
+      posexplode(
+        graft.functions.TextMinHashBands.textMinhashBands(
+          col(textCol), shingleN, numHashes, bands, seed))
+        .as(Seq("band_idx", "band_hash")))
+      .select(col("band_idx"), col("band_hash"), col("id"))
+  }
+
+  /** Incremental near-dup: NEW documents probed against a corpus
+    * [[minHashIndex]] — output `(id_new, id_idx, jaccard)` for every
+    * new doc within `threshold` of an INDEXED doc (new-vs-new pairs are
+    * deliberately out of scope: run [[nearDupMinHash]] on the batch for
+    * those). `corpus` supplies the indexed docs' text for the exact
+    * verify; id spaces may overlap (the columns keep the sides apart).
+    *
+    * Scale shape: the new batch's band hashes are row-local; ONE
+    * equi-join on `(band_idx, band_hash)` against the index finds
+    * candidates — with the index stored bucketed on those keys, only
+    * the (small) batch side shuffles. The verify then joins text for
+    * the candidate ids only: at 100 TB the index is petabyte-class but
+    * the per-batch work is proportional to the BATCH, not the corpus. */
+  def nearDupAgainstIndex(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
+      threshold: Double,
+      numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val probe = minHashIndex(newDocs, idCol, textCol, numHashes, bands, shingleN, seed)
+      .withColumnRenamed("id", "id_new")
+    val cands = probe
+      .join(index.withColumnRenamed("id", "id_idx"), Seq("band_idx", "band_hash"))
+      .select(col("id_new"), col("id_idx"))
+      .distinct()
+    val shNew = newDocs.select(col(idCol).as("id_new"),
+      shingles(col(textCol), shingleN).as("__sh_new"))
+    val shIdx = corpus.select(col(corpusIdCol).as("id_idx"),
+      shingles(col(corpusTextCol), shingleN).as("__sh_idx"))
+    cands
+      .join(shNew, "id_new")
+      .join(shIdx, "id_idx")
+      .select(col("id_new"), col("id_idx"),
+        jaccard(col("__sh_new"), col("__sh_idx")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Connected components over near-duplicate pairs: (id, cluster)
     * where cluster = the minimum id reachable through the pair graph.
     * This is the step that turns pair OUTPUT into an actual dedup

@@ -212,6 +212,26 @@ class DedupSpec extends SparkSpec {
       (4L, "solo line\nrepeated within doc\nrepeated within doc", 3L, 0L)))
   }
 
+  test("nearDupAgainstIndex finds new-vs-indexed pairs only, at matching params") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about database query optimization plans"))
+      .toDF("doc_id", "text")
+    val news = Seq(
+      // near-dup of corpus doc 1 (last word changed)
+      (10L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      // unrelated new doc
+      (11L, "unrelated musings on distributed consensus and failure detectors"),
+      // near-dup of ANOTHER NEW doc only — must NOT be reported
+      (12L, "unrelated musings on distributed consensus and failure detector"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minHashIndex(corpus, "doc_id", "text")
+    val got = Dedup.nearDupAgainstIndex(news, "doc_id", "text",
+        idx, corpus, "doc_id", "text", threshold = 0.5)
+      .select("id_new", "id_idx").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L)))
+  }
+
   test("dropNearDuplicatesBy keeps the best-scoring member; ties go to min id") {
     val d = Seq(
       (1L, "a", 10.0), (2L, "a2", 50.0), (3L, "a3", 50.0), // cluster {1,2,3}
