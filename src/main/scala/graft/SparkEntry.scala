@@ -2630,8 +2630,11 @@ object SparkEntry {
         |    unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos
         |  FROM base
         |), norm AS (
-        |  SELECT doc_id, pos, line, lower(trim(line)) AS k,
-        |    trim(line) = '' AS blank
+        |  -- space/tab/CR trim, matching the operator's key (DuckDB's
+        |  -- bare trim is space-only, like Spark's)
+        |  SELECT doc_id, pos, line,
+        |    lower(trim(line, ' ' || chr(9) || chr(13))) AS k,
+        |    trim(line, ' ' || chr(9) || chr(13)) = '' AS blank
         |  FROM lines
         |), dup AS (
         |  SELECT k FROM norm WHERE NOT blank

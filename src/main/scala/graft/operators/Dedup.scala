@@ -470,7 +470,7 @@ object Dedup {
 
   /** CCNet-style cross-document LINE deduplication (Wenzek et al. 2020;
     * also the Dolma/RefinedWeb "remove duplicated lines" pass): a line
-    * whose normalized form — `lower(trim(line))` — occurs in at least
+    * whose normalized form — lowercased, space/tab/CR-trimmed — occurs in at least
     * `minDocs` DISTINCT documents is boilerplate (nav bars, cookie
     * banners, footers) and is removed from EVERY document, first
     * occurrence included. Whitespace-only lines are structural
@@ -480,6 +480,12 @@ object Dedup {
     *
     * Output: `df`'s columns with `textCol` rebuilt, plus
     * `n_lines_kept` / `n_lines_dropped` (blank lines count as kept).
+    *
+    * Line endings: splitting is on `\n`; a CRLF corpus leaves `\r` on
+    * the line PAYLOAD (preserved verbatim in the rebuild — this
+    * operator dedups, it doesn't reformat) but never on the MATCH KEY
+    * (`trim` strips it), so mixed-ending corpora still dedupe
+    * correctly (pinned in DedupSpec).
     *
     * Scale shape: the boilerplate-frequency aggregate shuffles only
     * slim `(line_hash, id)` pairs — 16 bytes/line, never line text.
@@ -491,11 +497,16 @@ object Dedup {
     * rebuild groupBy — the same volume a plain repartition of the
     * corpus would move. */
   /** The exploded (id, pos, line, key, blank) line table of
-    * [[dedupLines]] — row-local (one Generate, no exchange). */
+    * [[dedupLines]] — row-local (one Generate, no exchange). The match
+    * key strips space/tab/CR (Spark's bare `trim` is SPACE-only — it
+    * would leave `\r` in the key and mis-split CRLF vs LF corpora, and
+    * count a bare `\r` line as content instead of a blank separator). */
   private[graft] def lineTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
-      .withColumn("__key", xxhash64(lower(trim(col("__line")))))
-      .withColumn("__blank", trim(col("__line")) === "")
+      .withColumn("__norm", lower(trim(col("__line"), " \t\r")))
+      .withColumn("__key", xxhash64(col("__norm")))
+      .withColumn("__blank", col("__norm") === "")
+      .drop("__norm")
 
   /** [[dedupLines]]' boilerplate-key set, un-materialized: the
     * doc-frequency aggregate shuffles only `(__key, id)` — line text

@@ -245,6 +245,19 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(2L, 4L, 6L))
   }
 
+  test("dedupLines matches across CRLF/LF line endings; payload endings preserved") {
+    val d = Seq(
+      (1L, "unique a\r\nshared banner\r\nkeep a"),   // CRLF doc
+      (2L, "unique b\nshared banner\nkeep b"))       // LF doc
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLines(d, "doc_id", "text", minDocs = 2)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // the banner matched across ending styles (trim strips \r from the
+    // key); surviving CRLF lines keep their \r verbatim
+    assert(got(1L) == "unique a\r\nkeep a")
+    assert(got(2L) == "unique b\nkeep b")
+  }
+
   test("dedupLines above the broadcast cap falls back to a shuffled anti-join, same result") {
     val d = Seq(
       (1L, "a\nshared"), (2L, "b\nshared"), (3L, "c"))
