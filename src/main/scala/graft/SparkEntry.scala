@@ -3120,7 +3120,8 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 200
         |), l AS (
         |  SELECT doc_id,
-        |    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+        |    list_filter(list_transform(string_split(t, chr(10)),
+        |        x -> trim(x, ' ' || chr(9) || chr(13))),
         |      x -> len(x) > 0) AS ls,
         |    list_filter(string_split_regex(lower(t), '\s+'),
         |      x -> len(x) > 0) AS tk
@@ -3251,7 +3252,8 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 200
         |), l AS (
         |  SELECT doc_id, t,
-        |    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+        |    list_filter(list_transform(string_split(t, chr(10)),
+        |        x -> trim(x, ' ' || chr(9) || chr(13))),
         |      x -> len(x) > 0) AS ls,
         |    list_filter(string_split_regex(lower(trim(t)), '\s+'),
         |      x -> len(x) > 0) AS tk
@@ -3343,7 +3345,8 @@ object SparkEntry {
         |  FROM base
         |), l AS (
         |  SELECT doc_id, t,
-        |    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+        |    list_filter(list_transform(string_split(t, chr(10)),
+        |        x -> trim(x, ' ' || chr(9) || chr(13))),
         |      x -> len(x) > 0) AS ls
         |  FROM p
         |), k AS (

@@ -99,7 +99,7 @@ object TextOps {
     * [[graft.functions.WordNGrams.wordNGramsAll]] — the distinct
     * shingle path would hide exactly the repetition being measured. */
   def repetitionMetrics(text: Column): Seq[(String, Column)] = {
-    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    val lines = filter(transform(split(text, "\n"), l => trim(l, " \t\r")), l => length(l) > 0)
     val dLines = array_distinct(lines)
     def chars(arr: Column) = aggregate(arr, lit(0), (a, x) => a + length(x))
     def frac(num: Column, den: Column) =
@@ -239,7 +239,7 @@ object TextOps {
     val nToks = size(t)
     def ratio(num: Column) =
       when(nToks > 0, round(num.cast(DoubleType) / nToks.cast(DoubleType), 6))
-    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    val lines = filter(transform(split(text, "\n"), l => trim(l, " \t\r")), l => length(l) > 0)
     val nLines = size(lines)
     def lineFrac(num: Column) =
       when(nLines > 0, round(num.cast(DoubleType) / nLines.cast(DoubleType), 6))
@@ -314,7 +314,7 @@ object TextOps {
     * split/filter/join list primitives so a SQL oracle can mirror it
     * exactly; every column is codegen'd and shuffle-free. */
   def c4Clean(text: Column): Seq[(String, Column)] = {
-    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    val lines = filter(transform(split(text, "\n"), l => trim(l, " \t\r")), l => length(l) > 0)
     val kept = filter(lines, l =>
       l.rlike("[.!?][\"']?$") &&
         size(filter(split(l, "\\s+"), w => length(w) > 0)) >= 5 &&

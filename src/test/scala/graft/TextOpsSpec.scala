@@ -162,6 +162,25 @@ class TextOpsSpec extends SparkSpec {
     assert(!code.getAs[Boolean]("keep_doc"))
   }
 
+  test("c4/repetition line rules are ending-agnostic: CRLF pages match LF pages") {
+    val lf = Seq(
+      "This is a good first sentence with plenty of words.",
+      "Another proper sentence follows the first one closely.",
+      "And a third full sentence completes the cleaned page!").mkString("\n")
+    val crlf = lf.replace("\n", "\r\n")
+    val cols = TextOps.c4Clean(col("t")).map { case (n, c) => c.as(n) }
+    val a = one(lf).select(cols: _*).collect()(0)
+    val b = one(crlf).select(cols: _*).collect()(0)
+    // terminal-punct rule must not be defeated by the trailing \r
+    assert(a.getAs[Int]("n_lines_kept") == 3)
+    assert(b.getAs[Int]("n_lines_kept") == 3, b.toString)
+    assert(a.getAs[Boolean]("keep_doc") && b.getAs[Boolean]("keep_doc"))
+    val m = TextOps.repetitionMetrics(col("t")).map { case (n, c) => c.as(n) }
+    val rl = one(lf + "\n" + lf).select(m: _*).collect()(0)
+    val rc = one(crlf + "\r\n" + crlf).select(m: _*).collect()(0)
+    assert(rl.getAs[Double]("dup_line_frac") == rc.getAs[Double]("dup_line_frac"))
+  }
+
   test("bigram stupid backoff: seen bigrams score ML, unseen back off") {
     val countDocs = Seq(Tuple1("a b a b")).toDF("t").withColumn("id", lit(0L))
     val scoreDocs = Seq((1L, "a b x"), (2L, "a")).toDF("id", "t")
