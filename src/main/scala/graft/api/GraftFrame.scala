@@ -451,6 +451,27 @@ final class GraftFrame(val df: DataFrame) {
   def dup_span_fraction(idCol: String, textCol: String, n: Int = 8): GraftFrame =
     new GraftFrame(TextOps.crossDocDupNgramFraction(df, idCol, textCol, n))
 
+  /** Append URL curation columns for `urlCol`: `url_canonical`,
+    * `url_host`, `url_domain` ([[graft.operators.UrlOps]] — row-local
+    * codegen'd regex). */
+  def with_url_columns(urlCol: String): GraftFrame = {
+    import graft.operators.UrlOps
+    val named = Seq(
+      "url_canonical" -> UrlOps.canonicalize(col(urlCol)),
+      "url_host" -> UrlOps.host(col(urlCol)),
+      "url_domain" -> UrlOps.registrableDomain(col(urlCol)))
+    graft.operators.OpUtil.requireNoColumns(df, named.map(_._1).toSet, "with_url_columns")
+    new GraftFrame(df.select(col("*") +: named.map { case (n, c) => c.as(n) }: _*))
+  }
+
+  /** Drop rows whose registrable domain is on `blocklist`
+    * ([[graft.operators.UrlOps.dropBlockedDomains]] — broadcast
+    * anti-join, the corpus never shuffles). */
+  def drop_blocked_domains(urlCol: String, blocklist: GraftFrame,
+      domainCol: String = "domain"): GraftFrame =
+    new GraftFrame(graft.operators.UrlOps.dropBlockedDomains(
+      df, urlCol, blocklist.df, domainCol))
+
   // ----- sinks (§2.1) --------------------------------------------------
 
   def to_parquet(path: String, mode: String = "overwrite"): Unit =

@@ -235,6 +235,18 @@ class GraftFrameSpec extends SparkSpec {
     val c4 = docs.with_c4_cleaning("txt")
     assert(c4.columns.contains("clean_text") && c4.columns.contains("keep_doc"))
 
+    // url columns append canonical/host/domain; blocklist drop filters
+    val urls = new GraftFrame(Seq(
+      (1L, "HTTPS://A.Spam.COM/x?utm_a=1"), (2L, "https://ok.org/y"))
+      .toDF("id", "url"))
+    val u = urls.with_url_columns("url")
+    assert((u.columns.toSet -- urls.columns.toSet) ==
+      Set("url_canonical", "url_host", "url_domain"))
+    val blocked = new GraftFrame(Seq(Tuple1("spam.com")).toDF("domain"))
+    val keptUrls = urls.drop_blocked_domains("url", blocked)
+      .toDF.select("id").collect().map(_.getLong(0)).toSeq
+    assert(keptUrls == Seq(2L))
+
     // bm25 returns one score per row, absent terms score 0
     val b = docs.bm25("id", "txt", Seq("zzz_absent")).toDF
       .collect().map(_.getDouble(1))
