@@ -1550,6 +1550,24 @@ object SparkEntry {
           sum(when(col("format") === "bmp", 1L).otherwise(0L)).as("n_bmp"))
     }),
 
+    // Perceptual image hash (aHash): real BMPs built from the closed-
+    // form pixel gradient, hashed by 8×8 NN-downsample + integer-luma
+    // mean bits. The oracle recomputes every sampled pixel's luma FROM
+    // THE FORMULA and reassembles both 32-bit hash halves — any drift
+    // in sampling coordinates, stride math, or the mean rule breaks it.
+    "multimodal_ahash" -> ((s, dir) => {
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 64 + 1).cast("int").as("w"),
+        (col("doc_id") % 48 + 1).cast("int").as("h"))
+      val media = Multimodal.encodeBmpFrame(dims, "doc_id", "w", "h")
+      Multimodal.aHashFrame(media)
+        .select(col("media_id").as("doc_id"),
+          col("ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"))
+        .orderBy("doc_id")
+    }),
+
     // REAL PNG pixel path: encode spec-valid stored-deflate PNGs,
     // decode+unfilter+resample+re-encode (PngCodec), parse the resized
     // headers back. Oracle recomputes output dims and the closed-form
@@ -1940,6 +1958,38 @@ object SparkEntry {
        |    + bit_count(xor(a.c2,b.c2)) + bit_count(xor(a.c3,b.c3)) <= 6
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** DuckDB oracle for the multimodal_ahash gate: per sampled cell,
+    * nearest-neighbor source coordinates, luma from the encoder's
+    * closed-form pixel gradient, division-free mean-bit rule, and the
+    * hash reassembled as two unsigned 32-bit halves (sidestepping
+    * HUGEINT↔signed-BIGINT conversion entirely). */
+  private lazy val aHashOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+      |         CAST(doc_id % 48 + 1 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id < 200
+      |), px AS (
+      |  SELECT doc_id, i, sx, sy,
+      |    ((sx + sy + doc_id) % 256) + (xor(sx, sy) % 256)
+      |      + ((sx * 7 + sy * 3) % 256) AS lum
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(range(0, 64)) AS i,
+      |      unnest(list_transform(range(0, 64), j -> (j % 8) * w // 8)) AS sx,
+      |      unnest(list_transform(range(0, 64), j -> (j // 8) * h // 8)) AS sy
+      |    FROM d)
+      |), tot AS (
+      |  SELECT doc_id, i, lum,
+      |    sum(lum) OVER (PARTITION BY doc_id) AS s
+      |  FROM px
+      |)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN i < 32 AND 64 * lum > s
+      |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo,
+      |  CAST(sum(CASE WHEN i >= 32 AND 64 * lum > s
+      |    THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi
+      |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle for the multimodal_features gate: rebuild the
     * 54-byte BMP header (BITMAPINFOHEADER, little-endian) as a BLOB and
@@ -3161,6 +3211,7 @@ object SparkEntry {
     // Output dims = max(1, dim*50 // 100); byte size = 54-byte header +
     // 4-byte-padded 24bpp rows — the same public BMP layout the Scala
     // encoder/resizer implement.
+    "multimodal_ahash" -> aHashOracle,
     "multimodal_resize" ->
       """WITH dims AS (
         |  SELECT greatest(1, (n_chars % 64 + 1) * 50 // 100) AS nw,

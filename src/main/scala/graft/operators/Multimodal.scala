@@ -128,6 +128,61 @@ object Multimodal {
       .toDF("media_id", "data")
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint of a 24-bit
+    * BMP payload — the classic image near-dup signal (the widely
+    * documented aHash/dHash/pHash family): 8×8 nearest-neighbor
+    * downsample of the pixel grid, integer luma `b+g+r` (0..765 — no
+    * channel weighting, no division, so every step is exact integer
+    * math an external oracle can replay), bit `i = y*8 + x` set iff
+    * `64·luma_i > Σ luma` (strictly brighter than the mean, again
+    * division-free). A uniform brightness shift moves every luma and
+    * the mean together, so the hash is brightness-shift invariant;
+    * near-identical images differ in few bits, so image-corpus dedup
+    * is hamming distance — the SimHash 16-bit-chunk banding machinery
+    * ([[Dedup.simHashPairs]]'s shape) applies unchanged.
+    *
+    * Null for non-BMP or truncated payloads (entropy-coded formats
+    * need a real decoder first — same fence as the resize path). */
+  def aHash64(bytes: Array[Byte]): java.lang.Long = {
+    val (fmt, w, h) = parseDims(bytes)
+    if (fmt != "bmp" || w <= 0 || h <= 0) return null
+    val rowSize = bmpRowSize(w)
+    if (bytes.length < 54 + rowSize.toLong * h) return null
+    val lum = new Array[Int](64)
+    var s = 0
+    var i = 0
+    while (i < 64) {
+      val sx = (i % 8) * w / 8
+      val sy = (i / 8) * h / 8
+      val off = 54 + sy * rowSize + sx * 3
+      val l = (bytes(off) & 0xff) + (bytes(off + 1) & 0xff) + (bytes(off + 2) & 0xff)
+      lum(i) = l
+      s += l
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (64L * lum(i) > s) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Per-row [[aHash64]] over a (media_id, data) frame — row-local
+    * batch iteration like the other payload kernels; the binary column
+    * never shuffles. Output: (media_id, ahash nullable). */
+  def aHashFrame(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, d) =>
+        (id, Option(aHash64(d)).map(_.longValue))
+      })
+      .toDF("media_id", "ahash")
+  }
+
   /** Attach a media payload column: `data` binary + `meta` struct.
     * Demonstrates the schema contract on any table with a binary-able
     * column. */

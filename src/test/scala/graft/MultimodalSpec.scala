@@ -254,4 +254,42 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(m, 4).collect().map(_.getInt(1))
     assert(frames.toSeq == Seq(0, 4, 8))
   }
+
+  test("aHash64 matches an independent replay of the sample/luma/bit math") {
+    val (id, w, h) = (5L, 20, 13)
+    // reference: recompute from the ENCODER's pixel formula, not the
+    // BMP bytes — catches stride/offset mistakes in the hash's reader
+    val lum = (0 until 64).map { i =>
+      val sx = (i % 8) * w / 8; val sy = (i / 8) * h / 8
+      ((sx + sy + id) & 0xff) + ((sx ^ sy) & 0xff) + ((sx * 7 + sy * 3) & 0xff)
+    }
+    val s = lum.sum
+    val want = (0 until 64).foldLeft(0L) { (acc, i) =>
+      if (64L * lum(i) > s) acc | (1L << i) else acc
+    }
+    assert(Multimodal.aHash64(Multimodal.encodeBmp(id, w, h)) == want)
+  }
+
+  test("aHash is brightness-shift invariant; content changes flip bits; non-BMP null") {
+    val base = Multimodal.aHash64(Multimodal.encodeBmp(0L, 32, 32)).longValue
+    // id shifts the B channel uniformly (no mod-256 wrap at these dims):
+    // luma and mean move together → identical hash
+    val shifted = Multimodal.aHash64(Multimodal.encodeBmp(4L, 32, 32)).longValue
+    assert(base == shifted)
+    // different dims = genuinely different content → bits differ
+    val other = Multimodal.aHash64(Multimodal.encodeBmp(0L, 31, 7)).longValue
+    assert(java.lang.Long.bitCount(base ^ other) > 4)
+    assert(Multimodal.aHash64("not an image".getBytes) == null)
+    assert(Multimodal.aHash64(Array[Byte]('B', 'M')) == null)
+  }
+
+  test("aHashFrame: distributed per-row hashing, null passthrough") {
+    import spark.implicits._
+    val dims = Seq((1L, 20, 13), (2L, 20, 13), (3L, 9, 4)).toDF("id", "w", "h")
+    val media = Multimodal.encodeBmpFrame(dims, "id", "w", "h").repartition(2)
+    val got = Multimodal.aHashFrame(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == Multimodal.aHash64(Multimodal.encodeBmp(1L, 20, 13)).longValue)
+    assert(got(1L) != got(3L))
+  }
 }
