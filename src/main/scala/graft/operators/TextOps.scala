@@ -131,11 +131,16 @@ object TextOps {
     * then a per-doc top-k window (ties broken by term for determinism).
     *
     * Scale shape: ONE shuffle for the (doc, term) counts, ONE for the
-    * term document-frequencies (tiny — vocabulary-sized, broadcast back
-    * onto the tf table), and the per-doc window partitions by doc id —
-    * millions of small partitions, no global sort. The corpus size N is
-    * a driver-side scalar (one count job), like any fitted-statistic
-    * parameter. */
+    * term document-frequencies, and the per-doc window partitions by
+    * doc id — millions of small partitions, no global sort. The
+    * tf→dfreq join carries NO broadcast hint on purpose (same reasoning
+    * as [[unigramLogProb]]): a clean vocabulary fits and AQE broadcasts
+    * it at runtime, but a web-scale corpus's distinct-token table
+    * (typos, ids, hashes) can run to billions of rows — past any
+    * broadcast/driver cap — and a forced hint would OOM the driver
+    * where the unhinted plan degrades gracefully to a shuffled hash
+    * join on the term. The corpus size N is a driver-side scalar (one
+    * count job), like any fitted-statistic parameter. */
   def tfIdfTopTerms(
       docs: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -146,7 +151,7 @@ object TextOps {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "term")
+    val scored = tf.join(dfreq, "term")
       .withColumn("tfidf",
         col("tf") * (log((lit(1.0) + n) / (lit(1.0) + col("df"))) + 1.0))
     val w = Window.partitionBy(col(idCol))

@@ -177,6 +177,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(pe, "Exchange") <= 2, pe)
   }
 
+  test("tfidf: the tf→dfreq join carries no broadcast hint") {
+    // same contract as unigramLogProb: a web-scale vocabulary table can
+    // run to billions of rows, so the join must stay unhinted — AQE
+    // broadcasts small vocabs at runtime, huge ones degrade to a
+    // shuffled hash join instead of a driver OOM
+    val df = SparkEntry.queries("text_tfidf")(spark, dir)
+    val lp = df.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("strategy=broadcast"), lp)
+  }
+
   test("bm25: one stats aggregate broadcast back — no explode, no per-term join") {
     val p = plan("text_bm25")
     // scoring side: no generator (explode) and no shuffle join of a
