@@ -14,10 +14,10 @@ import org.apache.spark.sql.types._
   * spec. Pixel work is REAL for BMP ([[encodeBmp]]/[[resizeBmp24]] —
   * addressable pixel rows, pure byte math) AND for 8-bit
   * truecolor/RGBA non-interlaced PNG ([[PngCodec]] — chunk + zlib
-  * framing, stored-block deflate and all five scanline filters by
-  * hand; compressed-block inflate via the JDK's built-in zlib
-  * binding). Only formats needing a true image codec (JPEG's DCT +
-  * entropy coding) stay behind the clearly-marked [[resizeStub]]; the
+  * framing, the complete RFC 1951 inflate (stored, fixed- and
+  * dynamic-Huffman blocks) and all five scanline filters, all by
+  * hand). Only JPEG (DCT + entropy coding over frequency space, a true
+  * image codec) stays behind the clearly-marked [[resizeStub]]; the
   * batch-iteration plumbing is identical either way.
   *
   * Scale notes: payload bytes never shuffle (all transforms are
@@ -223,8 +223,9 @@ object Multimodal {
     * fresh header. Output dims are `max(1, dim·scalePercent/100)`
     * (integer floor — mirrored exactly by the SQL oracle).
     *
-    * Honest boundary: PNG/JPEG resize needs an entropy codec this
-    * environment lacks; BMP is the format whose pixels ARE addressable
+    * Honest boundary: JPEG resize needs a true image codec this
+    * environment lacks (PNG has its own real path via [[PngCodec]]);
+    * BMP is the format whose pixels ARE addressable
     * bytes, so this is the real thing, not a stub. Top-down
     * (negative-height) and non-24bpp BMPs are rejected loudly. */
   def resizeBmp24(bytes: Array[Byte], scalePercent: Int): Array[Byte] = {

@@ -208,6 +208,93 @@ class MultimodalSpec extends SparkSpec {
     assert(back.pixels.sameElements(px))
   }
 
+  test("PNG golden: dynamic-Huffman IDAT decodes pixel-exact (mirrors the BMP golden)") {
+    // A 64x48 gradient is compressible enough that zlib level 9 emits a
+    // dynamic-Huffman (BTYPE 10) block — asserted below so this golden
+    // honestly exercises the §3.2.7 path, not stored/fixed.
+    val img = graft.operators.PngCodec.gradient(11L, 64, 48)
+    val stride = 64 * 3
+    val filtered = new Array[Byte](48 * (stride + 1))
+    for (y <- 0 until 48)
+      System.arraycopy(img.pixels, y * stride, filtered, y * (stride + 1) + 1, stride)
+    val d = new java.util.zip.Deflater(9)
+    d.setInput(filtered); d.finish()
+    val zbuf = new Array[Byte](filtered.length + 64)
+    val zlen = d.deflate(zbuf); d.end()
+    assert(((zbuf(2) >> 1) & 3) == 2, "test premise: first block must be dynamic-Huffman")
+    val back = graft.operators.PngCodec.inflate(zbuf.take(zlen), filtered.length)
+    assert(back.sameElements(filtered))
+    // and through the full PNG path: decode of a dynamic-Huffman IDAT
+    val png = buildPng(64, 48, 2, filtered)
+    val raster = graft.operators.PngCodec.decode(png)
+    assert(raster.width == 64 && raster.height == 48)
+    assert(raster.pixels.sameElements(img.pixels))
+  }
+
+  test("PNG inflate: hand-assembled fixed-Huffman block with an LZ77 back-reference") {
+    // "abcabc": literals a,b,c then <length 3, distance 3>, then EOB —
+    // assembled bit-by-bit per RFC 1951 §3.2.6 (fixed codes: literals
+    // 0-143 are 8-bit 0x30+sym; len sym 257 is 7-bit 0000001; dist sym
+    // 2 is 5-bit 00010; EOB is 7-bit 0000000).
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def putLsb(v: Int, n: Int): Unit = for (i <- 0 until n) bits += ((v >> i) & 1)
+    def putCode(code: Int, n: Int): Unit = for (i <- (n - 1) to 0 by -1) bits += ((code >> i) & 1)
+    putLsb(1, 1) // BFINAL
+    putLsb(1, 2) // BTYPE 01 fixed
+    for (c <- "abc") putCode(0x30 + c.toInt, 8)
+    putCode(1, 7)      // length symbol 257 → length 3
+    putCode(2, 5)      // distance symbol 2 → distance 3
+    putCode(0, 7)      // end of block
+    val payload = bits.grouped(8).map { g =>
+      g.zipWithIndex.foldLeft(0) { case (b, (bit, i)) => b | (bit << i) }.toByte
+    }.toArray
+    val expect = "abcabc".getBytes("US-ASCII")
+    val ad = new java.util.zip.Adler32(); ad.update(expect)
+    val adBytes = Array.tabulate(4)(i => ((ad.getValue >> (24 - 8 * i)) & 0xff).toByte)
+    val z = Array(0x78.toByte, 0x01.toByte) ++ payload ++ adBytes
+    assert(graft.operators.PngCodec.inflate(z, 6).sameElements(expect))
+  }
+
+  test("PNG inflate matches Deflater across levels, sizes and data shapes") {
+    // stored (level 0), fixed (tiny inputs), dynamic (large/skewed):
+    // every Deflater output must round-trip through our pure inflate.
+    val rnd = new scala.util.Random(42)
+    val shapes: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      "x".getBytes,
+      Array.tabulate(100)(i => (i % 7).toByte),          // tiny, repetitive
+      Array.tabulate(5000)(_ => rnd.nextInt(256).toByte), // incompressible
+      Array.tabulate(200000)(i => ((i / 100) % 251).toByte), // long runs
+      Array.fill(70000)(7.toByte))                        // > one stored block
+    for (data <- shapes; level <- Seq(0, 1, 6, 9)) {
+      val d = new java.util.zip.Deflater(level)
+      d.setInput(data); d.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      val got = graft.operators.PngCodec.inflate(buf.toByteArray, data.length)
+      assert(got.sameElements(data), s"level=$level size=${data.length}")
+    }
+  }
+
+  test("PNG inflate rejects corrupt streams loudly") {
+    val data = Array.tabulate(1000)(i => (i % 5).toByte)
+    val d = new java.util.zip.Deflater(9)
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](2000)
+    val n = d.deflate(buf); d.end()
+    val z = buf.take(n)
+    // bad FCHECK
+    val badHdr = z.clone(); badHdr(1) = (badHdr(1) ^ 1).toByte
+    intercept[IllegalArgumentException] { graft.operators.PngCodec.inflate(badHdr, 1000) }
+    // truncated body
+    intercept[IllegalArgumentException] { graft.operators.PngCodec.inflate(z.take(n / 2), 1000) }
+    // flipped Adler trailer
+    val badAd = z.clone(); badAd(n - 1) = (badAd(n - 1) ^ 0xff).toByte
+    intercept[IllegalArgumentException] { graft.operators.PngCodec.inflate(badAd, 1000) }
+  }
+
   test("PNG RGBA (color type 6) round-trips") {
     val px = Array.tabulate(2 * 2 * 4)(i => ((i * 53 + 5) & 0xff).toByte)
     val img = graft.operators.PngCodec.Raster(2, 2, 4, px)
