@@ -1428,6 +1428,22 @@ object SparkEntry {
         .select(col("doc_id"),
           when(col("doc_id") % 3 === 0,
             concat(col("text"), lit(dupSpanTail))).otherwise(col("text")).as("t"))
+      TextOps.crossDocDupNgramFraction(planted, "doc_id", "t", n = 8,
+          hashKeys = false)
+        .select(col("doc_id"),
+          round(col("dup_ngram_frac"), 6).as("dup_ngram_frac"))
+        .orderBy("doc_id")
+    }),
+    // Same computation in the scale-default hashed-key mode: shuffle
+    // and join keys are xxhash64(gram) longs instead of gram strings.
+    // The fractions are identical absent a 64-bit collision, so the
+    // SAME DuckDB oracle gates both modes — a collision (or any key
+    // plumbing bug) breaks the hash match.
+    "text_dupspans_hashed" -> ((s, dir) => {
+      val planted = tbl(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(dupSpanTail))).otherwise(col("text")).as("t"))
       TextOps.crossDocDupNgramFraction(planted, "doc_id", "t", n = 8)
         .select(col("doc_id"),
           round(col("dup_ngram_frac"), 6).as("dup_ngram_frac"))
@@ -2858,6 +2874,7 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(t)) AS INT) AS n_norm
         |FROM base ORDER BY doc_id""".stripMargin,
     "text_dupspans" -> dupSpansOracle,
+    "text_dupspans_hashed" -> dupSpansOracle,
     "text_dsir" ->
       s"""$dsirOracleCte
          |SELECT doc_id, nano_weight,

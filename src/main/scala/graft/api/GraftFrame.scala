@@ -447,9 +447,12 @@ final class GraftFrame(val df: DataFrame) {
   }
 
   /** Cross-doc duplicated-span fraction per document
-    * ([[graft.operators.TextOps.crossDocDupNgramFraction]]). */
-  def dup_span_fraction(idCol: String, textCol: String, n: Int = 8): GraftFrame =
-    new GraftFrame(TextOps.crossDocDupNgramFraction(df, idCol, textCol, n))
+    * ([[graft.operators.TextOps.crossDocDupNgramFraction]]);
+    * `hashKeys` trades exact string shuffle keys for slim 8-byte
+    * hashes (the scale default). */
+  def dup_span_fraction(idCol: String, textCol: String, n: Int = 8,
+      hashKeys: Boolean = true): GraftFrame =
+    new GraftFrame(TextOps.crossDocDupNgramFraction(df, idCol, textCol, n, hashKeys))
 
   /** Append URL curation columns for `urlCol`: `url_canonical`,
     * `url_host`, `url_domain` ([[graft.operators.UrlOps]] — row-local

@@ -479,22 +479,30 @@ object TextOps {
     * Scale: occurrences collapse to per-(gram, doc) counts in the first
     * aggregate (map-side partial agg eats within-doc repeats), then a
     * per-gram document-frequency count whose output the gram-keyed join
-    * reuses without a new exchange. The shuffles carry gram STRINGS —
-    * exact and oracle-transparent; at extreme scale substitute
-    * `xxhash64(gram)` for the key (64-bit collisions ≈ n²/2⁶⁴) to slim
-    * them. Grams shared by millions of docs (site chrome) are absorbed
-    * by the partial count, never a single reducer's row explosion. */
+    * reuses without a new exchange. With `hashKeys` (the default) the
+    * shuffle/join key is `xxhash64(gram)` — 8 bytes instead of the
+    * 50-100-byte strings an n=8 word gram averages, a ~10× cut in
+    * shuffle volume for the two aggregates and the join; a 64-bit
+    * collision (≈ n²/2⁶⁴ over distinct grams) at worst nudges one
+    * document's fraction, it cannot corrupt unrelated rows.
+    * `hashKeys = false` shuffles the exact strings — oracle-transparent
+    * and collision-free, the right mode for audits. Grams shared by
+    * millions of docs (site chrome) are absorbed by the partial count,
+    * never a single reducer's row explosion. */
   def crossDocDupNgramFraction(
-      df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, n: Int = 8,
+      hashKeys: Boolean = true): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
+    val gram = explode(graft.functions.WordNGrams.wordNGramsAll(col(textCol), n)).as("gram")
+    val key = if (hashKeys) xxhash64(col("gram")) else col("gram")
     val perDoc = df
-      .select(col(idCol),
-        explode(graft.functions.WordNGrams.wordNGramsAll(col(textCol), n)).as("gram"))
-      .groupBy(col("gram"), col(idCol))
+      .select(col(idCol), gram)
+      .select(col(idCol), key.as("__gk"))
+      .groupBy(col("__gk"), col(idCol))
       .agg(count(lit(1)).as("__cnt"))
-    val docFreq = perDoc.groupBy("gram")
+    val docFreq = perDoc.groupBy("__gk")
       .agg(count(lit(1)).as("__n_docs"))
-    val frac = perDoc.join(docFreq, "gram")
+    val frac = perDoc.join(docFreq, "__gk")
       .groupBy(col(idCol))
       .agg((sum(when(col("__n_docs") >= 2, col("__cnt")).otherwise(0L)).cast(DoubleType) /
         sum(col("__cnt")).cast(DoubleType)).as("dup_ngram_frac"))

@@ -177,6 +177,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(pe, "Exchange") <= 2, pe)
   }
 
+  test("dupspans: hashed mode shuffles 8-byte long keys, exact mode strings") {
+    // slim mode: every gram aggregate/join keys on xxhash64(gram) —
+    // the optimized plan computes the hash BEFORE the first exchange
+    // and no gram string survives past the projection
+    val hashed = SparkEntry.queries("text_dupspans_hashed")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(hashed.contains("xxhash64"), hashed)
+    assert(hashed.contains("AS __gk"), hashed)
+    // the aggregate key is the bigint __gk, not the gram string
+    assert("Aggregate \\[__gk#\\d+L".r.findFirstIn(hashed).isDefined, hashed)
+    // exact mode keeps the strings (no hash anywhere in the plan)
+    val exact = SparkEntry.queries("text_dupspans")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!exact.contains("xxhash64"), exact)
+  }
+
   test("tfidf: the tf→dfreq join carries no broadcast hint") {
     // same contract as unigramLogProb: a web-scale vocabulary table can
     // run to billions of rows, so the join must stay unhinted — AQE

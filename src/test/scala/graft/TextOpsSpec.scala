@@ -304,4 +304,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) == 0.0)
     assert(got(2L) == 1.0 && got(3L) == 1.0)
   }
+
+  test("crossDocDupNgramFraction: hashed and exact key modes agree row-for-row") {
+    val df = Seq(
+      (1L, "alpha beta gamma shared span marker here"),
+      (2L, "delta epsilon zeta shared span marker here"),
+      (3L, "one two three four five six seven"),
+      (4L, "tiny doc")).toDF("id", "t")
+    def run(hashKeys: Boolean) =
+      TextOps.crossDocDupNgramFraction(df, "id", "t", n = 3, hashKeys = hashKeys)
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+    assert(run(hashKeys = true) == run(hashKeys = false))
+  }
 }
