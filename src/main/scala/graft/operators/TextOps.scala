@@ -410,10 +410,43 @@ object TextOps {
     * bigram table dwarfs any driver cap (it is quadratically richer
     * than the vocabulary), so the join must be free to stay a shuffled
     * hash join; AQE still broadcasts when counts are actually small.
-    * N and V are one scalar row riding a broadcast crossJoin. */
+    * N and V are one scalar row riding a broadcast crossJoin.
+    *
+    * Skew contract: the (w1, w2) join key is stopword-skewed by
+    * construction — "of the" alone can be percents of all scored pairs,
+    * so a static hash partitioning would funnel those rows through a
+    * handful of reducers. AQE's skew-join does NOT rescue this shape
+    * (measured, not assumed): `OptimizeSkewedJoin` pattern-matches a
+    * sort-merge join whose children are sorts DIRECTLY over shuffle
+    * stages, and here every build side carries its final HashAggregate
+    * between the shuffle and the join — the rule never fires, and a
+    * planted 40%-hot bigram sails through as a single oversized
+    * partition. Salting is also wrong here: [[Skew.saltedJoin]]
+    * replicates the whole build table `salts`×, and the bigram table is
+    * the one table in this operator too large to replicate.
+    *
+    * The remedy is a hot-key differentiated join (`hotK`, default
+    * 1024): the top-`hotK` bigrams and unigrams by corpus count — which
+    * by definition carry the skewed traffic — are broadcast, so every
+    * stopword-pair row resolves ROW-LOCALLY against the hot slice and
+    * only the de-skewed residual (hottest key = the rank-hotK+1 bigram)
+    * takes the shuffled path. The bigram table is pre-joined with
+    * cnt_w1 count-side (distinct-pair-sized rows, occurrence-free), so
+    * seen pairs never join the unigram table score-side at all. Cost:
+    * the score-pair explode is evaluated once per branch (3×) — CPU
+    * over the scan, cheap next to the skewed shuffle it removes.
+    * `hotK = 0` restores the plain two-join shape (the audit path);
+    * both paths are oracle-gated and the planted-skew test pins that
+    * hot traffic never reaches a shuffle. An unseen-but-hot score pair
+    * (boilerplate absent from the count corpus) dodges the bigram hot
+    * slice by construction; its backoff w2 is still caught by the hot
+    * UNIGRAM slice, so the residual funnel needs a token that is
+    * frequent in scored pairs yet rare in the count corpus — not a
+    * natural-language shape. */
   def bigramLogProb(
       scoreDocs: DataFrame, countDocs: DataFrame,
-      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+      idCol: String, textCol: String, alpha: Double = 0.4,
+      hotK: Int = 1024): DataFrame = {
     def pairs(df: DataFrame, extra: Seq[Column]): DataFrame = {
       val t = tokens(col(textCol))
       df.select(extra :+ t.as("__t"): _*)
@@ -425,6 +458,7 @@ object TextOps {
             element_at(col("__t"), i + 1).as("w2")))).as("__pr"): _*)
         .select(extra ++ Seq(col("__pr.w1").as("w1"), col("__pr.w2").as("w2")): _*)
     }
+    require(hotK >= 0, s"hotK must be non-negative, got $hotK")
     val cPairs = pairs(countDocs, Seq.empty)
     val uni = countDocs
       .select(explode(tokens(col(textCol))).as("w"))
@@ -434,19 +468,59 @@ object TextOps {
       sum("cnt_u").cast(DoubleType).as("__n"),
       count(lit(1)).cast(DoubleType).as("__v"))
     val sPairs = pairs(scoreDocs, Seq(col(idCol)))
-    val scored = sPairs
-      .join(bi, Seq("w1", "w2"), "left")
-      .join(uni.select(col("w").as("w1"), col("cnt_u").as("cnt_w1")), Seq("w1"), "left")
-      .join(uni.select(col("w").as("w2"), col("cnt_u").as("cnt_w2")), Seq("w2"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col(idCol),
-        when(col("cnt_b").isNotNull,
-          log(col("cnt_b").cast(DoubleType)) - log(col("cnt_w1").cast(DoubleType)))
-          .otherwise(
-            log(lit(alpha)) +
-              log(coalesce(col("cnt_w2"), lit(0L)).cast(DoubleType) + 1.0) -
-              log(col("__n") + col("__v")))
-          .as("lp"))
+    def mlLp = log(col("cnt_b").cast(DoubleType)) - log(col("cnt_w1").cast(DoubleType))
+    def backoffLp(cntW2: Column) =
+      log(lit(alpha)) + log(cntW2.cast(DoubleType) + 1.0) -
+        log(col("__n") + col("__v"))
+    val scored =
+      if (hotK == 0) {
+        sPairs
+          .join(bi, Seq("w1", "w2"), "left")
+          .join(uni.select(col("w").as("w1"), col("cnt_u").as("cnt_w1")), Seq("w1"), "left")
+          .join(uni.select(col("w").as("w2"), col("cnt_u").as("cnt_w2")), Seq("w2"), "left")
+          .crossJoin(broadcast(totals))
+          .select(col(idCol),
+            when(col("cnt_b").isNotNull, mlLp)
+              .otherwise(backoffLp(coalesce(col("cnt_w2"), lit(0L))))
+              .as("lp"))
+      } else {
+        // count-side: attach cnt_w1 to every bigram row (distinct-pair
+        // volume, not occurrence volume) so seen pairs are complete
+        val biStats = bi.join(
+          uni.select(col("w").as("w1"), col("cnt_u").as("cnt_w1")), Seq("w1"))
+        // hot slices: the top-hotK rows by count — deterministic
+        // tiebreak, driver-bounded (hotK rows), broadcast
+        val hotPairs = broadcast(
+          biStats.orderBy(col("cnt_b").desc, col("w1"), col("w2")).limit(hotK)
+            .withColumn("__hotb", lit(true)))
+        val hotW2 = broadcast(
+          uni.orderBy(col("cnt_u").desc, col("w")).limit(hotK)
+            .select(col("w").as("w2"), col("cnt_u").as("__cnt_w2_hot"),
+              lit(true).as("__hotu")))
+        // split 1: hot pairs score row-locally (ML branch is complete)
+        val s1 = sPairs.join(hotPairs, Seq("w1", "w2"), "left")
+        val hotScored = s1.where(col("__hotb").isNotNull)
+          .select(col(idCol), mlLp.as("lp"))
+        val cold = s1.where(col("__hotb").isNull)
+          .select(col(idCol), col("w1"), col("w2"))
+        // residual (w1, w2) join is de-skewed: its hottest key is the
+        // rank-hotK+1 bigram
+        val c1 = cold.join(biStats, Seq("w1", "w2"), "left")
+        // split 2: unseen pairs with a hot backoff token resolve
+        // row-locally too; only cold-w2 rows shuffle against uni
+        val c2 = c1.join(hotW2, Seq("w2"), "left")
+        val resolved = c2.where(col("cnt_b").isNotNull || col("__hotu").isNotNull)
+          .crossJoin(broadcast(totals))
+          .select(col(idCol),
+            when(col("cnt_b").isNotNull, mlLp)
+              .otherwise(backoffLp(col("__cnt_w2_hot"))).as("lp"))
+        val residual = c2.where(col("cnt_b").isNull && col("__hotu").isNull)
+          .select(col(idCol), col("w2"))
+          .join(uni.select(col("w").as("w2"), col("cnt_u").as("cnt_w2")), Seq("w2"), "left")
+          .crossJoin(broadcast(totals))
+          .select(col(idCol), backoffLp(coalesce(col("cnt_w2"), lit(0L))).as("lp"))
+        hotScored.unionByName(resolved).unionByName(residual)
+      }
     scoreDocs.select(col(idCol))
       .join(scored.groupBy(idCol).agg(avg("lp").as("bigram_logprob")), Seq(idCol), "left")
   }

@@ -305,6 +305,95 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) == 1.0 && got(3L) == 1.0)
   }
 
+  /** Max/median shuffle-partition byte ratio per shuffle stage of an
+    * EXECUTED adaptive plan — the direct measurement of a reducer
+    * funnel. */
+  private def shuffleStageRatios(df: org.apache.spark.sql.DataFrame): Seq[(Int, Double, Long)] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long)]
+    def walk(p: SparkPlan): Unit = p.foreach {
+      case s: ShuffleQueryStageExec =>
+        s.mapStats.foreach { ms =>
+          val sizes = ms.bytesByPartitionId.sorted
+          if (sizes.length >= 2 && sizes.last > 0) {
+            val median = math.max(sizes(sizes.length / 2), 1L)
+            out += ((s.id, sizes.last.toDouble / median, sizes.last))
+          }
+        }
+        walk(s.plan)
+      case q: QueryStageExec => walk(q.plan)
+      case _ => ()
+    }
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case _ => fail("expected an adaptive plan")
+    }
+    out.toSeq
+  }
+
+  test("bigramLogProb: planted stopword skew resolves via the hot broadcast — no funnel partition") {
+    // 500 docs are pure hot-bigram runs (one bigram ≈ 90% of all scored
+    // pairs — the stopword shape), 2500 docs are unique cold pairs.
+    // AQE's skew-join can NOT rescue this operator (its rule requires
+    // sort children directly over shuffle stages; every build side here
+    // has its final HashAggregate in between — verified empirically),
+    // so the operator's own hot-key split must keep every shuffle stage
+    // balanced: with hotK on, no stage may show a max/median partition
+    // ratio anywhere near a funnel. The hotK=0 contrast run proves this
+    // measurement DOES flag the funnel when the split is off.
+    val docs = spark.range(3000).selectExpr("id",
+      "CASE WHEN id < 500 THEN repeat('of ', 400) " +
+        "ELSE concat('unique', id, ' tail', id, ' word', id) END AS t")
+    val conf = spark.conf
+    val savedBroadcast = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqeBroadcast = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    // force the residual joins to actually shuffle (size-based
+    // broadcast would hide the funnel at test scale)
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hot = TextOps.bigramLogProb(docs.toDF(), docs.toDF(), "id", "t")
+      hot.collect()
+      val hotRatios = shuffleStageRatios(hot)
+      assert(hotRatios.nonEmpty)
+      // only stages with real volume can funnel; tiny stages are noise
+      val offenders = hotRatios.filter { case (_, ratio, maxB) => maxB > 32768 && ratio > 4.0 }
+      assert(offenders.isEmpty, s"funnel stages: $offenders (all: $hotRatios)")
+
+      val funnel = TextOps.bigramLogProb(docs.toDF(), docs.toDF(), "id", "t", hotK = 0)
+      funnel.collect()
+      val funnelRatios = shuffleStageRatios(funnel)
+      assert(funnelRatios.exists { case (_, ratio, maxB) => maxB > 32768 && ratio > 4.0 },
+        s"expected the hotK=0 path to show the planted funnel: $funnelRatios")
+    } finally {
+      savedBroadcast.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      savedAqeBroadcast.fold(conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+    }
+  }
+
+  test("bigramLogProb: hot-split and plain paths agree row-for-row") {
+    val score = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "dog the quick brown fox"),
+      (3L, "zz yy xx"),
+      (4L, "solo")).toDF("id", "t")
+    val count = Seq(
+      (10L, "the cat sat on the mat and the cat ran"),
+      (11L, "the quick brown fox jumps")).toDF("id", "t")
+    def run(hotK: Int) =
+      TextOps.bigramLogProb(score, count, "id", "t", hotK = hotK)
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(math.round(r.getDouble(1) * 1e9))))
+        .toMap
+    // hotK spanning: 0 (plain), 2 (splits mid-table), 1000 (everything hot)
+    val plain = run(0)
+    assert(run(2) == plain)
+    assert(run(1000) == plain)
+  }
+
   test("crossDocDupNgramFraction: hashed and exact key modes agree row-for-row") {
     val df = Seq(
       (1L, "alpha beta gamma shared span marker here"),
