@@ -1231,6 +1231,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"),
           count_distinct(col("source")).as("n_sources"))
     }),
+    // PSL-aware registrable domains: a deterministic URL mix covering
+    // two-level suffixes (co.uk / com.au), one-level (com), an
+    // UNLISTED TLD (heuristic fallback) and bare-suffix hosts (null
+    // domain). The suffix table is injected inline; the oracle replays
+    // longest-suffix matching via arg_max over tail matches.
+    "url_domain_psl" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(lit("https://"),
+            when(col("doc_id") % 7 === 0, lit(""))
+              .otherwise(concat(
+                when(col("doc_id") % 3 === 0, lit("news.")).otherwise(lit("")),
+                col("source"), lit("."))),
+            when(col("doc_id") % 4 === 0, lit("co.uk"))
+              .when(col("doc_id") % 4 === 1, lit("com.au"))
+              .when(col("doc_id") % 4 === 2, lit("com"))
+              .otherwise(lit("zz")),
+            lit("/d/"), col("doc_id")).as("url"))
+      val psl = Seq("com", "au", "uk", "co.uk", "com.au").toDF("suffix")
+      UrlOps.registrableDomainPsl(docs, "url", psl, "suffix")
+        .select(col("doc_id"), col("url_domain"))
+        .orderBy("doc_id")
+    }),
     // Domain-level corpus accounting — the grouping shuffles only
     // (host, counters), never URLs or text.
     "url_host_stats" -> ((s, dir) => {
@@ -2744,6 +2768,41 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
         |FROM withdom WHERE dom NOT IN (SELECT bad FROM block)""".stripMargin,
+    "url_domain_psl" ->
+      """WITH psl(sfx) AS (
+        |  VALUES ('com'), ('au'), ('uk'), ('co.uk'), ('com.au')
+        |), docs AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ''
+        |         ELSE (CASE WHEN doc_id % 3 = 0 THEN 'news.' ELSE '' END)
+        |           || source || '.' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'co.uk'
+        |         WHEN doc_id % 4 = 1 THEN 'com.au'
+        |         WHEN doc_id % 4 = 2 THEN 'com'
+        |         ELSE 'zz' END || '/d/' || doc_id AS url
+        |  FROM documents WHERE doc_id < 200
+        |), hosts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(regexp_replace(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+        |      '^[^@]*@', '', 'g'), ':[0-9]*$', '', 'g')) AS h
+        |  FROM docs
+        |), matched AS (
+        |  -- every matching suffix is a tail of the host, so the
+        |  -- longest STRING is the longest-label match
+        |  SELECT hosts.doc_id, arg_max(p.sfx, length(p.sfx)) AS m
+        |  FROM hosts JOIN psl p ON hosts.h = p.sfx OR hosts.h LIKE '%.' || p.sfx
+        |  GROUP BY hosts.doc_id
+        |)
+        |SELECT h.doc_id,
+        |  CASE WHEN m.m IS NULL THEN regexp_extract(h.h, '([^.]+\.[^.]+)$', 1)
+        |       WHEN h.h = m.m THEN NULL
+        |       ELSE regexp_extract(left(h.h, length(h.h) - length(m.m) - 1),
+        |              '([^.]*)$', 1) || '.' || m.m
+        |  END AS url_domain
+        |FROM hosts h LEFT JOIN matched m ON h.doc_id = m.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
     "url_host_stats" ->
       """SELECT
         |  lower(regexp_replace(regexp_replace(regexp_extract(

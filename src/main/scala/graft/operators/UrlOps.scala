@@ -50,10 +50,69 @@ object UrlOps {
   /** Registrable-domain HEURISTIC: the last two dot-labels of the
     * host (`news.bbc.co.uk` → `co.uk`). Correct for generic TLDs,
     * wrong for two-level public suffixes — the honest fix is the
-    * Public Suffix List, a data file this environment doesn't ship;
-    * callers that have one should join against it instead. */
+    * Public Suffix List; callers that have one should use
+    * [[registrableDomainPsl]] (this environment ships no PSL file to
+    * embed, so the table is injectable). This heuristic is exactly the
+    * PSL algorithm's default `*` rule (public suffix = the last label),
+    * which is also what [[registrableDomainPsl]] falls back to for
+    * hosts no rule matches — the two forms agree wherever the list has
+    * no entry. */
   def registrableDomain(url: Column): Column =
     regexp_extract(host(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** PSL-aware registrable domain: append `outCol` with the
+    * registrable domain of `urlCol`'s host, where the public suffix is
+    * the LONGEST suffix of the host present in `suffixes` (the
+    * publicsuffix.org match semantics for plain rules) and the
+    * registrable domain is that suffix plus one more label. Hosts no
+    * rule matches fall back to the PSL default `*` rule — public
+    * suffix = last label, i.e. [[registrableDomain]]'s heuristic. A
+    * host that IS a public suffix (`co.uk` itself) has no registrable
+    * domain → null. Wildcard (`*.ck`) and exception (`!www.ck`) rules
+    * are not interpreted — pre-expand them into plain rows when
+    * building the suffix frame (the real list has ~a dozen wildcard
+    * blocks; expansion is a one-time data step, not a per-query cost).
+    *
+    * Scale shape: the suffix list is bounded public data (~10k rows),
+    * broadcast once; matching is `maxSuffixLabels` broadcast hash
+    * joins — one per candidate suffix depth, longest first, each
+    * probing the host's last-k-labels tail — so the corpus never
+    * shuffles and the whole operator stays row-local. No explode: a
+    * per-host candidate explode would multiply the corpus by
+    * `maxSuffixLabels` and then need a groupBy to pick the longest
+    * match; the fixed join ladder does the same work with zero
+    * exchanges. */
+  def registrableDomainPsl(
+      df: DataFrame, urlCol: String, suffixes: DataFrame,
+      suffixCol: String, outCol: String = "url_domain",
+      maxSuffixLabels: Int = 4): DataFrame = {
+    require(maxSuffixLabels >= 1, s"maxSuffixLabels must be >= 1, got $maxSuffixLabels")
+    OpUtil.requireNoColumns(df, Set("__psl_host"), "registrableDomainPsl")
+    val sfx = suffixes
+      .select(lower(trim(col(suffixCol))).as("__sfx"))
+      .where(col("__sfx") =!= "")
+      .distinct()
+    val depths = maxSuffixLabels to 1 by -1
+    val withHost = df.withColumn("__psl_host", host(col(urlCol)))
+    val joined = depths.foldLeft(withHost) { (acc, k) =>
+      acc.join(
+        broadcast(sfx.select(col("__sfx").as(s"__sfx_$k"))),
+        substring_index(col("__psl_host"), ".", -k) === col(s"__sfx_$k"),
+        "left")
+    }
+    // longest depth wins; deeper tails of a short host equal the whole
+    // host, so ties across depths carry the same value anyway
+    val matched = coalesce(depths.map(k => col(s"__sfx_$k")): _*)
+    val beforeSfx = col("__psl_host")
+      .substr(lit(1), length(col("__psl_host")) - length(matched) - 1)
+    val dom =
+      when(matched.isNull,
+        regexp_extract(col("__psl_host"), "([^.]+\\.[^.]+)$", 1))
+        .when(col("__psl_host") === matched, lit(null))
+        .otherwise(concat(substring_index(beforeSfx, ".", -1), lit("."), matched))
+    joined.withColumn(outCol, dom)
+      .drop("__psl_host" +: depths.map(k => s"__sfx_$k"): _*)
+  }
 
   /** URL with tracking query parameters removed and separators
     * re-tidied. Three global regex passes (each RE2-safe):
@@ -97,21 +156,37 @@ object UrlOps {
 
   /** Remove rows whose registrable domain is on a blocklist — the
     * URL-level filter every web-corpus pipeline runs (spam/adult/SEO
-    * domain lists). Matching is by [[registrableDomain]], so
-    * `spam.example.com` is caught by a `example.com` entry exactly when
-    * the naive last-two-labels rule says so (same caveat as
-    * registrableDomain; bring a PSL join for two-level suffixes).
+    * domain lists). With a PSL frame (`psl`/`pslSuffixCol`), matching
+    * uses [[registrableDomainPsl]], so a `bbc.co.uk` entry blocks
+    * `news.bbc.co.uk` and a bare `co.uk` entry blocks only a literal
+    * `co.uk` host; without one, the [[registrableDomain]] heuristic
+    * applies (documented footgun for ccTLD sites — prefer passing the
+    * PSL).
     *
-    * Scale: blocklists are millions of rows at most — the anti-join
-    * broadcasts the lowercased domain set (a forced hint; even a 10M ×
-    * 20-char list is ~moderate broadcast state), so the corpus never
-    * shuffles. For a list too big even for that, pre-filter with
-    * [[BloomJoin.bloomSemiJoin]] on the domain instead. */
+    * Scale: the anti-join broadcasts the lowercased domain set only
+    * when it is confirmed small (one count of the SMALL side, ≤
+    * `maxBroadcastDomains`), mirroring the decontaminate/dedupLines
+    * gates; an oversized list degrades to a shuffled anti-join instead
+    * of failing the driver — same results either side of the
+    * threshold. For a list too big to shuffle comfortably, pre-filter
+    * with [[BloomJoin.bloomSemiJoin]] on the domain instead. */
   def dropBlockedDomains(
       df: DataFrame, urlCol: String,
-      blocklist: DataFrame, domainCol: String): DataFrame = {
+      blocklist: DataFrame, domainCol: String,
+      psl: Option[DataFrame] = None, pslSuffixCol: String = "suffix",
+      maxBroadcastDomains: Long = 10000000L): DataFrame = {
+    OpUtil.requireNoColumns(df, Set("__bad_domain", "__block_domain"), "dropBlockedDomains")
     val bad = blocklist.select(lower(col(domainCol)).as("__bad_domain")).distinct()
-    df.join(broadcast(bad),
-      registrableDomain(col(urlCol)) === col("__bad_domain"), "left_anti")
+      .localCheckpoint(true)
+    val right = if (bad.count() <= maxBroadcastDomains) broadcast(bad) else bad
+    psl match {
+      case None =>
+        df.join(right,
+          registrableDomain(col(urlCol)) === col("__bad_domain"), "left_anti")
+      case Some(suffixes) =>
+        registrableDomainPsl(df, urlCol, suffixes, pslSuffixCol, "__block_domain")
+          .join(right, col("__block_domain") === col("__bad_domain"), "left_anti")
+          .drop("__block_domain")
+    }
   }
 }

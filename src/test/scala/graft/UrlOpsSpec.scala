@@ -51,6 +51,72 @@ class UrlOpsSpec extends SparkSpec {
     assert(kept == Seq(3L, 4L))
   }
 
+  test("registrableDomainPsl: longest-matching suffix, bare-suffix null, heuristic fallback") {
+    val psl = Seq("com", "org", "uk", "co.uk", "com.au", "k12.ma.us")
+      .map(Tuple1(_)).toDF("suffix")
+    val docs = Seq(
+      (1L, "https://news.bbc.co.uk/x"),      // two-level suffix → bbc.co.uk
+      (2L, "https://www.example.com/"),      // one-level suffix → example.com
+      (3L, "https://shop.big.com.au/y"),     // two-level → big.com.au
+      (4L, "https://co.uk/"),                // host IS a suffix → null
+      (5L, "https://x.example.zz/"),         // unlisted TLD → heuristic example.zz
+      (6L, "https://a.b.school.k12.ma.us/"), // three-level suffix
+      (7L, "not a url"))                     // no host → empty string
+      .toDF("id", "url")
+    val got = UrlOps.registrableDomainPsl(docs, "url", psl, "suffix")
+      .select("id", "url_domain").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "bbc.co.uk")
+    assert(got(2L) == "example.com")
+    assert(got(3L) == "big.com.au")
+    assert(got(4L) == null)
+    assert(got(5L) == "example.zz")
+    assert(got(6L) == "school.k12.ma.us")
+    assert(got(7L) == "")
+    // agrees with the heuristic wherever the list has no entry
+    val both = UrlOps.registrableDomainPsl(docs, "url", psl, "suffix", "psl_dom")
+      .select(col("id"), col("psl_dom"),
+        UrlOps.registrableDomain(col("url")).as("heur_dom"))
+      .where(col("id") === 5L).collect()(0)
+    assert(both.getString(1) == both.getString(2))
+  }
+
+  test("dropBlockedDomains with a PSL: ccTLD entries block correctly") {
+    val psl = Seq("com", "co.uk").map(Tuple1(_)).toDF("suffix")
+    val docs = Seq(
+      (1L, "https://news.bbc.co.uk/x"),  // registrable bbc.co.uk — blocked
+      (2L, "https://other.co.uk/y"),     // registrable other.co.uk — kept
+      (3L, "https://bbc.com/z"),         // different TLD — kept
+      (4L, "https://www.bbc.co.uk/w"))   // same registrable — blocked
+      .toDF("id", "url")
+    val block = Seq(Tuple1("bbc.co.uk")).toDF("domain")
+    val kept = UrlOps.dropBlockedDomains(docs, "url", block, "domain",
+      psl = Some(psl), pslSuffixCol = "suffix")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+    // without the PSL the heuristic maps every *.co.uk host to co.uk,
+    // so the bbc.co.uk entry matches nothing — the documented footgun
+    val keptHeur = UrlOps.dropBlockedDomains(docs, "url", block, "domain")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptHeur == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("dropBlockedDomains: oversized list degrades to a shuffled anti-join, same result") {
+    val docs = Seq(
+      (1L, "https://bad.com/x"), (2L, "https://good.org/y")).toDF("id", "url")
+    val block = Seq(Tuple1("bad.com")).toDF("domain")
+    val small = UrlOps.dropBlockedDomains(docs, "url", block, "domain")
+    val forcedShuffle = UrlOps.dropBlockedDomains(docs, "url", block, "domain",
+      maxBroadcastDomains = 0L)
+    assert(small.select("id").collect().map(_.getLong(0)).toSeq ==
+      forcedShuffle.select("id").collect().map(_.getLong(0)).toSeq)
+    // the gate really removes the hint: no broadcast in the logical plan
+    assert(!forcedShuffle.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"))
+    assert(small.queryExecution.optimizedPlan.toString
+      .contains("strategy=broadcast"))
+  }
+
   test("canonicalize: case, userinfo, default/non-default port, empty path, fragment") {
     assert(one("HTTPS://U:p@WWW.A.COM:443/Docs/9?utm_x=1&id=9#Sec", UrlOps.canonicalize)
       == "https://www.a.com/Docs/9?id=9")
