@@ -154,28 +154,55 @@ object Similarity {
     * equi-join on `cell` — ONE shuffle per side, never a cross join.
     * Per-cluster work is O(|cell|²): `k` is the knob that bounds it
     * (the paper runs k≈110k on LAION; size k so the expected cell is
-    * 10³–10⁴ rows). For clusters that still come out hot, compose with
-    * [[srpBucket]] inside the cell — the join key becomes (cell,
-    * bucket) and recall follows the SRP caveat above. Null embeddings
-    * have no cell and thus produce no pairs. */
+    * 10³–10⁴ rows). For clusters that still come out hot — a web
+    * corpus's embedding space is itself skewed, so a few cells can dwarf
+    * the expectation — set `srpPlanes > 0`: each vector also gets a
+    * row-local [[srpBucket]] signature and the join key becomes (cell,
+    * bucket), splitting a hot cell into ≤ 2^srpPlanes sub-buckets.
+    * Recall then follows the SRP caveat: a ≥ tau pair straddling a
+    * hyperplane is missed, with miss probability shrinking as tau → 1
+    * (the pairs SemDeDup exists to find) and growing with srpPlanes —
+    * keep it small (2-4 planes splits a hot cell 4-16× and clips only
+    * the borderline pairs). srpPlanes = 0 (default) is exact within
+    * cells and is the oracle-gated path. Null embeddings have no cell
+    * and thus produce no pairs. */
   def semDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, tau: Double, iters: Int = 1, centRound: Int = 9): DataFrame = {
+      k: Int, tau: Double, iters: Int = 1, centRound: Int = 9,
+      srpPlanes: Int = 0, srpSeed: Long = 42L): DataFrame = {
     require(tau >= -1.0 && tau <= 1.0, s"tau must be in [-1, 1], got $tau")
+    require(srpPlanes >= 0, s"srpPlanes must be >= 0, got $srpPlanes")
     val cents = trainCentroids(df, idCol, vecCol, k, iters, centRound)
-    val assigned = df
+    val dim = cents(0).length
+    val base = df
       .select(col(idCol), asDoubleVec(col(vecCol)).as("__v"))
       .where(col("__v").isNotNull)
       .select(col(idCol), col("__v"), cellSimsFor(cents)(col("__v")).as("__sims"))
       .select(col(idCol), col("__v"), argmaxCell(col("__sims")).as("cell"))
-    val a = assigned.select(
-      col("cell"), col(idCol).as("id_a"), col("__v").as("__va"))
-    val b = assigned.select(
-      col("cell").as("__cb"), col(idCol).as("id_b"), col("__v").as("__vb"))
-    a.join(b, col("cell") === col("__cb") && col("id_a") < col("id_b"))
-      .select(col("cell"), col("id_a"), col("id_b"),
-        cosineSim(col("__va"), col("__vb")).as("sim"))
-      .where(col("sim") >= tau)
+    if (srpPlanes == 0) {
+      val a = base.select(
+        col("cell"), col(idCol).as("id_a"), col("__v").as("__va"))
+      val b = base.select(
+        col("cell").as("__cb"), col(idCol).as("id_b"), col("__v").as("__vb"))
+      a.join(b, col("cell") === col("__cb") && col("id_a") < col("id_b"))
+        .select(col("cell"), col("id_a"), col("id_b"),
+          cosineSim(col("__va"), col("__vb")).as("sim"))
+        .where(col("sim") >= tau)
+    } else {
+      val assigned = base.withColumn("__bkt",
+        srpBucket(col("__v"), dim, srpPlanes, srpSeed))
+      val a = assigned.select(
+        col("cell"), col("__bkt"), col(idCol).as("id_a"), col("__v").as("__va"))
+      val b = assigned.select(
+        col("cell").as("__cb"), col("__bkt").as("__bb"),
+        col(idCol).as("id_b"), col("__v").as("__vb"))
+      a.join(b,
+          col("cell") === col("__cb") && col("__bkt") === col("__bb") &&
+            col("id_a") < col("id_b"))
+        .select(col("cell"), col("id_a"), col("id_b"),
+          cosineSim(col("__va"), col("__vb")).as("sim"))
+        .where(col("sim") >= tau)
+    }
   }
 
   /** SemDeDup drop step: keep one representative per semantic-duplicate
@@ -192,8 +219,10 @@ object Similarity {
     * still choose to if it measures small). */
   def semDedup(
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, tau: Double, iters: Int = 1, centRound: Int = 9): DataFrame = {
-    val dups = semDupPairs(df, idCol, vecCol, k, tau, iters, centRound)
+      k: Int, tau: Double, iters: Int = 1, centRound: Int = 9,
+      srpPlanes: Int = 0, srpSeed: Long = 42L): DataFrame = {
+    val dups = semDupPairs(df, idCol, vecCol, k, tau, iters, centRound,
+        srpPlanes, srpSeed)
       .select(col("id_b").as("__dup_id")).distinct()
     df.join(dups, col(idCol) === col("__dup_id"), "left_anti")
   }

@@ -189,6 +189,35 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("semDupPairs srpPlanes: hot-cell split is a subset of exact pairs, keeps co-bucketed dups") {
+    // One deliberately hot cell: 30 vectors jittered around e1 (all
+    // pairwise cos ≈ 1), plus a second small cluster at e2. With
+    // srpPlanes > 0 the join key becomes (cell, bucket):
+    //  - every reported pair must also be an exact within-cell pair
+    //    (splitting can only REMOVE candidates — the recall caveat),
+    //  - near-identical vectors land in the same SRP bucket, so the
+    //    tight duplicate mass is still found,
+    //  - and the candidate join stays an equi-join (no cross join).
+    val hot = (0 until 30).map(i =>
+      (i.toLong, Array(1.0f, (i * 1e-4f))))
+    val rest = Seq((100L, Array(0.0f, 1.0f)), (101L, Array(0.001f, 1.0f)))
+    val df = (hot ++ rest).toDF("id", "vec")
+    def pairSet(planes: Int) =
+      Similarity.semDupPairs(df, "id", "vec", k = 2, tau = 0.999, srpPlanes = planes)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(0)
+    val split = pairSet(3)
+    assert(split.subsetOf(exact), s"split produced non-exact pairs: ${split -- exact}")
+    // the jittered hot mass is nearly parallel — one SRP hyperplane
+    // rarely separates it; the bulk of the exact pairs must survive
+    assert(split.size >= exact.size / 2, s"split=${split.size} exact=${exact.size}")
+    assert(split.exists { case (a, b) => a < 30 && b < 30 })   // hot cell pairs
+    assert(split.contains((100L, 101L)) || !exact.contains((100L, 101L)))
+    val plan = Similarity.semDupPairs(df, "id", "vec", k = 2, tau = 0.999, srpPlanes = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("semDedup keeps the smallest id of each duplicate group; nulls survive") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.001f)), (2L, Array(0.999f, 0.0f)),
