@@ -1499,6 +1499,17 @@ object SparkEntry {
       Dsir.resampleTopN(docs, "doc_id", "text", model, n = 50)
         .select("doc_id").orderBy("doc_id")
     }),
+    // Stochastic Gumbel-top-k resample (the paper's §2 sampler): the
+    // oracle refits the model, then replays the seeded Gumbel keys —
+    // hashBucket's integer arithmetic, the (b + 0.5)/2^30 uniform, and
+    // −ln(−ln u) — and must select the exact same 50 documents.
+    "text_dsir_gumbel" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val model = Dsir.fit(docs.where(col("lang") === "en"), docs, "text",
+        ns = Seq(1, 2), numBuckets = 2048, seed = 7L, alpha = 1.0)
+      Dsir.resampleGumbel(docs, "doc_id", "text", model, n = 50, seed = 99L)
+        .select("doc_id").orderBy("doc_id")
+    }),
 
     // Composed curation pass — the end-to-end training-data shape:
     // language filter → cheap quality gates → content-hash dedup →
@@ -2944,6 +2955,20 @@ object SparkEntry {
          |SELECT doc_id FROM (
          |  SELECT doc_id FROM scored
          |  ORDER BY nano_weight DESC, doc_id LIMIT 50
+         |) ORDER BY doc_id""".stripMargin,
+    "text_dsir_gumbel" ->
+      s"""$dsirOracleCte
+         |, keys AS (
+         |  SELECT doc_id,
+         |    nano_weight / 1e9 + -ln(-ln(
+         |      (xor(xor(doc_id, doc_id // 2147483648) % 2147483647
+         |         * 1103515245 % 2147483647, 99)
+         |         * 1103515245 % 2147483647 % 1073741824 + 0.5) / 1073741824
+         |    )) AS gk
+         |  FROM scored
+         |)
+         |SELECT doc_id FROM (
+         |  SELECT doc_id FROM keys ORDER BY gk DESC, doc_id LIMIT 50
          |) ORDER BY doc_id""".stripMargin,
     // Full SQL replay of the deterministic k-means training loop:
     // id-ordered seeds, argmax-cosine assignment (ties to the lowest

@@ -18,9 +18,11 @@ import graft.functions.DsirFeatures
   *   2. SCORE: a document's log importance weight is Σ_g λ[bucket(g)]
   *      over its n-gram occurrences — a single row-local codegen'd
   *      expression carrying the model as one reference object.
-  *   3. RESAMPLE: keep the top-n by weight (deterministic variant of
-  *      the paper's Gumbel-top-k — compose with
-  *      [[Pipeline]]'s seeded-hash machinery for the stochastic form).
+  *   3. RESAMPLE: keep the top-n by weight ([[resampleTopN]], the
+  *      deterministic variant) or by weight + seeded Gumbel noise
+  *      ([[resampleGumbel]], the paper's stochastic Gumbel-top-k,
+  *      driven by [[Pipeline.hashBucket]] so it is deterministic given
+  *      the seed and replayable by an external engine).
   *
   * Determinism/oracle contract: λ is stored nano-scaled as LONG
   * (`round(λ·1e9)`), and a document's weight is the exact integer sum
@@ -114,5 +116,39 @@ object Dsir {
       .orderBy(col("__nano").desc, col(idCol).asc)
       .limit(n)
       .drop("__nano")
+  }
+
+  /** STOCHASTIC resample — the paper's actual Gumbel-top-k (§2:
+    * sampling without replacement with probability ∝ importance
+    * weight): add an independent standard-Gumbel draw to each
+    * document's LOG weight and keep the top `n` keys,
+    *
+    *   key_i = log w_i + G_i,   G_i = −ln(−ln U_i),
+    *
+    * which selects exactly as weighted sampling without replacement
+    * does. U_i is NOT a runtime RNG: it rides [[Pipeline.hashBucket]]
+    * (the repo's seeded multiplicative hash, plain integer arithmetic
+    * any engine replays) as `(bucket(id, 2³⁰, seed) + 0.5) / 2³⁰` —
+    * uniform on (0,1), never 0 or 1, deterministic given (id, seed)
+    * across partition layouts, retries and engines. Different seeds
+    * give independent draws (the hash's XOR seed injection); n → corpus
+    * size recovers everything, n = 1 repeated over seeds recovers the
+    * softmax of the log weights (property-tested).
+    *
+    * Scale: identical shape to [[resampleTopN]] — one row-local scoring
+    * scan plus TakeOrderedAndProject heaps; the Gumbel term is three
+    * arithmetic ops on top of the hash. */
+  def resampleGumbel(df: DataFrame, idCol: String, textCol: String,
+      model: DsirModel, n: Int, seed: Long = 11L): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val buckets = 1 << 30
+    val u = (Pipeline.hashBucket(col(idCol), buckets, seed)
+      .cast("double") + 0.5) / buckets.toDouble
+    val key = scoreNano(col(textCol), model).cast("double") / lit(1e9) +
+      -log(-log(u))
+    df.withColumn("__gumbel_key", key)
+      .orderBy(col("__gumbel_key").desc, col(idCol).asc)
+      .limit(n)
+      .drop("__gumbel_key")
   }
 }

@@ -59,6 +59,65 @@ class DsirSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  /** Driver-side replica of [[graft.operators.Pipeline.hashBucket]] for
+    * non-negative ids — lets the distribution property run 20k seeds
+    * without 20k Spark jobs. */
+  private def hashBucketReplica(id: Long, buckets: Int, seed: Long): Long = {
+    val M = 2147483647L
+    val K = 1103515245L
+    val folded = id ^ (id >>> 31)
+    val r1 = math.floorMod(math.floorMod(folded, M) * K, M)
+    math.floorMod((r1 ^ seed) * K, M) % buckets
+  }
+
+  private def gumbelKey(id: Long, lw: Double, seed: Long): Double = {
+    val b = 1 << 30
+    val u = (hashBucketReplica(id, b, seed).toDouble + 0.5) / b.toDouble
+    lw + -math.log(-math.log(u))
+  }
+
+  test("resampleGumbel matches a driver-side replay of the seeded keys") {
+    val model = Dsir.fit(target, raw, "text", numBuckets = 256)
+    val scores = raw.select(col("id"), Dsir.score(col("text"), model).as("lw"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (seed <- Seq(0L, 1L, 7L, 99L, 12345L)) {
+      val got = Dsir.resampleGumbel(raw, "id", "text", model, n = 2, seed = seed)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = scores.toSeq
+        .sortBy { case (id, lw) => (-gumbelKey(id, lw, seed), id) }
+        .take(2).map(_._1).toSet
+      assert(got == want, s"seed=$seed")
+    }
+    // and the plan is still a bounded top-n, not a global sort
+    val plan = Dsir.resampleGumbel(raw, "id", "text", model, n = 2, seed = 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("resampleGumbel: single-draw frequencies over many seeds recover the softmax") {
+    // The Gumbel-max theorem: P(argmax_i (lw_i + G_i) = j) = softmax(lw)_j.
+    // Replicate the operator's exact key arithmetic over 20k seeds and
+    // compare empirical winner frequencies to the softmax — a biased
+    // uniform (the hash) or a wrong key formula breaks this.
+    val model = Dsir.fit(target, raw, "text", numBuckets = 256)
+    val scores = raw.select(col("id"), Dsir.score(col("text"), model).as("lw"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val exp = scores.map { case (id, lw) => id -> math.exp(lw) }
+    val z = exp.map(_._2).sum
+    val softmax = exp.map { case (id, w) => id -> w / z }.toMap
+    val draws = 20000
+    val wins = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    for (seed <- 0 until draws) {
+      val winner = scores.minBy { case (id, lw) => (-gumbelKey(id, lw, seed.toLong), id) }._1
+      wins(winner) += 1
+    }
+    softmax.foreach { case (id, p) =>
+      val phat = wins(id).toDouble / draws
+      assert(math.abs(phat - p) < 0.02,
+        s"id=$id softmax=$p empirical=$phat")
+    }
+  }
+
   test("non-power-of-two bucket count is rejected") {
     val model = Dsir.fit(target, raw, "text", numBuckets = 256)
     val bad = model.copy(nanoRatios = new Array[Long](100), numBuckets = 100)
