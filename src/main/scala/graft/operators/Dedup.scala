@@ -488,7 +488,13 @@ object Dedup {
     * correctly (pinned in DedupSpec).
     *
     * Scale shape: the boilerplate-frequency aggregate shuffles only
-    * slim `(line_hash, id)` pairs — 16 bytes/line, never line text.
+    * slim `(line_hash, line_len, id)` tuples — 20 bytes/line, never
+    * line text. The match key is (xxhash64, normalized length), not
+    * the bare 64-bit hash: at the multi-billion-distinct-line scale
+    * this targets, a bare-hash collision between a boilerplate line
+    * and an unrelated line would silently delete the innocent line
+    * from every document; the length qualifier cuts the collision
+    * surface to same-length pairs for 4 extra bytes of shuffle key.
     * The surviving-key set is materialized once and broadcast when
     * under `maxBroadcastKeys` (boilerplate vocabularies are small —
     * that's what makes them boilerplate), making the drop a map-side
@@ -505,6 +511,7 @@ object Dedup {
     df.select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__norm", lower(trim(col("__line"), " \t\r")))
       .withColumn("__key", xxhash64(col("__norm")))
+      .withColumn("__klen", length(col("__norm")))
       .withColumn("__blank", col("__norm") === "")
       .drop("__norm")
 
@@ -514,10 +521,10 @@ object Dedup {
   private[graft] def boilerplateKeys(
       df: DataFrame, idCol: String, textCol: String, minDocs: Int): DataFrame =
     lineTable(df, idCol, textCol).where(!col("__blank"))
-      .groupBy("__key")
+      .groupBy("__key", "__klen")
       .agg(count_distinct(col(idCol)).as("__nd"))
       .where(col("__nd") >= minDocs)
-      .select("__key")
+      .select("__key", "__klen")
 
   def dedupLines(
       df: DataFrame, idCol: String, textCol: String,
@@ -531,7 +538,8 @@ object Dedup {
     // the key frequent — they can't: blanks never reach dupKeys — but
     // routing them around the join also keeps the probe side smaller).
     val kept = lines.where(col("__blank"))
-      .unionByName(lines.where(!col("__blank")).join(probe, Seq("__key"), "left_anti"))
+      .unionByName(lines.where(!col("__blank"))
+        .join(probe, Seq("__key", "__klen"), "left_anti"))
     val rebuilt = kept
       .groupBy(idCol)
       .agg(

@@ -141,11 +141,19 @@ object Multimodal {
     * is hamming distance — the SimHash 16-bit-chunk banding machinery
     * ([[Dedup.simHashPairs]]'s shape) applies unchanged.
     *
+    * Orientation: sampling is in STORED-row space for the common
+    * bottom-up encoding, and a top-down (negative-height) payload maps
+    * its rows to the equivalent bottom-up index (`h-1-sy`), so the two
+    * encodings of the same visual image hash identically — a top-down
+    * duplicate of a bottom-up original must not dodge dedup on a
+    * header sign bit (pinned in MultimodalSpec).
+    *
     * Null for non-BMP or truncated payloads (entropy-coded formats
     * need a real decoder first — same fence as the resize path). */
   def aHash64(bytes: Array[Byte]): java.lang.Long = {
     val (fmt, w, h) = parseDims(bytes)
     if (fmt != "bmp" || w <= 0 || h <= 0) return null
+    val topDown = le32(bytes, 22) < 0
     val rowSize = bmpRowSize(w)
     if (bytes.length < 54 + rowSize.toLong * h) return null
     val lum = new Array[Int](64)
@@ -153,7 +161,8 @@ object Multimodal {
     var i = 0
     while (i < 64) {
       val sx = (i % 8) * w / 8
-      val sy = (i / 8) * h / 8
+      val syStored = (i / 8) * h / 8
+      val sy = if (topDown) h - 1 - syStored else syStored
       val off = 54 + sy * rowSize + sx * 3
       val l = (bytes(off) & 0xff) + (bytes(off + 1) & 0xff) + (bytes(off + 2) & 0xff)
       lum(i) = l

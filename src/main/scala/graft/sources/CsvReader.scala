@@ -229,15 +229,21 @@ object CsvReader {
         .getOrElse(
           if (opts.dayfirst)
             // day-first chain: slashed, dashed (with and without time),
-            // then the ISO default. try_to_timestamp, not to_timestamp:
-            // under ANSI (Spark 4 default) a non-matching format THROWS
-            // instead of yielding null, which would kill the chain on
-            // the first row that needs a later format.
+            // 2-digit-year variants (strict 'yyyy' needs 4 digits, so
+            // '03/02/21' falls through to 'd/M/yy' → Feb 3 2021; 'yy'
+            // pivots at 2000-2099 where pandas pivots at 69 — dates
+            // that old should use 4-digit years), then the ISO default.
+            // try_to_timestamp, not to_timestamp: under ANSI (Spark 4
+            // default) a non-matching format THROWS instead of
+            // yielding null, which would kill the chain on the first
+            // row that needs a later format.
             coalesce(
               try_to_timestamp(col(c), lit("d/M/yyyy H:mm:ss")),
               try_to_timestamp(col(c), lit("d/M/yyyy")),
               try_to_timestamp(col(c), lit("d-M-yyyy H:mm:ss")),
               try_to_timestamp(col(c), lit("d-M-yyyy")),
+              try_to_timestamp(col(c), lit("d/M/yy")),
+              try_to_timestamp(col(c), lit("d-M-yy")),
               try_to_timestamp(col(c)))
           else to_timestamp(col(c))))
     }

@@ -138,6 +138,22 @@ class CsvReaderSpec extends SparkSpec {
     assert(got(3) == "2021-07-01 00:00:00.0", got(3)) // ISO fallback
   }
 
+  test("dayfirst parses 2-digit years (the header doc's own example shape)") {
+    // strict 'd/M/yyyy' needs 4 year digits, so '03/02/21' must fall
+    // through to the 'd/M/yy' pattern → Feb 3 2021, as pandas' dayfirst
+    // gives — not null
+    val p = writeCsv("d", "03/02/21", "25-12-20", "3/2/99")
+    val df = CsvReader.readCsv(spark, p,
+      CsvOptions(parseDates = Seq("d"), dayfirst = true, inferSchema = false))
+    val got = df.collect().map(r =>
+      if (r.isNullAt(0)) null else r.getTimestamp(0).toString)
+    assert(got(0) == "2021-02-03 00:00:00.0", got(0))
+    assert(got(1) == "2020-12-25 00:00:00.0", got(1))
+    // 'yy' pivots in 2000-2099 (documented divergence from pandas' 69
+    // pivot: 99 → 2099 here, 1999 there)
+    assert(got(2) == "2099-02-03 00:00:00.0", got(2))
+  }
+
   test("decimal + thousands parse European-formatted numerics via dtype") {
     // pandas: read_csv(..., sep=';', decimal=',', thousands='.') turns
     // "1.234,56" into 1234.56 and "9.876" (int col) into 9876

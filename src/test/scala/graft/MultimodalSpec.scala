@@ -370,6 +370,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aHash64(Array[Byte]('B', 'M')) == null)
   }
 
+  test("aHash64: top-down and bottom-up encodings of the same image hash identically") {
+    // flip a bottom-up BMP to top-down: negate the height field and
+    // reverse the stored row order — the VISUAL image is unchanged, so
+    // the hash must be too (a re-encoded duplicate must not dodge
+    // dedup on a header sign bit)
+    val bu = Multimodal.encodeBmp(3L, 24, 10)
+    val w = 24; val h = 10
+    val rowSize = Multimodal.bmpRowSize(w)
+    val td = bu.clone()
+    val negH = -h
+    td(22) = (negH & 0xff).toByte; td(23) = ((negH >> 8) & 0xff).toByte
+    td(24) = ((negH >> 16) & 0xff).toByte; td(25) = ((negH >> 24) & 0xff).toByte
+    for (y <- 0 until h)
+      System.arraycopy(bu, 54 + y * rowSize, td, 54 + (h - 1 - y) * rowSize, rowSize)
+    assert(Multimodal.aHash64(bu).longValue == Multimodal.aHash64(td).longValue)
+    // and the flip really changed the bytes (premise check)
+    assert(!bu.sameElements(td))
+  }
+
   test("aHashFrame: distributed per-row hashing, null passthrough") {
     import spark.implicits._
     val dims = Seq((1L, 20, 13), (2L, 20, 13), (3L, 9, 4)).toDF("id", "w", "h")
