@@ -5,11 +5,26 @@ package graft
   * times. Failed queries are recorded in an `errors` map (name → message)
   * and excluded from the total, so a broken query can't masquerade as a
   * fast one.
+  *
+  * Isolation hygiene: one shared JVM times every query, so a query's
+  * FIRST run is polluted by whatever codegen compilation, classloading
+  * and GC pressure the queries before it created — and that pollution
+  * GROWS as the suite grows, which round-over-round comparisons then
+  * misread as a uniform regression (observed r4→r5: +16% median on
+  * unchanged plans). The remedy here is steady-state timing: run the
+  * whole suite `SPARK_GRAFT_BENCH_PASSES` times (default 2) in one
+  * session and report each query's MINIMUM wall time — by pass 2 the
+  * JVM is warm for every query, so the minimum measures the plan, not
+  * the neighbors. `pass1_total` is also reported so cold-vs-warm drift
+  * stays visible. Queries that fail in pass 1 are excluded from later
+  * passes and recorded once.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val spark = GraftSession
       .builder(appName = "graft-bench", master = s"local[$cpus]",
         shufflePartitions = cpus.toInt)
@@ -25,23 +40,41 @@ object Bench {
         .agg(sum(col("l_quantity"))).collect()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    def timeOne(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      val outcome =
-        // noop sink, not count(): count lets the optimizer drop sorts
-        // and column work, under-measuring; noop materializes every
-        // output row and column without any write IO.
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); Right(()) }
-        catch { case e: Throwable => Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-      (name, (System.nanoTime() - t0) / 1e9, outcome)
+      // noop sink, not count(): count lets the optimizer drop sorts
+      // and column work, under-measuring; noop materializes every
+      // output row and column without any write IO.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save();
+        Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
     }
-    val ok = results.collect { case (n, t, Right(_)) => n -> t }
-    val errs = results.collect { case (n, _, Left(m)) => n -> m }
+
+    val first = ordered.map { case (name, fn) => (name, fn, timeOne(name, fn)) }
+    val errs = first.collect { case (n, _, Left(m)) => n -> m }
+    var best = first.collect { case (n, _, Right(t)) => n -> t }.toMap
+    val pass1Total = best.values.sum
+    for (_ <- 2 to passes) {
+      first.foreach {
+        case (name, fn, Right(_)) =>
+          timeOne(name, fn).foreach { t =>
+            if (t < best(name)) best = best.updated(name, t)
+          }
+        case _ => ()
+      }
+    }
+
+    val ok = first.collect { case (n, _, Right(_)) => n -> best(n) }
     val qs = ok.map { case (k, v) => s"${JsonOut.q(k)}:$v" }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${JsonOut.q(k)}:${JsonOut.q(v.take(200))}" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"sf":${JsonOut.q(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"passes":$passes,"pass1_total":$pass1Total,"sf":${JsonOut.q(sfDir)}}""")
     spark.stop()
   }
 }
