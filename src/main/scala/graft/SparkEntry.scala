@@ -901,6 +901,33 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_new", "id_idx")
     }),
+    // ONE-CALL incremental ingest dedup: the batch mixes (a) drop-5
+    // copies of corpus docs (index hits — drop), (b) token-REVERSED
+    // corpus docs (shingle-disjoint from the corpus — new-vs-new
+    // originals, keep as cluster representatives) and (c) drop-3
+    // variants of the reversed docs (near-dups of (b) only — drop as
+    // non-representatives). The oracle replays the whole decision:
+    // exact jaccard probe, exact batch pairs, recursive-CTE clusters,
+    // and the keep rule.
+    "dedup_incremental_drop" -> ((s, dir) => {
+      val corpus = tbl(s, dir, "documents")
+      val base = corpus.where(size(split(col("text"), " ")) >= 30)
+        .select(col("doc_id"), col("text"))
+      val toks = split(col("text"), " ")
+      val copies = base.select((col("doc_id") + 100000).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 5), " ").as("text"))
+      val revA = base.select((col("doc_id") + 200000).as("doc_id"),
+        array_join(reverse(toks), " ").as("text"))
+      val revB = base.select((col("doc_id") + 300000).as("doc_id"),
+        array_join(slice(reverse(toks), lit(1), size(toks) - 3), " ").as("text"))
+      val batch = copies.unionAll(revA).unionAll(revB)
+      val index = Dedup.minHashIndex(corpus, "doc_id", "text",
+        numHashes = 128, bands = 32)
+      Dedup.dedupIncremental(batch, "doc_id", "text",
+          index, corpus, "doc_id", "text",
+          threshold = 0.5, numHashes = 128, bands = 32)
+        .select("doc_id").orderBy("doc_id")
+    }),
     // Quality-aware representative selection: same clusters as
     // dedup_drop, but the keeper is the max of a deterministic
     // pseudo-quality score ((id * 2654435761) % 1000 — Knuth hash,
@@ -2710,6 +2737,62 @@ object SparkEntry {
         |  ON len(list_intersect(n.s, i.s))::DOUBLE
         |     / len(list_distinct(list_concat(n.s, i.s))) >= 0.5
         |ORDER BY id_new, id_idx""".stripMargin,
+    "dedup_incremental_drop" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 30
+        |), batch AS (
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      len(string_split(text, ' ')) - 5), ' ') AS text
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 300000,
+        |    array_to_string(list_slice(list_reverse(string_split(text, ' ')), 1,
+        |      len(string_split(text, ' ')) - 3), ' ')
+        |  FROM base
+        |), shI AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ')
+        |                   for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |        FROM documents)
+        |), shB AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ')
+        |                   for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |        FROM batch)
+        |), hits AS (
+        |  SELECT DISTINCT b.doc_id FROM shB b JOIN shI i
+        |    ON len(list_intersect(b.s, i.s))::DOUBLE
+        |       / len(list_distinct(list_concat(b.s, i.s))) >= 0.5
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM shB a JOIN shB b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.r FROM edges e JOIN reach r ON r.id = e.id_b
+        |), cl AS (
+        |  SELECT id, min(r) AS c FROM reach GROUP BY id
+        |), hitcl AS (
+        |  SELECT DISTINCT cl.c FROM cl JOIN hits ON cl.id = hits.doc_id
+        |)
+        |SELECT b.doc_id FROM batch b
+        |LEFT JOIN cl ON cl.id = b.doc_id
+        |WHERE b.doc_id NOT IN (SELECT doc_id FROM hits)
+        |  AND (cl.c IS NULL
+        |       OR (cl.c = b.doc_id AND cl.c NOT IN (SELECT c FROM hitcl)))
+        |ORDER BY b.doc_id""".stripMargin,
     "dedup_exact_hash" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids

@@ -241,6 +241,53 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** ONE-CALL incremental ingest dedup — the operational form of the
+    * daily-batch story: drop from `newDocs` every document that is
+    *   (a) a near-dup of an INDEXED document ([[nearDupAgainstIndex]]
+    *       probe against the persisted [[minHashIndex]]),
+    *   (b) in a batch-internal duplicate cluster that CONTAINS an
+    *       index hit (transitively a dup of the corpus through the
+    *       batch graph), or
+    *   (c) a non-representative member (not the min id) of a clean
+    *       batch-internal cluster ([[nearDupMinHash]] over the batch +
+    *       [[duplicateClusters]]).
+    * Returns the surviving rows of `newDocs`, all columns — the set to
+    * append to the corpus (and whose [[minHashIndex]] rows to append
+    * to the index).
+    *
+    * Scale shape: the probe pays ∝ batch (index side pre-bucketed);
+    * the batch-internal LSH and star-contraction clustering pay
+    * ∝ batch² only within shared bands; the corpus is touched ONLY by
+    * the probe's verify join on candidate ids. The probe-hit id set is
+    * materialized once (it steers both the direct drop and the
+    * cluster-hit test). */
+  def dedupIncremental(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, corpus: DataFrame,
+      corpusIdCol: String, corpusTextCol: String,
+      threshold: Double, numHashes: Int = 128, bands: Int = 32,
+      shingleN: Int = 3, seed: Long = 42L): DataFrame = {
+    OpUtil.requireNoColumns(newDocs, Set("__cl", "__hit_cl"), "dedupIncremental")
+    val hits = nearDupAgainstIndex(newDocs, idCol, textCol,
+        index, corpus, corpusIdCol, corpusTextCol,
+        threshold, numHashes, bands, shingleN, seed)
+      .select(col("id_new").as(idCol)).distinct()
+      .localCheckpoint(true)
+    val batchPairs = nearDupMinHash(newDocs, idCol, textCol,
+        threshold, numHashes, bands, shingleN, seed)
+      .select(col("id_a"), col("id_b"))
+    val clusters = duplicateClusters(batchPairs)
+      .select(col("id").as(idCol), col("cluster").as("__cl"))
+    val hitClusters = clusters.join(hits, Seq(idCol), "left_semi")
+      .select(col("__cl").as("__hit_cl")).distinct()
+    newDocs
+      .join(hits, Seq(idCol), "left_anti")
+      .join(clusters, Seq(idCol), "left")
+      .join(hitClusters, col("__cl") === col("__hit_cl"), "left_anti")
+      .where(col("__cl").isNull || col("__cl") === col(idCol))
+      .drop("__cl")
+  }
+
   /** Connected components over near-duplicate pairs: (id, cluster)
     * where cluster = the minimum id reachable through the pair graph.
     * This is the step that turns pair OUTPUT into an actual dedup

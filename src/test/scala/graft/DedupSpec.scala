@@ -232,6 +232,43 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((10L, 1L)))
   }
 
+  test("dedupIncremental: one call drops index dups, hit clusters, and non-reps") {
+    // corpus doc X; batch exercises all three drop rules plus survival:
+    //  20: near-copy of X                → (a) index hit, drop
+    //  21: near-dup of 20 but NOT of X   → (b) member of a hit cluster
+    //                                       (transitively a corpus dup), drop
+    //  30: fresh content                 → cluster rep, keep
+    //  31: near-dup of 30                → (c) non-representative, drop
+    //  40: unique fresh doc              → untouched, keep
+    val x = (1 to 20).map(i => s"x$i").mkString(" ")
+    val tail = (1 to 10).map(i => s"t$i").mkString(" ")
+    val corpus = Seq((1L, x)).toDF("doc_id", "text")
+    val fresh = (1 to 20).map(i => s"c$i").mkString(" ")
+    val batch = Seq(
+      (20L, s"$x $tail"),
+      // shares x11..x20 + tail with 20 (j≈0.47) but only x11..x20 with
+      // X itself (j≈0.21): a hit-cluster member, not a direct hit
+      (21L, ((11 to 20).map(i => s"x$i") ++ (1 to 10).map(i => s"t$i")
+        ++ (1 to 10).map(i => s"f$i")).mkString(" ")),
+      (30L, fresh),
+      (31L, (1 to 17).map(i => s"c$i").mkString(" ")),
+      (40L, (1 to 20).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // bands=64 (2 rows/band): candidate recall ≈ 1 at the j≈0.4-0.5
+    // pairs this fixture plants; the exact verify then decides
+    val idx = Dedup.minHashIndex(corpus, "doc_id", "text", numHashes = 128, bands = 64)
+    val kept = Dedup.dedupIncremental(batch, "doc_id", "text",
+        idx, corpus, "doc_id", "text",
+        threshold = 0.35, numHashes = 128, bands = 64)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(30L, 40L), s"kept=$kept")
+    // all original columns survive
+    assert(Dedup.dedupIncremental(batch, "doc_id", "text",
+      idx, corpus, "doc_id", "text",
+      threshold = 0.35, numHashes = 128, bands = 64).columns.toSeq
+      == Seq("doc_id", "text"))
+  }
+
   test("dropNearDuplicatesBy keeps the best-scoring member; ties go to min id") {
     val d = Seq(
       (1L, "a", 10.0), (2L, "a2", 50.0), (3L, "a3", 50.0), // cluster {1,2,3}
