@@ -1651,6 +1651,33 @@ object SparkEntry {
     // headers back. Oracle recomputes output dims and the closed-form
     // stored-deflate file size: 63 + raw + 5*ceil(raw/65535), with
     // raw = nh*(1 + 3*nw).
+    // REAL JPEG path end-to-end: deterministic gradient rasters →
+    // baseline JPEG encode → header parse → entropy decode + IDCT +
+    // nearest resample + re-encode → header parse again. Entropy-coded
+    // byte sizes have no closed form, so the oracle checks the
+    // SQL-predictable surface: counts, format tags and exact dims on
+    // both sides of the resize (floor(dim/2) min 1).
+    "multimodal_jpeg" -> ((s, dir) => {
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 40 + 9).cast("int").as("w"),
+        (col("doc_id") % 32 + 9).cast("int").as("h"))
+      val media = Multimodal.encodeJpegFrame(dims, "doc_id", "w", "h")
+      val full = Multimodal.extractFeatures(media).toDF()
+        .select(col("mediaId"), col("format").as("fmt0"),
+          col("width").as("w0"), col("height").as("h0"))
+      val resized = Multimodal.extractFeatures(
+          Multimodal.resizeJpegFrame(media, 50)).toDF()
+        .select(col("mediaId"), col("format").as("fmt1"),
+          col("width").as("w1"), col("height").as("h1"))
+      full.join(resized, "mediaId")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("fmt0") === "jpeg" && col("fmt1") === "jpeg", 1L)
+            .otherwise(0L)).as("n_jpeg"),
+          sum("w0").as("sum_w"), sum("h0").as("sum_h"),
+          sum("w1").as("sum_rw"), sum("h1").as("sum_rh"))
+    }),
     "multimodal_resize_png" -> ((s, dir) => {
       val dims = tbl(s, dir, "documents").select(
         col("doc_id"),
@@ -3411,6 +3438,20 @@ object SparkEntry {
     // PNG file size is closed-form because the encoder writes STORED
     // deflate blocks: 8 sig + 25 IHDR + 12 IEND + IDAT(12 + 2 zlib hdr
     // + 5/block + raw + 4 adler) = 63 + raw + 5*ceil(raw/65535).
+    "multimodal_jpeg" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    n_chars % 40 + 9 AS w,
+        |    doc_id % 32 + 9 AS h
+        |  FROM documents WHERE doc_id < 200
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_jpeg,
+        |  CAST(sum(w) AS BIGINT) AS sum_w,
+        |  CAST(sum(h) AS BIGINT) AS sum_h,
+        |  CAST(sum(greatest(1, w * 50 // 100)) AS BIGINT) AS sum_rw,
+        |  CAST(sum(greatest(1, h * 50 // 100)) AS BIGINT) AS sum_rh
+        |FROM dims""".stripMargin,
     "multimodal_resize_png" ->
       """WITH dims AS (
         |  SELECT greatest(1, (n_chars % 64 + 1) * 50 // 100) AS nw,

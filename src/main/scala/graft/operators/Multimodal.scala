@@ -12,13 +12,17 @@ import org.apache.spark.sql.types._
   * raw bytes of BMP (BITMAPINFOHEADER, little-endian fields) and PNG
   * (IHDR, big-endian fields) containers — both byte layouts are public
   * spec. Pixel work is REAL for BMP ([[encodeBmp]]/[[resizeBmp24]] —
-  * addressable pixel rows, pure byte math) AND for 8-bit
+  * addressable pixel rows, pure byte math), for 8-bit
   * truecolor/RGBA non-interlaced PNG ([[PngCodec]] — chunk + zlib
   * framing, the complete RFC 1951 inflate (stored, fixed- and
   * dynamic-Huffman blocks) and all five scanline filters, all by
-  * hand). Only JPEG (DCT + entropy coding over frequency space, a true
-  * image codec) stays behind the clearly-marked [[resizeStub]]; the
-  * batch-iteration plumbing is identical either way.
+  * hand), AND for baseline JPEG ([[JpegCodec]] — T.81 markers,
+  * canonical Huffman entropy decode, dequant + IDCT, 4:2:0/4:2:2/4:4:4
+  * chroma, grayscale; encode with the Annex K tables — cross-checked
+  * in tests against the JDK's independent ImageIO codec). The
+  * [[resizeStub]] remains only as the generic fallback for formats
+  * with no codec here (video/audio containers); no image format needs
+  * it.
   *
   * Scale notes: payload bytes never shuffle (all transforms are
   * row-local `mapPartitions`); metadata-only queries prune the binary
@@ -63,6 +67,10 @@ object Multimodal {
       return ("bmp", le32(bytes, 18), math.abs(le32(bytes, 22)))
     if (bytes.length >= 24 && bytes.take(8).sameElements(PngSig))
       return ("png", be32(bytes, 16), be32(bytes, 20))
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      val wh = JpegCodec.parseDimsJpeg(bytes)
+      if (wh != null) return ("jpeg", wh._1, wh._2)
+    }
     ("unknown", 0, 0)
   }
 
@@ -307,13 +315,43 @@ object Multimodal {
       .toDF("media_id", "data")
   }
 
-  /** STUB resize for OPAQUE payloads — now only formats that need a
-    * true image codec (JPEG: DCT + entropy coding); BMP and common PNG
-    * have real paths ([[resizeBmp24]], [[resizePngFrame]]): a row-local
-    * projection emitting a smaller payload whose size tracks the scale
-    * factor deterministically (`substring` operates on binary
-    * natively). A real implementation swaps a codec resize in here and
-    * nothing else changes. Payloads never shuffle. */
+  /** Distributed JPEG gradient encode — mirrors [[encodePngFrame]],
+    * payload bytes from [[JpegCodec.encode]] (baseline 4:4:4,
+    * near-lossless tables). Row-local, deterministic per (id, w, h). */
+  def encodeJpegFrame(dims: DataFrame, idCol: String, wCol: String,
+      hCol: String): DataFrame = {
+    val spark = dims.sparkSession
+    import spark.implicits._
+    dims.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        (id, JpegCodec.encode(PngCodec.gradient(id, w, h)))
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Resize every JPEG payload of a (media_id, data) frame — the REAL
+    * JPEG path: baseline entropy decode, IDCT, nearest-neighbor
+    * resample, re-encode. Row-local; payloads never shuffle. */
+  def resizeJpegFrame(media: DataFrame, scalePercent: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => (id, JpegCodec.resizeJpeg(b, scalePercent)) })
+      .toDF("media_id", "data")
+  }
+
+  /** STUB resize for OPAQUE payloads — the generic fallback for
+    * formats this library has NO codec for (video/audio containers,
+    * exotic image formats). BMP, PNG and baseline JPEG all have real
+    * pixel paths now ([[resizeBmp24]], [[resizePngFrame]],
+    * [[resizeJpegFrame]]); nothing in the image tier needs this stub
+    * anymore. A row-local projection emitting a smaller payload whose
+    * size tracks the scale factor deterministically (`substring`
+    * operates on binary natively). A real implementation swaps a codec
+    * resize in here and nothing else changes. Payloads never
+    * shuffle. */
   def resizeStub(media: DataFrame, scalePercent: Int): DataFrame = {
     require(scalePercent > 0 && scalePercent <= 100)
     // long arithmetic: length * scalePercent overflows Int for payloads

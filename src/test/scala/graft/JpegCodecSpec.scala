@@ -1,0 +1,184 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{JpegCodec, PngCodec}
+
+/** JpegCodec correctness, pinned two independent ways: self round-trip
+  * bounds (near-lossless tables → DCT rounding only) and a CROSS-CODEC
+  * oracle — the JDK's ImageIO JPEG implementation (an independent
+  * decoder/encoder lineage) must agree with ours within the tolerance
+  * that different conformant IDCT/upsampling implementations are
+  * allowed (T.81 never mandates one IDCT). ImageIO is used in TESTS
+  * only — the library itself stays pure byte math. */
+class JpegCodecSpec extends AnyFunSuite {
+
+  /** Smooth RGB gradient — JPEG-friendly (no sharp edges, so codec
+    * implementation differences like chroma-upsample filters stay
+    * small), still exercising all three channels independently. */
+  private def smooth(w: Int, h: Int): PngCodec.Raster = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      px(d) = (x * 255 / math.max(1, w - 1)).toByte
+      px(d + 1) = (y * 255 / math.max(1, h - 1)).toByte
+      px(d + 2) = ((x + y) * 255 / math.max(1, w + h - 2)).toByte
+    }
+    PngCodec.Raster(w, h, 3, px)
+  }
+
+  private def maxAndMeanDiff(a: Array[Byte], b: Array[Byte]): (Int, Double) = {
+    require(a.length == b.length, s"${a.length} != ${b.length}")
+    var mx = 0
+    var sum = 0L
+    var i = 0
+    while (i < a.length) {
+      val d = math.abs((a(i) & 0xff) - (b(i) & 0xff))
+      if (d > mx) mx = d
+      sum += d
+      i += 1
+    }
+    (mx, sum.toDouble / a.length)
+  }
+
+  private def toRaster(img: java.awt.image.BufferedImage): PngCodec.Raster = {
+    val w = img.getWidth; val h = img.getHeight
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val d = (y * w + x) * 3
+      px(d) = ((rgb >> 16) & 0xff).toByte
+      px(d + 1) = ((rgb >> 8) & 0xff).toByte
+      px(d + 2) = (rgb & 0xff).toByte
+    }
+    PngCodec.Raster(w, h, 3, px)
+  }
+
+  private def toBuffered(r: PngCodec.Raster): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      r.width, r.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until r.height; x <- 0 until r.width) {
+      val d = (y * r.width + x) * 3
+      img.setRGB(x, y, ((r.pixels(d) & 0xff) << 16) |
+        ((r.pixels(d + 1) & 0xff) << 8) | (r.pixels(d + 2) & 0xff))
+    }
+    img
+  }
+
+  test("4:4:4 near-lossless round-trip: decode(encode(x)) within DCT rounding") {
+    val img = smooth(37, 23) // non-multiple-of-8 dims exercise edge padding
+    val bytes = JpegCodec.encode(img)
+    val back = JpegCodec.decode(bytes)
+    assert(back.width == 37 && back.height == 23 && back.channels == 3)
+    val (mx, mean) = maxAndMeanDiff(back.pixels, img.pixels)
+    assert(mx <= 3 && mean <= 1.0, s"max=$mx mean=$mean")
+  }
+
+  test("4:2:0 round-trip on smooth content stays close; dims exact") {
+    val img = smooth(40, 28)
+    val back = JpegCodec.decode(JpegCodec.encode(img, subsample = 2))
+    assert(back.width == 40 && back.height == 28)
+    val (mx, mean) = maxAndMeanDiff(back.pixels, img.pixels)
+    // chroma is box-downsampled then nearest-upsampled: smooth content
+    // moves by at most a few counts
+    assert(mx <= 12 && mean <= 2.0, s"max=$mx mean=$mean")
+  }
+
+  test("cross-oracle: the JDK ImageIO decoder reads our bytes the same way") {
+    for (sub <- Seq(1, 2)) {
+      val img = smooth(48, 32)
+      val bytes = JpegCodec.encode(img, subsample = sub)
+      val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(theirs != null, "ImageIO failed to parse our JPEG")
+      assert(theirs.getWidth == 48 && theirs.getHeight == 32)
+      val ours = JpegCodec.decode(bytes)
+      val (mx, mean) = maxAndMeanDiff(ours.pixels, toRaster(theirs).pixels)
+      // two conformant decoders of the SAME file: differences are
+      // IDCT/rounding/upsample implementation slack only
+      assert(mx <= 16 && mean <= 2.0, s"sub=$sub max=$mx mean=$mean")
+    }
+  }
+
+  test("cross-oracle: we decode ImageIO-written JPEGs (real-world bytes)") {
+    val img = toBuffered(smooth(64, 48))
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(0.9f)
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(out))
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose()
+    val bytes = out.toByteArray
+    val ours = JpegCodec.decode(bytes)
+    assert(ours.width == 64 && ours.height == 48)
+    val theirs = toRaster(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    val (mx, mean) = maxAndMeanDiff(ours.pixels, theirs.pixels)
+    assert(mx <= 24 && mean <= 2.5, s"max=$mx mean=$mean")
+  }
+
+  test("grayscale (1-component) JPEGs decode with replicated channels") {
+    val w = 32; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (x * 255 / (w - 1) + y) % 256
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", out)
+    val ours = JpegCodec.decode(out.toByteArray)
+    assert(ours.width == w && ours.height == h && ours.channels == 3)
+    // replicated channels: R == G == B everywhere
+    for (i <- 0 until w * h)
+      assert(ours.pixels(3 * i) == ours.pixels(3 * i + 1) &&
+        ours.pixels(3 * i + 1) == ours.pixels(3 * i + 2))
+    // and close to what ImageIO itself decodes — compare RAW gray
+    // samples (getRGB on TYPE_BYTE_GRAY applies a gray→sRGB colorspace
+    // conversion that neither decoder's Y values went through)
+    val theirImg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.toByteArray))
+    var mx = 0
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs((ours.pixels(3 * (y * w + x)) & 0xff) -
+        theirImg.getRaster.getSample(x, y, 0))
+      mx = math.max(mx, d)
+      sum += d
+    }
+    val mean = sum.toDouble / (w * h)
+    assert(mx <= 8 && mean <= 1.5, s"max=$mx mean=$mean")
+  }
+
+  test("parseDimsJpeg reads SOF dims; resize halves them; encode is deterministic") {
+    val img = smooth(30, 20)
+    val bytes = JpegCodec.encode(img)
+    assert(JpegCodec.parseDimsJpeg(bytes) == ((30, 20)))
+    assert(JpegCodec.parseDimsJpeg("not a jpeg".getBytes) == null)
+    val resized = JpegCodec.resizeJpeg(bytes, 50)
+    assert(JpegCodec.parseDimsJpeg(resized) == ((15, 10)))
+    assert(JpegCodec.encode(img).sameElements(bytes)) // bit-stable
+  }
+
+  test("unsupported and corrupt inputs fail loudly, never wrong pixels") {
+    val bytes = JpegCodec.encode(smooth(16, 16))
+    // truncate mid-entropy-stream
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode(java.util.Arrays.copyOf(bytes, bytes.length - 20))
+    }
+    // not a JPEG at all
+    intercept[IllegalArgumentException] { JpegCodec.decode("BM garbage".getBytes) }
+    // flip SOF0 to SOF2 (progressive) — must refuse, not mis-decode;
+    // find the real SOF marker by walking segments (0xFFC0 bytes can
+    // legitimately appear inside entropy data or tables)
+    var off = 2
+    var sofAt = -1
+    while (sofAt < 0) {
+      val m = bytes(off + 1) & 0xff
+      if (m == 0xc0) sofAt = off
+      else off += 2 + (((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff))
+    }
+    val prog = bytes.clone(); prog(sofAt + 1) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException] { JpegCodec.decode(prog) }
+    assert(e.getMessage.contains("progressive"))
+  }
+}

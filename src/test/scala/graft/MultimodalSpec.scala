@@ -335,6 +335,25 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) == (("png", 1, 1)))
   }
 
+  test("encodeJpegFrame + resizeJpegFrame: distributed real-pixel JPEG path") {
+    val dims = Seq((1L, 24, 16), (2L, 37, 9), (3L, 8, 8)).toDF("id", "w", "h")
+    val media = Multimodal.encodeJpegFrame(dims, "id", "w", "h").repartition(3)
+    val full = Multimodal.extractFeatures(media)
+      .collect().map(f => f.mediaId -> ((f.format, f.width, f.height))).toMap
+    assert(full(1L) == (("jpeg", 24, 16)))
+    assert(full(2L) == (("jpeg", 37, 9)))
+    val got = Multimodal.extractFeatures(Multimodal.resizeJpegFrame(media, 50))
+      .collect().map(f => f.mediaId -> ((f.format, f.width, f.height))).toMap
+    assert(got(1L) == (("jpeg", 12, 8)))
+    assert(got(2L) == (("jpeg", 18, 4)))
+    assert(got(3L) == (("jpeg", 4, 4)))
+    // and the resized payload really decodes (pixels, not just headers)
+    val bytes = Multimodal.resizeJpegFrame(media, 50)
+      .where(col("media_id") === 1L).collect()(0).getAs[Array[Byte]]("data")
+    val r = graft.operators.JpegCodec.decode(bytes)
+    assert(r.width == 12 && r.height == 8 && r.channels == 3)
+  }
+
   test("sampleFrames explodes one row per stride offset") {
     val m = Multimodal.withMediaColumn(docs.where(col("doc_id") === 1), "doc_id", "text", Seq("lang"))
     // 11 bytes, stride 4 → offsets 0,4,8
