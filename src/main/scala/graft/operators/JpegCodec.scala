@@ -125,12 +125,20 @@ object JpegCodec {
       }
       throw new IllegalArgumentException("invalid Huffman code in JPEG entropy stream")
     }
-    /** Byte-align and consume the expected RSTn marker (T.81 §B.2.1.2). */
+    /** Byte-align and consume the expected RSTn marker (T.81 §B.2.1.2).
+      * Up to two non-marker bytes may sit before it: the 1-padded tail
+      * of the previous interval, plus the stuffed 0x00 that padding
+      * produces when the padded byte itself comes out 0xFF. */
     def restart(): Unit = {
       bitCnt = 0
-      require(pos + 1 < data.length &&
-        (data(pos) & 0xff) == 0xff && ((data(pos + 1) & 0xff) & 0xf8) == 0xd0,
-        "expected RSTn restart marker")
+      var skipped = 0
+      while (skipped <= 2 &&
+        !(pos + 1 < data.length && (data(pos) & 0xff) == 0xff &&
+          ((data(pos + 1) & 0xff) & 0xf8) == 0xd0)) {
+        pos += 1
+        skipped += 1
+      }
+      require(skipped <= 2, "expected RSTn restart marker")
       pos += 2
     }
   }
@@ -558,9 +566,12 @@ object JpegCodec {
     * round-trip tests bound). */
   def encode(img: Raster, subsample: Int = 1,
       quantLuma: Array[Int] = Array.fill(64)(1),
-      quantChroma: Array[Int] = Array.fill(64)(1)): Array[Byte] = {
+      quantChroma: Array[Int] = Array.fill(64)(1),
+      restartInterval: Int = 0): Array[Byte] = {
     require(img.channels == 3, "encode expects an RGB raster")
     require(subsample == 1 || subsample == 2, s"subsample must be 1 or 2, got $subsample")
+    require(restartInterval >= 0 && restartInterval <= 65535,
+      s"restartInterval must be a 16-bit count of MCUs, got $restartInterval")
     require(quantLuma.length == 64 && quantChroma.length == 64, "quant tables must have 64 entries")
     require(quantLuma.forall(q => q >= 1 && q <= 255) && quantChroma.forall(q => q >= 1 && q <= 255),
       "8-bit quant values only")
@@ -622,6 +633,8 @@ object JpegCodec {
     dht(0x10, AcLumCounts, AcLumSyms)
     dht(0x01, DcChrCounts, DcChrSyms)
     dht(0x11, AcChrCounts, AcChrSyms)
+    if (restartInterval > 0)
+      seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
     seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
 
     val bw = new BitWriter(out)
@@ -651,10 +664,18 @@ object JpegCodec {
       encodeBlock(bw, qblk, pred, dc, ac)
     }
 
+    var mcu = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // byte-align (1-padded), emit RSTn (n cycles 0..7), reset DC
+          // predictors — T.81 B.2.1.2
+          bw.flush()
+          marker(0xd0 + ((mcu / restartInterval - 1) & 7))
+          predY = 0; predCb = 0; predCr = 0
+        }
         var by = 0
         while (by < subsample) {
           var bx = 0
@@ -667,6 +688,7 @@ object JpegCodec {
         }
         predCb = block(cbD, cw, ch, mx, my, quantChroma, predCb, DcChr, AcChr)
         predCr = block(crD, cw, ch, mx, my, quantChroma, predCr, DcChr, AcChr)
+        mcu += 1
         mx += 1
       }
       my += 1

@@ -186,6 +186,57 @@ object Multimodal {
     hash
   }
 
+  /** [[aHash64]] over a decoded [[PngCodec.Raster]] (visual-order
+    * pixels, RGB or RGBA — alpha ignored). Rows are sampled at the
+    * BMP-compatible index (visual `h-1-sy`, the bottom-up stored
+    * order), so the SAME visual image hashes identically whether it
+    * arrived as BMP bytes, PNG bytes or a decoded raster — cross-format
+    * image dedup needs one hash space, not three. */
+  def aHashRaster(r: PngCodec.Raster): Long = {
+    val ch = r.channels
+    val lum = new Array[Int](64)
+    var s = 0
+    var i = 0
+    while (i < 64) {
+      val sx = (i % 8) * r.width / 8
+      val sy = r.height - 1 - (i / 8) * r.height / 8
+      val off = (sy * r.width + sx) * ch
+      val l = (r.pixels(off) & 0xff) + (r.pixels(off + 1) & 0xff) + (r.pixels(off + 2) & 0xff)
+      lum(i) = l
+      s += l
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (64L * lum(i) > s) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Format-dispatching perceptual hash: BMP payloads take the direct
+    * byte path ([[aHash64]]), PNG and baseline JPEG decode through
+    * their real codecs into [[aHashRaster]]. BMP and PNG of the same
+    * visual image hash IDENTICALLY (both lossless); a JPEG of the same
+    * image lands within a few hamming bits (quantization noise) — the
+    * banding dedup machinery absorbs that by construction. Null for
+    * unknown or undecodable payloads. */
+  def aHashAny(bytes: Array[Byte]): java.lang.Long = {
+    val (fmt, w, h) = parseDims(bytes)
+    if (w <= 0 || h <= 0) return null
+    fmt match {
+      case "bmp" => aHash64(bytes)
+      case "png" =>
+        try aHashRaster(PngCodec.decode(bytes))
+        catch { case _: IllegalArgumentException => null }
+      case "jpeg" =>
+        try aHashRaster(JpegCodec.decode(bytes))
+        catch { case _: IllegalArgumentException => null }
+      case _ => null
+    }
+  }
+
   /** Per-row [[aHash64]] over a (media_id, data) frame — row-local
     * batch iteration like the other payload kernels; the binary column
     * never shuffles. Output: (media_id, ahash nullable). */
@@ -196,6 +247,20 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, d) =>
         (id, Option(aHash64(d)).map(_.longValue))
+      })
+      .toDF("media_id", "ahash")
+  }
+
+  /** [[aHashAny]] over a (media_id, data) frame: one hash space for a
+    * MIXED-format image corpus (BMP/PNG/JPEG) — the input shape of
+    * cross-format image dedup. Row-local; payloads never shuffle. */
+  def aHashAnyFrame(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, d) =>
+        (id, Option(aHashAny(d)).map(_.longValue))
       })
       .toDF("media_id", "ahash")
   }

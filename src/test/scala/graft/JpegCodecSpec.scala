@@ -159,6 +159,21 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.encode(img).sameElements(bytes)) // bit-stable
   }
 
+  test("restart intervals: round-trip and ImageIO both read DRI/RSTn streams") {
+    val img = smooth(56, 40) // 7x5 = 35 MCUs at 4:4:4 → several restarts
+    for (ri <- Seq(1, 3, 8)) {
+      val bytes = JpegCodec.encode(img, restartInterval = ri)
+      val back = JpegCodec.decode(bytes)
+      val (mx, mean) = maxAndMeanDiff(back.pixels, img.pixels)
+      assert(mx <= 3 && mean <= 1.0, s"ri=$ri max=$mx mean=$mean")
+      // the independent decoder must accept the marker structure too
+      val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(theirs != null && theirs.getWidth == 56 && theirs.getHeight == 40, s"ri=$ri")
+      val (mx2, mean2) = maxAndMeanDiff(back.pixels, toRaster(theirs).pixels)
+      assert(mx2 <= 16 && mean2 <= 2.0, s"ri=$ri max=$mx2 mean=$mean2")
+    }
+  }
+
   test("unsupported and corrupt inputs fail loudly, never wrong pixels") {
     val bytes = JpegCodec.encode(smooth(16, 16))
     // truncate mid-entropy-stream

@@ -354,6 +354,54 @@ class MultimodalSpec extends SparkSpec {
     assert(r.width == 12 && r.height == 8 && r.channels == 3)
   }
 
+  private def flipRows(r: graft.operators.PngCodec.Raster): graft.operators.PngCodec.Raster = {
+    val stride = r.width * r.channels
+    val px = new Array[Byte](r.pixels.length)
+    for (y <- 0 until r.height)
+      System.arraycopy(r.pixels, y * stride, px, (r.height - 1 - y) * stride, stride)
+    graft.operators.PngCodec.Raster(r.width, r.height, r.channels, px)
+  }
+
+  test("aHashAny: one hash space across BMP / PNG / JPEG of the same image") {
+    // encodeBmp and PngCodec.gradient share the same per-pixel
+    // formulas, so the BMP bytes and the PNG raster show the SAME
+    // visual image — their hashes must be IDENTICAL (both lossless);
+    // the JPEG of that raster differs only by quantization noise, so
+    // its hash must land within a few hamming bits.
+    val (w, h) = (40, 24)
+    val id = 5L
+    val bmpHash = Multimodal.aHashAny(Multimodal.encodeBmp(id, w, h)).longValue
+    // encodeBmp indexes its formulas by STORED (bottom-up) row, so its
+    // visual image is the vertical flip of gradient's — flip the raster
+    // so all three payloads show the same VISUAL image
+    val raster = flipRows(graft.operators.PngCodec.gradient(id, w, h))
+    val pngHash = Multimodal.aHashAny(graft.operators.PngCodec.encode(raster)).longValue
+    val jpgHash = Multimodal.aHashAny(graft.operators.JpegCodec.encode(raster)).longValue
+    assert(bmpHash == pngHash, f"bmp=$bmpHash%016x png=$pngHash%016x")
+    val ham = java.lang.Long.bitCount(pngHash ^ jpgHash)
+    assert(ham <= 6, s"jpeg drifted $ham bits")
+    // a genuinely different image is far away in hamming space
+    val other = Multimodal.aHashAny(Multimodal.encodeBmp(id, 17, 31)).longValue
+    assert(java.lang.Long.bitCount(pngHash ^ other) > 6)
+    assert(Multimodal.aHashAny("not an image".getBytes) == null)
+  }
+
+  test("aHashAnyFrame hashes a mixed-format corpus row-locally") {
+    import spark.implicits._
+    val visual = flipRows(graft.operators.PngCodec.gradient(9L, 20, 12))
+    val media = Seq(
+      (1L, Multimodal.encodeBmp(9L, 20, 12)),
+      (2L, graft.operators.PngCodec.encode(visual)),
+      (3L, graft.operators.JpegCodec.encode(visual)),
+      (4L, "junk".getBytes)).toDF("media_id", "data").repartition(2)
+    val got = Multimodal.aHashAnyFrame(media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L) == got(2L) && got(1L).isDefined)
+    assert(got(3L).isDefined)
+    assert(java.lang.Long.bitCount(got(1L).get ^ got(3L).get) <= 6)
+    assert(got(4L).isEmpty)
+  }
+
   test("sampleFrames explodes one row per stride offset") {
     val m = Multimodal.withMediaColumn(docs.where(col("doc_id") === 1), "doc_id", "text", Seq("lang"))
     // 11 bytes, stride 4 → offsets 0,4,8
