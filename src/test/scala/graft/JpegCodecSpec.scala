@@ -174,6 +174,22 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("property: 4:4:4 near-lossless round-trip bounds hold for ARBITRARY content") {
+    // quant=1 leaves only DCT forward/inverse rounding, which is
+    // content-independent — random noise (the worst case for a DCT
+    // codec) must round-trip as tightly as smooth gradients
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 8) {
+      val w = 9 + rnd.nextInt(40)
+      val h = 9 + rnd.nextInt(40)
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val img = PngCodec.Raster(w, h, 3, px)
+      val back = JpegCodec.decode(JpegCodec.encode(img))
+      val (mx, mean) = maxAndMeanDiff(back.pixels, img.pixels)
+      assert(mx <= 4 && mean <= 1.2, s"trial=$trial ${w}x$h max=$mx mean=$mean")
+    }
+  }
+
   test("unsupported and corrupt inputs fail loudly, never wrong pixels") {
     val bytes = JpegCodec.encode(smooth(16, 16))
     // truncate mid-entropy-stream

@@ -193,6 +193,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exact.contains("xxhash64"), exact)
   }
 
+  test("bigram LM: hot slices ride broadcasts; residual joins stay shuffled; no cartesian") {
+    val p = plan("text_bigram_lm")
+    // hotPairs + hotW2 + the totals row: at least three broadcast sides
+    assert(nodes(p, "BroadcastHashJoin") + nodes(p, "BroadcastNestedLoopJoin") >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // every broadcast HINT sits on a k-bounded side — a GlobalLimit
+    // (the top-hotK slices) or a grouping-free Aggregate (the one-row
+    // totals) — never on a full count table; the residual
+    // bigram/unigram joins stay hint-free so they can shuffle at scale
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LogicalPlan}
+    val opt = SparkEntry.queries("text_bigram_lm")(spark, dir)
+      .queryExecution.optimizedPlan
+    val joins = opt.collect { case j: Join => j }
+    var hintedSides = 0
+    joins.foreach { j =>
+      def check(side: LogicalPlan, hinted: Boolean): Unit = if (hinted) {
+        hintedSides += 1
+        val bounded = side.collectFirst {
+          case g: GlobalLimit => g
+          case a: Aggregate if a.groupingExpressions.isEmpty => a
+        }
+        assert(bounded.isDefined, s"unbounded broadcast hint over:\n$side")
+      }
+      check(j.left, j.hint.leftHint.exists(_.strategy.isDefined))
+      check(j.right, j.hint.rightHint.exists(_.strategy.isDefined))
+    }
+    assert(hintedSides >= 3, s"expected the hot/totals hints, saw $hintedSides")
+  }
+
+  test("incremental ingest dedup: equi-joins only — no cartesian, no nested loop") {
+    val p = plan("dedup_incremental_drop")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("tfidf: the tf→dfreq join carries no broadcast hint") {
     // same contract as unigramLogProb: a web-scale vocabulary table can
     // run to billions of rows, so the join must stay unhinted — AQE
