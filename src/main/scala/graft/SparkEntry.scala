@@ -1678,6 +1678,29 @@ object SparkEntry {
           sum("w0").as("sum_w"), sum("h0").as("sum_h"),
           sum("w1").as("sum_rw"), sum("h1").as("sum_rh"))
     }),
+    // REAL audio path: deterministic PCM16 signals → WAV encode →
+    // chunk-walk parse → integer feature extraction → decimation
+    // resample → features again. Every output column is exact integer
+    // arithmetic the oracle replays from the signal formula.
+    "multimodal_audio" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 300 + 50).cast("int").as("frames"),
+        (col("doc_id") % 2 + 1).cast("int").as("ch"),
+        lit(8000).as("rate"))
+      val media = Multimodal.encodeWavFrame(spec, "doc_id", "frames", "ch", "rate")
+      val f0 = Multimodal.extractAudioFeatures(media).toDF()
+        .select(col("mediaId").as("doc_id"),
+          col("nFrames").as("n_frames"), col("durationMs").as("duration_ms"),
+          col("byteLen").as("byte_len"), col("peakAbs").as("peak_abs"),
+          col("sumSamples").as("sum_samples"))
+      val f1 = Multimodal.extractAudioFeatures(
+          Multimodal.decimateWavFrame(media, 2)).toDF()
+        .select(col("mediaId").as("doc_id"),
+          col("nFrames").as("dec_frames"), col("durationMs").as("dec_dur_ms"),
+          col("sumSamples").as("dec_sum"))
+      f0.join(f1, "doc_id").orderBy("doc_id")
+    }),
     "multimodal_resize_png" -> ((s, dir) => {
       val dims = tbl(s, dir, "documents").select(
         col("doc_id"),
@@ -3438,6 +3461,43 @@ object SparkEntry {
     // PNG file size is closed-form because the encoder writes STORED
     // deflate blocks: 8 sig + 25 IHDR + 12 IEND + IDAT(12 + 2 zlib hdr
     // + 5/block + raw + 4 adler) = 63 + raw + 5*ceil(raw/65535).
+    "multimodal_audio" ->
+      """WITH spec AS (
+        |  SELECT doc_id,
+        |    n_chars % 300 + 50 AS frames,
+        |    doc_id % 2 + 1 AS ch
+        |  FROM documents WHERE doc_id < 200
+        |), full_stats AS (
+        |  SELECT s.doc_id,
+        |    CAST(max(abs((s.doc_id * 7 + r.i * 13) % 65536 - 32768)) AS INTEGER) AS peak_abs,
+        |    CAST(sum((s.doc_id * 7 + r.i * 13) % 65536 - 32768) AS BIGINT) AS sum_samples
+        |  FROM spec s CROSS JOIN range(0, 700) r(i)
+        |  WHERE r.i < s.frames * s.ch
+        |  GROUP BY s.doc_id
+        |), dec_stats AS (
+        |  -- decimation keeps frames 0,2,4,... → sample index f*2*ch + c
+        |  SELECT s.doc_id,
+        |    CAST(sum((s.doc_id * 7 + (f.i * 2 * s.ch + c.i) * 13) % 65536 - 32768)
+        |      AS BIGINT) AS dec_sum
+        |  FROM spec s
+        |  CROSS JOIN range(0, 350) f(i)
+        |  CROSS JOIN range(0, 2) c(i)
+        |  WHERE f.i < (s.frames + 1) // 2 AND c.i < s.ch
+        |  GROUP BY s.doc_id
+        |)
+        |SELECT s.doc_id,
+        |  CAST(s.frames AS BIGINT) AS n_frames,
+        |  CAST(s.frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(44 + 2 * s.frames * s.ch AS BIGINT) AS byte_len,
+        |  fs.peak_abs,
+        |  fs.sum_samples,
+        |  CAST((s.frames + 1) // 2 AS BIGINT) AS dec_frames,
+        |  CAST(((s.frames + 1) // 2) * 1000 // 4000 AS BIGINT) AS dec_dur_ms,
+        |  ds.dec_sum
+        |FROM spec s
+        |JOIN full_stats fs ON fs.doc_id = s.doc_id
+        |JOIN dec_stats ds ON ds.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "multimodal_jpeg" ->
       """WITH dims AS (
         |  SELECT doc_id,

@@ -265,6 +265,83 @@ object Multimodal {
       .toDF("media_id", "ahash")
   }
 
+  /** Exact-integer audio features of a WAV payload — the audio analog
+    * of [[MediaFeatures]]: header facts plus integer sample stats
+    * (peak |sample|, exact sample sum) an external oracle replays from
+    * the generator formula. Non-WAV payloads → format "unknown",
+    * zeroed stats. */
+  final case class AudioFeatures(
+      mediaId: Long,
+      byteLen: Long,
+      format: String,
+      channels: Int,
+      sampleRate: Int,
+      nFrames: Long,
+      durationMs: Long,
+      peakAbs: Int,
+      sumSamples: Long)
+
+  /** Distributed WAV encode of the deterministic [[WavCodec.signal]]
+    * per (id, frames, channels, rate) row — the audio ingest shape;
+    * row-local, payloads never shuffle. Output: (media_id, data). */
+  def encodeWavFrame(spec: DataFrame, idCol: String, framesCol: String,
+      channelsCol: String, rateCol: String): DataFrame = {
+    val spark = spec.sparkSession
+    import spark.implicits._
+    spec.select(col(idCol).cast("long"), col(framesCol).cast("int"),
+        col(channelsCol).cast("int"), col(rateCol).cast("int"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, n, ch, rate) =>
+        (id, WavCodec.encode(WavCodec.signal(id, n, ch, rate)))
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Batched audio feature extraction — per-partition iteration like
+    * [[extractFeatures]]; real RIFF/fmt/data parsing via
+    * [[WavCodec.decode]]. */
+  def extractAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    media.select(col("media_id"), col("data")).mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val blen = if (bytes == null) 0L else bytes.length.toLong
+        if (bytes == null || !WavCodec.isWav(bytes))
+          AudioFeatures(id, blen, "unknown", 0, 0, 0L, 0L, 0, 0L)
+        else {
+          val a = WavCodec.decode(bytes)
+          var peak = 0
+          var sum = 0L
+          var i = 0
+          while (i < a.samples.length) {
+            val v = a.samples(i).toInt
+            val av = math.abs(v)
+            if (av > peak) peak = av
+            sum += v
+            i += 1
+          }
+          AudioFeatures(id, blen, "wav", a.channels, a.sampleRate,
+            a.frames.toLong, a.durationMs, peak, sum)
+        }
+      }
+    }
+  }
+
+  /** Decimate every WAV payload of a (media_id, data) frame by
+    * `factor` ([[WavCodec.decimate]] — integer-exact frame keep, rate
+    * divides). Row-local; payloads never shuffle. */
+  def decimateWavFrame(media: DataFrame, factor: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        (id, WavCodec.encode(WavCodec.decimate(WavCodec.decode(b), factor)))
+      })
+      .toDF("media_id", "data")
+  }
+
   /** Attach a media payload column: `data` binary + `meta` struct.
     * Demonstrates the schema contract on any table with a binary-able
     * column. */

@@ -1,0 +1,152 @@
+package graft.operators
+
+/** Minimal WAV (RIFF PCM) codec over the PUBLIC byte layout — the
+  * audio analog of the BMP work: RIFF/WAVE chunk framing with a
+  * `fmt ` chunk (PCM format 1, 16-bit) and a `data` chunk of
+  * little-endian interleaved samples. Pure byte math, no audio
+  * library; compressed codecs (MP3/AAC/Opus — psychoacoustic
+  * transforms) stay honestly out of scope the way JPEG's DCT was
+  * before [[JpegCodec]], and fail loudly here.
+  *
+  * Everything is row-local payload work (used under `mapPartitions`
+  * like the image kernels): parse/validate headers, exact integer
+  * sample statistics, and decimation resample. Stats are INTEGER
+  * (peak, sum, count) so an external SQL oracle replays them exactly
+  * from the generator formula — the same contract the BMP/PNG gates
+  * use.
+  */
+object WavCodec {
+
+  /** Parsed PCM audio: interleaved 16-bit samples. */
+  final case class Audio(
+      channels: Int, sampleRate: Int, samples: Array[Short]) {
+    /** Frames = samples per channel. */
+    def frames: Int = samples.length / channels
+    def durationMs: Long = frames.toLong * 1000L / sampleRate
+  }
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** True iff the payload starts with a RIFF/WAVE header. */
+  def isWav(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE"
+
+  /** Full parse: walk the chunk list, read `fmt ` and `data`.
+    * Unsupported encodings (non-PCM format tags, non-16-bit) fail
+    * loudly rather than mis-read samples. */
+  def decode(bytes: Array[Byte]): Audio = {
+    require(isWav(bytes), "not a RIFF/WAVE payload")
+    var off = 12
+    var channels = -1
+    var rate = -1
+    var bits = -1
+    var data: Array[Short] = null
+    while (off + 8 <= bytes.length) {
+      val id = tag(bytes, off)
+      val len = le32(bytes, off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length, s"truncated chunk '$id'")
+      id match {
+        case "fmt " =>
+          require(len >= 16, "fmt chunk too short")
+          val fmt = le16(bytes, off + 8)
+          require(fmt == 1, s"only PCM (format 1) supported, got $fmt")
+          channels = le16(bytes, off + 10)
+          rate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
+          require(channels >= 1 && channels <= 8, s"bad channel count $channels")
+          require(rate > 0, s"bad sample rate $rate")
+          require(bits == 16, s"only 16-bit PCM supported, got $bits")
+        case "data" =>
+          require(channels > 0, "data chunk before fmt")
+          require(len % 2 == 0, "odd data length for 16-bit PCM")
+          data = new Array[Short](len / 2)
+          var i = 0
+          while (i < data.length) {
+            data(i) = le16(bytes, off + 8 + 2 * i).toShort
+            i += 1
+          }
+        case _ => () // LIST/INFO/fact/... skipped
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned (RIFF spec)
+    }
+    require(data != null, "missing data chunk")
+    require(data.length % channels == 0, "sample count not divisible by channels")
+    Audio(channels, rate, data)
+  }
+
+  /** Serialize PCM16 audio as a canonical 44-byte-header WAV —
+    * deterministic byte-for-byte, size = `44 + 2·samples` (the closed
+    * form the SQL oracle recomputes). */
+  def encode(a: Audio): Array[Byte] = {
+    require(a.samples.length % a.channels == 0, "partial frame")
+    val dataLen = a.samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putTag(off: Int, s: String): Unit =
+      for (i <- 0 until 4) out(off + i) = s.charAt(i).toByte
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putLe32(off: Int, v: Int): Unit = {
+      putLe16(off, v & 0xffff); putLe16(off + 2, (v >>> 16) & 0xffff)
+    }
+    putTag(0, "RIFF"); putLe32(4, 36 + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16)
+    putLe16(20, 1); putLe16(22, a.channels)
+    putLe32(24, a.sampleRate)
+    putLe32(28, a.sampleRate * a.channels * 2) // byte rate
+    putLe16(32, a.channels * 2)                // block align
+    putLe16(34, 16)                            // bits per sample
+    putTag(36, "data"); putLe32(40, dataLen)
+    var i = 0
+    while (i < a.samples.length) {
+      putLe16(44 + 2 * i, a.samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** Decimation resample: keep every `factor`-th FRAME (all channels
+    * of it) — the integer-exact downsample (no interpolation, so the
+    * kept samples are bit-identical to the source's and an external
+    * oracle can replay them). Output sample rate divides accordingly;
+    * rate must be divisible by `factor` so durations stay exact. */
+  def decimate(a: Audio, factor: Int): Audio = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    require(a.sampleRate % factor == 0,
+      s"sample rate ${a.sampleRate} not divisible by $factor")
+    if (factor == 1) return a
+    val outFrames = (a.frames + factor - 1) / factor
+    val out = new Array[Short](outFrames * a.channels)
+    var f = 0
+    while (f < outFrames) {
+      var c = 0
+      while (c < a.channels) {
+        out(f * a.channels + c) = a.samples(f * factor * a.channels + c)
+        c += 1
+      }
+      f += 1
+    }
+    Audio(a.channels, a.sampleRate / factor, out)
+  }
+
+  /** Deterministic test/gate signal: sample i (interleaved order) is
+    * `((id·7 + i·13) mod 65536) − 32768` — plain integer arithmetic
+    * any engine replays. */
+  def signal(id: Long, frames: Int, channels: Int, sampleRate: Int): Audio = {
+    require(frames > 0 && channels >= 1, s"bad shape $frames x $channels")
+    val s = new Array[Short](frames * channels)
+    var i = 0
+    while (i < s.length) {
+      s(i) = (((id * 7 + i.toLong * 13) % 65536) - 32768).toShort
+      i += 1
+    }
+    Audio(channels, sampleRate, s)
+  }
+}
