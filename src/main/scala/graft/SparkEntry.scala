@@ -1678,6 +1678,23 @@ object SparkEntry {
           sum("w0").as("sum_w"), sum("h0").as("sum_h"),
           sum("w1").as("sum_rw"), sum("h1").as("sum_rh"))
     }),
+    // Video metadata path: deterministic MP4 skeletons → ISO-BMFF box
+    // walk → duration/dims/track extraction. Every column is closed
+    // form (incl. the 240-byte skeleton size) for the oracle.
+    "multimodal_video" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 30000 + 500).cast("long").as("ms"),
+        (col("doc_id") % 1280 + 16).cast("int").as("w"),
+        (col("doc_id") % 720 + 16).cast("int").as("h"))
+      val media = Multimodal.encodeMp4Frame(spec, "doc_id", "ms", "w", "h")
+      Multimodal.extractVideoMeta(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("format"),
+          col("durationMs").as("duration_ms"),
+          col("width"), col("height"),
+          col("nTracks").as("n_tracks"), col("byteLen").as("byte_len"))
+        .orderBy("doc_id")
+    }),
     // REAL audio path: deterministic PCM16 signals → WAV encode →
     // chunk-walk parse → integer feature extraction → decimation
     // resample → features again. Every output column is exact integer
@@ -3461,6 +3478,15 @@ object SparkEntry {
     // PNG file size is closed-form because the encoder writes STORED
     // deflate blocks: 8 sig + 25 IHDR + 12 IEND + IDAT(12 + 2 zlib hdr
     // + 5/block + raw + 4 adler) = 63 + raw + 5*ceil(raw/65535).
+    "multimodal_video" ->
+      """SELECT doc_id,
+        |  'mp4' AS format,
+        |  CAST(n_chars % 30000 + 500 AS BIGINT) AS duration_ms,
+        |  CAST(doc_id % 1280 + 16 AS INTEGER) AS width,
+        |  CAST(doc_id % 720 + 16 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS n_tracks,
+        |  CAST(240 AS BIGINT) AS byte_len
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "multimodal_audio" ->
       """WITH spec AS (
         |  SELECT doc_id,

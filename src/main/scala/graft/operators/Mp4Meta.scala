@@ -1,0 +1,146 @@
+package graft.operators
+
+/** MP4 / ISO Base Media File Format (ISO 14496-12, public spec)
+  * METADATA parsing — the video leg of the multimodal tier. Frame
+  * DECODE stays honestly out of scope (H.264/H.265/AV1 are true video
+  * codecs); what a 100 TB curation pipeline actually filters on —
+  * duration, presentation dimensions, track count — lives in plain
+  * big-endian box structures this parses by hand:
+  *
+  *   ftyp                      brand tag (validated)
+  *   moov                      container
+  *     mvhd                    timescale + duration (v0 and v1)
+  *     trak/tkhd               track id + 16.16 fixed-point w×h
+  *
+  * The encoder writes a minimal spec-valid skeleton (ftyp + moov with
+  * mvhd and one video tkhd) — the deterministic test/gate payload; a
+  * real crawl MP4 parses through the same box walk, with unknown boxes
+  * (mdat, udta, free...) skipped by size. 64-bit extended box sizes
+  * are handled; malformed structures fail loudly.
+  *
+  * Pixel/sample access for video = [[Multimodal.sampleFrames]] byte
+  * strides over the opaque payload, as the brief prescribes.
+  */
+object Mp4Meta {
+
+  /** Parsed container metadata. Dimensions come from the FIRST track
+    * with nonzero tkhd width/height (the video track by convention). */
+  final case class VideoMeta(
+      durationMs: Long, width: Int, height: Int, nTracks: Int)
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** True iff the payload leads with an ftyp box (the MP4 signature). */
+  def isMp4(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 && tag(bytes, 4) == "ftyp"
+
+  /** Walk `[start, end)` as a box sequence, invoking `f(type, payloadStart,
+    * payloadEnd)` per box. Handles 64-bit sizes and size-0 (to end). */
+  private def walk(bytes: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var off = start
+    while (off + 8 <= end) {
+      val size32 = be32(bytes, off)
+      val typ = tag(bytes, off + 4)
+      val (payload, boxEnd) =
+        if (size32 == 1L) {
+          require(off + 16 <= end, "truncated 64-bit box header")
+          val size64 = be64(bytes, off + 8)
+          require(size64 >= 16 && off + size64 <= end, s"bad 64-bit box size $size64")
+          (off + 16, off + size64.toInt)
+        } else if (size32 == 0L) (off + 8, end)
+        else {
+          require(size32 >= 8 && off + size32 <= end, s"bad box size $size32 for '$typ'")
+          (off + 8, off + size32.toInt)
+        }
+      f(typ, payload, boxEnd)
+      off = boxEnd
+    }
+  }
+
+  /** Parse duration/dims/tracks; null for non-MP4 payloads, loud
+    * failure for structurally corrupt ones. */
+  def parse(bytes: Array[Byte]): VideoMeta = {
+    if (!isMp4(bytes)) return null
+    var durationMs = -1L
+    var w = 0
+    var h = 0
+    var tracks = 0
+    walk(bytes, 0, bytes.length) { (typ, p, e) =>
+      if (typ == "moov") {
+        walk(bytes, p, e) { (t2, p2, e2) =>
+          t2 match {
+            case "mvhd" =>
+              val ver = bytes(p2) & 0xff
+              val (timescale, duration) =
+                if (ver == 1) (be32(bytes, p2 + 20), be64(bytes, p2 + 24))
+                else (be32(bytes, p2 + 12), be32(bytes, p2 + 16))
+              require(timescale > 0, "mvhd timescale must be positive")
+              durationMs = duration * 1000L / timescale
+            case "trak" =>
+              tracks += 1
+              walk(bytes, p2, e2) { (t3, p3, _) =>
+                if (t3 == "tkhd" && w == 0 && h == 0) {
+                  val ver = bytes(p3) & 0xff
+                  val dimsOff = p3 + (if (ver == 1) 88 else 76) // after matrix
+                  val tw = (be32(bytes, dimsOff) >> 16).toInt   // 16.16 fixed
+                  val th = (be32(bytes, dimsOff + 4) >> 16).toInt
+                  if (tw > 0 && th > 0) { w = tw; h = th }
+                }
+              }
+            case _ => ()
+          }
+        }
+      }
+    }
+    require(durationMs >= 0, "missing moov/mvhd")
+    VideoMeta(durationMs, w, h, tracks)
+  }
+
+  /** Minimal spec-valid MP4 skeleton: ftyp(isom) + moov(mvhd +
+    * trak/tkhd). Deterministic byte-for-byte; size is the closed form
+    * `24 (ftyp) + 8 (moov) + 108 (mvhd) + 8 (trak) + 92 (tkhd)` = 240. */
+  def encode(durationMs: Long, width: Int, height: Int,
+      timescale: Int = 1000): Array[Byte] = {
+    require(durationMs >= 0 && width > 0 && height > 0 && timescale > 0,
+      s"bad spec ${durationMs}ms ${width}x$height @$timescale")
+    val out = new java.io.ByteArrayOutputStream()
+    def be(v: Long, n: Int): Unit =
+      for (i <- (n - 1) to 0 by -1) out.write(((v >> (8 * i)) & 0xff).toInt)
+    def tagW(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    // ftyp: major isom, minor 0, compatible isom
+    be(24, 4); tagW("ftyp"); tagW("isom"); be(0, 4); tagW("isom"); tagW("mp41")
+    val duration = durationMs * timescale / 1000L
+    be(8 + 108 + 8 + 92, 4); tagW("moov")
+    // mvhd v0: 108 bytes total
+    be(108, 4); tagW("mvhd"); be(0, 4) // version+flags
+    be(0, 4); be(0, 4)                 // ctime mtime
+    be(timescale.toLong, 4); be(duration, 4)
+    be(0x00010000L, 4)                 // rate 1.0
+    be(0x0100L, 2); be(0, 2)           // volume 1.0 + reserved
+    be(0, 8)                           // reserved
+    Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+      .foreach(be(_, 4))               // identity matrix
+    for (_ <- 0 until 6) be(0, 4)      // pre_defined
+    be(2, 4)                           // next_track_ID
+    // trak > tkhd v0: 92 bytes
+    be(8 + 92, 4); tagW("trak")
+    be(92, 4); tagW("tkhd"); be(0x00000007L, 4) // v0 + enabled flags
+    be(0, 4); be(0, 4)                 // ctime mtime
+    be(1, 4); be(0, 4)                 // track id + reserved
+    be(duration, 4)
+    be(0, 8)                           // reserved
+    be(0, 2); be(0, 2)                 // layer + alternate group
+    be(0, 2); be(0, 2)                 // volume (video: 0) + reserved
+    Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+      .foreach(be(_, 4))               // matrix
+    be(width.toLong << 16, 4); be(height.toLong << 16, 4) // 16.16 fixed
+    out.toByteArray
+  }
+}

@@ -342,6 +342,49 @@ object Multimodal {
       .toDF("media_id", "data")
   }
 
+  /** Video container metadata — what curation filters on without a
+    * video codec: duration, presentation dims, track count
+    * ([[Mp4Meta]]). Non-MP4 payloads → format "unknown", zeroed. */
+  final case class VideoFeatures(
+      mediaId: Long,
+      byteLen: Long,
+      format: String,
+      durationMs: Long,
+      width: Int,
+      height: Int,
+      nTracks: Int)
+
+  /** Distributed minimal-MP4 encode per (id, durationMs, w, h) row —
+    * deterministic skeleton payloads ([[Mp4Meta.encode]]). */
+  def encodeMp4Frame(spec: DataFrame, idCol: String, durCol: String,
+      wCol: String, hCol: String): DataFrame = {
+    val spark = spec.sparkSession
+    import spark.implicits._
+    spec.select(col(idCol).cast("long"), col(durCol).cast("long"),
+        col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Long, Int, Int)]
+      .mapPartitions(_.map { case (id, ms, w, h) =>
+        (id, Mp4Meta.encode(ms, w, h))
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Batched video-metadata extraction over (media_id, data) — the box
+    * walk runs row-locally; payloads never shuffle. */
+  def extractVideoMeta(media: DataFrame): Dataset[VideoFeatures] = {
+    implicit val enc = Encoders.product[VideoFeatures]
+    media.select(col("media_id"), col("data")).mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val blen = if (bytes == null) 0L else bytes.length.toLong
+        val m = if (bytes == null) null else Mp4Meta.parse(bytes)
+        if (m == null) VideoFeatures(id, blen, "unknown", 0L, 0, 0, 0)
+        else VideoFeatures(id, blen, "mp4", m.durationMs, m.width, m.height, m.nTracks)
+      }
+    }
+  }
+
   /** Attach a media payload column: `data` binary + `meta` struct.
     * Demonstrates the schema contract on any table with a binary-able
     * column. */

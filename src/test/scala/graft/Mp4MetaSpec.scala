@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Mp4Meta, Multimodal}
+
+class Mp4MetaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("encode → parse round-trips metadata exactly; size is the closed form") {
+    val bytes = Mp4Meta.encode(durationMs = 12345L, width = 640, height = 360)
+    assert(bytes.length == 240)
+    val m = Mp4Meta.parse(bytes)
+    assert(m.durationMs == 12345L && m.width == 640 && m.height == 360 && m.nTracks == 1)
+    // timescale conversion: 90kHz media timescale, same wall duration
+    val hz = Mp4Meta.parse(Mp4Meta.encode(2000L, 320, 240, timescale = 90000))
+    assert(hz.durationMs == 2000L)
+  }
+
+  test("box walk: unknown boxes skip by size; 64-bit extended sizes parse") {
+    val base = Mp4Meta.encode(500L, 100, 50)
+    // append an unknown box (free) — parser must ignore it
+    val free = Array[Byte](0, 0, 0, 12, 'f', 'r', 'e', 'e', 1, 2, 3, 4)
+    assert(Mp4Meta.parse(base ++ free).durationMs == 500L)
+    // wrap the same payload bytes of `free` in a 64-bit-size box
+    val big = Array[Byte](0, 0, 0, 1, 'f', 'r', 'e', 'e',
+      0, 0, 0, 0, 0, 0, 0, 20, 1, 2, 3, 4)
+    assert(Mp4Meta.parse(base ++ big).width == 100)
+  }
+
+  test("non-MP4 returns null; corrupt structure fails loudly") {
+    assert(Mp4Meta.parse("RIFF not an mp4 here".getBytes) == null)
+    val bytes = Mp4Meta.encode(100L, 10, 10)
+    // corrupt the moov size to overflow the buffer
+    val bad = bytes.clone(); bad(24 + 3) = 0x7f.toByte
+    intercept[IllegalArgumentException] { Mp4Meta.parse(bad) }
+    // ftyp alone (no moov/mvhd) is structurally incomplete
+    intercept[IllegalArgumentException] { Mp4Meta.parse(bytes.take(24)) }
+  }
+
+  test("distributed encode → metadata extraction; unknown passthrough; frame sampling composes") {
+    val spec = Seq((1L, 1500L, 640, 360), (2L, 900L, 320, 240))
+      .toDF("id", "ms", "w", "h")
+    val media = Multimodal.encodeMp4Frame(spec, "id", "ms", "w", "h").repartition(2)
+    val got = Multimodal.extractVideoMeta(media).collect()
+      .map(f => f.mediaId -> f).toMap
+    assert(got(1L).format == "mp4" && got(1L).durationMs == 1500L &&
+      got(1L).width == 640 && got(1L).height == 360 && got(1L).byteLen == 240)
+    assert(got(2L).durationMs == 900L && got(2L).width == 320)
+    val mixed = Seq((9L, "no video".getBytes)).toDF("media_id", "data")
+    assert(Multimodal.extractVideoMeta(mixed).collect()(0).format == "unknown")
+    // the opaque-payload frame sampler runs over mp4 bytes unchanged
+    val frames = Multimodal.sampleFrames(media.where(col("media_id") === 1L), 100)
+      .collect().map(_.getInt(1))
+    assert(frames.toSeq == Seq(0, 100, 200))
+  }
+}
