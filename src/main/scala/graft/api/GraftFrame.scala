@@ -446,6 +446,15 @@ final class GraftFrame(val df: DataFrame) {
     new GraftFrame(graft.operators.Dsir.resampleTopN(df, idCol, textCol, model, n))
   }
 
+  /** Stochastic DSIR resample — the paper's seeded Gumbel-top-k
+    * ([[graft.operators.Dsir.resampleGumbel]]); deterministic given
+    * `seed`, sampling ∝ importance weight. */
+  def dsir_resample_gumbel(idCol: String, textCol: String,
+      target: GraftFrame, n: Int, seed: Long = 11L): GraftFrame = {
+    val model = graft.operators.Dsir.fit(target.df, df, textCol)
+    new GraftFrame(graft.operators.Dsir.resampleGumbel(df, idCol, textCol, model, n, seed))
+  }
+
   /** Cross-doc duplicated-span fraction per document
     * ([[graft.operators.TextOps.crossDocDupNgramFraction]]);
     * `hashKeys` trades exact string shuffle keys for slim 8-byte

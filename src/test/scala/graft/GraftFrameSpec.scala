@@ -274,6 +274,12 @@ class GraftFrameSpec extends SparkSpec {
     val picked = rawDocs.dsir_resample("id", "txt", tgt, n = 1)
       .toDF.select("id").collect().map(_.getLong(0))
     assert(picked.toSeq == Seq(2L))
+    // the stochastic form keeps n rows and is deterministic per seed
+    val g1 = rawDocs.dsir_resample_gumbel("id", "txt", tgt, n = 1, seed = 3L)
+      .toDF.select("id").collect().map(_.getLong(0)).toSeq
+    val g2 = rawDocs.dsir_resample_gumbel("id", "txt", tgt, n = 1, seed = 3L)
+      .toDF.select("id").collect().map(_.getLong(0)).toSeq
+    assert(g1 == g2 && g1.length == 1)
 
     // dup-span fraction: the shared-tail docs flag, the unique one doesn't
     val spans = new GraftFrame(Seq(
