@@ -1646,6 +1646,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The full IMAGE near-dup pipeline: real BMP payloads → perceptual
+    // aHash → generic hamming banding (maxHamming 2 → FULL recall by
+    // pigeonhole). The oracle replays the hashes pixel-by-pixel and
+    // runs the exact all-pairs hamming sweep — banding must lose
+    // nothing at this radius.
+    "multimodal_image_dedup" -> ((s, dir) => {
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 64 + 1).cast("int").as("w"),
+        (col("doc_id") % 48 + 1).cast("int").as("h"))
+      val media = Multimodal.encodeBmpFrame(dims, "doc_id", "w", "h")
+      Dedup.hammingPairs(
+          Multimodal.aHashFrame(media), "media_id", "ahash", maxHamming = 2)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // REAL PNG pixel path: encode spec-valid stored-deflate PNGs,
     // decode+unfilter+resample+re-encode (PngCodec), parse the resized
     // headers back. Oracle recomputes output dims and the closed-form
@@ -2109,7 +2126,9 @@ object SparkEntry {
     * closed-form pixel gradient, division-free mean-bit rule, and the
     * hash reassembled as two unsigned 32-bit halves (sidestepping
     * HUGEINT↔signed-BIGINT conversion entirely). */
-  private lazy val aHashOracle: String =
+  /** Shared CTE: replay every sampled pixel's luma from the encoder's
+    * closed-form gradient and rebuild both 32-bit aHash halves. */
+  private lazy val aHashCte: String =
     """WITH d AS (
       |  SELECT doc_id, CAST(n_chars % 64 + 1 AS BIGINT) AS w,
       |         CAST(doc_id % 48 + 1 AS BIGINT) AS h
@@ -2128,13 +2147,19 @@ object SparkEntry {
       |  SELECT doc_id, i, lum,
       |    sum(lum) OVER (PARTITION BY doc_id) AS s
       |  FROM px
-      |)
-      |SELECT doc_id,
-      |  CAST(sum(CASE WHEN i < 32 AND 64 * lum > s
-      |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo,
-      |  CAST(sum(CASE WHEN i >= 32 AND 64 * lum > s
-      |    THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi
-      |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |), hashes AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN i < 32 AND 64 * lum > s
+      |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo,
+      |    CAST(sum(CASE WHEN i >= 32 AND 64 * lum > s
+      |      THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi
+      |  FROM tot GROUP BY doc_id
+      |)""".stripMargin
+
+  private lazy val aHashOracle: String =
+    s"""$aHashCte
+       |SELECT doc_id, ahash_lo, ahash_hi
+       |FROM hashes ORDER BY doc_id""".stripMargin
 
   /** DuckDB oracle for the multimodal_features gate: rebuild the
     * 54-byte BMP header (BITMAPINFOHEADER, little-endian) as a BLOB and
@@ -3463,6 +3488,15 @@ object SparkEntry {
     // 4-byte-padded 24bpp rows — the same public BMP layout the Scala
     // encoder/resizer implement.
     "multimodal_ahash" -> aHashOracle,
+    "multimodal_image_dedup" ->
+      s"""$aHashCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.ahash_lo, b.ahash_lo))
+         |    + bit_count(xor(a.ahash_hi, b.ahash_hi)) AS INTEGER) AS hamming
+         |FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash_lo, b.ahash_lo))
+         |    + bit_count(xor(a.ahash_hi, b.ahash_hi)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
     "multimodal_resize" ->
       """WITH dims AS (
         |  SELECT greatest(1, (n_chars % 64 + 1) * 50 // 100) AS nw,

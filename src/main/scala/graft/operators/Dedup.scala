@@ -483,10 +483,30 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      seed: Long = 42L): DataFrame = {
-    val hashed = docs.select(
+      seed: Long = 42L): DataFrame =
+    hammingPairs(
+      docs.select(col(idCol), simhash(col(textCol), seed).as("__sh64")),
+      idCol, "__sh64", maxHamming)
+
+  /** Generic hamming near-dup over ANY precomputed 64-bit fingerprint
+    * column — the banding core behind [[simHashPairs]], usable directly
+    * on [[Multimodal.aHashAnyFrame]] output for cross-format IMAGE
+    * near-dup (aHash → hammingPairs → [[duplicateClusters]] →
+    * [[dropNearDuplicates]] is the full image-dedup pipeline, same
+    * shapes as the text one). Pigeonhole contract: 16-bit-chunk banding
+    * has FULL recall for `maxHamming` ≤ 3 (4 chunks, ≤ 3 flipped bits
+    * leave one chunk untouched); above 3 it is approximate, like any
+    * LSH. Null fingerprints produce no pairs. Output (id_a, id_b,
+    * hamming) with id_a < id_b. */
+  def hammingPairs(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be non-negative, got $maxHamming")
+    val hashed = df.select(
       col(idCol),
-      simhash(col(textCol), seed).as("sh"))
+      col(hashCol).cast("long").as("sh"))
       .where(col("sh").isNotNull)
     val chunks = hashed.select(
       col(idCol), col("sh"),

@@ -269,6 +269,23 @@ class DedupSpec extends SparkSpec {
       == Seq("doc_id", "text"))
   }
 
+  test("hammingPairs: generic fingerprint banding — full recall at radius ≤ 3, nulls skipped") {
+    val base = 0x0123456789abcdefL
+    val df = Seq(
+      (1L, Some(base)),
+      (2L, Some(base ^ 1L)),                      // hamming 1 (chunk 0)
+      (3L, Some(base ^ (1L << 17) ^ (1L << 40) ^ (1L << 63))), // 3 bits, 3 DIFFERENT chunks
+      (4L, Some(base ^ 0xffL)),                   // hamming 8 — out of radius
+      (5L, None: Option[Long]))
+      .toDF("id", "fp")
+    val got = Dedup.hammingPairs(df, "id", "fp", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // pigeonhole: even the 3-bit flip spread across 3 chunks shares its
+    // 4th chunk with base → must be found; everything beyond radius 3
+    // (and the null fingerprint) must not appear
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 3)), got.toString)
+  }
+
   test("dropNearDuplicatesBy keeps the best-scoring member; ties go to min id") {
     val d = Seq(
       (1L, "a", 10.0), (2L, "a2", 50.0), (3L, "a3", 50.0), // cluster {1,2,3}
