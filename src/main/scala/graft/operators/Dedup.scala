@@ -488,6 +488,46 @@ object Dedup {
       docs.select(col(idCol), simhash(col(textCol), seed).as("__sh64")),
       idCol, "__sh64", maxHamming)
 
+  /** The slim (id, sh) projection behind the hamming family: the
+    * fingerprint cast to long, null fingerprints dropped (they produce
+    * no pairs and no cluster membership). */
+  private def hammingBase(df: DataFrame, idCol: String, hashCol: String): DataFrame =
+    df.select(col(idCol), col(hashCol).cast("long").as("sh"))
+      .where(col("sh").isNotNull)
+
+  /** Near-collision pairs between DISTINCT 64-bit fingerprints:
+    * (sh_a, sh_b, hamming) with sh_a < sh_b (signed order), 1 ≤ hamming
+    * ≤ `maxHamming`, found by 16-bit-chunk pigeonhole banding. The
+    * input here is the distinct-VALUE set, so a bucket's size is
+    * bounded by how many DISTINCT fingerprints share a 16-bit chunk —
+    * never by how many corpus rows carry one hot value. The `distinct`
+    * dedups at HASH-pair granularity (a pair can share several
+    * untouched chunks): orders of magnitude cheaper than deduping the
+    * expanded id pairs. */
+  private def hammingHashPairs(distinctHashes: DataFrame, maxHamming: Int): DataFrame =
+    distinctHashes.select(
+        col("sh"),
+        posexplode(
+          array((0 until 4).map(j =>
+            shiftrightunsigned(col("sh"), j * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("chunk_idx", "chunk_val")))
+      .groupBy("chunk_idx", "chunk_val")
+      // collect_list, not collect_set: a distinct value contributes each
+      // chunk_idx exactly once, so duplicates are impossible. Sorted so
+      // pairs emit sh_a < sh_b consistently across buckets — that is
+      // what lets the distinct below dedup multi-chunk matches.
+      .agg(array_sort(collect_list(col("sh"))).as("hs"))
+      .where(size(col("hs")) > 1)
+      .select(explode(
+        inBucketPairsWhere(col("hs"))((x, y) =>
+          bit_count(x.bitwiseXOR(y)) <= maxHamming)(
+          (x, y) => struct(
+            x.as("sh_a"), y.as("sh_b"),
+            bit_count(x.bitwiseXOR(y)).as("hamming"))))
+        .as("p"))
+      .select(col("p.sh_a"), col("p.sh_b"), col("p.hamming"))
+      .distinct()
+
   /** Generic hamming near-dup over ANY precomputed 64-bit fingerprint
     * column — the banding core behind [[simHashPairs]], usable directly
     * on [[Multimodal.aHashAnyFrame]] output for cross-format IMAGE
@@ -497,42 +537,134 @@ object Dedup {
     * has FULL recall for `maxHamming` ≤ 3 (4 chunks, ≤ 3 flipped bits
     * leave one chunk untouched); above 3 it is approximate, like any
     * LSH. Null fingerprints produce no pairs. Output (id_a, id_b,
-    * hamming) with id_a < id_b. */
+    * hamming) with id_a < id_b.
+    *
+    * Degenerate-class hardening: perceptual hashes mass-collide BY
+    * DESIGN (every solid-color thumbnail, every copy of one viral image
+    * shares ONE aHash), so banding raw rows would funnel an entire
+    * duplicate class into a single `collect_list` buffer — O(corpus
+    * frequency) in one task. Instead the fingerprints are collapsed to
+    * DISTINCT values before banding ([[hammingHashPairs]]), and rows
+    * re-enter in two bounded tiers:
+    *   - radius 0 (identical fingerprints) — a slim self-equi-join on
+    *     the value: a plain shuffle join AQE's skew split can cut, and
+    *     output-bound anyway (those pairs must be emitted);
+    *   - radius ≥ 1 — the distinct-value pair set joins back to the
+    *     (id, sh) rows on each side: again plain equi-joins.
+    * The hottest banding bucket is thus bounded by distinct
+    * near-collisions, not corpus frequency. NOTE the pair OUTPUT for a
+    * class of m identical rows is inherently m(m-1)/2 — when the ids
+    * are only needed for a drop decision, [[hammingClusters]] /
+    * [[dropHammingDuplicates]] skip that expansion entirely. */
   def hammingPairs(
       df: DataFrame,
       idCol: String,
       hashCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be non-negative, got $maxHamming")
-    val hashed = df.select(
-      col(idCol),
-      col(hashCol).cast("long").as("sh"))
-      .where(col("sh").isNotNull)
-    val chunks = hashed.select(
-      col(idCol), col("sh"),
-      posexplode(
-        array((0 until 4).map(j =>
-          shiftrightunsigned(col("sh"), j * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("chunk_idx", "chunk_val")))
-    chunks
-      .groupBy("chunk_idx", "chunk_val")
-      // collect_list, not collect_set: a doc contributes each chunk_idx
-      // exactly once, so duplicates are impossible and set-hashing of
-      // the structs is wasted work. Sorted so pairs emit id_a < id_b.
-      .agg(array_sort(
-        collect_list(struct(col(idCol).as("id"), col("sh").as("sh")))).as("es"))
-      .where(size(col("es")) > 1)
-      .select(explode(
-        inBucketPairsWhere(col("es"))((a, b) =>
-          bit_count(a.getField("sh").bitwiseXOR(b.getField("sh"))) <= maxHamming)(
-          (a, b) =>
-            struct(
-              a.getField("id").as("id_a"),
-              b.getField("id").as("id_b"),
-              bit_count(a.getField("sh").bitwiseXOR(b.getField("sh"))).as("hamming"))))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
-      .distinct()
+    val hashed = hammingBase(df, idCol, hashCol)
+    val identical = hashed.select(col(idCol).as("id_a"), col("sh"))
+      .join(hashed.select(col(idCol).as("id_b"), col("sh")), Seq("sh"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    val cross = hammingHashPairs(hashed.select("sh").distinct(), maxHamming)
+      .join(hashed.select(col(idCol).as("__ia"), col("sh").as("sh_a")), "sh_a")
+      .join(hashed.select(col(idCol).as("__ib"), col("sh").as("sh_b")), "sh_b")
+      .select(
+        least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        col("hamming"))
+    // No id-level distinct needed: each id carries ONE fingerprint, so
+    // an id pair appears in exactly one tier, exactly once (hash pairs
+    // are already deduped at value granularity).
+    identical.unionAll(cross)
+  }
+
+  /** Duplicate clusters over hamming near-dups WITHOUT materializing
+    * the quadratic radius-0 pair set — byte-equivalent to
+    * `duplicateClusters(hammingPairs(df, …))` but the only per-row work
+    * for a class of m identical fingerprints is ONE groupBy row and one
+    * join probe, not m(m-1)/2 pairs. This is the 100 TB image-dedup
+    * path: the hottest image on the web costs O(m), not O(m²).
+    *
+    * Shape: fingerprints collapse to (sh, rep = min id, n) — the only
+    * aggregate that sees corpus-frequency keys, and it carries 16-byte
+    * rows; [[hammingHashPairs]] bands DISTINCT values; the pair graph
+    * is contracted between REPRESENTATIVES ([[duplicateClusters]], log
+    * rounds); members inherit their representative's label. Labels
+    * match the pairs-path exactly: rep = min id of its value class, so
+    * min reachable rep = min id of the whole connected component.
+    * Output (id, cluster) for every row in a duplicate relation;
+    * rows with unique fingerprints and no near neighbor are absent,
+    * as with [[duplicateClusters]] over pair output. */
+  def hammingClusters(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      hotK: Int = 1024): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be non-negative, got $maxHamming")
+    val hashed = hammingBase(df, idCol, hashCol)
+    // Two-phase hash aggregate: map-side partials mean the shuffle
+    // carries ~one row per (distinct value, map task), never the raw
+    // corpus frequency of a hot value.
+    val groups = hashed.groupBy("sh")
+      .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n"))
+    val repPairs = hammingHashPairs(groups.select("sh"), maxHamming)
+      .join(groups.select(col("sh").as("sh_a"), col("__rep").as("id_a")), "sh_a")
+      .join(groups.select(col("sh").as("sh_b"), col("__rep").as("id_b")), "sh_b")
+      .select("id_a", "id_b")
+    val repClusters = duplicateClusters(repPairs)
+      .withColumnRenamed("id", "__rep").withColumnRenamed("cluster", "__cl")
+    // (sh → cluster label) for every value in a duplicate relation —
+    // distinct-value-sized, one row per key. Inner-joining members
+    // against it both labels them and drops the non-duplicate rest.
+    val labels = groups.join(repClusters, Seq("__rep"), "left")
+      .where(col("__cl").isNotNull || col("__n") > 1)
+      .select(col("sh"), coalesce(col("__cl"), col("__rep")).as("cluster"), col("__n"))
+    // The member-label join is keyed on the fingerprint, and a viral
+    // image class IS a hot key. AQE's OptimizeSkewedJoin cannot rescue
+    // it (the label side is aggregate-built — the rule needs Sort
+    // directly over both shuffle stages; measured in round 6 on
+    // bigramLogProb, see TextOps.bigramLogProb), so the same hot-key
+    // differentiated join applies: the hotK most frequent labels — by
+    // construction the keys carrying the skewed traffic — broadcast and
+    // resolve map-side; the residual, whose per-key frequency is capped
+    // by the (hotK+1)-th class size, takes the plain shuffle join.
+    // Ordering (__n desc, sh asc) is total, so the limit is
+    // deterministic across re-evaluations.
+    if (hotK <= 0)
+      hashed.join(labels, "sh")
+        .select(col(idCol).as("id"), col("cluster"))
+    else {
+      val hot = broadcast(
+        labels.orderBy(col("__n").desc, col("sh").asc).limit(hotK)
+          .select("sh", "cluster"))
+      val hotMembers = hashed.join(hot, "sh")
+        .select(col(idCol).as("id"), col("cluster"))
+      val hotKeys = broadcast(hot.select("sh"))
+      val residual = hashed.join(hotKeys, Seq("sh"), "left_anti")
+        .join(labels.join(hotKeys, Seq("sh"), "left_anti").select("sh", "cluster"), "sh")
+        .select(col(idCol).as("id"), col("cluster"))
+      hotMembers.unionAll(residual)
+    }
+  }
+
+  /** One-call hamming dedup: keep every row whose fingerprint class is
+    * a cluster representative (minimum id of its connected near-dup
+    * component) plus every row outside any duplicate relation —
+    * byte-equivalent to `dropNearDuplicates(df, idCol,
+    * hammingPairs(df, …))` at O(corpus) cost ([[hammingClusters]]). */
+  def dropHammingDuplicates(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      hotK: Int = 1024): DataFrame = {
+    val losers = hammingClusters(df, idCol, hashCol, maxHamming, hotK)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** CCNet-style cross-document LINE deduplication (Wenzek et al. 2020;

@@ -286,6 +286,108 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1), (1L, 3L, 3)), got.toString)
   }
 
+  test("hammingPairs: identical fingerprints pair at radius 0 through the collapsed tier") {
+    val v = 0x0f0f0f0f0f0f0f0fL
+    val df = Seq((1L, v), (2L, v), (3L, v), (4L, v ^ 3L), (5L, ~v))
+      .toDF("id", "fp")
+    val got = Dedup.hammingPairs(df, "id", "fp", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // {1,2,3} all-pairs at 0; each of them to 4 at hamming 2; 5 is far
+    assert(got == Set(
+      (1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0),
+      (1L, 4L, 2), (2L, 4L, 2), (3L, 4L, 2)), got.toString)
+    // maxHamming = 0 degenerates to exact-value grouping
+    val exact = Dedup.hammingPairs(df, "id", "fp", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)), exact.toString)
+  }
+
+  test("hammingClusters/dropHammingDuplicates match the pairs path exactly") {
+    // 300 rows over 40 fingerprint classes, every 7th row a 1-bit
+    // variant of its class value: identical classes, near variants, and
+    // whatever cross-class collisions the RNG deals — both paths see
+    // the same input, so the comparison is exact regardless.
+    val rnd = new scala.util.Random(7)
+    val classes = Array.fill(40)(rnd.nextLong())
+    val rows = (0 until 300).map(i =>
+      (i.toLong, classes(i % 40) ^ (if (i % 7 == 0) 1L << (i % 64) else 0L)))
+    val df = rows.toDF("id", "fp")
+    val viaPairs = Dedup.duplicateClusters(Dedup.hammingPairs(df, "id", "fp", 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (hotK <- Seq(0, 4, 1024)) {
+      val direct = Dedup.hammingClusters(df, "id", "fp", 3, hotK)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(direct == viaPairs, s"hotK=$hotK")
+    }
+    val keptPairs = Dedup.dropNearDuplicates(df, "id", Dedup.hammingPairs(df, "id", "fp", 3))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val keptDirect = Dedup.dropHammingDuplicates(df, "id", "fp", 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptDirect == keptPairs)
+  }
+
+  /** Max shuffle-partition bytes per shuffle stage of an EXECUTED
+    * adaptive plan — TextOpsSpec's funnel measurement, absolute form. */
+  private def maxShuffleBytes(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long)] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    def walk(p: SparkPlan): Unit = p.foreach {
+      case s: ShuffleQueryStageExec =>
+        s.mapStats.foreach(ms => out += ((s.id, ms.bytesByPartitionId.max)))
+        walk(s.plan)
+      case q: QueryStageExec => walk(q.plan)
+      case _ => ()
+    }
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => walk(other)
+    }
+    out.toSeq
+  }
+
+  test("hammingClusters: a 10^5-row degenerate fingerprint class stays bounded per task") {
+    // The viral-image shape: 10^5 rows share ONE fingerprint (plus 3
+    // one-bit variants and a far 50-row class). Banding raw rows would
+    // funnel the whole class into a single collect_list buffer; the
+    // collapsed plan's shuffles must stay bounded by DISTINCT values.
+    val viral = 0x5a5a5a5a5a5a5a5aL
+    val far = ~viral
+    val n = 100000L
+    val df = spark.range(n).selectExpr("id", s"${viral}L AS fp")
+      .unionAll(spark.range(3).selectExpr(
+        s"id + ${n} AS id", s"${viral}L ^ CAST(pow(2, id) AS LONG) AS fp"))
+      .unionAll(spark.range(50).selectExpr(s"id + ${n + 10} AS id", s"${far}L AS fp"))
+      .toDF()
+    val clusters = Dedup.hammingClusters(df, "id", "fp", maxHamming = 3)
+    val got = clusters.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every row is in a duplicate relation; one component per class pair
+    assert(got.length == n + 3 + 50)
+    val byCluster = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCluster == Map(0L -> (n + 3).toInt, (n + 10) -> 50), byCluster.toString)
+    val prodMax = maxShuffleBytes(clusters).map(_._2).max
+    // Contrast: the pre-round-7 shape — banding RAW rows — measured by
+    // the same probe. Its hottest bucket carries the full class, so its
+    // max partition bytes dwarf the collapsed plan's; this proves the
+    // measurement would flag the funnel the production plan avoids.
+    val oldShape = df
+      .select(col("id"), col("fp").as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map(j =>
+          shiftrightunsigned(col("sh"), j * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("chunk_idx", "chunk_val")))
+      .groupBy("chunk_idx", "chunk_val")
+      // collect_list: partial aggregation still ships every element —
+      // the funnel the production plan's count/min partials avoid
+      .agg(collect_list(struct(col("id"), col("sh"))).as("es"))
+      .select(col("chunk_idx"), size(col("es")).as("m"))
+    oldShape.collect()
+    val contrastMax = maxShuffleBytes(oldShape).map(_._2).max
+    assert(prodMax * 4 < contrastMax,
+      s"collapsed plan max partition $prodMax B should be far under the raw-banding $contrastMax B")
+    assert(prodMax < 512 * 1024, s"per-task shuffle input $prodMax B not bounded")
+  }
+
   test("dropNearDuplicatesBy keeps the best-scoring member; ties go to min id") {
     val d = Seq(
       (1L, "a", 10.0), (2L, "a2", 50.0), (3L, "a3", 50.0), // cluster {1,2,3}

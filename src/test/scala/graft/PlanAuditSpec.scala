@@ -360,6 +360,35 @@ class PlanAuditSpec extends SparkSpec {
     for (b <- winnerAggs) assert(!b.contains("text#"), s"payload in winner agg:\n$b")
   }
 
+  test("hamming near-dup: bands DISTINCT fingerprints — two bounded tiers, no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    for (gate <- Seq("multimodal_image_dedup", "dedup_simhash")) {
+      val df = SparkEntry.queries(gate)(spark, dir)
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // radius-0 self-join tier ∪ banded cross tier (the gate corpora
+      // may union scans of their own); nothing unbounded
+      assert(nodes(p, "Union") >= 1, s"$gate:\n$p")
+      assert(nodes(p, "CartesianProduct") == 0 &&
+        nodes(p, "BroadcastNestedLoopJoin") == 0, s"$gate:\n$p")
+      // the chunk posexplode must sit over a DISTINCT-fingerprint
+      // aggregate (group = output = the bare hash) — the round-7
+      // degenerate-class hardening: bucket size is bounded by distinct
+      // near-collisions, never corpus frequency of a viral value
+      val chunkGens = df.queryExecution.optimizedPlan.collect {
+        case g: Generate if g.generatorOutput.exists(_.name == "chunk_idx") => g
+      }
+      assert(chunkGens.nonEmpty, s"$gate: no chunk banding Generate")
+      for (g <- chunkGens) {
+        val distinctAgg = g.child.collectFirst {
+          case a: Aggregate
+            if a.groupingExpressions.size == 1 && a.aggregateExpressions.size == 1 => a
+        }
+        assert(distinctAgg.nonEmpty,
+          s"$gate: banding Generate not fed by a distinct-value collapse")
+      }
+    }
+  }
+
   test("broadcast join query does broadcast; big join stays shuffle") {
     assert(plan("join_broadcast").contains("BroadcastHashJoin"))
     // join_big must not HINT a broadcast: disable the size-based
