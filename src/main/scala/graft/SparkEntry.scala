@@ -1663,6 +1663,53 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Incremental IMAGE ingest, probe tier: the doc_id<200 BMP corpus
+    // is hashed and banded ONCE (hammingIndex); the batch re-encodes
+    // the same gradients under new ids — doc_id%3==0 rows byte-
+    // identical to their originals (guaranteed radius-0 hits), the
+    // rest at w+1/w+2 with whatever hash drift that causes. Pigeonhole
+    // recall is FULL at radius 2, so the oracle is the exact cross-side
+    // hamming sweep over pixel-replayed hashes — no banding slack.
+    "image_dedup_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id") < 200)
+      val idxDims = docs.select(col("doc_id"),
+        (col("n_chars") % 64 + 1).cast("int").as("w"),
+        (col("doc_id") % 48 + 1).cast("int").as("h"))
+      val index = Dedup.hammingIndex(
+        Multimodal.aHashFrame(Multimodal.encodeBmpFrame(idxDims, "doc_id", "w", "h")),
+        "media_id", "ahash")
+      val batchDims = docs.select(col("doc_id"),
+        (col("n_chars") % 64 + 1 + col("doc_id") % 3).cast("int").as("w"),
+        (col("doc_id") % 48 + 1).cast("int").as("h"))
+      val batch = Multimodal.aHashFrame(
+          Multimodal.encodeBmpFrame(batchDims, "doc_id", "w", "h"))
+        .select((col("media_id") + 100000).as("media_id"), col("ahash"))
+      Dedup.hammingAgainstIndex(batch, "media_id", "ahash", index, maxHamming = 2)
+        .orderBy("id_new", "id_idx")
+    }),
+
+    // Incremental IMAGE ingest, one-call drop tier: same index/batch
+    // as image_dedup_incremental; the oracle replays the WHOLE decision
+    // — exact probe sweep, exact batch pairs, recursive-CTE clusters,
+    // and the keep rule (anti hits, anti hit-clusters, cluster reps).
+    "image_dedup_incremental_drop" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id") < 200)
+      val idxDims = docs.select(col("doc_id"),
+        (col("n_chars") % 64 + 1).cast("int").as("w"),
+        (col("doc_id") % 48 + 1).cast("int").as("h"))
+      val index = Dedup.hammingIndex(
+        Multimodal.aHashFrame(Multimodal.encodeBmpFrame(idxDims, "doc_id", "w", "h")),
+        "media_id", "ahash")
+      val batchDims = docs.select(col("doc_id"),
+        (col("n_chars") % 64 + 1 + col("doc_id") % 3).cast("int").as("w"),
+        (col("doc_id") % 48 + 1).cast("int").as("h"))
+      val batch = Multimodal.aHashFrame(
+          Multimodal.encodeBmpFrame(batchDims, "doc_id", "w", "h"))
+        .select((col("media_id") + 100000).as("media_id"), col("ahash"))
+      Dedup.dedupIncrementalHamming(batch, "media_id", "ahash", index, maxHamming = 2)
+        .select("media_id").orderBy("media_id")
+    }),
+
     // REAL PNG pixel path: encode spec-valid stored-deflate PNGs,
     // decode+unfilter+resample+re-encode (PngCodec), parse the resized
     // headers back. Oracle recomputes output dims and the closed-form
@@ -2160,6 +2207,52 @@ object SparkEntry {
     s"""$aHashCte
        |SELECT doc_id, ahash_lo, ahash_hi
        |FROM hashes ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE BODY (no WITH prefix, so callers can choose RECURSIVE)
+    * for the incremental image gates: replays the aHash of the index
+    * side (doc_id < 200, seed = doc_id) AND the batch side (ids
+    * +100000, SAME gradient seed, width + doc_id%3 — so every %3==0
+    * batch image is byte-identical to its original), then the exact
+    * cross-side hamming sweep. */
+  private lazy val aHashIncBody: String =
+    """d AS (
+      |  SELECT doc_id, doc_id AS seed,
+      |    CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+      |    CAST(doc_id % 48 + 1 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id < 200
+      |  UNION ALL
+      |  SELECT doc_id + 100000, doc_id AS seed,
+      |    CAST(n_chars % 64 + 1 + doc_id % 3 AS BIGINT) AS w,
+      |    CAST(doc_id % 48 + 1 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id < 200
+      |), px AS (
+      |  SELECT doc_id, i,
+      |    ((sx + sy + seed) % 256) + (xor(sx, sy) % 256)
+      |      + ((sx * 7 + sy * 3) % 256) AS lum
+      |  FROM (
+      |    SELECT doc_id, seed,
+      |      unnest(range(0, 64)) AS i,
+      |      unnest(list_transform(range(0, 64), j -> (j % 8) * w // 8)) AS sx,
+      |      unnest(list_transform(range(0, 64), j -> (j // 8) * h // 8)) AS sy
+      |    FROM d)
+      |), tot AS (
+      |  SELECT doc_id, i, lum,
+      |    sum(lum) OVER (PARTITION BY doc_id) AS s
+      |  FROM px
+      |), hashes AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN i < 32 AND 64 * lum > s
+      |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN i >= 32 AND 64 * lum > s
+      |      THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM tot GROUP BY doc_id
+      |), ham AS (
+      |  SELECT n.doc_id AS id_new, i.doc_id AS id_idx,
+      |    CAST(bit_count(xor(n.lo, i.lo))
+      |       + bit_count(xor(n.hi, i.hi)) AS INTEGER) AS hamming
+      |  FROM hashes n, hashes i
+      |  WHERE n.doc_id >= 100000 AND i.doc_id < 100000
+      |)""".stripMargin
 
   /** DuckDB oracle for the multimodal_features gate: rebuild the
     * 54-byte BMP header (BITMAPINFOHEADER, little-endian) as a BLOB and
@@ -3497,6 +3590,39 @@ object SparkEntry {
          |WHERE bit_count(xor(a.ahash_lo, b.ahash_lo))
          |    + bit_count(xor(a.ahash_hi, b.ahash_hi)) <= 2
          |ORDER BY id_a, id_b""".stripMargin,
+    "image_dedup_incremental" ->
+      s"""WITH $aHashIncBody
+         |SELECT id_new, id_idx, hamming FROM ham
+         |WHERE hamming <= 2
+         |ORDER BY id_new, id_idx""".stripMargin,
+    "image_dedup_incremental_drop" ->
+      s"""WITH RECURSIVE $aHashIncBody,
+         |hits AS (
+         |  SELECT DISTINCT id_new AS doc_id FROM ham WHERE hamming <= 2
+         |), bpairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM hashes a, hashes b
+         |  WHERE a.doc_id >= 100000 AND b.doc_id >= 100000
+         |    AND a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 2
+         |), edges AS (
+         |  SELECT id_a, id_b FROM bpairs UNION ALL SELECT id_b, id_a FROM bpairs
+         |), reach(id, r) AS (
+         |  SELECT id_a, id_a FROM edges
+         |  UNION
+         |  SELECT e.id_a, r.r FROM edges e JOIN reach r ON r.id = e.id_b
+         |), cl AS (
+         |  SELECT id, min(r) AS c FROM reach GROUP BY id
+         |), hitcl AS (
+         |  SELECT DISTINCT cl.c FROM cl JOIN hits ON cl.id = hits.doc_id
+         |)
+         |SELECT b.doc_id AS media_id
+         |FROM (SELECT doc_id FROM d WHERE doc_id >= 100000) b
+         |LEFT JOIN cl ON cl.id = b.doc_id
+         |WHERE b.doc_id NOT IN (SELECT doc_id FROM hits)
+         |  AND (cl.c IS NULL
+         |       OR (cl.c = b.doc_id AND cl.c NOT IN (SELECT c FROM hitcl)))
+         |ORDER BY media_id""".stripMargin,
     "multimodal_resize" ->
       """WITH dims AS (
         |  SELECT greatest(1, (n_chars % 64 + 1) * 50 // 100) AS nw,

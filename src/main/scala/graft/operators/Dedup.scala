@@ -667,6 +667,97 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Persistable hamming-chunk INDEX of a fingerprinted corpus —
+    * `(chunk_idx, chunk_val, id, sh)` rows, four per fingerprint (one
+    * per 16-bit chunk): the image analog of [[minHashIndex]]. Write it
+    * partitioned/bucketed by `(chunk_idx, chunk_val)` and probe each
+    * ingest batch with [[hammingAgainstIndex]] — the corpus is hashed
+    * ONCE and a daily batch pays only for itself. Carrying `sh` in the
+    * index row makes the probe self-contained: hamming verification is
+    * one xor+popcount, so the probe never joins back to the corpus
+    * payload (unlike minhash, whose verify needs the original text).
+    * Null fingerprints are not indexed. */
+  def hammingIndex(df: DataFrame, idCol: String, hashCol: String): DataFrame =
+    hammingBase(df, idCol, hashCol).select(
+        col(idCol).as("id"), col("sh"),
+        posexplode(
+          array((0 until 4).map(j =>
+            shiftrightunsigned(col("sh"), j * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("chunk_idx", "chunk_val")))
+      .select(col("chunk_idx"), col("chunk_val"), col("id"), col("sh"))
+
+  /** Incremental hamming near-dup: NEW fingerprints probed against a
+    * corpus [[hammingIndex]] — `(id_new, id_idx, hamming)` for every
+    * new row within `maxHamming` of an INDEXED row (new-vs-new pairs
+    * are [[hammingPairs]]' job). Same pigeonhole contract as
+    * [[hammingPairs]]: full recall for `maxHamming` ≤ 3.
+    *
+    * Scale shape: the batch collapses to DISTINCT fingerprints before
+    * banding (round-7 hardening — a batch full of one viral thumbnail
+    * probes once, not once per copy); ONE equi-join on
+    * `(chunk_idx, chunk_val)` against the index — stored bucketed on
+    * those keys, only the (small) batch side shuffles; candidate dedup
+    * happens at (new-value, indexed-id) granularity BEFORE batch
+    * membership expands, so the distinct never carries the batch's
+    * copy multiplicity. Per-batch cost ∝ batch, not corpus. */
+  def hammingAgainstIndex(
+      newDf: DataFrame, idCol: String, hashCol: String,
+      index: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be non-negative, got $maxHamming")
+    val probe = hammingBase(newDf, idCol, hashCol)
+    val probeChunks = probe.select("sh").distinct().select(
+        col("sh").as("__sh_new"),
+        posexplode(
+          array((0 until 4).map(j =>
+            shiftrightunsigned(col("sh"), j * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("chunk_idx", "chunk_val")))
+    val cands = probeChunks
+      .join(index.select(col("chunk_idx"), col("chunk_val"),
+        col("id").as("id_idx"), col("sh").as("__sh_idx")),
+        Seq("chunk_idx", "chunk_val"))
+      .where(bit_count(col("__sh_new").bitwiseXOR(col("__sh_idx"))) <= maxHamming)
+      .select(col("__sh_new"), col("id_idx"),
+        bit_count(col("__sh_new").bitwiseXOR(col("__sh_idx"))).as("hamming"))
+      .distinct()
+    cands.join(probe.select(col(idCol).as("id_new"), col("sh").as("__sh_new")), "__sh_new")
+      .select(col("id_new"), col("id_idx"), col("hamming"))
+  }
+
+  /** ONE-CALL incremental image-ingest dedup — [[dedupIncremental]]'s
+    * hamming analog. Drops from `newDf` every row that is
+    *   (a) within `maxHamming` of an INDEXED fingerprint
+    *       ([[hammingAgainstIndex]] probe),
+    *   (b) in a batch-internal duplicate cluster containing an index
+    *       hit, or
+    *   (c) a non-representative (not the min id) of a clean
+    *       batch-internal cluster ([[hammingClusters]] — radius-0
+    *       classes never expand to pairs).
+    * Returns the surviving rows of `newDf`, all columns. Rows with a
+    * null fingerprint are never dropped (they carry no dedup signal).
+    *
+    * Scale shape: probe ∝ batch against the pre-bucketed index;
+    * batch-internal clustering is [[hammingClusters]]' collapsed form,
+    * so a batch that is 10⁶ copies of one screenshot costs O(batch),
+    * not O(batch²). */
+  def dedupIncrementalHamming(
+      newDf: DataFrame, idCol: String, hashCol: String,
+      index: DataFrame, maxHamming: Int = 3, hotK: Int = 1024): DataFrame = {
+    OpUtil.requireNoColumns(newDf, Set("__cl", "__hit_cl"), "dedupIncrementalHamming")
+    val hits = hammingAgainstIndex(newDf, idCol, hashCol, index, maxHamming)
+      .select(col("id_new").as(idCol)).distinct()
+      .localCheckpoint(true)
+    val clusters = hammingClusters(newDf, idCol, hashCol, maxHamming, hotK)
+      .select(col("id").as(idCol), col("cluster").as("__cl"))
+    val hitClusters = clusters.join(hits, Seq(idCol), "left_semi")
+      .select(col("__cl").as("__hit_cl")).distinct()
+    newDf
+      .join(hits, Seq(idCol), "left_anti")
+      .join(clusters, Seq(idCol), "left")
+      .join(hitClusters, col("__cl") === col("__hit_cl"), "left_anti")
+      .where(col("__cl").isNull || col("__cl") === col(idCol))
+      .drop("__cl")
+  }
+
   /** CCNet-style cross-document LINE deduplication (Wenzek et al. 2020;
     * also the Dolma/RefinedWeb "remove duplicated lines" pass): a line
     * whose normalized form — lowercased, space/tab/CR-trimmed — occurs in at least

@@ -326,6 +326,48 @@ class DedupSpec extends SparkSpec {
     assert(keptDirect == keptPairs)
   }
 
+  test("hammingIndex/hammingAgainstIndex: new-vs-indexed within radius only; nulls inert") {
+    val va = 0x1111111111111111L
+    val vb = 0x00ff00ff00ff00ffL // far from va (hamming 32)
+    val corpus = Seq((1L, va), (2L, 0x8000000000000000L)).toDF("id", "fp")
+    val index = Dedup.hammingIndex(corpus, "id", "fp")
+    assert(index.count() == 8) // 4 chunk rows per fingerprint
+    assert(index.columns.toSeq == Seq("chunk_idx", "chunk_val", "id", "sh"))
+    val batch = Seq(
+      (10L, Some(va)),       // exact indexed copy → hit at 0
+      (11L, Some(va ^ 7L)),  // hamming 3 from indexed va → hit
+      (12L, Some(vb)),       // far from everything indexed
+      (13L, None: Option[Long]))
+      .toDF("id", "fp")
+    val got = Dedup.hammingAgainstIndex(batch, "id", "fp", index, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // new-vs-new (10 vs 11) must NOT appear — probe contract
+    assert(got == Set((10L, 1L, 0), (11L, 1L, 3)), got.toString)
+  }
+
+  test("dedupIncrementalHamming drops index dups, hit clusters, and non-reps") {
+    val va = 0x1111111111111111L
+    val vb = 0x00ff00ff00ff00ffL
+    val vc = 0xffffffffffffffffL
+    val corpus = Seq((1L, va)).toDF("id", "fp")
+    val index = Dedup.hammingIndex(corpus, "id", "fp")
+    val batch = Seq(
+      (10L, Some(va)),                 // direct hit
+      (11L, Some(va ^ 7L)),            // direct hit (hamming 3)
+      (12L, Some(va ^ 7L ^ 0x38L)),    // hamming 6 from va — no direct hit,
+                                       // but clusters with 11 → transitive drop
+      (13L, Some(vb)), (14L, Some(vb)), // clean batch cluster → keep 13
+      (15L, Some(vc)),                 // unique → keep
+      (16L, None: Option[Long]))       // null fingerprint → keep
+      .toDF("id", "fp")
+    val kept = Dedup.dedupIncrementalHamming(batch, "id", "fp", index, maxHamming = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(13L, 15L, 16L), kept.toString)
+    // all original columns survive
+    assert(Dedup.dedupIncrementalHamming(batch, "id", "fp", index, maxHamming = 3)
+      .columns.toSeq == Seq("id", "fp"))
+  }
+
   /** Max shuffle-partition bytes per shuffle stage of an EXECUTED
     * adaptive plan — TextOpsSpec's funnel measurement, absolute form. */
   private def maxShuffleBytes(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long)] = {
