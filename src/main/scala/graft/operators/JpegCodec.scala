@@ -569,6 +569,10 @@ object JpegCodec {
       quantChroma: Array[Int] = Array.fill(64)(1),
       restartInterval: Int = 0): Array[Byte] = {
     require(img.channels == 3, "encode expects an RGB raster")
+    // SOF dimension fields are 16-bit: larger rasters would silently
+    // truncate to the low bytes and emit a wrong-dimensioned JPEG
+    require(img.width >= 1 && img.width <= 65535 && img.height >= 1 && img.height <= 65535,
+      s"JPEG dimensions must be 1..65535, got ${img.width}x${img.height}")
     require(subsample == 1 || subsample == 2, s"subsample must be 1 or 2, got $subsample")
     require(restartInterval >= 0 && restartInterval <= 65535,
       s"restartInterval must be a 16-bit count of MCUs, got $restartInterval")

@@ -77,7 +77,12 @@ object Mp4Meta {
         walk(bytes, p, e) { (t2, p2, e2) =>
           t2 match {
             case "mvhd" =>
+              // the declared box size may be "valid" yet smaller than
+              // the version's fixed layout — require the fields we
+              // read actually fit (v0 reads through p2+20, v1 p2+32)
+              require(e2 - p2 >= 20, "truncated mvhd")
               val ver = bytes(p2) & 0xff
+              require(ver != 1 || e2 - p2 >= 32, "truncated mvhd v1")
               val (timescale, duration) =
                 if (ver == 1) (be32(bytes, p2 + 20), be64(bytes, p2 + 24))
                 else (be32(bytes, p2 + 12), be32(bytes, p2 + 16))
@@ -85,9 +90,12 @@ object Mp4Meta {
               durationMs = duration * 1000L / timescale
             case "trak" =>
               tracks += 1
-              walk(bytes, p2, e2) { (t3, p3, _) =>
+              walk(bytes, p2, e2) { (t3, p3, e3) =>
                 if (t3 == "tkhd" && w == 0 && h == 0) {
+                  // v0 layout through width+height = 84 bytes, v1 = 96
+                  require(e3 - p3 >= 84, "truncated tkhd")
                   val ver = bytes(p3) & 0xff
+                  require(ver != 1 || e3 - p3 >= 96, "truncated tkhd v1")
                   val dimsOff = p3 + (if (ver == 1) 88 else 76) // after matrix
                   val tw = (be32(bytes, dimsOff) >> 16).toInt   // 16.16 fixed
                   val th = (be32(bytes, dimsOff + 4) >> 16).toInt

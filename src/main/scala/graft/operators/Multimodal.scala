@@ -227,12 +227,14 @@ object Multimodal {
     if (w <= 0 || h <= 0) return null
     fmt match {
       case "bmp" => aHash64(bytes)
+      // IndexOutOfBounds too: a truncated payload in a mixed crawl
+      // corpus must hash to null, not fail the whole Spark task
       case "png" =>
         try aHashRaster(PngCodec.decode(bytes))
-        catch { case _: IllegalArgumentException => null }
+        catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
       case "jpeg" =>
         try aHashRaster(JpegCodec.decode(bytes))
-        catch { case _: IllegalArgumentException => null }
+        catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
       case _ => null
     }
   }

@@ -87,7 +87,12 @@ object UrlOps {
       suffixCol: String, outCol: String = "url_domain",
       maxSuffixLabels: Int = 4): DataFrame = {
     require(maxSuffixLabels >= 1, s"maxSuffixLabels must be >= 1, got $maxSuffixLabels")
-    OpUtil.requireNoColumns(df, Set("__psl_host"), "registrableDomainPsl")
+    // the join ladder also introduces __sfx_1..__sfx_maxSuffixLabels —
+    // an input frame already carrying one would make the coalesce/drop
+    // silently wrong, so guard them all
+    OpUtil.requireNoColumns(df,
+      (1 to maxSuffixLabels).map(k => s"__sfx_$k").toSet + "__psl_host",
+      "registrableDomainPsl")
     val sfx = suffixes
       .select(lower(trim(col(suffixCol))).as("__sfx"))
       .where(col("__sfx") =!= "")

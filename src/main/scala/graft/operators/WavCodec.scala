@@ -51,7 +51,10 @@ object WavCodec {
     while (off + 8 <= bytes.length) {
       val id = tag(bytes, off)
       val len = le32(bytes, off + 4)
-      require(len >= 0 && off + 8 + len <= bytes.length, s"truncated chunk '$id'")
+      // compare in Long: a corrupt length near 2^31 would overflow the
+      // Int sum to negative and sail past this check into a huge
+      // allocation instead of the intended clean failure
+      require(len >= 0 && off + 8 + len.toLong <= bytes.length, s"truncated chunk '$id'")
       id match {
         case "fmt " =>
           require(len >= 16, "fmt chunk too short")

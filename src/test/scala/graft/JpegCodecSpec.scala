@@ -212,4 +212,12 @@ class JpegCodecSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { JpegCodec.decode(prog) }
     assert(e.getMessage.contains("progressive"))
   }
+
+  test("encode rejects dimensions beyond the 16-bit SOF fields") {
+    val wide = PngCodec.Raster(70000, 1, 3, new Array[Byte](70000 * 3))
+    assert(intercept[IllegalArgumentException] { JpegCodec.encode(wide) }
+      .getMessage.contains("65535"))
+    val tall = PngCodec.Raster(1, 70000, 3, new Array[Byte](70000 * 3))
+    intercept[IllegalArgumentException] { JpegCodec.encode(tall) }
+  }
 }

@@ -38,6 +38,28 @@ class Mp4MetaSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Mp4Meta.parse(bytes.take(24)) }
   }
 
+  test("valid-sized but layout-short mvhd/tkhd fail loudly, not via AIOOBE") {
+    // an mvhd whose declared size (12) is a legal box size for the walk
+    // but smaller than the v0 fixed layout the parser must read
+    val out = new java.io.ByteArrayOutputStream()
+    def be(v: Long, n: Int): Unit =
+      for (i <- (n - 1) to 0 by -1) out.write(((v >> (8 * i)) & 0xff).toInt)
+    def tagW(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    be(16, 4); tagW("ftyp"); tagW("isom"); be(0, 4)
+    be(8 + 12, 4); tagW("moov")
+    be(12, 4); tagW("mvhd"); be(0, 4) // 4-byte payload: version+flags only
+    assert(intercept[IllegalArgumentException] { Mp4Meta.parse(out.toByteArray) }
+      .getMessage.contains("truncated mvhd"))
+    // tkhd: shrink the encoded box's declared size to 16 — valid for
+    // the walk, too small for the version's fixed layout
+    val full = Mp4Meta.encode(100L, 10, 10)
+    val shrunk = full.clone()
+    // layout: ftyp 24 + moov hdr 8 + mvhd 108 + trak hdr 8 → tkhd at 148
+    shrunk(148 + 3) = 16
+    assert(intercept[IllegalArgumentException] { Mp4Meta.parse(shrunk) }
+      .getMessage.contains("truncated tkhd"))
+  }
+
   test("distributed encode → metadata extraction; unknown passthrough; frame sampling composes") {
     val spec = Seq((1L, 1500L, 640, 360), (2L, 900L, 320, 240))
       .toDF("id", "ms", "w", "h")

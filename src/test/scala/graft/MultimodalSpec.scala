@@ -386,6 +386,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aHashAny("not an image".getBytes) == null)
   }
 
+  test("aHashAny: truncated PNG/JPEG payloads hash to null — never a task-killing throw") {
+    val raster = graft.operators.PngCodec.gradient(5L, 20, 14)
+    val png = graft.operators.PngCodec.encode(raster)
+    val jpg = graft.operators.JpegCodec.encode(raster)
+    // cut inside the compressed/entropy data (headers with dims intact,
+    // body unreadable) — the mixed-corpus contract is null, not a crash.
+    // (Trimming only the trailer, e.g. a PNG's IEND, still decodes —
+    // that is correct, not a failure, so the cuts go deep.)
+    for (frac <- Seq(2, 3)) {
+      assert(Multimodal.aHashAny(png.take(png.length / frac)) == null, s"png 1/$frac")
+      assert(Multimodal.aHashAny(jpg.take(jpg.length / frac)) == null, s"jpg 1/$frac")
+    }
+  }
+
   test("aHashAnyFrame hashes a mixed-format corpus row-locally") {
     import spark.implicits._
     val visual = flipRows(graft.operators.PngCodec.gradient(9L, 20, 12))

@@ -51,6 +51,14 @@ class UrlOpsSpec extends SparkSpec {
     assert(kept == Seq(3L, 4L))
   }
 
+  test("registrableDomainPsl rejects inputs already carrying reserved ladder columns") {
+    val psl = Seq(Tuple1("com")).toDF("suffix")
+    val df = Seq(("https://a.com/", 1)).toDF("url", "__sfx_2")
+    assert(intercept[IllegalArgumentException] {
+      UrlOps.registrableDomainPsl(df, "url", psl, "suffix")
+    }.getMessage.contains("__sfx_2"))
+  }
+
   test("registrableDomainPsl: longest-matching suffix, bare-suffix null, heuristic fallback") {
     val psl = Seq("com", "org", "uk", "co.uk", "com.au", "k12.ma.us")
       .map(Tuple1(_)).toDF("suffix")

@@ -53,6 +53,18 @@ class WavCodecSpec extends SparkSpec {
     intercept[IllegalArgumentException] { WavCodec.decode("RIFFjunk".getBytes) }
   }
 
+  test("corrupt chunk length near 2^31 fails cleanly — no Int overflow past the check") {
+    val bytes = WavCodec.encode(WavCodec.signal(1L, 4, 1, 4000))
+    val bad = bytes.clone()
+    // fmt chunk length field (bytes 16..19, little-endian) → 0x7ffffff0:
+    // off + 8 + len overflows Int to negative, which would sail past an
+    // Int-arithmetic truncation check into a huge allocation
+    bad(16) = 0xf0.toByte; bad(17) = 0xff.toByte
+    bad(18) = 0xff.toByte; bad(19) = 0x7f.toByte
+    assert(intercept[IllegalArgumentException] { WavCodec.decode(bad) }
+      .getMessage.contains("truncated"))
+  }
+
   test("distributed encode → features → decimate → features, stats replayed exactly") {
     val spec = Seq((1L, 40, 1, 8000), (2L, 33, 2, 16000), (3L, 7, 1, 4000))
       .toDF("id", "frames", "ch", "rate")
