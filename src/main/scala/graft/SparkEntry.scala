@@ -1742,6 +1742,43 @@ object SparkEntry {
           sum("w0").as("sum_w"), sum("h0").as("sum_h"),
           sum("w1").as("sum_rw"), sum("h1").as("sum_rh"))
     }),
+
+    // PROGRESSIVE (SOF2) JPEG path, end-to-end: the same gradients
+    // encoded with the spectral-selection scan script, parsed, decoded
+    // through the progressive accumulator for the resize, AND pinned
+    // pixel-equivalent to the baseline encoding per image — the
+    // perceptual hash of the progressive payload must equal the
+    // baseline payload's (identical quantized coefficients, different
+    // entropy layout), so n_hash_match = n is a real decode check the
+    // SQL oracle can state in closed form.
+    "multimodal_jpeg_progressive" -> ((s, dir) => {
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 40 + 9).cast("int").as("w"),
+        (col("doc_id") % 32 + 9).cast("int").as("h"))
+      val prog = Multimodal.encodeJpegProgressiveFrame(dims, "doc_id", "w", "h")
+      val base = Multimodal.encodeJpegFrame(dims, "doc_id", "w", "h")
+      val hashes = Multimodal.aHashAnyFrame(prog)
+        .select(col("media_id").as("mediaId"), col("ahash").as("h_prog"))
+        .join(Multimodal.aHashAnyFrame(base)
+          .select(col("media_id").as("mediaId"), col("ahash").as("h_base")), "mediaId")
+      val full = Multimodal.extractFeatures(prog).toDF()
+        .select(col("mediaId"), col("format").as("fmt0"),
+          col("width").as("w0"), col("height").as("h0"))
+      val resized = Multimodal.extractFeatures(
+          Multimodal.resizeJpegFrame(prog, 50)).toDF()
+        .select(col("mediaId"), col("format").as("fmt1"),
+          col("width").as("w1"), col("height").as("h1"))
+      full.join(resized, "mediaId").join(hashes, "mediaId")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("fmt0") === "jpeg" && col("fmt1") === "jpeg", 1L)
+            .otherwise(0L)).as("n_jpeg"),
+          sum("w0").as("sum_w"), sum("h0").as("sum_h"),
+          sum("w1").as("sum_rw"), sum("h1").as("sum_rh"),
+          sum(when(col("h_prog").isNotNull &&
+            col("h_prog") === col("h_base"), 1L).otherwise(0L)).as("n_hash_match"))
+    }),
     // Video metadata path: deterministic MP4 skeletons → ISO-BMFF box
     // walk → duration/dims/track extraction. Every column is closed
     // form (incl. the 240-byte skeleton size) for the oracle.
@@ -3697,6 +3734,25 @@ object SparkEntry {
         |  CAST(sum(h) AS BIGINT) AS sum_h,
         |  CAST(sum(greatest(1, w * 50 // 100)) AS BIGINT) AS sum_rw,
         |  CAST(sum(greatest(1, h * 50 // 100)) AS BIGINT) AS sum_rh
+        |FROM dims""".stripMargin,
+    // n_hash_match = n: the progressive and baseline encodings carry
+    // identical quantized coefficients, so their decoded perceptual
+    // hashes must agree image-for-image — any progressive-decoder
+    // divergence would drop this below n and hash-mismatch the gate.
+    "multimodal_jpeg_progressive" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    n_chars % 40 + 9 AS w,
+        |    doc_id % 32 + 9 AS h
+        |  FROM documents WHERE doc_id < 200
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_jpeg,
+        |  CAST(sum(w) AS BIGINT) AS sum_w,
+        |  CAST(sum(h) AS BIGINT) AS sum_h,
+        |  CAST(sum(greatest(1, w * 50 // 100)) AS BIGINT) AS sum_rw,
+        |  CAST(sum(greatest(1, h * 50 // 100)) AS BIGINT) AS sum_rh,
+        |  CAST(count(*) AS BIGINT) AS n_hash_match
         |FROM dims""".stripMargin,
     "multimodal_resize_png" ->
       """WITH dims AS (

@@ -1,16 +1,18 @@
 package graft.operators
 
-/** Baseline JPEG codec over the PUBLIC ITU-T T.81 byte layout — the
-  * last image format this library fenced, now implemented the same way
-  * as [[PngCodec]]: pure byte math, no imaging library.
+/** JPEG codec over the PUBLIC ITU-T T.81 byte layout — implemented the
+  * same way as [[PngCodec]]: pure byte math, no imaging library.
   *
-  * DECODE supports the dominant real-world class: baseline sequential
-  * DCT (SOF0), 8-bit precision, 1 (grayscale) or 3 (YCbCr) components,
-  * sampling factors 1-2 per axis (4:4:4, 4:2:2, 4:2:0), multiple
-  * DQT/DHT segments, restart intervals (DRI/RSTn), FF00 byte
-  * de-stuffing, APPn/COM skip. Everything else — progressive (SOF2),
-  * arithmetic coding, 12-bit, hierarchical — fails loudly rather than
-  * decode wrong pixels. Huffman tables are read from the file's own
+  * DECODE covers the real-world Huffman classes: baseline/extended
+  * sequential DCT (SOF0/SOF1) AND progressive DCT (SOF2 — spectral
+  * selection and successive approximation per T.81 Annex G), 8-bit
+  * precision, 1 (grayscale) or 3 (YCbCr) components, sampling factors
+  * 1-2 per axis (4:4:4, 4:2:2, 4:2:0), multiple DQT/DHT segments,
+  * restart intervals (DRI/RSTn), FF00 byte de-stuffing, APPn/COM skip.
+  * What remains — arithmetic coding, 12-bit, lossless, hierarchical —
+  * fails loudly rather than decode wrong pixels (a vanishing sliver of
+  * web JPEGs: arithmetic coding was patent-fenced for the format's
+  * formative decades). Huffman tables are read from the file's own
   * DHT segments (canonical code reconstruction per T.81 Annex C), so
   * decoding never assumes the "typical" Annex K tables.
   *
@@ -252,8 +254,14 @@ object JpegCodec {
     null
   }
 
-  /** Full baseline decode → RGB [[Raster]] (grayscale replicated to
-    * three channels). Malformed or unsupported inputs fail loudly. */
+  /** Full decode → RGB [[Raster]] (grayscale replicated to three
+    * channels): baseline/extended sequential (SOF0/SOF1) AND
+    * progressive (SOF2 — spectral selection + successive approximation,
+    * T.81 Annex G). Malformed or genuinely unsupported inputs
+    * (arithmetic coding, 12-bit, lossless, hierarchical) fail loudly
+    * rather than decode wrong pixels. Every sized segment is
+    * bounds-checked against the payload, so a truncated file fails
+    * with a require, never an ArrayIndexOutOfBounds. */
   def decode(bytes: Array[Byte]): Raster = {
     require(bytes != null && bytes.length > 4 &&
       (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "not a JPEG payload")
@@ -261,24 +269,52 @@ object JpegCodec {
     val dcTabs = new Array[JHuff](4)
     val acTabs = new Array[JHuff](4)
     var comps: Array[Component] = null
+    // progressive state: per-component coefficient accumulators in
+    // zig-zag order, MCU-padded block grids, actual block dims
+    var progressive = false
+    var sawScan = false
+    var coefs: Array[Array[Int]] = null
+    var blocksW: Array[Int] = null
+    var blocksH: Array[Int] = null
+    var compBW: Array[Int] = null
+    var compBH: Array[Int] = null
+    var mcusX = 0
+    var mcusY = 0
     var w = 0
     var h = 0
     var dri = 0
     var off = 2
-    def u16(o: Int) = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def u16(o: Int) = {
+      require(o + 2 <= bytes.length, "truncated JPEG segment")
+      ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    }
+    /** End offset of the sized segment at `o`, checked against the
+      * payload — the marker walk never reads past a declared length. */
+    def segEnd(o: Int): Int = {
+      val end = o + 2 + u16(o + 2)
+      require(end <= bytes.length, "truncated JPEG segment")
+      end
+    }
 
     while (true) {
       require(off + 2 <= bytes.length, "truncated JPEG (no SOS/EOI)")
       require((bytes(off) & 0xff) == 0xff, f"expected marker at $off")
       val marker = bytes(off + 1) & 0xff
       marker match {
-        case 0xd9 => throw new IllegalArgumentException("EOI before SOS — no image data")
-        case 0xc0 | 0xc1 => // baseline / extended-sequential Huffman
+        case 0xd9 => // EOI: for progressive, all scans are in — rebuild
+          if (progressive && sawScan)
+            return reconstructProgressive(w, h, comps, coefs, blocksW, blocksH, quant)
+          throw new IllegalArgumentException("EOI before image data")
+        case 0xc0 | 0xc1 | 0xc2 => // sequential Huffman SOFs + progressive
+          val end = segEnd(off)
           val seg = off + 4
+          require(seg + 6 <= end, "truncated SOF header")
           require((bytes(seg) & 0xff) == 8, "only 8-bit precision supported")
           h = u16(seg + 1); w = u16(seg + 3)
+          require(w >= 1 && h >= 1, "SOF dimensions must be positive (DNL not supported)")
           val n = bytes(seg + 5) & 0xff
           require(n == 1 || n == 3, s"unsupported component count $n")
+          require(seg + 6 + 3 * n <= end, "truncated SOF component specs")
           comps = Array.tabulate(n) { i =>
             val o = seg + 6 + 3 * i
             val hv = bytes(o + 1) & 0xff
@@ -288,17 +324,33 @@ object JpegCodec {
             require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
               s"unsupported sampling ${c.h}x${c.v} (1-2 only)")
           }
-          off += 2 + u16(off + 2)
-        case 0xc2 => throw new IllegalArgumentException("progressive JPEG (SOF2) not supported")
+          progressive = marker == 0xc2
+          if (progressive) {
+            val hmax = comps.map(_.h).max
+            val vmax = comps.map(_.v).max
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            blocksW = comps.map(c => mcusX * c.h)
+            blocksH = comps.map(c => mcusY * c.v)
+            // non-interleaved scans cover the component's ACTUAL block
+            // grid (T.81 A.2.2), not the MCU-padded one
+            compBW = comps.map(c => ((w * c.h + hmax - 1) / hmax + 7) / 8)
+            compBH = comps.map(c => ((h * c.v + vmax - 1) / vmax + 7) / 8)
+            coefs = comps.indices.map(i =>
+              new Array[Int](blocksW(i) * blocksH(i) * 64)).toArray
+          }
+          off = end
         case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
           throw new IllegalArgumentException(f"unsupported SOF marker 0xFF$m%02X")
         case 0xc4 => // DHT — possibly several tables in one segment
-          val end = off + 2 + u16(off + 2)
+          val end = segEnd(off)
           var o = off + 4
           while (o < end) {
+            require(o + 17 <= end, "truncated DHT")
             val tcth = bytes(o) & 0xff
             val counts = Array.tabulate(16)(i => bytes(o + 1 + i) & 0xff)
             val nsym = counts.sum
+            require(o + 17 + nsym <= end, "truncated DHT symbols")
             val syms = Array.tabulate(nsym)(i => bytes(o + 17 + i) & 0xff)
             val tab = new JHuff(counts, syms)
             if ((tcth >> 4) == 0) dcTabs(tcth & 15) = tab else acTabs(tcth & 15) = tab
@@ -306,12 +358,14 @@ object JpegCodec {
           }
           off = end
         case 0xdb => // DQT — possibly several tables
-          val end = off + 2 + u16(off + 2)
+          val end = segEnd(off)
           var o = off + 4
           while (o < end) {
+            require(o + 1 <= end, "truncated DQT")
             val pqtq = bytes(o) & 0xff
             val pq = pqtq >> 4
             require(pq == 0 || pq == 1, "bad DQT precision")
+            require(o + 1 + (if (pq == 0) 64 else 128) <= end, "truncated DQT table")
             val q = new Array[Int](64)
             var k = 0
             while (k < 64) {
@@ -324,13 +378,17 @@ object JpegCodec {
           }
           off = end
         case 0xdd =>
+          val end = segEnd(off)
+          require(end >= off + 6, "truncated DRI")
           dri = u16(off + 4)
-          off += 2 + u16(off + 2)
-        case 0xda => // SOS — single-scan baseline: decode and return
+          off = end
+        case 0xda => // SOS
           require(comps != null, "SOS before SOF")
+          val end = segEnd(off)
           val seg = off + 4
+          require(seg + 1 <= end, "truncated SOS")
           val ns = bytes(seg) & 0xff
-          require(ns == comps.length, "partial scans not supported (baseline single scan only)")
+          require(seg + 1 + 2 * ns + 3 <= end, "truncated SOS header")
           val scanTabs = Array.tabulate(ns) { i =>
             val cid = bytes(seg + 1 + 2 * i) & 0xff
             val tdta = bytes(seg + 2 + 2 * i) & 0xff
@@ -338,11 +396,24 @@ object JpegCodec {
             require(ci >= 0, s"scan references unknown component $cid")
             (ci, tdta >> 4, tdta & 15)
           }
-          val dataStart = seg + 1 + 2 * ns + 3 // skip Ss/Se/AhAl
-          return decodeScan(bytes, dataStart, w, h, comps, scanTabs, quant, dcTabs, acTabs, dri)
+          val dataStart = seg + 1 + 2 * ns + 3
+          if (!progressive) {
+            // single-scan sequential: decode and return directly
+            require(ns == comps.length,
+              "partial scans not supported (baseline single scan only)")
+            return decodeScan(bytes, dataStart, w, h, comps, scanTabs,
+              quant, dcTabs, acTabs, dri)
+          }
+          val ss = bytes(seg + 1 + 2 * ns) & 0xff
+          val se = bytes(seg + 1 + 2 * ns + 1) & 0xff
+          val ahal = bytes(seg + 1 + 2 * ns + 2) & 0xff
+          sawScan = true
+          off = decodeProgressiveScan(bytes, dataStart, comps, scanTabs,
+            ss, se, ahal >> 4, ahal & 15, dri, mcusX, mcusY,
+            coefs, blocksW, compBW, compBH, dcTabs, acTabs)
         case m if m >= 0xd0 && m <= 0xd7 => off += 2
         case 0x01 => off += 2
-        case _ => off += 2 + u16(off + 2) // APPn, COM, anything else with a length
+        case _ => off = segEnd(off) // APPn, COM, anything else with a length
       }
     }
     throw new IllegalStateException("unreachable")
@@ -424,7 +495,17 @@ object JpegCodec {
       }
       my += 1
     }
-    // assemble RGB
+    assembleRgb(w, h, comps, planes, planeW)
+  }
+
+  /** Upsample component planes (nearest) and convert YCbCr→RGB (or
+    * replicate the single gray plane) — shared by the sequential and
+    * progressive reconstruction paths. */
+  private def assembleRgb(
+      w: Int, h: Int, comps: Array[Component],
+      planes: Array[Array[Int]], planeW: Array[Int]): Raster = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -451,6 +532,234 @@ object JpegCodec {
       y += 1
     }
     Raster(w, h, 3, out)
+  }
+
+  /** One progressive scan (T.81 Annex G / G.2): the spectral band
+    * [ss, se] of the scan's components at successive-approximation bit
+    * position `ah`→`al`, accumulated into the per-component zig-zag
+    * coefficient arrays. Returns the offset of the next marker.
+    *
+    * Structure per the spec: DC scans (ss = 0) may interleave several
+    * components in MCU order (or walk a single component's actual
+    * block grid); AC scans are always single-component and
+    * non-interleaved, with EOB-run codes spanning blocks. First scans
+    * (ah = 0) establish coefficient bits above `al`; refinement scans
+    * (ah = al + 1) append one bit per coefficient. */
+  private def decodeProgressiveScan(
+      bytes: Array[Byte], dataStart: Int,
+      comps: Array[Component], scanTabs: Array[(Int, Int, Int)],
+      ss: Int, se: Int, ah: Int, al: Int, dri: Int,
+      mcusX: Int, mcusY: Int,
+      coefs: Array[Array[Int]], blocksW: Array[Int],
+      compBW: Array[Int], compBH: Array[Int],
+      dcTabs: Array[JHuff], acTabs: Array[JHuff]): Int = {
+    require(ss >= 0 && se <= 63 && ss <= se, s"bad spectral band $ss..$se")
+    require(ss > 0 || se == 0, "DC scan must have Se = 0")
+    require(al >= 0 && al <= 13 && (ah == 0 || ah == al + 1),
+      s"bad successive approximation $ah -> $al")
+    val rdr = new EntropyReader(bytes, dataStart)
+    val preds = new Array[Int](comps.length)
+    var eobrun = 0
+    var unit = 0 // restart counter: MCUs when interleaved, blocks otherwise
+    def maybeRestart(): Unit =
+      if (dri > 0 && unit > 0 && unit % dri == 0) {
+        rdr.restart()
+        eobrun = 0
+        java.util.Arrays.fill(preds, 0)
+      }
+    if (ss == 0) {
+      // ---- DC scan ----
+      def dcUnit(ci: Int, td: Int, bi: Int): Unit =
+        if (ah == 0) {
+          val dcT = dcTabs(td)
+          require(dcT != null, "missing DC Huffman table")
+          val t = rdr.decode(dcT)
+          preds(ci) += extend(rdr.receive(t), t)
+          coefs(ci)(bi) = preds(ci) << al
+        } else if (rdr.readBit() == 1) coefs(ci)(bi) |= (1 << al)
+      if (scanTabs.length > 1) {
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            scanTabs.foreach { case (ci, td, _) =>
+              val c = comps(ci)
+              var by = 0
+              while (by < c.v) {
+                var bx = 0
+                while (bx < c.h) {
+                  dcUnit(ci, td, ((my * c.v + by) * blocksW(ci) + mx * c.h + bx) * 64)
+                  bx += 1
+                }
+                by += 1
+              }
+            }
+            unit += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        val (ci, td, _) = scanTabs(0)
+        var by = 0
+        while (by < compBH(ci)) {
+          var bx = 0
+          while (bx < compBW(ci)) {
+            maybeRestart()
+            dcUnit(ci, td, (by * blocksW(ci) + bx) * 64)
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    } else {
+      // ---- AC scan ----
+      require(scanTabs.length == 1, "progressive AC scan must be single-component")
+      val (ci, _, ta) = scanTabs(0)
+      val acT = acTabs(ta)
+      require(acT != null, "missing AC Huffman table")
+      val coef = coefs(ci)
+      val p1 = 1 << al
+      var by = 0
+      while (by < compBH(ci)) {
+        var bx = 0
+        while (bx < compBW(ci)) {
+          maybeRestart()
+          val bi = (by * blocksW(ci) + bx) * 64
+          if (ah == 0) {
+            // first scan for this band (G.1.2.2): runs, EOB runs, ZRL
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              while (k <= se) {
+                val rs = rdr.decode(acT)
+                val r = rs >> 4
+                val s = rs & 15
+                if (s == 0) {
+                  if (r != 15) {
+                    eobrun = (1 << r) - 1
+                    if (r > 0) eobrun += rdr.receive(r)
+                    k = se + 1
+                  } else k += 16 // ZRL
+                } else {
+                  k += r
+                  require(k <= se, "AC run overflows the spectral band")
+                  coef(bi + k) = extend(rdr.receive(s), s) << al
+                  k += 1
+                }
+              }
+            }
+          } else {
+            // refinement (G.1.2.3): one correction bit per already-
+            // nonzero coefficient passed; new ±1-magnitude coefficients
+            // placed after their zero-history run
+            var k = ss
+            if (eobrun == 0) {
+              var brk = false
+              while (k <= se && !brk) {
+                val rs = rdr.decode(acT)
+                var r = rs >> 4
+                val s = rs & 15
+                var newval = 0
+                if (s == 0) {
+                  if (r != 15) {
+                    eobrun = 1 << r
+                    if (r > 0) eobrun += rdr.receive(r)
+                    brk = true
+                  }
+                  // r == 15: pass 16 zero-history coefficients below
+                } else {
+                  require(s == 1, "AC refinement magnitude must be 1")
+                  newval = if (rdr.readBit() == 1) p1 else -p1
+                }
+                if (!brk) {
+                  var placed = false
+                  while (k <= se && !placed) {
+                    val idx = bi + k
+                    if (coef(idx) != 0) {
+                      if (rdr.readBit() == 1 && (coef(idx) & p1) == 0)
+                        coef(idx) += (if (coef(idx) >= 0) p1 else -p1)
+                    } else if (r == 0) {
+                      if (s != 0) coef(idx) = newval
+                      placed = true
+                    } else r -= 1
+                    k += 1
+                  }
+                }
+              }
+            }
+            if (eobrun > 0) {
+              // inside an EOB run: only correction bits for already-
+              // nonzero coefficients of the remaining band
+              while (k <= se) {
+                val idx = bi + k
+                if (coef(idx) != 0) {
+                  if (rdr.readBit() == 1 && (coef(idx) & p1) == 0)
+                    coef(idx) += (if (coef(idx) >= 0) p1 else -p1)
+                }
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+          unit += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    // scan data ends here: discard pad bits, find the next marker
+    var p = rdr.pos
+    while (p + 1 < bytes.length &&
+      !((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xff) != 0x00)) p += 1
+    require(p + 1 < bytes.length, "truncated JPEG after progressive scan")
+    p
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficients and
+    * assemble the RGB raster — runs once, at EOI. */
+  private def reconstructProgressive(
+      w: Int, h: Int, comps: Array[Component],
+      coefs: Array[Array[Int]], blocksW: Array[Int], blocksH: Array[Int],
+      quant: Array[Array[Int]]): Raster = {
+    val planeW = comps.indices.map(i => blocksW(i) * 8).toArray
+    val planes = comps.indices.map(i =>
+      new Array[Int](blocksW(i) * blocksH(i) * 64)).toArray
+    val blk = new Array[Double](64)
+    val px = new Array[Double](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val qt = quant(comps(ci).tq)
+      require(qt != null, s"missing quant table ${comps(ci).tq}")
+      val coef = coefs(ci)
+      var by = 0
+      while (by < blocksH(ci)) {
+        var bx = 0
+        while (bx < blocksW(ci)) {
+          val bi = (by * blocksW(ci) + bx) * 64
+          var k = 0
+          while (k < 64) { blk(ZigZag(k)) = coef(bi + k).toDouble * qt(k); k += 1 }
+          idct(blk, px)
+          val ox = bx * 8
+          val oy = by * 8
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(ci)((oy + yy) * planeW(ci) + ox + xx) = clamp(px(yy * 8 + xx) + 128.0)
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    assembleRgb(w, h, comps, planes, planeW)
   }
 
   // ---- encoder ----------------------------------------------------------
@@ -707,4 +1016,217 @@ object JpegCodec {
     * resize is for feature pipelines, not byte-size parity. */
   def resizeJpeg(bytes: Array[Byte], scalePercent: Int): Array[Byte] =
     encode(PngCodec.resize(decode(bytes), scalePercent))
+
+  /** DC-coefficient entropy write (category + magnitude bits). */
+  private def putDc(bw: BitWriter, diff: Int, dc: JHuff): Unit = {
+    val t = category(diff)
+    val (c, l) = dc.codeOf(t)
+    bw.put(c, l)
+    if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+  }
+
+  /** PROGRESSIVE JPEG encode (SOF2), spectral-selection script: one
+    * interleaved DC scan (Ss=0, Se=0) followed by one full-band AC scan
+    * per component (Ss=1, Se=63), all at Ah=Al=0 — the minimal legal
+    * progression (T.81 Annex G), no successive approximation. The
+    * quantized coefficients are identical to [[encode]]'s, so decoding
+    * the two byte streams yields identical pixels (pinned in tests);
+    * only the entropy organization differs. Block-ending EOBs are
+    * written as EOB0 (an EOB run of one block), so every code word the
+    * stream uses is decodable by any conformant progressive decoder.
+    *
+    * Exists so Spark-side pipelines (and the driver's oracle gates) can
+    * manufacture real progressive payloads without any imaging
+    * library; decode-side coverage of successive approximation comes
+    * from the ImageIO cross-oracle in tests. */
+  def encodeProgressive(img: Raster, subsample: Int = 1,
+      quantLuma: Array[Int] = Array.fill(64)(1),
+      quantChroma: Array[Int] = Array.fill(64)(1)): Array[Byte] = {
+    require(img.channels == 3, "encodeProgressive expects an RGB raster")
+    require(img.width >= 1 && img.width <= 65535 && img.height >= 1 && img.height <= 65535,
+      s"JPEG dimensions must be 1..65535, got ${img.width}x${img.height}")
+    require(subsample == 1 || subsample == 2, s"subsample must be 1 or 2, got $subsample")
+    require(quantLuma.length == 64 && quantChroma.length == 64, "quant tables must have 64 entries")
+    require(quantLuma.forall(q => q >= 1 && q <= 255) && quantChroma.forall(q => q >= 1 && q <= 255),
+      "8-bit quant values only")
+    val w = img.width; val h = img.height
+    // color transform + chroma downsample, exactly as encode()
+    val yP = new Array[Double](w * h)
+    val cbP = new Array[Double](w * h)
+    val crP = new Array[Double](w * h)
+    var i = 0
+    while (i < w * h) {
+      val r = img.pixels(3 * i) & 0xff
+      val g = img.pixels(3 * i + 1) & 0xff
+      val b = img.pixels(3 * i + 2) & 0xff
+      yP(i) = 0.299 * r + 0.587 * g + 0.114 * b
+      cbP(i) = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+      crP(i) = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+      i += 1
+    }
+    val cw = (w + subsample - 1) / subsample
+    val ch = (h + subsample - 1) / subsample
+    def down(src: Array[Double]): Array[Double] =
+      if (subsample == 1) src
+      else Array.tabulate(cw * ch) { j =>
+        val cx = j % cw; val cy = j / cw
+        var s = 0.0; var n = 0
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            val x = cx * 2 + dx; val y = cy * 2 + dy
+            if (x < w && y < h) { s += src(y * w + x); n += 1 }
+            dx += 1
+          }
+          dy += 1
+        }
+        s / n
+      }
+    val cbD = down(cbP); val crD = down(crP)
+
+    // quantize EVERY MCU-padded block up front, zig-zag order (the DC
+    // scan is interleaved and covers the padded grid; AC scans cover
+    // the component's actual blocks only — padding blocks keep AC = 0,
+    // which is what the edge-replicated content rounds to anyway)
+    val mcusX = (w + 8 * subsample - 1) / (8 * subsample)
+    val mcusY = (h + 8 * subsample - 1) / (8 * subsample)
+    val compHV = Array((subsample, subsample), (1, 1), (1, 1))
+    val planesIn = Array(yP, cbD, crD)
+    val planeDims = Array((w, h), (cw, ch), (cw, ch))
+    val quants = Array(quantLuma, quantChroma, quantChroma)
+    val blocksW = compHV.map(hv => mcusX * hv._1)
+    val blocksH = compHV.map(hv => mcusY * hv._2)
+    val compBW = planeDims.map(d => (d._1 + 7) / 8)
+    val compBH = planeDims.map(d => (d._2 + 7) / 8)
+    val raw = new Array[Double](64)
+    val freq = new Array[Double](64)
+    val coefs = Array.tabulate(3) { ci =>
+      val (pw, ph) = planeDims(ci)
+      val plane = planesIn(ci)
+      val qt = quants(ci)
+      val coef = new Array[Int](blocksW(ci) * blocksH(ci) * 64)
+      var by = 0
+      while (by < blocksH(ci)) {
+        var bx = 0
+        while (bx < blocksW(ci)) {
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val sx = math.min(bx * 8 + x, pw - 1)
+              val sy = math.min(by * 8 + y, ph - 1) // edge replicate pad
+              raw(y * 8 + x) = plane(sy * pw + sx) - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          fdct(raw, freq)
+          val bi = (by * blocksW(ci) + bx) * 64
+          var k = 0
+          while (k < 64) {
+            // wire order is zig-zag; qt is natural-order like encode()
+            coef(bi + k) = math.rint(freq(ZigZag(k)) / qt(ZigZag(k))).toInt
+            k += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      coef
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    marker(0xd8)
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, 0 +: ZigZag.map(quantLuma))
+    seg(0xdb, 1 +: ZigZag.map(quantChroma))
+    val hv = if (subsample == 2) 0x22 else 0x11
+    seg(0xc2, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+      1, hv, 0, 2, 0x11, 1, 3, 0x11, 1))
+    def dht(tcth: Int, counts: Array[Int], syms: Array[Int]): Unit =
+      seg(0xc4, tcth +: (counts ++ syms))
+    dht(0x00, DcLumCounts, DcLumSyms)
+    dht(0x10, AcLumCounts, AcLumSyms)
+    dht(0x01, DcChrCounts, DcChrSyms)
+    dht(0x11, AcChrCounts, AcChrSyms)
+
+    // scan 1: interleaved DC, all components, band 0..0, Ah=Al=0
+    seg(0xda, Array(3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0))
+    locally {
+      val bw = new BitWriter(out)
+      val preds = new Array[Int](3)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var ci = 0
+          while (ci < 3) {
+            val (chh, cvv) = compHV(ci)
+            val dcT = if (ci == 0) DcLum else DcChr
+            var by = 0
+            while (by < cvv) {
+              var bx = 0
+              while (bx < chh) {
+                val bi = ((my * cvv + by) * blocksW(ci) + mx * chh + bx) * 64
+                val v = coefs(ci)(bi)
+                putDc(bw, v - preds(ci), dcT)
+                preds(ci) = v
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flush()
+    }
+    // scans 2..4: per-component AC, band 1..63, Ah=Al=0, non-interleaved
+    var ci = 0
+    while (ci < 3) {
+      val acT = if (ci == 0) AcLum else AcChr
+      seg(0xda, Array(1, ci + 1, if (ci == 0) 0x00 else 0x01, 1, 63, 0))
+      val bw = new BitWriter(out)
+      val coef = coefs(ci)
+      var by = 0
+      while (by < compBH(ci)) {
+        var bx = 0
+        while (bx < compBW(ci)) {
+          val bi = (by * blocksW(ci) + bx) * 64
+          var k = 1
+          var run = 0
+          while (k < 64) {
+            val v = coef(bi + k)
+            if (v == 0) run += 1
+            else {
+              while (run > 15) { val (zc, zl) = acT.codeOf(0xf0); bw.put(zc, zl); run -= 16 }
+              val s = category(v)
+              val (cc, cl) = acT.codeOf((run << 4) | s)
+              bw.put(cc, cl)
+              bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (ec, el) = acT.codeOf(0x00); bw.put(ec, el) } // EOB0
+          bx += 1
+        }
+        by += 1
+      }
+      bw.flush()
+      ci += 1
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
 }

@@ -517,6 +517,21 @@ object Multimodal {
       .toDF("media_id", "data")
   }
 
+  /** [[encodeJpegFrame]]'s PROGRESSIVE (SOF2) sibling — same gradients,
+    * same quantized coefficients, spectral-selection scan script
+    * ([[JpegCodec.encodeProgressive]]). Row-local. */
+  def encodeJpegProgressiveFrame(dims: DataFrame, idCol: String, wCol: String,
+      hCol: String): DataFrame = {
+    val spark = dims.sparkSession
+    import spark.implicits._
+    dims.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        (id, JpegCodec.encodeProgressive(PngCodec.gradient(id, w, h)))
+      })
+      .toDF("media_id", "data")
+  }
+
   /** Resize every JPEG payload of a (media_id, data) frame — the REAL
     * JPEG path: baseline entropy decode, IDCT, nearest-neighbor
     * resample, re-encode. Row-local; payloads never shuffle. */

@@ -208,9 +208,115 @@ class JpegCodecSpec extends AnyFunSuite {
       if (m == 0xc0) sofAt = off
       else off += 2 + (((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff))
     }
+    // SOF0 flipped to SOF2: claims progressive but carries a baseline
+    // full-band scan — structurally invalid (a progressive DC scan
+    // must have Se = 0), and must fail loudly, not decode wrong pixels
     val prog = bytes.clone(); prog(sofAt + 1) = 0xc2.toByte
-    val e = intercept[IllegalArgumentException] { JpegCodec.decode(prog) }
-    assert(e.getMessage.contains("progressive"))
+    intercept[IllegalArgumentException] { JpegCodec.decode(prog) }
+    // arithmetic-coded SOFs remain honestly unsupported
+    val arith = bytes.clone(); arith(sofAt + 1) = 0xc9.toByte
+    assert(intercept[IllegalArgumentException] { JpegCodec.decode(arith) }
+      .getMessage.contains("SOF"))
+  }
+
+  /** True iff marker FFxx appears in the header walk (markers cannot
+    * occur unescaped inside entropy data, so a byte-pair scan is safe). */
+  private def hasMarker(bytes: Array[Byte], m: Int): Boolean =
+    bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+
+  /** ImageIO-encode `img` at quality 0.9, optionally progressive. */
+  private def imageIoJpeg(img: java.awt.image.BufferedImage, prog: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    if (prog) params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(0.9f)
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(out))
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose()
+    out.toByteArray
+  }
+
+  test("progressive cross-oracle: we decode ImageIO-written SOF2 JPEGs") {
+    for ((w, h) <- Seq((64, 48), (17, 9))) {
+      val img = toBuffered(smooth(w, h))
+      val bytes = imageIoJpeg(img, prog = true)
+      // the JDK writer's default progression uses successive
+      // approximation, so this exercises DC/AC first AND refine scans
+      assert(hasMarker(bytes, 0xc2), "ImageIO did not write SOF2")
+      val ours = JpegCodec.decode(bytes)
+      assert(ours.width == w && ours.height == h)
+      // strongest pin: libjpeg's progressive mode reorganizes ONLY the
+      // entropy coding — the quantized coefficients are identical to
+      // the sequential encoding at the same settings, so our decodes
+      // of the two byte streams must agree exactly
+      val seqBytes = imageIoJpeg(img, prog = false)
+      assert(!hasMarker(seqBytes, 0xc2))
+      val oursSeq = JpegCodec.decode(seqBytes)
+      val (mxSeq, _) = maxAndMeanDiff(ours.pixels, oursSeq.pixels)
+      assert(mxSeq == 0, s"${w}x$h progressive vs sequential decode max=$mxSeq")
+      // and ImageIO's own decode agrees within conformant-decoder slack
+      // (chroma upsample filters differ; small images amplify the mean)
+      val theirs = toRaster(
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      val (mx, mean) = maxAndMeanDiff(ours.pixels, theirs.pixels)
+      assert(mx <= 24 && mean <= 6.5, s"${w}x$h max=$mx mean=$mean")
+    }
+  }
+
+  test("progressive cross-oracle: grayscale SOF2 (single-component DC scans) decodes") {
+    val w = 33; val h = 21
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (x * 255 / (w - 1) + y * 3) % 256
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(out))
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose()
+    val bytes = out.toByteArray
+    assert(hasMarker(bytes, 0xc2), "ImageIO did not write SOF2")
+    val ours = JpegCodec.decode(bytes)
+    assert(ours.width == w && ours.height == h && ours.channels == 3)
+    val theirImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var mx = 0
+    for (y <- 0 until h; x <- 0 until w)
+      mx = math.max(mx, math.abs((ours.pixels(3 * (y * w + x)) & 0xff) -
+        theirImg.getRaster.getSample(x, y, 0)))
+    assert(mx <= 8, s"max=$mx")
+  }
+
+  test("encodeProgressive: same coefficients as baseline — decodes pixel-identical") {
+    for (sub <- Seq(1, 2); (w, h) <- Seq((48, 32), (17, 9), (8, 8), (1, 1))) {
+      val img = smooth(w, h)
+      val prog = JpegCodec.encodeProgressive(img, subsample = sub)
+      assert(hasMarker(prog, 0xc2), "no SOF2 in progressive output")
+      val seq = JpegCodec.encode(img, subsample = sub)
+      val a = JpegCodec.decode(prog)
+      val b = JpegCodec.decode(seq)
+      assert(a.width == w && a.height == h)
+      val (mx, _) = maxAndMeanDiff(a.pixels, b.pixels)
+      assert(mx == 0, s"sub=$sub ${w}x$h progressive decode diverged, max=$mx")
+    }
+  }
+
+  test("cross-oracle: ImageIO reads our progressive bytes the same way") {
+    for (sub <- Seq(1, 2)) {
+      val img = smooth(48, 32)
+      val bytes = JpegCodec.encodeProgressive(img, subsample = sub)
+      val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(theirs != null, "ImageIO failed to parse our progressive JPEG")
+      assert(theirs.getWidth == 48 && theirs.getHeight == 32)
+      val ours = JpegCodec.decode(bytes)
+      val (mx, mean) = maxAndMeanDiff(ours.pixels, toRaster(theirs).pixels)
+      assert(mx <= 16 && mean <= 2.0, s"sub=$sub max=$mx mean=$mean")
+    }
   }
 
   test("encode rejects dimensions beyond the 16-bit SOF fields") {
