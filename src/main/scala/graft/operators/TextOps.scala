@@ -432,9 +432,15 @@ object TextOps {
     * only the de-skewed residual (hottest key = the rank-hotK+1 bigram)
     * takes the shuffled path. The bigram table is pre-joined with
     * cnt_w1 count-side (distinct-pair-sized rows, occurrence-free), so
-    * seen pairs never join the unigram table score-side at all. Cost:
-    * the score-pair explode is evaluated once per branch (3×) — CPU
-    * over the scan, cheap next to the skewed shuffle it removes.
+    * seen pairs never join the unigram table score-side at all.
+    * Evaluation counts (round-7): the count-side model tables are
+    * eagerly checkpointed (round 6 measured the un-checkpointed shape
+    * re-running the count explode per `uni` consumer, 4×), and the
+    * cold chain is a single branch — resolved rows ride the final w2
+    * join as salted passengers instead of forking — so the score
+    * explode runs exactly twice (hot + cold), down from 3×, with NO
+    * occurrence-volume materialization (A/B-measured as costing as
+    * much as the compute it saves).
     * `hotK = 0` restores the plain two-join shape (the audit path);
     * both paths are oracle-gated and the planted-skew test pins that
     * hot traffic never reaches a shuffle. An unseen-but-hot score pair
@@ -484,20 +490,39 @@ object TextOps {
               .otherwise(backoffLp(coalesce(col("cnt_w2"), lit(0L))))
               .as("lp"))
       } else {
+        // Evaluation-count contract (round-7): the count-side model
+        // tables are eagerly checkpointed — `uni` has four consumers
+        // (biStats, the hot slice, the residual join, totals) and
+        // `biStats` two, each of which would otherwise re-run the
+        // count-corpus tokenize+explode (round 6 measured 4×/2×). Both
+        // are distinct-key tables (vocabulary / distinct pairs), so the
+        // materialization is distributed and occurrence-free.
+        val uniC = uni.localCheckpoint(true)
+        val totalsC = uniC.agg(
+          sum("cnt_u").cast(DoubleType).as("__n"),
+          count(lit(1)).cast(DoubleType).as("__v"))
         // count-side: attach cnt_w1 to every bigram row (distinct-pair
         // volume, not occurrence volume) so seen pairs are complete
         val biStats = bi.join(
-          uni.select(col("w").as("w1"), col("cnt_u").as("cnt_w1")), Seq("w1"))
+          uniC.select(col("w").as("w1"), col("cnt_u").as("cnt_w1")), Seq("w1"))
+          .localCheckpoint(true)
         // hot slices: the top-hotK rows by count — deterministic
         // tiebreak, driver-bounded (hotK rows), broadcast
         val hotPairs = broadcast(
           biStats.orderBy(col("cnt_b").desc, col("w1"), col("w2")).limit(hotK)
             .withColumn("__hotb", lit(true)))
         val hotW2 = broadcast(
-          uni.orderBy(col("cnt_u").desc, col("w")).limit(hotK)
+          uniC.orderBy(col("cnt_u").desc, col("w")).limit(hotK)
             .select(col("w").as("w2"), col("cnt_u").as("__cnt_w2_hot"),
               lit(true).as("__hotu")))
-        // split 1: hot pairs score row-locally (ML branch is complete)
+        // split: hot pairs score row-locally (ML branch is complete);
+        // only the cold residual flows into the shuffled joins. The
+        // hot/cold fork re-evaluates the score explode once per side
+        // (2× total, down from round 6's 3×) — deliberately NOT
+        // materialized: the alternative stores occurrence-volume pairs
+        // on executor disk, which round-7 A/B measured as costing as
+        // much as the explode it saves, and at 100 TB the fork keeps
+        // "hot traffic never shuffles" exact.
         val s1 = sPairs.join(hotPairs, Seq("w1", "w2"), "left")
         val hotScored = s1.where(col("__hotb").isNotNull)
           .select(col(idCol), mlLp.as("lp"))
@@ -506,20 +531,31 @@ object TextOps {
         // residual (w1, w2) join is de-skewed: its hottest key is the
         // rank-hotK+1 bigram
         val c1 = cold.join(biStats, Seq("w1", "w2"), "left")
-        // split 2: unseen pairs with a hot backoff token resolve
-        // row-locally too; only cold-w2 rows shuffle against uni
+        // unseen pairs with a hot backoff token resolve row-locally too
         val c2 = c1.join(hotW2, Seq("w2"), "left")
-        val resolved = c2.where(col("cnt_b").isNotNull || col("__hotu").isNotNull)
-          .crossJoin(broadcast(totals))
+        // Single cold chain (round-7): rows already resolved (seen pair
+        // or hot backoff token) ride the final w2 join as PASSENGERS on
+        // a salted synthetic key instead of forking into a second
+        // branch that would re-run the whole cold subtree. The salt
+        // spreads them uniformly (no funnel) and cannot match a real
+        // token — it embeds a space, and `tokens` splits on \s+ — so
+        // passengers always miss and keep their already-computed
+        // score. Unresolved rows have a cold w2 BY DEFINITION (a hot
+        // w2 implies __hotu), so the join stays de-skewed.
+        val isResolved = col("cnt_b").isNotNull || col("__hotu").isNotNull
+        val c3 = c2.withColumn("__w2k",
+            when(isResolved,
+              concat(lit(" #"), hex(hash(col(idCol), col("w1"), col("w2")))))
+              .otherwise(col("w2")))
+          .join(uniC.select(col("w").as("__w2k"), col("cnt_u").as("cnt_w2")),
+            Seq("__w2k"), "left")
+          .crossJoin(broadcast(totalsC))
           .select(col(idCol),
             when(col("cnt_b").isNotNull, mlLp)
-              .otherwise(backoffLp(col("__cnt_w2_hot"))).as("lp"))
-        val residual = c2.where(col("cnt_b").isNull && col("__hotu").isNull)
-          .select(col(idCol), col("w2"))
-          .join(uni.select(col("w").as("w2"), col("cnt_u").as("cnt_w2")), Seq("w2"), "left")
-          .crossJoin(broadcast(totals))
-          .select(col(idCol), backoffLp(coalesce(col("cnt_w2"), lit(0L))).as("lp"))
-        hotScored.unionByName(resolved).unionByName(residual)
+              .when(col("__hotu").isNotNull, backoffLp(col("__cnt_w2_hot")))
+              .otherwise(backoffLp(coalesce(col("cnt_w2"), lit(0L))))
+              .as("lp"))
+        hotScored.unionByName(c3)
       }
     scoreDocs.select(col(idCol))
       .join(scored.groupBy(idCol).agg(avg("lp").as("bigram_logprob")), Seq(idCol), "left")
