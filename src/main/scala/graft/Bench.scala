@@ -18,12 +18,25 @@ package graft
   * the neighbors. `pass1_total` is also reported so cold-vs-warm drift
   * stays visible. Queries that fail in pass 1 are excluded from later
   * passes and recorded once.
+  *
+  * Variance floor (round-7): even at min-of-2 the round-over-round
+  * jitter on sub-second queries ran ±15%, muddying regression calls.
+  * Two remedies: passes now default to 3, and the output carries a
+  * per-query `spread` map — max−min over the WARM passes (2..N) — so
+  * a one-pass outlier is visible in the recorded JSON instead of
+  * silently shaping the minimum. A query whose spread rivals its min
+  * is jitter-bound; a regression call is only meaningful when the
+  * delta exceeds the spread.
+  *
+  * `SPARK_GRAFT_BENCH_ONLY` (comma-separated query names) restricts
+  * the run for A/B work on a single query without paying the full
+  * suite; the recorded driver run leaves it unset.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val spark = GraftSession
       .builder(appName = "graft-bench", master = s"local[$cpus]",
@@ -40,7 +53,14 @@ object Bench {
         .agg(sum(col("l_quantity"))).collect()
     } catch { case _: Throwable => () }
 
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    only.foreach { o =>
+      val missing = o -- ordered.map(_._1).toSet
+      require(missing.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${missing.mkString(",")}")
+    }
 
     def timeOne(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -59,10 +79,15 @@ object Bench {
     val errs = first.collect { case (n, _, Left(m)) => n -> m }
     var best = first.collect { case (n, _, Right(t)) => n -> t }.toMap
     val pass1Total = best.values.sum
+    // warm-pass samples per query (passes 2..N) — the spread over these
+    // is the jitter floor; pass 1 is excluded so cold-start cost can't
+    // masquerade as variance.
+    var warm = Map.empty[String, List[Double]].withDefaultValue(Nil)
     for (_ <- 2 to passes) {
       first.foreach {
         case (name, fn, Right(_)) =>
           timeOne(name, fn).foreach { t =>
+            warm = warm.updated(name, t :: warm(name))
             if (t < best(name)) best = best.updated(name, t)
           }
         case _ => ()
@@ -71,10 +96,15 @@ object Bench {
 
     val ok = first.collect { case (n, _, Right(_)) => n -> best(n) }
     val qs = ok.map { case (k, v) => s"${JsonOut.q(k)}:$v" }.mkString("{", ",", "}")
+    val sp = ok.map { case (k, _) =>
+      val w = warm(k)
+      val s = if (w.size >= 2) w.max - w.min else 0.0
+      s"${JsonOut.q(k)}:$s"
+    }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${JsonOut.q(k)}:${JsonOut.q(v.take(200))}" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"passes":$passes,"pass1_total":$pass1Total,"sf":${JsonOut.q(sfDir)}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"passes":$passes,"pass1_total":$pass1Total,"sf":${JsonOut.q(sfDir)}}""")
     spark.stop()
   }
 }
