@@ -1282,6 +1282,25 @@ object SparkEntry {
         .select(col("doc_id"), col("url_domain"))
         .orderBy("doc_id")
     }),
+    // Full publicsuffix.org semantics: raw rules incl. wildcard and
+    // exception rows expanded corpus-aware, then the same broadcast
+    // join ladder — the whole PSL path from file rows to domains.
+    "url_psl_expand" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(lit("https://"),
+            when(col("doc_id") % 3 === 0, lit("news.")).otherwise(lit("")),
+            col("source"), lit("."),
+            when(col("doc_id") % 2 === 0, lit("zz")).otherwise(lit("com")),
+            lit("/d/"), col("doc_id")).as("url"))
+      val rules = Seq("// test list", "com", "*.zz", "!src5.zz").toDF("rule")
+      val expanded = UrlOps.expandPslRules(rules, "rule",
+        docs.select(UrlOps.host(col("url")).as("h")), "h")
+      UrlOps.registrableDomainPsl(docs, "url", expanded, "suffix")
+        .select(col("doc_id"), col("url_domain"))
+        .orderBy("doc_id")
+    }),
     // Domain-level corpus accounting — the grouping shuffles only
     // (host, counters), never URLs or text.
     "url_host_stats" -> ((s, dir) => {
@@ -3109,6 +3128,44 @@ object SparkEntry {
         |  -- longest STRING is the longest-label match
         |  SELECT hosts.doc_id, arg_max(p.sfx, length(p.sfx)) AS m
         |  FROM hosts JOIN psl p ON hosts.h = p.sfx OR hosts.h LIKE '%.' || p.sfx
+        |  GROUP BY hosts.doc_id
+        |)
+        |SELECT h.doc_id,
+        |  CASE WHEN m.m IS NULL THEN regexp_extract(h.h, '([^.]+\.[^.]+)$', 1)
+        |       WHEN h.h = m.m THEN NULL
+        |       ELSE regexp_extract(left(h.h, length(h.h) - length(m.m) - 1),
+        |              '([^.]*)$', 1) || '.' || m.m
+        |  END AS url_domain
+        |FROM hosts h LEFT JOIN matched m ON h.doc_id = m.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
+    "url_psl_expand" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'news.' ELSE '' END ||
+        |    source || '.' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'zz' ELSE 'com' END
+        |      || '/d/' || doc_id AS url
+        |  FROM documents WHERE doc_id < 200
+        |), hosts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(regexp_replace(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+        |      '^[^@]*@', '', 'g'), ':[0-9]*$', '', 'g')) AS h
+        |  FROM docs
+        |), tails AS (
+        |  -- '*.zz' expansion: distinct observed 2-label tails under zz
+        |  SELECT DISTINCT regexp_extract(h, '([^.]+\.[^.]+)$', 1) AS sfx
+        |  FROM hosts
+        |  WHERE regexp_extract(h, '([^.]+\.[^.]+)$', 1) LIKE '%.zz'
+        |), suffixes AS (
+        |  SELECT 'com' AS sfx
+        |  UNION SELECT 'zz'  -- parent of the !src5.zz exception
+        |  UNION SELECT sfx FROM tails WHERE sfx <> 'src5.zz'
+        |), matched AS (
+        |  SELECT hosts.doc_id, arg_max(s.sfx, length(s.sfx)) AS m
+        |  FROM hosts JOIN suffixes s
+        |    ON hosts.h = s.sfx OR hosts.h LIKE '%.' || s.sfx
         |  GROUP BY hosts.doc_id
         |)
         |SELECT h.doc_id,

@@ -119,6 +119,85 @@ object UrlOps {
       .drop("__psl_host" +: depths.map(k => s"__sfx_$k"): _*)
   }
 
+  /** Expand raw publicsuffix.org rules — including wildcard (`*.ck`)
+    * and exception (`!www.ck`) rules — into the plain-suffix frame
+    * [[registrableDomainPsl]] consumes, so callers stop re-deriving
+    * the same one-time data step (and stop getting `*.ck` domains
+    * wrong when they skip it). Returns one column `suffix`.
+    *
+    * Rule grammar (publicsuffix.org/list spec): a rule is the first
+    * whitespace token of its line; `//` comments and blank lines are
+    * ignored. Semantics reproduced over plain longest-suffix matching:
+    *
+    *  - plain rules pass through (lowercased, trimmed);
+    *  - a wildcard `*.base` marks EVERY `<label>.base` as a public
+    *    suffix — unenumerable in the abstract, so the expansion is
+    *    corpus-aware: `hosts`/`hostCol` supplies the population, and
+    *    every distinct observed tail at the rule's depth becomes a
+    *    plain row (a tail unseen in the corpus can never match a
+    *    corpus host, so dropping it is lossless BY CONSTRUCTION —
+    *    re-expand when the corpus grows);
+    *  - an exception `!body` removes `body` from the suffix set (spec:
+    *    the exception prevails over any rule it punches through) and
+    *    adds its parent (`body` minus the leftmost label) as a plain
+    *    row, so `www.ck` registers as `www.ck` while `x.foo.ck` still
+    *    resolves under the `foo.ck` wildcard expansion.
+    *
+    * Malformed rules (an embedded `*` anywhere but a leading `*.`, or
+    * a single-label exception) fail loudly rather than silently
+    * mis-expanding.
+    *
+    * Scale shape: the rule list is bounded public data (~10k rows,
+    * ~a dozen wildcards) — classification and validation are
+    * driver-cheap; the corpus-side work is ONE distinct-tails pass per
+    * wildcard depth (the real list has two depths), each shuffling
+    * only (tail) strings, semi-joined against the broadcast wildcard
+    * bases. A one-time model-building step, same cost class as
+    * [[graft.operators.Dsir.fit]]. */
+  def expandPslRules(
+      rules: DataFrame, ruleCol: String,
+      hosts: DataFrame, hostCol: String): DataFrame = {
+    // first whitespace token of each line, comments/blanks dropped
+    val r = rules
+      .select(lower(element_at(split(trim(col(ruleCol)), "\\s+"), 1)).as("__r"))
+      .where(col("__r") =!= "" && !col("__r").startsWith("//"))
+    val malformed = r.where(
+      (col("__r").contains("*") && !(col("__r").startsWith("*.") &&
+        !expr("substring(__r, 3)").contains("*"))) ||
+        (col("__r").startsWith("!") && !col("__r").contains(".")))
+      .limit(1).collect()
+    require(malformed.isEmpty,
+      s"malformed PSL rule '${malformed.headOption.map(_.getString(0)).getOrElse("")}': " +
+        "only a leading '*.' wildcard and multi-label '!' exceptions are in the spec")
+    val plain = r.where(!col("__r").startsWith("*.") && !col("__r").startsWith("!"))
+      .select(col("__r").as("suffix"))
+    val exceptions = r.where(col("__r").startsWith("!"))
+      .select(expr("substring(__r, 2)").as("__body"))
+    // parent = the exception body minus its leftmost label
+    val parents = exceptions
+      .select(regexp_replace(col("__body"), "^[^.]+\\.", "").as("suffix"))
+    // wildcard bases grouped by rule depth (labels incl. the '*')
+    val wild = r.where(col("__r").startsWith("*."))
+      .select(expr("substring(__r, 3)").as("__base"),
+        (size(split(col("__r"), "\\."))).as("__d"))
+    val depths = wild.select("__d").distinct().collect().map(_.getInt(0))
+    val h = hosts.select(lower(trim(col(hostCol))).as("__h"))
+      .where(col("__h") =!= "")
+    val expanded = depths.map { d =>
+      h.where(size(split(col("__h"), "\\.")) >= d)
+        .select(substring_index(col("__h"), ".", -d).as("suffix"))
+        .distinct()
+        .join(broadcast(wild.where(col("__d") === d).select(col("__base"))),
+          substring_index(col("suffix"), ".", -(d - 1)) === col("__base"),
+          "leftsemi")
+    }
+    (plain +: parents +: expanded.toSeq)
+      .reduce(_ unionByName _)
+      .join(broadcast(exceptions),
+        col("suffix") === col("__body"), "leftanti")
+      .distinct()
+  }
+
   /** URL with tracking query parameters removed and separators
     * re-tidied. Three global regex passes (each RE2-safe):
     *   1. drop every RUN of `name=value&` pairs whose name is a

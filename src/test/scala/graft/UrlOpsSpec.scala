@@ -135,4 +135,62 @@ class UrlOpsSpec extends SparkSpec {
     // schemeless rows pass through untouched
     assert(one("not a url", UrlOps.canonicalize) == "not a url")
   }
+
+  test("expandPslRules: wildcard tails from the corpus, exception removed + parent added") {
+    val rules = Seq(
+      "// comment line", "", "  ", "com", "co.uk",
+      "*.ck", "!www.ck", "*.sch.uk  // trailing junk token")
+      .map(Tuple1(_)).toDF("rule")
+    val hosts = Seq(
+      "www.ck", "x.www.ck", "foo.ck", "a.b.foo.ck", "bar.ck",
+      "example.com", "x.alpha.sch.uk", "beta.sch.uk", "ck", "")
+      .map(Tuple1(_)).toDF("h")
+    val got = UrlOps.expandPslRules(rules, "rule", hosts, "h")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set(
+      "com", "co.uk",       // plain rules pass through
+      "ck",                 // parent of the !www.ck exception
+      "foo.ck", "bar.ck",   // *.ck expanded over observed 2-label tails
+      "alpha.sch.uk", "beta.sch.uk"), // *.sch.uk at depth 3
+      got.toString)
+    // the exception body itself must NOT be a suffix (www.ck tails are
+    // observed in the corpus, so only the anti-join removes them)
+    assert(!got.contains("www.ck"))
+  }
+
+  test("expandPslRules feeds registrableDomainPsl with full PSL semantics") {
+    val rules = Seq("com", "*.ck", "!www.ck", "*.sch.uk").map(Tuple1(_)).toDF("rule")
+    val docs = Seq(
+      (1L, "https://www.ck/"),           // exception → registers as www.ck
+      (2L, "https://x.www.ck/"),         // under the exception → www.ck
+      (3L, "https://a.b.foo.ck/"),       // wildcard suffix foo.ck → b.foo.ck
+      (4L, "https://foo.ck/"),           // host IS a wildcard suffix → null
+      (5L, "https://x.alpha.sch.uk/"),   // depth-3 wildcard → x.alpha.sch.uk
+      (6L, "https://beta.sch.uk/"))      // host IS the suffix → null
+      .toDF("id", "url")
+    val expanded = UrlOps.expandPslRules(
+      rules, "rule", docs.select(UrlOps.host(col("url")).as("h")), "h")
+    val got = UrlOps.registrableDomainPsl(docs, "url", expanded, "suffix")
+      .select("id", "url_domain").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "www.ck", got.toString)
+    assert(got(2L) == "www.ck", got.toString)
+    assert(got(3L) == "b.foo.ck", got.toString)
+    assert(got(4L) == null, got.toString)
+    assert(got(5L) == "x.alpha.sch.uk", got.toString)
+    assert(got(6L) == null, got.toString)
+  }
+
+  test("expandPslRules fails loudly on malformed rules") {
+    val hosts = Seq(Tuple1("a.com")).toDF("h")
+    assert(intercept[IllegalArgumentException] {
+      UrlOps.expandPslRules(Seq(Tuple1("a.*.b")).toDF("rule"), "rule", hosts, "h")
+    }.getMessage.contains("a.*.b"))
+    assert(intercept[IllegalArgumentException] {
+      UrlOps.expandPslRules(Seq(Tuple1("!ck")).toDF("rule"), "rule", hosts, "h")
+    }.getMessage.contains("!ck"))
+    assert(intercept[IllegalArgumentException] {
+      UrlOps.expandPslRules(Seq(Tuple1("*")).toDF("rule"), "rule", hosts, "h")
+    }.getMessage.contains("*"))
+  }
 }
