@@ -1838,6 +1838,27 @@ object SparkEntry {
           col("sumSamples").as("dec_sum"))
       f0.join(f1, "doc_id").orderBy("doc_id")
     }),
+    // The other two real-world WAV encodings: unsigned 8-bit PCM and
+    // G.711 mu-law — the oracle replays the floor-quantization and the
+    // full companding ladder per sample.
+    "multimodal_audio_codecs" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 300 + 50).cast("int").as("frames"),
+        (col("doc_id") % 2 + 1).cast("int").as("ch"),
+        lit(8000).as("rate"))
+      val f8 = Multimodal.extractAudioFeatures(
+          Multimodal.encodeWavFrame(spec, "doc_id", "frames", "ch", "rate",
+            codec = "pcm8")).toDF()
+        .select(col("mediaId").as("doc_id"), col("byteLen").as("p8_bytes"),
+          col("peakAbs").as("p8_peak"), col("sumSamples").as("p8_sum"))
+      val fu = Multimodal.extractAudioFeatures(
+          Multimodal.encodeWavFrame(spec, "doc_id", "frames", "ch", "rate",
+            codec = "mulaw")).toDF()
+        .select(col("mediaId").as("doc_id"), col("byteLen").as("mu_bytes"),
+          col("peakAbs").as("mu_peak"), col("sumSamples").as("mu_sum"))
+      f8.join(fu, "doc_id").orderBy("doc_id")
+    }),
     "multimodal_resize_png" -> ((s, dir) => {
       val dims = tbl(s, dir, "documents").select(
         col("doc_id"),
@@ -3778,6 +3799,48 @@ object SparkEntry {
         |JOIN full_stats fs ON fs.doc_id = s.doc_id
         |JOIN dec_stats ds ON ds.doc_id = s.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+    "multimodal_audio_codecs" ->
+      """WITH spec AS (
+        |  SELECT doc_id,
+        |    n_chars % 300 + 50 AS frames,
+        |    doc_id % 2 + 1 AS ch
+        |  FROM documents WHERE doc_id < 200
+        |), samples AS (
+        |  SELECT s.doc_id, s.frames, s.ch,
+        |    (s.doc_id * 7 + r.i * 13) % 65536 - 32768 AS v
+        |  FROM spec s CROSS JOIN range(0, 700) r(i)
+        |  WHERE r.i < s.frames * s.ch
+        |), comp AS (
+        |  -- mu-law compression ladder: bias, exponent by magnitude range
+        |  SELECT doc_id, frames, ch, v,
+        |    least(abs(v), 32635) + 132 AS mag
+        |  FROM samples
+        |), comp2 AS (
+        |  SELECT doc_id, frames, ch, v, mag,
+        |    CASE WHEN mag < 256 THEN 0 WHEN mag < 512 THEN 1
+        |         WHEN mag < 1024 THEN 2 WHEN mag < 2048 THEN 3
+        |         WHEN mag < 4096 THEN 4 WHEN mag < 8192 THEN 5
+        |         WHEN mag < 16384 THEN 6 ELSE 7 END AS e
+        |  FROM comp
+        |), q AS (
+        |  SELECT doc_id, frames, ch,
+        |    -- pcm8: sample floored to its 256-multiple
+        |    CAST(floor(v / 256.0) AS BIGINT) * 256 AS d8,
+        |    -- mu-law: decode(encode(v)) closed form
+        |    (CASE WHEN v < 0 THEN -1 ELSE 1 END) *
+        |      ((((mag >> (e + 3)) & 15) * 8 + 132) * (1 << e) - 132) AS du
+        |  FROM comp2
+        |)
+        |SELECT doc_id,
+        |  CAST(44 + frames * ch AS BIGINT) AS p8_bytes,
+        |  CAST(max(abs(d8)) AS INTEGER) AS p8_peak,
+        |  CAST(sum(d8) AS BIGINT) AS p8_sum,
+        |  CAST(44 + frames * ch AS BIGINT) AS mu_bytes,
+        |  CAST(max(abs(du)) AS INTEGER) AS mu_peak,
+        |  CAST(sum(du) AS BIGINT) AS mu_sum
+        |FROM q
+        |GROUP BY doc_id, frames, ch
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_jpeg" ->
       """WITH dims AS (
         |  SELECT doc_id,

@@ -285,16 +285,26 @@ object Multimodal {
 
   /** Distributed WAV encode of the deterministic [[WavCodec.signal]]
     * per (id, frames, channels, rate) row — the audio ingest shape;
-    * row-local, payloads never shuffle. Output: (media_id, data). */
+    * row-local, payloads never shuffle. `codec` picks the encoding:
+    * "pcm16" (default), "pcm8" (unsigned 8-bit), "mulaw" (G.711
+    * format 7). Output: (media_id, data). */
   def encodeWavFrame(spec: DataFrame, idCol: String, framesCol: String,
-      channelsCol: String, rateCol: String): DataFrame = {
+      channelsCol: String, rateCol: String,
+      codec: String = "pcm16"): DataFrame = {
+    val enc: WavCodec.Audio => Array[Byte] = codec match {
+      case "pcm16" => WavCodec.encode
+      case "pcm8"  => WavCodec.encodePcm8
+      case "mulaw" => WavCodec.encodeMuLaw
+      case other => throw new IllegalArgumentException(
+        s"unknown WAV codec '$other' (pcm16 | pcm8 | mulaw)")
+    }
     val spark = spec.sparkSession
     import spark.implicits._
     spec.select(col(idCol).cast("long"), col(framesCol).cast("int"),
         col(channelsCol).cast("int"), col(rateCol).cast("int"))
       .as[(Long, Int, Int, Int)]
       .mapPartitions(_.map { case (id, n, ch, rate) =>
-        (id, WavCodec.encode(WavCodec.signal(id, n, ch, rate)))
+        (id, enc(WavCodec.signal(id, n, ch, rate)))
       })
       .toDF("media_id", "data")
   }

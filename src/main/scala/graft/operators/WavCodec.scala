@@ -2,11 +2,14 @@ package graft.operators
 
 /** Minimal WAV (RIFF PCM) codec over the PUBLIC byte layout — the
   * audio analog of the BMP work: RIFF/WAVE chunk framing with a
-  * `fmt ` chunk (PCM format 1, 16-bit) and a `data` chunk of
-  * little-endian interleaved samples. Pure byte math, no audio
-  * library; compressed codecs (MP3/AAC/Opus — psychoacoustic
-  * transforms) stay honestly out of scope the way JPEG's DCT was
-  * before [[JpegCodec]], and fail loudly here.
+  * `fmt ` chunk and a `data` chunk of little-endian interleaved
+  * samples. Decodes 16-bit PCM (format 1), 8-bit unsigned PCM
+  * (format 1 — widened `(b−128)·256`), and G.711 µ-law (format 7 —
+  * the ITU-T closed-form expansion, the other common crawl-WAV
+  * encoding). Pure byte math, no audio library; genuinely compressed
+  * codecs (MP3/AAC/Opus — psychoacoustic transforms) stay honestly
+  * out of scope the way JPEG's DCT was before [[JpegCodec]], and fail
+  * loudly here.
   *
   * Everything is row-local payload work (used under `mapPartitions`
   * like the image kernels): parse/validate headers, exact integer
@@ -38,15 +41,45 @@ object WavCodec {
     bytes != null && bytes.length >= 12 &&
       tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE"
 
+  /** G.711 µ-law byte → linear 16-bit sample — the standard
+    * closed-form expansion (ITU-T G.711 Table 2a, the classic Sun/
+    * CCITT reference shape): complement, split sign/exponent/mantissa,
+    * `((m·8 + 0x84) << e) − 0x84`, max magnitude 32124. */
+  def ulawToLinear(u: Int): Int = {
+    val x = ~u & 0xff
+    val e = (x >> 4) & 7
+    val m = x & 0xf
+    val mag = (((m << 3) + 0x84) << e) - 0x84
+    if ((x & 0x80) != 0) -mag else mag
+  }
+
+  /** Linear 16-bit sample → G.711 µ-law byte (the matching
+    * compressor): clip to 32635, add the 0x84 bias, exponent = top-bit
+    * position of `biased >> 7`, complement. Decode→encode is the
+    * identity on every byte except 0x7f (negative zero collapses onto
+    * 0xff, the spec's own degeneracy). */
+  def linearToUlaw(s: Int): Int = {
+    val sign = if (s < 0) 0x80 else 0
+    var mag = if (s < 0) -s else s
+    if (mag > 32635) mag = 32635
+    mag += 0x84
+    var e = 7
+    while (e > 0 && (mag >> (e + 7)) == 0) e -= 1
+    val m = (mag >> (e + 3)) & 0xf
+    ~(sign | (e << 4) | m) & 0xff
+  }
+
   /** Full parse: walk the chunk list, read `fmt ` and `data`.
-    * Unsupported encodings (non-PCM format tags, non-16-bit) fail
-    * loudly rather than mis-read samples. */
+    * Supported encodings: PCM16, unsigned PCM8, µ-law — everything
+    * else (IEEE float, ADPCM, MP3-in-WAV, ...) fails loudly rather
+    * than mis-read samples. */
   def decode(bytes: Array[Byte]): Audio = {
     require(isWav(bytes), "not a RIFF/WAVE payload")
     var off = 12
     var channels = -1
     var rate = -1
     var bits = -1
+    var fmt = -1
     var data: Array[Short] = null
     while (off + 8 <= bytes.length) {
       val id = tag(bytes, off)
@@ -58,22 +91,43 @@ object WavCodec {
       id match {
         case "fmt " =>
           require(len >= 16, "fmt chunk too short")
-          val fmt = le16(bytes, off + 8)
-          require(fmt == 1, s"only PCM (format 1) supported, got $fmt")
+          fmt = le16(bytes, off + 8)
+          require(fmt == 1 || fmt == 7,
+            s"only PCM (format 1) and mu-law (format 7) supported, got $fmt")
           channels = le16(bytes, off + 10)
           rate = le32(bytes, off + 12)
           bits = le16(bytes, off + 22)
           require(channels >= 1 && channels <= 8, s"bad channel count $channels")
           require(rate > 0, s"bad sample rate $rate")
-          require(bits == 16, s"only 16-bit PCM supported, got $bits")
+          if (fmt == 1)
+            require(bits == 16 || bits == 8,
+              s"only 8/16-bit PCM supported, got $bits")
+          else
+            require(bits == 8, s"mu-law must be 8-bit, got $bits")
         case "data" =>
           require(channels > 0, "data chunk before fmt")
-          require(len % 2 == 0, "odd data length for 16-bit PCM")
-          data = new Array[Short](len / 2)
-          var i = 0
-          while (i < data.length) {
-            data(i) = le16(bytes, off + 8 + 2 * i).toShort
-            i += 1
+          if (fmt == 1 && bits == 16) {
+            require(len % 2 == 0, "odd data length for 16-bit PCM")
+            data = new Array[Short](len / 2)
+            var i = 0
+            while (i < data.length) {
+              data(i) = le16(bytes, off + 8 + 2 * i).toShort
+              i += 1
+            }
+          } else if (fmt == 1) { // unsigned 8-bit PCM, midpoint 128
+            data = new Array[Short](len)
+            var i = 0
+            while (i < data.length) {
+              data(i) = (((bytes(off + 8 + i) & 0xff) - 128) << 8).toShort
+              i += 1
+            }
+          } else { // mu-law
+            data = new Array[Short](len)
+            var i = 0
+            while (i < data.length) {
+              data(i) = ulawToLinear(bytes(off + 8 + i) & 0xff).toShort
+              i += 1
+            }
           }
         case _ => () // LIST/INFO/fact/... skipped
       }
@@ -89,7 +143,53 @@ object WavCodec {
     * form the SQL oracle recomputes). */
   def encode(a: Audio): Array[Byte] = {
     require(a.samples.length % a.channels == 0, "partial frame")
-    val dataLen = a.samples.length * 2
+    val out = header(a, fmtTag = 1, bits = 16)
+    var i = 0
+    while (i < a.samples.length) {
+      val v = a.samples(i) & 0xffff
+      out(44 + 2 * i) = (v & 0xff).toByte
+      out(44 + 2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Serialize as unsigned 8-bit PCM (quantize: high byte + 128) —
+    * canonical 44-byte header, size = `44 + samples`. Lossy by 8 bits;
+    * `decode(encodePcm8(a))` returns each sample floored to its
+    * 256-multiple, the closed form the SQL oracle replays. */
+  def encodePcm8(a: Audio): Array[Byte] = {
+    require(a.samples.length % a.channels == 0, "partial frame")
+    val out = header(a, fmtTag = 1, bits = 8)
+    var i = 0
+    while (i < a.samples.length) {
+      out(44 + i) = (((a.samples(i) >> 8) + 128) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Serialize as G.711 µ-law (format 7) — canonical 44-byte header
+    * (16-byte fmt chunk: our own decoder and common parsers accept it;
+    * the cbSize extension is optional for readers), size =
+    * `44 + samples`. `decode(encodeMuLaw(a))` returns each sample
+    * quantized through the µ-law companding ladder. */
+  def encodeMuLaw(a: Audio): Array[Byte] = {
+    require(a.samples.length % a.channels == 0, "partial frame")
+    val out = header(a, fmtTag = 7, bits = 8)
+    var i = 0
+    while (i < a.samples.length) {
+      out(44 + i) = linearToUlaw(a.samples(i).toInt).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Canonical 44-byte RIFF/fmt/data header for 1-byte-per-sample
+    * encodings (bits = 8) or PCM16 (bits = 16). */
+  private def header(a: Audio, fmtTag: Int, bits: Int): Array[Byte] = {
+    val bytesPer = bits / 8
+    val dataLen = a.samples.length * bytesPer
     val out = new Array[Byte](44 + dataLen)
     def putTag(off: Int, s: String): Unit =
       for (i <- 0 until 4) out(off + i) = s.charAt(i).toByte
@@ -101,17 +201,12 @@ object WavCodec {
     }
     putTag(0, "RIFF"); putLe32(4, 36 + dataLen); putTag(8, "WAVE")
     putTag(12, "fmt "); putLe32(16, 16)
-    putLe16(20, 1); putLe16(22, a.channels)
+    putLe16(20, fmtTag); putLe16(22, a.channels)
     putLe32(24, a.sampleRate)
-    putLe32(28, a.sampleRate * a.channels * 2) // byte rate
-    putLe16(32, a.channels * 2)                // block align
-    putLe16(34, 16)                            // bits per sample
+    putLe32(28, a.sampleRate * a.channels * bytesPer) // byte rate
+    putLe16(32, a.channels * bytesPer)                // block align
+    putLe16(34, bits)
     putTag(36, "data"); putLe32(40, dataLen)
-    var i = 0
-    while (i < a.samples.length) {
-      putLe16(44 + 2 * i, a.samples(i) & 0xffff)
-      i += 1
-    }
     out
   }
 

@@ -43,14 +43,84 @@ class WavCodecSpec extends SparkSpec {
 
   test("unsupported encodings fail loudly") {
     val bytes = WavCodec.encode(WavCodec.signal(1L, 4, 1, 4000))
-    val ulaw = bytes.clone(); ulaw(20) = 7 // format tag 7 = mu-law
-    assert(intercept[IllegalArgumentException] { WavCodec.decode(ulaw) }
+    val float32 = bytes.clone(); float32(20) = 3 // format tag 3 = IEEE float
+    assert(intercept[IllegalArgumentException] { WavCodec.decode(float32) }
       .getMessage.contains("PCM"))
-    val eightBit = bytes.clone(); eightBit(34) = 8
-    assert(intercept[IllegalArgumentException] { WavCodec.decode(eightBit) }
-      .getMessage.contains("16-bit"))
+    val wideUlaw = bytes.clone(); wideUlaw(20) = 7 // mu-law claims 16-bit
+    assert(intercept[IllegalArgumentException] { WavCodec.decode(wideUlaw) }
+      .getMessage.contains("mu-law"))
+    val bits24 = bytes.clone(); bits24(34) = 24
+    assert(intercept[IllegalArgumentException] { WavCodec.decode(bits24) }
+      .getMessage.contains("8/16-bit"))
     intercept[IllegalArgumentException] { WavCodec.decode(bytes.take(30)) }
     intercept[IllegalArgumentException] { WavCodec.decode("RIFFjunk".getBytes) }
+  }
+
+  test("mu-law companding: byte round-trip over all 256 codes; known anchors") {
+    // decode→encode is the identity on every byte except 0x7f: the
+    // spec's negative zero decodes to 0 and re-encodes as positive
+    // zero 0xff
+    for (b <- 0 until 256 if b != 0x7f)
+      assert(WavCodec.linearToUlaw(WavCodec.ulawToLinear(b)) == b, s"byte $b")
+    assert(WavCodec.ulawToLinear(0x7f) == 0)
+    assert(WavCodec.linearToUlaw(0) == 0xff)
+    // G.711 extremes: code 0x00 is the largest negative step
+    assert(WavCodec.ulawToLinear(0x00) == -32124)
+    assert(WavCodec.ulawToLinear(0x80) == 32124)
+    // clipping: anything past the ladder top lands on the extreme code
+    assert(WavCodec.linearToUlaw(32767) == 0x80)
+    assert(WavCodec.linearToUlaw(-32768) == 0x00)
+  }
+
+  test("encodePcm8 → decode floors samples to 256-multiples; size closed form") {
+    val a = WavCodec.signal(5L, frames = 60, channels = 2, sampleRate = 8000)
+    val bytes = WavCodec.encodePcm8(a)
+    assert(bytes.length == 44 + 60 * 2)
+    val back = WavCodec.decode(bytes)
+    assert(back.channels == 2 && back.sampleRate == 8000 && back.frames == 60)
+    for (i <- a.samples.indices)
+      assert(back.samples(i) == (a.samples(i) >> 8) << 8, s"sample $i")
+  }
+
+  test("encodeMuLaw → decode quantizes through the companding ladder; size closed form") {
+    val a = WavCodec.signal(6L, frames = 45, channels = 1, sampleRate = 8000)
+    val bytes = WavCodec.encodeMuLaw(a)
+    assert(bytes.length == 44 + 45)
+    val back = WavCodec.decode(bytes)
+    assert(back.channels == 1 && back.sampleRate == 8000 && back.frames == 45)
+    for (i <- a.samples.indices)
+      assert(back.samples(i) ==
+        WavCodec.ulawToLinear(WavCodec.linearToUlaw(a.samples(i).toInt)),
+        s"sample $i")
+    // quantization error is bounded by the ladder's largest step
+    for (i <- a.samples.indices)
+      assert(math.abs(back.samples(i) - a.samples(i)) <= 1024, s"sample $i")
+  }
+
+  test("distributed pcm8/mulaw encode → features, stats replayed from the formulas") {
+    val spec = Seq((1L, 40, 1, 8000), (2L, 33, 2, 16000)).toDF("id", "frames", "ch", "rate")
+    def sig(id: Long, n: Int) =
+      (0 until n).map(i => (((id * 7 + i.toLong * 13) % 65536) - 32768).toInt)
+    val f8 = Multimodal.extractAudioFeatures(
+      Multimodal.encodeWavFrame(spec, "id", "frames", "ch", "rate", codec = "pcm8"))
+      .collect().map(f => f.mediaId -> f).toMap
+    val fu = Multimodal.extractAudioFeatures(
+      Multimodal.encodeWavFrame(spec, "id", "frames", "ch", "rate", codec = "mulaw"))
+      .collect().map(f => f.mediaId -> f).toMap
+    for ((id, frames, ch, rate) <- Seq((1L, 40, 1, 8000), (2L, 33, 2, 16000))) {
+      val s = sig(id, frames * ch)
+      val d8 = s.map(v => (v >> 8) << 8)
+      val du = s.map(v => WavCodec.ulawToLinear(WavCodec.linearToUlaw(v)))
+      assert(f8(id).byteLen == 44L + frames * ch && f8(id).sampleRate == rate)
+      assert(f8(id).sumSamples == d8.map(_.toLong).sum, s"pcm8 id=$id")
+      assert(f8(id).peakAbs == d8.map(math.abs).max, s"pcm8 id=$id")
+      assert(fu(id).byteLen == 44L + frames * ch)
+      assert(fu(id).sumSamples == du.map(_.toLong).sum, s"mulaw id=$id")
+      assert(fu(id).peakAbs == du.map(math.abs).max, s"mulaw id=$id")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.encodeWavFrame(spec, "id", "frames", "ch", "rate", codec = "flac")
+    }
   }
 
   test("corrupt chunk length near 2^31 fails cleanly — no Int overflow past the check") {
