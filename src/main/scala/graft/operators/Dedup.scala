@@ -110,12 +110,32 @@ object Dedup {
     * native codegen'd pass over the bytes,
     * [[graft.functions.TextMinHashBands]] — no token array, no shingle
     * strings, no signature array; valid because minhash is
-    * duplicate-insensitive) → posexplode → ONE grouped shuffle on
-    * (band_idx, band_hash) → in-bucket pair expansion — never
-    * all-pairs, and the signature compute runs ONCE (a bucket
-    * self-join would run it per join side). `collect_list` not
-    * `collect_set`: a doc contributes each band index exactly once, so
-    * duplicates are impossible and set-dedup hashing is wasted work. */
+    * duplicate-insensitive) → collapse exact-duplicate texts →
+    * posexplode of ONE representative per distinct text → ONE grouped
+    * shuffle on (band_idx, band_hash) → in-bucket pair expansion —
+    * never all-pairs. `collect_list` not `collect_set`: a rep
+    * contributes each band index exactly once, so duplicates are
+    * impossible and set-dedup hashing is wasted work.
+    *
+    * Degenerate-class hardening (the [[hammingPairs]] contract): an
+    * exact-duplicate class of m rows lands in the SAME bucket in EVERY
+    * band, so banding raw rows would build 32 O(m) `collect_list`
+    * buffers and expand O(m²) pairs in single tasks. Instead rows
+    * collapse on the exact-text key `(xxhash64(text), length(text))`
+    * (the [[dedupLines]]-proven slim composite) in the same map-side
+    * pass that computes the signature — partial aggregation collapses
+    * local duplicates before the shuffle, and min-id-struct selection
+    * keeps the result deterministic. Identical-text pairs re-enter
+    * through a plain self-equi-join on the slim key (AQE-splittable,
+    * output-bound), cross-class pairs by joining the rep-level pair
+    * set back to members on each side. The hottest bucket is bounded
+    * by DISTINCT texts sharing a band hash, not corpus frequency, and
+    * the signature is still computed exactly once per row — duplicate
+    * classes band (and pay the explode for) one representative
+    * instead of m. A key collision (same 64-bit hash AND length over
+    * different text) would merge two classes — the same accepted
+    * profile as [[dedupLines]]; downstream exact-Jaccard verification
+    * in [[nearDupMinHash]] drops any sub-threshold artifact. */
   def lshCandidatePairs(
       docs: DataFrame,
       idCol: String,
@@ -125,20 +145,61 @@ object Dedup {
       shingleN: Int = 3,
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
-    docs
-      .select(
-        col(idCol),
-        posexplode(
-          graft.functions.TextMinHashBands.textMinhashBands(
-            col(textCol), shingleN, numHashes, bands, seed))
-          .as(Seq("band_idx", "band_hash")))
+    // heavy pass (signature) — consumed ONCE, by the collapse below
+    val sigs = docs.select(
+      xxhash64(col(textCol)).as("__tk"),
+      length(col(textCol)).as("__tl"),
+      col(idCol),
+      graft.functions.TextMinHashBands.textMinhashBands(
+        col(textCol), shingleN, numHashes, bands, seed).as("__bands"))
+    // one row per distinct text: min-id representative + its signature
+    // (identical texts carry identical signatures, so the struct-min is
+    // both deterministic and class-representative)
+    val classes = sigs
+      .groupBy("__tk", "__tl")
+      .agg(min(struct(col(idCol).as("__rep"), col("__bands").as("__bands"))).as("__m"))
+      .select(col("__tk"), col("__tl"),
+        col("__m.__rep").as("__rep"), col("__m.__bands").as("__bands"))
+    // light pass (no shingling) — the member roster, cheap per consumer
+    val mem = docs.select(
+      xxhash64(col(textCol)).as("__tk"),
+      length(col(textCol)).as("__tl"),
+      col(idCol))
+    val identical = mem.select(col("__tk"), col("__tl"), col(idCol).as("id_a"))
+      .join(mem.select(col("__tk"), col("__tl"), col(idCol).as("id_b")),
+        Seq("__tk", "__tl"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val repPairs = classes
+      .select(col("__rep"),
+        posexplode(col("__bands")).as(Seq("band_idx", "band_hash")))
+      .where(col("band_hash").isNotNull)
       .groupBy("band_idx", "band_hash")
-      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .agg(array_sort(collect_list(col("__rep"))).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(inBucketPairs(col("ids"))((a, b) =>
-        struct(a.as("id_a"), b.as("id_b")))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+        struct(a.as("__ra"), b.as("__rb")))).as("p"))
+      .select(col("p.__ra"), col("p.__rb"))
       .distinct()
+    // a representative IS a member, so its class key comes from the
+    // LIGHT mem pass — `classes` (the heavy signature subtree) stays
+    // single-consumer and the signature is never re-evaluated
+    val cross = repPairs
+      .join(mem.select(col(idCol).as("__ra"),
+        col("__tk").as("__tka"), col("__tl").as("__tla")), "__ra")
+      .join(mem.select(col(idCol).as("__rb"),
+        col("__tk").as("__tkb"), col("__tl").as("__tlb")), "__rb")
+      .join(mem.select(col("__tk").as("__tka"), col("__tl").as("__tla"),
+        col(idCol).as("__ia")), Seq("__tka", "__tla"))
+      .join(mem.select(col("__tk").as("__tkb"), col("__tl").as("__tlb"),
+        col(idCol).as("__ib")), Seq("__tkb", "__tlb"))
+      .select(
+        least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"))
+    // tiers are disjoint (identical = same class, cross = different
+    // classes) and each id belongs to exactly one class, so no id-level
+    // distinct is needed beyond the rep-level one above.
+    identical.unionAll(cross)
   }
 
   /** Exact word-shingle Jaccard between two shingle-array columns. */

@@ -430,6 +430,56 @@ class DedupSpec extends SparkSpec {
     assert(prodMax < 512 * 1024, s"per-task shuffle input $prodMax B not bounded")
   }
 
+  test("lshCandidatePairs: a degenerate exact-duplicate text class stays bounded per task") {
+    // The boilerplate shape: 2000 rows carry ONE text (plus a 90%-
+    // overlapping near-dup and a far 100-row class). Banding raw rows
+    // would put all 2000 ids into the same bucket in EVERY band — 32
+    // O(m) collect_list buffers and O(m²) in-place pair expansions;
+    // the collapsed plan bands one representative per distinct text.
+    val textA = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val nearA = (1 to 19).map(i => s"tok$i").mkString(" ") + " tokX"
+    val textB = (1 to 20).map(i => s"other$i").mkString(" ")
+    val m = 2000L
+    val df = spark.range(m).selectExpr("id", s"'$textA' AS text")
+      .unionAll(spark.range(1).selectExpr(s"id + $m AS id", s"'$nearA' AS text"))
+      .unionAll(spark.range(100).selectExpr(s"id + ${m + 10} AS id", s"'$textB' AS text"))
+      .toDF()
+    val pairs = Dedup.lshCandidatePairs(df, "id", "text")
+    // count through ONE executed frame so the partition-bytes probe
+    // reads the very plan that ran (a bare .count() builds its own
+    // QueryExecution and leaves `pairs`' stages unexecuted)
+    val counted = pairs.groupBy()
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("id_b") === m, 1L).otherwise(0L)).as("n_near"),
+        sum(when(col("id_a") < m + 1 && col("id_b") >= m + 10, 1L)
+          .otherwise(0L)).as("n_contam"))
+    val row = counted.collect()(0)
+    // full clique of the duplicate class + the far clique + one
+    // near-dup rep pair expanded to every member of the class
+    assert(row.getLong(0) == m * (m - 1) / 2 + 100L * 99 / 2 + m,
+      s"expected exact tiers, got ${row.getLong(0)}")
+    // the near-dup reaches the class through the banding tier
+    assert(row.getLong(1) == m)
+    // no cross-class contamination with the far class
+    assert(row.getLong(2) == 0L)
+    val prodMax = maxShuffleBytes(counted).map(_._2).max
+    // Contrast: the pre-hardening shape — banding RAW rows — measured
+    // by the same executed-partition-bytes probe.
+    val oldShape = df
+      .select(col("id"),
+        posexplode(graft.functions.TextMinHashBands.textMinhashBands(
+          col("text"), 3, 128, 32, 42L)).as(Seq("band_idx", "band_hash")))
+      .groupBy("band_idx", "band_hash")
+      .agg(collect_list(col("id")).as("ids"))
+      .select(col("band_idx"), size(col("ids")).as("n"))
+    oldShape.collect()
+    val contrastMax = maxShuffleBytes(oldShape).map(_._2).max
+    assert(prodMax * 4 < contrastMax,
+      s"collapsed plan max partition $prodMax B should be far under raw-banding $contrastMax B")
+    assert(prodMax < 512 * 1024, s"per-task shuffle input $prodMax B not bounded")
+  }
+
   test("dropNearDuplicatesBy keeps the best-scoring member; ties go to min id") {
     val d = Seq(
       (1L, "a", 10.0), (2L, "a2", 50.0), (3L, "a3", 50.0), // cluster {1,2,3}

@@ -389,6 +389,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("minhash LSH: bands one representative per DISTINCT text — no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    val df = SparkEntry.queries("dedup_minhash_lsh")(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(nodes(p, "CartesianProduct") == 0 &&
+      nodes(p, "BroadcastNestedLoopJoin") == 0, p)
+    // the band posexplode must sit over the exact-text-class collapse
+    // (group = (xxhash64, length), one struct-min aggregate) — the
+    // round-7 degenerate-class hardening: a boilerplate class of m
+    // identical texts bands ONE representative, never m rows
+    val bandGens = df.queryExecution.optimizedPlan.collect {
+      case g: Generate if g.generatorOutput.exists(_.name == "band_idx") => g
+    }
+    assert(bandGens.nonEmpty, "no band Generate in the plan")
+    for (g <- bandGens) {
+      val collapse = g.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.size == 2 => a
+      }
+      assert(collapse.nonEmpty,
+        "band Generate not fed by the exact-text-class collapse")
+    }
+  }
+
   test("broadcast join query does broadcast; big join stays shuffle") {
     assert(plan("join_broadcast").contains("BroadcastHashJoin"))
     // join_big must not HINT a broadcast: disable the size-based
