@@ -1665,6 +1665,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // GIF tier: real indexed GIF89a payloads (every third one
+    // interlaced) decode through the hand-written LZW codec into the
+    // same cross-format hash space; the oracle replays each sampled
+    // gray pixel from the gradient formula and reassembles both hash
+    // halves — any LZW/palette/interlace divergence hash-mismatches.
+    "multimodal_gif" -> ((s, dir) => {
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 64 + 1).cast("int").as("w"),
+        (col("doc_id") % 48 + 1).cast("int").as("h"))
+      val media = Multimodal.encodeGifFrame(dims, "doc_id", "w", "h",
+        interlaceEvery = 3)
+      Multimodal.aHashAnyFrame(media)
+        .select(col("media_id").as("doc_id"),
+          col("ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"))
+        .orderBy("doc_id")
+    }),
+
     // The full IMAGE near-dup pipeline: real BMP payloads → perceptual
     // aHash → generic hamming banding (maxHamming 2 → FULL recall by
     // pigeonhole). The oracle replays the hashes pixel-by-pixel and
@@ -3696,6 +3715,36 @@ object SparkEntry {
     // 4-byte-padded 24bpp rows — the same public BMP layout the Scala
     // encoder/resizer implement.
     "multimodal_ahash" -> aHashOracle,
+    // Sampled rows follow aHashRaster's bottom-up convention over the
+    // top-down GIF raster: visual row = h - 1 - (i//8)*h//8; gray
+    // pixels make luma 3x the palette index.
+    "multimodal_gif" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars % 64 + 1 AS BIGINT) AS w,
+        |    CAST(doc_id % 48 + 1 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id < 200
+        |), px AS (
+        |  SELECT doc_id, i,
+        |    3 * ((doc_id + sx * 7 + sy * 13) % 256) AS lum
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(range(0, 64)) AS i,
+        |      unnest(list_transform(range(0, 64), j -> (j % 8) * w // 8)) AS sx,
+        |      unnest(list_transform(range(0, 64), j -> h - 1 - (j // 8) * h // 8)) AS sy
+        |    FROM d)
+        |), tot AS (
+        |  SELECT doc_id, i, lum,
+        |    sum(lum) OVER (PARTITION BY doc_id) AS s
+        |  FROM px
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN i < 32 AND 64 * lum > s
+        |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |  CAST(sum(CASE WHEN i >= 32 AND 64 * lum > s
+        |    THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi
+        |FROM tot GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "multimodal_image_dedup" ->
       s"""$aHashCte
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

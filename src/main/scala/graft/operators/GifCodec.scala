@@ -1,0 +1,311 @@
+package graft.operators
+
+/** Minimal GIF (87a/89a) codec over the PUBLIC byte layout — the
+  * fourth and last of the big web image formats after BMP, PNG and
+  * JPEG (reference: multimodal decode intent, core.py:9-778; format:
+  * the CompuServe GIF89a specification, 1990). Pure byte math, no
+  * image library.
+  *
+  * Decode (first frame): logical-screen descriptor, global/local color
+  * tables, full variable-width LZW (9→12-bit code growth, clear codes,
+  * deferred clear, end-of-information), 4-pass interlace, frames
+  * blitted onto a background-filled canvas at their (left, top)
+  * offset. Animation beyond the first frame and transparency
+  * compositing are out of scope for the curation contract — features
+  * and perceptual hashes want the first frame's pixel colors, not an
+  * animation player; later frames are simply not read.
+  *
+  * Encode: a deterministic 256-gray indexed gradient (pixel index =
+  * `(id + x·7 + y·13) mod 256`) written with literal-code LZW — a
+  * clear code re-emitted every 250 literals keeps the decoder's
+  * dictionary under 2⁹, so the 9-bit code width never grows. That is
+  * a spec-valid stream any GIF reader decodes (the JpegCodecSpec-style
+  * ImageIO cross-oracle proves it), with a closed-form byte size unit
+  * tests replay.
+  */
+object GifCodec {
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** True iff the payload starts with a GIF87a/GIF89a signature. */
+  def isGif(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 13 &&
+      bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
+
+  /** Logical-screen (width, height) from the header, or null. */
+  def parseDimsGif(bytes: Array[Byte]): (Int, Int) =
+    if (!isGif(bytes)) null else (le16(bytes, 6), le16(bytes, 8))
+
+  /** Decode the FIRST image frame onto the logical screen as a 24bpp
+    * [[PngCodec.Raster]]. Malformed, truncated or LZW-corrupt payloads
+    * fail loudly ([[IllegalArgumentException]]). */
+  def decode(bytes: Array[Byte]): PngCodec.Raster = {
+    require(isGif(bytes), "not a GIF payload")
+    val w = le16(bytes, 6)
+    val h = le16(bytes, 8)
+    require(w > 0 && h > 0, s"bad logical screen ${w}x$h")
+    val packed = bytes(10) & 0xff
+    val bgIdx = bytes(11) & 0xff
+    var off = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 3 * (1 << ((packed & 7) + 1))
+      require(off + n <= bytes.length, "truncated global color table")
+      gct = java.util.Arrays.copyOfRange(bytes, off, off + n)
+      off += n
+    }
+    val px = new Array[Byte](w * h * 3)
+    // canvas = background color (or black when no table defines it)
+    if (gct != null && bgIdx * 3 + 2 < gct.length) {
+      var i = 0
+      while (i < w * h) {
+        px(i * 3) = gct(bgIdx * 3); px(i * 3 + 1) = gct(bgIdx * 3 + 1)
+        px(i * 3 + 2) = gct(bgIdx * 3 + 2)
+        i += 1
+      }
+    }
+    while (off < bytes.length) {
+      (bytes(off) & 0xff) match {
+        case 0x3b => // trailer — no frame seen
+          throw new IllegalArgumentException("GIF contains no image frame")
+        case 0x21 => // extension: label + length-prefixed sub-blocks
+          require(off + 2 < bytes.length, "truncated extension")
+          off += 2
+          while ({
+            require(off < bytes.length, "truncated extension sub-block")
+            val len = bytes(off) & 0xff
+            require(off + 1 + len <= bytes.length, "truncated extension sub-block")
+            off += 1 + len
+            len != 0
+          }) ()
+        case 0x2c =>
+          val left = le16(bytes, off + 1)
+          val top = le16(bytes, off + 3)
+          val iw = le16(bytes, off + 5)
+          val ih = le16(bytes, off + 7)
+          val ip = bytes(off + 9) & 0xff
+          require(iw > 0 && ih > 0 && left + iw <= w && top + ih <= h,
+            s"frame ${iw}x$ih@($left,$top) outside ${w}x$h screen")
+          off += 10
+          var pal = gct
+          if ((ip & 0x80) != 0) {
+            val n = 3 * (1 << ((ip & 7) + 1))
+            require(off + n <= bytes.length, "truncated local color table")
+            pal = java.util.Arrays.copyOfRange(bytes, off, off + n)
+            off += n
+          }
+          require(pal != null, "frame has no color table")
+          val interlaced = (ip & 0x40) != 0
+          require(off < bytes.length, "missing LZW minimum code size")
+          val minCode = bytes(off) & 0xff
+          require(minCode >= 2 && minCode <= 8, s"bad LZW min code size $minCode")
+          off += 1
+          // concatenate the data sub-blocks
+          val buf = new java.io.ByteArrayOutputStream()
+          while ({
+            require(off < bytes.length, "truncated image data")
+            val len = bytes(off) & 0xff
+            require(off + 1 + len <= bytes.length, "truncated image data sub-block")
+            buf.write(bytes, off + 1, len)
+            off += 1 + len
+            len != 0
+          }) ()
+          val indices = lzwDecode(buf.toByteArray, minCode, iw * ih)
+          // blit (de-interlacing row order if flagged)
+          val rowOrder: Array[Int] =
+            if (!interlaced) Array.tabulate(ih)(identity)
+            else {
+              val order = new Array[Int](ih)
+              var k = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                   y <- start until ih by step) { order(k) = y; k += 1 }
+              order
+            }
+          var r = 0
+          while (r < ih) {
+            val y = top + rowOrder(r)
+            var x = 0
+            while (x < iw) {
+              val idx = indices(r * iw + x) & 0xff
+              require(idx * 3 + 2 < pal.length, s"palette index $idx out of range")
+              val o = ((y * w) + left + x) * 3
+              px(o) = pal(idx * 3); px(o + 1) = pal(idx * 3 + 1)
+              px(o + 2) = pal(idx * 3 + 2)
+              x += 1
+            }
+            r += 1
+          }
+          return PngCodec.Raster(w, h, 3, px)
+        case other =>
+          throw new IllegalArgumentException(f"unknown GIF block 0x$other%02x")
+      }
+    }
+    throw new IllegalArgumentException("GIF ended without trailer or frame")
+  }
+
+  /** GIF-variant LZW decode: codes packed LSB-first, width starts at
+    * `minCode + 1` and grows to 12 bits as the dictionary fills, clear
+    * code resets it. Emits exactly `nPixels` palette indices (streams
+    * with trailing garbage after the pixel budget are tolerated — real
+    * encoders pad the last code word). */
+  private def lzwDecode(data: Array[Byte], minCode: Int, nPixels: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val out = new Array[Byte](nPixels)
+    var emitted = 0
+    // dictionary: prefix link + final suffix byte per code
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var next = end + 1
+    var codeSize = minCode + 1
+    var prev = -1
+    var acc = 0L
+    var nBits = 0
+    var pos = 0
+    val stack = new Array[Byte](4096)
+    def emitCode(code: Int): Unit = {
+      var sp = 0
+      var c = code
+      while (c >= clear) { // walk the chain down to its root literal
+        require(sp < stack.length && c < next, s"corrupt LZW code $c")
+        stack(sp) = suffix(c); sp += 1
+        c = prefix(c)
+      }
+      require(c < clear, s"corrupt LZW literal $c")
+      if (emitted < nPixels) { out(emitted) = c.toByte; emitted += 1 }
+      while (sp > 0 && emitted < nPixels) {
+        sp -= 1; out(emitted) = stack(sp); emitted += 1
+      }
+    }
+    def firstByteOf(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    while (emitted < nPixels) {
+      while (nBits < codeSize) {
+        require(pos < data.length, "LZW data exhausted before pixel budget")
+        acc |= (data(pos) & 0xffL) << nBits
+        nBits += 8
+        pos += 1
+      }
+      val code = (acc & ((1 << codeSize) - 1)).toInt
+      acc >>>= codeSize
+      nBits -= codeSize
+      if (code == clear) {
+        next = end + 1; codeSize = minCode + 1; prev = -1
+      } else if (code == end) {
+        require(emitted == nPixels,
+          s"LZW ended at $emitted of $nPixels pixels")
+      } else if (prev < 0) {
+        require(code < clear, s"first code after clear must be literal, got $code")
+        emitCode(code)
+        prev = code
+      } else {
+        require(code < next || code == next && next < 4096, s"LZW code $code out of range")
+        if (code < next) {
+          emitCode(code)
+          if (next < 4096) {
+            prefix(next) = prev; suffix(next) = firstByteOf(code).toByte
+            next += 1
+          }
+        } else { // the KwKwK case: code == next
+          prefix(next) = prev; suffix(next) = firstByteOf(prev).toByte
+          next += 1
+          emitCode(code)
+        }
+        if (next >= (1 << codeSize) && codeSize < 12) codeSize += 1
+        prev = code
+      }
+    }
+    out
+  }
+
+  /** How many literals per group the gradient encoder emits between
+    * clear codes: keeps the decoder's dictionary under 2⁹ so the code
+    * width stays 9 bits (258 + 249 new entries < 511). */
+  private val GroupSize = 250
+
+  /** Closed-form byte size of [[encodeGradient]] output — the oracle
+    * contract, mirroring WAV/BMP. */
+  def gradientByteSize(w: Int, h: Int): Int = {
+    val n = w * h
+    val codes = n + (n + GroupSize - 1) / GroupSize + 1 // literals + clears + end
+    val dataBytes = (9 * codes + 7) / 8
+    val subBlocks = (dataBytes + 254) / 255
+    6 + 7 + 768 + 10 + 1 + dataBytes + subBlocks + 1 + 1
+  }
+
+  /** Deterministic 256-gray indexed GIF89a: pixel index
+    * `(id + x·7 + y·13) mod 256`, literal-code LZW (spec-valid, fixed
+    * 9-bit width — see object doc). `interlaced` stores rows in the
+    * 4-pass order with the flag set, exercising the decoder's
+    * de-interlace path on byte-identical visual content. */
+  def encodeGradient(id: Long, w: Int, h: Int,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream(gradientByteSize(w, h))
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0xf7) // GCT present, 256 entries, 8-bit color resolution
+    out.write(0)    // background index
+    out.write(0)    // square pixels
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2c) // image descriptor at (0,0), full screen
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(if (interlaced) 0x40 else 0x00)
+    out.write(8) // LZW minimum code size
+    // 9-bit codes, LSB-first; clear every GroupSize literals
+    val data = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nBits = 0
+    def putCode(c: Int): Unit = {
+      acc |= (c.toLong & 0x1ff) << nBits
+      nBits += 9
+      while (nBits >= 8) {
+        data.write((acc & 0xff).toInt); acc >>>= 8; nBits -= 8
+      }
+    }
+    val rowOrder: Array[Int] =
+      if (!interlaced) Array.tabulate(h)(identity)
+      else {
+        val order = new Array[Int](h)
+        var k = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+             y <- start until h by step) { order(k) = y; k += 1 }
+        order
+      }
+    var emitted = 0
+    var r = 0
+    while (r < h) {
+      val y = rowOrder(r)
+      var x = 0
+      while (x < w) {
+        if (emitted % GroupSize == 0) putCode(256) // clear
+        putCode(((id + x * 7L + y * 13L) % 256).toInt)
+        emitted += 1
+        x += 1
+      }
+      r += 1
+    }
+    putCode(257) // end of information
+    if (nBits > 0) data.write((acc & 0xff).toInt)
+    val d = data.toByteArray
+    var offD = 0
+    while (offD < d.length) {
+      val len = math.min(255, d.length - offD)
+      out.write(len)
+      out.write(d, offD, len)
+      offD += len
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+}

@@ -71,6 +71,10 @@ object Multimodal {
       val wh = JpegCodec.parseDimsJpeg(bytes)
       if (wh != null) return ("jpeg", wh._1, wh._2)
     }
+    if (GifCodec.isGif(bytes)) {
+      val wh = GifCodec.parseDimsGif(bytes)
+      if (wh != null) return ("gif", wh._1, wh._2)
+    }
     ("unknown", 0, 0)
   }
 
@@ -234,6 +238,9 @@ object Multimodal {
         catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
       case "jpeg" =>
         try aHashRaster(JpegCodec.decode(bytes))
+        catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
+      case "gif" =>
+        try aHashRaster(GifCodec.decode(bytes))
         catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
       case _ => null
     }
@@ -495,6 +502,25 @@ object Multimodal {
       .as[(Long, Int, Int)]
       .mapPartitions(_.map { case (id, w, h) =>
         (id, PngCodec.encode(PngCodec.gradient(id, w, h)))
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Encode one real GIF89a per (id, width, height) row — the
+    * deterministic indexed-gray [[GifCodec.encodeGradient]]; same
+    * ingest shape as [[encodeBmpFrame]] (row-local, payloads never
+    * shuffle). Alternating rows are written interlaced when
+    * `interlaceEvery > 0` (id %% interlaceEvery == 0), so a mixed
+    * corpus exercises both entropy layouts. */
+  def encodeGifFrame(dims: DataFrame, idCol: String, wCol: String,
+      hCol: String, interlaceEvery: Int = 0): DataFrame = {
+    val spark = dims.sparkSession
+    import spark.implicits._
+    dims.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        val il = interlaceEvery > 0 && id % interlaceEvery == 0
+        (id, GifCodec.encodeGradient(id, w, h, interlaced = il))
       })
       .toDF("media_id", "data")
   }
