@@ -1684,6 +1684,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // GIF resize: decode → NN resample → re-index → re-encode; the
+    // oracle recomputes the resized dims AND the literal-LZW closed-
+    // form byte size (codes → bits → sub-blocks) per image.
+    "multimodal_resize_gif" -> ((s, dir) => {
+      val dims = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        (col("n_chars") % 64 + 1).cast("int").as("w"),
+        (col("doc_id") % 48 + 1).cast("int").as("h"))
+      val media = Multimodal.encodeGifFrame(dims, "doc_id", "w", "h",
+        interlaceEvery = 3)
+      val resized = Multimodal.resizeGifFrame(media, 50)
+      Multimodal.extractFeatures(resized).toDF()
+        .agg(
+          count(lit(1)).as("n"),
+          sum("width").as("sum_w"),
+          sum("height").as("sum_h"),
+          sum("byteLen").as("total_bytes"),
+          sum(when(col("format") === "gif", 1L).otherwise(0L)).as("n_gif"))
+    }),
+
     // The full IMAGE near-dup pipeline: real BMP payloads → perceptual
     // aHash → generic hamming banding (maxHamming 2 → FULL recall by
     // pigeonhole). The oracle replays the hashes pixel-by-pixel and
@@ -3715,6 +3735,28 @@ object SparkEntry {
     // 4-byte-padded 24bpp rows — the same public BMP layout the Scala
     // encoder/resizer implement.
     "multimodal_ahash" -> aHashOracle,
+    "multimodal_resize_gif" ->
+      """WITH dims AS (
+        |  SELECT
+        |    greatest(1, (n_chars % 64 + 1) * 50 // 100) AS rw,
+        |    greatest(1, (doc_id % 48 + 1) * 50 // 100) AS rh
+        |  FROM documents
+        |), sized AS (
+        |  SELECT rw, rh,
+        |    rw * rh AS n,
+        |    rw * rh + (rw * rh + 249) // 250 + 1 AS codes
+        |  FROM dims
+        |), bytes AS (
+        |  SELECT rw, rh,
+        |    (9 * codes + 7) // 8 AS db
+        |  FROM sized
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(rw) AS BIGINT) AS sum_w,
+        |  CAST(sum(rh) AS BIGINT) AS sum_h,
+        |  CAST(sum(794 + db + (db + 254) // 255) AS BIGINT) AS total_bytes,
+        |  CAST(count(*) AS BIGINT) AS n_gif
+        |FROM bytes""".stripMargin,
     // Sampled rows follow aHashRaster's bottom-up convention over the
     // top-down GIF raster: visual row = h - 1 - (i//8)*h//8; gray
     // pixels make luma 3x the palette index.

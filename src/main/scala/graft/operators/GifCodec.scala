@@ -81,6 +81,10 @@ object GifCodec {
             len != 0
           }) ()
         case 0x2c =>
+          // the 10-byte descriptor must fit BEFORE any field read — a
+          // truncated payload in a mixed crawl corpus must fail the
+          // require, not throw ArrayIndexOutOfBounds mid-read
+          require(off + 10 <= bytes.length, "truncated image descriptor")
           val left = le16(bytes, off + 1)
           val top = le16(bytes, off + 3)
           val iw = le16(bytes, off + 5)
@@ -238,13 +242,12 @@ object GifCodec {
     6 + 7 + 768 + 10 + 1 + dataBytes + subBlocks + 1 + 1
   }
 
-  /** Deterministic 256-gray indexed GIF89a: pixel index
-    * `(id + x·7 + y·13) mod 256`, literal-code LZW (spec-valid, fixed
-    * 9-bit width — see object doc). `interlaced` stores rows in the
-    * 4-pass order with the flag set, exercising the decoder's
-    * de-interlace path on byte-identical visual content. */
-  def encodeGradient(id: Long, w: Int, h: Int,
-      interlaced: Boolean = false): Array[Byte] = {
+  /** Shared writer: a 256-entry global palette + one full-screen frame
+    * of 8-bit indices in literal-code LZW (fixed 9-bit width, clear
+    * every [[GroupSize]] literals — see object doc). Byte size is
+    * [[gradientByteSize]] regardless of content. */
+  private def writeGif(pal768: Array[Byte], indexAt: (Int, Int) => Int,
+      w: Int, h: Int, interlaced: Boolean): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
     val out = new java.io.ByteArrayOutputStream(gradientByteSize(w, h))
     out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
@@ -253,8 +256,7 @@ object GifCodec {
     out.write(0xf7) // GCT present, 256 entries, 8-bit color resolution
     out.write(0)    // background index
     out.write(0)    // square pixels
-    var i = 0
-    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(pal768, 0, 768)
     out.write(0x2c) // image descriptor at (0,0), full screen
     out.write(0); out.write(0); out.write(0); out.write(0)
     out.write(w & 0xff); out.write(w >> 8)
@@ -288,7 +290,7 @@ object GifCodec {
       var x = 0
       while (x < w) {
         if (emitted % GroupSize == 0) putCode(256) // clear
-        putCode(((id + x * 7L + y * 13L) % 256).toInt)
+        putCode(indexAt(x, y) & 0xff)
         emitted += 1
         x += 1
       }
@@ -308,4 +310,62 @@ object GifCodec {
     out.write(0x3b) // trailer
     out.toByteArray
   }
+
+  /** Deterministic 256-gray indexed GIF89a: pixel index
+    * `(id + x·7 + y·13) mod 256`. `interlaced` stores rows in the
+    * 4-pass order with the flag set, exercising the decoder's
+    * de-interlace path on byte-identical visual content. */
+  def encodeGradient(id: Long, w: Int, h: Int,
+      interlaced: Boolean = false): Array[Byte] = {
+    val pal = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      pal(i * 3) = i.toByte; pal(i * 3 + 1) = i.toByte; pal(i * 3 + 2) = i.toByte
+      i += 1
+    }
+    writeGif(pal, (x, y) => ((id + x * 7L + y * 13L) % 256).toInt,
+      w, h, interlaced)
+  }
+
+  /** Serialize an arbitrary ≤256-color raster as an indexed GIF89a
+    * (palette built from the distinct colors in first-seen order,
+    * padded to 256 entries; alpha ignored). More than 256 distinct
+    * colors fails loudly — GIF is indexed color by definition; richer
+    * rasters belong in PNG. */
+  def encodeIndexed(img: PngCodec.Raster): Array[Byte] = {
+    val ch = img.channels
+    require(ch >= 3, s"need RGB(A) raster, got $ch channels")
+    val colorToIdx = new java.util.HashMap[Integer, Integer]()
+    val pal = new Array[Byte](768)
+    val n = img.width * img.height
+    val idx = new Array[Byte](n)
+    var used = 0
+    var i = 0
+    while (i < n) {
+      val o = i * ch
+      val c = ((img.pixels(o) & 0xff) << 16) | ((img.pixels(o + 1) & 0xff) << 8) |
+        (img.pixels(o + 2) & 0xff)
+      var id = colorToIdx.get(c)
+      if (id == null) {
+        require(used < 256,
+          "more than 256 distinct colors — GIF is indexed color; encode as PNG instead")
+        pal(used * 3) = img.pixels(o); pal(used * 3 + 1) = img.pixels(o + 1)
+        pal(used * 3 + 2) = img.pixels(o + 2)
+        id = Integer.valueOf(used)
+        colorToIdx.put(c, id)
+        used += 1
+      }
+      idx(i) = id.intValue.toByte
+      i += 1
+    }
+    writeGif(pal, (x, y) => idx(y * img.width + x) & 0xff,
+      img.width, img.height, interlaced = false)
+  }
+
+  /** Decode → nearest-neighbor resample → re-encode: the REAL GIF
+    * resize path. Always succeeds on valid GIF input — NN sampling
+    * only selects existing palette colors, so the resized raster never
+    * exceeds 256 distinct colors. */
+  def resizeGif(bytes: Array[Byte], scalePercent: Int): Array[Byte] =
+    encodeIndexed(PngCodec.resize(decode(bytes), scalePercent))
 }

@@ -538,6 +538,18 @@ object Multimodal {
       .toDF("media_id", "data")
   }
 
+  /** Resize every GIF payload of a (media_id, data) frame — decode,
+    * nearest-neighbor resample, re-index, re-encode
+    * ([[GifCodec.resizeGif]]). Row-local; payloads never shuffle. */
+  def resizeGifFrame(media: DataFrame, scalePercent: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => (id, GifCodec.resizeGif(b, scalePercent)) })
+      .toDF("media_id", "data")
+  }
+
   /** Distributed JPEG gradient encode — mirrors [[encodePngFrame]],
     * payload bytes from [[JpegCodec.encode]] (baseline 4:4:4,
     * near-lossless tables). Row-local, deterministic per (id, w, h). */

@@ -108,6 +108,27 @@ class GifCodecSpec extends SparkSpec {
     assert(Multimodal.aHashAny(bytes) == viaRaster)
   }
 
+  test("resizeGif: NN resample, re-indexed palette, pixel-exact vs the raster path") {
+    for ((id, w, h, pct) <- Seq((4L, 40, 26, 50), (9L, 9, 31, 150), (2L, 3, 3, 100))) {
+      val src = GifCodec.encodeGradient(id, w, h)
+      val resized = GifCodec.resizeGif(src, pct)
+      val expect = PngCodec.resize(GifCodec.decode(src), pct)
+      assert(resized.length == GifCodec.gradientByteSize(expect.width, expect.height))
+      val back = GifCodec.decode(resized)
+      assert(back.width == expect.width && back.height == expect.height)
+      assert(back.pixels.sameElements(expect.pixels), s"$id ${w}x$h@$pct%")
+      // ImageIO agrees on the re-encoded bytes too
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+      assert(img.getWidth == expect.width && img.getHeight == expect.height)
+    }
+  }
+
+  test("encodeIndexed fails loudly past 256 distinct colors") {
+    // a 17x16 full-color gradient raster: >256 distinct RGB triples
+    val r = PngCodec.gradient(0L, 17, 16)
+    intercept[IllegalArgumentException] { GifCodec.encodeIndexed(r) }
+  }
+
   test("distributed encode → aHashAnyFrame: one hash space, mixed layouts") {
     val dims = Seq((1L, 33, 21), (2L, 40, 25), (3L, 17, 9))
       .toDF("id", "w", "h")
