@@ -299,4 +299,43 @@ class PropertySpec extends SparkSpec {
     }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
     assert(freq.values.forall(_ < 2), freq.filter(_._2 >= 2).toString)
   }
+
+  test("GIF gradient encode → decode is the identity for arbitrary dims and layouts") {
+    val dimGen = for {
+      id <- Gen.chooseNum(0L, 1000000L)
+      w <- Gen.chooseNum(1, 70)
+      h <- Gen.chooseNum(1, 70)
+      il <- Gen.oneOf(true, false)
+    } yield (id, w, h, il)
+    for (seed <- 1L to 12L) {
+      val (id, w, h, il) = sample(dimGen, seed)
+      val r = graft.operators.GifCodec.decode(
+        graft.operators.GifCodec.encodeGradient(id, w, h, il))
+      assert(r.width == w && r.height == h, s"seed=$seed")
+      var ok = true
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((id + x * 7L + y * 13L) % 256).toInt
+        val o = (y * w + x) * 3
+        ok &&= (r.pixels(o) & 0xff) == v && (r.pixels(o + 1) & 0xff) == v &&
+          (r.pixels(o + 2) & 0xff) == v
+      }
+      assert(ok, s"seed=$seed ${w}x$h interlaced=$il")
+    }
+  }
+
+  test("mu-law companding: idempotent quantization, bounded error, sign-symmetric") {
+    import graft.operators.WavCodec.{linearToUlaw, ulawToLinear}
+    val sGen = Gen.chooseNum(-32768, 32767)
+    for (seed <- 1L to 64L) {
+      val s = sample(sGen, seed)
+      val q = ulawToLinear(linearToUlaw(s))
+      // idempotent: re-quantizing a quantized value is the identity
+      assert(ulawToLinear(linearToUlaw(q)) == q, s"seed=$seed s=$s")
+      // error bounded by the ladder's largest step (segment 7: 1024)
+      assert(math.abs(q - s) <= 1024, s"seed=$seed s=$s q=$q")
+      // sign symmetry away from the clip region (|−s| = |s| there)
+      if (s != -32768)
+        assert(ulawToLinear(linearToUlaw(-s)) == -q, s"seed=$seed s=$s")
+    }
+  }
 }
