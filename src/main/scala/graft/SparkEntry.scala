@@ -1684,6 +1684,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Animated-GIF metadata: REAL multi-frame payloads (every GCE
+    // carries a delay), metadata read by a header walk that skips the
+    // LZW data — the oracle replays frames, duration AND the per-frame
+    // closed-form byte size.
+    "multimodal_gif_meta" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 30 + 4).cast("int").as("w"),
+        (col("doc_id") % 20 + 4).cast("int").as("h"),
+        (col("doc_id") % 4 + 1).cast("int").as("frames"),
+        (col("doc_id") % 7 * 5).cast("int").as("delay_cs"))
+      val media = Multimodal.encodeAnimatedGifFrame(
+        spec, "doc_id", "w", "h", "frames", "delay_cs")
+      Multimodal.extractGifMeta(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("byteLen").as("byte_len"),
+          col("width").as("w"), col("height").as("h"),
+          col("nFrames").as("n_frames"), col("animated"),
+          col("durationMs").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     // GIF resize: decode → NN resample → re-index → re-encode; the
     // oracle recomputes the resized dims AND the literal-LZW closed-
     // form byte size (codes → bits → sub-blocks) per image.
@@ -3735,6 +3756,27 @@ object SparkEntry {
     // 4-byte-padded 24bpp rows — the same public BMP layout the Scala
     // encoder/resizer implement.
     "multimodal_ahash" -> aHashOracle,
+    "multimodal_gif_meta" ->
+      """WITH spec AS (
+        |  SELECT doc_id,
+        |    n_chars % 30 + 4 AS w,
+        |    doc_id % 20 + 4 AS h,
+        |    doc_id % 4 + 1 AS nf,
+        |    doc_id % 7 * 5 AS delay_cs
+        |  FROM documents WHERE doc_id < 200
+        |), sized AS (
+        |  SELECT *,
+        |    (9 * (w * h + (w * h + 249) // 250 + 1) + 7) // 8 AS db
+        |  FROM spec
+        |)
+        |SELECT doc_id,
+        |  CAST(781 + nf * (20 + db + (db + 254) // 255) + 1 AS BIGINT) AS byte_len,
+        |  CAST(w AS INTEGER) AS w,
+        |  CAST(h AS INTEGER) AS h,
+        |  CAST(nf AS INTEGER) AS n_frames,
+        |  nf > 1 AS animated,
+        |  CAST(nf * delay_cs * 10 AS BIGINT) AS duration_ms
+        |FROM sized ORDER BY doc_id""".stripMargin,
     "multimodal_resize_gif" ->
       """WITH dims AS (
         |  SELECT

@@ -38,6 +38,78 @@ object GifCodec {
   def parseDimsGif(bytes: Array[Byte]): (Int, Int) =
     if (!isGif(bytes)) null else (le16(bytes, 6), le16(bytes, 8))
 
+  /** Curation-grade container metadata without decoding pixels — the
+    * [[Mp4Meta]] analog for GIF: logical dims, frame count, animation
+    * flag and total duration (sum of the Graphic Control Extension
+    * delay fields, 10 ms units; 0 for plain static images). Walks
+    * every block with the same bounds discipline as [[decode]] but
+    * SKIPS the LZW payloads, so a thousand-frame animation costs a
+    * header scan, not a decode. */
+  final case class GifMeta(
+      width: Int, height: Int, nFrames: Int, animated: Boolean,
+      durationMs: Long)
+
+  def parseMeta(bytes: Array[Byte]): GifMeta = {
+    require(isGif(bytes), "not a GIF payload")
+    val w = le16(bytes, 6)
+    val h = le16(bytes, 8)
+    val packed = bytes(10) & 0xff
+    var off = 13
+    if ((packed & 0x80) != 0) {
+      val n = 3 * (1 << ((packed & 7) + 1))
+      require(off + n <= bytes.length, "truncated global color table")
+      off += n
+    }
+    var frames = 0
+    var durationMs = 0L
+    var done = false
+    while (!done && off < bytes.length) {
+      (bytes(off) & 0xff) match {
+        case 0x3b => done = true
+        case 0x21 =>
+          require(off + 2 < bytes.length, "truncated extension")
+          val label = bytes(off + 1) & 0xff
+          off += 2
+          var first = true
+          while ({
+            require(off < bytes.length, "truncated extension sub-block")
+            val len = bytes(off) & 0xff
+            require(off + 1 + len <= bytes.length, "truncated extension sub-block")
+            // Graphic Control Extension: bytes 1-2 of the first (4-byte)
+            // sub-block are the frame delay in 1/100 s, little-endian
+            if (first && label == 0xf9 && len >= 4)
+              durationMs += le16(bytes, off + 2) * 10L
+            first = false
+            off += 1 + len
+            len != 0
+          }) ()
+        case 0x2c =>
+          require(off + 10 <= bytes.length, "truncated image descriptor")
+          val ip = bytes(off + 9) & 0xff
+          off += 10
+          if ((ip & 0x80) != 0) {
+            val n = 3 * (1 << ((ip & 7) + 1))
+            require(off + n <= bytes.length, "truncated local color table")
+            off += n
+          }
+          require(off < bytes.length, "missing LZW minimum code size")
+          off += 1
+          while ({
+            require(off < bytes.length, "truncated image data")
+            val len = bytes(off) & 0xff
+            require(off + 1 + len <= bytes.length, "truncated image data sub-block")
+            off += 1 + len
+            len != 0
+          }) ()
+          frames += 1
+        case other =>
+          throw new IllegalArgumentException(f"unknown GIF block 0x$other%02x")
+      }
+    }
+    require(frames > 0, "GIF contains no image frame")
+    GifMeta(w, h, frames, frames > 1, durationMs)
+  }
+
   /** Decode the FIRST image frame onto the logical screen as a 24bpp
     * [[PngCodec.Raster]]. Malformed, truncated or LZW-corrupt payloads
     * fail loudly ([[IllegalArgumentException]]). */
@@ -246,17 +318,10 @@ object GifCodec {
     * of 8-bit indices in literal-code LZW (fixed 9-bit width, clear
     * every [[GroupSize]] literals — see object doc). Byte size is
     * [[gradientByteSize]] regardless of content. */
-  private def writeGif(pal768: Array[Byte], indexAt: (Int, Int) => Int,
-      w: Int, h: Int, interlaced: Boolean): Array[Byte] = {
-    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
-    val out = new java.io.ByteArrayOutputStream(gradientByteSize(w, h))
-    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-    out.write(w & 0xff); out.write(w >> 8)
-    out.write(h & 0xff); out.write(h >> 8)
-    out.write(0xf7) // GCT present, 256 entries, 8-bit color resolution
-    out.write(0)    // background index
-    out.write(0)    // square pixels
-    out.write(pal768, 0, 768)
+  /** One full-screen frame section: descriptor + LZW min code +
+    * literal-code data sub-blocks + terminator. */
+  private def frameSection(out: java.io.ByteArrayOutputStream,
+      indexAt: (Int, Int) => Int, w: Int, h: Int, interlaced: Boolean): Unit = {
     out.write(0x2c) // image descriptor at (0,0), full screen
     out.write(0); out.write(0); out.write(0); out.write(0)
     out.write(w & 0xff); out.write(w >> 8)
@@ -306,8 +371,74 @@ object GifCodec {
       out.write(d, offD, len)
       offD += len
     }
-    out.write(0)    // block terminator
+    out.write(0) // block terminator
+  }
+
+  private def header(out: java.io.ByteArrayOutputStream,
+      pal768: Array[Byte], w: Int, h: Int): Unit = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(w & 0xff); out.write(w >> 8)
+    out.write(h & 0xff); out.write(h >> 8)
+    out.write(0xf7) // GCT present, 256 entries, 8-bit color resolution
+    out.write(0)    // background index
+    out.write(0)    // square pixels
+    out.write(pal768, 0, 768)
+  }
+
+  private def writeGif(pal768: Array[Byte], indexAt: (Int, Int) => Int,
+      w: Int, h: Int, interlaced: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(gradientByteSize(w, h))
+    header(out, pal768, w, h)
+    frameSection(out, indexAt, w, h, interlaced)
     out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  private def grayPal: Array[Byte] = {
+    val pal = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      pal(i * 3) = i.toByte; pal(i * 3 + 1) = i.toByte; pal(i * 3 + 2) = i.toByte
+      i += 1
+    }
+    pal
+  }
+
+  /** Closed-form byte size of [[encodeAnimated]] output. */
+  def animatedByteSize(w: Int, h: Int, nFrames: Int): Int = {
+    val n = w * h
+    val codes = n + (n + GroupSize - 1) / GroupSize + 1
+    val dataBytes = (9 * codes + 7) / 8
+    val subBlocks = (dataBytes + 254) / 255
+    val frame = 8 + 10 + 1 + dataBytes + subBlocks + 1 // GCE + descriptor..terminator
+    6 + 7 + 768 + nFrames * frame + 1
+  }
+
+  /** Deterministic animated GIF89a: `nFrames` full-screen gray
+    * gradient frames (frame k uses seed `id + k`), each preceded by a
+    * Graphic Control Extension carrying `delayCs` (1/100 s). The
+    * metadata contract [[parseMeta]] replays: nFrames frames,
+    * animated, duration = nFrames · delayCs · 10 ms. */
+  def encodeAnimated(id: Long, w: Int, h: Int, nFrames: Int,
+      delayCs: Int): Array[Byte] = {
+    require(nFrames >= 1 && delayCs >= 0 && delayCs <= 0xffff,
+      s"bad animation $nFrames frames delay $delayCs")
+    val out = new java.io.ByteArrayOutputStream(animatedByteSize(w, h, nFrames))
+    header(out, grayPal, w, h)
+    var k = 0
+    while (k < nFrames) {
+      // Graphic Control Extension: introducer, label, block size 4,
+      // flags 0, delay LE16, no transparency, terminator
+      out.write(0x21); out.write(0xf9); out.write(4); out.write(0)
+      out.write(delayCs & 0xff); out.write(delayCs >> 8)
+      out.write(0); out.write(0)
+      val seed = id + k
+      frameSection(out,
+        (x, y) => ((seed + x * 7L + y * 13L) % 256).toInt, w, h, interlaced = false)
+      k += 1
+    }
+    out.write(0x3b)
     out.toByteArray
   }
 
@@ -316,16 +447,9 @@ object GifCodec {
     * 4-pass order with the flag set, exercising the decoder's
     * de-interlace path on byte-identical visual content. */
   def encodeGradient(id: Long, w: Int, h: Int,
-      interlaced: Boolean = false): Array[Byte] = {
-    val pal = new Array[Byte](768)
-    var i = 0
-    while (i < 256) {
-      pal(i * 3) = i.toByte; pal(i * 3 + 1) = i.toByte; pal(i * 3 + 2) = i.toByte
-      i += 1
-    }
-    writeGif(pal, (x, y) => ((id + x * 7L + y * 13L) % 256).toInt,
+      interlaced: Boolean = false): Array[Byte] =
+    writeGif(grayPal, (x, y) => ((id + x * 7L + y * 13L) % 256).toInt,
       w, h, interlaced)
-  }
 
   /** Serialize an arbitrary ≤256-color raster as an indexed GIF89a
     * (palette built from the distinct colors in first-seen order,

@@ -404,6 +404,54 @@ object Multimodal {
     }
   }
 
+  /** GIF container metadata — what animation curation filters on
+    * without decoding pixels ([[GifCodec.parseMeta]]): frame count,
+    * animated flag, total duration from the GCE delay fields. Non-GIF
+    * or malformed payloads → format "unknown", zeroed. */
+  final case class GifFeatures(
+      mediaId: Long,
+      byteLen: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      nFrames: Int,
+      animated: Boolean,
+      durationMs: Long)
+
+  def extractGifMeta(media: DataFrame): Dataset[GifFeatures] = {
+    implicit val enc = Encoders.product[GifFeatures]
+    media.select(col("media_id"), col("data")).mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val blen = if (bytes == null) 0L else bytes.length.toLong
+        val m =
+          if (bytes == null || !GifCodec.isGif(bytes)) null
+          else try GifCodec.parseMeta(bytes)
+          catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
+        if (m == null) GifFeatures(id, blen, "unknown", 0, 0, 0, animated = false, 0L)
+        else GifFeatures(id, blen, "gif", m.width, m.height, m.nFrames,
+          m.animated, m.durationMs)
+      }
+    }
+  }
+
+  /** Distributed animated-GIF encode of the deterministic per-frame
+    * gradients ([[GifCodec.encodeAnimated]]) — row-local, payloads
+    * never shuffle. Output: (media_id, data). */
+  def encodeAnimatedGifFrame(spec: DataFrame, idCol: String, wCol: String,
+      hCol: String, framesCol: String, delayCsCol: String): DataFrame = {
+    val spark = spec.sparkSession
+    import spark.implicits._
+    spec.select(col(idCol).cast("long"), col(wCol).cast("int"),
+        col(hCol).cast("int"), col(framesCol).cast("int"), col(delayCsCol).cast("int"))
+      .as[(Long, Int, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h, nf, d) =>
+        (id, GifCodec.encodeAnimated(id, w, h, nf, d))
+      })
+      .toDF("media_id", "data")
+  }
+
   /** Attach a media payload column: `data` binary + `meta` struct.
     * Demonstrates the schema contract on any table with a binary-able
     * column. */

@@ -123,6 +123,26 @@ class GifCodecSpec extends SparkSpec {
     }
   }
 
+  test("animated GIF: metadata walk, first-frame decode, closed-form size") {
+    for ((id, w, h, nf, d) <- Seq((5L, 21, 13, 3, 10), (9L, 6, 8, 1, 0), (2L, 30, 5, 4, 35))) {
+      val bytes = GifCodec.encodeAnimated(id, w, h, nf, d)
+      assert(bytes.length == GifCodec.animatedByteSize(w, h, nf))
+      val m = GifCodec.parseMeta(bytes)
+      assert(m == GifCodec.GifMeta(w, h, nf, nf > 1, nf.toLong * d * 10), m.toString)
+      // decode returns the FIRST frame (seed = id), ignoring the rest
+      assertGradient(GifCodec.decode(bytes), id, w, h)
+      // ImageIO agrees on the container's first frame
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == w && img.getHeight == h)
+    }
+    // single-frame static images report no animation and zero duration
+    val m1 = GifCodec.parseMeta(GifCodec.encodeGradient(3L, 10, 10))
+    assert(m1 == GifCodec.GifMeta(10, 10, 1, animated = false, 0L))
+    intercept[IllegalArgumentException] {
+      GifCodec.parseMeta(GifCodec.encodeAnimated(1L, 9, 9, 2, 10).take(900))
+    }
+  }
+
   test("encodeIndexed fails loudly past 256 distinct colors") {
     // a 17x16 full-color gradient raster: >256 distinct RGB triples
     val r = PngCodec.gradient(0L, 17, 16)
