@@ -98,7 +98,10 @@ object Bench {
     val qs = ok.map { case (k, v) => s"${JsonOut.q(k)}:$v" }.mkString("{", ",", "}")
     val sp = ok.map { case (k, _) =>
       val w = warm(k)
-      val s = if (w.size >= 2) w.max - w.min else 0.0
+      // fewer than two warm samples → no spread estimate exists; emit
+      // null so a passes<=2 run is distinguishable from a genuinely
+      // jitter-free measurement
+      val s = if (w.size >= 2) (w.max - w.min).toString else "null"
       s"${JsonOut.q(k)}:$s"
     }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${JsonOut.q(k)}:${JsonOut.q(v.take(200))}" }.mkString("{", ",", "}")

@@ -160,11 +160,17 @@ object Dedup {
       .agg(min(struct(col(idCol).as("__rep"), col("__bands").as("__bands"))).as("__m"))
       .select(col("__tk"), col("__tl"),
         col("__m.__rep").as("__rep"), col("__m.__bands").as("__bands"))
-    // light pass (no shingling) — the member roster, cheap per consumer
+    // light pass (no shingling) — the member roster. Eagerly
+    // checkpointed: it has SIX join appearances below (two identical-
+    // tier sides, four cross-tier sides), each of which would
+    // otherwise re-scan and re-hash the full text column; the roster
+    // itself is a slim 3-column (hash, length, id) frame — the same
+    // materialize-the-model-table call as bigramLogProb's uniC.
     val mem = docs.select(
       xxhash64(col(textCol)).as("__tk"),
       length(col(textCol)).as("__tl"),
       col(idCol))
+      .localCheckpoint(true)
     val identical = mem.select(col("__tk"), col("__tl"), col(idCol).as("id_a"))
       .join(mem.select(col("__tk"), col("__tl"), col(idCol).as("id_b")),
         Seq("__tk", "__tl"))
@@ -556,6 +562,16 @@ object Dedup {
     df.select(col(idCol), col(hashCol).cast("long").as("sh"))
       .where(col("sh").isNotNull)
 
+  /** The 16-bit-chunk banding expression — posexplode of the four
+    * chunks of `sh` as (chunk_idx, chunk_val). ONE definition: chunk
+    * width and count are the pigeonhole recall contract shared by the
+    * pair finder, the index writer and the probe; diverging copies
+    * would silently break recall parity between index and probe. */
+  private def chunkExplode(sh: Column): Column =
+    posexplode(
+      array((0 until 4).map(j =>
+        shiftrightunsigned(sh, j * 16).bitwiseAND(lit(0xffffL))): _*))
+
   /** Near-collision pairs between DISTINCT 64-bit fingerprints:
     * (sh_a, sh_b, hamming) with sh_a < sh_b (signed order), 1 ≤ hamming
     * ≤ `maxHamming`, found by 16-bit-chunk pigeonhole banding. The
@@ -568,10 +584,7 @@ object Dedup {
   private def hammingHashPairs(distinctHashes: DataFrame, maxHamming: Int): DataFrame =
     distinctHashes.select(
         col("sh"),
-        posexplode(
-          array((0 until 4).map(j =>
-            shiftrightunsigned(col("sh"), j * 16).bitwiseAND(lit(0xffffL))): _*))
-          .as(Seq("chunk_idx", "chunk_val")))
+        chunkExplode(col("sh")).as(Seq("chunk_idx", "chunk_val")))
       .groupBy("chunk_idx", "chunk_val")
       // collect_list, not collect_set: a distinct value contributes each
       // chunk_idx exactly once, so duplicates are impossible. Sorted so
@@ -741,10 +754,7 @@ object Dedup {
   def hammingIndex(df: DataFrame, idCol: String, hashCol: String): DataFrame =
     hammingBase(df, idCol, hashCol).select(
         col(idCol).as("id"), col("sh"),
-        posexplode(
-          array((0 until 4).map(j =>
-            shiftrightunsigned(col("sh"), j * 16).bitwiseAND(lit(0xffffL))): _*))
-          .as(Seq("chunk_idx", "chunk_val")))
+        chunkExplode(col("sh")).as(Seq("chunk_idx", "chunk_val")))
       .select(col("chunk_idx"), col("chunk_val"), col("id"), col("sh"))
 
   /** Incremental hamming near-dup: NEW fingerprints probed against a
@@ -768,10 +778,7 @@ object Dedup {
     val probe = hammingBase(newDf, idCol, hashCol)
     val probeChunks = probe.select("sh").distinct().select(
         col("sh").as("__sh_new"),
-        posexplode(
-          array((0 until 4).map(j =>
-            shiftrightunsigned(col("sh"), j * 16).bitwiseAND(lit(0xffffL))): _*))
-          .as(Seq("chunk_idx", "chunk_val")))
+        chunkExplode(col("sh")).as(Seq("chunk_idx", "chunk_val")))
     val cands = probeChunks
       .join(index.select(col("chunk_idx"), col("chunk_val"),
         col("id").as("id_idx"), col("sh").as("__sh_idx")),

@@ -110,6 +110,14 @@ object GifCodec {
     GifMeta(w, h, frames, frames > 1, durationMs)
   }
 
+  /** Sanity cap on decoded pixel count: 64M pixels (a 192 MB canvas)
+    * is generous for any real image, and the Long-math check makes a
+    * crafted 0xFFFF×0xFFFF header fail the require instead of
+    * overflowing `w*h*3` into a NegativeArraySizeException (which
+    * [[Multimodal.aHashAny]]'s null-mapping catch does not cover) or
+    * an executor-killing allocation. */
+  private val MaxPixels = 64L * 1024 * 1024
+
   /** Decode the FIRST image frame onto the logical screen as a 24bpp
     * [[PngCodec.Raster]]. Malformed, truncated or LZW-corrupt payloads
     * fail loudly ([[IllegalArgumentException]]). */
@@ -118,6 +126,7 @@ object GifCodec {
     val w = le16(bytes, 6)
     val h = le16(bytes, 8)
     require(w > 0 && h > 0, s"bad logical screen ${w}x$h")
+    require(w.toLong * h <= MaxPixels, s"implausible logical screen ${w}x$h")
     val packed = bytes(10) & 0xff
     val bgIdx = bytes(11) & 0xff
     var off = 13
@@ -190,15 +199,7 @@ object GifCodec {
           }) ()
           val indices = lzwDecode(buf.toByteArray, minCode, iw * ih)
           // blit (de-interlacing row order if flagged)
-          val rowOrder: Array[Int] =
-            if (!interlaced) Array.tabulate(ih)(identity)
-            else {
-              val order = new Array[Int](ih)
-              var k = 0
-              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
-                   y <- start until ih by step) { order(k) = y; k += 1 }
-              order
-            }
+          val rowOrder = interlaceOrder(ih, interlaced)
           var r = 0
           while (r < ih) {
             val y = top + rowOrder(r)
@@ -304,13 +305,34 @@ object GifCodec {
     * width stays 9 bits (258 + 249 new entries < 511). */
   private val GroupSize = 250
 
-  /** Closed-form byte size of [[encodeGradient]] output — the oracle
-    * contract, mirroring WAV/BMP. */
-  def gradientByteSize(w: Int, h: Int): Int = {
+  /** The spec's 4-pass interlace row permutation — ONE definition,
+    * shared by the decoder's de-interlace and the encoder's storage
+    * order (a diverging copy would silently break round-trip
+    * identity). Identity when `interlaced` is false. */
+  private def interlaceOrder(h: Int, interlaced: Boolean): Array[Int] =
+    if (!interlaced) Array.tabulate(h)(identity)
+    else {
+      val order = new Array[Int](h)
+      var k = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+           y <- start until h by step) { order(k) = y; k += 1 }
+      order
+    }
+
+  /** Byte size of one frame section's entropy payload: literal codes +
+    * clears + end, 9 bits each, plus the sub-block length prefixes —
+    * the shared term of both closed-form size contracts. */
+  private def frameDataBytes(w: Int, h: Int): (Int, Int) = {
     val n = w * h
     val codes = n + (n + GroupSize - 1) / GroupSize + 1 // literals + clears + end
     val dataBytes = (9 * codes + 7) / 8
-    val subBlocks = (dataBytes + 254) / 255
+    (dataBytes, (dataBytes + 254) / 255)
+  }
+
+  /** Closed-form byte size of [[encodeGradient]] output — the oracle
+    * contract, mirroring WAV/BMP. */
+  def gradientByteSize(w: Int, h: Int): Int = {
+    val (dataBytes, subBlocks) = frameDataBytes(w, h)
     6 + 7 + 768 + 10 + 1 + dataBytes + subBlocks + 1 + 1
   }
 
@@ -339,15 +361,7 @@ object GifCodec {
         data.write((acc & 0xff).toInt); acc >>>= 8; nBits -= 8
       }
     }
-    val rowOrder: Array[Int] =
-      if (!interlaced) Array.tabulate(h)(identity)
-      else {
-        val order = new Array[Int](h)
-        var k = 0
-        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
-             y <- start until h by step) { order(k) = y; k += 1 }
-        order
-      }
+    val rowOrder = interlaceOrder(h, interlaced)
     var emitted = 0
     var r = 0
     while (r < h) {
@@ -407,10 +421,7 @@ object GifCodec {
 
   /** Closed-form byte size of [[encodeAnimated]] output. */
   def animatedByteSize(w: Int, h: Int, nFrames: Int): Int = {
-    val n = w * h
-    val codes = n + (n + GroupSize - 1) / GroupSize + 1
-    val dataBytes = (9 * codes + 7) / 8
-    val subBlocks = (dataBytes + 254) / 255
+    val (dataBytes, subBlocks) = frameDataBytes(w, h)
     val frame = 8 + 10 + 1 + dataBytes + subBlocks + 1 // GCE + descriptor..terminator
     6 + 7 + 768 + nFrames * frame + 1
   }

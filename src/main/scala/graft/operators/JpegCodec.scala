@@ -312,6 +312,14 @@ object JpegCodec {
           require((bytes(seg) & 0xff) == 8, "only 8-bit precision supported")
           h = u16(seg + 1); w = u16(seg + 3)
           require(w >= 1 && h >= 1, "SOF dimensions must be positive (DNL not supported)")
+          // Long-math pixel cap: a crafted 0xFFFF x 0xFFFF header would
+          // otherwise wrap the plane/coefficient allocation sizes
+          // (65535^2*... overflows Int) into NegativeArraySize or
+          // zero-length arrays — the decode contract is a require,
+          // never an ArrayIndexOutOfBounds or an executor-killing
+          // multi-GB allocation from a tiny payload.
+          require(w.toLong * h <= 64L * 1024 * 1024,
+            s"implausible SOF dimensions ${w}x$h")
           val n = bytes(seg + 5) & 0xff
           require(n == 1 || n == 3, s"unsupported component count $n")
           require(seg + 6 + 3 * n <= end, "truncated SOF component specs")

@@ -96,6 +96,15 @@ class GifCodecSpec extends SparkSpec {
     intercept[IllegalArgumentException] { GifCodec.decode(noFrame) }
     assert(Multimodal.aHashAny(good.take(40)) == null)
     assert(Multimodal.aHashAny(good) != null)
+    // crafted 0xFFFF x 0xFFFF logical screen: w*h*3 would overflow Int
+    // into NegativeArraySizeException (uncatchable by the null-mapping
+    // arm) — must fail the require instead, and hash to null
+    val crafted = good.clone()
+    crafted(6) = 0xff.toByte; crafted(7) = 0xff.toByte
+    crafted(8) = 0xff.toByte; crafted(9) = 0xff.toByte
+    assert(intercept[IllegalArgumentException] { GifCodec.decode(crafted) }
+      .getMessage.contains("implausible"))
+    assert(Multimodal.aHashAny(crafted) == null)
   }
 
   test("parseDims and the cross-format hash space cover GIF") {

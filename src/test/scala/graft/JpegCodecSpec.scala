@@ -326,4 +326,20 @@ class JpegCodecSpec extends AnyFunSuite {
     val tall = PngCodec.Raster(1, 70000, 3, new Array[Byte](70000 * 3))
     intercept[IllegalArgumentException] { JpegCodec.encode(tall) }
   }
+
+  test("decode rejects implausible SOF dims before any allocation math can overflow") {
+    // hand-built FFD8 + SOF0 declaring 65535x65535: the plane and
+    // progressive-coefficient sizes (w*h*...) would wrap Int — decode
+    // must fail the require, not NegativeArraySize/AIOOBE later
+    val b = Array[Int](
+      0xff, 0xd8,
+      0xff, 0xc0, 0x00, 0x0b, // SOF0, length 11
+      8,                       // precision
+      0xff, 0xff,              // height 65535
+      0xff, 0xff,              // width 65535
+      1,                       // one component
+      1, 0x11, 0).map(_.toByte)
+    assert(intercept[IllegalArgumentException] { JpegCodec.decode(b) }
+      .getMessage.contains("implausible"))
+  }
 }
