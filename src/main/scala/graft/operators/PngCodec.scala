@@ -284,6 +284,13 @@ object PngCodec {
           require(colorType == 2 || colorType == 6,
             s"unsupported color type $colorType (truecolor 2 / truecolor-alpha 6 only)")
           require(interlace == 0, "interlaced (Adam7) PNG not supported")
+          // Long-math pixel cap (the GIF/JPEG guard): IHDR dims are
+          // full 32-bit, so `h * (stride + 1)` on a crafted header
+          // would wrap Int into a NegativeArraySizeException the
+          // null-mapping catch in aHashAny does not cover, or demand a
+          // multi-GB buffer from a tiny payload
+          require(w > 0 && h > 0 && w.toLong * h <= 64L * 1024 * 1024,
+            s"implausible IHDR dimensions ${w}x$h")
         case "IDAT" => idat.write(bytes, off + 8, len)
         case "IEND" => done = true
         case _ => ()

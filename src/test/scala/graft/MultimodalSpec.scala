@@ -136,6 +136,22 @@ class MultimodalSpec extends SparkSpec {
     assert(back.pixels.sameElements(img.pixels))
   }
 
+  test("PNG decode rejects implausible IHDR dims before allocation math can overflow") {
+    // crafted IHDR claiming 100000x100000: h*(stride+1) wraps Int into
+    // NegativeArraySize (uncatchable by aHashAny's null-mapping arm)
+    val good = graft.operators.PngCodec.encode(graft.operators.PngCodec.gradient(1L, 4, 4))
+    val crafted = good.clone()
+    def be32(off: Int, v: Int): Unit = {
+      crafted(off) = (v >>> 24).toByte; crafted(off + 1) = (v >>> 16).toByte
+      crafted(off + 2) = (v >>> 8).toByte; crafted(off + 3) = v.toByte
+    }
+    be32(16, 100000); be32(20, 100000) // IHDR width, height
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.PngCodec.decode(crafted)
+    }.getMessage.contains("implausible"))
+    assert(Multimodal.aHashAny(crafted) == null)
+  }
+
   test("PNG resize 50% keeps exactly the even-indexed source pixels (mirrors the BMP golden)") {
     val img = graft.operators.PngCodec.gradient(3L, 4, 4)
     val resized = graft.operators.PngCodec.decode(
