@@ -463,6 +463,58 @@ final class GraftFrame(val df: DataFrame) {
       hashKeys: Boolean = true): GraftFrame =
     new GraftFrame(TextOps.crossDocDupNgramFraction(df, idCol, textCol, n, hashKeys))
 
+  /** Perceptual hashes of a binary image column — one 64-bit aHash
+    * space over BMP/PNG/JPEG/GIF via the real codecs
+    * ([[graft.operators.Multimodal.aHashAnyFrame]]); undecodable or
+    * non-image payloads hash to null. Returns (idCol, ahash). */
+  def image_hashes(idCol: String, dataCol: String): GraftFrame = {
+    val hashed = graft.operators.Multimodal.aHashAnyFrame(
+      df.select(col(idCol).as("media_id"), col(dataCol).as("data")))
+    new GraftFrame(hashed.select(col("media_id").as(idCol), col("ahash")))
+  }
+
+  /** ONE-CALL cross-format image near-dedup: perceptual hash → hamming
+    * clusters (degenerate-class-safe banding) → keep each cluster's
+    * min-id representative. Rows whose payload does not decode keep
+    * their rows (null hashes join no cluster). All columns survive;
+    * the payload never shuffles ([[graft.operators.Dedup.dropHammingDuplicates]]
+    * over [[graft.operators.Multimodal.aHashAnyFrame]]). */
+  def drop_duplicate_images(idCol: String, dataCol: String,
+      maxHamming: Int = 2): GraftFrame = {
+    val hashed = graft.operators.Multimodal.aHashAnyFrame(
+        df.select(col(idCol).as("media_id"), col(dataCol).as("data")))
+      .select(col("media_id").as(idCol), col("ahash"))
+    val losers = graft.operators.Dedup.hammingClusters(hashed, idCol, "ahash", maxHamming)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    new GraftFrame(df.join(losers, Seq(idCol), "left_anti"))
+  }
+
+  /** Exact-integer audio features of a WAV payload column (PCM16/PCM8/
+    * µ-law — [[graft.operators.Multimodal.extractAudioFeatures]]);
+    * non-WAV rows report format "unknown" with zeroed stats. */
+  def audio_features(idCol: String, dataCol: String): GraftFrame = {
+    val f = graft.operators.Multimodal.extractAudioFeatures(
+      df.select(col(idCol).as("media_id"), col(dataCol).as("data"))).toDF()
+    new GraftFrame(f.withColumnRenamed("mediaId", idCol))
+  }
+
+  /** GIF container metadata per payload row — frames, animated flag,
+    * GCE-delay duration ([[graft.operators.Multimodal.extractGifMeta]]). */
+  def gif_metadata(idCol: String, dataCol: String): GraftFrame = {
+    val f = graft.operators.Multimodal.extractGifMeta(
+      df.select(col(idCol).as("media_id"), col(dataCol).as("data"))).toDF()
+    new GraftFrame(f.withColumnRenamed("mediaId", idCol))
+  }
+
+  /** MP4 container metadata per payload row — duration, dims, tracks
+    * ([[graft.operators.Multimodal.extractVideoMeta]]). */
+  def video_metadata(idCol: String, dataCol: String): GraftFrame = {
+    val f = graft.operators.Multimodal.extractVideoMeta(
+      df.select(col(idCol).as("media_id"), col(dataCol).as("data"))).toDF()
+    new GraftFrame(f.withColumnRenamed("mediaId", idCol))
+  }
+
   /** Append URL curation columns for `urlCol`: `url_canonical`,
     * `url_host`, `url_domain` ([[graft.operators.UrlOps]] — row-local
     * codegen'd regex). */

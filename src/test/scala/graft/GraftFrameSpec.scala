@@ -291,4 +291,42 @@ class GraftFrameSpec extends SparkSpec {
       .toDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(spans(1L) > 0.0 && spans(2L) > 0.0 && spans(3L) == 0.0)
   }
+
+  test("multimodal facade: image hashes, one-call image dedup, audio/gif/video metadata") {
+    import graft.operators.{GifCodec, Multimodal, WavCodec}
+    // two byte-identical BMPs, one visually different (the gradient's
+    // id only shifts brightness, which aHash is invariant to BY DESIGN
+    // — different DIMS change the sampled pattern), one undecodable
+    val media = new GraftFrame(Seq(
+      (1L, Multimodal.encodeBmp(7L, 20, 12)),
+      (2L, Multimodal.encodeBmp(7L, 20, 12)),
+      (3L, Multimodal.encodeBmp(99L, 9, 31)),
+      (4L, "not an image".getBytes)).toDF("id", "payload"))
+    val hashes = media.image_hashes("id", "payload")
+      .toDF.collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(hashes(1L) == hashes(2L) && hashes(1L) != null)
+    assert(hashes(3L) != hashes(1L))
+    assert(hashes(4L) == null)
+    // dedup keeps the min-id copy of the duplicate pair, the distinct
+    // image, and the undecodable row (null hash joins no cluster)
+    val kept = media.drop_duplicate_images("id", "payload", maxHamming = 0)
+      .toDF.select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+
+    val audio = new GraftFrame(Seq(
+      (1L, WavCodec.encode(WavCodec.signal(1L, 30, 1, 8000))),
+      (2L, "junk".getBytes)).toDF("id", "payload"))
+    val af = audio.audio_features("id", "payload")
+      .toDF.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(af(1L) == "wav" && af(2L) == "unknown")
+
+    val gifs = new GraftFrame(Seq(
+      (1L, GifCodec.encodeAnimated(5L, 8, 6, 3, 20))).toDF("id", "payload"))
+    val gm = gifs.gif_metadata("id", "payload").toDF.collect()(0)
+    assert(gm.getInt(5) == 3 && gm.getBoolean(6) && gm.getLong(7) == 600L)
+
+    val vids = new GraftFrame(Seq(
+      (1L, "junk".getBytes)).toDF("id", "payload"))
+    assert(vids.video_metadata("id", "payload").toDF.collect()(0).getString(2) == "unknown")
+  }
 }
