@@ -545,7 +545,7 @@ object TextOps {
         val isResolved = col("cnt_b").isNotNull || col("__hotu").isNotNull
         val c3 = c2.withColumn("__w2k",
             when(isResolved,
-              concat(lit(" #"), hex(hash(col(idCol), col("w1"), col("w2")))))
+              concat(lit(" #"), hex(hash(col(idCol), col("w1"), col("w2")))))
               .otherwise(col("w2")))
           .join(uniC.select(col("w").as("__w2k"), col("cnt_u").as("cnt_w2")),
             Seq("__w2k"), "left")
