@@ -480,6 +480,28 @@ class DedupSpec extends SparkSpec {
     assert(prodMax < 512 * 1024, s"per-task shuffle input $prodMax B not bounded")
   }
 
+  test("hammingAgainstIndex: a degenerate batch (one viral fingerprint) probes once") {
+    // 10^4 batch rows share ONE fingerprint: the probe must band a
+    // single distinct value, and candidate dedup must happen BEFORE
+    // batch-membership expansion multiplies it
+    val viral = 0x0123456789abcdeL
+    val m = 10000L
+    val idx = Dedup.hammingIndex(
+      Seq((1L, viral), (2L, viral ^ 1L), (3L, ~viral)).toDF("id", "fp"), "id", "fp")
+    val batch = spark.range(m).selectExpr("id + 100000 AS id", s"${viral}L AS fp").toDF()
+    val hits = Dedup.hammingAgainstIndex(batch, "id", "fp", idx, maxHamming = 2)
+    val agg = hits.groupBy("id_idx").count()
+    val got = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every batch row hits indexed ids 1 (hamming 0) and 2 (hamming 1),
+    // never the far id 3
+    assert(got == Map(1L -> m, 2L -> m), got.toString)
+    // executed shuffle partitions stay bounded by DISTINCT values +
+    // final expansion keys, not by the batch's copy multiplicity
+    // carried through the banding join
+    val maxB = maxShuffleBytes(agg).map(_._2).max
+    assert(maxB < 512 * 1024, s"probe shuffle input $maxB B not bounded")
+  }
+
   test("dropNearDuplicatesBy keeps the best-scoring member; ties go to min id") {
     val d = Seq(
       (1L, "a", 10.0), (2L, "a2", 50.0), (3L, "a3", 50.0), // cluster {1,2,3}
