@@ -943,6 +943,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"),
           sum("score").as("sum_scores"))
     }),
+    // One-call LSH dedup on the COLLAPSED cluster path (lshClusters —
+    // exact-duplicate classes never expand to pairs): byte-equivalent
+    // to dedup_drop's pairs route, same oracle closure.
+    "dedup_lsh_drop" -> ((s, dir) => {
+      val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+      Dedup.dropLshDuplicates(corpus, "doc_id", "text",
+          threshold = 0.5, numHashes = 128, bands = 32)
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+    }),
+    // Quality-aware one-call form on the same collapsed path.
+    "dedup_lsh_drop_best" -> ((s, dir) => {
+      val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+        .withColumn("score", pmod(col("doc_id") * 2654435761L, lit(1000L)))
+      Dedup.dropLshDuplicatesBy(corpus, "doc_id", "score", "text",
+          threshold = 0.5, numHashes = 128, bands = 32)
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"),
+          sum("score").as("sum_scores"))
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val corpus = nearDupCorpus(tbl(s, dir, "documents").where(col("doc_id") < 60))
       Dedup.nearDupJaccardBrute(corpus, "doc_id", "text", threshold = 0.5)
@@ -3018,6 +3036,92 @@ object SparkEntry {
         |), winners AS (
         |  -- (score, -id) lexicographic max as one scalar key: ids are
         |  -- < 10^7, so score*10^7 - id orders identically
+        |  SELECT cluster, max_by(id, score * 10000000 - id) AS win
+        |  FROM member GROUP BY cluster
+        |), losers AS (
+        |  SELECT m.id FROM member m JOIN winners w USING (cluster)
+        |  WHERE m.id != w.win
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum((doc_id * 2654435761) % 1000) AS BIGINT) AS sum_scores
+        |FROM corpus
+        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+    // the collapsed lshClusters route is byte-equivalent to the pairs
+    // route, so the one-call gates replay the SAME closures
+    "dedup_lsh_drop" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 30
+        |), corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(
+        |      list_slice(string_split(text, ' '), 1,
+        |        len(string_split(text, ' ')) - 5), ' ')
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ')
+        |                   for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |        FROM corpus)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.r FROM edges e JOIN reach r ON r.id = e.id_b
+        |)
+        |, comp AS (
+        |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
+        |), losers AS (
+        |  SELECT id FROM comp WHERE id != cluster
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM corpus
+        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+    "dedup_lsh_drop_best" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 30
+        |), corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(
+        |      list_slice(string_split(text, ' '), 1,
+        |        len(string_split(text, ' ')) - 5), ' ')
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ')
+        |                   for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |        FROM corpus)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        |), edges AS (
+        |  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.r FROM edges e JOIN reach r ON r.id = e.id_b
+        |), comp AS (
+        |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
+        |), member AS (
+        |  SELECT id, cluster, (id * 2654435761) % 1000 AS score FROM comp
+        |), winners AS (
         |  SELECT cluster, max_by(id, score * 10000000 - id) AS win
         |  FROM member GROUP BY cluster
         |), losers AS (

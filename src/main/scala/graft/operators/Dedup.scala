@@ -135,7 +135,16 @@ object Dedup {
     * instead of m. A key collision (same 64-bit hash AND length over
     * different text) would merge two classes — the same accepted
     * profile as [[dedupLines]]; downstream exact-Jaccard verification
-    * in [[nearDupMinHash]] drops any sub-threshold artifact. */
+    * in [[nearDupMinHash]] drops any sub-threshold artifact.
+    *
+    * API note for DIRECT callers (round 7 behavior change): the
+    * identical-text tier emits a candidate pair for every pair of
+    * exact-duplicate texts EVEN when the text is too short to produce
+    * minhash bands — the pre-round-7 banding-only path never emitted
+    * those. CANDIDATES are by contract recall-oriented; route through
+    * [[nearDupMinHash]] (whose exact-Jaccard verify scores such pairs
+    * 0.0 and drops them at any threshold > 0) or [[lshClusters]] for
+    * verified semantics. */
   def lshCandidatePairs(
       docs: DataFrame,
       idCol: String,
@@ -316,15 +325,17 @@ object Dedup {
     *       index hit (transitively a dup of the corpus through the
     *       batch graph), or
     *   (c) a non-representative member (not the min id) of a clean
-    *       batch-internal cluster ([[nearDupMinHash]] over the batch +
-    *       [[duplicateClusters]]).
+    *       batch-internal cluster ([[lshClusters]] over the batch —
+    *       exact-duplicate classes never expand to pairs).
     * Returns the surviving rows of `newDocs`, all columns — the set to
     * append to the corpus (and whose [[minHashIndex]] rows to append
     * to the index).
     *
     * Scale shape: the probe pays ∝ batch (index side pre-bucketed);
-    * the batch-internal LSH and star-contraction clustering pay
-    * ∝ batch² only within shared bands; the corpus is touched ONLY by
+    * batch-internal clustering is [[lshClusters]]' collapsed form —
+    * exact-duplicate classes never expand to pairs, so a dup-dense
+    * batch costs O(batch), and cross-class candidates pay only within
+    * shared bands over DISTINCT texts; the corpus is touched ONLY by
     * the probe's verify join on candidate ids. The probe-hit id set is
     * materialized once (it steers both the direct drop and the
     * cluster-hit test). */
@@ -340,10 +351,12 @@ object Dedup {
         threshold, numHashes, bands, shingleN, seed)
       .select(col("id_new").as(idCol)).distinct()
       .localCheckpoint(true)
-    val batchPairs = nearDupMinHash(newDocs, idCol, textCol,
+    // Batch-internal clustering on lshClusters' collapsed path
+    // (byte-equivalent to duplicateClusters over nearDupMinHash pairs):
+    // a batch that is 10⁶ copies of one page costs O(batch), never the
+    // ~5·10¹¹-row identical-pair expansion.
+    val clusters = lshClusters(newDocs, idCol, textCol,
         threshold, numHashes, bands, shingleN, seed)
-      .select(col("id_a"), col("id_b"))
-    val clusters = duplicateClusters(batchPairs)
       .select(col("id").as(idCol), col("cluster").as("__cl"))
     val hitClusters = clusters.join(hits, Seq(idCol), "left_semi")
       .select(col("__cl").as("__hit_cl")).distinct()
@@ -508,6 +521,171 @@ object Dedup {
   def dropNearDuplicatesBy(
       docs: DataFrame, idCol: String, scoreCol: String, pairs: DataFrame): DataFrame = {
     val member = duplicateClusters(pairs)
+      .join(docs.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+    val winners = member.groupBy("cluster")
+      .agg(max_by(col("id"), struct(col("__score"), -col("id"))).as("__win"))
+    val losers = member.join(winners, Seq("cluster"))
+      .where(col("id") =!= col("__win"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Duplicate clusters over MinHash-LSH near-dups WITHOUT
+    * materializing the quadratic identical-text pair set — the text
+    * analog of [[hammingClusters]], byte-equivalent to
+    * `duplicateClusters(nearDupMinHash(docs, …).select("id_a","id_b"))`
+    * but a class of m exact-duplicate texts costs O(m), not m(m−1)/2
+    * pair rows. This is the 100 TB text-dedup DROP path: when the
+    * caller only needs cluster labels (or the drop set), the
+    * boilerplate page copied a million times never expands to
+    * ~5·10¹¹ pairs.
+    *
+    * Why lifting the exact-Jaccard verify to representatives is
+    * lossless: identical texts have identical shingle sets, so a
+    * member pair's jaccard IS its rep pair's jaccard; and a class
+    * whose shingle set is EMPTY (doc shorter than `shingleN` tokens —
+    * [[graft.functions.TextMinHashBands]] signals this with a null
+    * band array) has self-jaccard 0.0 and jaccard 0.0 against
+    * everything, so its verify outcome is decided by `threshold`
+    * alone, computable from the null signal without shingling.
+    *
+    * Shape: ONE signature pass fused with the exact-class collapse
+    * ([[lshCandidatePairs]]' classes aggregate — map-side partials,
+    * never corpus frequency in a shuffle row); banding and the exact
+    * verify run over one REPRESENTATIVE per distinct text; the rep
+    * pair graph contracts in log rounds ([[duplicateClusters]]);
+    * members inherit labels through a hot-key differentiated join on
+    * the slim (xxhash64, length) class key (AQE's skew rule cannot
+    * split an aggregate-built side — measured, see
+    * [[hammingClusters]]). Labels match the pairs path exactly:
+    * rep = min id of its class, so min reachable rep = min id of the
+    * connected component. Output (id, cluster) for every row in a
+    * duplicate relation; docs with unique text and no verified
+    * neighbor are absent, as with [[duplicateClusters]] over pairs. */
+  def lshClusters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleN: Int = 3,
+      seed: Long = 42L,
+      hotK: Int = 1024): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val sigs = docs.select(
+      xxhash64(col(textCol)).as("__tk"),
+      length(col(textCol)).as("__tl"),
+      col(idCol),
+      graft.functions.TextMinHashBands.textMinhashBands(
+        col(textCol), shingleN, numHashes, bands, seed).as("__bands"))
+    // one row per distinct text: min-id rep, its signature, class size.
+    // Eagerly checkpointed — THREE consumers below (band explode, rep
+    // text semi-join, labels); a distinct-key model table with a
+    // 32-int band array per row, the materialize-the-model-table call.
+    val classes = sigs
+      .groupBy("__tk", "__tl")
+      .agg(
+        min(struct(col(idCol).as("__rep"), col("__bands").as("__bands"))).as("__m"),
+        count(lit(1)).as("__n"))
+      .select(col("__tk"), col("__tl"),
+        col("__m.__rep").as("__rep"), col("__m.__bands").as("__bands"), col("__n"))
+      .localCheckpoint(true)
+    val repPairs = classes
+      .select(col("__rep"),
+        posexplode(col("__bands")).as(Seq("band_idx", "band_hash")))
+      .where(col("band_hash").isNotNull)
+      .groupBy("band_idx", "band_hash")
+      .agg(array_sort(collect_list(col("__rep"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(inBucketPairs(col("ids"))((a, b) =>
+        struct(a.as("__ra"), b.as("__rb")))).as("p"))
+      .select(col("p.__ra"), col("p.__rb"))
+      .distinct()
+    // rep-level exact verify — the same shingle + jaccard filter
+    // nearDupMinHash applies at member level, on one rep per class.
+    // Not checkpointed: two consumers, same profile as nearDupMinHash's
+    // own verify joins, and on a mostly-unique corpus this frame is
+    // corpus-sized shingle arrays (the do-NOT-materialize class).
+    val repSh = docs
+      .join(classes.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("__rid"), shingles(col(textCol), shingleN).as("__sh"))
+    val verified = repPairs
+      .join(repSh.select(col("__rid").as("__ra"), col("__sh").as("__sha")), "__ra")
+      .join(repSh.select(col("__rid").as("__rb"), col("__sh").as("__shb")), "__rb")
+      .where(jaccard(col("__sha"), col("__shb")) >= threshold)
+      .select(
+        least(col("__ra"), col("__rb")).as("id_a"),
+        greatest(col("__ra"), col("__rb")).as("id_b"))
+    val repClusters = duplicateClusters(verified)
+      .withColumnRenamed("id", "__rep").withColumnRenamed("cluster", "__cl")
+    // (class key → cluster label) for every class in a duplicate
+    // relation: in a verified cross-class component, OR internally
+    // duplicated (__n > 1) with its self-jaccard (1.0 when the class
+    // shingles non-empty — null band array ⟺ empty, see above; else
+    // 0.0) passing the threshold. A null-text class never reaches the
+    // output either way: its __tl key is null and the member equi-join
+    // below cannot match it — the same silent exclusion the pairs path
+    // gets from its null-key identical join and null-jaccard verify.
+    val selfJ = when(col("__bands").isNotNull, lit(1.0)).otherwise(lit(0.0))
+    val labels = classes.join(repClusters, Seq("__rep"), "left")
+      .where(col("__cl").isNotNull || (col("__n") > 1 && selfJ >= threshold))
+      .select(col("__tk"), col("__tl"),
+        coalesce(col("__cl"), col("__rep")).as("cluster"), col("__n"))
+    // light pass — the member roster (no signature, no shingles).
+    val mem = docs.select(
+      xxhash64(col(textCol)).as("__tk"),
+      length(col(textCol)).as("__tl"),
+      col(idCol))
+    // Hot-key differentiated member-label join, verbatim the
+    // hammingClusters remedy: a boilerplate class IS a hot (__tk,__tl)
+    // key and the label side is aggregate-built, so AQE's skew split
+    // never fires. Ordering (__n desc, __tk, __tl) is total (the key
+    // pair is unique per class) ⇒ deterministic limit.
+    if (hotK <= 0)
+      mem.join(labels, Seq("__tk", "__tl"))
+        .select(col(idCol).as("id"), col("cluster"))
+    else {
+      val hot = broadcast(
+        labels.orderBy(col("__n").desc, col("__tk").asc, col("__tl").asc).limit(hotK)
+          .select("__tk", "__tl", "cluster"))
+      val hotMembers = mem.join(hot, Seq("__tk", "__tl"))
+        .select(col(idCol).as("id"), col("cluster"))
+      val hotKeys = broadcast(hot.select("__tk", "__tl"))
+      val residual = mem.join(hotKeys, Seq("__tk", "__tl"), "left_anti")
+        .join(labels.join(hotKeys, Seq("__tk", "__tl"), "left_anti")
+          .select("__tk", "__tl", "cluster"), Seq("__tk", "__tl"))
+        .select(col(idCol).as("id"), col("cluster"))
+      hotMembers.unionAll(residual)
+    }
+  }
+
+  /** One-call MinHash-LSH dedup: keep every row outside any duplicate
+    * relation plus the minimum-id representative of each cluster —
+    * byte-equivalent to `dropNearDuplicates(docs, idCol,
+    * nearDupMinHash(docs, …))` at O(corpus) cost for dup-dense data
+    * ([[lshClusters]] — the quadratic identical-pair set is never
+    * materialized). */
+  def dropLshDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 128, bands: Int = 32,
+      shingleN: Int = 3, seed: Long = 42L, hotK: Int = 1024): DataFrame = {
+    val losers = lshClusters(docs, idCol, textCol, threshold,
+        numHashes, bands, shingleN, seed, hotK)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** One-call MinHash-LSH dedup keeping the BEST-scoring member of
+    * each cluster ([[dropNearDuplicatesBy]]'s rule — max score, ties
+    * to min id) on [[lshClusters]]' O(corpus) path. */
+  def dropLshDuplicatesBy(
+      docs: DataFrame, idCol: String, scoreCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 128, bands: Int = 32,
+      shingleN: Int = 3, seed: Long = 42L, hotK: Int = 1024): DataFrame = {
+    val member = lshClusters(docs, idCol, textCol, threshold,
+        numHashes, bands, shingleN, seed, hotK)
       .join(docs.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
     val winners = member.groupBy("cluster")
       .agg(max_by(col("id"), struct(col("__score"), -col("id"))).as("__win"))
