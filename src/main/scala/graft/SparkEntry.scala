@@ -1953,6 +1953,31 @@ object SparkEntry {
           sum(when(col("format") === "png", 1L).otherwise(0L)).as("n_png"))
     }),
 
+    // Round-8 PNG classes: palette (type 3, +tRNS→RGBA) and grayscale
+    // (type 0) decode end-to-end; per-pixel channel sums make any
+    // unfilter/lookup/expansion defect shift a total the SQL oracle
+    // recomputes in closed form.
+    "multimodal_png_palette" -> ((s, dir) => {
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 300).select(
+        col("doc_id"),
+        (col("doc_id") % 13 + 3).cast("int").as("w"),
+        (col("doc_id") % 9 + 2).cast("int").as("h"))
+      val pal = Multimodal.pngStatsFrame(
+          Multimodal.encodeIndexedPngFrame(dims, "doc_id", "w", "h"))
+        .withColumn("kind", lit("palette"))
+      val gry = Multimodal.pngStatsFrame(
+          Multimodal.encodeGrayPngFrame(dims, "doc_id", "w", "h"))
+        .withColumn("kind", lit("gray"))
+      pal.unionAll(gry)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum("width").as("sum_w"), sum("height").as("sum_h"),
+          sum(when(col("channels") === 4, 1L).otherwise(0L)).as("n_rgba"),
+          sum("r_sum").as("r_total"), sum("g_sum").as("g_total"),
+          sum("b_sum").as("b_total"), sum("a_sum").as("a_total"))
+        .orderBy("kind")
+    }),
+
     // ----- §2.10 training-data pipeline --------------------------------
     // Token-window chunking: row-local sequence+explode, no shuffle.
     "pipeline_chunk" -> ((s, dir) =>
@@ -4111,6 +4136,39 @@ object SparkEntry {
         |  CAST(sum(greatest(1, h * 50 // 100)) AS BIGINT) AS sum_rh,
         |  CAST(count(*) AS BIGINT) AS n_hash_match
         |FROM dims""".stripMargin,
+    "multimodal_png_palette" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 9 + 2 AS h
+        |  FROM documents WHERE doc_id < 300
+        |), px0 AS (
+        |  SELECT doc_id, h, unnest(range(0, w)) AS x FROM dims
+        |), px AS (
+        |  SELECT doc_id, x, unnest(range(0, h)) AS y FROM px0
+        |), base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(w) AS BIGINT) AS sum_w,
+        |         CAST(sum(h) AS BIGINT) AS sum_h
+        |  FROM dims
+        |), palt AS (
+        |  SELECT sum((k*37+10) % 256) AS r_t, sum((k*59+20) % 256) AS g_t,
+        |         sum((k*83+30) % 256) AS b_t,
+        |         sum(CASE WHEN k = 0 THEN 0 WHEN k = 1 THEN 100 ELSE 255 END) AS a_t
+        |  FROM (SELECT (x + y + doc_id) % 5 AS k FROM px)
+        |), gryt AS (
+        |  SELECT sum(v) AS v_t, CAST(count(*) AS BIGINT) AS npx
+        |  FROM (SELECT (x*7 + y*11 + doc_id) % 256 AS v FROM px)
+        |)
+        |SELECT 'gray' AS kind, base.n, base.sum_w, base.sum_h,
+        |  CAST(0 AS BIGINT) AS n_rgba,
+        |  CAST(gryt.v_t AS BIGINT) AS r_total, CAST(gryt.v_t AS BIGINT) AS g_total,
+        |  CAST(gryt.v_t AS BIGINT) AS b_total,
+        |  CAST(255 * gryt.npx AS BIGINT) AS a_total
+        |FROM base, gryt
+        |UNION ALL
+        |SELECT 'palette', base.n, base.sum_w, base.sum_h, base.n,
+        |  CAST(palt.r_t AS BIGINT), CAST(palt.g_t AS BIGINT),
+        |  CAST(palt.b_t AS BIGINT), CAST(palt.a_t AS BIGINT)
+        |FROM base, palt
+        |ORDER BY kind""".stripMargin,
     "multimodal_resize_png" ->
       """WITH dims AS (
         |  SELECT greatest(1, (n_chars % 64 + 1) * 50 // 100) AS nw,

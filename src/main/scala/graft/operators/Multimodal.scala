@@ -554,6 +554,82 @@ object Multimodal {
       .toDF("media_id", "data")
   }
 
+  /** Encode one real INDEXED (palette, color type 3) PNG per
+    * (id, width, height) row — the icon/logo class that round 8
+    * brought inside the decode fence. Deterministic 5-entry palette
+    * (entry k: r=(k·37+10)&255, g=(k·59+20)&255, b=(k·83+30)&255),
+    * pixel index (x+y+id)%5, tRNS alpha (0, 100) on the first two
+    * entries so the decode exercises the RGBA path; same ingest shape
+    * as [[encodePngFrame]] (row-local, payloads never shuffle). */
+  def encodeIndexedPngFrame(dims: DataFrame, idCol: String, wCol: String,
+      hCol: String): DataFrame = {
+    val spark = dims.sparkSession
+    import spark.implicits._
+    val palette = Array.tabulate(15) { i =>
+      val k = i / 3
+      ((i % 3 match {
+        case 0 => k * 37 + 10
+        case 1 => k * 59 + 20
+        case _ => k * 83 + 30
+      }) & 0xff).toByte
+    }
+    val trns = Array[Byte](0, 100)
+    dims.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        val idxs = Array.tabulate(w * h)(p => (((p % w) + (p / w) + id) % 5).toByte)
+        (id, PngCodec.encodeIndexed(w, h, palette, idxs, trns))
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Encode one real 8-bit GRAYSCALE (color type 0) PNG per
+    * (id, width, height) row — deterministic sample (x·7+y·11+id)&255;
+    * same ingest shape as [[encodePngFrame]]. */
+  def encodeGrayPngFrame(dims: DataFrame, idCol: String, wCol: String,
+      hCol: String): DataFrame = {
+    val spark = dims.sparkSession
+    import spark.implicits._
+    dims.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        val px = Array.tabulate(w * h)(p =>
+          (((p % w) * 7 + (p / w) * 11 + id) & 0xff).toByte)
+        (id, PngCodec.encodeGray(w, h, px))
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Decode every PNG payload of a (media_id, data) frame and emit
+    * per-image pixel statistics — (media_id, width, height, channels,
+    * r_sum, g_sum, b_sum, a_sum; alpha counts 255/pixel for opaque
+    * formats). Any full-decode defect shifts a sum, so this is the
+    * end-to-end decode verification op. Row-local; payloads never
+    * shuffle. */
+  def pngStatsFrame(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val r = PngCodec.decode(b)
+        var (rs, gs, bs, as0) = (0L, 0L, 0L, 0L)
+        var p = 0
+        val n = r.width * r.height
+        while (p < n) {
+          val d = p * r.channels
+          rs += r.pixels(d) & 0xff
+          gs += r.pixels(d + 1) & 0xff
+          bs += r.pixels(d + 2) & 0xff
+          as0 += (if (r.channels == 4) r.pixels(d + 3) & 0xff else 255)
+          p += 1
+        }
+        (id, r.width, r.height, r.channels, rs, gs, bs, as0)
+      })
+      .toDF("media_id", "width", "height", "channels",
+        "r_sum", "g_sum", "b_sum", "a_sum")
+  }
+
   /** Encode one real GIF89a per (id, width, height) row — the
     * deterministic indexed-gray [[GifCodec.encodeGradient]]; same
     * ingest shape as [[encodeBmpFrame]] (row-local, payloads never

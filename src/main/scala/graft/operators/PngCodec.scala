@@ -16,10 +16,16 @@ import java.util.zip.{Adler32, CRC32}
   * codec library, which is what [[Multimodal.resizeStub]] still
   * fences — it is now the ONLY fenced format.
   *
-  * Supported pixel formats: 8-bit truecolor (color type 2, RGB) and
-  * truecolor-alpha (color type 6, RGBA), non-interlaced — the dominant
-  * PNG classes in web corpora; everything else fails loudly rather
-  * than decode wrong pixels.
+  * Supported pixel formats (round-8 extension — the icon/logo classes
+  * that previously hashed to null and ESCAPED image dedup): truecolor
+  * (color type 2, RGB) and truecolor-alpha (6, RGBA) at 8-bit;
+  * grayscale (0) and indexed/palette (3) at 1/2/4/8-bit; gray-alpha
+  * (4) at 8-bit; each in both non-interlaced and Adam7-interlaced
+  * form (spec §8.2: seven independently-filtered reduced images).
+  * Palette transparency (tRNS on type 3) decodes to RGBA. Still
+  * fenced loudly rather than decoded wrong: 16-bit samples, and tRNS
+  * color-keying on types 0/2 (silently dropping the key would emit
+  * opaque pixels that hash unlike the source).
   */
 object PngCodec {
 
@@ -256,8 +262,15 @@ object PngCodec {
     out
   }
 
-  /** Parse and fully decode a PNG: chunk walk, zlib inflate, unfilter
-    * each scanline per its filter byte. Ancillary chunks are skipped;
+  /** Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass. A
+    * non-interlaced image is the single pass (0, 0, 1, 1). */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Parse and fully decode a PNG: chunk walk, zlib inflate, per-pass
+    * unfilter, sample unpack (sub-byte depths MSB-first, §7.2),
+    * palette/gray channel expansion. Ancillary chunks are skipped;
     * malformed or unsupported inputs fail loudly. */
   def decode(bytes: Array[Byte]): Raster = {
     require(bytes != null && bytes.length > 8 &&
@@ -266,6 +279,10 @@ object PngCodec {
     var w = 0
     var h = 0
     var colorType = -1
+    var bitDepth = 0
+    var interlace = 0
+    var plte: Array[Byte] = null
+    var trns: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done && off + 8 <= bytes.length) {
@@ -277,20 +294,35 @@ object PngCodec {
         case "IHDR" =>
           w = be32(bytes, off + 8)
           h = be32(bytes, off + 12)
-          val bitDepth = bytes(off + 16) & 0xff
+          bitDepth = bytes(off + 16) & 0xff
           colorType = bytes(off + 17) & 0xff
-          val interlace = bytes(off + 20) & 0xff
-          require(bitDepth == 8, s"unsupported bit depth $bitDepth (8-bit only)")
-          require(colorType == 2 || colorType == 6,
-            s"unsupported color type $colorType (truecolor 2 / truecolor-alpha 6 only)")
-          require(interlace == 0, "interlaced (Adam7) PNG not supported")
+          interlace = bytes(off + 20) & 0xff
+          require(Set(0, 2, 3, 4, 6).contains(colorType),
+            s"unsupported color type $colorType")
+          // §11.2.2 legal depth sets, minus 16-bit (fenced) and minus
+          // sub-byte gray-alpha (not a legal combination anyway)
+          val okDepth = colorType match {
+            case 0 | 3 => Set(1, 2, 4, 8)
+            case _ => Set(8)
+          }
+          require(okDepth.contains(bitDepth),
+            s"unsupported bit depth $bitDepth for color type $colorType (16-bit fenced)")
+          require(interlace == 0 || interlace == 1,
+            s"bad interlace method $interlace")
           // Long-math pixel cap (the GIF/JPEG guard): IHDR dims are
-          // full 32-bit, so `h * (stride + 1)` on a crafted header
-          // would wrap Int into a NegativeArraySizeException the
+          // full 32-bit, so row/raster sizes on a crafted header would
+          // wrap Int into a NegativeArraySizeException the
           // null-mapping catch in aHashAny does not cover, or demand a
           // multi-GB buffer from a tiny payload
           require(w > 0 && h > 0 && w.toLong * h <= 64L * 1024 * 1024,
             s"implausible IHDR dimensions ${w}x$h")
+        case "PLTE" =>
+          require(len % 3 == 0 && len <= 256 * 3, s"bad PLTE length $len")
+          plte = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
+        case "tRNS" =>
+          require(colorType == 3,
+            "tRNS color-key transparency on gray/truecolor not supported")
+          trns = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
         case "IDAT" => idat.write(bytes, off + 8, len)
         case "IEND" => done = true
         case _ => ()
@@ -298,34 +330,111 @@ object PngCodec {
       off += 12 + len
     }
     require(w > 0 && h > 0 && colorType >= 0, "missing or empty IHDR")
-    val ch = if (colorType == 2) 3 else 4
-    val stride = w * ch
-    val raw = inflate(idat.toByteArray, h * (stride + 1))
-    val out = new Array[Byte](h * stride)
-    var y = 0
-    while (y < h) {
-      val ft = raw(y * (stride + 1)) & 0xff
-      val src = y * (stride + 1) + 1
-      val dst = y * stride
-      var x = 0
-      while (x < stride) {
-        val fx = raw(src + x) & 0xff
-        val a = if (x >= ch) out(dst + x - ch) & 0xff else 0
-        val b = if (y > 0) out(dst - stride + x) & 0xff else 0
-        val c = if (x >= ch && y > 0) out(dst - stride + x - ch) & 0xff else 0
-        val rec = ft match {
-          case 0 => fx
-          case 1 => fx + a
-          case 2 => fx + b
-          case 3 => fx + ((a + b) >> 1)
-          case 4 => fx + paeth(a, b, c)
-          case other =>
-            throw new IllegalArgumentException(s"bad filter type $other at row $y")
+    if (colorType == 3) {
+      require(plte != null, "palette PNG missing PLTE chunk")
+      require(trns == null || trns.length <= plte.length / 3,
+        "tRNS longer than the palette")
+    }
+    val spp = colorType match { case 0 | 3 => 1; case 4 => 2; case 2 => 3; case 6 => 4 }
+    val bitsPP = bitDepth * spp
+    val bpp = math.max(1, bitsPP / 8) // filter "left" byte distance (§9.2)
+    val ch = colorType match {
+      case 0 | 2 => 3
+      case 3 => if (trns != null) 4 else 3
+      case _ => 4
+    }
+    // gray sample scaling to 8-bit: v * 255 / (2^d − 1)
+    val maxV = (1 << bitDepth) - 1
+    val passes =
+      if (interlace == 0) Array((0, 0, 1, 1)) else Adam7
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+        if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+    def rowBytes(wp: Int): Int = (wp * bitsPP + 7) / 8
+    val expected = passes.map { p =>
+      val (wp, hp) = passDims(p)
+      if (wp == 0 || hp == 0) 0 else hp * (1 + rowBytes(wp))
+    }.sum
+    val raw = inflate(idat.toByteArray, expected)
+    val out = new Array[Byte](w * h * ch)
+    var rawOff = 0
+    passes.foreach { case p @ (x0, y0, dx, dy) =>
+      val (wp, hp) = passDims(p)
+      if (wp > 0 && hp > 0) {
+        val rb = rowBytes(wp)
+        // unfilter this pass's reduced image in place (each pass is an
+        // independent image: row 0 has no "up" neighbor — §8.2)
+        val sub = new Array[Byte](hp * rb)
+        var y = 0
+        while (y < hp) {
+          val ft = raw(rawOff + y * (rb + 1)) & 0xff
+          val src = rawOff + y * (rb + 1) + 1
+          val dst = y * rb
+          var x = 0
+          while (x < rb) {
+            val fx = raw(src + x) & 0xff
+            val a = if (x >= bpp) sub(dst + x - bpp) & 0xff else 0
+            val b = if (y > 0) sub(dst - rb + x) & 0xff else 0
+            val c = if (x >= bpp && y > 0) sub(dst - rb + x - bpp) & 0xff else 0
+            val rec = ft match {
+              case 0 => fx
+              case 1 => fx + a
+              case 2 => fx + b
+              case 3 => fx + ((a + b) >> 1)
+              case 4 => fx + paeth(a, b, c)
+              case other =>
+                throw new IllegalArgumentException(s"bad filter type $other at row $y")
+            }
+            sub(dst + x) = (rec & 0xff).toByte
+            x += 1
+          }
+          y += 1
         }
-        out(dst + x) = (rec & 0xff).toByte
-        x += 1
+        rawOff += hp * (1 + rb)
+        // unpack samples and place each pixel at its full-image position
+        var j = 0
+        while (j < hp) {
+          val row = j * rb
+          var i = 0
+          while (i < wp) {
+            val d = ((y0 + j * dy) * w + (x0 + i * dx)) * ch
+            colorType match {
+              case 2 =>
+                val s = row + i * 3
+                out(d) = sub(s); out(d + 1) = sub(s + 1); out(d + 2) = sub(s + 2)
+              case 6 =>
+                val s = row + i * 4
+                out(d) = sub(s); out(d + 1) = sub(s + 1)
+                out(d + 2) = sub(s + 2); out(d + 3) = sub(s + 3)
+              case 4 =>
+                val s = row + i * 2
+                out(d) = sub(s); out(d + 1) = sub(s); out(d + 2) = sub(s)
+                out(d + 3) = sub(s + 1)
+              case _ => // 0 or 3: one sample, possibly sub-byte (MSB-first)
+                val v =
+                  if (bitDepth == 8) sub(row + i) & 0xff
+                  else {
+                    val bit = i * bitDepth
+                    (sub(row + (bit >> 3)) & 0xff) >> (8 - bitDepth - (bit & 7)) & maxV
+                  }
+                if (colorType == 0) {
+                  val g = (v * 255 / maxV).toByte
+                  out(d) = g; out(d + 1) = g; out(d + 2) = g
+                } else {
+                  require(v * 3 + 2 < plte.length, s"palette index $v out of range")
+                  out(d) = plte(v * 3); out(d + 1) = plte(v * 3 + 1)
+                  out(d + 2) = plte(v * 3 + 2)
+                  if (ch == 4)
+                    out(d + 3) = if (v < trns.length) trns(v) else 0xff.toByte
+                }
+            }
+            i += 1
+          }
+          j += 1
+        }
       }
-      y += 1
     }
     Raster(w, h, ch, out)
   }
@@ -347,18 +456,10 @@ object PngCodec {
     * closed form of the dims — `63 + raw + 5·⌈raw/65535⌉` with
     * `raw = height·(1 + width·channels)` — which the SQL oracle
     * recomputes. Rows are written filter-0 (decode accepts all five). */
-  def encode(img: Raster): Array[Byte] = {
-    require(img.width > 0 && img.height > 0, s"bad dims ${img.width}x${img.height}")
-    require(img.channels == 3 || img.channels == 4, s"bad channels ${img.channels}")
-    require(img.pixels.length == img.width * img.height * img.channels, "pixel size mismatch")
-    val stride = img.width * img.channels
-    val raw = new Array[Byte](img.height * (stride + 1))
-    var y = 0
-    while (y < img.height) {
-      raw(y * (stride + 1)) = 0
-      System.arraycopy(img.pixels, y * stride, raw, y * (stride + 1) + 1, stride)
-      y += 1
-    }
+  /** Wrap filtered scanline bytes in a zlib stream of hand-written
+    * STORED deflate blocks — deterministic byte-for-byte, size
+    * `2 + 5·⌈raw/65535⌉ + raw + 4`. */
+  private def zlibStored(raw: Array[Byte]): Array[Byte] = {
     val nBlocks = (raw.length + 65534) / 65535
     val z = new Array[Byte](2 + nBlocks * 5 + raw.length + 4)
     // zlib header: CMF 0x78 (deflate, 32k window), FLG 0x01 — no preset
@@ -381,11 +482,84 @@ object PngCodec {
     val ad = new Adler32()
     ad.update(raw)
     putBe32(z, zo, ad.getValue.toInt)
+    z
+  }
+
+  /** Prefix each tightly-packed row of `rows` (row length `rowBytes`)
+    * with a filter-0 byte — the serialized scanline layout. */
+  private def filter0Rows(rows: Array[Byte], height: Int, rowBytes: Int): Array[Byte] = {
+    val raw = new Array[Byte](height * (rowBytes + 1))
+    var y = 0
+    while (y < height) {
+      raw(y * (rowBytes + 1)) = 0
+      System.arraycopy(rows, y * rowBytes, raw, y * (rowBytes + 1) + 1, rowBytes)
+      y += 1
+    }
+    raw
+  }
+
+  def encode(img: Raster): Array[Byte] = {
+    require(img.width > 0 && img.height > 0, s"bad dims ${img.width}x${img.height}")
+    require(img.channels == 3 || img.channels == 4, s"bad channels ${img.channels}")
+    require(img.pixels.length == img.width * img.height * img.channels, "pixel size mismatch")
+    val stride = img.width * img.channels
+    val z = zlibStored(filter0Rows(img.pixels, img.height, stride))
     val ihdr = new Array[Byte](13)
     putBe32(ihdr, 0, img.width)
     putBe32(ihdr, 4, img.height)
     ihdr(8) = 8
     ihdr(9) = if (img.channels == 3) 2 else 6
+    val out = new Array[Byte](8 + 25 + (12 + z.length) + 12)
+    System.arraycopy(Sig, 0, out, 0, 8)
+    var o = writeChunk(out, 8, "IHDR", ihdr)
+    o = writeChunk(out, o, "IDAT", z)
+    o = writeChunk(out, o, "IEND", Array.emptyByteArray)
+    assert(o == out.length, s"size bookkeeping off: $o != ${out.length}")
+    out
+  }
+
+  /** Serialize an INDEXED (color type 3) PNG: 8-bit indices, filter-0
+    * rows, STORED deflate, optional tRNS alpha per palette entry — the
+    * icon-class payload generator for gates and tests. Deterministic
+    * byte-for-byte. */
+  def encodeIndexed(width: Int, height: Int, palette: Array[Byte],
+      indices: Array[Byte], trns: Array[Byte] = null): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(palette.length % 3 == 0 && palette.length >= 3 &&
+      palette.length <= 256 * 3, s"bad palette length ${palette.length}")
+    require(indices.length == width * height, "index size mismatch")
+    val n = palette.length / 3
+    indices.foreach(i => require((i & 0xff) < n, s"index ${i & 0xff} out of palette"))
+    require(trns == null || trns.length <= n, "tRNS longer than the palette")
+    val z = zlibStored(filter0Rows(indices, height, width))
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width)
+    putBe32(ihdr, 4, height)
+    ihdr(8) = 8
+    ihdr(9) = 3
+    val trnsLen = if (trns == null) 0 else 12 + trns.length
+    val out = new Array[Byte](8 + 25 + (12 + palette.length) + trnsLen + (12 + z.length) + 12)
+    System.arraycopy(Sig, 0, out, 0, 8)
+    var o = writeChunk(out, 8, "IHDR", ihdr)
+    o = writeChunk(out, o, "PLTE", palette)
+    if (trns != null) o = writeChunk(out, o, "tRNS", trns)
+    o = writeChunk(out, o, "IDAT", z)
+    o = writeChunk(out, o, "IEND", Array.emptyByteArray)
+    assert(o == out.length, s"size bookkeeping off: $o != ${out.length}")
+    out
+  }
+
+  /** Serialize an 8-bit GRAYSCALE (color type 0) PNG, filter-0 rows,
+    * STORED deflate. Deterministic byte-for-byte. */
+  def encodeGray(width: Int, height: Int, samples: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(samples.length == width * height, "sample size mismatch")
+    val z = zlibStored(filter0Rows(samples, height, width))
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width)
+    putBe32(ihdr, 4, height)
+    ihdr(8) = 8
+    ihdr(9) = 0
     val out = new Array[Byte](8 + 25 + (12 + z.length) + 12)
     System.arraycopy(Sig, 0, out, 0, 8)
     var o = writeChunk(out, 8, "IHDR", ihdr)

@@ -320,25 +320,219 @@ class MultimodalSpec extends SparkSpec {
 
   test("PNG decode fails loudly on unsupported classes, never wrong pixels") {
     val good = graft.operators.PngCodec.encode(graft.operators.PngCodec.gradient(1L, 3, 3))
-    // palette color type (3)
+    // palette color type (3) decodes since round 8 — but not without PLTE
     val pal = good.clone(); pal(8 + 8 + 9) = 3
     assert(intercept[IllegalArgumentException] {
       graft.operators.PngCodec.decode(pal)
-    }.getMessage.contains("color type"))
-    // 16-bit depth
+    }.getMessage.contains("PLTE"))
+    // 16-bit depth stays fenced
     val deep = good.clone(); deep(8 + 8 + 8) = 16
     assert(intercept[IllegalArgumentException] {
       graft.operators.PngCodec.decode(deep)
     }.getMessage.contains("bit depth"))
-    // interlaced
-    val il = good.clone(); il(8 + 8 + 12) = 1
+    // interlace METHODS beyond 0/1 are rejected (Adam7 itself decodes)
+    val il = good.clone(); il(8 + 8 + 12) = 2
     assert(intercept[IllegalArgumentException] {
       graft.operators.PngCodec.decode(il)
-    }.getMessage.contains("interlaced"))
+    }.getMessage.contains("interlace method"))
     // not a PNG at all
     assert(intercept[IllegalArgumentException] {
       graft.operators.PngCodec.decode("definitely not png".getBytes)
     }.getMessage.contains("not a PNG"))
+  }
+
+  /** Cross-oracle: decode `png` with BOTH the pure-byte codec and
+    * javax.imageio (test-only independent oracle), compare every pixel
+    * in ARGB space. Returns our raster for further assertions. */
+  private def crossOraclePng(png: Array[Byte]): graft.operators.PngCodec.Raster = {
+    val ours = graft.operators.PngCodec.decode(png)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(ref != null, "ImageIO could not read the payload")
+    assert(ref.getWidth == ours.width && ref.getHeight == ours.height)
+    val cm = ref.getColorModel
+    // getRGB on a gray image gamma-converts through the linear gray
+    // color space — compare RAW samples there (scaled to 8-bit exactly
+    // as the codec scales); indexed/RGB images compare in ARGB space.
+    val isGray = !cm.isInstanceOf[java.awt.image.IndexColorModel] &&
+      cm.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY
+    for (y <- 0 until ours.height; x <- 0 until ours.width) {
+      val d = (y * ours.width + x) * ours.channels
+      val (r, g, b) = (ours.pixels(d) & 0xff, ours.pixels(d + 1) & 0xff, ours.pixels(d + 2) & 0xff)
+      val a = if (ours.channels == 4) ours.pixels(d + 3) & 0xff else 255
+      if (isGray) {
+        val ss = ref.getSampleModel.getSampleSize(0)
+        val rg = ref.getRaster.getSample(x, y, 0) * 255 / ((1 << ss) - 1)
+        val ra = if (cm.hasAlpha) ref.getRaster.getSample(x, y, 1) else 255
+        assert(r == rg && g == rg && b == rg && a == ra,
+          s"pixel ($x,$y): imageio gray=$rg a=$ra vs ours r=$r g=$g b=$b a=$a")
+      } else {
+        val argb = ref.getRGB(x, y)
+        assert(((argb >> 16) & 0xff) == r && ((argb >> 8) & 0xff) == g &&
+          (argb & 0xff) == b && ((argb >>> 24) & 0xff) == a,
+          f"pixel ($x,$y): imageio ${argb}%08x vs ours a=$a r=$r g=$g b=$b")
+      }
+    }
+    ours
+  }
+
+  /** Hand-build a PNG with full header control (bit depth, color type,
+    * interlace flag, PLTE/tRNS) around caller-supplied FILTERED
+    * scanline bytes. */
+  private def buildPngFull(w: Int, h: Int, colorType: Int, bitDepth: Int,
+      filtered: Array[Byte], plte: Array[Byte] = null, trns: Array[Byte] = null,
+      interlace: Int = 0): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      def be(off: Int, v: Int): Unit = {
+        out(off) = ((v >>> 24) & 0xff).toByte; out(off + 1) = ((v >>> 16) & 0xff).toByte
+        out(off + 2) = ((v >>> 8) & 0xff).toByte; out(off + 3) = (v & 0xff).toByte
+      }
+      be(0, data.length)
+      typ.zipWithIndex.foreach { case (c, i) => out(4 + i) = c.toByte }
+      System.arraycopy(data, 0, out, 8, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 4, 4 + data.length)
+      be(8 + data.length, crc.getValue.toInt)
+      out
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = w.toByte; ihdr(7) = h.toByte
+    ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte
+    ihdr(12) = interlace.toByte
+    val d = new java.util.zip.Deflater()
+    d.setInput(filtered); d.finish()
+    val zbuf = new Array[Byte](filtered.length + 64)
+    val zlen = d.deflate(zbuf); d.end()
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++
+      Option(plte).map(chunk("PLTE", _)).getOrElse(Array.emptyByteArray) ++
+      Option(trns).map(chunk("tRNS", _)).getOrElse(Array.emptyByteArray) ++
+      chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("PNG palette (type 3) and grayscale (type 0): ImageIO-written files cross-oracle") {
+    // indexed: ImageIO writes a real PLTE PNG from TYPE_BYTE_INDEXED
+    val idx = new java.awt.image.BufferedImage(9, 7,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 7; x <- 0 until 9)
+      idx.setRGB(x, y, ((x * 31) << 16) | ((y * 41) << 8) | ((x ^ y) * 17))
+    val idxOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(idx, "png", idxOut)
+    val ours = crossOraclePng(idxOut.toByteArray)
+    assert(ours.channels == 3)
+    // grayscale: TYPE_BYTE_GRAY → color type 0
+    val gray = new java.awt.image.BufferedImage(6, 5,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 5; x <- 0 until 6)
+      gray.getRaster.setSample(x, y, 0, (x * 40 + y * 13) & 0xff)
+    val gOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gray, "png", gOut)
+    crossOraclePng(gOut.toByteArray)
+  }
+
+  test("PNG Adam7 interlace: ImageIO progressive writes cross-oracle (RGB + palette)") {
+    def progressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      val p = wr.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      wr.dispose(); ios.close()
+      bos.toByteArray
+    }
+    // odd dims so every Adam7 pass has a ragged edge
+    val rgb = new java.awt.image.BufferedImage(13, 11,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 11; x <- 0 until 13)
+      rgb.setRGB(x, y, ((x * 19) << 16) | ((y * 23) << 8) | ((x * y) & 0xff))
+    val png = progressive(rgb)
+    assert((png(8 + 8 + 12) & 0xff) == 1, "writer did not emit Adam7") // IHDR interlace byte
+    crossOraclePng(png)
+    // tiny image: several passes are EMPTY (no scanlines at all)
+    val tiny = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) tiny.setRGB(x, y, (x * 80) << 16 | y * 100)
+    val tpng = progressive(tiny)
+    assert((tpng(8 + 8 + 12) & 0xff) == 1)
+    crossOraclePng(tpng)
+    // interlaced indexed: both features at once
+    val idx = new java.awt.image.BufferedImage(10, 9,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 9; x <- 0 until 10)
+      idx.setRGB(x, y, ((x * 25) << 16) | ((y * 28) << 8))
+    val ipng = progressive(idx)
+    if ((ipng(8 + 8 + 12) & 0xff) == 1) crossOraclePng(ipng)
+  }
+
+  test("PNG sub-byte depths and tRNS: hand-built 4-bit palette, 1-bit gray, gray-alpha") {
+    // 4-bit palette, 5 px/row (ragged last nibble), tRNS on 3 of 5 entries
+    val plte = Array[Byte](
+      10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120, (130 - 256).toByte, (140 - 256).toByte, (150 - 256).toByte)
+    val trns = Array[Byte](0, (200 - 256).toByte, (255 - 256).toByte)
+    val w = 5; val h = 3
+    val rb = (w * 4 + 7) / 8 // 3 bytes per row
+    val filtered = new Array[Byte](h * (1 + rb))
+    val pix = Array(
+      Array(0, 1, 2, 3, 4),
+      Array(4, 3, 2, 1, 0),
+      Array(2, 2, 0, 4, 1))
+    for (y <- 0 until h) {
+      filtered(y * (1 + rb)) = 0
+      for (x <- 0 until w) {
+        val bit = x * 4
+        val off = y * (1 + rb) + 1 + (bit >> 3)
+        filtered(off) = (filtered(off) | (pix(y)(x) << (4 - (bit & 4)))).toByte
+      }
+    }
+    val png4 = buildPngFull(w, h, 3, 4, filtered, plte, trns)
+    val ours4 = crossOraclePng(png4)
+    assert(ours4.channels == 4) // tRNS → RGBA
+    assert((ours4.pixels(3) & 0xff) == 0 && (ours4.pixels(7) & 0xff) == 200 &&
+      (ours4.pixels(15) & 0xff) == 255) // entries beyond tRNS are opaque
+    // 1-bit grayscale, 10 px/row (ragged second byte)
+    val w1 = 10; val h1 = 4
+    val rb1 = (w1 + 7) / 8
+    val f1 = new Array[Byte](h1 * (1 + rb1))
+    for (y <- 0 until h1) {
+      f1(y * (1 + rb1)) = 0
+      for (x <- 0 until w1; if ((x * 3 + y) % 2) == 1) {
+        val off = y * (1 + rb1) + 1 + (x >> 3)
+        f1(off) = (f1(off) | (1 << (7 - (x & 7)))).toByte
+      }
+    }
+    val ours1 = crossOraclePng(buildPngFull(w1, h1, 0, 1, f1))
+    assert(ours1.channels == 3 &&
+      ours1.pixels.forall(p => (p & 0xff) == 0 || (p & 0xff) == 255))
+    // gray-alpha (type 4), 8-bit, filter Sub on row 1 for unfilter coverage
+    val wga = 4; val hga = 2
+    val ga = Array.tabulate(hga, wga * 2)((y, i) => ((i * 29 + y * 97 + 3) & 0xff))
+    val fga = new Array[Byte](hga * (1 + wga * 2))
+    fga(0) = 0
+    for (i <- 0 until wga * 2) fga(1 + i) = ga(0)(i).toByte
+    fga(1 + wga * 2) = 1 // Sub, bpp = 2
+    for (i <- 0 until wga * 2) {
+      val left = if (i >= 2) ga(1)(i - 2) else 0
+      fga(2 + wga * 2 + i) = ((ga(1)(i) - left) & 0xff).toByte
+    }
+    val oursGa = crossOraclePng(buildPngFull(wga, hga, 4, 8, fga))
+    assert(oursGa.channels == 4)
+    for (y <- 0 until hga; x <- 0 until wga) {
+      val d = (y * wga + x) * 4
+      assert((oursGa.pixels(d) & 0xff) == ga(y)(x * 2) &&
+        (oursGa.pixels(d + 3) & 0xff) == ga(y)(x * 2 + 1))
+    }
+  }
+
+  test("aHashAny covers palette and interlaced PNGs (the icon class no longer escapes dedup)") {
+    val idx = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 16; x <- 0 until 16)
+      idx.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(idx, "png", bos)
+    assert(Multimodal.aHashAny(bos.toByteArray) != null)
   }
 
   test("encodePngFrame + resizePngFrame: distributed real-pixel path across partitions") {
