@@ -1953,6 +1953,32 @@ object SparkEntry {
           sum(when(col("format") === "png", 1L).otherwise(0L)).as("n_png"))
     }),
 
+    // EXIF orientation canonicalization (round 8): every rotated twin
+    // (stored 90° CCW + orientation tag 6) must hash within JPEG
+    // quantization noise of its upright copy, and every tag must
+    // parse — counts the SQL oracle predicts exactly.
+    "multimodal_exif_orient" -> ((s, dir) => {
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 40 + 9).cast("int").as("w"),
+        (col("doc_id") % 32 + 9).cast("int").as("h"))
+      val pairs = Multimodal.encodeJpegOrientedPairFrame(dims, "doc_id", "w", "h")
+      val up = Multimodal.aHashAnyFrame(pairs.select(col("media_id"), col("data")))
+        .select(col("media_id"), col("ahash").as("h_up"))
+      val or = Multimodal.aHashAnyFrame(
+          pairs.select(col("media_id"), col("data_oriented").as("data")))
+        .select(col("media_id"), col("ahash").as("h_or"))
+      val tags = Multimodal.exifOrientationFrame(
+        pairs.select(col("media_id"), col("data_oriented").as("data")))
+      up.join(or, "media_id").join(tags, "media_id")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(bit_count(col("h_up").bitwiseXOR(col("h_or"))) <= 8, 1L)
+            .otherwise(0L)).as("n_close"),
+          sum(when(col("orientation") === 6, 1L).otherwise(0L)).as("n_tag6"),
+          sum(when(col("h_up").isNull || col("h_or").isNull, 1L)
+            .otherwise(0L)).as("n_null"))
+    }),
     // Round-8 PNG classes: palette (type 3, +tRNS→RGBA) and grayscale
     // (type 0) decode end-to-end; per-pixel channel sums make any
     // unfilter/lookup/expansion defect shift a total the SQL oracle
@@ -4136,6 +4162,12 @@ object SparkEntry {
         |  CAST(sum(greatest(1, h * 50 // 100)) AS BIGINT) AS sum_rh,
         |  CAST(count(*) AS BIGINT) AS n_hash_match
         |FROM dims""".stripMargin,
+    "multimodal_exif_orient" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_close,
+        |  CAST(count(*) AS BIGINT) AS n_tag6,
+        |  CAST(0 AS BIGINT) AS n_null
+        |FROM documents WHERE doc_id < 200""".stripMargin,
     "multimodal_png_palette" ->
       """WITH dims AS (
         |  SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 9 + 2 AS h

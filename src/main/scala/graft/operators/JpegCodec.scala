@@ -254,6 +254,103 @@ object JpegCodec {
     null
   }
 
+  /** EXIF orientation (tag 0x0112) from the APP1 segment's embedded
+    * TIFF structure — the ~100-line parse that feeds orientation
+    * canonicalization: marker walk to APP1 "Exif\0\0", TIFF header
+    * (II/MM byte order, magic 42, IFD0 offset), IFD0 entry scan for
+    * the SHORT orientation value 1..8 (TIFF 6.0 §2 / EXIF 2.3 §4.6.4
+    * — public specs). Returns 1 (the identity orientation) when the
+    * tag, the APP1 segment, or the whole EXIF block is absent or
+    * malformed: orientation is ancillary metadata, and a camera file
+    * with a corrupt EXIF should still hash in stored orientation
+    * rather than kill the task — unlike pixel-payload corruption,
+    * which fails decode loudly. */
+  def exifOrientation(bytes: Array[Byte]): Int = {
+    if (bytes == null || bytes.length < 4 ||
+      (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return 1
+    var off = 2
+    while (off + 4 <= bytes.length) {
+      if ((bytes(off) & 0xff) != 0xff) return 1
+      val m = bytes(off + 1) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { off += 2 }
+      else if (m == 0xd9 || m == 0xda) return 1 // EOI / SOS: no APP1 ahead
+      else {
+        val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        if (len < 2 || off + 2 + len > bytes.length) return 1
+        if (m == 0xe1 && len >= 2 + 6 + 8 &&
+          bytes(off + 4) == 'E' && bytes(off + 5) == 'x' &&
+          bytes(off + 6) == 'i' && bytes(off + 7) == 'f' &&
+          bytes(off + 8) == 0 && bytes(off + 9) == 0) {
+          val base = off + 10
+          val end = off + 2 + len
+          def u16(p: Int, little: Boolean): Int =
+            if (p + 2 > end) -1
+            else if (little) (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+            else ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+          def u32(p: Int, little: Boolean): Long =
+            if (p + 4 > end) -1L
+            else if (little)
+              (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+                ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+            else
+              ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+                ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+          val little =
+            if (base + 2 <= end && bytes(base) == 'I' && bytes(base + 1) == 'I') true
+            else if (base + 2 <= end && bytes(base) == 'M' && bytes(base + 1) == 'M') false
+            else return 1
+          if (u16(base + 2, little) != 42) return 1
+          val ifd0 = u32(base + 4, little)
+          if (ifd0 < 0 || base + ifd0 + 2 > end) return 1
+          val ifdOff = base + ifd0.toInt
+          val n = u16(ifdOff, little)
+          if (n < 0) return 1
+          var i = 0
+          while (i < n) {
+            val e = ifdOff + 2 + i * 12
+            if (e + 12 > end) return 1
+            if (u16(e, little) == 0x0112 && u16(e + 2, little) == 3 &&
+              u32(e + 4, little) == 1L) {
+              val v = u16(e + 8, little) // SHORT value inline, first 2 bytes
+              return if (v >= 1 && v <= 8) v else 1
+            }
+            i += 1
+          }
+          return 1 // well-formed EXIF, no orientation tag
+        }
+        off += 2 + len
+      }
+    }
+    1
+  }
+
+  /** Insert an APP1/EXIF segment carrying ONLY the orientation tag
+    * immediately after SOI — the metadata-write side of
+    * [[exifOrientation]] (minimal single-IFD little-endian TIFF). The
+    * entropy stream is untouched. */
+  def withExifOrientation(jpeg: Array[Byte], orientation: Int): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation must be 1..8, got $orientation")
+    require(jpeg != null && jpeg.length >= 2 &&
+      (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8, "not a JPEG payload")
+    val tiff = Array[Byte](
+      'I', 'I', 42, 0, 8, 0, 0, 0, // little-endian, magic, IFD0 at 8
+      1, 0, // one entry
+      0x12, 0x01, 3, 0, 1, 0, 0, 0, // tag 0x0112, SHORT, count 1
+      orientation.toByte, 0, 0, 0, // value
+      0, 0, 0, 0) // no next IFD
+    val payload = "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff
+    val segLen = 2 + payload.length
+    val out = new Array[Byte](jpeg.length + 4 + payload.length)
+    out(0) = 0xff.toByte; out(1) = 0xd8.toByte
+    out(2) = 0xff.toByte; out(3) = 0xe1.toByte
+    out(4) = ((segLen >> 8) & 0xff).toByte
+    out(5) = (segLen & 0xff).toByte
+    System.arraycopy(payload, 0, out, 6, payload.length)
+    System.arraycopy(jpeg, 2, out, 6 + payload.length, jpeg.length - 2)
+    out
+  }
+
   /** Full decode → RGB [[Raster]] (grayscale replicated to three
     * channels): baseline/extended sequential (SOF0/SOF1) AND
     * progressive (SOF2 — spectral selection + successive approximation,

@@ -219,13 +219,55 @@ object Multimodal {
     hash
   }
 
+  /** Apply an EXIF orientation (1..8) to a decoded raster, returning
+    * the UPRIGHT image — the transform a viewer performs before
+    * display (TIFF 6.0 orientation semantics): 2 mirrors
+    * horizontally, 3 rotates 180°, 4 mirrors vertically, 5 transposes,
+    * 6 rotates 90° CW, 7 anti-transposes, 8 rotates 90° CCW
+    * (orientations 5–8 swap the dimensions). Identity for 1. */
+  def orientRaster(r: PngCodec.Raster, orientation: Int): PngCodec.Raster = {
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation must be 1..8, got $orientation")
+    if (orientation == 1) return r
+    val (w, h, ch) = (r.width, r.height, r.channels)
+    val swap = orientation >= 5
+    val (nw, nh) = if (swap) (h, w) else (w, h)
+    val out = new Array[Byte](nw * nh * ch)
+    var y = 0
+    while (y < nh) {
+      var x = 0
+      while (x < nw) {
+        val (sx, sy) = orientation match {
+          case 2 => (w - 1 - x, y)
+          case 3 => (w - 1 - x, h - 1 - y)
+          case 4 => (x, h - 1 - y)
+          case 5 => (y, x)
+          case 6 => (y, h - 1 - x)
+          case 7 => (w - 1 - y, h - 1 - x)
+          case _ => (w - 1 - y, x) // 8
+        }
+        val s = (sy * w + sx) * ch
+        val d = (y * nw + x) * ch
+        var k = 0
+        while (k < ch) { out(d + k) = r.pixels(s + k); k += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    PngCodec.Raster(nw, nh, ch, out)
+  }
+
   /** Format-dispatching perceptual hash: BMP payloads take the direct
     * byte path ([[aHash64]]), PNG and baseline JPEG decode through
     * their real codecs into [[aHashRaster]]. BMP and PNG of the same
     * visual image hash IDENTICALLY (both lossless); a JPEG of the same
     * image lands within a few hamming bits (quantization noise) — the
-    * banding dedup machinery absorbs that by construction. Null for
-    * unknown or undecodable payloads. */
+    * banding dedup machinery absorbs that by construction. JPEG
+    * payloads are EXIF-orientation-canonicalized first
+    * ([[JpegCodec.exifOrientation]] → [[orientRaster]]): a camera
+    * photo stored rotated hashes like its upright copy, so the pair no
+    * longer dodges near-dup. Null for unknown or undecodable
+    * payloads. */
   def aHashAny(bytes: Array[Byte]): java.lang.Long = {
     val (fmt, w, h) = parseDims(bytes)
     if (w <= 0 || h <= 0) return null
@@ -237,13 +279,26 @@ object Multimodal {
         try aHashRaster(PngCodec.decode(bytes))
         catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
       case "jpeg" =>
-        try aHashRaster(JpegCodec.decode(bytes))
+        try aHashRaster(
+          orientRaster(JpegCodec.decode(bytes), JpegCodec.exifOrientation(bytes)))
         catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
       case "gif" =>
         try aHashRaster(GifCodec.decode(bytes))
         catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
       case _ => null
     }
+  }
+
+  /** EXIF orientation per payload of a (media_id, data) frame —
+    * (media_id, orientation), 1 for non-JPEG or tag-less payloads.
+    * Row-local metadata extraction. */
+  def exifOrientationFrame(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => (id, JpegCodec.exifOrientation(b)) })
+      .toDF("media_id", "orientation")
   }
 
   /** Per-row [[aHash64]] over a (media_id, data) frame — row-local
@@ -687,6 +742,29 @@ object Multimodal {
         (id, JpegCodec.encode(PngCodec.gradient(id, w, h)))
       })
       .toDF("media_id", "data")
+  }
+
+  /** Encode one upright JPEG and one EXIF-rotated twin per
+    * (id, width, height) row: the twin stores the SAME visual image
+    * rotated 90° CCW in pixel space and carries EXIF orientation 6
+    * ("rotate 90° CW to display" — the most common camera tag), so an
+    * orientation-canonical hash puts the pair within JPEG quantization
+    * noise while a naive stored-space hash sees two unrelated images.
+    * Output (media_id, data, data_oriented); row-local. */
+  def encodeJpegOrientedPairFrame(dims: DataFrame, idCol: String, wCol: String,
+      hCol: String): DataFrame = {
+    val spark = dims.sparkSession
+    import spark.implicits._
+    dims.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        val up = PngCodec.gradient(id, w, h)
+        // stored-with-tag-6 pixels = the inverse transform = tag 8's
+        val stored = orientRaster(up, 8)
+        (id, JpegCodec.encode(up),
+          JpegCodec.withExifOrientation(JpegCodec.encode(stored), 6))
+      })
+      .toDF("media_id", "data", "data_oriented")
   }
 
   /** [[encodeJpegFrame]]'s PROGRESSIVE (SOF2) sibling — same gradients,

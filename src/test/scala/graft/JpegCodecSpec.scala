@@ -327,6 +327,46 @@ class JpegCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { JpegCodec.encode(tall) }
   }
 
+  test("EXIF orientation: write → parse round-trips all 8; decode unaffected") {
+    val base = JpegCodec.encode(PngCodec.gradient(3L, 17, 11))
+    assert(JpegCodec.exifOrientation(base) == 1) // no APP1 at all
+    for (o <- 1 to 8) {
+      val tagged = JpegCodec.withExifOrientation(base, o)
+      assert(JpegCodec.exifOrientation(tagged) == o)
+      // the APP1 insert must not disturb dims parsing or pixel decode
+      assert(JpegCodec.parseDimsJpeg(tagged) == (17, 11))
+      assert(JpegCodec.decode(tagged).pixels
+        .sameElements(JpegCodec.decode(base).pixels))
+    }
+    intercept[IllegalArgumentException] { JpegCodec.withExifOrientation(base, 0) }
+    intercept[IllegalArgumentException] { JpegCodec.withExifOrientation(base, 9) }
+  }
+
+  test("EXIF orientation: big-endian TIFF parses; malformed EXIF degrades to 1") {
+    val base = JpegCodec.encode(PngCodec.gradient(4L, 9, 9))
+    // hand-build a BIG-endian (MM) APP1 with orientation 7
+    val tiff = Array[Byte](
+      'M', 'M', 0, 42, 0, 0, 0, 8, // big-endian, magic, IFD0 at 8
+      0, 1, // one entry
+      0x01, 0x12, 0, 3, 0, 0, 0, 1, // tag 0x0112, SHORT, count 1
+      0, 7, 0, 0, // value 7 (big-endian SHORT in first two bytes)
+      0, 0, 0, 0)
+    val payload = "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff
+    val segLen = 2 + payload.length
+    val mm = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe1.toByte,
+      ((segLen >> 8) & 0xff).toByte, (segLen & 0xff).toByte) ++
+      payload ++ base.drop(2)
+    assert(JpegCodec.exifOrientation(mm) == 7)
+    // corrupt byte-order mark (tiff[0], absolute 12) → 1, never a throw
+    val bad = mm.clone(); bad(12) = 'X'
+    assert(JpegCodec.exifOrientation(bad) == 1)
+    // orientation value out of range (SHORT low byte at tiff[19]) → 1
+    val oor = mm.clone(); oor(12 + 19) = 99.toByte
+    assert(JpegCodec.exifOrientation(oor) == 1)
+    // truncated mid-APP1 → 1, never a throw
+    assert(JpegCodec.exifOrientation(mm.take(20)) == 1)
+  }
+
   test("decode rejects implausible SOF dims before any allocation math can overflow") {
     // hand-built FFD8 + SOF0 declaring 65535x65535: the plane and
     // progressive-coefficient sizes (w*h*...) would wrap Int — decode

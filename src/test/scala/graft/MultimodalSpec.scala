@@ -525,6 +525,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("orientRaster: all 8 EXIF orientations invert exactly; 5-8 swap dims") {
+    val u = graft.operators.PngCodec.gradient(13L, 7, 4) // non-square, asymmetric
+    // T_o applied to T_{o⁻¹}(U) must reproduce U pixel-exact;
+    // the only non-self-inverse pair is (6, 8)
+    val inv = Map(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 4, 5 -> 5, 6 -> 8, 7 -> 7, 8 -> 6)
+    for (o <- 1 to 8) {
+      val stored = Multimodal.orientRaster(u, inv(o))
+      if (o >= 5) assert(stored.width == 4 && stored.height == 7)
+      val back = Multimodal.orientRaster(stored, o)
+      assert(back.width == 7 && back.height == 4 &&
+        back.pixels.sameElements(u.pixels), s"orientation $o")
+    }
+    // distinct orientations of an asymmetric image are distinct images
+    val rasters = (1 to 8).map(o => Multimodal.orientRaster(u, o))
+    assert(rasters.map(_.pixels.toSeq).distinct.size == 8)
+    intercept[IllegalArgumentException] { Multimodal.orientRaster(u, 0) }
+  }
+
+  test("aHashAny canonicalizes EXIF orientation: a rotated camera shot pairs with its upright copy") {
+    for (id <- Seq(1L, 2L, 3L); (w, h) <- Seq((24, 17), (9, 31))) {
+      val up = graft.operators.PngCodec.gradient(id, w, h)
+      val upright = graft.operators.JpegCodec.encode(up)
+      // same visual image, stored rotated 90° CCW, tagged "rotate CW"
+      val rotated = graft.operators.JpegCodec.withExifOrientation(
+        graft.operators.JpegCodec.encode(Multimodal.orientRaster(up, 8)), 6)
+      val hu = Multimodal.aHashAny(upright).longValue
+      val hr = Multimodal.aHashAny(rotated).longValue
+      val d = java.lang.Long.bitCount(hu ^ hr)
+      assert(d <= 6, s"id=$id ${w}x$h: hamming $d")
+      // contrast: WITHOUT the tag the stored-space hashes are unrelated
+      val untagged = Multimodal.aHashAny(
+        graft.operators.JpegCodec.encode(Multimodal.orientRaster(up, 8))).longValue
+      assert(java.lang.Long.bitCount(hu ^ untagged) > d,
+        s"id=$id ${w}x$h: canonicalization did not help")
+    }
+  }
+
   test("aHashAny covers palette and interlaced PNGs (the icon class no longer escapes dedup)") {
     val idx = new java.awt.image.BufferedImage(16, 16,
       java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
