@@ -1935,7 +1935,12 @@ object SparkEntry {
             codec = "mulaw")).toDF()
         .select(col("mediaId").as("doc_id"), col("byteLen").as("mu_bytes"),
           col("peakAbs").as("mu_peak"), col("sumSamples").as("mu_sum"))
-      f8.join(fu, "doc_id").orderBy("doc_id")
+      val fa = Multimodal.extractAudioFeatures(
+          Multimodal.encodeWavFrame(spec, "doc_id", "frames", "ch", "rate",
+            codec = "alaw")).toDF()
+        .select(col("mediaId").as("doc_id"), col("byteLen").as("al_bytes"),
+          col("peakAbs").as("al_peak"), col("sumSamples").as("al_sum"))
+      f8.join(fu, "doc_id").join(fa, "doc_id").orderBy("doc_id")
     }),
     "multimodal_resize_png" -> ((s, dir) => {
       val dims = tbl(s, dir, "documents").select(
@@ -4110,14 +4115,36 @@ object SparkEntry {
         |         WHEN mag < 4096 THEN 4 WHEN mag < 8192 THEN 5
         |         WHEN mag < 16384 THEN 6 ELSE 7 END AS e
         |  FROM comp
+        |), acomp AS (
+        |  -- A-law compression: arithmetic >>3, fold negatives, segment
+        |  -- by (0x20<<k) thresholds (G.711 Table 1a)
+        |  SELECT doc_id, frames, ch, v, mag, e,
+        |    CAST(floor(v / 8.0) AS BIGINT) AS va
+        |  FROM comp2
+        |), acomp2 AS (
+        |  SELECT doc_id, frames, ch, v, mag, e,
+        |    CASE WHEN va >= 0 THEN va ELSE -va - 1 END AS ua,
+        |    CASE WHEN va >= 0 THEN 1 ELSE -1 END AS sa
+        |  FROM acomp
+        |), acomp3 AS (
+        |  SELECT doc_id, frames, ch, v, mag, e, ua, sa,
+        |    CASE WHEN ua < 32 THEN 0 WHEN ua < 64 THEN 1 WHEN ua < 128 THEN 2
+        |         WHEN ua < 256 THEN 3 WHEN ua < 512 THEN 4 WHEN ua < 1024 THEN 5
+        |         WHEN ua < 2048 THEN 6 WHEN ua < 4096 THEN 7 ELSE 8 END AS sega
+        |  FROM acomp2
         |), q AS (
         |  SELECT doc_id, frames, ch,
         |    -- pcm8: sample floored to its 256-multiple
         |    CAST(floor(v / 256.0) AS BIGINT) * 256 AS d8,
         |    -- mu-law: decode(encode(v)) closed form
         |    (CASE WHEN v < 0 THEN -1 ELSE 1 END) *
-        |      ((((mag >> (e + 3)) & 15) * 8 + 132) * (1 << e) - 132) AS du
-        |  FROM comp2
+        |      ((((mag >> (e + 3)) & 15) * 8 + 132) * (1 << e) - 132) AS du,
+        |    -- A-law: decode(encode(v)) closed form
+        |    sa * (CASE WHEN sega >= 8 THEN 32256
+        |          WHEN sega = 0 THEN ((ua >> 1) & 15) * 16 + 8
+        |          ELSE (((ua >> (CASE WHEN sega < 2 THEN 1 ELSE sega END)) & 15)
+        |                * 16 + 264) * (1 << (sega - 1)) END) AS da
+        |  FROM acomp3
         |)
         |SELECT doc_id,
         |  CAST(44 + frames * ch AS BIGINT) AS p8_bytes,
@@ -4125,7 +4152,10 @@ object SparkEntry {
         |  CAST(sum(d8) AS BIGINT) AS p8_sum,
         |  CAST(44 + frames * ch AS BIGINT) AS mu_bytes,
         |  CAST(max(abs(du)) AS INTEGER) AS mu_peak,
-        |  CAST(sum(du) AS BIGINT) AS mu_sum
+        |  CAST(sum(du) AS BIGINT) AS mu_sum,
+        |  CAST(44 + frames * ch AS BIGINT) AS al_bytes,
+        |  CAST(max(abs(da)) AS INTEGER) AS al_peak,
+        |  CAST(sum(da) AS BIGINT) AS al_sum
         |FROM q
         |GROUP BY doc_id, frames, ch
         |ORDER BY doc_id""".stripMargin,

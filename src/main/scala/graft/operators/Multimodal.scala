@@ -356,9 +356,10 @@ object Multimodal {
     val enc: WavCodec.Audio => Array[Byte] = codec match {
       case "pcm16" => WavCodec.encode
       case "pcm8"  => WavCodec.encodePcm8
+      case "alaw"  => WavCodec.encodeALaw
       case "mulaw" => WavCodec.encodeMuLaw
       case other => throw new IllegalArgumentException(
-        s"unknown WAV codec '$other' (pcm16 | pcm8 | mulaw)")
+        s"unknown WAV codec '$other' (pcm16 | pcm8 | alaw | mulaw)")
     }
     val spark = spec.sparkSession
     import spark.implicits._

@@ -4,9 +4,10 @@ package graft.operators
   * audio analog of the BMP work: RIFF/WAVE chunk framing with a
   * `fmt ` chunk and a `data` chunk of little-endian interleaved
   * samples. Decodes 16-bit PCM (format 1), 8-bit unsigned PCM
-  * (format 1 — widened `(b−128)·256`), and G.711 µ-law (format 7 —
-  * the ITU-T closed-form expansion, the other common crawl-WAV
-  * encoding). Pure byte math, no audio library; genuinely compressed
+  * (format 1 — widened `(b−128)·256`), and BOTH G.711 halves —
+  * A-law (format 6) and µ-law (format 7), each the ITU-T closed-form
+  * expansion; telephony-adjacent corpora carry both. Pure byte math,
+  * no audio library; genuinely compressed
   * codecs (MP3/AAC/Opus — psychoacoustic transforms) stay honestly
   * out of scope the way JPEG's DCT was before [[JpegCodec]], and fail
   * loudly here.
@@ -69,10 +70,44 @@ object WavCodec {
     ~(sign | (e << 4) | m) & 0xff
   }
 
+  /** G.711 A-law byte → linear 16-bit sample — the standard
+    * closed-form expansion (ITU-T G.711 Table 1a; the classic Sun/
+    * CCITT reference shape): XOR 0x55, split sign/exponent/mantissa,
+    * segment 0 is linear (`(m·16)+8`), higher segments
+    * `((m·16)+0x108) << (e−1)`; max magnitude 32256. The sign bit is
+    * UNTOUCHED by the 0x55 toggle, and SET means positive — A-law's
+    * convention is the reverse of µ-law's complement. */
+  def alawToLinear(a: Int): Int = {
+    val x = (a ^ 0x55) & 0xff
+    val e = (x >> 4) & 7
+    val m = x & 0xf
+    val mag = if (e == 0) (m << 4) + 8 else ((m << 4) + 0x108) << (e - 1)
+    if ((x & 0x80) != 0) mag else -mag
+  }
+
+  /** Linear 16-bit sample → G.711 A-law byte (the matching
+    * compressor): drop 3 LSBs, segment by magnitude thresholds
+    * ((0x20≪k)−1), mantissa from the segment-scaled remainder, XOR mask
+    * 0xD5 (positive) / 0x55 (negative). `encodeALaw(decode(...))` is
+    * the identity on ALL 256 codes (unlike µ-law, A-law has no
+    * negative-zero collapse — both zero codes survive; pinned in
+    * WavCodecSpec). */
+  def linearToAlaw(s: Int): Int = {
+    var v = s >> 3 // arithmetic: keeps the sign, drops the 3 sub-step bits
+    val mask = if (v >= 0) 0xd5 else { v = -v - 1; 0x55 }
+    var seg = 0
+    while (seg < 8 && v >= (0x20 << seg)) seg += 1
+    if (seg >= 8) 0x7f ^ mask
+    else {
+      val shift = if (seg < 2) 1 else seg
+      ((seg << 4) | ((v >> shift) & 0xf)) ^ mask
+    }
+  }
+
   /** Full parse: walk the chunk list, read `fmt ` and `data`.
-    * Supported encodings: PCM16, unsigned PCM8, µ-law — everything
-    * else (IEEE float, ADPCM, MP3-in-WAV, ...) fails loudly rather
-    * than mis-read samples. */
+    * Supported encodings: PCM16, unsigned PCM8, A-law, µ-law —
+    * everything else (IEEE float, ADPCM, MP3-in-WAV, ...) fails
+    * loudly rather than mis-read samples. */
   def decode(bytes: Array[Byte]): Audio = {
     require(isWav(bytes), "not a RIFF/WAVE payload")
     var off = 12
@@ -92,8 +127,8 @@ object WavCodec {
         case "fmt " =>
           require(len >= 16, "fmt chunk too short")
           fmt = le16(bytes, off + 8)
-          require(fmt == 1 || fmt == 7,
-            s"only PCM (format 1) and mu-law (format 7) supported, got $fmt")
+          require(fmt == 1 || fmt == 6 || fmt == 7,
+            s"only PCM (format 1), A-law (format 6) and mu-law (format 7) supported, got $fmt")
           channels = le16(bytes, off + 10)
           rate = le32(bytes, off + 12)
           bits = le16(bytes, off + 22)
@@ -103,11 +138,17 @@ object WavCodec {
             require(bits == 16 || bits == 8,
               s"only 8/16-bit PCM supported, got $bits")
           else
-            require(bits == 8, s"mu-law must be 8-bit, got $bits")
+            require(bits == 8, s"G.711 must be 8-bit, got $bits")
         case "data" =>
           require(channels > 0, "data chunk before fmt")
+          // frame alignment, every encoding: a data chunk that ends
+          // mid-frame is malformed — fail loudly like every other
+          // corrupt-payload case instead of silently truncating the
+          // partial trailing frame
+          val bytesPer = if (fmt == 1 && bits == 16) 2 else 1
+          require(len % (channels * bytesPer) == 0,
+            s"partial frame in data chunk (len $len, $channels ch x $bytesPer B)")
           if (fmt == 1 && bits == 16) {
-            require(len % 2 == 0, "odd data length for 16-bit PCM")
             data = new Array[Short](len / 2)
             var i = 0
             while (i < data.length) {
@@ -119,6 +160,13 @@ object WavCodec {
             var i = 0
             while (i < data.length) {
               data(i) = (((bytes(off + 8 + i) & 0xff) - 128) << 8).toShort
+              i += 1
+            }
+          } else if (fmt == 6) { // A-law
+            data = new Array[Short](len)
+            var i = 0
+            while (i < data.length) {
+              data(i) = alawToLinear(bytes(off + 8 + i) & 0xff).toShort
               i += 1
             }
           } else { // mu-law
@@ -180,6 +228,20 @@ object WavCodec {
     var i = 0
     while (i < a.samples.length) {
       out(44 + i) = linearToUlaw(a.samples(i).toInt).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Serialize as G.711 A-law (format 6) — canonical 44-byte header,
+    * size = `44 + samples`. `decode(encodeALaw(a))` returns each
+    * sample quantized through the A-law companding ladder. */
+  def encodeALaw(a: Audio): Array[Byte] = {
+    require(a.samples.length % a.channels == 0, "partial frame")
+    val out = header(a, fmtTag = 6, bits = 8)
+    var i = 0
+    while (i < a.samples.length) {
+      out(44 + i) = linearToAlaw(a.samples(i).toInt).toByte
       i += 1
     }
     out

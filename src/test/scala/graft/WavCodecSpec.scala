@@ -48,7 +48,10 @@ class WavCodecSpec extends SparkSpec {
       .getMessage.contains("PCM"))
     val wideUlaw = bytes.clone(); wideUlaw(20) = 7 // mu-law claims 16-bit
     assert(intercept[IllegalArgumentException] { WavCodec.decode(wideUlaw) }
-      .getMessage.contains("mu-law"))
+      .getMessage.contains("G.711"))
+    val wideAlaw = bytes.clone(); wideAlaw(20) = 6 // A-law claims 16-bit
+    assert(intercept[IllegalArgumentException] { WavCodec.decode(wideAlaw) }
+      .getMessage.contains("G.711"))
     val bits24 = bytes.clone(); bits24(34) = 24
     assert(intercept[IllegalArgumentException] { WavCodec.decode(bits24) }
       .getMessage.contains("8/16-bit"))
@@ -70,6 +73,55 @@ class WavCodecSpec extends SparkSpec {
     // clipping: anything past the ladder top lands on the extreme code
     assert(WavCodec.linearToUlaw(32767) == 0x80)
     assert(WavCodec.linearToUlaw(-32768) == 0x00)
+  }
+
+  test("A-law companding: byte round-trip over all 256 codes; known anchors") {
+    // unlike mu-law there is NO negative-zero collapse: decode→encode
+    // is the identity on every byte
+    for (b <- 0 until 256)
+      assert(WavCodec.linearToAlaw(WavCodec.alawToLinear(b)) == b, s"byte $b")
+    // G.711 Table 1a anchors: smallest steps ±8, extremes ±32256
+    assert(WavCodec.alawToLinear(0xd5) == 8)
+    assert(WavCodec.alawToLinear(0x55) == -8)
+    assert(WavCodec.alawToLinear(0xaa) == 32256)
+    assert(WavCodec.alawToLinear(0x2a) == -32256)
+    // clipping: past the ladder top lands on the extreme code
+    assert(WavCodec.linearToAlaw(32767) == 0xaa)
+    assert(WavCodec.linearToAlaw(-32768) == 0x2a)
+    // quantization error bounded by the largest A-law step (1024)
+    for (s <- -32768 to 32767 by 97) {
+      val q = WavCodec.alawToLinear(WavCodec.linearToAlaw(s))
+      assert(math.abs(q - s) <= 1024, s"sample $s → $q")
+    }
+  }
+
+  test("encodeALaw → decode quantizes through the companding ladder; size closed form") {
+    val a = WavCodec.signal(9L, frames = 45, channels = 2, sampleRate = 8000)
+    val bytes = WavCodec.encodeALaw(a)
+    assert(bytes.length == 44 + 45 * 2)
+    assert((bytes(20) & 0xff) == 6) // format tag: A-law
+    val back = WavCodec.decode(bytes)
+    assert(back.channels == 2 && back.sampleRate == 8000 && back.frames == 45)
+    for (i <- a.samples.indices)
+      assert(back.samples(i) ==
+        WavCodec.alawToLinear(WavCodec.linearToAlaw(a.samples(i).toInt)),
+        s"sample $i")
+  }
+
+  test("a data chunk ending mid-frame fails loudly (never silent truncation)") {
+    // stereo mu-law with an ODD data length: 16-bit-PCM's len%2 check
+    // would never catch it; the frame-alignment require must
+    val stereo = WavCodec.encodeMuLaw(WavCodec.signal(3L, 10, 2, 8000))
+    val trunc = stereo.take(stereo.length - 1).clone()
+    // patch RIFF + data lengths so only the FRAME alignment is at fault
+    def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe32(trunc, 4, trunc.length - 8)
+    putLe32(trunc, 40, 19)
+    assert(intercept[IllegalArgumentException] { WavCodec.decode(trunc) }
+      .getMessage.contains("partial frame"))
   }
 
   test("encodePcm8 → decode floors samples to 256-multiples; size closed form") {
