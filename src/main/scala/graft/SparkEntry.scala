@@ -1958,6 +1958,29 @@ object SparkEntry {
           sum(when(col("format") === "png", 1L).otherwise(0L)).as("n_png"))
     }),
 
+    // Animated-GIF later-frame decode (round 8): blank-splash-first
+    // animations must fingerprint on their MIDDLE frame — frame 0
+    // hashes to the all-zero solid hash, the meta-driven mid frame to
+    // real content; counts the SQL oracle predicts exactly.
+    "multimodal_gif_frames" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 30 + 4).cast("int").as("w"),
+        (col("doc_id") % 20 + 4).cast("int").as("h"),
+        (col("doc_id") % 3 + 2).cast("int").as("frames"),
+        lit(4).cast("int").as("delay_cs"))
+      val media = Multimodal.encodeAnimatedGifFrame(
+        spec, "doc_id", "w", "h", "frames", "delay_cs", blankFirst = true)
+      Multimodal.gifFrameHashFrame(media)
+        .agg(
+          count(lit(1)).as("n"),
+          sum("n_frames").as("sum_frames"),
+          sum("frame_idx").as("sum_idx"),
+          sum(when(col("ahash_first") === 0L, 1L).otherwise(0L)).as("n_blank_first"),
+          sum(when(col("ahash_mid") =!= 0L, 1L).otherwise(0L)).as("n_content_mid"),
+          sum(when(col("ahash_first").isNull || col("ahash_mid").isNull, 1L)
+            .otherwise(0L)).as("n_null"))
+    }),
     // EXIF orientation canonicalization (round 8): every rotated twin
     // (stored 90° CCW + orientation tag 6) must hash within JPEG
     // quantization noise of its upright copy, and every tag must
@@ -4192,6 +4215,14 @@ object SparkEntry {
         |  CAST(sum(greatest(1, h * 50 // 100)) AS BIGINT) AS sum_rh,
         |  CAST(count(*) AS BIGINT) AS n_hash_match
         |FROM dims""".stripMargin,
+    "multimodal_gif_frames" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id % 3 + 2) AS BIGINT) AS sum_frames,
+        |  CAST(sum((doc_id % 3 + 2) // 2) AS BIGINT) AS sum_idx,
+        |  CAST(count(*) AS BIGINT) AS n_blank_first,
+        |  CAST(count(*) AS BIGINT) AS n_content_mid,
+        |  CAST(0 AS BIGINT) AS n_null
+        |FROM documents WHERE doc_id < 200""".stripMargin,
     "multimodal_exif_orient" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(*) AS BIGINT) AS n_close,

@@ -121,7 +121,22 @@ object GifCodec {
   /** Decode the FIRST image frame onto the logical screen as a 24bpp
     * [[PngCodec.Raster]]. Malformed, truncated or LZW-corrupt payloads
     * fail loudly ([[IllegalArgumentException]]). */
-  def decode(bytes: Array[Byte]): PngCodec.Raster = {
+  def decode(bytes: Array[Byte]): PngCodec.Raster = decodeFrame(bytes, 0)
+
+  /** Decode animation frame `frame` (0-based) AS DISPLAYED: frames
+    * 0..frame−1 composite onto the logical screen first, each honoring
+    * its Graphic Control Extension — transparent-index pixels leave
+    * the canvas visible, disposal 2 restores the frame rect to the
+    * background color, disposal 3 restores the pre-frame canvas
+    * (GIF89a spec §23; the round-7 first-frame decode skipped the GCE
+    * entirely, which is correct only for frame 0 of GCE-less files).
+    * This is the near-dup path for animations whose first frame is a
+    * blank splash: [[parseMeta]] (header walk, cheap) picks a content
+    * frame, this decodes it on demand at cost ∝ frame. Requesting a
+    * frame past the animation's end fails loudly with the frame
+    * count. */
+  def decodeFrame(bytes: Array[Byte], frame: Int): PngCodec.Raster = {
+    require(frame >= 0, s"frame must be non-negative, got $frame")
     require(isGif(bytes), "not a GIF payload")
     val w = le16(bytes, 6)
     val h = le16(bytes, 8)
@@ -137,27 +152,50 @@ object GifCodec {
       gct = java.util.Arrays.copyOfRange(bytes, off, off + n)
       off += n
     }
+    val hasBg = gct != null && bgIdx * 3 + 2 < gct.length
     val px = new Array[Byte](w * h * 3)
-    // canvas = background color (or black when no table defines it)
-    if (gct != null && bgIdx * 3 + 2 < gct.length) {
-      var i = 0
-      while (i < w * h) {
-        px(i * 3) = gct(bgIdx * 3); px(i * 3 + 1) = gct(bgIdx * 3 + 1)
-        px(i * 3 + 2) = gct(bgIdx * 3 + 2)
-        i += 1
+    def fillBg(x0: Int, y0: Int, fw: Int, fh: Int): Unit = {
+      var y = y0
+      while (y < y0 + fh) {
+        var x = x0
+        while (x < x0 + fw) {
+          val o = (y * w + x) * 3
+          if (hasBg) {
+            px(o) = gct(bgIdx * 3); px(o + 1) = gct(bgIdx * 3 + 1)
+            px(o + 2) = gct(bgIdx * 3 + 2)
+          } else { px(o) = 0; px(o + 1) = 0; px(o + 2) = 0 }
+          x += 1
+        }
+        y += 1
       }
     }
+    // canvas = background color (or black when no table defines it)
+    if (hasBg) fillBg(0, 0, w, h)
+    var k = 0 // frames composited so far
+    var disposal = 0
+    var transparent = -1
     while (off < bytes.length) {
       (bytes(off) & 0xff) match {
-        case 0x3b => // trailer — no frame seen
-          throw new IllegalArgumentException("GIF contains no image frame")
+        case 0x3b => // trailer
+          throw new IllegalArgumentException(
+            if (k == 0) "GIF contains no image frame"
+            else s"GIF has only $k frames, requested frame $frame")
         case 0x21 => // extension: label + length-prefixed sub-blocks
           require(off + 2 < bytes.length, "truncated extension")
+          val label = bytes(off + 1) & 0xff
+          val gce = label == 0xf9
           off += 2
+          var first = true
           while ({
             require(off < bytes.length, "truncated extension sub-block")
             val len = bytes(off) & 0xff
             require(off + 1 + len <= bytes.length, "truncated extension sub-block")
+            if (gce && first && len >= 4) {
+              val flags = bytes(off + 1) & 0xff
+              disposal = (flags >> 2) & 7
+              transparent = if ((flags & 1) != 0) bytes(off + 4) & 0xff else -1
+            }
+            first = false
             off += 1 + len
             len != 0
           }) ()
@@ -198,7 +236,11 @@ object GifCodec {
             len != 0
           }) ()
           val indices = lzwDecode(buf.toByteArray, minCode, iw * ih)
-          // blit (de-interlacing row order if flagged)
+          // disposal 3 needs the pre-frame canvas back afterwards
+          val snapshot =
+            if (k < frame && disposal == 3) px.clone() else null
+          // blit (de-interlacing row order if flagged); transparent
+          // pixels leave the composited canvas visible
           val rowOrder = interlaceOrder(ih, interlaced)
           var r = 0
           while (r < ih) {
@@ -206,15 +248,26 @@ object GifCodec {
             var x = 0
             while (x < iw) {
               val idx = indices(r * iw + x) & 0xff
-              require(idx * 3 + 2 < pal.length, s"palette index $idx out of range")
-              val o = ((y * w) + left + x) * 3
-              px(o) = pal(idx * 3); px(o + 1) = pal(idx * 3 + 1)
-              px(o + 2) = pal(idx * 3 + 2)
+              if (idx != transparent) {
+                require(idx * 3 + 2 < pal.length, s"palette index $idx out of range")
+                val o = ((y * w) + left + x) * 3
+                px(o) = pal(idx * 3); px(o + 1) = pal(idx * 3 + 1)
+                px(o + 2) = pal(idx * 3 + 2)
+              }
               x += 1
             }
             r += 1
           }
-          return PngCodec.Raster(w, h, 3, px)
+          if (k == frame) return PngCodec.Raster(w, h, 3, px)
+          // dispose before the next frame composites
+          disposal match {
+            case 2 => fillBg(left, top, iw, ih)
+            case 3 => System.arraycopy(snapshot, 0, px, 0, px.length)
+            case _ => () // 0/1: leave in place
+          }
+          disposal = 0
+          transparent = -1
+          k += 1
         case other =>
           throw new IllegalArgumentException(f"unknown GIF block 0x$other%02x")
       }
@@ -321,8 +374,14 @@ object GifCodec {
 
   /** Byte size of one frame section's entropy payload: literal codes +
     * clears + end, 9 bits each, plus the sub-block length prefixes —
-    * the shared term of both closed-form size contracts. */
+    * the shared term of both closed-form size contracts. The decode
+    * pixel cap is mirrored here BEFORE `w*h` is formed: header()
+    * permits dims to 65535², whose product wraps Int and would turn
+    * the closed-form sizes (and the output-stream hint) into negative
+    * garbage instead of a loud failure. */
   private def frameDataBytes(w: Int, h: Int): (Int, Int) = {
+    require(w > 0 && h > 0 && w.toLong * h <= MaxPixels,
+      s"implausible encode dimensions ${w}x$h")
     val n = w * h
     val codes = n + (n + GroupSize - 1) / GroupSize + 1 // literals + clears + end
     val dataBytes = (9 * codes + 7) / 8
@@ -391,6 +450,7 @@ object GifCodec {
   private def header(out: java.io.ByteArrayOutputStream,
       pal768: Array[Byte], w: Int, h: Int): Unit = {
     require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
+    require(w.toLong * h <= MaxPixels, s"implausible encode dimensions ${w}x$h")
     out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     out.write(w & 0xff); out.write(w >> 8)
     out.write(h & 0xff); out.write(h >> 8)
@@ -430,9 +490,13 @@ object GifCodec {
     * gradient frames (frame k uses seed `id + k`), each preceded by a
     * Graphic Control Extension carrying `delayCs` (1/100 s). The
     * metadata contract [[parseMeta]] replays: nFrames frames,
-    * animated, duration = nFrames · delayCs · 10 ms. */
+    * animated, duration = nFrames · delayCs · 10 ms. `blankFirst`
+    * writes frame 0 as a SOLID index-0 (black) splash instead — the
+    * web-animation shape whose first frame carries no fingerprint
+    * signal ([[decodeFrame]]'s reason to exist); the literal encoding
+    * makes the byte-size closed form identical either way. */
   def encodeAnimated(id: Long, w: Int, h: Int, nFrames: Int,
-      delayCs: Int): Array[Byte] = {
+      delayCs: Int, blankFirst: Boolean = false): Array[Byte] = {
     require(nFrames >= 1 && delayCs >= 0 && delayCs <= 0xffff,
       s"bad animation $nFrames frames delay $delayCs")
     val out = new java.io.ByteArrayOutputStream(animatedByteSize(w, h, nFrames))
@@ -445,8 +509,10 @@ object GifCodec {
       out.write(delayCs & 0xff); out.write(delayCs >> 8)
       out.write(0); out.write(0)
       val seed = id + k
-      frameSection(out,
-        (x, y) => ((seed + x * 7L + y * 13L) % 256).toInt, w, h, interlaced = false)
+      val at: (Int, Int) => Int =
+        if (blankFirst && k == 0) (_, _) => 0
+        else (x, y) => ((seed + x * 7L + y * 13L) % 256).toInt
+      frameSection(out, at, w, h, interlaced = false)
       k += 1
     }
     out.write(0x3b)

@@ -496,16 +496,45 @@ object Multimodal {
     * gradients ([[GifCodec.encodeAnimated]]) — row-local, payloads
     * never shuffle. Output: (media_id, data). */
   def encodeAnimatedGifFrame(spec: DataFrame, idCol: String, wCol: String,
-      hCol: String, framesCol: String, delayCsCol: String): DataFrame = {
+      hCol: String, framesCol: String, delayCsCol: String,
+      blankFirst: Boolean = false): DataFrame = {
     val spark = spec.sparkSession
     import spark.implicits._
     spec.select(col(idCol).cast("long"), col(wCol).cast("int"),
         col(hCol).cast("int"), col(framesCol).cast("int"), col(delayCsCol).cast("int"))
       .as[(Long, Int, Int, Int, Int)]
       .mapPartitions(_.map { case (id, w, h, nf, d) =>
-        (id, GifCodec.encodeAnimated(id, w, h, nf, d))
+        (id, GifCodec.encodeAnimated(id, w, h, nf, d, blankFirst))
       })
       .toDF("media_id", "data")
+  }
+
+  /** Meta-driven animation fingerprinting: the header walk
+    * ([[GifCodec.parseMeta]] — never touches LZW payloads) counts
+    * frames, then frame 0 AND the middle frame ⌊n/2⌋ decode on demand
+    * ([[GifCodec.decodeFrame]], cost ∝ frame index) and hash. An
+    * animation whose first frame is a blank splash still fingerprints
+    * on its content frames. Output (media_id, n_frames, frame_idx,
+    * ahash_first, ahash_mid); nulls for undecodable payloads.
+    * Row-local; payloads never shuffle. */
+  def gifFrameHashFrame(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        try {
+          val m = GifCodec.parseMeta(b)
+          val t = m.nFrames / 2
+          (id, m.nFrames, t,
+            Option(aHashRaster(GifCodec.decodeFrame(b, 0))),
+            Option(aHashRaster(GifCodec.decodeFrame(b, t))))
+        } catch {
+          case _: IllegalArgumentException | _: IndexOutOfBoundsException =>
+            (id, 0, 0, None: Option[Long], None: Option[Long])
+        }
+      })
+      .toDF("media_id", "n_frames", "frame_idx", "ahash_first", "ahash_mid")
   }
 
   /** Attach a media payload column: `data` binary + `meta` struct.

@@ -152,6 +152,114 @@ class GifCodecSpec extends SparkSpec {
     }
   }
 
+  test("decodeFrame: every animation frame decodes as displayed; out of range fails with the count") {
+    val (id, w, h, nf) = (5L, 14, 9, 4)
+    val anim = GifCodec.encodeAnimated(id, w, h, nf, delayCs = 3)
+    // full-screen disposal-0 frames: displayed frame k IS the gradient
+    // with seed id+k — byte-compare against the single-frame encode
+    for (k <- 0 until nf) {
+      val got = GifCodec.decodeFrame(anim, k)
+      val expect = GifCodec.decode(GifCodec.encodeGradient(id + k, w, h))
+      assert(got.pixels.sameElements(expect.pixels), s"frame $k")
+    }
+    assert(GifCodec.decode(anim).pixels
+      .sameElements(GifCodec.decodeFrame(anim, 0).pixels))
+    val e = intercept[IllegalArgumentException] { GifCodec.decodeFrame(anim, nf) }
+    assert(e.getMessage.contains(s"only $nf frames"))
+    intercept[IllegalArgumentException] { GifCodec.decodeFrame(anim, -1) }
+  }
+
+  test("decodeFrame composites transparency and disposal (GCE honored mid-animation)") {
+    // Hand-build a 3-frame 4x3 GIF over a 4-entry palette:
+    //   frame 0: full-screen solid color 1
+    //   frame 1: 2x2 rect at (1,1), disposal 2 (restore bg), one
+    //            TRANSPARENT pixel that must show frame 0's color
+    //   frame 2: 1x1 at (0,0) color 3, disposal 0
+    // Displayed frame 2 = bg-restored rect area + frame-0 remnants +
+    // the new pixel: every composite rule participates.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes)
+    out.write(4); out.write(0); out.write(3); out.write(0) // 4x3 screen
+    out.write(0x80 | 1) // GCT, 4 entries (2 bits)
+    out.write(0)        // background index 0
+    out.write(0)
+    val palette = Array(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    palette.foreach(out.write)
+    def gce(disposal: Int, transparentIdx: Int): Unit = {
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write((disposal << 2) | (if (transparentIdx >= 0) 1 else 0))
+      out.write(0); out.write(0)
+      out.write(if (transparentIdx >= 0) transparentIdx else 0)
+      out.write(0)
+    }
+    // uncompressed-style LZW: minCode 2 → codes 3 bits+, clear=4, end=5.
+    // Emit clear + literals + end, 8 pixels max per clear to keep the
+    // code width at the initial 3 bits (dict grows by one per literal).
+    def frame(left: Int, top: Int, fw: Int, fh: Int, idx: Seq[Int]): Unit = {
+      out.write(0x2c)
+      out.write(left); out.write(0); out.write(top); out.write(0)
+      out.write(fw); out.write(0); out.write(fh); out.write(0)
+      out.write(0) // no local table, not interlaced
+      out.write(2) // LZW min code size
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nb = 0
+      def put(c: Int): Unit = { acc |= (c.toLong << nb); nb += 3
+        while (nb >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 } }
+      // clear before EVERY literal: the dictionary never grows past 6,
+      // so the 3-bit code width is safe under both standard and
+      // early-change width-bump decoders
+      idx.foreach { i => put(4); put(i) }
+      put(5)
+      if (nb > 0) bits.write((acc & 0xff).toInt)
+      val data = bits.toByteArray
+      out.write(data.length); out.write(data, 0, data.length); out.write(0)
+    }
+    gce(0, -1); frame(0, 0, 4, 3, Seq.fill(12)(1))
+    gce(2, 2);  frame(1, 1, 2, 2, Seq(3, 2, 3, 3)) // index 2 transparent
+    gce(0, -1); frame(0, 0, 1, 1, Seq(3))
+    out.write(0x3b)
+    val gif = out.toByteArray
+    def rgb(r: PngCodec.Raster, x: Int, y: Int): Seq[Int] = {
+      val o = (y * 4 + x) * 3
+      Seq(r.pixels(o) & 0xff, r.pixels(o + 1) & 0xff, r.pixels(o + 2) & 0xff)
+    }
+    val c = Array(Seq(10, 20, 30), Seq(40, 50, 60), Seq(70, 80, 90), Seq(100, 110, 120))
+    val f0 = GifCodec.decodeFrame(gif, 0)
+    for (x <- 0 until 4; y <- 0 until 3) assert(rgb(f0, x, y) == c(1))
+    val f1 = GifCodec.decodeFrame(gif, 1)
+    assert(rgb(f1, 1, 1) == c(3) && rgb(f1, 2, 2) == c(3)) // opaque rect pixels
+    assert(rgb(f1, 2, 1) == c(1)) // transparent pixel: frame 0 shows through
+    assert(rgb(f1, 0, 0) == c(1)) // outside the rect: untouched
+    val f2 = GifCodec.decodeFrame(gif, 2)
+    assert(rgb(f2, 0, 0) == c(3)) // the new pixel
+    for ((x, y) <- Seq((1, 1), (2, 1), (1, 2), (2, 2)))
+      assert(rgb(f2, x, y) == c(0), s"($x,$y) not restored to background")
+    assert(rgb(f2, 3, 0) == c(1)) // frame-0 remnant survives disposal 2
+  }
+
+  test("blankFirst animation: identical closed-form size, solid splash, content mid-frame") {
+    val (id, w, h, nf) = (9L, 16, 12, 3)
+    val blank = GifCodec.encodeAnimated(id, w, h, nf, 2, blankFirst = true)
+    assert(blank.length == GifCodec.animatedByteSize(w, h, nf))
+    assert(blank.length == GifCodec.encodeAnimated(id, w, h, nf, 2).length)
+    val f0 = GifCodec.decodeFrame(blank, 0)
+    assert(f0.pixels.forall(_ == 0))
+    assert(Multimodal.aHashRaster(f0) == 0L)
+    val mid = GifCodec.decodeFrame(blank, nf / 2)
+    assert(Multimodal.aHashRaster(mid) != 0L)
+    assert(mid.pixels.sameElements(
+      GifCodec.decode(GifCodec.encodeGradient(id + nf / 2, w, h)).pixels))
+  }
+
+  test("encoder size math rejects dims whose product overflows Int") {
+    intercept[IllegalArgumentException] { GifCodec.gradientByteSize(65535, 65535) }
+    intercept[IllegalArgumentException] { GifCodec.animatedByteSize(65535, 65535, 2) }
+    intercept[IllegalArgumentException] { GifCodec.encodeGradient(1L, 65535, 65535) }
+    intercept[IllegalArgumentException] {
+      GifCodec.encodeAnimated(1L, 65535, 65535, 2, 0)
+    }
+  }
+
   test("encodeIndexed fails loudly past 256 distinct colors") {
     // a 17x16 full-color gradient raster: >256 distinct RGB triples
     val r = PngCodec.gradient(0L, 17, 16)
