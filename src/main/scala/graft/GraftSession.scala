@@ -29,9 +29,12 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.sql.session.timeZone", "UTC")
-      // Parquet TIMESTAMP(NANOS) (e.g. pandas-written event streams) is
-      // rejected by default; read as LongType nanos and convert at the
-      // edge (see SparkEntry.events).
+      // Parquet TIMESTAMP(NANOS) (older pandas-written event fixtures) is
+      // rejected by default; read as LongType nanos instead of erroring.
+      // SparkEntry.events dispatches on the resulting dtype: LongType →
+      // nanos div 1000, timestamp[us] fixtures (the current generation)
+      // arrive as TimestampNTZ/Timestamp and never hit this config. Kept
+      // so a nanos-era fixture still reads rather than throwing at scan.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

@@ -28,13 +28,32 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events carries TIMESTAMP(NANOS), read as long nanos
-    * (nanosAsLong) — convert to a microsecond TimestampType at the edge.
-    * Integer `div` (not `/`) : double math would lose precision on
-    * 1.7e18-scale nanos. */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events' `ts` has shipped in three physical shapes across fixture
+    * generations; dispatch on what the parquet footer actually says so a
+    * regenerated fixture can never silently break every events gate again:
+    *  - LongType: parquet TIMESTAMP(NANOS) surfaced as long nanos via
+    *    `spark.sql.legacy.parquet.nanosAsLong` (GraftSession) — convert
+    *    with integer `div` (not `/`: double math loses precision on
+    *    1.7e18-scale nanos);
+    *  - TimestampNTZType: parquet timestamp[us] with isAdjustedToUTC=false
+    *    (pandas/pyarrow default) — cast to TimestampType, an identity on
+    *    the instant under the session's UTC time zone;
+    *  - TimestampType: already instant-typed — pass through.
+    * Anything else fails loudly rather than producing a wrong epoch. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = tbl(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalArgumentException(
+        s"events.parquet ts column has unsupported type $other; " +
+          "expected long nanos, timestamp_ntz, or timestamp")
+    }
+  }
 
   /** Flagship: TPC-H-Q1-style pricing summary — scan → filter-free
     * groupBy → 2-phase hash agg, the canonical 100 TB-safe plan. */
