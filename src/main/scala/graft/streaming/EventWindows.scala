@@ -17,11 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object EventWindows {
 
+  /** Accept both instant (Timestamp) and wall-clock (TimestampNTZ)
+    * event-time columns: NTZ is cast to TimestampType at the entry
+    * point — an identity on the instant under the session's UTC zone —
+    * so every downstream `unix_millis`/`cast(long)`/encoder sees one
+    * canonical type. (Fixture generations have shipped both shapes;
+    * see SparkEntry.events.) */
+  private[streaming] def instantTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, col(c).cast("timestamp"))
+      case _ => df
+    }
+
   /** Tumbling-window counts/sums per event type. In streaming mode pass
     * a `readStream` frame with `withWatermark("ts", ...)` applied;
     * late-arriving data beyond the watermark is dropped by Spark. */
   def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
-    events
+    instantTs(events, "ts")
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -48,7 +61,7 @@ object EventWindows {
     // which silently merges sessions whose gap exceeds the threshold by
     // under a second
     val gapMs = gapMinutes * 60000L
-    events
+    instantTs(events, "ts")
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         (col("prev_ts").isNull ||
@@ -102,9 +115,11 @@ object EventWindows {
     require(collisions.isEmpty,
       s"left columns collide with prefixed right columns: $collisions — " +
         "pass a different rightPrefix")
-    val r = right.columns.foldLeft(right)((df, c) =>
+    val rNorm = instantTs(right, tsCol)
+    val r = rNorm.columns.foldLeft(rNorm)((df, c) =>
       df.withColumnRenamed(c, s"$rightPrefix$c"))
-    left.join(
+    val l = instantTs(left, tsCol)
+    l.join(
       r,
       col(key) === col(s"$rightPrefix$key") &&
         col(s"$rightPrefix$tsCol") >= col(tsCol) &&

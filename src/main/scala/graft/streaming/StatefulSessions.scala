@@ -169,8 +169,12 @@ object StatefulSessions {
       events: DataFrame, gapMinutes: Int = 30,
       emitOpen: Boolean = true): DataFrame = {
     import events.sparkSession.implicits._
+    // NTZ event time → instant (identity under the UTC session) so the
+    // Ev encoder's java.sql.Timestamp field resolves for both fixture
+    // generations.
     sessions(
-      events.selectExpr("user_id", "ts", "value").as[Ev],
+      EventWindows.instantTs(events, "ts")
+        .selectExpr("user_id", "ts", "value").as[Ev],
       gapMinutes, emitOpen).toDF()
   }
 }
