@@ -2051,6 +2051,25 @@ object SparkEntry {
         .orderBy("kind")
     }),
 
+    // Round-9 PNG class: 16-bit grayscale with a full-precision
+    // color-key tRNS. Exactly pixel (0,0) of every image matches the
+    // key (proved by the oracle replaying the key test per pixel), so
+    // a_total < 255·npx pins compare-BEFORE-downscale; r/g/b totals
+    // pin the strip-16 high-byte math.
+    "multimodal_png_16bit" -> ((s, dir) => {
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 300).select(
+        col("doc_id"),
+        (col("doc_id") % 13 + 3).cast("int").as("w"),
+        (col("doc_id") % 9 + 2).cast("int").as("h"))
+      Multimodal.pngStatsFrame(
+          Multimodal.encodeGray16PngFrame(dims, "doc_id", "w", "h"))
+        .agg(count(lit(1)).as("n"),
+          sum("width").as("sum_w"), sum("height").as("sum_h"),
+          sum(when(col("channels") === 4, 1L).otherwise(0L)).as("n_rgba"),
+          sum("r_sum").as("r_total"), sum("g_sum").as("g_total"),
+          sum("b_sum").as("b_total"), sum("a_sum").as("a_total"))
+    }),
+
     // ----- §2.10 training-data pipeline --------------------------------
     // Token-window chunking: row-local sequence+explode, no shuffle.
     "pipeline_chunk" -> ((s, dir) =>
@@ -4281,6 +4300,28 @@ object SparkEntry {
         |  CAST(palt.b_t AS BIGINT), CAST(palt.a_t AS BIGINT)
         |FROM base, palt
         |ORDER BY kind""".stripMargin,
+    "multimodal_png_16bit" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 9 + 2 AS h
+        |  FROM documents WHERE doc_id < 300
+        |), px0 AS (
+        |  SELECT doc_id, h, unnest(range(0, w)) AS x FROM dims
+        |), px AS (
+        |  SELECT doc_id, x, unnest(range(0, h)) AS y FROM px0
+        |), v AS (
+        |  SELECT (x*4099 + y*8191 + doc_id*257) % 65536 AS v,
+        |    CASE WHEN (x*4099 + y*8191) % 65536 = 0 THEN 0 ELSE 255 END AS a
+        |  FROM px
+        |)
+        |SELECT CAST((SELECT count(*) FROM dims) AS BIGINT) AS n,
+        |  CAST((SELECT sum(w) FROM dims) AS BIGINT) AS sum_w,
+        |  CAST((SELECT sum(h) FROM dims) AS BIGINT) AS sum_h,
+        |  CAST((SELECT count(*) FROM dims) AS BIGINT) AS n_rgba,
+        |  CAST(sum(v // 256) AS BIGINT) AS r_total,
+        |  CAST(sum(v // 256) AS BIGINT) AS g_total,
+        |  CAST(sum(v // 256) AS BIGINT) AS b_total,
+        |  CAST(sum(a) AS BIGINT) AS a_total
+        |FROM v""".stripMargin,
     "multimodal_resize_png" ->
       """WITH dims AS (
         |  SELECT greatest(1, (n_chars % 64 + 1) * 50 // 100) AS nw,

@@ -685,6 +685,29 @@ object Multimodal {
       .toDF("media_id", "data")
   }
 
+  /** Encode one real 16-BIT grayscale PNG (color type 0, depth 16) per
+    * (id, width, height) row — the photography/archive class round 9
+    * brought inside the decode fence. Deterministic sample
+    * (x·4099 + y·8191 + id·257) mod 65536, with a full-precision
+    * color-key tRNS at (id·257) mod 65536 so the (0,0) pixel decodes
+    * transparent and the decode exercises compare-before-downscale;
+    * same ingest shape as [[encodePngFrame]]. */
+  def encodeGray16PngFrame(dims: DataFrame, idCol: String, wCol: String,
+      hCol: String): DataFrame = {
+    val spark = dims.sparkSession
+    import spark.implicits._
+    dims.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        val key = ((id * 257L) % 65536L).toInt
+        val px = Array.tabulate(w * h) { p =>
+          (((p % w) * 4099L + (p / w) * 8191L + id * 257L) % 65536L).toInt
+        }
+        (id, PngCodec.encodeGray16(w, h, px, key))
+      })
+      .toDF("media_id", "data")
+  }
+
   /** Decode every PNG payload of a (media_id, data) frame and emit
     * per-image pixel statistics — (media_id, width, height, channels,
     * r_sum, g_sum, b_sum, a_sum; alpha counts 255/pixel for opaque

@@ -16,16 +16,19 @@ import java.util.zip.{Adler32, CRC32}
   * codec library, which is what [[Multimodal.resizeStub]] still
   * fences — it is now the ONLY fenced format.
   *
-  * Supported pixel formats (round-8 extension — the icon/logo classes
-  * that previously hashed to null and ESCAPED image dedup): truecolor
-  * (color type 2, RGB) and truecolor-alpha (6, RGBA) at 8-bit;
-  * grayscale (0) and indexed/palette (3) at 1/2/4/8-bit; gray-alpha
-  * (4) at 8-bit; each in both non-interlaced and Adam7-interlaced
-  * form (spec §8.2: seven independently-filtered reduced images).
-  * Palette transparency (tRNS on type 3) decodes to RGBA. Still
-  * fenced loudly rather than decoded wrong: 16-bit samples, and tRNS
-  * color-keying on types 0/2 (silently dropping the key would emit
-  * opaque pixels that hash unlike the source).
+  * Supported pixel formats (rounds 8–9 — the icon/logo and
+  * photography/archive classes that previously hashed to null and
+  * ESCAPED image dedup): every legal IHDR combination except 16-bit
+  * palette (which the spec itself forbids) — truecolor (color type 2)
+  * and truecolor-alpha (6) at 8/16-bit; grayscale (0) at
+  * 1/2/4/8/16-bit; indexed/palette (3) at 1/2/4/8-bit; gray-alpha (4)
+  * at 8/16-bit; each in both non-interlaced and Adam7-interlaced form
+  * (spec §8.2: seven independently-filtered reduced images). tRNS
+  * transparency decodes to RGBA in all three legal homes: palette
+  * entries (type 3) and the color-key forms on gray (0) and truecolor
+  * (2), with the key compared at FULL sample precision before any
+  * 16→8 downscale. 16-bit samples downscale by high byte (libpng's
+  * strip-16 convention; ImageIO raster >> 8 is the cross-oracle).
   */
 object PngCodec {
 
@@ -299,14 +302,16 @@ object PngCodec {
           interlace = bytes(off + 20) & 0xff
           require(Set(0, 2, 3, 4, 6).contains(colorType),
             s"unsupported color type $colorType")
-          // §11.2.2 legal depth sets, minus 16-bit (fenced) and minus
-          // sub-byte gray-alpha (not a legal combination anyway)
+          // §11.2.2 legal depth sets — complete: only combinations the
+          // spec itself forbids are rejected (16-bit palette, sub-byte
+          // multi-channel)
           val okDepth = colorType match {
-            case 0 | 3 => Set(1, 2, 4, 8)
-            case _ => Set(8)
+            case 0 => Set(1, 2, 4, 8, 16)
+            case 3 => Set(1, 2, 4, 8)
+            case _ => Set(8, 16)
           }
           require(okDepth.contains(bitDepth),
-            s"unsupported bit depth $bitDepth for color type $colorType (16-bit fenced)")
+            s"illegal bit depth $bitDepth for color type $colorType")
           require(interlace == 0 || interlace == 1,
             s"bad interlace method $interlace")
           // Long-math pixel cap (the GIF/JPEG guard): IHDR dims are
@@ -320,8 +325,17 @@ object PngCodec {
           require(len % 3 == 0 && len <= 256 * 3, s"bad PLTE length $len")
           plte = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
         case "tRNS" =>
-          require(colorType == 3,
-            "tRNS color-key transparency on gray/truecolor not supported")
+          // legal homes (§11.3.2): palette entries (3), gray color key
+          // (0, one 2-byte sample), truecolor color key (2, three
+          // 2-byte samples); types 4/6 carry a real alpha channel and
+          // may not have tRNS
+          colorType match {
+            case 3 => ()
+            case 0 => require(len == 2, s"bad gray tRNS length $len")
+            case 2 => require(len == 6, s"bad truecolor tRNS length $len")
+            case t => throw new IllegalArgumentException(
+              s"tRNS not legal for color type $t")
+          }
           trns = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
         case "IDAT" => idat.write(bytes, off + 8, len)
         case "IEND" => done = true
@@ -339,12 +353,20 @@ object PngCodec {
     val bitsPP = bitDepth * spp
     val bpp = math.max(1, bitsPP / 8) // filter "left" byte distance (§9.2)
     val ch = colorType match {
-      case 0 | 2 => 3
-      case 3 => if (trns != null) 4 else 3
+      case 0 | 2 | 3 => if (trns != null) 4 else 3
       case _ => 4
     }
-    // gray sample scaling to 8-bit: v * 255 / (2^d − 1)
-    val maxV = (1 << bitDepth) - 1
+    // gray sample scaling to 8-bit: v * 255 / (2^d − 1) — exact for
+    // d ≤ 8 (maxV divides 255); 16-bit takes the high byte instead
+    val maxV = (1 << math.min(bitDepth, 8)) - 1
+    // full-precision color keys (compare BEFORE downscaling — two
+    // 16-bit samples that share a high byte must not both key out)
+    val grayKey =
+      if (colorType == 0 && trns != null)
+        ((trns(0) & 0xff) << 8) | (trns(1) & 0xff)
+      else -1
+    // truecolor key: three big-endian 2-byte samples in the tRNS payload
+    def s16t(o: Int): Int = ((trns(o) & 0xff) << 8) | (trns(o + 1) & 0xff)
     val passes =
       if (interlace == 0) Array((0, 0, 1, 1)) else Adam7
     def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
@@ -400,19 +422,51 @@ object PngCodec {
           var i = 0
           while (i < wp) {
             val d = ((y0 + j * dy) * w + (x0 + i * dx)) * ch
+            // 16-bit: big-endian sample pairs; emit the HIGH byte
+            // (strip-16), key-compare at full precision
+            def s16(o: Int): Int = ((sub(o) & 0xff) << 8) | (sub(o + 1) & 0xff)
             colorType match {
+              case 2 if bitDepth == 16 =>
+                val s = row + i * 6
+                out(d) = sub(s); out(d + 1) = sub(s + 2); out(d + 2) = sub(s + 4)
+                if (ch == 4) {
+                  val keyed = s16(s) == s16t(0) && s16(s + 2) == s16t(2) &&
+                    s16(s + 4) == s16t(4)
+                  out(d + 3) = if (keyed) 0x00 else 0xff.toByte
+                }
               case 2 =>
                 val s = row + i * 3
                 out(d) = sub(s); out(d + 1) = sub(s + 1); out(d + 2) = sub(s + 2)
+                if (ch == 4) {
+                  // 8-bit samples sit in the LOW byte of each 2-byte key
+                  val keyed = (sub(s) & 0xff) == (trns(1) & 0xff) &&
+                    (sub(s + 1) & 0xff) == (trns(3) & 0xff) &&
+                    (sub(s + 2) & 0xff) == (trns(5) & 0xff)
+                  out(d + 3) = if (keyed) 0x00 else 0xff.toByte
+                }
+              case 6 if bitDepth == 16 =>
+                val s = row + i * 8
+                out(d) = sub(s); out(d + 1) = sub(s + 2)
+                out(d + 2) = sub(s + 4); out(d + 3) = sub(s + 6)
               case 6 =>
                 val s = row + i * 4
                 out(d) = sub(s); out(d + 1) = sub(s + 1)
                 out(d + 2) = sub(s + 2); out(d + 3) = sub(s + 3)
+              case 4 if bitDepth == 16 =>
+                val s = row + i * 4
+                out(d) = sub(s); out(d + 1) = sub(s); out(d + 2) = sub(s)
+                out(d + 3) = sub(s + 2)
               case 4 =>
                 val s = row + i * 2
                 out(d) = sub(s); out(d + 1) = sub(s); out(d + 2) = sub(s)
                 out(d + 3) = sub(s + 1)
-              case _ => // 0 or 3: one sample, possibly sub-byte (MSB-first)
+              case 0 if bitDepth == 16 =>
+                val s = row + i * 2
+                val g = sub(s)
+                out(d) = g; out(d + 1) = g; out(d + 2) = g
+                if (ch == 4)
+                  out(d + 3) = if (s16(s) == grayKey) 0x00 else 0xff.toByte
+              case _ => // 0 or 3 at ≤ 8-bit: one sample, possibly sub-byte (MSB-first)
                 val v =
                   if (bitDepth == 8) sub(row + i) & 0xff
                   else {
@@ -422,6 +476,8 @@ object PngCodec {
                 if (colorType == 0) {
                   val g = (v * 255 / maxV).toByte
                   out(d) = g; out(d + 1) = g; out(d + 2) = g
+                  if (ch == 4)
+                    out(d + 3) = if (v == grayKey) 0x00 else 0xff.toByte
                 } else {
                   require(v * 3 + 2 < plte.length, s"palette index $v out of range")
                   out(d) = plte(v * 3); out(d + 1) = plte(v * 3 + 1)
@@ -563,6 +619,46 @@ object PngCodec {
     val out = new Array[Byte](8 + 25 + (12 + z.length) + 12)
     System.arraycopy(Sig, 0, out, 0, 8)
     var o = writeChunk(out, 8, "IHDR", ihdr)
+    o = writeChunk(out, o, "IDAT", z)
+    o = writeChunk(out, o, "IEND", Array.emptyByteArray)
+    assert(o == out.length, s"size bookkeeping off: $o != ${out.length}")
+    out
+  }
+
+  /** Serialize a 16-bit GRAYSCALE (color type 0, depth 16) PNG —
+    * big-endian sample pairs, filter-0 rows, STORED deflate, optional
+    * color-key tRNS (one 2-byte sample; pixels equal to it at FULL
+    * precision decode transparent). The photography/archive-class
+    * payload generator for gates and tests. Deterministic
+    * byte-for-byte. */
+  def encodeGray16(width: Int, height: Int, samples: Array[Int],
+      colorKey: Int = -1): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(samples.length == width * height, "sample size mismatch")
+    val rows = new Array[Byte](width * height * 2)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      require(v >= 0 && v <= 0xffff, s"sample $v out of 16-bit range")
+      rows(i * 2) = ((v >> 8) & 0xff).toByte
+      rows(i * 2 + 1) = (v & 0xff).toByte
+      i += 1
+    }
+    val z = zlibStored(filter0Rows(rows, height, width * 2))
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, width)
+    putBe32(ihdr, 4, height)
+    ihdr(8) = 16
+    ihdr(9) = 0
+    val trnsLen = if (colorKey < 0) 0 else 12 + 2
+    val out = new Array[Byte](8 + 25 + trnsLen + (12 + z.length) + 12)
+    System.arraycopy(Sig, 0, out, 0, 8)
+    var o = writeChunk(out, 8, "IHDR", ihdr)
+    if (colorKey >= 0) {
+      require(colorKey <= 0xffff, s"color key $colorKey out of 16-bit range")
+      o = writeChunk(out, o, "tRNS",
+        Array(((colorKey >> 8) & 0xff).toByte, (colorKey & 0xff).toByte))
+    }
     o = writeChunk(out, o, "IDAT", z)
     o = writeChunk(out, o, "IEND", Array.emptyByteArray)
     assert(o == out.length, s"size bookkeeping off: $o != ${out.length}")

@@ -325,11 +325,18 @@ class MultimodalSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       graft.operators.PngCodec.decode(pal)
     }.getMessage.contains("PLTE"))
-    // 16-bit depth stays fenced
-    val deep = good.clone(); deep(8 + 8 + 8) = 16
+    // 16-bit PALETTE is illegal per spec §11.2.2 (16-bit itself decodes
+    // since round 9)
+    val deep = good.clone(); deep(8 + 8 + 8) = 16; deep(8 + 8 + 9) = 3
     assert(intercept[IllegalArgumentException] {
       graft.operators.PngCodec.decode(deep)
     }.getMessage.contains("bit depth"))
+    // tRNS on an alpha-bearing type (6) is illegal — fenced, not ignored
+    val trnsBad = buildPngFull(1, 1, 6, 8,
+      Array[Byte](0, 1, 2, 3, 4), trns = Array[Byte](0, 0))
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.PngCodec.decode(trnsBad)
+    }.getMessage.contains("tRNS"))
     // interlace METHODS beyond 0/1 are rejected (Adam7 itself decodes)
     val il = good.clone(); il(8 + 8 + 12) = 2
     assert(intercept[IllegalArgumentException] {
@@ -355,11 +362,23 @@ class MultimodalSpec extends SparkSpec {
     // as the codec scales); indexed/RGB images compare in ARGB space.
     val isGray = !cm.isInstanceOf[java.awt.image.IndexColorModel] &&
       cm.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY
+    val is16 = ref.getSampleModel.getSampleSize(0) == 16
     for (y <- 0 until ours.height; x <- 0 until ours.width) {
       val d = (y * ours.width + x) * ours.channels
       val (r, g, b) = (ours.pixels(d) & 0xff, ours.pixels(d + 1) & 0xff, ours.pixels(d + 2) & 0xff)
       val a = if (ours.channels == 4) ours.pixels(d + 3) & 0xff else 255
-      if (isGray) {
+      if (is16) {
+        // 16-bit: compare raw raster samples stripped to the high byte
+        // (the codec's libpng strip-16 convention); getRGB would use
+        // round(v·255/65535), which differs by 1 ulp at half-scale
+        val bands = ref.getRaster.getNumBands
+        def s(band: Int): Int = ref.getRaster.getSample(x, y, band) >> 8
+        val (rr, rg, rb, ra) =
+          if (isGray) (s(0), s(0), s(0), if (bands >= 2) s(1) else 255)
+          else (s(0), s(1), s(2), if (bands >= 4) s(3) else 255)
+        assert(r == rr && g == rg && b == rb && a == ra,
+          s"pixel ($x,$y): imageio16 r=$rr g=$rg b=$rb a=$ra vs ours r=$r g=$g b=$b a=$a")
+      } else if (isGray) {
         val ss = ref.getSampleModel.getSampleSize(0)
         val rg = ref.getRaster.getSample(x, y, 0) * 255 / ((1 << ss) - 1)
         val ra = if (cm.hasAlpha) ref.getRaster.getSample(x, y, 1) else 255
@@ -523,6 +542,157 @@ class MultimodalSpec extends SparkSpec {
       assert((oursGa.pixels(d) & 0xff) == ga(y)(x * 2) &&
         (oursGa.pixels(d + 3) & 0xff) == ga(y)(x * 2 + 1))
     }
+  }
+
+  test("PNG 16-bit: gray / truecolor / RGBA / gray-alpha cross-oracle (round-9 fence removal)") {
+    // 16-bit gray via ImageIO's own writer (TYPE_USHORT_GRAY → depth-16 type 0)
+    val g16 = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 5; x <- 0 until 7)
+      g16.getRaster.setSample(x, y, 0, (x * 9973 + y * 25013 + 13) & 0xffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(g16, "png", bos)
+    assert(crossOraclePng(bos.toByteArray).channels == 3)
+
+    // helpers: big-endian 16-bit rows + byte-level filter application
+    def be16Row(samples: Array[Int]): Array[Byte] = {
+      val row = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        row(i * 2) = (samples(i) >> 8).toByte
+        row(i * 2 + 1) = (samples(i) & 0xff).toByte
+      }
+      row
+    }
+    def filterRows(rows: Array[Array[Byte]], filters: Array[Int], bpp: Int): Array[Byte] = {
+      val rb = rows(0).length
+      val out = new Array[Byte](rows.length * (1 + rb))
+      for (y <- rows.indices) {
+        out(y * (1 + rb)) = filters(y).toByte
+        for (x <- 0 until rb) {
+          val raw = rows(y)(x) & 0xff
+          val left = if (x >= bpp) rows(y)(x - bpp) & 0xff else 0
+          val up = if (y > 0) rows(y - 1)(x) & 0xff else 0
+          val f = filters(y) match {
+            case 0 => raw
+            case 1 => raw - left
+            case 2 => raw - up
+            case 3 => raw - ((left + up) >> 1)
+          }
+          out(y * (1 + rb) + 1 + x) = (f & 0xff).toByte
+        }
+      }
+      out
+    }
+    // 16-bit truecolor (type 2, bpp 6), filters None/Sub/Up across rows
+    val w = 4; val h = 3
+    val tc = Array.tabulate(h)(y => Array.tabulate(w * 3)(i => (i * 4099 + y * 31013 + 7) & 0xffff))
+    val tcPng = buildPngFull(w, h, 2, 16,
+      filterRows(tc.map(be16Row), Array(0, 1, 2), bpp = 6))
+    assert(crossOraclePng(tcPng).channels == 3)
+    // 16-bit RGBA (type 6, bpp 8) with Average filter
+    val rgba = Array.tabulate(h)(y => Array.tabulate(w * 4)(i => (i * 7919 + y * 17041 + 3) & 0xffff))
+    val rgbaPng = buildPngFull(w, h, 6, 16,
+      filterRows(rgba.map(be16Row), Array(0, 3, 1), bpp = 8))
+    assert(crossOraclePng(rgbaPng).channels == 4)
+    // 16-bit gray-alpha (type 4, bpp 4)
+    val ga = Array.tabulate(h)(y => Array.tabulate(w * 2)(i => (i * 13007 + y * 911 + 5) & 0xffff))
+    val gaPng = buildPngFull(w, h, 4, 16,
+      filterRows(ga.map(be16Row), Array(0, 2, 1), bpp = 4))
+    assert(crossOraclePng(gaPng).channels == 4)
+  }
+
+  test("PNG color-key tRNS keys out ONLY exact full-precision matches") {
+    // 8-bit truecolor, key (10,20,30): pixel 0 keyed, pixel 1 one-off
+    val key8 = Array[Byte](0, 10, 0, 20, 0, 30)
+    val px8 = Array[Byte](0 /*filter*/, 10, 20, 30, 10, 20, 31)
+    val o8 = graft.operators.PngCodec.decode(
+      buildPngFull(2, 1, 2, 8, px8, trns = key8))
+    assert(o8.channels == 4)
+    assert((o8.pixels(3) & 0xff) == 0, "exact key must be transparent")
+    assert((o8.pixels(7) & 0xff) == 255, "near miss must stay opaque")
+    // ImageIO cross-check when the JDK reader surfaces the key as alpha
+    val ref8 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(buildPngFull(2, 1, 2, 8, px8, trns = key8)))
+    if (ref8 != null && ref8.getColorModel.hasAlpha) {
+      assert(((ref8.getRGB(0, 0) >>> 24) & 0xff) == 0)
+      assert(((ref8.getRGB(1, 0) >>> 24) & 0xff) == 255)
+    }
+
+    // 16-bit gray, key 0x1234: 0x1234 keys out, 0x12FF shares the HIGH
+    // byte but must stay opaque — the compare-before-downscale pin
+    val key16 = Array[Byte](0x12, 0x34)
+    val px16 = Array[Byte](0 /*filter*/, 0x12, 0x34, 0x12, 0xff.toByte)
+    val o16 = graft.operators.PngCodec.decode(
+      buildPngFull(2, 1, 0, 16, px16, trns = key16))
+    assert(o16.channels == 4)
+    assert((o16.pixels(0) & 0xff) == 0x12 && (o16.pixels(4) & 0xff) == 0x12,
+      "both pixels strip to the same 8-bit gray")
+    assert((o16.pixels(3) & 0xff) == 0, "exact 16-bit key must be transparent")
+    assert((o16.pixels(7) & 0xff) == 255,
+      "same-high-byte near miss must stay opaque (full-precision compare)")
+
+    // 4-bit gray, key 5: sub-byte depth color-keying
+    val px4 = Array[Byte](0 /*filter*/, 0x5a.toByte) // pixels 5, 10
+    val o4 = graft.operators.PngCodec.decode(
+      buildPngFull(2, 1, 0, 4, px4, trns = Array[Byte](0, 5)))
+    assert(o4.channels == 4)
+    assert((o4.pixels(3) & 0xff) == 0 && (o4.pixels(7) & 0xff) == 255)
+    assert((o4.pixels(0) & 0xff) == 5 * 17, "4-bit gray scale to 8-bit unchanged")
+  }
+
+  test("encodeGray16 → decode round-trips; key transparency is full-precision") {
+    val samples = Array(0x1234, 0x12ff, 0xffff, 0x0000, 0x0001, 0x0100)
+    val png = graft.operators.PngCodec.encodeGray16(3, 2, samples, colorKey = 0x1234)
+    val r = graft.operators.PngCodec.decode(png)
+    assert(r.width == 3 && r.height == 2 && r.channels == 4)
+    for (p <- samples.indices) {
+      val g = r.pixels(p * 4) & 0xff
+      assert(g == (samples(p) >> 8), s"pixel $p gray $g != ${samples(p) >> 8}")
+      val a = r.pixels(p * 4 + 3) & 0xff
+      assert(a == (if (samples(p) == 0x1234) 0 else 255),
+        s"pixel $p alpha $a (sample ${samples(p)})")
+    }
+    // ImageIO agrees on the gray plane (alpha support for gray color
+    // keys varies by JDK reader — compared only when surfaced)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(ref != null && ref.getWidth == 3 && ref.getHeight == 2)
+    for (p <- samples.indices)
+      assert(ref.getRaster.getSample(p % 3, p / 3, 0) >> 8 == (samples(p) >> 8))
+  }
+
+  test("PNG 16-bit Adam7: progressive ImageIO write cross-oracles") {
+    val img = new java.awt.image.BufferedImage(11, 6,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 6; x <- 0 until 11)
+      img.getRaster.setSample(x, y, 0, (x * 5987 + y * 40961 + 123) & 0xffff)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val p = wr.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wr.dispose(); ios.close()
+    val png = bos.toByteArray
+    assert((png(8 + 8 + 12) & 0xff) == 1, "writer did not emit Adam7")
+    assert((png(8 + 8 + 8) & 0xff) == 16, "writer did not keep 16-bit depth")
+    crossOraclePng(png)
+  }
+
+  test("aHashAny covers 16-bit PNGs, and they hash WITH their 8-bit twins") {
+    // expand an 8-bit gray image to 16-bit by v → (v<<8 | v); strip-16
+    // recovers v exactly, so the two files must share one aHash
+    val w = 9; val h = 8
+    val v8 = Array.tabulate(h, w)((y, x) => (x * 29 + y * 31) & 0xff)
+    val png8 = graft.operators.PngCodec.encodeGray(w, h,
+      v8.flatten.map(_.toByte))
+    val rows16 = Array.tabulate(h)(y =>
+      Array[Byte](0) ++ v8(y).flatMap(v => Array(v.toByte, v.toByte)))
+    val png16 = buildPngFull(w, h, 0, 16, rows16.flatten)
+    val h8 = graft.operators.Multimodal.aHashAny(png8)
+    val h16 = graft.operators.Multimodal.aHashAny(png16)
+    assert(h16 != null, "16-bit PNG must not escape image dedup")
+    assert(h8 == h16, "8-bit and 16-bit encodings of one image must collide")
   }
 
   test("orientRaster: all 8 EXIF orientations invert exactly; 5-8 swap dims") {
