@@ -1912,6 +1912,27 @@ object SparkEntry {
           col("nTracks").as("n_tracks"), col("byteLen").as("byte_len"))
         .orderBy("doc_id")
     }),
+    // Compressed-audio metadata path (round 9): deterministic MPEG-1
+    // Layer III CBR streams → frame-header walk → duration/rate/
+    // bitrate extraction. Frame length is the closed form
+    // 144000·kbps/sr, so every column is exact integer arithmetic the
+    // oracle replays from the bitrate/sample-rate tables.
+    "multimodal_mp3_meta" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 300).select(
+        col("doc_id"),
+        (col("doc_id") % 9 + 1).cast("int").as("frames"),
+        (col("doc_id") % 14 + 1).cast("int").as("bi"),
+        (col("doc_id") % 3).cast("int").as("si"))
+      val media = Multimodal.encodeMp3Frame(spec, "doc_id", "frames", "bi", "si")
+      Multimodal.extractMp3Meta(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("format"),
+          col("durationMs").as("duration_ms"),
+          col("sampleRate").as("sample_rate"),
+          col("channels"), col("nFrames").as("n_frames"),
+          col("bitrateKbps").as("bitrate_kbps"),
+          col("byteLen").as("byte_len"))
+        .orderBy("doc_id")
+    }),
     // REAL audio path: deterministic PCM16 signals → WAV encode →
     // chunk-walk parse → integer feature extraction → decimation
     // resample → features again. Every output column is exact integer
@@ -4116,6 +4137,24 @@ object SparkEntry {
         |  CAST(1 AS INTEGER) AS n_tracks,
         |  CAST(240 AS BIGINT) AS byte_len
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "multimodal_mp3_meta" ->
+      """WITH spec AS (
+        |  SELECT doc_id,
+        |    doc_id % 9 + 1 AS frames,
+        |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
+        |      CAST(doc_id % 14 + 1 AS INTEGER)] AS kbps,
+        |    ([44100,48000,32000])[CAST(doc_id % 3 + 1 AS INTEGER)] AS sr
+        |  FROM documents WHERE doc_id < 300
+        |)
+        |SELECT doc_id,
+        |  'mp3' AS format,
+        |  CAST(frames * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+        |  CAST(sr AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(frames AS BIGINT) AS n_frames,
+        |  CAST(kbps AS INTEGER) AS bitrate_kbps,
+        |  CAST(frames * (144000 * kbps // sr) AS BIGINT) AS byte_len
+        |FROM spec ORDER BY doc_id""".stripMargin,
     "multimodal_audio" ->
       """WITH spec AS (
         |  SELECT doc_id,

@@ -374,7 +374,19 @@ object Multimodal {
 
   /** Batched audio feature extraction — per-partition iteration like
     * [[extractFeatures]]; real RIFF/fmt/data parsing via
-    * [[WavCodec.decode]]. */
+    * [[WavCodec.decode]].
+    *
+    * CORPUS POLICY (stated loudly): this PCM-feature path covers
+    * WAV containers only (PCM16/PCM8/G.711 µ-law/A-law). Most
+    * real-crawl audio is MP3/AAC/OPUS — for those classes this ingest
+    * extracts NO sample features; [[extractMp3Meta]] covers the MP3
+    * majority class at the METADATA level (duration/bitrate/rate/
+    * channel filtering and dedup keys), and pipelines needing PCM
+    * features from compressed audio must transcode upstream. Choosing
+    * WAV-features + MP3-metadata over a hand-written MDCT decoder is
+    * deliberate: a wrong-sounding decode would silently corrupt
+    * features, while the fence + metadata path keeps every decision
+    * auditable. */
   def extractAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
     implicit val enc = Encoders.product[AudioFeatures]
     media.select(col("media_id"), col("data")).mapPartitions { it: Iterator[Row] =>
@@ -456,6 +468,55 @@ object Multimodal {
         val m = if (bytes == null) null else Mp4Meta.parse(bytes)
         if (m == null) VideoFeatures(id, blen, "unknown", 0L, 0, 0, 0)
         else VideoFeatures(id, blen, "mp4", m.durationMs, m.width, m.height, m.nTracks)
+      }
+    }
+  }
+
+  /** Compressed-audio stream metadata — what curation filters on
+    * without an audio codec ([[Mp3Meta]]): duration, sample rate,
+    * channels, frame count, average bitrate, CBR/VBR. Non-MP3 payloads
+    * → format "unknown", zeroed; corrupt MP3 streams fail loudly
+    * inside the partition (same policy as the image codecs). */
+  final case class AudioStreamFeatures(
+      mediaId: Long,
+      byteLen: Long,
+      format: String,
+      durationMs: Long,
+      sampleRate: Int,
+      channels: Int,
+      nFrames: Long,
+      bitrateKbps: Int,
+      vbr: Boolean)
+
+  /** Distributed deterministic-MP3 encode per (id, nFrames,
+    * bitrateIdx, srIdx) row ([[Mp3Meta.encode]]). */
+  def encodeMp3Frame(spec: DataFrame, idCol: String, framesCol: String,
+      bitrateIdxCol: String, srIdxCol: String): DataFrame = {
+    val spark = spec.sparkSession
+    import spark.implicits._
+    spec.select(col(idCol).cast("long"), col(framesCol).cast("int"),
+        col(bitrateIdxCol).cast("int"), col(srIdxCol).cast("int"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, n, bi, si) =>
+        (id, Mp3Meta.encode(n, bi, si))
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Batched MP3-metadata extraction over (media_id, data) — the frame
+    * walk runs row-locally; payloads never shuffle. */
+  def extractMp3Meta(media: DataFrame): Dataset[AudioStreamFeatures] = {
+    implicit val enc = Encoders.product[AudioStreamFeatures]
+    media.select(col("media_id"), col("data")).mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val blen = if (bytes == null) 0L else bytes.length.toLong
+        val m = if (bytes == null) null else Mp3Meta.parse(bytes)
+        if (m == null)
+          AudioStreamFeatures(id, blen, "unknown", 0L, 0, 0, 0L, 0, vbr = false)
+        else AudioStreamFeatures(id, blen, "mp3", m.durationMs, m.sampleRate,
+          m.channels, m.nFrames, m.bitrateKbps, m.vbr)
       }
     }
   }
