@@ -43,6 +43,21 @@ class EntryAnalysisSpec extends SparkSpec {
     assert(missing.isEmpty, s"gates without an oracle: ${missing.mkString(", ")}")
   }
 
+  test("deliberate fixture drift fails the suite: a re-typed ts column is rejected") {
+    // simulate the round-8 failure mode in reverse: write an events
+    // fixture whose ts carries a type the adapter does NOT understand
+    // and prove the gate dies loudly at analysis — this is the red
+    // test that round 8 lacked
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    spark.read.parquet(s"/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("string"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.queries("events_window")(spark, dir).queryExecution.optimizedPlan
+    }
+    assert(e.getMessage.contains("unsupported type"), e.getMessage)
+  }
+
   test("events adapter dispatches on the fixture's actual ts dtype") {
     import spark.implicits._
     // The live fixture (whatever generation) must come through as a
