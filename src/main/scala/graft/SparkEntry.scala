@@ -1933,6 +1933,34 @@ object SparkEntry {
           col("byteLen").as("byte_len"))
         .orderBy("doc_id")
     }),
+    // Lossless-audio metadata path (round 9): deterministic FLAC
+    // STREAMINFO skeletons → bit-field parse. Duration is the closed
+    // form totalSamples·1000/rate the oracle replays; mixing a
+    // non-FLAC payload in (every doc_id % 7 == 0 carries an MP3)
+    // proves the dispatch never mis-parses across formats.
+    "multimodal_flac_meta" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 300).select(
+        col("doc_id"),
+        (col("doc_id") % 50000 * 37 + 1000).cast("long").as("samples"),
+        (col("doc_id") % 2 + 1).cast("int").as("ch"))
+      val flac = Multimodal.encodeFlacFrame(
+        spec.where(col("doc_id") % 7 =!= 0)
+          .withColumn("sr", expr("array(44100, 48000, 32000, 22050)[CAST(doc_id % 4 AS INT)]")),
+        "doc_id", "samples", "sr", "ch")
+      val mp3 = Multimodal.encodeMp3Frame(
+        spec.where(col("doc_id") % 7 === 0)
+          .withColumn("frames", (col("doc_id") % 9 + 1).cast("int"))
+          .withColumn("bi", lit(9)).withColumn("si", lit(0)),
+        "doc_id", "frames", "bi", "si")
+      Multimodal.extractFlacMeta(flac.unionAll(mp3)).toDF()
+        .select(col("mediaId").as("doc_id"), col("format"),
+          col("durationMs").as("duration_ms"),
+          col("sampleRate").as("sample_rate"), col("channels"),
+          col("bitsPerSample").as("bps"),
+          col("totalSamples").as("total_samples"),
+          col("byteLen").as("byte_len"))
+        .orderBy("doc_id")
+    }),
     // REAL audio path: deterministic PCM16 signals → WAV encode →
     // chunk-walk parse → integer feature extraction → decimation
     // resample → features again. Every output column is exact integer
@@ -4154,6 +4182,25 @@ object SparkEntry {
         |  CAST(frames AS BIGINT) AS n_frames,
         |  CAST(kbps AS INTEGER) AS bitrate_kbps,
         |  CAST(frames * (144000 * kbps // sr) AS BIGINT) AS byte_len
+        |FROM spec ORDER BY doc_id""".stripMargin,
+    "multimodal_flac_meta" ->
+      """WITH spec AS (
+        |  SELECT doc_id,
+        |    (doc_id % 50000) * 37 + 1000 AS samples,
+        |    doc_id % 2 + 1 AS ch,
+        |    ([44100,48000,32000,22050])[CAST(doc_id % 4 + 1 AS INTEGER)] AS sr
+        |  FROM documents WHERE doc_id < 300
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'flac' END AS format,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+        |       ELSE samples * 1000 // sr END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE sr END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE ch END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 16 END AS INTEGER) AS bps,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE samples END AS BIGINT) AS total_samples,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN (doc_id % 9 + 1) * 417
+        |       ELSE 42 END AS BIGINT) AS byte_len
         |FROM spec ORDER BY doc_id""".stripMargin,
     "multimodal_audio" ->
       """WITH spec AS (

@@ -521,6 +521,52 @@ object Multimodal {
     }
   }
 
+  /** Lossless-audio container metadata ([[FlacMeta]] STREAMINFO):
+    * duration, rate, channels, bit depth, total samples. Non-FLAC
+    * payloads → format "unknown", zeroed. */
+  final case class FlacStreamFeatures(
+      mediaId: Long,
+      byteLen: Long,
+      format: String,
+      durationMs: Long,
+      sampleRate: Int,
+      channels: Int,
+      bitsPerSample: Int,
+      totalSamples: Long)
+
+  /** Distributed minimal-FLAC encode per (id, totalSamples, rate,
+    * channels) row ([[FlacMeta.encode]]). */
+  def encodeFlacFrame(spec: DataFrame, idCol: String, samplesCol: String,
+      rateCol: String, channelsCol: String): DataFrame = {
+    val spark = spec.sparkSession
+    import spark.implicits._
+    spec.select(col(idCol).cast("long"), col(samplesCol).cast("long"),
+        col(rateCol).cast("int"), col(channelsCol).cast("int"))
+      .as[(Long, Long, Int, Int)]
+      .mapPartitions(_.map { case (id, n, sr, ch) =>
+        (id, FlacMeta.encode(n, sr, ch))
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Batched FLAC-metadata extraction over (media_id, data) — the
+    * STREAMINFO walk runs row-locally; payloads never shuffle. */
+  def extractFlacMeta(media: DataFrame): Dataset[FlacStreamFeatures] = {
+    implicit val enc = Encoders.product[FlacStreamFeatures]
+    media.select(col("media_id"), col("data")).mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val blen = if (bytes == null) 0L else bytes.length.toLong
+        val m = if (bytes == null) null else FlacMeta.parse(bytes)
+        if (m == null)
+          FlacStreamFeatures(id, blen, "unknown", 0L, 0, 0, 0, 0L)
+        else FlacStreamFeatures(id, blen, "flac", m.durationMs, m.sampleRate,
+          m.channels, m.bitsPerSample, m.totalSamples)
+      }
+    }
+  }
+
   /** GIF container metadata — what animation curation filters on
     * without decoding pixels ([[GifCodec.parseMeta]]): frame count,
     * animated flag, total duration from the GCE delay fields. Non-GIF

@@ -11,10 +11,11 @@ import java.util.zip.{Adler32, CRC32}
   * framing, the COMPLETE RFC 1951 inflate (stored, fixed-Huffman and
   * dynamic-Huffman blocks, LZ77 back-references), STORED-block deflate
   * on the encode side, and all five scanline filters are implemented
-  * directly as byte math. JPEG (DCT + arithmetic/Huffman entropy
-  * coding over frequency space) remains out of reach without a real
-  * codec library, which is what [[Multimodal.resizeStub]] still
-  * fences — it is now the ONLY fenced format.
+  * directly as byte math. JPEG decodes through the equally
+  * hand-written [[JpegCodec]] (baseline + progressive T.81);
+  * [[Multimodal.resizeStub]] remains only as the generic
+  * opaque-payload fallback for containers with no pixel decoder
+  * (e.g. MP4 frames).
   *
   * Supported pixel formats (rounds 8–9 — the icon/logo and
   * photography/archive classes that previously hashed to null and

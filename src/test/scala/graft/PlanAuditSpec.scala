@@ -412,6 +412,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-9 media-metadata gates: row-local decode, no joins, bounded exchanges") {
+    for (name <- Seq("multimodal_png_16bit", "multimodal_mp3_meta",
+        "multimodal_flac_meta")) {
+      val p = plan(name)
+      assert(nodes(p, "SortMergeJoin") + nodes(p, "BroadcastHashJoin") +
+        nodes(p, "ShuffledHashJoin") + nodes(p, "CartesianProduct") +
+        nodes(p, "BroadcastNestedLoopJoin") == 0, s"$name:\n$p")
+      // encode/parse are mapPartitions projections; the only exchanges
+      // belong to the gate's final agg or orderBy
+      assert(nodes(p, "Exchange") <= 2, s"$name:\n$p")
+    }
+  }
+
   test("broadcast join query does broadcast; big join stays shuffle") {
     assert(plan("join_broadcast").contains("BroadcastHashJoin"))
     // join_big must not HINT a broadcast: disable the size-based
