@@ -114,7 +114,29 @@ object Bench {
         Left(Option(e.getMessage).getOrElse(e.getClass.getName)) }
     }
 
-    val first = ordered.map { case (name, fn) => (name, fn, timeOne(name, fn)) }
+    // Contention evidence (round-9): sample /proc/loadavg at every pass
+    // boundary and record each pass's wall-clock bounds in the JSON.
+    // The round-9 recordings showed one contiguous alphabetical span of
+    // multi-second spreads per run — an EXTERNAL load window sweeping
+    // through whatever was executing. With 1-min loadavg per boundary
+    // in the artifact, a polluted run carries its own attribution
+    // (loadavg >> our core count = not this JVM) instead of needing
+    // forensic reconstruction.
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val passBounds = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double)]
+    def boundedPass[A](body: => A): A = {
+      val t0 = System.currentTimeMillis()
+      val r = body
+      passBounds += ((t0, System.currentTimeMillis(), loadavg()))
+      r
+    }
+
+    val first = boundedPass {
+      ordered.map { case (name, fn) => (name, fn, timeOne(name, fn)) }
+    }
     val errs = first.collect { case (n, _, Left(m)) => n -> m }
     var best = first.collect { case (n, _, Right(t)) => n -> t }.toMap
     val pass1Total = best.values.sum
@@ -122,7 +144,7 @@ object Bench {
     // is the jitter floor; pass 1 is excluded so cold-start cost can't
     // masquerade as variance.
     var warm = Map.empty[String, List[Double]].withDefaultValue(Nil)
-    for (_ <- 2 to passes) {
+    for (_ <- 2 to passes) boundedPass {
       first.foreach {
         case (name, fn, Right(_)) =>
           timeOne(name, fn).foreach { t =>
@@ -146,8 +168,11 @@ object Bench {
     val es = errs.map { case (k, v) => s"${JsonOut.q(k)}:${JsonOut.q(v.take(200))}" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val (pollFrac, polluted) = pollutionVerdict(best, warm)
+    val pb = passBounds.map { case (t0, t1, la) =>
+      s"""{"start_ms":$t0,"end_ms":$t1,"loadavg_1m":$la}"""
+    }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"passes":$passes,"pass1_total":$pass1Total,"polluted":$polluted,"polluted_frac":$pollFrac,"sf":${JsonOut.q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"passes":$passes,"pass1_total":$pass1Total,"polluted":$polluted,"polluted_frac":$pollFrac,"cpus":$cpus,"pass_bounds":$pb,"sf":${JsonOut.q(sfDir)}}"""
     println(line)
     if (polluted)
       System.err.println(

@@ -1933,6 +1933,26 @@ object SparkEntry {
           col("byteLen").as("byte_len"))
         .orderBy("doc_id")
     }),
+    // WebM metadata path (round 9): deterministic EBML skeletons →
+    // varint element walk → DocType/duration/dims/tracks. The 85-byte
+    // skeleton size and every field are closed form for the oracle —
+    // MP4 + WebM now cover both dominant crawl video containers.
+    "multimodal_webm" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 30000 + 500).cast("long").as("ms"),
+        (col("doc_id") % 1920 + 16).cast("int").as("w"),
+        (col("doc_id") % 1080 + 16).cast("int").as("h"))
+      val media = Multimodal.encodeWebmFrame(spec, "doc_id", "ms", "w", "h")
+      Multimodal.extractWebmMeta(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("format"),
+          col("durationMs").as("duration_ms"),
+          col("width"), col("height"),
+          col("nTracks").as("n_tracks"),
+          col("nVideoTracks").as("n_video_tracks"),
+          col("byteLen").as("byte_len"))
+        .orderBy("doc_id")
+    }),
     // Lossless-audio metadata path (round 9): deterministic FLAC
     // STREAMINFO skeletons → bit-field parse. Duration is the closed
     // form totalSamples·1000/rate the oracle replays; mixing a
@@ -4183,6 +4203,16 @@ object SparkEntry {
         |  CAST(kbps AS INTEGER) AS bitrate_kbps,
         |  CAST(frames * (144000 * kbps // sr) AS BIGINT) AS byte_len
         |FROM spec ORDER BY doc_id""".stripMargin,
+    "multimodal_webm" ->
+      """SELECT doc_id,
+        |  'webm' AS format,
+        |  CAST(n_chars % 30000 + 500 AS BIGINT) AS duration_ms,
+        |  CAST(doc_id % 1920 + 16 AS INTEGER) AS width,
+        |  CAST(doc_id % 1080 + 16 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS n_tracks,
+        |  CAST(1 AS INTEGER) AS n_video_tracks,
+        |  CAST(85 AS BIGINT) AS byte_len
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "multimodal_flac_meta" ->
       """WITH spec AS (
         |  SELECT doc_id,

@@ -521,6 +521,51 @@ object Multimodal {
     }
   }
 
+  /** WebM/Matroska container metadata ([[EbmlMeta]]): doc type,
+    * duration, dims, track counts. Non-EBML payloads → format
+    * "unknown", zeroed. */
+  final case class WebmFeatures(
+      mediaId: Long,
+      byteLen: Long,
+      format: String,
+      durationMs: Long,
+      width: Int,
+      height: Int,
+      nTracks: Int,
+      nVideoTracks: Int)
+
+  /** Distributed minimal-WebM encode per (id, durationMs, w, h) row
+    * ([[EbmlMeta.encode]]). */
+  def encodeWebmFrame(spec: DataFrame, idCol: String, durCol: String,
+      wCol: String, hCol: String): DataFrame = {
+    val spark = spec.sparkSession
+    import spark.implicits._
+    spec.select(col(idCol).cast("long"), col(durCol).cast("long"),
+        col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Long, Int, Int)]
+      .mapPartitions(_.map { case (id, ms, w, h) =>
+        (id, EbmlMeta.encode(ms, w, h))
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Batched WebM-metadata extraction over (media_id, data) — the EBML
+    * walk runs row-locally; payloads never shuffle. */
+  def extractWebmMeta(media: DataFrame): Dataset[WebmFeatures] = {
+    implicit val enc = Encoders.product[WebmFeatures]
+    media.select(col("media_id"), col("data")).mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val blen = if (bytes == null) 0L else bytes.length.toLong
+        val m = if (bytes == null) null else EbmlMeta.parse(bytes)
+        if (m == null) WebmFeatures(id, blen, "unknown", 0L, 0, 0, 0, 0)
+        else WebmFeatures(id, blen, m.docType, m.durationMs, m.width,
+          m.height, m.nTracks, m.nVideoTracks)
+      }
+    }
+  }
+
   /** Lossless-audio container metadata ([[FlacMeta]] STREAMINFO):
     * duration, rate, channels, bit depth, total samples. Non-FLAC
     * payloads → format "unknown", zeroed. */
