@@ -1933,6 +1933,24 @@ object SparkEntry {
           col("byteLen").as("byte_len"))
         .orderBy("doc_id")
     }),
+    // Opus-in-Ogg metadata path (round 9): deterministic two-page
+    // skeletons → page walk → duration from 48 kHz granules minus
+    // pre-skip. Size is the closed form 75 + dataBytes.
+    "multimodal_opus_meta" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 300).select(
+        col("doc_id"),
+        (col("doc_id") % 50000 * 53 + 480).cast("long").as("samples"),
+        (col("doc_id") % 2 + 1).cast("int").as("ch"),
+        (col("doc_id") % 200 + 20).cast("int").as("db"))
+      val media = Multimodal.encodeOpusFrame(spec, "doc_id", "samples", "ch", "db")
+      Multimodal.extractOpusMeta(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("format"),
+          col("durationMs").as("duration_ms"), col("channels"),
+          col("preSkip").as("pre_skip"),
+          col("inputSampleRate").as("input_rate"),
+          col("nPages").as("n_pages"), col("byteLen").as("byte_len"))
+        .orderBy("doc_id")
+    }),
     // WebM metadata path (round 9): deterministic EBML skeletons →
     // varint element walk → DocType/duration/dims/tracks. The 85-byte
     // skeleton size and every field are closed form for the oracle —
@@ -4203,6 +4221,16 @@ object SparkEntry {
         |  CAST(kbps AS INTEGER) AS bitrate_kbps,
         |  CAST(frames * (144000 * kbps // sr) AS BIGINT) AS byte_len
         |FROM spec ORDER BY doc_id""".stripMargin,
+    "multimodal_opus_meta" ->
+      """SELECT doc_id,
+        |  'opus' AS format,
+        |  CAST(((doc_id % 50000) * 53 + 480) * 1000 // 48000 AS BIGINT) AS duration_ms,
+        |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |  CAST(312 AS INTEGER) AS pre_skip,
+        |  CAST(48000 AS BIGINT) AS input_rate,
+        |  CAST(2 AS INTEGER) AS n_pages,
+        |  CAST(75 + doc_id % 200 + 20 AS BIGINT) AS byte_len
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
     "multimodal_webm" ->
       """SELECT doc_id,
         |  'webm' AS format,

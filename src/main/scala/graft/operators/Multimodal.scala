@@ -521,6 +521,52 @@ object Multimodal {
     }
   }
 
+  /** Opus-in-Ogg container metadata ([[OggMeta]]): duration (48 kHz
+    * granules − pre-skip), channels, declared input rate, page count.
+    * Non-Ogg payloads → format "unknown", zeroed. */
+  final case class OpusFeatures(
+      mediaId: Long,
+      byteLen: Long,
+      format: String,
+      durationMs: Long,
+      channels: Int,
+      preSkip: Int,
+      inputSampleRate: Long,
+      nPages: Int)
+
+  /** Distributed minimal Opus-in-Ogg encode per (id, samples, ch,
+    * dataBytes) row ([[OggMeta.encode]], pre-skip 312, rate 48 kHz). */
+  def encodeOpusFrame(spec: DataFrame, idCol: String, samplesCol: String,
+      channelsCol: String, dataBytesCol: String): DataFrame = {
+    val spark = spec.sparkSession
+    import spark.implicits._
+    spec.select(col(idCol).cast("long"), col(samplesCol).cast("long"),
+        col(channelsCol).cast("int"), col(dataBytesCol).cast("int"))
+      .as[(Long, Long, Int, Int)]
+      .mapPartitions(_.map { case (id, n, ch, db) =>
+        (id, OggMeta.encode(n, ch, preSkip = 312, inputSampleRate = 48000L,
+          dataBytes = db))
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Batched Opus-metadata extraction over (media_id, data) — the page
+    * walk runs row-locally; payloads never shuffle. */
+  def extractOpusMeta(media: DataFrame): Dataset[OpusFeatures] = {
+    implicit val enc = Encoders.product[OpusFeatures]
+    media.select(col("media_id"), col("data")).mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val blen = if (bytes == null) 0L else bytes.length.toLong
+        val m = if (bytes == null) null else OggMeta.parse(bytes)
+        if (m == null) OpusFeatures(id, blen, "unknown", 0L, 0, 0, 0L, 0)
+        else OpusFeatures(id, blen, "opus", m.durationMs, m.channels,
+          m.preSkip, m.inputSampleRate, m.nPages)
+      }
+    }
+  }
+
   /** WebM/Matroska container metadata ([[EbmlMeta]]): doc type,
     * duration, dims, track counts. Non-EBML payloads → format
     * "unknown", zeroed. */

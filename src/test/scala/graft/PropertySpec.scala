@@ -323,6 +323,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("media-metadata codecs: parse∘encode is the identity over arbitrary valid specs") {
+    import graft.operators.{EbmlMeta, FlacMeta, Mp3Meta, OggMeta}
+    val specGen = for {
+      samples <- Gen.chooseNum(0L, (1L << 35) - 1)
+      rate <- Gen.oneOf(8000, 16000, 22050, 32000, 44100, 48000, 96000)
+      ch <- Gen.chooseNum(1, 8)
+      bps <- Gen.oneOf(8, 12, 16, 20, 24, 32)
+      ms <- Gen.chooseNum(0L, 86400000L)
+      w <- Gen.chooseNum(1, 0xffff)
+      h <- Gen.chooseNum(1, 0xffff)
+      frames <- Gen.chooseNum(1, 12)
+      bi <- Gen.chooseNum(1, 14)
+      si <- Gen.chooseNum(0, 2)
+      db <- Gen.chooseNum(1, 255)
+    } yield (samples, rate, ch, bps, ms, w, h, frames, bi, si, db)
+    for (seed <- 1L to 32L) {
+      val (samples, rate, ch, bps, ms, w, h, frames, bi, si, db) =
+        sample(specGen, seed)
+      val f = FlacMeta.parse(FlacMeta.encode(samples, rate, ch, bps))
+      assert(f.totalSamples == samples && f.sampleRate == rate &&
+        f.channels == ch && f.bitsPerSample == bps &&
+        f.durationMs == samples * 1000 / rate, s"seed=$seed flac")
+      val e = EbmlMeta.parse(EbmlMeta.encode(ms, w, h))
+      assert(e.durationMs == ms && e.width == w && e.height == h, s"seed=$seed ebml")
+      val m = Mp3Meta.parse(Mp3Meta.encode(frames, bi, si))
+      assert(m.nFrames == frames && !m.vbr, s"seed=$seed mp3")
+      val chO = (ch - 1) % 8 + 1
+      val o = OggMeta.parse(OggMeta.encode(samples, chO, preSkip = ms.toInt & 0xffff,
+        inputSampleRate = rate.toLong, dataBytes = db))
+      assert(o.channels == chO && o.durationMs == samples * 1000 / 48000 &&
+        o.nPages == 2, s"seed=$seed opus")
+    }
+  }
+
   test("mu-law companding: idempotent quantization, bounded error, sign-symmetric") {
     import graft.operators.WavCodec.{linearToUlaw, ulawToLinear}
     val sGen = Gen.chooseNum(-32768, 32767)
