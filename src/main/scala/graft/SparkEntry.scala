@@ -1933,6 +1933,24 @@ object SparkEntry {
           col("byteLen").as("byte_len"))
         .orderBy("doc_id")
     }),
+    // TIFF metadata path (round 9): deterministic IFD0 skeletons →
+    // byte-order-aware tag walk. Every field + the 62-byte size is
+    // closed form for the oracle.
+    "multimodal_tiff_meta" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 300).select(
+        col("doc_id"),
+        (col("doc_id") % 4000 + 1).cast("int").as("w"),
+        (col("doc_id") % 3000 + 1).cast("int").as("h"),
+        (col("doc_id") % 3 + 1).cast("int").as("spp"))
+      val media = Multimodal.encodeTiffFrame(spec, "doc_id", "w", "h", "spp")
+      Multimodal.extractTiffMeta(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("format"),
+          col("width"), col("height"),
+          col("bitsPerSample").as("bps"),
+          col("samplesPerPixel").as("spp"),
+          col("byteLen").as("byte_len"))
+        .orderBy("doc_id")
+    }),
     // Opus-in-Ogg metadata path (round 9): deterministic two-page
     // skeletons → page walk → duration from 48 kHz granules minus
     // pre-skip. Size is the closed form 75 + dataBytes.
@@ -4221,6 +4239,15 @@ object SparkEntry {
         |  CAST(kbps AS INTEGER) AS bitrate_kbps,
         |  CAST(frames * (144000 * kbps // sr) AS BIGINT) AS byte_len
         |FROM spec ORDER BY doc_id""".stripMargin,
+    "multimodal_tiff_meta" ->
+      """SELECT doc_id,
+        |  'tiff' AS format,
+        |  CAST(doc_id % 4000 + 1 AS INTEGER) AS width,
+        |  CAST(doc_id % 3000 + 1 AS INTEGER) AS height,
+        |  CAST(8 AS INTEGER) AS bps,
+        |  CAST(doc_id % 3 + 1 AS INTEGER) AS spp,
+        |  CAST(62 AS BIGINT) AS byte_len
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
     "multimodal_opus_meta" ->
       """SELECT doc_id,
         |  'opus' AS format,

@@ -521,6 +521,51 @@ object Multimodal {
     }
   }
 
+  /** TIFF container metadata ([[TiffMeta]] IFD0): dims, bit depth,
+    * channels, byte order. Non-TIFF payloads → format "unknown",
+    * zeroed. */
+  final case class TiffFeatures(
+      mediaId: Long,
+      byteLen: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      bitsPerSample: Int,
+      samplesPerPixel: Int,
+      bigEndian: Boolean)
+
+  /** Distributed minimal-TIFF encode per (id, w, h, spp) row
+    * ([[TiffMeta.encode]], 8-bit samples). */
+  def encodeTiffFrame(spec: DataFrame, idCol: String, wCol: String,
+      hCol: String, sppCol: String): DataFrame = {
+    val spark = spec.sparkSession
+    import spark.implicits._
+    spec.select(col(idCol).cast("long"), col(wCol).cast("int"),
+        col(hCol).cast("int"), col(sppCol).cast("int"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h, spp) =>
+        (id, TiffMeta.encode(w, h, bitsPerSample = 8, samplesPerPixel = spp))
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Batched TIFF-metadata extraction over (media_id, data) — the IFD
+    * walk runs row-locally; payloads never shuffle. */
+  def extractTiffMeta(media: DataFrame): Dataset[TiffFeatures] = {
+    implicit val enc = Encoders.product[TiffFeatures]
+    media.select(col("media_id"), col("data")).mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val blen = if (bytes == null) 0L else bytes.length.toLong
+        val m = if (bytes == null) null else TiffMeta.parse(bytes)
+        if (m == null) TiffFeatures(id, blen, "unknown", 0, 0, 0, 0, bigEndian = false)
+        else TiffFeatures(id, blen, "tiff", m.width, m.height,
+          m.bitsPerSample, m.samplesPerPixel, m.bigEndian)
+      }
+    }
+  }
+
   /** Opus-in-Ogg container metadata ([[OggMeta]]): duration (48 kHz
     * granules − pre-skip), channels, declared input rate, page count.
     * Non-Ogg payloads → format "unknown", zeroed. */

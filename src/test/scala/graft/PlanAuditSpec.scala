@@ -414,7 +414,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("round-9 media-metadata gates: row-local decode, no joins, bounded exchanges") {
     for (name <- Seq("multimodal_png_16bit", "multimodal_mp3_meta",
-        "multimodal_flac_meta", "multimodal_webm", "multimodal_opus_meta")) {
+        "multimodal_flac_meta", "multimodal_webm", "multimodal_opus_meta",
+        "multimodal_tiff_meta")) {
       val p = plan(name)
       assert(nodes(p, "SortMergeJoin") + nodes(p, "BroadcastHashJoin") +
         nodes(p, "ShuffledHashJoin") + nodes(p, "CartesianProduct") +
