@@ -1969,6 +1969,36 @@ object SparkEntry {
           col("nPages").as("n_pages"), col("byteLen").as("byte_len"))
         .orderBy("doc_id")
     }),
+    // Codec-dispatched Ogg audio path (round 10): the page walk now
+    // branches on the first packet's id header — Opus (RFC 7845) or
+    // Vorbis (Vorbis I §4.2.2) — so Vorbis-in-Ogg stops being
+    // loud-rejected. Mixed corpus: ⅓ Opus, ⅓ Vorbis, ⅓ MP3 (probe
+    // disjointness — must come back "unknown", never mis-parse).
+    "multimodal_ogg_vorbis_meta" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 300).select(
+        col("doc_id"),
+        (col("doc_id") % 50000 * 53 + 480).cast("long").as("samples"),
+        (col("doc_id") % 2 + 1).cast("int").as("ch"),
+        (col("doc_id") % 200 + 20).cast("int").as("db"),
+        expr("array(44100, 48000, 32000, 22050)[CAST(doc_id % 4 AS INT)]")
+          .cast("long").as("sr"))
+      val opus = Multimodal.encodeOpusFrame(
+        spec.where(col("doc_id") % 3 === 0), "doc_id", "samples", "ch", "db")
+      val vorb = Multimodal.encodeVorbisFrame(
+        spec.where(col("doc_id") % 3 === 1), "doc_id", "samples", "sr", "ch", "db")
+      val mp3 = Multimodal.encodeMp3Frame(
+        spec.where(col("doc_id") % 3 === 2)
+          .withColumn("frames", (col("doc_id") % 9 + 1).cast("int"))
+          .withColumn("bi", lit(9)).withColumn("sri", lit(0)),
+        "doc_id", "frames", "bi", "sri")
+      Multimodal.extractOggAudioMeta(opus.unionAll(vorb).unionAll(mp3)).toDF()
+        .select(col("mediaId").as("doc_id"), col("format"),
+          col("durationMs").as("duration_ms"), col("channels"),
+          col("preSkip").as("pre_skip"),
+          col("sampleRate").as("sample_rate"),
+          col("nPages").as("n_pages"), col("byteLen").as("byte_len"))
+        .orderBy("doc_id")
+    }),
     // WebM metadata path (round 9): deterministic EBML skeletons →
     // varint element walk → DocType/duration/dims/tracks. The 85-byte
     // skeleton size and every field are closed form for the oracle —
@@ -2014,6 +2044,62 @@ object SparkEntry {
           col("sampleRate").as("sample_rate"), col("channels"),
           col("bitsPerSample").as("bps"),
           col("totalSamples").as("total_samples"),
+          col("byteLen").as("byte_len"))
+        .orderBy("doc_id")
+    }),
+    // AAC-in-ADTS metadata path (round 10): after MP3 the most common
+    // crawl audio class. Deterministic ADTS streams → 7-byte-header
+    // frame walk → duration/rate/channels/profile/exact-avg-bitrate.
+    // Every doc_id % 7 == 3 carries an MP3 payload instead — the AAC
+    // probe must report it "unknown" (probe disjointness, the
+    // flac-gate pattern), never mis-parse it.
+    "multimodal_aac_meta" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 300).select(
+        col("doc_id"),
+        (col("doc_id") % 9 + 1).cast("int").as("frames"),
+        (col("doc_id") % 13).cast("int").as("si"),
+        (col("doc_id") % 7 + 1).cast("int").as("cc"),
+        (col("doc_id") % 512 + 16).cast("int").as("pb"))
+      val aac = Multimodal.encodeAacFrame(
+        spec.where(col("doc_id") % 7 =!= 3),
+        "doc_id", "frames", "si", "cc", "pb")
+      val mp3 = Multimodal.encodeMp3Frame(
+        spec.where(col("doc_id") % 7 === 3)
+          .withColumn("bi", lit(9)).withColumn("sri", lit(0)),
+        "doc_id", "frames", "bi", "sri")
+      Multimodal.extractAacMeta(aac.unionAll(mp3)).toDF()
+        .select(col("mediaId").as("doc_id"), col("format"),
+          col("durationMs").as("duration_ms"),
+          col("sampleRate").as("sample_rate"), col("channels"),
+          col("nFrames").as("n_frames"),
+          col("bitrateKbps").as("bitrate_kbps"),
+          col("profile"), col("vbr"), col("byteLen").as("byte_len"))
+        .orderBy("doc_id")
+    }),
+    // M4A (audio-in-BMFF) metadata path (round 10): the same box walk
+    // as MP4 but mapped to AUDIO fields (mvhd duration + stsd/mp4a
+    // channelcount + 16.16 samplerate). Every doc_id % 7 == 0 carries
+    // a VIDEO-only MP4 — which must come back "unknown": a video MP4
+    // is not an M4A, the exact round-9 mis-shaping this gate pins.
+    "multimodal_m4a_meta" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 300).select(
+        col("doc_id"),
+        (col("n_chars") % 30000 + 500).cast("long").as("ms"),
+        expr("array(44100, 48000, 32000, 22050)[CAST(doc_id % 4 AS INT)]")
+          .cast("int").as("sr"),
+        (col("doc_id") % 2 + 1).cast("int").as("ch"))
+      val m4a = Multimodal.encodeM4aFrame(
+        spec.where(col("doc_id") % 7 =!= 0), "doc_id", "ms", "sr", "ch")
+      val mp4 = Multimodal.encodeMp4Frame(
+        spec.where(col("doc_id") % 7 === 0)
+          .withColumn("w", (col("doc_id") % 1280 + 16).cast("int"))
+          .withColumn("h", (col("doc_id") % 720 + 16).cast("int")),
+        "doc_id", "ms", "w", "h")
+      Multimodal.extractM4aMeta(m4a.unionAll(mp4)).toDF()
+        .select(col("mediaId").as("doc_id"), col("format"),
+          col("durationMs").as("duration_ms"),
+          col("sampleRate").as("sample_rate"), col("channels"),
+          col("nTracks").as("n_tracks"), col("codec"),
           col("byteLen").as("byte_len"))
         .orderBy("doc_id")
     }),
@@ -3152,108 +3238,22 @@ object SparkEntry {
         |FROM lineitem WHERE l_orderkey % 10 = 3""".stripMargin,
     "dedup_minhash_lsh" -> nearDupOracle(restrict = "", threshold = 0.6),
     "dedup_clusters" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 30
-        |), corpus AS (
-        |  SELECT doc_id, text FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |    array_to_string(
-        |      list_slice(string_split(text, ' '), 1,
-        |        len(string_split(text, ' ')) - 5), ' ')
-        |  FROM base
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(w[i:i+2], ' ')
-        |                   for i in range(1, len(w) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
-        |        FROM corpus)
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-        |), edges AS (
-        |  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
-        |), reach(id, r) AS (
-        |  SELECT id_a, id_a FROM edges
-        |  UNION
-        |  SELECT e.id_a, r.r FROM edges e JOIN reach r ON r.id = e.id_b
-        |)
-        |SELECT id, CAST(min(r) AS BIGINT) AS cluster
-        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+      s"""WITH RECURSIVE ${dedupSweepCtes("", 0.5)},
+         |$dedupClosureCtes
+         |SELECT id, CAST(cluster AS BIGINT) AS cluster
+         |FROM comp ORDER BY id""".stripMargin,
     "dedup_drop" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 30
-        |), corpus AS (
-        |  SELECT doc_id, text FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |    array_to_string(
-        |      list_slice(string_split(text, ' '), 1,
-        |        len(string_split(text, ' ')) - 5), ' ')
-        |  FROM base
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(w[i:i+2], ' ')
-        |                   for i in range(1, len(w) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
-        |        FROM corpus)
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-        |), edges AS (
-        |  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
-        |), reach(id, r) AS (
-        |  SELECT id_a, id_a FROM edges
-        |  UNION
-        |  SELECT e.id_a, r.r FROM edges e JOIN reach r ON r.id = e.id_b
-        |)
-        |, comp AS (
-        |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
-        |), losers AS (
-        |  SELECT id FROM comp WHERE id != cluster
-        |)
-        |SELECT CAST(count(*) AS BIGINT) AS n_kept,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
-        |FROM corpus
-        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+      s"""WITH RECURSIVE ${dedupSweepCtes("", 0.5)},
+         |$dedupClosureCtes, losers AS (
+         |  SELECT id FROM comp WHERE id != cluster
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM corpus
+         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
     "dedup_drop_best" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 30
-        |), corpus AS (
-        |  SELECT doc_id, text FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |    array_to_string(
-        |      list_slice(string_split(text, ' '), 1,
-        |        len(string_split(text, ' ')) - 5), ' ')
-        |  FROM base
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(w[i:i+2], ' ')
-        |                   for i in range(1, len(w) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
-        |        FROM corpus)
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-        |), edges AS (
-        |  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
-        |), reach(id, r) AS (
-        |  SELECT id_a, id_a FROM edges
-        |  UNION
-        |  SELECT e.id_a, r.r FROM edges e JOIN reach r ON r.id = e.id_b
-        |), comp AS (
-        |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
-        |), member AS (
+      s"""WITH RECURSIVE ${dedupSweepCtes("", 0.5)},
+         |$dedupClosureCtes, member AS (
         |  SELECT id, cluster, (id * 2654435761) % 1000 AS score FROM comp
         |), winners AS (
         |  -- (score, -id) lexicographic max as one scalar key: ids are
@@ -3272,89 +3272,33 @@ object SparkEntry {
     // the collapsed lshClusters route is byte-equivalent to the pairs
     // route, so the one-call gates replay the SAME closures
     "dedup_lsh_drop" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 30
-        |), corpus AS (
-        |  SELECT doc_id, text FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |    array_to_string(
-        |      list_slice(string_split(text, ' '), 1,
-        |        len(string_split(text, ' ')) - 5), ' ')
-        |  FROM base
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(w[i:i+2], ' ')
-        |                   for i in range(1, len(w) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
-        |        FROM corpus)
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-        |), edges AS (
-        |  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
-        |), reach(id, r) AS (
-        |  SELECT id_a, id_a FROM edges
-        |  UNION
-        |  SELECT e.id_a, r.r FROM edges e JOIN reach r ON r.id = e.id_b
-        |)
-        |, comp AS (
-        |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
-        |), losers AS (
-        |  SELECT id FROM comp WHERE id != cluster
-        |)
-        |SELECT CAST(count(*) AS BIGINT) AS n_kept,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
-        |FROM corpus
-        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+      s"""WITH RECURSIVE ${dedupSweepCtes("", 0.5)},
+         |$dedupClosureCtes, losers AS (
+         |  SELECT id FROM comp WHERE id != cluster
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM corpus
+         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
     "dedup_lsh_drop_best" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 30
-        |), corpus AS (
-        |  SELECT doc_id, text FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |    array_to_string(
-        |      list_slice(string_split(text, ' '), 1,
-        |        len(string_split(text, ' ')) - 5), ' ')
-        |  FROM base
-        |), sh AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(w[i:i+2], ' ')
-        |                   for i in range(1, len(w) - 1)]) AS s
-        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
-        |        FROM corpus)
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
-        |), edges AS (
-        |  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
-        |), reach(id, r) AS (
-        |  SELECT id_a, id_a FROM edges
-        |  UNION
-        |  SELECT e.id_a, r.r FROM edges e JOIN reach r ON r.id = e.id_b
-        |), comp AS (
-        |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
-        |), member AS (
-        |  SELECT id, cluster, (id * 2654435761) % 1000 AS score FROM comp
-        |), winners AS (
-        |  SELECT cluster, max_by(id, score * 10000000 - id) AS win
-        |  FROM member GROUP BY cluster
-        |), losers AS (
-        |  SELECT m.id FROM member m JOIN winners w USING (cluster)
-        |  WHERE m.id != w.win
-        |)
-        |SELECT CAST(count(*) AS BIGINT) AS n_kept,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
-        |  CAST(sum((doc_id * 2654435761) % 1000) AS BIGINT) AS sum_scores
-        |FROM corpus
-        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+      s"""WITH RECURSIVE ${dedupSweepCtes("", 0.5)},
+         |$dedupClosureCtes, member AS (
+         |  SELECT id, cluster, (id * 2654435761) % 1000 AS score FROM comp
+         |), winners AS (
+         |  SELECT cluster, max_by(id, score * 10000000 - id) AS win
+         |  FROM member GROUP BY cluster
+         |), losers AS (
+         |  SELECT m.id FROM member m JOIN winners w USING (cluster)
+         |  WHERE m.id != w.win
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(sum((doc_id * 2654435761) % 1000) AS BIGINT) AS sum_scores
+         |FROM corpus
+         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+    // Blocked cross-group sweep (same exactness argument as
+    // dedupSweepCtes: jaccard ≥ 0.5 ⇒ ≥1 shared shingle; group count of
+    // the shingle equi-join = |A∩B| because shingle lists are distinct).
     "dedup_incremental" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents
@@ -3377,13 +3321,19 @@ object SparkEntry {
         |                   for i in range(1, len(w) - 1)]) AS s
         |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
         |        FROM news)
+        |), exI AS (SELECT doc_id, unnest(s) AS g FROM shI
+        |), exN AS (SELECT doc_id, unnest(s) AS g FROM shN
+        |), inter AS (
+        |  SELECT n.doc_id AS id_new, i.doc_id AS id_idx, count(*) AS i
+        |  FROM exN n JOIN exI i ON n.g = i.g GROUP BY 1, 2
         |)
-        |SELECT n.doc_id AS id_new, i.doc_id AS id_idx,
-        |  CAST(round(len(list_intersect(n.s, i.s))::DOUBLE
-        |    / len(list_distinct(list_concat(n.s, i.s))), 6) AS DOUBLE) AS jaccard
-        |FROM shN n JOIN shI i
-        |  ON len(list_intersect(n.s, i.s))::DOUBLE
-        |     / len(list_distinct(list_concat(n.s, i.s))) >= 0.5
+        |SELECT id_new, id_idx,
+        |  CAST(round(inter.i::DOUBLE / (ln.n + li.n - inter.i), 6) AS DOUBLE)
+        |    AS jaccard
+        |FROM inter
+        |JOIN (SELECT doc_id, len(s) AS n FROM shN) ln ON ln.doc_id = id_new
+        |JOIN (SELECT doc_id, len(s) AS n FROM shI) li ON li.doc_id = id_idx
+        |WHERE inter.i::DOUBLE / (ln.n + li.n - inter.i) >= 0.5
         |ORDER BY id_new, id_idx""".stripMargin,
     "dedup_incremental_drop" ->
       """WITH RECURSIVE base AS (
@@ -3415,15 +3365,27 @@ object SparkEntry {
         |                   for i in range(1, len(w) - 1)]) AS s
         |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
         |        FROM batch)
+        |), lenI AS (SELECT doc_id, len(s) AS n FROM shI
+        |), lenB AS (SELECT doc_id, len(s) AS n FROM shB
+        |), exI AS (SELECT doc_id, unnest(s) AS g FROM shI
+        |), exB AS (SELECT doc_id, unnest(s) AS g FROM shB
+        |), interH AS (
+        |  SELECT b.doc_id AS bid, i.doc_id AS iid, count(*) AS i
+        |  FROM exB b JOIN exI i ON b.g = i.g GROUP BY 1, 2
         |), hits AS (
-        |  SELECT DISTINCT b.doc_id FROM shB b JOIN shI i
-        |    ON len(list_intersect(b.s, i.s))::DOUBLE
-        |       / len(list_distinct(list_concat(b.s, i.s))) >= 0.5
+        |  SELECT DISTINCT bid AS doc_id FROM interH
+        |  JOIN lenB lb ON lb.doc_id = interH.bid
+        |  JOIN lenI li ON li.doc_id = interH.iid
+        |  WHERE interH.i::DOUBLE / (lb.n + li.n - interH.i) >= 0.5
+        |), interP AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |  FROM exB a JOIN exB b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
         |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM shB a JOIN shB b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
-        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        |  SELECT ia AS id_a, ib AS id_b FROM interP
+        |  JOIN lenB la ON la.doc_id = interP.ia
+        |  JOIN lenB lb ON lb.doc_id = interP.ib
+        |  WHERE interP.i::DOUBLE / (la.n + lb.n - interP.i) >= 0.5
         |), edges AS (
         |  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
         |), reach(id, r) AS (
@@ -4239,6 +4201,85 @@ object SparkEntry {
         |  CAST(kbps AS INTEGER) AS bitrate_kbps,
         |  CAST(frames * (144000 * kbps // sr) AS BIGINT) AS byte_len
         |FROM spec ORDER BY doc_id""".stripMargin,
+    "multimodal_aac_meta" ->
+      """WITH spec AS (
+        |  SELECT doc_id,
+        |    doc_id % 9 + 1 AS frames,
+        |    CAST(doc_id % 7 + 1 AS INTEGER) AS cc,
+        |    doc_id % 512 + 16 AS pb,
+        |    ([96000,88200,64000,48000,44100,32000,24000,22050,16000,
+        |      12000,11025,8000,7350])[CAST(doc_id % 13 + 1 AS INTEGER)] AS sr
+        |  FROM documents WHERE doc_id < 300
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 3 THEN 'unknown' ELSE 'aac' END AS format,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN 0
+        |    ELSE frames * 1024 * 1000 // sr END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE sr END AS INTEGER)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN 0
+        |    WHEN cc = 7 THEN 8 ELSE cc END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE frames END AS BIGINT)
+        |    AS n_frames,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN 0
+        |    ELSE frames * (7 + pb) * 8 * sr // (frames * 1024 * 1000)
+        |    END AS INTEGER) AS bitrate_kbps,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 1 END AS INTEGER)
+        |    AS profile,
+        |  false AS vbr,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN frames * (144000 * 128 // 44100)
+        |    ELSE frames * (7 + pb) END AS BIGINT) AS byte_len
+        |FROM spec ORDER BY doc_id""".stripMargin,
+    "multimodal_m4a_meta" ->
+      """WITH spec AS (
+        |  SELECT doc_id,
+        |    n_chars % 30000 + 500 AS ms,
+        |    ([44100, 48000, 32000, 22050])[CAST(doc_id % 4 + 1 AS INTEGER)] AS sr,
+        |    CAST(doc_id % 2 + 1 AS INTEGER) AS ch
+        |  FROM documents WHERE doc_id < 300
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'm4a' END AS format,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE ms END AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE sr END AS INTEGER)
+        |    AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE ch END AS INTEGER)
+        |    AS channels,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS INTEGER)
+        |    AS n_tracks,
+        |  CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'mp4a' END AS codec,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 240 ELSE 381 END AS BIGINT)
+        |    AS byte_len
+        |FROM spec ORDER BY doc_id""".stripMargin,
+    "multimodal_ogg_vorbis_meta" ->
+      """WITH spec AS (
+        |  SELECT doc_id,
+        |    doc_id % 50000 * 53 + 480 AS samples,
+        |    CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+        |    doc_id % 200 + 20 AS db,
+        |    doc_id % 9 + 1 AS frames,
+        |    ([44100, 48000, 32000, 22050])[CAST(doc_id % 4 + 1 AS INTEGER)] AS sr
+        |  FROM documents WHERE doc_id < 300
+        |)
+        |SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'opus' WHEN 1 THEN 'vorbis'
+        |    ELSE 'unknown' END AS format,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN samples * 1000 // 48000
+        |    WHEN 1 THEN samples * 1000 // sr ELSE 0 END AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE ch END AS INTEGER)
+        |    AS channels,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 312 ELSE 0 END AS INTEGER)
+        |    AS pre_skip,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN sr
+        |    ELSE 0 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 2 END AS INTEGER)
+        |    AS n_pages,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 75 + db WHEN 1 THEN 86 + db
+        |    ELSE frames * (144000 * 128 // 44100) END AS BIGINT)
+        |    AS byte_len
+        |FROM spec ORDER BY doc_id""".stripMargin,
     "multimodal_tiff_meta" ->
       """SELECT doc_id,
         |  'tiff' AS format,
@@ -4926,7 +4967,24 @@ object SparkEntry {
   /** Shared oracle for the constructed near-dup corpus: exact word-3-gram
     * Jaccard over base ∪ perturbed, pairs ≥ threshold. */
   private def nearDupOracle(restrict: String, threshold: Double): String =
-    s"""WITH base AS (
+    s"""WITH ${dedupSweepCtes(restrict, threshold)}
+       |SELECT id_a, id_b, CAST(round(j, 6) AS DOUBLE) AS jaccard
+       |FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared-shingle BLOCKED exact-Jaccard sweep over the planted
+    * drop-5-token near-dup corpus — the CTE chain `base → corpus → sh →
+    * lens/ex → inter → pairs`, ending with `pairs(id_a, id_b, j)`.
+    *
+    * Exact rewrite of the brute all-pairs `list_intersect` form: for any
+    * threshold t > 0, jaccard ≥ t requires ≥1 shared shingle, so
+    * restricting candidates to shingle-sharing pairs (an equi-join on the
+    * unnested distinct shingles) loses nothing; and because `s` is
+    * list_distinct, the per-pair group COUNT of the equi-join IS |A∩B|,
+    * so j = i / (|A| + |B| − i) with no list ops at all. Runs in ~1 s at
+    * sf0.01 where the all-pairs form took 186–240 s per gate (the
+    * round-8/9 driver-correctness-channel killer — VERDICT r9 §wrong #1). */
+  private def dedupSweepCtes(restrict: String, threshold: Double): String =
+    s"""base AS (
        |  SELECT doc_id, text FROM documents
        |  WHERE len(string_split(text, ' ')) >= 30 $restrict
        |), corpus AS (
@@ -4941,12 +4999,33 @@ object SparkEntry {
        |  SELECT doc_id,
        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS s
        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM corpus)
+       |), lens AS (SELECT doc_id, len(s) AS n FROM sh
+       |), ex AS (SELECT doc_id, unnest(s) AS g FROM sh
+       |), inter AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
        |), pairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    len(list_intersect(a.s, b.s))::DOUBLE
-       |      / len(list_distinct(list_concat(a.s, b.s))) AS j
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |)
-       |SELECT id_a, id_b, CAST(round(j, 6) AS DOUBLE) AS jaccard
-       |FROM pairs WHERE j >= $threshold ORDER BY id_a, id_b""".stripMargin
+       |  SELECT ia AS id_a, ib AS id_b,
+       |    inter.i::DOUBLE / (la.n + lb.n - inter.i) AS j
+       |  FROM inter
+       |  JOIN lens la ON la.doc_id = inter.ia
+       |  JOIN lens lb ON lb.doc_id = inter.ib
+       |  WHERE inter.i::DOUBLE / (la.n + lb.n - inter.i) >= $threshold
+       |)""".stripMargin
+
+  /** Closure tail shared by the cluster/drop gates: symmetric edges →
+    * recursive min-label reach → per-id cluster. The closure itself is
+    * cheap (clusters are tiny); only the pair sweep above needed the
+    * blocked rewrite. */
+  private val dedupClosureCtes: String =
+    """edges AS (
+      |  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT id_a, id_a FROM edges
+      |  UNION
+      |  SELECT e.id_a, r.r FROM edges e JOIN reach r ON r.id = e.id_b
+      |), comp AS (
+      |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
+      |)""".stripMargin
 }

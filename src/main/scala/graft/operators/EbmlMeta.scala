@@ -38,6 +38,11 @@ object EbmlMeta {
     val first = b(off) & 0xff
     require(first != 0, s"invalid varint leading byte 0 at offset $off")
     val len = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+    // EBML/Matroska caps element IDs at 4 bytes (EBMLMaxIDLength 4);
+    // a 5-8 byte "ID" is corruption and must fail loudly, not be
+    // mis-parsed as a huge unknown element.
+    require(!keepMarker || len <= 4,
+      s"EBML element ID wider than 4 bytes at offset $off")
     require(off + len <= b.length, s"truncated varint at offset $off")
     var v: Long = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
     var i = 1

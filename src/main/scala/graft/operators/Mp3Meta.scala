@@ -103,33 +103,42 @@ object Mp3Meta {
       (try { parseHeader(bytes, 0); true } catch { case _: Exception => false })
     }
 
-  /** Skip an ID3v2 prefix if present (10-byte header + syncsafe size). */
+  /** Skip an ID3v2 prefix if present (10-byte header + syncsafe size,
+    * plus the 10-byte ID3v2.4 footer when flag bit 4 is set — the
+    * syncsafe size covers neither header nor footer). */
   private def skipId3v2(b: Array[Byte]): Int =
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
       val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
         ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-      val end = 10 + size
+      val footer = if ((b(5) & 0x10) != 0) 10 else 0
+      val end = 10 + size + footer
       require(end <= b.length, "ID3v2 tag overruns the payload")
       end
     } else 0
 
-  /** Xing/Info frame count, if the first frame carries the tag at the
-    * LAME-convention offset (after the Layer III side info). -1 if
-    * absent. */
-  private def xingFrames(b: Array[Byte], frameOff: Int, f: Frame): Long = {
-    if (f.layer != 3) return -1L
+  /** Xing/Info tag in the first frame at the LAME-convention offset
+    * (after the Layer III side info): `(isXing, declaredFrames)`.
+    * `isXing` is true only for the literal "Xing" magic — LAME writes
+    * "Info" for CBR streams, so Info must NOT be read as a VBR signal
+    * (only as a frame count). `declaredFrames` is -1 when the tag or
+    * its frames field is absent. */
+  private def xingTag(b: Array[Byte], frameOff: Int, f: Frame): (Boolean, Long) = {
+    if (f.layer != 3) return (false, -1L)
     val side =
       if (f.version == 3) { if (f.channels == 1) 17 else 32 }
       else { if (f.channels == 1) 9 else 17 }
     val p = frameOff + 4 + (if (f.crc) 2 else 0) + side
-    if (p + 8 > b.length || p + 8 > frameOff + f.frameBytes) return -1L
+    if (p + 8 > b.length || p + 8 > frameOff + f.frameBytes) return (false, -1L)
     val tag = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    if (tag != "Xing" && tag != "Info") return -1L
+    if (tag != "Xing" && tag != "Info") return (false, -1L)
+    val isXing = tag == "Xing"
     val flags = ((b(p + 4) & 0xff) << 24) | ((b(p + 5) & 0xff) << 16) |
       ((b(p + 6) & 0xff) << 8) | (b(p + 7) & 0xff)
-    if ((flags & 1) == 0 || p + 12 > b.length) -1L
-    else ((b(p + 8) & 0xffL) << 24) | ((b(p + 9) & 0xffL) << 16) |
-      ((b(p + 10) & 0xffL) << 8) | (b(p + 11) & 0xffL)
+    val frames =
+      if ((flags & 1) == 0 || p + 12 > b.length) -1L
+      else ((b(p + 8) & 0xffL) << 24) | ((b(p + 9) & 0xffL) << 16) |
+        ((b(p + 10) & 0xffL) << 8) | (b(p + 11) & 0xffL)
+    (isXing, frames)
   }
 
   /** Parse stream metadata by walking every frame. Null for payloads
@@ -152,7 +161,7 @@ object Mp3Meta {
     var kbpsMax = 0
     var sampleRate = 0
     var channels = 0
-    var declaredFrames = -1L
+    var xingVbrTag = false
     while (off + 4 <= end) {
       val f = parseHeader(bytes, off)
       require(off + f.frameBytes <= end,
@@ -160,7 +169,7 @@ object Mp3Meta {
       if (nFrames == 0L) {
         sampleRate = f.sampleRate
         channels = f.channels
-        declaredFrames = xingFrames(bytes, off, f)
+        xingVbrTag = xingTag(bytes, off, f)._1
       } else {
         require(f.sampleRate == sampleRate,
           "sample-rate change mid-stream not supported")
@@ -173,13 +182,17 @@ object Mp3Meta {
       off += f.frameBytes
     }
     require(nFrames > 0, "no MP3 frames found")
+    // 1-3 trailing bytes would otherwise be silently swallowed by the
+    // `off + 4 <= end` loop guard, contradicting the loud-desync contract
+    require(off == end,
+      s"${end - off} trailing non-frame bytes after the last MP3 frame")
     AudioMeta(
       durationMs = samples * 1000L / sampleRate,
       sampleRate = sampleRate,
       channels = channels,
       nFrames = nFrames,
       bitrateKbps = (kbpsSum / nFrames).toInt,
-      vbr = kbpsMin != kbpsMax || declaredFrames >= 0)
+      vbr = kbpsMin != kbpsMax || xingVbrTag)
   }
 
   /** Emit a deterministic spec-valid MPEG-1 Layer III CBR stream:

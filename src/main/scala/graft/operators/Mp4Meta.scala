@@ -111,6 +111,79 @@ object Mp4Meta {
     VideoMeta(durationMs, w, h, tracks)
   }
 
+  /** Audio-track metadata for M4A / audio-in-BMFF payloads — the
+    * round-9 gap where M4A parsed fine as ISO-BMFF but was only ever
+    * reported video-shaped. Fields come from the spec boxes:
+    * mvhd duration, mdia/hdlr handler 'soun', and the
+    * stbl/stsd AudioSampleEntry (channelcount + 16.16 samplerate,
+    * ISO 14496-12 §12.2.3). `codec` is the sample-entry format tag
+    * ("mp4a" for AAC-in-M4A). */
+  final case class AudioTrackMeta(
+      durationMs: Long, sampleRate: Int, channels: Int, nTracks: Int,
+      codec: String)
+
+  /** Parse the FIRST audio ('soun' handler) track's sample-entry
+    * fields. Null for non-MP4 payloads AND for MP4s with no audio
+    * track (a video-only MP4 is not an M4A — callers dispatch on
+    * this); structurally corrupt boxes fail loudly. */
+  def parseAudio(bytes: Array[Byte]): AudioTrackMeta = {
+    if (!isMp4(bytes)) return null
+    var durationMs = -1L
+    var tracks = 0
+    var sampleRate = 0
+    var channels = 0
+    var codec: String = null
+    walk(bytes, 0, bytes.length) { (typ, p, e) =>
+      if (typ == "moov") walk(bytes, p, e) { (t2, p2, e2) =>
+        t2 match {
+          case "mvhd" =>
+            require(e2 - p2 >= 20, "truncated mvhd")
+            val ver = bytes(p2) & 0xff
+            require(ver != 1 || e2 - p2 >= 32, "truncated mvhd v1")
+            val (timescale, duration) =
+              if (ver == 1) (be32(bytes, p2 + 20), be64(bytes, p2 + 24))
+              else (be32(bytes, p2 + 12), be32(bytes, p2 + 16))
+            require(timescale > 0, "mvhd timescale must be positive")
+            durationMs = duration * 1000L / timescale
+          case "trak" =>
+            tracks += 1
+            var isAudio = false
+            walk(bytes, p2, e2) { (t3, p3, e3) =>
+              if (t3 == "mdia") walk(bytes, p3, e3) { (t4, p4, e4) =>
+                t4 match {
+                  case "hdlr" =>
+                    require(e4 - p4 >= 12, "truncated hdlr")
+                    isAudio = tag(bytes, p4 + 8) == "soun"
+                  case "minf" => walk(bytes, p4, e4) { (t5, p5, e5) =>
+                    if (t5 == "stbl") walk(bytes, p5, e5) { (t6, p6, e6) =>
+                      if (t6 == "stsd" && isAudio && codec == null) {
+                        require(e6 - p6 >= 8, "truncated stsd")
+                        require(be32(bytes, p6 + 4) >= 1, "empty stsd")
+                        val entry = p6 + 8
+                        // AudioSampleEntry: size+format(8) + reserved(6)
+                        // + dri(2) + reserved(8) + chan(2) + bits(2)
+                        // + predef(2) + reserved(2) + rate(4, 16.16)
+                        require(e6 - entry >= 36, "truncated audio sample entry")
+                        codec = tag(bytes, entry + 4)
+                        channels = ((bytes(entry + 24) & 0xff) << 8) |
+                          (bytes(entry + 25) & 0xff)
+                        sampleRate = (be32(bytes, entry + 32) >> 16).toInt
+                      }
+                    }
+                  }
+                  case _ => ()
+                }
+              }
+            }
+          case _ => ()
+        }
+      }
+    }
+    if (codec == null) return null // no audio track — not an M4A shape
+    require(durationMs >= 0, "missing moov/mvhd")
+    AudioTrackMeta(durationMs, sampleRate, channels, tracks, codec)
+  }
+
   /** Minimal spec-valid MP4 skeleton: ftyp(isom) + moov(mvhd +
     * trak/tkhd). Deterministic byte-for-byte; size is the closed form
     * `24 (ftyp) + 8 (moov) + 108 (mvhd) + 8 (trak) + 92 (tkhd)` = 240. */
@@ -149,6 +222,81 @@ object Mp4Meta {
     Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
       .foreach(be(_, 4))               // matrix
     be(width.toLong << 16, 4); be(height.toLong << 16, 4) // 16.16 fixed
+    out.toByteArray
+  }
+
+  /** Minimal spec-valid M4A skeleton: ftyp(M4A ) + moov(mvhd +
+    * trak(tkhd + mdia(mdhd + hdlr'soun' + minf(stbl(stsd(mp4a)))))).
+    * Deterministic byte-for-byte; total size is the closed form
+    * 24 + 8 + 108 + 8 + 92 + 8 + 32 + 33 + 8 + 8 + 16 + 36 = 381. */
+  def encodeM4a(durationMs: Long, sampleRate: Int,
+      channels: Int, timescale: Int = 1000): Array[Byte] = {
+    require(durationMs >= 0 && sampleRate > 0 && sampleRate <= 0xffff &&
+      channels >= 1 && channels <= 8 && timescale > 0,
+      s"bad spec ${durationMs}ms ${sampleRate}Hz ${channels}ch @$timescale")
+    val out = new java.io.ByteArrayOutputStream()
+    def be(v: Long, n: Int): Unit =
+      for (i <- (n - 1) to 0 by -1) out.write(((v >> (8 * i)) & 0xff).toInt)
+    def tagW(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    be(24, 4); tagW("ftyp"); tagW("M4A "); be(0, 4); tagW("M4A "); tagW("mp42")
+    val duration = durationMs * timescale / 1000L
+    val stsd = 16 + 36
+    val stbl = 8 + stsd
+    val minf = 8 + stbl
+    val hdlr = 33
+    val mdhd = 32
+    val mdia = 8 + mdhd + hdlr + minf
+    val tkhd = 92
+    val trak = 8 + tkhd + mdia
+    be(8 + 108 + trak, 4); tagW("moov")
+    // mvhd v0
+    be(108, 4); tagW("mvhd"); be(0, 4)
+    be(0, 4); be(0, 4)
+    be(timescale.toLong, 4); be(duration, 4)
+    be(0x00010000L, 4)
+    be(0x0100L, 2); be(0, 2)
+    be(0, 8)
+    Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+      .foreach(be(_, 4))
+    for (_ <- 0 until 6) be(0, 4)
+    be(2, 4)
+    // trak
+    be(trak, 4); tagW("trak")
+    // tkhd v0 — audio track: zero dims, volume 1.0
+    be(tkhd, 4); tagW("tkhd"); be(0x00000007L, 4)
+    be(0, 4); be(0, 4)
+    be(1, 4); be(0, 4)
+    be(duration, 4)
+    be(0, 8)
+    be(0, 2); be(0, 2)
+    be(0x0100L, 2); be(0, 2)
+    Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+      .foreach(be(_, 4))
+    be(0, 4); be(0, 4) // width = height = 0 (audio)
+    // mdia
+    be(mdia, 4); tagW("mdia")
+    // mdhd v0: media timescale = the sample rate (the M4A convention)
+    be(mdhd, 4); tagW("mdhd"); be(0, 4)
+    be(0, 4); be(0, 4)
+    be(sampleRate.toLong, 4); be(durationMs * sampleRate / 1000L, 4)
+    be(0x55c4L, 2); be(0, 2) // language 'und' + pre_defined
+    // hdlr: handler 'soun', empty NUL name
+    be(hdlr, 4); tagW("hdlr"); be(0, 4)
+    be(0, 4); tagW("soun")
+    be(0, 4); be(0, 4); be(0, 4) // reserved
+    out.write(0) // name ""
+    // minf > stbl > stsd
+    be(minf, 4); tagW("minf")
+    be(stbl, 4); tagW("stbl")
+    be(stsd, 4); tagW("stsd"); be(0, 4); be(1, 4) // ver/flags + entry_count
+    // mp4a AudioSampleEntry
+    be(36, 4); tagW("mp4a")
+    be(0, 4); be(0, 2) // reserved(6)
+    be(1, 2)           // data_reference_index
+    be(0, 8)           // reserved
+    be(channels.toLong, 2); be(16, 2) // channelcount + samplesize
+    be(0, 2); be(0, 2) // pre_defined + reserved
+    be(sampleRate.toLong << 16, 4)    // 16.16 fixed
     out.toByteArray
   }
 }

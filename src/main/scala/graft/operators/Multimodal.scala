@@ -521,6 +521,104 @@ object Multimodal {
     }
   }
 
+  /** AAC-in-ADTS stream metadata ([[AacMeta]]): duration, sample rate,
+    * channels, frame count, exact average bitrate, AAC profile. Non-ADTS
+    * payloads → format "unknown", zeroed; corrupt ADTS streams fail
+    * loudly inside the partition (same policy as [[extractMp3Meta]]). */
+  final case class AacFeatures(
+      mediaId: Long,
+      byteLen: Long,
+      format: String,
+      durationMs: Long,
+      sampleRate: Int,
+      channels: Int,
+      nFrames: Long,
+      bitrateKbps: Int,
+      profile: Int,
+      vbr: Boolean)
+
+  /** Distributed deterministic-ADTS encode per (id, nFrames, srIdx,
+    * chanCfg, payloadBytes) row ([[AacMeta.encode]]). */
+  def encodeAacFrame(spec: DataFrame, idCol: String, framesCol: String,
+      srIdxCol: String, chanCfgCol: String, payloadCol: String): DataFrame = {
+    val spark = spec.sparkSession
+    import spark.implicits._
+    spec.select(col(idCol).cast("long"), col(framesCol).cast("int"),
+        col(srIdxCol).cast("int"), col(chanCfgCol).cast("int"),
+        col(payloadCol).cast("int"))
+      .as[(Long, Int, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, n, si, cc, pb) =>
+        (id, AacMeta.encode(n, si, cc, pb))
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Batched ADTS-metadata extraction over (media_id, data) — the frame
+    * walk runs row-locally; payloads never shuffle. */
+  def extractAacMeta(media: DataFrame): Dataset[AacFeatures] = {
+    implicit val enc = Encoders.product[AacFeatures]
+    media.select(col("media_id"), col("data")).mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val blen = if (bytes == null) 0L else bytes.length.toLong
+        val m = if (bytes == null) null else AacMeta.parse(bytes)
+        if (m == null)
+          AacFeatures(id, blen, "unknown", 0L, 0, 0, 0L, 0, 0, vbr = false)
+        else AacFeatures(id, blen, "aac", m.durationMs, m.sampleRate,
+          m.channels, m.nFrames, m.bitrateKbps, m.profile, m.vbr)
+      }
+    }
+  }
+
+  /** M4A (audio-in-ISO-BMFF) container metadata
+    * ([[Mp4Meta.parseAudio]]): duration, sample rate, channels, codec
+    * tag. MP4s WITHOUT an audio track (plain video MP4s) and non-MP4
+    * payloads both → format "unknown" — the round-9 gap where M4A was
+    * only ever reported video-shaped. */
+  final case class M4aFeatures(
+      mediaId: Long,
+      byteLen: Long,
+      format: String,
+      durationMs: Long,
+      sampleRate: Int,
+      channels: Int,
+      nTracks: Int,
+      codec: String)
+
+  /** Distributed minimal-M4A encode per (id, durationMs, sampleRate,
+    * channels) row ([[Mp4Meta.encodeM4a]]). */
+  def encodeM4aFrame(spec: DataFrame, idCol: String, durCol: String,
+      rateCol: String, chCol: String): DataFrame = {
+    val spark = spec.sparkSession
+    import spark.implicits._
+    spec.select(col(idCol).cast("long"), col(durCol).cast("long"),
+        col(rateCol).cast("int"), col(chCol).cast("int"))
+      .as[(Long, Long, Int, Int)]
+      .mapPartitions(_.map { case (id, ms, sr, ch) =>
+        (id, Mp4Meta.encodeM4a(ms, sr, ch))
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Batched M4A-metadata extraction over (media_id, data) — the box
+    * walk runs row-locally; payloads never shuffle. */
+  def extractM4aMeta(media: DataFrame): Dataset[M4aFeatures] = {
+    implicit val enc = Encoders.product[M4aFeatures]
+    media.select(col("media_id"), col("data")).mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val blen = if (bytes == null) 0L else bytes.length.toLong
+        val m = if (bytes == null) null else Mp4Meta.parseAudio(bytes)
+        if (m == null)
+          M4aFeatures(id, blen, "unknown", 0L, 0, 0, 0, "")
+        else M4aFeatures(id, blen, "m4a", m.durationMs, m.sampleRate,
+          m.channels, m.nTracks, m.codec)
+      }
+    }
+  }
+
   /** TIFF container metadata ([[TiffMeta]] IFD0): dims, bit depth,
     * channels, byte order. Non-TIFF payloads → format "unknown",
     * zeroed. */
@@ -608,6 +706,55 @@ object Multimodal {
         if (m == null) OpusFeatures(id, blen, "unknown", 0L, 0, 0, 0L, 0)
         else OpusFeatures(id, blen, "opus", m.durationMs, m.channels,
           m.preSkip, m.inputSampleRate, m.nPages)
+      }
+    }
+  }
+
+  /** Codec-dispatched Ogg audio metadata ([[OggMeta.parseAudio]],
+    * round 10): format is "opus" or "vorbis" by the first packet's id
+    * header; duration uses each codec's granule convention. Non-Ogg
+    * payloads → format "unknown", zeroed; Ogg streams of OTHER codecs
+    * (Theora…) fail loudly inside the partition. */
+  final case class OggAudioFeatures(
+      mediaId: Long,
+      byteLen: Long,
+      format: String,
+      durationMs: Long,
+      channels: Int,
+      preSkip: Int,
+      sampleRate: Long,
+      nPages: Int)
+
+  /** Distributed minimal Vorbis-in-Ogg encode per (id, samples, rate,
+    * ch, dataBytes) row ([[OggMeta.encodeVorbis]]). */
+  def encodeVorbisFrame(spec: DataFrame, idCol: String, samplesCol: String,
+      rateCol: String, channelsCol: String, dataBytesCol: String): DataFrame = {
+    val spark = spec.sparkSession
+    import spark.implicits._
+    spec.select(col(idCol).cast("long"), col(samplesCol).cast("long"),
+        col(rateCol).cast("long"), col(channelsCol).cast("int"),
+        col(dataBytesCol).cast("int"))
+      .as[(Long, Long, Long, Int, Int)]
+      .mapPartitions(_.map { case (id, n, sr, ch, db) =>
+        (id, OggMeta.encodeVorbis(n, ch, sr, dataBytes = db))
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Batched codec-dispatched Ogg-metadata extraction over
+    * (media_id, data) — the page walk runs row-locally; payloads never
+    * shuffle. */
+  def extractOggAudioMeta(media: DataFrame): Dataset[OggAudioFeatures] = {
+    implicit val enc = Encoders.product[OggAudioFeatures]
+    media.select(col("media_id"), col("data")).mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val blen = if (bytes == null) 0L else bytes.length.toLong
+        val m = if (bytes == null) null else OggMeta.parseAudio(bytes)
+        if (m == null) OggAudioFeatures(id, blen, "unknown", 0L, 0, 0, 0L, 0)
+        else OggAudioFeatures(id, blen, m.codec, m.durationMs, m.channels,
+          m.preSkip, m.sampleRate, m.nPages)
       }
     }
   }

@@ -26,6 +26,14 @@ object EventWindows {
   private[streaming] def instantTs(df: DataFrame, c: String): DataFrame =
     df.schema(c).dataType match {
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ→Timestamp is only an instant-identity when the session zone
+        // is UTC; on a user-built non-UTC session the cast would silently
+        // shift every event time, so fail loudly instead.
+        val zone = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(zone == "UTC" || zone == "Etc/UTC" || zone == "Z",
+          s"TimestampNTZ event-time normalization requires a UTC session " +
+            s"time zone (got '$zone'); use GraftSession.builder or set " +
+            "spark.sql.session.timeZone=UTC")
         df.withColumn(c, col(c).cast("timestamp"))
       case _ => df
     }

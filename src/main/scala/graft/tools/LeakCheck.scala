@@ -50,15 +50,21 @@ object LeakCheck {
     val files: Seq[Path] = roots.flatMap { r =>
       val p = Paths.get(r)
       if (!Files.exists(p)) Nil
-      else Files.walk(p).iterator().asScala
-        .filter(f => f.toString.endsWith(".scala"))
-        .toSeq
+      else {
+        val walk = Files.walk(p)
+        try walk.iterator().asScala
+          .filter(f => f.toString.endsWith(".scala"))
+          .toSeq
+        finally walk.close()
+      }
     }
-    var nLines = 0L
+    // read each file exactly once; all regexes run over the in-memory lines
+    val contents: Seq[(Path, Seq[String])] =
+      files.map(f => f -> Files.readAllLines(f).asScala.toSeq)
+    val nLines: Long = contents.map(_._2.size.toLong).sum
     val hits: Map[String, Seq[String]] = Checks.map { case (name, pattern) =>
       val re = pattern.r
-      val found = files.flatMap { f =>
-        val lines = Files.readAllLines(f).asScala
+      val found = contents.flatMap { case (f, lines) =>
         lines.iterator.zipWithIndex.collect {
           case (line, i) if re.findFirstIn(line).isDefined =>
             s"$f:${i + 1}: ${line.trim.take(160)}"
@@ -66,7 +72,6 @@ object LeakCheck {
       }
       name -> found
     }.toMap
-    files.foreach(f => nLines += Files.readAllLines(f).size())
     val head =
       try new String(java.lang.Runtime.getRuntime
           .exec(Array("git", "rev-parse", "HEAD")).getInputStream.readAllBytes()).trim

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{AacMeta, Mp3Meta, Mp4Meta}
+
+class AacMetaSpec extends SparkSpec {
+
+  private val Rates = Array(
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+  private val Chans = Array(0, 1, 2, 3, 4, 5, 6, 8)
+
+  test("encode → parse round-trips every (srIdx, chanCfg) combination") {
+    for (si <- 0 to 12; cc <- 1 to 7; n <- Seq(1, 4, 9)) {
+      val bytes = AacMeta.encode(n, si, cc, payloadBytes = 100)
+      assert(bytes.length == n * 107)
+      val m = AacMeta.parse(bytes)
+      assert(m != null, s"si=$si cc=$cc")
+      assert(m.nFrames == n && m.sampleRate == Rates(si) &&
+        m.channels == Chans(cc) && m.profile == 1 && !m.vbr)
+      assert(m.durationMs == n.toLong * 1024 * 1000 / Rates(si))
+      assert(m.bitrateKbps ==
+        (n.toLong * 107 * 8 * Rates(si) / (n.toLong * 1024 * 1000)).toInt)
+    }
+  }
+
+  test("mixed frame lengths report vbr") {
+    val b = AacMeta.encode(2, 4, 2, 100) ++ AacMeta.encode(3, 4, 2, 200)
+    val m = AacMeta.parse(b)
+    assert(m.nFrames == 5 && m.vbr)
+  }
+
+  test("probe disjointness: MP3, M4A, FLAC and WAV payloads are not ADTS") {
+    assert(!AacMeta.isAdts(Mp3Meta.encode(3, 9, 0)))
+    assert(!AacMeta.isAdts(Mp4Meta.encodeM4a(1000, 44100, 2)))
+    assert(AacMeta.parse(Mp3Meta.encode(3, 9, 0)) == null)
+    // and the reverse: ADTS is not MP3 (layer bits 0 vs nonzero)
+    assert(!Mp3Meta.isMp3(AacMeta.encode(3, 4, 2, 50)))
+  }
+
+  test("corrupt streams fail loudly; non-ADTS returns null") {
+    assert(AacMeta.parse("not audio at all".getBytes) == null)
+    val good = AacMeta.encode(3, 4, 2, 50)
+    assert(intercept[IllegalArgumentException] {
+      AacMeta.parse(good.dropRight(10))
+    }.getMessage.contains("truncated"))
+    // trailing garbage
+    for (extra <- 1 to 3)
+      assert(intercept[IllegalArgumentException] {
+        AacMeta.parse(good ++ Array.fill[Byte](extra)(0x11))
+      }.getMessage.contains("trailing"), s"extra=$extra")
+    // mid-stream desync
+    val bad = good.clone(); bad(57) = 0x00 // frame 2 sync byte
+    assert(intercept[IllegalArgumentException] {
+      AacMeta.parse(bad)
+    }.getMessage.contains("sync"))
+    // sample-rate change mid-stream
+    val mix = AacMeta.encode(1, 4, 2, 50) ++ AacMeta.encode(1, 5, 2, 50)
+    assert(intercept[IllegalArgumentException] {
+      AacMeta.parse(mix)
+    }.getMessage.contains("sample-rate"))
+    // reserved sampling_frequency_index 13 in frame 1 → not ADTS → null
+    val r13 = good.clone(); r13(2) = ((1 << 6) | (13 << 2)).toByte
+    assert(AacMeta.parse(r13) == null)
+    // PCE channel config 0 → rejected
+    val pce = good.clone(); pce(2) = (1 << 6 | 4 << 2).toByte; pce(3) = (good(3) & 0x3f).toByte
+    assert(AacMeta.parse(pce) == null)
+  }
+
+  test("M4A: audio-track fields parse; video MP4s are NOT M4A-shaped") {
+    val m = Mp4Meta.parseAudio(Mp4Meta.encodeM4a(2500, 44100, 2))
+    assert(m != null)
+    assert(m.durationMs == 2500 && m.sampleRate == 44100 &&
+      m.channels == 2 && m.nTracks == 1 && m.codec == "mp4a")
+    // closed-form skeleton size
+    assert(Mp4Meta.encodeM4a(2500, 44100, 2).length == 381)
+    // a video-only MP4 has no 'soun' track → null, not a zeroed struct
+    assert(Mp4Meta.parseAudio(Mp4Meta.encode(2500, 640, 480)) == null)
+    // and the M4A skeleton still walks as a BMFF container for the
+    // video-shaped reader (duration right, dims zero)
+    val v = Mp4Meta.parse(Mp4Meta.encodeM4a(2500, 44100, 2))
+    assert(v.durationMs == 2500 && v.width == 0 && v.height == 0 &&
+      v.nTracks == 1)
+  }
+
+  test("distributed AAC + M4A extraction over a mixed-format corpus") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, AacMeta.encode(4, 4, 2, 64)),
+      (2L, Mp3Meta.encode(3, 9, 0)),       // not ADTS → unknown
+      (3L, Mp4Meta.encodeM4a(1200, 48000, 1)),
+      (4L, Mp4Meta.encode(900, 320, 240))  // video MP4 → unknown for M4A
+    ).toDF("media_id", "data")
+    val aac = graft.operators.Multimodal.extractAacMeta(media)
+      .collect().map(f => f.mediaId -> f.format).toMap
+    assert(aac == Map(1L -> "aac", 2L -> "unknown", 3L -> "unknown", 4L -> "unknown"))
+    val m4a = graft.operators.Multimodal.extractM4aMeta(media)
+      .collect().map(f => f.mediaId -> f.format).toMap
+    assert(m4a == Map(1L -> "unknown", 2L -> "unknown", 3L -> "m4a", 4L -> "unknown"))
+    val a1 = graft.operators.Multimodal.extractAacMeta(media)
+      .filter(_.mediaId == 1L).head()
+    assert(a1.nFrames == 4 && a1.sampleRate == 44100 && a1.channels == 2)
+  }
+}

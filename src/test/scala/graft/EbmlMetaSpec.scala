@@ -67,6 +67,13 @@ class EbmlMetaSpec extends SparkSpec {
     intercept[IllegalArgumentException] { EbmlMeta.encode(1, 70000, 8) }
   }
 
+  test("a 5-8 byte element ID fails loudly (EBMLMaxIDLength is 4)") {
+    val b = EbmlMeta.encode(700, 32, 32).clone()
+    b(41) = 0x04 // first Segment-child ID byte → 6-byte-wide "ID"
+    val e = intercept[IllegalArgumentException] { EbmlMeta.parse(b) }
+    assert(e.getMessage.contains("wider than 4"))
+  }
+
   test("extractWebmMeta: distributed walk, unknown passthrough, no cross-probe") {
     import spark.implicits._
     val rows = Seq(

@@ -89,4 +89,19 @@ class EventTsDtypeSpec extends SparkSpec {
         col("n_events")))
     assert(win == st, s"window vs stateful sessionization diverge:\n$win\n$st")
   }
+
+  test("NTZ normalization fails loudly on a non-UTC session zone") {
+    // NTZ→Timestamp is only an instant identity under UTC; a silent cast
+    // on a shifted zone would skew every event time (ADVICE r9)
+    val ntz = asNtz
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        EventWindows.tumbling(ntz).collect()
+      }
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // and back under UTC it works again
+    assert(EventWindows.tumbling(ntz).count() > 0)
+  }
 }

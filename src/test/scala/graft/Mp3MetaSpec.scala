@@ -55,6 +55,36 @@ class Mp3MetaSpec extends SparkSpec {
     assert(m.vbr && m.nFrames == 3)
   }
 
+  test("a LAME 'Info' tag (CBR convention) does NOT mark the stream VBR") {
+    val bytes = Mp3Meta.encode(3, 14, 0)
+    val p = 4 + 17 // MPEG-1 mono L3: header + side info
+    for ((c, i) <- "Info".zipWithIndex) bytes(p + i) = c.toByte
+    bytes(p + 4) = 0; bytes(p + 5) = 0; bytes(p + 6) = 0; bytes(p + 7) = 1
+    bytes(p + 8) = 0; bytes(p + 9) = 0; bytes(p + 10) = 0; bytes(p + 11) = 3
+    val m = Mp3Meta.parse(bytes)
+    assert(!m.vbr && m.nFrames == 3)
+  }
+
+  test("1-3 trailing garbage bytes fail loudly (no silent desync)") {
+    val good = Mp3Meta.encode(3, 9, 0)
+    for (extra <- 1 to 3) {
+      val e = intercept[IllegalArgumentException] {
+        Mp3Meta.parse(good ++ Array.fill[Byte](extra)(0x55))
+      }
+      assert(e.getMessage.contains("trailing"), s"extra=$extra")
+    }
+  }
+
+  test("ID3v2.4 footer flag adds 10 bytes to the skipped prefix") {
+    val core = Mp3Meta.encode(2, 9, 0)
+    // v2.4, footer flag 0x10, syncsafe size 20, then 20 tag bytes + 10 footer
+    val tag = Array[Byte]('I', 'D', '3', 4, 0, 0x10, 0, 0, 0, 20) ++
+      new Array[Byte](20) ++
+      (Array[Byte]('3', 'D', 'I', 4, 0, 0x10, 0, 0, 0, 20))
+    val m = Mp3Meta.parse(tag ++ core)
+    assert(m != null && m.nFrames == 2)
+  }
+
   test("corrupt streams fail loudly; non-MP3 returns null") {
     assert(Mp3Meta.parse("not audio at all".getBytes) == null)
     val good = Mp3Meta.encode(3, 9, 0)

@@ -70,4 +70,64 @@ class OggMetaSpec extends SparkSpec {
     assert(out(2L).format == "unknown")
     assert(out(3L).format == "unknown" && out(3L).byteLen == 0)
   }
+
+  test("Vorbis: encodeVorbis → parseAudio round-trips at the stream rate") {
+    for (sr <- Seq(44100L, 48000L, 8000L); ch <- 1 to 2) {
+      val m = OggMeta.parseAudio(OggMeta.encodeVorbis(sr * 3, ch, sr, 50))
+      assert(m != null && m.codec == "vorbis")
+      // granules at the STREAM rate → exactly 3000 ms regardless of sr
+      assert(m.durationMs == 3000 && m.channels == ch &&
+        m.sampleRate == sr && m.preSkip == 0 && m.nPages == 2)
+    }
+    assert(OggMeta.encodeVorbis(1000, 2, 44100, 40).length == 86 + 40)
+  }
+
+  test("parseAudio dispatches Opus too; parse() still rejects Vorbis loudly") {
+    val opus = OggMeta.encode(48000, 2, 312, 48000L, 40)
+    val a = OggMeta.parseAudio(opus)
+    assert(a.codec == "opus" && a.durationMs == 1000 && a.preSkip == 312)
+    val vorb = OggMeta.encodeVorbis(44100, 2, 44100L, 40)
+    assert(intercept[IllegalArgumentException] {
+      OggMeta.parse(vorb)
+    }.getMessage.contains("vorbis"))
+    // an Ogg stream of a third codec fails loudly in BOTH entry points
+    val theora = vorb.clone()
+    theora(28 + 0) = 0x80.toByte // corrupt the packet-type byte
+    assert(intercept[IllegalArgumentException] {
+      OggMeta.parseAudio(theora)
+    }.getMessage.contains("neither"))
+  }
+
+  test("corrupt Vorbis id headers fail loudly") {
+    val good = OggMeta.encodeVorbis(44100, 2, 44100L, 40)
+    // nonzero version
+    val v = good.clone(); v(28 + 7) = 1
+    assert(intercept[IllegalArgumentException] { OggMeta.parseAudio(v) }
+      .getMessage.contains("version"))
+    // zero sample rate
+    val z = good.clone()
+    z(28 + 12) = 0; z(28 + 13) = 0; z(28 + 14) = 0; z(28 + 15) = 0
+    assert(intercept[IllegalArgumentException] { OggMeta.parseAudio(z) }
+      .getMessage.contains("rate"))
+    // framing bit unset
+    val f = good.clone(); f(28 + 29) = 0
+    assert(intercept[IllegalArgumentException] { OggMeta.parseAudio(f) }
+      .getMessage.contains("framing"))
+  }
+
+  test("extractOggAudioMeta: mixed Opus/Vorbis/alien corpus dispatches cleanly") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, OggMeta.encode(96000, 2, 312, 48000L, 33)),
+      (2L, OggMeta.encodeVorbis(88200, 1, 44100L, 25)),
+      (3L, graft.operators.Mp3Meta.encode(3, 9, 0))
+    ).toDF("media_id", "data")
+    val out = graft.operators.Multimodal.extractOggAudioMeta(media)
+      .collect().map(f => f.mediaId -> f).toMap
+    assert(out(1L).format == "opus" && out(1L).durationMs == 2000 &&
+      out(1L).sampleRate == 48000L && out(1L).byteLen == 75 + 33)
+    assert(out(2L).format == "vorbis" && out(2L).durationMs == 2000 &&
+      out(2L).channels == 1 && out(2L).byteLen == 86 + 25)
+    assert(out(3L).format == "unknown" && out(3L).durationMs == 0)
+  }
 }
