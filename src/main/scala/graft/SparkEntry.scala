@@ -1228,6 +1228,36 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), round(col("sim"), 4).as("sim"))
         .orderBy("query_id")
     }),
+    // PERSISTED-index search (round 10): train + assign ONCE
+    // (Similarity.ivfIndex), round-trip both index tables through
+    // parquet storage, search the batch against the read-back index —
+    // the index-once/search-per-batch contract at the gate level.
+    // Deterministic training makes this byte-equivalent to
+    // simsearch_ivf's one-call route, so the same planted-copy oracle
+    // applies.
+    "simsearch_ivf_index" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val planted = q.select(
+        (col("query_id") + 100000).as("corpus_id"),
+        transform(Similarity.asDoubleVec(col("qv")), x => x * lit(2.0)).as("cv"))
+      val c = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("corpus_id"),
+          Similarity.asDoubleVec(col("embedding")).as("cv"))
+        .unionAll(planted)
+      val (asg, cents) = Similarity.ivfIndex(c, "corpus_id", "cv", nCells = 16)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_idx").toString
+      asg.write.mode("overwrite").parquet(s"$tmp/assignments")
+      cents.write.mode("overwrite").parquet(s"$tmp/centroids")
+      Similarity.ivfAgainstIndex(q, "query_id", "qv",
+          s.read.parquet(s"$tmp/assignments"), s.read.parquet(s"$tmp/centroids"),
+          "corpus_id", "cv", k = 10, nProbe = 4)
+        .where(col("corpus_id") === col("query_id") + 100000)
+        .select(col("query_id"), col("corpus_id"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id")
+    }),
     // ANN quality gate: mean recall@10 of IVF vs exact brute force,
     // gated against a documented floor. Measured ≈ 0.48-0.50 at
     // sf0.01/sf0.1 — the nProbe/nCells = 1/4 baseline expected on this
@@ -1997,6 +2027,45 @@ object SparkEntry {
           col("preSkip").as("pre_skip"),
           col("sampleRate").as("sample_rate"),
           col("nPages").as("n_pages"), col("byteLen").as("byte_len"))
+        .orderBy("doc_id")
+    }),
+    // THE unified audio ingest (round 10): one call dispatches all
+    // seven supported audio shapes — WAV, MP3, ADTS/AAC, FLAC, Opus,
+    // Vorbis, M4A — by mutually-disjoint probes; every branch's
+    // duration/rate/channels/size is closed form for the oracle.
+    "multimodal_audio_meta_all" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 350).select(
+        col("doc_id"),
+        (col("n_chars") % 300 + 50).cast("int").as("wframes"),
+        (col("doc_id") % 2 + 1).cast("int").as("ch"),
+        (col("doc_id") % 9 + 1).cast("int").as("frames"),
+        (col("doc_id") % 512 + 16).cast("int").as("pb"),
+        ((col("doc_id") % 50000) * 37 + 1000).cast("long").as("fsamples"),
+        ((col("doc_id") % 50000) * 53 + 480).cast("long").as("osamples"),
+        (col("doc_id") % 200 + 20).cast("int").as("db"),
+        (col("n_chars") % 30000 + 500).cast("long").as("ms"),
+        expr("array(44100, 48000, 32000, 22050)[CAST(doc_id % 4 AS INT)]")
+          .cast("long").as("sr"))
+      def part(k: Int) = spec.where(col("doc_id") % 7 === k)
+      val wav = Multimodal.encodeWavFrame(
+        part(0).withColumn("rate", lit(8000)), "doc_id", "wframes", "ch", "rate")
+      val mp3 = Multimodal.encodeMp3Frame(
+        part(1).withColumn("bi", lit(9)).withColumn("si", lit(0)),
+        "doc_id", "frames", "bi", "si")
+      val aac = Multimodal.encodeAacFrame(
+        part(2).withColumn("si", lit(4)).withColumn("cc", lit(2)),
+        "doc_id", "frames", "si", "cc", "pb")
+      val flac = Multimodal.encodeFlacFrame(part(3), "doc_id", "fsamples", "sr", "ch")
+      val opus = Multimodal.encodeOpusFrame(part(4), "doc_id", "osamples", "ch", "db")
+      val vorb = Multimodal.encodeVorbisFrame(
+        part(5), "doc_id", "osamples", "sr", "ch", "db")
+      val m4a = Multimodal.encodeM4aFrame(part(6), "doc_id", "ms", "sr", "ch")
+      val media = Seq(wav, mp3, aac, flac, opus, vorb, m4a).reduce(_ unionAll _)
+      Multimodal.extractAudioMeta(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("format"),
+          col("durationMs").as("duration_ms"),
+          col("sampleRate").as("sample_rate"), col("channels"),
+          col("byteLen").as("byte_len"))
         .orderBy("doc_id")
     }),
     // WebM metadata path (round 9): deterministic EBML skeletons →
@@ -3599,6 +3668,10 @@ object SparkEntry {
       """SELECT vec_id AS query_id, vec_id + 100000 AS corpus_id,
         |  CAST(1.0 AS DOUBLE) AS sim
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "simsearch_ivf_index" ->
+      """SELECT vec_id AS query_id, vec_id + 100000 AS corpus_id,
+        |  CAST(1.0 AS DOUBLE) AS sim
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "simsearch_recall" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
@@ -4251,6 +4324,46 @@ object SparkEntry {
         |  CASE WHEN doc_id % 7 = 0 THEN '' ELSE 'mp4a' END AS codec,
         |  CAST(CASE WHEN doc_id % 7 = 0 THEN 240 ELSE 381 END AS BIGINT)
         |    AS byte_len
+        |FROM spec ORDER BY doc_id""".stripMargin,
+    "multimodal_audio_meta_all" ->
+      """WITH spec AS (
+        |  SELECT doc_id,
+        |    n_chars % 300 + 50 AS wframes,
+        |    CAST(doc_id % 2 + 1 AS INTEGER) AS ch,
+        |    doc_id % 9 + 1 AS frames,
+        |    doc_id % 512 + 16 AS pb,
+        |    (doc_id % 50000) * 37 + 1000 AS fsamples,
+        |    (doc_id % 50000) * 53 + 480 AS osamples,
+        |    doc_id % 200 + 20 AS db,
+        |    n_chars % 30000 + 500 AS ms,
+        |    ([44100, 48000, 32000, 22050])[CAST(doc_id % 4 + 1 AS INTEGER)] AS sr
+        |  FROM documents WHERE doc_id < 350
+        |)
+        |SELECT doc_id,
+        |  (['wav','mp3','aac','flac','opus','vorbis','m4a'])
+        |    [CAST(doc_id % 7 + 1 AS INTEGER)] AS format,
+        |  CAST(CASE doc_id % 7
+        |    WHEN 0 THEN wframes * 1000 // 8000
+        |    WHEN 1 THEN frames * 1152 * 1000 // 44100
+        |    WHEN 2 THEN frames * 1024 * 1000 // 44100
+        |    WHEN 3 THEN fsamples * 1000 // sr
+        |    WHEN 4 THEN osamples * 1000 // 48000
+        |    WHEN 5 THEN osamples * 1000 // sr
+        |    ELSE ms END AS BIGINT) AS duration_ms,
+        |  CAST(CASE doc_id % 7
+        |    WHEN 0 THEN 8000 WHEN 1 THEN 44100 WHEN 2 THEN 44100
+        |    WHEN 3 THEN sr WHEN 4 THEN 48000
+        |    ELSE sr END AS BIGINT) AS sample_rate,
+        |  CAST(CASE doc_id % 7 WHEN 1 THEN 1 WHEN 2 THEN 2
+        |    ELSE ch END AS INTEGER) AS channels,
+        |  CAST(CASE doc_id % 7
+        |    WHEN 0 THEN 44 + 2 * wframes * ch
+        |    WHEN 1 THEN frames * 417
+        |    WHEN 2 THEN frames * (7 + pb)
+        |    WHEN 3 THEN 42
+        |    WHEN 4 THEN 75 + db
+        |    WHEN 5 THEN 86 + db
+        |    ELSE 381 END AS BIGINT) AS byte_len
         |FROM spec ORDER BY doc_id""".stripMargin,
     "multimodal_ogg_vorbis_meta" ->
       """WITH spec AS (

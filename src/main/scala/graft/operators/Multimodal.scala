@@ -759,6 +759,69 @@ object Multimodal {
     }
   }
 
+  /** ONE-CALL audio metadata over every supported container/codec —
+    * the dispatcher a mixed crawl ingest actually wants. Probes are
+    * mutually disjoint (pinned in specs) and tried in fixed order:
+    * WAV → MP3 → ADTS/AAC → FLAC → Ogg (Opus or Vorbis) → BMFF audio
+    * (M4A). `sampleRate` is each format's native notion (Opus: the
+    * declared input rate; duration still follows the 48 kHz granule
+    * rule). Unmatched payloads → "unknown", zeroed — including video
+    * MP4s (no 'soun' track ⇒ not audio); structurally corrupt streams
+    * of a MATCHED format fail loudly inside the partition. */
+  final case class AudioMetaAll(
+      mediaId: Long,
+      byteLen: Long,
+      format: String,
+      durationMs: Long,
+      sampleRate: Long,
+      channels: Int)
+
+  /** Batched all-format audio-metadata extraction over
+    * (media_id, data) — every probe and parse is row-local; payloads
+    * never shuffle. */
+  def extractAudioMeta(media: DataFrame): Dataset[AudioMetaAll] = {
+    implicit val enc = Encoders.product[AudioMetaAll]
+    media.select(col("media_id"), col("data")).mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val b = row.getAs[Array[Byte]](1)
+        val blen = if (b == null) 0L else b.length.toLong
+        def unknown = AudioMetaAll(id, blen, "unknown", 0L, 0L, 0)
+        if (b == null) unknown
+        else if (WavCodec.isWav(b)) {
+          val a = WavCodec.decode(b)
+          AudioMetaAll(id, blen, "wav", a.durationMs, a.sampleRate.toLong,
+            a.channels)
+        } else if (Mp3Meta.isMp3(b)) {
+          val m = Mp3Meta.parse(b)
+          if (m == null) unknown
+          else AudioMetaAll(id, blen, "mp3", m.durationMs,
+            m.sampleRate.toLong, m.channels)
+        } else if (AacMeta.isAdts(b)) {
+          val m = AacMeta.parse(b)
+          if (m == null) unknown
+          else AudioMetaAll(id, blen, "aac", m.durationMs,
+            m.sampleRate.toLong, m.channels)
+        } else if (FlacMeta.isFlac(b)) {
+          val m = FlacMeta.parse(b)
+          if (m == null) unknown
+          else AudioMetaAll(id, blen, "flac", m.durationMs,
+            m.sampleRate.toLong, m.channels)
+        } else if (OggMeta.isOgg(b)) {
+          val m = OggMeta.parseAudio(b)
+          if (m == null) unknown
+          else AudioMetaAll(id, blen, m.codec, m.durationMs, m.sampleRate,
+            m.channels)
+        } else if (Mp4Meta.isMp4(b)) {
+          val m = Mp4Meta.parseAudio(b)
+          if (m == null) unknown
+          else AudioMetaAll(id, blen, "m4a", m.durationMs,
+            m.sampleRate.toLong, m.channels)
+        } else unknown
+      }
+    }
+  }
+
   /** WebM/Matroska container metadata ([[EbmlMeta]]): doc type,
     * duration, dims, track counts. Non-EBML payloads → format
     * "unknown", zeroed. */

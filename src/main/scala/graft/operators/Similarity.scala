@@ -389,6 +389,20 @@ object Similarity {
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 1): DataFrame = {
+    val cents = ivfCentroids(corpus, cId, cVec, nCells, kmeansIters)
+    val cb = corpus
+      .select(col(cId), col(cVec), cellSimsFor(cents)(col(cVec)).as("__sims"))
+      .select(col(cId), col(cVec), argmaxCell(col("__sims")).as("cell"))
+    ivfSearch(queries, qId, qVec, cb, cId, cVec, cents, k, nProbe)
+  }
+
+  /** Train the IVF coarse quantizer (quantile-seeded + Lloyd rounds):
+    * the tiny driver-resident model, deterministic for a given corpus
+    * and params. Shared by [[ivfTopK]] and [[ivfIndex]] so the
+    * index-then-search route is byte-equivalent to the one-call route. */
+  private def ivfCentroids(
+      corpus: DataFrame, cId: String, cVec: String,
+      nCells: Int, kmeansIters: Int): Array[Array[Double]] = {
     // Seed centroid ids = approximate quantiles of the id column.
     // GK-sketch values are actual data elements, so each is a real
     // corpus id; the driver receives O(nCells) values, independent of
@@ -398,7 +412,7 @@ object Similarity {
       .select(col(cId).cast("double").as("__id"))
       .stat.approxQuantile("__id", probes, 0.001)
       .map(_.toLong).distinct.toSet
-    require(centIds.nonEmpty, "ivfTopK: empty corpus")
+    require(centIds.nonEmpty, "ivfCentroids: empty corpus")
     val seeds: Array[Array[Double]] = corpus
       .where(col(cId).isInCollection(centIds))
       .orderBy(col(cId))
@@ -410,20 +424,27 @@ object Similarity {
     // failure would otherwise surface as an inscrutable ANSI array
     // error deep in probeCells
     require(seeds.nonEmpty,
-      "ivfTopK: no seed vectors found — corpus ids must round-trip through" +
-        " Double (|id| < 2^53) for quantile-based centroid seeding")
-
+      "ivfCentroids: no seed vectors found — corpus ids must round-trip" +
+        " through Double (|id| < 2^53) for quantile-based centroid seeding")
     // Lloyd refinement: assign → per-cell element-wise mean → re-collect
     // the tiny model (nCells × dim doubles — driver-resident by design,
     // like any k-means model). Executor-side cost is a row-local assign
     // plus ONE vector-sum hash agg per iteration ([[lloydStep]]); empty
     // cells keep their previous centroid.
-    val cents = (1 to kmeansIters).foldLeft(seeds) { (cs, _) =>
+    (1 to kmeansIters).foldLeft(seeds) { (cs, _) =>
       val means = lloydStep(corpus, cVec, cs, centRound = None)
       cs.indices.map(i => means.getOrElse(i, cs(i))).toArray
     }
+  }
 
-    def cellSims(vec: Column): Column = cellSimsFor(cents)(vec)
+  /** Probe join + exact rescoring against a pre-assigned corpus:
+    * queries pick their top-nProbe cells row-locally, the slim query
+    * batch broadcasts into the cell equi-join, candidates rescore with
+    * exact cosine, k-rank. */
+  private def ivfSearch(
+      queries: DataFrame, qId: String, qVec: String,
+      assigned: DataFrame, cId: String, cVec: String,
+      cents: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
     // Top-nProbe cells for a query: sort (−sim, cell) structs ascending.
     // `simsCol` must be an aliased attribute — the lambda body is
     // evaluated per sequence element, so an inlined sims expression
@@ -433,17 +454,60 @@ object Similarity {
         i => struct((-element_at(simsCol, i + 1)).as("neg"), i.as("cell")))
       transform(slice(sort_array(structs), 1, nProbe), s => s.getField("cell"))
     }
-
-    val cb = corpus
-      .select(col(cId), col(cVec), cellSims(col(cVec)).as("__sims"))
-      .select(col(cId), col(cVec), argmaxCell(col("__sims")).as("cell"))
     val qb = queries
-      .select(col(qId), col(qVec), cellSims(col(qVec)).as("__sims"))
+      .select(col(qId), col(qVec), cellSimsFor(cents)(col(qVec)).as("__sims"))
       .select(col(qId), col(qVec), explode(probeCells(col("__sims"))).as("cell"))
-    val scored = cb.join(broadcast(qb), Seq("cell"))
+    val scored = assigned.join(broadcast(qb), Seq("cell"))
       .select(col(qId), col(cId),
         cosineSim(asDoubleVec(col(qVec)), asDoubleVec(col(cVec))).as("sim"))
     rankTopK(scored, qId, cId, k)
+  }
+
+  /** Build a PERSISTABLE IVF index — the ANN analog of
+    * [[Dedup.minHashIndex]]'s index-once / search-per-batch contract:
+    * returns `(assignments, centroids)` where `assignments` is
+    * `(cell, <cId>, <cVec>)` (write it as parquet bucketed/partitioned
+    * on `cell` so probe joins co-locate) and `centroids` is the
+    * `(cell, vec)` model table (nCells rows — trivially storable next
+    * to the assignments). Later query batches search via
+    * [[ivfAgainstIndex]] without rescanning or re-assigning the
+    * corpus; at 100 TB the corpus assignment scan happens ONCE, and
+    * each batch costs one broadcast probe join over the slim batch.
+    * Deterministic training ⇒ `ivfAgainstIndex(q, ivfIndex(c)…)` is
+    * result-identical to `ivfTopK(q, c, …)` (pinned in spec). */
+  def ivfIndex(
+      corpus: DataFrame, cId: String, cVec: String,
+      nCells: Int = 16, kmeansIters: Int = 1): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(corpus, cId, cVec, nCells, kmeansIters)
+    val assignments = corpus
+      .select(col(cId), col(cVec), cellSimsFor(cents)(col(cVec)).as("__sims"))
+      .select(argmaxCell(col("__sims")).as("cell"), col(cId), col(cVec))
+    val centDf = cents.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "vec")
+    (assignments, centDf)
+  }
+
+  /** Search a query batch against a persisted IVF index
+    * ([[ivfIndex]]'s `(assignments, centroids)` read back from
+    * storage). The centroid fetch is nCells rows — a bounded model
+    * read, never corpus-sized. */
+  def ivfAgainstIndex(
+      queries: DataFrame, qId: String, qVec: String,
+      assignments: DataFrame, centroids: DataFrame, cId: String, cVec: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val rows = centroids
+      .orderBy(col("cell"))
+      .select(col("cell").cast("int"), asDoubleVec(col("vec")).as("__v"))
+      .collect()
+    require(rows.nonEmpty, "ivfAgainstIndex: empty centroid table")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"ivfAgainstIndex: centroid table has gap/dup at cell $i (got ${r.getInt(0)})")
+    }
+    val cents: Array[Array[Double]] = rows.map(_.getSeq[Double](1).toArray)
+    ivfSearch(queries, qId, qVec, assignments, cId, cVec, cents, k, nProbe)
   }
 
   /** Recall@k of an ANN result against the exact brute-force result —

@@ -1,0 +1,176 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.{Dedup, Similarity}
+
+/** Empirical linearity probe for the dedup/ANN scale claims (round-10
+  * VERDICT item 5): the O(batch) / linear-candidate behaviors are pinned
+  * by planted unit tests; this measures them — wall time AND executed
+  * shuffle bytes for the three flagship ingest paths at sf0.1 (1×) and a
+  * synthetic 10× corpus, writing a SCALING.md table.
+  *
+  * The 10× corpus is dup-DENSE but cross-copy DISJOINT: 10 copies of the
+  * sf0.1 documents table, every token of copy k suffixed `_k`, ids
+  * shifted by k·10⁷. Each copy keeps the gates' planted drop-5-token
+  * near-dup structure (so duplicate density per row is IDENTICAL at both
+  * scales — 10× rows means 10× true pairs), while suffixing makes
+  * shingles across copies disjoint (no artificial 10-clique inflation
+  * that would change per-row workload). Under that construction a linear
+  * operator shows ~10× time/bytes; a quadratic candidate structure would
+  * show ~100×.
+  *
+  * Usage: runMain graft.tools.ScalingProbe [sfDir] [outPath]
+  */
+object ScalingProbe {
+
+  /** Total shuffle bytes over every shuffle stage of an EXECUTED
+    * adaptive plan (same probe as DedupSpec/TextOpsSpec use to pin
+    * funnels — mapStats of each ShuffleQueryStageExec). */
+  private def totalShuffleBytes(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    var total = 0L
+    def walk(p: SparkPlan): Unit = p.foreach {
+      case s: ShuffleQueryStageExec =>
+        s.mapStats.foreach(ms => total += ms.bytesByPartitionId.sum)
+        walk(s.plan)
+      case q: QueryStageExec => walk(q.plan)
+      case _ => ()
+    }
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => walk(other)
+    }
+    total
+  }
+
+  /** The gates' planted near-dup construction: every ≥30-token doc gets
+    * a drop-5-token copy at id+10⁶ (within the SAME id-space copy). */
+  private def plantDups(docs: DataFrame): DataFrame = {
+    val base = docs.where(size(split(col("text"), " ")) >= 30)
+      .select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"), col("text")).unionAll(
+      base.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 5), " ").as("text")))
+  }
+
+  /** `copies` shifted, token-suffixed copies of the docs table —
+    * cross-copy shingle-disjoint, per-copy structure preserved. */
+  private def scaleDocs(docs: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { k =>
+      docs.select((col("doc_id") + k * 10000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$k"))), " ").as("text"))
+    }.reduce(_ unionAll _)
+
+  /** Build → collect() → walk the SAME DataFrame object: collect()
+    * executes the df's own QueryExecution, so its AQE mapStats are
+    * populated for the shuffle-bytes walk (a count() would execute a
+    * separate QueryExecution and leave the walked plan unexecuted). */
+  private def timed(build: () => DataFrame): (Double, Long, Long) = {
+    val t1 = System.nanoTime()
+    build().collect()
+    val w1 = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val df = build()
+    val rows = df.collect().length.toLong
+    val w2 = (System.nanoTime() - t2) / 1e9
+    (math.min(w1, w2), totalShuffleBytes(df), rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outPath = if (args.length > 1) args(1) else "SCALING.md"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession
+      .builder(appName = "graft-scaling-probe", master = s"local[$cpus]",
+        shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), (Double, Long, Long)]
+
+    for (copies <- Seq(1, 10)) {
+      val docs = scaleDocs(docs1, copies).cache()
+      val nDocs = docs.count() // materialize outside the timed region
+
+      // 1. one-call LSH dedup (the dedup_lsh_drop path)
+      results(("dedup_lsh_drop", copies)) = timed { () =>
+        val corpus = plantDups(docs)
+        Dedup.dropLshDuplicates(corpus, "doc_id", "text",
+          threshold = 0.5, numHashes = 128, bands = 32)
+          .select(col("doc_id"))
+      }
+
+      // 2. incremental ingest vs a persisted index (dedup_incremental_drop)
+      results(("dedup_incremental_drop", copies)) = timed { () =>
+        val toks = split(col("text"), " ")
+        val base = docs.where(size(toks) >= 30)
+        val batch = base.select((col("doc_id") + 1000000L).as("doc_id"),
+            array_join(slice(toks, lit(1), size(toks) - 5), " ").as("text"))
+          .unionAll(base.select((col("doc_id") + 2000000L).as("doc_id"),
+            array_join(reverse(toks), " ").as("text")))
+        val index = Dedup.minHashIndex(docs, "doc_id", "text",
+          numHashes = 128, bands = 32)
+        Dedup.dedupIncremental(batch, "doc_id", "text",
+          index, docs, "doc_id", "text",
+          threshold = 0.5, numHashes = 128, bands = 32)
+          .select(col("doc_id"))
+      }
+
+      // 3. IVF ANN top-k, fixed query set, corpus scaled (simsearch_ivf)
+      results(("simsearch_ivf", copies)) = timed { () =>
+        val q = emb1.where(col("vec_id") < 64)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val c = (0 until copies).map { k =>
+          emb1.select((col("vec_id") + k * 10000000L).as("corpus_id"),
+            transform(Similarity.asDoubleVec(col("embedding")),
+              x => x + lit(k * 0.001)).as("cv"))
+        }.reduce(_ unionAll _)
+        Similarity.ivfTopK(q, "query_id", "qv",
+          c, "corpus_id", "cv", k = 10, nCells = 16, nProbe = 4)
+      }
+
+      println(s"[scaling] copies=$copies nDocs=$nDocs done")
+      docs.unpersist()
+    }
+
+    val head =
+      try new String(java.lang.Runtime.getRuntime
+          .exec(Array("git", "rev-parse", "HEAD")).getInputStream.readAllBytes()).trim
+      catch { case _: Exception => "unknown" }
+    val sb = new StringBuilder
+    sb ++= "# SCALING — measured 1× vs 10× linearity probe\n\n"
+    sb ++= s"Generated by `graft.tools.ScalingProbe` at git `$head`, " +
+      s"fixtures `$sfDir`, local[$cpus].\n\n"
+    sb ++= "The 10× corpus is 10 token-suffixed, id-shifted copies of the " +
+      "sf0.1 documents table\n(cross-copy shingle-disjoint; per-copy " +
+      "planted-dup structure identical), so a\nlinear operator shows ~10× " +
+      "time/shuffle-bytes and a quadratic candidate\nstructure would show " +
+      "~100×. Wall time is min-of-2; shuffle bytes are the sum\nover every " +
+      "executed shuffle stage (AQE mapStats).\n\n"
+    sb ++= "| op | scale | rows out | wall s | shuffle MB |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    for (((op, copies), (sec, bytes, rows)) <- results)
+      sb ++= f"| $op | ${copies}× | $rows | $sec%.2f | ${bytes / 1e6}%.1f |\n"
+    sb ++= "\n| op | time 10×/1× | shuffle 10×/1× |\n|---|---|---|\n"
+    for (op <- Seq("dedup_lsh_drop", "dedup_incremental_drop", "simsearch_ivf")) {
+      val (s1, b1, _) = results((op, 1))
+      val (s10, b10, _) = results((op, 10))
+      val bRatio = if (b1 > 0) f"${b10.toDouble / b1}%.1f×" else "n/a"
+      sb ++= f"| $op | ${s10 / s1}%.1f× | $bRatio |\n"
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
+    println(sb.toString)
+    spark.stop()
+  }
+}

@@ -100,4 +100,30 @@ class AacMetaSpec extends SparkSpec {
       .filter(_.mediaId == 1L).head()
     assert(a1.nFrames == 4 && a1.sampleRate == 44100 && a1.channels == 2)
   }
+
+  test("extractAudioMeta: one call dispatches all seven audio shapes") {
+    import spark.implicits._
+    import graft.operators.{FlacMeta, OggMeta, WavCodec, Multimodal}
+    val media = Seq(
+      (1L, WavCodec.encode(WavCodec.signal(1L, 80, 2, 8000))),
+      (2L, Mp3Meta.encode(4, 9, 0)),
+      (3L, AacMeta.encode(4, 4, 2, 64)),
+      (4L, FlacMeta.encode(44100, 44100, 2)),
+      (5L, OggMeta.encode(96000, 2, 312, 48000L, 40)),
+      (6L, OggMeta.encodeVorbis(88200, 1, 44100L, 40)),
+      (7L, Mp4Meta.encodeM4a(1200, 48000, 1)),
+      (8L, Mp4Meta.encode(900, 320, 240)),      // video MP4 → unknown
+      (9L, "plain text".getBytes)               // alien → unknown
+    ).toDF("media_id", "data")
+    val out = Multimodal.extractAudioMeta(media)
+      .collect().map(f => f.mediaId -> f).toMap
+    assert(out.map { case (k, v) => k -> v.format } == Map(
+      1L -> "wav", 2L -> "mp3", 3L -> "aac", 4L -> "flac", 5L -> "opus",
+      6L -> "vorbis", 7L -> "m4a", 8L -> "unknown", 9L -> "unknown"))
+    assert(out(1L).durationMs == 10 && out(1L).sampleRate == 8000L &&
+      out(1L).channels == 2)
+    assert(out(4L).durationMs == 1000 && out(5L).durationMs == 2000 &&
+      out(6L).durationMs == 2000 && out(7L).durationMs == 1200)
+    assert(out(8L).durationMs == 0 && out(8L).sampleRate == 0L)
+  }
 }

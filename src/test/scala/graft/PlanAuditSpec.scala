@@ -415,7 +415,11 @@ class PlanAuditSpec extends SparkSpec {
   test("round-9 media-metadata gates: row-local decode, no joins, bounded exchanges") {
     for (name <- Seq("multimodal_png_16bit", "multimodal_mp3_meta",
         "multimodal_flac_meta", "multimodal_webm", "multimodal_opus_meta",
-        "multimodal_tiff_meta")) {
+        "multimodal_tiff_meta",
+        // round-10 additions: AAC/ADTS, M4A, codec-dispatched Ogg, and
+        // the seven-format unified audio dispatcher
+        "multimodal_aac_meta", "multimodal_m4a_meta",
+        "multimodal_ogg_vorbis_meta", "multimodal_audio_meta_all")) {
       val p = plan(name)
       assert(nodes(p, "SortMergeJoin") + nodes(p, "BroadcastHashJoin") +
         nodes(p, "ShuffledHashJoin") + nodes(p, "CartesianProduct") +

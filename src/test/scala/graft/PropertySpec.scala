@@ -354,6 +354,22 @@ class PropertySpec extends SparkSpec {
         inputSampleRate = rate.toLong, dataBytes = db))
       assert(o.channels == chO && o.durationMs == samples * 1000 / 48000 &&
         o.nPages == 2, s"seed=$seed opus")
+      // round-10 codecs: AAC/ADTS, M4A, Vorbis-in-Ogg
+      val srIdxA = si * 4 + (frames % 4) // 0..11 of the 13 legal indexes
+      val ccA = (ch - 1) % 7 + 1
+      val a = graft.operators.AacMeta.parse(
+        graft.operators.AacMeta.encode(frames, srIdxA, ccA, payloadBytes = db))
+      assert(a.nFrames == frames && a.profile == 1 && !a.vbr &&
+        a.channels == (if (ccA == 7) 8 else ccA), s"seed=$seed aac")
+      val m4 = graft.operators.Mp4Meta.parseAudio(
+        graft.operators.Mp4Meta.encodeM4a(ms, rate min 0xffff, chO))
+      assert(m4.durationMs == ms && m4.sampleRate == (rate min 0xffff) &&
+        m4.channels == chO && m4.codec == "mp4a", s"seed=$seed m4a")
+      val v = OggMeta.parseAudio(
+        OggMeta.encodeVorbis(samples, chO, rate.toLong, dataBytes = db))
+      assert(v.codec == "vorbis" && v.channels == chO &&
+        v.sampleRate == rate.toLong &&
+        v.durationMs == samples * 1000 / rate, s"seed=$seed vorbis")
     }
   }
 

@@ -243,4 +243,33 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
     assert(a == Set(0L, 1L)) // scaled copies are cos=1 dups of the two bases
   }
+
+  test("ivfIndex → parquet → ivfAgainstIndex is result-identical to ivfTopK") {
+    val rng = new scala.util.Random(11)
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextDouble() - 0.5))).toDF("cid", "cv")
+    val queries = (0 until 6).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextDouble() - 0.5))).toDF("qid", "qv")
+    val direct = Similarity.ivfTopK(queries, "qid", "qv",
+        corpus, "cid", "cv", k = 5, nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (asg, cents) = Similarity.ivfIndex(corpus, "cid", "cv", nCells = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_idx_spec").toString
+    asg.write.mode("overwrite").parquet(s"$tmp/a")
+    cents.write.mode("overwrite").parquet(s"$tmp/c")
+    val viaIndex = Similarity.ivfAgainstIndex(queries, "qid", "qv",
+        spark.read.parquet(s"$tmp/a"), spark.read.parquet(s"$tmp/c"),
+        "cid", "cv", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == direct,
+      s"index route diverged: ${viaIndex.diff(direct)} vs ${direct.diff(viaIndex)}")
+    // centroid table is the bounded model: exactly nCells rows
+    assert(spark.read.parquet(s"$tmp/c").count() == 8)
+    // a corrupted centroid table (gap) fails loudly
+    val gap = spark.read.parquet(s"$tmp/c").where(col("cell") =!= 3)
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfAgainstIndex(queries, "qid", "qv",
+        spark.read.parquet(s"$tmp/a"), gap, "cid", "cv", k = 5, nProbe = 3)
+    }.getMessage.contains("gap"))
+  }
 }
