@@ -980,6 +980,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"),
           sum("score").as("sum_scores"))
     }),
+    // Dolma-style paragraph dedup (round 10): the corpus re-chunked
+    // into 10-token \n\n paragraphs — every drop-5 copy shares all its
+    // full chunks with its original, so the copy keeps only its
+    // truncated tail chunk (or nothing when 30 ≤ n and n % 10 = 5, the
+    // empty-rebuild path). Oracle: full winner-rule + rebuild replay.
+    "dedup_paragraphs" -> ((s, dir) => {
+      val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+      val toks = split(col("text"), " ")
+      val lastChunk = greatest(
+        (floor((size(toks) + 9) / 10)).cast("int") - 1, lit(0))
+      val chunked = corpus.select(col("doc_id"),
+        array_join(transform(sequence(lit(0), lastChunk),
+          i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")), "\n\n").as("text"))
+      Dedup.dedupParagraphs(chunked, "doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          col("n_paras_kept"), col("n_paras_dropped"))
+        .orderBy("doc_id")
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val corpus = nearDupCorpus(tbl(s, dir, "documents").where(col("doc_id") < 60))
       Dedup.nearDupJaccardBrute(corpus, "doc_id", "text", threshold = 0.5)
@@ -1076,6 +1094,30 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding"))
       Quantization.adcTopK(queries, "query_id", "embedding",
           codes, "vec_id", "codes", cb, k = 10)
+        .select(col("query_id"), col("vec_id").as("corpus_id"), col("rank"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy("query_id", "rank")
+    }),
+    // PERSISTED PQ index search (round 10): train + encode once
+    // (Quantization.pqIndex), round-trip the compressed codes AND the
+    // (sub, code, vec) codebook table through parquet, then ADC-search
+    // the batch against the read-back index — deterministic training
+    // makes this byte-equivalent to simsearch_pq's one-call route, so
+    // the same full SQL replay oracle applies.
+    "simsearch_pq_index" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = emb.where(col("vec_id") >= 5)
+      val (codes, cbDf) = Quantization.pqIndex(
+        corpus, "vec_id", "embedding", m = 2, k = 4, iters = 1)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_pq_idx").toString
+      codes.write.mode("overwrite").parquet(s"$tmp/codes")
+      cbDf.write.mode("overwrite").parquet(s"$tmp/codebooks")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Quantization.adcAgainstIndex(queries, "query_id", "embedding",
+          s.read.parquet(s"$tmp/codes"), "vec_id", "codes",
+          s.read.parquet(s"$tmp/codebooks"), k = 10)
         .select(col("query_id"), col("vec_id").as("corpus_id"), col("rank"),
           round(col("dist"), 4).as("dist"))
         .orderBy("query_id", "rank")
@@ -2641,6 +2683,75 @@ object SparkEntry {
     * seeded FNV-1a + bit-vote SimHash over the near-dup corpus, then
     * all pairs sharing a 16-bit chunk with hamming ≤ 6. Validated
     * byte-for-byte against the Scala implementation. */
+  /** Full SQL replay of PQ train → encode → ADC distance → rank:
+    * shared by `simsearch_pq` (one-call) and `simsearch_pq_index`
+    * (train/encode persisted through parquet, then searched) — the
+    * routes are byte-equivalent by deterministic training. */
+  private lazy val pqAdcOracle: String =
+    """WITH emb AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), sub AS (
+      |  SELECT vec_id, v[1:32] AS s0, v[33:64] AS s1 FROM emb
+      |  WHERE vec_id >= 5
+      |), seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+      |    list_transform(s0, x -> round(x, 9)) AS c0,
+      |    list_transform(s1, x -> round(x, 9)) AS c1
+      |  FROM sub ORDER BY vec_id LIMIT 4
+      |), a0 AS (
+      |  SELECT vec_id, s0, s1,
+      |    (SELECT s.code FROM seeds s
+      |      ORDER BY list_distance(sub.s0, s.c0), s.code LIMIT 1) AS k0,
+      |    (SELECT s.code FROM seeds s
+      |      ORDER BY list_distance(sub.s1, s.c1), s.code LIMIT 1) AS k1
+      |  FROM sub
+      |), m0 AS (
+      |  SELECT code, dim, round(sum(x) / count(*), 9) AS mx
+      |  FROM (SELECT k0 AS code, generate_subscripts(s0, 1) AS dim,
+      |          unnest(s0) AS x FROM a0)
+      |  GROUP BY code, dim
+      |), n0 AS (
+      |  SELECT code, list(mx ORDER BY dim) AS c FROM m0 GROUP BY code
+      |), m1 AS (
+      |  SELECT code, dim, round(sum(x) / count(*), 9) AS mx
+      |  FROM (SELECT k1 AS code, generate_subscripts(s1, 1) AS dim,
+      |          unnest(s1) AS x FROM a0)
+      |  GROUP BY code, dim
+      |), n1 AS (
+      |  SELECT code, list(mx ORDER BY dim) AS c FROM m1 GROUP BY code
+      |), cent AS (
+      |  SELECT s.code, coalesce(n0.c, s.c0) AS c0, coalesce(n1.c, s.c1) AS c1
+      |  FROM seeds s
+      |  LEFT JOIN n0 ON s.code = n0.code
+      |  LEFT JOIN n1 ON s.code = n1.code
+      |), enc AS (
+      |  SELECT vec_id,
+      |    (SELECT c.code FROM cent c
+      |      ORDER BY list_distance(sub.s0, c.c0), c.code LIMIT 1) AS k0,
+      |    (SELECT c.code FROM cent c
+      |      ORDER BY list_distance(sub.s1, c.c1), c.code LIMIT 1) AS k1
+      |  FROM sub
+      |), q AS (
+      |  SELECT vec_id AS query_id, v[1:32] AS q0, v[33:64] AS q1
+      |  FROM emb WHERE vec_id < 5
+      |), scored AS (
+      |  SELECT q.query_id, e.vec_id AS corpus_id,
+      |    power(list_distance(q.q0, ca.c0), 2) +
+      |    power(list_distance(q.q1, cb.c1), 2) AS dist
+      |  FROM q
+      |  CROSS JOIN enc e
+      |  JOIN cent ca ON e.k0 = ca.code
+      |  JOIN cent cb ON e.k1 = cb.code
+      |), r AS (
+      |  SELECT query_id, corpus_id, dist,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY dist, corpus_id) AS rk
+      |  FROM scored
+      |)
+      |SELECT query_id, corpus_id, CAST(rk AS INTEGER) AS rank,
+      |  CAST(round(dist, 4) AS DOUBLE) AS dist
+      |FROM r WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin
+
   private lazy val simHashOracle: String = {
     // 2^0..2^63 (HUGEINT-safe literals) and 2^0..2^15 for chunk packing.
     val p64 = (0 until 64).map(b => BigInt(1) << b).mkString("[", ",", "]")
@@ -2657,13 +2768,22 @@ object SparkEntry {
        |    array_to_string(list_slice(string_split(text, ' '), 1,
        |      len(string_split(text, ' ')) - 5), ' ')
        |  FROM base
-       |), th AS (
+       |), tok AS (
        |  -- tokenize like SimHash64.computeText: split on whitespace
        |  -- RUNS and skip empty tokens (a bare string_split(' ') would
-       |  -- hash empties — each casting a bit-vote with h = seed)
-       |  SELECT doc_id,
-       |    list_transform(
-       |      list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0), t ->
+       |  -- hash empties — each casting a bit-vote with h = seed).
+       |  -- Multiplicity preserved: every OCCURRENCE votes.
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+       |    t -> len(t) > 0)) AS t
+       |  FROM corpus
+       |), dt AS (
+       |  SELECT DISTINCT t FROM tok
+       |), tokh AS (
+       |  -- FNV-1a per DISTINCT token (round-10 speedup: the per-char
+       |  -- HUGEINT reduce was ~90% of this oracle's 32 s; hashing each
+       |  -- distinct token once and joining back is result-identical
+       |  -- because bit votes are order-independent sums — 4× faster)
+       |  SELECT t AS tt,
        |      list_reduce(
        |        list_prepend(CAST($init AS HUGEINT),
        |          flatten(list_transform(range(1, length(t)+1),
@@ -2673,8 +2793,11 @@ object SparkEntry {
        |               + CAST(xor(CAST(h % 256 AS BIGINT), CAST(x AS BIGINT)) AS HUGEINT)
        |          ELSE ((h % 4294967296) * 1099511628211
        |                + (((h // 4294967296) * 1099511628211) % 4294967296) * 4294967296)
-       |               % 18446744073709551616 END)) AS hs
-       |  FROM corpus
+       |               % 18446744073709551616 END) AS h
+       |  FROM dt
+       |), th AS (
+       |  SELECT tok.doc_id, list(tokh.h) AS hs
+       |  FROM tok JOIN tokh ON tok.t = tokh.tt GROUP BY tok.doc_id
        |), bits AS (
        |  SELECT doc_id,
        |    list_transform(range(0, 64), b -> CASE WHEN
@@ -3477,6 +3600,54 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
+    // Full replay of the paragraph winner rule: chunk → normalize →
+    // min-(doc,pos) winner per normalized paragraph → ordered rebuild.
+    // The oracle matches on the normalized TEXT itself (stronger than
+    // the engine's (xxhash64, len) key — any hash-collision bug would
+    // diverge here).
+    "dedup_paragraphs" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 30
+        |), corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      len(string_split(text, ' ')) - 5), ' ')
+        |  FROM base
+        |), chunked AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, greatest((len(w) + 9) // 10, 1)),
+        |      i -> array_to_string(w[i*10+1:i*10+10], ' ')) AS ps
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        |), pt AS (
+        |  SELECT doc_id, u.pos AS pos, u.p AS p,
+        |    lower(trim(u.p,
+        |      ' ' || chr(9) || chr(13) || chr(10))) AS norm
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1),
+        |      i -> {'pos': i - 1, 'p': ps[i]})) AS u
+        |    FROM chunked)
+        |), win AS (
+        |  SELECT norm, min(doc_id * 1000000 + pos) AS wkey
+        |  FROM pt WHERE norm != '' GROUP BY norm
+        |), kept AS (
+        |  SELECT pt.doc_id, pt.pos, pt.p FROM pt
+        |  LEFT JOIN win ON win.norm = pt.norm
+        |  WHERE pt.norm = '' OR pt.doc_id * 1000000 + pt.pos = win.wkey
+        |), rebuilt AS (
+        |  SELECT doc_id,
+        |    string_agg(p, chr(10) || chr(10) ORDER BY pos) AS text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT c.doc_id,
+        |  coalesce(r.text, '') AS text,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_paras_kept,
+        |  CAST(len(c.ps) - coalesce(r.n_kept, 0) AS BIGINT) AS n_paras_dropped
+        |FROM chunked c LEFT JOIN rebuilt r ON r.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     "dedup_lines" ->
       """WITH base AS (
         |  SELECT doc_id,
@@ -3894,70 +4065,9 @@ object SparkEntry {
     // Same codebook replay (trained on the corpus side only), then the
     // asymmetric distance: exact query subvector to each candidate's
     // reconstructed code centroid, per-query dense rank on (dist, id).
-    "simsearch_pq" ->
-      """WITH emb AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |), sub AS (
-        |  SELECT vec_id, v[1:32] AS s0, v[33:64] AS s1 FROM emb
-        |  WHERE vec_id >= 5
-        |), seeds AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
-        |    list_transform(s0, x -> round(x, 9)) AS c0,
-        |    list_transform(s1, x -> round(x, 9)) AS c1
-        |  FROM sub ORDER BY vec_id LIMIT 4
-        |), a0 AS (
-        |  SELECT vec_id, s0, s1,
-        |    (SELECT s.code FROM seeds s
-        |      ORDER BY list_distance(sub.s0, s.c0), s.code LIMIT 1) AS k0,
-        |    (SELECT s.code FROM seeds s
-        |      ORDER BY list_distance(sub.s1, s.c1), s.code LIMIT 1) AS k1
-        |  FROM sub
-        |), m0 AS (
-        |  SELECT code, dim, round(sum(x) / count(*), 9) AS mx
-        |  FROM (SELECT k0 AS code, generate_subscripts(s0, 1) AS dim,
-        |          unnest(s0) AS x FROM a0)
-        |  GROUP BY code, dim
-        |), n0 AS (
-        |  SELECT code, list(mx ORDER BY dim) AS c FROM m0 GROUP BY code
-        |), m1 AS (
-        |  SELECT code, dim, round(sum(x) / count(*), 9) AS mx
-        |  FROM (SELECT k1 AS code, generate_subscripts(s1, 1) AS dim,
-        |          unnest(s1) AS x FROM a0)
-        |  GROUP BY code, dim
-        |), n1 AS (
-        |  SELECT code, list(mx ORDER BY dim) AS c FROM m1 GROUP BY code
-        |), cent AS (
-        |  SELECT s.code, coalesce(n0.c, s.c0) AS c0, coalesce(n1.c, s.c1) AS c1
-        |  FROM seeds s
-        |  LEFT JOIN n0 ON s.code = n0.code
-        |  LEFT JOIN n1 ON s.code = n1.code
-        |), enc AS (
-        |  SELECT vec_id,
-        |    (SELECT c.code FROM cent c
-        |      ORDER BY list_distance(sub.s0, c.c0), c.code LIMIT 1) AS k0,
-        |    (SELECT c.code FROM cent c
-        |      ORDER BY list_distance(sub.s1, c.c1), c.code LIMIT 1) AS k1
-        |  FROM sub
-        |), q AS (
-        |  SELECT vec_id AS query_id, v[1:32] AS q0, v[33:64] AS q1
-        |  FROM emb WHERE vec_id < 5
-        |), scored AS (
-        |  SELECT q.query_id, e.vec_id AS corpus_id,
-        |    power(list_distance(q.q0, ca.c0), 2) +
-        |    power(list_distance(q.q1, cb.c1), 2) AS dist
-        |  FROM q
-        |  CROSS JOIN enc e
-        |  JOIN cent ca ON e.k0 = ca.code
-        |  JOIN cent cb ON e.k1 = cb.code
-        |), r AS (
-        |  SELECT query_id, corpus_id, dist,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY dist, corpus_id) AS rk
-        |  FROM scored
-        |)
-        |SELECT query_id, corpus_id, CAST(rk AS INTEGER) AS rank,
-        |  CAST(round(dist, 4) AS DOUBLE) AS dist
-        |FROM r WHERE rk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "simsearch_pq" -> pqAdcOracle,
+    // same replay: the index route is byte-equivalent by construction
+    "simsearch_pq_index" -> pqAdcOracle,
     "simsearch_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -341,6 +341,12 @@ final class GraftFrame(val df: DataFrame) {
       minDocs: Int = 2): GraftFrame =
     new GraftFrame(Dedup.dedupLines(df, idCol, textCol, minDocs))
 
+  /** Dolma-style cross-document paragraph dedup: each duplicated
+    * paragraph keeps its first `(id, position)` occurrence
+    * ([[graft.operators.Dedup.dedupParagraphs]]). */
+  def dedup_paragraphs(idCol: String, textCol: String): GraftFrame =
+    new GraftFrame(Dedup.dedupParagraphs(df, idCol, textCol))
+
   /** Semi-join against `other`'s keys with a bloom pre-filter pushed
     * before the exchange ([[graft.operators.BloomJoin]]). */
   def semi_join_bloom(other: GraftFrame, key: String, otherKey: String,

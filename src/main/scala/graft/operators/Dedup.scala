@@ -1092,4 +1092,72 @@ object Dedup {
       .withColumn("n_lines_dropped", col("n_lines_total") - col("n_lines_kept"))
       .drop("__text", "n_lines_total")
   }
+
+  /** Dolma-style cross-document PARAGRAPH deduplication — the
+    * complement of [[dedupLines]]: instead of removing boilerplate from
+    * EVERY document, each duplicated paragraph keeps exactly its FIRST
+    * occurrence (the minimum `(id, position)` — the deterministic
+    * replayable stand-in for Dolma's Bloom-filter "seen before" order)
+    * and later occurrences are dropped. Paragraphs split on `\n\n`;
+    * the match key is the lowercased, whitespace-trimmed (space/tab/
+    * CR/LF) paragraph hashed as the [[dedupLines]]-proven slim
+    * `(xxhash64, length)` composite. Whitespace-only paragraphs are
+    * structural separators: always kept, never matched. Documents keep
+    * surviving paragraphs in original order; a doc whose every
+    * paragraph lost comes back with empty text rather than
+    * disappearing.
+    *
+    * Output: `df`'s columns with `textCol` rebuilt, plus
+    * `n_paras_kept` / `n_paras_dropped` (blank paragraphs count as
+    * kept).
+    *
+    * Scale shape: the winner aggregate shuffles only slim
+    * `(key, klen, id, pos)` tuples — never paragraph text. Only keys
+    * occurring ≥2 times survive to the probe side; unique paragraphs
+    * (the overwhelming mass of a real corpus) bypass matching
+    * entirely. Under `maxBroadcastKeys` the winner table broadcasts
+    * and the keep decision is map-side; above it the planner shuffles
+    * the join (paragraph text moves once — the same volume the
+    * per-document rebuild groupBy moves anyway). */
+  def dedupParagraphs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxBroadcastKeys: Long = 10000000L): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n\n")).as(Seq("__pos", "__para")))
+      .withColumn("__norm", lower(trim(col("__para"), " \t\r\n")))
+      .withColumn("__key", xxhash64(col("__norm")))
+      .withColumn("__klen", length(col("__norm")))
+      .withColumn("__blank", col("__norm") === "")
+      .drop("__norm")
+    val winners = paras.where(!col("__blank"))
+      .groupBy("__key", "__klen")
+      .agg(min(struct(col(idCol), col("__pos"))).as("__win"),
+        count(lit(1)).as("__n"))
+      .where(col("__n") >= 2)
+      .select(col("__key"), col("__klen"),
+        col("__win").getField(idCol).as("__wid"),
+        col("__win").getField("__pos").as("__wpos"))
+      .localCheckpoint(true)
+    val probe =
+      if (winners.count() <= maxBroadcastKeys) broadcast(winners) else winners
+    val kept = paras
+      .join(probe, Seq("__key", "__klen"), "left")
+      .where(col("__blank") || col("__wid").isNull ||
+        (col(idCol) === col("__wid") && col("__pos") === col("__wpos")))
+    val rebuilt = kept
+      .groupBy(idCol)
+      .agg(
+        concat_ws("\n\n",
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__para")))),
+            e => e.getField("__para"))).as("__text"),
+        count(lit(1)).as("n_paras_kept"))
+    df.withColumn("n_paras_total", size(split(col(textCol), "\n\n")))
+      .drop(textCol)
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__text"), lit("")))
+      .withColumn("n_paras_kept", coalesce(col("n_paras_kept"), lit(0L)))
+      .withColumn("n_paras_dropped", col("n_paras_total") - col("n_paras_kept"))
+      .drop("__text", "n_paras_total")
+  }
 }

@@ -194,4 +194,53 @@ object Quantization {
       .select(col(qId), col("s.id").as(cId),
         (col("rank0") + 1).as("rank"), negate(col("s.sim")).as("dist"))
   }
+
+  /** Build a PERSISTABLE PQ index — the compressed-corpus sibling of
+    * [[Similarity.ivfIndex]]: train codebooks once, encode the corpus
+    * once, and return `(codes, codebookDf)` where `codes` is
+    * `(<cId>, codes array<int>)` (the 4-byte-per-subspace compressed
+    * corpus — the only corpus-sized table) and `codebookDf` is the
+    * `(sub, code, vec)` model (m·k rows — trivially storable parquet).
+    * Later query batches search via [[adcAgainstIndex]]; at 100 TB the
+    * raw-vector scan happens once at build time, and every search
+    * touches only the compressed codes. */
+  def pqIndex(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int = 1): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cbs = pqTrain(df, idCol, vecCol, m, k, iters)
+    val codebookDf = (for {
+      s <- cbs.indices
+      c <- cbs(s).indices
+    } yield (s, c, cbs(s)(c).toSeq)).toDF("sub", "code", "vec")
+    (pqEncode(df, idCol, vecCol, cbs), codebookDf)
+  }
+
+  /** ADC top-k against a persisted PQ index ([[pqIndex]]'s
+    * `(codes, codebookDf)` read back from storage). The codebook fetch
+    * is m·k rows — a bounded model read, never corpus-sized; gaps or
+    * duplicates in the stored model fail loudly. */
+  def adcAgainstIndex(
+      queries: DataFrame, qId: String, qVec: String,
+      codes: DataFrame, cId: String, codesCol: String,
+      codebookDf: DataFrame, k: Int): DataFrame = {
+    val rows = codebookDf
+      .orderBy(col("sub"), col("code"))
+      .select(col("sub").cast("int"), col("code").cast("int"),
+        asDoubleVec(col("vec")))
+      .collect()
+    require(rows.nonEmpty, "adcAgainstIndex: empty codebook table")
+    val m = rows.map(_.getInt(0)).max + 1
+    val nCodes = rows.map(_.getInt(1)).max + 1
+    require(rows.length == m * nCodes,
+      s"adcAgainstIndex: codebook table has ${rows.length} rows, expected $m×$nCodes")
+    val cbs = Array.ofDim[Array[Double]](m, nCodes)
+    rows.foreach { r =>
+      require(cbs(r.getInt(0))(r.getInt(1)) == null,
+        s"adcAgainstIndex: duplicate codebook entry (${r.getInt(0)}, ${r.getInt(1)})")
+      cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    adcTopK(queries, qId, qVec, codes, cId, codesCol, cbs, k)
+  }
 }

@@ -212,6 +212,44 @@ class DedupSpec extends SparkSpec {
       (4L, "solo line\nrepeated within doc\nrepeated within doc", 3L, 0L)))
   }
 
+  test("dedupParagraphs keeps FIRST occurrence only, ordered rebuild, empty-loss docs") {
+    val d = Seq(
+      (1L, "alpha para\n\nshared para\n\nomega para"),
+      // later doc: loses the shared para, keeps its own
+      (2L, "beta para\n\n Shared Para \n\ngamma para"),
+      // intra-doc dup: second copy dropped (winner is (2, pos 2)? no —
+      // the winner of "gamma para" is doc 2 pos 4; doc 3's copies lose)
+      (3L, "gamma para\n\ngamma para"),
+      // fully-duplicated doc → empty text, survives as a row
+      (4L, "shared para"),
+      // blank paragraph (\n\n\n\n) is a separator: kept, never matched
+      (5L, "delta para\n\n\n\ndelta para"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupParagraphs(d, "doc_id", "text")
+      .select("doc_id", "text", "n_paras_kept", "n_paras_dropped")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "alpha para\n\nshared para\n\nomega para", 3L, 0L),
+      (2L, "beta para\n\ngamma para", 2L, 1L),
+      (3L, "", 0L, 2L), // both copies lose to doc 2's "gamma para"
+      (4L, "", 0L, 1L),
+      // first "delta para" wins (pos 0); blank separator kept; dup dropped
+      (5L, "delta para\n\n", 2L, 1L)))
+  }
+
+  test("dedupParagraphs above the broadcast cap: shuffled join, same result") {
+    val d = Seq(
+      (1L, "one\n\ntwo"),
+      (2L, "two\n\nthree"),
+      (3L, "three\n\none")).toDF("doc_id", "text")
+    val a = Dedup.dedupParagraphs(d, "doc_id", "text")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Dedup.dedupParagraphs(d, "doc_id", "text", maxBroadcastKeys = 0L)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    assert(a == Set((1L, "one\n\ntwo"), (2L, "three"), (3L, "")))
+  }
+
   test("nearDupAgainstIndex finds new-vs-indexed pairs only, at matching params") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -90,4 +90,34 @@ class QuantizationSpec extends SparkSpec {
     val q0 = got.filter(_._1 == 0L).sortBy(_._3)
     assert(q0(0)._4 == q0(1)._4 && q0(0)._2 < q0(1)._2)
   }
+
+  test("pqIndex → parquet → adcAgainstIndex is result-identical to adcTopK") {
+    val rng = new scala.util.Random(5)
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextDouble()))).toDF("cid", "cv")
+    val queries = (0 until 4).map(i =>
+      (1000L + i, Array.fill(8)(rng.nextDouble()))).toDF("qid", "qv")
+    val cbs = Quantization.pqTrain(corpus, "cid", "cv", m = 2, k = 4, iters = 1)
+    val direct = Quantization.adcTopK(queries, "qid", "qv",
+        Quantization.pqEncode(corpus, "cid", "cv", cbs), "cid", "codes", cbs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val (codes, cbDf) = Quantization.pqIndex(corpus, "cid", "cv", m = 2, k = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("pq_idx_spec").toString
+    codes.write.mode("overwrite").parquet(s"$tmp/codes")
+    cbDf.write.mode("overwrite").parquet(s"$tmp/cb")
+    val viaIndex = Quantization.adcAgainstIndex(queries, "qid", "qv",
+        spark.read.parquet(s"$tmp/codes"), "cid", "codes",
+        spark.read.parquet(s"$tmp/cb"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex == direct)
+    // codebook table is the bounded model: exactly m·k rows
+    assert(spark.read.parquet(s"$tmp/cb").count() == 8)
+    // a codebook table with a missing entry fails loudly
+    val gap = spark.read.parquet(s"$tmp/cb")
+      .where(!(col("sub") === 1 && col("code") === 2))
+    assert(intercept[IllegalArgumentException] {
+      Quantization.adcAgainstIndex(queries, "qid", "qv",
+        spark.read.parquet(s"$tmp/codes"), "cid", "codes", gap, k = 5)
+    }.getMessage.contains("expected"))
+  }
 }
