@@ -980,6 +980,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"),
           sum("score").as("sum_scores"))
     }),
+    // RefinedWeb-style span REMOVAL (round 10): every doc carries the
+    // same planted 8-token slogan between its 15th and 16th token —
+    // exactly ONE shared 8-gram window per doc. The min-id doc keeps
+    // it; every other doc loses those 8 positions and is rebuilt
+    // around the cut. Oracle: full winner + coverage + rebuild replay
+    // on gram STRINGS (stronger than the engine's xxhash64 keys).
+    "dedup_spans_remove" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .where(size(split(col("text"), " ")) >= 30)
+        .select(col("doc_id"), col("text"))
+      val toks = split(col("text"), " ")
+      val slogan = split(
+        lit("xdup1 xdup2 xdup3 xdup4 xdup5 xdup6 xdup7 xdup8"), " ")
+      val corpus = base.select(col("doc_id"),
+        array_join(concat(slice(toks, 1, 15), slogan, slice(toks, 16, 15)),
+          " ").as("text"))
+      TextOps.removeDupSpans(corpus, "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("text"),
+          col("n_tokens_kept"), col("n_tokens_dropped"))
+        .orderBy("doc_id")
+    }),
     // Dolma-style paragraph dedup (round 10): the corpus re-chunked
     // into 10-token \n\n paragraphs — every drop-5 copy shares all its
     // full chunks with its original, so the copy keeps only its
@@ -3600,6 +3621,47 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
+    "dedup_spans_remove" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 30
+        |), corpus AS (
+        |  SELECT doc_id,
+        |    list_concat(list_concat(w[1:15],
+        |      ['xdup1','xdup2','xdup3','xdup4',
+        |       'xdup5','xdup6','xdup7','xdup8']), w[16:30]) AS t
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM base)
+        |), g AS (
+        |  SELECT doc_id, u.p AS p, u.g AS g
+        |  FROM (SELECT doc_id, unnest(list_transform(range(0, len(t) - 7),
+        |    p -> {'p': p, 'g': array_to_string(t[p+1:p+8], ' ')})) AS u
+        |    FROM corpus)
+        |), win AS (
+        |  SELECT g, min(doc_id) AS wid
+        |  FROM (SELECT DISTINCT g, doc_id FROM g)
+        |  GROUP BY g HAVING count(*) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, u AS tp
+        |  FROM (SELECT g.doc_id AS doc_id, unnest(range(g.p, g.p + 8)) AS u
+        |        FROM g JOIN win ON g.g = win.g WHERE g.doc_id != win.wid)
+        |), tokt AS (
+        |  SELECT doc_id, u.tpos AS tpos, u.tok AS tok
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |    i -> {'tpos': i - 1, 'tok': t[i]})) AS u FROM corpus)
+        |), kept AS (
+        |  SELECT tokt.doc_id, tpos, tok FROM tokt
+        |  LEFT JOIN cov ON cov.doc_id = tokt.doc_id AND cov.tp = tokt.tpos
+        |  WHERE cov.doc_id IS NULL
+        |), reb AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text,
+        |    count(*) AS nk
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT c.doc_id, coalesce(r.text, '') AS text,
+        |  CAST(coalesce(r.nk, 0) AS BIGINT) AS n_tokens_kept,
+        |  CAST(len(c.t) - coalesce(r.nk, 0) AS BIGINT) AS n_tokens_dropped
+        |FROM corpus c LEFT JOIN reb r ON r.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     // Full replay of the paragraph winner rule: chunk → normalize →
     // min-(doc,pos) winner per normalized paragraph → ordered rebuild.
     // The oracle matches on the normalized TEXT itself (stronger than

@@ -347,6 +347,12 @@ final class GraftFrame(val df: DataFrame) {
   def dedup_paragraphs(idCol: String, textCol: String): GraftFrame =
     new GraftFrame(Dedup.dedupParagraphs(df, idCol, textCol))
 
+  /** RefinedWeb-style duplicated-span removal: `n`-token windows
+    * shared across docs keep only their first-doc copy; later docs are
+    * rebuilt around the cut ([[graft.operators.TextOps.removeDupSpans]]). */
+  def remove_dup_spans(idCol: String, textCol: String, n: Int = 8): GraftFrame =
+    new GraftFrame(graft.operators.TextOps.removeDupSpans(df, idCol, textCol, n))
+
   /** Semi-join against `other`'s keys with a bloom pre-filter pushed
     * before the exchange ([[graft.operators.BloomJoin]]). */
   def semi_join_bloom(other: GraftFrame, key: String, otherKey: String,

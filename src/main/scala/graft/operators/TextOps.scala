@@ -618,4 +618,68 @@ object TextOps {
         sum(col("__cnt")).cast(DoubleType)).as("dup_ngram_frac"))
     df.select(col(idCol)).join(frac, Seq(idCol), "left")
   }
+
+  /** RefinedWeb/Dolma-style duplicated-span REMOVAL — the transform
+    * companion to [[crossDocDupNgramFraction]]'s measurement: every
+    * `n`-token window shared across ≥2 documents keeps only the copy
+    * in its FIRST document (minimum id — the deterministic replayable
+    * stand-in for a seen-before Bloom order); in every later document
+    * all token positions covered by a duplicated window are cut and
+    * the text is rebuilt from the surviving tokens in order.
+    *
+    * Tokenization is a plain single-space split with positions
+    * preserved (no normalization — span removal must round-trip the
+    * text it keeps byte-exactly); documents shorter than `n` tokens
+    * carry no windows and pass through untouched. Output: `df`'s
+    * columns with `textCol` rebuilt plus `n_tokens_kept` /
+    * `n_tokens_dropped`.
+    *
+    * Scale shape: the window walk explodes n-grams but shuffles only
+    * the slim `(xxhash64(gram), id)` pair for the winner aggregate
+    * (distinct-per-doc first, so boilerplate repeated within one page
+    * adds one row); only LOSING occurrences expand to covered token
+    * positions (n rows per marked window, bounded by the duplicated
+    * mass, not the corpus); the rebuild groupBy moves each surviving
+    * token once — the volume a plain repartition would move. A 64-bit
+    * gram-hash collision (≈ n²/2⁶⁴ over distinct windows) at worst
+    * cuts one innocent window; it cannot corrupt unrelated rows. */
+  def removeDupSpans(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val toks = df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("__tpos", "__tok")))
+    val grams = df
+      .select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol), posexplode(
+        when(size(col("__w")) >= n,
+          transform(sequence(lit(0), size(col("__w")) - n),
+            p => xxhash64(array_join(slice(col("__w"), p + 1, lit(n)), " "))))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("__p", "__gk")))
+    val winners = grams.select(col("__gk"), col(idCol)).distinct()
+      .groupBy("__gk")
+      .agg(min(col(idCol)).as("__wid"), count(lit(1)).as("__nd"))
+      .where(col("__nd") >= 2)
+      .select("__gk", "__wid")
+    val covered = grams.join(winners, Seq("__gk"))
+      .where(col(idCol) =!= col("__wid"))
+      .select(col(idCol),
+        explode(sequence(col("__p"), col("__p") + (n - 1))).as("__tpos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "__tpos"), "left_anti")
+    val rebuilt = kept
+      .groupBy(idCol)
+      .agg(
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("__tpos"), col("__tok")))),
+            e => e.getField("__tok"))).as("__text"),
+        count(lit(1)).as("n_tokens_kept"))
+    df.withColumn("__n_total", size(split(col(textCol), " ")))
+      .drop(textCol)
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__text"), lit("")))
+      .withColumn("n_tokens_kept", coalesce(col("n_tokens_kept"), lit(0L)))
+      .withColumn("n_tokens_dropped", col("__n_total") - col("n_tokens_kept"))
+      .drop("__text", "__n_total")
+  }
 }

@@ -407,4 +407,30 @@ class TextOpsSpec extends SparkSpec {
         .toMap
     assert(run(hashKeys = true) == run(hashKeys = false))
   }
+
+  test("removeDupSpans cuts losing occurrences only; winner and short docs untouched") {
+    import spark.implicits._
+    val df = Seq(
+      // docs 1 and 2 share the 3-token run "c d e"; doc 1 (min id) wins
+      (1L, "a b c d e f g"),
+      (2L, "x y c d e z w"),
+      // doc 3 shares nothing
+      (3L, "p q r s t u v"),
+      // shorter than n → no windows → untouched even though it
+      // CONTAINS the duplicated trigram's tokens
+      (4L, "c d")).toDF("id", "t")
+    val got = TextOps.removeDupSpans(df, "id", "t", n = 3)
+      .select("id", "t", "n_tokens_kept", "n_tokens_dropped")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "a b c d e f g", 7L, 0L),
+      (2L, "x y z w", 4L, 3L),
+      (3L, "p q r s t u v", 7L, 0L),
+      (4L, "c d", 2L, 0L)))
+    // a doc that is ENTIRELY a duplicated window comes back empty
+    val full = Seq((1L, "m n o"), (2L, "m n o")).toDF("id", "t")
+    val g2 = TextOps.removeDupSpans(full, "id", "t", n = 3)
+      .select("id", "t").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(g2 == Set((1L, "m n o"), (2L, "")))
+  }
 }
