@@ -115,12 +115,18 @@ def main():
                   f"oracle {entry['oracle_sec']}s)")
         results[name] = entry
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     head = subprocess.run(["git", "rev-parse", "HEAD"],
                           capture_output=True, text=True,
-                          cwd=os.path.dirname(os.path.dirname(
-                              os.path.abspath(__file__)))).stdout.strip()
+                          cwd=repo).stdout.strip()
+    # a HEAD stamp alone can lie: a dirty-tree run attributes results to
+    # a commit that cannot reproduce them, so record the tree state too
+    dirty = bool(subprocess.run(
+        ["git", "status", "--porcelain"], capture_output=True, text=True,
+        cwd=repo).stdout.strip())
     stamp = {
         "git_head": head,
+        "git_tree_dirty": dirty,
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "sf_dir": sf_dir,
         "n_gates": len(results),

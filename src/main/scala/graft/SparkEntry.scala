@@ -1130,8 +1130,8 @@ object SparkEntry {
       val corpus = emb.where(col("vec_id") >= 5)
       val (codes, cbDf) = Quantization.pqIndex(
         corpus, "vec_id", "embedding", m = 2, k = 4, iters = 1)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_pq_idx").toString
+      // fixed path, overwrite mode — no per-run temp-dir leak
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_pq_idx"
       codes.write.mode("overwrite").parquet(s"$tmp/codes")
       cbDf.write.mode("overwrite").parquet(s"$tmp/codebooks")
       val queries = emb.where(col("vec_id") < 5)
@@ -1310,8 +1310,9 @@ object SparkEntry {
           Similarity.asDoubleVec(col("embedding")).as("cv"))
         .unionAll(planted)
       val (asg, cents) = Similarity.ivfIndex(c, "corpus_id", "cv", nCells = 16)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_ivf_idx").toString
+      // fixed path, overwrite mode: repeated bench/verify runs REUSE the
+      // directory instead of leaking a fresh temp dir per run
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_ivf_idx"
       asg.write.mode("overwrite").parquet(s"$tmp/assignments")
       cents.write.mode("overwrite").parquet(s"$tmp/centroids")
       Similarity.ivfAgainstIndex(q, "query_id", "qv",

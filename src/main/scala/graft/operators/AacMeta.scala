@@ -75,21 +75,30 @@ object AacMeta {
       rdb * 1024)
   }
 
-  /** True iff the payload starts with a valid ADTS frame header — the
-    * cheap format probe (same contract as [[Mp3Meta.isMp3]]; an MP3
-    * sync 0xFFF with layer ≠ 0 is rejected by the layer-bits check, so
-    * the two probes are disjoint). */
+  /** True iff the payload is ADTS-shaped: the 0xFFF sync with layer
+    * bits 00 at offset 0 OR after an ID3v2 prefix (ID3 tags are
+    * container-agnostic — ID3+ADTS is routine crawl audio). The check
+    * is STRUCTURAL only (sync + layer), deliberately not validating
+    * sample-rate index or channel config: a synced layer-0 stream with
+    * a reserved rate or an in-band-PCE channel config IS an AAC stream
+    * and must fail loudly in [[parse]], not be silently mislabeled
+    * "unknown". MP3 probes stay disjoint — an MPEG audio frame always
+    * has nonzero layer bits. */
   def isAdts(bytes: Array[Byte]): Boolean =
-    bytes != null && bytes.length >= 7 &&
-      (try { parseHeader(bytes, 0); true } catch { case _: Exception => false })
+    bytes != null && bytes.length >= 7 && {
+      val off = try Mp3Meta.skipId3v2(bytes) catch { case _: Exception => return false }
+      off + 7 <= bytes.length &&
+        (bytes(off) & 0xff) == 0xff && ((bytes(off + 1) & 0xff) & 0xf6) == 0xf0
+    }
 
-  /** Parse stream metadata by walking every ADTS frame. Null for
-    * payloads that are not ADTS at all; loud failure for
-    * corrupt/truncated streams (mid-stream desync, partial trailing
-    * frame, trailing garbage). */
+  /** Parse stream metadata by walking every ADTS frame (after an
+    * optional ID3v2 prefix). Null for payloads that are not ADTS at
+    * all; loud failure for corrupt/truncated/unsupported streams
+    * (mid-stream desync, partial trailing frame, trailing garbage,
+    * reserved sample-rate index, in-band-PCE channel config 0). */
   def parse(bytes: Array[Byte]): AacStreamMeta = {
     if (!isAdts(bytes)) return null
-    var off = 0
+    var off = Mp3Meta.skipId3v2(bytes)
     val end = bytes.length
     var nFrames = 0L
     var samples = 0L

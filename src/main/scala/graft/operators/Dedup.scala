@@ -1076,21 +1076,36 @@ object Dedup {
     val kept = lines.where(col("__blank"))
       .unionByName(lines.where(!col("__blank"))
         .join(probe, Seq("__key", "__klen"), "left_anti"))
+    rebuildFromUnits(df, idCol, textCol, kept,
+      posCol = "__pos", unitCol = "__line", sep = "\n", prefix = "lines")
+  }
+
+  /** Shared tail of every unit-level text dedup ([[dedupLines]],
+    * [[dedupParagraphs]], [[TextOps.removeDupSpans]]): rebuild
+    * `textCol` from the surviving `(pos, unit)` rows in original order
+    * and account kept/dropped counts. Subtle semantics live HERE once:
+    * a doc whose every unit lost comes back as an empty-text row (not
+    * a missing row), and its kept count coalesces to 0. `sep` must be
+    * the same separator the caller split on. */
+  private[operators] def rebuildFromUnits(
+      df: DataFrame, idCol: String, textCol: String, kept: DataFrame,
+      posCol: String, unitCol: String, sep: String, prefix: String): DataFrame = {
+    val keptCol = s"n_${prefix}_kept"
     val rebuilt = kept
       .groupBy(idCol)
       .agg(
-        concat_ws("\n",
+        concat_ws(sep,
           transform(
-            array_sort(collect_list(struct(col("__pos"), col("__line")))),
-            e => e.getField("__line"))).as("__text"),
-        count(lit(1)).as("n_lines_kept"))
-    df.withColumn("n_lines_total", size(split(col(textCol), "\n")))
+            array_sort(collect_list(struct(col(posCol), col(unitCol)))),
+            e => e.getField(unitCol))).as("__text"),
+        count(lit(1)).as(keptCol))
+    df.withColumn("__n_total", size(split(col(textCol), sep)))
       .drop(textCol)
       .join(rebuilt, Seq(idCol), "left")
       .withColumn(textCol, coalesce(col("__text"), lit("")))
-      .withColumn("n_lines_kept", coalesce(col("n_lines_kept"), lit(0L)))
-      .withColumn("n_lines_dropped", col("n_lines_total") - col("n_lines_kept"))
-      .drop("__text", "n_lines_total")
+      .withColumn(keptCol, coalesce(col(keptCol), lit(0L)))
+      .withColumn(s"n_${prefix}_dropped", col("__n_total") - col(keptCol))
+      .drop("__text", "__n_total")
   }
 
   /** Dolma-style cross-document PARAGRAPH deduplication — the
@@ -1144,20 +1159,7 @@ object Dedup {
       .join(probe, Seq("__key", "__klen"), "left")
       .where(col("__blank") || col("__wid").isNull ||
         (col(idCol) === col("__wid") && col("__pos") === col("__wpos")))
-    val rebuilt = kept
-      .groupBy(idCol)
-      .agg(
-        concat_ws("\n\n",
-          transform(
-            array_sort(collect_list(struct(col("__pos"), col("__para")))),
-            e => e.getField("__para"))).as("__text"),
-        count(lit(1)).as("n_paras_kept"))
-    df.withColumn("n_paras_total", size(split(col(textCol), "\n\n")))
-      .drop(textCol)
-      .join(rebuilt, Seq(idCol), "left")
-      .withColumn(textCol, coalesce(col("__text"), lit("")))
-      .withColumn("n_paras_kept", coalesce(col("n_paras_kept"), lit(0L)))
-      .withColumn("n_paras_dropped", col("n_paras_total") - col("n_paras_kept"))
-      .drop("__text", "n_paras_total")
+    rebuildFromUnits(df, idCol, textCol, kept,
+      posCol = "__pos", unitCol = "__para", sep = "\n\n", prefix = "paras")
   }
 }

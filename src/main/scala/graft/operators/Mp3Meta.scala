@@ -23,9 +23,10 @@ package graft.operators
   *    index, sample-rate index) and advanced by the exact frame-length
   *    formula (Layer I: (12·bit/rate + pad)·4; II/III:
   *    spf/8·bit/rate + pad);
-  *  - Xing/Info VBR tag in the first frame read for its frame count
-  *    when present (the LAME convention location after the Layer III
-  *    side info);
+  *  - a literal "Xing" tag in the first frame (the LAME convention
+  *    location after the Layer III side info) marks the stream VBR;
+  *    the CBR "Info" variant does not, and the tag's declared frame
+  *    count is ignored — duration comes from the exact frame walk;
   *  - desync mid-stream fails loudly — a crawl wrapper decides the
   *    null-vs-throw policy, exactly as with the image codecs.
   */
@@ -94,51 +95,47 @@ object Mp3Meta {
       if (mode == 3) 1 else 2, frameBytes, spf, crc)
   }
 
-  /** True iff the payload starts with an ID3v2 tag or a valid frame
-    * header — the cheap format probe (same contract as
-    * [[Mp4Meta.isMp4]]). */
+  /** True iff the payload is MP3-shaped: a valid MPEG frame header at
+    * offset 0, or an ID3v2 tag FOLLOWED by a valid MPEG frame header.
+    * A bare 'ID3' prefix is NOT enough — ID3 tags are container-
+    * agnostic (ID3+ADTS/AAC is routine in crawl audio), so claiming
+    * every ID3 payload here would steal AAC streams from the
+    * [[AacMeta]] probe and crash the dispatcher on valid audio. */
   def isMp3(bytes: Array[Byte]): Boolean =
-    bytes != null && bytes.length >= 4 && {
-      (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') ||
-      (try { parseHeader(bytes, 0); true } catch { case _: Exception => false })
-    }
+    bytes != null && bytes.length >= 4 &&
+      (try { parseHeader(bytes, skipId3v2(bytes)); true }
+       catch { case _: Exception => false })
 
   /** Skip an ID3v2 prefix if present (10-byte header + syncsafe size,
-    * plus the 10-byte ID3v2.4 footer when flag bit 4 is set — the
-    * syncsafe size covers neither header nor footer). */
-  private def skipId3v2(b: Array[Byte]): Int =
+    * plus the 10-byte footer when flag bit 4 is set AND the tag is
+    * v2.4+ — earlier versions define no footer, and the spec says
+    * undefined flag bits should be ignored, so honoring bit 4 on a
+    * v2.3 tag would overshoot into the first audio frame). Shared with
+    * [[AacMeta]]: ID3 tags are container-agnostic. */
+  private[operators] def skipId3v2(b: Array[Byte]): Int =
     if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
       val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
         ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
-      val footer = if ((b(5) & 0x10) != 0) 10 else 0
+      val footer = if ((b(3) & 0xff) >= 4 && (b(5) & 0x10) != 0) 10 else 0
       val end = 10 + size + footer
       require(end <= b.length, "ID3v2 tag overruns the payload")
       end
     } else 0
 
-  /** Xing/Info tag in the first frame at the LAME-convention offset
-    * (after the Layer III side info): `(isXing, declaredFrames)`.
-    * `isXing` is true only for the literal "Xing" magic — LAME writes
-    * "Info" for CBR streams, so Info must NOT be read as a VBR signal
-    * (only as a frame count). `declaredFrames` is -1 when the tag or
-    * its frames field is absent. */
-  private def xingTag(b: Array[Byte], frameOff: Int, f: Frame): (Boolean, Long) = {
-    if (f.layer != 3) return (false, -1L)
+  /** True iff the first frame carries a literal "Xing" tag at the
+    * LAME-convention offset (after the Layer III side info) — the VBR
+    * signal. LAME writes "Info" for CBR streams, so Info is
+    * deliberately NOT a VBR signal; the tag's optional declared frame
+    * count is ignored entirely (duration comes from the actual frame
+    * walk, which is exact). */
+  private def hasXingVbrTag(b: Array[Byte], frameOff: Int, f: Frame): Boolean = {
+    if (f.layer != 3) return false
     val side =
       if (f.version == 3) { if (f.channels == 1) 17 else 32 }
       else { if (f.channels == 1) 9 else 17 }
     val p = frameOff + 4 + (if (f.crc) 2 else 0) + side
-    if (p + 8 > b.length || p + 8 > frameOff + f.frameBytes) return (false, -1L)
-    val tag = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    if (tag != "Xing" && tag != "Info") return (false, -1L)
-    val isXing = tag == "Xing"
-    val flags = ((b(p + 4) & 0xff) << 24) | ((b(p + 5) & 0xff) << 16) |
-      ((b(p + 6) & 0xff) << 8) | (b(p + 7) & 0xff)
-    val frames =
-      if ((flags & 1) == 0 || p + 12 > b.length) -1L
-      else ((b(p + 8) & 0xffL) << 24) | ((b(p + 9) & 0xffL) << 16) |
-        ((b(p + 10) & 0xffL) << 8) | (b(p + 11) & 0xffL)
-    (isXing, frames)
+    if (p + 4 > b.length || p + 4 > frameOff + f.frameBytes) return false
+    new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII) == "Xing"
   }
 
   /** Parse stream metadata by walking every frame. Null for payloads
@@ -169,7 +166,7 @@ object Mp3Meta {
       if (nFrames == 0L) {
         sampleRate = f.sampleRate
         channels = f.channels
-        xingVbrTag = xingTag(bytes, off, f)._1
+        xingVbrTag = hasXingVbrTag(bytes, off, f)
       } else {
         require(f.sampleRate == sampleRate,
           "sample-rate change mid-stream not supported")

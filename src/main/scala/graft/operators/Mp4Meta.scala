@@ -147,16 +147,22 @@ object Mp4Meta {
             durationMs = duration * 1000L / timescale
           case "trak" =>
             tracks += 1
-            var isAudio = false
             walk(bytes, p2, e2) { (t3, p3, e3) =>
-              if (t3 == "mdia") walk(bytes, p3, e3) { (t4, p4, e4) =>
-                t4 match {
-                  case "hdlr" =>
+              if (t3 == "mdia") {
+                // ISO 14496-12 does not mandate hdlr-before-minf order
+                // inside mdia — resolve the handler in a FIRST pass so
+                // an minf-first layout still dispatches correctly.
+                var isAudio = false
+                walk(bytes, p3, e3) { (t4, p4, e4) =>
+                  if (t4 == "hdlr") {
                     require(e4 - p4 >= 12, "truncated hdlr")
                     isAudio = tag(bytes, p4 + 8) == "soun"
-                  case "minf" => walk(bytes, p4, e4) { (t5, p5, e5) =>
+                  }
+                }
+                if (isAudio) walk(bytes, p3, e3) { (t4, p4, e4) =>
+                  if (t4 == "minf") walk(bytes, p4, e4) { (t5, p5, e5) =>
                     if (t5 == "stbl") walk(bytes, p5, e5) { (t6, p6, e6) =>
-                      if (t6 == "stsd" && isAudio && codec == null) {
+                      if (t6 == "stsd" && codec == null) {
                         require(e6 - p6 >= 8, "truncated stsd")
                         require(be32(bytes, p6 + 4) >= 1, "empty stsd")
                         val entry = p6 + 8
@@ -171,7 +177,6 @@ object Mp4Meta {
                       }
                     }
                   }
-                  case _ => ()
                 }
               }
             }

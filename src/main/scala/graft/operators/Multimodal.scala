@@ -789,7 +789,8 @@ object Multimodal {
         def unknown = AudioMetaAll(id, blen, "unknown", 0L, 0L, 0)
         if (b == null) unknown
         else if (WavCodec.isWav(b)) {
-          val a = WavCodec.decode(b)
+          // header-only walk — no per-sample decode on the metadata path
+          val a = WavCodec.meta(b)
           AudioMetaAll(id, blen, "wav", a.durationMs, a.sampleRate.toLong,
             a.channels)
         } else if (Mp3Meta.isMp3(b)) {

@@ -132,28 +132,33 @@ object OggMeta {
       lastGranule)
   }
 
+  /** One single-segment Ogg page (version 0, CRC left zero — the
+    * metadata walk does not verify CRCs; real demuxers would). Shared
+    * by both skeleton encoders so the page layout lives in one place. */
+  private def writePage(out: java.io.ByteArrayOutputStream, serial: Int)(
+      headerType: Int, granule: Long, seq: Int, segLen: Int): Unit = {
+    out.write('O'); out.write('g'); out.write('g'); out.write('S')
+    out.write(0) // version
+    out.write(headerType)
+    for (i <- 0 until 8) out.write(((granule >> (8 * i)) & 0xff).toInt)
+    for (i <- 0 until 4) out.write((serial >> (8 * i)) & 0xff)
+    for (i <- 0 until 4) out.write((seq >> (8 * i)) & 0xff)
+    for (_ <- 0 until 4) out.write(0) // CRC zero
+    out.write(1) // one segment
+    out.write(segLen)
+  }
+
   /** Minimal spec-valid Opus-in-Ogg skeleton: page 0 = OpusHead (BOS),
     * page 1 = one data segment of `dataBytes` 0xA5 filler with the
     * final granule position (EOS). Size closed form:
-    * `28 + 19 + 28 + dataBytes` (dataBytes ≤ 255). CRCs are left zero
-    * (the metadata walk does not verify them; real demuxers would). */
+    * `28 + 19 + 28 + dataBytes` (dataBytes ≤ 255). */
   def encode(samples: Long, channels: Int, preSkip: Int,
       inputSampleRate: Long, dataBytes: Int = 40): Array[Byte] = {
     require(samples >= 0 && channels >= 1 && channels <= 8 && preSkip >= 0 &&
       preSkip <= 0xffff && inputSampleRate > 0 && dataBytes >= 1 && dataBytes <= 255,
       s"bad spec samples=$samples ch=$channels preSkip=$preSkip rate=$inputSampleRate")
     val out = new java.io.ByteArrayOutputStream()
-    def page(headerType: Int, granule: Long, seq: Int, segLen: Int): Unit = {
-      out.write('O'); out.write('g'); out.write('g'); out.write('S')
-      out.write(0) // version
-      out.write(headerType)
-      for (i <- 0 until 8) out.write(((granule >> (8 * i)) & 0xff).toInt)
-      for (i <- 0 until 4) out.write((0x47524654 >> (8 * i)) & 0xff) // serial
-      for (i <- 0 until 4) out.write((seq >> (8 * i)) & 0xff)
-      for (_ <- 0 until 4) out.write(0) // CRC zero
-      out.write(1) // one segment
-      out.write(segLen)
-    }
+    val page = writePage(out, 0x47524654) _
     // page 0: BOS (0x02), granule 0, OpusHead (19 bytes)
     page(0x02, 0L, 0, 19)
     "OpusHead".foreach(c => out.write(c.toInt))
@@ -185,17 +190,7 @@ object OggMeta {
       dataBytes >= 1 && dataBytes <= 255,
       s"bad spec samples=$samples ch=$channels rate=$sampleRate")
     val out = new java.io.ByteArrayOutputStream()
-    def page(headerType: Int, granule: Long, seq: Int, segLen: Int): Unit = {
-      out.write('O'); out.write('g'); out.write('g'); out.write('S')
-      out.write(0)
-      out.write(headerType)
-      for (i <- 0 until 8) out.write(((granule >> (8 * i)) & 0xff).toInt)
-      for (i <- 0 until 4) out.write((0x47524656 >> (8 * i)) & 0xff) // serial
-      for (i <- 0 until 4) out.write((seq >> (8 * i)) & 0xff)
-      for (_ <- 0 until 4) out.write(0) // CRC zero (metadata walk)
-      out.write(1)
-      out.write(segLen)
-    }
+    val page = writePage(out, 0x47524656) _
     // page 0: BOS, granule 0, 30-byte Vorbis id header
     page(0x02, 0L, 0, 30)
     out.write(1) // packet type 1 = identification

@@ -666,20 +666,7 @@ object TextOps {
         explode(sequence(col("__p"), col("__p") + (n - 1))).as("__tpos"))
       .distinct()
     val kept = toks.join(covered, Seq(idCol, "__tpos"), "left_anti")
-    val rebuilt = kept
-      .groupBy(idCol)
-      .agg(
-        concat_ws(" ",
-          transform(
-            array_sort(collect_list(struct(col("__tpos"), col("__tok")))),
-            e => e.getField("__tok"))).as("__text"),
-        count(lit(1)).as("n_tokens_kept"))
-    df.withColumn("__n_total", size(split(col(textCol), " ")))
-      .drop(textCol)
-      .join(rebuilt, Seq(idCol), "left")
-      .withColumn(textCol, coalesce(col("__text"), lit("")))
-      .withColumn("n_tokens_kept", coalesce(col("n_tokens_kept"), lit(0L)))
-      .withColumn("n_tokens_dropped", col("__n_total") - col("n_tokens_kept"))
-      .drop("__text", "__n_total")
+    Dedup.rebuildFromUnits(df, idCol, textCol, kept,
+      posCol = "__tpos", unitCol = "__tok", sep = " ", prefix = "tokens")
   }
 }

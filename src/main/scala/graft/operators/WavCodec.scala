@@ -186,6 +186,60 @@ object WavCodec {
     Audio(channels, rate, data)
   }
 
+  /** Header-only metadata: sample rate, channels, frame count and
+    * format tag, from the fmt chunk plus the data chunk's LENGTH —
+    * same chunk walk and the same loud-failure validation as
+    * [[decode]], but no per-sample conversion and no PCM allocation.
+    * This is the right call for metadata-only dispatch at corpus
+    * scale (a full [[decode]] is O(payload) CPU + ~2× payload memory
+    * per row just to report three header fields). */
+  final case class WavMeta(
+      sampleRate: Int, channels: Int, frames: Long, formatTag: Int) {
+    def durationMs: Long = frames * 1000L / sampleRate
+  }
+
+  def meta(bytes: Array[Byte]): WavMeta = {
+    require(isWav(bytes), "not a RIFF/WAVE payload")
+    var off = 12
+    var channels = -1
+    var rate = -1
+    var bits = -1
+    var fmt = -1
+    var frames = -1L
+    while (off + 8 <= bytes.length) {
+      val id = tag(bytes, off)
+      val len = le32(bytes, off + 4)
+      require(len >= 0 && off + 8 + len.toLong <= bytes.length, s"truncated chunk '$id'")
+      id match {
+        case "fmt " =>
+          require(len >= 16, "fmt chunk too short")
+          fmt = le16(bytes, off + 8)
+          require(fmt == 1 || fmt == 6 || fmt == 7,
+            s"only PCM (format 1), A-law (format 6) and mu-law (format 7) supported, got $fmt")
+          channels = le16(bytes, off + 10)
+          rate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
+          require(channels >= 1 && channels <= 8, s"bad channel count $channels")
+          require(rate > 0, s"bad sample rate $rate")
+          if (fmt == 1)
+            require(bits == 16 || bits == 8,
+              s"only 8/16-bit PCM supported, got $bits")
+          else
+            require(bits == 8, s"G.711 must be 8-bit, got $bits")
+        case "data" =>
+          require(channels > 0, "data chunk before fmt")
+          val bytesPer = if (fmt == 1 && bits == 16) 2 else 1
+          require(len % (channels * bytesPer) == 0,
+            s"partial frame in data chunk (len $len, $channels ch x $bytesPer B)")
+          frames = len.toLong / (channels * bytesPer)
+        case _ => ()
+      }
+      off += 8 + len + (len & 1)
+    }
+    require(frames >= 0, "missing data chunk")
+    WavMeta(rate, channels, frames, fmt)
+  }
+
   /** Serialize PCM16 audio as a canonical 44-byte-header WAV —
     * deterministic byte-for-byte, size = `44 + 2·samples` (the closed
     * form the SQL oracle recomputes). */

@@ -76,6 +76,12 @@ object LeakCheck {
       try new String(java.lang.Runtime.getRuntime
           .exec(Array("git", "rev-parse", "HEAD")).getInputStream.readAllBytes()).trim
       catch { case _: Exception => "unknown" }
+    // a HEAD stamp alone can lie on a dirty tree — record the tree state
+    val dirty =
+      try new String(java.lang.Runtime.getRuntime
+          .exec(Array("git", "status", "--porcelain")).getInputStream
+          .readAllBytes()).trim.nonEmpty
+      catch { case _: Exception => false }
     val ts = java.time.Instant.now().toString
     val nHits = hits.values.map(_.size).sum
     def arr(xs: Seq[String]) = xs.map(graft.JsonOut.q).mkString("[", ",", "]")
@@ -84,6 +90,7 @@ object LeakCheck {
          |  "generated_by": "graft.tools.LeakCheck",
          |  "run_at": ${graft.JsonOut.q(ts)},
          |  "git_head": ${graft.JsonOut.q(head)},
+         |  "git_tree_dirty": $dirty,
          |  "n_files": ${files.size},
          |  "n_lines": $nLines,
          |  "n_hits": $nHits,

@@ -168,9 +168,15 @@ object ScalingProbe {
       try new String(java.lang.Runtime.getRuntime
           .exec(Array("git", "rev-parse", "HEAD")).getInputStream.readAllBytes()).trim
       catch { case _: Exception => "unknown" }
+    val dirty =
+      try new String(java.lang.Runtime.getRuntime
+          .exec(Array("git", "status", "--porcelain")).getInputStream
+          .readAllBytes()).trim.nonEmpty
+      catch { case _: Exception => false }
     val sb = new StringBuilder
     sb ++= "# SCALING — measured 1× vs 10× linearity probe\n\n"
-    sb ++= s"Generated by `graft.tools.ScalingProbe` at git `$head`, " +
+    sb ++= s"Generated by `graft.tools.ScalingProbe` at git `$head`" +
+      s"${if (dirty) " (DIRTY tree — not reproducible from that commit)" else ""}, " +
       s"fixtures `$sfDir`, local[$cpus].\n\n"
     sb ++= "The 10× corpus is 10 token-suffixed, id-shifted copies of the " +
       "sf0.1 documents table\n(cross-copy shingle-disjoint; per-copy " +

@@ -58,12 +58,33 @@ class AacMetaSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       AacMeta.parse(mix)
     }.getMessage.contains("sample-rate"))
-    // reserved sampling_frequency_index 13 in frame 1 → not ADTS → null
+    // reserved sampling_frequency_index 13 in frame 1: the stream IS
+    // ADTS-shaped (sync + layer 0), so it must fail LOUDLY, not be
+    // silently mislabeled "unknown"
     val r13 = good.clone(); r13(2) = ((1 << 6) | (13 << 2)).toByte
-    assert(AacMeta.parse(r13) == null)
-    // PCE channel config 0 → rejected
+    assert(AacMeta.isAdts(r13))
+    assert(intercept[IllegalArgumentException] { AacMeta.parse(r13) }
+      .getMessage.contains("reserved"))
+    // in-band-PCE channel config 0: same — loud, not silent
     val pce = good.clone(); pce(2) = (1 << 6 | 4 << 2).toByte; pce(3) = (good(3) & 0x3f).toByte
-    assert(AacMeta.parse(pce) == null)
+    assert(AacMeta.isAdts(pce))
+    assert(intercept[IllegalArgumentException] { AacMeta.parse(pce) }
+      .getMessage.contains("PCE"))
+  }
+
+  test("ID3v2-tagged AAC parses as AAC — the tag never steals it for MP3") {
+    val core = AacMeta.encode(4, 4, 2, 64)
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0x01, 0x02) ++
+      new Array[Byte]((1 << 7) + 2)
+    val tagged = id3 ++ core
+    // MP3 no longer claims a bare ID3 prefix; AAC skips the tag
+    assert(!Mp3Meta.isMp3(tagged) && AacMeta.isAdts(tagged))
+    val m = AacMeta.parse(tagged)
+    assert(m != null && m.nFrames == 4 && m.sampleRate == 44100)
+    // and conversely an ID3-tagged MP3 still routes to MP3, not AAC
+    val mp3tagged = id3 ++ Mp3Meta.encode(3, 9, 0)
+    assert(Mp3Meta.isMp3(mp3tagged) && !AacMeta.isAdts(mp3tagged))
+    assert(Mp3Meta.parse(mp3tagged).nFrames == 3)
   }
 
   test("M4A: audio-track fields parse; video MP4s are NOT M4A-shaped") {
@@ -80,6 +101,35 @@ class AacMetaSpec extends SparkSpec {
     val v = Mp4Meta.parse(Mp4Meta.encodeM4a(2500, 44100, 2))
     assert(v.durationMs == 2500 && v.width == 0 && v.height == 0 &&
       v.nTracks == 1)
+  }
+
+  test("M4A parses regardless of hdlr/minf order inside mdia") {
+    val orig = Mp4Meta.encodeM4a(2500, 44100, 2)
+    // encodeM4a layout: mdia payload at 248 = mdhd(32) + hdlr(33) + minf(68).
+    // Rebuild as mdhd + minf + hdlr — ISO 14496-12 allows either order.
+    val reordered = orig.slice(0, 280) ++ orig.slice(313, 381) ++ orig.slice(280, 313)
+    assert(reordered.length == orig.length)
+    val m = Mp4Meta.parseAudio(reordered)
+    assert(m != null && m.durationMs == 2500 && m.sampleRate == 44100 &&
+      m.channels == 2 && m.codec == "mp4a")
+  }
+
+  test("WavCodec.meta: header-only fields agree with the full decode") {
+    import graft.operators.WavCodec
+    for (ch <- 1 to 2; enc <- Seq[WavCodec.Audio => Array[Byte]](
+        WavCodec.encode, WavCodec.encodePcm8, WavCodec.encodeMuLaw,
+        WavCodec.encodeALaw)) {
+      val bytes = enc(WavCodec.signal(7L, 120, ch, 8000))
+      val full = WavCodec.decode(bytes)
+      val m = WavCodec.meta(bytes)
+      assert(m.sampleRate == full.sampleRate && m.channels == full.channels &&
+        m.frames == full.frames.toLong && m.durationMs == full.durationMs)
+    }
+    // truncated data chunk fails loudly in the header walk too
+    val good = WavCodec.encode(WavCodec.signal(1L, 50, 2, 8000))
+    assert(intercept[IllegalArgumentException] {
+      WavCodec.meta(good.dropRight(3))
+    }.getMessage.contains("truncated"))
   }
 
   test("distributed AAC + M4A extraction over a mixed-format corpus") {

@@ -102,7 +102,7 @@ class QuantizationSpec extends SparkSpec {
         Quantization.pqEncode(corpus, "cid", "cv", cbs), "cid", "codes", cbs, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val (codes, cbDf) = Quantization.pqIndex(corpus, "cid", "cv", m = 2, k = 4)
-    val tmp = java.nio.file.Files.createTempDirectory("pq_idx_spec").toString
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/pq_idx_spec" // reused, not leaked
     codes.write.mode("overwrite").parquet(s"$tmp/codes")
     cbDf.write.mode("overwrite").parquet(s"$tmp/cb")
     val viaIndex = Quantization.adcAgainstIndex(queries, "qid", "qv",
