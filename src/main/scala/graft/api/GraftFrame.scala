@@ -511,6 +511,16 @@ final class GraftFrame(val df: DataFrame) {
     new GraftFrame(f.withColumnRenamed("mediaId", idCol))
   }
 
+  /** One-call audio METADATA over every supported shape — WAV, MP3,
+    * ADTS/AAC, FLAC, Opus, Vorbis, M4A — by disjoint format probes
+    * ([[graft.operators.Multimodal.extractAudioMeta]]); unmatched rows
+    * report format "unknown" with zeroed fields. */
+  def audio_metadata(idCol: String, dataCol: String): GraftFrame = {
+    val f = graft.operators.Multimodal.extractAudioMeta(
+      df.select(col(idCol).as("media_id"), col(dataCol).as("data"))).toDF()
+    new GraftFrame(f.withColumnRenamed("mediaId", idCol))
+  }
+
   /** GIF container metadata per payload row — frames, animated flag,
     * GCE-delay duration ([[graft.operators.Multimodal.extractGifMeta]]). */
   def gif_metadata(idCol: String, dataCol: String): GraftFrame = {
