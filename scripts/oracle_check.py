@@ -120,10 +120,16 @@ def main():
                           capture_output=True, text=True,
                           cwd=repo).stdout.strip()
     # a HEAD stamp alone can lie: a dirty-tree run attributes results to
-    # a commit that cannot reproduce them, so record the tree state too
-    dirty = bool(subprocess.run(
-        ["git", "status", "--porcelain"], capture_output=True, text=True,
-        cwd=repo).stdout.strip())
+    # a commit that cannot reproduce them, so record the tree state too.
+    # The generated artifacts themselves are excluded — regenerating one
+    # must not mark the next as irreproducible (only SOURCE dirt does).
+    artifacts = {"CORRECTNESS_local.json", "LEAKCHECK.json", "SCALING.md",
+                 "bench_last.json"}
+    dirty = any(
+        line[3:] not in artifacts
+        for line in subprocess.run(
+            ["git", "status", "--porcelain"], capture_output=True, text=True,
+            cwd=repo).stdout.splitlines() if line.strip())
     stamp = {
         "git_head": head,
         "git_tree_dirty": dirty,

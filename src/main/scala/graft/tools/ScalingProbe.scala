@@ -168,10 +168,15 @@ object ScalingProbe {
       try new String(java.lang.Runtime.getRuntime
           .exec(Array("git", "rev-parse", "HEAD")).getInputStream.readAllBytes()).trim
       catch { case _: Exception => "unknown" }
+    // generated artifacts excluded: only SOURCE dirt breaks reproducibility
+    val artifactFiles = Set("CORRECTNESS_local.json", "LEAKCHECK.json",
+      "SCALING.md", "bench_last.json")
     val dirty =
       try new String(java.lang.Runtime.getRuntime
           .exec(Array("git", "status", "--porcelain")).getInputStream
-          .readAllBytes()).trim.nonEmpty
+          .readAllBytes()).linesIterator
+        .filter(_.trim.nonEmpty)
+        .exists(l => !artifactFiles.contains(l.drop(3).trim))
       catch { case _: Exception => false }
     val sb = new StringBuilder
     sb ++= "# SCALING — measured 1× vs 10× linearity probe\n\n"
