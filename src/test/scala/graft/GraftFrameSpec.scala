@@ -290,6 +290,26 @@ class GraftFrameSpec extends SparkSpec {
       .dup_span_fraction("id", "txt", n = 4)
       .toDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(spans(1L) > 0.0 && spans(2L) > 0.0 && spans(3L) == 0.0)
+
+    // round-10 facades: paragraph dedup, span removal, audio metadata
+    val pd = new GraftFrame(Seq(
+      (1L, "keep me\n\nshared para"), (2L, "shared para\n\nother"))
+      .toDF("id", "txt"))
+      .dedup_paragraphs("id", "txt")
+      .toDF.select("id", "txt").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(pd == Map(1L -> "keep me\n\nshared para", 2L -> "other"))
+    val sr = new GraftFrame(Seq(
+      (1L, "a b c d e"), (2L, "x b c d y")).toDF("id", "txt"))
+      .remove_dup_spans("id", "txt", n = 3)
+      .toDF.select("id", "txt").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(sr == Map(1L -> "a b c d e", 2L -> "x y"))
+    val am = new GraftFrame(Seq(
+      (1L, graft.operators.Mp3Meta.encode(2, 9, 0)),
+      (2L, graft.operators.OggMeta.encodeVorbis(44100, 1, 44100L, 30)))
+      .toDF("id", "data"))
+      .audio_metadata("id", "data")
+      .toDF.select("id", "format").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(am == Map(1L -> "mp3", 2L -> "vorbis"))
   }
 
   test("multimodal facade: image hashes, one-call image dedup, audio/gif/video metadata") {
