@@ -96,6 +96,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("paragraph/span dedup gates: equi-joins only, never a cross join") {
+    // round-10 text dedup: the winner probes and coverage/rebuild joins
+    // are all key equi-joins — a cartesian or nested-loop anywhere here
+    // would explode at corpus scale
+    for (name <- Seq("dedup_paragraphs", "dedup_spans_remove")) {
+      val p = plan(name)
+      assert(nodes(p, "CartesianProduct") == 0, s"$name:\n$p")
+      assert(nodes(p, "BroadcastNestedLoopJoin") == 0, s"$name:\n$p")
+    }
+  }
+
   test("decontamination: eval side broadcast, train side never cross-joined") {
     val p = plan("decontam_ids")
     assert(nodes(p, "CartesianProduct") == 0, p)
