@@ -1099,7 +1099,10 @@ object Dedup {
             array_sort(collect_list(struct(col(posCol), col(unitCol)))),
             e => e.getField(unitCol))).as("__text"),
         count(lit(1)).as(keptCol))
-    df.withColumn("__n_total", size(split(col(textCol), sep)))
+    // coalesce the unit total too: a NULL text has no units (0), and
+    // without it n_*_dropped would come back null instead of 0
+    df.withColumn("__n_total",
+        coalesce(size(split(col(textCol), sep)).cast("long"), lit(0L)))
       .drop(textCol)
       .join(rebuilt, Seq(idCol), "left")
       .withColumn(textCol, coalesce(col("__text"), lit("")))

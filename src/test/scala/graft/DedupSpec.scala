@@ -237,6 +237,32 @@ class DedupSpec extends SparkSpec {
       (5L, "delta para\n\n", 2L, 1L)))
   }
 
+  test("dedupParagraphs and dedupLines are idempotent; null text survives as empty") {
+    val d = Seq(
+      (1L, "alpha\n\nshared"), (2L, "shared\n\nbeta"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // one pass removes every non-first duplicate, so a second pass is a no-op
+    val once = Dedup.dedupParagraphs(d, "doc_id", "text")
+      .select("doc_id", "text")
+    val twice = Dedup.dedupParagraphs(once, "doc_id", "text")
+      .select("doc_id", "text")
+    assert(once.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      twice.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // null-text doc: empty rebuild, zero counts (not nulls)
+    val row3 = Dedup.dedupParagraphs(d, "doc_id", "text")
+      .where(col("doc_id") === 3).collect()(0)
+    assert(row3.getAs[String]("text") == "" &&
+      row3.getAs[Long]("n_paras_kept") == 0L &&
+      row3.getAs[Long]("n_paras_dropped") == 0L)
+    // same law for line dedup (removal there is every-occurrence, so the
+    // surviving lines are all sub-threshold — a second pass drops nothing)
+    val l = Seq((1L, "a\nboiler"), (2L, "boiler\nb")).toDF("doc_id", "text")
+    val l1 = Dedup.dedupLines(l, "doc_id", "text", minDocs = 2).select("doc_id", "text")
+    val l2 = Dedup.dedupLines(l1, "doc_id", "text", minDocs = 2).select("doc_id", "text")
+    assert(l1.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      l2.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
   test("dedupParagraphs above the broadcast cap: shuffled join, same result") {
     val d = Seq(
       (1L, "one\n\ntwo"),
