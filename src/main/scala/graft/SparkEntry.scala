@@ -1713,6 +1713,30 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // COMPOSED curation v2 (round 10): the new unit-dedup ops chained
+    // end-to-end — paragraph dedup (first-occurrence winners) → text
+    // flattened → span-level dedup (8-token windows; copies whose
+    // truncated tail chunk survived stage 1 lose it here when ≥8
+    // tokens) → minimum-length gate → census. The oracle replays the
+    // WHOLE chain; any stage interaction bug breaks the census.
+    "pipeline_curate_v2" -> ((s, dir) => {
+      val corpus = nearDupCorpus(tbl(s, dir, "documents"))
+      val toks = split(col("text"), " ")
+      val lastChunk = greatest(
+        floor((size(toks) + 9) / 10).cast("int") - 1, lit(0))
+      val chunked = corpus.select(col("doc_id"),
+        array_join(transform(sequence(lit(0), lastChunk),
+          i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")), "\n\n")
+          .as("text"))
+      val s1 = Dedup.dedupParagraphs(chunked, "doc_id", "text")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "\n+", " ").as("text"))
+      val s2 = TextOps.removeDupSpans(s1, "doc_id", "text", n = 8)
+      s2.where(col("n_tokens_kept") >= 20)
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          sum("n_tokens_kept").as("sum_tokens"))
+    }),
+
     // SQL front-end: the injected native expressions are first-class in
     // spark.sql — same codegen'd WordNGrams as the DataFrame path.
     "sql_native_fns" -> ((s, dir) => {
@@ -3622,6 +3646,75 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
+    // Replays the FULL composed chain: paragraph winner rule + rebuild,
+    // \n-flatten, span winner + coverage + rebuild, length gate, census.
+    "pipeline_curate_v2" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 30
+        |), corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      len(string_split(text, ' ')) - 5), ' ')
+        |  FROM base
+        |), chunked AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, greatest((len(w) + 9) // 10, 1)),
+        |      i -> array_to_string(w[i*10+1:i*10+10], ' ')) AS ps
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+        |), pt AS (
+        |  SELECT doc_id, u.pos AS pos, u.p AS p,
+        |    lower(trim(u.p,
+        |      ' ' || chr(9) || chr(13) || chr(10))) AS norm
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1),
+        |      i -> {'pos': i - 1, 'p': ps[i]})) AS u
+        |    FROM chunked)
+        |), pwin AS (
+        |  SELECT norm, min(doc_id * 1000000 + pos) AS wkey
+        |  FROM pt WHERE norm != '' GROUP BY norm
+        |), pkept AS (
+        |  SELECT pt.doc_id, pt.pos, pt.p FROM pt
+        |  LEFT JOIN pwin ON pwin.norm = pt.norm
+        |  WHERE pt.norm = '' OR pt.doc_id * 1000000 + pt.pos = pwin.wkey
+        |), preb AS (
+        |  SELECT doc_id, string_agg(p, chr(10) || chr(10) ORDER BY pos) AS text
+        |  FROM pkept GROUP BY doc_id
+        |), flat AS (
+        |  SELECT c.doc_id,
+        |    string_split(regexp_replace(coalesce(r.text, ''),
+        |      '\n+', ' ', 'g'), ' ') AS t
+        |  FROM chunked c LEFT JOIN preb r ON r.doc_id = c.doc_id
+        |), g AS (
+        |  SELECT doc_id, u.p AS p, u.g AS g
+        |  FROM (SELECT doc_id, unnest(list_transform(range(0, greatest(len(t) - 7, 0)),
+        |    p -> {'p': p, 'g': array_to_string(t[p+1:p+8], ' ')})) AS u
+        |    FROM flat)
+        |), swin AS (
+        |  SELECT g, min(doc_id) AS wid
+        |  FROM (SELECT DISTINCT g, doc_id FROM g)
+        |  GROUP BY g HAVING count(*) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, u AS tp
+        |  FROM (SELECT g.doc_id AS doc_id, unnest(range(g.p, g.p + 8)) AS u
+        |        FROM g JOIN swin ON g.g = swin.g WHERE g.doc_id != swin.wid)
+        |), tokt AS (
+        |  SELECT doc_id, u.tpos AS tpos
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |    i -> {'tpos': i - 1})) AS u FROM flat)
+        |), nk AS (
+        |  SELECT tokt.doc_id, count(*) AS n_kept
+        |  FROM tokt
+        |  LEFT JOIN cov ON cov.doc_id = tokt.doc_id AND cov.tp = tokt.tpos
+        |  WHERE cov.doc_id IS NULL
+        |  GROUP BY tokt.doc_id
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_kept) AS BIGINT) AS sum_tokens
+        |FROM nk WHERE n_kept >= 20""".stripMargin,
     "dedup_spans_remove" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents
