@@ -123,13 +123,16 @@ def main():
     # a commit that cannot reproduce them, so record the tree state too.
     # The generated artifacts themselves are excluded — regenerating one
     # must not mark the next as irreproducible (only SOURCE dirt does).
+    # If git itself fails, the flag must read DIRTY: the anti-lying stamp
+    # cannot assert a clean tree exactly when it could not check.
+    # (Mirrors graft.tools.Provenance — keep the two rule sets in sync.)
     artifacts = {"CORRECTNESS_local.json", "LEAKCHECK.json", "SCALING.md",
                  "bench_last.json"}
-    dirty = any(
+    st = subprocess.run(["git", "status", "--porcelain"],
+                        capture_output=True, text=True, cwd=repo)
+    dirty = st.returncode != 0 or any(
         line[3:] not in artifacts
-        for line in subprocess.run(
-            ["git", "status", "--porcelain"], capture_output=True, text=True,
-            cwd=repo).stdout.splitlines() if line.strip())
+        for line in st.stdout.splitlines() if line.strip())
     stamp = {
         "git_head": head,
         "git_tree_dirty": dirty,

@@ -1130,8 +1130,7 @@ object SparkEntry {
       val corpus = emb.where(col("vec_id") >= 5)
       val (codes, cbDf) = Quantization.pqIndex(
         corpus, "vec_id", "embedding", m = 2, k = 4, iters = 1)
-      // fixed path, overwrite mode — no per-run temp-dir leak
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_pq_idx"
+      val tmp = scratchDir("pq_idx")
       codes.write.mode("overwrite").parquet(s"$tmp/codes")
       cbDf.write.mode("overwrite").parquet(s"$tmp/codebooks")
       val queries = emb.where(col("vec_id") < 5)
@@ -1310,9 +1309,7 @@ object SparkEntry {
           Similarity.asDoubleVec(col("embedding")).as("cv"))
         .unionAll(planted)
       val (asg, cents) = Similarity.ivfIndex(c, "corpus_id", "cv", nCells = 16)
-      // fixed path, overwrite mode: repeated bench/verify runs REUSE the
-      // directory instead of leaking a fresh temp dir per run
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gate_ivf_idx"
+      val tmp = scratchDir("ivf_idx")
       asg.write.mode("overwrite").parquet(s"$tmp/assignments")
       cents.write.mode("overwrite").parquet(s"$tmp/centroids")
       Similarity.ivfAgainstIndex(q, "query_id", "qv",
@@ -2504,6 +2501,23 @@ object SparkEntry {
       .select(array_join(
         slice(split(col("text"), " "), lit(1), size(split(col("text"), " ")) - 5),
         " ").as("text"))
+
+  /** Per-process scratch directory for gates that round-trip an index
+    * through real parquet storage: unique per run (concurrent runs and
+    * multi-user machines never clobber each other — the flaw of a
+    * fixed path) AND deleted recursively at JVM exit (the flaw of a
+    * bare createTempDirectory, which leaked one dir per run). */
+  private[graft] def scratchDir(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(p.toFile)
+    }))
+    p.toString
+  }
 
   private[graft] def nearDupCorpus(documents: DataFrame): DataFrame = {
     val base = documents

@@ -98,8 +98,17 @@ object AacMeta {
     * reserved sample-rate index, in-band-PCE channel config 0). */
   def parse(bytes: Array[Byte]): AacStreamMeta = {
     if (!isAdts(bytes)) return null
-    var off = Mp3Meta.skipId3v2(bytes)
-    val end = bytes.length
+    val start = Mp3Meta.skipId3v2(bytes)
+    var off = start
+    // strip an ID3v1 trailer ("TAG" + 125 bytes) if present — common
+    // tagger output writes BOTH v2 prefix and v1 trailer (same handling
+    // as Mp3Meta.parse; without it a valid double-tagged AAC would fail
+    // the trailing-bytes check)
+    val end =
+      if (bytes.length - start >= 128 + 7 &&
+        bytes(bytes.length - 128) == 'T' && bytes(bytes.length - 127) == 'A' &&
+        bytes(bytes.length - 126) == 'G') bytes.length - 128
+      else bytes.length
     var nFrames = 0L
     var samples = 0L
     var sampleRate = 0
@@ -136,8 +145,9 @@ object AacMeta {
       sampleRate = sampleRate,
       channels = channels,
       nFrames = nFrames,
-      // exact average: total bits / exact seconds = bits·sr / samples·1000
-      bitrateKbps = (end.toLong * 8L * sampleRate / (samples * 1000L)).toInt,
+      // exact average over the AUDIO bytes only (ID3 prefix/trailer
+      // excluded): total bits / exact seconds = bits·sr / samples·1000
+      bitrateKbps = ((end - start).toLong * 8L * sampleRate / (samples * 1000L)).toInt,
       profile = profile,
       vbr = lenMin != lenMax)
   }

@@ -159,21 +159,27 @@ object Mp4Meta {
                     isAudio = tag(bytes, p4 + 8) == "soun"
                   }
                 }
-                if (isAudio) walk(bytes, p3, e3) { (t4, p4, e4) =>
+                // second pass walks EVERY track's minf/stbl/stsd so
+                // structurally corrupt boxes still fail loudly even on
+                // non-audio tracks; audio FIELDS are only captured for
+                // the 'soun' handler
+                walk(bytes, p3, e3) { (t4, p4, e4) =>
                   if (t4 == "minf") walk(bytes, p4, e4) { (t5, p5, e5) =>
                     if (t5 == "stbl") walk(bytes, p5, e5) { (t6, p6, e6) =>
-                      if (t6 == "stsd" && codec == null) {
+                      if (t6 == "stsd") {
                         require(e6 - p6 >= 8, "truncated stsd")
                         require(be32(bytes, p6 + 4) >= 1, "empty stsd")
-                        val entry = p6 + 8
-                        // AudioSampleEntry: size+format(8) + reserved(6)
-                        // + dri(2) + reserved(8) + chan(2) + bits(2)
-                        // + predef(2) + reserved(2) + rate(4, 16.16)
-                        require(e6 - entry >= 36, "truncated audio sample entry")
-                        codec = tag(bytes, entry + 4)
-                        channels = ((bytes(entry + 24) & 0xff) << 8) |
-                          (bytes(entry + 25) & 0xff)
-                        sampleRate = (be32(bytes, entry + 32) >> 16).toInt
+                        if (isAudio && codec == null) {
+                          val entry = p6 + 8
+                          // AudioSampleEntry: size+format(8) + reserved(6)
+                          // + dri(2) + reserved(8) + chan(2) + bits(2)
+                          // + predef(2) + reserved(2) + rate(4, 16.16)
+                          require(e6 - entry >= 36, "truncated audio sample entry")
+                          codec = tag(bytes, entry + 4)
+                          channels = ((bytes(entry + 24) & 0xff) << 8) |
+                            (bytes(entry + 25) & 0xff)
+                          sampleRate = (be32(bytes, entry + 32) >> 16).toInt
+                        }
                       }
                     }
                   }

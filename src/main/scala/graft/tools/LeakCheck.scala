@@ -72,22 +72,8 @@ object LeakCheck {
       }
       name -> found
     }.toMap
-    val head =
-      try new String(java.lang.Runtime.getRuntime
-          .exec(Array("git", "rev-parse", "HEAD")).getInputStream.readAllBytes()).trim
-      catch { case _: Exception => "unknown" }
-    // a HEAD stamp alone can lie on a dirty tree — record the tree
-    // state. Generated artifacts are excluded: regenerating one must
-    // not mark the next as irreproducible (only SOURCE dirt does).
-    val artifactFiles = Set("CORRECTNESS_local.json", "LEAKCHECK.json",
-      "SCALING.md", "bench_last.json")
-    val dirty =
-      try new String(java.lang.Runtime.getRuntime
-          .exec(Array("git", "status", "--porcelain")).getInputStream
-          .readAllBytes()).linesIterator
-        .filter(_.trim.nonEmpty)
-        .exists(l => !artifactFiles.contains(l.drop(3).trim))
-      catch { case _: Exception => false }
+    val head = Provenance.gitHead
+    val dirty = Provenance.gitTreeDirty
     val ts = java.time.Instant.now().toString
     val nHits = hits.values.map(_.size).sum
     def arr(xs: Seq[String]) = xs.map(graft.JsonOut.q).mkString("[", ",", "]")

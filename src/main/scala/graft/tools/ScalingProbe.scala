@@ -164,20 +164,8 @@ object ScalingProbe {
       docs.unpersist()
     }
 
-    val head =
-      try new String(java.lang.Runtime.getRuntime
-          .exec(Array("git", "rev-parse", "HEAD")).getInputStream.readAllBytes()).trim
-      catch { case _: Exception => "unknown" }
-    // generated artifacts excluded: only SOURCE dirt breaks reproducibility
-    val artifactFiles = Set("CORRECTNESS_local.json", "LEAKCHECK.json",
-      "SCALING.md", "bench_last.json")
-    val dirty =
-      try new String(java.lang.Runtime.getRuntime
-          .exec(Array("git", "status", "--porcelain")).getInputStream
-          .readAllBytes()).linesIterator
-        .filter(_.trim.nonEmpty)
-        .exists(l => !artifactFiles.contains(l.drop(3).trim))
-      catch { case _: Exception => false }
+    val head = Provenance.gitHead
+    val dirty = Provenance.gitTreeDirty
     val sb = new StringBuilder
     sb ++= "# SCALING — measured 1× vs 10× linearity probe\n\n"
     sb ++= s"Generated by `graft.tools.ScalingProbe` at git `$head`" +

@@ -85,6 +85,15 @@ class AacMetaSpec extends SparkSpec {
     val mp3tagged = id3 ++ Mp3Meta.encode(3, 9, 0)
     assert(Mp3Meta.isMp3(mp3tagged) && !AacMeta.isAdts(mp3tagged))
     assert(Mp3Meta.parse(mp3tagged).nFrames == 3)
+    // bitrate must count AUDIO bytes only, not the tag: the tagged and
+    // untagged forms of one stream report the same bitrate
+    assert(m.bitrateKbps == AacMeta.parse(core).bitrateKbps)
+    // the common tagger output writes BOTH a v2 prefix and a v1 trailer
+    val id3v1 = Array[Byte]('T', 'A', 'G') ++ new Array[Byte](125)
+    val doubleTagged = id3 ++ core ++ id3v1
+    val dm = AacMeta.parse(doubleTagged)
+    assert(dm != null && dm.nFrames == 4 &&
+      dm.bitrateKbps == AacMeta.parse(core).bitrateKbps)
   }
 
   test("M4A: audio-track fields parse; video MP4s are NOT M4A-shaped") {
