@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Contamination, Dedup, Dsir, HeavyHitters, Multimodal, Pipeline, Quantization, Reductions, Similarity, TextOps, UrlOps}
+import graft.operators.{Apply, AsofJoin, Contamination, Dedup, Dsir, HeavyHitters, Multimodal, Pipeline, Quantization, Reductions, Similarity, TextOps, UrlOps, WebArchive}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -2487,6 +2487,47 @@ object SparkEntry {
         .groupBy("source", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
         .orderBy("source", "bin")),
+
+    // ----- web-archive ingestion (gzip / WARC / HTTP / HTML) ------------
+    // Real compression round-trip per doc through the hand-written
+    // RFC 1952/1951 codec, BOTH directions and BOTH modes: stored
+    // blocks (output size is a closed form the oracle recomputes
+    // exactly) and the LZ77 + fixed-Huffman compressor (the ok bit
+    // proves decode(encode(x)) == x byte-compared on every row).
+    "web_gzip_roundtrip" -> ((s, dir) =>
+      WebArchive.gzipRoundTrip(tbl(s, dir, "documents"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum("n_bytes").as("total_bytes"),
+          sum("gz_stored_len").as("total_stored"),
+          sum("roundtrip_ok").as("n_ok_stored"),
+          sum("lz_ok").as("n_ok_lz"))),
+    // Common-Crawl-shaped ingest, full stack: per doc build
+    // HTML → HTTP 200 → WARC record → own gzip member, concatenate
+    // members per group file, then INGEST the blobs back — member
+    // split via real inflate, Content-Length-driven WARC walk, HTTP
+    // parse, HTML→text extraction. The oracle rebuilds the HTML
+    // string in SQL and replays every emitted field from it
+    // (content lengths incl. the header-size arithmetic, extracted
+    // text via the same entity/whitespace spec).
+    "web_warc_ingest" -> ((s, dir) => {
+      val blobs = WebArchive.warcGzipBuild(tbl(s, dir, "documents"), groups = 16)
+      WebArchive.warcIngest(blobs)
+        .select(col("doc_id"), col("status"), col("content_length"),
+          col("body_len"), col("txt"))
+        .orderBy("doc_id")
+    }),
+    // Composed crawl curation: ingest (as above) → whitespace token
+    // count on the EXTRACTED text → quality floor → census. Pins the
+    // pipeline hand-off: extraction output feeds the existing text
+    // operators unchanged.
+    "web_crawl_pipeline" -> ((s, dir) => {
+      val blobs = WebArchive.warcGzipBuild(tbl(s, dir, "documents"), groups = 16)
+      WebArchive.warcIngest(blobs)
+        .select(col("doc_id"), TextOps.tokenCount(col("txt")).cast("long").as("n_tok"))
+        .where(col("n_tok") >= 20)
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+    }),
   )
 
   /** Deterministic near-dup corpus: ≥30-token docs plus a copy
@@ -5324,6 +5365,56 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM w GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    // Stored-mode gzip size is the closed form 18 + n + 5·⌈n/65535⌉
+    // (10-byte header + 8-byte trailer + one 5-byte block header per
+    // 65535-byte stored block, min one block); the ok counts assert
+    // the real decode byte-matched on every row.
+    "web_gzip_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |  CAST(sum(18 + strlen(text)
+        |    + 5 * greatest(1, CAST(ceil(strlen(text) / 65535.0) AS BIGINT)))
+        |    AS BIGINT) AS total_stored,
+        |  CAST(count(*) AS BIGINT) AS n_ok_stored,
+        |  CAST(count(*) AS BIGINT) AS n_ok_lz
+        |FROM documents""".stripMargin,
+    // Rebuild the synthesized HTML verbatim in SQL, then replay every
+    // ingest field from it: body_len = strlen(html); content_length =
+    // HTTP head (77 fixed bytes + the Content-Length digit count) +
+    // body; extracted text = the two headings plus the whitespace-
+    // collapsed original (entity escape→decode is an identity).
+    "web_warc_ingest" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    '<html><head><title>Doc ' || doc_id
+        |    || '</title><style type="text/css">body { color: #000; }</style></head>'
+        |    || '<body><!-- crawler chrome --><h1 class="t">Doc ' || doc_id
+        |    || '</h1><p>'
+        |    || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+        |    || '</p><script type="text/javascript">var x = 1 < 2;</script></body></html>'
+        |      AS html
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  200 AS status,
+        |  CAST(77 + strlen(CAST(strlen(html) AS VARCHAR)) + strlen(html) AS BIGINT)
+        |    AS content_length,
+        |  CAST(strlen(html) AS BIGINT) AS body_len,
+        |  trim('Doc ' || doc_id || ' Doc ' || doc_id || ' '
+        |    || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // Extracted text = 'Doc N Doc N ' + collapsed body, so its
+    // whitespace token count is 4 + the original's.
+    "web_crawl_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    4 + CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM t WHERE n_tok >= 20""".stripMargin,
   )
 
   /** Shared CTEs for the decontamination oracles: rebuild the truncated

@@ -1,0 +1,371 @@
+package graft.operators
+
+import java.util.zip.CRC32
+
+/** Hand-written gzip (RFC 1952) over the repo's own deflate machinery
+  * — the ingestion codec for web-crawl corpora (Common Crawl WARC
+  * files are concatenated per-record gzip members, so splitting and
+  * inflating members IS the 100 TB text-ingest hot path).
+  *
+  * Decode side: full RFC 1952 member parse — magic/CM/FLG validation,
+  * FEXTRA/FNAME/FCOMMENT/FHCRC optional fields, reserved FLG bits
+  * rejected — around a raw RFC 1951 inflate (all three block types,
+  * shared tables/Huffman/bit-reader with [[PngCodec]]), then CRC-32
+  * and ISIZE trailer verification. Multi-member streams concatenate
+  * (RFC 1952 §2.2: "a gzip file consists of a series of members");
+  * [[members]] exposes the per-member boundaries so a WARC reader can
+  * address records individually.
+  *
+  * Encode side: a REAL compressor, not a stored-only shim —
+  * [[deflateFixed]] runs greedy hash-chain LZ77 matching (3-byte
+  * insert hash, 32 KiB window, match length 3..258, chain depth
+  * capped) and emits fixed-Huffman codes (RFC 1951 §3.2.6), which
+  * compresses repetitive crawl text for real; [[gzip]] with
+  * `stored = true` emits stored blocks instead, whose output size is
+  * the closed form `18 + n + 5·⌈n/65535⌉` that a SQL oracle can
+  * recompute exactly. Headers are deterministic (MTIME 0, XFL 0,
+  * OS 255) so equal payloads gzip to equal bytes — a dedup-safe
+  * property the spec pins.
+  *
+  * No JDK Deflater/Inflater/GZIPOutputStream anywhere in main code;
+  * the test suite cross-checks both directions against the JDK's
+  * independent implementation.
+  *
+  * Reference scope: lithops-dataframe reads object-store files
+  * (`io.py:13-88`) but has no compressed-container codec; this module
+  * is extension surface for the crawl-scale ingest the reference
+  * delegates to its storage layer.
+  */
+object Gzip {
+
+  /** One decoded gzip member: `payload` is the inflated content,
+    * `start`/`end` the member's byte span in the source blob
+    * (end exclusive — the next member starts here), `fname` the
+    * optional original-file-name header field. */
+  final case class Member(payload: Array[Byte], start: Int, end: Int, fname: Option[String])
+
+  // ---- raw inflate (RFC 1951, unknown output size) ---------------------
+
+  /** Inflate a raw deflate stream starting at byte `start`, growable
+    * output (gzip carries no up-front size — ISIZE is a trailer).
+    * Returns (decompressed bytes, offset of the first byte AFTER the
+    * deflate stream). Block decode is the same §3.2.4/6/7 walk as
+    * [[PngCodec.inflate]], sharing its tables and canonical-Huffman
+    * reader; only the output policy (grow vs fixed) differs. */
+  private[operators] def inflateRaw(data: Array[Byte], start: Int): (Array[Byte], Int) = {
+    import PngCodec.{BitReader, FixedLit, FixedDist, LenBase, LenExtra, DistBase, DistExtra}
+    val br = new BitReader(data, start)
+    var out = new Array[Byte](8192)
+    var n = 0
+    def ensure(k: Int): Unit =
+      if (n + k > out.length) {
+        var cap = out.length
+        while (cap < n + k) cap = cap << 1
+        out = java.util.Arrays.copyOf(out, cap)
+      }
+    var fin = false
+    while (!fin) {
+      fin = br.bits(1) == 1
+      br.bits(2) match {
+        case 0 =>
+          br.alignToByte()
+          require(br.pos + 4 <= data.length, "truncated stored-block header")
+          val len = (data(br.pos) & 0xff) | ((data(br.pos + 1) & 0xff) << 8)
+          val nlen = (data(br.pos + 2) & 0xff) | ((data(br.pos + 3) & 0xff) << 8)
+          require((len ^ nlen) == 0xffff, "corrupt stored block (LEN/NLEN mismatch)")
+          require(br.pos + 4 + len <= data.length, "truncated stored-block payload")
+          ensure(len)
+          System.arraycopy(data, br.pos + 4, out, n, len)
+          n += len
+          br.pos += 4 + len
+        case btype @ (1 | 2) =>
+          val (lit, dist) = if (btype == 1) (FixedLit, FixedDist) else PngCodec.dynamicTables(br)
+          var eob = false
+          while (!eob) {
+            val sym = br.decode(lit)
+            if (sym < 256) { ensure(1); out(n) = sym.toByte; n += 1 }
+            else if (sym == 256) eob = true
+            else {
+              require(sym <= 285, s"invalid length symbol $sym")
+              val li = sym - 257
+              val length = LenBase(li) + br.bits(LenExtra(li))
+              val ds = br.decode(dist)
+              require(ds <= 29, s"invalid distance symbol $ds")
+              val distance = DistBase(ds) + br.bits(DistExtra(ds))
+              require(distance <= n, "back-reference before start of output")
+              ensure(length)
+              var j = 0
+              while (j < length) { out(n + j) = out(n - distance + j); j += 1 }
+              n += length
+            }
+          }
+        case other =>
+          throw new IllegalArgumentException(s"reserved deflate block type $other")
+      }
+    }
+    br.alignToByte()
+    (java.util.Arrays.copyOf(out, n), br.pos)
+  }
+
+  // ---- gzip member decode (RFC 1952) -----------------------------------
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Parse and inflate ONE member starting at `off`; CRC-32 and ISIZE
+    * (mod 2³²) trailer both verified. Fails loudly on any malformed
+    * header — reserved FLG bits, wrong magic, non-deflate CM. */
+  def gunzipMember(b: Array[Byte], off: Int): Member = {
+    require(b.length - off >= 18, s"gzip member at $off too short (${b.length - off} bytes)")
+    require((b(off) & 0xff) == 0x1f && (b(off + 1) & 0xff) == 0x8b,
+      f"bad gzip magic at $off: ${b(off) & 0xff}%02x${b(off + 1) & 0xff}%02x")
+    require((b(off + 2) & 0xff) == 8, s"unsupported gzip CM ${b(off + 2) & 0xff} (only deflate)")
+    val flg = b(off + 3) & 0xff
+    require((flg & 0xe0) == 0, f"reserved gzip FLG bits set: $flg%02x")
+    var p = off + 10 // ID1 ID2 CM FLG MTIME(4) XFL OS
+    if ((flg & 0x04) != 0) { // FEXTRA: XLEN little-endian + payload
+      require(p + 2 <= b.length, "truncated FEXTRA length")
+      val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+      require(p <= b.length, "truncated FEXTRA payload")
+    }
+    var fname: Option[String] = None
+    if ((flg & 0x08) != 0) { // FNAME: zero-terminated ISO-8859-1
+      val z = indexOfZero(b, p)
+      fname = Some(new String(b, p, z - p, java.nio.charset.StandardCharsets.ISO_8859_1))
+      p = z + 1
+    }
+    if ((flg & 0x10) != 0) p = indexOfZero(b, p) + 1 // FCOMMENT
+    if ((flg & 0x02) != 0) { // FHCRC: low 16 bits of header CRC-32
+      require(p + 2 <= b.length, "truncated FHCRC")
+      val want = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      val c = new CRC32()
+      c.update(b, off, p - off)
+      require((c.getValue & 0xffff).toInt == want,
+        f"gzip header CRC mismatch: got ${c.getValue & 0xffff}%04x, want $want%04x")
+      p += 2
+    }
+    val (payload, after) = inflateRaw(b, p)
+    require(after + 8 <= b.length, "truncated gzip trailer")
+    val crcWant = le32(b, after)
+    val isize = le32(b, after + 4)
+    val c = new CRC32()
+    c.update(payload)
+    require(c.getValue == crcWant,
+      f"gzip CRC-32 mismatch: got ${c.getValue}%08x, want $crcWant%08x")
+    require((payload.length.toLong & 0xffffffffL) == isize,
+      s"gzip ISIZE mismatch: got ${payload.length}, want $isize")
+    Member(payload, off, after + 8, fname)
+  }
+
+  private def indexOfZero(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < b.length && b(i) != 0) i += 1
+    require(i < b.length, "unterminated zero-terminated gzip header field")
+    i
+  }
+
+  /** All members of a (possibly multi-member) gzip blob, in order.
+    * Trailing garbage after the last member fails loudly — a truncated
+    * or desynced crawl file must not be silently half-read. */
+  def members(b: Array[Byte]): Seq[Member] = {
+    require(b != null && b.length > 0, "empty gzip blob")
+    val out = Seq.newBuilder[Member]
+    var off = 0
+    while (off < b.length) {
+      val m = gunzipMember(b, off)
+      out += m
+      off = m.end
+    }
+    out.result()
+  }
+
+  /** Decompress a whole blob: all members' payloads concatenated
+    * (RFC 1952 §2.2 semantics — `cat a.gz b.gz | gunzip`). */
+  def gunzip(b: Array[Byte]): Array[Byte] = {
+    val ms = members(b)
+    if (ms.size == 1) ms.head.payload
+    else {
+      val total = ms.iterator.map(_.payload.length).sum
+      val out = new Array[Byte](total)
+      var n = 0
+      ms.foreach { m =>
+        System.arraycopy(m.payload, 0, out, n, m.payload.length)
+        n += m.payload.length
+      }
+      out
+    }
+  }
+
+  // ---- deflate encode (RFC 1951) ---------------------------------------
+
+  /** LSB-first bit packer (§3.1.1); Huffman codes are emitted most-
+    * significant code bit first, mirrored into the LSB packing. */
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream(1024)
+    private var buf = 0
+    private var cnt = 0
+    def bits(v: Int, n: Int): Unit = {
+      buf |= (v & ((1 << n) - 1)) << cnt
+      cnt += n
+      while (cnt >= 8) { out.write(buf & 0xff); buf >>>= 8; cnt -= 8 }
+    }
+    def huff(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { bits((code >>> i) & 1, 1); i -= 1 }
+    }
+    def toBytes: Array[Byte] = {
+      if (cnt > 0) { out.write(buf & 0xff); buf = 0; cnt = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** Fixed-Huffman lit/len code assignment (§3.2.6 table). */
+  private def fixedLit(sym: Int): (Int, Int) =
+    if (sym <= 143) (0x30 + sym, 8)
+    else if (sym <= 255) (0x190 + (sym - 144), 9)
+    else if (sym <= 279) (sym - 256, 7)
+    else (0xc0 + (sym - 280), 8)
+
+  /** Largest base index ≤ v in a §3.2.5 base table. */
+  private def baseIndex(bases: Array[Int], v: Int): Int = {
+    var i = bases.length - 1
+    while (bases(i) > v) i -= 1
+    i
+  }
+
+  private val WindowSize = 32768
+  private val MinMatch = 3
+  private val MaxMatch = 258
+  private val HashBits = 15
+  private val MaxChain = 64
+
+  private def hash3(b: Array[Byte], i: Int): Int =
+    (((b(i) & 0xff) << 10) ^ ((b(i + 1) & 0xff) << 5) ^ (b(i + 2) & 0xff)) &
+      ((1 << HashBits) - 1)
+
+  /** Compress `raw` as ONE fixed-Huffman deflate block with greedy
+    * hash-chain LZ77 matching. Deterministic: equal input → equal
+    * output bytes (no timestamps, no randomized chains). Greedy (no
+    * lazy matching) is a documented simplification — ratio on crawl
+    * text is within a few percent of zlib -1 and the decode side
+    * accepts any conformant stream regardless. */
+  private[operators] def deflateFixed(raw: Array[Byte]): Array[Byte] = {
+    import PngCodec.{LenBase, LenExtra, DistBase, DistExtra}
+    val bw = new BitWriter
+    bw.bits(1, 1) // BFINAL
+    bw.bits(1, 2) // BTYPE 01 fixed
+    val head = Array.fill(1 << HashBits)(-1)
+    val prev = new Array[Int](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      var bestLen = 0
+      var bestDist = 0
+      if (i + MinMatch <= raw.length) {
+        val h = hash3(raw, i)
+        var cand = head(h)
+        var chain = 0
+        val limit = math.min(MaxMatch, raw.length - i)
+        while (cand >= 0 && i - cand <= WindowSize && chain < MaxChain && bestLen < limit) {
+          var l = 0
+          while (l < limit && raw(cand + l) == raw(i + l)) l += 1
+          if (l > bestLen) { bestLen = l; bestDist = i - cand }
+          cand = prev(cand)
+          chain += 1
+        }
+      }
+      if (bestLen >= MinMatch) {
+        val li = baseIndex(LenBase, bestLen)
+        // base index 28 is the dedicated 258 code; 227+31 also reaches
+        // 258 via index 27's extra bits, but the canonical encoding is
+        // the zero-extra symbol 285
+        val (lc, ll) = fixedLit(257 + li)
+        bw.huff(lc, ll)
+        bw.bits(bestLen - LenBase(li), LenExtra(li))
+        val di = baseIndex(DistBase, bestDist)
+        bw.huff(di, 5)
+        bw.bits(bestDist - DistBase(di), DistExtra(di))
+        // insert every position of the match into the hash chains so
+        // later matches can reference inside it
+        val stop = math.min(i + bestLen, raw.length - MinMatch + 1)
+        var j = i
+        while (j < stop) {
+          val h = hash3(raw, j)
+          prev(j) = head(h)
+          head(h) = j
+          j += 1
+        }
+        i += bestLen
+      } else {
+        if (i + MinMatch <= raw.length) {
+          val h = hash3(raw, i)
+          prev(i) = head(h)
+          head(h) = i
+        }
+        val (lc, ll) = fixedLit(raw(i) & 0xff)
+        bw.huff(lc, ll)
+        i += 1
+      }
+    }
+    val (ec, el) = fixedLit(256)
+    bw.huff(ec, el)
+    bw.toBytes
+  }
+
+  /** Stored-block deflate (§3.2.4): size is the closed form
+    * `n + 5·⌈n/65535⌉` (one 5-byte header per 65535-byte block; an
+    * empty input still emits one empty final block). */
+  private[operators] def deflateStored(raw: Array[Byte]): Array[Byte] = {
+    val nBlocks = math.max(1, (raw.length + 65534) / 65535)
+    val z = new Array[Byte](nBlocks * 5 + raw.length)
+    var zo = 0
+    var ro = 0
+    var first = true
+    while (ro < raw.length || first) {
+      first = false
+      val len = math.min(65535, raw.length - ro)
+      z(zo) = if (ro + len == raw.length) 1.toByte else 0.toByte // BFINAL, BTYPE 00
+      z(zo + 1) = (len & 0xff).toByte
+      z(zo + 2) = ((len >> 8) & 0xff).toByte
+      z(zo + 3) = (~len & 0xff).toByte
+      z(zo + 4) = ((~len >> 8) & 0xff).toByte
+      System.arraycopy(raw, ro, z, zo + 5, len)
+      zo += 5 + len
+      ro += len
+    }
+    z
+  }
+
+  /** Gzip one payload as one member. Deterministic header: MTIME 0
+    * (RFC 1952 allows "no time stamp available"), XFL 0, OS 255
+    * (unknown), no optional fields — equal payloads produce equal
+    * bytes, so compressed blobs stay exact-dedupable. `stored = true`
+    * selects stored blocks (closed-form output size
+    * `18 + n + 5·⌈n/65535⌉` — oracle-computable); default is the real
+    * LZ77 + fixed-Huffman compressor. */
+  def gzip(raw: Array[Byte], stored: Boolean = false): Array[Byte] = {
+    val body = if (stored) deflateStored(raw) else deflateFixed(raw)
+    val out = new Array[Byte](10 + body.length + 8)
+    out(0) = 0x1f.toByte
+    out(1) = 0x8b.toByte
+    out(2) = 8 // CM deflate
+    // FLG 0, MTIME 0, XFL 0 already zero
+    out(9) = 0xff.toByte // OS unknown
+    System.arraycopy(body, 0, out, 10, body.length)
+    val c = new CRC32()
+    c.update(raw)
+    val crc = c.getValue
+    var p = 10 + body.length
+    var v = crc
+    var k = 0
+    while (k < 4) { out(p + k) = (v & 0xff).toByte; v >>= 8; k += 1 }
+    v = raw.length.toLong & 0xffffffffL
+    k = 0
+    while (k < 4) { out(p + 4 + k) = (v & 0xff).toByte; v >>= 8; k += 1 }
+    out
+  }
+
+  /** Closed-form stored-mode gzip size for oracle replay. */
+  def storedGzipSize(n: Long): Long = 18L + n + 5L * math.max(1L, (n + 65534L) / 65535L)
+}

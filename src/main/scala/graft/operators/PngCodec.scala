@@ -65,29 +65,29 @@ object PngCodec {
 
   /** Length-code bases/extra-bits for lit/len symbols 257..285
     * (RFC 1951 §3.2.5). */
-  private val LenBase = Array(
+  private[operators] val LenBase = Array(
     3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35, 43, 51,
     59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
-  private val LenExtra = Array(
+  private[operators] val LenExtra = Array(
     0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4,
     4, 5, 5, 5, 5, 0)
 
   /** Distance-code bases/extra-bits for symbols 0..29 (§3.2.5). */
-  private val DistBase = Array(
+  private[operators] val DistBase = Array(
     1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193, 257, 385,
     513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193, 12289, 16385, 24577)
-  private val DistExtra = Array(
+  private[operators] val DistExtra = Array(
     0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9, 10,
     10, 11, 11, 12, 12, 13, 13)
 
   /** Order in which code-length-code lengths appear in a dynamic block
     * header (§3.2.7). */
-  private val ClOrder = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12,
+  private[operators] val ClOrder = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12,
     3, 13, 2, 14, 1, 15)
 
   /** Canonical Huffman decode table: per-length symbol counts plus the
     * symbols sorted by (length, symbol) — the §3.2.2 canonical order. */
-  private final class Huffman(lengths: Array[Int]) {
+  private[operators] final class Huffman(lengths: Array[Int]) {
     val count = new Array[Int](16)
     lengths.foreach { l => if (l > 0) count(l) += 1 }
     // left-justified completeness check: an over-subscribed code set is
@@ -108,7 +108,7 @@ object PngCodec {
 
   /** LSB-first bit reader over the zlib payload (§3.1.1: data elements
     * are packed starting at the least-significant bit). */
-  private final class BitReader(data: Array[Byte], var pos: Int) {
+  private[operators] final class BitReader(data: Array[Byte], var pos: Int) {
     private var bitBuf = 0
     private var bitCnt = 0
     def bits(n: Int): Int = {
@@ -145,7 +145,7 @@ object PngCodec {
     def alignToByte(): Unit = { bitBuf = 0; bitCnt = 0 }
   }
 
-  private lazy val FixedLit: Huffman = {
+  private[operators] lazy val FixedLit: Huffman = {
     val l = new Array[Int](288)
     for (i <- 0 until 144) l(i) = 8
     for (i <- 144 until 256) l(i) = 9
@@ -153,13 +153,13 @@ object PngCodec {
     for (i <- 280 until 288) l(i) = 8
     new Huffman(l)
   }
-  private lazy val FixedDist: Huffman = new Huffman(Array.fill(30)(5))
+  private[operators] lazy val FixedDist: Huffman = new Huffman(Array.fill(30)(5))
 
   /** Decode the lit/len + distance code-length arrays of a dynamic
     * block (§3.2.7): HLIT/HDIST/HCLEN header, the code-length-code
     * Huffman, then run-length symbols 16 (copy previous 3-6), 17
     * (3-10 zeros) and 18 (11-138 zeros). */
-  private def dynamicTables(br: BitReader): (Huffman, Huffman) = {
+  private[operators] def dynamicTables(br: BitReader): (Huffman, Huffman) = {
     val hlit = br.bits(5) + 257
     val hdist = br.bits(5) + 1
     val hclen = br.bits(4) + 4

@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Gzip, WebArchive}
+
+class WebArchiveSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- WARC framing ----------------------------------------------------
+
+  test("WARC record roundtrip: build -> parse recovers every field") {
+    val payload = "the payload".getBytes(UTF_8)
+    val rec = WebArchive.buildRecord("response", "<urn:uuid:7>",
+      "https://example.com/doc/7", "2026-01-01T00:00:00Z",
+      "application/http; msgtype=response", payload)
+    val rs = WebArchive.parseRecords(rec)
+    assert(rs.size == 1)
+    val r = rs.head
+    assert(r.warcType == "response")
+    assert(r.recordId == "<urn:uuid:7>")
+    assert(r.targetUri == "https://example.com/doc/7")
+    assert(r.date == "2026-01-01T00:00:00Z")
+    assert(r.contentLength == payload.length)
+    assert(r.payload.sameElements(payload))
+  }
+
+  test("concatenated records parse in order; Content-Length drives the walk") {
+    // second record's payload CONTAINS a fake "WARC/1.0" marker — a
+    // marker-scanning parser would desync; a length-driven one must not
+    val p1 = "first".getBytes(UTF_8)
+    val p2 = "binary\r\n\r\nWARC/1.0\r\njunk".getBytes(ISO_8859_1)
+    val blob = WebArchive.buildRecord("response", "<a>", "u1", "d", "t", p1) ++
+      WebArchive.buildRecord("metadata", "<b>", "u2", "d", "t", p2)
+    val rs = WebArchive.parseRecords(blob)
+    assert(rs.map(_.recordId) == Seq("<a>", "<b>"))
+    assert(rs(1).payload.sameElements(p2))
+  }
+
+  test("malformed WARC fails loudly: version, Content-Length, trailer") {
+    val ok = WebArchive.buildRecord("response", "<a>", "u", "d", "t", "x".getBytes(UTF_8))
+    val badVersion = "HARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes(ISO_8859_1)
+    assertThrows[IllegalArgumentException](WebArchive.parseRecords(badVersion))
+    val noLen = "WARC/1.0\r\nWARC-Type: response\r\n\r\n\r\n\r\n".getBytes(ISO_8859_1)
+    assertThrows[IllegalArgumentException](WebArchive.parseRecords(noLen))
+    val noTrailer = ok.dropRight(2)
+    assertThrows[IllegalArgumentException](WebArchive.parseRecords(noTrailer))
+  }
+
+  test("gzipped WARC: one member per record, Common Crawl layout") {
+    val recs = Seq("a", "bb", "ccc").zipWithIndex.map { case (t, i) =>
+      WebArchive.buildRecord("response", s"<urn:uuid:$i>", s"https://x/$i", "d",
+        "application/http; msgtype=response", t.getBytes(UTF_8))
+    }
+    val blob = WebArchive.buildGzippedWarc(recs)
+    assert(Gzip.members(blob).size == 3)
+    val rs = WebArchive.parseGzippedWarc(blob)
+    assert(rs.map(_.targetUri) == Seq("https://x/0", "https://x/1", "https://x/2"))
+    // a member holding two records violates the layout and fails loudly
+    val fused = Gzip.gzip(recs(0) ++ recs(1))
+    assertThrows[IllegalArgumentException](WebArchive.parseGzippedWarc(fused))
+  }
+
+  // ---- HTTP framing ----------------------------------------------------
+
+  test("HTTP response roundtrip and Content-Length verification") {
+    val body = "<html>hi</html>".getBytes(UTF_8)
+    val b = WebArchive.buildHttpResponse(200, "OK",
+      Map("Content-Type" -> "text/html"), body)
+    val r = WebArchive.parseHttpResponse(b)
+    assert(r.status == 200)
+    assert(r.headers("content-type") == "text/html")
+    assert(r.body.sameElements(body))
+    // a lying Content-Length fails loudly instead of truncating
+    val lying = new String(b, ISO_8859_1)
+      .replace(s"Content-Length: ${body.length}", "Content-Length: 3")
+      .getBytes(ISO_8859_1)
+    assertThrows[IllegalArgumentException](WebArchive.parseHttpResponse(lying))
+  }
+
+  test("non-200 statuses parse (the filter decision is the caller's)") {
+    val b = WebArchive.buildHttpResponse(404, "Not Found", Map.empty, Array.emptyByteArray)
+    assert(WebArchive.parseHttpResponse(b).status == 404)
+  }
+
+  // ---- HTML -> text ----------------------------------------------------
+
+  test("htmlToText: tags, comments, script/style, entities, whitespace") {
+    val html = """<html><head><title>T</title><style>p { x: 1 }</style></head>
+      |<body><!-- c --><p>a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &#65;&#x42;</p>
+      |<script src="x.js">if (a < b) { alert("hi"); }</script>
+      |<p>two   spaces</p></body></html>""".stripMargin
+    assert(WebArchive.htmlToText(html) == """T a & b <tag> "q" 's' AB two spaces""")
+  }
+
+  test("htmlToText is total on tag soup") {
+    assert(WebArchive.htmlToText("<p>unclosed") == "unclosed")
+    assert(WebArchive.htmlToText("a < b and c > d") == "a d") // bare < opens a "tag" to >
+    assert(WebArchive.htmlToText("<script>never closed") == "never closed")
+    assert(WebArchive.htmlToText("") == "")
+    assert(WebArchive.htmlToText("&nbsp;&nbsp;x&nbsp;") == "x")
+    assert(WebArchive.htmlToText("&amp;lt; stays") == "&lt; stays")
+    assert(WebArchive.htmlToText("&#x0; &#1114112; ok") == "ok") // NUL + out-of-range dropped
+  }
+
+  test("escapeHtml -> htmlToText is identity modulo whitespace collapse") {
+    val texts = Seq("a & b", "<b>bold</b>", "&amp; raw", "x\t\ny", "&#65; literal")
+    texts.foreach { t =>
+      val expected = t.replaceAll("\\s+", " ").trim
+      assert(WebArchive.htmlToText("<p>" + WebArchive.escapeHtml(t) + "</p>") == expected)
+    }
+  }
+
+  // ---- DataFrame facades ----------------------------------------------
+
+  private def docs = Seq(
+    (0L, "alpha beta gamma"),
+    (1L, "a & b < c > d"),
+    (2L, "repeat repeat repeat repeat"),
+    (17L, "sparse ids work too")).toDF("doc_id", "text")
+
+  test("warcGzipBuild -> warcIngest recovers every doc through the full stack") {
+    val blobs = WebArchive.warcGzipBuild(docs, groups = 3)
+    assert(blobs.count() == 3) // ids 0,1,2,17 -> groups 0,1,2
+    val out = WebArchive.warcIngest(blobs).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 17L))
+    assert(out.forall(_.getInt(1) == 200))
+    val r1 = out(1)
+    assert(r1.getString(4) == "Doc 1 Doc 1 a & b < c > d")
+    // content_length = 77-byte fixed HTTP head + CL digits + body
+    val bodyLen = r1.getLong(3)
+    assert(r1.getLong(2) == 77 + bodyLen.toString.length + bodyLen)
+  }
+
+  test("gzipRoundTrip: closed-form stored size, both decodes verified") {
+    val out = WebArchive.gzipRoundTrip(docs).orderBy("doc_id").collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getLong(2) == Gzip.storedGzipSize(r.getLong(1)))
+      assert(r.getLong(3) == 1L && r.getLong(4) == 1L)
+    }
+    // the repetitive doc must compress below stored size
+    val rep = out.find(_.getLong(0) == 2L).get
+    assert(rep.getLong(5) == 1L)
+  }
+}
