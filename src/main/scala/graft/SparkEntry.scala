@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Contamination, Dedup, Dsir, HeavyHitters, Multimodal, Pipeline, Quantization, Reductions, Similarity, TextOps, UrlOps, WebArchive}
+import graft.operators.{Apply, AsofJoin, Contamination, Dedup, Dsir, HeavyHitters, Multimodal, Pipeline, Quantization, Reductions, Robots, Similarity, TextOps, UrlOps, WebArchive}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -2527,6 +2527,44 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.tokenCount(col("txt")).cast("long").as("n_tok"))
         .where(col("n_tok") >= 20)
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+    }),
+    // Boilerplate removal: each doc framed in a page with a short
+    // title (length-dropped), a link-dense nav (density-dropped), the
+    // main paragraph, a DATA-dependent snippet paragraph (kept iff its
+    // collapsed length ≥ 25 — both outcomes occur across doc_ids), and
+    // a link-dense footer. The oracle replays keep/drop and the joined
+    // text per block.
+    "web_main_content" -> ((s, dir) =>
+      WebArchive.mainContentExtract(tbl(s, dir, "documents"))
+        .orderBy("doc_id")),
+    // robots.txt politeness filter: one robots body per source domain
+    // (specific-agent group that must NOT apply, prefix disallow,
+    // wildcard allow override by longest-match, anchored wildcard
+    // disallow), five path shapes cycling by doc_id — every rule form
+    // decides at least one bucket.
+    "web_robots_filter" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val robotsTxt =
+        """User-agent: evilbot
+          |Disallow: /
+          |
+          |User-agent: *
+          |Disallow: /private/
+          |Allow: /private/pub*
+          |Disallow: /*.tmp$
+          |""".stripMargin
+      val urls = docs.select(col("doc_id"), col("source").as("domain"),
+        when(col("doc_id") % 5 === 0, concat(lit("/doc/"), col("doc_id")))
+          .when(col("doc_id") % 5 === 1, concat(lit("/private/x"), col("doc_id")))
+          .when(col("doc_id") % 5 === 2, concat(lit("/private/pub"), col("doc_id")))
+          .when(col("doc_id") % 5 === 3, concat(lit("/files/"), col("doc_id"), lit(".tmp")))
+          .otherwise(concat(lit("/files/"), col("doc_id"), lit(".tmp.save")))
+          .as("path"))
+      val robots = docs.select(col("source").as("domain")).distinct()
+        .withColumn("robots_txt", lit(robotsTxt))
+      Robots.politenessCheck(urls, Robots.compileRules(robots, "graftbot"))
+        .select(col("doc_id"), col("path"), col("allowed"))
+        .orderBy("doc_id")
     }),
   )
 
@@ -5415,6 +5453,38 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
         |FROM t WHERE n_tok >= 20""".stripMargin,
+    // Title/nav/footer are dropped by construction (length < 25 or
+    // link density > 0.5); the main paragraph always clears the floor
+    // (min collapsed corpus length is 44); the snippet paragraph's
+    // keep/drop is replayed from the same substring + collapse rule.
+    "web_main_content" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS main,
+        |    trim(regexp_replace(substr(text, 1, CAST(doc_id % 40 AS INTEGER)),
+        |      '\s+', ' ', 'g')) AS snip
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN strlen(snip) >= 25 THEN 2 ELSE 1 END AS INTEGER) AS n_kept,
+        |  CASE WHEN strlen(snip) >= 25 THEN main || ' ' || snip ELSE main END
+        |    AS main_txt
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // Decision replay: bucket 0 matches no rule (allowed), 1 the
+    // /private/ prefix (disallowed), 2 the longer /private/pub* allow
+    // override, 3 the anchored /*.tmp$ (disallowed), 4 escapes the
+    // anchor (allowed). The evilbot group must not leak into the
+    // graftbot evaluation (bucket 0 would flip).
+    "web_robots_filter" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |    WHEN 0 THEN '/doc/' || doc_id
+        |    WHEN 1 THEN '/private/x' || doc_id
+        |    WHEN 2 THEN '/private/pub' || doc_id
+        |    WHEN 3 THEN '/files/' || doc_id || '.tmp'
+        |    ELSE '/files/' || doc_id || '.tmp.save' END AS path,
+        |  CAST(doc_id % 5 AS INTEGER) IN (0, 2, 4) AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared CTEs for the decontamination oracles: rebuild the truncated

@@ -248,6 +248,75 @@ object WebArchive {
     PWs.matcher(s).replaceAll(" ").trim
   }
 
+  // ---- main-content extraction (boilerplate removal) -------------------
+
+  /** Block-level boundaries: any open/close of these tags splits the
+    * page into candidate blocks. Inline markup (`<a> <b> <span> …`)
+    * stays inside its block so per-block link density is measurable. */
+  private val PBlockTag = Pattern.compile(
+    "(?is)</?(?:html|head|body|title|main|div|p|h[1-6]|li|ul|ol|dl|dt|dd|nav|header|footer|aside|section|article|table|thead|tbody|tr|td|th|form|blockquote|pre|hr|br)\\b[^>]*>")
+  private val PAnchor = Pattern.compile("(?is)<a\\b[^>]*>(.*?)</a\\s*>")
+
+  /** Boilerplate removal by per-block link density + length — the
+    * C4/RefinedWeb/trafilatura-family heuristic, specified exactly so
+    * an oracle can replay it:
+    *   1. strip comments, script and style elements;
+    *   2. split on block-level tag boundaries (open or close);
+    *   3. per block, extract text via [[htmlToText]] and sum the
+    *      extracted lengths of `<a>…</a>` anchor bodies;
+    *   4. keep a block iff its text length ≥ `minChars` AND
+    *      anchor chars ≤ `maxLinkDensity` × text chars — navigation
+    *      chrome is link-dense and short, article prose is neither;
+    *   5. join kept blocks with one space, in document order.
+    * Total on tag soup, like [[htmlToText]]. Row-local. */
+  def mainContent(html: String, minChars: Int = 25, maxLinkDensity: Double = 0.5): String =
+    mainContentBlocks(html, minChars, maxLinkDensity).mkString(" ")
+
+  /** The kept blocks of [[mainContent]], in document order. */
+  def mainContentBlocks(
+      html: String, minChars: Int = 25, maxLinkDensity: Double = 0.5): Seq[String] = {
+    var s = PComment.matcher(html).replaceAll(" ")
+    s = PScript.matcher(s).replaceAll(" ")
+    s = PStyle.matcher(s).replaceAll(" ")
+    PBlockTag.split(s).iterator.flatMap { b =>
+      val m = PAnchor.matcher(b)
+      var link = 0
+      while (m.find()) link += htmlToText(m.group(1)).length
+      val txt = htmlToText(b)
+      if (txt.length >= minChars && link <= maxLinkDensity * txt.length) Some(txt)
+      else None
+    }.toSeq
+  }
+
+  /** Deterministic full-page synthesis for the boilerplate gate: a
+    * short title (length-dropped), a link-dense nav (density-dropped
+    * even though it clears the length floor), the main paragraph
+    * (kept), a snippet paragraph whose keep/drop depends on the DATA
+    * (kept iff its collapsed length ≥ 25), and a link-dense short
+    * footer (dropped both ways). */
+  def synthesizePage(id: Long, text: String, snippetLen: Int): String = {
+    val snippet = text.substring(0, math.min(text.length, math.max(0, snippetLen)))
+    s"""<html><head><title>Doc $id</title></head><body>""" +
+      s"""<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/doc/$id">Doc $id archive link</a></nav>""" +
+      s"""<p>${escapeHtml(text)}</p><p>${escapeHtml(snippet)}</p>""" +
+      s"""<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms of Service</a></footer></body></html>"""
+  }
+
+  /** docs(doc_id, text) → (doc_id, n_kept, main_txt): synthesize the
+    * boilerplate-framed page, then run [[mainContentBlocks]]. Row-local
+    * mapPartitions; no shuffle. */
+  def mainContentExtract(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val blocks = mainContentBlocks(synthesizePage(id, text, (id % 40).toInt))
+        (id, blocks.size, blocks.mkString(" "))
+      })
+      .toDF("doc_id", "n_kept", "main_txt")
+  }
+
   private def replaceEntities(s: String, p: Pattern, parse: String => Int): String = {
     val m = p.matcher(s)
     if (!m.find()) s

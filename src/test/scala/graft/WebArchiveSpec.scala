@@ -114,6 +114,51 @@ class WebArchiveSpec extends SparkSpec {
     }
   }
 
+  // ---- main-content extraction ----------------------------------------
+
+  test("mainContent: link-dense and short blocks drop, prose survives") {
+    val html =
+      """<html><head><title>Short</title></head><body>
+        |<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/b">Contact page link</a></nav>
+        |<p>This is the long main article paragraph with plenty of prose text.</p>
+        |<div>A second substantial content block that easily clears the floor,
+        |with <a href="/ref">one small link</a> inside it staying under the density cap.</div>
+        |<footer><a href="/p">Privacy</a> <a href="/t">Terms of Service</a></footer>
+        |</body></html>""".stripMargin
+    val blocks = WebArchive.mainContentBlocks(html)
+    assert(blocks.size == 2)
+    assert(blocks(0).startsWith("This is the long main article"))
+    assert(blocks(1).contains("one small link")) // low-density link text kept
+  }
+
+  test("mainContent: density rule is independent of the length floor") {
+    // long but almost-all-links -> dropped; same text unlinked -> kept
+    val linky = "<p>" + (1 to 8).map(i => s"""<a href="/$i">navigation item $i</a>""").mkString(" ") + "</p>"
+    assert(WebArchive.mainContentBlocks(linky).isEmpty)
+    val plain = "<p>" + (1 to 8).map(i => s"navigation item $i").mkString(" ") + "</p>"
+    assert(WebArchive.mainContentBlocks(plain).size == 1)
+  }
+
+  test("mainContent: script/style/comments stripped before block split") {
+    val html = "<p>real content paragraph long enough to keep</p>" +
+      "<script>var s = 'fifty characters of javascript text here padding';</script>"
+    val blocks = WebArchive.mainContentBlocks(html)
+    assert(blocks == Seq("real content paragraph long enough to keep"))
+  }
+
+  test("synthesizePage -> mainContentExtract keeps main (+ snippet iff >= 25 chars)") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota"), // snippet len 0 -> dropped
+      (39L, "alpha beta gamma delta epsilon zeta eta theta iota")) // snippet len 39 -> kept
+      .toDF("doc_id", "text")
+    val out = WebArchive.mainContentExtract(d).orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 1)
+    assert(out(0).getString(2) == "alpha beta gamma delta epsilon zeta eta theta iota")
+    assert(out(1).getInt(1) == 2)
+    assert(out(1).getString(2) ==
+      "alpha beta gamma delta epsilon zeta eta theta iota alpha beta gamma delta epsilon zeta eta")
+  }
+
   // ---- DataFrame facades ----------------------------------------------
 
   private def docs = Seq(
