@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Contamination, Dedup, Dsir, HeavyHitters, Multimodal, Pipeline, Quantization, Reductions, Robots, Similarity, TextOps, UrlOps, WebArchive}
+import graft.operators.{Apply, AsofJoin, Contamination, Dedup, Dsir, HeavyHitters, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, TextOps, UrlOps, WebArchive}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -2566,6 +2566,15 @@ object SparkEntry {
         .select(col("doc_id"), col("path"), col("allowed"))
         .orderBy("doc_id")
     }),
+    // PDF text extraction, full structural path per doc: write a real
+    // PDF (xref table, page tree, content streams — odd ids get a
+    // second page, even ids FlateDecode via the hand-written zlib),
+    // then load it back through the xref walk, object parser, page
+    // walk and Tj/TJ text extraction. The oracle replays page count
+    // and the exact extracted text.
+    "pdf_text_extract" -> ((s, dir) =>
+      PdfCodec.pdfTextExtract(tbl(s, dir, "documents"))
+        .orderBy("doc_id")),
   )
 
   /** Deterministic near-dup corpus: ≥30-token docs plus a copy
@@ -5484,6 +5493,17 @@ object SparkEntry {
         |    WHEN 3 THEN '/files/' || doc_id || '.tmp'
         |    ELSE '/files/' || doc_id || '.tmp.save' END AS path,
         |  CAST(doc_id % 5 AS INTEGER) IN (0, 2, 4) AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Corpus text carries no parens/backslashes (and no leading/
+    // trailing space — the writer-side escape and the extractor's
+    // final trim are both identities on it), so extracted text is the
+    // original plus the deterministic page-2 line on odd ids.
+    "pdf_text_extract" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS n_pages,
+        |  CASE WHEN doc_id % 2 = 1
+        |    THEN text || ' Page two of doc ' || doc_id
+        |    ELSE text END AS extracted
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 
