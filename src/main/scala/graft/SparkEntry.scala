@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Contamination, Dedup, Dsir, HeavyHitters, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, TextOps, UrlOps, WebArchive}
+import graft.operators.{Apply, AsofJoin, Bpe, Contamination, Dedup, Dsir, HeavyHitters, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, TextOps, UrlOps, WebArchive}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -2575,6 +2575,26 @@ object SparkEntry {
     "pdf_text_extract" -> ((s, dir) =>
       PdfCodec.pdfTextExtract(tbl(s, dir, "documents"))
         .orderBy("doc_id")),
+    // Distributed BPE training: one corpus shuffle builds the
+    // distinct-word table, then 3 merge rounds of vocab-sized
+    // pair-count aggregation + 1-row argmax collects. The oracle
+    // replays all three rounds symbol-by-symbol in SQL (fixpoint
+    // merging via chained replaces), so count weighting, the
+    // lexicographic tie-break AND the merge application rule are all
+    // pinned.
+    "text_bpe_train" -> ((s, dir) => {
+      val ms = Bpe.train(tbl(s, dir, "documents"), "text", k = 3)
+      import s.implicits._
+      ms.map(m => (m.rank, m.left, m.right)).toDF("rank", "lhs", "rhs").orderBy("rank")
+    }),
+    // Train + encode end-to-end: per-doc token counts under the 3
+    // learned merges. The oracle re-derives the merges AND re-encodes
+    // every word from the round-3 symbol table.
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val ms = Bpe.train(docs, "text", k = 3)
+      Bpe.tokenCounts(docs, "doc_id", "text", ms).orderBy("doc_id")
+    }),
   )
 
   /** Deterministic near-dup corpus: ≥30-token docs plus a copy
@@ -3101,6 +3121,56 @@ object SparkEntry {
        |  CAST(count(*) AS BIGINT) AS n_bmp
        |FROM parsed""".stripMargin
   }
+
+  /** Fixpoint merge for the BPE oracles: `' l r ' → ' lr '` on the
+    * space-joined symbol string, chained 4 deep. One replace() pass
+    * merges non-overlapping occurrences left-to-right, so each pass at
+    * least halves what an alternating run leaves behind; corpus words
+    * are far under the 2⁴ occurrence bound, so the chain reaches the
+    * same fixpoint as the engine's repeated single pass
+    * ([[graft.operators.Bpe.applyMerge]]). */
+  private def bpeMergeFix(expr: String, mergeCte: String): String = {
+    def once(e: String) =
+      s"replace($e, ' ' || $mergeCte.pr || ' ', ' ' || replace($mergeCte.pr, ' ', '') || ' ')"
+    once(once(once(once(expr))))
+  }
+
+  /** Pair-count CTE body over a symbol-sequence CTE: adjacent symbol
+    * pairs of every word, weighted by word frequency. */
+  private def bpePairCte(seqCte: String): String =
+    s"""SELECT pr, sum(freq) AS cnt FROM (
+       |    SELECT unnest(list_transform(range(1, len(a)),
+       |      i -> a[i] || ' ' || a[i + 1])) AS pr, freq
+       |    FROM (SELECT string_split(trim(seq), ' ') AS a, freq FROM $seqCte))
+       |  GROUP BY pr""".stripMargin
+
+  /** Shared CTE chain for the BPE oracles: the distinct-word table,
+    * then three rounds of pair-count → deterministic argmax
+    * (count DESC, pair ASC — the engine's tie-break) → fixpoint
+    * merge. `seq3` is the post-round-3 symbol table. */
+  private lazy val bpeCtes: String =
+    s"""WITH words AS (
+       |  SELECT w AS word, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> len(x) > 0)) AS w
+       |    FROM documents) GROUP BY w
+       |), seq0 AS (
+       |  SELECT word, freq,
+       |    ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' </w> ' AS seq
+       |  FROM words
+       |), p1 AS (${bpePairCte("seq0")}
+       |), m1 AS (SELECT pr FROM p1 ORDER BY cnt DESC, pr LIMIT 1
+       |), seq1 AS (SELECT word, freq, ${bpeMergeFix("seq", "m1")} AS seq
+       |  FROM seq0 CROSS JOIN m1
+       |), p2 AS (${bpePairCte("seq1")}
+       |), m2 AS (SELECT pr FROM p2 ORDER BY cnt DESC, pr LIMIT 1
+       |), seq2 AS (SELECT word, freq, ${bpeMergeFix("seq", "m2")} AS seq
+       |  FROM seq1 CROSS JOIN m2
+       |), p3 AS (${bpePairCte("seq2")}
+       |), m3 AS (SELECT pr FROM p3 ORDER BY cnt DESC, pr LIMIT 1
+       |), seq3 AS (SELECT word, freq, ${bpeMergeFix("seq", "m3")} AS seq
+       |  FROM seq2 CROSS JOIN m3
+       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "red_sum" ->
@@ -5505,6 +5575,30 @@ object SparkEntry {
         |    THEN text || ' Page two of doc ' || doc_id
         |    ELSE text END AS extracted
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bpe_train" ->
+      s"""$bpeCtes
+         |SELECT rank, split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs
+         |FROM (
+         |  SELECT 0 AS rank, pr FROM m1
+         |  UNION ALL SELECT 1, pr FROM m2
+         |  UNION ALL SELECT 2, pr FROM m3)
+         |ORDER BY rank""".stripMargin,
+    "text_bpe_encode" ->
+      s"""$bpeCtes, wordtok AS (
+         |  SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS ntok
+         |  FROM seq3
+         |), docwords AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> len(x) > 0)) AS w
+         |  FROM documents
+         |), sums AS (
+         |  SELECT doc_id, sum(ntok) AS n
+         |  FROM docwords JOIN wordtok ON w = word GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN sums s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared CTEs for the decontamination oracles: rebuild the truncated

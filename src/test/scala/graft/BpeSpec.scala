@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+import graft.operators.Bpe.Merge
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyMerge: left-to-right single pass, repeated to fixpoint") {
+    assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+    // alternating occurrences need the fixpoint (single replace-style
+    // pass would leave the middle pair)
+    assert(Bpe.applyMerge(Array("b", "a", "n", "a", "n", "a", "</w>"), "a", "n").toSeq ==
+      Seq("b", "an", "an", "a", "</w>"))
+    assert(Bpe.applyMerge(Array("x", "y"), "p", "q").toSeq == Seq("x", "y"))
+    assert(Bpe.initSymbols("ab").toSeq == Seq("a", "b", "</w>"))
+  }
+
+  test("train learns the classic low/lower/newest merges with deterministic ties") {
+    val docs = Seq(
+      (1L, "low low low"),
+      (2L, "lower lower"),
+      (3L, "newest")).toDF("doc_id", "text")
+    val ms = Bpe.train(docs, "text", k = 3)
+    // round 1: (l,o) and (o,w) tie at 5; 'l o' < 'o w' lexicographically
+    assert(ms == Seq(Merge(0, "l", "o"), Merge(1, "lo", "w"), Merge(2, "low", "</w>")))
+  }
+
+  test("encodeWord applies merges in rank order") {
+    val ms = Seq(Merge(0, "l", "o"), Merge(1, "lo", "w"), Merge(2, "low", "</w>"))
+    assert(Bpe.encodeWord("low", ms).toSeq == Seq("low</w>")) // fully merged incl. </w>
+    assert(Bpe.encodeWord("lowest", ms).toSeq == Seq("low", "e", "s", "t", "</w>"))
+    assert(Bpe.encodeWord("zz", ms).toSeq == Seq("z", "z", "</w>"))
+  }
+
+  test("tokenCounts: per-doc counts under a merge list; empty text counts zero") {
+    val ms = Seq(Merge(0, "l", "o"), Merge(1, "lo", "w"), Merge(2, "low", "</w>"))
+    val docs = Seq(
+      (1L, "low lowest"),
+      (2L, ""),
+      (3L, "LOW")) // lowercased before encoding
+      .toDF("doc_id", "text")
+    val out = Bpe.tokenCounts(docs, "doc_id", "text", ms).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 6L), (2L, 0L), (3L, 1L)))
+  }
+
+  test("train+encode round-trip on a corpus slice agrees with direct word-table math") {
+    val docs = Seq(
+      (1L, "spark spark spark row row table"),
+      (2L, "spark table row")).toDF("doc_id", "text")
+    val ms = Bpe.train(docs, "text", k = 2)
+    // freqs: spark:4 row:3 table:2 -> round-1 max count is 4, a
+    // five-way tie among spark's pairs; 'a r' is lexicographically
+    // least, so the deterministic tie-break picks it
+    assert(ms.head == Merge(0, "a", "r"))
+    val counts = Bpe.tokenCounts(docs, "doc_id", "text", ms)
+      .agg(sum("n_tokens")).as[Long].head()
+    val direct = Seq("spark" -> 4, "row" -> 3, "table" -> 2).map { case (w, f) =>
+      Bpe.encodeWord(w, ms).length.toLong * f
+    }.sum
+    assert(counts == direct)
+  }
+}
