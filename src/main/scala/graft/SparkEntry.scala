@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Bpe, Contamination, Dedup, Dsir, HeavyHitters, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, TextOps, UrlOps, WebArchive}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bpe, Contamination, Dedup, Dsir, HeavyHitters, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, TextOps, UrlOps, WebArchive}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -2594,6 +2594,39 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       val ms = Bpe.train(docs, "text", k = 3)
       Bpe.tokenCounts(docs, "doc_id", "text", ms).orderBy("doc_id")
+    }),
+    // Aho-Corasick blocklist scan: one linear pass per doc regardless
+    // of pattern count (vs K substring scans). Patterns include a
+    // cross-word phrase; all three occur in the corpus only as whole
+    // tokens (checked), so the oracle's non-overlapping replace
+    // arithmetic equals the automaton's all-occurrences count exactly.
+    "text_blocklist" -> ((s, dir) =>
+      Blocklist.annotate(tbl(s, dir, "documents"), "doc_id", "text",
+        Seq("slow", "fast table", "merge"))
+        .orderBy("doc_id")),
+    // Encoding repair: per doc, prepend a non-ASCII header and corrupt
+    // it per bucket — doc_id%3==0 double-mojibake (UTF-8 bytes read as
+    // Latin-1, twice), ==1 single, ==2 left clean — then run the
+    // repairer. It must detect depth exactly: decode the right number
+    // of rounds and leave the clean bucket byte-identical (its
+    // Latin-1 byte view is invalid UTF-8). The oracle replays the
+    // repaired text and round counts in closed form.
+    "text_fix_mojibake" -> ((s, dir) => {
+      import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+      import s.implicits._
+      val corrupted = tbl(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val clean = "café — naïve " + text
+          def garble(x: String) = new String(x.getBytes(UTF_8), ISO_8859_1)
+          val c = (id % 3) match {
+            case 0 => garble(garble(clean))
+            case 1 => garble(clean)
+            case _ => clean
+          }
+          (id, c)
+        }).toDF("doc_id", "text")
+      Mojibake.repair(corrupted, "doc_id", "text").orderBy("doc_id")
     }),
   )
 
@@ -5599,6 +5632,28 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens
          |FROM documents d LEFT JOIN sums s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "text_blocklist" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    (strlen(lower(text)) - strlen(replace(lower(text), 'slow', ''))) // 4 AS c1,
+        |    (strlen(lower(text)) - strlen(replace(lower(text), 'fast table', ''))) // 10 AS c2,
+        |    (strlen(lower(text)) - strlen(replace(lower(text), 'merge', ''))) // 5 AS c3
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(c1 + c2 + c3 AS BIGINT) AS n_hits,
+        |  CAST((CASE WHEN c1 > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN c2 > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN c3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+        |  (c1 + c2 + c3) = 0 AS clean
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_fix_mojibake" ->
+      """SELECT doc_id,
+        |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS INTEGER) AS rounds,
+        |  'caf' || chr(233) || ' ' || chr(8212) || ' na' || chr(239) || 've ' || text
+        |    AS fixed
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared CTEs for the decontamination oracles: rebuild the truncated
