@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bpe, Contamination, Dedup, Dsir, HeavyHitters, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, TextOps, UrlOps, WebArchive}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bpe, Contamination, Dedup, Dsir, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, TextOps, UrlOps, WavCodec, WebArchive}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -2627,6 +2627,48 @@ object SparkEntry {
           (id, c)
         }).toDF("doc_id", "text")
       Mojibake.repair(corrupted, "doc_id", "text").orderBy("doc_id")
+    }),
+    // Z-order layout: Morton-interleave two quantized dimensions with
+    // pure bitwise Column expressions (codegen, no UDF) and range-
+    // partition + sort on the key — the data-layout step that makes
+    // 2-D selective scans prune files at 100 TB. The oracle recomputes
+    // every interleaved bit in SQL.
+    "layout_zorder" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_custkey") % 256).as("xb"), (col("o_orderkey") % 256).as("yb"))
+      Layout.zorderBy(o, col("xb"), col("yb"), bits = 8)
+        .select(col("o_orderkey"), col("z"))
+        .orderBy("z", "o_orderkey")
+        .limit(500)
+    }),
+    // Audio preprocessing: synthesize stereo PCM from a closed-form
+    // ramp, round-trip through the real WAV encode/decode, downmix to
+    // mono (floor-average), linear-resample 6000→4000 Hz (the 3:2
+    // ratio exercises both the exact and the interpolated branch on
+    // every other sample). The oracle replays every output sample
+    // from the generator formula.
+    "audio_resample" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = (200 + id % 50).toInt
+          val samples = new Array[Short](frames * 2)
+          var f = 0
+          while (f < frames) {
+            samples(2 * f) = (((id * 31 + f * 7) % 2003) - 1001).toShort
+            samples(2 * f + 1) = (((id * 17 + f * 11) % 1999) - 999).toShort
+            f += 1
+          }
+          val wav = WavCodec.encode(WavCodec.Audio(2, 6000, samples))
+          val rs = WavCodec.resampleLinear(
+            WavCodec.downmixMono(WavCodec.decode(wav)), 4000)
+          var sum = 0L
+          rs.samples.foreach(sum += _)
+          (id, rs.frames, rs.samples.head.toLong, rs.samples.last.toLong, sum)
+        })
+        .toDF("doc_id", "n_out", "first_s", "last_s", "sum_s")
+        .orderBy("doc_id")
     }),
   )
 
@@ -5654,6 +5696,48 @@ object SparkEntry {
         |  'caf' || chr(233) || ' ' || chr(8212) || ' na' || chr(239) || 've ' || text
         |    AS fixed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "layout_zorder" ->
+      s"""WITH t AS (
+         |  SELECT o_orderkey, o_custkey % 256 AS xb, o_orderkey % 256 AS yb
+         |  FROM orders
+         |)
+         |SELECT o_orderkey,
+         |  CAST(${(0 until 8).flatMap(i => Seq(
+               s"(((xb >> $i) & 1) << ${2 * i})",
+               s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")} AS BIGINT) AS z
+         |FROM t ORDER BY z, o_orderkey LIMIT 500""".stripMargin,
+    // Replays the full mono/resample arithmetic: mono[k] is the
+    // floor-averaged stereo ramp; even outputs read mono[3i/2]
+    // exactly, odd outputs interpolate halfway with floor division.
+    "audio_resample" ->
+      """WITH f AS (
+        |  SELECT doc_id, 200 + doc_id % 50 AS frames,
+        |    (200 + doc_id % 50 - 1) * 2 // 3 + 1 AS n_out
+        |  FROM documents WHERE doc_id < 300
+        |), idx AS (
+        |  SELECT doc_id, n_out, unnest(range(n_out)) AS i FROM f
+        |), m AS (
+        |  -- DuckDB's // truncates toward zero; the engine spec is FLOOR
+        |  -- division, so the oracle floors explicitly (samples are far
+        |  -- below 2^53, doubles are exact here)
+        |  SELECT doc_id, n_out, i,
+        |    CAST(floor(((((doc_id * 31 + ((3 * i) // 2) * 7) % 2003) - 1001)
+        |      + (((doc_id * 17 + ((3 * i) // 2) * 11) % 1999) - 999)) / 2.0) AS BIGINT) AS m0,
+        |    CAST(floor(((((doc_id * 31 + ((3 * i) // 2 + 1) * 7) % 2003) - 1001)
+        |      + (((doc_id * 17 + ((3 * i) // 2 + 1) * 11) % 1999) - 999)) / 2.0) AS BIGINT) AS m1
+        |  FROM idx
+        |), outv AS (
+        |  SELECT doc_id, n_out, i,
+        |    CASE WHEN i % 2 = 0 THEN m0
+        |         ELSE m0 + CAST(floor((m1 - m0) / 2.0) AS BIGINT) END AS v
+        |  FROM m
+        |)
+        |SELECT doc_id,
+        |  CAST(max(n_out) AS INTEGER) AS n_out,
+        |  CAST(max(CASE WHEN i = 0 THEN v END) AS BIGINT) AS first_s,
+        |  CAST(max(CASE WHEN i = n_out - 1 THEN v END) AS BIGINT) AS last_s,
+        |  CAST(sum(v) AS BIGINT) AS sum_s
+        |FROM outv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   /** Shared CTEs for the decontamination oracles: rebuild the truncated

@@ -350,6 +350,70 @@ object WavCodec {
     Audio(a.channels, a.sampleRate / factor, out)
   }
 
+  /** Downmix interleaved channels to mono: per frame the channel
+    * average under FLOOR division `⌊Σ/channels⌋` (floor, not
+    * truncate-toward-zero, so SQL `//` replays negative sums
+    * exactly). Identity on mono input. The standard first step of
+    * ASR-style audio curation (16 kHz mono). */
+  def downmixMono(a: Audio): Audio = {
+    if (a.channels == 1) a
+    else {
+      val out = new Array[Short](a.frames)
+      var f = 0
+      while (f < out.length) {
+        var s = 0
+        var c = 0
+        while (c < a.channels) { s += a.samples(f * a.channels + c); c += 1 }
+        out(f) = Math.floorDiv(s, a.channels).toShort
+        f += 1
+      }
+      Audio(1, a.sampleRate, out)
+    }
+  }
+
+  /** Linear-interpolation resample to an arbitrary target rate —
+    * exact integer spec so an external oracle replays every output
+    * sample:
+    *   nOut = ⌊(frames−1)·toRate/fromRate⌋ + 1
+    *   for output frame i: num = i·fromRate, idx = ⌊num/toRate⌋,
+    *   rem = num − idx·toRate,
+    *   out = x[idx] + ⌊(x[idx+1] − x[idx])·rem / toRate⌋  (floor div)
+    * rem = 0 reads x[idx] bit-exactly (so integer-ratio upsampling
+    * keeps source samples); rem > 0 implies idx+1 < frames (proof:
+    * idx·toRate < num ≤ (frames−1)·toRate). Per-channel on
+    * interleaved input; complements [[decimate]] (which is exact but
+    * integer-factor-only). */
+  def resampleLinear(a: Audio, toRate: Int): Audio = {
+    require(toRate >= 1, s"target rate must be >= 1, got $toRate")
+    if (toRate == a.sampleRate) a
+    else {
+      val frames = a.frames
+      require(frames >= 2, s"resample needs at least 2 frames, got $frames")
+      val nOut = Math.floorDiv((frames - 1).toLong * toRate, a.sampleRate).toInt + 1
+      val out = new Array[Short](nOut * a.channels)
+      var i = 0
+      while (i < nOut) {
+        val num = i.toLong * a.sampleRate
+        val idx = (num / toRate).toInt
+        val rem = (num - idx.toLong * toRate).toInt
+        var c = 0
+        while (c < a.channels) {
+          val x0 = a.samples(idx * a.channels + c).toInt
+          val v =
+            if (rem == 0) x0
+            else {
+              val x1 = a.samples((idx + 1) * a.channels + c).toInt
+              x0 + Math.floorDiv((x1 - x0).toLong * rem, toRate.toLong).toInt
+            }
+          out(i * a.channels + c) = v.toShort
+          c += 1
+        }
+        i += 1
+      }
+      Audio(a.channels, toRate, out)
+    }
+  }
+
   /** Deterministic test/gate signal: sample i (interleaved order) is
     * `((id·7 + i·13) mod 65536) − 32768` — plain integer arithmetic
     * any engine replays. */
