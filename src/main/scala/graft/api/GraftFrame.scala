@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row, SparkSess
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types.{DataType, DoubleType}
-import graft.operators.{Apply, BloomJoin, Contamination, Dedup, Reductions, Similarity, TextOps}
+import graft.operators.{Apply, Blocklist, BloomJoin, Bpe, Contamination, Dedup, Layout, Mojibake, PdfCodec, Reductions, Robots, Similarity, TextOps, WebArchive}
 import graft.sources.{CsvOptions, CsvReader}
 
 /** pandas-flavored facade over a Spark [[DataFrame]] — the user-facing
@@ -352,6 +352,60 @@ final class GraftFrame(val df: DataFrame) {
     * rebuilt around the cut ([[graft.operators.TextOps.removeDupSpans]]). */
   def remove_dup_spans(idCol: String, textCol: String, n: Int = 8): GraftFrame =
     new GraftFrame(graft.operators.TextOps.removeDupSpans(df, idCol, textCol, n))
+
+  /** Aho-Corasick blocklist annotation: n_hits / n_terms / clean per
+    * row ([[graft.operators.Blocklist.annotate]]). */
+  def blocklist_annotate(idCol: String, textCol: String,
+      patterns: Seq[String]): GraftFrame =
+    new GraftFrame(Blocklist.annotate(df, idCol, textCol, patterns))
+
+  /** Keep only rows with zero blocklist hits
+    * ([[graft.operators.Blocklist.filterClean]]). */
+  def blocklist_filter(idCol: String, textCol: String,
+      patterns: Seq[String]): GraftFrame =
+    new GraftFrame(Blocklist.filterClean(df, idCol, textCol, patterns))
+
+  /** Encoding repair: undo Latin-1/CP1252 mojibake, reporting decode
+    * rounds ([[graft.operators.Mojibake.repair]]). */
+  def fix_mojibake(idCol: String, textCol: String): GraftFrame =
+    new GraftFrame(Mojibake.repair(df, idCol, textCol))
+
+  /** HTML→text extraction over an HTML column
+    * ([[graft.operators.WebArchive.htmlTextFrame]]). */
+  def html_to_text(idCol: String, htmlCol: String): GraftFrame =
+    new GraftFrame(WebArchive.htmlTextFrame(df, idCol, htmlCol))
+
+  /** Boilerplate removal over an HTML column: per-block link-density
+    * + length gate ([[graft.operators.WebArchive.mainContentFrame]]). */
+  def main_content(idCol: String, htmlCol: String, minChars: Int = 25,
+      maxLinkDensity: Double = 0.5): GraftFrame =
+    new GraftFrame(WebArchive.mainContentFrame(df, idCol, htmlCol, minChars, maxLinkDensity))
+
+  /** Ingest Common-Crawl-shaped gzipped WARC blobs in a `data` column
+    * ([[graft.operators.WebArchive.warcIngest]]). */
+  def warc_ingest(): GraftFrame = new GraftFrame(WebArchive.warcIngest(df))
+
+  /** PDF text extraction over a binary payload column
+    * ([[graft.operators.PdfCodec.extractFrame]]). */
+  def pdf_extract(idCol: String, dataCol: String): GraftFrame =
+    new GraftFrame(PdfCodec.extractFrame(df, idCol, dataCol))
+
+  /** BPE token counts under a trained merge list
+    * ([[graft.operators.Bpe.tokenCounts]]; train with
+    * [[graft.operators.Bpe.train]]). */
+  def bpe_token_counts(idCol: String, textCol: String,
+      merges: Seq[Bpe.Merge]): GraftFrame =
+    new GraftFrame(Bpe.tokenCounts(df, idCol, textCol, merges))
+
+  /** robots.txt politeness check against a compiled rules table
+    * ([[graft.operators.Robots.politenessCheck]]). */
+  def politeness_check(compiled: GraftFrame): GraftFrame =
+    new GraftFrame(Robots.politenessCheck(df, compiled.df))
+
+  /** Z-order layout rewrite on two quantized dimensions
+    * ([[graft.operators.Layout.zorderBy]]). */
+  def zorder_by(x: Column, y: Column, bits: Int): GraftFrame =
+    new GraftFrame(Layout.zorderBy(df, x, y, bits))
 
   /** Semi-join against `other`'s keys with a bloom pre-filter pushed
     * before the exchange ([[graft.operators.BloomJoin]]). */

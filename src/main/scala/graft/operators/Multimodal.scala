@@ -429,6 +429,22 @@ object Multimodal {
       .toDF("media_id", "data")
   }
 
+  /** Standardize every WAV payload of a (media_id, data) frame for
+    * ASR-style consumption: downmix to mono, then linear-resample to
+    * `toRate` ([[WavCodec.downmixMono]], [[WavCodec.resampleLinear]]).
+    * Row-local; payloads never shuffle. */
+  def standardizeWavFrame(media: DataFrame, toRate: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val a = WavCodec.resampleLinear(WavCodec.downmixMono(WavCodec.decode(b)), toRate)
+        (id, WavCodec.encode(a))
+      })
+      .toDF("media_id", "data")
+  }
+
   /** Video container metadata — what curation filters on without a
     * video codec: duration, presentation dims, track count
     * ([[Mp4Meta]]). Non-MP4 payloads → format "unknown", zeroed. */

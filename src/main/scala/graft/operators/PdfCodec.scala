@@ -533,6 +533,21 @@ object PdfCodec {
 
   // ---- DataFrame facades ----------------------------------------------
 
+  /** General frame form: media(idCol, dataCol) of real PDF payloads →
+    * (idCol, n_pages, extracted). Row-local; payloads never
+    * shuffle. */
+  def extractFrame(media: DataFrame, idCol: String, dataCol: String): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col(idCol).cast("long"), col(dataCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val (n, text) = analyze(b)
+        (id, n, text)
+      })
+      .toDF(idCol, "n_pages", "extracted")
+  }
+
   /** docs(doc_id, text) → (doc_id, n_pages, extracted): write a PDF
     * per doc (odd ids get a second page; even ids FlateDecode), then
     * load + walk + extract it back. Row-local mapPartitions. */

@@ -302,6 +302,34 @@ object WebArchive {
       s"""<footer><a href="/privacy">Privacy</a> <a href="/terms">Terms of Service</a></footer></body></html>"""
   }
 
+  /** General frame form: docs(idCol, htmlCol) → (idCol, txt) via
+    * [[htmlToText]]. Row-local; no shuffle. */
+  def htmlTextFrame(docs: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col(idCol).cast("long"), col(htmlCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, h) =>
+        (id, htmlToText(Option(h).getOrElse("")))
+      })
+      .toDF(idCol, "txt")
+  }
+
+  /** General frame form: docs(idCol, htmlCol) → (idCol, n_kept,
+    * main_txt) via [[mainContentBlocks]]. Row-local; no shuffle. */
+  def mainContentFrame(docs: DataFrame, idCol: String, htmlCol: String,
+      minChars: Int = 25, maxLinkDensity: Double = 0.5): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col(idCol).cast("long"), col(htmlCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, h) =>
+        val blocks = mainContentBlocks(Option(h).getOrElse(""), minChars, maxLinkDensity)
+        (id, blocks.size, blocks.mkString(" "))
+      })
+      .toDF(idCol, "n_kept", "main_txt")
+  }
+
   /** docs(doc_id, text) → (doc_id, n_kept, main_txt): synthesize the
     * boilerplate-framed page, then run [[mainContentBlocks]]. Row-local
     * mapPartitions; no shuffle. */

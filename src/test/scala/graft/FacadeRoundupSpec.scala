@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftFrame
+import graft.operators.{Bpe, Robots, WebArchive}
+
+/** The round-10 GraftFrame facade additions: each test drives the
+  * user-facing method, not the operator, so the delegation wiring
+  * (column names, defaults, GraftFrame re-wrap) is what's pinned. */
+class FacadeRoundupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gf(rows: Seq[(Long, String)]): GraftFrame =
+    new GraftFrame(rows.toDF("doc_id", "text"))
+
+  test("blocklist facades annotate and filter") {
+    val g = gf(Seq((1L, "clean prose"), (2L, "has spam inside")))
+    assert(g.blocklist_annotate("doc_id", "text", Seq("spam")).df
+      .where(col("clean")).count() == 1)
+    assert(g.blocklist_filter("doc_id", "text", Seq("spam")).df
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("fix_mojibake facade repairs and reports rounds") {
+    val garbled = new String("café".getBytes("UTF-8"), "ISO-8859-1")
+    val g = gf(Seq((1L, garbled), (2L, "plain")))
+    val out = g.fix_mojibake("doc_id", "text").df.orderBy("doc_id").collect()
+    assert(out(0).getString(2) == "café" && out(0).getInt(1) == 1)
+    assert(out(1).getString(2) == "plain" && out(1).getInt(1) == 0)
+  }
+
+  test("html_to_text and main_content facades") {
+    val html = Seq((1L,
+      """<nav><a href="/">Home</a> <a href="/a">About us</a> <a href="/c">Contact form</a></nav>
+        |<p>the real article body text, long enough to clear the floor</p>""".stripMargin))
+      .toDF("doc_id", "html")
+    val g = new GraftFrame(html)
+    assert(g.html_to_text("doc_id", "html").df.select("txt").as[String].head()
+      .startsWith("Home About us Contact form the real article"))
+    assert(g.main_content("doc_id", "html").df.select("main_txt").as[String].head() ==
+      "the real article body text, long enough to clear the floor")
+  }
+
+  test("warc_ingest and pdf_extract facades") {
+    val docs = Seq((7L, "body text for the record")).toDF("doc_id", "text")
+    val blobs = new GraftFrame(WebArchive.warcGzipBuild(docs, groups = 1))
+    val ing = blobs.warc_ingest().df.collect()
+    assert(ing.length == 1 && ing(0).getAs[Long]("doc_id") == 7L)
+
+    val pdf = Seq((3L, graft.operators.PdfCodec.encode("pdf text here", None, flate = true)))
+      .toDF("media_id", "data")
+    val out = new GraftFrame(pdf).pdf_extract("media_id", "data").df.collect()
+    assert(out(0).getInt(1) == 1 && out(0).getString(2) == "pdf text here")
+  }
+
+  test("bpe_token_counts and zorder_by facades") {
+    val g = gf(Seq((1L, "low low"), (2L, "lower")))
+    val ms = Bpe.train(g.df, "text", k = 1)
+    val counts = g.bpe_token_counts("doc_id", "text", ms).df
+      .orderBy("doc_id").select("n_tokens").as[Long].collect()
+    assert(counts.length == 2 && counts.forall(_ > 0))
+
+    val pts = (0 until 64).map(i => (i.toLong, i % 8, i / 8)).toDF("id", "x", "y")
+    val z = new GraftFrame(pts).zorder_by(col("x"), col("y"), bits = 3).df
+    assert(z.columns.contains("z") && z.count() == 64)
+  }
+
+  test("politeness_check facade") {
+    val compiled = new GraftFrame(Robots.compileRules(
+      Seq(("d.com", "User-agent: *\nDisallow: /no\n")).toDF("domain", "robots_txt"), "bot"))
+    val urls = new GraftFrame(Seq((1L, "d.com", "/ok"), (2L, "d.com", "/no/x"))
+      .toDF("id", "domain", "path"))
+    val out = urls.politeness_check(compiled).df.orderBy("id")
+      .select("allowed").as[Boolean].collect()
+    assert(out.toSeq == Seq(true, false))
+  }
+}
