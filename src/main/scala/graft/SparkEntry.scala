@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bpe, Contamination, Dedup, Dsir, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, TextOps, UrlOps, WavCodec, WebArchive}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bpe, Contamination, Dedup, Dsir, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TextOps, UrlOps, WavCodec, WebArchive}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -2647,6 +2647,19 @@ object SparkEntry {
     // ratio exercises both the exact and the interpolated branch on
     // every other sample). The oracle replays every output sample
     // from the generator formula.
+    // KMV distinct sketch: k-bounded partial aggregation (≤k longs per
+    // partition cross the exchange — never a corpus-wide DISTINCT).
+    // Unlike HLL the sketch is a pure function of data + hash, so the
+    // oracle replays it EXACTLY: kth smallest distinct hash and the
+    // (k−1)·H/h_k estimate, next to the true distinct count.
+    "sketch_kmv_distinct" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val est = Sketches.kmvDistinct(orders,
+        (col("o_custkey") * lit(2654435761L)) % lit(4294967296L),
+        k = 64, hashSpace = 4294967296.0)
+      val exact = orders.agg(countDistinct(col("o_custkey")).as("n_exact"))
+      est.crossJoin(exact)
+    }),
     "audio_resample" -> ((s, dir) => {
       import s.implicits._
       tbl(s, dir, "documents").where(col("doc_id") < 300)
@@ -5696,6 +5709,17 @@ object SparkEntry {
         |  'caf' || chr(233) || ' ' || chr(8212) || ' na' || chr(239) || 've ' || text
         |    AS fixed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sketch_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT (o_custkey * 2654435761) % 4294967296 AS h FROM orders
+        |), k AS (
+        |  SELECT h FROM h ORDER BY h LIMIT 64
+        |)
+        |SELECT CAST(count(*) AS INTEGER) AS n_sketch,
+        |  CAST(max(h) AS BIGINT) AS kth_hash,
+        |  63 * 4294967296.0 / max(h) AS est,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders) AS n_exact
+        |FROM k""".stripMargin,
     "layout_zorder" ->
       s"""WITH t AS (
          |  SELECT o_orderkey, o_custkey % 256 AS xb, o_orderkey % 256 AS yb
