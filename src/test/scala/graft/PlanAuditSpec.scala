@@ -454,4 +454,60 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
     } finally spark.conf.set(key, prev)
   }
+
+  // ---- round-10 families ------------------------------------------------
+
+  test("row-local ingest/repair/extract gates: one gate exchange, no joins") {
+    // each of these is mapPartitions payload work; the only exchange
+    // allowed is the gate's own orderBy range partitioning
+    for (name <- Seq("web_main_content", "pdf_text_extract",
+        "text_fix_mojibake", "text_blocklist", "audio_resample")) {
+      val p = plan(name)
+      assert(nodes(p, "Exchange") <= 1, s"$name:\n$p")
+      assert(!p.contains("Join"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
+  test("warc ingest: one build-side group exchange + the gate sort, nothing else") {
+    val p = plan("web_warc_ingest")
+    assert(nodes(p, "Exchange") <= 2, p)
+    assert(!p.contains("Join"), p)
+    // the ingest direction (members -> records -> http -> text) is pure
+    // MapPartitions — the scale path has no shuffle of payload bytes
+    assert(p.contains("MapPartitions"), p)
+  }
+
+  test("gzip roundtrip census: mapPartitions + two-phase aggregate only") {
+    val p = plan("web_gzip_roundtrip")
+    assert(nodes(p, "HashAggregate") >= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("robots filter: equi-join on domain, never a cartesian") {
+    val p = plan("web_robots_filter")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("zorder: ONE range exchange, top-k gate never globally sorts") {
+    val p = plan("layout_zorder")
+    assert(nodes(p, "Exchange") == 1, p)
+    assert(p.contains("REPARTITION_BY_COL") || p.contains("rangepartitioning"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("kmv sketch: two-phase object aggregate — k-bounded partials cross the exchange") {
+    val p = plan("sketch_kmv_distinct")
+    assert(nodes(p, "ObjectHashAggregate") >= 2, p)
+    // the scalar attach of the exact count is the documented one-row
+    // broadcast join, and nothing else joins
+    assert(nodes(p, "BroadcastNestedLoopJoin") <= 1, p)
+  }
+
+  test("bpe encode: trained counts apply row-locally — one gate exchange, no joins") {
+    val p = plan("text_bpe_encode")
+    assert(nodes(p, "Exchange") <= 1, p)
+    assert(!p.contains("Join"), p)
+  }
 }
