@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bpe, Contamination, Dedup, Dsir, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TextOps, UrlOps, WavCodec, WebArchive}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bpe, Contamination, Dedup, Dsir, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TarCodec, TextOps, UrlOps, WavCodec, WebArchive}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -2647,6 +2647,17 @@ object SparkEntry {
     // ratio exercises both the exact and the interpolated branch on
     // every other sample). The oracle replays every output sample
     // from the generator formula.
+    // WebDataset shard round-trip: per group, a gzipped ustar tar of
+    // (<id>.txt, <id>.meta) entry pairs — built with the hand-written
+    // tar writer + LZ77 gzip, then ingested back through gunzip, the
+    // checksum-verified tar walk and stem pairing. The oracle replays
+    // the recovered samples straight from documents.
+    "webdataset_roundtrip" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang").as("meta"))
+      val shards = TarCodec.webdatasetBuild(docs, shards = 16)
+      TarCodec.webdatasetIngest(shards).orderBy("doc_id")
+    }),
     // KMV distinct sketch: k-bounded partial aggregation (≤k longs per
     // partition cross the exchange — never a corpus-wide DISTINCT).
     // Unlike HLL the sketch is a pure function of data + hash, so the
@@ -5708,6 +5719,9 @@ object SparkEntry {
         |    WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS INTEGER) AS rounds,
         |  'caf' || chr(233) || ' ' || chr(8212) || ' na' || chr(239) || 've ' || text
         |    AS fixed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "webdataset_roundtrip" ->
+      """SELECT doc_id, text AS txt, lang AS meta
         |FROM documents ORDER BY doc_id""".stripMargin,
     "sketch_kmv_distinct" ->
       """WITH h AS (

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Blocklist, Dedup, Similarity, WebArchive}
 
 /** Empirical linearity probe for the dedup/ANN scale claims (round-10
   * VERDICT item 5): the O(batch) / linear-candidate behaviors are pinned
@@ -160,6 +160,24 @@ object ScalingProbe {
           c, "corpus_id", "cv", k = 10, nCells = 16, nProbe = 4)
       }
 
+      // 6. crawl ingest (web_warc_ingest path): HTML→HTTP→WARC→gzip
+      //    build, then the full parse back — row-local both ways, so
+      //    both wall time and the single build-side group shuffle must
+      //    scale ~10×
+      results(("warc_ingest", copies)) = timed { () =>
+        val blobs = WebArchive.warcGzipBuild(docs, groups = 64)
+        WebArchive.warcIngest(blobs).select(col("doc_id"), col("body_len"))
+      }
+
+      // 7. blocklist scan (text_blocklist path): the automaton pass is
+      //    pure map work — wall scales ~10×, shuffle stays at the tiny
+      //    flagged-id projection ("slow" prefix-matches every copy's
+      //    suffixed tokens, so hit density is scale-invariant)
+      results(("blocklist_scan", copies)) = timed { () =>
+        Blocklist.annotate(docs, "doc_id", "text", Seq("slow", "merge", "fast"))
+          .where(!col("clean")).select(col("doc_id"))
+      }
+
       println(s"[scaling] copies=$copies nDocs=$nDocs done")
       docs.unpersist()
     }
@@ -191,7 +209,8 @@ object ScalingProbe {
       "transition\npoint by size, which is exactly what a 100 TB run wants.\n"
     sb ++= "\n| op | time 10×/1× | shuffle 10×/1× |\n|---|---|---|\n"
     for (op <- Seq("dedup_lsh_drop", "dedup_incremental_drop",
-        "dedup_paragraphs", "remove_dup_spans", "simsearch_ivf")) {
+        "dedup_paragraphs", "remove_dup_spans", "simsearch_ivf",
+        "warc_ingest", "blocklist_scan")) {
       val (s1, b1, _) = results((op, 1))
       val (s10, b10, _) = results((op, 10))
       val bRatio = if (b1 > 0) f"${b10.toDouble / b1}%.1f×" else "n/a"
