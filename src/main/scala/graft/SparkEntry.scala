@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bpe, Contamination, Dedup, Dsir, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TarCodec, TextOps, UrlOps, WavCodec, WebArchive}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Dedup, Dsir, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TarCodec, TextOps, UrlOps, WavCodec, WebArchive}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -2647,6 +2647,22 @@ object SparkEntry {
     // ratio exercises both the exact and the interpolated branch on
     // every other sample). The oracle replays every output sample
     // from the generator formula.
+    // bzip2 round-trip per doc through the full hand-written pipeline
+    // BOTH ways: RLE1 → BWT → MTF/RLE2 → Huffman on encode, the
+    // complete inverse (+ both CRC tiers) on decode. The recovered
+    // text itself is the compared value, so any BWT orientation, MTF,
+    // run-coding or bit-packing bug surfaces as a value mismatch.
+    "bz2_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.charset.StandardCharsets.UTF_8
+      tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          (id, new String(Bzip2.decode(Bzip2.encode(text.getBytes(UTF_8))), UTF_8))
+        })
+        .toDF("doc_id", "txt")
+        .orderBy("doc_id")
+    }),
     // WebDataset shard round-trip: per group, a gzipped ustar tar of
     // (<id>.txt, <id>.meta) entry pairs — built with the hand-written
     // tar writer + LZ77 gzip, then ingested back through gunzip, the
@@ -5719,6 +5735,9 @@ object SparkEntry {
         |    WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS INTEGER) AS rounds,
         |  'caf' || chr(233) || ' ' || chr(8212) || ' na' || chr(239) || 've ' || text
         |    AS fixed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "bz2_roundtrip" ->
+      """SELECT doc_id, text AS txt
         |FROM documents ORDER BY doc_id""".stripMargin,
     "webdataset_roundtrip" ->
       """SELECT doc_id, text AS txt, lang AS meta
