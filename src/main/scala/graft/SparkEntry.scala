@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Dedup, Dsir, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TarCodec, TextOps, UrlOps, WavCodec, WebArchive}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Dedup, Dsir, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TarCodec, TextOps, UrlOps, WavCodec, Xz, WebArchive}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -2647,6 +2647,23 @@ object SparkEntry {
     // ratio exercises both the exact and the interpolated branch on
     // every other sample). The oracle replays every output sample
     // from the generator formula.
+    // xz round-trip per doc: stored-LZMA2 container encode (size is a
+    // closed form the oracle recomputes, varint widths included) and
+    // the full decode path — header/index/footer CRCs, LZMA2 chunk
+    // walk, block check. The recovered text is the compared value.
+    "xz_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.charset.StandardCharsets.UTF_8
+      tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val raw = text.getBytes(UTF_8)
+          val x = Xz.encode(raw)
+          (id, x.length.toLong, new String(Xz.decode(x), UTF_8))
+        })
+        .toDF("doc_id", "xz_len", "txt")
+        .orderBy("doc_id")
+    }),
     // bzip2 round-trip per doc through the full hand-written pipeline
     // BOTH ways: RLE1 → BWT → MTF/RLE2 → Huffman on encode, the
     // complete inverse (+ both CRC tiers) on decode. The recovered
@@ -5739,6 +5756,24 @@ object SparkEntry {
     "bz2_roundtrip" ->
       """SELECT doc_id, text AS txt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // storedXzSize replay for single-chunk texts (corpus max 577 B ≪
+    // 64 KiB and < 16 KiB, so chunk count is 1 and varints are 1 or 2
+    // bytes by the 128 threshold).
+    "xz_roundtrip" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, strlen(text) AS n FROM documents
+        |), s AS (
+        |  SELECT doc_id, text,
+        |    ((n + 4 + 3) // 4) * 4 AS padded,
+        |    2 + (CASE WHEN n + 20 < 128 THEN 1 ELSE 2 END)
+        |      + (CASE WHEN n < 128 THEN 1 ELSE 2 END) AS idxp
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CAST(12 + 12 + padded + 4 + ((idxp + 3) // 4) * 4 + 4 + 12 AS BIGINT)
+        |    AS xz_len,
+        |  text AS txt
+        |FROM s ORDER BY doc_id""".stripMargin,
     "webdataset_roundtrip" ->
       """SELECT doc_id, text AS txt, lang AS meta
         |FROM documents ORDER BY doc_id""".stripMargin,
