@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Dedup, Dsir, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TarCodec, TextOps, UrlOps, WavCodec, Xz, WebArchive}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Gzip, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TarCodec, TextOps, UrlOps, WavCodec, Xz, WebArchive}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -2647,6 +2647,30 @@ object SparkEntry {
     // ratio exercises both the exact and the interpolated branch on
     // every other sample). The oracle replays every output sample
     // from the generator formula.
+    // Mixed-corpus decompression dispatch: per doc the payload is
+    // compressed with a bucket-chosen codec (gzip / bzip2 / xz / raw
+    // by doc_id%4) and ONE auto call must sniff and route — the
+    // compression sibling of the unified audio dispatcher. The oracle
+    // replays the format tag and the recovered text.
+    "decompress_auto" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.charset.StandardCharsets.UTF_8
+      tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val raw = text.getBytes(UTF_8)
+          val payload = (id % 4) match {
+            case 0 => Gzip.gzip(raw)
+            case 1 => Bzip2.encode(raw)
+            case 2 => Xz.encode(raw)
+            case _ => raw
+          }
+          val (fmt, out) = Decompress.auto(payload)
+          (id, fmt, new String(out, UTF_8))
+        })
+        .toDF("doc_id", "format", "txt")
+        .orderBy("doc_id")
+    }),
     // xz round-trip per doc: stored-LZMA2 container encode (size is a
     // closed form the oracle recomputes, varint widths included) and
     // the full decode path — header/index/footer CRCs, LZMA2 chunk
@@ -5755,6 +5779,13 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "bz2_roundtrip" ->
       """SELECT doc_id, text AS txt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "decompress_auto" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'gzip' WHEN 1 THEN 'bzip2' WHEN 2 THEN 'xz'
+        |    ELSE 'raw' END AS format,
+        |  text AS txt
         |FROM documents ORDER BY doc_id""".stripMargin,
     // storedXzSize replay for single-chunk texts (corpus max 577 B ≪
     // 64 KiB and < 16 KiB, so chunk count is 1 and varints are 1 or 2

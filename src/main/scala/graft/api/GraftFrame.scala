@@ -385,6 +385,12 @@ final class GraftFrame(val df: DataFrame) {
     * ([[graft.operators.WebArchive.warcIngest]]). */
   def warc_ingest(): GraftFrame = new GraftFrame(WebArchive.warcIngest(df))
 
+  /** Auto-sniffing decompression over a binary payload column (gzip /
+    * bzip2 / xz / raw pass-through —
+    * [[graft.operators.Decompress.autoFrame]]). */
+  def decompress(idCol: String, dataCol: String): GraftFrame =
+    new GraftFrame(graft.operators.Decompress.autoFrame(df, idCol, dataCol))
+
   /** PDF text extraction over a binary payload column
     * ([[graft.operators.PdfCodec.extractFrame]]). */
   def pdf_extract(idCol: String, dataCol: String): GraftFrame =
