@@ -68,6 +68,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("round-10 curation ops run UNCHANGED as a structured stream (batch parity)") {
+    // the row-local ingest/repair ops are stateless mapPartitions, so
+    // the same operator code must plan as an append-mode stream and
+    // produce byte-identical rows to the batch run
+    import graft.operators.{Blocklist, Mojibake, WebArchive}
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, new String("café crawl text with spam".getBytes("UTF-8"), "ISO-8859-1")),
+      (2L, "plain clean document"),
+      (3L, "<p>html body with enough text to keep</p>"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val fixed = Mojibake.repair(df, "doc_id", "text")
+        .select(col("doc_id"), col("fixed").as("text"))
+      Blocklist.annotate(fixed, "doc_id", "text", Seq("spam"))
+    }
+    val batch = pipeline(rows.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().toSeq
+    val source = MemoryStream[(Long, String)]
+    val q = pipeline(source.toDF().toDF("doc_id", "text")).writeStream
+      .format("memory").queryName("graft_curation_stream")
+      .outputMode("append").start()
+    try {
+      source.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_curation_stream")
+        .orderBy("doc_id").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.map(_.getAs[Boolean]("clean")).toSeq == Seq(false, true, true))
+    } finally q.stop()
+    // html extraction is equally stream-safe
+    val hsource = MemoryStream[(Long, String)]
+    val hq = WebArchive.htmlTextFrame(hsource.toDF().toDF("doc_id", "html"),
+      "doc_id", "html").writeStream
+      .format("memory").queryName("graft_html_stream")
+      .outputMode("append").start()
+    try {
+      hsource.addData((9L, "<p>a &amp; b</p>"))
+      hq.processAllAvailable()
+      assert(spark.table("graft_html_stream").collect()
+        .map(_.getString(1)).toSeq == Seq("a & b"))
+    } finally hq.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Timestamp, Double)]
