@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Gzip, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TarCodec, TextOps, UrlOps, WavCodec, Xz, WebArchive}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Gzip, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TarCodec, TextOps, UrlOps, WavCodec, WebArchive, WikiDump, Xz}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -2647,6 +2647,17 @@ object SparkEntry {
     // ratio exercises both the exact and the interpolated branch on
     // every other sample). The oracle replays every output sample
     // from the generator formula.
+    // Wikipedia multistream dump ingest, full stack: per shard, page
+    // XML (title/ns/id/revision/text, escaped) decorated with every
+    // wikitext markup class, split into TWO concatenated bzip2
+    // streams (the real pages-articles-multistream layout), then
+    // ingested back — bz2 multistream decode, dump-XML tag walk with
+    // entity decode, the 11-step wikitext cleaner. The oracle replays
+    // title and cleaned text per page from documents.
+    "wiki_dump_ingest" -> ((s, dir) => {
+      val shards = WikiDump.multistreamBuild(tbl(s, dir, "documents"), shards = 16)
+      WikiDump.multistreamIngest(shards).orderBy("doc_id")
+    }),
     // Mixed-corpus decompression dispatch: per doc the payload is
     // compressed with a bucket-chosen codec (gzip / bzip2 / xz / raw
     // by doc_id%4) and ONE auto call must sniff and route — the
@@ -5779,6 +5790,15 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "bz2_roundtrip" ->
       """SELECT doc_id, text AS txt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The decoration cleans to a fixed frame around the whitespace-
+    // collapsed document text (bold title, piped-link label "page",
+    // template/ref/category stripped, heading text kept).
+    "wiki_dump_ingest" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id AS title,
+        |  'Doc ' || doc_id || ' is a page about something. Content '
+        |    || trim(regexp_replace(text, '\s+', ' ', 'g')) AS txt
         |FROM documents ORDER BY doc_id""".stripMargin,
     "decompress_auto" ->
       """SELECT doc_id,

@@ -385,6 +385,12 @@ final class GraftFrame(val df: DataFrame) {
     * ([[graft.operators.WebArchive.warcIngest]]). */
   def warc_ingest(): GraftFrame = new GraftFrame(WebArchive.warcIngest(df))
 
+  /** Wikipedia multistream dump ingest over a `data` column of
+    * concatenated-bz2 page-XML shards
+    * ([[graft.operators.WikiDump.multistreamIngest]]). */
+  def wiki_ingest(): GraftFrame =
+    new GraftFrame(graft.operators.WikiDump.multistreamIngest(df))
+
   /** Auto-sniffing decompression over a binary payload column (gzip /
     * bzip2 / xz / raw pass-through —
     * [[graft.operators.Decompress.autoFrame]]). */
