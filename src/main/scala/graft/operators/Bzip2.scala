@@ -19,8 +19,7 @@ package graft.operators
   * Encode: minimal but VALID (the gate/test generator, exactly like
   * [[PdfCodec]]'s writer): one 20 000-byte original chunk per block
   * (RLE1 runs never span blocks — blocks are independent by format),
-  * rotation-sort BWT (O(n²·log n) comparator — fine at the chunk
-  * size, documented; production decode never pays it), two identical
+  * prefix-doubling rotation-sort BWT (O(n·log²n)), two identical
   * Huffman groups (the format's minimum is 2) with equal-length
   * codes (canonically assigned, prefix-valid even when incomplete),
   * all-zero MTF'd selectors. Compression comes from RLE1/RLE2 run
@@ -346,6 +345,41 @@ object Bzip2 {
 
   private val EncChunk = 20000
 
+  /** Cyclic rotation sort by prefix doubling — O(n·log²n), so the
+    * encoder stays usable as a shard generator (the earlier pairwise
+    * comparator was O(n²·log n) and dominated gate wall time). Equal
+    * rotations (periodic blocks) keep an arbitrary but consistent
+    * order: identical rows have identical last columns, so the BWT
+    * bytes — and the decoded string — are unaffected. */
+  private def sortRotations(block: Array[Byte]): Array[Int] = {
+    val n = block.length
+    var sa = Array.tabulate(n)(identity)
+    var rank = new Array[Int](n)
+    var i = 0
+    while (i < n) { rank(i) = block(i) & 0xff; i += 1 }
+    var k = 1
+    var done = n <= 1
+    while (!done) {
+      val r = rank
+      val kk = k
+      def key(x: Int): Long = (r(x).toLong << 32) | (r((x + kk) % n).toLong & 0xffffffffL)
+      sa = sa.sortBy(key)
+      val newRank = new Array[Int](n)
+      var dist = 0
+      newRank(sa(0)) = 0
+      i = 1
+      while (i < n) {
+        if (key(sa(i)) != key(sa(i - 1))) dist += 1
+        newRank(sa(i)) = dist
+        i += 1
+      }
+      rank = newRank
+      done = dist == n - 1 || k >= n
+      k <<= 1
+    }
+    sa
+  }
+
   /** Compress: one block per ≤20 000-byte original chunk. */
   def encode(data: Array[Byte]): Array[Byte] = {
     val bw = new BitWriter
@@ -389,22 +423,12 @@ object Bzip2 {
     val block = rle.toByteArray
     val n = block.length
     require(n <= 100000, s"RLE1 block grew past the level-1 limit: $n")
-    // BWT by rotation sort (documented O(n² log n) — generator-scale only)
-    val sa = Array.tabulate(n)(identity)
-    val srt = sa.map(Integer.valueOf).sortWith { (a, b) =>
-      var k = 0
-      var r = 0
-      while (k < n && r == 0) {
-        r = (block((a + k) % n) & 0xff) - (block((b + k) % n) & 0xff)
-        k += 1
-      }
-      if (r != 0) r < 0 else a < b
-    }
+    val srt = sortRotations(block)
     val bwt = new Array[Byte](n)
     var origPtr = -1
     i = 0
     while (i < n) {
-      val rot = srt(i).intValue()
+      val rot = srt(i)
       if (rot == 0) origPtr = i
       bwt(i) = block((rot + n - 1) % n)
       i += 1
