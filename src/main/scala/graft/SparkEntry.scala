@@ -2647,6 +2647,25 @@ object SparkEntry {
     // ratio exercises both the exact and the interpolated branch on
     // every other sample). The oracle replays every output sample
     // from the generator formula.
+    // Sentence segmentation: the corpus has no sentence punctuation,
+    // so each doc is framed as k+1 synthetic sentences — k numbered
+    // ones plus an abbreviation-trap closer ("Dr. … Mrs. … p.m. …")
+    // that must stay ONE sentence. Counts and total lengths are
+    // closed-form; any boundary or guard drift breaks them.
+    "text_sentences" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = (2 + id % 4).toInt
+          val body = (1 to k).map(i => s"Sentence $i of doc $id ends here.")
+            .mkString(" ")
+          val trap = "Dr. Smith met Mrs. Jones at 5 p.m. sharp."
+          val sents = TextOps.splitSentences(body + " " + trap)
+          (id, sents.size, sents.map(_.length.toLong).sum, sents.last.length.toLong)
+        })
+        .toDF("doc_id", "n_sent", "total_chars", "last_len")
+        .orderBy("doc_id")
+    }),
     // Wikipedia multistream dump ingest, full stack: per shard, page
     // XML (title/ns/id/revision/text, escaped) decorated with every
     // wikitext markup class, split into TWO concatenated bzip2
@@ -5794,6 +5813,19 @@ object SparkEntry {
     "bz2_roundtrip" ->
       """SELECT doc_id, text AS txt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_sentences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(2 + doc_id % 4 AS BIGINT) AS k,
+        |    strlen(CAST(doc_id AS VARCHAR)) AS d,
+        |    strlen('Dr. Smith met Mrs. Jones at 5 p.m. sharp.') AS trap
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(k + 1 AS INTEGER) AS n_sent,
+        |  CAST(k * (29 + d) + trap AS BIGINT) AS total_chars,
+        |  CAST(trap AS BIGINT) AS last_len
+        |FROM t ORDER BY doc_id""".stripMargin,
     // The decoration cleans to a fixed frame around the whitespace-
     // collapsed document text (bold title, piped-link label "page",
     // template/ref/category stripped, heading text kept).

@@ -669,4 +669,64 @@ object TextOps {
     Dedup.rebuildFromUnits(df, idCol, textCol, kept,
       posCol = "__tpos", unitCol = "__tok", sep = " ", prefix = "tokens")
   }
+
+  // ---- sentence segmentation -------------------------------------------
+
+  /** Abbreviations whose trailing period does not end a sentence —
+    * the classic English closed list (public knowledge; keep it
+    * short and deterministic, not exhaustive). */
+  private val SentAbbrev = Set(
+    "mr", "mrs", "ms", "dr", "prof", "st", "no", "vs", "etc", "fig",
+    "eg", "ie", "al", "jr", "sr", "inc", "ltd", "co", "dept", "est", "approx")
+
+  /** Rule-based sentence splitter with an exact, replayable spec:
+    * a boundary is a run of `. ! ?` (plus closing `" ' ) ] ” ’`),
+    * followed by whitespace, followed by an uppercase letter or
+    * digit — EXCEPT when the terminator is a period whose preceding
+    * word (letters only, lowercased) is a known abbreviation or a
+    * single letter (middle initials). Sentences are trimmed;
+    * empties dropped. Row-local, total. */
+  def splitSentences(text: String): Seq[String] = {
+    if (text == null || text.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[String]
+    var start = 0
+    var i = 0
+    val n = text.length
+    def isTerm(c: Char) = c == '.' || c == '!' || c == '?'
+    def isClose(c: Char) = c == '"' || c == '\'' || c == ')' || c == ']' ||
+      c == '”' || c == '’'
+    while (i < n) {
+      if (isTerm(text.charAt(i))) {
+        val termStart = i
+        var j = i
+        while (j < n && isTerm(text.charAt(j))) j += 1
+        val hadPeriodOnly = text.substring(termStart, j) == "."
+        while (j < n && isClose(text.charAt(j))) j += 1
+        val afterMarks = j
+        while (j < n && Character.isWhitespace(text.charAt(j))) j += 1
+        val boundary =
+          afterMarks < j && // at least one whitespace
+            (j >= n || Character.isUpperCase(text.charAt(j)) ||
+              Character.isDigit(text.charAt(j))) && {
+            if (!hadPeriodOnly) true
+            else {
+              // letters-only word immediately before the period
+              var w = termStart
+              while (w > 0 && Character.isLetter(text.charAt(w - 1))) w -= 1
+              val word = text.substring(w, termStart).toLowerCase
+              word.length != 1 && !SentAbbrev.contains(word)
+            }
+          }
+        if (boundary) {
+          val s = text.substring(start, afterMarks).trim
+          if (s.nonEmpty) out += s
+          start = j
+        }
+        i = math.max(j, termStart + 1)
+      } else i += 1
+    }
+    val last = text.substring(start).trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
 }
