@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Gzip, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TarCodec, TextOps, UrlOps, WavCodec, WebArchive, WikiDump, Xz}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TarCodec, TextOps, UrlOps, WavCodec, WebArchive, WikiDump, Xz}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -2647,6 +2647,30 @@ object SparkEntry {
     // ratio exercises both the exact and the interpolated branch on
     // every other sample). The oracle replays every output sample
     // from the generator formula.
+    // PageRank over a synthetic link graph (two out-links per doc,
+    // modular targets): 3 exact iterations of the non-normalized
+    // formulation. The oracle replays all three join+aggregate rounds
+    // in SQL; float compare absorbs summation-order noise.
+    "graph_pagerank" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val n = docs.count()
+      val e = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % n).as("dst"))
+        .unionAll(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 3) % n).as("dst")))
+      Graph.pageRank(e, iters = 3).orderBy("node")
+    }),
+    // Connected components via the log-round min-label contraction:
+    // decade + century edges make every 100-block one component
+    // labeled by its minimum id — closed form for the oracle.
+    "graph_components" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val e = docs.select(col("doc_id").as("src"),
+          (col("doc_id") - col("doc_id") % 10).as("dst"))
+        .unionAll(docs.select(col("doc_id").as("src"),
+          (col("doc_id") - col("doc_id") % 100).as("dst")))
+      Graph.connectedComponents(e).orderBy("id")
+    }),
     // Sentence segmentation: the corpus has no sentence punctuation,
     // so each doc is framed as k+1 synthetic sentences — k numbered
     // ones plus an abbreviation-trap closer ("Dr. … Mrs. … p.m. …")
@@ -5813,6 +5837,35 @@ object SparkEntry {
     "bz2_roundtrip" ->
       """SELECT doc_id, text AS txt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "graph_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS c FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 1) % c AS dst FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 3) % c FROM documents, nn
+        |),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |c1 AS (SELECT e.dst AS node, sum(1.0 / od.outdeg) AS s
+        |  FROM e JOIN od ON e.src = od.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(c1.s, 0) AS rank
+        |  FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, sum(r.rank / od.outdeg) AS s
+        |  FROM e JOIN r1 r ON e.src = r.node JOIN od ON e.src = od.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(c2.s, 0) AS rank
+        |  FROM nodes n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node, sum(r.rank / od.outdeg) AS s
+        |  FROM e JOIN r2 r ON e.src = r.node JOIN od ON e.src = od.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(c3.s, 0) AS rank
+        |  FROM nodes n LEFT JOIN c3 USING (node))
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+    "graph_components" ->
+      """SELECT doc_id AS id,
+        |  CAST(doc_id - doc_id % 100 AS BIGINT) AS cluster
+        |FROM documents ORDER BY id""".stripMargin,
     "text_sentences" ->
       """WITH t AS (
         |  SELECT doc_id,
