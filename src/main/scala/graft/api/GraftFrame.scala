@@ -385,6 +385,16 @@ final class GraftFrame(val df: DataFrame) {
     * ([[graft.operators.WebArchive.warcIngest]]). */
   def warc_ingest(): GraftFrame = new GraftFrame(WebArchive.warcIngest(df))
 
+  /** PageRank over an edge frame (src, dst)
+    * ([[graft.operators.Graph.pageRank]]). */
+  def page_rank(iters: Int, damping: Double = 0.85): GraftFrame =
+    new GraftFrame(graft.operators.Graph.pageRank(df, iters, damping))
+
+  /** Connected components over an edge frame (src, dst)
+    * ([[graft.operators.Graph.connectedComponents]]). */
+  def connected_components(): GraftFrame =
+    new GraftFrame(graft.operators.Graph.connectedComponents(df))
+
   /** Wikipedia multistream dump ingest over a `data` column of
     * concatenated-bz2 page-XML shards
     * ([[graft.operators.WikiDump.multistreamIngest]]). */
