@@ -280,6 +280,9 @@ object Bzip2 {
       groupPos -= 1
       val s = cur.decode(br)
       if (s == 0 || s == 1) { // RUNA / RUNB, bijective base 2
+        // a legal run is bounded by the block size (< 2^20), so a
+        // malformed stream cannot be allowed to shift into overflow
+        require(runShift <= 24, "bzip2 zero-run length overflows the block size")
         run += (s + 1).toLong << runShift
         runShift += 1
       } else if (s == eobSym) {
