@@ -2566,6 +2566,34 @@ object SparkEntry {
         .select(col("doc_id"), col("path"), col("allowed"))
         .orderBy("doc_id")
     }),
+    // robots.txt frontier metadata: per domain, the agent-specific
+    // crawl-delay (a specific group must NOT fall back to *), the
+    // *-group delay for an unlisted agent, and the group-independent
+    // sitemap count — the politeness scheduler's inputs.
+    "web_robots_meta" -> ((s, dir) => {
+      import s.implicits._
+      val robotsTxt =
+        """User-agent: graftbot
+          |Crawl-delay: 1.5
+          |Disallow: /tmp/
+          |
+          |User-agent: *
+          |Crawl-delay: 4
+          |Disallow: /private/
+          |Sitemap: https://example.com/s1.xml
+          |Sitemap: https://example.com/s2.xml
+          |""".stripMargin
+      tbl(s, dir, "documents").select(col("source").as("domain")).distinct()
+        .as[String]
+        .mapPartitions(_.map { d =>
+          (d,
+            Robots.crawlDelay(robotsTxt, "graftbot").getOrElse(-1.0),
+            Robots.crawlDelay(robotsTxt, "otherbot").getOrElse(-1.0),
+            Robots.sitemaps(robotsTxt).size)
+        })
+        .toDF("domain", "delay_graftbot", "delay_other", "n_sitemaps")
+        .orderBy("domain")
+    }),
     // PDF text extraction, full structural path per doc: write a real
     // PDF (xref table, page tree, content streams — odd ids get a
     // second page, even ids FlateDecode via the hand-written zlib),
@@ -5837,6 +5865,12 @@ object SparkEntry {
     "bz2_roundtrip" ->
       """SELECT doc_id, text AS txt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "web_robots_meta" ->
+      """SELECT DISTINCT source AS domain,
+        |  1.5 AS delay_graftbot,
+        |  4.0 AS delay_other,
+        |  CAST(2 AS INTEGER) AS n_sitemaps
+        |FROM documents ORDER BY domain""".stripMargin,
     "graph_pagerank" ->
       """WITH nn AS (SELECT count(*) AS c FROM documents),
         |e AS (

@@ -126,6 +126,58 @@ object Robots {
     bestAllow
   }
 
+  /** Crawl-delay (seconds) for `agent`, from the same group-selection
+    * rules as [[parse]] — the frontier scheduler's politeness knob.
+    * The FIRST delay among the applicable groups wins; absent or
+    * unparsable values → None (no delay mandated). */
+  def crawlDelay(robotsTxt: String, agent: String): Option[Double] = {
+    val want = agent.toLowerCase
+    var curAgents = List.empty[String]
+    var inAgents = true
+    var sawSpecific = false // the agent has its OWN group → * never applies
+    var starDelay: Option[Double] = None
+    var agentDelay: Option[Double] = None
+    def specific = curAgents.exists(ua => ua.nonEmpty && ua != "*" && want.startsWith(ua))
+    robotsTxt.split("\n").foreach { raw =>
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val field = line.substring(0, c).trim.toLowerCase
+        val value = line.substring(c + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!inAgents) curAgents = Nil
+            inAgents = true
+            curAgents = value.toLowerCase :: curAgents
+          case "crawl-delay" =>
+            inAgents = false
+            val d = value.toDoubleOption.filter(_ >= 0)
+            if (specific) { sawSpecific = true; agentDelay = agentDelay.orElse(d) }
+            else if (curAgents.contains("*")) starDelay = starDelay.orElse(d)
+          case "allow" | "disallow" =>
+            inAgents = false
+            if (specific) sawSpecific = true
+          case _ => ()
+        }
+      }
+    }
+    if (sawSpecific) agentDelay else starDelay
+  }
+
+  /** All `Sitemap:` URLs in file order (sitemaps are group-independent
+    * per RFC 9309 — they apply to every crawler). */
+  def sitemaps(robotsTxt: String): Seq[String] =
+    robotsTxt.split("\n").iterator.map { raw =>
+      val h = raw.indexOf('#')
+      (if (h >= 0) raw.substring(0, h) else raw).trim
+    }.filter(_.toLowerCase.startsWith("sitemap:"))
+      .map(_.substring("sitemap:".length).trim)
+      .filter(_.nonEmpty)
+      .toSeq
+
   /** Serialized rule form for the compiled-rules column: `+pat` /
     * `-pat` (allow/disallow) — array-of-string survives a parquet
     * round-trip of the compiled table. */

@@ -93,6 +93,36 @@ class RobotsSpec extends SparkSpec {
     assert(out.head.schema.fieldNames.toSeq == Seq("domain", "id", "path", "allowed"))
   }
 
+  test("crawlDelay: specific group beats *, first value wins, junk is ignored") {
+    val txt =
+      """User-agent: *
+        |Crawl-delay: 2.5
+        |Crawl-delay: 9
+        |
+        |User-agent: graftbot
+        |Crawl-delay: 0.5
+        |
+        |User-agent: oddbot
+        |Crawl-delay: soon  # unparsable
+        |""".stripMargin
+    assert(Robots.crawlDelay(txt, "graftbot").contains(0.5))
+    assert(Robots.crawlDelay(txt, "otherbot").contains(2.5)) // * group, first wins
+    assert(Robots.crawlDelay(txt, "oddbot").isEmpty) // junk value -> none
+    assert(Robots.crawlDelay("User-agent: *\nDisallow: /x\n", "any").isEmpty)
+  }
+
+  test("sitemaps are group-independent and keep file order") {
+    val txt =
+      """Sitemap: https://a.example/s1.xml
+        |User-agent: *
+        |Disallow: /private/
+        |sitemap: https://a.example/s2.xml  # lowercase field, comment
+        |""".stripMargin
+    assert(Robots.sitemaps(txt) ==
+      Seq("https://a.example/s1.xml", "https://a.example/s2.xml"))
+    assert(Robots.sitemaps("User-agent: *\n").isEmpty)
+  }
+
   test("compiled rules survive a parquet round-trip") {
     val robots = Seq(("a.com", "User-agent: *\nDisallow: /*.tmp$\n"))
       .toDF("domain", "robots_txt")
