@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TarCodec, TextOps, UrlOps, WavCodec, WebArchive, WikiDump, Xz}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TarCodec, TextOps, UrlOps, WavCodec, WebArchive, WikiDump, Xz, Zstd}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -2744,10 +2744,11 @@ object SparkEntry {
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val raw = text.getBytes(UTF_8)
-          val payload = (id % 4) match {
+          val payload = (id % 5) match {
             case 0 => Gzip.gzip(raw)
             case 1 => Bzip2.encode(raw)
             case 2 => Xz.encode(raw)
+            case 3 => Zstd.encode(raw)
             case _ => raw
           }
           val (fmt, out) = Decompress.auto(payload)
@@ -2771,6 +2772,27 @@ object SparkEntry {
           (id, x.length.toLong, new String(Xz.decode(x), UTF_8))
         })
         .toDF("doc_id", "xz_len", "txt")
+        .orderBy("doc_id")
+    }),
+    // zstd round-trip per doc BOTH ways: the real compressor (greedy
+    // LZ + predefined-FSE sequence coding, XXH64 checksum) and the
+    // stored mode whose size is a closed form the oracle recomputes.
+    // The recovered text is the compared value, so any FSE state,
+    // bitstream or offset-history bug surfaces as a value mismatch.
+    "zstd_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.charset.StandardCharsets.UTF_8
+      tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val raw = text.getBytes(UTF_8)
+          val stored = Zstd.encodeStored(raw)
+          val okStored =
+            if (java.util.Arrays.equals(Zstd.decode(stored), raw)) 1 else 0
+          (id, stored.length.toLong, okStored,
+            new String(Zstd.decode(Zstd.encode(raw)), UTF_8))
+        })
+        .toDF("doc_id", "stored_len", "ok_stored", "txt")
         .orderBy("doc_id")
     }),
     // bzip2 round-trip per doc through the full hand-written pipeline
@@ -5729,9 +5751,10 @@ object SparkEntry {
     // the real decode byte-matched on every row.
     "web_gzip_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
-        |  CAST(sum(18 + strlen(text)
-        |    + 5 * greatest(1, CAST(ceil(strlen(text) / 65535.0) AS BIGINT)))
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  CAST(sum(18 + octet_length(encode(text))
+        |    + 5 * greatest(1,
+        |        CAST(ceil(octet_length(encode(text)) / 65535.0) AS BIGINT)))
         |    AS BIGINT) AS total_stored,
         |  CAST(count(*) AS BIGINT) AS n_ok_stored,
         |  CAST(count(*) AS BIGINT) AS n_ok_lz
@@ -5755,9 +5778,9 @@ object SparkEntry {
         |)
         |SELECT doc_id,
         |  200 AS status,
-        |  CAST(77 + strlen(CAST(strlen(html) AS VARCHAR)) + strlen(html) AS BIGINT)
-        |    AS content_length,
-        |  CAST(strlen(html) AS BIGINT) AS body_len,
+        |  CAST(77 + strlen(CAST(octet_length(encode(html)) AS VARCHAR))
+        |    + octet_length(encode(html)) AS BIGINT) AS content_length,
+        |  CAST(octet_length(encode(html)) AS BIGINT) AS body_len,
         |  trim('Doc ' || doc_id || ' Doc ' || doc_id || ' '
         |    || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt
         |FROM h ORDER BY doc_id""".stripMargin,
@@ -5865,6 +5888,19 @@ object SparkEntry {
     "bz2_roundtrip" ->
       """SELECT doc_id, text AS txt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // storedSize replay: 4 magic + 1 descriptor + fcs(1 if n<256 else
+    // 2; corpus max 577 B) + 3 per block (one: max doc ≪ 128 KiB) +
+    // n + 4 checksum.
+    "zstd_roundtrip" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(12 + n + CASE WHEN n < 256 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS stored_len,
+        |  CAST(1 AS INTEGER) AS ok_stored,
+        |  text AS txt
+        |FROM t ORDER BY doc_id""".stripMargin,
     "web_robots_meta" ->
       """SELECT DISTINCT source AS domain,
         |  1.5 AS delay_graftbot,
@@ -5924,9 +5960,9 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "decompress_auto" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |  CASE CAST(doc_id % 5 AS INTEGER)
         |    WHEN 0 THEN 'gzip' WHEN 1 THEN 'bzip2' WHEN 2 THEN 'xz'
-        |    ELSE 'raw' END AS format,
+        |    WHEN 3 THEN 'zstd' ELSE 'raw' END AS format,
         |  text AS txt
         |FROM documents ORDER BY doc_id""".stripMargin,
     // storedXzSize replay for single-chunk texts (corpus max 577 B ≪

@@ -3,29 +3,54 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Unified decompression dispatch over the three hand-written codecs
+/** Unified decompression dispatch over the four hand-written codecs
   * — the compression sibling of [[Multimodal.extractAudioMeta]]'s
   * seven-format audio dispatcher: a mixed crawl/dump corpus carries
-  * `.gz`, `.bz2` and `.xz` blobs side by side, and ingest wants ONE
-  * call that sniffs magic bytes and routes.
+  * `.gz`, `.bz2`, `.xz` and `.zst` blobs side by side, and ingest
+  * wants ONE call that sniffs magic bytes and routes.
   *
   * Probes are mutually disjoint by construction (distinct magic
-  * prefixes: `1f 8b`, `BZh`, `fd 37 7a 58 5a 00`); a payload matching
-  * none is reported `format = "raw"` and passed through UNCHANGED —
-  * uncompressed members in a mixed bucket are data, not errors — while
-  * a payload that MATCHES a magic but fails to decode fails loudly
-  * (a truncated gzip member must not silently pass through as
-  * "raw"). Row-local. */
+  * prefixes: `1f 8b`, `BZh`, `fd 37 7a 58 5a 00`, `28 b5 2f fd`); a
+  * payload matching none is reported `format = "raw"` and passed
+  * through UNCHANGED — uncompressed members in a mixed bucket are
+  * data, not errors — while a payload that MATCHES a magic (or a
+  * truncated prefix of one) but fails to decode fails loudly: a cut
+  * gzip member must not silently pass through as "raw". Row-local. */
 object Decompress {
 
-  /** Sniffed format of a payload: "gzip", "bzip2", "xz" or "raw". */
+  private val GzipMagic = Array(0x1f, 0x8b)
+  private val Bzip2Magic = Array('B'.toInt, 'Z'.toInt, 'h'.toInt)
+  private val XzMagic = Array(0xfd, '7'.toInt, 'z'.toInt, 'X'.toInt, 'Z'.toInt, 0)
+  private val ZstdMagic = Array(0x28, 0xb5, 0x2f, 0xfd)
+
+  /** True when every AVAILABLE byte matches the magic's prefix (at
+    * least 2 bytes present). A payload shorter than the full magic but
+    * carrying its prefix still classifies, so the subsequent decode
+    * fails loudly instead of the blob passing through as "raw". */
+  private def magicPrefix(b: Array[Byte], magic: Array[Int]): Boolean = {
+    if (b.length < 2) false
+    else {
+      val n = math.min(b.length, magic.length)
+      var i = 0
+      while (i < n) {
+        if ((b(i) & 0xff) != magic(i)) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Sniffed format: "gzip", "bzip2", "xz", "zstd" or "raw". Each magic
+    * is checked against the bytes actually present, so a truncated
+    * magic-prefixed payload classifies as its format (and then fails
+    * loudly in decode) rather than slipping through as raw. */
   def sniff(b: Array[Byte]): String =
-    if (b == null || b.length < 6) "raw"
-    else if ((b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b) "gzip"
-    else if (b(0) == 'B' && b(1) == 'Z' && b(2) == 'h' &&
-      b(3) >= '1' && b(3) <= '9') "bzip2"
-    else if ((b(0) & 0xff) == 0xfd && b(1) == '7' && b(2) == 'z' &&
-      b(3) == 'X' && b(4) == 'Z' && b(5) == 0) "xz"
+    if (b == null) "raw"
+    else if (magicPrefix(b, GzipMagic)) "gzip"
+    else if (magicPrefix(b, Bzip2Magic) &&
+      (b.length < 4 || (b(3) >= '1' && b(3) <= '9'))) "bzip2"
+    else if (magicPrefix(b, XzMagic)) "xz"
+    else if (magicPrefix(b, ZstdMagic)) "zstd"
     else "raw"
 
   /** Decompress one payload by sniffed format (identity for "raw"). */
@@ -33,6 +58,7 @@ object Decompress {
     case "gzip" => ("gzip", Gzip.gunzip(b))
     case "bzip2" => ("bzip2", Bzip2.decode(b))
     case "xz" => ("xz", Xz.decode(b))
+    case "zstd" => ("zstd", Zstd.decode(b))
     case _ => ("raw", b)
   }
 

@@ -354,7 +354,10 @@ object WebArchive {
       do {
         sb.append(s, last, m.start())
         val cp = parse(m.group(1))
-        if (Character.isValidCodePoint(cp) && cp != 0) sb.appendCodePoint(cp)
+        // reject surrogate code points: appendCodePoint would emit an
+        // ill-formed UTF-16 string that UTF-8 re-encoding mangles
+        if (Character.isValidCodePoint(cp) && cp != 0 &&
+          !(cp >= 0xD800 && cp <= 0xDFFF)) sb.appendCodePoint(cp)
         last = m.end()
       } while (m.find())
       sb.append(s, last, s.length)

@@ -60,7 +60,9 @@ object WikiDump {
       do {
         sb.append(s, last, m.start())
         val cp = Integer.parseInt(m.group(1))
-        if (Character.isValidCodePoint(cp) && cp != 0) sb.appendCodePoint(cp)
+        // surrogate code points rejected: ill-formed UTF-16 otherwise
+        if (Character.isValidCodePoint(cp) && cp != 0 &&
+          !(cp >= 0xD800 && cp <= 0xDFFF)) sb.appendCodePoint(cp)
         last = m.end()
       } while (m.find())
       sb.append(s, last, s.length)

@@ -417,6 +417,8 @@ object Xz {
       pos += 12
       var inStream = true
       while (inStream) {
+        require(pos < bytes.length,
+          "truncated xz stream (missing index indicator)")
         if (bytes(pos) == 0) {
           // index
           val idxStart = pos
@@ -430,13 +432,16 @@ object Xz {
             r += 1
           }
           while ((pos - idxStart) % 4 != 0) {
-            require(bytes(pos) == 0, "nonzero xz index padding")
+            require(pos < bytes.length && bytes(pos) == 0,
+              "nonzero or truncated xz index padding")
             pos += 1
           }
+          require(pos + 4 <= bytes.length, "truncated xz index CRC")
           require(le32(bytes, pos) == crc32of(bytes, idxStart, pos - idxStart),
             "xz index CRC mismatch")
           pos += 4
           // footer: CRC32, backward size, stream flags, "YZ"
+          require(pos + 12 <= bytes.length, "truncated xz footer")
           require(le32(bytes, pos) == crc32of(bytes, pos + 4, 6),
             "xz footer CRC mismatch")
           require(bytes(pos + 8) == 0 && (bytes(pos + 9) & 0xff) == check,
@@ -451,6 +456,8 @@ object Xz {
           // block
           val headerStart = pos
           val headerSize = ((bytes(pos) & 0xff) + 1) * 4
+          require(headerStart + headerSize <= bytes.length,
+            "truncated xz block header")
           val flags = bytes(pos + 1) & 0xff
           val nFilters = (flags & 3) + 1
           require(nFilters == 1, s"xz filter chains of $nFilters filters are not supported")
@@ -477,21 +484,25 @@ object Xz {
           pos = decodeLzma2(bytes, pos, blockOut)
           // block padding to 4 bytes (measured from the header start)
           while ((pos - headerStart) % 4 != 0) {
-            require(bytes(pos) == 0, "nonzero xz block padding")
+            require(pos < bytes.length && bytes(pos) == 0,
+              "nonzero or truncated xz block padding")
             pos += 1
           }
           val data = blockOut.toByteArray
           check match {
             case 0 =>
             case 1 =>
+              require(pos + 4 <= bytes.length, "truncated xz block CRC32")
               require(le32(bytes, pos) == crc32of(data, 0, data.length),
                 "xz block CRC32 mismatch")
               pos += 4
             case 4 =>
+              require(pos + 8 <= bytes.length, "truncated xz block CRC64")
               require(le64(bytes, pos) == crc64(data, 0, data.length),
                 "xz block CRC64 mismatch")
               pos += 8
             case 10 =>
+              require(pos + 32 <= bytes.length, "truncated xz block SHA-256")
               val md = java.security.MessageDigest.getInstance("SHA-256")
               val want = java.util.Arrays.copyOfRange(bytes, pos, pos + 32)
               require(java.util.Arrays.equals(md.digest(data), want),

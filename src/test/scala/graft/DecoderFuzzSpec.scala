@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Bzip2, Gzip, PdfCodec, TarCodec, Xz}
+import graft.operators.{Bzip2, Gzip, PdfCodec, TarCodec, Xz, Zstd}
 
 /** Mutation fuzz over every hand-written decoder: flip 1-3 random
   * bits in a valid stream; the decoder must either succeed or throw
@@ -21,6 +21,8 @@ class DecoderFuzzSpec extends AnyFunSuite {
     ("gzip-stored", Gzip.gzip(raw, stored = true), b => Gzip.gunzip(b)),
     ("bzip2", Bzip2.encode(raw), b => Bzip2.decode(b)),
     ("xz", Xz.encode(raw), b => Xz.decode(b)),
+    ("zstd", Zstd.encode(raw), b => Zstd.decode(b)),
+    ("zstd-stored", Zstd.encodeStored(raw), b => Zstd.decode(b)),
     ("tar", TarCodec.encode(Seq(TarCodec.Entry("a", raw))), b => TarCodec.decode(b)),
     ("pdf", PdfCodec.encode(new String(raw, UTF_8), None, flate = true),
       b => PdfCodec.extractText(b)))
@@ -38,6 +40,25 @@ class DecoderFuzzSpec extends AnyFunSuite {
         case _: IllegalArgumentException => ()
         case e: Throwable =>
           fail(s"$name trial $trial leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
+  test("truncations fail with IllegalArgumentException, never an index error") {
+    // every prefix length for short streams, a stride for long ones —
+    // exercises the mid-structure cut paths (index/footer/checksum)
+    // that random bit flips almost never reach
+    for ((name, good, dec) <- streams) {
+      val step = math.max(1, good.length / 256)
+      var cut = 0
+      while (cut < good.length) {
+        try { dec(java.util.Arrays.copyOf(good, cut)); () }
+        catch {
+          case _: IllegalArgumentException => ()
+          case e: Throwable =>
+            fail(s"$name truncated at $cut leaked ${e.getClass.getName}: ${e.getMessage}")
+        }
+        cut += step
       }
     }
   }
