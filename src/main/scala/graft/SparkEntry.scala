@@ -2615,6 +2615,28 @@ object SparkEntry {
       import s.implicits._
       ms.map(m => (m.rank, m.left, m.right)).toDF("rank", "lhs", "rhs").orderBy("rank")
     }),
+    // Batched trainer against the SAME independent symbol-table oracle
+    // as text_bpe_train: the safe-prefix machinery (triple bounds,
+    // disjointness, stop-on-unsafe) must reproduce the sequential
+    // merges exactly.
+    "text_bpe_train_batched" -> ((s, dir) => {
+      val ms = Bpe.trainBatched(tbl(s, dir, "documents"), "text", k = 3, batch = 3)
+      import s.implicits._
+      ms.map(m => (m.rank, m.left, m.right)).toDF("rank", "lhs", "rhs").orderBy("rank")
+    }),
+    // Deeper equivalence at production-like shape: 16 merges in
+    // batches of 8 must match 16 sequential driver rounds merge-for-
+    // merge (the per-rank equality is computed in-engine; the oracle
+    // pins that every rank agrees).
+    "text_bpe_train_batched_deep" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val seqMs = Bpe.train(docs, "text", k = 16)
+      val batMs = Bpe.trainBatched(docs, "text", k = 16, batch = 8)
+      import s.implicits._
+      seqMs.zip(batMs).map { case (a, b) =>
+        (a.rank, a.left == b.left && a.right == b.right && a.rank == b.rank)
+      }.toDF("rank", "same").orderBy("rank")
+    }),
     // Train + encode end-to-end: per-doc token counts under the 3
     // learned merges. The oracle re-derives the merges AND re-encodes
     // every word from the round-3 symbol table.
@@ -5847,6 +5869,17 @@ object SparkEntry {
          |  UNION ALL SELECT 1, pr FROM m2
          |  UNION ALL SELECT 2, pr FROM m3)
          |ORDER BY rank""".stripMargin,
+    "text_bpe_train_batched" ->
+      s"""$bpeCtes
+         |SELECT rank, split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs
+         |FROM (
+         |  SELECT 0 AS rank, pr FROM m1
+         |  UNION ALL SELECT 1, pr FROM m2
+         |  UNION ALL SELECT 2, pr FROM m3)
+         |ORDER BY rank""".stripMargin,
+    "text_bpe_train_batched_deep" ->
+      """SELECT CAST(x AS INTEGER) AS rank, TRUE AS same
+        |FROM range(16) t(x) ORDER BY rank""".stripMargin,
     "text_bpe_encode" ->
       s"""$bpeCtes, wordtok AS (
          |  SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS ntok

@@ -47,6 +47,45 @@ class BpeSpec extends SparkSpec {
       Seq((1L, 6L), (2L, 0L), (3L, 1L)))
   }
 
+  test("trainBatched == train on the classic corpus at every batch size") {
+    val docs = Seq(
+      (1L, "low low low"),
+      (2L, "lower lower"),
+      (3L, "newest")).toDF("doc_id", "text")
+    val seq = Bpe.train(docs, "text", k = 5)
+    for (b <- Seq(1, 2, 3, 8)) {
+      assert(Bpe.trainBatched(docs, "text", k = 5, batch = b) == seq,
+        s"batched(batch=$b) diverged from sequential")
+    }
+  }
+
+  test("trainBatched stops the batch on overlapping candidates (chain case)") {
+    // 'aaaa...' words make every top candidate share symbols: round 1
+    // candidates are (a,a) then pairs involving the new 'aa' symbol —
+    // the safe prefix must be size 1 each round, batched must still
+    // equal sequential exactly
+    val docs = Seq(
+      (1L, "aaaaaa aaaaaa aaaa"),
+      (2L, "aaaa aa")).toDF("doc_id", "text")
+    val seq = Bpe.train(docs, "text", k = 4)
+    assert(Bpe.trainBatched(docs, "text", k = 4, batch = 4) == seq)
+  }
+
+  test("trainBatched == train on a mixed-frequency corpus where created pairs matter") {
+    // 'th' merges create ('th','e') pairs with high counts — the
+    // triple bound must keep any candidate the creation could outrank
+    // out of the batch
+    val docs = Seq(
+      (1L, "the the the the then then there is is is in in on"),
+      (2L, "the then there these those them is in on at it"),
+      (3L, "is it at on in the")).toDF("doc_id", "text")
+    val seq = Bpe.train(docs, "text", k = 8)
+    for (b <- Seq(2, 4, 8)) {
+      assert(Bpe.trainBatched(docs, "text", k = 8, batch = b) == seq,
+        s"batched(batch=$b) diverged from sequential")
+    }
+  }
+
   test("train+encode round-trip on a corpus slice agrees with direct word-table math") {
     val docs = Seq(
       (1L, "spark spark spark row row table"),
