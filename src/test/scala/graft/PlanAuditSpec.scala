@@ -510,4 +510,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodes(p, "Exchange") <= 1, p)
     assert(!p.contains("Join"), p)
   }
+
+  test("pagerank iteration: edge bytes never re-shuffle — ONE exchange per round, none edge-side") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.functions.col
+    // AQE off for a deterministic walkable tree (the invariant itself
+    // is AQE-independent: EnsureRequirements honors the checkpointed
+    // partitioning either way)
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    val probes = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      spark.conf.set(key, "false")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val e = docs.select(col("doc_id").as("src"), ((col("doc_id") * 7 + 1) % n).as("dst"))
+        .unionAll(docs.select(col("doc_id").as("src"), ((col("doc_id") * 13 + 3) % n).as("dst")))
+      graft.operators.Graph.pageRank(e, iters = 3, iterationProbe = probes += _)
+    } finally spark.conf.set(key, prev)
+    assert(probes.size == 3)
+    // iterations 2..3 run entirely from the checkpointed, pre-partitioned
+    // tables — the steady state a 100-iteration crawl ranking lives in
+    for ((df, i) <- probes.zipWithIndex.drop(1)) {
+      val exec = df.queryExecution.executedPlan
+      val exchanges = exec.collect { case s: ShuffleExchangeExec => s }
+      assert(exchanges.size == 1,
+        s"iteration ${i + 1}: expected exactly the transpose exchange, got ${exchanges.size}:\n$exec")
+      // the one exchange moves partial-aggregated (node, csum) pairs —
+      // its input schema must be rank-vector shaped, not edge shaped
+      assert(!exchanges.head.child.output.map(_.name).contains("dst"),
+        s"iteration ${i + 1}: the exchange carries edge rows:\n$exec")
+      // and the rank join's edge side (the child producing dst) holds
+      // no exchange anywhere beneath it
+      val joins: Seq[(SparkPlan, SparkPlan)] = exec.collect {
+        case j: SortMergeJoinExec => Seq((j.left, j.right))
+        case j: ShuffledHashJoinExec => Seq((j.left, j.right))
+        case j: BroadcastHashJoinExec => Seq((j.left, j.right))
+      }.flatten
+      val edgeSides = joins.collect {
+        case (l, r) if l.output.exists(_.name == "dst") => l
+        case (l, r) if r.output.exists(_.name == "dst") => r
+      }
+      assert(edgeSides.nonEmpty, s"iteration ${i + 1}: no rank join found:\n$exec")
+      for (side <- edgeSides)
+        assert(side.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+          s"iteration ${i + 1}: edge-side exchange:\n$exec")
+    }
+  }
 }
