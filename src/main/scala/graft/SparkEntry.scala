@@ -2754,6 +2754,19 @@ object SparkEntry {
       val shards = WikiDump.multistreamBuild(tbl(s, dir, "documents"), shards = 64)
       WikiDump.multistreamIngest(shards)
     }),
+    // Same ingest through the REAL dump shape: ONE monolithic
+    // multistream file + its published offset index. Stream extents
+    // come from the index's distinct offsets; each task ranged-reads
+    // and decodes its streams — intra-file parallelism = stream count,
+    // not file count. Oracle identical to wiki_dump_ingest.
+    "wiki_multistream_indexed" -> ((s, dir) => {
+      val (blob, idxBz) =
+        WikiDump.multistreamMonoBuild(tbl(s, dir, "documents"), streams = 64)
+      val out = java.nio.file.Paths.get(scratchDir("wikimono"), "dump.xml.bz2")
+      java.nio.file.Files.write(out, blob)
+      val index = WikiDump.multistreamIndexParse(s, idxBz)
+      WikiDump.multistreamIngestIndexed(out.toString, index)
+    }),
     // Mixed-corpus decompression dispatch: per doc the payload is
     // compressed with a bucket-chosen codec (gzip / bzip2 / xz / raw
     // by doc_id%4) and ONE auto call must sniff and route — the
@@ -5986,6 +5999,12 @@ object SparkEntry {
     // collapsed document text (bold title, piped-link label "page",
     // template/ref/category stripped, heading text kept).
     "wiki_dump_ingest" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id AS title,
+        |  'Doc ' || doc_id || ' is a page about something. Content '
+        |    || trim(regexp_replace(text, '\s+', ' ', 'g')) AS txt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "wiki_multistream_indexed" ->
       """SELECT doc_id,
         |  'Doc ' || doc_id AS title,
         |  'Doc ' || doc_id || ' is a page about something. Content '

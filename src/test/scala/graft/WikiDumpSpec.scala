@@ -89,4 +89,50 @@ class WikiDumpSpec extends SparkSpec {
     assert(out(0).getString(2) ==
       "Doc 0 is a page about something. Content alpha beta gamma content here")
   }
+
+  test("monolithic file + index: extents recover every page; index offsets are real stream starts") {
+    val docs = (0L until 10L).map(i => (i, s"body words of doc number $i"))
+      .toDF("doc_id", "text")
+    val (blob, idxBz) = WikiDump.multistreamMonoBuild(docs, streams = 4)
+    // the index parses and covers all 10 pages over 4 distinct offsets
+    val idx = WikiDump.multistreamIndexParse(spark, idxBz)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(idx.length == 10)
+    assert(idx.map(_._1).distinct.length == 4)
+    assert(idx.map(_._2).toSeq == (0L until 10L))
+    assert(idx.forall { case (_, id, t) => t == s"Doc $id" })
+    // every offset is a byte position where an independent bzip2
+    // stream begins (the published-index contract a range reader
+    // relies on): decoding from each offset to the next succeeds
+    val offs = idx.map(_._1).distinct.sorted :+ blob.length.toLong
+    for (Array(a, b) <- offs.sliding(2)) {
+      val xml = new String(Bzip2.decode(
+        java.util.Arrays.copyOfRange(blob, a.toInt, b.toInt)), UTF_8)
+      assert(xml.contains("<page>"))
+    }
+    // full indexed ingest from a real file path round-trips all pages
+    val dir = java.nio.file.Files.createTempDirectory("graft_wikimono_spec")
+    val path = dir.resolve("dump.xml.bz2")
+    java.nio.file.Files.write(path, blob)
+    try {
+      val got = WikiDump.multistreamIngestIndexed(
+        path.toString, WikiDump.multistreamIndexParse(spark, idxBz))
+        .orderBy("doc_id").collect()
+      assert(got.length == 10)
+      assert(got.map(_.getLong(0)).toSeq == (0L until 10L))
+      assert(got(3).getString(1) == "Doc 3")
+      assert(got(3).getString(2) ==
+        "Doc 3 is a page about something. Content body words of doc number 3")
+      // intra-file parallelism is visible in the plan: the decode is a
+      // MapPartitions over the extent rows, never a single-blob pass
+      val p = WikiDump.multistreamIngestIndexed(
+        path.toString, WikiDump.multistreamIndexParse(spark, idxBz))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("MapPartitions"), p)
+    } finally {
+      java.nio.file.Files.deleteIfExists(path)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
 }
