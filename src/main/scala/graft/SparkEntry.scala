@@ -2517,6 +2517,18 @@ object SparkEntry {
           col("body_len"), col("txt"))
         .orderBy("doc_id")
     }),
+    // The same ingest against COMPRESSED crawl bodies: per doc the
+    // HTTP response is Content-Encoding gzip / deflate(zlib) /
+    // identity by doc_id%3, and the extractor must see the decoded
+    // bytes — a real crawl's origin-compressed mix. The oracle replays
+    // the extracted text; any body reaching the HTML extractor
+    // undecoded destroys it.
+    "web_warc_encoded" -> ((s, dir) => {
+      val blobs = WebArchive.warcEncodedBuild(tbl(s, dir, "documents"), groups = 16)
+      WebArchive.warcIngest(blobs)
+        .select(col("doc_id"), col("status"), col("txt"))
+        .orderBy("doc_id")
+    }),
     // Composed crawl curation: ingest (as above) → whitespace token
     // count on the EXTRACTED text → quality floor → census. Pins the
     // pipeline hand-off: extraction output feeds the existing text
@@ -5819,6 +5831,12 @@ object SparkEntry {
         |  trim('Doc ' || doc_id || ' Doc ' || doc_id || ' '
         |    || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt
         |FROM h ORDER BY doc_id""".stripMargin,
+    "web_warc_encoded" ->
+      """SELECT doc_id,
+        |  200 AS status,
+        |  trim('Doc ' || doc_id || ' Doc ' || doc_id || ' '
+        |    || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Extracted text = 'Doc N Doc N ' + collapsed body, so its
     // whitespace token count is 4 + the original's.
     "web_crawl_pipeline" ->

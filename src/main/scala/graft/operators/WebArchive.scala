@@ -215,6 +215,72 @@ object WebArchive {
     HttpResponse(status, headers, body)
   }
 
+  /** zlib envelope (RFC 1950) around [[Gzip.deflateFixed]]: the
+    * `deflate` Content-Encoding is this wrapper, NOT a bare RFC 1951
+    * stream. CMF/FLG = 0x78 0x9C (CM=8, CINFO=7, FCHECK valid, no
+    * FDICT), Adler-32 trailer big-endian. */
+  def zlibDeflate(raw: Array[Byte]): Array[Byte] = {
+    val body = Gzip.deflateFixed(raw)
+    val ad = new java.util.zip.Adler32()
+    ad.update(raw)
+    val a = ad.getValue
+    val out = new Array[Byte](2 + body.length + 4)
+    out(0) = 0x78
+    out(1) = 0x9c.toByte
+    System.arraycopy(body, 0, out, 2, body.length)
+    out(2 + body.length) = ((a >>> 24) & 0xff).toByte
+    out(3 + body.length) = ((a >>> 16) & 0xff).toByte
+    out(4 + body.length) = ((a >>> 8) & 0xff).toByte
+    out(5 + body.length) = (a & 0xff).toByte
+    out
+  }
+
+  /** Decode a zlib (RFC 1950) stream: header validated (CM=8, FCHECK,
+    * preset dictionaries rejected), raw-deflate inflate, Adler-32
+    * verified. */
+  def zlibInflate(b: Array[Byte]): Array[Byte] = {
+    require(b.length >= 6, s"zlib stream too short: ${b.length} bytes")
+    val cmf = b(0) & 0xff
+    val flg = b(1) & 0xff
+    require((cmf & 0x0f) == 8, s"zlib CM ${cmf & 0x0f} != 8 (deflate)")
+    require(((cmf << 8) | flg) % 31 == 0, "zlib header FCHECK invalid")
+    require((flg & 0x20) == 0, "zlib FDICT preset dictionary unsupported")
+    val (raw, end) = Gzip.inflateRaw(b, 2)
+    require(end + 4 <= b.length, "zlib stream missing Adler-32 trailer")
+    val want = ((b(end) & 0xffL) << 24) | ((b(end + 1) & 0xffL) << 16) |
+      ((b(end + 2) & 0xffL) << 8) | (b(end + 3) & 0xffL)
+    val ad = new java.util.zip.Adler32()
+    ad.update(raw)
+    require(ad.getValue == want,
+      f"zlib Adler-32 mismatch: got ${ad.getValue}%08x, want $want%08x")
+    raw
+  }
+
+  /** Decode an HTTP body per its Content-Encoding header (RFC 9110
+    * §8.4.1): absent/`identity` passes through; `gzip`/`x-gzip` through
+    * [[Gzip.gunzip]]; `deflate` through [[zlibInflate]]. A comma list
+    * applies in reverse (encodings nest outermost-last). `br` (brotli,
+    * RFC 7932) is RECOGNIZED BY NAME and fails loudly: its decode
+    * requires the spec's embedded ~120 KiB static dictionary — published
+    * DATA, not derivable structure — so it stays unimplemented rather
+    * than half-wrong; any other token also fails loudly. A compressed
+    * crawl body must never reach the HTML extractor undecoded. */
+  def decodeHttpBody(h: HttpResponse): Array[Byte] =
+    h.headers.getOrElse("content-encoding", "identity")
+      .split(',').iterator.map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
+      .foldRight(h.body) { (enc, b) =>
+        enc match {
+          case "identity" => b
+          case "gzip" | "x-gzip" => Gzip.gunzip(b)
+          case "deflate" => zlibInflate(b)
+          case "br" => throw new IllegalArgumentException(
+            "Content-Encoding 'br' (brotli) recognized but unsupported: " +
+              "decoding needs RFC 7932's static dictionary")
+          case other => throw new IllegalArgumentException(
+            s"unsupported Content-Encoding '$other'")
+        }
+      }
+
   // ---- HTML → text -----------------------------------------------------
 
   private val PComment = Pattern.compile("(?s)<!--.*?-->")
@@ -394,6 +460,36 @@ object WebArchive {
       .toDF("group_id", "data")
   }
 
+  /** [[warcGzipBuild]] with per-doc HTTP Content-Encoding — the real
+    * crawl mix, where origin servers answer compressed: doc_id%3 picks
+    * gzip / deflate(zlib) / identity, the header carries the token and
+    * Content-Length counts the WIRE bytes. [[warcIngest]] must decode
+    * every body back to the same extracted text. */
+  def warcEncodedBuild(docs: DataFrame, groups: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 % groups)
+      .mapGroups { (g, it) =>
+        val records = it.toSeq.sortBy(_._1).map { case (id, text) =>
+          val html = synthesizeHtml(id, text).getBytes(UTF_8)
+          val (enc, body) = (id % 3) match {
+            case 0 => (Some("gzip"), Gzip.gzip(html))
+            case 1 => (Some("deflate"), zlibDeflate(html))
+            case _ => (None, html)
+          }
+          val headers = Map("Content-Type" -> "text/html; charset=utf-8") ++
+            enc.map("Content-Encoding" -> _)
+          val http = buildHttpResponse(200, "OK", headers, body)
+          buildRecord("response", s"<urn:uuid:$id>", s"https://example.com/doc/$id",
+            "2026-01-01T00:00:00Z", "application/http; msgtype=response", http)
+        }
+        (g, buildGzippedWarc(records))
+      }
+      .toDF("group_id", "data")
+  }
+
   /** Deterministic HTML synthesis for gates/tests: a title, a styled
     * head, a comment, the escaped body text, and a script element —
     * extraction must strip all chrome and recover
@@ -417,7 +513,9 @@ object WebArchive {
           require(r.warcType == "response", s"unexpected WARC-Type '${r.warcType}'")
           val id = r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong
           val http = parseHttpResponse(r.payload)
-          val txt = htmlToText(new String(http.body, UTF_8))
+          // body_len stays the WIRE length; the text extractor sees the
+          // Content-Encoding-decoded bytes (gzip/deflate crawl bodies)
+          val txt = htmlToText(new String(decodeHttpBody(http), UTF_8))
           (id, http.status, r.contentLength.toLong, http.body.length.toLong, txt)
         }
       }

@@ -82,6 +82,35 @@ object ScalingProbe {
     (math.min(w1, w2), totalShuffleBytes(df), rows)
   }
 
+  private final class ShuffleBytesListener
+      extends org.apache.spark.scheduler.SparkListener {
+    @volatile var bytes = 0L
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+  }
+
+  /** Like [[timed]] but sums LISTENER-observed shuffle-write bytes over
+    * every stage the second build executes — required for ops that run
+    * through multiple actions (PageRank's per-iteration checkpoints),
+    * where the final plan is a bare RDD scan and AQE mapStats see
+    * nothing. The listener bus is async: a short drain pause before
+    * reading keeps the sum complete. */
+  private def timedListener(spark: org.apache.spark.sql.SparkSession,
+      build: () => DataFrame): (Double, Long, Long) = {
+    val t1 = System.nanoTime()
+    build().collect()
+    val w1 = (System.nanoTime() - t1) / 1e9
+    val l = new ShuffleBytesListener
+    spark.sparkContext.addSparkListener(l)
+    val t2 = System.nanoTime()
+    val rows = build().collect().length.toLong
+    val w2 = (System.nanoTime() - t2) / 1e9
+    Thread.sleep(2000)
+    spark.sparkContext.removeSparkListener(l)
+    (math.min(w1, w2), l.bytes, rows)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = if (args.length > 1) args(1) else "SCALING.md"
@@ -95,6 +124,11 @@ object ScalingProbe {
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    // fixed tokenizer for the encode probe: trained once on the 1×
+    // corpus (deployment shape — the tokenizer does not retrain as the
+    // corpus grows)
+    val bpeMerges = graft.operators.Bpe.train(docs1, "text", k = 8)
 
     val results = scala.collection.mutable.LinkedHashMap
       .empty[(String, Int), (Double, Long, Long)]
@@ -178,6 +212,75 @@ object ScalingProbe {
           .where(!col("clean")).select(col("doc_id"))
       }
 
+      // 8. wikipedia multistream ingest (wiki_dump_ingest path): shard
+      //    count scales WITH the corpus so pages/shard is constant —
+      //    build (bzip2 encode) and ingest (decode+parse+clean) are
+      //    both row-local; the one shuffle is the build-side grouping
+      results(("wiki_dump_ingest", copies)) = timed { () =>
+        val shards = graft.operators.WikiDump.multistreamBuild(
+          docs, shards = 64 * copies)
+        graft.operators.WikiDump.multistreamIngest(shards).select(col("doc_id"))
+      }
+
+      // 9. BPE encode (text_bpe_encode path): merges are trained ONCE
+      //    on the 1× corpus (a deployed tokenizer is fixed); encoding
+      //    the scaled corpus is pure map work — zero shuffle at any
+      //    scale, wall ~10×
+      results(("bpe_encode", copies)) = timed { () =>
+        graft.operators.Bpe.tokenCounts(docs, "doc_id", "text", bpeMerges)
+      }
+
+      // 10. PageRank, 3 fixed iterations (graph_pagerank path) on the
+      //     gate's modular 2-out-degree graph over the scaled id space.
+      //     Listener-based bytes: iterations run through checkpoints,
+      //     so the final plan's mapStats see nothing. Setup shuffles
+      //     (outdeg join + the two one-time repartitions) amortize over
+      //     any real iteration count; steady-state per-iteration cost
+      //     is ONE rank-vector-sized exchange (the PlanAuditSpec pin).
+      results(("graph_pagerank_3it", copies)) = timedListener(spark, { () =>
+        val e = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * 7 + 1) % nDocs).as("dst"))
+          .unionAll(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * 13 + 3) % nDocs).as("dst")))
+        graft.operators.Graph.pageRank(e, iters = 3)
+      })
+
+      // 11. unified audio metadata dispatch (multimodal_audio_meta_all
+      //     path): the 7-way encode+probe construction of the gate over
+      //     EVERY scaled doc (the gate's own doc_id<350 cap is
+      //     scale-invariant and would measure nothing) — encode and
+      //     meta-extract are row-local, so wall ~10×, shuffle ~0
+      results(("audio_meta_all", copies)) = timed { () =>
+        val M = graft.operators.Multimodal
+        val spec = docs.select(col("doc_id"),
+          (length(col("text")) % 300 + 50).cast("int").as("wframes"),
+          (col("doc_id") % 2 + 1).cast("int").as("ch"),
+          (col("doc_id") % 9 + 1).cast("int").as("frames"),
+          (col("doc_id") % 512 + 16).cast("int").as("pb"),
+          ((col("doc_id") % 50000) * 37 + 1000).cast("long").as("fsamples"),
+          ((col("doc_id") % 50000) * 53 + 480).cast("long").as("osamples"),
+          (col("doc_id") % 200 + 20).cast("int").as("db"),
+          (length(col("text")) % 30000 + 500).cast("long").as("ms"),
+          expr("array(44100, 48000, 32000, 22050)[CAST(doc_id % 4 AS INT)]")
+            .cast("long").as("sr"))
+        def part(k: Int) = spec.where(col("doc_id") % 7 === k)
+        val wav = M.encodeWavFrame(
+          part(0).withColumn("rate", lit(8000)), "doc_id", "wframes", "ch", "rate")
+        val mp3 = M.encodeMp3Frame(
+          part(1).withColumn("bi", lit(9)).withColumn("si", lit(0)),
+          "doc_id", "frames", "bi", "si")
+        val aac = M.encodeAacFrame(
+          part(2).withColumn("si", lit(4)).withColumn("cc", lit(2)),
+          "doc_id", "frames", "si", "cc", "pb")
+        val flac = M.encodeFlacFrame(part(3), "doc_id", "fsamples", "sr", "ch")
+        val opus = M.encodeOpusFrame(part(4), "doc_id", "osamples", "ch", "db")
+        val vorb = M.encodeVorbisFrame(part(5), "doc_id", "osamples", "sr", "ch", "db")
+        val m4a = M.encodeM4aFrame(part(6), "doc_id", "ms", "sr", "ch")
+        val media = Seq(wav, mp3, aac, flac, opus, vorb, m4a).reduce(_ unionAll _)
+        M.extractAudioMeta(media).toDF()
+          .select(col("mediaId").as("doc_id"), col("format"))
+      }
+
       println(s"[scaling] copies=$copies nDocs=$nDocs done")
       docs.unpersist()
     }
@@ -207,10 +310,19 @@ object ScalingProbe {
       "join and the token table starts paying its (linear) share\nof " +
       "exchange bytes. Per-plan the growth stays linear; AQE picks the " +
       "transition\npoint by size, which is exactly what a 100 TB run wants.\n"
+    sb ++= "\ngraph_pagerank_3it is LISTENER-accounted (per-iteration checkpoints " +
+      "hide\nmapStats), so its bytes include the one-time setup shuffles " +
+      "(outdeg join, the\ntwo pinned repartitions) that amortize over real " +
+      "iteration counts, and its 1×\nbaseline is sublinear (AQE coalesces " +
+      "the tiny partitions, compression floors\ndominate at ~0.3 MB) — the " +
+      "ratio overstates growth. The steady-state invariant\nis structural, " +
+      "not statistical: PlanAuditSpec pins each iteration to exactly ONE\n" +
+      "exchange carrying partial-aggregated rank rows, never edge rows.\n"
     sb ++= "\n| op | time 10×/1× | shuffle 10×/1× |\n|---|---|---|\n"
     for (op <- Seq("dedup_lsh_drop", "dedup_incremental_drop",
         "dedup_paragraphs", "remove_dup_spans", "simsearch_ivf",
-        "warc_ingest", "blocklist_scan")) {
+        "warc_ingest", "blocklist_scan", "wiki_dump_ingest",
+        "bpe_encode", "graph_pagerank_3it", "audio_meta_all")) {
       val (s1, b1, _) = results((op, 1))
       val (s10, b10, _) = results((op, 10))
       val bRatio = if (b1 > 0) f"${b10.toDouble / b1}%.1f×" else "n/a"

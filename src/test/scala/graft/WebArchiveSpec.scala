@@ -180,6 +180,85 @@ class WebArchiveSpec extends SparkSpec {
     assert(r1.getLong(2) == 77 + bodyLen.toString.length + bodyLen)
   }
 
+  test("zlib envelope: roundtrip, header/Adler validation, FDICT rejected") {
+    val raw = "deflate body with some repeated repeated repeated text".getBytes(UTF_8)
+    val z = WebArchive.zlibDeflate(raw)
+    assert((z(0) & 0x0f) == 8 && ((z(0) & 0xff) << 8 | (z(1) & 0xff)) % 31 == 0)
+    assert(java.util.Arrays.equals(WebArchive.zlibInflate(z), raw))
+    // corrupt Adler trailer -> loud failure
+    val bad = z.clone(); bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x01).toByte
+    val e1 = intercept[IllegalArgumentException](WebArchive.zlibInflate(bad))
+    assert(e1.getMessage.contains("Adler"))
+    // FDICT flag set -> rejected by name (0x78 0x20: FDICT bit on and
+    // 0x7820 % 31 == 0, so FCHECK itself is valid)
+    val fd = z.clone()
+    fd(1) = 0x20
+    val e2 = intercept[IllegalArgumentException](WebArchive.zlibInflate(fd))
+    assert(e2.getMessage.contains("FDICT"))
+  }
+
+  test("zlib cross-oracle: the system python zlib decodes our stream and we decode its") {
+    val raw = "independent zlib cross check payload 12345".getBytes(UTF_8)
+    def run(code: String, in: Array[Byte]): Array[Byte] = {
+      val pb = new ProcessBuilder("python3", "-c", code)
+      val p = pb.start()
+      p.getOutputStream.write(in); p.getOutputStream.close()
+      val out = p.getInputStream.readAllBytes()
+      assert(p.waitFor() == 0, new String(p.getErrorStream.readAllBytes(), UTF_8))
+      out
+    }
+    val theirs = run(
+      "import zlib,sys; sys.stdout.buffer.write(zlib.compress(sys.stdin.buffer.read()))", raw)
+    assert(java.util.Arrays.equals(WebArchive.zlibInflate(theirs), raw))
+    val back = run(
+      "import zlib,sys; sys.stdout.buffer.write(zlib.decompress(sys.stdin.buffer.read()))",
+      WebArchive.zlibDeflate(raw))
+    assert(java.util.Arrays.equals(back, raw))
+  }
+
+  test("decodeHttpBody: gzip/deflate/identity decode; brotli and unknown fail by name") {
+    val body = "<html><body>hello encoded world</body></html>".getBytes(UTF_8)
+    def resp(enc: Option[String], b: Array[Byte]) = WebArchive.parseHttpResponse(
+      WebArchive.buildHttpResponse(200, "OK",
+        Map("Content-Type" -> "text/html") ++ enc.map("Content-Encoding" -> _), b))
+    assert(java.util.Arrays.equals(
+      WebArchive.decodeHttpBody(resp(None, body)), body))
+    assert(java.util.Arrays.equals(
+      WebArchive.decodeHttpBody(resp(Some("identity"), body)), body))
+    assert(java.util.Arrays.equals(
+      WebArchive.decodeHttpBody(resp(Some("gzip"), Gzip.gzip(body))), body))
+    assert(java.util.Arrays.equals(
+      WebArchive.decodeHttpBody(resp(Some("x-gzip"), Gzip.gzip(body))), body))
+    assert(java.util.Arrays.equals(
+      WebArchive.decodeHttpBody(resp(Some("deflate"), WebArchive.zlibDeflate(body))), body))
+    // nested list applies in reverse: gzip(zlib(body)) under "deflate, gzip"
+    assert(java.util.Arrays.equals(
+      WebArchive.decodeHttpBody(
+        resp(Some("deflate, gzip"), Gzip.gzip(WebArchive.zlibDeflate(body)))), body))
+    val eBr = intercept[IllegalArgumentException](
+      WebArchive.decodeHttpBody(resp(Some("br"), body)))
+    assert(eBr.getMessage.contains("brotli"))
+    val eUnk = intercept[IllegalArgumentException](
+      WebArchive.decodeHttpBody(resp(Some("compress"), body)))
+    assert(eUnk.getMessage.contains("compress"))
+  }
+
+  test("warcEncodedBuild -> warcIngest: compressed wire bodies yield the same text") {
+    val blobs = WebArchive.warcEncodedBuild(docs, groups = 2)
+    val out = WebArchive.warcIngest(blobs).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 17L))
+    // id 1 -> deflate, id 2 -> identity, ids 0/17 -> gzip; text identical
+    assert(out(1).getString(4) == "Doc 1 Doc 1 a & b < c > d")
+    val plain = WebArchive.warcIngest(WebArchive.warcGzipBuild(docs, groups = 2))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(4)).toSeq == plain.map(_.getString(4)).toSeq)
+    // gzip wire body differs from the HTML bytes (it really was encoded)
+    val gzRow = out(0)
+    val plainRow = plain(0)
+    assert(gzRow.getLong(3) != plainRow.getLong(3),
+      "gzip-encoded body should not have the identity body length")
+  }
+
   test("gzipRoundTrip: closed-form stored size, both decodes verified") {
     val out = WebArchive.gzipRoundTrip(docs).orderBy("doc_id").collect()
     assert(out.length == 4)
