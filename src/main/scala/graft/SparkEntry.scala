@@ -335,6 +335,26 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")
     }),
+    // Bucketed co-located join: both sides bucket-written ONCE on the
+    // join key (the 100 TB pattern — pay the shuffle at ingest, join
+    // nightly for free), then joined from the bucketed scans. The
+    // bucket spec lives in the catalog; PlanAuditSpec pins the
+    // exchange-free join plan, this gate pins the numbers through the
+    // full write→catalog→read→join path.
+    "join_bucketed" -> ((s, dir) => {
+      val tag = math.abs(dir.hashCode).toHexString
+      new GraftFrame(tbl(s, dir, "orders")).to_parquet_bucketed(
+        s"orders_bkt_$tag", buckets = 8, by = Seq("o_custkey"))
+      new GraftFrame(tbl(s, dir, "customer")).to_parquet_bucketed(
+        s"customer_bkt_$tag", buckets = 8, by = Seq("c_custkey"))
+      val o = GraftFrame.read_table(s, s"orders_bkt_$tag").df
+      val c = GraftFrame.read_table(s, s"customer_bkt_$tag").df
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
     // HLL++ sketch path for distinct counts (mergeable, bounded memory —
     // the 100 TB route; exact countDistinct double-shuffles the keys).
     // Gate: relative error within 5% of exact (rsd configured at 2%).
@@ -3627,6 +3647,12 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_bucketed" ->
+      """SELECT c_mktsegment,
+        |CAST(count(*) AS BIGINT) AS n_orders,
+        |CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "nunique_approx" -> "SELECT true AS ok_rel_err",
     "nunique_approx_group" ->
       """SELECT l_returnflag, true AS ok_rel_err

@@ -649,6 +649,27 @@ final class GraftFrame(val df: DataFrame) {
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
   def to_csv(path: String, header: Boolean = true, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", header.toString).csv(path)
+  /** Bucketed (+ optionally in-bucket-sorted) parquet table — Spark's
+    * co-located-join layout: rows hash into `buckets` files by `by`,
+    * and a join or aggregation whose keys cover the bucket columns of
+    * both sides (equal bucket counts) needs NO exchange at read time —
+    * at 100 TB that is the difference between shuffling two fact
+    * tables nightly and shuffling neither, paid once at write. Bucket
+    * metadata lives in the catalog, not the files, hence saveAsTable
+    * (lands under `spark.sql.warehouse.dir`); read back with
+    * [[GraftFrame.read_table]]. The pre-write repartition yields ONE
+    * file per bucket so an in-bucket sort also satisfies the merge
+    * join's ordering requirement (multi-file buckets forfeit the
+    * sorted-ness, Spark re-sorts). */
+  def to_parquet_bucketed(table: String, buckets: Int, by: Seq[String],
+      sortCols: Seq[String] = Seq.empty, mode: String = "overwrite"): Unit = {
+    require(by.nonEmpty, "bucketing needs at least one column")
+    val w = df.repartition(buckets, by.map(col): _*)
+      .write.mode(mode).format("parquet")
+      .bucketBy(buckets, by.head, by.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
   /** JSON-Lines sink ([[graft.sources.JsonlReader.writeJsonl]]) — the
     * corpus interchange format; zstd preferred at scale. */
   def to_jsonl(path: String, mode: String = "overwrite",
@@ -671,6 +692,12 @@ object GraftFrame {
   def read_jsonl(spark: SparkSession, path: String,
       opts: graft.sources.JsonlOptions = graft.sources.JsonlOptions()): GraftFrame =
     new GraftFrame(graft.sources.JsonlReader.readJsonl(spark, path, opts))
+
+  /** Catalog table source — the read side of
+    * [[GraftFrame.to_parquet_bucketed]]: scans carry the table's bucket
+    * spec, so joins/aggs on the bucket columns plan exchange-free. */
+  def read_table(spark: SparkSession, table: String): GraftFrame =
+    new GraftFrame(spark.table(table))
 }
 
 /** Grouped-aggregation surface — `df.groupby(keys).agg(...)`.

@@ -511,6 +511,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("bucketed join: both scans co-located — zero exchanges") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val bKey = "spark.sql.autoBroadcastJoinThreshold"
+    val (prevA, prevB) = (spark.conf.get(aqeKey), spark.conf.get(bKey))
+    try {
+      // AQE off for a walkable tree; broadcast off so co-location (not a
+      // trivial broadcast) is what removes the exchanges
+      spark.conf.set(aqeKey, "false")
+      spark.conf.set(bKey, "-1")
+      new graft.api.GraftFrame(spark.read.parquet(s"$dir/orders.parquet"))
+        .to_parquet_bucketed("orders_pin_bkt", buckets = 8,
+          by = Seq("o_custkey"), sortCols = Seq("o_custkey"))
+      new graft.api.GraftFrame(spark.read.parquet(s"$dir/customer.parquet"))
+        .to_parquet_bucketed("customer_pin_bkt", buckets = 8,
+          by = Seq("c_custkey"), sortCols = Seq("c_custkey"))
+      val o = spark.table("orders_pin_bkt")
+      val c = spark.table("customer_pin_bkt")
+      // join on the bucket keys AND an aggregation on them: the whole
+      // pipeline rides the write-time layout, zero exchanges anywhere
+      val j = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(o("o_custkey")).agg(count(lit(1)).as("n"))
+      val exec = j.queryExecution.executedPlan
+      assert(exec.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bucketed join should be exchange-free:\n$exec")
+      // the residual Sorts are PARTITION-LOCAL passes over the already
+      // co-located buckets (since 3.0 Spark conservatively ignores
+      // bucket sort metadata at scan — a bucket may span files — unless
+      // the legacy outputOrdering flag is set); the expensive global
+      // movement is what the zero-exchange assertion above pins away
+      assert(exec.collect { case s: SortExec => s }.forall(!_.global),
+        s"any residual sort must be partition-local:\n$exec")
+      assert(j.collect().length > 0)
+    } finally {
+      spark.conf.set(aqeKey, prevA)
+      spark.conf.set(bKey, prevB)
+      spark.sql("DROP TABLE IF EXISTS orders_pin_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_pin_bkt")
+    }
+  }
+
   test("pagerank iteration: edge bytes never re-shuffle — ONE exchange per round, none edge-side") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
