@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, Layout, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TarCodec, TextOps, UrlOps, WavCodec, WebArchive, WikiDump, Xz, Zstd}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, Layout, Lz4, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TarCodec, TextOps, UrlOps, WavCodec, WebArchive, WikiDump, Xz, Zstd}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -2811,11 +2811,12 @@ object SparkEntry {
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val raw = text.getBytes(UTF_8)
-          val payload = (id % 5) match {
+          val payload = (id % 6) match {
             case 0 => Gzip.gzip(raw)
             case 1 => Bzip2.encode(raw)
             case 2 => Xz.encode(raw)
             case 3 => Zstd.encode(raw)
+            case 4 => Lz4.encode(raw)
             case _ => raw
           }
           val (fmt, out) = Decompress.auto(payload)
@@ -2858,6 +2859,26 @@ object SparkEntry {
             if (java.util.Arrays.equals(Zstd.decode(stored), raw)) 1 else 0
           (id, stored.length.toLong, okStored,
             new String(Zstd.decode(Zstd.encode(raw)), UTF_8))
+        })
+        .toDF("doc_id", "stored_len", "ok_stored", "txt")
+        .orderBy("doc_id")
+    }),
+    // LZ4 frame round-trip per doc: stored-mode size is a closed form
+    // the oracle recomputes (magic + descriptor + content size + one
+    // 64 KiB-block header per block + EndMark + XXH32 checksum), and
+    // the greedy-compressed frame must decode back to the text.
+    "lz4_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.charset.StandardCharsets.UTF_8
+      tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val raw = text.getBytes(UTF_8)
+          val stored = Lz4.encodeStored(raw)
+          val okStored =
+            if (java.util.Arrays.equals(Lz4.decode(stored), raw)) 1 else 0
+          (id, stored.length.toLong, okStored,
+            new String(Lz4.decode(Lz4.encode(raw)), UTF_8))
         })
         .toDF("doc_id", "stored_len", "ok_stored", "txt")
         .orderBy("doc_id")
@@ -5978,6 +5999,17 @@ object SparkEntry {
     "bz2_roundtrip" ->
       """SELECT doc_id, text AS txt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Lz4.storedSize replay: 4 magic + 3 FLG/BD/HC + 8 content size +
+    // n + 4 per 64 KiB block + 4 EndMark + 4 content checksum.
+    "lz4_roundtrip" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(23 + n + 4 * ((n + 65535) // 65536) AS BIGINT) AS stored_len,
+        |  1 AS ok_stored,
+        |  text AS txt
+        |FROM t ORDER BY doc_id""".stripMargin,
     // storedSize replay: 4 magic + 1 descriptor + fcs(1 if n<256 else
     // 2; corpus max 577 B) + 3 per block (one: max doc ≪ 128 KiB) +
     // n + 4 checksum.
@@ -6056,9 +6088,9 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "decompress_auto" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |  CASE CAST(doc_id % 6 AS INTEGER)
         |    WHEN 0 THEN 'gzip' WHEN 1 THEN 'bzip2' WHEN 2 THEN 'xz'
-        |    WHEN 3 THEN 'zstd' ELSE 'raw' END AS format,
+        |    WHEN 3 THEN 'zstd' WHEN 4 THEN 'lz4' ELSE 'raw' END AS format,
         |  text AS txt
         |FROM documents ORDER BY doc_id""".stripMargin,
     // storedXzSize replay for single-chunk texts (corpus max 577 B ≪

@@ -22,6 +22,7 @@ object Decompress {
   private val Bzip2Magic = Array('B'.toInt, 'Z'.toInt, 'h'.toInt)
   private val XzMagic = Array(0xfd, '7'.toInt, 'z'.toInt, 'X'.toInt, 'Z'.toInt, 0)
   private val ZstdMagic = Array(0x28, 0xb5, 0x2f, 0xfd)
+  private val Lz4Magic = Array(0x04, 0x22, 0x4d, 0x18)
 
   /** True when every AVAILABLE byte matches the magic's prefix (at
     * least 2 bytes present). A payload shorter than the full magic but
@@ -40,7 +41,10 @@ object Decompress {
     }
   }
 
-  /** Sniffed format: "gzip", "bzip2", "xz", "zstd" or "raw". Each magic
+  /** Sniffed format: "gzip", "bzip2", "xz", "zstd", "lz4" or "raw".
+    * (Brotli is NOT sniffable — the format has no magic number; its
+    * recognition lives where the metadata is, [[WebArchive
+    * .decodeHttpBody]]'s Content-Encoding handling.) Each magic
     * is checked against the bytes actually present, so a truncated
     * magic-prefixed payload classifies as its format (and then fails
     * loudly in decode) rather than slipping through as raw. */
@@ -51,6 +55,7 @@ object Decompress {
       (b.length < 4 || (b(3) >= '1' && b(3) <= '9'))) "bzip2"
     else if (magicPrefix(b, XzMagic)) "xz"
     else if (magicPrefix(b, ZstdMagic)) "zstd"
+    else if (magicPrefix(b, Lz4Magic)) "lz4"
     else "raw"
 
   /** Decompress one payload by sniffed format (identity for "raw"). */
@@ -59,6 +64,7 @@ object Decompress {
     case "bzip2" => ("bzip2", Bzip2.decode(b))
     case "xz" => ("xz", Xz.decode(b))
     case "zstd" => ("zstd", Zstd.decode(b))
+    case "lz4" => ("lz4", Lz4.decode(b))
     case _ => ("raw", b)
   }
 
