@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, Layout, Lz4, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, TarCodec, TextOps, UrlOps, WavCodec, WebArchive, WikiDump, Xz, Zstd}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, Layout, Lz4, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, UrlOps, WavCodec, WebArchive, WikiDump, Xz, Zstd}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -2811,12 +2811,13 @@ object SparkEntry {
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val raw = text.getBytes(UTF_8)
-          val payload = (id % 6) match {
+          val payload = (id % 7) match {
             case 0 => Gzip.gzip(raw)
             case 1 => Bzip2.encode(raw)
             case 2 => Xz.encode(raw)
             case 3 => Zstd.encode(raw)
             case 4 => Lz4.encode(raw)
+            case 5 => Snappy.encodeFramed(raw)
             case _ => raw
           }
           val (fmt, out) = Decompress.auto(payload)
@@ -2859,6 +2860,28 @@ object SparkEntry {
             if (java.util.Arrays.equals(Zstd.decode(stored), raw)) 1 else 0
           (id, stored.length.toLong, okStored,
             new String(Zstd.decode(Zstd.encode(raw)), UTF_8))
+        })
+        .toDF("doc_id", "stored_len", "ok_stored", "txt")
+        .orderBy("doc_id")
+    }),
+    // Snappy round-trip per doc, BOTH formats: raw block (the
+    // parquet/Hadoop page shape) and framed .sz stream. The all-stored
+    // framed size is a closed form the oracle recomputes; ok_stored
+    // also folds in the block-format roundtrip.
+    "snappy_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.charset.StandardCharsets.UTF_8
+      tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val raw = text.getBytes(UTF_8)
+          val stored = Snappy.encodeFramedStored(raw)
+          val okStored =
+            if (java.util.Arrays.equals(Snappy.decodeFramed(stored), raw) &&
+              java.util.Arrays.equals(Snappy.uncompress(Snappy.compress(raw)), raw))
+              1 else 0
+          (id, stored.length.toLong, okStored,
+            new String(Snappy.decodeFramed(Snappy.encodeFramed(raw)), UTF_8))
         })
         .toDF("doc_id", "stored_len", "ok_stored", "txt")
         .orderBy("doc_id")
@@ -5999,6 +6022,17 @@ object SparkEntry {
     "bz2_roundtrip" ->
       """SELECT doc_id, text AS txt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // framedStoredSize replay: 10-byte stream id + 8 per 64 KiB chunk
+    // + n.
+    "snappy_roundtrip" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(10 + 8 * ((n + 65535) // 65536) + n AS BIGINT) AS stored_len,
+        |  1 AS ok_stored,
+        |  text AS txt
+        |FROM t ORDER BY doc_id""".stripMargin,
     // Lz4.storedSize replay: 4 magic + 3 FLG/BD/HC + 8 content size +
     // n + 4 per 64 KiB block + 4 EndMark + 4 content checksum.
     "lz4_roundtrip" ->
@@ -6088,9 +6122,10 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "decompress_auto" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 6 AS INTEGER)
+        |  CASE CAST(doc_id % 7 AS INTEGER)
         |    WHEN 0 THEN 'gzip' WHEN 1 THEN 'bzip2' WHEN 2 THEN 'xz'
-        |    WHEN 3 THEN 'zstd' WHEN 4 THEN 'lz4' ELSE 'raw' END AS format,
+        |    WHEN 3 THEN 'zstd' WHEN 4 THEN 'lz4' WHEN 5 THEN 'snappy'
+        |    ELSE 'raw' END AS format,
         |  text AS txt
         |FROM documents ORDER BY doc_id""".stripMargin,
     // storedXzSize replay for single-chunk texts (corpus max 577 B ≪

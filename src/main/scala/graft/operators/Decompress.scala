@@ -23,6 +23,9 @@ object Decompress {
   private val XzMagic = Array(0xfd, '7'.toInt, 'z'.toInt, 'X'.toInt, 'Z'.toInt, 0)
   private val ZstdMagic = Array(0x28, 0xb5, 0x2f, 0xfd)
   private val Lz4Magic = Array(0x04, 0x22, 0x4d, 0x18)
+  private val SnappyMagic = // framed .sz stream identifier chunk
+    Array(0xff, 0x06, 0x00, 0x00, 's'.toInt, 'N'.toInt, 'a'.toInt,
+      'P'.toInt, 'p'.toInt, 'Y'.toInt)
 
   /** True when every AVAILABLE byte matches the magic's prefix (at
     * least 2 bytes present). A payload shorter than the full magic but
@@ -41,7 +44,8 @@ object Decompress {
     }
   }
 
-  /** Sniffed format: "gzip", "bzip2", "xz", "zstd", "lz4" or "raw".
+  /** Sniffed format: "gzip", "bzip2", "xz", "zstd", "lz4", "snappy"
+    * (framed .sz only — the raw block format has no magic) or "raw".
     * (Brotli is NOT sniffable — the format has no magic number; its
     * recognition lives where the metadata is, [[WebArchive
     * .decodeHttpBody]]'s Content-Encoding handling.) Each magic
@@ -56,6 +60,7 @@ object Decompress {
     else if (magicPrefix(b, XzMagic)) "xz"
     else if (magicPrefix(b, ZstdMagic)) "zstd"
     else if (magicPrefix(b, Lz4Magic)) "lz4"
+    else if (magicPrefix(b, SnappyMagic)) "snappy"
     else "raw"
 
   /** Decompress one payload by sniffed format (identity for "raw"). */
@@ -65,6 +70,7 @@ object Decompress {
     case "xz" => ("xz", Xz.decode(b))
     case "zstd" => ("zstd", Zstd.decode(b))
     case "lz4" => ("lz4", Lz4.decode(b))
+    case "snappy" => ("snappy", Snappy.decodeFramed(b))
     case _ => ("raw", b)
   }
 
