@@ -2537,6 +2537,38 @@ object SparkEntry {
           col("body_len"), col("txt"))
         .orderBy("doc_id")
     }),
+    // WET sidecar round-trip: conversion records (already-extracted
+    // plain text) built per doc, one gzip member per record, ingested
+    // back without the HTTP/HTML layer. Oracle replays text and its
+    // UTF-8 byte length.
+    "web_wet_ingest" -> ((s, dir) => {
+      val blobs = WebArchive.wetBuild(tbl(s, dir, "documents"), groups = 16)
+      WebArchive.wetIngest(blobs)
+        .select(col("doc_id"), col("n_bytes"), col("txt"))
+        .orderBy("doc_id")
+    }),
+    // WAT sidecar round-trip: metadata records whose JSON envelope
+    // (target URI, title, outlinks) is parsed by Spark's native
+    // from_json against an explicit schema — no UDF in the decode
+    // path. Oracle replays title, link count and the modular first
+    // outlink.
+    "web_wat_ingest" -> ((s, dir) => {
+      val blobs = WebArchive.watBuild(tbl(s, dir, "documents"), groups = 16)
+      WebArchive.watIngest(blobs)
+        .select(col("doc_id"), col("title"), col("n_links"), col("first_link"))
+        .orderBy("doc_id")
+    }),
+    // ORC round-trip: documents written as ORC (the Hive-ecosystem
+    // columnar format) and read back — Spark-native writer/reader
+    // through the GraftFrame facade; the oracle is the source table.
+    "orc_roundtrip" -> ((s, dir) => {
+      val out = s"${scratchDir("orc")}/documents_orc"
+      new GraftFrame(tbl(s, dir, "documents").select(col("doc_id"), col("text")))
+        .to_orc(out)
+      GraftFrame.read_orc(s, out).df
+        .select(col("doc_id"), col("text").as("txt"))
+        .orderBy("doc_id")
+    }),
     // The same ingest against COMPRESSED crawl bodies: per doc the
     // HTTP response is Content-Encoding gzip / deflate(zlib) /
     // identity by doc_id%3, and the extractor must see the decoded
@@ -5901,6 +5933,19 @@ object SparkEntry {
         |  trim('Doc ' || doc_id || ' Doc ' || doc_id || ' '
         |    || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt
         |FROM h ORDER BY doc_id""".stripMargin,
+    "web_wet_ingest" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  text AS txt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "web_wat_ingest" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id AS title,
+        |  CAST(2 AS INTEGER) AS n_links,
+        |  'https://example.com/doc/' || (doc_id * 7 + 1) AS first_link
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "orc_roundtrip" ->
+      "SELECT doc_id, text AS txt FROM documents ORDER BY doc_id",
     "web_warc_encoded" ->
       """SELECT doc_id,
         |  200 AS status,

@@ -649,6 +649,11 @@ final class GraftFrame(val df: DataFrame) {
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
   def to_csv(path: String, header: Boolean = true, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", header.toString).csv(path)
+  /** ORC sink — the other columnar warehouse format (Hive-ecosystem
+    * tables arrive as ORC); Spark's native writer, same predicate
+    * pushdown and column pruning as parquet on read-back. */
+  def to_orc(path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
   /** Bucketed (+ optionally in-bucket-sorted) parquet table — Spark's
     * co-located-join layout: rows hash into `buckets` files by `by`,
     * and a join or aggregation whose keys cover the bucket columns of
@@ -692,6 +697,10 @@ object GraftFrame {
   def read_jsonl(spark: SparkSession, path: String,
       opts: graft.sources.JsonlOptions = graft.sources.JsonlOptions()): GraftFrame =
     new GraftFrame(graft.sources.JsonlReader.readJsonl(spark, path, opts))
+
+  /** ORC source — read side of [[GraftFrame!.to_orc]]. */
+  def read_orc(spark: SparkSession, path: String): GraftFrame =
+    new GraftFrame(spark.read.orc(path))
 
   /** Catalog table source — the read side of
     * [[GraftFrame.to_parquet_bucketed]]: scans carry the table's bucket

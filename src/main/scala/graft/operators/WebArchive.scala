@@ -522,6 +522,100 @@ object WebArchive {
       .toDF("doc_id", "status", "content_length", "body_len", "txt")
   }
 
+  /** Build WET shards — Common Crawl's extracted-text sidecar: one
+    * WARC `conversion` record per doc (plain-text payload, the text a
+    * WET consumer would train on), each record its own gzip member,
+    * members concatenated per group. Mirrors [[warcGzipBuild]]. */
+  def wetBuild(docs: DataFrame, groups: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 % groups)
+      .mapGroups { (g, it) =>
+        val records = it.toSeq.sortBy(_._1).map { case (id, text) =>
+          buildRecord("conversion", s"<urn:uuid:wet-$id>",
+            s"https://example.com/doc/$id", "2026-01-01T00:00:00Z",
+            "text/plain", text.getBytes(UTF_8))
+        }
+        (g, buildGzippedWarc(records))
+      }
+      .toDF("group_id", "data")
+  }
+
+  /** Ingest WET blobs: (doc_id from the target URI, n_bytes, txt).
+    * Unlike [[warcIngest]] there is no HTTP or HTML layer — WET
+    * payloads are already extracted text. Row-local. */
+  def wetIngest(blobs: DataFrame): DataFrame = {
+    val s = blobs.sparkSession
+    import s.implicits._
+    blobs.select(col("data")).as[Array[Byte]]
+      .flatMap { blob =>
+        parseGzippedWarc(blob).map { r =>
+          require(r.warcType == "conversion",
+            s"unexpected WARC-Type '${r.warcType}' in WET input")
+          val id = r.targetUri.substring(r.targetUri.lastIndexOf('/') + 1).toLong
+          (id, r.payload.length.toLong, new String(r.payload, UTF_8))
+        }
+      }
+      .toDF("doc_id", "n_bytes", "txt")
+  }
+
+  /** Build WAT shards — Common Crawl's metadata sidecar: one WARC
+    * `metadata` record per doc whose payload is the WAT JSON envelope
+    * (target URI, page title, outlink list). Deterministic synthetic
+    * links: one absolute (modular target) + one relative. */
+  def watBuild(docs: DataFrame, groups: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 % groups)
+      .mapGroups { (g, it) =>
+        val records = it.toSeq.sortBy(_._1).map { case (id, _) =>
+          val json =
+            s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"https://example.com/doc/$id","WARC-Type":"response"},""" +
+              s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":"Doc $id"},""" +
+              s""""Links":[{"path":"A@/href","url":"https://example.com/doc/${id * 7 + 1}"},{"path":"A@/href","url":"/rel/$id"}]}}}}}"""
+          buildRecord("metadata", s"<urn:uuid:wat-$id>",
+            s"https://example.com/doc/$id", "2026-01-01T00:00:00Z",
+            "application/json", json.getBytes(UTF_8))
+        }
+        (g, buildGzippedWarc(records))
+      }
+      .toDF("group_id", "data")
+  }
+
+  /** Ingest WAT blobs with Spark's native JSON expression (no UDF):
+    * each metadata record's envelope is parsed by `from_json` against
+    * an explicit schema — title, outlink count, first outlink. At
+    * 100 TB the JSON decode is codegen'd columnar work, and the schema
+    * is explicit so a drifting envelope fails loudly instead of
+    * silently nulling. */
+  def watIngest(blobs: DataFrame): DataFrame = {
+    val s = blobs.sparkSession
+    import s.implicits._
+    val schema = "STRUCT<Envelope: STRUCT<`WARC-Header-Metadata`: STRUCT<`WARC-Target-URI`: STRING, `WARC-Type`: STRING>, " +
+      "`Payload-Metadata`: STRUCT<`HTTP-Response-Metadata`: STRUCT<`HTML-Metadata`: " +
+      "STRUCT<Head: STRUCT<Title: STRING>, Links: ARRAY<STRUCT<path: STRING, url: STRING>>>>>>>"
+    val raw = blobs.select(col("data")).as[Array[Byte]]
+      .flatMap { blob =>
+        parseGzippedWarc(blob).map { r =>
+          require(r.warcType == "metadata",
+            s"unexpected WARC-Type '${r.warcType}' in WAT input")
+          new String(r.payload, UTF_8)
+        }
+      }
+      .toDF("json")
+    val parsed = raw.select(from_json(col("json"),
+      org.apache.spark.sql.types.DataType.fromDDL(schema)).as("w"))
+    parsed.select(
+      expr("CAST(regexp_extract(w.Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`, '([0-9]+)$', 1) AS BIGINT)").as("doc_id"),
+      col("w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Head.Title").as("title"),
+      expr("size(w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Links)").cast("int").as("n_links"),
+      expr("w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Links[0].url").as("first_link"))
+  }
+
   /** Gzip round-trip census over docs(doc_id, text): per doc, compress
     * UTF-8 text bytes in BOTH modes (stored + fixed-Huffman LZ77),
     * decompress through [[Gzip.gunzip]], and report

@@ -259,6 +259,27 @@ class WebArchiveSpec extends SparkSpec {
       "gzip-encoded body should not have the identity body length")
   }
 
+  test("WET build -> ingest: conversion records carry extracted text verbatim") {
+    val out = WebArchive.wetIngest(WebArchive.wetBuild(docs, groups = 2))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 17L))
+    assert(out(1).getString(2) == "a & b < c > d")
+    assert(out(1).getLong(1) == "a & b < c > d".getBytes(UTF_8).length)
+    // response-typed records must not pass as WET
+    val e = intercept[Exception](
+      WebArchive.wetIngest(WebArchive.warcGzipBuild(docs, groups = 2)).collect())
+    assert(e.getMessage.contains("WARC-Type"))
+  }
+
+  test("WAT build -> ingest: native from_json parse of the metadata envelope") {
+    val out = WebArchive.watIngest(WebArchive.watBuild(docs, groups = 2))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 17L))
+    assert(out(2).getString(1) == "Doc 2")
+    assert(out(2).getInt(2) == 2)
+    assert(out(2).getString(3) == "https://example.com/doc/15")
+  }
+
   test("gzipRoundTrip: closed-form stored size, both decodes verified") {
     val out = WebArchive.gzipRoundTrip(docs).orderBy("doc_id").collect()
     assert(out.length == 4)
