@@ -436,6 +436,77 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // Order-priority census over orders with at least one returned
+    // item (TPC-H Q4's shape adapted to the fixture columns): the
+    // EXISTS subquery is a LEFT SEMI join — the probe side never
+    // duplicates orders however many lineitems match, and Spark plans
+    // it as a semi hash join, not a distinct-after-inner.
+    "q4_priority" -> ((s, dir) => {
+      val returned = li(s, dir).where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      tbl(s, dir, "orders")
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+    // Bilateral shipping volume (TPC-H Q7's shape): revenue per
+    // (supplier nation, customer nation) pair — the two nation hops
+    // ride broadcast dimension joins; only the lineitem⋈orders spine
+    // shuffles.
+    "q7_volume" -> ((s, dir) => {
+      val n1 = tbl(s, dir, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = tbl(s, dir, "nation").select(
+        col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      li(s, dir)
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(tbl(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .where(col("supp_nation") < col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        // the per-row double product is bitwise-identical in any
+        // engine; casting it to decimal BEFORE the sum makes the
+        // aggregation exact, so a ~7-digit revenue cannot drift in the
+        // cents digit with summation order (q5's smaller sums never
+        // hit this; these do)
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("supp_nation", "cust_nation")
+    }),
+    // Customer order-count distribution (TPC-H Q13's shape): LEFT
+    // OUTER join so zero-order customers land in bucket 0, then a
+    // second aggregation over the per-customer counts — the classic
+    // two-level agg whose first level must count MATCHES, not rows.
+    "q13_distribution" -> ((s, dir) => {
+      val ords = tbl(s, dir, "orders")
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      tbl(s, dir, "customer")
+        .join(ords, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("n_custs"))
+        .orderBy(col("c_count"))
+    }),
+    // Large-volume orders (TPC-H Q18's shape): the HAVING subquery is
+    // a grouped aggregate joined back to orders/customer — sum once,
+    // filter on the aggregate, never re-scan lineitem per order.
+    "q18_toporders" -> ((s, dir) => {
+      val big = li(s, dir).groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+        .where(col("sum_qty") > 250)
+      tbl(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(tbl(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_totalprice"), col("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
+
     // ----- §2.1 parquet round-trip (write sink) ------------------------
     "parquet_roundtrip" -> ((s, dir) => {
       val out = s"/root/repo/target/tmp/graft_pq_${dir.hashCode.toHexString}"
@@ -3775,6 +3846,43 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name < n2.n_name
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q13_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS n_custs FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY c_count""".stripMargin,
+    "q18_toporders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(sum(l_quantity), 2) > 250)
+        |SELECT c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "parquet_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty

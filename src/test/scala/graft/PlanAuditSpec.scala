@@ -511,6 +511,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q4/q7/q13/q18: semi join stays semi, dims broadcast, no cartesian") {
+    val p4 = plan("q4_priority")
+    assert(p4.contains("LeftSemi"), p4)
+    val p7 = plan("q7_volume")
+    assert(nodes(p7, "BroadcastHashJoin") >= 4, p7)
+    assert(!p7.contains("CartesianProduct"), p7)
+    val p13 = plan("q13_distribution")
+    assert(p13.contains("LeftOuter"), p13)
+    assert(nodes(p13, "HashAggregate") >= 4, p13) // two two-phase aggs
+    val p18 = plan("q18_toporders")
+    assert(nodes(p18, "HashAggregate") >= 2, p18)
+    assert(!p18.contains("CartesianProduct"), p18)
+  }
+
   test("bucketed join: both scans co-located — zero exchanges") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
