@@ -342,11 +342,17 @@ object SparkEntry {
     // exchange-free join plan, this gate pins the numbers through the
     // full write→catalog→read→join path.
     "join_bucketed" -> ((s, dir) => {
+      // external tables at a fresh scratch path: the in-memory catalog
+      // dies with the session but a MANAGED table's warehouse dir does
+      // not, and the next run would hit LOCATION_ALREADY_EXISTS
       val tag = math.abs(dir.hashCode).toHexString
+      val base = scratchDir("bkt")
       new GraftFrame(tbl(s, dir, "orders")).to_parquet_bucketed(
-        s"orders_bkt_$tag", buckets = 8, by = Seq("o_custkey"))
+        s"orders_bkt_$tag", buckets = 8, by = Seq("o_custkey"),
+        path = Some(s"$base/orders"))
       new GraftFrame(tbl(s, dir, "customer")).to_parquet_bucketed(
-        s"customer_bkt_$tag", buckets = 8, by = Seq("c_custkey"))
+        s"customer_bkt_$tag", buckets = 8, by = Seq("c_custkey"),
+        path = Some(s"$base/customer"))
       val o = GraftFrame.read_table(s, s"orders_bkt_$tag").df
       val c = GraftFrame.read_table(s, s"customer_bkt_$tag").df
       o.join(c, o("o_custkey") === c("c_custkey"))
@@ -2608,6 +2614,28 @@ object SparkEntry {
           col("body_len"), col("txt"))
         .orderBy("doc_id")
     }),
+    // CDXJ URL-index round-trip: per doc a deterministic URL becomes a
+    // `surt ts {json}` line (SURT key + native to_json) and parses
+    // back (split limit 3 + from_json, loud on undecodable JSON). The
+    // oracle replays the SURT closed form — host labels reversed,
+    // comma-joined, lowercased path+query.
+    "web_cdx_index" -> ((s, dir) => {
+      val recs = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("https://Site"), col("doc_id") % 50,
+          lit(".Example.org/Doc/"), col("doc_id"),
+          lit("?x="), col("doc_id") % 7).as("url"),
+        (lit(20260101000000L) + col("doc_id")).cast("string").as("ts"),
+        lit("200").as("status"),
+        col("n_chars").cast("string").as("length"))
+      val lines = UrlOps.cdxjBuild(recs, "url", "ts", Seq("status", "length"))
+      UrlOps.cdxjParse(lines, "line", "url STRING, status STRING, length STRING")
+        .select(
+          expr("CAST(regexp_extract(url, '/([0-9]+)\\\\?', 1) AS BIGINT)").as("doc_id"),
+          col("surt"), col("ts"), col("status"),
+          col("length").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
     // WET sidecar round-trip: conversion records (already-extracted
     // plain text) built per doc, one gzip member per record, ingested
     // back without the HTTP/HTML layer. Oracle replays text and its
@@ -2764,7 +2792,9 @@ object SparkEntry {
     // merge (the per-rank equality is computed in-engine; the oracle
     // pins that every rank agrees).
     "text_bpe_train_batched_deep" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
+      // cap bounds the 2×16 driver rounds at bench scale; the
+      // equivalence property is corpus-size-independent
+      val docs = tbl(s, dir, "documents").where(col("doc_id") < 2000)
       val seqMs = Bpe.train(docs, "text", k = 16)
       val batMs = Bpe.trainBatched(docs, "text", k = 16, batch = 8)
       import s.implicits._
@@ -2895,8 +2925,11 @@ object SparkEntry {
     // and decodes its streams — intra-file parallelism = stream count,
     // not file count. Oracle identical to wiki_dump_ingest.
     "wiki_multistream_indexed" -> ((s, dir) => {
-      val (blob, idxBz) =
-        WikiDump.multistreamMonoBuild(tbl(s, dir, "documents"), streams = 64)
+      // doc_id cap bounds the DRIVER-side monolithic-blob fixture
+      // build (a real dump already exists as a file); the distributed
+      // ingest under test still spans all 64 streams
+      val (blob, idxBz) = WikiDump.multistreamMonoBuild(
+        tbl(s, dir, "documents").where(col("doc_id") < 1000), streams = 64)
       val out = java.nio.file.Paths.get(scratchDir("wikimono"), "dump.xml.bz2")
       java.nio.file.Files.write(out, blob)
       val index = WikiDump.multistreamIndexParse(s, idxBz)
@@ -6041,6 +6074,14 @@ object SparkEntry {
         |  trim('Doc ' || doc_id || ' Doc ' || doc_id || ' '
         |    || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt
         |FROM h ORDER BY doc_id""".stripMargin,
+    "web_cdx_index" ->
+      """SELECT doc_id,
+        |  'org,example,site' || (doc_id % 50) || ')/doc/' || doc_id
+        |    || '?x=' || (doc_id % 7) AS surt,
+        |  CAST(20260101000000 + doc_id AS VARCHAR) AS ts,
+        |  '200' AS status,
+        |  CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "web_wet_ingest" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -6272,7 +6313,7 @@ object SparkEntry {
         |  'Doc ' || doc_id AS title,
         |  'Doc ' || doc_id || ' is a page about something. Content '
         |    || trim(regexp_replace(text, '\s+', ' ', 'g')) AS txt
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE doc_id < 1000 ORDER BY doc_id""".stripMargin,
     "decompress_auto" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 7 AS INTEGER)

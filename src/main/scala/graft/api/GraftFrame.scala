@@ -667,11 +667,17 @@ final class GraftFrame(val df: DataFrame) {
     * join's ordering requirement (multi-file buckets forfeit the
     * sorted-ness, Spark re-sorts). */
   def to_parquet_bucketed(table: String, buckets: Int, by: Seq[String],
-      sortCols: Seq[String] = Seq.empty, mode: String = "overwrite"): Unit = {
+      sortCols: Seq[String] = Seq.empty, mode: String = "overwrite",
+      path: Option[String] = None): Unit = {
     require(by.nonEmpty, "bucketing needs at least one column")
-    val w = df.repartition(buckets, by.map(col): _*)
+    // `path` makes the table EXTERNAL: callers whose catalog is
+    // per-session (in-memory) should pass a fresh path — a managed
+    // table's warehouse directory outlives the catalog entry, and the
+    // next session's saveAsTable dies on LOCATION_ALREADY_EXISTS
+    val w0 = df.repartition(buckets, by.map(col): _*)
       .write.mode(mode).format("parquet")
       .bucketBy(buckets, by.head, by.tail: _*)
+    val w = path.fold(w0)(p => w0.option("path", p))
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }

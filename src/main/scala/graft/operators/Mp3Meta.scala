@@ -7,6 +7,14 @@ package graft.operators
   * layout, bitrate, CBR/VBR — lives in the fixed-layout 32-bit frame
   * headers this parses by hand; PCM sample DECODE (Huffman + IMDCT +
   * synthesis filterbank) stays honestly fenced in [[WavCodec]] /
+  * (fence re-examined round 11: unlike zstd's predefined FSE
+  * distributions — short normalized-count lists restated in running
+  * RFC text — Layer III decode needs the 34 Huffman code tables, the
+  * scalefactor band boundaries per sample rate, and the 512-entry
+  * synthesis window D[i], all published only as NUMERIC TABLES in
+  * ISO/IEC 11172-3 annexes with no closed forms to derive them from;
+  * transcribing thousands of table constants is copying, not
+  * deriving, so the fence stays) /
   * `Multimodal.audio_features`.
   *
   * Corpus policy, stated loudly: most real-crawl audio is MP3, so a

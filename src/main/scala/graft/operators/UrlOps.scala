@@ -238,6 +238,53 @@ object UrlOps {
     when(sch === "", url).otherwise(built)
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform) — the PUBLIC
+    * crawl-index key layout (CDX/CDXJ, documented by the OpenWayback
+    * and pywb projects): the canonicalized URL's host labels reversed
+    * and comma-joined, then `)` and the lowercased path+query. Sorting
+    * by SURT groups one site's URLs contiguously, which is what makes
+    * a 100 TB URL index range-scannable per site/domain prefix.
+    * Rows without a scheme pass through unchanged (same garbage-in
+    * contract as [[canonicalize]]). Native expressions only. */
+  def surtKey(url: Column): Column = {
+    val canon = canonicalize(url)
+    val revHost = array_join(reverse(split(host(canon), "\\.")), ",")
+    val rest = lower(regexp_replace(canon, s"$schemePrefix[^/?#]*", ""))
+    when(scheme(canon) === "", canon)
+      .otherwise(concat(revHost, lit(")"),
+        when(rest === "", lit("/")).otherwise(rest)))
+  }
+
+  /** CDXJ line build — `surt timestamp {json}`, the CDX-JSON record
+    * layout crawl URL indexes ship in. The JSON payload is Spark's
+    * native `to_json` over `urlCol` plus `fieldCols` (codegen'd, no
+    * UDF); the caller owns field naming. */
+  def cdxjBuild(records: DataFrame, urlCol: String, tsCol: String,
+      fieldCols: Seq[String]): DataFrame =
+    records.select(concat(
+      surtKey(col(urlCol)), lit(" "), col(tsCol).cast("string"), lit(" "),
+      to_json(struct((urlCol +: fieldCols).map(col): _*))).as("line"))
+
+  /** CDXJ parse — native `split` (limit 3, so JSON containing spaces
+    * survives) + `from_json` against an EXPLICIT field schema
+    * (`"url STRING, status STRING, ..."`) in FAILFAST mode: a line
+    * whose JSON cannot decode fails the task loudly instead of
+    * silently nulling — an index with undecodable rows is corrupt,
+    * not sparse (PERMISSIVE would hand back a struct of nulls).
+    * Output: (surt, ts, <schema fields>). */
+  def cdxjParse(lines: DataFrame, lineCol: String, fieldSchema: String): DataFrame = {
+    val parts = split(col(lineCol), " ", 3)
+    val parsed = lines.select(
+      parts.getItem(0).as("surt"),
+      parts.getItem(1).as("ts"),
+      from_json(parts.getItem(2),
+        org.apache.spark.sql.types.StructType.fromDDL(fieldSchema),
+        Map("mode" -> "FAILFAST")).as("w"))
+    parsed.select(col("surt") +: col("ts") +:
+      org.apache.spark.sql.types.StructType.fromDDL(fieldSchema)
+        .fieldNames.toSeq.map(f => col(s"w.$f").as(f)): _*)
+  }
+
   /** Remove rows whose registrable domain is on a blocklist — the
     * URL-level filter every web-corpus pipeline runs (spam/adult/SEO
     * domain lists). With a PSL frame (`psl`/`pslSuffixCol`), matching

@@ -181,6 +181,37 @@ class UrlOpsSpec extends SparkSpec {
     assert(got(6L) == null, got.toString)
   }
 
+  test("surtKey: reversed comma host, lowercased rest, schemeless passthrough") {
+    assert(one("https://News.Example.co.uk/Path/A?Q=1", UrlOps.surtKey) ==
+      "uk,co,example,news)/path/a?q=1")
+    assert(one("http://example.org", UrlOps.surtKey) == "org,example)/")
+    // non-default port survives canonicalization into the host part
+    assert(one("http://example.org:8080/x", UrlOps.surtKey) == "org,example)/x")
+    assert(one("not a url", UrlOps.surtKey) == "not a url")
+  }
+
+  test("cdxj: build -> parse round-trips fields; undecodable JSON raises") {
+    val recs = Seq((1L, "https://A.example.com/p", "20260101", "200", "17"))
+      .toDF("id", "url", "ts", "status", "length")
+    val lines = UrlOps.cdxjBuild(recs, "url", "ts", Seq("status", "length"))
+    val line = lines.collect()(0).getString(0)
+    assert(line.startsWith("com,example,a)/p 20260101 {"))
+    val back = UrlOps.cdxjParse(lines, "line",
+      "url STRING, status STRING, length STRING").collect()(0)
+    assert(back.getString(0) == "com,example,a)/p")
+    assert(back.getString(2) == "https://A.example.com/p")
+    assert(back.getString(3) == "200" && back.getString(4) == "17")
+    val junk = Seq("surt 2026 {not json").toDF("line")
+    val e = intercept[Exception] {
+      UrlOps.cdxjParse(junk, "line", "url STRING").collect()
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(m =>
+        m.contains("FAILFAST") || m.toLowerCase.contains("malformed")) ||
+        mentions(t.getCause))
+    assert(mentions(e), e.toString)
+  }
+
   test("expandPslRules fails loudly on malformed rules") {
     val hosts = Seq(Tuple1("a.com")).toDF("h")
     assert(intercept[IllegalArgumentException] {
