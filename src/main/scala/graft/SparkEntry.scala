@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, Layout, Lz4, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, UrlOps, WavCodec, WebArchive, WikiDump, Xz, Zstd}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, Layout, Lz4, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, UrlOps, WavCodec, WebArchive, WikiDump, Xz, ZipCodec, Zstd}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -3068,6 +3068,29 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("lang").as("meta"))
       val shards = TarCodec.webdatasetBuild(docs, shards = 16)
       TarCodec.webdatasetIngest(shards).orderBy("doc_id")
+    }),
+    // ZIP archive round-trip: per group one archive of `<id>.txt`
+    // members (scraped datasets ship zipped), built and re-read
+    // through the hand-written central-directory walk — deflate via
+    // the in-house codec, CRC-32 verified per member.
+    "zip_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import java.nio.charset.StandardCharsets.UTF_8
+      tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 % 16)
+        .mapGroups { (_, it) =>
+          ZipCodec.encode(it.toSeq.sortBy(_._1).map { case (id, text) =>
+            ZipCodec.Entry(s"$id.txt", text.getBytes(UTF_8))
+          })
+        }
+        .flatMap { blob =>
+          ZipCodec.decode(blob).map { e =>
+            (e.name.stripSuffix(".txt").toLong, new String(e.data, UTF_8))
+          }
+        }
+        .toDF("doc_id", "txt")
+        .orderBy("doc_id")
     }),
     // KMV distinct sketch: k-bounded partial aggregation (≤k longs per
     // partition cross the exchange — never a corpus-wide DISTINCT).
@@ -6340,6 +6363,8 @@ object SparkEntry {
         |    AS xz_len,
         |  text AS txt
         |FROM s ORDER BY doc_id""".stripMargin,
+    "zip_roundtrip" ->
+      "SELECT doc_id, text AS txt FROM documents ORDER BY doc_id",
     "webdataset_roundtrip" ->
       """SELECT doc_id, text AS txt, lang AS meta
         |FROM documents ORDER BY doc_id""".stripMargin,

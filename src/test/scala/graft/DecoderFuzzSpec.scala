@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Bzip2, Gzip, Lz4, PdfCodec, Snappy, TarCodec, Xz, Zstd}
+import graft.operators.{Bzip2, Gzip, Lz4, PdfCodec, Snappy, TarCodec, Xz, ZipCodec, Zstd}
 
 /** Mutation fuzz over every hand-written decoder: flip 1-3 random
   * bits in a valid stream; the decoder must either succeed or throw
@@ -28,6 +28,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
     ("snappy-block", Snappy.compress(raw), b => Snappy.uncompress(b)),
     ("snappy-framed", Snappy.encodeFramed(raw), b => Snappy.decodeFramed(b)),
     ("tar", TarCodec.encode(Seq(TarCodec.Entry("a", raw))), b => TarCodec.decode(b)),
+    ("zip", ZipCodec.encode(Seq(ZipCodec.Entry("a.txt", raw))), b => ZipCodec.decode(b)),
     ("pdf", PdfCodec.encode(new String(raw, UTF_8), None, flate = true),
       b => PdfCodec.extractText(b)))
 
