@@ -3069,6 +3069,32 @@ object SparkEntry {
       val shards = TarCodec.webdatasetBuild(docs, shards = 16)
       TarCodec.webdatasetIngest(shards).orderBy("doc_id")
     }),
+    // Avro OCF round-trip: per group one container file (deflate
+    // codec) of (id, text) records through the hand-written binary
+    // encoding + container walk, decoded back. Avro is the remaining
+    // data-lake interchange format next to parquet/ORC (Spark-native)
+    // and csv/jsonl.
+    "avro_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.AvroCodec
+      val schema = AvroCodec.AvRecord("Doc", Vector(
+        AvroCodec.AvField("id", AvroCodec.ALong),
+        AvroCodec.AvField("text", AvroCodec.AString)))
+      tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 % 16)
+        .mapGroups { (_, it) =>
+          AvroCodec.encode(schema,
+            it.toSeq.sortBy(_._1).map { case (id, t) => Seq[Any](id, t) },
+            codec = "deflate")
+        }
+        .flatMap { blob =>
+          AvroCodec.decode(blob)._2.map(r =>
+            (r(0).asInstanceOf[Long], r(1).asInstanceOf[String]))
+        }
+        .toDF("doc_id", "txt")
+        .orderBy("doc_id")
+    }),
     // ZIP archive round-trip: per group one archive of `<id>.txt`
     // members (scraped datasets ship zipped), built and re-read
     // through the hand-written central-directory walk — deflate via
@@ -6363,6 +6389,8 @@ object SparkEntry {
         |    AS xz_len,
         |  text AS txt
         |FROM s ORDER BY doc_id""".stripMargin,
+    "avro_roundtrip" ->
+      "SELECT doc_id, text AS txt FROM documents ORDER BY doc_id",
     "zip_roundtrip" ->
       "SELECT doc_id, text AS txt FROM documents ORDER BY doc_id",
     "webdataset_roundtrip" ->

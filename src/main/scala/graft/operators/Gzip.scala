@@ -52,7 +52,7 @@ object Gzip {
     * deflate stream). Block decode is the same §3.2.4/6/7 walk as
     * [[PngCodec.inflate]], sharing its tables and canonical-Huffman
     * reader; only the output policy (grow vs fixed) differs. */
-  private[operators] def inflateRaw(data: Array[Byte], start: Int): (Array[Byte], Int) = {
+  private[graft] def inflateRaw(data: Array[Byte], start: Int): (Array[Byte], Int) = {
     import PngCodec.{BitReader, FixedLit, FixedDist, LenBase, LenExtra, DistBase, DistExtra}
     val br = new BitReader(data, start)
     var out = new Array[Byte](8192)
@@ -251,7 +251,7 @@ object Gzip {
     * lazy matching) is a documented simplification — ratio on crawl
     * text is within a few percent of zlib -1 and the decode side
     * accepts any conformant stream regardless. */
-  private[operators] def deflateFixed(raw: Array[Byte]): Array[Byte] = {
+  private[graft] def deflateFixed(raw: Array[Byte]): Array[Byte] = {
     import PngCodec.{LenBase, LenExtra, DistBase, DistExtra}
     val bw = new BitWriter
     bw.bits(1, 1) // BFINAL

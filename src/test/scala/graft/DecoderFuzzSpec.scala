@@ -29,6 +29,11 @@ class DecoderFuzzSpec extends AnyFunSuite {
     ("snappy-framed", Snappy.encodeFramed(raw), b => Snappy.decodeFramed(b)),
     ("tar", TarCodec.encode(Seq(TarCodec.Entry("a", raw))), b => TarCodec.decode(b)),
     ("zip", ZipCodec.encode(Seq(ZipCodec.Entry("a.txt", raw))), b => ZipCodec.decode(b)),
+    ("avro", graft.sources.AvroCodec.encode(
+      graft.sources.AvroCodec.AvRecord("T", Vector(
+        graft.sources.AvroCodec.AvField("t", graft.sources.AvroCodec.AString))),
+      Seq(Seq[Any](new String(raw, UTF_8))), codec = "deflate"),
+      b => graft.sources.AvroCodec.decode(b)),
     ("pdf", PdfCodec.encode(new String(raw, UTF_8), None, flate = true),
       b => PdfCodec.extractText(b)))
 
