@@ -705,6 +705,30 @@ object SparkEntry {
     "events_window" -> ((s, dir) =>
       graft.streaming.EventWindows.tumbling(events(s, dir), "1 hour")
         .orderBy("window_start", "event_type")),
+    // Sliding windows (1h width / 30m slide): every event must appear
+    // in exactly TWO windows; the oracle replays both window starts per
+    // event via a two-bucket union.
+    "events_sliding" -> ((s, dir) =>
+      graft.streaming.EventWindows.sliding(events(s, dir), "1 hour", "30 minutes")
+        .orderBy("window_start", "event_type")),
+    // Blocked edit-distance join (SymSpell deletion neighborhoods):
+    // salted corpus words vs their planted mid-character deletions at
+    // maxDist 1. The oracle brute-forces levenshtein over the same
+    // ~2.3k-value sets — exact pair parity, completeness included.
+    "fuzzy_join_edit1" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .where(length(col("w")).between(4, 12))
+        .select(concat(col("w"), lit("-"), col("doc_id") % 97).as("s"))
+        .distinct()
+      val probes = base.select(concat(
+          expr("substr(s, 1, CAST(length(s)/2 AS INT))"),
+          expr("substr(s, CAST(length(s)/2 AS INT) + 2, length(s))")).as("v"))
+        .distinct()
+      graft.operators.FuzzyJoin.editDistancePairs(base, "s", probes, "v", maxDist = 1)
+        .orderBy("left_val", "right_val")
+    }),
     // Stream-stream interval join, batch form (the streaming form with
     // watermarks is exercised in StreamingSpec): click → purchase
     // attribution within 10 minutes.
@@ -4073,6 +4097,36 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "events_sliding" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    epoch(time_bucket(INTERVAL 30 MINUTES, ts)) AS b
+        |  FROM events
+        |), e2 AS (
+        |  SELECT event_type, value, b AS ws FROM ev
+        |  UNION ALL
+        |  SELECT event_type, value, b - 1800 FROM ev
+        |)
+        |SELECT CAST(ws AS BIGINT) AS window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+        |FROM e2 GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "fuzzy_join_edit1" ->
+      """WITH base AS (
+        |  SELECT DISTINCT lower(w) || '-' || (doc_id % 97) AS s
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(trim(text), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE length(w) BETWEEN 4 AND 12
+        |), rhs AS (
+        |  SELECT DISTINCT substr(s, 1, (length(s) // 2))
+        |    || substr(s, (length(s) // 2) + 2) AS v FROM base
+        |)
+        |SELECT l.s AS left_val, r.v AS right_val,
+        |  CAST(levenshtein(l.s, r.v) AS INTEGER) AS dist
+        |FROM base l, rhs r
+        |WHERE levenshtein(l.s, r.v) <= 1
+        |ORDER BY left_val, right_val""".stripMargin,
     "events_correlate" ->
       """WITH c AS (
         |  SELECT user_id, ts FROM events WHERE event_type = 'click'

@@ -57,6 +57,23 @@ object EventWindows {
       watermark: String = "2 hours"): DataFrame =
     tumbling(events.withWatermark("ts", watermark), width)
 
+  /** SLIDING-window counts/sums: each event lands in width/slide
+    * overlapping windows (the moving-average / rate-alert shape).
+    * Spark materializes the window copies at the aggregation input, so
+    * shuffle volume is width/slide × the tumbling cost — choose the
+    * ratio deliberately at scale. Batch and streaming take the same
+    * call; streaming adds a watermark upstream like [[tumblingStream]]. */
+  def sliding(events: DataFrame, width: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    instantTs(events, "ts")
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Lag-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMinutes`. Batch
     * (window-function) formulation; the streaming analog is

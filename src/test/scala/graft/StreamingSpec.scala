@@ -28,6 +28,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("n_events")).sum == 4)
   }
 
+  test("sliding windows: each event lands in exactly width/slide windows") {
+    val got = EventWindows.sliding(batchEvents, "1 hour", "30 minutes")
+      .orderBy("window_start", "event_type").collect()
+    // width/slide = 2 -> total n_events doubles the event count
+    assert(got.map(_.getAs[Long]("n_events")).sum == 8)
+    // the 00:55 view lands in the 00:30 and 00:55->? windows: starts
+    // 00:00 is NOT one of them (00:55 >= 01:00? no — 00:55 < 01:00, so
+    // 00:00-01:00 contains it) — verify the two covering starts exactly
+    val viewStarts = got.filter(_.getString(1) == "view")
+      .map(_.getLong(0)).sorted.toSeq
+    val base = ts(0).getTime / 1000
+    assert(viewStarts == Seq(base, base + 1800))
+  }
+
   test("sessionization splits on gap, not on event count") {
     val ev = Seq(
       (1L, ts(0), "a", 0.0),
