@@ -388,4 +388,36 @@ class PropertySpec extends SparkSpec {
         assert(ulawToLinear(linearToUlaw(-s)) == -q, s"seed=$seed s=$s")
     }
   }
+
+  test("codec law: every round-11 codec round-trips arbitrary byte arrays") {
+    import graft.operators.{Lz4, Snappy, ZipCodec}
+    // three byte regimes scalacheck reaches rarely by accident: short
+    // random, long low-entropy (match-heavy), long high-entropy
+    val byteGen: Gen[Array[Byte]] = Gen.oneOf(
+      Gen.chooseNum(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)),
+      Gen.chooseNum(100, 90000).flatMap(n =>
+        Gen.chooseNum(1, 5).map(k =>
+          Array.tabulate(n)(i => ((i / k) % 7 + 65).toByte))),
+      Gen.chooseNum(100, 90000).flatMap(n =>
+        Gen.chooseNum(1, 1 << 30).map(s =>
+          Array.tabulate(n)(i => ((i * s + (i >> 3) * 2654435761L) >>> 13).toByte))))
+    for (seed <- 1L to 40L) {
+      val raw = sample(byteGen, seed)
+      assert(Lz4.decode(Lz4.encode(raw)).sameElements(raw), s"lz4 seed=$seed n=${raw.length}")
+      assert(Snappy.uncompress(Snappy.compress(raw)).sameElements(raw),
+        s"snappy-block seed=$seed n=${raw.length}")
+      assert(Snappy.decodeFramed(Snappy.encodeFramed(raw)).sameElements(raw),
+        s"snappy-framed seed=$seed n=${raw.length}")
+      val zipBack = ZipCodec.decode(ZipCodec.encode(Seq(ZipCodec.Entry("e", raw))))
+      assert(zipBack.length == 1 && zipBack.head.data.sameElements(raw),
+        s"zip seed=$seed n=${raw.length}")
+      val rec = graft.sources.AvroCodec.AvRecord("R", Vector(
+        graft.sources.AvroCodec.AvField("b", graft.sources.AvroCodec.ABytes)))
+      val (_, rows) = graft.sources.AvroCodec.decode(
+        graft.sources.AvroCodec.encode(rec, Seq(Seq[Any](raw)), "deflate"))
+      assert(rows.head.head.asInstanceOf[Array[Byte]].sameElements(raw),
+        s"avro seed=$seed n=${raw.length}")
+    }
+  }
 }
