@@ -743,6 +743,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("user_id")).as("n_users"))
     }),
+    // LEFT OUTER attribution (batch form; streaming emits unmatched
+    // lefts at watermark — StreamingSpec): every click survives, so
+    // the conversion-rate denominator is exact; unmatched rows carry
+    // null purchase timestamps.
+    "events_correlate_outer" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      graft.streaming.EventWindows
+        .correlate(clicks, purchases, "user_id", "ts", withinSeconds = 600,
+          how = "left_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("r_ts")).as("n_matched"),
+          sum(when(col("r_ts").isNull, 1L).otherwise(0L)).as("n_unconverted"))
+    }),
     // Ingestion dedup, batch form (streaming form uses the same entry
     // point with dropDuplicatesWithinWatermark — StreamingSpec): a
     // doubled feed collapses back to one row per event id.
@@ -4137,6 +4154,21 @@ object SparkEntry {
         |  CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 600 SECONDS""".stripMargin,
+    "events_correlate_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        |), j AS (
+        |  SELECT c.user_id, p.ts AS pts
+        |  FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 600 SECONDS
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(pts) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN pts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unconverted
+        |FROM j""".stripMargin,
     "events_dedup" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids,

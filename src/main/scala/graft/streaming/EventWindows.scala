@@ -130,7 +130,8 @@ object EventWindows {
       key: String,
       tsCol: String,
       withinSeconds: Long,
-      rightPrefix: String = "r_"): DataFrame = {
+      rightPrefix: String = "r_",
+      how: String = "inner"): DataFrame = {
     // The join condition uses unqualified col() on the prefixed names;
     // a left column that already looks prefixed would make resolution
     // ambiguous and fail analysis with a confusing error — reject it up
@@ -140,6 +141,16 @@ object EventWindows {
     require(collisions.isEmpty,
       s"left columns collide with prefixed right columns: $collisions — " +
         "pass a different rightPrefix")
+    // LEFT OUTER is the attribution-funnel shape: a click with no
+    // conversion inside the window must still come out (conversion
+    // rate denominators). In streaming mode Spark emits the unmatched
+    // left only once the watermark passes the join horizon — both
+    // sides' watermarks plus this time bound are what make that legal
+    // with bounded state. Other outer forms are rejected loudly:
+    // right/full outer with this one-sided interval would hold right
+    // rows forever.
+    require(how == "inner" || how == "left_outer" || how == "leftouter" || how == "left",
+      s"correlate supports inner and left_outer joins, got '$how'")
     val rNorm = instantTs(right, tsCol)
     val r = rNorm.columns.foldLeft(rNorm)((df, c) =>
       df.withColumnRenamed(c, s"$rightPrefix$c"))
@@ -149,7 +160,8 @@ object EventWindows {
       col(key) === col(s"$rightPrefix$key") &&
         col(s"$rightPrefix$tsCol") >= col(tsCol) &&
         col(s"$rightPrefix$tsCol") <=
-          col(tsCol) + expr(s"INTERVAL $withinSeconds SECONDS"))
+          col(tsCol) + expr(s"INTERVAL $withinSeconds SECONDS"),
+      how)
   }
 
   /** Stream-static enrichment: join each event against a (small, slowly

@@ -172,6 +172,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("correlate left_outer: unmatched clicks emit with nulls once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val convs = MemoryStream[(Long, Timestamp)]
+    val cDf = clicks.toDF().toDF("user_id", "ts").withWatermark("ts", "10 minutes")
+    val vDf = convs.toDF().toDF("user_id", "ts").withWatermark("ts", "10 minutes")
+
+    val q = EventWindows.correlate(cDf, vDf, "user_id", "ts",
+        withinSeconds = 600, how = "left_outer")
+      .writeStream.format("memory").queryName("graft_correlate_outer_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0)), (2L, ts(0)))
+      convs.addData((1L, ts(5)))
+      q.processAllAvailable()
+      // advance both watermarks far past user 2's join horizon so the
+      // unmatched click is finalized and emitted
+      clicks.addData((9L, Timestamp.valueOf("2024-01-01 02:00:00")))
+      convs.addData((9L, Timestamp.valueOf("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("graft_correlate_outer_test")
+        .collect().map(r => (r.getLong(0), Option(r.getTimestamp(3))))
+      assert(rows.exists { case (u, m) => u == 1L && m.isDefined })
+      assert(rows.exists { case (u, m) => u == 2L && m.isEmpty },
+        s"unmatched click should surface with a null match: ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+
+  test("correlate rejects right/full outer loudly") {
+    val l = Seq((1L, ts(0))).toDF("user_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      EventWindows.correlate(l, l, "user_id", "ts", 600, how = "full_outer")
+    }
+    assert(e.getMessage.contains("left_outer"))
+  }
+
   test("correlate works identically on batch frames") {
     val l = Seq((1L, ts(0))).toDF("user_id", "ts")
     val r = Seq((1L, ts(5)), (1L, ts(20))).toDF("user_id", "ts")
