@@ -368,6 +368,12 @@ object WikiDump {
         val in = fs.open(p)
         it.flatMap { case (off, end) =>
           require(end > off, s"empty extent at $off")
+          // bound BEFORE the Int narrowing: a corrupt index yielding a
+          // multi-GB extent must fail loudly, not overflow into a
+          // NegativeArraySizeException (the zip-offset fuzz lesson)
+          require(end - off <= (1L << 30),
+            s"stream extent [$off, $end) of ${end - off} bytes is implausible " +
+              "for a bzip2 stream — corrupt index?")
           val buf = new Array[Byte]((end - off).toInt)
           in.readFully(off, buf)
           val pages = parsePages(new String(Bzip2.decode(buf), UTF_8))
