@@ -338,7 +338,8 @@ object WikiDump {
     * row-local RANGED read (Hadoop seek — works on HDFS/S3 the same
     * way) + bzip2 decode + page parse + wikitext clean. Parallelism =
     * number of streams (~27k for enwiki), never number of files. The
-    * driver-side work is one file-status call; the extent window runs
+    * driver-side work is one file-status call plus a one-row-per-
+    * partition heads collect; extent derivation is range-partitioned
     * over the stream count, not the page count. The driver's Hadoop
     * conf entries ship in the closure so object-store credentials
     * reach the tasks. */
@@ -354,10 +355,41 @@ object WikiDump {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.getFileStatus(p).getLen
     }
-    val w = org.apache.spark.sql.expressions.Window.orderBy("offset")
-    val extents = index.select(col("offset").cast("long")).distinct()
-      .withColumn("end", coalesce(lead("offset", 1).over(w), lit(fileLen)))
+    // Extent derivation stays distributed: range-partition the distinct
+    // offsets, lead() within each sorted partition, and close each
+    // partition's last extent with the head of the next non-empty
+    // partition (a bounded one-row-per-partition collect). No global
+    // single-partition WindowExec anywhere. The offsets dataset is
+    // persisted between the heads pass and the extents pass because
+    // repartitionByRange samples its bounds — recomputation could
+    // repartition differently.
+    val offs = index.select(col("offset").cast("long")).distinct()
+      .repartitionByRange(col("offset"))
+      .sortWithinPartitions("offset")
+      .as[Long]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val heads: Array[(Int, Long)] = offs.mapPartitions { it =>
+      if (it.hasNext) Iterator((org.apache.spark.TaskContext.getPartitionId(), it.next()))
+      else Iterator.empty
+    }.collect()
+    val headsSorted = heads.sortBy(_._1)
+    val extents = offs.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val bound = headsSorted.collectFirst { case (p2, h) if p2 > pid => h }
+        .getOrElse(fileLen)
+      if (!it.hasNext) Iterator.empty
+      else new Iterator[(Long, Long)] {
+        private var cur = it.next()
+        private var more = true
+        def hasNext: Boolean = more
+        def next(): (Long, Long) =
+          if (it.hasNext) { val n = it.next(); val r = (cur, n); cur = n; r }
+          else { more = false; (cur, bound) }
+      }
+    }.toDF("offset", "end")
       .repartition(col("offset"))
+      .localCheckpoint(eager = true) // extents are stream-count-sized; pin them
+    offs.unpersist()
     extents.as[(Long, Long)].mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else {
@@ -366,7 +398,11 @@ object WikiDump {
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(conf)
         val in = fs.open(p)
-        it.flatMap { case (off, end) =>
+        // close on task completion, not on iterator drain: an exception
+        // mid-extent or a downstream limit() must not leak the handle
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
+        val body = it.flatMap { case (off, end) =>
           require(end > off, s"empty extent at $off")
           // bound BEFORE the Int narrowing: a corrupt index yielding a
           // multi-GB extent must fail loudly, not overflow into a
@@ -378,7 +414,8 @@ object WikiDump {
           in.readFully(off, buf)
           val pages = parsePages(new String(Bzip2.decode(buf), UTF_8))
           pages.map(pg => (pg.pageId, pg.title, wikitextToPlain(pg.text)))
-        } ++ { in.close(); Iterator.empty }
+        }
+        if (tc != null) body else body ++ { in.close(); Iterator.empty }
       }
     }.toDF("doc_id", "title", "txt")
   }

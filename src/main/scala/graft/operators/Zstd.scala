@@ -417,6 +417,10 @@ object Zstd {
           else s2 = table.newState(s2) + bits.readInt(table.nbBits(s2))
         }
       }
+      // the loop can write two symbols on its final iteration, so the
+      // size guard at loop top alone would admit up to 257 explicit
+      // weights; 255 is the cap (the 256th is the implicit last)
+      require(out.size <= 255, "zstd Huffman weight stream overlong")
       weights = out.toByteArray.map(_.toInt & 0xff)
       consumed = 1 + h
     }
@@ -941,7 +945,11 @@ object Zstd {
       val h = hash(i)
       val cand = tab(h)
       tab(h) = i
-      if (cand >= 0 && cand < i &&
+      // The frame-wide hash table can surface a match arbitrarily far
+      // back; offsets whose code would exceed the predefined OF table
+      // (symbol 28) must be skipped — the byte is emitted as a literal
+      // instead of failing the encode on a >256 MiB frame.
+      if (cand >= 0 && cand < i && (i - cand) < (1 << 28) - 3 &&
         raw(cand) == raw(i) && raw(cand + 1) == raw(i + 1) &&
         raw(cand + 2) == raw(i + 2) && raw(cand + 3) == raw(i + 3)) {
         var len = 4

@@ -260,6 +260,15 @@ object AvroCodec {
       p += n
       out
     }
+    /** Length-prefixed byte run. The declared length is bounds-checked
+      * as a Long BEFORE the Int narrowing — a declared length ≥ 2^32
+      * must fail loudly here, not truncate and mis-parse. */
+    def lenBytes(): Array[Byte] = {
+      val len = vlong()
+      require(len >= 0 && len <= (until - p).toLong,
+        s"avro declared length $len exceeds remaining ${until - p} bytes at $p")
+      bytes(len.toInt)
+    }
   }
 
   private def readValue(r: Reader, tp: AvType): Any = tp match {
@@ -285,8 +294,8 @@ object AvroCodec {
       var i = 7
       while (i >= 0) { bits = (bits << 8) | (raw(i) & 0xffL); i -= 1 }
       java.lang.Double.longBitsToDouble(bits)
-    case AString => new String(r.bytes(r.vlong().toInt), UTF_8)
-    case ABytes => r.bytes(r.vlong().toInt)
+    case AString => new String(r.lenBytes(), UTF_8)
+    case ABytes => r.lenBytes()
     case ANullable(inner) => r.vlong() match {
       case 0 => null
       case 1 => readValue(r, inner)
@@ -398,8 +407,8 @@ object AvroCodec {
       require(n > 0, "negative avro metadata block count")
       var i = 0L
       while (i < n) {
-        val k = new String(r.bytes(r.vlong().toInt), UTF_8)
-        meta(k) = r.bytes(r.vlong().toInt)
+        val k = new String(r.lenBytes(), UTF_8)
+        meta(k) = r.lenBytes()
         i += 1
       }
       n = r.vlong()
@@ -413,8 +422,7 @@ object AvroCodec {
     while (r.p < r.until) {
       val count = r.vlong()
       require(count >= 0, s"negative avro block record count $count")
-      val size = r.vlong()
-      val packed = r.bytes(size.toInt)
+      val packed = r.lenBytes()
       val raw = codec match {
         case "null" => packed
         case "deflate" => graft.operators.Gzip.inflateRaw(packed, 0)._1
