@@ -170,49 +170,8 @@ object Bpe {
         .as[(String, String, Long)]
         .collect()
       require(top.nonEmpty, s"rank $rank: no adjacent pairs left to merge")
-      val bounds: Map[(String, String), Long] =
-        if (top.length == 1) Map.empty.withDefaultValue(0L)
-        else {
-          // NUL separator, written as an escape so the file stays
-          // reviewable text. A NUL inside a corpus symbol can only
-          // collide keys in this pre-filter, which widens the candidate
-          // set; the bounds map below groups on exact (a,b,c) tuples.
-          val SEP = "\u0000"
-          val keys = top.map { case (l, r, _) => l + SEP + r }.toSeq
-          val keyPrefix = concat_ws(SEP, col("a"), col("b"))
-          val keySuffix = concat_ws(SEP, col("b"), col("c"))
-          val rel = seqs.flatMap { case (syms, f) =>
-            (0 until syms.length - 2).iterator
-              .map(i => (syms(i), syms(i + 1), syms(i + 2), f))
-          }
-            .toDF("a", "b", "c", "freq")
-            .where(keyPrefix.isin(keys: _*) || keySuffix.isin(keys: _*))
-            .groupBy("a", "b", "c").agg(sum("freq").as("cnt"))
-            .as[(String, String, String, Long)]
-            .collect()
-          val mb = new scala.collection.mutable.HashMap[(String, String), Long]()
-          def bump(key: (String, String), cnt: Long): Unit =
-            mb.update(key, math.max(mb.getOrElse(key, 0L), cnt))
-          rel.foreach { case (a, b, c, cnt) =>
-            bump((a, b), cnt); bump((b, c), cnt)
-          }
-          mb.toMap.withDefaultValue(0L)
-        }
-      val accepted = scala.collection.mutable.ArrayBuffer[(String, String)]()
-      var stop = false
-      var i = 0
-      while (i < top.length && !stop) {
-        val (cl, cr, cc) = top(i)
-        val safe = accepted.forall { case (al, ar) =>
-          val merged = al + ar
-          cl != al && cl != ar && cr != al && cr != ar &&
-            cl != merged && cr != merged &&
-            cc > bounds((al, ar))
-        }
-        if (safe) accepted += ((cl, cr)) else stop = true
-        i += 1
-      }
-      val acc = accepted.toArray
+      val bounds = tripleBounds(seqs, top)
+      val acc = safePrefix(top, bounds)
       onRound(rank, acc.length)
       acc.foreach { case (l, r) => out += Merge(rank, l, r); rank += 1 }
       val prev = seqs
@@ -225,6 +184,170 @@ object Bpe {
       prev.unpersist()
     }
     seqs.unpersist()
+    out.result()
+  }
+
+  /** Pre-batch triple-count upper bounds for the safe-prefix rule:
+    * for each candidate pair (a, b), the largest count of any symbol
+    * triple (·, a, b) or (a, b, ·) in the current word table. One
+    * map-side-filtered scan; the shuffle carries only triples touching
+    * a candidate. */
+  private def tripleBounds(seqs: Dataset[(Array[String], Long)],
+      top: Array[(String, String, Long)]): Map[(String, String), Long] = {
+    val spark = seqs.sparkSession
+    import spark.implicits._
+    if (top.length == 1) Map.empty.withDefaultValue(0L)
+    else {
+      // NUL separator, written as an escape so the file stays
+      // reviewable text. A NUL inside a corpus symbol can only
+      // collide keys in this pre-filter, which widens the candidate
+      // set; the bounds map below groups on exact (a,b,c) tuples.
+      val SEP = "\u0000"
+      val keys = top.map { case (l, r, _) => l + SEP + r }.toSeq
+      val keyPrefix = concat_ws(SEP, col("a"), col("b"))
+      val keySuffix = concat_ws(SEP, col("b"), col("c"))
+      val rel = seqs.flatMap { case (syms, f) =>
+        (0 until syms.length - 2).iterator
+          .map(i => (syms(i), syms(i + 1), syms(i + 2), f))
+      }
+        .toDF("a", "b", "c", "freq")
+        .where(keyPrefix.isin(keys: _*) || keySuffix.isin(keys: _*))
+        .groupBy("a", "b", "c").agg(sum("freq").as("cnt"))
+        .as[(String, String, String, Long)]
+        .collect()
+      val mb = new scala.collection.mutable.HashMap[(String, String), Long]()
+      def bump(key: (String, String), cnt: Long): Unit =
+        mb.update(key, math.max(mb.getOrElse(key, 0L), cnt))
+      rel.foreach { case (a, b, c, cnt) =>
+        bump((a, b), cnt); bump((b, c), cnt)
+      }
+      mb.toMap.withDefaultValue(0L)
+    }
+  }
+
+  /** Maximal safe prefix of the sequential-order candidates (see
+    * [[trainBatched]] doc for the exact safety rule). Stops at the
+    * first unsafe candidate. */
+  private def safePrefix(top: Array[(String, String, Long)],
+      bounds: Map[(String, String), Long]): Array[(String, String)] = {
+    val accepted = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var stop = false
+    var i = 0
+    while (i < top.length && !stop) {
+      val (cl, cr, cc) = top(i)
+      val safe = accepted.forall { case (al, ar) =>
+        val merged = al + ar
+        cl != al && cl != ar && cr != al && cr != ar &&
+          cl != merged && cr != merged &&
+          cc > bounds((al, ar))
+      }
+      if (safe) accepted += ((cl, cr)) else stop = true
+      i += 1
+    }
+    accepted.toArray
+  }
+
+  /** Per-word pair-count delta between an old and a new symbol
+    * sequence, weighted by word frequency: old adjacencies count -f,
+    * new adjacencies +f, zero-sum keys dropped. */
+  private[graft] def pairDelta(oldS: Array[String], newS: Array[String],
+      f: Long): Array[(String, String, Long)] = {
+    val m = new scala.collection.mutable.HashMap[(String, String), Long]()
+    var i = 0
+    while (i < oldS.length - 1) {
+      val k = (oldS(i), oldS(i + 1))
+      m.update(k, m.getOrElse(k, 0L) - f)
+      i += 1
+    }
+    i = 0
+    while (i < newS.length - 1) {
+      val k = (newS(i), newS(i + 1))
+      m.update(k, m.getOrElse(k, 0L) + f)
+      i += 1
+    }
+    m.iterator.filter(_._2 != 0L)
+      .map { case ((l, r), d) => (l, r, d) }.toArray
+  }
+
+  /** [[trainBatched]] with INCREMENTAL pair-count maintenance — the
+    * production-vocabulary shape. The batched trainer still recounted
+    * every adjacent pair of the whole word table each round (the
+    * corpus-symbols-sized shuffle); here that aggregation runs ONCE to
+    * seed a persisted pair-count table, and every later round folds
+    * per-word deltas emitted by the SAME pass that rewrites merged
+    * words: a word untouched by the batch contributes nothing, and a
+    * rewritten word contributes -f for its old adjacencies and +f for
+    * its new ones. Long-integer sums are exact, so the maintained
+    * table equals the full recount after every round and candidate
+    * selection (count desc, lexicographic asc) is bit-identical to
+    * [[train]] / [[trainBatched]] — the delta fold is a
+    * chunk/combine/aggregate reduction in the reference's own blueprint
+    * sense (reference `core.py:38-46`).
+    *
+    * Per-round cost: a top-m collect from the PAIR table (vocab-of-
+    * pairs-sized, no corpus scan), the candidate-filtered triple scan,
+    * and one rewrite pass that emits (new word, delta rows) together.
+    * The pair table and word table are both lineage-cut per round. */
+  def trainIncremental(docs: DataFrame, textCol: String, k: Int, batch: Int = 64,
+      onRound: (Int, Int) => Unit = (_, _) => ()): Seq[Merge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"need at least one merge, got $k")
+    require(batch >= 1, s"batch must be positive, got $batch")
+    val seeded: Dataset[(Array[String], Long)] =
+      wordFreqs(docs, textCol).as[(String, Long)]
+        .map { case (w, f) => (initSymbols(w), f) }
+        .localCheckpoint()
+    // the ONE full pair aggregation; afterwards only deltas shuffle
+    var pairs: DataFrame = seeded.flatMap { case (syms, f) =>
+      (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), f))
+    }.toDF("left", "right", "freq")
+      .groupBy("left", "right").agg(sum("freq").as("cnt"))
+      .where(col("cnt") > 0)
+      .localCheckpoint()
+    var seqs: Dataset[(Array[String], Long)] = seeded
+    var cached: Dataset[_] = seeded
+    val out = Seq.newBuilder[Merge]
+    var rank = 0
+    while (rank < k) {
+      val m = math.min(batch, k - rank)
+      val top = pairs
+        .orderBy(col("cnt").desc, concat_ws(" ", col("left"), col("right")).asc)
+        .limit(m)
+        .as[(String, String, Long)]
+        .collect()
+      require(top.nonEmpty, s"rank $rank: no adjacent pairs left to merge")
+      val bounds = tripleBounds(seqs, top)
+      val acc = safePrefix(top, bounds)
+      onRound(rank, acc.length)
+      acc.foreach { case (l, r) => out += Merge(rank, l, r); rank += 1 }
+      // ONE pass rewrites the words AND emits their pair-count deltas;
+      // an untouched word (applyMerge returns the same array reference)
+      // emits none
+      val rewritten: Dataset[(Array[String], Long, Array[(String, String, Long)])] =
+        seqs.map { case (syms, f) =>
+          var cur = syms
+          var j = 0
+          while (j < acc.length) { cur = applyMerge(cur, acc(j)._1, acc(j)._2); j += 1 }
+          val deltas =
+            if (cur eq syms) Array.empty[(String, String, Long)]
+            else pairDelta(syms, cur, f)
+          (cur, f, deltas)
+        }.localCheckpoint()
+      val prevCached = cached
+      cached = rewritten
+      seqs = rewritten.map { case (sy, f, _) => (sy, f) }
+      val deltaRows = rewritten.flatMap(_._3).toDF("left", "right", "cnt")
+      val prevPairs = pairs
+      pairs = pairs.unionByName(deltaRows)
+        .groupBy("left", "right").agg(sum("cnt").as("cnt"))
+        .where(col("cnt") > 0)
+        .localCheckpoint()
+      prevPairs.unpersist()
+      prevCached.unpersist()
+    }
+    pairs.unpersist()
+    cached.unpersist()
     out.result()
   }
 

@@ -86,6 +86,67 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("pairDelta: -f old adjacencies, +f new, zero-sum keys dropped") {
+    val d = Bpe.pairDelta(
+      Array("l", "o", "w", "</w>"), Array("lo", "w", "</w>"), 3L)
+      .map { case (l, r, n) => ((l, r), n) }.toMap
+    // ("w","</w>") is unchanged -> dropped; ("l","o")/("o","w") leave,
+    // ("lo","w") arrives
+    assert(d == Map(("l", "o") -> -3L, ("o", "w") -> -3L, ("lo", "w") -> 3L))
+    assert(Bpe.pairDelta(Array("a", "b"), Array("a", "b"), 5L).isEmpty)
+  }
+
+  test("trainIncremental == train on the classic corpus at every batch size") {
+    val docs = Seq(
+      (1L, "low low low"),
+      (2L, "lower lower"),
+      (3L, "newest")).toDF("doc_id", "text")
+    val seq = Bpe.train(docs, "text", k = 5)
+    for (b <- Seq(1, 2, 3, 8)) {
+      assert(Bpe.trainIncremental(docs, "text", k = 5, batch = b) == seq,
+        s"incremental(batch=$b) diverged from sequential")
+    }
+  }
+
+  test("trainIncremental == train on the adversarial corpora (chain + created pairs)") {
+    val chain = Seq(
+      (1L, "aaaaaa aaaaaa aaaa"),
+      (2L, "aaaa aa")).toDF("doc_id", "text")
+    assert(Bpe.trainIncremental(chain, "text", k = 4, batch = 4) ==
+      Bpe.train(chain, "text", k = 4))
+    val mixed = Seq(
+      (1L, "the the the the then then there is is is in in on"),
+      (2L, "the then there these those them is in on at it"),
+      (3L, "is it at on in the")).toDF("doc_id", "text")
+    val seq = Bpe.train(mixed, "text", k = 8)
+    for (b <- Seq(2, 4, 8)) {
+      assert(Bpe.trainIncremental(mixed, "text", k = 8, batch = b) == seq,
+        s"incremental(batch=$b) diverged from sequential")
+    }
+  }
+
+  test("trainIncremental == train on a pseudo-random corpus, deep k") {
+    // deterministic LCG corpus (no fixture dependency): 60 "words"
+    // over a 4-letter alphabet with skewed repetition so merges both
+    // create pairs and drain old ones across many rounds
+    var st = 12345L
+    def nextInt(n: Int): Int = {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      (((st >>> 33) % n).toInt + n) % n
+    }
+    val letters = "abcd"
+    val words = (0 until 60).map { _ =>
+      val len = 1 + nextInt(6)
+      (0 until len).map(_ => letters(nextInt(4))).mkString
+    }
+    val docs = words.grouped(12).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val seq = Bpe.train(docs, "text", k = 20)
+    assert(Bpe.trainIncremental(docs, "text", k = 20, batch = 6) == seq)
+    assert(Bpe.trainBatched(docs, "text", k = 20, batch = 6) == seq)
+  }
+
   test("train+encode round-trip on a corpus slice agrees with direct word-table math") {
     val docs = Seq(
       (1L, "spark spark spark row row table"),
