@@ -2444,6 +2444,35 @@ object SparkEntry {
           col("peakAbs").as("al_peak"), col("sumSamples").as("al_sum"))
       f8.join(fu, "doc_id").join(fa, "doc_id").orderBy("doc_id")
     }),
+    // FLAC parity: the same deterministic signal encoded to FLAC
+    // (fixed predictors + partitioned Rice; second leg through the
+    // quantized-LPC subframe path) must decode — CRC-checked and
+    // STREAMINFO-MD5-verified per payload — to EXACTLY the WAV
+    // features; the oracle replays the signal formula in SQL, so the
+    // whole compress→decompress chain is pinned sample-exactly.
+    // `compressed` additionally pins that the codec actually
+    // compresses (beats the 44-byte-header WAV for every row).
+    "multimodal_audio_flac" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 300 + 50).cast("int").as("frames"),
+        (col("doc_id") % 2 + 1).cast("int").as("ch"),
+        lit(8000).as("rate"))
+      val f0 = Multimodal.extractAudioFeatures(
+          Multimodal.encodeFlacFrame(spec, "doc_id", "frames", "ch", "rate",
+            mode = "fixed", blockSize = 64)).toDF()
+        .select(col("mediaId").as("doc_id"), col("format"),
+          col("nFrames").as("n_frames"), col("durationMs").as("duration_ms"),
+          col("peakAbs").as("peak_abs"), col("sumSamples").as("sum_samples"),
+          (col("byteLen") < lit(44) + lit(2) * col("nFrames") * col("channels"))
+            .as("compressed"))
+      val f1 = Multimodal.extractAudioFeatures(
+          Multimodal.encodeFlacFrame(spec, "doc_id", "frames", "ch", "rate",
+            mode = "lpc", blockSize = 256)).toDF()
+        .select(col("mediaId").as("doc_id"), col("sumSamples").as("lpc_sum"),
+          col("peakAbs").as("lpc_peak"))
+      f0.join(f1, "doc_id").orderBy("doc_id")
+    }),
     "multimodal_resize_png" -> ((s, dir) => {
       val dims = tbl(s, dir, "documents").select(
         col("doc_id"),
@@ -2827,6 +2856,29 @@ object SparkEntry {
       val ms = Bpe.trainBatched(tbl(s, dir, "documents"), "text", k = 3, batch = 3)
       import s.implicits._
       ms.map(m => (m.rank, m.left, m.right)).toDF("rank", "lhs", "rhs").orderBy("rank")
+    }),
+    // Incremental trainer (delta-maintained pair-count table — the
+    // production 32k-vocab shape: only ONE corpus-pairs shuffle ever
+    // runs; later rounds fold per-word ±freq deltas emitted by the
+    // same pass that rewrites merged words) against the same
+    // independent symbol-table oracle.
+    "text_bpe_train_incremental" -> ((s, dir) => {
+      val ms = Bpe.trainIncremental(tbl(s, dir, "documents"), "text", k = 3, batch = 3)
+      import s.implicits._
+      ms.map(m => (m.rank, m.left, m.right)).toDF("rank", "lhs", "rhs").orderBy("rank")
+    }),
+    // Incremental == batched merge-for-merge at k=16/batch=8; the
+    // batched_deep gate pins batched == sequential at the same shape,
+    // so this transitively pins incremental == sequential without a
+    // third 16-round sequential run in the gate.
+    "text_bpe_train_incremental_deep" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id") < 2000)
+      val batMs = Bpe.trainBatched(docs, "text", k = 16, batch = 8)
+      val incMs = Bpe.trainIncremental(docs, "text", k = 16, batch = 8)
+      import s.implicits._
+      batMs.zip(incMs).map { case (a, b) =>
+        (a.rank, a.left == b.left && a.right == b.right && a.rank == b.rank)
+      }.toDF("rank", "same").orderBy("rank")
     }),
     // Deeper equivalence at production-like shape: 16 merges in
     // batches of 8 must match 16 sequential driver rounds merge-for-
@@ -5604,6 +5656,32 @@ object SparkEntry {
         |JOIN full_stats fs ON fs.doc_id = s.doc_id
         |JOIN dec_stats ds ON ds.doc_id = s.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+    "multimodal_audio_flac" ->
+      """WITH spec AS (
+        |  SELECT doc_id,
+        |    n_chars % 300 + 50 AS frames,
+        |    doc_id % 2 + 1 AS ch
+        |  FROM documents WHERE doc_id < 200
+        |), full_stats AS (
+        |  SELECT s.doc_id,
+        |    CAST(max(abs((s.doc_id * 7 + r.i * 13) % 65536 - 32768)) AS INTEGER) AS peak_abs,
+        |    CAST(sum((s.doc_id * 7 + r.i * 13) % 65536 - 32768) AS BIGINT) AS sum_samples
+        |  FROM spec s CROSS JOIN range(0, 700) r(i)
+        |  WHERE r.i < s.frames * s.ch
+        |  GROUP BY s.doc_id
+        |)
+        |SELECT s.doc_id,
+        |  'flac' AS format,
+        |  CAST(s.frames AS BIGINT) AS n_frames,
+        |  CAST(s.frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  fs.peak_abs,
+        |  fs.sum_samples,
+        |  TRUE AS compressed,
+        |  fs.sum_samples AS lpc_sum,
+        |  fs.peak_abs AS lpc_peak
+        |FROM spec s
+        |JOIN full_stats fs ON fs.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "multimodal_audio_codecs" ->
       """WITH spec AS (
         |  SELECT doc_id,
@@ -6308,6 +6386,17 @@ object SparkEntry {
          |  UNION ALL SELECT 2, pr FROM m3)
          |ORDER BY rank""".stripMargin,
     "text_bpe_train_batched_deep" ->
+      """SELECT CAST(x AS INTEGER) AS rank, TRUE AS same
+        |FROM range(16) t(x) ORDER BY rank""".stripMargin,
+    "text_bpe_train_incremental" ->
+      s"""$bpeCtes
+         |SELECT rank, split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs
+         |FROM (
+         |  SELECT 0 AS rank, pr FROM m1
+         |  UNION ALL SELECT 1, pr FROM m2
+         |  UNION ALL SELECT 2, pr FROM m3)
+         |ORDER BY rank""".stripMargin,
+    "text_bpe_train_incremental_deep" ->
       """SELECT CAST(x AS INTEGER) AS rank, TRUE AS same
         |FROM range(16) t(x) ORDER BY rank""".stripMargin,
     "text_bpe_encode" ->

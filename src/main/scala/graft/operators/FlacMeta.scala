@@ -4,9 +4,9 @@ package graft.operators
   * public) — the lossless-audio leg of the metadata tier, same scope
   * split as [[Mp3Meta]]/[[Mp4Meta]]: duration, sample rate, channels
   * and bit depth come from the mandatory STREAMINFO block's fixed bit
-  * layout; sample DECODE (rice-coded LPC residuals) stays honestly
-  * fenced with the corpus policy documented at
-  * `Multimodal.extractAudioFeatures`.
+  * layout. Sample DECODE (rice-coded fixed/LPC residuals) lives in
+  * [[FlacCodec]] — the former fence fell once the decode could be
+  * done honestly (spec-exact, MD5-verified).
   *
   * Layout parsed by hand: "fLaC" magic, then metadata blocks — 1-byte
   * header (bit 7 = last-block flag, bits 0–6 = type; type 0 =

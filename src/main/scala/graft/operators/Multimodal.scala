@@ -372,21 +372,44 @@ object Multimodal {
       .toDF("media_id", "data")
   }
 
+  /** Distributed FLAC encode of the deterministic [[WavCodec.signal]]
+    * per (id, frames, channels, rate) row — the lossless-compressed
+    * leg of [[encodeWavFrame]]. `mode`/`stereo` select the subframe
+    * and channel-decorrelation paths ([[FlacCodec.encode]]); every
+    * payload carries the MD5 of its source PCM in STREAMINFO, so any
+    * downstream decode is round-trip-proven. Row-local. */
+  def encodeFlacFrame(spec: DataFrame, idCol: String, framesCol: String,
+      channelsCol: String, rateCol: String, mode: String = "fixed",
+      stereo: String = "independent", blockSize: Int = 4096): DataFrame = {
+    val spark = spec.sparkSession
+    import spark.implicits._
+    spec.select(col(idCol).cast("long"), col(framesCol).cast("int"),
+        col(channelsCol).cast("int"), col(rateCol).cast("int"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, n, ch, rate) =>
+        (id, FlacCodec.encode(WavCodec.signal(id, n, ch, rate),
+          blockSize = blockSize, mode = mode, stereo = stereo))
+      })
+      .toDF("media_id", "data")
+  }
+
   /** Batched audio feature extraction — per-partition iteration like
     * [[extractFeatures]]; real RIFF/fmt/data parsing via
-    * [[WavCodec.decode]].
+    * [[WavCodec.decode]], real FLAC frame decode via
+    * [[FlacCodec.decode]] (Rice/LPC residual decode, CRC + STREAMINFO
+    * MD5 verified per stream).
     *
-    * CORPUS POLICY (stated loudly): this PCM-feature path covers
-    * WAV containers only (PCM16/PCM8/G.711 µ-law/A-law). Most
+    * CORPUS POLICY (stated loudly): this PCM-feature path covers WAV
+    * (PCM16/PCM8/G.711 µ-law/A-law) and FLAC (16-bit subset). Most
     * real-crawl audio is MP3/AAC/OPUS — for those classes this ingest
     * extracts NO sample features; [[extractMp3Meta]] covers the MP3
     * majority class at the METADATA level (duration/bitrate/rate/
     * channel filtering and dedup keys), and pipelines needing PCM
-    * features from compressed audio must transcode upstream. Choosing
-    * WAV-features + MP3-metadata over a hand-written MDCT decoder is
-    * deliberate: a wrong-sounding decode would silently corrupt
-    * features, while the fence + metadata path keeps every decision
-    * auditable. */
+    * features from LOSSY audio must transcode upstream. The split is
+    * principled: FLAC decode is exact integer arithmetic the stream's
+    * own MD5 signature proves right, while an MP3 MDCT decode could be
+    * wrong-sounding yet plausible and silently corrupt features — so
+    * lossless formats decode, lossy formats stay metadata-only. */
   def extractAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
     implicit val enc = Encoders.product[AudioFeatures]
     media.select(col("media_id"), col("data")).mapPartitions { it: Iterator[Row] =>
@@ -394,10 +417,18 @@ object Multimodal {
         val id = row.getLong(0)
         val bytes = row.getAs[Array[Byte]](1)
         val blen = if (bytes == null) 0L else bytes.length.toLong
-        if (bytes == null || !WavCodec.isWav(bytes))
+        val decoded: (String, WavCodec.Audio) =
+          if (bytes == null) null
+          else if (WavCodec.isWav(bytes)) ("wav", WavCodec.decode(bytes))
+          // FLAC PCM decode is real since FlacCodec landed (every frame
+          // CRC-checked + STREAMINFO MD5-verified); only MP3/AAC/OPUS
+          // remain metadata-only (psychoacoustic decode stays fenced)
+          else if (FlacCodec.isFlac(bytes)) ("flac", FlacCodec.decode(bytes))
+          else null
+        if (decoded == null)
           AudioFeatures(id, blen, "unknown", 0, 0, 0L, 0L, 0, 0L)
         else {
-          val a = WavCodec.decode(bytes)
+          val (fmt, a) = decoded
           var peak = 0
           var sum = 0L
           var i = 0
@@ -408,7 +439,7 @@ object Multimodal {
             sum += v
             i += 1
           }
-          AudioFeatures(id, blen, "wav", a.channels, a.sampleRate,
+          AudioFeatures(id, blen, fmt, a.channels, a.sampleRate,
             a.frames.toLong, a.durationMs, peak, sum)
         }
       }
