@@ -513,6 +513,97 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Small-quantity revenue (TPC-H Q17's shape): the correlated
+    // scalar subquery `l_quantity < 0.2 * avg(quantity per part)`
+    // decorrelates into ONE grouped aggregate over the brand-filtered
+    // lineitems joined back by partkey — never a per-row rescan. The
+    // threshold compares 5·qty·n < sum(qty) in exact decimal, so no
+    // float-boundary row can flip between engines.
+    "q17_smallqty" -> ((s, dir) => {
+      val part = tbl(s, dir, "part").where(col("p_brand") === "Brand#12")
+        .select("p_partkey")
+      val l12 = li(s, dir)
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val thresh = l12.groupBy("p_partkey")
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sq"),
+          count(lit(1)).as("nq"))
+      l12.join(broadcast(thresh), Seq("p_partkey"))
+        .where(col("l_quantity").cast("decimal(18,6)") * 5 * col("nq") < col("sq"))
+        .agg(
+          round(sum(col("l_extendedprice").cast("decimal(18,6)")) / 7.0, 2)
+            .cast("double").as("avg_yearly"),
+          count(lit(1)).as("n_small"))
+    }),
+    // Excess-volume suppliers (TPC-H Q20's shape): the nested
+    // IN (… IN (…) GROUP BY … HAVING …) chain — part-name prefix
+    // filter broadcast into lineitem, per-supplier HAVING aggregate,
+    // then a LEFT SEMI into the nation-filtered supplier table.
+    "q20_excess" -> ((s, dir) => {
+      val pk = tbl(s, dir, "part").where(col("p_name").startsWith("sm"))
+        .select("p_partkey")
+      val bigSupp = li(s, dir)
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(round(sum("l_quantity"), 2).as("sm_qty"))
+        .where(col("sm_qty") > 300)
+      val nat = tbl(s, dir, "nation").where(col("n_name") === "NATION_3")
+      tbl(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(bigSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+        .orderBy("s_name")
+    }),
+    // Suppliers who kept finished orders waiting (TPC-H Q21's shape,
+    // adapted to the fixture's returnflag as the lateness marker):
+    // semi-join on finished orders, EXISTS another supplier's line in
+    // the same order, NOT EXISTS another supplier's RETURNED line —
+    // equi-key semi/anti joins with a non-equi residual, never a
+    // cartesian.
+    "q21_waiting" -> ((s, dir) => {
+      val l = li(s, dir)
+      val l1 = l.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ordF = tbl(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      val l2 = l.select(col("l_orderkey").as("l2_ok"), col("l_suppkey").as("l2_sk"))
+      val l3 = l.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("l3_ok"), col("l_suppkey").as("l3_sk"))
+      l1.join(ordF, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(l2, col("l_orderkey") === col("l2_ok") &&
+          col("l_suppkey") =!= col("l2_sk"), "left_semi")
+        .join(l3, col("l_orderkey") === col("l3_ok") &&
+          col("l_suppkey") =!= col("l3_sk"), "left_anti")
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }),
+    // Dormant prospects (TPC-H Q22's shape): scalar-average subquery
+    // (exact decimal cross-multiply, as q17) + LEFT ANTI join against
+    // urgent orders (every fixture customer has SOME order, so the
+    // anti-join side is priority-filtered to stay non-degenerate),
+    // grouped by market segment standing in for the phone country
+    // code.
+    "q22_prospects" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+      val avgBal = cust.where(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,6)")).as("sbal"),
+          count(lit(1)).as("nbal"))
+      cust.join(tbl(s, dir, "orders")
+            .where(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal").cast("decimal(18,6)") * col("nbal") > col("sbal"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(18,6)")), 2)
+            .cast("double").as("totacctbal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ----- §2.1 parquet round-trip (write sink) ------------------------
     "parquet_roundtrip" -> ((s, dir) => {
       val out = s"/root/repo/target/tmp/graft_pq_${dir.hashCode.toHexString}"
@@ -4058,6 +4149,57 @@ object SparkEntry {
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    // the oracle keeps the CLASSIC correlated form — DuckDB
+    // decorrelates it itself, pinning that the Spark-side manual
+    // decorrelation is semantically identical
+    "q17_smallqty" ->
+      """SELECT
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0 AS DOUBLE), 2)
+        |    AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM lineitem l, part p
+        |WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#12'
+        |  AND CAST(l.l_quantity AS DECIMAL(18,6)) * 5 *
+        |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |    < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,6)))
+        |       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "q20_excess" ->
+      """SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier, nation
+        |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'sm%')
+        |    GROUP BY l_suppkey
+        |    HAVING round(sum(l_quantity), 2) > 300)
+        |ORDER BY s_name""".stripMargin,
+    "q21_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1, orders o, supplier s
+        |WHERE l1.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R' AND l1.l_suppkey = s.s_suppkey
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 20""".stripMargin,
+    "q22_prospects" ->
+      """WITH bal AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS sbal, count(*) AS nbal
+        |  FROM customer WHERE c_acctbal > 0
+        |)
+        |SELECT c_mktsegment,
+        |  count(*) AS numcust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+        |FROM customer, bal
+        |WHERE CAST(c_acctbal AS DECIMAL(18,6)) * nbal > sbal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "parquet_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty

@@ -525,6 +525,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p18.contains("CartesianProduct"), p18)
   }
 
+  test("q17/q20/q21/q22: correlated tier — semi/anti stay keyed, no cartesian") {
+    val p17 = plan("q17_smallqty")
+    assert(!p17.contains("CartesianProduct"), p17)
+    assert(nodes(p17, "HashAggregate") >= 2, p17) // per-part threshold + final
+    val p20 = plan("q20_excess")
+    assert(p20.contains("LeftSemi"), p20)
+    assert(!p20.contains("CartesianProduct"), p20)
+    val p21 = plan("q21_waiting")
+    assert(p21.contains("LeftSemi"), p21)
+    assert(p21.contains("LeftAnti"), p21)
+    // the <>-residual semi/anti joins must still be EQUI-keyed on
+    // l_orderkey (hash or sort-merge), not nested-loop
+    assert(!p21.contains("CartesianProduct") &&
+      !p21.contains("BroadcastNestedLoopJoin"), p21)
+    val p22 = plan("q22_prospects")
+    assert(p22.contains("LeftAnti"), p22)
+    // the scalar-average attach is the one-row broadcast cross join;
+    // nothing else may nest loops
+    assert(nodes(p22, "BroadcastNestedLoopJoin") <= 1, p22)
+    assert(!p22.contains("CartesianProduct"), p22)
+  }
+
   test("bucketed join: both scans co-located — zero exchanges") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
