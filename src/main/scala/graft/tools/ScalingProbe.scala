@@ -111,6 +111,94 @@ object ScalingProbe {
     (math.min(w1, w2), l.bytes, rows)
   }
 
+  /** 100× probe (round-11 VERDICT item 4): the brief's stated bar is
+    * "would it survive 100×" — the 10× window can hide a super-linear
+    * term with a small constant, so the three heaviest dedup paths and
+    * the ANN path re-run at 1× vs 100× (single-run timing — at this
+    * scale the noise floor is irrelevant next to a quadratic blow-up,
+    * which would show as ~10,000×). APPENDS a section to outPath so
+    * the 1×/10× table above it stays authoritative. */
+  private def run100x(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      outPath: String, cpus: String): Unit = {
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), (Double, Long, Long)]
+    for (copies <- Seq(1, 100)) {
+      val docs = scaleDocs(docs1, copies).cache()
+      val nDocs = docs.count()
+      def once(build: () => DataFrame): (Double, Long, Long) = {
+        val t = System.nanoTime()
+        val df = build()
+        val rows = df.collect().length.toLong
+        ((System.nanoTime() - t) / 1e9, totalShuffleBytes(df), rows)
+      }
+      results(("dedup_lsh_drop", copies)) = once { () =>
+        Dedup.dropLshDuplicates(plantDups(docs), "doc_id", "text",
+          threshold = 0.5, numHashes = 128, bands = 32)
+          .select(col("doc_id"))
+      }
+      results(("dedup_incremental_drop", copies)) = once { () =>
+        val toks = split(col("text"), " ")
+        val base = docs.where(size(toks) >= 30)
+        val batch = base.select((col("doc_id") + 1000000L).as("doc_id"),
+            array_join(slice(toks, lit(1), size(toks) - 5), " ").as("text"))
+          .unionAll(base.select((col("doc_id") + 2000000L).as("doc_id"),
+            array_join(reverse(toks), " ").as("text")))
+        val index = Dedup.minHashIndex(docs, "doc_id", "text",
+          numHashes = 128, bands = 32)
+        Dedup.dedupIncremental(batch, "doc_id", "text",
+          index, docs, "doc_id", "text",
+          threshold = 0.5, numHashes = 128, bands = 32)
+          .select(col("doc_id"))
+      }
+      results(("remove_dup_spans", copies)) = once { () =>
+        graft.operators.TextOps.removeDupSpans(
+          plantDups(docs), "doc_id", "text", n = 8)
+          .select(col("doc_id"), col("n_tokens_kept"))
+      }
+      results(("simsearch_ivf", copies)) = once { () =>
+        val q = emb1.where(col("vec_id") < 64)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val c = (0 until copies).map { k =>
+          emb1.select((col("vec_id") + k * 10000000L).as("corpus_id"),
+            transform(Similarity.asDoubleVec(col("embedding")),
+              x => x + lit(k * 0.001)).as("cv"))
+        }.reduce(_ unionAll _)
+        Similarity.ivfTopK(q, "query_id", "qv",
+          c, "corpus_id", "cv", k = 10, nCells = 16, nProbe = 4)
+      }
+      println(s"[scaling-100x] copies=$copies nDocs=$nDocs done")
+      docs.unpersist()
+    }
+    val head = Provenance.gitHead
+    val dirty = Provenance.gitTreeDirty
+    val sb = new StringBuilder
+    sb ++= "\n## 100× probe (heaviest dedup paths + ANN)\n\n"
+    sb ++= s"Generated by `graft.tools.ScalingProbe 100x` at git `$head`" +
+      s"${if (dirty) " (DIRTY tree)" else ""}, fixtures `$sfDir`, local[$cpus]. " +
+      "Same corpus recipe as the 10× table (token-suffixed id-shifted " +
+      "copies, cross-copy shingle-disjoint); single-run timing — a hidden " +
+      "quadratic term would show as ~10,000×, far above any noise floor.\n\n"
+    sb ++= "| op | scale | rows out | wall s | shuffle MB |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    for (((op, copies), (sec, bytes, rows)) <- results)
+      sb ++= f"| $op | ${copies}× | $rows | $sec%.2f | ${bytes / 1e6}%.1f |\n"
+    sb ++= "\n| op | time 100×/1× | shuffle 100×/1× |\n|---|---|---|\n"
+    for (op <- Seq("dedup_lsh_drop", "dedup_incremental_drop",
+        "remove_dup_spans", "simsearch_ivf")) {
+      val (s1, b1, _) = results((op, 1))
+      val (s100, b100, _) = results((op, 100))
+      val bRatio = if (b1 > 0) f"${b100.toDouble / b1}%.1f×" else "n/a"
+      sb ++= f"| $op | ${s100 / s1}%.1f× | $bRatio |\n"
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      sb.toString, java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    println(sb.toString)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = if (args.length > 1) args(1) else "SCALING.md"
@@ -120,6 +208,11 @@ object ScalingProbe {
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("100x")) {
+      run100x(spark, sfDir, outPath, cpus)
+      spark.stop()
+      return
+    }
 
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))

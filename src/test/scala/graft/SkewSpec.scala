@@ -85,4 +85,68 @@ class SkewSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("saltedJoin supports"))
   }
+
+  /** Per-shuffle-stage (total, max-partition) bytes of an EXECUTED
+    * adaptive plan — DedupSpec's mapStats probe, paired form. */
+  private def shuffleStageBytes(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def walk(p: SparkPlan): Unit = p.foreach {
+      case s: ShuffleQueryStageExec =>
+        s.mapStats.foreach(ms =>
+          out += ((ms.bytesByPartitionId.sum, ms.bytesByPartitionId.max)))
+        walk(s.plan)
+      case q: QueryStageExec => walk(q.plan)
+      case _ => ()
+    }
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => walk(other)
+    }
+    out.toSeq
+  }
+
+  test("zipf(1) hot key: salting bounds the max shuffle partition the raw join can't") {
+    // statistically skewed keys (the skew_zipf_stress gate's integer
+    // inverse-CDF mapping): key 1 carries ~36.8% of 60k padded rows.
+    // The raw shuffle join MUST funnel that through one reduce
+    // partition; the salted join must spread it to ~1/salts.
+    val bKey = "spark.sql.autoBroadcastJoinThreshold"
+    val pKey = "spark.sql.shuffle.partitions"
+    val (prevB, prevP) = (spark.conf.get(bKey), spark.conf.get(pKey))
+    try {
+      spark.conf.set(bKey, "-1") // force a real fact-side shuffle
+      // 32 reduce partitions (the suite default is 4, where uniform
+      // already means 25% per partition and the bound would be vacuous)
+      spark.conf.set(pKey, "32")
+      val fact = spark.range(60000).select(
+          SparkEntry.zipfKey(col("id") * 48271 % 65536).as("k"),
+          col("id").as("v"),
+          lpad(lit("x"), 200, "x").as("pad"))
+        .repartition(16).cache()
+      fact.count()
+      val build = spark.range(1, 9).select(col("id").as("k"),
+        concat(lit("label"), col("id")).as("name"))
+      def maxFrac(df: org.apache.spark.sql.DataFrame): Double = {
+        df.collect()
+        // the fact exchange is the byte-dominant shuffle stage
+        val (total, mx) = shuffleStageBytes(df).maxBy(_._1)
+        mx.toDouble / total
+      }
+      val rawFrac = maxFrac(
+        fact.join(build, Seq("k")).select("k", "v", "name", "pad"))
+      val saltedFrac = maxFrac(
+        Skew.saltedJoin(fact, build, Seq("k"), salts = 16, saltCols = Seq("v"))
+          .select("k", "v", "name", "pad"))
+      // raw: one partition holds at least the hot key's whole share
+      assert(rawFrac > 0.30, f"raw max-partition fraction $rawFrac%.3f")
+      // salted: no partition above 15% of the exchange (expected ~3%
+      // per (key,salt) cell; 15% allows several cells hashing together)
+      assert(saltedFrac < 0.15, f"salted max-partition fraction $saltedFrac%.3f")
+      assert(saltedFrac < rawFrac / 2.5,
+        f"salting must materially flatten the exchange: $saltedFrac%.3f vs $rawFrac%.3f")
+      fact.unpersist()
+    } finally { spark.conf.set(bKey, prevB); spark.conf.set(pKey, prevP) }
+  }
 }
