@@ -25,7 +25,12 @@ import java.nio.charset.StandardCharsets.US_ASCII
   * total-samples and MD5 against STREAMINFO. Encoder: fixed-predictor
   * search (orders 0–4) with exact-cost Rice parameter selection and
   * partitioned residuals, optional mid/side stereo and a quantized-LPC
-  * mode, so every decoder path has an in-repo producer.
+  * mode. Two decode paths the encoder never emits — escape partitions
+  * (raw two's-complement residuals) and the 5-bit Rice method
+  * (method 1) — are exercised by hand-crafted bitstreams in
+  * FlacCodecSpec ("hand-crafted stream: escape partitions" /
+  * "5-bit rice method"), so every decoder path still has an in-repo
+  * producer; it just isn't always the encoder.
   *
   * Reference scope anchor: the reference pipeline treats media as
   * opaque bytes + typed metadata (`docs/multimodal.md` analog); this
@@ -469,7 +474,7 @@ object FlacCodec {
     var maxFrame = 0
     var pos = 0
     var frameNo = 0L
-    while (pos < frames || (frames == 0 && pos == 0 && false)) {
+    while (pos < frames) {
       val bs = math.min(blockSize, frames - pos)
       val fb = encodeFrame(a, pos, bs, frameNo, mode, stereo)
       if (fb.length < minFrame) minFrame = fb.length

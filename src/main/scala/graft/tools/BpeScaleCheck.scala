@@ -1,25 +1,31 @@
-package graft
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch measurement main (deleted after use): large-k BPE training
-  * on a salted sf0.1 corpus. Salting recipe: 200 token-suffixed copies
+import graft.operators
+
+/** BPE training scale probe (source of the COVERAGE.md large-k
+  * incremental-vs-batched measurements): large-k BPE training on a
+  * salted corpus derived from the documents fixture.
+  * Usage: runMain graft.tools.BpeScaleCheck [mode] [sfDir]
+  * (mode: k1024 | k8192 | k8192w). Salting recipe: 200 token-suffixed copies
   * with each token re-keyed to md5(token || copy) truncated to 16 hex
   * chars — vocabulary ~6200 distinct 16-char words whose frequencies
   * keep the fixture's skew, with enough per-word structure to sustain
   * k=8192 merges (the plain suffix recipe exhausts at ~428 because
   * base stems and copy suffixes share almost all merge rules). */
-object DriveCheck {
+object BpeScaleCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .appName("graft-drivecheck")
+      .appName("graft-bpe-scale-check")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     val copies = 200
     val salted = (0 until copies).map { c =>
@@ -30,7 +36,7 @@ object DriveCheck {
             x => substring(md5(concat(x, lit(s"#$c"))), 1, 16)), " ").as("text"))
     }.reduce(_ unionByName _)
     salted.persist().count()
-    println(s"MEASURE vocab=${graft.operators.Bpe.wordFreqs(salted, "text").count()}")
+    println(s"MEASURE vocab=${operators.Bpe.wordFreqs(salted, "text").count()}")
 
     def timeIt[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -66,7 +72,7 @@ object DriveCheck {
         .select(concat_ws(" ",
           array_repeat(col("w"), (crc32(col("w")) % 50 + 1).cast("int"))).as("text"))
       words.persist().count()
-      println(s"MEASURE wordtable vocab=${graft.operators.Bpe.wordFreqs(words, "text").count()}")
+      println(s"MEASURE wordtable vocab=${operators.Bpe.wordFreqs(words, "text").count()}")
       var ri = 0
       var lastLog = System.nanoTime()
       val inc = timeIt("wordtable incremental k=8192 batch=1024") {

@@ -200,15 +200,20 @@ object ScalingProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val outPath = if (args.length > 1) args(1) else "SCALING.md"
+    // the "100x" mode flag may appear at any position; positional args
+    // (sfDir, outPath) are resolved from what remains, so
+    // `runMain graft.tools.ScalingProbe 100x` works as documented
+    val mode100x = args.contains("100x")
+    val positional = args.filterNot(_ == "100x")
+    val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
+    val outPath = if (positional.length > 1) positional(1) else "SCALING.md"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession
       .builder(appName = "graft-scaling-probe", master = s"local[$cpus]",
         shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.contains("100x")) {
+    if (mode100x) {
       run100x(spark, sfDir, outPath, cpus)
       spark.stop()
       return
