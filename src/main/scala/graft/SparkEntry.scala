@@ -646,6 +646,234 @@ object SparkEntry {
             .cast("double").as("totacctbal"))
         .orderBy("c_mktsegment")
     }),
+    // Minimum-cost supplier (TPC-H Q2's shape, lineitem standing in for
+    // partsupp): the correlated `= (SELECT min(cost) ...)` decorrelates
+    // into ONE per-part min over the region-filtered offers joined back
+    // on (partkey, cost = min) — the offer table is computed once and
+    // both sides of the join-back share its shuffle. Equality on
+    // l_extendedprice compares stored doubles (min of a set is a member
+    // of it), so no epsilon is needed.
+    "q2_mincost" -> ((s, dir) => {
+      val eu = tbl(s, dir, "nation")
+        .join(broadcast(tbl(s, dir, "region").where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val suppEu = tbl(s, dir, "supplier")
+        .join(broadcast(eu), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val partF = tbl(s, dir, "part").where(col("p_size") < 10)
+        .select(col("p_partkey"), col("p_name"))
+      val offers = li(s, dir)
+        .join(broadcast(suppEu), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          round(col("s_acctbal"), 2).as("s_acctbal"), col("n_name"),
+          col("l_extendedprice"))
+      val minCost = offers.groupBy(col("p_partkey").as("mc_pk"))
+        .agg(min(col("l_extendedprice")).as("min_cost"))
+      offers
+        .join(minCost, col("p_partkey") === col("mc_pk") &&
+          col("l_extendedprice") === col("min_cost"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "min_cost")
+        .distinct()
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    }),
+    // National market share (TPC-H Q8's shape): EUROPE customers'
+    // SMALL-part market by order year, numerator restricted to one
+    // supplier nation via a conditional aggregate — the share's two
+    // legs come out of ONE pass, never two scans. Dimensions all ride
+    // broadcasts; only lineitem⋈orders shuffles.
+    "q8_marketshare" -> ((s, dir) => {
+      val natC = tbl(s, dir, "nation")
+        .join(broadcast(tbl(s, dir, "region").where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val natS = tbl(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")
+      li(s, dir)
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(s, dir, "part").where(col("p_type") === "SMALL")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(tbl(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(tbl(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_7", vol)
+            .otherwise(lit(0).cast("decimal(18,6)"))), 2).cast("double").as("nation_vol"),
+          round(sum(vol), 2).cast("double").as("total_vol"),
+          count(lit(1)).as("n"))
+        .orderBy("o_year")
+    }),
+    // Product-line profit (TPC-H Q9's shape, retail-price stand-in for
+    // ps_supplycost): profit per supplier nation per ship year over a
+    // part-name filter — name filter broadcast into the fact scan, one
+    // grouped aggregate, exact decimal accumulation of the per-row
+    // double products.
+    "q9_profit" -> ((s, dir) => {
+      val profit =
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)") -
+        (lit(0.6) * col("p_retailprice") * col("l_quantity")).cast("decimal(18,6)")
+      li(s, dir)
+        .join(broadcast(tbl(s, dir, "part").where(col("p_name").contains("bolt"))
+          .select("p_partkey", "p_retailprice")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(tbl(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("l_shipdate")).cast("bigint").as("o_year"))
+        .agg(round(sum(profit), 2).cast("double").as("sum_profit"),
+          count(lit(1)).as("n"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    // Returned-item revenue ranking (TPC-H Q10's shape): revenue lost
+    // to returns per customer over one order year, top 20 — the
+    // big⋈big lineitem⋈orders spine shuffles once; customer/nation
+    // ride broadcasts; ties on the rounded revenue are broken by the
+    // unique customer key so LIMIT is deterministic.
+    "q10_returns" -> ((s, dir) => {
+      li(s, dir).where(col("l_returnflag") === "R")
+        .join(tbl(s, dir, "orders")
+            .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    // Important stock value (TPC-H Q11's shape): per-part value from
+    // one nation's suppliers, kept when above a fixed fraction of the
+    // total — the scalar-subquery total rides a broadcast crossJoin of
+    // ONE row, and the threshold compares value·1000 > total in exact
+    // decimal instead of multiplying by a float fraction.
+    "q11_stock" -> ((s, dir) => {
+      val suppN = tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation").where(col("n_name") === "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val vals = li(s, dir)
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,6)")).as("value_dec"))
+      val total = vals.agg(sum(col("value_dec")).as("total_dec"))
+      vals.crossJoin(broadcast(total))
+        .where(col("value_dec") * 1000 > col("total_dec"))
+        .select(col("p_partkey"),
+          round(col("value_dec"), 2).cast("double").as("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
+    }),
+    // Shipping-priority split (TPC-H Q12's shape, linestatus standing
+    // in for shipmode): per lineitem status over one ship year, how
+    // many orders were high-priority vs not — the CASE lives inside
+    // the aggregate so both counts come from one pass over the
+    // lineitem⋈orders shuffle.
+    "q12_priority" -> ((s, dir) => {
+      val high = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      li(s, dir)
+        .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+    // Promotion revenue share (TPC-H Q14's shape): one ship month,
+    // promo vs total revenue from a single conditional aggregate over
+    // the broadcast part join — never two scans of lineitem.
+    "q14_promo" -> ((s, dir) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")
+      li(s, dir)
+        .where(col("l_shipdate") >= lit("1998-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+        .join(broadcast(tbl(s, dir, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(18,6)"))), 2).cast("double").as("promo_rev"),
+          round(sum(rev), 2).cast("double").as("total_rev"),
+          sum(when(col("p_type") === "PROMO", 1L).otherwise(0L)).as("n_promo"),
+          count(lit(1)).as("n_total"))
+    }),
+    // Top supplier (TPC-H Q15's shape): quarterly revenue per supplier
+    // as a shared subplan — the max-revenue scalar is an aggregate OVER
+    // the same grouped aggregate, joined back on exact-decimal equality
+    // so Catalyst reuses one exchange for both legs instead of
+    // recomputing the revenue view.
+    "q15_topsupplier" -> ((s, dir) => {
+      val rev = li(s, dir)
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp") &&
+          // explicit, though never null in the data: the join-back leg
+          // infers isnotnull(l_suppkey) on its side, and the max leg
+          // must canonicalize to the SAME subtree for Catalyst to reuse
+          // one exchange for both
+          col("l_suppkey").isNotNull)
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("rev_dec"))
+      val top = rev.agg(max(col("rev_dec")).as("max_rev"))
+      rev.crossJoin(broadcast(top))
+        .where(col("rev_dec") === col("max_rev"))
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("rev_dec"), 2).cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+    // Parts/supplier relationship count (TPC-H Q16's shape,
+    // negative-balance suppliers standing in for the complaints NOT
+    // IN): distinct supplier count per (brand, type, size) over the
+    // lineitem-derived part⋈supplier pairs, excluded suppliers removed
+    // by a broadcast anti-join BEFORE the distinct shuffle.
+    "q16_partsupp" -> ((s, dir) => {
+      val excl = tbl(s, dir, "supplier").where(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      val partF = tbl(s, dir, "part")
+        .where(col("p_brand") =!= "Brand#3" && col("p_type") =!= "PROMO")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      li(s, dir).select("l_partkey", "l_suppkey")
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(partF), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+        .limit(50)
+    }),
+    // Disjunctive predicate revenue (TPC-H Q19's shape): three
+    // brand/size/quantity conjunctions OR-ed together — the part
+    // filter is the union of the brand legs so the broadcast stays
+    // small, and the residual disjunction evaluates inside the join,
+    // never as a fallback nested loop.
+    "q19_disjunct" -> ((s, dir) => {
+      val p = tbl(s, dir, "part")
+        .where(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey", "p_brand", "p_size")
+      val legs =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(20, 30))
+      li(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .where(legs)
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
 
     // ----- §2.1 parquet round-trip (write sink) ------------------------
     "parquet_roundtrip" -> ((s, dir) => {
@@ -4278,6 +4506,144 @@ object SparkEntry {
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    // classic correlated `= (SELECT min ...)` form — DuckDB
+    // decorrelates it itself, pinning the Spark-side manual
+    // decorrelation
+    "q2_mincost" ->
+      """SELECT DISTINCT p_partkey, p_name, s_name,
+        |  round(s_acctbal, 2) AS s_acctbal, n_name,
+        |  l_extendedprice AS min_cost
+        |FROM part, lineitem, supplier, nation, region
+        |WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE' AND p_size < 10
+        |  AND l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p_partkey AND l2.l_suppkey = s2.s_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY p_partkey, s_name LIMIT 100""".stripMargin,
+    "q8_marketshare" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(round(sum(CASE WHEN n2.n_name = 'NATION_7'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS nation_vol,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_vol,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'EUROPE' AND p_type = 'SMALL'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |  CAST(round(sum(
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) -
+        |    CAST(CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity
+        |      AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q11_stock" ->
+      """WITH vals AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS value_dec
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_2'
+        |  GROUP BY 1)
+        |SELECT p_partkey,
+        |  CAST(round(value_dec, 2) AS DOUBLE) AS value
+        |FROM vals
+        |WHERE value_dec * 1000 > (SELECT sum(value_dec) FROM vals)
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+    "q12_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q14_promo" ->
+      """SELECT
+        |  CAST(round(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS promo_rev,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_rev,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_promo,
+        |  CAST(count(*) AS BIGINT) AS n_total
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-03-01'
+        |  AND l_shipdate < TIMESTAMP '1998-04-01'""".stripMargin,
+    // classic view + scalar max form, as the TPC-H text writes it
+    "q15_topsupplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+        |      AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  CAST(round(rev_dec, 2) AS DOUBLE) AS total_rev
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_partsupp" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 50""".stripMargin,
+    "q19_disjunct" ->
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE
+        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "parquet_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty

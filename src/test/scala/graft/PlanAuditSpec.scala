@@ -547,6 +547,66 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p22.contains("CartesianProduct"), p22)
   }
 
+  test("q2/q8/q9/q10: min-cost join-back and dim ladders broadcast, no cartesian") {
+    val p2 = plan("q2_mincost")
+    // region/supplier/part dims broadcast; the min-cost join-back is
+    // the only big-big join and it is equi-keyed on (partkey, cost)
+    assert(nodes(p2, "BroadcastHashJoin") >= 2, p2)
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"), p2)
+    val p8 = plan("q8_marketshare")
+    // six dimension hops all ride broadcasts; only lineitem⋈orders may
+    // shuffle — so at most one non-broadcast join in the tree
+    assert(nodes(p8, "BroadcastHashJoin") >= 5, p8)
+    assert(nodes(p8, "SortMergeJoin") + nodes(p8, "ShuffledHashJoin") <= 1, p8)
+    assert(!p8.contains("CartesianProduct"), p8)
+    val p9 = plan("q9_profit")
+    // every join is a broadcast: the part-name filter, supplier, nation
+    assert(nodes(p9, "SortMergeJoin") + nodes(p9, "ShuffledHashJoin") +
+      nodes(p9, "CartesianProduct") == 0, p9)
+    val p10 = plan("q10_returns")
+    assert(p10.contains("TakeOrderedAndProject"), p10) // top-20, never a full sort
+    assert(!p10.contains("CartesianProduct"), p10)
+  }
+
+  test("q11/q12/q14/q15/q16/q19: scalar attaches stay one-row, conditional aggs single-pass") {
+    val p11 = plan("q11_stock")
+    // the total is a one-row broadcast attach; the only other join is
+    // the broadcast supplier semi-filter
+    assert(nodes(p11, "BroadcastNestedLoopJoin") <= 1, p11)
+    assert(!p11.contains("CartesianProduct"), p11)
+    val p12 = plan("q12_priority")
+    // both counts come from ONE aggregate over the join — a single
+    // two-phase agg, no second scan
+    assert(nodes(p12, "HashAggregate") == 2, p12)
+    val p14 = plan("q14_promo")
+    assert(nodes(p14, "BroadcastHashJoin") == 1, p14)
+    assert(nodes(p14, "SortMergeJoin") + nodes(p14, "ShuffledHashJoin") +
+      nodes(p14, "CartesianProduct") == 0, p14)
+    val p15 = plan("q15_topsupplier")
+    // max-revenue scalar attaches as a one-row broadcast; under AQE
+    // exchange reuse is a RUNTIME decision, so execute and assert the
+    // revenue view's shuffle stage was reused for the max leg, not
+    // recomputed (both legs carry the same explicit not-null filter so
+    // they canonicalize to one subtree)
+    assert(nodes(p15, "BroadcastNestedLoopJoin") <= 1, p15)
+    val q15 = SparkEntry.queries("q15_topsupplier")(spark, dir)
+    q15.collect()
+    val e15 = q15.queryExecution.executedPlan.toString
+    assert(e15.contains("ReusedQueryStage") || e15.contains("ReusedExchange"),
+      e15)
+    val p16 = plan("q16_partsupp")
+    assert(p16.contains("LeftAnti"), p16)
+    assert(p16.contains("TakeOrderedAndProject"), p16)
+    assert(!p16.contains("CartesianProduct"), p16)
+    val p19 = plan("q19_disjunct")
+    // the disjunction is a residual of the broadcast equi-join, never a
+    // nested loop over part
+    assert(nodes(p19, "BroadcastHashJoin") == 1, p19)
+    assert(nodes(p19, "CartesianProduct") +
+      nodes(p19, "BroadcastNestedLoopJoin") == 0, p19)
+  }
+
   test("bucketed join: both scans co-located — zero exchanges") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
