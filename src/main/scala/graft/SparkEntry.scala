@@ -649,10 +649,11 @@ object SparkEntry {
     // Minimum-cost supplier (TPC-H Q2's shape, lineitem standing in for
     // partsupp): the correlated `= (SELECT min(cost) ...)` decorrelates
     // into ONE per-part min over the region-filtered offers joined back
-    // on (partkey, cost = min) — the offer table is computed once and
-    // both sides of the join-back share its shuffle. Equality on
-    // l_extendedprice compares stored doubles (min of a set is a member
-    // of it), so no epsilon is needed.
+    // on (partkey, cost = min) — the offers subplan is built once and
+    // feeds both the min aggregate and the join-back (the two legs
+    // shuffle on different keys, so the exchange itself is not shared).
+    // Equality on l_extendedprice compares stored doubles (min of a set
+    // is a member of it), so no epsilon is needed.
     "q2_mincost" -> ((s, dir) => {
       val eu = tbl(s, dir, "nation")
         .join(broadcast(tbl(s, dir, "region").where(col("r_name") === "EUROPE")),

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators
@@ -17,11 +16,10 @@ import graft.operators
   * base stems and copy suffixes share almost all merge rules). */
 object BpeScaleCheck {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .appName("graft-bpe-scale-check")
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession
+      .builder(appName = "graft-bpe-scale-check", master = s"local[$cpus]",
+        shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
