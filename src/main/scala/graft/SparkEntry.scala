@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, Layout, Lz4, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, UrlOps, WavCodec, WebArchive, WikiDump, Xz, ZipCodec, Zstd}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, Layout, Lz4, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, Unigram, UrlOps, WavCodec, WebArchive, WikiDump, Xz, ZipCodec, Zstd}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -3266,6 +3266,45 @@ object SparkEntry {
       val ms = Bpe.train(docs, "text", k = 3)
       Bpe.tokenCounts(docs, "doc_id", "text", ms).orderBy("doc_id")
     }),
+    // Unigram-LM tokenizer (Kudo 2018, SentencePiece family): seed 40
+    // substrings + all chars, 2 hard-EM Viterbi rounds, count-prune to
+    // 20 multis. The oracle replays the ENTIRE training — seeding,
+    // both Viterbi DPs position-by-position (the score key folds
+    // (key·cnt)/total left-to-right in IEEE double, exactly specified
+    // arithmetic, so every argmax comparison replays bit-identically),
+    // integer M-step counts, and the prune — CTE-for-CTE.
+    "text_unigram_train" -> ((s, dir) => {
+      val ps = Unigram.trainOnce(tbl(s, dir, "documents"), "text",
+        seedMultis = 40, vocabMultis = 20, emRounds = 2, maxPieceLen = 4)
+      import s.implicits._
+      ps.zipWithIndex.map { case (p, i) => (i + 1, p.piece, p.count) }
+        .toDF("rank", "piece", "cnt").orderBy("rank")
+    }),
+    // Train + Viterbi-encode end-to-end: per-doc token counts under
+    // the pruned table (row-local, piece table broadcast). The oracle
+    // re-derives the vocabulary AND re-segments every distinct word
+    // through a third unrolled DP.
+    "text_unigram_encode" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val vocab = Unigram.trainOnce(docs, "text",
+        seedMultis = 40, vocabMultis = 20, emRounds = 2, maxPieceLen = 4)
+      Unigram.tokenCounts(docs, "doc_id", "text", vocab, maxPieceLen = 4)
+        .orderBy("doc_id")
+    }),
+    // The tokenizer-family comparison a real pipeline runs before
+    // committing to a vocabulary: per-doc token counts under BPE(k=3)
+    // vs unigram(20 multis) side by side, both oracle-rederived.
+    "text_unigram_vs_bpe" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val uni = Unigram.trainOnce(docs, "text",
+        seedMultis = 40, vocabMultis = 20, emRounds = 2, maxPieceLen = 4)
+      val ms = Bpe.train(docs, "text", k = 3)
+      Bpe.tokenCounts(docs, "doc_id", "text", ms)
+        .withColumnRenamed("n_tokens", "n_bpe")
+        .join(Unigram.tokenCounts(docs, "doc_id", "text", uni, maxPieceLen = 4)
+          .withColumnRenamed("n_tokens", "n_uni"), "doc_id")
+        .orderBy("doc_id")
+    }),
     // Aho-Corasick blocklist scan: one linear pass per doc regardless
     // of pattern count (vs K substring scans). Patterns include a
     // cross-word phrase; all three occur in the corpus only as whole
@@ -4163,13 +4202,18 @@ object SparkEntry {
     * then three rounds of pair-count → deterministic argmax
     * (count DESC, pair ASC — the engine's tie-break) → fixpoint
     * merge. `seq3` is the post-round-3 symbol table. */
-  private lazy val bpeCtes: String =
-    s"""WITH words AS (
+  /** The distinct-word frequency table (Bpe.wordFreqs' SQL mirror) —
+    * shared by the BPE and unigram oracle chains. */
+  private lazy val wordsCte: String =
+    s"""words AS (
        |  SELECT w AS word, count(*) AS freq FROM (
        |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
        |      x -> len(x) > 0)) AS w
        |    FROM documents) GROUP BY w
-       |), seq0 AS (
+       |)""".stripMargin
+
+  private lazy val bpeCtes: String =
+    s"""WITH $wordsCte, seq0 AS (
        |  SELECT word, freq,
        |    ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' </w> ' AS seq
        |  FROM words
@@ -4186,6 +4230,100 @@ object SparkEntry {
        |), seq3 AS (SELECT word, freq, ${bpeMergeFix("seq", "m3")} AS seq
        |  FROM seq2 CROSS JOIN m3
        |)""".stripMargin
+
+  // ---- unigram-LM oracle (Unigram.scala's deterministic spec) ----
+  // Gate shape: seed 40 substrings (len 2..4) + all chars, 2 hard-EM
+  // Viterbi rounds, count-prune to 20 multis. The Viterbi DP unrolls
+  // position-by-position to maxW=16 CTEs per round; the score key folds
+  // (key·cnt)/total left-to-right in DOUBLE — IEEE-754 ops are exactly
+  // specified, so DuckDB reproduces Spark's comparisons bit-for-bit.
+  private val uniMaxW = 16
+  private val uniMaxL = 4
+  private val uniSeedMultis = 40
+  private val uniVocabMultis = 20
+
+  /** Viterbi DP CTE chain over `wordsCte` (word, freq) with vocabulary
+    * `vCte` (piece, cnt) and total `tCte` (total): emits
+    * `dp{tag}_0..maxW` and `seg{tag}` (word, freq, ntok, seg). Per
+    * position the argmax is (key desc, ntok asc, seg asc) — exactly
+    * [[graft.operators.Unigram.viterbi]]'s tie-break. */
+  private def uniDpCtes(tag: String, wordsCte: String, vCte: String,
+      tCte: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"dp${tag}_0 AS MATERIALIZED (SELECT word, freq, CAST(1.0 AS DOUBLE) AS key, " +
+      s"0 AS ntok, '' AS seg FROM $wordsCte)"
+    for (i <- 1 to uniMaxW) {
+      val legs = (1 to math.min(uniMaxL, i)).map { l =>
+        s"""SELECT p.word, p.freq,
+           |      (p.key * CAST(v.cnt AS DOUBLE)) / CAST(t.total AS DOUBLE) AS key,
+           |      p.ntok + 1 AS ntok,
+           |      CASE WHEN p.seg = '' THEN v.piece ELSE p.seg || ' ' || v.piece END AS seg
+           |    FROM dp${tag}_${i - l} p CROSS JOIN $tCte t
+           |    JOIN $vCte v ON len(p.word) >= $i AND v.piece = substr(p.word, ${i - l + 1}, $l)""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      sb ++= s""",
+         |dp${tag}_$i AS MATERIALIZED (
+         |  SELECT word, freq, key, ntok, seg FROM (
+         |    SELECT word, freq, key, ntok, seg,
+         |      row_number() OVER (PARTITION BY word
+         |        ORDER BY key DESC, ntok ASC, seg ASC) AS rn
+         |    FROM (
+         |    $legs)) WHERE rn = 1)""".stripMargin
+    }
+    sb ++= s""",
+       |seg$tag AS (
+       |  ${(1 to uniMaxW).map(i =>
+             s"SELECT word, freq, ntok, seg FROM dp${tag}_$i WHERE len(word) = $i")
+             .mkString("\n  UNION ALL\n  ")})""".stripMargin
+    sb.toString
+  }
+
+  /** M-step CTEs: piece counts from a seg table, then the next-round
+    * vocabulary (chars persist at 0; zero-count multis drop). */
+  private def uniMStep(cntCte: String, segCte: String, nextV: String): String =
+    s"""$cntCte AS (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(seg, ' ')) AS piece, freq FROM $segCte)
+       |  GROUP BY piece),
+       |$nextV AS MATERIALIZED (
+       |  SELECT ch.piece, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+       |  FROM uchars ch LEFT JOIN $cntCte c USING (piece)
+       |  UNION ALL
+       |  SELECT piece, cnt FROM $cntCte WHERE len(piece) > 1)""".stripMargin
+
+  /** Full unigram training replay: seed → EM round 1 → EM round 2 →
+    * count prune → (encoding DP over the pruned table as `segenc`).
+    * Chains onto the bpe oracle's `words` CTE. */
+  private lazy val uniCtes: String =
+    s"""uwords AS MATERIALIZED (SELECT word, freq FROM words WHERE len(word) <= $uniMaxW),
+       |uchars AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(regexp_extract_all(word, '.')) AS piece, freq FROM uwords)
+       |  GROUP BY piece),
+       |umultis AS (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |      SELECT unnest(flatten(list_transform(range(2, ${uniMaxL + 1}), l ->
+       |        list_transform(range(1, len(word) - l + 2),
+       |          i -> substr(word, CAST(i AS INT), CAST(l AS INT)))))) AS piece, freq
+       |      FROM uwords WHERE len(word) >= 2)
+       |    GROUP BY piece)
+       |  ORDER BY cnt DESC, piece LIMIT $uniSeedMultis),
+       |uv1 AS MATERIALIZED (SELECT piece, cnt FROM uchars UNION ALL SELECT piece, cnt FROM umultis),
+       |ut1 AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uv1),
+       |${uniDpCtes("r1", "uwords", "uv1", "ut1")},
+       |${uniMStep("uc1", "segr1", "uv2")},
+       |ut2 AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uv2),
+       |${uniDpCtes("r2", "uwords", "uv2", "ut2")},
+       |${uniMStep("uc2", "segr2", "uv3")},
+       |ukeep AS MATERIALIZED (
+       |  SELECT piece, cnt FROM uv3 WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM uv3 WHERE len(piece) > 1
+       |    ORDER BY cnt DESC, piece LIMIT $uniVocabMultis)),
+       |utf AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ukeep),
+       |${uniDpCtes("enc", "uwords", "ukeep", "utf")}""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "red_sum" ->
@@ -7001,6 +7139,51 @@ object SparkEntry {
          |)
          |SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens
          |FROM documents d LEFT JOIN sums s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "text_unigram_train" ->
+      s"""WITH $wordsCte,
+         |$uniCtes
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) AS INT) AS rank,
+         |  piece, cnt
+         |FROM ukeep ORDER BY rank""".stripMargin,
+    "text_unigram_encode" ->
+      s"""WITH $wordsCte,
+         |$uniCtes,
+         |docwords AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> len(x) > 0)) AS w
+         |  FROM documents
+         |), usums AS (
+         |  SELECT doc_id, sum(ntok) AS n
+         |  FROM docwords JOIN segenc ON w = word GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(coalesce(u.n, 0) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN usums u USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "text_unigram_vs_bpe" ->
+      s"""$bpeCtes,
+         |$uniCtes,
+         |wordtok AS (
+         |  SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS ntok
+         |  FROM seq3
+         |), docwords AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> len(x) > 0)) AS w
+         |  FROM documents
+         |), bsums AS (
+         |  SELECT doc_id, sum(ntok) AS n
+         |  FROM docwords JOIN wordtok ON w = word GROUP BY doc_id
+         |), usums AS (
+         |  SELECT doc_id, sum(ntok) AS n
+         |  FROM docwords JOIN segenc ON w = word GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(b.n, 0) AS BIGINT) AS n_bpe,
+         |  CAST(coalesce(u.n, 0) AS BIGINT) AS n_uni
+         |FROM documents d
+         |LEFT JOIN bsums b USING (doc_id) LEFT JOIN usums u USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "text_blocklist" ->
       """WITH t AS (
