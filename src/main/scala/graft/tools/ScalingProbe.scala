@@ -199,12 +199,108 @@ object ScalingProbe {
     println(sb.toString)
   }
 
+  /** TPC-H tier 1× vs 10× (round-13 VERDICT item 5): the q-gates'
+    * 2×-of-baseline bar is only exercised at sf0.1, so this scales the
+    * FACT tables — `copies` id-shifted unions of lineitem/orders (the
+    * documents recipe applied to facts; dimensions stay fixed, the
+    * realistic shape: facts grow, dims don't) — materializes them as
+    * parquet, and runs the five most expensive TPC-H gates unchanged
+    * against the scaled directory. Records wall (min-of-2), executed
+    * shuffle bytes, and the EXECUTED plan's join mix (the q15
+    * technique): a broadcast dimension ladder that silently crossed
+    * into a shuffle join would show as a dropped BHJ count at 10×. */
+  private def runTpch(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      outPath: String, cpus: String): Unit = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val qNames = Seq("q16_partsupp", "q7_volume", "q8_marketshare",
+      "q5_region", "q2_mincost")
+    val dims = Seq("region", "nation", "customer", "supplier", "part")
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), (Double, Long, Long, Int, Int)]
+    for (copies <- Seq(1, 10)) {
+      val dir = s"/tmp/graft_tpch_scale_${copies}x"
+      def shifted(table: String, keyCol: String): DataFrame = {
+        val df = spark.read.parquet(s"$sfDir/$table.parquet")
+        (0 until copies).map { k =>
+          df.withColumn(keyCol, col(keyCol) + k * 1000000000L)
+        }.reduce(_ unionAll _)
+      }
+      shifted("lineitem", "l_orderkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      shifted("orders", "o_orderkey")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      for (t <- dims) spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      for (q <- qNames) {
+        def once(): (Double, DataFrame, Long) = {
+          val t = System.nanoTime()
+          val df = graft.SparkEntry.queries(q)(spark, dir)
+          val rows = df.collect().length.toLong
+          ((System.nanoTime() - t) / 1e9, df, rows)
+        }
+        val (w1, _, _) = once()
+        val (w2, df, rows) = once()
+        // QueryStageExec wraps materialized stages as leaves — recurse
+        // into them (same walk totalShuffleBytes does) or AQE hides
+        // every join from the count
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.QueryStageExec
+        var bhj = 0; var shuffleJoins = 0
+        def walk(p: SparkPlan): Unit = p.foreach {
+          case q: QueryStageExec => walk(q.plan)
+          case _: BroadcastHashJoinExec => bhj += 1
+          case _: SortMergeJoinExec => shuffleJoins += 1
+          case _: ShuffledHashJoinExec => shuffleJoins += 1
+          case _ => ()
+        }
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case other => walk(other)
+        }
+        results((q, copies)) =
+          (math.min(w1, w2), totalShuffleBytes(df), rows, bhj, shuffleJoins)
+      }
+      println(s"[scaling-tpch] copies=$copies done")
+    }
+    val head = Provenance.gitHead
+    val dirty = Provenance.gitTreeDirty
+    val sb = new StringBuilder
+    sb ++= "\n## TPC-H tier: facts ×10, dims fixed\n\n"
+    sb ++= s"Generated by `graft.tools.ScalingProbe tpch` at git `$head`" +
+      s"${if (dirty) " (DIRTY tree)" else ""}, fixtures `$sfDir`, local[$cpus]. " +
+      "The 10× corpus is 10 id-shifted copies of lineitem+orders " +
+      "(dimension tables unchanged — facts grow, dims don't), " +
+      "materialized as parquet; the five most expensive q-gates run " +
+      "UNCHANGED against the scaled directory. `joins` is the EXECUTED " +
+      "plan's broadcast/shuffle join mix — a broadcast dimension ladder " +
+      "silently crossing into a shuffle join would show as a dropped " +
+      "B-count at 10×.\n\n"
+    sb ++= "| op | scale | rows out | wall s | shuffle MB | joins B/S |\n"
+    sb ++= "|---|---|---|---|---|---|\n"
+    for (((op, copies), (sec, bytes, rows, bhj, sj)) <- results)
+      sb ++= f"| $op | ${copies}× | $rows | $sec%.2f | ${bytes / 1e6}%.1f | $bhj/$sj |\n"
+    sb ++= "\n| op | time 10×/1× | shuffle 10×/1× | broadcast ladder |\n|---|---|---|---|\n"
+    for (q <- qNames) {
+      val (s1, b1, _, bhj1, _) = results((q, 1))
+      val (s10, b10, _, bhj10, _) = results((q, 10))
+      val bRatio = if (b1 > 0) f"${b10.toDouble / b1}%.1f×" else "n/a"
+      val ladder = if (bhj10 >= bhj1) "held" else s"CROSSED ($bhj1→$bhj10)"
+      sb ++= f"| $q | ${s10 / s1}%.1f× | $bRatio | $ladder |\n"
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      sb.toString, java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    println(sb.toString)
+  }
+
   def main(args: Array[String]): Unit = {
-    // the "100x" mode flag may appear at any position; positional args
-    // (sfDir, outPath) are resolved from what remains, so
+    // the "100x"/"tpch" mode flag may appear at any position; positional
+    // args (sfDir, outPath) are resolved from what remains, so
     // `runMain graft.tools.ScalingProbe 100x` works as documented
     val mode100x = args.contains("100x")
-    val positional = args.filterNot(_ == "100x")
+    val modeTpch = args.contains("tpch")
+    val positional = args.filterNot(a => a == "100x" || a == "tpch")
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = if (positional.length > 1) positional(1) else "SCALING.md"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -215,6 +311,11 @@ object ScalingProbe {
     spark.sparkContext.setLogLevel("WARN")
     if (mode100x) {
       run100x(spark, sfDir, outPath, cpus)
+      spark.stop()
+      return
+    }
+    if (modeTpch) {
+      runTpch(spark, sfDir, outPath, cpus)
       spark.stop()
       return
     }
