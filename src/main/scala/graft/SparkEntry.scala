@@ -378,6 +378,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("surv_n"), min("doc_id").as("surv_id"))
       joined.join(surv, Seq("key")).orderBy("key")
     }),
+    // Bigram LM over STATISTICALLY zipf text (round-13 VERDICT item 6):
+    // the hot-key differentiated join (TextOps.bigramLogProb) was
+    // pinned on planted skew only — here every token draws zipf(1, N=8)
+    // through the same integer inverse-CDF as skew_zipf_stress, so the
+    // hottest token carries ~36.8% of tokens and the hottest bigram
+    // ~13.5% of pairs STATISTICALLY. The hot-slice broadcast absorbs
+    // that traffic (TextOpsSpec pins executed partition bytes on this
+    // exact corpus recipe); counts come from the doc_id >= 250 half,
+    // scores from the other half with a per-doc OOV suffix keeping the
+    // backoff branch reachable. The oracle replays token generation,
+    // both count tables, and the backoff arithmetic.
+    "skew_zipf_bigram" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(12)),
+          i => concat(lit("zw"), SparkEntry.zipfKey(
+            (col("doc_id") * 131 + i) * 48271 % 65536).cast("string"))))
+          .as("text"))
+      val scored = docs.where(col("doc_id") < 250)
+        .withColumn("text",
+          concat(col("text"), lit(" oovtok"), col("doc_id").cast("string")))
+      TextOps.bigramLogProb(
+          scored, docs.where(col("doc_id") >= 250), "doc_id", "text")
+        .select(col("doc_id"), round(col("bigram_logprob"), 6).as("bigram_logprob"))
+        .orderBy("doc_id")
+    }),
     // Bucketed co-located join: both sides bucket-written ONCE on the
     // join key (the 100 TB pattern — pay the shuffle at ingest, join
     // nightly for free), then joined from the bucketed scans. The
@@ -4597,6 +4622,59 @@ object SparkEntry {
         |JOIN surv s ON s.key = f.key
         |GROUP BY f.key, d.label, s.surv_n, s.surv_id
         |ORDER BY f.key""".stripMargin,
+    "skew_zipf_bigram" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_transform(range(1, 13), i ->
+        |    'zw' || CAST(
+        |      CASE WHEN (doc_id * 131 + i) * 48271 % 65536 < 24113 THEN 1
+        |           WHEN (doc_id * 131 + i) * 48271 % 65536 < 36170 THEN 2
+        |           WHEN (doc_id * 131 + i) * 48271 % 65536 < 44207 THEN 3
+        |           WHEN (doc_id * 131 + i) * 48271 % 65536 < 50236 THEN 4
+        |           WHEN (doc_id * 131 + i) * 48271 % 65536 < 55058 THEN 5
+        |           WHEN (doc_id * 131 + i) * 48271 % 65536 < 59077 THEN 6
+        |           WHEN (doc_id * 131 + i) * 48271 % 65536 < 62522 THEN 7
+        |           ELSE 8 END AS VARCHAR)) AS tk
+        |  FROM documents
+        |), cn AS (
+        |  SELECT tk FROM d WHERE doc_id >= 250
+        |), sc AS (
+        |  SELECT doc_id, list_append(tk, 'oovtok' || doc_id) AS tk
+        |  FROM d WHERE doc_id < 250
+        |), uni AS (
+        |  SELECT w, count(*) AS cnt_u
+        |  FROM (SELECT unnest(tk) AS w FROM cn) GROUP BY w
+        |), tot AS (
+        |  SELECT sum(cnt_u)::DOUBLE AS n, count(*)::DOUBLE AS v FROM uni
+        |), bi AS (
+        |  SELECT bg, count(*) AS cnt_b
+        |  FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |    FROM cn WHERE len(tk) >= 2)
+        |  GROUP BY bg
+        |), spx AS (
+        |  SELECT doc_id, pr[1] AS w1, pr[2] AS w2, pr[3] AS bg
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |      i -> [tk[i], tk[i+1], tk[i] || ' ' || tk[i+1]])) AS pr
+        |    FROM sc WHERE len(tk) >= 2)
+        |), scored AS (
+        |  SELECT doc_id,
+        |    CASE WHEN b.cnt_b IS NOT NULL
+        |      THEN ln(b.cnt_b::DOUBLE) - ln(u1.cnt_u::DOUBLE)
+        |      ELSE ln(0.4) + ln(coalesce(u2.cnt_u, 0)::DOUBLE + 1.0)
+        |           - ln(t.n + t.v)
+        |    END AS lp
+        |  FROM spx
+        |  LEFT JOIN bi b USING (bg)
+        |  LEFT JOIN uni u1 ON spx.w1 = u1.w
+        |  LEFT JOIN uni u2 ON spx.w2 = u2.w
+        |  CROSS JOIN tot t
+        |)
+        |SELECT ids.doc_id, CAST(round(avg(s.lp), 6) AS DOUBLE) AS bigram_logprob
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 250) ids
+        |LEFT JOIN scored s USING (doc_id)
+        |GROUP BY ids.doc_id ORDER BY ids.doc_id""".stripMargin,
     "q17_smallqty" ->
       """SELECT
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0 AS DOUBLE), 2)

@@ -316,7 +316,11 @@ class TextOpsSpec extends SparkSpec {
       case s: ShuffleQueryStageExec =>
         s.mapStats.foreach { ms =>
           val sizes = ms.bytesByPartitionId.sorted
-          if (sizes.length >= 2 && sizes.last > 0) {
+          // a stage with a single ACTIVE reduce partition cannot funnel
+          // (nothing to be imbalanced against): that shape is the
+          // deliberately driver-bounded hot-slice materialization
+          // (limit(hotK) → one partition), not a skew symptom
+          if (sizes.length >= 2 && sizes.last > 0 && sizes.count(_ > 0) >= 2) {
             val median = math.max(sizes(sizes.length / 2), 1L)
             out += ((s.id, sizes.last.toDouble / median, sizes.last))
           }
@@ -371,6 +375,81 @@ class TextOpsSpec extends SparkSpec {
         conf.set("spark.sql.autoBroadcastJoinThreshold", _))
       savedAqeBroadcast.fold(conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
         conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+    }
+  }
+
+  test("bigramLogProb: statistical zipf skew stays balanced with a mid-table hot split") {
+    // The skew_zipf_bigram gate's corpus recipe: every token draws
+    // zipf(1, N=8) through the integer inverse-CDF, so the hottest
+    // token carries ~36.8% of tokens STATISTICALLY (no planted key).
+    // hotK=4 splits mid-table — top-4 bigrams broadcast, the residual's
+    // hottest surviving key is rank 5 (~3% of pairs) — so no executed
+    // shuffle stage may funnel. The hotK=0 contrast proves the
+    // statistical skew alone DOES funnel (the cnt_w1/cnt_w2 joins see
+    // the 36.8% token head-on).
+    val docs = spark.range(6000).select(col("id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(12)),
+        i => concat(lit("zw"), SparkEntry.zipfKey(
+          (col("id") * 131 + i) * 48271 % 65536).cast("string")))).as("t"))
+      .cache()
+    docs.count()
+    val conf = spark.conf
+    val savedBroadcast = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqeBroadcast = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val savedParts = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // 32 reduce partitions: at the suite's 4 the uniform share is
+    // already 25% and a funnel ratio would be vacuous
+    conf.set("spark.sql.shuffle.partitions", "32")
+    // with only ~60 distinct residual bigram keys most of the 32 reduce
+    // partitions are EMPTY, so a max/median ratio is vacuous — measure
+    // the max partition's FRACTION of the stage total instead (the
+    // SkewSpec bound): a funnel concentrates >30% of a real stage in
+    // one partition
+    def stageFracs(df: org.apache.spark.sql.DataFrame): Seq[(Int, Double, Long)] = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long)]
+      def walk(p: SparkPlan): Unit = p.foreach {
+        case s: ShuffleQueryStageExec =>
+          s.mapStats.foreach { ms =>
+            val sizes = ms.bytesByPartitionId
+            // single-active-partition stages are the driver-bounded
+            // hot-slice materialization, not a distribution
+            if (sizes.count(_ > 0) >= 2)
+              out += ((s.id, sizes.max.toDouble / sizes.sum, sizes.sum))
+          }
+          walk(s.plan)
+        case q: QueryStageExec => walk(q.plan)
+        case _ => ()
+      }
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ => fail("expected an adaptive plan")
+      }
+      out.toSeq
+    }
+    try {
+      val hot = TextOps.bigramLogProb(docs, docs, "id", "t", hotK = 4)
+      hot.collect()
+      val hotFracs = stageFracs(hot)
+      assert(hotFracs.nonEmpty)
+      val offenders = hotFracs.filter { case (_, frac, total) => total > 65536 && frac > 0.30 }
+      assert(offenders.isEmpty, s"funnel stages: $offenders (all: $hotFracs)")
+
+      val funnel = TextOps.bigramLogProb(docs, docs, "id", "t", hotK = 0)
+      funnel.collect()
+      val funnelFracs = stageFracs(funnel)
+      assert(funnelFracs.exists { case (_, frac, total) => total > 65536 && frac > 0.30 },
+        s"expected the statistical zipf skew to funnel at hotK=0: $funnelFracs")
+    } finally {
+      savedBroadcast.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      savedAqeBroadcast.fold(conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+      conf.set("spark.sql.shuffle.partitions", savedParts)
+      docs.unpersist()
     }
   }
 
