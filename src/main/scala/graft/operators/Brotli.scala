@@ -1,0 +1,641 @@
+package graft.operators
+
+/** Hand-written Brotli decoder (RFC 7932), dictionary-less — closes
+  * the round-11 stretch fence the zstd way: the meta-block format,
+  * both prefix-code forms, context modeling, and the distance ring are
+  * spec-derivable STRUCTURE and are fully implemented; the ~120 KiB
+  * static dictionary is published DATA, not derivable, so a back-
+  * reference past the window throws the NAMED
+  * [[Brotli.DictionaryReferenceException]] — loud, never silent.
+  *
+  * Honest coverage framing (COVERAGE.md "brotli" row): most real
+  * `Content-Encoding: br` TEXT bodies from quality-9+ encoders WILL
+  * reference the static dictionary and hit the fence. What decodes
+  * fully: uncompressed/metadata meta-blocks, quality-0/1 streams
+  * (their fast paths emit no dictionary references for repetitive
+  * input), and any stream whose matches stay inside the window —
+  * verified here against the reference decoder (Node's bundled
+  * brotli) on every quality it emits without dictionary use.
+  *
+  * Decode surface: stream header (all WBITS forms), metadata
+  * meta-blocks with skip, uncompressed meta-blocks, compressed
+  * meta-blocks with multiple block types per category (block-switch
+  * commands, block-count codes), both prefix-code forms (simple
+  * 1/2/3/4-symbol incl. the 4-symbol tree-select, and complex with
+  * the fixed code-length code, 16/17 repeat accumulation, and the
+  * single-symbol degenerate form), context maps with RLE and
+  * inverse-MTF, all four literal context modes (LSB6/MSB6 by formula;
+  * UTF8/Signed via [[BrotliContext]]'s empirically derived tables),
+  * NPOSTFIX/NDIRECT distance parameterization, and the 4-slot
+  * distance ring with all 16 short codes.
+  *
+  * The UTF8/Signed context lookup tables are NOT transcribed from the
+  * RFC: `tools/BrotliCtxExtract` crafts a probe stream in which every
+  * literal's decoded value IS the context id selected by the
+  * reference decoder (64 single-symbol literal trees under an
+  * identity context map), decodes it with Node's brotli, and emits
+  * [[BrotliContext]] from what the reference decoder actually did —
+  * derivation by observation, reproducible offline.
+  *
+  * [[encodeStored]] emits uncompressed meta-blocks only; its output
+  * size has the closed form `3·ceil(n/65536) + n + 1` that a SQL
+  * oracle recomputes exactly (the `web_warc_brotli` gate's identity
+  * leg). Round-trip with the reference encoder is pinned in
+  * BrotliSpec (Node encodes at q0/q1/q5/q11 → this decoder, compared
+  * against Node's own decode).
+  *
+  * Reference scope: lithops-dataframe reads object-store files
+  * (`io.py:13-88`) with no codec tier; this is extension surface for
+  * crawl ingest ([[WebArchive.decodeHttpBody]]'s `br` leg).
+  */
+object Brotli {
+
+  /** A back-reference beyond the window: RFC 7932's static-dictionary
+    * path. The dictionary is published data, deliberately not shipped;
+    * this failure is the documented fence. */
+  final class DictionaryReferenceException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  private def bad(msg: String): Nothing =
+    throw new IllegalArgumentException(s"brotli: $msg")
+
+  // ---- bit reader: values LSB-first, prefix codes MSB-first ------------
+
+  private final class Reader(val b: Array[Byte]) {
+    var pos: Long = 0L // absolute bit position
+    private val limit: Long = b.length.toLong * 8
+
+    def readBit(): Int = {
+      if (pos >= limit) bad("truncated stream")
+      val bit = (b((pos >> 3).toInt) >> (pos & 7).toInt) & 1
+      pos += 1
+      bit
+    }
+
+    /** n ≤ 24 bits, LSB-first. */
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v |= readBit() << i; i += 1 }
+      v
+    }
+
+    def byteAlign(): Unit = {
+      while ((pos & 7) != 0) {
+        if (readBit() != 0) bad("nonzero padding at byte alignment")
+      }
+    }
+
+    def readAlignedBytes(n: Int): Array[Byte] = {
+      if ((pos & 7) != 0) bad("unaligned byte read")
+      val start = (pos >> 3).toInt
+      if (start + n > b.length) bad("truncated stream (aligned bytes)")
+      pos += n.toLong * 8
+      java.util.Arrays.copyOfRange(b, start, start + n)
+    }
+  }
+
+  // ---- canonical prefix codes ------------------------------------------
+
+  private final val MaxLen = 15
+
+  /** Canonical prefix code (DEFLATE-style assignment: codes by
+    * increasing length, ties by symbol order; read MSB-first).
+    * `single >= 0` marks the zero-bit degenerate code. */
+  private final class PrefixCode(lengths: Array[Int], val single: Int) {
+    val count = new Array[Int](MaxLen + 1)
+    val first = new Array[Int](MaxLen + 2) // first code value per length
+    val offset = new Array[Int](MaxLen + 1) // index into syms per length
+    val syms: Array[Int] = {
+      if (single >= 0) Array(single)
+      else {
+        var i = 0
+        while (i < lengths.length) { if (lengths(i) > 0) count(lengths(i)) += 1; i += 1 }
+        // canonical next_code per length (RFC 1951 §3.2.2 construction)
+        var total = 0
+        var next = 0
+        var prevCount = 0
+        var len = 1
+        while (len <= MaxLen) {
+          next = (next + prevCount) << 1
+          first(len) = next
+          prevCount = count(len)
+          offset(len) = total
+          total += count(len)
+          len += 1
+        }
+        val out = new Array[Int](total)
+        val fill = offset.clone()
+        i = 0
+        while (i < lengths.length) {
+          if (lengths(i) > 0) { out(fill(lengths(i))) = i; fill(lengths(i)) += 1 }
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
+  private def decodeSym(r: Reader, pc: PrefixCode): Int = {
+    if (pc.single >= 0) return pc.single
+    var code = 0
+    var len = 0
+    while (len < MaxLen) {
+      code = (code << 1) | r.readBit()
+      len += 1
+      val c = pc.count(len)
+      if (c > 0 && code - pc.first(len) < c && code >= pc.first(len))
+        return pc.syms(pc.offset(len) + (code - pc.first(len)))
+    }
+    bad("invalid prefix code word")
+  }
+
+  /** Build from lengths; validates Kraft completeness (space must be
+    * exactly full) unless exactly one symbol is used (zero-bit code). */
+  private def buildChecked(lengths: Array[Int]): PrefixCode = {
+    var space = 0L
+    var nonzero = 0
+    var lastSym = -1
+    var i = 0
+    while (i < lengths.length) {
+      val L = lengths(i)
+      if (L > 0) { space += (1L << (MaxLen - L)); nonzero += 1; lastSym = i }
+      i += 1
+    }
+    if (nonzero == 0) bad("empty prefix code")
+    if (nonzero == 1) new PrefixCode(lengths, lastSym)
+    else {
+      if (space != (1L << MaxLen)) bad("prefix code not complete")
+      new PrefixCode(lengths, -1)
+    }
+  }
+
+  private def log2ceil(n: Int): Int = {
+    var bits = 0
+    while ((1 << bits) < n) bits += 1
+    bits
+  }
+
+  /** Fixed code for code-length-code lengths (§3.5): branchy
+    * derivation of the spec's variable-length code, values 0..5. */
+  private def readClcLen(r: Reader): Int = {
+    val v = r.readBit() | (r.readBit() << 1)
+    v match {
+      case 0 => 0
+      case 1 => 4
+      case 2 => 3
+      case _ => // v == 3
+        if (r.readBit() == 0) 2
+        else if (r.readBit() == 0) 1
+        else 5
+    }
+  }
+
+  /** §3.5 order in which code-length-code lengths are written. */
+  private val ClcOrder = Array(1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** Read a prefix code over `alphabet` symbols — both forms. */
+  private def readPrefixCode(r: Reader, alphabet: Int): PrefixCode = {
+    val hskip = r.readBits(2)
+    if (hskip == 1) {
+      // simple form
+      val nsym = r.readBits(2) + 1
+      val abits = log2ceil(alphabet)
+      val syms = new Array[Int](nsym)
+      var i = 0
+      while (i < nsym) {
+        syms(i) = r.readBits(abits)
+        if (syms(i) >= alphabet) bad(s"simple-code symbol ${syms(i)} >= alphabet $alphabet")
+        var j = 0
+        while (j < i) { if (syms(j) == syms(i)) bad("duplicate simple-code symbol"); j += 1 }
+        i += 1
+      }
+      val lengths = new Array[Int](alphabet)
+      nsym match {
+        case 1 =>
+          return new PrefixCode(lengths, syms(0))
+        case 2 =>
+          if (syms(0) > syms(1)) { val t = syms(0); syms(0) = syms(1); syms(1) = t }
+          lengths(syms(0)) = 1; lengths(syms(1)) = 1
+        case 3 =>
+          if (syms(1) > syms(2)) { val t = syms(1); syms(1) = syms(2); syms(2) = t }
+          lengths(syms(0)) = 1; lengths(syms(1)) = 2; lengths(syms(2)) = 2
+        case 4 =>
+          val treeSelect = r.readBit()
+          if (treeSelect == 0) {
+            java.util.Arrays.sort(syms)
+            var k = 0
+            while (k < 4) { lengths(syms(k)) = 2; k += 1 }
+          } else {
+            if (syms(2) > syms(3)) { val t = syms(2); syms(2) = syms(3); syms(3) = t }
+            lengths(syms(0)) = 1; lengths(syms(1)) = 2
+            lengths(syms(2)) = 3; lengths(syms(3)) = 3
+          }
+      }
+      buildChecked(lengths)
+    } else {
+      // complex form: code lengths for the 18-symbol code-length
+      // alphabet, starting at ClcOrder(hskip)
+      val clcLen = new Array[Int](18)
+      var space = 0
+      var numCodes = 0
+      var i = hskip
+      while (i < 18 && space < 32) {
+        val L = readClcLen(r)
+        clcLen(ClcOrder(i)) = L
+        if (L > 0) { space += 32 >> L; numCodes += 1 }
+        i += 1
+      }
+      if (space > 32) bad("code-length code over-subscribed")
+      if (numCodes != 1 && space != 32) bad("code-length code incomplete")
+      val clc =
+        if (numCodes == 1) {
+          var s = 0
+          var k = 0
+          while (k < 18) { if (clcLen(k) > 0) s = k; k += 1 }
+          new PrefixCode(clcLen, s)
+        } else buildChecked(clcLen)
+
+      val lengths = new Array[Int](alphabet)
+      var symSpace = 0L
+      val full = 1L << MaxLen
+      var sym = 0
+      var prevLen = 8 // initial previous nonzero code length (§3.5)
+      var repeat = 0
+      var repeatLen = 0
+      while (sym < alphabet && symSpace < full) {
+        val code = decodeSym(r, clc)
+        if (code < 16) {
+          lengths(sym) = code
+          sym += 1
+          repeat = 0
+          if (code != 0) { prevLen = code; symSpace += full >> code }
+        } else {
+          val extraBits = code - 14 // 16→2, 17→3
+          val newLen = if (code == 16) prevLen else 0
+          if (repeatLen != newLen) { repeat = 0; repeatLen = newLen }
+          val oldRepeat = repeat
+          if (repeat > 0) { repeat -= 2; repeat <<= extraBits }
+          repeat += r.readBits(extraBits) + 3
+          val delta = repeat - oldRepeat
+          if (sym + delta > alphabet) bad("repeat past end of alphabet")
+          var k = 0
+          while (k < delta) { lengths(sym) = repeatLen; sym += 1; k += 1 }
+          if (repeatLen != 0) symSpace += delta.toLong * (full >> repeatLen)
+        }
+      }
+      if (symSpace > full) bad("prefix code over-subscribed")
+      buildChecked(lengths) // handles the single-symbol degenerate form
+    }
+  }
+
+  // ---- published variable-length value codes ---------------------------
+
+  /** Block-type count / NTREES count (§9.2): 1, or (1<<k)+1+extra. */
+  private def readBlockTypeCount(r: Reader): Int =
+    if (r.readBit() == 0) 1
+    else {
+      val k = r.readBits(3)
+      (1 << k) + 1 + r.readBits(k)
+    }
+
+  /** Block-count code (26 symbols): extra-bit widths from the spec
+    * list; bases derived cumulatively from 1. */
+  private val BlockCountExtra =
+    Array(2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 6, 6, 7, 8, 9, 10, 11, 12, 13, 24)
+  private val BlockCountBase: Array[Int] = {
+    val b = new Array[Int](26)
+    b(0) = 1
+    var i = 1
+    while (i < 26) { b(i) = b(i - 1) + (1 << BlockCountExtra(i - 1)); i += 1 }
+    b
+  }
+
+  /** Insert-length codes (24): extras from the spec list, bases from 0. */
+  private val InsertExtra =
+    Array(0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 7, 8, 9, 10, 12, 14, 24)
+  private val InsertBase: Array[Int] = {
+    val b = new Array[Int](24)
+    var i = 1
+    while (i < 24) { b(i) = b(i - 1) + (1 << InsertExtra(i - 1)); i += 1 }
+    b
+  }
+
+  /** Copy-length codes (24): extras from the spec list, bases from 2. */
+  private val CopyExtra =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 7, 8, 9, 10, 24)
+  private val CopyBase: Array[Int] = {
+    val b = new Array[Int](24)
+    b(0) = 2
+    var i = 1
+    while (i < 24) { b(i) = b(i - 1) + (1 << CopyExtra(i - 1)); i += 1 }
+    b
+  }
+
+  /** Insert-and-copy cells (§5): 704 = 11 × 64 symbols;
+    * (insertOffset, copyOffset, implicit-distance-0). */
+  private val CmdCells: Array[(Int, Int, Boolean)] = Array(
+    (0, 0, true), (0, 8, true),
+    (0, 0, false), (0, 8, false), (8, 0, false), (8, 8, false),
+    (0, 16, false), (16, 0, false), (8, 16, false), (16, 8, false),
+    (16, 16, false))
+
+  // ---- block-category state --------------------------------------------
+
+  private final class BlockState(r: Reader, val nTypes: Int) {
+    var btype = 0
+    private var prevType = 1
+    var blen: Int =
+      if (nTypes < 2) Int.MaxValue
+      else 0 // set after codes are read
+    var typeCode: PrefixCode = null
+    var lenCode: PrefixCode = null
+    if (nTypes >= 2) {
+      typeCode = readPrefixCode(r, nTypes + 2)
+      lenCode = readPrefixCode(r, 26)
+      blen = readBlockCount(r, lenCode)
+    }
+    def readBlockCount(rr: Reader, pc: PrefixCode): Int = {
+      val sym = decodeSym(rr, pc)
+      if (sym >= 26) bad("block count symbol out of range")
+      BlockCountBase(sym) + rr.readBits(BlockCountExtra(sym))
+    }
+    /** Called when blen hits zero: block-switch command. */
+    def switchType(rr: Reader): Unit = {
+      val sym = decodeSym(rr, typeCode)
+      val next = sym match {
+        case 0 => prevType
+        case 1 => (btype + 1) % nTypes
+        case s => s - 2
+      }
+      if (next >= nTypes) bad("block type out of range")
+      prevType = btype
+      btype = next
+      blen = readBlockCount(rr, lenCode)
+    }
+  }
+
+  // ---- context map ------------------------------------------------------
+
+  private def readContextMap(r: Reader, size: Int, nTrees: Int): Array[Int] = {
+    val map = new Array[Int](size)
+    if (nTrees < 2) return map
+    val rleMax = if (r.readBit() == 1) r.readBits(4) + 1 else 0
+    val pc = readPrefixCode(r, nTrees + rleMax)
+    var i = 0
+    while (i < size) {
+      val sym = decodeSym(r, pc)
+      if (sym == 0) { map(i) = 0; i += 1 }
+      else if (sym <= rleMax) {
+        var reps = (1 << sym) + r.readBits(sym)
+        if (i + reps > size) bad("context-map RLE past end")
+        while (reps > 0) { map(i) = 0; i += 1; reps -= 1 }
+      } else {
+        map(i) = sym - rleMax
+        if (map(i) >= nTrees) bad("context-map value out of range")
+        i += 1
+      }
+    }
+    if (r.readBit() == 1) {
+      // inverse move-to-front over the VALUES
+      val mtf = Array.tabulate(256)(identity)
+      var k = 0
+      while (k < size) {
+        val idx = map(k)
+        val v = mtf(idx)
+        var j = idx
+        while (j > 0) { mtf(j) = mtf(j - 1); j -= 1 }
+        mtf(0) = v
+        map(k) = v
+        k += 1
+      }
+    }
+    map
+  }
+
+  // ---- decode -----------------------------------------------------------
+
+  /** Decode a complete brotli stream. Throws IllegalArgumentException
+    * on malformed input and [[DictionaryReferenceException]] on any
+    * static-dictionary back-reference. `maxOut` bounds the total
+    * output (fuzz-safety; 256 MiB default). */
+  def decode(in: Array[Byte], maxOut: Int = 1 << 28): Array[Byte] = {
+    val r = new Reader(in)
+    // stream header: WBITS
+    val wbits =
+      if (r.readBit() == 0) 16
+      else {
+        val n = r.readBits(3)
+        if (n != 0) 17 + n
+        else {
+          val m = r.readBits(3)
+          if (m == 0) 17
+          else if (m == 1) bad("reserved WBITS pattern")
+          else 8 + m
+        }
+      }
+    val windowSize = (1 << wbits) - 16
+    var out = new Array[Byte](math.min(1 << 16, maxOut))
+    var pos = 0
+
+    def ensure(n: Int): Unit = {
+      if (n > maxOut) bad(s"output exceeds maxOut=$maxOut")
+      if (n > out.length) {
+        var cap = out.length
+        while (cap < n) cap = math.min(maxOut.toLong, cap.toLong * 2).toInt
+        out = java.util.Arrays.copyOf(out, cap)
+      }
+    }
+
+    // initial last distances 4, 11, 15, 16 — most recent 4 (§4), so the
+    // index starts on the 4 and walking back yields 11, 15, 16
+    val distRing = Array(16, 15, 11, 4)
+    var distIdx = 3
+    def ringAt(back: Int): Int = distRing((distIdx - back) & 3)
+    def ringPush(d: Int): Unit = { distIdx = (distIdx + 1) & 3; distRing(distIdx) = d }
+
+    var isLast = false
+    while (!isLast) {
+      isLast = r.readBit() == 1
+      if (isLast && r.readBit() == 1) {
+        // ISLASTEMPTY
+      } else {
+        val mnibCode = r.readBits(2)
+        if (mnibCode == 3) {
+          // metadata meta-block: skip bytes
+          if (isLast) bad("metadata meta-block cannot be last")
+          if (r.readBit() != 0) bad("reserved metadata bit set")
+          val skipBytes = r.readBits(2)
+          var skipLen = 0
+          var i = 0
+          while (i < skipBytes) { skipLen |= r.readBits(8) << (8 * i); i += 1 }
+          if (skipBytes > 0) {
+            if (skipBytes > 1 && (skipLen >> (8 * (skipBytes - 1))) == 0)
+              bad("metadata skip length not minimal")
+            skipLen += 1
+          }
+          r.byteAlign()
+          r.readAlignedBytes(skipLen)
+        } else {
+          val nibbles = 4 + mnibCode
+          var mlen = 0
+          var i = 0
+          while (i < nibbles) { mlen |= r.readBits(4) << (4 * i); i += 1 }
+          if (nibbles > 4 && (mlen >> (4 * (nibbles - 1))) == 0)
+            bad("MLEN nibble count not minimal")
+          mlen += 1
+          val metaEnd = pos + mlen
+          ensure(metaEnd)
+          val isUncompressed = !isLast && r.readBit() == 1
+          if (isUncompressed) {
+            r.byteAlign()
+            val bytes = r.readAlignedBytes(mlen)
+            System.arraycopy(bytes, 0, out, pos, mlen)
+            pos = metaEnd
+          } else {
+            // ---- compressed meta-block header ----
+            val L = new BlockState(r, readBlockTypeCount(r))
+            val I = new BlockState(r, readBlockTypeCount(r))
+            val D = new BlockState(r, readBlockTypeCount(r))
+            val npostfix = r.readBits(2)
+            val ndirect = r.readBits(4) << npostfix
+            val postfixMask = (1 << npostfix) - 1
+            val cmodes = new Array[Int](L.nTypes)
+            var t = 0
+            while (t < L.nTypes) { cmodes(t) = r.readBits(2); t += 1 }
+            val nTreesL = readBlockTypeCount(r)
+            val cmapL = readContextMap(r, 64 * L.nTypes, nTreesL)
+            val nTreesD = readBlockTypeCount(r)
+            val cmapD = readContextMap(r, 4 * D.nTypes, nTreesD)
+            val litCodes = Array.fill(nTreesL)(readPrefixCode(r, 256))
+            val cmdCodes = Array.fill(I.nTypes)(readPrefixCode(r, 704))
+            val distAlphabet = 16 + ndirect + (48 << npostfix)
+            val distCodes = Array.fill(nTreesD)(readPrefixCode(r, distAlphabet))
+
+            // ---- command loop ----
+            while (pos < metaEnd) {
+              if (I.blen == 0) I.switchType(r)
+              I.blen -= 1
+              val cmdSym = decodeSym(r, cmdCodes(I.btype))
+              val cell = cmdSym >> 6
+              val (insOff, cpOff, implicitD0) = CmdCells(cell)
+              val insCode = insOff + ((cmdSym >> 3) & 7)
+              val cpCode = cpOff + (cmdSym & 7)
+              val insertLen = InsertBase(insCode) + r.readBits(InsertExtra(insCode))
+              val copyLen = CopyBase(cpCode) + r.readBits(CopyExtra(cpCode))
+
+              if (pos + insertLen > metaEnd) bad("insert length exceeds meta-block")
+              var j = 0
+              while (j < insertLen) {
+                if (L.blen == 0) L.switchType(r)
+                L.blen -= 1
+                val p1 = if (pos > 0) out(pos - 1) & 0xff else 0
+                val p2 = if (pos > 1) out(pos - 2) & 0xff else 0
+                val ctx = cmodes(L.btype) match {
+                  case 0 => p1 & 0x3f // LSB6
+                  case 1 => p1 >> 2 // MSB6
+                  case 2 => BrotliContext.lut0(p1) | BrotliContext.lut1(p2) // UTF8
+                  case _ => (BrotliContext.lut2(p1) << 3) | BrotliContext.lut2(p2) // Signed
+                }
+                val tree = cmapL(64 * L.btype + ctx)
+                out(pos) = decodeSym(r, litCodes(tree)).toByte
+                pos += 1
+                j += 1
+              }
+              if (pos < metaEnd) {
+                val distance =
+                  if (implicitD0) ringAt(0)
+                  else {
+                    if (D.blen == 0) D.switchType(r)
+                    D.blen -= 1
+                    val dctx = math.min(copyLen, 5) - 2
+                    val dtree = cmapD(4 * D.btype + dctx)
+                    val dsym = decodeSym(r, distCodes(dtree))
+                    val d =
+                      if (dsym < 16) {
+                        // short codes: 0-3 ring slots; 4-9 last±{1,2,3};
+                        // 10-15 second-last±{1,2,3}
+                        if (dsym < 4) ringAt(dsym)
+                        else {
+                          val anchor = if (dsym < 10) ringAt(0) else ringAt(1)
+                          val k = if (dsym < 10) dsym - 4 else dsym - 10
+                          val delta = (k / 2) + 1
+                          if (k % 2 == 0) anchor - delta else anchor + delta
+                        }
+                      } else if (dsym < 16 + ndirect) {
+                        dsym - 16 + 1
+                      } else {
+                        val x = dsym - ndirect - 16
+                        val hcode = x >> npostfix
+                        val lcode = x & postfixMask
+                        val ndistbits = 1 + (hcode >> 1)
+                        val offset = ((2 + (hcode & 1)) << ndistbits) - 4
+                        (((offset + r.readBits(ndistbits)) << npostfix) | lcode) + ndirect + 1
+                      }
+                    if (d <= 0) bad(s"non-positive distance $d from short code")
+                    if (dsym != 0) {
+                      val maxBack = math.min(pos, windowSize)
+                      if (d <= maxBack) ringPush(d)
+                    }
+                    d
+                  }
+                val maxBack = math.min(pos, windowSize)
+                if (distance > maxBack)
+                  throw new DictionaryReferenceException(
+                    s"brotli: back-reference distance $distance exceeds window " +
+                      s"($maxBack at position $pos): static-dictionary word " +
+                      s"(copy length $copyLen) — RFC 7932's embedded dictionary " +
+                      "is published data and deliberately not shipped")
+                if (pos + copyLen > metaEnd) bad("copy length exceeds meta-block")
+                var k = 0
+                while (k < copyLen) {
+                  out(pos) = out(pos - distance)
+                  pos += 1
+                  k += 1
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    java.util.Arrays.copyOf(out, pos)
+  }
+
+  // ---- stored-only encoder ---------------------------------------------
+
+  /** Brotli stream of uncompressed meta-blocks only (WBITS=16, 64 KiB
+    * chunks). Output size closed form: `3·ceil(n/65536) + n + 1`
+    * (n = 0 → 1 byte) — the `web_warc_brotli` oracle recomputes it. */
+  def encodeStored(raw: Array[Byte]): Array[Byte] = {
+    val outBuf = new java.io.ByteArrayOutputStream(raw.length + raw.length / 65536 * 3 + 4)
+    var bitBuf = 0
+    var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        bitBuf |= ((v >> i) & 1) << bitCnt
+        bitCnt += 1
+        if (bitCnt == 8) { outBuf.write(bitBuf); bitBuf = 0; bitCnt = 0 }
+        i += 1
+      }
+    }
+    def align(): Unit = if (bitCnt > 0) { outBuf.write(bitBuf); bitBuf = 0; bitCnt = 0 }
+    putBits(0, 1) // WBITS = 16
+    var off = 0
+    while (off < raw.length) {
+      val n = math.min(65536, raw.length - off)
+      putBits(0, 1) // ISLAST = 0
+      putBits(0, 2) // MNIBBLES code 0 → 4 nibbles
+      putBits(n - 1, 16)
+      putBits(1, 1) // ISUNCOMPRESSED
+      align()
+      outBuf.write(raw, off, n)
+      off += n
+    }
+    putBits(1, 1) // ISLAST
+    putBits(1, 1) // ISLASTEMPTY
+    align()
+    outBuf.toByteArray
+  }
+}

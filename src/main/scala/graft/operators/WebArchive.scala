@@ -258,13 +258,16 @@ object WebArchive {
 
   /** Decode an HTTP body per its Content-Encoding header (RFC 9110
     * §8.4.1): absent/`identity` passes through; `gzip`/`x-gzip` through
-    * [[Gzip.gunzip]]; `deflate` through [[zlibInflate]]. A comma list
-    * applies in reverse (encodings nest outermost-last). `br` (brotli,
-    * RFC 7932) is RECOGNIZED BY NAME and fails loudly: its decode
-    * requires the spec's embedded ~120 KiB static dictionary — published
-    * DATA, not derivable structure — so it stays unimplemented rather
-    * than half-wrong; any other token also fails loudly. A compressed
-    * crawl body must never reach the HTML extractor undecoded. */
+    * [[Gzip.gunzip]]; `deflate` through [[zlibInflate]]; `br` through
+    * [[Brotli.decode]] — fully decoded for any stream whose matches
+    * stay inside the window (uncompressed meta-blocks, quality-0..2
+    * output, high-entropy bodies), with a LOUD NAMED
+    * [[Brotli.DictionaryReferenceException]] on static-dictionary
+    * back-references (the dictionary is published data, deliberately
+    * not shipped — most quality-9+ TEXT bodies hit this fence). A
+    * comma list applies in reverse (encodings nest outermost-last);
+    * any other token fails loudly. A compressed crawl body must never
+    * reach the HTML extractor undecoded. */
   def decodeHttpBody(h: HttpResponse): Array[Byte] =
     h.headers.getOrElse("content-encoding", "identity")
       .split(',').iterator.map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
@@ -273,9 +276,7 @@ object WebArchive {
           case "identity" => b
           case "gzip" | "x-gzip" => Gzip.gunzip(b)
           case "deflate" => zlibInflate(b)
-          case "br" => throw new IllegalArgumentException(
-            "Content-Encoding 'br' (brotli) recognized but unsupported: " +
-              "decoding needs RFC 7932's static dictionary")
+          case "br" => Brotli.decode(b)
           case other => throw new IllegalArgumentException(
             s"unsupported Content-Encoding '$other'")
         }
@@ -465,7 +466,15 @@ object WebArchive {
     * gzip / deflate(zlib) / identity, the header carries the token and
     * Content-Length counts the WIRE bytes. [[warcIngest]] must decode
     * every body back to the same extracted text. */
-  def warcEncodedBuild(docs: DataFrame, groups: Int): DataFrame = {
+  def warcEncodedBuild(docs: DataFrame, groups: Int): DataFrame =
+    warcEncodedBuild(docs, groups, withBrotli = false)
+
+  /** With `withBrotli`, every fourth record is `Content-Encoding: br`
+    * (stored-mode brotli, [[Brotli.encodeStored]]) — the
+    * `web_warc_brotli` gate's identity leg; the ingest path decodes it
+    * through the same RFC 7932 decoder that handles compressed
+    * streams. */
+  def warcEncodedBuild(docs: DataFrame, groups: Int, withBrotli: Boolean): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
@@ -474,9 +483,11 @@ object WebArchive {
       .mapGroups { (g, it) =>
         val records = it.toSeq.sortBy(_._1).map { case (id, text) =>
           val html = synthesizeHtml(id, text).getBytes(UTF_8)
-          val (enc, body) = (id % 3) match {
+          val legs = if (withBrotli) 4L else 3L
+          val (enc, body) = (id % legs) match {
             case 0 => (Some("gzip"), Gzip.gzip(html))
             case 1 => (Some("deflate"), zlibDeflate(html))
+            case 3 => (Some("br"), Brotli.encodeStored(html))
             case _ => (None, html)
           }
           val headers = Map("Content-Type" -> "text/html; charset=utf-8") ++

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Bzip2, Gzip, Lz4, PdfCodec, Snappy, TarCodec, Xz, ZipCodec, Zstd}
+import graft.operators.{Brotli, Bzip2, Gzip, Lz4, PdfCodec, Snappy, TarCodec, Xz, ZipCodec, Zstd}
 
 /** Mutation fuzz over every hand-written decoder: flip 1-3 random
   * bits in a valid stream; the decoder must either succeed or throw
@@ -38,7 +38,15 @@ class DecoderFuzzSpec extends AnyFunSuite {
       Seq(Seq[Any](new String(raw, UTF_8))), codec = "deflate"),
       b => graft.sources.AvroCodec.decode(b)),
     ("pdf", PdfCodec.encode(new String(raw, UTF_8), None, flate = true),
-      b => PdfCodec.extractText(b)))
+      b => PdfCodec.extractText(b)),
+    ("brotli-stored", Brotli.encodeStored(raw), b => Brotli.decode(b)),
+    // reference-encoder q1 stream (BrotliSpec's t2q1 fixture): the
+    // compressed meta-block paths under mutation
+    ("brotli-q1",
+      ("8b91090080aaaaaaeaff74a5f39555415415c004541554c44cc1e0002e7ea589" +
+        "1477d860cc3382fac77ed43b675da26a12be2e4d91a48a1b9ffc35b64e321483" +
+        "e955050003").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      b => Brotli.decode(b)))
 
   test("bit-flip mutations fail with IllegalArgumentException or decode cleanly") {
     val rnd = new java.util.Random(2026)
