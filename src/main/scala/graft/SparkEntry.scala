@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, Layout, Lz4, Mojibake, Multimodal, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, Unigram, UrlOps, WavCodec, WebArchive, WikiDump, Xz, ZipCodec, Zstd}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, Layout, Lz4, Mojibake, Multimodal, Mutate, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, Unigram, UrlOps, WavCodec, WebArchive, WikiDump, WordPiece, Xz, ZipCodec, Zstd}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -3345,6 +3345,103 @@ object SparkEntry {
           .withColumnRenamed("n_tokens", "n_uni"), "doc_id")
         .orderBy("doc_id")
     }),
+    // WordPiece training (Schuster & Nakajima 2012, the BERT
+    // tokenizer — third family of the triad): k=3 merge rounds over
+    // the ##-prefixed symbol table; each winner maximizes
+    // cnt(pair)/(cnt(left)·cnt(right)) computed in IEEE-754 double
+    // (exactly-specified arithmetic, so DuckDB replays every argmax
+    // comparison bit-identically — the unigram key-fold trick), ties
+    // by the pair's lexicographic form. The gate emits each winner's
+    // INTEGER evidence so the driver compare stays integer-only; the
+    // oracle re-derives all three rounds CTE-for-CTE.
+    "text_wordpiece_train" -> ((s, dir) => {
+      import s.implicits._
+      WordPiece.trainWithCounts(tbl(s, dir, "documents"), "text", k = 3)
+        .map { case (m, cnt, cl, cr) =>
+          (m.rank, m.left, m.right, m.merged, cnt, cl, cr)
+        }
+        .toDF("rank", "lhs", "rhs", "merged", "cnt", "cnt_left", "cnt_right")
+        .orderBy("rank")
+    }),
+    // Train + greedy longest-match-first encode end-to-end (BERT's
+    // inference rule: no match at a position makes the ENTIRE word one
+    // [UNK]); vocabulary = corpus alphabet + the 3 merged symbols,
+    // minus any piece containing the letter 'q' — the corpus is pure
+    // a-z and 'q' is its rarest letter, so every q-bearing word
+    // becomes [UNK] and the UNK path is exercised on real rows — all
+    // broadcast row-local. The oracle re-derives the vocabulary and
+    // replays the greedy scan as an 8-step unrolled loop (corpus max
+    // word length is 8 at every SF).
+    "text_wordpiece_encode" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val ms = WordPiece.train(docs, "text", k = 3)
+      val v = WordPiece.vocab(docs, "text", ms)
+        .filterNot(_.contains('q'))
+      WordPiece.tokenCounts(docs, "doc_id", "text", v, maxPieceLen = 4)
+        .orderBy("doc_id")
+    }),
+    // MERGE INTO over orders: source = updates (key%10==3 -> status
+    // 'U'), matched deletes (key%20==3), inserts (key+10M for
+    // key%50==7). One full-outer key-shuffle join; the source batch
+    // broadcasts under AQE when small. Oracle replays the resolution.
+    "merge_upsert" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val t = o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val upd = o.where(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"), col("o_totalprice"))
+      val ins = o.where(col("o_orderkey") % 50 === 7)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_custkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"))
+      Mutate.mergeInto(t, upd.unionByName(ins), Seq("o_orderkey"),
+        deleteWhen = Some(col("o_orderkey") % 20 === 3))
+        .orderBy("o_orderkey")
+    }),
+    // Debezium-style CDC changelog apply: base = orders with key%3!=0;
+    // log = U(seq1, %5==1) overridden by U(seq2, %10==1) overridden by
+    // D(seq3, %20==1), plus I(seq0, %3==0) inserting the excluded
+    // keys. Latest-seq-wins window over the LOG (log-sized shuffle) +
+    // one anti join — the base payload never moves except for touched
+    // keys. Oracle replays the window + resolution.
+    "cdc_apply" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val base = o.where(col("o_orderkey") % 3 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      def leg(m: Long, r: Long, op: String, seq: Int, status: String) =
+        o.where(col("o_orderkey") % m === r)
+          .select(col("o_orderkey"), col("o_custkey"),
+            lit(status).as("o_orderstatus"), lit(op).as("op"), lit(seq).as("seq"))
+      val log = leg(5, 1, "U", 1, "U1")
+        .unionByName(leg(10, 1, "U", 2, "U2"))
+        .unionByName(leg(20, 1, "D", 3, "D"))
+        .unionByName(leg(3, 0, "I", 0, "I0"))
+      Mutate.applyChangeLog(base, log, Seq("o_orderkey")).orderBy("o_orderkey")
+    }),
+    // SCD type-2 dimension history over customer: a batch at ts=1
+    // changes the segment for key%7==2, carries no-op updates for
+    // key%7==3 (must NOT open a new version), and inserts key+1M for
+    // key%100==11. One full-outer join of the CURRENT slice vs the
+    // batch; each joined row emits its 1-2 output versions through a
+    // single explode — no second scan of the join. Oracle replays the
+    // null-safe attribute compare and both emitted versions.
+    "scd2_history" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val hist = c.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+      val upd = c.where(col("c_custkey") % 7 === 2)
+        .select(col("c_custkey"),
+          concat(lit("SEG"), (col("c_custkey") % 3).cast("string")).as("c_mktsegment"),
+          col("c_acctbal"))
+      val noop = c.where(col("c_custkey") % 7 === 3)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val ins = c.where(col("c_custkey") % 100 === 11)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit("NEWSEG").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
+      Mutate.scd2Apply(hist, upd.unionByName(noop).unionByName(ins),
+        "c_custkey", Seq("c_mktsegment", "c_acctbal"), ts = lit(1L))
+        .orderBy("c_custkey", "valid_from", "is_current")
+    }),
     // Aho-Corasick blocklist scan: one linear pass per doc regardless
     // of pattern count (vs K substring scans). Patterns include a
     // cross-word phrase; all three occur in the corpus only as whole
@@ -4364,6 +4461,113 @@ object SparkEntry {
        |    ORDER BY cnt DESC, piece LIMIT $uniVocabMultis)),
        |utf AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM ukeep),
        |${uniDpCtes("enc", "uwords", "ukeep", "utf")}""".stripMargin
+
+  // ---- WordPiece oracle (WordPiece.scala's deterministic spec) ----
+  // k=3 merge rounds over the ##-prefixed symbol table; the score
+  // cnt(pair)/(cnt(l)·cnt(r)) is computed in DOUBLE — IEEE-754 ops are
+  // exactly specified, so DuckDB reproduces Spark's argmax comparisons
+  // bit-for-bit. The merged symbol strips the right side's ## prefix.
+
+  /** Fixpoint merge for the WordPiece oracles: `' l r ' → ' mg '`
+    * using the merge CTE's precomputed merged symbol; chained 4 deep
+    * (same occurrence bound argument as [[bpeMergeFix]]). */
+  private def wpMergeFix(expr: String, mergeCte: String): String = {
+    def once(e: String) =
+      s"replace($e, ' ' || $mergeCte.pr || ' ', ' ' || $mergeCte.mg || ' ')"
+    once(once(once(once(expr))))
+  }
+
+  /** One WordPiece training round over symbol-sequence CTE `seqPrev`:
+    * pair counts, single-symbol counts, the double-score argmax (with
+    * its integer evidence), and the fixpoint-merged next sequence. */
+  private def wpRound(i: Int, seqPrev: String): String =
+    s"""wp_p$i AS (${bpePairCte(seqPrev)}
+       |), wp_s$i AS (
+       |  SELECT sym, sum(freq) AS cnt FROM (
+       |    SELECT unnest(string_split(trim(seq), ' ')) AS sym, freq FROM $seqPrev)
+       |  GROUP BY sym
+       |), wp_m$i AS (
+       |  SELECT pr,
+       |    split_part(pr, ' ', 1) ||
+       |      CASE WHEN starts_with(split_part(pr, ' ', 2), '##')
+       |           THEN substr(split_part(pr, ' ', 2), 3)
+       |           ELSE split_part(pr, ' ', 2) END AS mg,
+       |    cnt, cl, cr
+       |  FROM (
+       |    SELECT p.pr, p.cnt, sl.cnt AS cl, sr.cnt AS cr,
+       |      CAST(p.cnt AS DOUBLE) / (CAST(sl.cnt AS DOUBLE) * CAST(sr.cnt AS DOUBLE)) AS score
+       |    FROM wp_p$i p
+       |    JOIN wp_s$i sl ON sl.sym = split_part(p.pr, ' ', 1)
+       |    JOIN wp_s$i sr ON sr.sym = split_part(p.pr, ' ', 2))
+       |  ORDER BY score DESC, pr ASC LIMIT 1
+       |), wp_seq$i AS (SELECT word, freq, ${wpMergeFix("seq", s"wp_m$i")} AS seq
+       |  FROM $seqPrev CROSS JOIN wp_m$i
+       |)""".stripMargin
+
+  /** Shared WordPiece training chain: ##-prefixed initial symbols,
+    * then three rounds. Chains onto the `words` CTE. */
+  private lazy val wpCtes: String =
+    s"""wp_seq0 AS (SELECT word, freq,
+       |  ' ' || array_to_string(list_transform(range(1, len(word) + 1),
+       |    i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+       |              ELSE '##' || substr(word, CAST(i AS INT), 1) END), ' ') || ' ' AS seq
+       |  FROM words),
+       |${wpRound(1, "wp_seq0")},
+       |${wpRound(2, "wp_seq1")},
+       |${wpRound(3, "wp_seq2")}""".stripMargin
+
+  /** Greedy longest-match-first encode replay: vocabulary = alphabet +
+    * merged symbols minus q-bearing pieces, then an 8-step
+    * unrolled scan (corpus max word length is 8 at every SF; each step
+    * consumes ≥1 char). A step either extends by the longest matching
+    * piece, carries a finished/unk word through, or marks a stuck word
+    * [UNK] — exactly [[graft.operators.WordPiece.encodeWord]]. */
+  private lazy val wpEncCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""wpvocab AS MATERIALIZED (
+       |  SELECT sym FROM (
+       |    SELECT DISTINCT sym FROM (
+       |      SELECT unnest(string_split(trim(seq), ' ')) AS sym FROM wp_seq0)
+       |    UNION SELECT mg FROM wp_m1
+       |    UNION SELECT mg FROM wp_m2
+       |    UNION SELECT mg FROM wp_m3)
+       |  WHERE sym NOT LIKE '%q%'),
+       |wp_g0 AS (SELECT word, freq, 0 AS pos, 0 AS ntok, 0 AS unk FROM words)""".stripMargin
+    for (i <- 1 to 8) {
+      val matchCase =
+        s"""CASE WHEN g.pos = 0 THEN substr(g.word, 1, CAST(ll.l AS INT))
+           |           ELSE '##' || substr(g.word, CAST(g.pos + 1 AS INT), CAST(ll.l AS INT)) END""".stripMargin
+      sb ++= s""",
+         |wp_g$i AS MATERIALIZED (
+         |  SELECT word, freq, pos, ntok, unk FROM (
+         |    SELECT word, freq, pos + l AS pos, ntok + 1 AS ntok, 0 AS unk,
+         |      row_number() OVER (PARTITION BY word ORDER BY l DESC) AS rn
+         |    FROM (
+         |      SELECT g.word, g.freq, g.pos, g.ntok, ll.l
+         |      FROM wp_g${i - 1} g
+         |      CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS l) ll
+         |      JOIN wpvocab v
+         |        ON g.pos + ll.l <= len(g.word)
+         |       AND v.sym = $matchCase
+         |      WHERE g.pos < len(g.word) AND g.unk = 0))
+         |  WHERE rn = 1
+         |  UNION ALL
+         |  SELECT word, freq, pos, ntok, unk FROM wp_g${i - 1}
+         |  WHERE pos >= len(word) OR unk = 1
+         |  UNION ALL
+         |  SELECT g.word, g.freq, g.pos, g.ntok, 1 AS unk
+         |  FROM wp_g${i - 1} g
+         |  WHERE g.pos < len(g.word) AND g.unk = 0 AND NOT EXISTS (
+         |    SELECT 1 FROM wpvocab v, (SELECT unnest([1, 2, 3, 4]) AS l) ll
+         |    WHERE g.pos + ll.l <= len(g.word)
+         |      AND v.sym = $matchCase))""".stripMargin
+    }
+    sb ++= s""",
+       |wp_enc AS (SELECT word, freq,
+       |  CASE WHEN unk = 1 THEN 1 ELSE ntok END AS ntok, unk
+       |  FROM wp_g8)""".stripMargin
+    sb.toString
+  }
 
   def oracleSql: Map[String, String] = Map(
     "red_sum" ->
@@ -7286,6 +7490,103 @@ object SparkEntry {
          |FROM documents d
          |LEFT JOIN bsums b USING (doc_id) LEFT JOIN usums u USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "text_wordpiece_train" ->
+      s"""WITH $wordsCte,
+         |$wpCtes
+         |SELECT rank, split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs,
+         |  mg AS merged, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(cl AS BIGINT) AS cnt_left, CAST(cr AS BIGINT) AS cnt_right
+         |FROM (
+         |  SELECT 0 AS rank, pr, mg, cnt, cl, cr FROM wp_m1
+         |  UNION ALL SELECT 1, pr, mg, cnt, cl, cr FROM wp_m2
+         |  UNION ALL SELECT 2, pr, mg, cnt, cl, cr FROM wp_m3)
+         |ORDER BY rank""".stripMargin,
+    "text_wordpiece_encode" ->
+      s"""WITH $wordsCte,
+         |$wpCtes,
+         |$wpEncCtes,
+         |docwords AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> len(x) > 0)) AS w
+         |  FROM documents
+         |), wsums AS (
+         |  SELECT doc_id, sum(ntok) AS n, sum(unk) AS nu
+         |  FROM docwords JOIN wp_enc ON w = word GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(s.nu, 0) AS BIGINT) AS n_unk
+         |FROM documents d LEFT JOIN wsums s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "merge_upsert" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |), src AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+        |    (o_orderkey % 20 = 3) AS del
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+        |    ((o_orderkey + 10000000) % 20 = 3)
+        |  FROM orders WHERE o_orderkey % 50 = 7
+        |)
+        |SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+        |FROM t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+        |WHERE NOT coalesce(s.del, false)
+        |ORDER BY o_orderkey""".stripMargin,
+    "cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0
+        |), log AS (
+        |  SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus, 'U' AS op, 1 AS seq
+        |  FROM orders WHERE o_orderkey % 5 = 1
+        |  UNION ALL SELECT o_orderkey, o_custkey, 'U2', 'U', 2 FROM orders WHERE o_orderkey % 10 = 1
+        |  UNION ALL SELECT o_orderkey, o_custkey, 'D', 'D', 3 FROM orders WHERE o_orderkey % 20 = 1
+        |  UNION ALL SELECT o_orderkey, o_custkey, 'I0', 'I', 0 FROM orders WHERE o_orderkey % 3 = 0
+        |), latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |    FROM log) WHERE rn = 1
+        |)
+        |SELECT o_orderkey, o_custkey, o_orderstatus FROM base
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus FROM latest WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
+    "scd2_history" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, 'SEG' || CAST(c_custkey % 3 AS VARCHAR) AS c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 7 = 2
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 7 = 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEWSEG', 0.0 FROM customer WHERE c_custkey % 100 = 11
+        |), j AS (
+        |  SELECT h.c_custkey AS hk, h.c_mktsegment AS hseg, h.c_acctbal AS hbal,
+        |    u.c_custkey AS uk, u.c_mktsegment AS useg, u.c_acctbal AS ubal
+        |  FROM customer h FULL OUTER JOIN upd u ON h.c_custkey = u.c_custkey
+        |)
+        |SELECT * FROM (
+        |  SELECT hk AS c_custkey, hseg AS c_mktsegment, hbal AS c_acctbal,
+        |    CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+        |    true AS is_current
+        |  FROM j WHERE hk IS NOT NULL AND (uk IS NULL OR
+        |    (hseg IS NOT DISTINCT FROM useg AND hbal IS NOT DISTINCT FROM ubal))
+        |  UNION ALL
+        |  SELECT hk, hseg, hbal, 0, 1, false FROM j
+        |  WHERE hk IS NOT NULL AND uk IS NOT NULL AND
+        |    (hseg IS DISTINCT FROM useg OR hbal IS DISTINCT FROM ubal)
+        |  UNION ALL
+        |  SELECT hk, useg, ubal, 1, NULL, true FROM j
+        |  WHERE hk IS NOT NULL AND uk IS NOT NULL AND
+        |    (hseg IS DISTINCT FROM useg OR hbal IS DISTINCT FROM ubal)
+        |  UNION ALL
+        |  SELECT uk, useg, ubal, 1, NULL, true FROM j WHERE hk IS NULL
+        |) ORDER BY c_custkey, valid_from, is_current""".stripMargin,
     "text_blocklist" ->
       """WITH t AS (
         |  SELECT doc_id,
