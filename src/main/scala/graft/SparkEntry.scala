@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, Layout, Lz4, Mojibake, Multimodal, Mutate, PdfCodec, Pipeline, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, Unigram, UrlOps, WavCodec, WebArchive, WikiDump, WordPiece, Xz, ZipCodec, Zstd}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, Layout, Lz4, Mojibake, Multimodal, Mutate, PdfCodec, Pipeline, QualityClassifier, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, Unigram, UrlOps, WavCodec, WebArchive, WikiDump, WordPiece, Xz, ZipCodec, Zstd}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -3380,6 +3380,56 @@ object SparkEntry {
       WordPiece.tokenCounts(docs, "doc_id", "text", v, maxPieceLen = 4)
         .orderBy("doc_id")
     }),
+    // Quality-classifier training (fastText linear shape, Joulin et
+    // al. 2017): distil the heuristic rare-positive label "doc
+    // mentions 'dup'" (5% of rows — the realistic imbalance of
+    // quality/toxicity flags) into a 64-bucket hashed-unigram model —
+    // 10 full-batch GD rounds, lr=1/4, ×32 positive-class weight,
+    // binary presence features, intercept as sentinel bucket −1.
+    // Weights ride the 2^30 grid, residuals the 2^20 grid, link =
+    // ALGEBRAIC sigmoid (no exp — every step is correctly-rounded
+    // IEEE arithmetic both engines share). Featurization is row-local;
+    // each round is one scan + one (numBuckets+1)-bounded gradient
+    // shuffle. The oracle replays all 10 rounds CTE-for-CTE; at this
+    // shape the model separates the label perfectly (see _eval).
+    "text_quality_lr_train" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").withColumn("y",
+        array_contains(split(lower(col("text")), "\\s+"), "dup")
+          .cast("int"))
+      val m = QualityClassifier.trainLogistic(docs, "text", "y",
+        numBuckets = 64, ns = Seq(1), seed = 13L, rounds = 10, lr = 0.25,
+        posWeight = 32L, binary = true)
+      QualityClassifier.modelFrame(docs, m).orderBy("bucket")
+    }),
+    // Train + score every document with the learned model: score =
+    // the algebraic sigmoid of the exact integer margin (bit-identical
+    // across engines), pred from the UNROUNDED score.
+    "text_quality_lr_score" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").withColumn("y",
+        array_contains(split(lower(col("text")), "\\s+"), "dup")
+          .cast("int"))
+      val m = QualityClassifier.trainLogistic(docs, "text", "y",
+        numBuckets = 64, ns = Seq(1), seed = 13L, rounds = 10, lr = 0.25,
+        posWeight = 32L, binary = true)
+      QualityClassifier.score(docs, "text", m)
+        .select(col("doc_id"), round(col("score"), 6).as("score"), col("pred"))
+        .orderBy("doc_id")
+    }),
+    // Confusion census of the trained model against its own labels —
+    // the fit-quality gate (deterministic, so the counts are exact;
+    // at sf0.01 the model separates the 25 positives with zero
+    // errors, which the oracle independently re-derives).
+    "text_quality_lr_eval" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").withColumn("y",
+        array_contains(split(lower(col("text")), "\\s+"), "dup")
+          .cast("int"))
+      val m = QualityClassifier.trainLogistic(docs, "text", "y",
+        numBuckets = 64, ns = Seq(1), seed = 13L, rounds = 10, lr = 0.25,
+        posWeight = 32L, binary = true)
+      QualityClassifier.score(docs, "text", m)
+        .groupBy(col("y"), col("pred")).count().withColumnRenamed("count", "n")
+        .orderBy("y", "pred")
+    }),
     // MERGE INTO over orders: source = updates (key%10==3 -> status
     // 'U'), matched deletes (key%20==3), inserts (key+10M for
     // key%50==7). One full-outer key-shuffle join; the source batch
@@ -3993,6 +4043,83 @@ object SparkEntry {
        |        ELSE ((h % 4294967296) * 1099511628211
        |              + (((h // 4294967296) * 1099511628211) % 4294967296) * 4294967296)
        |             % 18446744073709551616 END)""".stripMargin
+  }
+
+  /** Shared replay CTEs for the quality-classifier oracles: re-TRAIN
+    * the whole hashed-unigram logistic model in SQL — tokenize, FNV-
+    * hash unigrams into 64 buckets, binarize to presence features,
+    * then 10 full-batch GD rounds with the exact
+    * [[graft.operators.QualityClassifier]] arithmetic: weights (and
+    * the intercept, sentinel bucket −1) on the 2^30 long grid,
+    * residuals on the 2^20 long grid with the ×32 positive-class
+    * weight applied AFTER quantization (all cross-row sums therefore
+    * exact integers, order-free), the algebraic sigmoid
+    * `0.5 + 0.5·z/(1+|z|)` (only correctly-rounded IEEE ops — no
+    * exp), and the identical association order in the update
+    * `((lr·(g/2^20))/n)·2^30`. Ends with `w10` (the trained grid) and
+    * `scored` (per-doc label + score). */
+  private lazy val lrOracleCte: String = {
+    val lrRounds = 10
+    def zExpr(zq: String) = s"(CAST($zq AS DOUBLE) / 1073741824.0)"
+    def pExpr(z: String) = s"(0.5 + 0.5 * ($z / (1.0 + abs($z))))"
+    // one GD round: margin from w{k-1} (the sentinel row in lr_feats
+    // folds the intercept into the same sum), quantized class-weighted
+    // residual, bucket gradient, grid update. Each w$k is MATERIALIZED:
+    // DuckDB inlines plain CTEs, and w{k-1} is referenced twice per
+    // round (z$k and w$k), so inlining re-evaluates the whole training
+    // chain 2^rounds times — materialization makes the replay linear
+    // in rounds, matching the engine's per-round collect.
+    def gdRound(k: Int): String = {
+      val wp = s"w${k - 1}"
+      val p = pExpr(zExpr(s"coalesce(z$k.zq, 0)"))
+      s""", z$k AS (
+         |  SELECT f.doc_id, CAST(sum($wp.wq) AS BIGINT) AS zq
+         |  FROM lr_feats f JOIN $wp ON $wp.bucket = f.bucket GROUP BY f.doc_id
+         |), r$k AS (
+         |  SELECT l.doc_id,
+         |    CAST(floor(($p - l.y) * 1048576.0 + 0.5) AS BIGINT)
+         |      * (CASE WHEN l.y = 1.0 THEN 32 ELSE 1 END) AS rq
+         |  FROM lr_lab l LEFT JOIN z$k ON z$k.doc_id = l.doc_id
+         |), g$k AS (
+         |  SELECT f.bucket, CAST(sum(r.rq) AS BIGINT) AS g
+         |  FROM lr_feats f JOIN r$k r ON r.doc_id = f.doc_id GROUP BY f.bucket
+         |), w$k AS MATERIALIZED (
+         |  SELECT $wp.bucket,
+         |    $wp.wq - CAST(floor(((0.25 * (CAST(coalesce(g$k.g, 0) AS DOUBLE)
+         |      / 1048576.0)) / lr_n.n) * 1073741824.0 + 0.5) AS BIGINT) AS wq
+         |  FROM $wp LEFT JOIN g$k ON g$k.bucket = $wp.bucket CROSS JOIN lr_n
+         |)""".stripMargin
+    }
+    s"""WITH lr_tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
+       |  FROM documents
+       |), lr_lab AS MATERIALIZED (
+       |  SELECT doc_id, tk,
+       |    CASE WHEN list_contains(tk, 'dup') THEN 1.0 ELSE 0.0 END AS y
+       |  FROM lr_tk
+       |), lr_n AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM lr_lab
+       |), lr_grams AS (
+       |  SELECT doc_id, unnest(tk) AS gram FROM lr_lab
+       |), lr_hashed AS (
+       |  SELECT doc_id, CAST(${fnvSql("gram", 13L)} % 64 AS INTEGER) AS bucket
+       |  FROM lr_grams
+       |), lr_feats AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, bucket FROM lr_hashed
+       |  UNION ALL
+       |  SELECT doc_id, -1 AS bucket FROM lr_lab
+       |), w0 AS (
+       |  SELECT CAST(b.range AS INTEGER) AS bucket, CAST(0 AS BIGINT) AS wq
+       |  FROM range(-1, 64) b
+       |)${(1 to lrRounds).map(gdRound).mkString}, zf AS (
+       |  SELECT f.doc_id, CAST(sum(w$lrRounds.wq) AS BIGINT) AS zq
+       |  FROM lr_feats f JOIN w$lrRounds ON w$lrRounds.bucket = f.bucket
+       |  GROUP BY f.doc_id
+       |), scored AS (
+       |  SELECT l.doc_id, l.y, ${pExpr(zExpr("coalesce(zf.zq, 0)"))} AS p
+       |  FROM lr_lab l LEFT JOIN zf ON zf.doc_id = l.doc_id
+       |)""".stripMargin
   }
 
   /** Shared replay CTEs for the DSIR oracles: refit the whole model in
@@ -7519,6 +7646,21 @@ object SparkEntry {
          |  CAST(coalesce(s.nu, 0) AS BIGINT) AS n_unk
          |FROM documents d LEFT JOIN wsums s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "text_quality_lr_train" ->
+      s"""$lrOracleCte
+         |SELECT bucket, wq AS w_q FROM w10 WHERE wq <> 0
+         |ORDER BY bucket""".stripMargin,
+    "text_quality_lr_score" ->
+      s"""$lrOracleCte
+         |SELECT doc_id, round(p, 6) AS score,
+         |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    "text_quality_lr_eval" ->
+      s"""$lrOracleCte
+         |SELECT CAST(y AS INTEGER) AS y,
+         |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM scored GROUP BY 1, 2 ORDER BY y, pred""".stripMargin,
     "merge_upsert" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
