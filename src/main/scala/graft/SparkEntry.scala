@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, Layout, Lz4, Mojibake, Multimodal, Mutate, PdfCodec, Pipeline, QualityClassifier, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, Unigram, UrlOps, WavCodec, WebArchive, WikiDump, WordPiece, Xz, ZipCodec, Zstd}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, KneserNey, Layout, Lz4, Mojibake, Multimodal, Mutate, PdfCodec, Pipeline, QualityClassifier, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, Unigram, UrlOps, WavCodec, WebArchive, WikiDump, WordPiece, Xz, ZipCodec, Zstd}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -3430,6 +3430,48 @@ object SparkEntry {
         .groupBy(col("y"), col("pred")).count().withColumnRenamed("count", "n")
         .orderBy("y", "pred")
     }),
+    // Interpolated Kneser–Ney trigram LM (the KenLM/CCNet shape):
+    // self-score every document against the corpus-trained model.
+    // Counts are exact longs from the ONE trigram type table; the
+    // probability ladder is a pinned association of +,−,·,/ and
+    // greatest, so per-position doubles are bit-identical across
+    // engines; only ln and the per-doc Σ carry ~1e−13 noise, absorbed
+    // by the 6-decimal rounding. Each stat attach is de-skewed via a
+    // broadcast hot slice + salted-passenger residual join.
+    "text_kn_trigram_score" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      KneserNey.trigramLogProb(docs, docs, "doc_id", "text", hotK = 256)
+        .select(col("doc_id"), col("n_scored"),
+          round(col("lp_sum"), 6).as("lp_sum"),
+          round(exp(-(col("lp_sum") / col("n_scored").cast("double"))), 6)
+            .as("ppl"))
+        .orderBy("doc_id")
+    }),
+    // CCNet head/middle/tail perplexity split by FIXED mean-logprob
+    // thresholds (CCNet's precomputed percentile cutoffs — one scan,
+    // no global sort). Thresholds sit at the sf-stable terciles of
+    // the corpus distribution; outputs are exact integer censuses.
+    "text_kn_ppl_split" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      KneserNey.perplexitySplit(docs, docs, "doc_id", "text",
+          headMin = -2.99, middleMin = -3.07, hotK = 256)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_docs"), sum("n_scored").as("n_tokens"))
+        .orderBy("label")
+    }),
+    // The model's own structure: top-20 trigrams with every KN count
+    // column (occurrences, context mass, continuation counts) — pure
+    // integer evidence that all five stat tables derive correctly.
+    "text_kn_model_top" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val t = KneserNey.countTables(docs, "text")
+      t.t3.join(t.ctx2, Seq("w1", "w2")).join(t.b23, Seq("w2", "w3"))
+        .join(t.mid2, Seq("w2")).join(t.u3, Seq("w3"))
+        .orderBy(desc("c3"), col("w1"), col("w2"), col("w3"))
+        .limit(20)
+        .select("w1", "w2", "w3", "c3", "c2ctx", "n3", "n1p23",
+          "n1p2mid", "n2", "n1p3")
+    }),
     // MERGE INTO over orders: source = updates (key%10==3 -> status
     // 'U'), matched deletes (key%20==3), inserts (key+10M for
     // key%50==7). One full-outer key-shuffle join; the source batch
@@ -4121,6 +4163,77 @@ object SparkEntry {
        |  FROM lr_lab l LEFT JOIN zf ON zf.doc_id = l.doc_id
        |)""".stripMargin
   }
+
+  /** Shared replay CTEs for the Kneser–Ney oracles: re-derive the
+    * whole trigram model in SQL — tokenize exactly like
+    * [[graft.operators.TextOps.tokens]], explode trigrams once, build
+    * all five count tables from the trigram TYPE table (occurrence
+    * counts, context mass c(w1w2·), continuation counts N1+), then
+    * score every position with the IDENTICAL pinned association of
+    * the interpolated-KN ladder (D = 0.75, Laplace-floored
+    * continuation unigram). Multi-referenced CTEs are MATERIALIZED
+    * (DuckDB inlines plain CTEs — the stat tables each feed several
+    * consumers). Ends with `kn_doc` (doc_id, n_scored, lp_sum). */
+  private lazy val knOracleCte: String =
+    s"""WITH kn_tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
+       |  FROM documents
+       |), kn_tri AS MATERIALIZED (
+       |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+       |        FROM kn_tk WHERE len(tk) >= 3)
+       |), kn_t3 AS MATERIALIZED (
+       |  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+       |  FROM kn_tri GROUP BY 1, 2, 3
+       |), kn_ctx2 AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2ctx,
+       |    CAST(count(*) AS BIGINT) AS n3
+       |  FROM kn_t3 GROUP BY 1, 2
+       |), kn_b23 AS MATERIALIZED (
+       |  SELECT w2, w3, CAST(count(*) AS BIGINT) AS n1p23
+       |  FROM kn_t3 GROUP BY 1, 2
+       |), kn_mid2 AS MATERIALIZED (
+       |  SELECT w2, CAST(sum(n1p23) AS BIGINT) AS n1p2mid,
+       |    CAST(count(*) AS BIGINT) AS n2
+       |  FROM kn_b23 GROUP BY 1
+       |), kn_u3 AS MATERIALIZED (
+       |  SELECT w3, CAST(count(*) AS BIGINT) AS n1p3
+       |  FROM kn_b23 GROUP BY 1
+       |), kn_tot AS (
+       |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM kn_b23) AS nall,
+       |         (SELECT CAST(count(*) AS DOUBLE) FROM kn_u3) AS v
+       |), kn_att AS (
+       |  SELECT s.doc_id, t.c3, x.c2ctx, x.n3, b.n1p23, m.n1p2mid, m.n2,
+       |    u.n1p3, tot.nall, tot.v
+       |  FROM kn_tri s
+       |  LEFT JOIN kn_t3 t ON t.w1 = s.w1 AND t.w2 = s.w2 AND t.w3 = s.w3
+       |  LEFT JOIN kn_ctx2 x ON x.w1 = s.w1 AND x.w2 = s.w2
+       |  LEFT JOIN kn_b23 b ON b.w2 = s.w2 AND b.w3 = s.w3
+       |  LEFT JOIN kn_mid2 m ON m.w2 = s.w2
+       |  LEFT JOIN kn_u3 u ON u.w3 = s.w3
+       |  CROSS JOIN kn_tot tot
+       |), kn_p AS (
+       |  SELECT doc_id, c3, c2ctx, n3,
+       |    CASE WHEN n1p2mid IS NOT NULL THEN
+       |      (greatest(CAST(coalesce(n1p23, 0) AS DOUBLE) - 0.75, 0.0)
+       |        + (0.75 * CAST(n2 AS DOUBLE)) * pu) / CAST(n1p2mid AS DOUBLE)
+       |    ELSE pu END AS pbi
+       |  FROM (SELECT *, (CAST(coalesce(n1p3, 0) AS DOUBLE) + 1.0)
+       |          / ((nall + v) + 1.0) AS pu FROM kn_att)
+       |), kn_lp AS (
+       |  SELECT doc_id, ln(CASE WHEN c2ctx IS NOT NULL THEN
+       |      (greatest(CAST(coalesce(c3, 0) AS DOUBLE) - 0.75, 0.0)
+       |        + (0.75 * CAST(n3 AS DOUBLE)) * pbi) / CAST(c2ctx AS DOUBLE)
+       |    ELSE pbi END) AS lp
+       |  FROM kn_p
+       |), kn_doc AS (
+       |  SELECT d.doc_id, CAST(coalesce(g.n, 0) AS BIGINT) AS n_scored,
+       |    g.lp_sum
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, count(*) AS n, sum(lp) AS lp_sum
+       |    FROM kn_lp GROUP BY 1) g ON g.doc_id = d.doc_id
+       |)""".stripMargin
 
   /** Shared replay CTEs for the DSIR oracles: refit the whole model in
     * SQL — tokenize, build unigram+bigram strings, FNV-hash each gram
@@ -7661,6 +7774,33 @@ object SparkEntry {
          |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM scored GROUP BY 1, 2 ORDER BY y, pred""".stripMargin,
+    "text_kn_trigram_score" ->
+      s"""$knOracleCte
+         |SELECT doc_id, n_scored, round(lp_sum, 6) AS lp_sum,
+         |  round(exp(-(lp_sum / CAST(n_scored AS DOUBLE))), 6) AS ppl
+         |FROM kn_doc ORDER BY doc_id""".stripMargin,
+    "text_kn_ppl_split" ->
+      s"""$knOracleCte
+         |, kn_m AS (
+         |  SELECT doc_id, n_scored,
+         |    lp_sum / CAST(n_scored AS DOUBLE) AS mean_lp
+         |  FROM kn_doc WHERE n_scored > 0)
+         |SELECT CASE WHEN mean_lp >= -2.99 THEN 'head'
+         |            WHEN mean_lp >= -3.07 THEN 'middle'
+         |            ELSE 'tail' END AS label,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_scored) AS BIGINT) AS n_tokens
+         |FROM kn_m GROUP BY 1 ORDER BY label""".stripMargin,
+    "text_kn_model_top" ->
+      s"""$knOracleCte
+         |SELECT t.w1, t.w2, t.w3, t.c3, x.c2ctx, x.n3, b.n1p23,
+         |  m.n1p2mid, m.n2, u.n1p3
+         |FROM kn_t3 t
+         |JOIN kn_ctx2 x ON x.w1 = t.w1 AND x.w2 = t.w2
+         |JOIN kn_b23 b ON b.w2 = t.w2 AND b.w3 = t.w3
+         |JOIN kn_mid2 m ON m.w2 = t.w2
+         |JOIN kn_u3 u ON u.w3 = t.w3
+         |ORDER BY t.c3 DESC, t.w1, t.w2, t.w3 LIMIT 20""".stripMargin,
     "merge_upsert" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
