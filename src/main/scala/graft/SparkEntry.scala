@@ -3430,6 +3430,28 @@ object SparkEntry {
         .groupBy(col("y"), col("pred")).count().withColumnRenamed("count", "n")
         .orderBy("y", "pred")
     }),
+    // Classifier evaluation census: confusion cells, precision/
+    // recall/F1, and the EXACT Mann–Whitney AUC (u2 = 2·concordant +
+    // tied, all longs; one pinned division at the end). The model is
+    // deliberately UNDERSIZED (16 buckets — hash collisions) so every
+    // confusion cell is non-zero and AUC sits strictly between 0.5
+    // and 1. The AUC prefix sum runs as a distributed per-range
+    // window, never a single global sort.
+    "text_quality_lr_metrics" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").withColumn("y",
+        array_contains(split(lower(col("text")), "\\s+"), "dup")
+          .cast("int"))
+      val m = QualityClassifier.trainLogistic(docs, "text", "y",
+        numBuckets = 16, ns = Seq(1), seed = 13L, rounds = 10, lr = 0.25,
+        posWeight = 32L, binary = true)
+      QualityClassifier.evalMetrics(QualityClassifier.score(docs, "text", m))
+        .select(col("tp"), col("fp"), col("tn"), col("fn"),
+          col("u2"), col("p_cnt"), col("n_cnt"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"),
+          round(col("auc"), 6).as("auc"))
+    }),
     // Interpolated Kneser–Ney trigram LM (the KenLM/CCNet shape):
     // self-score every document against the corpus-trained model.
     // Counts are exact longs from the ONE trigram type table; the
@@ -4100,8 +4122,13 @@ object SparkEntry {
     * exp), and the identical association order in the update
     * `((lr·(g/2^20))/n)·2^30`. Ends with `w10` (the trained grid) and
     * `scored` (per-doc label + score). */
-  private lazy val lrOracleCte: String = {
-    val lrRounds = 10
+  private lazy val lrOracleCte: String = lrOracleCteFor(64, 10)
+
+  /** [[lrOracleCte]] parameterized over bucket count / round count —
+    * the metrics gate deliberately trains an UNDERSIZED 16-bucket
+    * model (hash collisions make it imperfect, so precision/recall/
+    * AUC are non-trivial). */
+  private def lrOracleCteFor(numBuckets: Int, lrRounds: Int): String = {
     def zExpr(zq: String) = s"(CAST($zq AS DOUBLE) / 1073741824.0)"
     def pExpr(z: String) = s"(0.5 + 0.5 * ($z / (1.0 + abs($z))))"
     // one GD round: margin from w{k-1} (the sentinel row in lr_feats
@@ -4145,7 +4172,7 @@ object SparkEntry {
        |), lr_grams AS (
        |  SELECT doc_id, unnest(tk) AS gram FROM lr_lab
        |), lr_hashed AS (
-       |  SELECT doc_id, CAST(${fnvSql("gram", 13L)} % 64 AS INTEGER) AS bucket
+       |  SELECT doc_id, CAST(${fnvSql("gram", 13L)} % $numBuckets AS INTEGER) AS bucket
        |  FROM lr_grams
        |), lr_feats AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, bucket FROM lr_hashed
@@ -4153,7 +4180,7 @@ object SparkEntry {
        |  SELECT doc_id, -1 AS bucket FROM lr_lab
        |), w0 AS (
        |  SELECT CAST(b.range AS INTEGER) AS bucket, CAST(0 AS BIGINT) AS wq
-       |  FROM range(-1, 64) b
+       |  FROM range(-1, $numBuckets) b
        |)${(1 to lrRounds).map(gdRound).mkString}, zf AS (
        |  SELECT f.doc_id, CAST(sum(w$lrRounds.wq) AS BIGINT) AS zq
        |  FROM lr_feats f JOIN w$lrRounds ON w$lrRounds.bucket = f.bucket
@@ -7774,6 +7801,41 @@ object SparkEntry {
          |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM scored GROUP BY 1, 2 ORDER BY y, pred""".stripMargin,
+    "text_quality_lr_metrics" ->
+      s"""${lrOracleCteFor(16, 10)}
+         |, lrm_conf AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN y = 1.0 AND p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN y = 0.0 AND p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN y = 0.0 AND p < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |    CAST(sum(CASE WHEN y = 1.0 AND p < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM scored
+         |), lrm_ps AS (
+         |  SELECT p AS s,
+         |    CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS p_s,
+         |    CAST(sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_s
+         |  FROM scored GROUP BY 1
+         |), lrm_pb AS (
+         |  SELECT p_s, n_s,
+         |    (sum(n_s) OVER (ORDER BY s
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_s) AS n_below
+         |  FROM lrm_ps
+         |), lrm_u AS (
+         |  SELECT CAST(sum((p_s * 2) * n_below + p_s * n_s) AS BIGINT) AS u2,
+         |    CAST(sum(p_s) AS BIGINT) AS p_cnt,
+         |    CAST(sum(n_s) AS BIGINT) AS n_cnt
+         |  FROM lrm_pb
+         |)
+         |SELECT tp, fp, tn, fn, u2, p_cnt, n_cnt,
+         |  round(CAST(tp AS DOUBLE) / CAST((tp + fp) AS DOUBLE), 6) AS precision,
+         |  round(CAST(tp AS DOUBLE) / CAST((tp + fn) AS DOUBLE), 6) AS recall,
+         |  round((2.0 * ((CAST(tp AS DOUBLE) / CAST((tp + fp) AS DOUBLE))
+         |      * (CAST(tp AS DOUBLE) / CAST((tp + fn) AS DOUBLE))))
+         |    / ((CAST(tp AS DOUBLE) / CAST((tp + fp) AS DOUBLE))
+         |      + (CAST(tp AS DOUBLE) / CAST((tp + fn) AS DOUBLE))), 6) AS f1,
+         |  round(CAST(u2 AS DOUBLE)
+         |    / ((2.0 * CAST(p_cnt AS DOUBLE)) * CAST(n_cnt AS DOUBLE)), 6) AS auc
+         |FROM lrm_conf CROSS JOIN lrm_u""".stripMargin,
     "text_kn_trigram_score" ->
       s"""$knOracleCte
          |SELECT doc_id, n_scored, round(lp_sum, 6) AS lp_sum,

@@ -159,4 +159,52 @@ class ClassifierSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(m.numBuckets == D)
   }
+
+  test("evalMetrics: hand-computed Mann-Whitney AUC with ties") {
+    import spark.implicits._
+    // scores: pos {0.9, 0.6, 0.4}, neg {0.6, 0.3, 0.1, 0.1}
+    // concordant (pos > neg): 0.9>{all 4}=4, 0.6>{.3,.1,.1}=3, 0.4>{.3,.1,.1}=3 → 10
+    // tied: 0.6 vs 0.6 → 1;  u2 = 2·10 + 1 = 21; auc = 21/(2·3·4) = 0.875
+    val scored = Seq(
+      (1, 0.9, 1), (1, 0.6, 1), (1, 0.4, 0),
+      (0, 0.6, 1), (0, 0.3, 0), (0, 0.1, 0), (0, 0.1, 0)
+    ).toDF("y", "score", "pred")
+    val r = QualityClassifier.evalMetrics(scored).collect().head
+    assert(r.getAs[Long]("u2") === 21L)
+    assert(r.getAs[Long]("p_cnt") === 3L && r.getAs[Long]("n_cnt") === 4L)
+    assert(r.getAs[Double]("auc") === 21.0 / 24.0)
+    // confusion at the given preds: tp=2 fp=1 tn=3 fn=1
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("tn"), r.getAs[Long]("fn")) === ((2L, 1L, 3L, 1L)))
+    assert(r.getAs[Double]("precision") === 2.0 / 3.0)
+    assert(r.getAs[Double]("recall") === 2.0 / 3.0)
+  }
+
+  test("evalMetrics: distributed prefix sum matches across range counts") {
+    import spark.implicits._
+    // 500 rows, many distinct scores, shuffled input order — the
+    // cross-range offset arithmetic must be invariant to how many
+    // ranges the prefix sum is split into (1 range = the naive
+    // single-window shape)
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      val y = if (rng.nextDouble() < 0.3) 1 else 0
+      val s = math.rint(rng.nextDouble() * 50) / 50.0 // force ties
+      (y, s, if (s >= 0.5) 1 else 0)
+    }
+    val scored = rng.shuffle(rows).toDF("y", "score", "pred").repartition(7)
+    val one = QualityClassifier.evalMetrics(scored, ranges = 1).collect().head
+    val many = QualityClassifier.evalMetrics(scored, ranges = 32).collect().head
+    assert(one.getAs[Long]("u2") === many.getAs[Long]("u2"))
+    assert(one.getAs[Double]("auc") === many.getAs[Double]("auc"))
+  }
+
+  test("evalMetrics: perfect separation gives auc exactly 1") {
+    import spark.implicits._
+    val scored = Seq((1, 0.9, 1), (1, 0.8, 1), (0, 0.2, 0), (0, 0.1, 0))
+      .toDF("y", "score", "pred")
+    val r = QualityClassifier.evalMetrics(scored).collect().head
+    assert(r.getAs[Double]("auc") === 1.0)
+    assert(r.getAs[Double]("f1") === 1.0)
+  }
 }
