@@ -294,13 +294,88 @@ object ScalingProbe {
     println(sb.toString)
   }
 
+  /** LM/classifier tier 1× vs 10× (round-14 additions): interpolated
+    * KN trigram self-scoring (model retrains as the corpus grows —
+    * the honest shape: count AND score sides both scale), logistic
+    * quality-classifier training (D-bounded gradient shuffles ×
+    * rounds), and the exact-AUC metrics chain. Training/metrics run
+    * multiple internal actions, so shuffle bytes come from the stage
+    * listener, not AQE mapStats. Same corpus recipe as the main
+    * table (token-suffixed id-shifted copies). */
+  private def runLm(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      outPath: String, cpus: String): Unit = {
+    import graft.operators.{KneserNey, QualityClassifier}
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), (Double, Long, Long)]
+    for (copies <- Seq(1, 10)) {
+      val docs = scaleDocs(docs1, copies).cache()
+      val nDocs = docs.count()
+      // per-copy positives: the suffixed label token still starts
+      // with "dup", so every copy keeps the 5% positive rate
+      val labelled = docs.withColumn("y",
+        exists(split(lower(col("text")), "\\s+"),
+          t => t.startsWith("dup")).cast("int"))
+
+      results(("kn_trigram_score", copies)) = timed { () =>
+        KneserNey.trigramLogProb(docs, docs, "doc_id", "text", hotK = 256)
+          .select(col("doc_id"), col("n_scored"))
+      }
+      results(("lr_train", copies)) = timedListener(spark, { () =>
+        val m = QualityClassifier.trainLogistic(labelled, "text", "y",
+          numBuckets = 64, ns = Seq(1), seed = 13L, rounds = 10,
+          lr = 0.25, posWeight = 32L, binary = true)
+        QualityClassifier.modelFrame(labelled, m)
+      })
+      results(("lr_metrics", copies)) = timedListener(spark, { () =>
+        val m = QualityClassifier.trainLogistic(labelled, "text", "y",
+          numBuckets = 64, ns = Seq(1), seed = 13L, rounds = 2,
+          lr = 0.25, posWeight = 32L, binary = true)
+        QualityClassifier.evalMetrics(
+          QualityClassifier.score(labelled, "text", m))
+      })
+      println(s"[scaling-lm] copies=$copies nDocs=$nDocs done")
+      docs.unpersist()
+    }
+    val head = Provenance.gitHead
+    val dirty = Provenance.gitTreeDirty
+    val sb = new StringBuilder
+    sb ++= "\n## LM / classifier tier (round-14 operators)\n\n"
+    sb ++= s"Generated by `graft.tools.ScalingProbe lm` at git `$head`" +
+      s"${if (dirty) " (DIRTY tree)" else ""}, fixtures `$sfDir`, local[$cpus]. " +
+      "Same corpus recipe as the main table. kn_trigram_score retrains " +
+      "the model on the scaled corpus AND scores it (both sides grow — " +
+      "expect ~10×); lr_train is 10 gradient rounds whose shuffles are " +
+      "bucket-bounded (expect the SCAN to grow 10× but the gradient " +
+      "exchange to stay ~constant); lr_metrics adds scoring + the " +
+      "distributed-prefix-sum AUC. Training shuffle bytes are " +
+      "listener-observed (multi-action ops).\n\n"
+    sb ++= "| op | scale | rows out | wall s | shuffle MB |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    for (((op, copies), (sec, bytes, rows)) <- results)
+      sb ++= f"| $op | ${copies}× | $rows | $sec%.2f | ${bytes / 1e6}%.1f |\n"
+    sb ++= "\n| op | time 10×/1× | shuffle 10×/1× |\n|---|---|---|\n"
+    for (op <- Seq("kn_trigram_score", "lr_train", "lr_metrics")) {
+      val (s1, b1, _) = results((op, 1))
+      val (s10, b10, _) = results((op, 10))
+      val bRatio = if (b1 > 0) f"${b10.toDouble / b1}%.1f×" else "n/a"
+      sb ++= f"| $op | ${s10 / s1}%.1f× | $bRatio |\n"
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      sb.toString, java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    println(sb.toString)
+  }
+
   def main(args: Array[String]): Unit = {
     // the "100x"/"tpch" mode flag may appear at any position; positional
     // args (sfDir, outPath) are resolved from what remains, so
     // `runMain graft.tools.ScalingProbe 100x` works as documented
     val mode100x = args.contains("100x")
     val modeTpch = args.contains("tpch")
-    val positional = args.filterNot(a => a == "100x" || a == "tpch")
+    val modeLm = args.contains("lm")
+    val positional = args.filterNot(a => a == "100x" || a == "tpch" || a == "lm")
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = if (positional.length > 1) positional(1) else "SCALING.md"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -316,6 +391,11 @@ object ScalingProbe {
     }
     if (modeTpch) {
       runTpch(spark, sfDir, outPath, cpus)
+      spark.stop()
+      return
+    }
+    if (modeLm) {
+      runLm(spark, sfDir, outPath, cpus)
       spark.stop()
       return
     }
