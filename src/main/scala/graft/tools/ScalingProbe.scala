@@ -309,7 +309,10 @@ object ScalingProbe {
       .select(col("doc_id"), col("text"))
     val results = scala.collection.mutable.LinkedHashMap
       .empty[(String, Int), (Double, Long, Long)]
-    for (copies <- Seq(1, 10)) {
+    // the 3× midpoint makes the KN broadcast→shuffle AQE transition
+    // legible: at 1× every stat table broadcasts (near-zero shuffle),
+    // so the meaningful linearity read is 10×/3×, both post-transition
+    for (copies <- Seq(1, 3, 10)) {
       val docs = scaleDocs(docs1, copies).cache()
       val nDocs = docs.count()
       // per-copy positives: the suffixed label token still starts
@@ -355,12 +358,14 @@ object ScalingProbe {
     sb ++= "|---|---|---|---|---|\n"
     for (((op, copies), (sec, bytes, rows)) <- results)
       sb ++= f"| $op | ${copies}× | $rows | $sec%.2f | ${bytes / 1e6}%.1f |\n"
-    sb ++= "\n| op | time 10×/1× | shuffle 10×/1× |\n|---|---|---|\n"
+    sb ++= "\n| op | time 10×/1× | shuffle 10×/1× | shuffle 10×/3× (post-transition, ~3.3× = linear) |\n|---|---|---|---|\n"
     for (op <- Seq("kn_trigram_score", "lr_train", "lr_metrics")) {
       val (s1, b1, _) = results((op, 1))
+      val (_, b3, _) = results((op, 3))
       val (s10, b10, _) = results((op, 10))
       val bRatio = if (b1 > 0) f"${b10.toDouble / b1}%.1f×" else "n/a"
-      sb ++= f"| $op | ${s10 / s1}%.1f× | $bRatio |\n"
+      val bRatio3 = if (b3 > 0) f"${b10.toDouble / b3}%.1f×" else "n/a"
+      sb ++= f"| $op | ${s10 / s1}%.1f× | $bRatio | $bRatio3 |\n"
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       sb.toString, java.nio.file.StandardOpenOption.CREATE,
