@@ -309,10 +309,11 @@ object ScalingProbe {
       .select(col("doc_id"), col("text"))
     val results = scala.collection.mutable.LinkedHashMap
       .empty[(String, Int), (Double, Long, Long)]
-    // the 3× midpoint makes the KN broadcast→shuffle AQE transition
-    // legible: at 1× every stat table broadcasts (near-zero shuffle),
-    // so the meaningful linearity read is 10×/3×, both post-transition
-    for (copies <- Seq(1, 3, 10)) {
+    // the 30× point makes the KN broadcast→shuffle AQE transition
+    // legible: at 1× (and still at 3×) every stat table broadcasts —
+    // near-zero shuffle — and the transition lands below 10×, so the
+    // meaningful linearity read is 30×/10×, both post-transition
+    for (copies <- Seq(1, 10, 30)) {
       val docs = scaleDocs(docs1, copies).cache()
       val nDocs = docs.count()
       // per-copy positives: the suffixed label token still starts
@@ -358,14 +359,14 @@ object ScalingProbe {
     sb ++= "|---|---|---|---|---|\n"
     for (((op, copies), (sec, bytes, rows)) <- results)
       sb ++= f"| $op | ${copies}× | $rows | $sec%.2f | ${bytes / 1e6}%.1f |\n"
-    sb ++= "\n| op | time 10×/1× | shuffle 10×/1× | shuffle 10×/3× (post-transition, ~3.3× = linear) |\n|---|---|---|---|\n"
+    sb ++= "\n| op | time 10×/1× | shuffle 10×/1× | shuffle 30×/10× (post-transition, ~3× = linear) |\n|---|---|---|---|\n"
     for (op <- Seq("kn_trigram_score", "lr_train", "lr_metrics")) {
       val (s1, b1, _) = results((op, 1))
-      val (_, b3, _) = results((op, 3))
       val (s10, b10, _) = results((op, 10))
+      val (_, b30, _) = results((op, 30))
       val bRatio = if (b1 > 0) f"${b10.toDouble / b1}%.1f×" else "n/a"
-      val bRatio3 = if (b3 > 0) f"${b10.toDouble / b3}%.1f×" else "n/a"
-      sb ++= f"| $op | ${s10 / s1}%.1f× | $bRatio | $bRatio3 |\n"
+      val bRatio30 = if (b10 > 0) f"${b30.toDouble / b10}%.1f×" else "n/a"
+      sb ++= f"| $op | ${s10 / s1}%.1f× | $bRatio | $bRatio30 |\n"
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       sb.toString, java.nio.file.StandardOpenOption.CREATE,
