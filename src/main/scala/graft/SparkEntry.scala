@@ -3602,6 +3602,41 @@ object SparkEntry {
         .orderBy("z", "o_orderkey")
         .limit(500)
     }),
+    // Hilbert-curve layout: the better-locality sibling of Z-order
+    // (consecutive indexes are ADJACENT cells — no quadrant-seam
+    // jumps), the curve newer lakehouse clustering prefers. Pure
+    // bitwise/conditional Column expressions, one range-partitioned
+    // sort. The oracle replays all 8 rotation rounds CTE-for-CTE.
+    "layout_hilbert" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_custkey") % 256).as("xb"), (col("o_orderkey") % 256).as("yb"))
+      Layout.hilbertBy(o, col("xb"), col("yb"), bits = 8)
+        .select(col("o_orderkey"), col("h"))
+        .orderBy("h", "o_orderkey")
+        .limit(500)
+    }),
+    // The measurable locality claim, as integers: walk the FULL 32×32
+    // grid along each curve and total the Manhattan jump between
+    // consecutive cells. Hilbert's total is exactly cells−1 = 1023
+    // (every step adjacent — the defining property); Z-order pays the
+    // quadrant seams. The oracle recomputes both curves and both
+    // walks.
+    "layout_locality" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grid = s.range(1024).select(
+        (col("id") % 32).as("x"), shiftrightunsigned(col("id"), 5).as("y"))
+        .withColumn("h", Layout.hilbertValue(col("x"), col("y"), 5))
+        .withColumn("z", Layout.zValue(col("x"), col("y"), 5))
+      def walk(key: String) = {
+        val w = Window.orderBy(key)
+        grid.select(
+          (abs(col("x") - lag("x", 1).over(w)) +
+            abs(col("y") - lag("y", 1).over(w))).as("jump"))
+          .agg(sum("jump").as(s"jump_$key"))
+      }
+      walk("h").crossJoin(walk("z"))
+        .select(lit(1024L).as("cells"), col("jump_h"), col("jump_z"))
+    }),
     // Audio preprocessing: synthesize stereo PCM from a closed-form
     // ramp, round-trip through the real WAV encode/decode, downmix to
     // mono (floor-average), linear-resample 6000→4000 Hz (the 3:2
@@ -4189,6 +4224,34 @@ object SparkEntry {
        |  SELECT l.doc_id, l.y, ${pExpr(zExpr("coalesce(zf.zq, 0)"))} AS p
        |  FROM lr_lab l LEFT JOIN zf ON zf.doc_id = l.doc_id
        |)""".stripMargin
+  }
+
+  /** Chained-CTE replay of [[graft.operators.Layout.hilbertValue]]'s
+    * quadrant-rotation rounds: `${prefix}_in` must provide `idCols`,
+    * `x`, `y` (bucketed to [0, 2^bits)) and `d = 0`; the final CTE is
+    * `${prefix}_out` carrying the accumulated Hilbert index `d`. */
+  private def hilbertSqlRounds(bits: Int, idCols: String,
+      prefix: String): String = {
+    val n1 = (1L << bits) - 1L
+    (0 until bits).map { j =>
+      val s = 1L << (bits - 1 - j)
+      val prev = if (j == 0) s"${prefix}_in" else s"${prefix}_${j - 1}"
+      val name = if (j == bits - 1) s"${prefix}_out" else s"${prefix}_$j"
+      s""", ${prefix}_g$j AS (
+         |  SELECT $idCols, x, y, d,
+         |    CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |    CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |  FROM $prev
+         |), $name AS (
+         |  SELECT $idCols,
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $n1 - y ELSE y END)
+         |         ELSE x END AS x,
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN $n1 - x ELSE x END)
+         |         ELSE y END AS y,
+         |    d + ${s * s} * xor(3 * rx, ry) AS d
+         |  FROM ${prefix}_g$j
+         |)""".stripMargin
+    }.mkString
   }
 
   /** Shared replay CTEs for the Kneser–Ney oracles: re-derive the
@@ -8108,6 +8171,44 @@ object SparkEntry {
                s"(((xb >> $i) & 1) << ${2 * i})",
                s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")} AS BIGINT) AS z
          |FROM t ORDER BY z, o_orderkey LIMIT 500""".stripMargin,
+    "layout_hilbert" ->
+      s"""WITH hb_in AS (
+         |  SELECT o_orderkey,
+         |    CAST(o_custkey % 256 AS BIGINT) AS x,
+         |    CAST(o_orderkey % 256 AS BIGINT) AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM orders
+         |)${hilbertSqlRounds(8, "o_orderkey", "hb")}
+         |SELECT o_orderkey, CAST(d AS BIGINT) AS h
+         |FROM hb_out ORDER BY h, o_orderkey LIMIT 500""".stripMargin,
+    "layout_locality" ->
+      s"""WITH grid AS (
+         |  SELECT CAST(i % 32 AS BIGINT) AS gx, CAST(i // 32 AS BIGINT) AS gy
+         |  FROM (SELECT unnest(range(1024)) AS i)
+         |), hl_in AS (
+         |  SELECT gx, gy, gx AS x, gy AS y, CAST(0 AS BIGINT) AS d FROM grid
+         |)${hilbertSqlRounds(5, "gx, gy", "hl")}
+         |, hkeys AS (SELECT gx, gy, d AS h FROM hl_out),
+         |zkeys AS (
+         |  SELECT gx, gy,
+         |    CAST(${(0 until 5).flatMap(i => Seq(
+               s"(((gx >> $i) & 1) << ${2 * i})",
+               s"(((gy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")} AS BIGINT) AS z
+         |  FROM grid
+         |), hwalk AS (
+         |  SELECT sum(j) AS jump_h FROM (
+         |    SELECT abs(gx - lag(gx) OVER (ORDER BY h))
+         |         + abs(gy - lag(gy) OVER (ORDER BY h)) AS j
+         |    FROM hkeys)
+         |), zwalk AS (
+         |  SELECT sum(j) AS jump_z FROM (
+         |    SELECT abs(gx - lag(gx) OVER (ORDER BY z))
+         |         + abs(gy - lag(gy) OVER (ORDER BY z)) AS j
+         |    FROM zkeys)
+         |)
+         |SELECT CAST(1024 AS BIGINT) AS cells,
+         |  CAST(jump_h AS BIGINT) AS jump_h, CAST(jump_z AS BIGINT) AS jump_z
+         |FROM hwalk CROSS JOIN zwalk""".stripMargin,
     // Replays the full mono/resample arithmetic: mono[k] is the
     // floor-averaged stereo ramp; even outputs read mono[3i/2]
     // exactly, odd outputs interpolate halfway with floor division.

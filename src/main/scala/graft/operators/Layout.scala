@@ -44,4 +44,72 @@ object Layout {
     val keyed = df.withColumn(zCol, zValue(x, y, bits))
     keyed.repartitionByRange(col(zCol)).sortWithinPartitions(col(zCol))
   }
+
+  /** Hilbert-curve index of a cell on the 2^bits × 2^bits grid — the
+    * space-filling curve with strictly better locality than Morton
+    * (every pair of consecutive indexes is an ADJACENT cell; Z-order
+    * jumps across the grid at quadrant seams), which is why newer
+    * lakehouse clustering (e.g. Databricks liquid clustering, public
+    * docs) prefers it over Z-order for multi-dimensional layout.
+    *
+    * The classic iterative quadrant-rotation algorithm (public, e.g.
+    * Wikipedia "Hilbert curve", converted from the C xy2d routine):
+    * per bit level s = 2^(bits−1) … 1, accumulate s²·((3·rx) ⊕ ry)
+    * and rotate/reflect the remaining coordinates. Expressed as plain
+    * bitwise/conditional Column expressions — whole-stage codegen's
+    * subexpression elimination keeps the unrolled rounds cheap, no
+    * UDF. `bits` ≤ 10 caps the unrolled expression size (a 1024×1024
+    * grid — far beyond what file-level clustering needs).
+    *
+    * Inputs must be bucketed to [0, 2^bits) like [[zValue]]. */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 10, s"bits must be in [1, 10], got $bits")
+    val n = 1L << bits
+    var xc = x.cast("long")
+    var yc = y.cast("long")
+    var d: Column = lit(0L)
+    var i = bits - 1
+    while (i >= 0) {
+      val s = 1L << i
+      val rx = when(xc.bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L))
+      val ry = when(yc.bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L))
+      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+      val nx = when(ry === lit(0L),
+        when(rx === lit(1L), lit(n - 1L) - yc).otherwise(yc)).otherwise(xc)
+      val ny = when(ry === lit(0L),
+        when(rx === lit(1L), lit(n - 1L) - xc).otherwise(xc)).otherwise(yc)
+      xc = nx
+      yc = ny
+      i -= 1
+    }
+    d
+  }
+
+  /** Scalar mirror of [[hilbertValue]] — the spec's oracle for
+    * bijection/adjacency and Column-parity checks. */
+  def hilbertD(x: Long, y: Long, bits: Int): Long = {
+    val n = 1L << bits
+    var (xc, yc, d) = (x, y, 0L)
+    var i = bits - 1
+    while (i >= 0) {
+      val s = 1L << i
+      val rx = if ((xc & s) > 0L) 1L else 0L
+      val ry = if ((yc & s) > 0L) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        val (fx, fy) = if (rx == 1L) (n - 1L - xc, n - 1L - yc) else (xc, yc)
+        xc = fy; yc = fx
+      }
+      i -= 1
+    }
+    d
+  }
+
+  /** Rewrite `df` into Hilbert order — [[zorderBy]]'s shape (one
+    * range-partitioned sort) on the Hilbert key. */
+  def hilbertBy(df: DataFrame, x: Column, y: Column, bits: Int,
+      hCol: String = "h"): DataFrame = {
+    val keyed = df.withColumn(hCol, hilbertValue(x, y, bits))
+    keyed.repartitionByRange(col(hCol)).sortWithinPartitions(col(hCol))
+  }
 }

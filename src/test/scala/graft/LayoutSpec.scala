@@ -41,4 +41,75 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("hilbertD is a bijection with unit steps — the defining curve property") {
+    for (bits <- 2 to 5) {
+      val n = 1 << bits
+      val byD = (for (x <- 0 until n; y <- 0 until n)
+        yield Layout.hilbertD(x.toLong, y.toLong, bits) -> ((x, y))).toMap
+      assert(byD.keySet === (0 until n * n).map(_.toLong).toSet,
+        s"bits=$bits not bijective")
+      (0L until (n * n - 1).toLong).foreach { d =>
+        val (x1, y1) = byD(d)
+        val (x2, y2) = byD(d + 1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+          s"bits=$bits: d=$d -> ($x1,$y1) then ($x2,$y2) not adjacent")
+      }
+    }
+  }
+
+  test("hilbertValue Column matches the scalar mirror on the full grid") {
+    val bits = 5
+    val n = 1 << bits
+    val df = (0 until n * n).map(i => (i % n, i / n)).toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+      Layout.hilbertValue(col("x"), col("y"), bits).as("h")).collect()
+    got.foreach { r =>
+      assert(r.getLong(2) ===
+        Layout.hilbertD(r.getInt(0).toLong, r.getInt(1).toLong, bits))
+    }
+  }
+
+  test("hilbert beats z-order locality: total walk jump is exactly cells - 1") {
+    val bits = 4
+    val n = 1 << bits
+    val cells = (for (x <- 0 until n; y <- 0 until n) yield (x, y))
+    def totalJump(key: (Int, Int) => Long): Long =
+      cells.sortBy { case (x, y) => key(x, y) }.sliding(2).map {
+        case Seq((x1, y1), (x2, y2)) =>
+          (math.abs(x1 - x2) + math.abs(y1 - y2)).toLong
+        case _ => 0L
+      }.sum
+    val hJump = totalJump((x, y) => Layout.hilbertD(x.toLong, y.toLong, bits))
+    // z-order via the Column expression on a local frame
+    val zMap = (for (x <- 0 until n; y <- 0 until n) yield (x, y)).toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y"), bits).as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val zJump = totalJump((x, y) => zMap((x, y)))
+    assert(hJump === (n * n - 1).toLong, s"hilbert walk jump $hJump")
+    assert(zJump > hJump, s"z-order jump $zJump must exceed hilbert $hJump")
+  }
+
+  test("hilbertBy range-partitions with non-overlapping key ranges") {
+    val df = (0 until 1024).map(i => (i, i % 32, i / 32)).toDF("id", "x", "y")
+    val h = Layout.hilbertBy(df, col("x"), col("y"), bits = 5)
+    val parts = h.select(col("h"))
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(0)).toSeq))
+      .collect().filter(_.nonEmpty)
+    parts.foreach(p => assert(p == p.sorted))
+    val ranges = parts.map(p => (p.min, p.max)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, max1), (min2, _)) => assert(max1 <= min2)
+      case _ =>
+    }
+  }
+
+  test("hilbertValue loud contract on bits") {
+    intercept[IllegalArgumentException] {
+      Layout.hilbertValue(col("x"), col("y"), 11)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.hilbertValue(col("x"), col("y"), 0)
+    }
+  }
 }
