@@ -1172,6 +1172,29 @@ object SparkEntry {
           events(s, dir).where(col("user_id") < 50), gapMinutes = 30)
         .select("user_id", "start_ts", "end_ts", "n_events")
         .orderBy("user_id", "start_ts")),
+    // First-touch windowed funnel view → click → purchase within 24 h:
+    // per-user earliest step chain (each step strictly after the
+    // previous, all within the first-touch window), then the census.
+    // Every shuffle keys on user_id; timestamps compare in exact
+    // microseconds, so the conversion-time total is an exact long.
+    "events_funnel" -> ((s, dir) => {
+      val f = graft.streaming.EventWindows.funnel(events(s, dir),
+        Seq("view", "click", "purchase"), withinSeconds = 86400)
+      f.agg(
+        count(col("t1")).as("n_step1"),
+        count(col("t2")).as("n_step2"),
+        count(col("t3")).as("n_step3"),
+        sum(when(col("t3").isNotNull,
+          unix_micros(col("t3")) - unix_micros(col("t1")))).as("conv_us"))
+    }),
+    // Cohort retention triangle: day of first event × day offset →
+    // distinct active users, exact integers; the activity table
+    // (distinct user-days) is the only thing that shuffles.
+    "events_retention" -> ((s, dir) =>
+      graft.streaming.EventWindows.retention(events(s, dir), maxOffsetDays = 7)
+        .select(unix_date(col("cohort_day")).as("cohort_epoch_day"),
+          col("offset_days"), col("n_users"))
+        .orderBy("cohort_epoch_day", "offset_days")),
 
     // ----- §2.5 as-of (temporal) join ----------------------------------
     // For each click, the user's most recent purchase at-or-before it.
@@ -5548,6 +5571,41 @@ object SparkEntry {
         |FROM base l, rhs r
         |WHERE levenshtein(l.s, r.v) <= 1
         |ORDER BY left_val, right_val""".stripMargin,
+    "events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 86400 SECONDS
+        |  GROUP BY 1, 2
+        |), s3 AS (
+        |  SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |    AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 86400 SECONDS
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT CAST(count(t1) AS BIGINT) AS n_step1,
+        |  CAST(count(t2) AS BIGINT) AS n_step2,
+        |  CAST(count(t3) AS BIGINT) AS n_step3,
+        |  CAST(sum(CASE WHEN t3 IS NOT NULL
+        |    THEN epoch_us(t3) - epoch_us(t1) END) AS BIGINT) AS conv_us
+        |FROM s3""".stripMargin,
+    "events_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |), first AS (
+        |  SELECT user_id, min(d) AS cohort FROM act GROUP BY 1
+        |)
+        |SELECT CAST(f.cohort - DATE '1970-01-01' AS BIGINT) AS cohort_epoch_day,
+        |  CAST(a.d - f.cohort AS INTEGER) AS offset_days,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM first f JOIN act a ON a.user_id = f.user_id
+        |WHERE a.d - f.cohort BETWEEN 0 AND 7
+        |GROUP BY 1, 2 ORDER BY cohort_epoch_day, offset_days""".stripMargin,
     "events_correlate" ->
       """WITH c AS (
         |  SELECT user_id, ts FROM events WHERE event_type = 'click'

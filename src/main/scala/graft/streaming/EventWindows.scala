@@ -181,4 +181,64 @@ object EventWindows {
     events.join(d, events.col(eventKey) === d.col(dimKey), how)
       .drop(d.col(dimKey))
   }
+
+  /** First-touch windowed funnel: per user, `t1` = the EARLIEST
+    * step-1 event; `tK` = the earliest step-K event strictly after
+    * `t(K−1)` and within `withinSeconds` of `t1` (the standard
+    * product-analytics funnel — window anchored at first touch,
+    * steps strictly ordered). Returns one row per step-1 user with
+    * nullable `t1..tN` timestamp columns.
+    *
+    * Scale shape: one aggregation per step plus one equi-key join per
+    * later step — every shuffle keys on the user column, so Spark
+    * reuses the exchange partitioning down the ladder; the range
+    * bounds ride the joins as residuals (never a cross product).
+    * Timestamps compare in exact microseconds — no float anywhere. */
+  def funnel(events: DataFrame, steps: Seq[String],
+      withinSeconds: Long, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    require(withinSeconds > 0, s"withinSeconds must be positive")
+    val ev = instantTs(events, tsCol).select(
+      col(userCol).as("__u"), col(typeCol).as("__et"), col(tsCol).as("__t"))
+    var acc = ev.where(col("__et") === steps.head)
+      .groupBy("__u").agg(min("__t").as("t1"))
+    for (k <- 2 to steps.size) {
+      val stepEv = ev.where(col("__et") === steps(k - 1))
+        .select(col("__u").as("__su"), col("__t").as("__st"))
+      val joined = acc.join(stepEv,
+        col("__u") === col("__su") &&
+          col("__st") > col(s"t${k - 1}") &&
+          col("__st") <= col("t1") + expr(s"INTERVAL $withinSeconds SECONDS"),
+        "left")
+      val carried = ("__u" +: (1 until k).map(i => s"t$i")).map(col)
+      acc = joined.groupBy(carried: _*).agg(min("__st").as(s"t$k"))
+    }
+    acc.withColumnRenamed("__u", userCol)
+  }
+
+  /** Cohort retention: cohort = the day of each user's first event;
+    * for every day offset 0..`maxOffsetDays`, the number of cohort
+    * users active on cohort-day + offset. The classic growth-
+    * analytics triangle, as exact integers.
+    *
+    * Scale shape: one distinct (user, day) aggregation (the activity
+    * table — far smaller than the event stream), one user-keyed
+    * aggregation for first days, one equi-join between them, one
+    * final grouped count. Nothing holds per-event state. */
+  def retention(events: DataFrame, maxOffsetDays: Int,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(maxOffsetDays >= 0, s"maxOffsetDays must be >= 0")
+    val ev = instantTs(events, tsCol)
+    val activity = ev.select(col(userCol).as("__u"),
+      to_date(col(tsCol)).as("__d")).distinct()
+    val first = activity.groupBy("__u").agg(min("__d").as("__cohort"))
+    first.join(activity, Seq("__u"))
+      .withColumn("offset_days", datediff(col("__d"), col("__cohort")))
+      .where(col("offset_days") >= 0 && col("offset_days") <= maxOffsetDays)
+      .groupBy(col("__cohort").as("cohort_day"), col("offset_days"))
+      .agg(countDistinct("__u").as("n_users"))
+  }
 }

@@ -242,4 +242,69 @@ class StreamingSpec extends SparkSpec {
       assert(rows.find(_.getLong(0) == 9L).get.isNullAt(rows(0).fieldIndex("tier")))
     } finally q.stop()
   }
+
+  test("funnel: first-touch anchor, strict step order, window bound") {
+    val ev = Seq(
+      // user 1 completes: view 00, click 10, purchase 20
+      (1L, ts(0), "view", 0.0), (1L, ts(10), "click", 0.0),
+      (1L, ts(20), "purchase", 0.0),
+      // a later view must NOT re-anchor (first-touch)
+      (1L, ts(15), "view", 0.0),
+      // user 2: purchase BEFORE click -> step 3 not reached
+      (2L, ts(0), "view", 0.0), (2L, ts(20), "click", 0.0),
+      (2L, ts(10), "purchase", 0.0),
+      // user 3: click outside the 30-minute window
+      (3L, ts(0), "view", 0.0), (3L, ts(45), "click", 0.0),
+      // user 4: no view -> not in the funnel at all
+      (4L, ts(0), "click", 0.0), (4L, ts(5), "purchase", 0.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val f = EventWindows.funnel(ev, Seq("view", "click", "purchase"),
+      withinSeconds = 30 * 60)
+    val rows = f.collect().map(r => (r.getLong(0),
+      !r.isNullAt(1), !r.isNullAt(2), !r.isNullAt(3))).sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (1L, true, true, true),
+      (2L, true, true, false), // purchase precedes click: strict order
+      (3L, true, false, false))) // click at +45 min > 30-min window
+    // completer's chain is the EARLIEST valid one
+    val u1 = f.where(col("user_id") === 1L).collect().head
+    assert(u1.getTimestamp(1) === ts(0) && u1.getTimestamp(2) === ts(10) &&
+      u1.getTimestamp(3) === ts(20))
+  }
+
+  test("funnel loud contracts: step count, duplicates, window") {
+    val ev = batchEvents
+    intercept[IllegalArgumentException] {
+      EventWindows.funnel(ev, Seq("view"), 60)
+    }
+    intercept[IllegalArgumentException] {
+      EventWindows.funnel(ev, Seq("view", "view"), 60)
+    }
+    intercept[IllegalArgumentException] {
+      EventWindows.funnel(ev, Seq("view", "click"), 0)
+    }
+  }
+
+  test("retention: cohort day from first event, distinct users per offset") {
+    def day(d: Int, h: Int = 12): Timestamp =
+      Timestamp.valueOf(f"2024-01-${d + 1}%02d $h%02d:00:00")
+    val ev = Seq(
+      // user 1: first day 0, active days 0, 1, 3 (two events day 1)
+      (1L, day(0)), (1L, day(1)), (1L, day(1, 18)), (1L, day(3)),
+      // user 2: first day 1, active days 1, 2
+      (2L, day(1)), (2L, day(2)),
+      // user 3: only day 0
+      (3L, day(0)))
+      .toDF("user_id", "ts").withColumn("event_type", lit("view"))
+    val got = EventWindows.retention(ev, maxOffsetDays = 7)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 0, 2L), // users 1 and 3 on their day 0
+      ("2024-01-01", 1, 1L), // user 1 on day 1 (deduped within the day)
+      ("2024-01-01", 3, 1L),
+      ("2024-01-02", 0, 1L), // user 2's own cohort
+      ("2024-01-02", 1, 1L)))
+  }
 }
