@@ -3475,6 +3475,28 @@ object SparkEntry {
           round(col("f1"), 6).as("f1"),
           round(col("auc"), 6).as("auc"))
     }),
+    // Hashed TF-IDF sparse document vectors (the scikit-learn
+    // "hashing vectorizer" shape): FNV-bucketed tokens, map-side-
+    // collapsed term counts, dim-bounded broadcast idf. The oracle
+    // replays the hashing, census, and the pinned idf arithmetic.
+    "text_tfidf_sparse" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      TextOps.hashedTfidf(docs, "doc_id", "text", dim = 256, seed = 13L)
+        .where(col("doc_id") < 50)
+        .select(col("doc_id"), col("bucket"), round(col("w"), 6).as("w"))
+        .orderBy("doc_id", "bucket")
+    }),
+    // Exact-cosine nearest neighbor over the sparse vectors via the
+    // stop-bucket-pruned inverted-index join; cosine rounded BEFORE
+    // the argmax so the ranking replays across engines.
+    "text_tfidf_nn" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val sparse = TextOps.hashedTfidf(docs, "doc_id", "text",
+        dim = 256, seed = 13L)
+      TextOps.tfidfNearestNeighbor(
+          sparse.where(col("doc_id") < 30), sparse, "doc_id", maxDf = 450L)
+        .orderBy("doc_id")
+    }),
     // Interpolated Kneser–Ney trigram LM (the KenLM/CCNet shape):
     // self-score every document against the corpus-trained model.
     // Counts are exact longs from the ONE trigram type table; the
@@ -4276,6 +4298,32 @@ object SparkEntry {
          |)""".stripMargin
     }.mkString
   }
+
+  /** Shared replay CTEs for the hashed-TF-IDF oracles: FNV-hash
+    * unigrams into 256 buckets ([[fnvSql]] — the proven dsirBuckets
+    * replay), per-doc term counts, the dim-bounded df census, and the
+    * pinned idf arithmetic `ln((N+1)/(df+1)) + 1`. Ends with `tfv_w`
+    * (doc_id, bucket, w) and `tfv_df`. */
+  private lazy val tfvOracleCte: String =
+    s"""WITH tfv_tk AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> len(t) > 0)) AS tok
+       |  FROM documents
+       |), tfv_tf AS MATERIALIZED (
+       |  SELECT doc_id, CAST(${fnvSql("tok", 13L)} % 256 AS INTEGER) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM tfv_tk GROUP BY 1, 2
+       |), tfv_df AS MATERIALIZED (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS df FROM tfv_tf GROUP BY 1
+       |), tfv_n AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+       |), tfv_w AS MATERIALIZED (
+       |  SELECT t.doc_id, t.bucket,
+       |    CAST(t.tf AS DOUBLE)
+       |      * (ln((tfv_n.n + 1.0) / (CAST(d.df AS DOUBLE) + 1.0)) + 1.0) AS w
+       |  FROM tfv_tf t JOIN tfv_df d USING (bucket) CROSS JOIN tfv_n
+       |)""".stripMargin
 
   /** Shared replay CTEs for the Kneser–Ney oracles: re-derive the
     * whole trigram model in SQL — tokenize exactly like
@@ -7957,6 +8005,33 @@ object SparkEntry {
          |  round(CAST(u2 AS DOUBLE)
          |    / ((2.0 * CAST(p_cnt AS DOUBLE)) * CAST(n_cnt AS DOUBLE)), 6) AS auc
          |FROM lrm_conf CROSS JOIN lrm_u""".stripMargin,
+    "text_tfidf_sparse" ->
+      s"""$tfvOracleCte
+         |SELECT doc_id, bucket, round(w, 6) AS w FROM tfv_w
+         |WHERE doc_id < 50 ORDER BY doc_id, bucket""".stripMargin,
+    "text_tfidf_nn" ->
+      s"""$tfvOracleCte
+         |, tfv_keep AS (SELECT bucket FROM tfv_df WHERE df <= 450),
+         |tfv_c AS MATERIALIZED (
+         |  SELECT doc_id, bucket, w FROM tfv_w JOIN tfv_keep USING (bucket)
+         |), tfv_norm AS MATERIALIZED (
+         |  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM tfv_c GROUP BY 1
+         |), tfv_dot AS (
+         |  SELECT p.doc_id AS a, c.doc_id AS b, sum(p.w * c.w) AS dot
+         |  FROM tfv_c p JOIN tfv_c c USING (bucket)
+         |  WHERE p.doc_id < 30 AND c.doc_id <> p.doc_id
+         |  GROUP BY 1, 2
+         |), tfv_cos AS (
+         |  SELECT a, b, round(dot / (na.nrm * nb.nrm), 6) AS cos
+         |  FROM tfv_dot
+         |  JOIN tfv_norm na ON na.doc_id = a
+         |  JOIN tfv_norm nb ON nb.doc_id = b
+         |)
+         |SELECT a AS doc_id, b AS nn_id, cos FROM (
+         |  SELECT a, b, cos,
+         |    row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rn
+         |  FROM tfv_cos
+         |) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "text_kn_trigram_score" ->
       s"""$knOracleCte
          |SELECT doc_id, n_scored, round(lp_sum, 6) AS lp_sum,

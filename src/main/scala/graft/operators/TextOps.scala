@@ -729,4 +729,79 @@ object TextOps {
     if (last.nonEmpty) out += last
     out.result()
   }
+
+  /** Sparse hashed-TF-IDF document vectors — the embedding-free
+    * semantic representation (the "hashing vectorizer", public
+    * scikit-learn/Vowpal-Wabbit technique): FNV-hash each token into
+    * `dim` buckets ([[graft.functions.DsirFeatures.dsirBuckets]], a
+    * codegen expression), per-doc term counts, and the smoothed
+    * `idf = ln((N+1)/(df+1)) + 1`. Returns the SPARSE frame
+    * `(idCol, bucket, w)` — the input to [[tfidfNearestNeighbor]],
+    * or densify for k-means/SemDeDup when no model embeddings exist.
+    *
+    * Scale shape: hashing is row-local; the (id, bucket) term count
+    * collapses fully in the map-side partial aggregate (each doc's
+    * tokens are on one input row), so the shuffle carries the final
+    * sparse rows once; the df census and idf table are `dim`-bounded
+    * and broadcast back. N is one count action (documented: idf uses
+    * TOTAL docs, including empty ones). */
+  def hashedTfidf(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 256, seed: Long = 13L): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0,
+      s"dim must be a positive power of two, got $dim")
+    val n = docs.count()
+    val tf = docs.select(col(idCol),
+        explode(graft.functions.DsirFeatures.dsirBuckets(
+          col(textCol), Seq(1), dim, seed)).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = tf.groupBy("bucket").agg(count(lit(1)).as("df"))
+    val idf = dfTab.select(col("bucket"),
+      (log((lit(n.toDouble) + lit(1.0)) /
+        (col("df").cast(DoubleType) + lit(1.0))) + lit(1.0)).as("idf"))
+    tf.join(broadcast(idf), Seq("bucket"))
+      .select(col(idCol), col("bucket"),
+        (col("tf").cast(DoubleType) * col("idf")).as("w"))
+  }
+
+  /** Exact-cosine nearest neighbor over sparse TF-IDF vectors via the
+    * inverted-index join, with stop-bucket pruning: buckets whose
+    * document frequency exceeds `maxDf` are excluded from BOTH sides
+    * (the standard inverted-index mitigation — a stop-word bucket
+    * would otherwise fan the join out toward all-pairs). Returns one
+    * row per probe doc: `(idCol, nn_id, cos)` with `cos` rounded to 6
+    * decimals BEFORE the argmax (ties break on the smaller candidate
+    * id), so the ranking is reproducible across engines.
+    *
+    * Scale shape: the join cost is Σ_bucket df_probe·df_corpus, capped
+    * per bucket by `maxDf`; norms are per-doc aggregations over the
+    * pruned space (cosine is exact over that space, documented); the
+    * ranking is a per-probe window. This is the exact refinement for
+    * PROBE BATCHES — for whole-corpus semantic dedup use the LSH /
+    * SemDeDup paths, which bucket instead of expanding pairs. */
+  def tfidfNearestNeighbor(sparseProbe: DataFrame, sparseCorpus: DataFrame,
+      idCol: String, maxDf: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxDf >= 1L, s"maxDf must be >= 1, got $maxDf")
+    val keep = sparseCorpus.groupBy("bucket")
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select("bucket")
+    val c = sparseCorpus.join(broadcast(keep), Seq("bucket"))
+      .select(col(idCol).as("__b"), col("bucket"), col("w").as("__wb"))
+      .localCheckpoint(true) // feeds the dot join AND the corpus norms
+    val p = sparseProbe.join(broadcast(keep), Seq("bucket"))
+      .select(col(idCol).as("__a"), col("bucket"), col("w").as("__wa"))
+      .localCheckpoint(true)
+    val normP = p.groupBy("__a").agg(sqrt(sum(col("__wa") * col("__wa"))).as("__na"))
+    val normC = c.groupBy("__b").agg(sqrt(sum(col("__wb") * col("__wb"))).as("__nb"))
+    val dots = p.join(c, Seq("bucket"))
+      .where(col("__a") =!= col("__b"))
+      .groupBy("__a", "__b").agg(sum(col("__wa") * col("__wb")).as("__dot"))
+    val cos = dots.join(normP, Seq("__a")).join(normC, Seq("__b"))
+      .select(col("__a"), col("__b"),
+        round(col("__dot") / (col("__na") * col("__nb")), 6).as("cos"))
+    val w = Window.partitionBy("__a").orderBy(col("cos").desc, col("__b").asc)
+    cos.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("__a").as(idCol), col("__b").as("nn_id"), col("cos"))
+  }
 }

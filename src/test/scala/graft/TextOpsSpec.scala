@@ -512,4 +512,65 @@ class TextOpsSpec extends SparkSpec {
       .select("id", "t").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(g2 == Set((1L, "m n o"), (2L, "")))
   }
+
+  test("hashedTfidf: tf counts multiplicity, idf follows the pinned formula") {
+    import spark.implicits._
+    // 4 docs; "alpha" in all 4 (df=4), "bravo" in 1 (df=1), repeated
+    // twice in its doc (tf=2)
+    val docs = Seq((1L, "alpha bravo bravo"), (2L, "alpha x"),
+      (3L, "alpha y"), (4L, "alpha z")).toDF("doc_id", "text")
+    val sparse = TextOps.hashedTfidf(docs, "doc_id", "text",
+      dim = 1024, seed = 13L)
+    val rows = sparse.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // doc 1 has two buckets (alpha, bravo) at dim=1024 (no collision
+    // among 5 distinct tokens is overwhelmingly likely; assert it so a
+    // collision would fail loudly instead of skewing expectations)
+    assert(rows.count(_._1 == 1L) === 2)
+    val idf = (df: Long) => math.log((4.0 + 1.0) / (df.toDouble + 1.0)) + 1.0
+    // the bucket present in all four docs carries w = 1 * idf(4)
+    val shared = rows.groupBy(_._2).filter(_._2.length == 4).head._2
+    shared.foreach { case (_, _, w) => assert(w === idf(4L)) }
+    // doc 1's other bucket is bravo: tf=2, df=1
+    val bravo = rows.filter(r => r._1 == 1L && r._3 != idf(4L))
+    assert(bravo.length === 1 && bravo.head._3 === 2.0 * idf(1L))
+  }
+
+  test("tfidfNearestNeighbor: rare terms decide, stop-buckets pruned, identical docs cos~1") {
+    import spark.implicits._
+    // "common" appears everywhere (stop-bucket at maxDf=3); docs 1/2
+    // share "zebra", 3/4 are identical
+    val docs = Seq(
+      (1L, "common zebra quill"), (2L, "common zebra jolt"),
+      (3L, "common mirror vex"), (4L, "common mirror vex"))
+      .toDF("doc_id", "text")
+    val sparse = TextOps.hashedTfidf(docs, "doc_id", "text",
+      dim = 1024, seed = 13L)
+    val nn = TextOps.tfidfNearestNeighbor(sparse, sparse, "doc_id",
+      maxDf = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(nn.map(x => (x._1, x._2)).toSeq ===
+      Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)))
+    // identical docs: cosine 1 up to the sqrt round-trip
+    assert(nn.filter(_._1 >= 3L).forall(_._3 >= 0.999999))
+    // pruning removed the shared bucket: doc 1-vs-3 pairs exist only
+    // through non-stop terms, of which they share none, so 1's NN
+    // similarity comes from "zebra" alone and is below the identical
+    // pair's
+    assert(nn.find(_._1 == 1L).get._3 < nn.find(_._1 == 3L).get._3)
+  }
+
+  test("hashedTfidf loud contract and partition-layout determinism") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      TextOps.hashedTfidf(Seq((1L, "a")).toDF("doc_id", "text"),
+        "doc_id", "text", dim = 100)
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(parts: Int) =
+      TextOps.hashedTfidf(docs.repartition(parts), "doc_id", "text",
+        dim = 256, seed = 13L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(run(1) === run(13))
+  }
 }
