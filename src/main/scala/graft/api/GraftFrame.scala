@@ -429,6 +429,35 @@ final class GraftFrame(val df: DataFrame) {
   def zorder_by(x: Column, y: Column, bits: Int): GraftFrame =
     new GraftFrame(Layout.zorderBy(df, x, y, bits))
 
+  /** Hilbert-curve layout rewrite — better locality than Z-order
+    * ([[graft.operators.Layout.hilbertBy]]). */
+  def hilbert_by(x: Column, y: Column, bits: Int): GraftFrame =
+    new GraftFrame(Layout.hilbertBy(df, x, y, bits))
+
+  /** Sparse hashed-TF-IDF vectors (id, bucket, w) —
+    * [[graft.operators.TextOps.hashedTfidf]]. */
+  def hashed_tfidf(idCol: String, textCol: String, dim: Int = 256,
+      seed: Long = 13L): GraftFrame =
+    new GraftFrame(TextOps.hashedTfidf(df, idCol, textCol, dim, seed))
+
+  /** Per-document interpolated Kneser–Ney trigram log-probability
+    * against `countDocs`' model
+    * ([[graft.operators.KneserNey.trigramLogProb]]). */
+  def kn_score(countDocs: GraftFrame, idCol: String, textCol: String,
+      hotK: Int = 1024): GraftFrame =
+    new GraftFrame(graft.operators.KneserNey.trigramLogProb(
+      df, countDocs.df, idCol, textCol, hotK = hotK))
+
+  /** First-touch windowed funnel over an event frame
+    * ([[graft.streaming.EventWindows.funnel]]). */
+  def funnel(steps: Seq[String], withinSeconds: Long): GraftFrame =
+    new GraftFrame(graft.streaming.EventWindows.funnel(df, steps, withinSeconds))
+
+  /** Cohort retention triangle over an event frame
+    * ([[graft.streaming.EventWindows.retention]]). */
+  def retention(maxOffsetDays: Int): GraftFrame =
+    new GraftFrame(graft.streaming.EventWindows.retention(df, maxOffsetDays))
+
   /** Semi-join against `other`'s keys with a bloom pre-filter pushed
     * before the exchange ([[graft.operators.BloomJoin]]). */
   def semi_join_bloom(other: GraftFrame, key: String, otherKey: String,

@@ -75,4 +75,31 @@ class FacadeRoundupSpec extends SparkSpec {
       .select("allowed").as[Boolean].collect()
     assert(out.toSeq == Seq(true, false))
   }
+
+  test("round-14 facades: hilbert_by, hashed_tfidf, kn_score") {
+    val pts = (0 until 64).map(i => (i.toLong, i % 8, i / 8)).toDF("id", "x", "y")
+    val h = new GraftFrame(pts).hilbert_by(col("x"), col("y"), bits = 3).df
+    assert(h.columns.contains("h") && h.count() == 64)
+
+    val g = gf(Seq((1L, "alpha beta"), (2L, "alpha gamma")))
+    val sparse = g.hashed_tfidf("doc_id", "text", dim = 64).df
+    assert(sparse.columns.toSet == Set("doc_id", "bucket", "w"))
+    assert(sparse.count() == 4)
+
+    val scored = g.kn_score(g, "doc_id", "text", hotK = 0).df
+    // 2-token docs: scoreable rows exist but n_scored = 0
+    assert(scored.count() == 2 &&
+      scored.where(col("n_scored") === 0).count() == 2)
+  }
+
+  test("round-14 facades: funnel and retention") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq((1L, ts(0), "view"), (1L, ts(5), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val f = new GraftFrame(ev).funnel(Seq("view", "click"), 3600).df
+    assert(f.where(col("t2").isNotNull).count() == 1)
+    val r = new GraftFrame(ev).retention(7).df
+    assert(r.columns.toSet == Set("cohort_day", "offset_days", "n_users"))
+    assert(r.count() == 1)
+  }
 }
