@@ -710,4 +710,29 @@ class PlanAuditSpec extends SparkSpec {
           s"iteration ${i + 1}: edge-side exchange:\n$exec")
     }
   }
+
+  test("round-14 gates: funnel user-keyed, tfidf NN pruned join, no cartesian anywhere") {
+    // funnel: every join/agg keys on the user column — no cartesian,
+    // no broadcast nested loop (the range bounds must ride the
+    // equi-joins as residuals)
+    val pf = plan("events_funnel")
+    assert(!pf.contains("CartesianProduct"), pf)
+    assert(!pf.contains("BroadcastNestedLoopJoin"), pf)
+    // tfidf NN: the stop-bucket keep-list broadcasts; the dot-product
+    // join is an equi-join on bucket; ranking is a window, bounded by
+    // the probe restriction — and never a cartesian
+    val pn = plan("text_tfidf_nn")
+    assert(!pn.contains("CartesianProduct"), pn)
+    assert(pn.contains("BroadcastHashJoin"), pn)
+    // hilbert: ONE range exchange for the layout rewrite, and the
+    // gate's top-k never globally sorts the full frame a second time
+    val ph = plan("layout_hilbert")
+    assert(nodes(ph, "Exchange") <= 2, ph)
+    assert(ph.contains("TakeOrderedAndProject"), ph)
+    // retention: distinct user-day + first-day aggs, equi-join, final
+    // grouped count — no cartesian, no nested loop
+    val pr = plan("events_retention")
+    assert(!pr.contains("CartesianProduct"), pr)
+    assert(!pr.contains("BroadcastNestedLoopJoin"), pr)
+  }
 }
