@@ -374,6 +374,83 @@ object ScalingProbe {
     println(sb.toString)
   }
 
+  /** Analytics tier 1× vs 10× vs 30× (round-14 additions): funnel,
+    * retention, and the stop-bucket-pruned TF-IDF NN. Events scale by
+    * user-id-shifted copies with timestamps jittered per copy (every
+    * copy keeps the per-user event density, users stay disjoint —
+    * the funnel/retention work is per-user, so linear growth is the
+    * honest expectation). The TF-IDF corpus scales by the documents
+    * recipe (token-suffixed copies — vocabulary grows 10×, so the
+    * dim-bounded hash buckets absorb more collisions while the sparse
+    * frame grows linearly). */
+  private def runAnalytics(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outPath: String, cpus: String): Unit = {
+    import graft.operators.TextOps
+    import graft.streaming.EventWindows
+    val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def scaleEvents(copies: Int) = (0 until copies).map { k =>
+      ev1.select((col("user_id") + k * 10000000L).as("user_id"),
+        (col("ts") + expr(s"INTERVAL ${k * 7} SECONDS")).as("ts"),
+        col("event_type"))
+    }.reduce(_ unionAll _)
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), (Double, Long, Long)]
+    for (copies <- Seq(1, 10, 30)) {
+      val ev = scaleEvents(copies).cache()
+      val docs = scaleDocs(docs1, copies).cache()
+      val n = ev.count() + docs.count()
+      results(("events_funnel", copies)) = timed { () =>
+        EventWindows.funnel(ev, Seq("view", "click", "purchase"), 86400)
+          .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+            count(col("t3")).as("n3"))
+      }
+      results(("events_retention", copies)) = timed { () =>
+        EventWindows.retention(ev, maxOffsetDays = 7)
+      }
+      results(("tfidf_nn", copies)) = timedListener(spark, { () =>
+        val sparse = TextOps.hashedTfidf(docs, "doc_id", "text",
+          dim = 256, seed = 13L)
+        TextOps.tfidfNearestNeighbor(
+          sparse.where(col("doc_id") % 10000000L < 30), sparse, "doc_id",
+          maxDf = (docs1.count() * copies * 9) / 10)
+      })
+      println(s"[scaling-analytics] copies=$copies rows=$n done")
+      ev.unpersist(); docs.unpersist()
+    }
+    val head = Provenance.gitHead
+    val dirty = Provenance.gitTreeDirty
+    val sb = new StringBuilder
+    sb ++= "\n## Analytics tier (round-14 operators)\n\n"
+    sb ++= s"Generated by `graft.tools.ScalingProbe analytics` at git `$head`" +
+      s"${if (dirty) " (DIRTY tree)" else ""}, fixtures `$sfDir`, local[$cpus]. " +
+      "Events scale by user-id-shifted copies (per-user density fixed, " +
+      "users disjoint — funnel/retention are per-user, so ~linear is the " +
+      "honest bar); the TF-IDF corpus scales by the token-suffixed " +
+      "documents recipe with the probe held at 30 docs per copy base and " +
+      "maxDf at 90% of docs. tfidf_nn shuffle bytes are listener-observed " +
+      "(hashedTfidf runs an internal count action).\n\n"
+    sb ++= "| op | scale | rows out | wall s | shuffle MB |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    for (((op, copies), (sec, bytes, rows)) <- results)
+      sb ++= f"| $op | ${copies}× | $rows | $sec%.2f | ${bytes / 1e6}%.1f |\n"
+    sb ++= "\n| op | time 10×/1× | shuffle 10×/1× | shuffle 30×/10× (~3× = linear) |\n|---|---|---|---|\n"
+    for (op <- Seq("events_funnel", "events_retention", "tfidf_nn")) {
+      val (s1, b1, _) = results((op, 1))
+      val (s10, b10, _) = results((op, 10))
+      val (_, b30, _) = results((op, 30))
+      val r1 = if (b1 > 0) f"${b10.toDouble / b1}%.1f×" else "n/a"
+      val r3 = if (b10 > 0) f"${b30.toDouble / b10}%.1f×" else "n/a"
+      sb ++= f"| $op | ${s10 / s1}%.1f× | $r1 | $r3 |\n"
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      sb.toString, java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    println(sb.toString)
+  }
+
   def main(args: Array[String]): Unit = {
     // the "100x"/"tpch" mode flag may appear at any position; positional
     // args (sfDir, outPath) are resolved from what remains, so
@@ -381,7 +458,9 @@ object ScalingProbe {
     val mode100x = args.contains("100x")
     val modeTpch = args.contains("tpch")
     val modeLm = args.contains("lm")
-    val positional = args.filterNot(a => a == "100x" || a == "tpch" || a == "lm")
+    val modeAnalytics = args.contains("analytics")
+    val positional = args.filterNot(a =>
+      a == "100x" || a == "tpch" || a == "lm" || a == "analytics")
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = if (positional.length > 1) positional(1) else "SCALING.md"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -402,6 +481,11 @@ object ScalingProbe {
     }
     if (modeLm) {
       runLm(spark, sfDir, outPath, cpus)
+      spark.stop()
+      return
+    }
+    if (modeAnalytics) {
+      runAnalytics(spark, sfDir, outPath, cpus)
       spark.stop()
       return
     }
