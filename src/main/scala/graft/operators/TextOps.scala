@@ -778,7 +778,14 @@ object TextOps {
     * pruned space (cosine is exact over that space, documented); the
     * ranking is a per-probe window. This is the exact refinement for
     * PROBE BATCHES — for whole-corpus semantic dedup use the LSH /
-    * SemDeDup paths, which bucket instead of expanding pairs. */
+    * SemDeDup paths, which bucket instead of expanding pairs.
+    *
+    * SIZE `dim` WITH THE VOCABULARY (measured — SCALING.md analytics
+    * tier): at fixed `dim`, a growing vocabulary densifies every
+    * bucket (per-bucket df grows ~linearly with the corpus) and the
+    * inverted-index join fans out super-linearly; growing `dim`
+    * proportionally keeps per-bucket df ~constant and the join
+    * ~linear — the standard hashing-vectorizer guidance. */
   def tfidfNearestNeighbor(sparseProbe: DataFrame, sparseCorpus: DataFrame,
       idCol: String, maxDf: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window

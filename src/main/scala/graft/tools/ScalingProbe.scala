@@ -410,11 +410,28 @@ object ScalingProbe {
       results(("events_retention", copies)) = timed { () =>
         EventWindows.retention(ev, maxOffsetDays = 7)
       }
-      results(("tfidf_nn", copies)) = timedListener(spark, { () =>
+      // leg A — the TRAP, measured: dim FIXED at 256 while the
+      // suffixed vocabulary grows with copies, so every bucket's df
+      // grows ~linearly and the inverted-index join fans out
+      // super-linearly (bucket collision density). Probes grow with
+      // copies too (30 per copy).
+      results(("tfidf_nn_fixdim", copies)) = timedListener(spark, { () =>
         val sparse = TextOps.hashedTfidf(docs, "doc_id", "text",
           dim = 256, seed = 13L)
         TextOps.tfidfNearestNeighbor(
           sparse.where(col("doc_id") % 10000000L < 30), sparse, "doc_id",
+          maxDf = (docs1.count() * copies * 9) / 10)
+      })
+      // leg B — the SCALE PATH: dim grows with the vocabulary (the
+      // standard hashing-vectorizer guidance) and the probe batch is
+      // FIXED, so per-bucket df stays ~constant and the join cost is
+      // ~linear in the corpus.
+      val dimScaled = Integer.highestOneBit(256 * copies)
+      results(("tfidf_nn_scaled", copies)) = timedListener(spark, { () =>
+        val sparse = TextOps.hashedTfidf(docs, "doc_id", "text",
+          dim = dimScaled, seed = 13L)
+        TextOps.tfidfNearestNeighbor(
+          sparse.where(col("doc_id") < 30), sparse, "doc_id",
           maxDf = (docs1.count() * copies * 9) / 10)
       })
       println(s"[scaling-analytics] copies=$copies rows=$n done")
@@ -428,16 +445,22 @@ object ScalingProbe {
       s"${if (dirty) " (DIRTY tree)" else ""}, fixtures `$sfDir`, local[$cpus]. " +
       "Events scale by user-id-shifted copies (per-user density fixed, " +
       "users disjoint — funnel/retention are per-user, so ~linear is the " +
-      "honest bar); the TF-IDF corpus scales by the token-suffixed " +
-      "documents recipe with the probe held at 30 docs per copy base and " +
-      "maxDf at 90% of docs. tfidf_nn shuffle bytes are listener-observed " +
-      "(hashedTfidf runs an internal count action).\n\n"
+      "honest bar). The TF-IDF corpus scales by the token-suffixed " +
+      "documents recipe; two legs measure the hashing-vectorizer dim " +
+      "trade-off: tfidf_nn_fixdim holds dim=256 while the vocabulary " +
+      "grows (per-bucket df densifies → the inverted-index join fans " +
+      "out SUPER-linearly — the documented trap of a fixed-dim hashing " +
+      "vectorizer), tfidf_nn_scaled grows dim with the vocabulary and " +
+      "fixes the probe batch (the standard guidance → ~linear). " +
+      "tfidf_nn shuffle bytes are listener-observed (hashedTfidf runs " +
+      "an internal count action).\n\n"
     sb ++= "| op | scale | rows out | wall s | shuffle MB |\n"
     sb ++= "|---|---|---|---|---|\n"
     for (((op, copies), (sec, bytes, rows)) <- results)
       sb ++= f"| $op | ${copies}× | $rows | $sec%.2f | ${bytes / 1e6}%.1f |\n"
     sb ++= "\n| op | time 10×/1× | shuffle 10×/1× | shuffle 30×/10× (~3× = linear) |\n|---|---|---|---|\n"
-    for (op <- Seq("events_funnel", "events_retention", "tfidf_nn")) {
+    for (op <- Seq("events_funnel", "events_retention", "tfidf_nn_fixdim",
+        "tfidf_nn_scaled")) {
       val (s1, b1, _) = results((op, 1))
       val (s10, b10, _) = results((op, 10))
       val (_, b30, _) = results((op, 30))
