@@ -55,34 +55,18 @@ object Layout {
     * The classic iterative quadrant-rotation algorithm (public, e.g.
     * Wikipedia "Hilbert curve", converted from the C xy2d routine):
     * per bit level s = 2^(bits−1) … 1, accumulate s²·((3·rx) ⊕ ry)
-    * and rotate/reflect the remaining coordinates. Expressed as plain
-    * bitwise/conditional Column expressions — whole-stage codegen's
-    * subexpression elimination keeps the unrolled rounds cheap, no
-    * UDF. `bits` ≤ 10 caps the unrolled expression size (a 1024×1024
-    * grid — far beyond what file-level clustering needs).
+    * and rotate/reflect the remaining coordinates — as the NATIVE
+    * [[graft.functions.HilbertIndex]] expression (one codegen loop,
+    * O(bits) per row). The earlier pure-Column unrolling doubled the
+    * Catalyst tree per bit level (each round references the previous
+    * x AND y) and measured 124 s for a 150k-row rewrite at bits = 8;
+    * the native loop is the fix, per the codebase's
+    * CosineSimilarity/DsirBuckets precedent.
     *
     * Inputs must be bucketed to [0, 2^bits) like [[zValue]]. */
   def hilbertValue(x: Column, y: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= 10, s"bits must be in [1, 10], got $bits")
-    val n = 1L << bits
-    var xc = x.cast("long")
-    var yc = y.cast("long")
-    var d: Column = lit(0L)
-    var i = bits - 1
-    while (i >= 0) {
-      val s = 1L << i
-      val rx = when(xc.bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L))
-      val ry = when(yc.bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L))
-      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
-      val nx = when(ry === lit(0L),
-        when(rx === lit(1L), lit(n - 1L) - yc).otherwise(yc)).otherwise(xc)
-      val ny = when(ry === lit(0L),
-        when(rx === lit(1L), lit(n - 1L) - xc).otherwise(xc)).otherwise(yc)
-      xc = nx
-      yc = ny
-      i -= 1
-    }
-    d
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    graft.functions.HilbertIndex(x.cast("long"), y.cast("long"), bits)
   }
 
   /** Scalar mirror of [[hilbertValue]] — the spec's oracle for

@@ -106,10 +106,26 @@ class LayoutSpec extends SparkSpec {
 
   test("hilbertValue loud contract on bits") {
     intercept[IllegalArgumentException] {
-      Layout.hilbertValue(col("x"), col("y"), 11)
+      Layout.hilbertValue(col("x"), col("y"), 32)
     }
     intercept[IllegalArgumentException] {
       Layout.hilbertValue(col("x"), col("y"), 0)
+    }
+  }
+
+  test("hilbertValue interpreted eval matches codegen on a parquet-backed frame") {
+    // parquet scan => whole-stage codegen path; local collect of the
+    // same rows through a filter that disables codegen would be
+    // version-fragile, so instead pin codegen-vs-scalar at a bits
+    // level the old unrolled form could not reach (bits = 16)
+    val bits = 16
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select((col("doc_id") % (1L << bits)).as("x"),
+        ((col("doc_id") * 37) % (1L << bits)).as("y"))
+    val got = docs.select(col("x"), col("y"),
+      Layout.hilbertValue(col("x"), col("y"), bits).as("h")).collect()
+    got.foreach { r =>
+      assert(r.getLong(2) === Layout.hilbertD(r.getLong(0), r.getLong(1), bits))
     }
   }
 }
