@@ -136,12 +136,16 @@ object QualityClassifier {
     val labelled = docs.select(
       col(textCol).as("__text"),
       col(labelCol).cast(LongType).as("__y"))
-    val badLabels = labelled
-      .where(col("__y").isNull || (col("__y") =!= 0L && col("__y") =!= 1L))
-      .limit(1).count()
-    require(badLabels == 0L,
+    // ONE setup scan: row count and label validation together (two
+    // separate actions would scan the corpus twice at 100 TB)
+    val setup = labelled.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("__y").isNull ||
+        (col("__y") =!= 0L && col("__y") =!= 1L), 1L).otherwise(0L)),
+        lit(0L)).as("bad")).collect()(0)
+    require(setup.getLong(1) == 0L,
       s"labelCol '$labelCol' must be 0/1 and non-null for every row")
-    val n = labelled.count()
+    val n = setup.getLong(0)
     require(n > 0L, "cannot train on an empty frame")
     val nD = n.toDouble
 
