@@ -2283,6 +2283,28 @@ object SparkEntry {
           sum("n_tokens_kept").as("sum_tokens"))
     }),
 
+    // COMPOSED curation v3 (round 14): the MODERN four-stage pipeline
+    // — length gate → distilled classifier flag → KN perplexity tail
+    // cut → exact dedup over the surviving pool — with first-fail
+    // accounting. Every-7th doc is planted as an exact duplicate so
+    // the dedup stage fires on real rows; the oracle replays BOTH
+    // model trainings (10 GD rounds + the full KN derivation) over
+    // the same planted corpus and the whole stage cascade.
+    "pipeline_curate_v3" -> ((s, dir) => {
+      val docs0 = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = docs0.unionAll(docs0.where(col("doc_id") % 7 === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val m = QualityClassifier.trainLogistic(
+        docs.withColumn("y",
+          array_contains(split(lower(col("text")), "\\s+"), "dup").cast("int")),
+        "text", "y", numBuckets = 64, ns = Seq(1), seed = 13L, rounds = 10,
+        lr = 0.25, posWeight = 32L, binary = true)
+      Pipeline.curateV3(docs, "doc_id", "text", m, minTokens = 30,
+          pplTailMax = -3.07, hotK = 128)
+        .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+        .orderBy("stage")
+    }),
+
     // SQL front-end: the injected native expressions are first-class in
     // spark.sql — same codegen'd WordNGrams as the DataFrame path.
     "sql_native_fns" -> ((s, dir) => {
@@ -4208,7 +4230,8 @@ object SparkEntry {
     * the metrics gate deliberately trains an UNDERSIZED 16-bucket
     * model (hash collisions make it imperfect, so precision/recall/
     * AUC are non-trivial). */
-  private def lrOracleCteFor(numBuckets: Int, lrRounds: Int): String = {
+  private def lrOracleCteFor(numBuckets: Int, lrRounds: Int,
+      source: String = "documents"): String = {
     def zExpr(zq: String) = s"(CAST($zq AS DOUBLE) / 1073741824.0)"
     def pExpr(z: String) = s"(0.5 + 0.5 * ($z / (1.0 + abs($z))))"
     // one GD round: margin from w{k-1} (the sentinel row in lr_feats
@@ -4242,7 +4265,7 @@ object SparkEntry {
     s"""WITH lr_tk AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
-       |  FROM documents
+       |  FROM $source
        |), lr_lab AS MATERIALIZED (
        |  SELECT doc_id, tk,
        |    CASE WHEN list_contains(tk, 'dup') THEN 1.0 ELSE 0.0 END AS y
@@ -4335,11 +4358,13 @@ object SparkEntry {
     * continuation unigram). Multi-referenced CTEs are MATERIALIZED
     * (DuckDB inlines plain CTEs — the stat tables each feed several
     * consumers). Ends with `kn_doc` (doc_id, n_scored, lp_sum). */
-  private lazy val knOracleCte: String =
+  private lazy val knOracleCte: String = knOracleCteFor("documents")
+
+  private def knOracleCteFor(source: String): String =
     s"""WITH kn_tk AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS tk
-       |  FROM documents
+       |  FROM $source
        |), kn_tri AS MATERIALIZED (
        |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
@@ -4391,7 +4416,7 @@ object SparkEntry {
        |), kn_doc AS (
        |  SELECT d.doc_id, CAST(coalesce(g.n, 0) AS BIGINT) AS n_scored,
        |    g.lp_sum
-       |  FROM documents d LEFT JOIN (
+       |  FROM $source d LEFT JOIN (
        |    SELECT doc_id, count(*) AS n, sum(lp) AS lp_sum
        |    FROM kn_lp GROUP BY 1) g ON g.doc_id = d.doc_id
        |)""".stripMargin
@@ -8005,6 +8030,40 @@ object SparkEntry {
          |  round(CAST(u2 AS DOUBLE)
          |    / ((2.0 * CAST(p_cnt AS DOUBLE)) * CAST(n_cnt AS DOUBLE)), 6) AS auc
          |FROM lrm_conf CROSS JOIN lrm_u""".stripMargin,
+    "pipeline_curate_v3" ->
+      s"""WITH cv_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 7 = 2
+         |), ${lrOracleCteFor(64, 10, "cv_docs").stripPrefix("WITH ")},
+         |${knOracleCteFor("cv_docs").stripPrefix("WITH ")},
+         |cv_base AS (
+         |  SELECT d.doc_id,
+         |    len(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'),
+         |      t -> len(t) > 0)) AS n_tokens,
+         |    lower(trim(d.text)) AS norm, s.p, k.n_scored, k.lp_sum
+         |  FROM cv_docs d
+         |  JOIN scored s ON s.doc_id = d.doc_id
+         |  LEFT JOIN kn_doc k ON k.doc_id = d.doc_id
+         |), cv_staged AS (
+         |  SELECT doc_id, norm, CASE
+         |    WHEN n_tokens < 30 THEN 'len'
+         |    WHEN p >= 0.5 THEN 'flagged'
+         |    WHEN n_scored > 0
+         |      AND (lp_sum / CAST(n_scored AS DOUBLE)) < -3.07 THEN 'ppl_tail'
+         |    END AS drop0
+         |  FROM cv_base
+         |), cv_min AS (
+         |  SELECT norm, min(doc_id) AS keeper FROM cv_staged
+         |  WHERE drop0 IS NULL GROUP BY 1
+         |), cv_final AS (
+         |  SELECT b.doc_id, coalesce(b.drop0,
+         |    CASE WHEN b.doc_id <> m.keeper THEN 'dup' ELSE 'kept' END) AS stage
+         |  FROM cv_staged b LEFT JOIN cv_min m ON m.norm = b.norm
+         |)
+         |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM cv_final GROUP BY 1 ORDER BY stage""".stripMargin,
     "text_tfidf_sparse" ->
       s"""$tfvOracleCte
          |SELECT doc_id, bucket, round(w, 6) AS w FROM tfv_w

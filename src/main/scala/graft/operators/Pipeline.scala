@@ -309,4 +309,53 @@ object Pipeline {
       "bin",
       floor(coalesce(sum(col(tokenCountCol)).over(w), lit(0L)) / budget))
   }
+
+  /** Curation v3 — the MODERN four-stage pipeline composed end-to-end
+    * with first-fail accounting, one decision per document:
+    *
+    *  1. `len`      — fewer than `minTokens` whitespace tokens;
+    *  2. `flagged`  — the trained [[QualityClassifier]] model predicts
+    *                  positive (the distilled heuristic flag — e.g. a
+    *                  toxicity/contamination signal);
+    *  3. `ppl_tail` — mean Kneser–Ney trigram log-probability below
+    *                  `pplTailMax` (the CCNet tail cut; the LM trains
+    *                  on `docs` itself — the self-scored corpus shape);
+    *  4. `dup`      — exact-duplicate body (xxhash64 of the normalized
+    *                  text) where a SURVIVING smaller id exists — dedup
+    *                  runs over the pool that passed stages 1–3, the
+    *                  order real pipelines use;
+    *  5. `kept`     — everything else.
+    *
+    * Scale shape: stages 1–2 are row-local expressions in ONE scan
+    * (the model rides the task closure); stage 3 is the KN scoring
+    * pipeline (hot-slice de-skewed joins, see
+    * [[KneserNey.trigramLogProb]]); stage 4 is one slim fingerprint
+    * aggregation + one fingerprint-keyed join back — the full text
+    * never shuffles. */
+  def curateV3(docs: DataFrame, idCol: String, textCol: String,
+      model: graft.operators.QualityClassifier.LrModel, minTokens: Int,
+      pplTailMax: Double, hotK: Int = 1024): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val scored = graft.operators.QualityClassifier.score(docs, textCol, model)
+    val kn = graft.operators.KneserNey.trigramLogProb(
+      docs, docs, idCol, textCol, hotK = hotK)
+    val base = scored.select(col(idCol),
+        TextOps.tokenCount(col(textCol)).as("__nt"),
+        TextOps.fingerprint(col(textCol)).as("__fp"),
+        col("pred").as("__pred"))
+      .join(kn, Seq(idCol), "left")
+    val staged = base.withColumn("__drop0",
+      when(col("__nt") < minTokens, "len")
+        .when(col("__pred") === 1, "flagged")
+        .when(col("n_scored") > 0L &&
+          (col("lp_sum") / col("n_scored").cast("double")) < pplTailMax,
+          "ppl_tail"))
+    val keepers = staged.where(col("__drop0").isNull)
+      .groupBy("__fp").agg(min(col(idCol)).as("__keeper"))
+    staged.join(keepers, Seq("__fp"), "left")
+      .select(col(idCol),
+        coalesce(col("__drop0"),
+          when(col(idCol) =!= col("__keeper"), "dup").otherwise("kept"))
+          .as("stage"))
+  }
 }

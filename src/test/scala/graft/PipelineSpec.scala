@@ -270,4 +270,44 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == kept)
   }
+
+  test("curateV3: first-fail precedence and dedup over the surviving pool only") {
+    import spark.implicits._
+    import graft.operators.QualityClassifier
+    val docs = Seq(
+      (1L, "alpha beta gamma clean one"),    // kept
+      (2L, "short doc"),                     // len (2 < minTokens)
+      (3L, "alpha beta gamma badword here"), // flagged by the classifier
+      (4L, "alpha beta gamma clean one"),    // exact dup of 1 -> dup
+      (5L, "alpha beta gamma badword here")  // identical to 3: flagged FIRST —
+                                             // dedup must ignore docs dropped earlier
+    ).toDF("doc_id", "text")
+    // hand-built model (ClassifierSpec owns training): +2 weight on
+    // badword's bucket, bias -1 — σ(1)=0.75 flags, σ(-1)=0.25 passes.
+    // Guard against a hash collision poisoning the fixture: every
+    // other token must land in a different bucket at this dim/seed.
+    val dim = 4096
+    val tokens = Seq("alpha", "beta", "gamma", "clean", "one", "short",
+      "doc", "here", "badword")
+    val buckets = tokens.map { t =>
+      t -> spark.range(1).select(explode(
+        graft.functions.DsirFeatures.dsirBuckets(lit(t), Seq(1), dim, 13L)))
+        .collect()(0).getInt(0)
+    }.toMap
+    assert(tokens.filterNot(_ == "badword")
+      .forall(t => buckets(t) != buckets("badword")),
+      s"fixture collision at dim=$dim seed=13: $buckets")
+    val wQ = new Array[Long](dim)
+    wQ(buckets("badword")) = (2.0 * QualityClassifier.WeightScale).toLong
+    val m = QualityClassifier.LrModel(wQ,
+      -(1.0 * QualityClassifier.WeightScale).toLong, Seq(1), dim, 13L,
+      binary = true)
+    // pplTailMax very low so the ppl stage never fires here (pinned
+    // separately by the gate census at sf0.01)
+    val got = Pipeline.curateV3(docs, "doc_id", "text", m,
+      minTokens = 3, pplTailMax = -1e9, hotK = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "kept", 2L -> "len", 3L -> "flagged",
+      4L -> "dup", 5L -> "flagged"))
+  }
 }
