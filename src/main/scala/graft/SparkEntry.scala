@@ -1187,6 +1187,18 @@ object SparkEntry {
         sum(when(col("t3").isNotNull,
           unix_micros(col("t3")) - unix_micros(col("t1")))).as("conv_us"))
     }),
+    // The SAME funnel through the flatMapGroupsWithState custom-state
+    // operator (batch mode: end-of-data finalizes every user). The
+    // oracle is the SAME step-join SQL reshaped to the census —
+    // proving the stateful fold and the join formulation agree, the
+    // events_sessions_stateful precedent applied to funnels.
+    "events_funnel_stateful" -> ((s, dir) =>
+      graft.streaming.StatefulFunnel.funnelStats(events(s, dir),
+          Seq("view", "click", "purchase"), withinSeconds = 86400)
+        .groupBy("steps_reached")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("t_last_ms") - col("t1_ms")).as("span_ms"))
+        .orderBy("steps_reached")),
     // Cohort retention triangle: day of first event × day offset →
     // distinct active users, exact integers; the activity table
     // (distinct user-days) is the only thing that shuffles.
@@ -5667,6 +5679,32 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN t3 IS NOT NULL
         |    THEN epoch_us(t3) - epoch_us(t1) END) AS BIGINT) AS conv_us
         |FROM s3""".stripMargin,
+    "events_funnel_stateful" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |    AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 86400 SECONDS
+        |  GROUP BY 1, 2
+        |), s3 AS (
+        |  SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |    AND e.ts > s2.t2 AND e.ts <= s2.t1 + INTERVAL 86400 SECONDS
+        |  GROUP BY 1, 2, 3
+        |), depth AS (
+        |  SELECT user_id,
+        |    CASE WHEN t3 IS NOT NULL THEN 3
+        |         WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS steps_reached,
+        |    epoch_ms(coalesce(t3, t2, t1)) - epoch_ms(t1) AS span
+        |  FROM s3
+        |)
+        |SELECT steps_reached, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(span) AS BIGINT) AS span_ms
+        |FROM depth GROUP BY 1 ORDER BY steps_reached""".stripMargin,
     "events_retention" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
