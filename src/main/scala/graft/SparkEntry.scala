@@ -3509,6 +3509,29 @@ object SparkEntry {
           round(col("f1"), 6).as("f1"),
           round(col("auc"), 6).as("auc"))
     }),
+    // Calibration buckets of the undersized 16-bucket model: fixed-
+    // width score bins → per-bin count / positives / observed rate.
+    // Bin assignment is deterministic (bit-exact algebraic-sigmoid
+    // scores); the rate is one pinned division over exact longs.
+    "text_quality_lr_calibration" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").withColumn("y",
+        array_contains(split(lower(col("text")), "\\s+"), "dup")
+          .cast("int"))
+      val m = QualityClassifier.trainLogistic(docs, "text", "y",
+        numBuckets = 16, ns = Seq(1), seed = 13L, rounds = 10, lr = 0.25,
+        posWeight = 32L, binary = true)
+      QualityClassifier.calibrationBuckets(
+          QualityClassifier.score(docs, "text", m), bins = 10)
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("pos_rate"), 6).as("pos_rate"))
+        .orderBy("bin")
+    }),
+    // Top-20 PMI collocations (Church & Hanks 1990) over adjacent
+    // word pairs, minCount=3: PMI rounded BEFORE the rank so the
+    // ordering replays across engines; TakeOrderedAndProject top-k.
+    "text_pmi_collocations" -> ((s, dir) =>
+      TextOps.pmiCollocations(tbl(s, dir, "documents"), "text",
+        k = 20, minCount = 3L)),
     // Hashed TF-IDF sparse document vectors (the scikit-learn
     // "hashing vectorizer" shape): FNV-bucketed tokens, map-side-
     // collapsed term counts, dim-bounded broadcast idf. The oracle
@@ -8102,6 +8125,41 @@ object SparkEntry {
          |)
          |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs
          |FROM cv_final GROUP BY 1 ORDER BY stage""".stripMargin,
+    "text_quality_lr_calibration" ->
+      s"""${lrOracleCteFor(16, 10)}
+         |SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+         |  round(CAST(sum(CAST(y AS BIGINT)) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+         |FROM scored GROUP BY 1 ORDER BY bin""".stripMargin,
+    "text_pmi_collocations" ->
+      """WITH pmi_tk AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> len(t) > 0) AS tk
+        |  FROM documents
+        |), pmi_uni AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt_u
+        |  FROM (SELECT unnest(tk) AS w FROM pmi_tk) GROUP BY 1
+        |), pmi_bi AS MATERIALIZED (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM (SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |        FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+        |              FROM pmi_tk WHERE len(tk) >= 2))
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), pmi_tot AS (
+        |  SELECT (SELECT CAST(sum(cnt_u) AS DOUBLE) FROM pmi_uni) AS n,
+        |         (SELECT CAST(sum(n_pair) AS DOUBLE) FROM pmi_bi) AS b
+        |)
+        |SELECT b2.w1, b2.w2, b2.n_pair,
+        |  round(ln((CAST(b2.n_pair AS DOUBLE) / t.b)
+        |    / ((CAST(u1.cnt_u AS DOUBLE) / t.n)
+        |      * (CAST(u2.cnt_u AS DOUBLE) / t.n))), 6) AS pmi
+        |FROM pmi_bi b2
+        |JOIN pmi_uni u1 ON u1.w = b2.w1
+        |JOIN pmi_uni u2 ON u2.w = b2.w2
+        |CROSS JOIN pmi_tot t
+        |ORDER BY pmi DESC, b2.w1, b2.w2 LIMIT 20""".stripMargin,
     "text_tfidf_sparse" ->
       s"""$tfvOracleCte
          |SELECT doc_id, bucket, round(w, 6) AS w FROM tfv_w

@@ -307,4 +307,24 @@ object QualityClassifier {
         col("u2").cast(DoubleType) /
           ((lit(2.0) * col("p_cnt").cast(DoubleType)) * col("n_cnt").cast(DoubleType)))
   }
+
+  /** Calibration (reliability) buckets: fixed-width score bins with
+    * per-bin counts, positives, and the observed positive rate — the
+    * standard check that a classifier's scores mean what they say.
+    * One grouped aggregation (bin count-bounded); the bin assignment
+    * `floor(score·bins)` is deterministic because the algebraic-
+    * sigmoid scores are bit-exact, and the rate is one pinned
+    * division over exact longs. `score = 1.0` folds into the top
+    * bin. */
+  def calibrationBuckets(scored: DataFrame, labelCol: String = "y",
+      scoreCol: String = "score", bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val bin = least(floor(col(scoreCol).cast(DoubleType) * lit(bins))
+      .cast(IntegerType), lit(bins - 1))
+    scored.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast(LongType)).as("n_pos"))
+      .withColumn("pos_rate",
+        col("n_pos").cast(DoubleType) / col("n").cast(DoubleType))
+  }
 }

@@ -730,6 +730,51 @@ object TextOps {
     out.result()
   }
 
+  /** Top-k PMI collocations (Church & Hanks 1990): adjacent word
+    * pairs ranked by pointwise mutual information
+    * `ln((c_b/B) / ((c_1/N)·(c_2/N)))` — the classic phrase-mining /
+    * word-association pass (what "new york"-style phrase detection
+    * in word2vec pipelines thresholds on). `minCount` kills the
+    * hapax-pair noise PMI is notorious for.
+    *
+    * Scale shape: one token explode → two grouped aggregations
+    * (unigram + bigram TYPE tables, vocabulary-sized); the unigram
+    * attach joins on single-word keys; totals are a one-row
+    * broadcast; PMI is rounded to 6dp BEFORE the rank (id tiebreak),
+    * so the top-k replays across engines; `TakeOrderedAndProject`
+    * keeps the final k driver-bounded, never a global sort. */
+  def pmiCollocations(docs: DataFrame, textCol: String, k: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val t = tokens(col(textCol))
+    val pairs = docs.select(t.as("__t"))
+      .where(size(col("__t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+    val uni = docs.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt_u"))
+      .localCheckpoint(true) // three consumers: totals + two attaches
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    val totals = uni.agg(sum("cnt_u").cast(DoubleType).as("__n"))
+      .crossJoin(bi.agg(sum("n_pair").cast(DoubleType).as("__b")))
+    val pmi = log(
+      (col("n_pair").cast(DoubleType) / col("__b")) /
+        ((col("cnt_1").cast(DoubleType) / col("__n")) *
+          (col("cnt_2").cast(DoubleType) / col("__n"))))
+    bi.join(uni.select(col("w").as("w1"), col("cnt_u").as("cnt_1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cnt_u").as("cnt_2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Sparse hashed-TF-IDF document vectors — the embedding-free
     * semantic representation (the "hashing vectorizer", public
     * scikit-learn/Vowpal-Wabbit technique): FNV-hash each token into

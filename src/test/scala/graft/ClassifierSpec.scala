@@ -199,6 +199,21 @@ class ClassifierSpec extends SparkSpec {
     assert(one.getAs[Double]("auc") === many.getAs[Double]("auc"))
   }
 
+  test("calibrationBuckets: hand-computed bins, top-bin fold, loud contract") {
+    import spark.implicits._
+    val scored = Seq(
+      (1, 0.05), (0, 0.07),      // bin 0: n=2 pos=1
+      (1, 0.95), (1, 1.0)        // bin 9 (score 1.0 folds into the top bin)
+    ).toDF("y", "score")
+    val got = QualityClassifier.calibrationBuckets(scored, bins = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(got.toSeq === Seq((0, 2L, 1L, 0.5), (9, 2L, 2L, 1.0)))
+    intercept[IllegalArgumentException] {
+      QualityClassifier.calibrationBuckets(scored, bins = 1)
+    }
+  }
+
   test("evalMetrics: perfect separation gives auc exactly 1") {
     import spark.implicits._
     val scored = Seq((1, 0.9, 1), (1, 0.8, 1), (0, 0.2, 0), (0, 0.1, 0))

@@ -560,6 +560,30 @@ class TextOpsSpec extends SparkSpec {
     assert(nn.find(_._1 == 1L).get._3 < nn.find(_._1 == 3L).get._3)
   }
 
+  test("pmiCollocations: planted exclusive pair wins, minCount prunes hapax pairs") {
+    import spark.implicits._
+    // "strong pair" always co-occur (3x), each word appears ONLY in
+    // the pair; "the" is everywhere so ("the", x) pairs score low;
+    // ("rare", "once") occurs once -> killed by minCount=2
+    val docs = Seq(
+      (1L, "the strong pair the cat"),
+      (2L, "the strong pair the dog"),
+      (3L, "the strong pair the rare once")
+    ).toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(docs, "text", k = 5, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.head._1 === "strong" && got.head._2 === "pair")
+    assert(got.forall { case (a, b, _, _) => (a, b) != (("rare", "once")) })
+    // hand-check the winner's PMI: N=16 tokens (5+5+6), B counts pairs
+    // with n>=2: (the,strong)=3,(strong,pair)=3,(pair,the)=3 -> B=9
+    val expected = math.log((3.0 / 9.0) / ((3.0 / 16.0) * (3.0 / 16.0)))
+    assert(math.abs(got.head._4 - (math.rint(expected * 1e6) / 1e6)) < 1e-9)
+    intercept[IllegalArgumentException] {
+      TextOps.pmiCollocations(docs, "text", k = 0)
+    }
+  }
+
   test("hashedTfidf loud contract and partition-layout determinism") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
