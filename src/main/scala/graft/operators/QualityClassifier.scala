@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 import graft.functions.DsirFeatures
 
@@ -283,9 +283,15 @@ object QualityClassifier {
       .withColumn("__n_upto", sum("n_s").over(w))
       .withColumn("n_below", (col("__n_upto") - col("n_s")) + offsetCol)
 
-    // u2 = 2·Σ p_s·n_below(s) + Σ p_s·n_s  — exact longs throughout
+    // u2 = 2·Σ p_s·n_below(s) + Σ p_s·n_s — accumulated in 38-digit
+    // decimal, NOT long: for a balanced corpus past ~3e9 rows P·N
+    // exceeds 2^63 and Spark's non-ANSI long sum would wrap silently.
+    // Decimal keeps the value exact to 10^38 (enough for 10^19 rows);
+    // the final cast to double only happens inside the AUC division.
+    val dec = DecimalType(38, 0)
     val u = withBelow.agg(
-      sum((col("p_s") * lit(2L)) * col("n_below") + col("p_s") * col("n_s"))
+      sum((col("p_s").cast(dec) * lit(2L)) * col("n_below").cast(dec)
+        + col("p_s").cast(dec) * col("n_s").cast(dec))
         .as("u2"),
       sum("p_s").as("p_cnt"), sum("n_s").as("n_cnt"))
 

@@ -760,8 +760,14 @@ object TextOps {
       .localCheckpoint(true) // three consumers: totals + two attaches
     val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
       .where(col("n_pair") >= minCount)
+    // B is the TOTAL adjacent-pair count (Church–Hanks denominator),
+    // computed from the UNFILTERED corpus — summing only pairs that
+    // survive minCount would inflate every P(w1,w2). Row-local:
+    // sum of (len-1) per doc, no second explode needed.
+    val bTot = docs.select(greatest(size(t) - 1, lit(0)).as("__np"))
+      .agg(sum("__np").cast(DoubleType).as("__b"))
     val totals = uni.agg(sum("cnt_u").cast(DoubleType).as("__n"))
-      .crossJoin(bi.agg(sum("n_pair").cast(DoubleType).as("__b")))
+      .crossJoin(bTot)
     val pmi = log(
       (col("n_pair").cast(DoubleType) / col("__b")) /
         ((col("cnt_1").cast(DoubleType) / col("__n")) *

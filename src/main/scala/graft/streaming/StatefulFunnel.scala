@@ -113,9 +113,18 @@ object StatefulFunnel extends Serializable {
             // prune with the CURRENT anchor: future anchors only
             // shrink the window, so ts > t1 + within can never matter
             val t1Opt = if (buf(0).isEmpty) None else Some(buf(0).min)
+            val wm = if (emitOpen) 0L else state.getCurrentWatermarkMs()
             val pruned = t1Opt match {
               case Some(t1) => buf.map(_.filter(_ <= t1 + wMs).toSeq).toSeq
-              case None => buf.map(_.toSeq).toSeq
+              case None if emitOpen => buf.map(_.toSeq).toSeq
+              case None =>
+                // No anchor yet: a future step-1 event (the only thing
+                // that could make these candidates matter) arrives with
+                // ts >= wm - slack, and the chain needs candidate
+                // ts > t1 >= wm - within, so candidates at or below
+                // wm - within are dead — drop them now so anchorless
+                // keys cannot grow without bound.
+                buf.map(_.filter(_ > wm - wMs).toSeq).toSeq
             }
             val s = FState(pruned)
             if (emitOpen) {
@@ -128,10 +137,15 @@ object StatefulFunnel extends Serializable {
                 Iterator.empty
               } else {
                 state.update(s)
-                t1Opt.foreach { t1 =>
-                  state.setTimeoutTimestamp(math.max(t1 + wMs + 1L,
-                    state.getCurrentWatermarkMs() + 1L))
+                // Anchored keys finalize once the watermark clears the
+                // window; anchorless keys sweep once their newest
+                // candidate ages past the prune horizon (finalize emits
+                // nothing when step 1 is empty), so no key lives forever.
+                val timeoutAt = t1Opt match {
+                  case Some(t1) => t1 + wMs + 1L
+                  case None => pruned.iterator.flatten.max + wMs + 1L
                 }
+                state.setTimeoutTimestamp(math.max(timeoutAt, wm + 1L))
                 Iterator.empty
               }
             }
@@ -149,12 +163,16 @@ object StatefulFunnel extends Serializable {
     require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
     require(steps.distinct.size == steps.size,
       s"funnel steps must be distinct, got $steps")
-    val stepIdx = steps.zipWithIndex
-      .map { case (s, i) => s"WHEN '$s' THEN $i" }.mkString(" ")
+    // Column-based step index (not string-interpolated SQL): step names
+    // containing quotes must not break parsing or inject expressions.
+    val stepCol = steps.zipWithIndex
+      .foldLeft(when(lit(false), lit(-1))) { case (acc, (s, i)) =>
+        acc.when(col("event_type") === lit(s), lit(i))
+      }
+      .otherwise(lit(-1))
     val typed = EventWindows.instantTs(events, "ts")
       .where(col("event_type").isin(steps.map(lit): _*))
-      .selectExpr("user_id", "ts",
-        s"CASE event_type $stepIdx ELSE -1 END AS step")
+      .select(col("user_id"), col("ts"), stepCol.as("step"))
       .as[FEv]
     funnels(typed, steps.size, withinSeconds, emitOpen).toDF()
   }

@@ -170,7 +170,9 @@ class ClassifierSpec extends SparkSpec {
       (0, 0.6, 1), (0, 0.3, 0), (0, 0.1, 0), (0, 0.1, 0)
     ).toDF("y", "score", "pred")
     val r = QualityClassifier.evalMetrics(scored).collect().head
-    assert(r.getAs[Long]("u2") === 21L)
+    // u2 accumulates in DecimalType(38,0) (long would wrap past ~3e9
+    // balanced rows); still an exact integer
+    assert(r.getAs[java.math.BigDecimal]("u2").longValueExact === 21L)
     assert(r.getAs[Long]("p_cnt") === 3L && r.getAs[Long]("n_cnt") === 4L)
     assert(r.getAs[Double]("auc") === 21.0 / 24.0)
     // confusion at the given preds: tp=2 fp=1 tn=3 fn=1
@@ -195,7 +197,8 @@ class ClassifierSpec extends SparkSpec {
     val scored = rng.shuffle(rows).toDF("y", "score", "pred").repartition(7)
     val one = QualityClassifier.evalMetrics(scored, ranges = 1).collect().head
     val many = QualityClassifier.evalMetrics(scored, ranges = 32).collect().head
-    assert(one.getAs[Long]("u2") === many.getAs[Long]("u2"))
+    assert(one.getAs[java.math.BigDecimal]("u2").longValueExact ===
+      many.getAs[java.math.BigDecimal]("u2").longValueExact)
     assert(one.getAs[Double]("auc") === many.getAs[Double]("auc"))
   }
 

@@ -575,9 +575,10 @@ class TextOpsSpec extends SparkSpec {
         r.getDouble(3)))
     assert(got.head._1 === "strong" && got.head._2 === "pair")
     assert(got.forall { case (a, b, _, _) => (a, b) != (("rare", "once")) })
-    // hand-check the winner's PMI: N=16 tokens (5+5+6), B counts pairs
-    // with n>=2: (the,strong)=3,(strong,pair)=3,(pair,the)=3 -> B=9
-    val expected = math.log((3.0 / 9.0) / ((3.0 / 16.0) * (3.0 / 16.0)))
+    // hand-check the winner's PMI: N=16 tokens (5+5+6), B is the TOTAL
+    // adjacent-pair count (Church-Hanks denominator, UNFILTERED by
+    // minCount): (5-1)+(5-1)+(6-1) = 13
+    val expected = math.log((3.0 / 13.0) / ((3.0 / 16.0) * (3.0 / 16.0)))
     assert(math.abs(got.head._4 - (math.rint(expected * 1e6) / 1e6)) < 1e-9)
     intercept[IllegalArgumentException] {
       TextOps.pmiCollocations(docs, "text", k = 0)
