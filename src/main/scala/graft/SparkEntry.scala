@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, KneserNey, Layout, Lz4, Mojibake, Multimodal, Mutate, PdfCodec, Pipeline, QualityClassifier, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, Unigram, UrlOps, WavCodec, WebArchive, WikiDump, WordPiece, Xz, ZipCodec, Zstd}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, KneserNey, Layout, Lz4, Mojibake, MultiClass, Multimodal, Mutate, PdfCodec, Pipeline, QualityClassifier, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, Unigram, UrlOps, WavCodec, WebArchive, WikiDump, WordPiece, Xz, ZipCodec, Zstd}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -108,6 +108,59 @@ object SparkEntry {
         .write.mode("overwrite").parquet(path)
       QualityClassifier.modelFromRows(s.read.parquet(path),
         ns = Seq(1), numBuckets = numBuckets, seed = 13L, binary = true)
+    })
+
+  // ---- multi-class classifier + trained language ID ----------------
+
+  /** 3-class topic label over documents (priority dup > agg > other —
+    * the first-match rule both engines replay). */
+  private def mcDocs(s: SparkSession, dir: String): DataFrame = {
+    val tk = split(lower(col("text")), "\\s+")
+    tbl(s, dir, "documents").withColumn("topic",
+      when(array_contains(tk, "dup"), lit("dup"))
+        .when(array_contains(tk, "agg"), lit("agg"))
+        .otherwise(lit("other")))
+  }
+  private val mcLabels = Seq("dup", "agg", "other")
+  private def mcFeats: org.apache.spark.sql.Column =
+    array_distinct(graft.functions.DsirFeatures.dsirBuckets(
+      col("text"), Seq(1), 64, 13L))
+  private val mcModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, MultiClass.McModel]()
+  private def mcModel(s: SparkSession, dir: String): MultiClass.McModel =
+    mcModelCache.computeIfAbsent(dir, { _ =>
+      // class weights 32/1/8 ~ inverse class frequency rounded to
+      // powers of two (dup 5%, agg 76%, other 19%) — without them the
+      // argmax collapses to the majority class
+      MultiClass.train(mcDocs(s, dir), mcFeats, "topic", mcLabels,
+        numBuckets = 64, rounds = 5, lr = 0.25,
+        classWeights = Seq(32L, 1L, 8L))
+    })
+
+  /** Deterministic synthetic multilingual corpus: every document gets
+    * a language by `doc_id % 4` and that language's stopword phrase
+    * prepended — the tail stays English text, so the stopword
+    * HEURISTIC (priority en > de > es > fr) keeps voting `en` on many
+    * non-English rows while the TRAINED char-bigram model separates
+    * the classes: exactly the gap CCNet's trained langid closes. */
+  private def langidCorpus(s: SparkSession, dir: String): DataFrame = {
+    val m4 = (col("doc_id") % 4).cast("int")
+    val lang = when(m4 === 0, "en").when(m4 === 1, "de")
+      .when(m4 === 2, "es").otherwise("fr")
+    val phrase = when(m4 === 0, "the a of and is")
+      .when(m4 === 1, "der die das und ist")
+      .when(m4 === 2, "el los que y es")
+      .otherwise("le les une et est")
+    tbl(s, dir, "documents").select(col("doc_id"), lang.as("lang"),
+      concat(phrase, lit(" "), col("text")).as("text"))
+  }
+  private val langs = Seq("en", "de", "es", "fr")
+  private val langidModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TextOps.LangIdModel]()
+  private def langidModel(s: SparkSession, dir: String): TextOps.LangIdModel =
+    langidModelCache.computeIfAbsent(dir, { _ =>
+      TextOps.langIdTrain(langidCorpus(s, dir), "text", "lang", langs,
+        numBuckets = 256, ns = Seq(2), seed = 13L, rounds = 5, lr = 0.25)
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3533,6 +3586,50 @@ object SparkEntry {
           round(col("pos_rate"), 6).as("pos_rate"))
         .orderBy("bin")
     }),
+    // K-class one-vs-rest training (fastText multi-class shape): the
+    // 3-class topic model over word-unigram presence features. All 3
+    // classes ride ONE scan + ONE (numBuckets+1)-row gradient shuffle
+    // per round; the oracle replays every round CTE-for-CTE with the
+    // identical integer-grid arithmetic. Output = the persistable
+    // model frame (label, bucket, w_q).
+    "text_multiclass_train" -> ((s, dir) =>
+      MultiClass.modelFrame(mcDocs(s, dir), mcModel(s, dir))
+        .orderBy("label", "bucket")),
+    // Per-doc multi-class scores + argmax label: scores are the
+    // algebraic sigmoid rounded to 6dp, the label is argmax with
+    // first-label-wins ties (round-BEFORE-argmax, so the prediction
+    // replays bit-for-bit in any engine).
+    "text_multiclass_predict" -> ((s, dir) =>
+      MultiClass.scored(mcDocs(s, dir), mcFeats, mcModel(s, dir),
+          predCol = "pred_label")
+        .select(col("doc_id"), col("score_dup"), col("score_agg"),
+          col("score_other"), col("pred_label"))
+        .orderBy("doc_id")),
+    // TRAINED language ID (CCNet's actual stage: a fastText-shaped
+    // char-n-gram multi-class linear model) on the deterministic
+    // synthetic multilingual corpus: char-bigram features hashed into
+    // 256 buckets, 4-way one-vs-rest, 5 GD rounds. The oracle
+    // re-trains the whole model in SQL and replays the argmax.
+    "text_langid_trained" -> ((s, dir) => {
+      val corpus = langidCorpus(s, dir)
+      TextOps.langIdPredict(corpus, "text", langidModel(s, dir), "lang_pred")
+        .select(col("doc_id"), col("lang"), col("lang_pred"),
+          col("score_en"), col("score_de"), col("score_es"), col("score_fr"))
+        .orderBy("doc_id")
+    }),
+    // Confusion census: the stopword HEURISTIC vs the TRAINED model on
+    // the same multilingual corpus — the heuristic's en-priority bleeds
+    // non-English rows into 'en' (every tail is English text), the
+    // trained model separates on the phrase bigrams. The census is the
+    // standard evidence a trained langid stage earns its keep.
+    "text_langid_confusion" -> ((s, dir) => {
+      val corpus = langidCorpus(s, dir)
+      TextOps.langIdPredict(corpus, "text", langidModel(s, dir), "lang_pred")
+        .withColumn("lang_heur", TextOps.langId(col("text")))
+        .groupBy("lang_heur", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang_heur", "lang_pred")
+    }),
     // Top-20 PMI collocations (Church & Hanks 1990) over adjacent
     // word pairs, minCount=3: PMI rounded BEFORE the rank so the
     // ordering replays across engines; TakeOrderedAndProject top-k.
@@ -4335,6 +4432,119 @@ object SparkEntry {
        |  FROM lr_lab l LEFT JOIN zf ON zf.doc_id = l.doc_id
        |)""".stripMargin
   }
+
+  /** Chained-CTE replay of [[graft.operators.MultiClass.train]]'s
+    * one-vs-rest GD rounds. The caller provides `${p}_feats(doc_id,
+    * bucket)` — multiplicity = feature count, sentinel −1 exactly once
+    * per doc — and `${p}_lab(doc_id, y0..y{k-1})` covering every
+    * document; this emits `${p}_n`, the weight ladder
+    * `${p}_w0..${p}_w$rounds` (bucket, wq0..wq{k-1}, MATERIALIZED so
+    * the replay is linear in rounds) and `${p}_scored(doc_id,
+    * p0..p{k-1})` with 6dp-rounded sigmoids — round-BEFORE-argmax,
+    * the exact arithmetic of the Spark side. */
+  private def mcOracleCte(p: String, k: Int, numBuckets: Int,
+      rounds: Int, lrLit: String = "0.25",
+      classWeights: Seq[Long] = Seq.empty): String = {
+    val cw = if (classWeights.isEmpty) Seq.fill(k)(1L) else classWeights
+    def zExpr(zq: String) = s"(CAST($zq AS DOUBLE) / 1073741824.0)"
+    def pExpr(z: String) = s"(0.5 + 0.5 * ($z / (1.0 + abs($z))))"
+    def cols(f: Int => String) = (0 until k).map(f).mkString(",\n    ")
+    def gdRound(r: Int): String =
+      s""", ${p}_z$r AS (
+         |  SELECT f.doc_id,
+         |    ${cols(c => s"CAST(sum(w.wq$c) AS BIGINT) AS zq$c")}
+         |  FROM ${p}_feats f JOIN ${p}_w${r - 1} w ON w.bucket = f.bucket
+         |  GROUP BY f.doc_id
+         |), ${p}_r$r AS (
+         |  SELECT l.doc_id,
+         |    ${cols(c => s"CAST(floor((${pExpr(zExpr(s"coalesce(z.zq$c, 0)"))} - l.y$c) * 1048576.0 + 0.5) AS BIGINT) * (CASE WHEN l.y$c = 1.0 THEN ${cw(c)} ELSE 1 END) AS rq$c")}
+         |  FROM ${p}_lab l LEFT JOIN ${p}_z$r z ON z.doc_id = l.doc_id
+         |), ${p}_g$r AS (
+         |  SELECT f.bucket,
+         |    ${cols(c => s"CAST(sum(r.rq$c) AS BIGINT) AS g$c")}
+         |  FROM ${p}_feats f JOIN ${p}_r$r r ON r.doc_id = f.doc_id
+         |  GROUP BY f.bucket
+         |), ${p}_w$r AS MATERIALIZED (
+         |  SELECT w.bucket,
+         |    ${cols(c => s"w.wq$c - CAST(floor((($lrLit * (CAST(coalesce(g.g$c, 0) AS DOUBLE) / 1048576.0)) / ${p}_n.n) * 1073741824.0 + 0.5) AS BIGINT) AS wq$c")}
+         |  FROM ${p}_w${r - 1} w LEFT JOIN ${p}_g$r g ON g.bucket = w.bucket
+         |  CROSS JOIN ${p}_n
+         |)""".stripMargin
+    s""", ${p}_n AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM ${p}_lab
+       |), ${p}_w0 AS (
+       |  SELECT CAST(b.range AS INTEGER) AS bucket,
+       |    ${cols(c => s"CAST(0 AS BIGINT) AS wq$c")}
+       |  FROM range(-1, $numBuckets) b
+       |)${(1 to rounds).map(gdRound).mkString}, ${p}_zf AS (
+       |  SELECT f.doc_id,
+       |    ${cols(c => s"CAST(sum(w.wq$c) AS BIGINT) AS zq$c")}
+       |  FROM ${p}_feats f JOIN ${p}_w$rounds w ON w.bucket = f.bucket
+       |  GROUP BY f.doc_id
+       |), ${p}_scored AS (
+       |  SELECT l.doc_id,
+       |    ${cols(c => s"round(${pExpr(zExpr(s"coalesce(z.zq$c, 0)"))}, 6) AS p$c")}
+       |  FROM ${p}_lab l LEFT JOIN ${p}_zf z ON z.doc_id = l.doc_id
+       |)""".stripMargin
+  }
+
+  /** Word-unigram presence feats + 3-class topic labels for the
+    * `text_multiclass_*` oracles (prefix `mc3`). */
+  private lazy val mc3BaseCte: String =
+    s"""WITH mc3_tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
+       |  FROM documents
+       |), mc3_lab AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN list_contains(tk, 'dup') THEN 1.0 ELSE 0.0 END AS y0,
+       |    CASE WHEN NOT list_contains(tk, 'dup')
+       |      AND list_contains(tk, 'agg') THEN 1.0 ELSE 0.0 END AS y1,
+       |    CASE WHEN NOT list_contains(tk, 'dup')
+       |      AND NOT list_contains(tk, 'agg') THEN 1.0 ELSE 0.0 END AS y2
+       |  FROM mc3_tk
+       |), mc3_feats AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(${fnvSql("gram", 13L)} % 64 AS INTEGER) AS bucket
+       |  FROM (SELECT doc_id, unnest(tk) AS gram FROM mc3_tk)
+       |  UNION ALL
+       |  SELECT doc_id, -1 AS bucket FROM mc3_tk
+       |)${mcOracleCte("mc3", 3, 64, 5, classWeights = Seq(32L, 1L, 8L))}""".stripMargin
+
+  /** Synthetic multilingual corpus + char-bigram feats + 4-lang labels
+    * for the `text_langid_trained`/`_confusion` oracles (prefix
+    * `lid`). The phrase prepend and `doc_id % 4` language assignment
+    * mirror [[langidCorpus]]; char bigrams step by character over the
+    * LOWERCASED full string (spaces included) and hash FNV-1a exactly
+    * like [[graft.functions.CharGramBuckets]]. */
+  private lazy val lidBaseCte: String =
+    s"""WITH lid_src AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 4 AS INTEGER)
+       |      WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'es'
+       |      ELSE 'fr' END AS lang,
+       |    lower(CASE CAST(doc_id % 4 AS INTEGER)
+       |      WHEN 0 THEN 'the a of and is'
+       |      WHEN 1 THEN 'der die das und ist'
+       |      WHEN 2 THEN 'el los que y es'
+       |      ELSE 'le les une et est' END || ' ' || text) AS s
+       |  FROM documents
+       |), lid_lab AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y0,
+       |    CASE WHEN lang = 'de' THEN 1.0 ELSE 0.0 END AS y1,
+       |    CASE WHEN lang = 'es' THEN 1.0 ELSE 0.0 END AS y2,
+       |    CASE WHEN lang = 'fr' THEN 1.0 ELSE 0.0 END AS y3
+       |  FROM lid_src
+       |), lid_feats AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    CAST(${fnvSql("g", 13L)} % 256 AS INTEGER) AS bucket
+       |  FROM (SELECT doc_id, substring(s, CAST(i AS INTEGER), 2) AS g
+       |        FROM (SELECT doc_id, s, unnest(range(1, len(s))) AS i
+       |              FROM lid_src))
+       |  UNION ALL
+       |  SELECT doc_id, -1 AS bucket FROM lid_src
+       |)${mcOracleCte("lid", 4, 256, 5)}""".stripMargin
 
   /** Chained-CTE replay of [[graft.operators.Layout.hilbertValue]]'s
     * quadrant-rotation rounds: `${prefix}_in` must provide `idCols`,
@@ -8140,6 +8350,62 @@ object SparkEntry {
          |  round(CAST(sum(CAST(y AS BIGINT)) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE), 6) AS pos_rate
          |FROM scored GROUP BY 1 ORDER BY bin""".stripMargin,
+    "text_multiclass_train" ->
+      s"""$mc3BaseCte
+         |SELECT * FROM (
+         |  SELECT 'dup' AS label, bucket, wq0 AS w_q FROM mc3_w5 WHERE wq0 <> 0
+         |  UNION ALL
+         |  SELECT 'agg' AS label, bucket, wq1 AS w_q FROM mc3_w5 WHERE wq1 <> 0
+         |  UNION ALL
+         |  SELECT 'other' AS label, bucket, wq2 AS w_q FROM mc3_w5 WHERE wq2 <> 0
+         |) ORDER BY label, bucket""".stripMargin,
+    "text_multiclass_predict" ->
+      s"""$mc3BaseCte
+         |SELECT doc_id, p0 AS score_dup, p1 AS score_agg, p2 AS score_other,
+         |  CASE WHEN p0 = greatest(p0, p1, p2) THEN 'dup'
+         |       WHEN p1 = greatest(p1, p2) THEN 'agg'
+         |       ELSE 'other' END AS pred_label
+         |FROM mc3_scored ORDER BY doc_id""".stripMargin,
+    "text_langid_trained" ->
+      s"""$lidBaseCte
+         |SELECT s.doc_id, s.lang,
+         |  CASE WHEN z.p0 = greatest(z.p0, z.p1, z.p2, z.p3) THEN 'en'
+         |       WHEN z.p1 = greatest(z.p1, z.p2, z.p3) THEN 'de'
+         |       WHEN z.p2 = greatest(z.p2, z.p3) THEN 'es'
+         |       ELSE 'fr' END AS lang_pred,
+         |  z.p0 AS score_en, z.p1 AS score_de, z.p2 AS score_es,
+         |  z.p3 AS score_fr
+         |FROM lid_src s JOIN lid_scored z USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "text_langid_confusion" ->
+      s"""$lidBaseCte, lid_heur AS (
+         |  SELECT doc_id,
+         |    CASE
+         |      WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+         |      WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+         |      WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |      WHEN s_fr > 0 THEN 'fr'
+         |      ELSE 'unknown' END AS lang_heur
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+         |      len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+         |      len(list_filter(toks, x -> x IN ('el','los','que','y','es'))) AS s_es,
+         |      len(list_filter(toks, x -> x IN ('le','les','une','et','est'))) AS s_fr
+         |    FROM (SELECT doc_id,
+         |            string_split_regex(trim(s), '\\s+') AS toks
+         |          FROM lid_src))
+         |), lid_pred AS (
+         |  SELECT doc_id,
+         |    CASE WHEN p0 = greatest(p0, p1, p2, p3) THEN 'en'
+         |         WHEN p1 = greatest(p1, p2, p3) THEN 'de'
+         |         WHEN p2 = greatest(p2, p3) THEN 'es'
+         |         ELSE 'fr' END AS lang_pred
+         |  FROM lid_scored
+         |)
+         |SELECT h.lang_heur, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+         |FROM lid_heur h JOIN lid_pred p USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY lang_heur, lang_pred""".stripMargin,
     "text_pmi_collocations" ->
       """WITH pmi_tk AS (
         |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** K-class one-vs-rest linear classifier over hashed features — the
+  * multi-class extension of [[QualityClassifier]]'s integer-grid
+  * trainer, and the shape of CCNet's actual language-ID stage (a
+  * fastText char-n-gram linear model; Joulin et al. 2017).
+  *
+  * Reference scope: cloudbutton/lithops-dataframe `core.py` exposes
+  * `apply`/`map_partitions` users compose into per-document scoring;
+  * this is the extension-tier trained variant.
+  *
+  * One-vs-rest keeps the exact-arithmetic story intact: each class k
+  * trains the SAME full-batch GD as the binary trainer (weights on the
+  * 2^30 grid, residuals quantized to the 2^20 grid, algebraic sigmoid
+  * — every cross-row sum an exact integer, order-free), and all K
+  * classes ride ONE corpus scan and ONE gradient shuffle per round:
+  * the per-doc residual is a K-vector computed row-locally, the
+  * gradient `groupBy(bucket)` carries K sum columns, so the shuffle
+  * stays capped at `numBuckets + 1` rows × K columns per partition
+  * regardless of corpus size. The only collect is that bounded
+  * gradient. At 1000 executors × 100 TB the corpus never moves — only
+  * the K·(numBuckets+1) model does.
+  *
+  * Prediction is argmax with ROUNDED scores (6dp) and first-label-wins
+  * tiebreak, so any engine replays the label bit-for-bit (the
+  * round-before-argmax rule the TF-IDF NN oracle established).
+  *
+  * The featurizer is pluggable: pass any `Column` producing
+  * `array<int>` buckets in `[0, numBuckets)` — word n-grams
+  * ([[graft.functions.DsirFeatures.dsirBuckets]], `array_distinct` for
+  * presence mode) or char n-grams
+  * ([[graft.functions.CharGramBuckets.charGramBuckets]], the langid
+  * featurization). Multiplicity in the array IS the feature count.
+  */
+object MultiClass {
+
+  /** A trained K-class model: `weightsQ(k)` are class k's bucket
+    * weights and `biasQ(k)` its intercept, on the 2^30 grid; `labels`
+    * pins the class order (argmax ties resolve to the earliest). */
+  final case class McModel(labels: Seq[String], weightsQ: Array[Array[Long]],
+      biasQ: Array[Long], numBuckets: Int) {
+    require(labels.nonEmpty && labels.size == weightsQ.length &&
+      labels.size == biasQ.length,
+      s"model shape mismatch: ${labels.size} labels, " +
+        s"${weightsQ.length} weight rows, ${biasQ.length} intercepts")
+    require(weightsQ.forall(_.length == numBuckets),
+      "every class must have numBuckets weights")
+  }
+
+  /** Margin z_k of a feature array under class k's weights: exact
+    * integer fold over the bucket array plus the intercept grid,
+    * divided by the weight scale (an exponent shift — exact). */
+  private def marginCol(feats: Column, wQ: Array[Long], biasQ: Long): Column = {
+    val featSum = aggregate(feats, lit(0L),
+      (acc, b) => acc + element_at(lit(wQ), b + lit(1)))
+    (featSum + lit(biasQ)).cast(DoubleType) / lit(QualityClassifier.WeightScale)
+  }
+
+  private def sigmoidAlgCol(z: Column): Column =
+    lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))
+
+  /** Full-batch one-vs-rest GD training.
+    *
+    * @param docs       input frame; every row is one document
+    * @param featsCol   `array<int>` bucket column (see object doc)
+    * @param labelCol   string class column; every value must be in
+    *                   `labels` (loud otherwise)
+    * @param labels     the class inventory, order = tiebreak priority
+    * @param numBuckets power-of-two bucket count (per-class model size)
+    * @param rounds     full-batch GD rounds
+    * @param lr         learning rate — power of two (exact grid step)
+    * @param classWeights per-class positive-residual weights (class
+    *                   imbalance: rare classes get a bigger multiplier,
+    *                   the binary trainer's posWeight generalized).
+    *                   Powers of two, applied AFTER quantization so the
+    *                   arithmetic stays exact. Empty = all 1.
+    */
+  def train(docs: DataFrame, featsCol: Column, labelCol: String,
+      labels: Seq[String], numBuckets: Int, rounds: Int = 5,
+      lr: Double = 0.25, classWeights: Seq[Long] = Seq.empty): McModel = {
+    require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
+      s"numBuckets must be a positive power of two, got $numBuckets")
+    require(labels.size >= 2 && labels.size <= 64,
+      s"need 2..64 classes, got ${labels.size}")
+    require(labels.distinct.size == labels.size,
+      s"labels must be distinct, got $labels")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val lrExp = math.log(lr) / math.log(2.0)
+    require(lr > 0 && lrExp == math.rint(lrExp),
+      s"lr must be a positive power of two for exact grid arithmetic, got $lr")
+    val k = labels.size
+    val cw = if (classWeights.isEmpty) Seq.fill(k)(1L) else classWeights
+    require(cw.size == k, s"classWeights must have $k entries, got ${cw.size}")
+    require(cw.forall(w => w >= 1L && (w & (w - 1L)) == 0L),
+      s"classWeights must be positive powers of two, got $cw")
+
+    val labelled = docs.select(featsCol.as("__f"),
+      col(labelCol).cast("string").as("__lab"))
+    // ONE setup scan: row count + label validation together
+    val setup = labelled.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("__lab").isNull ||
+        !col("__lab").isin(labels.map(lit): _*), 1L).otherwise(0L)),
+        lit(0L)).as("bad")).collect()(0)
+    require(setup.getLong(1) == 0L,
+      s"labelCol '$labelCol' must be one of $labels for every row")
+    val n = setup.getLong(0)
+    require(n > 0L, "cannot train on an empty frame")
+    val nD = n.toDouble
+
+    val wQ = Array.fill(k)(new Array[Long](numBuckets))
+    val biasQ = new Array[Long](k)
+    var round = 0
+    while (round < rounds) {
+      val maxAbsW = (wQ.iterator.flatMap(_.iterator.map(math.abs)) ++
+        biasQ.iterator.map(math.abs)).foldLeft(0L)(math.max)
+      require(maxAbsW <= (1L << 33),
+        s"weight grid overflow risk (max |w_q| = $maxAbsW): training diverged; lower lr")
+
+      // per-class quantized residual, computed row-locally in ONE scan
+      val rqCols = (0 until k).map { c =>
+        val p = sigmoidAlgCol(marginCol(col("__f"), wQ(c).clone(), biasQ(c)))
+        val isPos = col("__lab") === lit(labels(c))
+        val y = when(isPos, lit(1.0)).otherwise(lit(0.0))
+        // class weight applied AFTER quantization: exact integer multiply
+        (floor((p - y) * lit(QualityClassifier.ResidScale) + lit(0.5))
+          .cast(LongType) * when(isPos, lit(cw(c))).otherwise(lit(1L)))
+          .as(s"__r$c")
+      }
+      // sentinel bucket −1 = the intercept: one occurrence per doc, so
+      // all K bias gradients ride the same bounded aggregation
+      val withBias = concat(array(lit(QualityClassifier.BiasBucket)), col("__f"))
+      val grad = labelled
+        .select(rqCols :+ withBias.as("__fb"): _*)
+        .select((0 until k).map(c => col(s"__r$c")) :+
+          explode(col("__fb")).as("bucket"): _*)
+        .groupBy("bucket")
+        .agg(sum(s"__r0").as("g0"),
+          (1 until k).map(c => sum(s"__r$c").as(s"g$c")): _*)
+        .collect()
+      for (r <- grad) {
+        val b = r.getInt(0)
+        var c = 0
+        while (c < k) {
+          val gradD = r.getLong(1 + c).toDouble / QualityClassifier.ResidScale
+          val step = lr * gradD / nD
+          val dq = math.floor(step * QualityClassifier.WeightScale + 0.5).toLong
+          if (b == QualityClassifier.BiasBucket) biasQ(c) -= dq
+          else wQ(c)(b) -= dq
+          c += 1
+        }
+      }
+      round += 1
+    }
+    McModel(labels, wQ, biasQ, numBuckets)
+  }
+
+  /** Attach per-class scores (`score_<label>`, the algebraic sigmoid
+    * rounded to 6dp) and the argmax label (`predCol`, earliest label
+    * wins ties) to `docs`. The scores are materialized as named
+    * columns first so the argmax CASE chain references them by name —
+    * a nested-fold expression would double per class (the Hilbert
+    * unrolling trap). Row-local, zero shuffles. */
+  def scored(docs: DataFrame, featsCol: Column, m: McModel,
+      predCol: String = "pred_label"): DataFrame = {
+    val k = m.labels.size
+    val base = docs.withColumn("__f", featsCol)
+    val withScores = m.labels.indices.foldLeft(base) { (d, c) =>
+      d.withColumn(s"score_${m.labels(c)}",
+        round(sigmoidAlgCol(marginCol(col("__f"), m.weightsQ(c), m.biasQ(c))), 6))
+    }
+    val pred = (1 until k).foldLeft(
+      (lit(m.labels(0)), col(s"score_${m.labels(0)}"))) {
+      case ((bl, bs), c) =>
+        val s = col(s"score_${m.labels(c)}")
+        (when(s > bs, lit(m.labels(c))).otherwise(bl),
+          when(s > bs, s).otherwise(bs))
+    }._1
+    withScores.withColumn(predCol, pred).drop("__f")
+  }
+
+  /** The trained model as a frame `(label, bucket, w_q)` — intercept
+    * as bucket −1, zero weights omitted — the persistable artifact
+    * ([[modelFromRows]] rebuilds it). */
+  def modelFrame(docs: DataFrame, m: McModel): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val rows = m.labels.indices.flatMap { c =>
+      val bias =
+        if (m.biasQ(c) != 0L)
+          Seq((m.labels(c), QualityClassifier.BiasBucket, m.biasQ(c)))
+        else Seq.empty
+      bias ++ m.weightsQ(c).iterator.zipWithIndex
+        .collect { case (w, b) if w != 0L => (m.labels(c), b, w) }
+    }
+    rows.toDF("label", "bucket", "w_q")
+  }
+
+  /** Rebuild an [[McModel]] from a persisted `(label, bucket, w_q)`
+    * frame. `labels` pins the class order (the frame doesn't). */
+  def modelFromRows(rows: DataFrame, labels: Seq[String],
+      numBuckets: Int): McModel = {
+    val idx = labels.zipWithIndex.toMap
+    val wQ = Array.fill(labels.size)(new Array[Long](numBuckets))
+    val biasQ = new Array[Long](labels.size)
+    rows.select(col("label").cast("string"), col("bucket").cast("int"),
+      col("w_q").cast("long")).collect().foreach { r =>
+        val c = idx.getOrElse(r.getString(0),
+          throw new IllegalArgumentException(
+            s"model frame has unknown label '${r.getString(0)}'"))
+        if (r.getInt(1) == QualityClassifier.BiasBucket) biasQ(c) = r.getLong(2)
+        else wQ(c)(r.getInt(1)) = r.getLong(2)
+      }
+    McModel(labels, wQ, biasQ, numBuckets)
+  }
+}

@@ -60,6 +60,46 @@ object TextOps {
       .otherwise(lit("unknown"))
   }
 
+  /** A trained language-ID model: the K-class linear model plus the
+    * char-n-gram featurization it was trained with (ns/seed must match
+    * between train and predict, so they travel together). */
+  final case class LangIdModel(mc: MultiClass.McModel, ns: Seq[Int],
+      numBuckets: Int, seed: Long)
+
+  /** Presence (distinct) char-n-gram buckets: binary features keep the
+    * common-gram count mass from drowning the discriminative grams —
+    * the CCNet-style binarization [[QualityClassifier]] uses too. */
+  private def langFeats(text: Column, ns: Seq[Int], numBuckets: Int,
+      seed: Long): Column =
+    array_distinct(
+      graft.functions.CharGramBuckets.charGramBuckets(text, ns, numBuckets, seed))
+
+  /** Train a char-n-gram language-ID model — CCNet's ACTUAL langid
+    * stage (a fastText multi-class linear model over character
+    * n-grams), replacing the [[langId]] stopword heuristic with a
+    * TRAINED discriminator behind the same column contract.
+    *
+    * Rides [[MultiClass.train]]: one corpus scan + one
+    * K·(numBuckets+1)-bounded gradient shuffle per round — at 100 TB
+    * the corpus never moves. Labels come from `labelCol` (weak
+    * supervision: a known-language slice, metadata, or the heuristic
+    * itself — the CCNet bootstrap). */
+  def langIdTrain(docs: DataFrame, textCol: String, labelCol: String,
+      langs: Seq[String], numBuckets: Int = 256, ns: Seq[Int] = Seq(2),
+      seed: Long = 13L, rounds: Int = 5, lr: Double = 0.25): LangIdModel =
+    LangIdModel(
+      MultiClass.train(docs, langFeats(col(textCol), ns, numBuckets, seed),
+        labelCol, langs, numBuckets, rounds, lr),
+      ns, numBuckets, seed)
+
+  /** Score + predict with a trained langid model: adds
+    * `score_<lang>` columns (6dp) and the argmax `predCol` (earliest
+    * lang wins ties — the pinned priority order). Row-local. */
+  def langIdPredict(docs: DataFrame, textCol: String, m: LangIdModel,
+      predCol: String = "lang_pred"): DataFrame =
+    MultiClass.scored(docs,
+      langFeats(col(textCol), m.ns, m.numBuckets, m.seed), m.mc, predCol)
+
   /** Quality metrics struct: char/token counts, average token length,
     * stopword ratio, distinct-token ratio. The standard cheap filters a
     * 100 TB corpus pass runs before anything expensive.

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CharGramBuckets, DsirFeatures}
+import graft.operators.{MultiClass, QualityClassifier, TextOps}
+
+/** [[graft.operators.MultiClass]] + [[graft.functions.CharGramBuckets]]
+  * + [[graft.operators.TextOps.langIdTrain]] — K-class one-vs-rest
+  * training: exact agreement with the binary trainer on 2 classes,
+  * char-gram featurization kernel identities, argmax tiebreak, the
+  * persist/rebuild round trip, trained langid end-to-end, and loud
+  * contracts. */
+class MultiClassSpec extends SparkSpec {
+
+  private val D = 64
+
+  private def feats = array_distinct(
+    DsirFeatures.dsirBuckets(col("text"), Seq(1), D, 13L))
+
+  private def toy() = {
+    import spark.implicits._
+    Seq(
+      (0L, "good fast table scan", "pos"),
+      (1L, "good merge join good", "pos"),
+      (2L, "good window agg row", "pos"),
+      (3L, "bad slow table scan", "neg"),
+      (4L, "bad merge join bad", "neg"),
+      (5L, "bad window agg row", "neg")
+    ).toDF("doc_id", "text", "lab")
+  }
+
+  test("charGramBuckets: hand-computed FNV bucket, multiplicity, lowercasing") {
+    import spark.implicits._
+    def fnvBucket(g: String, mask: Int): Int = {
+      // FNV-1a, independently restated (offset/prime are the public
+      // constants) so the kernel can't be "tested" against itself
+      var h = 0xcbf29ce484222325L ^ 13L
+      g.getBytes("UTF-8").foreach { b =>
+        h ^= (b & 0xffL); h *= 0x100000001b3L
+      }
+      (h & mask).toInt
+    }
+    val got = Seq(("AbA", 0)).toDF("text", "i")
+      .select(CharGramBuckets.charGramBuckets(col("text"), Seq(2), D, 13L)
+        .as("b")).collect()(0).getSeq[Int](0)
+    // lowercased "aba" → bigrams "ab", "ba" (document order, multiplicity)
+    assert(got === Seq(fnvBucket("ab", D - 1), fnvBucket("ba", D - 1)))
+    // too-short strings yield no grams (not a null, not a phantom)
+    val short = Seq(("x", 0)).toDF("text", "i")
+      .select(CharGramBuckets.charGramBuckets(col("text"), Seq(2), D, 13L)
+        .as("b")).collect()(0).getSeq[Int](0)
+    assert(short.isEmpty)
+  }
+
+  test("two classes reproduce the binary trainer weight-for-weight") {
+    val docs = toy().withColumn("y",
+      when(col("lab") === "pos", 1).otherwise(0))
+    val bin = QualityClassifier.trainLogistic(docs, "text", "y", D,
+      rounds = 7, lr = 0.25, binary = true)
+    val mc = MultiClass.train(docs, feats, "lab", Seq("pos", "neg"), D,
+      rounds = 7, lr = 0.25)
+    // class 0 ("pos") of the one-vs-rest model IS the binary model:
+    // identical features, identical residuals, identical grid updates
+    assert(mc.weightsQ(0).toSeq === bin.weightsQ.toSeq)
+    assert(mc.biasQ(0) === bin.biasQ)
+  }
+
+  test("learns a 3-class keyword signal and argmax ties go to the earliest label") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha fast table", "a"), (1L, "alpha merge join", "a"),
+      (2L, "beta fast table", "b"), (3L, "beta merge join", "b"),
+      (4L, "gamma fast table", "c"), (5L, "gamma merge join", "c")
+    ).toDF("doc_id", "text", "lab")
+    val m = MultiClass.train(docs, feats, "lab", Seq("a", "b", "c"), D,
+      rounds = 10, lr = 0.25)
+    val got = MultiClass.scored(docs, feats, m, "pred")
+      .select("lab", "pred").collect()
+    assert(got.forall(r => r.getString(0) == r.getString(1)),
+      got.mkString(", "))
+    // tie case: a doc with NO features scores the three intercepts;
+    // build a model with equal intercepts and zero weights
+    val tie = MultiClass.McModel(Seq("a", "b", "c"),
+      Array.fill(3)(new Array[Long](D)), Array(5L, 5L, 5L), D)
+    val pred = MultiClass.scored(
+      Seq((0L, "zz", "a")).toDF("doc_id", "text", "lab")
+        .withColumn("f", typedLit(Seq.empty[Int])),
+      col("f"), tie, "pred").select("pred").collect()(0).getString(0)
+    assert(pred === "a", "equal scores must resolve to the earliest label")
+  }
+
+  test("modelFrame/modelFromRows round trip is exact") {
+    val docs = toy()
+    val m = MultiClass.train(docs, feats, "lab", Seq("pos", "neg"), D,
+      rounds = 5, lr = 0.25, classWeights = Seq(2L, 1L))
+    val back = MultiClass.modelFromRows(
+      MultiClass.modelFrame(docs, m), Seq("pos", "neg"), D)
+    assert(back.weightsQ.map(_.toSeq).toSeq === m.weightsQ.map(_.toSeq).toSeq)
+    assert(back.biasQ.toSeq === m.biasQ.toSeq)
+  }
+
+  test("gradient shuffle is bucket-bounded and all-K-in-one-pass") {
+    // the K residual sums ride ONE groupBy(bucket): assert a partial
+    // aggregate exists and nothing cartesian sneaks in
+    val docs = toy()
+    val grad = docs.select(
+      lit(1L).as("__r0"), lit(2L).as("__r1"),
+      explode(feats).as("bucket"))
+      .groupBy("bucket").agg(sum("__r0"), sum("__r1"))
+    val plan = grad.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("Partial"), plan)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("trained langid separates two synthetic languages end-to-end") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "the cat and the dog of the house", "en")
+      else (i.toLong, "der hund und die katze und das haus", "de")
+    }.toDF("doc_id", "text", "lang")
+    val m = TextOps.langIdTrain(docs, "text", "lang", Seq("en", "de"),
+      numBuckets = 128, ns = Seq(2), rounds = 5, lr = 0.25)
+    val acc = TextOps.langIdPredict(docs, "text", m, "pred")
+      .agg(avg(when(col("pred") === col("lang"), 1.0).otherwise(0.0)))
+      .collect()(0).getDouble(0)
+    assert(acc === 1.0)
+  }
+
+  test("loud contracts: labels, buckets, class weights, unknown model label") {
+    val docs = toy()
+    intercept[IllegalArgumentException] {
+      MultiClass.train(docs, feats, "lab", Seq("pos"), D)
+    }
+    intercept[IllegalArgumentException] {
+      MultiClass.train(docs, feats, "lab", Seq("pos", "pos"), D)
+    }
+    intercept[IllegalArgumentException] {
+      MultiClass.train(docs, feats, "lab", Seq("pos", "neg"), 63)
+    }
+    intercept[IllegalArgumentException] {
+      MultiClass.train(docs, feats, "lab", Seq("pos", "neg"), D, lr = 0.3)
+    }
+    intercept[IllegalArgumentException] {
+      MultiClass.train(docs, feats, "lab", Seq("pos", "neg"), D,
+        classWeights = Seq(3L, 1L))
+    }
+    intercept[IllegalArgumentException] {
+      // label outside the inventory must fail the setup scan
+      MultiClass.train(docs, feats, "lab", Seq("pos", "other"), D)
+    }
+    intercept[IllegalArgumentException] {
+      MultiClass.modelFromRows(
+        MultiClass.modelFrame(docs,
+          MultiClass.train(docs, feats, "lab", Seq("pos", "neg"), D)),
+        Seq("pos", "UNKNOWN"), D)
+    }
+  }
+}
