@@ -137,6 +137,16 @@ object SparkEntry {
         classWeights = Seq(32L, 1L, 8L))
     })
 
+  /** Corpus for the byte-level BPE gates: every 5th document gets a
+    * repeated Hebrew token whose UTF-8 continuation bytes (0x90–0x92)
+    * hit the NON-identity rows of the bytes→unicode table. */
+  private def bpeBytesCorpus(s: SparkSession, dir: String): DataFrame = {
+    val planted = Seq.fill(60)("אבג").mkString(" ")
+    tbl(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + planted)))
+        .otherwise(col("text")).as("text"))
+  }
+
   /** Deterministic synthetic multilingual corpus: every document gets
     * a language by `doc_id % 4` and that language's stopword phrase
     * prepended — the tail stays English text, so the stopword
@@ -3447,6 +3457,45 @@ object SparkEntry {
       val ms = Bpe.train(docs, "text", k = 3)
       Bpe.tokenCounts(docs, "doc_id", "text", ms).orderBy("doc_id")
     }),
+    // BYTE-LEVEL BPE (the GPT-2 tokenizer family): words become their
+    // UTF-8 bytes through the public bytes→unicode table, so the base
+    // vocabulary is closed over 256 symbols. The corpus plants a
+    // repeated Hebrew token on every 5th doc — its bytes hit the
+    // NON-identity rows of the table (continuation bytes 0x90–0x92 →
+    // U+0132..U+0134) — and the planted pairs win the merges. The
+    // oracle re-derives the byte decomposition (code point → UTF-8
+    // bytes arithmetically), the table, and all 3 training rounds.
+    "text_bpe_bytes_train" -> ((s, dir) => {
+      val ms = Bpe.trainIncremental(bpeBytesCorpus(s, dir), "text",
+        k = 3, batch = 3, init = Bpe.initByteSymbols)
+      import s.implicits._
+      ms.map(m => (m.rank, m.left, m.right)).toDF("rank", "lhs", "rhs")
+        .orderBy("rank")
+    }),
+    // Byte-level train + encode: per-doc token counts under the byte
+    // merges (row-local, merge list in the task closure).
+    "text_bpe_bytes_encode" -> ((s, dir) => {
+      val docs = bpeBytesCorpus(s, dir)
+      val ms = Bpe.trainIncremental(docs, "text", k = 3, batch = 3,
+        init = Bpe.initByteSymbols)
+      Bpe.tokenCounts(docs, "doc_id", "text", ms, Bpe.initByteSymbols)
+        .orderBy("doc_id")
+    }),
+    // ASCII-parity theorem check: printable-ASCII bytes map to
+    // themselves, so on the pure-ASCII fixture corpus byte-level
+    // training must equal char-level training MERGE-FOR-MERGE (both
+    // append the same terminal). In-engine comparison over 8 ranks;
+    // the oracle pins every rank agrees.
+    "text_bpe_bytes_ascii_parity" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").where(col("doc_id") < 2000)
+      val charMs = Bpe.trainIncremental(docs, "text", k = 8, batch = 4)
+      val byteMs = Bpe.trainIncremental(docs, "text", k = 8, batch = 4,
+        init = Bpe.initByteSymbols)
+      import s.implicits._
+      charMs.zip(byteMs).map { case (a, b) =>
+        (a.rank, a.left == b.left && a.right == b.right && a.rank == b.rank)
+      }.toDF("rank", "same").orderBy("rank")
+    }),
     // Unigram-LM tokenizer (Kudo 2018, SentencePiece family): seed 40
     // substrings + all chars, 2 hard-EM Viterbi rounds, count-prune to
     // 20 multis. The oracle replays the ENTIRE training — seeding,
@@ -5045,6 +5094,60 @@ object SparkEntry {
        |), seq3 AS (SELECT word, freq, ${bpeMergeFix("seq", "m3")} AS seq
        |  FROM seq2 CROSS JOIN m3
        |)""".stripMargin
+
+  /** Byte-level BPE oracle chain (prefix `bb`): the planted corpus of
+    * [[bpeBytesCorpus]], word table, then the GPT-2 bytes→unicode
+    * symbolization replayed ARITHMETICALLY — each char's code point
+    * decomposes to UTF-8 bytes (1/2/3-byte forms), each byte maps
+    * through the printable-identity / 256+n CASE — then three
+    * pair-count → argmax → fixpoint-merge rounds identical to
+    * [[bpeCtes]]. Ends with `bbseq3`. */
+  private lazy val bpeBytesCtes: String = {
+    // byte b → its table char: printable bytes are identity; bytes
+    // 0..32 → chr(256+b); 127..160 → chr(b+162); 173 → chr(323)
+    def bmap(b: String) =
+      s"""CASE WHEN ($b BETWEEN 33 AND 126) OR ($b BETWEEN 161 AND 172)
+         |      OR ($b BETWEEN 174 AND 255) THEN chr($b)
+         |      WHEN $b <= 32 THEN chr(256 + $b)
+         |      WHEN $b BETWEEN 127 AND 160 THEN chr($b + 162)
+         |      ELSE chr(323) END""".stripMargin
+    val charToSyms =
+      s"""CASE WHEN ord(c) < 128 THEN [${bmap("ord(c)")}]
+         |    WHEN ord(c) < 2048 THEN
+         |      [${bmap("192 + ord(c) // 64")}, ${bmap("128 + ord(c) % 64")}]
+         |    ELSE [${bmap("224 + ord(c) // 4096")},
+         |      ${bmap("128 + (ord(c) // 64) % 64")}, ${bmap("128 + ord(c) % 64")}]
+         |    END""".stripMargin
+    val planted = Seq.fill(60)("אבג").mkString(" ")
+    s"""WITH bb_docs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || ' $planted'
+       |         ELSE text END AS text
+       |  FROM documents
+       |), bb_words AS (
+       |  SELECT w AS word, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      x -> len(x) > 0)) AS w
+       |    FROM bb_docs) GROUP BY w
+       |), bbseq0 AS (
+       |  SELECT word, freq, concat(' ', array_to_string(flatten(list_transform(
+       |      regexp_extract_all(word, '.'), c -> $charToSyms)),
+       |    ' '), ' </w> ') AS seq
+       |  FROM bb_words
+       |), bbp1 AS (${bpePairCte("bbseq0")}
+       |), bbm1 AS (SELECT pr FROM bbp1 ORDER BY cnt DESC, pr LIMIT 1
+       |), bbseq1 AS (SELECT word, freq, ${bpeMergeFix("seq", "bbm1")} AS seq
+       |  FROM bbseq0 CROSS JOIN bbm1
+       |), bbp2 AS (${bpePairCte("bbseq1")}
+       |), bbm2 AS (SELECT pr FROM bbp2 ORDER BY cnt DESC, pr LIMIT 1
+       |), bbseq2 AS (SELECT word, freq, ${bpeMergeFix("seq", "bbm2")} AS seq
+       |  FROM bbseq1 CROSS JOIN bbm2
+       |), bbp3 AS (${bpePairCte("bbseq2")}
+       |), bbm3 AS (SELECT pr FROM bbp3 ORDER BY cnt DESC, pr LIMIT 1
+       |), bbseq3 AS (SELECT word, freq, ${bpeMergeFix("seq", "bbm3")} AS seq
+       |  FROM bbseq2 CROSS JOIN bbm3
+       |)""".stripMargin
+  }
 
   // ---- unigram-LM oracle (Unigram.scala's deterministic spec) ----
   // Gate shape: seed 40 substrings (len 2..4) + all chars, 2 hard-EM
@@ -8168,6 +8271,33 @@ object SparkEntry {
     "text_bpe_train_incremental_deep" ->
       """SELECT CAST(x AS INTEGER) AS rank, TRUE AS same
         |FROM range(16) t(x) ORDER BY rank""".stripMargin,
+    "text_bpe_bytes_train" ->
+      s"""$bpeBytesCtes
+         |SELECT rank, split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs
+         |FROM (
+         |  SELECT 0 AS rank, pr FROM bbm1
+         |  UNION ALL SELECT 1, pr FROM bbm2
+         |  UNION ALL SELECT 2, pr FROM bbm3)
+         |ORDER BY rank""".stripMargin,
+    "text_bpe_bytes_encode" ->
+      s"""$bpeBytesCtes, bb_wordtok AS (
+         |  SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS ntok
+         |  FROM bbseq3
+         |), bb_docwords AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      x -> len(x) > 0)) AS w
+         |  FROM bb_docs
+         |), bb_sums AS (
+         |  SELECT doc_id, sum(ntok) AS n
+         |  FROM bb_docwords JOIN bb_wordtok ON w = word GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN bb_sums s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "text_bpe_bytes_ascii_parity" ->
+      """SELECT CAST(x AS INTEGER) AS rank, TRUE AS same
+        |FROM range(8) t(x) ORDER BY rank""".stripMargin,
     "text_bpe_encode" ->
       s"""$bpeCtes, wordtok AS (
          |  SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS ntok

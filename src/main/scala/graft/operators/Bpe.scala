@@ -72,6 +72,41 @@ object Bpe {
   private[graft] def initSymbols(w: String): Array[String] =
     w.toCharArray.map(_.toString) :+ "</w>"
 
+  /** GPT-2's bytes→unicode table (public algorithm, Radford et al.
+    * 2019 `encoder.py::bytes_to_unicode`): every byte gets a PRINTABLE
+    * unicode char so merge rules stay plain strings. Printable bytes
+    * (33–126, 161–172, 174–255) map to themselves (as Latin-1 code
+    * points); the 67 others (controls, space, DEL, 0x7F–0xA0, 0xAD)
+    * map to 256+n in ascending byte order. Bijective by
+    * construction. */
+  private[graft] val byteToUnicode: Array[String] = {
+    val out = new Array[String](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      val printable = (b >= 33 && b <= 126) || (b >= 161 && b <= 172) ||
+        (b >= 174 && b <= 255)
+      if (printable) out(b) = (b.toChar).toString
+      else { out(b) = ((256 + n).toChar).toString; n += 1 }
+    }
+    out
+  }
+
+  /** BYTE-LEVEL initial symbol sequence (the GPT-2 tokenizer family):
+    * the word's UTF-8 bytes through [[byteToUnicode]], plus the same
+    * terminal `</w>` the char-level spec uses — so on a pure-ASCII
+    * corpus (printable bytes map to themselves) byte-level training
+    * coincides with char-level training symbol-for-symbol, and on
+    * multi-byte text the vocabulary stays closed over 256 base
+    * symbols instead of the open char set. */
+  private[graft] def initByteSymbols(w: String): Array[String] = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length + 1)
+    var i = 0
+    while (i < bytes.length) { out(i) = byteToUnicode(bytes(i) & 0xff); i += 1 }
+    out(bytes.length) = "</w>"
+    out
+  }
+
   /** Distinct-word frequency table of a corpus column — the ONE
     * corpus-wide shuffle. */
   def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
@@ -82,13 +117,14 @@ object Bpe {
     * word table + a deterministic 1-row argmax collect. The word
     * table is cached; per-round lineage is cut with localCheckpoint
     * so round r does not replay rounds 1..r-1. */
-  def train(docs: DataFrame, textCol: String, k: Int): Seq[Merge] = {
+  def train(docs: DataFrame, textCol: String, k: Int,
+      init: String => Array[String] = initSymbols): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k >= 1, s"need at least one merge, got $k")
     var seqs: Dataset[(Array[String], Long)] =
       wordFreqs(docs, textCol).as[(String, Long)]
-        .map { case (w, f) => (initSymbols(w), f) }
+        .map { case (w, f) => (init(w), f) }
     seqs = seqs.localCheckpoint()
     val out = Seq.newBuilder[Merge]
     var r = 0
@@ -147,14 +183,15 @@ object Bpe {
     * triple aggregation over the vocab-sized word table and two
     * bounded collects (≤ batch rows each). */
   def trainBatched(docs: DataFrame, textCol: String, k: Int, batch: Int = 64,
-      onRound: (Int, Int) => Unit = (_, _) => ()): Seq[Merge] = {
+      onRound: (Int, Int) => Unit = (_, _) => (),
+      init: String => Array[String] = initSymbols): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k >= 1, s"need at least one merge, got $k")
     require(batch >= 1, s"batch must be positive, got $batch")
     var seqs: Dataset[(Array[String], Long)] =
       wordFreqs(docs, textCol).as[(String, Long)]
-        .map { case (w, f) => (initSymbols(w), f) }
+        .map { case (w, f) => (init(w), f) }
         .localCheckpoint()
     val out = Seq.newBuilder[Merge]
     var rank = 0
@@ -289,14 +326,15 @@ object Bpe {
     * and one rewrite pass that emits (new word, delta rows) together.
     * The pair table and word table are both lineage-cut per round. */
   def trainIncremental(docs: DataFrame, textCol: String, k: Int, batch: Int = 64,
-      onRound: (Int, Int) => Unit = (_, _) => ()): Seq[Merge] = {
+      onRound: (Int, Int) => Unit = (_, _) => (),
+      init: String => Array[String] = initSymbols): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k >= 1, s"need at least one merge, got $k")
     require(batch >= 1, s"batch must be positive, got $batch")
     val seeded: Dataset[(Array[String], Long)] =
       wordFreqs(docs, textCol).as[(String, Long)]
-        .map { case (w, f) => (initSymbols(w), f) }
+        .map { case (w, f) => (init(w), f) }
         .localCheckpoint()
     // the ONE full pair aggregation; afterwards only deltas shuffle
     var pairs: DataFrame = seeded.flatMap { case (syms, f) =>
@@ -353,8 +391,9 @@ object Bpe {
 
   /** Encode one word with a rank-ordered merge list (each rule to
     * fixpoint — see object doc). */
-  def encodeWord(w: String, merges: Seq[Merge]): Array[String] = {
-    var syms = initSymbols(w)
+  def encodeWord(w: String, merges: Seq[Merge],
+      init: String => Array[String] = initSymbols): Array[String] = {
+    var syms = init(w)
     merges.foreach(m => syms = applyMerge(syms, m.left, m.right))
     syms
   }
@@ -364,7 +403,8 @@ object Bpe {
     * ships in the closure (broadcast-by-task-binary, bounded: k
     * rows). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge],
+      init: String => Array[String] = initSymbols): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ms = merges.sortBy(_.rank)
@@ -374,7 +414,7 @@ object Bpe {
         val words = Option(text).getOrElse("").toLowerCase.trim
           .split("\\s+").iterator.filter(_.nonEmpty)
         var n = 0L
-        words.foreach(w => n += encodeWord(w, ms).length)
+        words.foreach(w => n += encodeWord(w, ms, init).length)
         (id, n)
       })
       .toDF(idCol, "n_tokens")

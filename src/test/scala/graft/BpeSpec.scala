@@ -163,4 +163,47 @@ class BpeSpec extends SparkSpec {
     }.sum
     assert(counts == direct)
   }
+
+  test("bytes->unicode table: bijective, printable identity, pinned non-printables") {
+    val t = Bpe.byteToUnicode
+    assert(t.length === 256)
+    assert(t.distinct.length === 256, "table must be a bijection")
+    // printable ranges map to themselves (as Latin-1 code points)
+    (Seq(33, 126, 161, 172, 174, 255) ++ ('a' to 'z').map(_.toInt))
+      .foreach(b => assert(t(b) === b.toChar.toString, s"byte $b"))
+    // non-printables walk 256+n in ascending byte order (GPT-2 spec)
+    assert(t(0) === 256.toChar.toString)
+    assert(t(32) === 288.toChar.toString)   // space is the 33rd
+    assert(t(127) === 289.toChar.toString)  // DEL starts the next run
+    assert(t(160) === 322.toChar.toString)
+    assert(t(173) === 323.toChar.toString)  // soft hyphen, the last
+  }
+
+  test("initByteSymbols: UTF-8 decomposition through the table, ASCII identity") {
+    // pure printable ASCII: byte symbols == char symbols
+    assert(Bpe.initByteSymbols("low").toSeq === Bpe.initSymbols("low").toSeq)
+    // 'é' U+00E9 -> 0xC3 0xA9, both printable -> Latin-1 identity chars
+    assert(Bpe.initByteSymbols("é").toSeq ===
+      Seq(0xC3.toChar.toString, 0xA9.toChar.toString, "</w>"))
+    // 'א' U+05D0 -> 0xD7 0x90; 0x90 = 144 is non-printable -> chr(306)
+    assert(Bpe.initByteSymbols("א").toSeq ===
+      Seq(0xD7.toChar.toString, 306.toChar.toString, "</w>"))
+  }
+
+  test("byte-level training: ASCII parity with char-level, multi-byte merge learning") {
+    val docs = (Seq.fill(6)("low") ++ Seq.fill(4)("lower") ++
+      Seq.fill(5)("newest") ++ Seq.fill(3)("widest"))
+      .map(Tuple1(_)).toDF("text")
+    // parity on pure-ASCII: identical merges at every rank
+    val charMs = Bpe.train(docs, "text", k = 5)
+    val byteMs = Bpe.train(docs, "text", k = 5, init = Bpe.initByteSymbols)
+    assert(charMs === byteMs)
+    // a multi-byte word's byte pairs are learnable merge targets
+    val heb = Seq.fill(9)("אב").map(Tuple1(_)).toDF("text")
+    val ms = Bpe.trainIncremental(heb, "text", k = 2, batch = 2,
+      init = Bpe.initByteSymbols)
+    val enc = Bpe.encodeWord("אב", ms, Bpe.initByteSymbols)
+    // 4 bytes + </w> = 5 symbols collapse under 2 merges to 3
+    assert(enc.length === 3, enc.mkString("|"))
+  }
 }
