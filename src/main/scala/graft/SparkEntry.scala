@@ -356,6 +356,41 @@ object SparkEntry {
         sum("key").as("sum_keys"))
     }),
 
+    // CSV kwargs parity tail (io.py:19,29-31,40,54-57): one generated
+    // file exercising skipinitialspace (space after every delimiter),
+    // skip_blank_lines=false (planted blank line per key%10 bucket →
+    // all-null rows), true_values/false_values boolean sentinels on a
+    // dtype-declared column, and index_col (flag surfaces first —
+    // pinned via the first_col literal). Oracle recomputes every
+    // census straight from the orders fixture.
+    "csv_kwargs_tail" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"/root/repo/target/tmp/graft_csvkw_${dir.hashCode.toHexString}"
+      val keys = tbl(s, dir, "orders").where(col("o_orderkey") < 200)
+      val body = keys.select(lit(1L).as("ord"),
+        (col("o_orderkey") * 2).cast("long").as("sub"),
+        concat(col("o_orderkey"), lit(", "),
+          when(col("o_orderkey") % 3 === 0, "yes").otherwise("no")).as("line"))
+      val blanks = keys.where(col("o_orderkey") % 10 === 0)
+        .select(lit(1L).as("ord"),
+          (col("o_orderkey") * 2 + 1).cast("long").as("sub"), lit("").as("line"))
+      val pre = Seq((0L, 0L, "key,flag")).toDF("ord", "sub", "line")
+      pre.union(body).union(blanks).coalesce(1)
+        .sortWithinPartitions("ord", "sub")
+        .select("line").write.mode("overwrite").text(out)
+      val back = CsvReader.readCsv(s, out, CsvOptions(
+        skipinitialspace = true, skipBlankLines = false,
+        trueValues = Seq("yes"), falseValues = Seq("no"),
+        dtype = Map("flag" -> org.apache.spark.sql.types.BooleanType),
+        indexCol = Some("flag")))
+      back.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("key")).as("n_data"),
+        sum(when(col("flag") === true, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("flag") === false, 1L).otherwise(0L)).as("n_false"))
+        .withColumn("first_col", lit(back.columns.head))
+    }),
+
     // JSONL round-trip (§2.1 extension): write the documents slice as
     // JSON Lines through the sink, read back on the explicit-schema
     // fast path (no inference scan), aggregate. Oracle recomputes the
@@ -5467,6 +5502,15 @@ object SparkEntry {
         |  CAST(round(sum(v), 2) AS DOUBLE) AS sum_val,
         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_keys
         |FROM per""".stripMargin,
+    "csv_kwargs_tail" ->
+      """WITH ck AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 200)
+        |SELECT
+        |  CAST((SELECT count(*) FROM ck)
+        |    + (SELECT count(*) FROM ck WHERE k % 10 = 0) AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(*) FROM ck) AS BIGINT) AS n_data,
+        |  CAST((SELECT count(*) FROM ck WHERE k % 3 = 0) AS BIGINT) AS n_true,
+        |  CAST((SELECT count(*) FROM ck WHERE k % 3 <> 0) AS BIGINT) AS n_false,
+        |  'flag' AS first_col""".stripMargin,
     "filter_query" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |CAST(round(sum(l_extendedprice), 2) AS DOUBLE) AS sum_price

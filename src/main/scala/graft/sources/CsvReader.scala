@@ -88,7 +88,38 @@ final case class CsvOptions(
     // pandas `decimal` / `thousands`: numeric separator characters —
     // effective on dtype-declared numeric columns (see header doc)
     decimal: String = ".",
-    thousands: Option[String] = None)
+    thousands: Option[String] = None,
+    // pandas `index_col` (io.py:19): Spark frames have no index, so the
+    // named column is VALIDATED and moved to the front — the
+    // `reset_index()` shape of the same frame (documented divergence,
+    // same spirit as the `names` rightmost-binding rule)
+    indexCol: Option[String] = None,
+    // pandas `true_values`/`false_values` (io.py:29-30): sentinel
+    // strings parsed as booleans. Effective on dtype-declared
+    // BooleanType columns (the decimal/thousands rule: cross-engine
+    // sentinel parsing REQUIRES dtype); unmatched cells become null
+    trueValues: Seq[String] = Nil,
+    falseValues: Seq[String] = Nil,
+    // pandas `skipinitialspace` (io.py:31): skip spaces after the
+    // delimiter (Spark's ignoreLeadingWhiteSpace, off by default on
+    // read — same default as pandas)
+    skipinitialspace: Boolean = false,
+    // pandas `skip_blank_lines` (io.py:40, default true): when FALSE,
+    // blank lines become all-null rows (pandas' NaN rows); when true
+    // they are dropped (Spark's own default behavior)
+    skipBlankLines: Boolean = true,
+    // pandas `lineterminator` (io.py:54): explicit line separator
+    // (Spark's lineSep; None = auto-detect \r, \r\n, \n)
+    lineterminator: Option[String] = None,
+    // pandas `quoting` (io.py:56): "minimal" (default — quotes are
+    // processed) or "none" (csv.QUOTE_NONE: quote chars are plain data)
+    quoting: String = "minimal",
+    // pandas `doublequote` (io.py:57): "" inside a quoted field is an
+    // escaped quote. OFF by default here (divergence, documented):
+    // Spark's own CSV writer backslash-escapes quotes, so the
+    // round-trip default keeps `escape`; set true for pandas/RFC-4180
+    // CSVs, which overrides `escape` with the quote char
+    doublequote: Boolean = false)
 
 object CsvReader {
 
@@ -132,6 +163,10 @@ object CsvReader {
     opts.thousands.foreach(t =>
       require(t.length == 1 && t != opts.decimal,
         s"thousands must be one char distinct from decimal, got '$t'"))
+    require(opts.quoting == "minimal" || opts.quoting == "none",
+      s"quoting must be 'minimal' or 'none', got '${opts.quoting}'")
+    require(opts.trueValues.intersect(opts.falseValues).isEmpty,
+      "true_values and false_values must be disjoint")
     // decimal/thousands: the parser and schema inference know neither
     // separator, so the clean-then-cast rewrite below owns the numeric
     // conversion and inference must not pre-empt it with a misparse.
@@ -141,16 +176,28 @@ object CsvReader {
     // line-count pass (no shuffle); text-file splits keep line order.
     // skipfooter additionally needs the TOTAL count — one more job.
     val skipped: Option[org.apache.spark.sql.Dataset[String]] =
-      if (opts.skiprows == 0 && opts.skipfooter == 0) None
+      if (opts.skiprows == 0 && opts.skipfooter == 0 && opts.skipBlankLines) None
       else {
         val lines = spark.read.textFile(path).rdd.zipWithIndex()
         val upper: Long =
           if (opts.skipfooter == 0) Long.MaxValue
           else lines.count() - opts.skipfooter
-        Some(spark.createDataset(
-          lines.filter { case (_, i) => i >= opts.skiprows && i < upper }
-            .map(_._1))(
-          org.apache.spark.sql.Encoders.STRING))
+        var kept = lines
+          .filter { case (_, i) => i >= opts.skiprows && i < upper }
+          .map(_._1)
+        if (!opts.skipBlankLines) {
+          // pandas skip_blank_lines=False: a blank line is an all-null
+          // row. Rewrite it as (ncols−1) bare separators — the parser
+          // reads empty unquoted cells as null. ncols comes from the
+          // first non-blank line (assumes no quoted separators there —
+          // headers in practice never quote the delimiter).
+          val sepQ = java.util.regex.Pattern.quote(opts.sep)
+          val ncols = kept.filter(_.trim.nonEmpty).first()
+            .split(sepQ, -1).length
+          val nullLine = opts.sep * (ncols - 1)
+          kept = kept.map(l => if (l.trim.isEmpty) nullLine else l)
+        }
+        Some(spark.createDataset(kept)(org.apache.spark.sql.Encoders.STRING))
       }
     def load(rr: org.apache.spark.sql.DataFrameReader): DataFrame =
       skipped.map(rr.csv).getOrElse(rr.csv(path))
@@ -158,10 +205,15 @@ object CsvReader {
       .option("sep", opts.sep)
       .option("header", opts.header.toString)
       .option("encoding", opts.encoding)
-      .option("quote", opts.quote)
-      .option("escape", opts.escape)
+      // quoting='none' (csv.QUOTE_NONE): quote chars are plain data —
+      // a NUL quote char can never match; doublequote: RFC-4180 ""
+      // escaping = escape char IS the quote char
+      .option("quote", if (opts.quoting == "none") "\u0000" else opts.quote)
+      .option("escape", if (opts.doublequote) opts.quote else opts.escape)
+      .option("ignoreLeadingWhiteSpace", opts.skipinitialspace.toString)
       .option("mode", opts.mode)
       .option("samplingRatio", opts.samplingRatio.toString)
+    opts.lineterminator.foreach(l => r = r.option("lineSep", l))
     opts.comment.foreach(c => r = r.option("comment", c))
     opts.timestampFormat.foreach(f => r = r.option("timestampFormat", f))
     // pandas accepts a LIST of na_values (io.py:33); Spark's `nullValue`
@@ -171,9 +223,13 @@ object CsvReader {
 
     // The explicit-schema fast path hands numeric types to the PARSER,
     // which nulls separator-formatted cells ("1,5" as double) in
-    // PERMISSIVE mode — so it is disabled when cleaning is needed.
+    // PERMISSIVE mode — so it is disabled when cleaning is needed, and
+    // likewise when boolean sentinels must be mapped post-read (the
+    // parser would null "yes" in a BooleanType column).
+    val needsBool = (opts.trueValues.nonEmpty || opts.falseValues.nonEmpty) &&
+      opts.dtype.values.exists(_ == BooleanType)
     val fullDtype = opts.names.nonEmpty && opts.dtype.nonEmpty &&
-      opts.names.forall(opts.dtype.contains) && !needsClean
+      opts.names.forall(opts.dtype.contains) && !needsClean && !needsBool
     var df =
       if (fullDtype) {
         // Explicit schema: skips the inference pass entirely (fast path).
@@ -219,6 +275,14 @@ object CsvReader {
       df = df.select(df.columns.map { c =>
         opts.dtype.get(c) match {
           case Some(t: NumericType) if needsClean => cleanNumeric(col(c)).cast(t).as(c)
+          case Some(BooleanType) if needsBool =>
+            // true_values/false_values sentinel mapping (io.py:29-30):
+            // sentinel hits win; anything else is null (the PERMISSIVE
+            // convention — and ANSI-safe: no string→boolean cast ever
+            // runs on non-sentinel data)
+            when(col(c).isin(opts.trueValues.map(lit): _*), lit(true))
+              .when(col(c).isin(opts.falseValues.map(lit): _*), lit(false))
+              .otherwise(lit(null).cast(BooleanType)).as(c)
           case Some(t) => col(c).cast(t).as(c)
           case None => col(c)
         }
@@ -250,6 +314,13 @@ object CsvReader {
     opts.converters.foreach { case (c, f) => df = df.withColumn(c, f(col(c))) }
     opts.nrows.foreach(n => df = df.limit(n))
     if (opts.usecols.nonEmpty) df = df.select(opts.usecols.map(col): _*)
+    // index_col: Spark has no index — validate and surface the column
+    // FIRST (the reset_index() shape; see CsvOptions doc)
+    opts.indexCol.foreach { ic =>
+      require(df.columns.contains(ic),
+        s"index_col '$ic' is not a column (have: ${df.columns.mkString(", ")})")
+      df = df.select(col(ic) +: df.columns.filterNot(_ == ic).map(col).toSeq: _*)
+    }
     // The reference's `npartitions` means "number of read chunks"
     // (io.py:73), not "shuffle everything". Reducing → shuffle-free
     // coalesce; increasing → repartition (unavoidable shuffle, explicit

@@ -202,4 +202,81 @@ class CsvReaderSpec extends SparkSpec {
     val up = CsvReader.readCsv(spark, p, CsvOptions(npartitions = Some(5)))
     assert(up.rdd.getNumPartitions == 5)
   }
+
+  test("index_col surfaces the column first; unknown name is loud") {
+    val p = writeCsv("a,b,c", "1,2,3", "4,5,6")
+    val df = CsvReader.readCsv(spark, p, CsvOptions(indexCol = Some("b")))
+    assert(df.columns.toSeq == Seq("b", "a", "c"))
+    assert(df.count() == 2)
+    intercept[IllegalArgumentException] {
+      CsvReader.readCsv(spark, p, CsvOptions(indexCol = Some("zz"))).collect()
+    }
+  }
+
+  test("true_values/false_values map sentinels on dtype-declared boolean columns") {
+    val p = writeCsv("id,flag", "1,yes", "2,no", "3,maybe")
+    val df = CsvReader.readCsv(spark, p, CsvOptions(
+      dtype = Map("flag" -> BooleanType),
+      trueValues = Seq("yes"), falseValues = Seq("no")))
+    val got = df.collect().map(r => (r.getInt(0),
+      if (r.isNullAt(1)) null else r.getBoolean(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1, true), (2, false), (3, null)))
+    intercept[IllegalArgumentException] {
+      CsvReader.readCsv(spark, p, CsvOptions(
+        trueValues = Seq("x"), falseValues = Seq("x")))
+    }
+  }
+
+  test("skipinitialspace trims the space after the delimiter") {
+    val p = writeCsv("a,b", "1, x", "2, y")
+    val plain = CsvReader.readCsv(spark, p)
+    assert(plain.collect().map(_.getString(1)).sorted.toSeq == Seq(" x", " y"))
+    val trimmed = CsvReader.readCsv(spark, p, CsvOptions(skipinitialspace = true))
+    assert(trimmed.collect().map(_.getString(1)).sorted.toSeq == Seq("x", "y"))
+  }
+
+  test("skip_blank_lines=false keeps blank lines as all-null rows; true drops them") {
+    // (a trailing blank segment after the final \n is not a text line,
+    // so the second blank sits mid-file)
+    val p = writeCsv("a,b", "1,x", "", "2,y", "", "3,z")
+    val dropped = CsvReader.readCsv(spark, p)
+    assert(dropped.count() == 3)
+    val kept = CsvReader.readCsv(spark, p, CsvOptions(skipBlankLines = false))
+    assert(kept.count() == 5)
+    assert(kept.where("a IS NULL AND b IS NULL").count() == 2)
+    // composes with skiprows: the blank-line rewrite sees post-skip lines
+    val p2 = writeCsv("junk", "a,b", "1,x", "", "2,y")
+    val both = CsvReader.readCsv(spark, p2,
+      CsvOptions(skiprows = 1, skipBlankLines = false))
+    assert(both.count() == 3)
+    assert(both.where("a IS NULL").count() == 1)
+  }
+
+  test("lineterminator splits records on the given character") {
+    val dir = Files.createTempDirectory("graft_csv_ls")
+    val f = dir.resolve("data.csv")
+    Files.writeString(f, "a,b;1,x;2,y")
+    val df = CsvReader.readCsv(spark, f.toString,
+      CsvOptions(lineterminator = Some(";")))
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(df.count() == 2)
+  }
+
+  test("quoting='none' leaves quote chars as data; doublequote handles RFC-4180") {
+    val p = writeCsv("a,b", "1,\"x,ish\"", "2,plain")
+    val minimal = CsvReader.readCsv(spark, p)
+    assert(minimal.collect().map(_.getString(1)).sorted.toSeq ==
+      Seq("plain", "x,ish"))
+    val none = CsvReader.readCsv(spark, p, CsvOptions(quoting = "none"))
+    // quote chars are plain data: the quoted comma SPLITS the field
+    assert(none.collect().map(_.getString(1)).sorted.toSeq ==
+      Seq("\"x", "plain"))
+    intercept[IllegalArgumentException] {
+      CsvReader.readCsv(spark, p, CsvOptions(quoting = "all"))
+    }
+    // pandas-written CSV: "" inside a quoted field is an escaped quote
+    val p2 = writeCsv("a,b", "1,\"he said \"\"hi\"\"\"")
+    val dq = CsvReader.readCsv(spark, p2, CsvOptions(doublequote = true))
+    assert(dq.collect()(0).getString(1) == "he said \"hi\"")
+  }
 }
