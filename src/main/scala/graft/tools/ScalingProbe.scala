@@ -474,6 +474,135 @@ object ScalingProbe {
     println(sb.toString)
   }
 
+  /** Executed-plan broadcast/shuffle join mix (the q15 / tpch-probe
+    * technique). Walk AFTER execution so AQE's final choices are the
+    * ones counted. */
+  private def joinMix(df: DataFrame): (Int, Int) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    var bhj = 0
+    var sj = 0
+    def walk(p: SparkPlan): Unit = p.foreach {
+      case q: QueryStageExec => walk(q.plan)
+      case _: BroadcastHashJoinExec => bhj += 1
+      case _: BroadcastNestedLoopJoinExec => bhj += 1
+      case _: SortMergeJoinExec => sj += 1
+      case _: ShuffledHashJoinExec => sj += 1
+      case _ => ()
+    }
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => walk(other)
+    }
+    (bhj, sj)
+  }
+
+  /** 100× legs for the LM + analytics tiers (round-14 verdict item 6):
+    * the four headline ops at 10× vs 100× with the EXECUTED plan's
+    * broadcast/shuffle join mix recorded — a broadcast ladder silently
+    * flipping to a shuffle join at scale shows as a dropped B-count.
+    * The KN hot-slice ladder is EXPLICIT `broadcast()` hints bounded
+    * by hotK, so its B-count dropping at 100× is a hard failure
+    * (loud `require`), not a data point. */
+  private def runDeep100(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outPath: String, cpus: String): Unit = {
+    import graft.operators.{KneserNey, QualityClassifier, TextOps}
+    import graft.streaming.EventWindows
+    val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    def scaleEvents(copies: Int) = (0 until copies).map { k =>
+      ev1.select((col("user_id") + k * 10000000L).as("user_id"),
+        (col("ts") + expr(s"INTERVAL ${k * 7} SECONDS")).as("ts"),
+        col("event_type"))
+    }.reduce(_ unionAll _)
+    val n1 = docs1.count()
+    // (wall s, shuffle bytes, rows out, bhj, shuffle joins)
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), (Double, Long, Long, Int, Int)]
+    def once(build: () => DataFrame): (Double, Long, Long, Int, Int) = {
+      val df = build()
+      val t = System.nanoTime()
+      val rows = df.collect().length.toLong
+      val sec = (System.nanoTime() - t) / 1e9
+      val (b, s) = joinMix(df)
+      (sec, totalShuffleBytes(df), rows, b, s)
+    }
+    for (copies <- Seq(10, 100)) {
+      val docs = scaleDocs(docs1, copies).cache()
+      val nDocs = docs.count()
+      val ev = scaleEvents(copies).cache()
+      val nEv = ev.count()
+      results(("kn_trigram_score", copies)) = once { () =>
+        KneserNey.trigramLogProb(docs, docs, "doc_id", "text", hotK = 256)
+          .select(col("doc_id"), col("n_scored"))
+      }
+      // lr_train is multi-action: listener bytes, join mix n/a
+      val labelled = docs.withColumn("y",
+        exists(split(lower(col("text")), "\\s+"),
+          t => t.startsWith("dup")).cast("int"))
+      val (sec, bytes, rows) = timedListener(spark, { () =>
+        val m = QualityClassifier.trainLogistic(labelled, "text", "y",
+          numBuckets = 64, ns = Seq(1), seed = 13L, rounds = 10,
+          lr = 0.25, posWeight = 32L, binary = true)
+        QualityClassifier.modelFrame(labelled, m)
+      })
+      results(("lr_train", copies)) = (sec, bytes, rows, 0, 0)
+      results(("events_funnel", copies)) = once { () =>
+        EventWindows.funnel(ev, Seq("view", "click", "purchase"), 86400)
+          .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+            count(col("t3")).as("n3"))
+      }
+      val dimScaled = Integer.highestOneBit(256 * copies)
+      results(("tfidf_nn_scaled", copies)) = once { () =>
+        val sparse = TextOps.hashedTfidf(docs, "doc_id", "text",
+          dim = dimScaled, seed = 13L)
+        TextOps.tfidfNearestNeighbor(
+          sparse.where(col("doc_id") < 30), sparse, "doc_id",
+          maxDf = (n1 * copies * 9) / 10)
+      }
+      println(s"[scaling-deep100] copies=$copies nDocs=$nDocs nEv=$nEv done")
+      docs.unpersist(); ev.unpersist()
+    }
+    // the KN hot-slice broadcasts are explicit hints bounded by hotK —
+    // the ladder must NOT lose a broadcast between 10× and 100×
+    val knB10 = results(("kn_trigram_score", 10))._4
+    val knB100 = results(("kn_trigram_score", 100))._4
+    require(knB100 >= knB10,
+      s"KN broadcast ladder flipped at 100×: $knB10 broadcasts at 10× " +
+        s"but $knB100 at 100×")
+    val head = Provenance.gitHead
+    val dirty = Provenance.gitTreeDirty
+    val sb = new StringBuilder
+    sb ++= "\n## 100× legs — LM + analytics tiers (round 15)\n\n"
+    sb ++= s"Generated by `graft.tools.ScalingProbe deep100` at git `$head`" +
+      s"${if (dirty) " (DIRTY tree)" else ""}, fixtures `$sfDir`, local[$cpus]. " +
+      "Same corpus recipes as the 30× tables; single-run timing (a hidden " +
+      "quadratic would show as ~100×, far above noise). `joins B/S` is the " +
+      "EXECUTED plan's broadcast/shuffle join mix — the KN hot-slice ladder " +
+      "(explicit broadcast() hints, hotK-bounded) dropping a broadcast at " +
+      "100× fails the probe loudly; lr_train has no joins (listener bytes).\n\n"
+    sb ++= "| op | scale | rows out | wall s | shuffle MB | joins B/S |\n"
+    sb ++= "|---|---|---|---|---|---|\n"
+    for (((op, copies), (sec, bytes, rows, b, s)) <- results)
+      sb ++= f"| $op | ${copies}× | $rows | $sec%.2f | ${bytes / 1e6}%.1f | $b/$s |\n"
+    sb ++= "\n| op | time 100×/10× | shuffle 100×/10× (~10× = linear) | B-count kept |\n|---|---|---|---|\n"
+    for (op <- Seq("kn_trigram_score", "lr_train", "events_funnel",
+        "tfidf_nn_scaled")) {
+      val (s10, b10, _, j10, _) = results((op, 10))
+      val (s100, b100, _, j100, _) = results((op, 100))
+      val bRatio = if (b10 > 0) f"${b100.toDouble / b10}%.1f×" else "n/a"
+      val kept = if (op == "lr_train") "n/a" else (j100 >= j10).toString
+      sb ++= f"| $op | ${s100 / s10}%.1f× | $bRatio | $kept |\n"
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      sb.toString, java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    println(sb.toString)
+  }
+
   def main(args: Array[String]): Unit = {
     // the "100x"/"tpch" mode flag may appear at any position; positional
     // args (sfDir, outPath) are resolved from what remains, so
@@ -482,8 +611,10 @@ object ScalingProbe {
     val modeTpch = args.contains("tpch")
     val modeLm = args.contains("lm")
     val modeAnalytics = args.contains("analytics")
+    val modeDeep100 = args.contains("deep100")
     val positional = args.filterNot(a =>
-      a == "100x" || a == "tpch" || a == "lm" || a == "analytics")
+      a == "100x" || a == "tpch" || a == "lm" || a == "analytics" ||
+        a == "deep100")
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = if (positional.length > 1) positional(1) else "SCALING.md"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -509,6 +640,11 @@ object ScalingProbe {
     }
     if (modeAnalytics) {
       runAnalytics(spark, sfDir, outPath, cpus)
+      spark.stop()
+      return
+    }
+    if (modeDeep100) {
+      runDeep100(spark, sfDir, outPath, cpus)
       spark.stop()
       return
     }
