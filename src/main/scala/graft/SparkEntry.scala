@@ -2548,6 +2548,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Lossless WebP (VP8L): the gray gradient encoded through FIVE
+    // spec-conformant paths cycled by id (plain literals / subtract-
+    // green / predictor / color transform / 256-entry palette), all
+    // decoding to the same pixels — aHash over the full decode
+    // exercises every transform inverse; the oracle replays the
+    // gradient formula in closed form (the GIF gate's pattern).
+    "multimodal_webp" -> ((s, dir) => {
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 64 + 8).cast("int").as("w"),
+        (col("doc_id") % 48 + 8).cast("int").as("h"))
+      val media = Multimodal.encodeWebpFrame(dims, "doc_id", "w", "h")
+      Multimodal.aHashAnyFrame(media)
+        .select(col("media_id").as("doc_id"),
+          col("ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"))
+        .orderBy("doc_id")
+    }),
+    // WebP container metadata: RIFF walk + VP8L header fields of the
+    // generated payloads (format, 14-bit dims, alpha hint).
+    "multimodal_webp_meta" -> ((s, dir) => {
+      import s.implicits._
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 64 + 8).cast("int").as("w"),
+        (col("doc_id") % 48 + 8).cast("int").as("h"))
+      Multimodal.encodeWebpFrame(dims, "doc_id", "w", "h")
+        .select(col("media_id").cast("long"), col("data"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, d) =>
+          val m = graft.operators.WebpCodec.parseMeta(d)
+          (id, m.format, m.width, m.height, m.hasAlpha)
+        })
+        .toDF("doc_id", "format", "w", "h", "has_alpha")
+        .orderBy("doc_id")
+    }),
+
     // Animated-GIF metadata: REAL multi-frame payloads (every GCE
     // carries a delay), metadata read by a header walk that skips the
     // LZW data — the oracle replays frames, duration AND the per-frame
@@ -7249,6 +7286,38 @@ object SparkEntry {
     // Sampled rows follow aHashRaster's bottom-up convention over the
     // top-down GIF raster: visual row = h - 1 - (i//8)*h//8; gray
     // pixels make luma 3x the palette index.
+    "multimodal_webp" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars % 64 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 48 + 8 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id < 200
+        |), px AS (
+        |  SELECT doc_id, i,
+        |    3 * ((doc_id + sx * 7 + sy * 13) % 256) AS lum
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(range(0, 64)) AS i,
+        |      unnest(list_transform(range(0, 64), j -> (j % 8) * w // 8)) AS sx,
+        |      unnest(list_transform(range(0, 64), j -> h - 1 - (j // 8) * h // 8)) AS sy
+        |    FROM d)
+        |), tot AS (
+        |  SELECT doc_id, i, lum,
+        |    sum(lum) OVER (PARTITION BY doc_id) AS s
+        |  FROM px
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN i < 32 AND 64 * lum > s
+        |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |  CAST(sum(CASE WHEN i >= 32 AND 64 * lum > s
+        |    THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi
+        |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "multimodal_webp_meta" ->
+      """SELECT doc_id, 'vp8l' AS format,
+        |  CAST(n_chars % 64 + 8 AS INTEGER) AS w,
+        |  CAST(doc_id % 48 + 8 AS INTEGER) AS h,
+        |  TRUE AS has_alpha
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "multimodal_gif" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -75,6 +75,12 @@ object Multimodal {
       val wh = GifCodec.parseDimsGif(bytes)
       if (wh != null) return ("gif", wh._1, wh._2)
     }
+    if (WebpCodec.isWebp(bytes)) {
+      try {
+        val m = WebpCodec.parseMeta(bytes)
+        if (m.width > 0 && m.height > 0) return ("webp", m.width, m.height)
+      } catch { case _: IllegalArgumentException => () }
+    }
     ("unknown", 0, 0)
   }
 
@@ -284,6 +290,10 @@ object Multimodal {
         catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
       case "gif" =>
         try aHashRaster(GifCodec.decode(bytes))
+        catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
+      case "webp" =>
+        // lossless only; lossy VP8 payloads hash to null (metadata tier)
+        try aHashRaster(WebpCodec.decode(bytes))
         catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
       case _ => null
     }
@@ -1254,6 +1264,23 @@ object Multimodal {
       .mapPartitions(_.map { case (id, w, h) =>
         val il = interlaceEvery > 0 && id % interlaceEvery == 0
         (id, GifCodec.encodeGradient(id, w, h, interlaced = il))
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Distributed lossless-WebP (VP8L) encode of the deterministic gray
+    * gradient per (id, w, h) row — five spec-conformant encode paths
+    * cycled by id (plain / subtract-green / predictor / color
+    * transform / palette) that all decode to the SAME pixels, so one
+    * oracle formula exercises every decode path. Row-local. */
+  def encodeWebpFrame(dims: DataFrame, idCol: String, wCol: String,
+      hCol: String): DataFrame = {
+    val spark = dims.sparkSession
+    import spark.implicits._
+    dims.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        (id, WebpCodec.encodeGradientVariant(id, w, h))
       })
       .toDF("media_id", "data")
   }
