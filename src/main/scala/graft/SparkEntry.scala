@@ -2566,6 +2566,29 @@ object SparkEntry {
           shiftrightunsigned(col("ahash"), 32).as("ahash_hi"))
         .orderBy("doc_id")
     }),
+    // PACKED color-indexing decode path: a 16-gray palette packs two
+    // pixel indices per green byte (widthBits=1) — the sub-8-bit
+    // branch the 256-entry variant above never hits. Same closed-form
+    // aHash oracle over the 16-level gradient.
+    "multimodal_webp_packed" -> ((s, dir) => {
+      import s.implicits._
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 64 + 8).cast("int").as("w"),
+        (col("doc_id") % 48 + 8).cast("int").as("h"))
+      val media = dims.as[(Long, Int, Int)].mapPartitions(_.map {
+        case (id, w, h) =>
+          val pal = Array.tabulate(16)(i =>
+            0xff000000 | ((17 * i) << 16) | ((17 * i) << 8) | (17 * i))
+          (id, graft.operators.WebpCodec.encodeIndexed(w, h, pal,
+            (x, y) => ((id + x + y) % 16).toInt))
+      }).toDF("media_id", "data")
+      Multimodal.aHashAnyFrame(media)
+        .select(col("media_id").as("doc_id"),
+          col("ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"))
+        .orderBy("doc_id")
+    }),
     // WebP container metadata: RIFF walk + VP8L header fields of the
     // generated payloads (format, 14-bit dims, alpha hint).
     "multimodal_webp_meta" -> ((s, dir) => {
@@ -7295,6 +7318,32 @@ object SparkEntry {
         |), px AS (
         |  SELECT doc_id, i,
         |    3 * ((doc_id + sx * 7 + sy * 13) % 256) AS lum
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(range(0, 64)) AS i,
+        |      unnest(list_transform(range(0, 64), j -> (j % 8) * w // 8)) AS sx,
+        |      unnest(list_transform(range(0, 64), j -> h - 1 - (j // 8) * h // 8)) AS sy
+        |    FROM d)
+        |), tot AS (
+        |  SELECT doc_id, i, lum,
+        |    sum(lum) OVER (PARTITION BY doc_id) AS s
+        |  FROM px
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN i < 32 AND 64 * lum > s
+        |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |  CAST(sum(CASE WHEN i >= 32 AND 64 * lum > s
+        |    THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi
+        |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "multimodal_webp_packed" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars % 64 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 48 + 8 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id < 200
+        |), px AS (
+        |  SELECT doc_id, i,
+        |    3 * 17 * ((doc_id + sx + sy) % 16) AS lum
         |  FROM (
         |    SELECT doc_id,
         |      unnest(range(0, 64)) AS i,

@@ -45,8 +45,9 @@ object TextOps {
   /** n-gram-heuristic language ID: stopword-hit votes per language,
     * argmax with a fixed priority order (en > de > es > fr), `unknown`
     * when nothing hits. Deliberately simple and exactly mirrorable in
-    * SQL; a production pipeline would swap in a trained n-gram model
-    * behind the same column contract. */
+    * SQL — the cheap first-pass filter. The TRAINED replacement behind
+    * the same column contract is [[langIdTrain]]/[[langIdPredict]]
+    * (CCNet's actual stage: a char-n-gram multi-class linear model). */
   def langId(text: Column): Column = {
     val t = tokens(text)
     val en = stopwordHits(t, "en")
