@@ -132,9 +132,15 @@ object SparkEntry {
       // class weights 32/1/8 ~ inverse class frequency rounded to
       // powers of two (dup 5%, agg 76%, other 19%) — without them the
       // argmax collapses to the majority class
-      MultiClass.train(mcDocs(s, dir), mcFeats, "topic", mcLabels,
+      val docs = mcDocs(s, dir)
+      val m = MultiClass.train(docs, mcFeats, "topic", mcLabels,
         numBuckets = 64, rounds = 5, lr = 0.25,
         classWeights = Seq(32L, 1L, 8L))
+      // the lrModel persistence round-trip, multiclass edition
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mc_model" +
+        s"_${Integer.toHexString(dir.hashCode)}"
+      MultiClass.modelFrame(docs, m).write.mode("overwrite").parquet(path)
+      MultiClass.modelFromRows(s.read.parquet(path), mcLabels, numBuckets = 64)
     })
 
   /** Corpus for the byte-level BPE gates: every 5th document gets a
@@ -169,8 +175,14 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, TextOps.LangIdModel]()
   private def langidModel(s: SparkSession, dir: String): TextOps.LangIdModel =
     langidModelCache.computeIfAbsent(dir, { _ =>
-      TextOps.langIdTrain(langidCorpus(s, dir), "text", "lang", langs,
+      val m = TextOps.langIdTrain(langidCorpus(s, dir), "text", "lang", langs,
         numBuckets = 256, ns = Seq(2), seed = 13L, rounds = 5, lr = 0.25)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_lid_model" +
+        s"_${Integer.toHexString(dir.hashCode)}"
+      MultiClass.modelFrame(langidCorpus(s, dir), m.mc)
+        .write.mode("overwrite").parquet(path)
+      m.copy(mc = MultiClass.modelFromRows(s.read.parquet(path), langs,
+        numBuckets = 256))
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3749,6 +3761,29 @@ object SparkEntry {
         .select(col("doc_id"), col("score_dup"), col("score_agg"),
           col("score_other"), col("pred_label"))
         .orderBy("doc_id")),
+    // K-class evaluation census: per-class tp / support / predicted
+    // counts with precision/recall/F1 — one corpus scan to the
+    // K²-bounded confusion table, per-class arithmetic on that tiny
+    // frame (zero-division → 0, the scikit-learn convention). The
+    // oracle re-derives the census from its own replayed predictions.
+    "text_multiclass_metrics" -> ((s, dir) => {
+      val docs = mcDocs(s, dir)
+      val scored = MultiClass.scored(docs, mcFeats, mcModel(s, dir),
+        predCol = "pred_label")
+      MultiClass.evalMetrics(scored, mcLabels, "topic", "pred_label")
+        .orderBy("label")
+    }),
+    // One-row macro summary: unweighted class means with a PINNED
+    // left-to-right association (plain avg over K floats is partition-
+    // order-sensitive in the last ulp) + exact-integer accuracy.
+    "text_multiclass_macro" -> ((s, dir) => {
+      val docs = mcDocs(s, dir)
+      val scored = MultiClass.scored(docs, mcFeats, mcModel(s, dir),
+        predCol = "pred_label")
+      MultiClass.macroSummary(
+        MultiClass.evalMetrics(scored, mcLabels, "topic", "pred_label"),
+        mcLabels)
+    }),
     // TRAINED language ID (CCNet's actual stage: a fastText-shaped
     // char-n-gram multi-class linear model) on the deterministic
     // synthetic multilingual corpus: char-bigram features hashed into
@@ -4654,6 +4689,52 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT doc_id, -1 AS bucket FROM mc3_tk
        |)${mcOracleCte("mc3", 3, 64, 5, classWeights = Seq(32L, 1L, 8L))}""".stripMargin
+
+  /** Confusion census + per-class metrics over `mc3_scored` /
+    * `mc3_lab` — the [[graft.operators.MultiClass.evalMetrics]]
+    * replay: argmax predictions, K²-bounded confusion, per-class
+    * tp/support/predicted with the zero-division-→-0 convention and
+    * the same pinned round-then-F1 arithmetic. Ends with `mcm_f`. */
+  private lazy val mc3MetricsCte: String =
+    """, mcm_pred AS (
+      |  SELECT doc_id,
+      |    CASE WHEN p0 = greatest(p0, p1, p2) THEN 'dup'
+      |         WHEN p1 = greatest(p1, p2) THEN 'agg'
+      |         ELSE 'other' END AS pred
+      |  FROM mc3_scored
+      |), mcm_true AS (
+      |  SELECT doc_id,
+      |    CASE WHEN y0 = 1.0 THEN 'dup' WHEN y1 = 1.0 THEN 'agg'
+      |         ELSE 'other' END AS label
+      |  FROM mc3_lab
+      |), mcm_conf AS MATERIALIZED (
+      |  SELECT t.label, p.pred, CAST(count(*) AS BIGINT) AS n
+      |  FROM mcm_true t JOIN mcm_pred p USING (doc_id) GROUP BY 1, 2
+      |), mcm_per AS MATERIALIZED (
+      |  SELECT c.label,
+      |    CAST(coalesce((SELECT sum(n) FROM mcm_conf
+      |      WHERE label = c.label AND pred = c.label), 0) AS BIGINT) AS tp,
+      |    CAST(coalesce((SELECT sum(n) FROM mcm_conf
+      |      WHERE label = c.label), 0) AS BIGINT) AS n_true,
+      |    CAST(coalesce((SELECT sum(n) FROM mcm_conf
+      |      WHERE pred = c.label), 0) AS BIGINT) AS n_pred
+      |  FROM (SELECT unnest(['dup', 'agg', 'other']) AS label) c
+      |), mcm_met AS MATERIALIZED (
+      |  SELECT label, tp, n_true, n_pred,
+      |    CASE WHEN n_pred > 0
+      |      THEN round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+      |      ELSE 0.0 END AS precision,
+      |    CASE WHEN n_true > 0
+      |      THEN round(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+      |      ELSE 0.0 END AS recall
+      |  FROM mcm_per
+      |), mcm_f AS MATERIALIZED (
+      |  SELECT label, tp, n_true, n_pred, precision, recall,
+      |    CASE WHEN precision + recall > 0.0
+      |      THEN round((2.0 * (precision * recall)) / (precision + recall), 6)
+      |      ELSE 0.0 END AS f1
+      |  FROM mcm_met
+      |)""".stripMargin
 
   /** Synthetic multilingual corpus + char-bigram feats + 4-lang labels
     * for the `text_langid_trained`/`_confusion` oracles (prefix
@@ -8658,6 +8739,28 @@ object SparkEntry {
          |       WHEN p1 = greatest(p1, p2) THEN 'agg'
          |       ELSE 'other' END AS pred_label
          |FROM mc3_scored ORDER BY doc_id""".stripMargin,
+    "text_multiclass_metrics" ->
+      s"""$mc3BaseCte$mc3MetricsCte
+         |SELECT label, tp, n_true, n_pred, precision, recall, f1
+         |FROM mcm_f ORDER BY label""".stripMargin,
+    "text_multiclass_macro" ->
+      s"""$mc3BaseCte$mc3MetricsCte
+         |SELECT
+         |  round((((SELECT precision FROM mcm_f WHERE label = 'dup')
+         |    + (SELECT precision FROM mcm_f WHERE label = 'agg'))
+         |    + (SELECT precision FROM mcm_f WHERE label = 'other')) / 3.0, 6)
+         |    AS macro_precision,
+         |  round((((SELECT recall FROM mcm_f WHERE label = 'dup')
+         |    + (SELECT recall FROM mcm_f WHERE label = 'agg'))
+         |    + (SELECT recall FROM mcm_f WHERE label = 'other')) / 3.0, 6)
+         |    AS macro_recall,
+         |  round((((SELECT f1 FROM mcm_f WHERE label = 'dup')
+         |    + (SELECT f1 FROM mcm_f WHERE label = 'agg'))
+         |    + (SELECT f1 FROM mcm_f WHERE label = 'other')) / 3.0, 6)
+         |    AS macro_f1,
+         |  round(CAST((SELECT sum(tp) FROM mcm_f) AS DOUBLE)
+         |    / CAST((SELECT sum(n_true) FROM mcm_f) AS DOUBLE), 6)
+         |    AS accuracy""".stripMargin,
     "text_langid_trained" ->
       s"""$lidBaseCte
          |SELECT s.doc_id, s.lang,

@@ -183,6 +183,84 @@ object MultiClass {
     withScores.withColumn(predCol, pred).drop("__f")
   }
 
+  /** K-class confusion matrix: one row per (true label, predicted
+    * label) pair with counts — the K² census every multi-class eval
+    * starts from. One grouped aggregation, K²-bounded output. */
+  def confusion(scored: DataFrame, labelCol: String,
+      predCol: String): DataFrame =
+    scored.groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-class and macro-averaged precision / recall / F1 from a
+    * scored frame — the standard multi-class eval summary (macro =
+    * unweighted mean over classes, the fastText convention for
+    * imbalanced corpora; micro-P/R/F1 all equal accuracy for
+    * single-label tasks, so accuracy is reported once).
+    *
+    * Scale shape: ONE grouped aggregation to the K²-bounded confusion
+    * census, then the per-class arithmetic runs on that tiny frame —
+    * the corpus is scanned exactly once regardless of K. Every count
+    * is an exact long; the divisions are pinned (round 6dp), so any
+    * engine replays the metrics from its own census. A class with no
+    * predicted rows gets precision 0 (not null) — the scikit-learn
+    * zero-division convention; same for recall on an absent class. */
+  def evalMetrics(scored: DataFrame, labels: Seq[String],
+      labelCol: String, predCol: String): DataFrame = {
+    require(labels.nonEmpty, "need the class inventory")
+    val conf = confusion(scored, labelCol, predCol)
+      .localCheckpoint(true) // three consumers below
+    val perTrue = conf.groupBy("label").agg(sum("n").as("n_true"))
+    val perPred = conf.groupBy("pred").agg(sum("n").as("n_pred"))
+    val diag = conf.where(col("label") === col("pred"))
+      .select(col("label"), col("n").as("tp"))
+    val s = scored.sparkSession
+    import s.implicits._
+    val classes = labels.toDF("label")
+    val per = classes
+      .join(diag, Seq("label"), "left")
+      .join(perTrue, Seq("label"), "left")
+      .join(perPred.withColumnRenamed("pred", "label"), Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+      .withColumn("precision", when(col("n_pred") > 0L,
+        round(col("tp").cast(DoubleType) / col("n_pred").cast(DoubleType), 6))
+        .otherwise(lit(0.0)))
+      .withColumn("recall", when(col("n_true") > 0L,
+        round(col("tp").cast(DoubleType) / col("n_true").cast(DoubleType), 6))
+        .otherwise(lit(0.0)))
+      .withColumn("f1", when(col("precision") + col("recall") > 0.0,
+        round((lit(2.0) * (col("precision") * col("recall"))) /
+          (col("precision") + col("recall")), 6))
+        .otherwise(lit(0.0)))
+    per
+  }
+
+  /** One-row macro summary over [[evalMetrics]]' per-class frame:
+    * unweighted class means + overall accuracy. The class means use a
+    * PINNED left-to-right association in `labels` order (a plain avg
+    * over K floats is partition-order-sensitive in the last ulp —
+    * enough to flip a 6dp round on a boundary); accuracy is exact
+    * integer sums with one pinned division. K-bounded input. */
+  def macroSummary(perClass: DataFrame, labels: Seq[String]): DataFrame = {
+    val pivots = labels.flatMap { l =>
+      Seq(sum(when(col("label") === lit(l), col("precision"))).as(s"__p_$l"),
+        sum(when(col("label") === lit(l), col("recall"))).as(s"__r_$l"),
+        sum(when(col("label") === lit(l), col("f1"))).as(s"__f_$l"))
+    } ++ Seq(sum("tp").as("__tp"), sum("n_true").as("__nt"))
+    val one = perClass.agg(pivots.head, pivots.tail: _*)
+    def mean(prefix: String) = round(
+      labels.map(l => col(s"__${prefix}_$l")).reduceLeft(_ + _) /
+        lit(labels.size.toDouble), 6)
+    one.select(
+      mean("p").as("macro_precision"),
+      mean("r").as("macro_recall"),
+      mean("f").as("macro_f1"),
+      round(col("__tp").cast(DoubleType) / col("__nt").cast(DoubleType), 6)
+        .as("accuracy"))
+  }
+
   /** The trained model as a frame `(label, bucket, w_q)` — intercept
     * as bucket −1, zero weights omitted — the persistable artifact
     * ([[modelFromRows]] rebuilds it). */

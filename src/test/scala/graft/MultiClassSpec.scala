@@ -127,6 +127,41 @@ class MultiClassSpec extends SparkSpec {
     assert(acc === 1.0)
   }
 
+  test("evalMetrics/macroSummary: hand-computed K-class census with an absent class") {
+    import spark.implicits._
+    // truth:  a a a a b b c      pred: a a b a b a c
+    // a: tp=3 n_true=4 n_pred=4 → p=0.75  r=0.75  f1=0.75
+    // b: tp=1 n_true=2 n_pred=2 → p=0.5   r=0.5   f1=0.5
+    // c: tp=1 n_true=1 n_pred=1 → p=1 r=1 f1=1
+    // d: absent everywhere → 0/0/0 with p=r=f1=0 (zero-division rule)
+    val scored = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"), ("a", "a"),
+      ("b", "b"), ("b", "a"), ("c", "c")
+    ).toDF("y", "pred")
+    val per = MultiClass.evalMetrics(scored, Seq("a", "b", "c", "d"), "y", "pred")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(per.toSeq === Seq(
+      ("a", 3L, 4L, 4L, 0.75, 0.75, 0.75),
+      ("b", 1L, 2L, 2L, 0.5, 0.5, 0.5),
+      ("c", 1L, 1L, 1L, 1.0, 1.0, 1.0),
+      ("d", 0L, 0L, 0L, 0.0, 0.0, 0.0)))
+    val m = MultiClass.macroSummary(
+      MultiClass.evalMetrics(scored, Seq("a", "b", "c", "d"), "y", "pred"),
+      Seq("a", "b", "c", "d")).collect()(0)
+    // macro = ((0.75 + 0.5) + 1.0 + 0.0)/4 = 0.5625; accuracy = 5/7
+    assert(m.getAs[Double]("macro_precision") === 0.5625)
+    assert(m.getAs[Double]("macro_recall") === 0.5625)
+    assert(m.getAs[Double]("macro_f1") === 0.5625)
+    assert(m.getAs[Double]("accuracy") === math.rint(5.0 / 7.0 * 1e6) / 1e6)
+    // confusion census is the K²-bounded base table
+    val conf = MultiClass.confusion(scored, "y", "pred").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted
+    assert(conf.toSeq === Seq(("a", "a", 3L), ("a", "b", 1L),
+      ("b", "a", 1L), ("b", "b", 1L), ("c", "c", 1L)))
+  }
+
   test("loud contracts: labels, buckets, class weights, unknown model label") {
     val docs = toy()
     intercept[IllegalArgumentException] {
