@@ -179,4 +179,58 @@ class KneserNeySpec extends SparkSpec {
     // the only nested-loop is the 1-row totals attach
     assert(bnl <= 2, s"totals cross join only, got $bnl")
   }
+
+  /** Per-shuffle-stage (total, max-partition) bytes of an EXECUTED
+    * adaptive plan — the SkewSpec mapStats probe. */
+  private def shuffleStageBytes(
+      df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def walk(p: SparkPlan): Unit = p.foreach {
+      case s: ShuffleQueryStageExec =>
+        s.mapStats.foreach(ms =>
+          out += ((ms.bytesByPartitionId.sum, ms.bytesByPartitionId.max)))
+        walk(s.plan)
+      case q: QueryStageExec => walk(q.plan)
+      case _ => ()
+    }
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => walk(other)
+    }
+    out.toSeq
+  }
+
+  test("passenger salt spreads a hot gram across partitions (round-15 fix, measured)") {
+    // every trigram has w2 = 'the', so with hotK >= 1 EVERY probe row
+    // is a broadcast passenger on the w2 attach. The pre-fix salt
+    // hashed only the key columns — one synthetic key, the whole
+    // probe volume through ONE reduce partition. The fixed salt mixes
+    // row-varying columns, so no partition may dominate.
+    val pKey = "spark.sql.shuffle.partitions"
+    val bKey = "spark.sql.autoBroadcastJoinThreshold"
+    val (prevP, prevB) = (spark.conf.get(pKey), spark.conf.get(bKey))
+    try {
+      spark.conf.set(pKey, "32")
+      spark.conf.set(bKey, "-1") // keep residual joins real shuffles
+      import spark.implicits._
+      val docs = (0 until 3000).map { i =>
+        (i.toLong, s"w$i the x$i the y$i the z$i")
+      }.toDF("doc_id", "text")
+      val df = KneserNey.trigramLogProb(docs, docs, "doc_id", "text",
+        hotK = 8)
+      df.collect()
+      // the byte-dominant shuffle stage is the salted passenger
+      // exchange; bounded means its max partition carries well under
+      // the whole volume (32 partitions — uniform would be ~3%)
+      val (total, mx) = shuffleStageBytes(df).maxBy(_._1)
+      val frac = mx.toDouble / total
+      assert(frac < 0.25,
+        f"hot-gram passenger shuffle funnels: max partition carries $frac%.2f of the stage")
+    } finally {
+      spark.conf.set(pKey, prevP)
+      spark.conf.set(bKey, prevB)
+    }
+  }
 }
