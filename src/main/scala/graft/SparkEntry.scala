@@ -2601,6 +2601,33 @@ object SparkEntry {
           shiftrightunsigned(col("ahash"), 32).as("ahash_hi"))
         .orderBy("doc_id")
     }),
+    // ANIMATED WebP: VP8X/ANIM/ANMF container census (frames, total
+    // duration, loop count) + the LAST frame decoded through the ANMF
+    // walk and aHashed — frame f's pixels are gradient(id + f), so the
+    // oracle replays both the census and the last frame's hash in
+    // closed form (the animated-GIF gate's pattern).
+    "multimodal_webp_anim" -> ((s, dir) => {
+      import s.implicits._
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 40 + 8).cast("int").as("w"),
+        (col("doc_id") % 24 + 8).cast("int").as("h"),
+        (col("doc_id") % 3 + 2).cast("int").as("frames"),
+        (col("doc_id") % 10 + 40).cast("int").as("dur"),
+        (col("doc_id") % 4).cast("int").as("loop"))
+      spec.as[(Long, Int, Int, Int, Int, Int)].mapPartitions(_.map {
+        case (id, w, h, fr, dur, loop) =>
+          val bytes = graft.operators.WebpCodec.encodeAnimated(
+            id, w, h, fr, dur, loop)
+          val m = graft.operators.WebpCodec.parseMeta(bytes)
+          val last = graft.operators.WebpCodec.decodeAnimFrame(bytes, fr - 1)
+          val hash = Multimodal.aHashRaster(last)
+          (id, m.nFrames, m.durationMs, m.loopCount, m.width, m.height,
+            hash & 0xffffffffL, hash >>> 32)
+      }).toDF("doc_id", "n_frames", "duration_ms", "loop_count", "w", "h",
+        "ahash_lo", "ahash_hi")
+        .orderBy("doc_id")
+    }),
     // WebP container metadata: RIFF walk + VP8L header fields of the
     // generated payloads (format, 14-bit dims, alpha hint).
     "multimodal_webp_meta" -> ((s, dir) => {
@@ -7442,6 +7469,43 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN i >= 32 AND 64 * lum > s
         |    THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi
         |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "multimodal_webp_anim" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars % 40 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 24 + 8 AS BIGINT) AS h,
+        |    CAST(doc_id % 3 + 2 AS BIGINT) AS frames,
+        |    CAST(doc_id % 10 + 40 AS BIGINT) AS dur,
+        |    CAST(doc_id % 4 AS BIGINT) AS loop
+        |  FROM documents WHERE doc_id < 200
+        |), px AS (
+        |  SELECT doc_id, i,
+        |    3 * (((doc_id + frames - 1) + sx * 7 + sy * 13) % 256) AS lum
+        |  FROM (
+        |    SELECT doc_id, frames,
+        |      unnest(range(0, 64)) AS i,
+        |      unnest(list_transform(range(0, 64), j -> (j % 8) * w // 8)) AS sx,
+        |      unnest(list_transform(range(0, 64), j -> h - 1 - (j // 8) * h // 8)) AS sy
+        |    FROM d)
+        |), tot AS (
+        |  SELECT doc_id, i, lum,
+        |    sum(lum) OVER (PARTITION BY doc_id) AS s
+        |  FROM px
+        |), hashes AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN i < 32 AND 64 * lum > s
+        |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |    CAST(sum(CASE WHEN i >= 32 AND 64 * lum > s
+        |      THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi
+        |  FROM tot GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(d.frames AS INTEGER) AS n_frames,
+        |  CAST(d.frames * d.dur AS BIGINT) AS duration_ms,
+        |  CAST(d.loop AS INTEGER) AS loop_count,
+        |  CAST(d.w AS INTEGER) AS w, CAST(d.h AS INTEGER) AS h,
+        |  hx.ahash_lo, hx.ahash_hi
+        |FROM d JOIN hashes hx USING (doc_id) ORDER BY doc_id""".stripMargin,
     "multimodal_webp_meta" ->
       """SELECT doc_id, 'vp8l' AS format,
         |  CAST(n_chars % 64 + 8 AS INTEGER) AS w,

@@ -65,9 +65,15 @@ object WebpCodec {
   }
 
   /** Container metadata: format of the image payload, canvas
-    * dimensions, alpha/animation flags, chunk inventory. */
+    * dimensions, alpha/animation flags, chunk inventory, and the
+    * animation census (frame count / total duration / loop count —
+    * the fields a curation filter reads; 0 for still images). */
   final case class WebpMeta(format: String, width: Int, height: Int,
-      hasAlpha: Boolean, hasAnim: Boolean, chunkList: Seq[String])
+      hasAlpha: Boolean, hasAnim: Boolean, chunkList: Seq[String],
+      nFrames: Int = 0, durationMs: Long = 0L, loopCount: Int = 0)
+
+  private def le24(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16)
 
   def parseMeta(bytes: Array[Byte]): WebpMeta = {
     val cs = chunks(bytes)
@@ -76,6 +82,9 @@ object WebpCodec {
     var alpha = names.contains("ALPH")
     var anim = false
     var format = "unknown"
+    var nFrames = 0
+    var durMs = 0L
+    var loop = 0
     cs.foreach {
       case ("VP8X", off, sz) if sz >= 10 =>
         val flags = bytes(off) & 0xff
@@ -101,9 +110,100 @@ object WebpCodec {
           w = ((bytes(off + 6) & 0xff) | ((bytes(off + 7) & 0xff) << 8)) & 0x3fff
           h = ((bytes(off + 8) & 0xff) | ((bytes(off + 9) & 0xff) << 8)) & 0x3fff
         }
+      case ("ANIM", off, sz) if sz >= 6 =>
+        // 4 bytes BGRA background + LE16 loop count (container spec)
+        loop = (bytes(off + 4) & 0xff) | ((bytes(off + 5) & 0xff) << 8)
+      case ("ANMF", off, sz) if sz >= 16 =>
+        if (format == "unknown") format = "anim"
+        nFrames += 1
+        durMs += le24(bytes, off + 12)
       case _ => ()
     }
-    WebpMeta(format, w, h, alpha, anim, names)
+    WebpMeta(format, w, h, alpha, anim, names, nFrames, durMs, loop)
+  }
+
+  /** Decode frame `idx` (0-based) of an animated WebP: the ANMF
+    * chunk's embedded VP8L payload. Lossy frames are fenced like
+    * still lossy payloads. */
+  def decodeAnimFrame(bytes: Array[Byte], idx: Int): PngCodec.Raster = {
+    val anmf = chunks(bytes).filter(_._1 == "ANMF")
+    require(idx >= 0 && idx < anmf.length,
+      s"frame $idx out of range (have ${anmf.length})")
+    val (_, off, sz) = anmf(idx)
+    // frame payload: 16-byte ANMF header, then embedded chunks
+    var p = off + 16
+    val end = off + sz
+    while (p + 8 <= end) {
+      val cc = fourcc(bytes, p)
+      val csz = le32(bytes, p + 4)
+      if (cc == "VP8L") return decodeVp8l(bytes, p + 8, csz)
+      require(cc != "VP8 ",
+        "lossy VP8 animation frames are metadata-only (no DCT decoder)")
+      p += 8 + csz + (csz & 1)
+    }
+    throw new IllegalArgumentException(s"frame $idx has no VP8L payload")
+  }
+
+  private def putLe24(out: ArrayBuffer[Byte], v: Int): Unit = {
+    out += (v & 0xff).toByte
+    out += ((v >>> 8) & 0xff).toByte
+    out += ((v >>> 16) & 0xff).toByte
+  }
+
+  /** Encode an ANIMATED lossless WebP: VP8X (anim flag) + ANIM + one
+    * ANMF per frame, frame f's pixels = [[grayGradient]](id + f) via
+    * the cycling encode-path variants — every frame of one file can
+    * exercise a different VP8L path. */
+  def encodeAnimated(id: Long, w: Int, h: Int, nFrames: Int,
+      frameDurMs: Int, loopCount: Int): Array[Byte] = {
+    require(nFrames >= 1 && frameDurMs >= 0 && loopCount >= 0,
+      s"bad animation spec: $nFrames frames, $frameDurMs ms, loop $loopCount")
+    val body = ArrayBuffer.empty[Byte]
+    def putChunk(cc: String, payload: ArrayBuffer[Byte]): Unit = {
+      cc.getBytes("US-ASCII").foreach(body += _)
+      val sz = payload.length
+      body += (sz & 0xff).toByte
+      body += ((sz >>> 8) & 0xff).toByte
+      body += ((sz >>> 16) & 0xff).toByte
+      body += ((sz >>> 24) & 0xff).toByte
+      body ++= payload
+      if ((sz & 1) == 1) body += 0
+    }
+    // VP8X: flags (alpha 0x10 | anim 0x02), 3 reserved, 24-bit dims-1
+    val vp8x = ArrayBuffer[Byte](0x12.toByte, 0, 0, 0)
+    putLe24(vp8x, w - 1); putLe24(vp8x, h - 1)
+    putChunk("VP8X", vp8x)
+    val animP = ArrayBuffer[Byte](0, 0, 0, 0xff.toByte) // BGRA background
+    animP += (loopCount & 0xff).toByte
+    animP += ((loopCount >>> 8) & 0xff).toByte
+    putChunk("ANIM", animP)
+    for (f <- 0 until nFrames) {
+      val frameRiff = encodeGradientVariant(id + f, w, h)
+      val (_, voff, vsz) = chunks(frameRiff).find(_._1 == "VP8L").get
+      val anmf = ArrayBuffer.empty[Byte]
+      putLe24(anmf, 0); putLe24(anmf, 0)       // x/2, y/2
+      putLe24(anmf, w - 1); putLe24(anmf, h - 1)
+      putLe24(anmf, frameDurMs)
+      anmf += 0                                 // flags: blend, keep
+      "VP8L".getBytes("US-ASCII").foreach(anmf += _)
+      anmf += (vsz & 0xff).toByte
+      anmf += ((vsz >>> 8) & 0xff).toByte
+      anmf += ((vsz >>> 16) & 0xff).toByte
+      anmf += ((vsz >>> 24) & 0xff).toByte
+      for (i <- 0 until vsz) anmf += frameRiff(voff + i)
+      if ((vsz & 1) == 1) anmf += 0
+      putChunk("ANMF", anmf)
+    }
+    val out = new Array[Byte](12 + body.length)
+    "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+    val riffSz = 4 + body.length
+    out(4) = (riffSz & 0xff).toByte
+    out(5) = ((riffSz >>> 8) & 0xff).toByte
+    out(6) = ((riffSz >>> 16) & 0xff).toByte
+    out(7) = ((riffSz >>> 24) & 0xff).toByte
+    "WEBP".getBytes("US-ASCII").copyToArray(out, 8)
+    body.copyToArray(out, 12)
+    out
   }
 
   // ---------------------------------------------------------------

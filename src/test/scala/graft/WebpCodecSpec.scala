@@ -156,6 +156,32 @@ class WebpCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("animated WebP: VP8X/ANIM/ANMF round-trip, per-frame decode, census") {
+    val bytes = WebpCodec.encodeAnimated(7L, 20, 12, nFrames = 3,
+      frameDurMs = 40, loopCount = 2)
+    val m = WebpCodec.parseMeta(bytes)
+    assert(m.format === "anim")
+    assert(m.width === 20 && m.height === 12)
+    assert(m.hasAnim && m.hasAlpha)
+    assert(m.nFrames === 3)
+    assert(m.durationMs === 120L)
+    assert(m.loopCount === 2)
+    assert(m.chunkList === Seq("VP8X", "ANIM", "ANMF", "ANMF", "ANMF"))
+    // every frame decodes to its own gradient (the cycling encode
+    // paths land on different variants per frame)
+    for (f <- 0 until 3)
+      assertSamePixels(WebpCodec.grayGradient(7L + f, 20, 12),
+        WebpCodec.decodeAnimFrame(bytes, f))
+    intercept[IllegalArgumentException] {
+      WebpCodec.decodeAnimFrame(bytes, 3)
+    }
+    // still images report a zero animation census
+    val still = WebpCodec.parseMeta(WebpCodec.encode(
+      WebpCodec.grayGradient(1L, 8, 8)))
+    assert(still.nFrames === 0 && still.durationMs === 0L &&
+      still.loopCount === 0)
+  }
+
   test("loud contracts: truncated, non-webp, bad palette index") {
     intercept[IllegalArgumentException] {
       WebpCodec.parseMeta("RIFFxxxxWAVE".getBytes("US-ASCII"))
