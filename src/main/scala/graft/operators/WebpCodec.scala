@@ -206,6 +206,10 @@ object WebpCodec {
     out
   }
 
+  /** Decode-side raster cap (64M pixels ≈ 256 MB ARGB): corrupted
+    * headers must throw, never OOM an executor. */
+  val MaxPixels: Long = 1L << 26
+
   // ---------------------------------------------------------------
   // Bit I/O (LSB-first within bytes, the DEFLATE/VP8L convention)
   // ---------------------------------------------------------------
@@ -333,10 +337,16 @@ object WebpCodec {
       val nSym = br.bit() + 1
       val firstIs8 = br.bit() == 1
       val s0 = if (firstIs8) br.bits(8) else br.bits(1)
+      // 8-bit simple symbols can name up to 255 — a corrupt stream may
+      // exceed a small alphabet (distance = 40); refuse, don't index
+      require(s0 < alphabetSize,
+        s"simple-code symbol $s0 outside alphabet $alphabetSize")
       val lengths = new Array[Int](alphabetSize)
       if (nSym == 1) lengths(s0) = 1 // single-symbol: decoded with 0 bits
       else {
         val s1 = br.bits(8)
+        require(s1 < alphabetSize,
+          s"simple-code symbol $s1 outside alphabet $alphabetSize")
         lengths(s0) = 1
         lengths(s1) = 1
       }
@@ -547,6 +557,10 @@ object WebpCodec {
     br.bits(1) // alpha hint
     val version = br.bits(3)
     require(version == 0, s"unsupported VP8L version $version")
+    // allocation bound: a corrupted header's 14-bit dims can demand a
+    // 268M-pixel raster — a crawl-pipeline decoder must refuse, not OOM
+    require(w.toLong * h <= MaxPixels,
+      s"VP8L raster ${w}x$h exceeds the $MaxPixels-pixel decode bound")
     val argb = decodeImageStream(w, h, level0 = true, br)
     rasterOf(w, h, argb)
   }
@@ -562,6 +576,8 @@ object WebpCodec {
     val filter = (head >> 2) & 3
     require(method == 1,
       s"ALPH compression method $method unsupported (only 1 = lossless)")
+    require(w >= 1 && h >= 1 && w.toLong * h <= MaxPixels,
+      s"ALPH plane ${w}x$h out of decode bounds")
     val br = new BitReader(bytes, off + 1, off + sz)
     val argb = decodeImageStream(w, h, level0 = true, br)
     val a = argb.map(p => (p >>> 8) & 0xff)

@@ -46,7 +46,25 @@ class DecoderFuzzSpec extends AnyFunSuite {
       ("8b91090080aaaaaaeaff74a5f39555415415c004541554c44cc1e0002e7ea589" +
         "1477d860cc3382fac77ed43b675da26a12be2e4d91a48a1b9ffc35b64e321483" +
         "e955050003").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
-      b => Brotli.decode(b)))
+      b => Brotli.decode(b)),
+    // VP8L across the encode paths: plain literals, predictor
+    // transform, packed palette, and the animated container walk
+    ("webp-plain", graft.operators.WebpCodec.encode(
+      graft.operators.WebpCodec.grayGradient(7L, 24, 15)),
+      b => graft.operators.WebpCodec.decode(b)),
+    ("webp-pred", graft.operators.WebpCodec.encodePredicted(
+      graft.operators.WebpCodec.grayGradient(3L, 16, 11), mode = 11),
+      b => graft.operators.WebpCodec.decode(b)),
+    ("webp-pal", graft.operators.WebpCodec.encodeIndexed(21, 6,
+      Array.tabulate(16)(i => 0xff000000 | (17 * i * 0x010101)),
+      (x, y) => (x + y) % 16),
+      b => graft.operators.WebpCodec.decode(b)),
+    ("webp-anim", graft.operators.WebpCodec.encodeAnimated(
+      5L, 12, 9, nFrames = 2, frameDurMs = 40, loopCount = 1),
+      b => {
+        graft.operators.WebpCodec.parseMeta(b)
+        graft.operators.WebpCodec.decodeAnimFrame(b, 0)
+      }))
 
   test("bit-flip mutations fail with IllegalArgumentException or decode cleanly") {
     val rnd = new java.util.Random(2026)
