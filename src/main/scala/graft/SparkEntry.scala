@@ -3823,6 +3823,17 @@ object SparkEntry {
           col("score_en"), col("score_de"), col("score_es"), col("score_fr"))
         .orderBy("doc_id")
     }),
+    // CCNet confidence rejection: predictions whose best (rounded)
+    // score sits below the threshold become 'unknown' instead of a
+    // guess — the census shows which classes survive the cut at 0.55.
+    "text_langid_threshold" -> ((s, dir) => {
+      val corpus = langidCorpus(s, dir)
+      TextOps.langIdPredict(corpus, "text", langidModel(s, dir),
+          "lang_pred", minScore = 0.55)
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
     // Confusion census: the stopword HEURISTIC vs the TRAINED model on
     // the same multilingual corpus — the heuristic's en-priority bleeds
     // non-English rows into 'en' (every tail is English text), the
@@ -8836,6 +8847,18 @@ object SparkEntry {
          |  z.p3 AS score_fr
          |FROM lid_src s JOIN lid_scored z USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "text_langid_threshold" ->
+      s"""$lidBaseCte
+         |SELECT s.lang,
+         |  CASE WHEN greatest(z.p0, z.p1, z.p2, z.p3) >= 0.55 THEN
+         |    CASE WHEN z.p0 = greatest(z.p0, z.p1, z.p2, z.p3) THEN 'en'
+         |         WHEN z.p1 = greatest(z.p1, z.p2, z.p3) THEN 'de'
+         |         WHEN z.p2 = greatest(z.p2, z.p3) THEN 'es'
+         |         ELSE 'fr' END
+         |  ELSE 'unknown' END AS lang_pred,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM lid_src s JOIN lid_scored z USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
     "text_langid_confusion" ->
       s"""$lidBaseCte, lid_heur AS (
          |  SELECT doc_id,

@@ -95,11 +95,24 @@ object TextOps {
 
   /** Score + predict with a trained langid model: adds
     * `score_<lang>` columns (6dp) and the argmax `predCol` (earliest
-    * lang wins ties — the pinned priority order). Row-local. */
+    * lang wins ties — the pinned priority order). `minScore > 0` adds
+    * CCNet's confidence rejection: a document whose best score is
+    * below the threshold predicts `unknown` instead of a guess (the
+    * production langid contract — low-confidence pages are dropped or
+    * routed to a heavier model, never silently mislabeled). The
+    * comparison runs on the 6dp-ROUNDED scores, so the cut replays
+    * bit-for-bit in any engine. Row-local. */
   def langIdPredict(docs: DataFrame, textCol: String, m: LangIdModel,
-      predCol: String = "lang_pred"): DataFrame =
-    MultiClass.scored(docs,
+      predCol: String = "lang_pred", minScore: Double = 0.0): DataFrame = {
+    val scored = MultiClass.scored(docs,
       langFeats(col(textCol), m.ns, m.numBuckets, m.seed), m.mc, predCol)
+    if (minScore <= 0.0) scored
+    else {
+      val best = greatest(m.mc.labels.map(l => col(s"score_$l")): _*)
+      scored.withColumn(predCol,
+        when(best >= lit(minScore), col(predCol)).otherwise(lit("unknown")))
+    }
+  }
 
   /** Quality metrics struct: char/token counts, average token length,
     * stopword ratio, distinct-token ratio. The standard cheap filters a

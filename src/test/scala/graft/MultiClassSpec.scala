@@ -127,6 +127,27 @@ class MultiClassSpec extends SparkSpec {
     assert(acc === 1.0)
   }
 
+  test("langIdPredict minScore: low-confidence predictions become 'unknown'") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "the cat and the dog of the house", "en")
+      else (i.toLong, "der hund und die katze und das haus", "de")
+    }.toDF("doc_id", "text", "lang")
+    val m = TextOps.langIdTrain(docs, "text", "lang", Seq("en", "de"),
+      numBuckets = 128, ns = Seq(2), rounds = 5, lr = 0.25)
+    // threshold 0: every row gets a real label; threshold 1.0: scores
+    // are algebraic sigmoids strictly below 1, so EVERYTHING rejects
+    val open = TextOps.langIdPredict(docs, "text", m, "pred")
+    assert(open.where(col("pred") === "unknown").count() === 0)
+    val strict = TextOps.langIdPredict(docs, "text", m, "pred", minScore = 1.0)
+    assert(strict.where(col("pred") =!= "unknown").count() === 0)
+    // an attainable threshold keeps the confident rows' labels intact
+    val cut = TextOps.langIdPredict(docs, "text", m, "pred", minScore = 0.5)
+    assert(cut.where(col("pred") =!= "unknown")
+      .where(col("pred") =!= col("lang")).count() === 0,
+      "surviving predictions must still be correct")
+  }
+
   test("evalMetrics/macroSummary: hand-computed K-class census with an absent class") {
     import spark.implicits._
     // truth:  a a a a b b c      pred: a a b a b a c
