@@ -2021,6 +2021,36 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), round(col("sim"), 4).as("sim"))
         .orderBy("query_id")
     }),
+    // FAISS-style IVF-PQ (by_residual=false): coarse cells + PQ codes
+    // only — the searchable index is bytes-per-vector, raw vectors
+    // never touched at query time. Exact query copies are planted in
+    // the corpus: a planted copy shares its query's argmax cell (same
+    // vector → same top probe), so each query's best ADC distance must
+    // equal the GLOBAL minimum Σ_s min_code d²(q_s, codebook) — which
+    // the oracle re-derives from its own full PQ-training replay.
+    "simsearch_ivfpq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val planted = q.select((col("query_id") + 100000).as("corpus_id"),
+        Similarity.asDoubleVec(col("qv")).as("cv"))
+      val c = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("corpus_id"),
+          Similarity.asDoubleVec(col("embedding")).as("cv"))
+        .unionAll(planted)
+      val (asg, cents, cbs) = Similarity.ivfPqIndex(c, "corpus_id", "cv",
+        nCells = 16, m = 2, k = 4)
+      val tmp = scratchDir("ivfpq_idx")
+      asg.write.mode("overwrite").parquet(s"$tmp/assignments")
+      cents.write.mode("overwrite").parquet(s"$tmp/centroids")
+      cbs.write.mode("overwrite").parquet(s"$tmp/codebooks")
+      Similarity.ivfPqSearch(q, "query_id", "qv",
+          s.read.parquet(s"$tmp/assignments"), s.read.parquet(s"$tmp/centroids"),
+          s.read.parquet(s"$tmp/codebooks"), "corpus_id", k = 10, nProbe = 4)
+        .groupBy("query_id")
+        .agg(round(min("dist"), 4).as("best_dist"))
+        .orderBy("query_id")
+    }),
     // ANN quality gate: mean recall@10 of IVF vs exact brute force,
     // gated against a documented floor. Measured ≈ 0.48-0.50 at
     // sf0.01/sf0.1 — the nProbe/nCells = 1/4 baseline expected on this
@@ -7001,6 +7031,59 @@ object SparkEntry {
     "simsearch_recall" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    // full PQ-training replay over the planted corpus; the best ADC
+    // distance per query is the global minimum (the planted exact copy
+    // attains it inside a probed cell)
+    "simsearch_ivfpq" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), pqc AS (
+        |  SELECT vec_id, v FROM emb WHERE vec_id >= 5
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, v FROM emb WHERE vec_id < 5
+        |), sub AS (
+        |  SELECT vec_id, v[1:32] AS s0, v[33:64] AS s1 FROM pqc
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+        |    list_transform(s0, x -> round(x, 9)) AS c0,
+        |    list_transform(s1, x -> round(x, 9)) AS c1
+        |  FROM sub ORDER BY vec_id LIMIT 4
+        |), a0 AS (
+        |  SELECT vec_id, s0, s1,
+        |    (SELECT s.code FROM seeds s
+        |      ORDER BY list_distance(sub.s0, s.c0), s.code LIMIT 1) AS k0,
+        |    (SELECT s.code FROM seeds s
+        |      ORDER BY list_distance(sub.s1, s.c1), s.code LIMIT 1) AS k1
+        |  FROM sub
+        |), m0 AS (
+        |  SELECT code, dim, round(sum(x) / count(*), 9) AS mx
+        |  FROM (SELECT k0 AS code, generate_subscripts(s0, 1) AS dim,
+        |          unnest(s0) AS x FROM a0)
+        |  GROUP BY code, dim
+        |), n0 AS (
+        |  SELECT code, list(mx ORDER BY dim) AS c FROM m0 GROUP BY code
+        |), m1 AS (
+        |  SELECT code, dim, round(sum(x) / count(*), 9) AS mx
+        |  FROM (SELECT k1 AS code, generate_subscripts(s1, 1) AS dim,
+        |          unnest(s1) AS x FROM a0)
+        |  GROUP BY code, dim
+        |), n1 AS (
+        |  SELECT code, list(mx ORDER BY dim) AS c FROM m1 GROUP BY code
+        |), cent AS MATERIALIZED (
+        |  SELECT s.code, coalesce(n0.c, s.c0) AS c0, coalesce(n1.c, s.c1) AS c1
+        |  FROM seeds s
+        |  LEFT JOIN n0 ON s.code = n0.code
+        |  LEFT JOIN n1 ON s.code = n1.code
+        |), q AS (
+        |  SELECT vec_id AS query_id, v[1:32] AS q0, v[33:64] AS q1
+        |  FROM emb WHERE vec_id < 5
+        |)
+        |SELECT query_id,
+        |  CAST(round(
+        |    (SELECT min(power(list_distance(q.q0, c.c0), 2)) FROM cent c)
+        |    + (SELECT min(power(list_distance(q.q1, c.c1), 2)) FROM cent c),
+        |    4) AS DOUBLE) AS best_dist
+        |FROM q ORDER BY query_id""".stripMargin,
     "dedup_embedding" ->
       """WITH base AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings

@@ -166,6 +166,47 @@ object Quantization {
     * per-query window funnel). Corpus ids must be integral (the
     * TopKAgg id contract). Ties break to the lower corpus id.
     * Returns (qId, cId, rank, dist) with dist = summed squared L2. */
+  /** Flattened per-query ADC lookup table: squared L2 from each query
+    * subvector to every codebook entry (m·nCodes doubles). */
+  private[operators] def adcLut(qVec: Column,
+      codebooks: Array[Array[Array[Double]]]): Column = {
+    val subDim = codebooks(0)(0).length
+    val qv = asDoubleVec(qVec)
+    flatten(array(codebooks.indices.map(s =>
+      CentroidSims.centroidDistsSq(subvec(qv, subDim, s), codebooks(s))): _*))
+  }
+
+  /** ADC distance of a code array against an ALIASED lut column. */
+  private[operators] def adcDist(codesCol: Column, lutCol: Column,
+      m: Int, nCodes: Int): Column =
+    aggregate(
+      zip_with(codesCol, sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(lutCol, s * nCodes + c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Rebuild codebooks from a persisted `(sub, code, vec)` frame —
+    * bounded m·k model read; gaps or duplicates fail loudly. */
+  private[graft] def codebooksFromDf(codebookDf: DataFrame,
+      ctx: String): Array[Array[Array[Double]]] = {
+    val rows = codebookDf
+      .orderBy(col("sub"), col("code"))
+      .select(col("sub").cast("int"), col("code").cast("int"),
+        asDoubleVec(col("vec")))
+      .collect()
+    require(rows.nonEmpty, s"$ctx: empty codebook table")
+    val m = rows.map(_.getInt(0)).max + 1
+    val nCodes = rows.map(_.getInt(1)).max + 1
+    require(rows.length == m * nCodes,
+      s"$ctx: codebook table has ${rows.length} rows, expected $m×$nCodes")
+    val cbs = Array.ofDim[Array[Double]](m, nCodes)
+    rows.foreach { r =>
+      require(cbs(r.getInt(0))(r.getInt(1)) == null,
+        s"$ctx: duplicate codebook entry (${r.getInt(0)}, ${r.getInt(1)})")
+      cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    cbs
+  }
+
   def adcTopK(
       queries: DataFrame, qId: String, qVec: String,
       codes: DataFrame, cId: String, codesCol: String,
@@ -173,15 +214,8 @@ object Quantization {
     require(k > 0)
     val m = codebooks.length
     val nCodes = codebooks(0).length
-    val subDim = codebooks(0)(0).length
-    val qv = asDoubleVec(col(qVec))
-    val lut = flatten(array((0 until m).map(s =>
-      CentroidSims.centroidDistsSq(subvec(qv, subDim, s), codebooks(s))): _*))
-    val q = queries.select(col(qId), lut.as("__lut"))
-    val dist = aggregate(
-      zip_with(col(codesCol), sequence(lit(0), lit(m - 1)),
-        (c, s) => element_at(col("__lut"), s * nCodes + c + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    val q = queries.select(col(qId), adcLut(col(qVec), codebooks).as("__lut"))
+    val dist = adcDist(col(codesCol), col("__lut"), m, nCodes)
     val scored = codes.where(col(codesCol).isNotNull)
       .crossJoin(broadcast(q))
       .select(col(qId), col(cId), dist.as("__dist"))
@@ -224,23 +258,7 @@ object Quantization {
   def adcAgainstIndex(
       queries: DataFrame, qId: String, qVec: String,
       codes: DataFrame, cId: String, codesCol: String,
-      codebookDf: DataFrame, k: Int): DataFrame = {
-    val rows = codebookDf
-      .orderBy(col("sub"), col("code"))
-      .select(col("sub").cast("int"), col("code").cast("int"),
-        asDoubleVec(col("vec")))
-      .collect()
-    require(rows.nonEmpty, "adcAgainstIndex: empty codebook table")
-    val m = rows.map(_.getInt(0)).max + 1
-    val nCodes = rows.map(_.getInt(1)).max + 1
-    require(rows.length == m * nCodes,
-      s"adcAgainstIndex: codebook table has ${rows.length} rows, expected $m×$nCodes")
-    val cbs = Array.ofDim[Array[Double]](m, nCodes)
-    rows.foreach { r =>
-      require(cbs(r.getInt(0))(r.getInt(1)) == null,
-        s"adcAgainstIndex: duplicate codebook entry (${r.getInt(0)}, ${r.getInt(1)})")
-      cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
-    }
-    adcTopK(queries, qId, qVec, codes, cId, codesCol, cbs, k)
-  }
+      codebookDf: DataFrame, k: Int): DataFrame =
+    adcTopK(queries, qId, qVec, codes, cId, codesCol,
+      codebooksFromDf(codebookDf, "adcAgainstIndex"), k)
 }

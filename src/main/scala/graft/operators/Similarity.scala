@@ -441,22 +441,25 @@ object Similarity {
     * queries pick their top-nProbe cells row-locally, the slim query
     * batch broadcasts into the cell equi-join, candidates rescore with
     * exact cosine, k-rank. */
+  /** Top-nProbe cells for a query: sort (−sim, cell) structs
+    * ascending. `simsCol` must be an aliased attribute — the lambda
+    * body is evaluated per sequence element, so an inlined sims
+    * expression would be recomputed nCells times per row. */
+  private def probeCellsCol(simsCol: Column, nCents: Int,
+      nProbe: Int): Column = {
+    val structs = transform(sequence(lit(0), lit(nCents - 1)),
+      i => struct((-element_at(simsCol, i + 1)).as("neg"), i.as("cell")))
+    transform(slice(sort_array(structs), 1, nProbe), s => s.getField("cell"))
+  }
+
   private def ivfSearch(
       queries: DataFrame, qId: String, qVec: String,
       assigned: DataFrame, cId: String, cVec: String,
       cents: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
-    // Top-nProbe cells for a query: sort (−sim, cell) structs ascending.
-    // `simsCol` must be an aliased attribute — the lambda body is
-    // evaluated per sequence element, so an inlined sims expression
-    // would be recomputed nCells times per row.
-    def probeCells(simsCol: Column): Column = {
-      val structs = transform(sequence(lit(0), lit(cents.length - 1)),
-        i => struct((-element_at(simsCol, i + 1)).as("neg"), i.as("cell")))
-      transform(slice(sort_array(structs), 1, nProbe), s => s.getField("cell"))
-    }
     val qb = queries
       .select(col(qId), col(qVec), cellSimsFor(cents)(col(qVec)).as("__sims"))
-      .select(col(qId), col(qVec), explode(probeCells(col("__sims"))).as("cell"))
+      .select(col(qId), col(qVec),
+        explode(probeCellsCol(col("__sims"), cents.length, nProbe)).as("cell"))
     val scored = assigned.join(broadcast(qb), Seq("cell"))
       .select(col(qId), col(cId),
         cosineSim(asDoubleVec(col(qVec)), asDoubleVec(col(cVec))).as("sim"))
@@ -493,21 +496,100 @@ object Similarity {
     * ([[ivfIndex]]'s `(assignments, centroids)` read back from
     * storage). The centroid fetch is nCells rows — a bounded model
     * read, never corpus-sized. */
-  def ivfAgainstIndex(
-      queries: DataFrame, qId: String, qVec: String,
-      assignments: DataFrame, centroids: DataFrame, cId: String, cVec: String,
-      k: Int, nProbe: Int = 4): DataFrame = {
+  /** Rebuild the centroid array from a persisted `(cell, vec)` frame —
+    * a bounded nCells model read; gaps or duplicates fail loudly. */
+  private def centroidsFromDf(centroids: DataFrame,
+      ctx: String): Array[Array[Double]] = {
     val rows = centroids
       .orderBy(col("cell"))
       .select(col("cell").cast("int"), asDoubleVec(col("vec")).as("__v"))
       .collect()
-    require(rows.nonEmpty, "ivfAgainstIndex: empty centroid table")
+    require(rows.nonEmpty, s"$ctx: empty centroid table")
     rows.zipWithIndex.foreach { case (r, i) =>
       require(r.getInt(0) == i,
-        s"ivfAgainstIndex: centroid table has gap/dup at cell $i (got ${r.getInt(0)})")
+        s"$ctx: centroid table has gap/dup at cell $i (got ${r.getInt(0)})")
     }
-    val cents: Array[Array[Double]] = rows.map(_.getSeq[Double](1).toArray)
-    ivfSearch(queries, qId, qVec, assignments, cId, cVec, cents, k, nProbe)
+    rows.map(_.getSeq[Double](1).toArray)
+  }
+
+  def ivfAgainstIndex(
+      queries: DataFrame, qId: String, qVec: String,
+      assignments: DataFrame, centroids: DataFrame, cId: String, cVec: String,
+      k: Int, nProbe: Int = 4): DataFrame =
+    ivfSearch(queries, qId, qVec, assignments, cId, cVec,
+      centroidsFromDf(centroids, "ivfAgainstIndex"), k, nProbe)
+
+  /** FAISS-style IVF-PQ index (IndexIVFPQ with by_residual = false —
+    * PQ codebooks train on the RAW vectors, so one codebook set serves
+    * every cell and the same deterministic [[Quantization.pqTrain]]
+    * replay applies): the corpus is coarse-quantized into IVF cells
+    * and stored as PQ CODES ONLY — at 100 TB the searchable index is
+    * ~(4·m bytes + a cell id) per vector instead of the full float
+    * vectors, and a search touches only the probed cells' codes.
+    *
+    * Returns `(assignments, centroids, codebookDf)`:
+    * `assignments = (cell, <cId>, codes)` (write partitioned/bucketed
+    * on `cell` so probe joins co-locate), `centroids = (cell, vec)`
+    * (nCells rows), `codebookDf = (sub, code, vec)` (m·k rows). Both
+    * model tables are bounded — the compressed corpus is the only
+    * corpus-sized output. */
+  def ivfPqIndex(
+      corpus: DataFrame, cId: String, cVec: String,
+      nCells: Int = 16, m: Int = 2, k: Int = 4,
+      kmeansIters: Int = 1, pqIters: Int = 1)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(corpus, cId, cVec, nCells, kmeansIters)
+    val cbs = Quantization.pqTrain(corpus, cId, cVec, m, k, pqIters)
+    val assignments = corpus
+      .select(col(cId), col(cVec), cellSimsFor(cents)(col(cVec)).as("__sims"))
+      .select(argmaxCell(col("__sims")).as("cell"), col(cId),
+        when(col(cVec).isNotNull,
+          Quantization.pqEncodeCol(col(cVec), cbs)).as("codes"))
+    val centDf = cents.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "vec")
+    val codebookDf = (for {
+      s <- cbs.indices
+      c <- cbs(s).indices
+    } yield (s, c, cbs(s)(c).toSeq)).toDF("sub", "code", "vec")
+    (assignments, centDf, codebookDf)
+  }
+
+  /** Search a query batch against a persisted IVF-PQ index: queries
+    * pick their top-nProbe cells row-locally, the slim (qId, lut,
+    * cell) batch broadcasts into the cell equi-join, and candidates
+    * score by ADC over their stored codes — the raw corpus vectors are
+    * never touched. Ranking rides the k-bounded
+    * [[graft.functions.TopKAgg]] partial aggregate on negated distance
+    * (never a per-query window); ties break to the lower corpus id.
+    * Returns (qId, <cId>, rank, dist) with dist = summed squared
+    * subspace L2 (the ADC approximation). */
+  def ivfPqSearch(
+      queries: DataFrame, qId: String, qVec: String,
+      assignments: DataFrame, centroids: DataFrame, codebookDf: DataFrame,
+      cId: String, k: Int, nProbe: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val cents = centroidsFromDf(centroids, "ivfPqSearch")
+    val cbs = Quantization.codebooksFromDf(codebookDf, "ivfPqSearch")
+    val m = cbs.length
+    val nCodes = cbs(0).length
+    val qb = queries
+      .select(col(qId), col(qVec), cellSimsFor(cents)(col(qVec)).as("__sims"))
+      .select(col(qId), Quantization.adcLut(col(qVec), cbs).as("__lut"),
+        explode(probeCellsCol(col("__sims"), cents.length, nProbe)).as("cell"))
+    val scored = assignments.where(col("codes").isNotNull)
+      .join(broadcast(qb), Seq("cell"))
+      .select(col(qId), col(cId),
+        Quantization.adcDist(col("codes"), col("__lut"), m, nCodes).as("__dist"))
+      .where(col("__dist").isNotNull)
+    val topk = graft.functions.TopKAgg.topK(k)
+    scored
+      .groupBy(col(qId))
+      .agg(topk(negate(col("__dist")), col(cId).cast("long")).as("top"))
+      .select(col(qId), posexplode(col("top")).as(Seq("rank0", "s")))
+      .select(col(qId), col("s.id").as(cId),
+        (col("rank0") + 1).as("rank"), negate(col("s.sim")).as("dist"))
   }
 
   /** Recall@k of an ANN result against the exact brute-force result —

