@@ -423,7 +423,12 @@ object JpegCodec {
           comps = Array.tabulate(n) { i =>
             val o = seg + 6 + 3 * i
             val hv = bytes(o + 1) & 0xff
-            Component(bytes(o) & 0xff, hv >> 4, hv & 15, bytes(o + 2) & 0xff)
+            val c = Component(bytes(o) & 0xff, hv >> 4, hv & 15, bytes(o + 2) & 0xff)
+            // T.81 bounds — corrupt specs must require, never index OOB
+            require(c.h >= 1 && c.h <= 4 && c.v >= 1 && c.v <= 4,
+              s"bad sampling factors ${c.h}x${c.v}")
+            require(c.tq <= 3, s"quant table id ${c.tq} out of range")
+            c
           }
           comps.foreach { c =>
             require(c.h >= 1 && c.h <= 2 && c.v >= 1 && c.v <= 2,
@@ -453,6 +458,8 @@ object JpegCodec {
           while (o < end) {
             require(o + 17 <= end, "truncated DHT")
             val tcth = bytes(o) & 0xff
+            require((tcth >> 4) <= 1 && (tcth & 15) <= 3,
+              f"bad DHT class/id byte 0x$tcth%02X")
             val counts = Array.tabulate(16)(i => bytes(o + 1 + i) & 0xff)
             val nsym = counts.sum
             require(o + 17 + nsym <= end, "truncated DHT symbols")
@@ -470,6 +477,7 @@ object JpegCodec {
             val pqtq = bytes(o) & 0xff
             val pq = pqtq >> 4
             require(pq == 0 || pq == 1, "bad DQT precision")
+            require((pqtq & 15) <= 3, s"quant table id ${pqtq & 15} out of range")
             require(o + 1 + (if (pq == 0) 64 else 128) <= end, "truncated DQT table")
             val q = new Array[Int](64)
             var k = 0
@@ -499,6 +507,8 @@ object JpegCodec {
             val tdta = bytes(seg + 2 + 2 * i) & 0xff
             val ci = comps.indexWhere(_.id == cid)
             require(ci >= 0, s"scan references unknown component $cid")
+            require((tdta >> 4) <= 3 && (tdta & 15) <= 3,
+              f"bad SOS table ids 0x$tdta%02X")
             (ci, tdta >> 4, tdta & 15)
           }
           val dataStart = seg + 1 + 2 * ns + 3

@@ -64,7 +64,17 @@ class DecoderFuzzSpec extends AnyFunSuite {
       b => {
         graft.operators.WebpCodec.parseMeta(b)
         graft.operators.WebpCodec.decodeAnimFrame(b, 0)
-      }))
+      }),
+    // the three classic image decoders (a 36k-mutation soak was clean
+    // after the four JPEG table-id bounds landed)
+    ("png", graft.operators.PngCodec.encode(
+      graft.operators.WebpCodec.grayGradient(7L, 24, 15)),
+      b => graft.operators.PngCodec.decode(b)),
+    ("gif", graft.operators.GifCodec.encodeGradient(3L, 24, 15),
+      b => graft.operators.GifCodec.decode(b)),
+    ("jpeg", graft.operators.JpegCodec.encode(
+      graft.operators.WebpCodec.grayGradient(7L, 24, 15)),
+      b => graft.operators.JpegCodec.decode(b)))
 
   test("bit-flip mutations fail with IllegalArgumentException or decode cleanly") {
     val rnd = new java.util.Random(2026)
