@@ -332,7 +332,10 @@ object SparkEntry {
       val out = s"/root/repo/target/tmp/graft_csv_${dir.hashCode.toHexString}"
       li(s, dir).select("l_orderkey", "l_quantity", "l_returnflag")
         .write.mode("overwrite").option("header", "true").csv(out)
-      val back = CsvReader.readCsv(s, out, CsvOptions(header = true))
+      // Spark's writer backslash-escapes quotes → opt out of the
+      // pandas-default RFC-4180 doublequote for the read-back
+      val back = CsvReader.readCsv(s, out,
+        CsvOptions(header = true, doublequote = false))
       back.agg(
         count(lit(1)).as("n_rows"),
         round(sum("l_quantity"), 2).as("sum_qty"),

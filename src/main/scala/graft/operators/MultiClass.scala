@@ -60,6 +60,38 @@ object MultiClass {
     (featSum + lit(biasQ)).cast(DoubleType) / lit(QualityClassifier.WeightScale)
   }
 
+  /** Bucket count at or above which the weight matrix is broadcast and
+    * folded in a UDF instead of embedded as K plan literals: below it,
+    * the codegen'd `element_at(lit(w), …)` fold wins; above it the plan
+    * and task binary would grow as K×numBuckets (the round-15 advisory
+    * — at 2^20 buckets × 64 classes that is a half-GB plan). */
+  private[graft] val BroadcastBucketThreshold: Int = 1 << 12
+
+  /** All K margins as one `array<double>` column via a broadcast of the
+    * weight matrix — shipped once per executor, referenced O(1) in the
+    * plan. Identical integer arithmetic to [[marginCol]] (Long fold +
+    * intercept, one double division), so the two paths are bit-equal
+    * (pinned in MultiClassSpec). */
+  private def marginsBroadcastCol(docs: DataFrame, feats: Column,
+      wQ: Array[Array[Long]], biasQ: Array[Long]): Column = {
+    val bcW = docs.sparkSession.sparkContext.broadcast(wQ.map(_.clone()))
+    val bcB = docs.sparkSession.sparkContext.broadcast(biasQ.clone())
+    val f = udf { (buckets: Seq[Int]) =>
+      val w = bcW.value; val b = bcB.value
+      val out = new Array[Double](w.length)
+      var c = 0
+      while (c < w.length) {
+        var acc = b(c)
+        val it = buckets.iterator
+        while (it.hasNext) acc += w(c)(it.next())
+        out(c) = acc.toDouble / QualityClassifier.WeightScale
+        c += 1
+      }
+      out
+    }
+    f(feats)
+  }
+
   private def sigmoidAlgCol(z: Column): Column =
     lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))
 
@@ -81,7 +113,8 @@ object MultiClass {
     */
   def train(docs: DataFrame, featsCol: Column, labelCol: String,
       labels: Seq[String], numBuckets: Int, rounds: Int = 5,
-      lr: Double = 0.25, classWeights: Seq[Long] = Seq.empty): McModel = {
+      lr: Double = 0.25, classWeights: Seq[Long] = Seq.empty,
+      broadcastThreshold: Int = BroadcastBucketThreshold): McModel = {
     require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
       s"numBuckets must be a positive power of two, got $numBuckets")
     require(labels.size >= 2 && labels.size <= 64,
@@ -121,9 +154,17 @@ object MultiClass {
       require(maxAbsW <= (1L << 33),
         s"weight grid overflow risk (max |w_q| = $maxAbsW): training diverged; lower lr")
 
-      // per-class quantized residual, computed row-locally in ONE scan
+      // per-class quantized residual, computed row-locally in ONE scan;
+      // large models read margins from one broadcast-fold array column
+      val big = numBuckets >= broadcastThreshold
+      val src =
+        if (big) labelled.withColumn("__m",
+          marginsBroadcastCol(labelled, col("__f"), wQ, biasQ))
+        else labelled
       val rqCols = (0 until k).map { c =>
-        val p = sigmoidAlgCol(marginCol(col("__f"), wQ(c).clone(), biasQ(c)))
+        val z = if (big) element_at(col("__m"), c + 1)
+          else marginCol(col("__f"), wQ(c).clone(), biasQ(c))
+        val p = sigmoidAlgCol(z)
         val isPos = col("__lab") === lit(labels(c))
         val y = when(isPos, lit(1.0)).otherwise(lit(0.0))
         // class weight applied AFTER quantization: exact integer multiply
@@ -134,7 +175,7 @@ object MultiClass {
       // sentinel bucket −1 = the intercept: one occurrence per doc, so
       // all K bias gradients ride the same bounded aggregation
       val withBias = concat(array(lit(QualityClassifier.BiasBucket)), col("__f"))
-      val grad = labelled
+      val grad = src
         .select(rqCols :+ withBias.as("__fb"): _*)
         .select((0 until k).map(c => col(s"__r$c")) :+
           explode(col("__fb")).as("bucket"): _*)
@@ -166,12 +207,19 @@ object MultiClass {
     * a nested-fold expression would double per class (the Hilbert
     * unrolling trap). Row-local, zero shuffles. */
   def scored(docs: DataFrame, featsCol: Column, m: McModel,
-      predCol: String = "pred_label"): DataFrame = {
+      predCol: String = "pred_label",
+      broadcastThreshold: Int = BroadcastBucketThreshold): DataFrame = {
     val k = m.labels.size
-    val base = docs.withColumn("__f", featsCol)
+    val big = m.numBuckets >= broadcastThreshold
+    val base0 = docs.withColumn("__f", featsCol)
+    val base =
+      if (big) base0.withColumn("__m",
+        marginsBroadcastCol(base0, col("__f"), m.weightsQ, m.biasQ))
+      else base0
     val withScores = m.labels.indices.foldLeft(base) { (d, c) =>
-      d.withColumn(s"score_${m.labels(c)}",
-        round(sigmoidAlgCol(marginCol(col("__f"), m.weightsQ(c), m.biasQ(c))), 6))
+      val z = if (big) element_at(col("__m"), c + 1)
+        else marginCol(col("__f"), m.weightsQ(c), m.biasQ(c))
+      d.withColumn(s"score_${m.labels(c)}", round(sigmoidAlgCol(z), 6))
     }
     val pred = (1 until k).foldLeft(
       (lit(m.labels(0)), col(s"score_${m.labels(0)}"))) {
@@ -180,7 +228,7 @@ object MultiClass {
         (when(s > bs, lit(m.labels(c))).otherwise(bl),
           when(s > bs, s).otherwise(bs))
     }._1
-    withScores.withColumn(predCol, pred).drop("__f")
+    withScores.withColumn(predCol, pred).drop("__f", "__m")
   }
 
   /** K-class confusion matrix: one row per (true label, predicted

@@ -56,7 +56,8 @@ object WebpCodec {
     while (off + 8 <= bytes.length) {
       val cc = fourcc(bytes, off)
       val sz = le32(bytes, off + 4)
-      require(sz >= 0 && off + 8 + sz <= bytes.length,
+      // bound check in Long: sz near Int.MaxValue overflows an Int sum
+      require(sz >= 0 && off + 8L + sz <= bytes.length,
         s"truncated WebP chunk '$cc' at $off")
       out += ((cc, off + 8, sz))
       off += 8 + sz + (sz & 1) // chunks pad to even size
@@ -136,6 +137,10 @@ object WebpCodec {
     while (p + 8 <= end) {
       val cc = fourcc(bytes, p)
       val csz = le32(bytes, p + 4)
+      // mirror chunks(): a corrupt negative/oversized inner size must
+      // fail loudly, not hang the walk or index out of bounds
+      require(csz >= 0 && p + 8L + csz <= end,
+        s"truncated ANMF sub-chunk '$cc' at $p")
       if (cc == "VP8L") return decodeVp8l(bytes, p + 8, csz)
       require(cc != "VP8 ",
         "lossy VP8 animation frames are metadata-only (no DCT decoder)")

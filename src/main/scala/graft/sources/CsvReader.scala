@@ -114,12 +114,12 @@ final case class CsvOptions(
     // pandas `quoting` (io.py:56): "minimal" (default — quotes are
     // processed) or "none" (csv.QUOTE_NONE: quote chars are plain data)
     quoting: String = "minimal",
-    // pandas `doublequote` (io.py:57): "" inside a quoted field is an
-    // escaped quote. OFF by default here (divergence, documented):
-    // Spark's own CSV writer backslash-escapes quotes, so the
-    // round-trip default keeps `escape`; set true for pandas/RFC-4180
-    // CSVs, which overrides `escape` with the quote char
-    doublequote: Boolean = false)
+    // pandas `doublequote` (io.py:57, default True): "" inside a quoted
+    // field is an escaped quote — ON by default for pandas/RFC-4180
+    // parity (overrides `escape` with the quote char). Files written by
+    // Spark's own CSV writer backslash-escape quotes instead: pass
+    // doublequote=false (plus `escape`) to read those back.
+    doublequote: Boolean = true)
 
 object CsvReader {
 
@@ -190,12 +190,22 @@ object CsvReader {
           // row. Rewrite it as (ncols−1) bare separators — the parser
           // reads empty unquoted cells as null. ncols comes from the
           // first non-blank line (assumes no quoted separators there —
-          // headers in practice never quote the delimiter).
+          // headers in practice never quote the delimiter). Blank lines
+          // BEFORE that first non-blank line are dropped, as pandas
+          // always skips blanks preceding the header.
           val sepQ = java.util.regex.Pattern.quote(opts.sep)
-          val ncols = kept.filter(_.trim.nonEmpty).first()
-            .split(sepQ, -1).length
+          val indexed = kept.zipWithIndex()
+          val nonBlank = indexed.filter { case (l, _) => l.trim.nonEmpty }
+          require(!nonBlank.isEmpty(),
+            "skip_blank_lines=false: file has no non-blank lines after skiprows")
+          val (firstLine, firstIdx) = nonBlank.first()
+          val ncols = firstLine.split(sepQ, -1).length
           val nullLine = opts.sep * (ncols - 1)
-          kept = kept.map(l => if (l.trim.isEmpty) nullLine else l)
+          kept = indexed.flatMap { case (l, i) =>
+            if (l.trim.nonEmpty) Some(l)
+            else if (i < firstIdx) None // pre-header blank: always skipped
+            else Some(nullLine)
+          }
         }
         Some(spark.createDataset(kept)(org.apache.spark.sql.Encoders.STRING))
       }

@@ -250,6 +250,20 @@ class CsvReaderSpec extends SparkSpec {
       CsvOptions(skiprows = 1, skipBlankLines = false))
     assert(both.count() == 3)
     assert(both.where("a IS NULL").count() == 1)
+    // blank lines BEFORE the header are always skipped (pandas drops
+    // blanks preceding the header even with skip_blank_lines=False) —
+    // the header must be "a,b", not a rewritten bare-separator line
+    val p3 = writeCsv("", "", "a,b", "1,x", "", "2,y")
+    val pre = CsvReader.readCsv(spark, p3, CsvOptions(skipBlankLines = false))
+    assert(pre.columns.toSeq == Seq("a", "b"))
+    assert(pre.count() == 3)
+    assert(pre.where("a IS NULL AND b IS NULL").count() == 1)
+    // an all-blank file fails loudly, not with a bare first() error
+    val p4 = writeCsv("", "", "")
+    val ex = intercept[IllegalArgumentException] {
+      CsvReader.readCsv(spark, p4, CsvOptions(skipBlankLines = false))
+    }
+    assert(ex.getMessage.contains("no non-blank lines"))
   }
 
   test("lineterminator splits records on the given character") {
@@ -275,8 +289,13 @@ class CsvReaderSpec extends SparkSpec {
       CsvReader.readCsv(spark, p, CsvOptions(quoting = "all"))
     }
     // pandas-written CSV: "" inside a quoted field is an escaped quote
+    // — and, as in pandas, that is the DEFAULT (doublequote=true)
     val p2 = writeCsv("a,b", "1,\"he said \"\"hi\"\"\"")
-    val dq = CsvReader.readCsv(spark, p2, CsvOptions(doublequote = true))
+    val dq = CsvReader.readCsv(spark, p2)
     assert(dq.collect()(0).getString(1) == "he said \"hi\"")
+    // Spark-writer files backslash-escape instead: opt out to read back
+    val p3 = writeCsv("a,b", "1,\"he said \\\"hi\\\"\"")
+    val bs = CsvReader.readCsv(spark, p3, CsvOptions(doublequote = false))
+    assert(bs.collect()(0).getString(1) == "he said \"hi\"")
   }
 }

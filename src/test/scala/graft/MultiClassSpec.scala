@@ -183,6 +183,28 @@ class MultiClassSpec extends SparkSpec {
       ("b", "a", 1L), ("b", "b", 1L), ("c", "c", 1L)))
   }
 
+  test("broadcast margin path is bit-equal to the plan-literal path") {
+    // Large models (numBuckets >= BroadcastBucketThreshold) fold the
+    // margins over a broadcast weight matrix instead of K plan
+    // literals (round-15 advisory). Force the broadcast path at the
+    // gates' tiny bucket count and require bit-identical training AND
+    // scoring — the two paths do the same Long fold + one division.
+    val docs = toy()
+    val labels = Seq("pos", "neg")
+    val lit_ = MultiClass.train(docs, feats, "lab", labels, D, rounds = 6)
+    val bc = MultiClass.train(docs, feats, "lab", labels, D, rounds = 6,
+      broadcastThreshold = 1)
+    assert(bc.biasQ.toSeq === lit_.biasQ.toSeq)
+    assert(bc.weightsQ.map(_.toSeq).toSeq === lit_.weightsQ.map(_.toSeq).toSeq)
+    val a = MultiClass.scored(docs, feats, lit_)
+      .select("doc_id", "score_pos", "score_neg", "pred_label")
+      .orderBy("doc_id").collect().toSeq
+    val b = MultiClass.scored(docs, feats, lit_, broadcastThreshold = 1)
+      .select("doc_id", "score_pos", "score_neg", "pred_label")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("loud contracts: labels, buckets, class weights, unknown model label") {
     val docs = toy()
     intercept[IllegalArgumentException] {

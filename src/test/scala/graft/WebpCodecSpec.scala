@@ -182,6 +182,31 @@ class WebpCodecSpec extends AnyFunSuite {
       still.loopCount === 0)
   }
 
+  test("corrupt sizes fail loudly: Int-overflow outer chunk, negative ANMF sub-chunk") {
+    // outer chunk size near Int.MaxValue: the bound check must run in
+    // Long — an Int sum overflows negative and would pass (ADVICE r15)
+    val bb = java.nio.ByteBuffer.allocate(20)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(12)
+      .put("WEBP".getBytes("US-ASCII"))
+      .put("VP8L".getBytes("US-ASCII")).putInt(0x7ffffffc)
+    val ex = intercept[IllegalArgumentException] {
+      WebpCodec.parseMeta(bb.array())
+    }
+    assert(ex.getMessage.contains("truncated"))
+    // corrupt inner ANMF sub-chunk size (sign bit set): the frame walk
+    // must throw, never hang or index out of bounds
+    val anim = WebpCodec.encodeAnimated(7L, 20, 12, nFrames = 2,
+      frameDurMs = 40, loopCount = 0)
+    val (_, off, _) = WebpCodec.chunks(anim).find(_._1 == "ANMF").get
+    val bad = anim.clone()
+    bad(off + 16 + 7) = 0x80.toByte // embedded chunk's LE32 size top byte
+    val ex2 = intercept[IllegalArgumentException] {
+      WebpCodec.decodeAnimFrame(bad, 0)
+    }
+    assert(ex2.getMessage.contains("ANMF sub-chunk"))
+  }
+
   test("loud contracts: truncated, non-webp, bad palette index") {
     intercept[IllegalArgumentException] {
       WebpCodec.parseMeta("RIFFxxxxWAVE".getBytes("US-ASCII"))
