@@ -153,6 +153,15 @@ object SparkEntry {
         .otherwise(col("text")).as("text"))
   }
 
+  /** Corpus for the GPT-2 pre-tokenizer gates: [[bpeBytesCorpus]]
+    * whitespace-NORMALIZED (runs → one space, trimmed) — on such text
+    * the `(?!\S)` lookahead branch never fires differently from plain
+    * `\s+`, so the RE2-based DuckDB oracle replays the Java-regex
+    * pre-tokenization exactly (theorem pinned in BpeSpec). */
+  private def gpt2Corpus(s: SparkSession, dir: String): DataFrame =
+    bpeBytesCorpus(s, dir).select(col("doc_id"),
+      trim(regexp_replace(col("text"), "\\s+", " ")).as("text"))
+
   /** Deterministic synthetic multilingual corpus: every document gets
     * a language by `doc_id % 4` and that language's stopword phrase
     * prepended — the tail stays English text, so the stopword
@@ -3663,6 +3672,40 @@ object SparkEntry {
         (a.rank, a.left == b.left && a.right == b.right && a.rank == b.rank)
       }.toDF("rank", "same").orderBy("rank")
     }),
+    // GPT-2 pre-tokenization census over the normalized planted
+    // corpus: token count, space-prefixed count, distinct pre-tokens,
+    // and total chars — the last one pins the TILING property (the
+    // matches partition the text exactly, no char lost or doubled).
+    "text_gpt2_pretok" -> ((s, dir) => {
+      gpt2Corpus(s, dir)
+        .select(explode(Bpe.gpt2PreTokens(col("text"))).as("t"))
+        .agg(count(lit(1)).as("n_pretok"),
+          sum(when(col("t").startsWith(" "), 1L).otherwise(0L)).as("n_spaced"),
+          countDistinct(col("t")).as("n_distinct"),
+          sum(length(col("t"))).as("n_chars"))
+    }),
+    // GPT-2-shape byte-level BPE: the regex pre-tokenizer (case and
+    // leading space KEPT — the boundary is the Ġ space byte) + byte
+    // symbols with NO </w> terminal. The oracle re-derives the
+    // pre-tokenization (RE2 form on the normalized corpus), the
+    // bytes→unicode table, and all 3 training rounds CTE-for-CTE.
+    "text_bpe_gpt2_train" -> ((s, dir) => {
+      val ms = Bpe.trainIncremental(gpt2Corpus(s, dir), "text",
+        k = 3, batch = 3, init = Bpe.initGpt2Symbols,
+        tok = Bpe.gpt2PreTokens)
+      import s.implicits._
+      ms.map(m => (m.rank, m.left, m.right)).toDF("rank", "lhs", "rhs")
+        .orderBy("rank")
+    }),
+    // GPT-2 train + encode: per-doc token counts under the GPT-2
+    // merges (row-local, Java-regex pre-tokenizer in the closure).
+    "text_bpe_gpt2_encode" -> ((s, dir) => {
+      val docs = gpt2Corpus(s, dir)
+      val ms = Bpe.trainIncremental(docs, "text", k = 3, batch = 3,
+        init = Bpe.initGpt2Symbols, tok = Bpe.gpt2PreTokens)
+      Bpe.tokenCounts(docs, "doc_id", "text", ms, Bpe.initGpt2Symbols,
+        pretok = Bpe.gpt2Split).orderBy("doc_id")
+    }),
     // Unigram-LM tokenizer (Kudo 2018, SentencePiece family): seed 40
     // substrings + all chars, 2 hard-EM Viterbi rounds, count-prune to
     // 20 multis. The oracle replays the ENTIRE training — seeding,
@@ -5349,22 +5392,30 @@ object SparkEntry {
     * through the printable-identity / 256+n CASE — then three
     * pair-count → argmax → fixpoint-merge rounds identical to
     * [[bpeCtes]]. Ends with `bbseq3`. */
+  // byte b → its bytes→unicode table char: printable bytes are
+  // identity; bytes 0..32 → chr(256+b); 127..160 → chr(b+162);
+  // 173 → chr(323). Shared by the byte-level and GPT-2 BPE oracles.
+  private def duckByteMap(b: String) =
+    s"""CASE WHEN ($b BETWEEN 33 AND 126) OR ($b BETWEEN 161 AND 172)
+       |      OR ($b BETWEEN 174 AND 255) THEN chr($b)
+       |      WHEN $b <= 32 THEN chr(256 + $b)
+       |      WHEN $b BETWEEN 127 AND 160 THEN chr($b + 162)
+       |      ELSE chr(323) END""".stripMargin
+
+  /** char `c` → its UTF-8 bytes through [[duckByteMap]], as a DuckDB
+    * list expression (1/2/3-byte forms, arithmetically). */
+  private lazy val duckCharToSyms: String = {
+    def bmap(b: String) = duckByteMap(b)
+    s"""CASE WHEN ord(c) < 128 THEN [${bmap("ord(c)")}]
+       |    WHEN ord(c) < 2048 THEN
+       |      [${bmap("192 + ord(c) // 64")}, ${bmap("128 + ord(c) % 64")}]
+       |    ELSE [${bmap("224 + ord(c) // 4096")},
+       |      ${bmap("128 + (ord(c) // 64) % 64")}, ${bmap("128 + ord(c) % 64")}]
+       |    END""".stripMargin
+  }
+
   private lazy val bpeBytesCtes: String = {
-    // byte b → its table char: printable bytes are identity; bytes
-    // 0..32 → chr(256+b); 127..160 → chr(b+162); 173 → chr(323)
-    def bmap(b: String) =
-      s"""CASE WHEN ($b BETWEEN 33 AND 126) OR ($b BETWEEN 161 AND 172)
-         |      OR ($b BETWEEN 174 AND 255) THEN chr($b)
-         |      WHEN $b <= 32 THEN chr(256 + $b)
-         |      WHEN $b BETWEEN 127 AND 160 THEN chr($b + 162)
-         |      ELSE chr(323) END""".stripMargin
-    val charToSyms =
-      s"""CASE WHEN ord(c) < 128 THEN [${bmap("ord(c)")}]
-         |    WHEN ord(c) < 2048 THEN
-         |      [${bmap("192 + ord(c) // 64")}, ${bmap("128 + ord(c) % 64")}]
-         |    ELSE [${bmap("224 + ord(c) // 4096")},
-         |      ${bmap("128 + (ord(c) // 64) % 64")}, ${bmap("128 + ord(c) % 64")}]
-         |    END""".stripMargin
+    val charToSyms = duckCharToSyms
     val planted = Seq.fill(60)("אבג").mkString(" ")
     s"""WITH bb_docs AS (
        |  SELECT doc_id,
@@ -5395,6 +5446,53 @@ object SparkEntry {
        |  FROM bbseq2 CROSS JOIN bbm3
        |)""".stripMargin
   }
+
+  /** The GPT-2 pre-tokenizer in its RE2 (lookahead-free) form, SQL-
+    * escaped — exact on the whitespace-normalized gate corpus (see
+    * [[graft.operators.Bpe.Gpt2PretokPatternRe2]]). */
+  private lazy val duckGpt2Pat: String =
+    graft.operators.Bpe.Gpt2PretokPatternRe2.replace("'", "''")
+
+  /** Normalized planted corpus + GPT-2 pre-token word table (case and
+    * leading spaces kept, no `</w>`), shared by the GPT-2 BPE oracle
+    * chains. Ends with `gp_words`. */
+  private lazy val gpt2WordsCtes: String = {
+    val planted = Seq.fill(60)("אבג").mkString(" ")
+    s"""gp_docs AS (
+       |  SELECT doc_id, trim(regexp_replace(
+       |    CASE WHEN doc_id % 5 = 0 THEN text || ' $planted'
+       |         ELSE text END, '\\s+', ' ', 'g')) AS text
+       |  FROM documents
+       |), gp_words AS (
+       |  SELECT w AS word, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(text, '$duckGpt2Pat')) AS w
+       |    FROM gp_docs) GROUP BY w
+       |)""".stripMargin
+  }
+
+  /** GPT-2 byte-level BPE oracle chain (prefix `gp`): normalized
+    * corpus, regex pre-token word table, bytes→unicode symbolization
+    * with NO terminal, then three pair-count → argmax → fixpoint-merge
+    * rounds identical to [[bpeCtes]]. Ends with `gpseq3`. */
+  private lazy val bpeGpt2Ctes: String =
+    s"""WITH $gpt2WordsCtes, gpseq0 AS (
+       |  SELECT word, freq, concat(' ', array_to_string(flatten(list_transform(
+       |      regexp_extract_all(word, '.'), c -> $duckCharToSyms)),
+       |    ' '), ' ') AS seq
+       |  FROM gp_words
+       |), gpp1 AS (${bpePairCte("gpseq0")}
+       |), gpm1 AS (SELECT pr FROM gpp1 ORDER BY cnt DESC, pr LIMIT 1
+       |), gpseq1 AS (SELECT word, freq, ${bpeMergeFix("seq", "gpm1")} AS seq
+       |  FROM gpseq0 CROSS JOIN gpm1
+       |), gpp2 AS (${bpePairCte("gpseq1")}
+       |), gpm2 AS (SELECT pr FROM gpp2 ORDER BY cnt DESC, pr LIMIT 1
+       |), gpseq2 AS (SELECT word, freq, ${bpeMergeFix("seq", "gpm2")} AS seq
+       |  FROM gpseq1 CROSS JOIN gpm2
+       |), gpp3 AS (${bpePairCte("gpseq2")}
+       |), gpm3 AS (SELECT pr FROM gpp3 ORDER BY cnt DESC, pr LIMIT 1
+       |), gpseq3 AS (SELECT word, freq, ${bpeMergeFix("seq", "gpm3")} AS seq
+       |  FROM gpseq2 CROSS JOIN gpm3
+       |)""".stripMargin
 
   // ---- unigram-LM oracle (Unigram.scala's deterministic spec) ----
   // Gate shape: seed 40 substrings (len 2..4) + all chars, 2 hard-EM
@@ -8702,6 +8800,38 @@ object SparkEntry {
     "text_bpe_bytes_ascii_parity" ->
       """SELECT CAST(x AS INTEGER) AS rank, TRUE AS same
         |FROM range(8) t(x) ORDER BY rank""".stripMargin,
+    "text_gpt2_pretok" ->
+      s"""WITH $gpt2WordsCtes, gp_toks AS (
+         |  SELECT unnest(regexp_extract_all(text, '$duckGpt2Pat')) AS t
+         |  FROM gp_docs)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pretok,
+         |  CAST(sum(CASE WHEN t LIKE ' %' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_spaced,
+         |  CAST(count(DISTINCT t) AS BIGINT) AS n_distinct,
+         |  CAST(sum(len(t)) AS BIGINT) AS n_chars
+         |FROM gp_toks""".stripMargin,
+    "text_bpe_gpt2_train" ->
+      s"""$bpeGpt2Ctes
+         |SELECT rank, split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs
+         |FROM (
+         |  SELECT 0 AS rank, pr FROM gpm1
+         |  UNION ALL SELECT 1, pr FROM gpm2
+         |  UNION ALL SELECT 2, pr FROM gpm3)
+         |ORDER BY rank""".stripMargin,
+    "text_bpe_gpt2_encode" ->
+      s"""$bpeGpt2Ctes, gp_wordtok AS (
+         |  SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS ntok
+         |  FROM gpseq3
+         |), gp_docwords AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '$duckGpt2Pat')) AS w
+         |  FROM gp_docs
+         |), gp_sums AS (
+         |  SELECT doc_id, sum(ntok) AS n
+         |  FROM gp_docwords JOIN gp_wordtok ON w = word GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN gp_sums s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "text_bpe_encode" ->
       s"""$bpeCtes, wordtok AS (
          |  SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS ntok

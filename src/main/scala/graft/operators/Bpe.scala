@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer training and encoding (Sennrich et
@@ -107,10 +107,64 @@ object Bpe {
     out
   }
 
+  /** GPT-2's pre-tokenization pattern, verbatim (public algorithm,
+    * Radford et al. 2019 `encoder.py::pat`): contractions, optionally
+    * space-prefixed letter / number / punctuation runs, then
+    * whitespace — the `(?!\S)` lookahead makes a whitespace run
+    * before a non-space donate its final char as the next token's
+    * leading space. No lowercasing and no `</w>` terminal: the word
+    * boundary IS the leading-space byte (`Ġ` after bytes→unicode). */
+  val Gpt2PretokPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+"
+
+  /** Lookahead-free (RE2-compatible) variant of [[Gpt2PretokPattern]]:
+    * provably identical output on text with no whitespace run of
+    * length ≥ 2 — the lookahead branch only diverges inside multi-char
+    * runs followed by a non-space (it splits off all but the last
+    * char; plain `\s+` swallows the whole run). The DuckDB oracles
+    * whitespace-normalize first and use this form; BpeSpec pins the
+    * equivalence theorem in-engine on the gate corpus. */
+  val Gpt2PretokPatternRe2: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  private lazy val gpt2Regex = java.util.regex.Pattern.compile(Gpt2PretokPattern)
+
+  /** Row-local GPT-2 pre-tokenization (for the encode path). The
+    * matches tile the input exactly: every char lands in one token. */
+  def gpt2Split(text: String): Iterator[String] = {
+    val m = gpt2Regex.matcher(Option(text).getOrElse(""))
+    new Iterator[String] {
+      private var has = m.find()
+      def hasNext: Boolean = has
+      def next(): String = { val g = m.group(); has = m.find(); g }
+    }
+  }
+
+  /** Column form of GPT-2 pre-tokenization — native
+    * `regexp_extract_all` (codegen'd, Java regex so the lookahead is
+    * the original pattern verbatim). */
+  def gpt2PreTokens(c: Column): Column =
+    regexp_extract_all(c, lit(Gpt2PretokPattern), lit(0))
+
+  /** GPT-2 byte-level initial symbols: the pre-token's UTF-8 bytes
+    * through [[byteToUnicode]], NO terminal marker (see
+    * [[Gpt2PretokPattern]] — the leading-space symbol is the
+    * boundary). */
+  private[graft] def initGpt2Symbols(w: String): Array[String] = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = byteToUnicode(bytes(i) & 0xff); i += 1 }
+    out
+  }
+
   /** Distinct-word frequency table of a corpus column — the ONE
-    * corpus-wide shuffle. */
-  def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+    * corpus-wide shuffle. `tok` is the pre-tokenizer (default: the
+    * lowercase whitespace split every pre-GPT-2 gate uses; pass
+    * [[gpt2PreTokens]] for the GPT-2 family). */
+  def wordFreqs(docs: DataFrame, textCol: String,
+      tok: Column => Column = TextOps.tokens): DataFrame =
+    docs.select(explode(tok(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** Learn `k` merges. Each round: pair-count aggregation over the
@@ -118,12 +172,13 @@ object Bpe {
     * table is cached; per-round lineage is cut with localCheckpoint
     * so round r does not replay rounds 1..r-1. */
   def train(docs: DataFrame, textCol: String, k: Int,
-      init: String => Array[String] = initSymbols): Seq[Merge] = {
+      init: String => Array[String] = initSymbols,
+      tok: Column => Column = TextOps.tokens): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k >= 1, s"need at least one merge, got $k")
     var seqs: Dataset[(Array[String], Long)] =
-      wordFreqs(docs, textCol).as[(String, Long)]
+      wordFreqs(docs, textCol, tok).as[(String, Long)]
         .map { case (w, f) => (init(w), f) }
     seqs = seqs.localCheckpoint()
     val out = Seq.newBuilder[Merge]
@@ -184,13 +239,14 @@ object Bpe {
     * bounded collects (≤ batch rows each). */
   def trainBatched(docs: DataFrame, textCol: String, k: Int, batch: Int = 64,
       onRound: (Int, Int) => Unit = (_, _) => (),
-      init: String => Array[String] = initSymbols): Seq[Merge] = {
+      init: String => Array[String] = initSymbols,
+      tok: Column => Column = TextOps.tokens): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k >= 1, s"need at least one merge, got $k")
     require(batch >= 1, s"batch must be positive, got $batch")
     var seqs: Dataset[(Array[String], Long)] =
-      wordFreqs(docs, textCol).as[(String, Long)]
+      wordFreqs(docs, textCol, tok).as[(String, Long)]
         .map { case (w, f) => (init(w), f) }
         .localCheckpoint()
     val out = Seq.newBuilder[Merge]
@@ -327,13 +383,14 @@ object Bpe {
     * The pair table and word table are both lineage-cut per round. */
   def trainIncremental(docs: DataFrame, textCol: String, k: Int, batch: Int = 64,
       onRound: (Int, Int) => Unit = (_, _) => (),
-      init: String => Array[String] = initSymbols): Seq[Merge] = {
+      init: String => Array[String] = initSymbols,
+      tok: Column => Column = TextOps.tokens): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k >= 1, s"need at least one merge, got $k")
     require(batch >= 1, s"batch must be positive, got $batch")
     val seeded: Dataset[(Array[String], Long)] =
-      wordFreqs(docs, textCol).as[(String, Long)]
+      wordFreqs(docs, textCol, tok).as[(String, Long)]
         .map { case (w, f) => (init(w), f) }
         .localCheckpoint()
     // the ONE full pair aggregation; afterwards only deltas shuffle
@@ -402,19 +459,24 @@ object Bpe {
     * count under the given merge list. Row-local; the merge list
     * ships in the closure (broadcast-by-task-binary, bounded: k
     * rows). */
+  /** The default row-local pre-tokenizer: [[TextOps.tokens]]' exact
+    * semantics (lowercase, whitespace split, empties dropped). */
+  private[graft] def whitespaceLowerSplit(text: String): Iterator[String] =
+    Option(text).getOrElse("").toLowerCase.trim
+      .split("\\s+").iterator.filter(_.nonEmpty)
+
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge],
-      init: String => Array[String] = initSymbols): DataFrame = {
+      init: String => Array[String] = initSymbols,
+      pretok: String => Iterator[String] = whitespaceLowerSplit): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ms = merges.sortBy(_.rank)
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val words = Option(text).getOrElse("").toLowerCase.trim
-          .split("\\s+").iterator.filter(_.nonEmpty)
         var n = 0L
-        words.foreach(w => n += encodeWord(w, ms, init).length)
+        pretok(text).foreach(w => n += encodeWord(w, ms, init).length)
         (id, n)
       })
       .toDF(idCol, "n_tokens")

@@ -206,4 +206,80 @@ class BpeSpec extends SparkSpec {
     // 4 bytes + </w> = 5 symbols collapse under 2 merges to 3
     assert(enc.length === 3, enc.mkString("|"))
   }
+
+  test("gpt2Split: hand-pinned GPT-2 pre-tokenization incl. the lookahead") {
+    def toks(s: String) = Bpe.gpt2Split(s).toSeq
+    // the canonical cases: space joins the FOLLOWING token
+    assert(toks("Hello world") === Seq("Hello", " world"))
+    assert(toks("isn't it's") === Seq("isn", "'t", " it", "'s"))
+    assert(toks("abc123 45") === Seq("abc", "123", " 45"))
+    assert(toks("x, y!") === Seq("x", ",", " y", "!"))
+    // (?!\S): a multi-space run donates its LAST space to the next
+    // token; the rest is its own token
+    assert(toks("Hello  world") === Seq("Hello", " ", " world"))
+    assert(toks("a\n\n b") === Seq("a", "\n\n", " b"))
+    // trailing whitespace is one token
+    assert(toks("Hello world  ") === Seq("Hello", " world", "  "))
+    // tiling: every char lands in exactly one token
+    for (s <- Seq("Hello  world", "a\n\n b", "x,  y! 12", " lead", "é ж 漢"))
+      assert(toks(s).mkString === s, s"tiling broke on '$s'")
+    assert(toks("") === Seq.empty)
+    assert(toks(null) === Seq.empty)
+  }
+
+  test("gpt2 RE2 pattern == Java pattern on whitespace-normalized text") {
+    // the oracle's theorem: with no whitespace run of length >= 2 the
+    // lookahead-free RE2 form is exact. Checked on the planted gate
+    // corpus shape (Hebrew + punctuation + numbers), normalized.
+    val re2 = java.util.regex.Pattern.compile(Bpe.Gpt2PretokPatternRe2)
+    def toksRe2(s: String) = {
+      val m = re2.matcher(s)
+      val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group()
+      b.result()
+    }
+    val raw = Seq("Hello,  world! 12  ", "isn't\tthe  END", "אבג אבג 7even",
+      "a  b   c", "", "  x")
+    for (s <- raw) {
+      val norm = s.replaceAll("\\s+", " ").trim
+      assert(Bpe.gpt2Split(norm).toSeq === toksRe2(norm), s"diverged on '$norm'")
+    }
+    // and NOT on raw multi-space text (the normalization is load-bearing)
+    assert(Bpe.gpt2Split("a  b").toSeq !== toksRe2("a  b"))
+  }
+
+  test("gpt2PreTokens column == gpt2Split row-local; initGpt2Symbols has no terminal") {
+    val docs = Seq((0L, "Hello, world! It's 42"), (1L, "abc ABC אב"), (2L, ""))
+      .toDF("doc_id", "text")
+    val viaCol = docs.select(col("doc_id"), Bpe.gpt2PreTokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    for ((id, txt) <- Seq(0L -> "Hello, world! It's 42", 1L -> "abc ABC אב", 2L -> ""))
+      assert(viaCol(id) === Bpe.gpt2Split(txt).toSeq, s"doc $id")
+    // no </w>: " He" → Ġ He bytes, exactly 3 symbols
+    assert(Bpe.initGpt2Symbols(" He").toSeq ===
+      Seq(Bpe.byteToUnicode(32), "H", "e"))
+    // case and the space symbol are distinct model symbols
+    assert(Bpe.initGpt2Symbols("A").toSeq !== Bpe.initGpt2Symbols("a").toSeq)
+  }
+
+  test("gpt2 trainIncremental merges differ from lowercase-</w> training and encode counts") {
+    val docs = Seq.tabulate(8)(i =>
+      (i.toLong, "the cat The cat THE dog the cat")).toDF("doc_id", "text")
+    val gp = Bpe.trainIncremental(docs, "text", k = 4, batch = 4,
+      init = Bpe.initGpt2Symbols, tok = Bpe.gpt2PreTokens)
+    assert(gp.size === 4 && gp.map(_.rank) === Seq(0, 1, 2, 3))
+    // GPT-2 symbols: no merge ever contains </w>; space rides as Ġ
+    val g32 = Bpe.byteToUnicode(32)
+    assert(gp.forall(m => !m.left.contains("</w>") && !m.right.contains("</w>")))
+    assert(gp.exists(m => m.left.startsWith(g32) || m.left == g32 ||
+      m.right.startsWith(g32)), gp.mkString(", "))
+    val counts = Bpe.tokenCounts(docs, "doc_id", "text", gp,
+      Bpe.initGpt2Symbols, pretok = Bpe.gpt2Split)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(counts.length === 8 && counts.distinct.length === 1)
+    // sanity: merges shrink the encoding vs raw byte symbols
+    val raw = Bpe.gpt2Split("the cat The cat THE dog the cat")
+      .map(w => Bpe.initGpt2Symbols(w).length).sum
+    assert(counts.head < raw)
+  }
 }
