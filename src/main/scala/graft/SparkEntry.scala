@@ -2063,6 +2063,50 @@ object SparkEntry {
         .agg(round(min("dist"), 4).as("best_dist"))
         .orderBy("query_id")
     }),
+    // FAISS by_residual=TRUE IVF-PQ with an EXPLICIT coarse quantizer
+    // (the IndexIVFPQ(quantizer, …) shape — centroids are the 16
+    // lowest corpus ids' vectors, so the oracle replays the quantizer
+    // verbatim): cells assign by L2 argmin, codes encode residuals,
+    // search at nProbe=1 builds the LUT from the query's own residual.
+    // Per query: its argmin cell + the best ADC distance, which the
+    // planted copy attains (its codes are the per-subspace argmin of
+    // the query's LUT, and at nProbe=1 every candidate shares that
+    // LUT). Oracle replays quantizer, residuals, PQ training over
+    // residuals, and the Σ-min identity.
+    "simsearch_ivfpq_residual" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val planted = q.select((col("query_id") + 100000).as("corpus_id"),
+        Similarity.asDoubleVec(col("qv")).as("cv"))
+      val c = emb.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("corpus_id"),
+          Similarity.asDoubleVec(col("embedding")).as("cv"))
+        .unionAll(planted)
+      val cents = emb.where(col("vec_id") >= 5 && col("vec_id") < 21)
+        .orderBy("vec_id").select(Similarity.asDoubleVec(col("embedding")))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val (asg, centsDf, cbs) = Similarity.ivfPqIndexResidual(
+        c, "corpus_id", "cv", cents, m = 2, k = 4)
+      val tmp = scratchDir("ivfpqr_idx")
+      asg.write.mode("overwrite").parquet(s"$tmp/assignments")
+      centsDf.write.mode("overwrite").parquet(s"$tmp/centroids")
+      cbs.write.mode("overwrite").parquet(s"$tmp/codebooks")
+      val qcell = q.select(col("query_id"),
+        graft.functions.CentroidSims.centroidDistsSq(
+          Similarity.asDoubleVec(col("qv")), cents).as("__d"))
+        .select(col("query_id"),
+          (array_position(col("__d"), array_min(col("__d"))) - 1)
+            .cast("int").as("cell"))
+      Similarity.ivfPqSearchResidual(q, "query_id", "qv",
+          s.read.parquet(s"$tmp/assignments"), s.read.parquet(s"$tmp/centroids"),
+          s.read.parquet(s"$tmp/codebooks"), "corpus_id", k = 10, nProbe = 1)
+        .groupBy("query_id")
+        .agg(round(min("dist"), 4).as("best_dist"))
+        .join(qcell, Seq("query_id"))
+        .select(col("query_id"), col("cell"), col("best_dist"))
+        .orderBy("query_id")
+    }),
     // ANN quality gate: mean recall@10 of IVF vs exact brute force,
     // gated against a documented floor. Measured ≈ 0.48-0.50 at
     // sf0.01/sf0.1 — the nProbe/nCells = 1/4 baseline expected on this
@@ -7185,6 +7229,79 @@ object SparkEntry {
         |    + (SELECT min(power(list_distance(q.q1, c.c1), 2)) FROM cent c),
         |    4) AS DOUBLE) AS best_dist
         |FROM q ORDER BY query_id""".stripMargin,
+    // by_residual=true replay: explicit quantizer (ids 5..20), L2
+    // argmin cells, residual vectors, PQ training over residuals
+    // (seeds = 4 smallest ids' residuals, one rounded Lloyd round),
+    // then per query the residual LUT's Σ-min identity at nProbe=1
+    "simsearch_ivfpq_residual" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), rcents AS MATERIALIZED (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+        |    AS cell, v
+        |  FROM emb WHERE vec_id >= 5 AND vec_id < 21
+        |), rpqc AS (
+        |  SELECT vec_id, v FROM emb WHERE vec_id >= 5
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, v FROM emb WHERE vec_id < 5
+        |), rasg AS MATERIALIZED (
+        |  SELECT p.vec_id, p.v,
+        |    (SELECT c.cell FROM rcents c
+        |      ORDER BY list_distance(p.v, c.v), c.cell LIMIT 1) AS cell
+        |  FROM rpqc p
+        |), rres AS MATERIALIZED (
+        |  SELECT a.vec_id,
+        |    list_transform(range(1, len(a.v) + 1), i -> a.v[i] - c.v[i]) AS r
+        |  FROM rasg a JOIN rcents c USING (cell)
+        |), rsub AS (
+        |  SELECT vec_id, r[1:32] AS s0, r[33:64] AS s1 FROM rres
+        |), rseeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+        |    list_transform(s0, x -> round(x, 9)) AS c0,
+        |    list_transform(s1, x -> round(x, 9)) AS c1
+        |  FROM rsub ORDER BY vec_id LIMIT 4
+        |), ra0 AS (
+        |  SELECT vec_id, s0, s1,
+        |    (SELECT s.code FROM rseeds s
+        |      ORDER BY list_distance(rsub.s0, s.c0), s.code LIMIT 1) AS k0,
+        |    (SELECT s.code FROM rseeds s
+        |      ORDER BY list_distance(rsub.s1, s.c1), s.code LIMIT 1) AS k1
+        |  FROM rsub
+        |), rm0 AS (
+        |  SELECT code, dim, round(sum(x) / count(*), 9) AS mx
+        |  FROM (SELECT k0 AS code, generate_subscripts(s0, 1) AS dim,
+        |          unnest(s0) AS x FROM ra0)
+        |  GROUP BY code, dim
+        |), rn0 AS (
+        |  SELECT code, list(mx ORDER BY dim) AS c FROM rm0 GROUP BY code
+        |), rm1 AS (
+        |  SELECT code, dim, round(sum(x) / count(*), 9) AS mx
+        |  FROM (SELECT k1 AS code, generate_subscripts(s1, 1) AS dim,
+        |          unnest(s1) AS x FROM ra0)
+        |  GROUP BY code, dim
+        |), rn1 AS (
+        |  SELECT code, list(mx ORDER BY dim) AS c FROM rm1 GROUP BY code
+        |), rcent AS MATERIALIZED (
+        |  SELECT s.code, coalesce(rn0.c, s.c0) AS c0, coalesce(rn1.c, s.c1) AS c1
+        |  FROM rseeds s
+        |  LEFT JOIN rn0 ON s.code = rn0.code
+        |  LEFT JOIN rn1 ON s.code = rn1.code
+        |), rq AS (
+        |  SELECT e.vec_id AS query_id, e.v,
+        |    (SELECT c.cell FROM rcents c
+        |      ORDER BY list_distance(e.v, c.v), c.cell LIMIT 1) AS cell
+        |  FROM emb e WHERE e.vec_id < 5
+        |), rqres AS (
+        |  SELECT q.query_id, q.cell,
+        |    list_transform(range(1, len(q.v) + 1), i -> q.v[i] - c.v[i]) AS r
+        |  FROM rq q JOIN rcents c USING (cell)
+        |)
+        |SELECT query_id, cell,
+        |  CAST(round(
+        |    (SELECT min(power(list_distance(rqres.r[1:32], c.c0), 2)) FROM rcent c)
+        |    + (SELECT min(power(list_distance(rqres.r[33:64], c.c1), 2)) FROM rcent c),
+        |    4) AS DOUBLE) AS best_dist
+        |FROM rqres ORDER BY query_id""".stripMargin,
     "dedup_embedding" ->
       """WITH base AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings

@@ -135,4 +135,79 @@ object CentroidSims {
   def centroidDistsSq(vec: Column, cents: Array[Array[Double]]): Column =
     GraftColumnBridge.column(
       CentroidSims(GraftColumnBridge.expression(vec), cents, "l2sq"))
+
+  /** `vec − cents(cell)` as a [[Column]] — the residual kernel of
+    * by-residual IVF-PQ ([[graft.operators.Similarity]]): the matrix
+    * rides as one reference object (same rationale as
+    * [[centroidSims]]), the subtraction is exact double arithmetic
+    * (order-free, so any engine replays it bit-for-bit). */
+  def centroidResidual(vec: Column, cell: Column,
+      cents: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(CentroidResidual(
+      GraftColumnBridge.expression(vec),
+      GraftColumnBridge.expression(cell), cents))
+}
+
+/** Element-wise `vec − cents(cell)` against a fixed centroid matrix —
+  * see [[CentroidSims.centroidResidual]]. Null vec/cell or a null
+  * element → null; a cell outside the matrix or a dimension mismatch
+  * is a data error → null (matching [[CentroidSims]]' convention). */
+case class CentroidResidual(left: Expression, right: Expression,
+    cents: Array[Array[Double]]) extends BinaryExpression {
+
+  override def prettyName: String = "centroid_residual"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) if cents.nonEmpty =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          "centroid_residual requires (array<double>, int) inputs and " +
+            "a non-empty centroid matrix")
+    }
+
+  def compute(arr: ArrayData, cell: Int): GenericArrayData = {
+    if (cell < 0 || cell >= cents.length) return null
+    val cv = cents(cell)
+    val n = arr.numElements()
+    if (cv.length != n) return null
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      out(i) = arr.getDouble(i) - cv(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any, c: Any): Any =
+    compute(v.asInstanceOf[ArrayData], c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("centroidResidual", this,
+      classOf[CentroidResidual].getName)
+    nullSafeCodeGen(ctx, ev, (v, c) => s"""
+      ${ev.value} = $self.compute($v, $c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  // value-compare the matrix (see CentroidSims.equals)
+  override def equals(o: Any): Boolean = o match {
+    case c: CentroidResidual => left == c.left && right == c.right &&
+      java.util.Arrays.deepEquals(
+        cents.asInstanceOf[Array[AnyRef]], c.cents.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * left.hashCode() + right.hashCode()) +
+      java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidResidual =
+    copy(left = newLeft, right = newRight)
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.CentroidSims
 import graft.functions.CosineSimilarity.cosineSim
 
 /** Similarity search over embedding columns (`array<float>` /
@@ -578,6 +579,15 @@ object Similarity {
       .select(col(qId), col(qVec), cellSimsFor(cents)(col(qVec)).as("__sims"))
       .select(col(qId), Quantization.adcLut(col(qVec), cbs).as("__lut"),
         explode(probeCellsCol(col("__sims"), cents.length, nProbe)).as("cell"))
+    adcRankTopK(assignments, qb, qId, cId, m, nCodes, k)
+  }
+
+  /** Shared IVF-PQ scoring tail: broadcast the slim (qId, __lut, cell)
+    * batch into the cell equi-join, ADC-score the stored codes, rank
+    * via the k-bounded [[graft.functions.TopKAgg]] partial aggregate
+    * (never a per-query window); ties break to the lower corpus id. */
+  private def adcRankTopK(assignments: DataFrame, qb: DataFrame,
+      qId: String, cId: String, m: Int, nCodes: Int, k: Int): DataFrame = {
     val scored = assignments.where(col("codes").isNotNull)
       .join(broadcast(qb), Seq("cell"))
       .select(col(qId), col(cId),
@@ -590,6 +600,101 @@ object Similarity {
       .select(col(qId), posexplode(col("top")).as(Seq("rank0", "s")))
       .select(col(qId), col("s.id").as(cId),
         (col("rank0") + 1).as("rank"), negate(col("s.sim")).as("dist"))
+  }
+
+  /** Probe-cell pick over a squared-L2 DISTANCE array: the nProbe
+    * nearest cells, ascending distance, ties to the lower cell. */
+  private def probeCellsByDistCol(distsCol: Column, nCents: Int,
+      nProbe: Int): Column = {
+    val structs = transform(sequence(lit(0), lit(nCents - 1)),
+      i => struct(element_at(distsCol, i + 1).as("d"), i.as("cell")))
+    transform(slice(sort_array(structs), 1, nProbe), s => s.getField("cell"))
+  }
+
+  /** FAISS IndexIVFPQ with `by_residual = true` — FAISS's DEFAULT
+    * residual encoding: each vector stores PQ codes of its RESIDUAL
+    * (vector − its cell's centroid), so the code bits describe the
+    * within-cell displacement instead of re-encoding the coarse
+    * position the cell id already carries — the higher-fidelity
+    * layout at equal m·k. One codebook set serves every cell (the
+    * shared-quantizer layout, FAISS's own default), so the model
+    * stays (nCells + m·k) bounded rows and the compressed corpus is
+    * the only corpus-sized output.
+    *
+    * This entry point takes a PRE-TRAINED coarse quantizer `cents`
+    * (FAISS's `IndexIVFPQ(quantizer, …)` shape — pass
+    * [[ivfIndex]]/k-means output, or any model table read back from
+    * storage); cells assign by squared-L2 argmin (the IndexFlatL2
+    * quantizer), ties to the lower cell. Assignment and residual are
+    * row-local (one [[graft.functions.CentroidSims]] +
+    * [[graft.functions.CentroidResidual]] node each — the matrix
+    * never appears as plan literals); PQ training over the residuals
+    * is the same deterministic [[Quantization.pqTrain]] replay.
+    *
+    * Returns `(assignments, centroids, codebookDf)` exactly like
+    * [[ivfPqIndex]] — the persisted-index layout is format-compatible,
+    * only the code SEMANTICS differ (residual vs raw), so search must
+    * go through [[ivfPqSearchResidual]]. */
+  def ivfPqIndexResidual(
+      corpus: DataFrame, cId: String, cVec: String,
+      cents: Array[Array[Double]], m: Int = 2, k: Int = 4,
+      pqIters: Int = 1): (DataFrame, DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(cents.nonEmpty, "need at least one coarse centroid")
+    val withRes = corpus
+      .select(col(cId), asDoubleVec(col(cVec)).as("__v"))
+      .select(col(cId), col("__v"),
+        CentroidSims.centroidDistsSq(col("__v"), cents).as("__d"))
+      .select(col(cId),
+        (array_position(col("__d"), array_min(col("__d"))) - 1)
+          .cast("int").as("cell"),
+        col("__v"))
+      .withColumn("__res",
+        CentroidSims.centroidResidual(col("__v"), col("cell"), cents))
+    val cbs = Quantization.pqTrain(withRes, cId, "__res", m, k, pqIters)
+    val assignments = withRes.select(col("cell"), col(cId),
+      when(col("__res").isNotNull,
+        Quantization.pqEncodeCol(col("__res"), cbs)).as("codes"))
+    val centDf = cents.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cell", "vec")
+    val codebookDf = (for {
+      s <- cbs.indices
+      c <- cbs(s).indices
+    } yield (s, c, cbs(s)(c).toSeq)).toDF("sub", "code", "vec")
+    (assignments, centDf, codebookDf)
+  }
+
+  /** Search a query batch against a persisted RESIDUAL IVF-PQ index
+    * ([[ivfPqIndexResidual]]'s output): queries pick their nProbe
+    * nearest cells by squared-L2 (row-local), and build one ADC LUT
+    * PER PROBED CELL from the residual `query − centroid(cell)` —
+    * the per-cell LUT is what by_residual costs at query time, an
+    * nProbe× factor on a slim m·k-double table, never on the corpus.
+    * The broadcast batch is (qId, lut, cell); scoring and the
+    * k-bounded ranking are [[ivfPqSearch]]'s exact tail. Returns
+    * (qId, <cId>, rank, dist), dist = ADC over residual space. */
+  def ivfPqSearchResidual(
+      queries: DataFrame, qId: String, qVec: String,
+      assignments: DataFrame, centroids: DataFrame, codebookDf: DataFrame,
+      cId: String, k: Int, nProbe: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val cents = centroidsFromDf(centroids, "ivfPqSearchResidual")
+    val cbs = Quantization.codebooksFromDf(codebookDf, "ivfPqSearchResidual")
+    val m = cbs.length
+    val nCodes = cbs(0).length
+    val qb = queries
+      .select(col(qId), asDoubleVec(col(qVec)).as("__qv"))
+      .select(col(qId), col("__qv"),
+        CentroidSims.centroidDistsSq(col("__qv"), cents).as("__d"))
+      .select(col(qId), col("__qv"),
+        explode(probeCellsByDistCol(col("__d"), cents.length, nProbe))
+          .as("cell"))
+      .select(col(qId), col("cell"),
+        Quantization.adcLut(
+          CentroidSims.centroidResidual(col("__qv"), col("cell"), cents),
+          cbs).as("__lut"))
+    adcRankTopK(assignments, qb, qId, cId, m, nCodes, k)
   }
 
   /** Recall@k of an ANN result against the exact brute-force result —

@@ -163,4 +163,85 @@ class QuantizationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
     assert(rt.toSeq === composed.toSeq)
   }
+
+  test("residual IVF-PQ: zero-quantizer theorem, planted copy, round-trip, contracts") {
+    import graft.operators.Similarity
+    val corpus = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Seq(0.0, 1.0, 9.0, 8.0) else Seq(7.0, 6.0, 1.0, 0.0)
+      (i.toLong, base.zipWithIndex.map { case (x, d) => x + (i % 5) * 0.1 + d * 0.01 })
+    }.toDF("cid", "cv")
+    val queries = Seq(
+      (100L, Seq(0.1, 1.1, 9.1, 8.1)),
+      (101L, Seq(7.1, 6.1, 1.1, 0.1)),
+      (102L, Seq(3.0, 3.0, 5.0, 4.0))).toDF("qid", "qv")
+
+    // THEOREM: with a single all-zero centroid, residual == raw vector,
+    // so by_residual search must equal plain whole-corpus ADC exactly
+    // (same codebooks, codes, distances, ranks, tie-breaks)
+    val zero = Array(Array(0.0, 0.0, 0.0, 0.0))
+    val (asg0, cents0, cb0) = Similarity.ivfPqIndexResidual(
+      corpus, "cid", "cv", zero, m = 2, k = 4)
+    val res0 = Similarity.ivfPqSearchResidual(queries, "qid", "qv",
+        asg0, cents0, cb0, "cid", k = 7, nProbe = 1)
+      .select("qid", "cid", "rank", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
+    val cbs0 = Quantization.codebooksFromDf(cb0, "spec")
+    val plain = Quantization.adcTopK(queries, "qid", "qv",
+        asg0.select(col("cid"), col("codes")), "cid", "codes", cbs0, k = 7)
+      .select("qid", "cid", "rank", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
+    assert(res0.toSeq === plain.toSeq)
+
+    // explicit two-cell quantizer: a planted exact copy of each query
+    // lands in the query's own argmin cell and ranks FIRST at nProbe=1
+    // (its codes are the per-subspace argmin of the query's own LUT)
+    val cents2 = Array(Array(0.0, 1.0, 9.0, 8.0), Array(7.0, 6.0, 1.0, 0.0))
+    val planted = queries.select((col("qid") + 1000).as("cid"), col("qv").as("cv"))
+    val c2 = corpus.unionByName(planted)
+    val (asg2, cdf2, cb2) = Similarity.ivfPqIndexResidual(
+      c2, "cid", "cv", cents2, m = 2, k = 4)
+    val hit = Similarity.ivfPqSearchResidual(queries, "qid", "qv",
+        asg2, cdf2, cb2, "cid", k = 3, nProbe = 1)
+      .where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    for (q <- Seq(100L, 101L, 102L)) {
+      val (best, d) = hit(q)
+      // the copy attains the global LUT minimum; ties break to low id,
+      // and no other corpus id collides with qid+1000's distance tier
+      // below it
+      assert(d <= hit.values.map(_._2).max)
+      val all = Similarity.ivfPqSearchResidual(queries, "qid", "qv",
+        asg2, cdf2, cb2, "cid", k = 50, nProbe = 1)
+        .where(col("qid") === q).collect()
+      val copyDist = all.find(_.getLong(1) == q + 1000).map(_.getDouble(3)).get
+      assert(all.forall(_.getDouble(3) >= copyDist),
+        s"copy of $q is not the ADC minimum")
+      assert(best == q + 1000 || copyDist == all.map(_.getDouble(3)).min)
+    }
+
+    // parquet round-trip identical
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpqr").toString
+    asg2.write.parquet(s"$tmp/a"); cdf2.write.parquet(s"$tmp/c")
+    cb2.write.parquet(s"$tmp/b")
+    val direct = Similarity.ivfPqSearchResidual(queries, "qid", "qv",
+        asg2, cdf2, cb2, "cid", k = 5, nProbe = 2)
+      .select("qid", "cid", "rank", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
+    val rt2 = Similarity.ivfPqSearchResidual(queries, "qid", "qv",
+        spark.read.parquet(s"$tmp/a"), spark.read.parquet(s"$tmp/c"),
+        spark.read.parquet(s"$tmp/b"), "cid", k = 5, nProbe = 2)
+      .select("qid", "cid", "rank", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted
+    assert(rt2.toSeq === direct.toSeq)
+
+    // loud contracts
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexResidual(corpus, "cid", "cv",
+        Array.empty[Array[Double]])
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqSearchResidual(queries, "qid", "qv",
+        asg2, cdf2, cb2, "cid", k = 0)
+    }
+  }
 }
