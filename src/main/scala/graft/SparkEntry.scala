@@ -3967,6 +3967,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang_heur", "lang_pred")
     }),
+    // Streaming language-ID monitor, batch leg (the batch/stream dual:
+    // this exact aggregation runs under readStream + watermark —
+    // pinned equal in StreamingSpec): synthetic ingest timestamps
+    // (doc_id % 180 minutes over a 3-hour span), trained-langid
+    // predictions with the 0.55 confidence rejection, tumbling 1h
+    // census of predicted labels. The oracle replays the trained
+    // scores (lidBaseCte), the rejection, and the hour bucketing.
+    "text_langid_stream_census" -> ((s, dir) => {
+      val corpus = langidCorpus(s, dir).withColumn("ts",
+        expr("timestampadd(MINUTE, CAST(doc_id % 180 AS INT), " +
+          "TIMESTAMP '2025-01-01 00:00:00')"))
+      graft.streaming.StreamScore.langIdCensus(corpus, "text",
+          langidModel(s, dir), "ts", "1 hour", minScore = 0.55)
+        .orderBy("window_start", "lang_pred")
+    }),
     // Top-20 PMI collocations (Church & Hanks 1990) over adjacent
     // word pairs, minCount=3: PMI rounded BEFORE the rank so the
     // ordering replays across engines; TakeOrderedAndProject top-k.
@@ -9221,6 +9236,20 @@ object SparkEntry {
          |SELECT h.lang_heur, p.lang_pred, CAST(count(*) AS BIGINT) AS n
          |FROM lid_heur h JOIN lid_pred p USING (doc_id)
          |GROUP BY 1, 2 ORDER BY lang_heur, lang_pred""".stripMargin,
+    "text_langid_stream_census" ->
+      s"""$lidBaseCte
+         |SELECT CAST(epoch(TIMESTAMP '2025-01-01 00:00:00'
+         |    + ((s.doc_id % 180) // 60) * INTERVAL 1 HOUR) AS BIGINT)
+         |  AS window_start,
+         |  CASE WHEN greatest(z.p0, z.p1, z.p2, z.p3) >= 0.55 THEN
+         |    CASE WHEN z.p0 = greatest(z.p0, z.p1, z.p2, z.p3) THEN 'en'
+         |         WHEN z.p1 = greatest(z.p1, z.p2, z.p3) THEN 'de'
+         |         WHEN z.p2 = greatest(z.p2, z.p3) THEN 'es'
+         |         ELSE 'fr' END
+         |  ELSE 'unknown' END AS lang_pred,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM lid_src s JOIN lid_scored z USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY window_start, lang_pred""".stripMargin,
     "text_pmi_collocations" ->
       """WITH pmi_tk AS (
         |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -307,4 +307,49 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-02", 0, 1L), // user 2's own cohort
       ("2024-01-02", 1, 1L)))
   }
+
+  test("trained multi-class scoring runs UNCHANGED as a stream (census parity)") {
+    // StreamScore: scoring is stateless row-local margins, so the SAME
+    // trained model + census aggregation must run under readStream and
+    // reproduce the batch census row-for-row
+    import graft.functions.DsirFeatures
+    import graft.operators.MultiClass
+    import graft.streaming.StreamScore
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq.tabulate(24) { i =>
+      val lab = if (i % 2 == 0) "pos" else "neg"
+      val txt = if (i % 2 == 0) s"good fast clean text $i" else s"bad slow spam text $i"
+      (i.toLong, txt, lab)
+    }.toDF("doc_id", "text", "lab")
+    val feats = array_distinct(
+      DsirFeatures.dsirBuckets(col("text"), Seq(1), 64, 13L))
+    val m = MultiClass.train(train, feats, "lab", Seq("pos", "neg"), 64,
+      rounds = 5)
+
+    val scoreRows = Seq(
+      (10L, ts(5), "good fast clean text"),
+      (11L, ts(20), "bad slow spam text"),
+      (12L, ts(50), "good fast clean text"),
+      (13L, ts(59), "bad slow spam text"))
+    val batchDf = scoreRows.toDF("doc_id", "ts", "text")
+    val batch = StreamScore.predLabelCensus(batchDf, feats, m, "ts", "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val streamDf = source.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamScore.predLabelCensusStream(streamDf, feats, m,
+        "ts", "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("graft_mc_stream")
+      .outputMode("complete").start()
+    try {
+      source.addData(scoreRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_mc_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+      assert(streamed.toSeq === batch.toSeq)
+      // both windows saw one of each label
+      assert(batch.map(_._3).sum === 4L)
+      assert(batch.count(_._2 == "pos") === 2)
+    } finally q.stop()
+  }
 }
