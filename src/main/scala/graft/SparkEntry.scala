@@ -2714,6 +2714,42 @@ object SparkEntry {
         "ahash_lo", "ahash_hi")
         .orderBy("doc_id")
     }),
+    // LOSSY WebP (round 16): the Vp8Codec fixture keyframe — per-MB
+    // flat luma levels driven by one Y2 DC coefficient each through
+    // the full VP8 machinery (bool decode, default probs, token
+    // trees, WHT, DC-pred chain, BT.601 gray). The oracle replays the
+    // closed-form level chain (q=100 → y2dcQ=196, floor-division
+    // shifts, prefix sum); is_flat pins that every pixel of every MB
+    // equals its level with r==g==b and alpha 255. The decoder itself
+    // is pixel-exact vs REAL libwebp (WebpLossySpec).
+    "multimodal_webp_lossy" -> ((s, dir) => {
+      import s.implicits._
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 100).select(
+        col("doc_id"), ((col("doc_id") % 6 + 2) * 16).cast("int").as("w"))
+      dims.as[(Long, Int)].mapPartitions(_.flatMap { case (id, w) =>
+        val bytes = graft.operators.WebpCodec.encodeLossyWebp(id, w, 16)
+        val r = graft.operators.WebpCodec.decode(bytes)
+        (0 until r.width / 16).iterator.map { mb =>
+          val lvl = r.pixels(mb * 16 * 4) & 0xff
+          var flat = true
+          var y = 0
+          while (y < 16 && flat) {
+            var x = 0
+            while (x < 16 && flat) {
+              val i = (y * r.width + mb * 16 + x) * 4
+              flat = (r.pixels(i) & 0xff) == lvl &&
+                r.pixels(i) == r.pixels(i + 1) &&
+                r.pixels(i) == r.pixels(i + 2) &&
+                (r.pixels(i + 3) & 0xff) == 255
+              x += 1
+            }
+            y += 1
+          }
+          (id, mb, lvl.toLong, flat)
+        }
+      }).toDF("doc_id", "mb_idx", "level", "is_flat")
+        .orderBy("doc_id", "mb_idx")
+    }),
     // WebP container metadata: RIFF walk + VP8L header fields of the
     // generated payloads (format, 14-bit dims, alpha hint).
     "multimodal_webp_meta" -> ((s, dir) => {
@@ -7839,6 +7875,29 @@ object SparkEntry {
         |  CAST(doc_id % 48 + 8 AS INTEGER) AS h,
         |  TRUE AS has_alpha
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    // closed-form VP8 fixture replay: q=100 → y2dcQ = 196; the Y2 DC
+    // coefficient's WHT and IDCT halves are floor-division shifts and
+    // the DC-pred chain is a prefix sum (never clamped at <= 7 MBs)
+    "multimodal_webp_lossy" ->
+      """WITH wl_docs AS (
+        |  SELECT doc_id, CAST(doc_id % 6 + 2 AS INTEGER) AS n_mb
+        |  FROM documents WHERE doc_id < 100
+        |), wl_mb AS (
+        |  SELECT doc_id, CAST(unnest(range(n_mb)) AS INTEGER) AS mb
+        |  FROM wl_docs
+        |), wl_delta AS (
+        |  SELECT doc_id, mb,
+        |    CAST(floor((floor(((CASE WHEN (doc_id + mb) % 2 = 0
+        |        THEN 1 ELSE -1 END)
+        |      * ((doc_id + 3 * mb) % 4 + 1) * 196 + 3) / 8.0) + 4) / 8.0)
+        |      AS BIGINT) AS d
+        |  FROM wl_mb
+        |)
+        |SELECT doc_id, mb AS mb_idx,
+        |  CAST(128 + sum(d) OVER (PARTITION BY doc_id ORDER BY mb)
+        |    AS BIGINT) AS level,
+        |  TRUE AS is_flat
+        |FROM wl_delta ORDER BY doc_id, mb_idx""".stripMargin,
     "multimodal_gif" ->
       """WITH d AS (
         |  SELECT doc_id,

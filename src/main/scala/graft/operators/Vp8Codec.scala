@@ -621,6 +621,11 @@ object Vp8Codec {
     val w = ((bytes(off + 6) & 0xff) | ((bytes(off + 7) & 0xff) << 8)) & 0x3fff
     val h = ((bytes(off + 8) & 0xff) | ((bytes(off + 9) & 0xff) << 8)) & 0x3fff
     require(w > 0 && h > 0, s"bad VP8 dims ${w}x$h")
+    // allocation bound: corrupt 14-bit dims can demand a 268M-pixel
+    // frame — a crawl-pipeline decoder must refuse, not OOM (the VP8L
+    // decoder draws the same line)
+    require(w.toLong * h <= (1L << 24),
+      s"VP8 frame ${w}x$h exceeds the ${1 << 24}-pixel decode bound")
     val part0Start = off + 10
     require(part0Start + part0Len <= off + sz,
       s"first partition overruns payload ($part0Len bytes)")
@@ -1133,6 +1138,196 @@ object Vp8Codec {
       r += 1
     }
     Yuv(w, h, yOut, uOut, vOut)
+  }
+
+  // ------------------------------------------------------------------
+  // Bool (arithmetic) encoder — RFC 6386 §8.3 — for fixture streams.
+  // ------------------------------------------------------------------
+  private[operators] final class BoolEnc {
+    private val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var range = 255
+    private var bottom = 0L // 32-bit window in a Long so carries are visible
+    private var bitCount = 24
+
+    private def carry(): Unit = {
+      var q = out.length - 1
+      while (q >= 0 && out(q) == 0xff.toByte) { out(q) = 0; q -= 1 }
+      require(q >= 0, "carry out of empty buffer")
+      out(q) = (out(q) + 1).toByte
+    }
+
+    def bool(prob: Int, v: Int): Unit = {
+      val split = 1 + (((range - 1) * prob) >> 8)
+      if (v != 0) { bottom += split; range -= split }
+      else range = split
+      if (bottom > 0xffffffffL) { bottom &= 0xffffffffL; carry() }
+      while (range < 128) {
+        range <<= 1
+        if ((bottom & 0x80000000L) != 0) carry()
+        bottom = (bottom << 1) & 0xffffffffL
+        bitCount -= 1
+        if (bitCount == 0) {
+          out += ((bottom >> 24) & 0xff).toByte
+          bottom &= 0xffffffL
+          bitCount = 8
+        }
+      }
+    }
+
+    def literal(n: Int, v: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bool(128, (v >> i) & 1); i -= 1 }
+    }
+
+    def finish(): Array[Byte] = {
+      var c = bitCount
+      var v = bottom
+      if ((v & (1L << (32 - c))) != 0) carry() // final carry propagation
+      v = (v << (c & 7)) & 0xffffffffL
+      c >>= 3
+      while (c > 0) { v = (v << 8) & 0xffffffffL; c -= 1 }
+      c = 4
+      while (c > 0) {
+        out += ((v >> 24) & 0xff).toByte
+        v = (v << 8) & 0xffffffffL
+        c -= 1
+      }
+      out.toArray
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture encoder: a spec-conformant single-MB-row keyframe whose
+  // reconstruction is CLOSED FORM — per-MB flat luma levels driven by
+  // one Y2 DC coefficient each (chroma stays flat 128), so the gates'
+  // DuckDB oracles replay the decoded pixels arithmetically. All
+  // default probability tables are used verbatim (no updates), which
+  // makes every fixture ALSO a cross-check of [[Vp8Tables]]: the spec
+  // pins that the REAL libwebp decodes these streams to the same
+  // planes (scripts/vp8_probe.py hashes).
+  // ------------------------------------------------------------------
+
+  /** The per-MB Y2 DC coefficient of fixture `id`: magnitude 1..4
+    * (direct tokens), alternating sign. */
+  private def fixtureCoeff(id: Long, i: Int): Int = {
+    val mag = (((id + 3L * i) % 4L + 4L) % 4L + 1L).toInt
+    val sgn = if (((id + i) % 2L + 2L) % 2L == 0L) 1 else -1
+    mag * sgn
+  }
+
+  /** Closed-form flat luma level of each MB of fixture `id` (the
+    * DC-pred chain: L₀ = 128 + Δ₀, Lᵢ = clamp(Lᵢ₋₁ + Δᵢ) with
+    * Δ = ((c·y2dcQ + 3) >> 3 + 4) >> 3). */
+  def lossyLevels(id: Long, nMb: Int, q: Int = 100): Array[Int] = {
+    val y2dcQ = DcQLookup(clampQ(q)) * 2
+    var pred = 128
+    Array.tabulate(nMb) { i =>
+      val v = fixtureCoeff(id, i) * y2dcQ
+      val wht = (v + 3) >> 3
+      pred = clamp255(pred + ((wht + 4) >> 3))
+      pred
+    }
+  }
+
+  /** Write one small token (|v| in 1..4) then EOB into a block's
+    * token stream; returns nothing but mirrors the decoder's context
+    * arithmetic exactly. */
+  private def putSmallAndEob(be: BoolEnc, probs: Array[Int], tpe: Int,
+      ctx0: Int, first: Int, v: Int): Unit = {
+    val mag = math.abs(v)
+    require(mag >= 1 && mag <= 4, s"fixture token out of range: $v")
+    var pOff = ((tpe * 8) + CoeffBands(first)) * 33 + ctx0 * 11
+    be.bool(probs(pOff), 1)     // not EOB
+    be.bool(probs(pOff + 1), 1) // not zero
+    if (mag == 1) be.bool(probs(pOff + 2), 0)
+    else {
+      be.bool(probs(pOff + 2), 1)
+      be.bool(probs(pOff + 3), 0)
+      if (mag == 2) be.bool(probs(pOff + 4), 0)
+      else { be.bool(probs(pOff + 4), 1); be.bool(probs(pOff + 5), mag - 3) }
+    }
+    be.bool(128, if (v < 0) 1 else 0) // sign
+    val ctx1 = if (mag == 1) 1 else 2
+    pOff = ((tpe * 8) + CoeffBands(first + 1)) * 33 + ctx1 * 11
+    be.bool(probs(pOff), 0) // EOB
+  }
+
+  private def putEmpty(be: BoolEnc, probs: Array[Int], tpe: Int,
+      ctx0: Int, first: Int): Unit = {
+    val pOff = ((tpe * 8) + CoeffBands(first)) * 33 + ctx0 * 11
+    be.bool(probs(pOff), 0) // EOB at the first position
+  }
+
+  /** Encode the fixture keyframe: `w` a multiple of 16, `h` = 16 (one
+    * MB row — the closed-form chain is 1-D), quantizer index `q`,
+    * loop-filter level (0 keeps the closed form exact; nonzero levels
+    * never fire anyway because flat MBs have no interior gradients,
+    * but 0 is the documented contract). Returns the raw VP8 payload. */
+  def encodeLossy(id: Long, w: Int, h: Int, q: Int = 100,
+      filterLevel: Int = 0): Array[Byte] = {
+    require(w >= 16 && w % 16 == 0 && h == 16,
+      s"fixture encoder supports one MB row (w%%16==0, h==16), got ${w}x$h")
+    require(q >= 0 && q <= 127, s"quantizer index out of range: $q")
+    val nMb = w / 16
+    val probs = CoeffProbs
+
+    // partition 0: header + modes
+    val be = new BoolEnc
+    be.bool(128, 0) // color space
+    be.bool(128, 0) // clamping
+    be.bool(128, 0) // segmentation off
+    be.bool(128, 0) // filter type: normal
+    be.literal(6, filterLevel)
+    be.literal(3, 0) // sharpness
+    be.bool(128, 0) // lf deltas off
+    be.literal(2, 0) // one token partition
+    be.literal(7, q)
+    var i = 0
+    while (i < 5) { be.bool(128, 0); i += 1 } // five quantizer deltas: absent
+    be.bool(128, 1) // refresh entropy probs
+    i = 0
+    while (i < 1056) { be.bool(CoeffUpdateProbs(i), 0); i += 1 }
+    be.bool(128, 0) // mb_no_coeff_skip off
+    i = 0
+    while (i < nMb) {
+      // ymode DC_PRED = "100" on the kf tree; uv DC_PRED = "0"
+      be.bool(KfYModeProb(0), 1)
+      be.bool(KfYModeProb(1), 0)
+      be.bool(KfYModeProb(2), 0)
+      be.bool(KfUvModeProb(0), 0)
+      i += 1
+    }
+    val part0 = be.finish()
+
+    // token partition: per MB, Y2 carries one DC token; every luma
+    // and chroma block is empty. Context mirror: Y2 nz propagates
+    // left-to-right; luma/chroma nz stay 0.
+    val te = new BoolEnc
+    var leftNzY2 = 0
+    i = 0
+    while (i < nMb) {
+      val c = fixtureCoeff(id, i)
+      putSmallAndEob(te, probs, 1, leftNzY2 /* above starts 0 */, 0, c)
+      leftNzY2 = 1
+      var b = 0
+      while (b < 16) { putEmpty(te, probs, 0, 0, 1); b += 1 }
+      b = 0
+      while (b < 8) { putEmpty(te, probs, 2, 0, 0); b += 1 }
+      i += 1
+    }
+    val tokens = te.finish()
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    val tag = (0 /*keyframe*/) | (0 << 1) | (1 << 4) | (part0.length << 5)
+    out += (tag & 0xff).toByte
+    out += ((tag >> 8) & 0xff).toByte
+    out += ((tag >> 16) & 0xff).toByte
+    out += 0x9d.toByte; out += 0x01.toByte; out += 0x2a.toByte
+    out += (w & 0xff).toByte; out += ((w >> 8) & 0x3f).toByte
+    out += (h & 0xff).toByte; out += ((h >> 8) & 0x3f).toByte
+    out ++= part0
+    out ++= tokens
+    out.toArray
   }
 
   /** BT.601 full-range YUV→RGB (point-sampled chroma — upsampling is

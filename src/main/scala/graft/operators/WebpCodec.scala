@@ -22,8 +22,9 @@ import scala.collection.mutable.ArrayBuffer
   *    predictor (14 modes, edge rules, the top-right wraparound),
   *    color transform (signed 3.5 fixed-point deltas), subtract-green,
   *    color indexing (incl. sub-8-bit packed widths).
-  *  Lossy `VP8 ` payloads are metadata-only (loud on decode) — the
-  *  same honest fence the EBML/MP4 tier draws.
+  *  Lossy `VP8 ` payloads decode through [[Vp8Codec]] (the full
+  *  RFC 6386 intra keyframe decoder, pixel-exact vs libwebp), with
+  *  the ALPH alpha plane composed in.
   *
   * Encoder scope (fixture generation, each path spec-conformant so the
   * decoder is exercised on format-true input): literal pixels under
@@ -124,8 +125,8 @@ object WebpCodec {
   }
 
   /** Decode frame `idx` (0-based) of an animated WebP: the ANMF
-    * chunk's embedded VP8L payload. Lossy frames are fenced like
-    * still lossy payloads. */
+    * chunk's embedded VP8L (lossless) or VP8 (lossy keyframe)
+    * payload. */
   def decodeAnimFrame(bytes: Array[Byte], idx: Int): PngCodec.Raster = {
     val anmf = chunks(bytes).filter(_._1 == "ANMF")
     require(idx >= 0 && idx < anmf.length,
@@ -142,11 +143,10 @@ object WebpCodec {
       require(csz >= 0 && p + 8L + csz <= end,
         s"truncated ANMF sub-chunk '$cc' at $p")
       if (cc == "VP8L") return decodeVp8l(bytes, p + 8, csz)
-      require(cc != "VP8 ",
-        "lossy VP8 animation frames are metadata-only (no DCT decoder)")
+      if (cc == "VP8 ") return Vp8Codec.decode(bytes, p + 8, csz)
       p += 8 + csz + (csz & 1)
     }
-    throw new IllegalArgumentException(s"frame $idx has no VP8L payload")
+    throw new IllegalArgumentException(s"frame $idx has no VP8L/VP8 payload")
   }
 
   private def putLe24(out: ArrayBuffer[Byte], v: Int): Unit = {
@@ -539,17 +539,40 @@ object WebpCodec {
   // Decoder
   // ---------------------------------------------------------------
 
-  /** Decode a full WebP file (the VP8L chunk). Lossy VP8 is fenced. */
+  /** Decode a full WebP file: lossless (VP8L) or lossy (VP8 keyframe
+    * via [[Vp8Codec]], composed with the ALPH alpha plane when
+    * present). Returns a 4-channel RGBA raster either way. */
   def decode(bytes: Array[Byte]): PngCodec.Raster = {
     val cs = chunks(bytes)
     cs.find(_._1 == "VP8L") match {
       case Some((_, off, sz)) => decodeVp8l(bytes, off, sz)
       case None =>
-        val isLossy = cs.exists(_._1 == "VP8 ")
-        throw new IllegalArgumentException(
-          if (isLossy) "lossy VP8 payloads are metadata-only (no DCT decoder)"
-          else "no VP8L chunk in WebP payload")
+        cs.find(_._1 == "VP8 ") match {
+          case Some((_, off, sz)) => lossyRgba(bytes, cs, off, sz)
+          case None => throw new IllegalArgumentException(
+            "no VP8L or VP8 chunk in WebP payload")
+        }
     }
+  }
+
+  /** Lossy still frame: VP8 RGB + optional ALPH alpha → RGBA. */
+  private def lossyRgba(bytes: Array[Byte], cs: Seq[(String, Int, Int)],
+      off: Int, sz: Int): PngCodec.Raster = {
+    val rgb = Vp8Codec.decode(bytes, off, sz)
+    val n = rgb.width * rgb.height
+    val alpha = cs.find(_._1 == "ALPH").map { case (_, aoff, asz) =>
+      decodeAlpha(bytes, aoff, asz, rgb.width, rgb.height)
+    }
+    val px = new Array[Byte](n * 4)
+    var i = 0
+    while (i < n) {
+      px(i * 4) = rgb.pixels(i * 3)
+      px(i * 4 + 1) = rgb.pixels(i * 3 + 1)
+      px(i * 4 + 2) = rgb.pixels(i * 3 + 2)
+      px(i * 4 + 3) = alpha.map(a => a(i).toByte).getOrElse(0xff.toByte)
+      i += 1
+    }
+    PngCodec.Raster(rgb.width, rgb.height, 4, px)
   }
 
   /** Decode a VP8L chunk payload (signature byte + 14/14-bit dims). */
@@ -828,8 +851,11 @@ object WebpCodec {
     * itself (all lengths equal), written MSB first. */
   private def put8(bw: BitWriter, s: Int): Unit = bw.code(s, 8)
 
-  private def riffWrap(vp8l: Array[Byte]): Array[Byte] = {
-    val padded = vp8l.length + (vp8l.length & 1)
+  private def riffWrap(vp8l: Array[Byte]): Array[Byte] =
+    riffWrapAs("VP8L", vp8l)
+
+  private def riffWrapAs(cc: String, payload: Array[Byte]): Array[Byte] = {
+    val padded = payload.length + (payload.length & 1)
     val out = new Array[Byte](12 + 8 + padded)
     def put4(off: Int, s: String): Unit =
       s.getBytes("US-ASCII").copyToArray(out, off)
@@ -840,10 +866,16 @@ object WebpCodec {
       out(off + 3) = ((v >>> 24) & 0xff).toByte
     }
     put4(0, "RIFF"); putLe32(4, 4 + 8 + padded); put4(8, "WEBP")
-    put4(12, "VP8L"); putLe32(16, vp8l.length)
-    vp8l.copyToArray(out, 20)
+    put4(12, cc); putLe32(16, payload.length)
+    payload.copyToArray(out, 20)
     out
   }
+
+  /** A LOSSY fixture file: [[Vp8Codec.encodeLossy]]'s closed-form
+    * keyframe in a RIFF container — the lossy sibling of [[encode]].
+    * Decoded flat per-MB luma levels = [[Vp8Codec.lossyLevels]]. */
+  def encodeLossyWebp(id: Long, w: Int, h: Int, q: Int = 100): Array[Byte] =
+    riffWrapAs("VP8 ", Vp8Codec.encodeLossy(id, w, h, q))
 
   private def vp8lHeader(bw: BitWriter, w: Int, h: Int): Unit = {
     require(w >= 1 && w <= 16384 && h >= 1 && h <= 16384,

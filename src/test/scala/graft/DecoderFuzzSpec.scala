@@ -65,6 +65,10 @@ class DecoderFuzzSpec extends AnyFunSuite {
         graft.operators.WebpCodec.parseMeta(b)
         graft.operators.WebpCodec.decodeAnimFrame(b, 0)
       }),
+    // lossy VP8 keyframe (round 16): header, mode, token, and
+    // reconstruction paths under mutation
+    ("webp-lossy", graft.operators.WebpCodec.encodeLossyWebp(3L, 48, 16),
+      b => graft.operators.WebpCodec.decode(b)),
     // the three classic image decoders (a 36k-mutation soak was clean
     // after the four JPEG table-id bounds landed)
     ("png", graft.operators.PngCodec.encode(

@@ -121,10 +121,11 @@ class WebpCodecSpec extends AnyFunSuite {
     assert(m.chunkList === Seq("VP8X", "ALPH", "VP8 "))
     // the Multimodal dispatch sees it too
     assert(Multimodal.parseDims(pythonWebp) === (("webp", 16, 16)))
-    // lossy pixels are fenced loudly, and hash to null (not a crash)
-    val e = intercept[IllegalArgumentException] { WebpCodec.decode(pythonWebp) }
-    assert(e.getMessage.contains("lossy"))
-    assert(Multimodal.aHashAny(pythonWebp) == null)
+    // lossy pixels DECODE since round 16 (Vp8Codec — pixel-exact vs
+    // libwebp, see WebpLossySpec) and hash like any other raster
+    val r = WebpCodec.decode(pythonWebp)
+    assert(r.width === 16 && r.height === 16 && r.channels === 4)
+    assert(Multimodal.aHashAny(pythonWebp) != null)
   }
 
   test("real file: the libwebp-encoded ALPH stream decodes through the full machinery") {
