@@ -91,6 +91,51 @@ class WebpLossySpec extends SparkSpec {
     }
   }
 
+  // Two REAL-libwebp-ENCODED multi-MB test cards (WebPEncodeRGB over a
+  // deterministic synthetic card: RGB gradients + 8px checker + a
+  // diagonal edge): 48x32 at q=50 (6 MB rows/cols, active loop
+  // filter, mixed 16x16/B_PRED modes) and 33x17 at q=80 (odd dims —
+  // the crop paths). Hashes are WebPDecodeYUV ground truth.
+  private val card48B64 =
+    """UklGRowBAABXRUJQVlA4IIABAABQCwCdASowACAAPtFgpE6oJaMiKrgKAQAaCWwAnTKEc++b/iN7
+      |AlE6YgQKEtVxnUAc9l7DP6of4y2hUZajy524aEzoNh0HNSKtsx4WO1OZEbjr5/Pf/KBTZ9Y0aBt/
+      |2jvTzYAA/du8v4tY0Rsn7ItJwwAG6IRETlaA2RZYrr/7SoZunkU0UTNQbHEmjz5gJNaI00SagWfM
+      |MsOe3fAb7siPrNcqymdr1Ej62YBUuU2bTBokrJ3fMBedZzvDkm7CO8nWvPFtQtyeEz4T/uajzjLr
+      |LAD//6DlctucJk7o6ZhHQdPkCLZ+oq50sEr/8mPRTcnD/P/NY6hRalSK0oeSju985vI64Gd6uqIJ
+      |MDVFYBFMSDOf22i06HFYB2bG5en3ug43viOoK1ANuHUFPsMXc9MQQHwAPMP24qiz57hPaRLIZIh2
+      |xiDGmbHV5LvegpZR8ohNjtL9dau2ECiB/4PJ3tKvbgF52x8/uoe4doOnlWahymx1lVWOVTJU2M0y
+      |knzDsAA=""".stripMargin.replaceAll("\\s", "")
+
+  private val card33B64 =
+    """UklGRmQBAABXRUJQVlA4IFgBAABwCwCdASohABEAPm0wkkakIyGhJW5ggA2JbACdMoRzt5n+Ff5M
+      |/IJRP6xi2/QD2AfwD1ALdA/qvVM74B+qvpK/rN8Hf6k/zOxZqCXnQAk9jvmL3nfdCXGEh4YJ/6HX
+      |47hviLgAAP7HX/x3+XJCVZxGPf528wNAxcHQelfvptm2EkF86h0b/hsMtnpaV/EzVocoVhfQnJHU
+      |5qhcik5qMSlFAwhdG/HU5YAJ/8GHsyHPXD7BrmZAk2bjWMRVk5H1EwatGZwPpTm3T0J+6JBxXiNV
+      |oZc5+8jDUv+9ZcVuVBqZjvRGPChdmpWxdf9b5w/n/vfAys/4WUgwOoHPis5VEm11ZQgFC/omfXVa
+      |Mn5+Gb5to3v07s70Go1+XMMHXUrhR0GI6B0p3ouchdwOlO9FzkGqM2N5eGH3+alBHdzUOE2/VuPZ
+      |Bvn7KTZIUEp16RJ91LmVw+fmbMbAAA==""".stripMargin.replaceAll("\\s", "")
+
+  test("real libwebp-ENCODED multi-MB test cards decode byte-exact (incl. odd dims)") {
+    val cases = Seq(
+      (card48B64, 48, 32,
+        "c5983ed407be26bec68c89b7b705606f2f1c6e949064cadac8f0e76c2ae53732",
+        "c71ac317aa2de8995bd0b51d2c92fbac1aee099fa37a5d4b871c0edb55679bf7",
+        "6732aea6d825de3cbf42bc9b3aee81142e32993c99c1a0ae720af568aced4e1d"),
+      (card33B64, 33, 17,
+        "2936f7c41a21808510d34dd60a877f5c0e9aa4c7d7997ef3ca758682b1b90dc8",
+        "1d7da19d0d2de3005f8f3c394b2a649cc4cd4d02ca2f89a67300d99ca3b416a4",
+        "5519af60a4a09cf5e34b1bee1ea1d8a20d41851e7b407529a22e4e42b361c615"))
+    for ((b64, w, h, ey, eu, ev) <- cases) {
+      val bytes = java.util.Base64.getDecoder.decode(b64)
+      val (_, off, sz) = WebpCodec.chunks(bytes).find(_._1 == "VP8 ").get
+      val yuv = Vp8Codec.decodeToYuv(bytes, off, sz)
+      assert(yuv.width === w && yuv.height === h)
+      assert(sha(yuv.y) === ey, s"${w}x$h Y")
+      assert(sha(yuv.u) === eu, s"${w}x$h U")
+      assert(sha(yuv.v) === ev, s"${w}x$h V")
+    }
+  }
+
   test("lossy WebP through the container surface: meta, dims, aHash, RGB") {
     val bytes = WebpCodec.encodeLossyWebp(5L, 48, 16)
     val m = WebpCodec.parseMeta(bytes)
