@@ -772,16 +772,6 @@ object Vp8Codec {
       mbY += 1
     }
 
-    if (sys.props.contains("vp8.debug")) {
-      println(s"hdr: q=${hdr.qIndex} filter=${hdr.filterLevel} simple=${hdr.filterSimple} " +
-        s"sharp=${hdr.sharpness} lfDelta=${hdr.lfDeltaEnabled} ref0=${hdr.refLfDelta(0)} " +
-        s"mode0=${hdr.modeLfDelta(0)} seg=${hdr.segmentEnabled} skipEn=${hdr.skipEnabled} parts=$nParts")
-      mbs.zipWithIndex.foreach { case (m, i) =>
-        println(s"mb $i: ymode=${m.yMode} uv=${m.uvMode} skip=${m.skip} " +
-          s"lvl=${m.filterLevel} bmodes=${m.bModes.mkString(",")}")
-      }
-    }
-
     // ---- residuals + reconstruction ----
     val yStride = mbW * 16
     val cStride = mbW * 8
@@ -990,7 +980,7 @@ object Vp8Codec {
     }
 
     // ---- loop filter (§15) ----
-    if (hdr.filterLevel > 0 && !sys.props.contains("vp8.nofilter")) {
+    if (hdr.filterLevel > 0) {
       mbY = 0
       while (mbY < mbH) {
         var mbX = 0
