@@ -3106,6 +3106,84 @@ object SparkEntry {
           col("byteLen").as("byte_len"))
         .orderBy("doc_id")
     }),
+    // --- video frame decode (WebM/IVF → VP8 keyframes) ---------------
+    // Real frame access through both crawl containers: closed-form VP8
+    // keyframes ([[Vp8Codec.encodeLossy]], seed doc_id*131+frame) muxed
+    // into WebM (even ids) / IVF (odd ids) with non-keyframe stubs
+    // interleaved, decoded back via the container demux + the
+    // libwebp-validated VP8 decoder. Per-frame features gate.
+    "multimodal_video_frames" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 80).select(
+        col("doc_id"),
+        (col("doc_id") % 3 + 2).cast("int").as("nf"),
+        ((col("doc_id") % 4 + 2) * 16).cast("int").as("w"))
+      val media = Multimodal.encodeVp8Video(spec, "doc_id", "nf", "w",
+        withInterframes = true)
+      Multimodal.videoKeyframeFeatures(media)
+        .toDF()
+        .select(col("mediaId").as("doc_id"), col("format"),
+          col("frameIdx").as("frame_idx"), col("ptsMs").as("pts_ms"),
+          col("width").as("w"), col("nMb").as("n_mb"),
+          col("meanLuma").as("mean_luma"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+    // Per-macroblock pixel exactness through the video path — the
+    // webp_lossy oracle replayed per (doc, frame, mb) with the
+    // per-frame seed; proves container demux feeds the decoder the
+    // exact frame windows.
+    "multimodal_video_mb" -> ((s, dir) => {
+      import s.implicits._
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 60).select(
+        col("doc_id"),
+        (col("doc_id") % 3 + 1).cast("int").as("nf"),
+        ((col("doc_id") % 6 + 2) * 16).cast("int").as("w"))
+      spec.as[(Long, Int, Int)].mapPartitions(_.flatMap { case (id, nf, w) =>
+        val frames = (0 until nf).map(f =>
+          (f * 200L, graft.operators.Vp8Codec.encodeLossy(id * 131L + f, w, 16)))
+        val bytes =
+          if (id % 2 == 0) graft.operators.WebmVideo.muxWebm(frames, w, 16, nf * 200L)
+          else graft.operators.WebmVideo.muxIvf(frames, w, 16)
+        graft.operators.WebmVideo.decodeKeyframes(bytes).flatMap { case (f, _, r) =>
+          (0 until r.width / 16).iterator.map { mb =>
+            val lvl = r.pixels(mb * 16 * 3) & 0xff
+            var flat = true
+            var y = 0
+            while (y < 16 && flat) {
+              var x = 0
+              while (x < 16 && flat) {
+                val i = (y * r.width + mb * 16 + x) * 3
+                flat = (r.pixels(i) & 0xff) == lvl &&
+                  r.pixels(i) == r.pixels(i + 1) &&
+                  r.pixels(i) == r.pixels(i + 2)
+                x += 1
+              }
+              y += 1
+            }
+            (id, f, mb, lvl.toLong, flat)
+          }
+        }
+      }).toDF("doc_id", "frame_idx", "mb_idx", "level", "is_flat")
+        .orderBy("doc_id", "frame_idx", "mb_idx")
+    }),
+    // Keyframe-stride sampling census: decode every 2nd keyframe only
+    // (the pipeline's frame-sampling semantics — interframes and
+    // skipped keyframes never reach the decoder).
+    "multimodal_video_sample" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 80).select(
+        col("doc_id"),
+        (col("doc_id") % 4 + 3).cast("int").as("nf"),
+        lit(64).as("w"))
+      val media = Multimodal.encodeVp8Video(spec, "doc_id", "nf", "w",
+        withInterframes = true)
+      Multimodal.videoKeyframeFeatures(media, everyNth = 2)
+        .toDF()
+        .groupBy(col("mediaId").as("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("ptsMs")).as("first_pts"),
+          max(col("ptsMs")).as("last_pts"),
+          sum(col("meanLuma")).as("sum_luma"))
+        .orderBy("doc_id")
+    }),
     // Lossless-audio metadata path (round 9): deterministic FLAC
     // STREAMINFO skeletons → bit-field parse. Duration is the closed
     // form totalSamples·1000/rate the oracle replays; mixing a
@@ -8157,6 +8235,100 @@ object SparkEntry {
         |  CAST(1 AS INTEGER) AS n_video_tracks,
         |  CAST(85 AS BIGINT) AS byte_len
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    // video keyframe decode: per-frame features — the closed-form VP8
+    // fixture chain (q=100 → y2dcQ=196; see multimodal_webp_lossy)
+    // replayed per (doc, frame) with seed doc_id*131+frame; mean luma
+    // of a flat-MB frame is floor(Σ level / n_mb)
+    "multimodal_video_frames" ->
+      """WITH vf_docs AS (
+        |  SELECT doc_id, CAST(doc_id % 3 + 2 AS INTEGER) AS nf,
+        |         CAST(doc_id % 4 + 2 AS INTEGER) AS n_mb
+        |  FROM documents WHERE doc_id < 80
+        |), vf_frames AS (
+        |  SELECT doc_id, n_mb, CAST(unnest(range(nf)) AS INTEGER) AS f
+        |  FROM vf_docs
+        |), vf_mb AS (
+        |  SELECT doc_id, n_mb, f, doc_id * 131 + f AS seed,
+        |         CAST(unnest(range(n_mb)) AS INTEGER) AS mb
+        |  FROM vf_frames
+        |), vf_delta AS (
+        |  SELECT doc_id, n_mb, f, mb,
+        |    CAST(floor((floor(((CASE WHEN (seed + mb) % 2 = 0 THEN 1 ELSE -1 END)
+        |      * ((seed + 3 * mb) % 4 + 1) * 196 + 3) / 8.0) + 4) / 8.0) AS BIGINT) AS d
+        |  FROM vf_mb
+        |), vf_levels AS (
+        |  SELECT doc_id, n_mb, f, mb,
+        |    128 + sum(d) OVER (PARTITION BY doc_id, f ORDER BY mb) AS lvl
+        |  FROM vf_delta
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'ivf' END AS format,
+        |  f AS frame_idx, CAST(f * 200 AS BIGINT) AS pts_ms,
+        |  CAST(n_mb * 16 AS INTEGER) AS w, n_mb,
+        |  CAST(floor(sum(lvl) / CAST(n_mb AS DOUBLE)) AS INTEGER) AS mean_luma
+        |FROM vf_levels
+        |GROUP BY doc_id, f, n_mb
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // video keyframe decode: per-macroblock flat levels — the
+    // webp_lossy pixel oracle through the container demux path
+    "multimodal_video_mb" ->
+      """WITH vm_docs AS (
+        |  SELECT doc_id, CAST(doc_id % 3 + 1 AS INTEGER) AS nf,
+        |         CAST(doc_id % 6 + 2 AS INTEGER) AS n_mb
+        |  FROM documents WHERE doc_id < 60
+        |), vm_frames AS (
+        |  SELECT doc_id, n_mb, CAST(unnest(range(nf)) AS INTEGER) AS f
+        |  FROM vm_docs
+        |), vm_mb AS (
+        |  SELECT doc_id, n_mb, f, doc_id * 131 + f AS seed,
+        |         CAST(unnest(range(n_mb)) AS INTEGER) AS mb
+        |  FROM vm_frames
+        |), vm_delta AS (
+        |  SELECT doc_id, f, mb,
+        |    CAST(floor((floor(((CASE WHEN (seed + mb) % 2 = 0 THEN 1 ELSE -1 END)
+        |      * ((seed + 3 * mb) % 4 + 1) * 196 + 3) / 8.0) + 4) / 8.0) AS BIGINT) AS d
+        |  FROM vm_mb
+        |)
+        |SELECT doc_id, f AS frame_idx, mb AS mb_idx,
+        |  CAST(128 + sum(d) OVER (PARTITION BY doc_id, f ORDER BY mb)
+        |    AS BIGINT) AS level,
+        |  TRUE AS is_flat
+        |FROM vm_delta
+        |ORDER BY doc_id, frame_idx, mb_idx""".stripMargin,
+    // keyframe-stride sampling census: even keyframe ordinals only
+    "multimodal_video_sample" ->
+      """WITH vs_docs AS (
+        |  SELECT doc_id, CAST(doc_id % 4 + 3 AS INTEGER) AS nf,
+        |         CAST(4 AS INTEGER) AS n_mb
+        |  FROM documents WHERE doc_id < 80
+        |), vs_frames AS (
+        |  SELECT doc_id, n_mb, CAST(unnest(range(nf)) AS INTEGER) AS f
+        |  FROM vs_docs
+        |), vs_sampled AS (
+        |  SELECT * FROM vs_frames WHERE f % 2 = 0
+        |), vs_mb AS (
+        |  SELECT doc_id, n_mb, f, doc_id * 131 + f AS seed,
+        |         CAST(unnest(range(n_mb)) AS INTEGER) AS mb
+        |  FROM vs_sampled
+        |), vs_delta AS (
+        |  SELECT doc_id, n_mb, f, mb,
+        |    CAST(floor((floor(((CASE WHEN (seed + mb) % 2 = 0 THEN 1 ELSE -1 END)
+        |      * ((seed + 3 * mb) % 4 + 1) * 196 + 3) / 8.0) + 4) / 8.0) AS BIGINT) AS d
+        |  FROM vs_mb
+        |), vs_levels AS (
+        |  SELECT doc_id, n_mb, f, mb,
+        |    128 + sum(d) OVER (PARTITION BY doc_id, f ORDER BY mb) AS lvl
+        |  FROM vs_delta
+        |), vs_frame AS (
+        |  SELECT doc_id, f,
+        |    CAST(floor(sum(lvl) / CAST(n_mb AS DOUBLE)) AS INTEGER) AS mean_luma
+        |  FROM vs_levels GROUP BY doc_id, f, n_mb
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(min(f) * 200 AS BIGINT) AS first_pts,
+        |  CAST(max(f) * 200 AS BIGINT) AS last_pts,
+        |  CAST(sum(mean_luma) AS BIGINT) AS sum_luma
+        |FROM vs_frame GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "multimodal_flac_meta" ->
       """WITH spec AS (
         |  SELECT doc_id,

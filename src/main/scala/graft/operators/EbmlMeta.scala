@@ -5,8 +5,9 @@ package graft.operators
   * element registry). Completes the video-metadata tier next to
   * [[Mp4Meta]]: MP4 and WebM are the two dominant crawl video
   * containers. Same scope split: duration/dims/track-count for
-  * filtering and dedup keys; VP8/VP9/AV1 frame DECODE stays honestly
-  * out of scope.
+  * filtering and dedup keys. Since round 16, VP8 keyframe DECODE is
+  * real through [[WebmVideo]] (Cluster/SimpleBlock demux feeding
+  * [[Vp8Codec]]); VP9/AV1 frame decode stays honestly out of scope.
   *
   * Parsed structure (element IDs from the registry):
   *   EBML 0x1A45DFA3 > DocType 0x4282 ("webm" | "matroska")
@@ -33,7 +34,7 @@ object EbmlMeta {
   /** EBML varint: leading-zero count of the first byte gives the
     * width. For IDs the marker bit is KEPT (registry IDs include it);
     * for sizes it is stripped. Returns (value, bytesRead). */
-  private def readVarint(b: Array[Byte], off: Int, keepMarker: Boolean): (Long, Int) = {
+  private[operators] def readVarint(b: Array[Byte], off: Int, keepMarker: Boolean): (Long, Int) = {
     require(off < b.length, s"varint past end at offset $off")
     val first = b(off) & 0xff
     require(first != 0, s"invalid varint leading byte 0 at offset $off")
@@ -54,7 +55,7 @@ object EbmlMeta {
   private def isUnknownSize(v: Long, len: Int): Boolean =
     v == (1L << (7 * len)) - 1
 
-  private def readUint(b: Array[Byte], off: Int, len: Int): Long = {
+  private[operators] def readUint(b: Array[Byte], off: Int, len: Int): Long = {
     require(len >= 1 && len <= 8, s"bad uint length $len")
     var v = 0L
     var i = 0
@@ -70,7 +71,7 @@ object EbmlMeta {
 
   /** Walk the children of [start, end), calling f(id, payloadStart,
     * payloadEnd). Unknown-size children run to the enclosing end. */
-  private def walk(b: Array[Byte], start: Int, end: Int)(
+  private[operators] def walk(b: Array[Byte], start: Int, end: Int)(
       f: (Long, Int, Int) => Unit): Unit = {
     var off = start
     while (off < end) {

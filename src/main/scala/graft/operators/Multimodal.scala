@@ -1410,4 +1410,86 @@ object Multimodal {
           .otherwise(array().cast(ArrayType(IntegerType, containsNull = false))))
         .as("frame_offset"))
   }
+  // --- video frame decode (WebM / IVF → VP8 keyframes) ---------------
+
+  /** One decoded video keyframe's features: ordinal over the KEYFRAME
+    * subsequence, presentation time, dims, macroblock count, integer
+    * mean luma, and the cross-format [[aHashRaster]] fingerprint (the
+    * same 64-bit hash space the image tier dedups in — a video's
+    * keyframes join image dedup directly). */
+  final case class VideoKeyframeFeatures(
+      mediaId: Long,
+      format: String,
+      frameIdx: Int,
+      ptsMs: Long,
+      width: Int,
+      height: Int,
+      nMb: Int,
+      meanLuma: Int,
+      ahash: Long)
+
+  /** Distributed fixture-video encode per (id, nFrames, width) row:
+    * `nFrames` closed-form VP8 keyframes ([[Vp8Codec.encodeLossy]],
+    * per-frame seed `id*131 + frame`) at 200 ms cadence, muxed into
+    * WebM for even ids and IVF for odd ids (both demux paths stay
+    * hot). With `withInterframes` a non-keyframe stub follows each
+    * keyframe at +100 ms — fixtures then exercise keyframe-subsequence
+    * sampling the way real crawl video does. Row-local. */
+  def encodeVp8Video(spec: DataFrame, idCol: String, framesCol: String,
+      wCol: String, withInterframes: Boolean = false): DataFrame = {
+    val spark = spec.sparkSession
+    import spark.implicits._
+    spec.select(col(idCol).cast("long"), col(framesCol).cast("int"),
+        col(wCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, nf, w) =>
+        require(nf >= 1, s"encodeVp8Video: media $id has $nf frames")
+        val frames = (0 until nf).flatMap { f =>
+          val key = (f * 200L, Vp8Codec.encodeLossy(id * 131L + f, w, 16))
+          if (withInterframes && f < nf - 1)
+            Seq(key, (f * 200L + 100L, WebmVideo.interframeStub()))
+          else Seq(key)
+        }
+        val durMs = (nf - 1) * 200L + 200L
+        val bytes =
+          if (id % 2 == 0) WebmVideo.muxWebm(frames, w, 16, durMs)
+          else WebmVideo.muxIvf(frames, w, 16)
+        (id, bytes)
+      })
+      .toDF("media_id", "data")
+  }
+
+  /** Decode every `everyNth`-th VP8 keyframe of each (media_id, data)
+    * video to per-frame features ([[WebmVideo.decodeKeyframes]]).
+    * Row-local flatMap — payloads never shuffle, interframes are never
+    * decoded, and stride-N sampling decodes exactly the sampled frames
+    * (the demux returns byte windows, not copies). Non-video payloads
+    * fail loudly, the image-codec policy. */
+  def videoKeyframeFeatures(media: DataFrame, everyNth: Int = 1)
+      : Dataset[VideoKeyframeFeatures] = {
+    implicit val enc = Encoders.product[VideoKeyframeFeatures]
+    media.select(col("media_id").cast("long"), col("data"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.flatMap { row =>
+          val id = row.getLong(0)
+          val bytes = row.getAs[Array[Byte]](1)
+          val (fmt, _) = WebmVideo.demux(bytes)
+          WebmVideo.decodeKeyframes(bytes, everyNth).map { case (i, pts, r) =>
+            // integer Rec.601 luma per pixel, then the integer mean —
+            // exact on gray pixels (r=g=b=y → (299+587+114)y/1000 = y)
+            var s = 0L
+            var p = 0
+            val n = r.width * r.height
+            while (p < n) {
+              val o = p * r.channels
+              s += (299 * (r.pixels(o) & 0xff) + 587 * (r.pixels(o + 1) & 0xff) +
+                114 * (r.pixels(o + 2) & 0xff)) / 1000
+              p += 1
+            }
+            VideoKeyframeFeatures(id, fmt, i, pts, r.width, r.height,
+              (r.width + 15) / 16, (s / n).toInt, aHashRaster(r))
+          }
+        }
+      }
+  }
 }
