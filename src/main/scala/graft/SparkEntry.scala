@@ -3184,6 +3184,24 @@ object SparkEntry {
           sum(col("meanLuma")).as("sum_luma"))
         .orderBy("doc_id")
     }),
+    // Container-invariant VIDEO dedup: seed-shared fixtures put the
+    // SAME pixel content in different ids — and (doc parity) different
+    // CONTAINERS — so keyframe-hash dedup pairs what byte-level dedup
+    // never can. All-keyframes-match rule; the oracle replays the
+    // flat-MB aHash (bits depend only on the sample column, so the
+    // 64-bit hash is the 8-bit row mask replicated — equality of masks
+    // is equality of hashes) and the full pair decision.
+    "video_dedup_keyframes" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 100).select(
+        col("doc_id"),
+        (col("doc_id") % 25).cast("long").as("seed"),
+        ((col("doc_id") % 25) % 3 + 2).cast("int").as("nf"),
+        (((col("doc_id") % 25) % 4 + 2) * 16).cast("int").as("w"))
+      val media = Multimodal.encodeVp8Video(spec, "doc_id", "nf", "w",
+        withInterframes = true, seedCol = "seed")
+      Multimodal.videoDupPairs(Multimodal.videoKeyframeFeatures(media))
+        .orderBy("id_a", "id_b")
+    }),
     // Lossless-audio metadata path (round 9): deterministic FLAC
     // STREAMINFO skeletons → bit-field parse. Duration is the closed
     // form totalSamples·1000/rate the oracle replays; mixing a
@@ -8329,6 +8347,59 @@ object SparkEntry {
         |  CAST(max(f) * 200 AS BIGINT) AS last_pts,
         |  CAST(sum(mean_luma) AS BIGINT) AS sum_luma
         |FROM vs_frame GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // video dedup: flat-MB aHash bits depend only on the sampled
+    // column c (all rows identical), so hash equality == row-mask
+    // equality; the pair rule (same keyframe count, every ordinal
+    // matching) is replayed verbatim
+    "video_dedup_keyframes" ->
+      """WITH vd_docs AS (
+        |  SELECT doc_id, doc_id % 25 AS seed,
+        |         CAST((doc_id % 25) % 3 + 2 AS INTEGER) AS nf,
+        |         CAST((doc_id % 25) % 4 + 2 AS INTEGER) AS n_mb
+        |  FROM documents WHERE doc_id < 100
+        |), vd_frames AS (
+        |  SELECT doc_id, seed, nf, n_mb,
+        |         CAST(unnest(range(nf)) AS INTEGER) AS f
+        |  FROM vd_docs
+        |), vd_mb AS (
+        |  SELECT doc_id, nf, n_mb, f, seed * 131 + f AS fseed,
+        |         CAST(unnest(range(n_mb)) AS INTEGER) AS mb
+        |  FROM vd_frames
+        |), vd_delta AS (
+        |  SELECT doc_id, nf, n_mb, f, mb,
+        |    CAST(floor((floor(((CASE WHEN (fseed + mb) % 2 = 0 THEN 1 ELSE -1 END)
+        |      * ((fseed + 3 * mb) % 4 + 1) * 196 + 3) / 8.0) + 4) / 8.0) AS BIGINT) AS d
+        |  FROM vd_mb
+        |), vd_levels AS (
+        |  SELECT doc_id, nf, n_mb, f, mb,
+        |    128 + sum(d) OVER (PARTITION BY doc_id, f ORDER BY mb) AS lvl
+        |  FROM vd_delta
+        |), vd_c AS (
+        |  SELECT doc_id, nf, n_mb, f, CAST(unnest(range(8)) AS INTEGER) AS c
+        |  FROM vd_frames
+        |), vd_lum AS (
+        |  SELECT vc.doc_id, vc.nf, vc.f, vc.c, 3 * vl.lvl AS lum
+        |  FROM vd_c vc JOIN vd_levels vl
+        |    ON vl.doc_id = vc.doc_id AND vl.f = vc.f
+        |   AND vl.mb = (vc.c * vc.n_mb) // 8
+        |), vd_lum2 AS (
+        |  SELECT doc_id, nf, f, c, lum,
+        |    sum(lum) OVER (PARTITION BY doc_id, f) AS s8
+        |  FROM vd_lum
+        |), vd_mask AS (
+        |  SELECT doc_id, nf, f,
+        |    sum(CASE WHEN 8 * lum > s8 THEN 1 << c ELSE 0 END) AS rowmask
+        |  FROM vd_lum2 GROUP BY doc_id, nf, f
+        |), vd_match AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n,
+        |         max(a.nf) AS nf_a, max(b.nf) AS nf_b
+        |  FROM vd_mask a JOIN vd_mask b
+        |    ON a.f = b.f AND a.rowmask = b.rowmask AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_matched
+        |FROM vd_match WHERE n = nf_a AND n = nf_b
+        |ORDER BY id_a, id_b""".stripMargin,
     "multimodal_flac_meta" ->
       """WITH spec AS (
         |  SELECT doc_id,

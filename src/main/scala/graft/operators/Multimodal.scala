@@ -1430,22 +1430,27 @@ object Multimodal {
 
   /** Distributed fixture-video encode per (id, nFrames, width) row:
     * `nFrames` closed-form VP8 keyframes ([[Vp8Codec.encodeLossy]],
-    * per-frame seed `id*131 + frame`) at 200 ms cadence, muxed into
-    * WebM for even ids and IVF for odd ids (both demux paths stay
-    * hot). With `withInterframes` a non-keyframe stub follows each
-    * keyframe at +100 ms — fixtures then exercise keyframe-subsequence
-    * sampling the way real crawl video does. Row-local. */
+    * per-frame seed `seed*131 + frame`, `seed` defaulting to the id)
+    * at 200 ms cadence, muxed into WebM for even ids and IVF for odd
+    * ids (both demux paths stay hot). With `withInterframes` a
+    * non-keyframe stub follows each keyframe at +100 ms — fixtures
+    * then exercise keyframe-subsequence sampling the way real crawl
+    * video does. A `seedCol` shared by several ids makes those ids
+    * pixel-identical videos (possibly in DIFFERENT containers — the
+    * dedup fixtures). Row-local. */
   def encodeVp8Video(spec: DataFrame, idCol: String, framesCol: String,
-      wCol: String, withInterframes: Boolean = false): DataFrame = {
+      wCol: String, withInterframes: Boolean = false,
+      seedCol: String = null): DataFrame = {
     val spark = spec.sparkSession
     import spark.implicits._
+    val seed = if (seedCol == null) col(idCol) else col(seedCol)
     spec.select(col(idCol).cast("long"), col(framesCol).cast("int"),
-        col(wCol).cast("int"))
-      .as[(Long, Int, Int)]
-      .mapPartitions(_.map { case (id, nf, w) =>
+        col(wCol).cast("int"), seed.cast("long"))
+      .as[(Long, Int, Int, Long)]
+      .mapPartitions(_.map { case (id, nf, w, sd) =>
         require(nf >= 1, s"encodeVp8Video: media $id has $nf frames")
         val frames = (0 until nf).flatMap { f =>
-          val key = (f * 200L, Vp8Codec.encodeLossy(id * 131L + f, w, 16))
+          val key = (f * 200L, Vp8Codec.encodeLossy(sd * 131L + f, w, 16))
           if (withInterframes && f < nf - 1)
             Seq(key, (f * 200L + 100L, WebmVideo.interframeStub()))
           else Seq(key)
@@ -1491,5 +1496,34 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Video duplicate pairs by keyframe fingerprints: two videos are
+    * duplicates when they have the same keyframe count and EVERY
+    * keyframe ordinal matches on the 64-bit [[aHashRaster]] hash.
+    * CONTAINER-INVARIANT — the hash is over decoded pixels, so the
+    * same content in WebM and IVF (or re-muxed files) pairs up, which
+    * byte-level dedup can never do.
+    *
+    * Scale shape: one equi-join on (frame_idx, ahash) — hash values
+    * distribute uniformly, no cross join, no all-pairs; the per-pair
+    * match count joins two broadcast-size per-video count tables.
+    * Same-hash frame groups are the only quadratic surface, exactly
+    * like [[Dedup.hammingPairs]]' bucket tiers. */
+  def videoDupPairs(kf: Dataset[VideoKeyframeFeatures]): DataFrame = {
+    val f = kf.toDF().select(col("mediaId").as("id"),
+      col("frameIdx").as("f"), col("ahash"))
+    val counts = f.groupBy("id").agg(count(lit(1)).as("nf"))
+    val matched = f.as("a").join(f.as("b"),
+        col("a.f") === col("b.f") && col("a.ahash") === col("b.ahash") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_matched"))
+    matched
+      .join(counts.select(col("id").as("id_a"), col("nf").as("nf_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("nf").as("nf_b")), "id_b")
+      .where(col("n_matched") === col("nf_a") &&
+        col("n_matched") === col("nf_b"))
+      .select(col("id_a"), col("id_b"), col("n_matched"))
   }
 }

@@ -201,6 +201,23 @@ class WebmVideoSpec extends SparkSpec {
     assert(got.map(_.ptsMs).toSeq == Seq(0L, 400L, 800L))
   }
 
+  test("operators: videoDupPairs pairs identical content ACROSS containers") {
+    val s = spark
+    import s.implicits._
+    // ids 6 (webm) and 7 (ivf) share seed 1 → pixel-identical videos in
+    // different containers; id 8 (seed 2) matches nobody.
+    val spec = Seq((6L, 1L, 3, 48), (7L, 1L, 3, 48), (8L, 2L, 3, 48))
+      .toDF("id", "seed", "nf", "w")
+    val media = Multimodal.encodeVp8Video(spec, "id", "nf", "w",
+      withInterframes = true, seedCol = "seed")
+    val fmts = Multimodal.videoKeyframeFeatures(media).collect()
+      .groupBy(_.mediaId).map { case (k, v) => k -> v.head.format }
+    assert(fmts == Map(6L -> "webm", 7L -> "ivf", 8L -> "webm"))
+    val pairs = Multimodal.videoDupPairs(Multimodal.videoKeyframeFeatures(media))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((6L, 7L, 3L)))
+  }
+
   test("mutation soak: demux+decode throws IllegalArgumentException or succeeds") {
     val frames = withStubs(keyframes(11L, 3, 48))
     for ((bytes, tag) <- Seq(
