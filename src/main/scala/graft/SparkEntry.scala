@@ -3202,6 +3202,54 @@ object SparkEntry {
       Multimodal.videoDupPairs(Multimodal.videoKeyframeFeatures(media))
         .orderBy("id_a", "id_b")
     }),
+    // DCT perceptual hash (pHash): the structure-keyed complement to
+    // aHash — integer Rec.601 gray, 32x32 nearest sample, fixed-point
+    // DCT (pinned cosine constants), lower-median threshold. The
+    // oracle replays every step in DuckDB integer arithmetic.
+    "multimodal_phash" -> ((s, dir) => {
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 150).select(
+        col("doc_id"),
+        (col("n_chars") % 64 + 8).cast("int").as("w"),
+        (col("doc_id") % 48 + 8).cast("int").as("h"))
+      val media = Multimodal.encodeBmpFrame(dims, "doc_id", "w", "h")
+      Multimodal.pHashAnyFrame(media)
+        .select(col("media_id").as("doc_id"),
+          col("phash").bitwiseAND(lit(0xffffffffL)).as("phash_lo"),
+          shiftrightunsigned(col("phash"), 32).as("phash_hi"))
+        .orderBy("doc_id")
+    }),
+    // Cross-format pHash dedup: PNG twins of even-id BMP gradients
+    // (same pixels, different container, shifted ids) must pair at
+    // hamming 0 through the real decode paths; the oracle replays the
+    // hash for every image and the radius-0 pair rule.
+    "image_dedup_phash" -> ((s, dir) => {
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 120).select(
+        col("doc_id"),
+        (col("n_chars") % 64 + 8).cast("int").as("w"),
+        (col("doc_id") % 48 + 8).cast("int").as("h"))
+      val bmp = Multimodal.encodeBmpFrame(dims, "doc_id", "w", "h")
+      // PNG twins with the same VISUAL content as the BMPs: encodeBmp
+      // stores formula rows bottom-up, so the twin flips rows before
+      // the (top-down) PNG encode — same image, different container.
+      import s.implicits._
+      val png = dims.where(col("doc_id") % 2 === 0).as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (id, w, h) =>
+          val g = graft.operators.PngCodec.gradient(id, w, h)
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            System.arraycopy(g.pixels, (h - 1 - y) * w * 3, px, y * w * 3, w * 3)
+            y += 1
+          }
+          (id + 1000L, graft.operators.PngCodec.encode(
+            graft.operators.PngCodec.Raster(w, h, 3, px)))
+        }).toDF("media_id", "data")
+      Dedup.hammingPairs(
+          Multimodal.pHashAnyFrame(bmp.unionAll(png)),
+          "media_id", "phash", maxHamming = 0)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
     // Lossless-audio metadata path (round 9): deterministic FLAC
     // STREAMINFO skeletons → bit-field parse. Duration is the closed
     // form totalSamples·1000/rate the oracle replays; mixing a
@@ -5397,6 +5445,51 @@ object SparkEntry {
     * HUGEINT↔signed-BIGINT conversion entirely). */
   /** Shared CTE: replay every sampled pixel's luma from the encoder's
     * closed-form gradient and rebuild both 32-bit aHash halves. */
+  /** Shared pHash replay CTE body: `imagesSql` supplies
+    * (id, seed, w, h); the chain replays the integer pipeline of
+    * [[graft.operators.PHash]] — gradient gray, 32x32 nearest sample,
+    * separable fixed-point DCT with the PINNED cosine constants
+    * (embedded verbatim, not re-derived through another libm), lower
+    * median, bit assembly in two BIGINT halves. Ends with
+    * `ph_hashes(id, lo, hi)`. */
+  private def pHashCteBody(imagesSql: String): String =
+    s"""ph_images AS ($imagesSql
+       |), ph_cos(k, n, c) AS (VALUES ${graft.operators.PHash.cosTableSqlValues}
+       |), ph_xy AS (
+       |  SELECT id, seed, xs.x AS x, ys.y AS y,
+       |         xs.x * w // 32 AS sx, ys.y * h // 32 AS sy
+       |  FROM ph_images, (SELECT unnest(range(32)) AS x) xs,
+       |       (SELECT unnest(range(32)) AS y) ys
+       |), ph_g AS (
+       |  SELECT id, x, y,
+       |    (299 * ((sx * 7 + sy * 3) % 256) + 587 * (xor(sx, sy) % 256)
+       |     + 114 * ((sx + sy + seed) % 256)) // 1000 AS g
+       |  FROM ph_xy
+       |), ph_tmp AS (
+       |  SELECT g.id, cu.k AS u, g.y, sum(cu.c * g.g) AS t
+       |  FROM ph_g g JOIN ph_cos cu ON cu.n = g.x
+       |  GROUP BY g.id, cu.k, g.y
+       |), ph_dct AS (
+       |  SELECT t.id, t.u, cv.k AS v, sum(cv.c * t.t) AS d
+       |  FROM ph_tmp t JOIN ph_cos cv ON cv.n = t.y
+       |  GROUP BY t.id, t.u, cv.k
+       |), ph_med AS (
+       |  SELECT id, d AS med FROM (
+       |    SELECT id, d, row_number() OVER (PARTITION BY id ORDER BY d) AS rn
+       |    FROM ph_dct) WHERE rn = 32
+       |), ph_bits AS (
+       |  SELECT c.id, c.v * 8 + c.u AS i,
+       |         CASE WHEN c.d > m.med THEN 1 ELSE 0 END AS b
+       |  FROM ph_dct c JOIN ph_med m ON m.id = c.id
+       |), ph_hashes AS (
+       |  SELECT id,
+       |    CAST(sum(CASE WHEN i < 32 AND b = 1
+       |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN i >= 32 AND b = 1
+       |      THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM ph_bits GROUP BY id
+       |)""".stripMargin
+
   private lazy val aHashCte: String =
     """WITH d AS (
       |  SELECT doc_id, CAST(n_chars % 64 + 1 AS BIGINT) AS w,
@@ -8400,6 +8493,33 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_matched
         |FROM vd_match WHERE n = nf_a AND n = nf_b
         |ORDER BY id_a, id_b""".stripMargin,
+    "multimodal_phash" -> {
+      val images = """
+        |  SELECT doc_id AS id, doc_id AS seed,
+        |         CAST(n_chars % 64 + 8 AS BIGINT) AS w,
+        |         CAST(doc_id % 48 + 8 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id < 150""".stripMargin
+      s"""WITH ${pHashCteBody(images)}
+         |SELECT id AS doc_id, lo AS phash_lo, hi AS phash_hi
+         |FROM ph_hashes ORDER BY doc_id""".stripMargin
+    },
+    "image_dedup_phash" -> {
+      val images = """
+        |  SELECT doc_id AS id, doc_id AS seed,
+        |         CAST(n_chars % 64 + 8 AS BIGINT) AS w,
+        |         CAST(doc_id % 48 + 8 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id < 120
+        |  UNION ALL
+        |  SELECT doc_id + 1000 AS id, doc_id AS seed,
+        |         CAST(n_chars % 64 + 8 AS BIGINT) AS w,
+        |         CAST(doc_id % 48 + 8 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id < 120 AND doc_id % 2 = 0""".stripMargin
+      s"""WITH ${pHashCteBody(images)}
+         |SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS INTEGER) AS hamming
+         |FROM ph_hashes a JOIN ph_hashes b
+         |  ON a.lo = b.lo AND a.hi = b.hi AND a.id < b.id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "multimodal_flac_meta" ->
       """WITH spec AS (
         |  SELECT doc_id,

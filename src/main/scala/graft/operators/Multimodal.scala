@@ -339,6 +339,22 @@ object Multimodal {
       .toDF("media_id", "ahash")
   }
 
+  /** [[PHash.phashAny]] over a (media_id, data) frame: the DCT
+    * perceptual hash for a MIXED-format image corpus — same shape as
+    * [[aHashAnyFrame]], same 64-bit hash space machinery
+    * ([[Dedup.hammingPairs]] banding applies unchanged). Row-local;
+    * payloads never shuffle. */
+  def pHashAnyFrame(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, d) =>
+        (id, Option(PHash.phashAny(d)).map(_.longValue))
+      })
+      .toDF("media_id", "phash")
+  }
+
   /** Exact-integer audio features of a WAV payload — the audio analog
     * of [[MediaFeatures]]: header facts plus integer sample stats
     * (peak |sample|, exact sample sum) an external oracle replays from
