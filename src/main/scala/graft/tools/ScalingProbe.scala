@@ -505,6 +505,84 @@ object ScalingProbe {
     * The KN hot-slice ladder is EXPLICIT `broadcast()` hints bounded
     * by hotK, so its B-count dropping at 100× is a hard failure
     * (loud `require`), not a data point. */
+  /** Media tier (round 16): video keyframe decode/dedup and image
+    * pHash at 1×/10×/100× synthetic corpora. Decode and hashing are
+    * row-local by construction (the only exchanges are the dedup
+    * join's), and the fixture keeps dup density CONSTANT across
+    * scales — every seed is shared by 4 ids at every scale, so true
+    * pairs grow linearly and a linear operator shows ~linear wall.
+    * Honest bars: video_decode/image_phash ~linear wall with ~zero
+    * shuffle; video_dedup ~linear wall and ~linear shuffle (slim
+    * (frame, hash) rows — payload bytes never enter the join). */
+  private def runMedia(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outPath: String, cpus: String): Unit = {
+    import graft.operators.Multimodal
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), (Double, Long, Long)]
+    val base = 2000
+    for (scale <- Seq(1, 10, 100)) {
+      val n = base * scale
+      val nSeeds = math.max(1, n / 4)
+      val spec = spark.range(n.toLong).select(
+        col("id"),
+        (col("id") % nSeeds).as("seed"),
+        ((col("id") % nSeeds) % 3 + 2).cast("int").as("nf"),
+        (((col("id") % nSeeds) % 4 + 2) * 16).cast("int").as("w"))
+      val media = Multimodal.encodeVp8Video(spec, "id", "nf", "w",
+        withInterframes = true, seedCol = "seed")
+        .repartition(cpus.toInt).cache()
+      media.count() // materialize encode outside the timed region
+      results(("video_decode", scale)) = timed { () =>
+        Multimodal.videoKeyframeFeatures(media).toDF()
+          .groupBy(col("format"))
+          .agg(count(lit(1)).as("n"), sum(col("meanLuma")).as("s"))
+      }
+      results(("video_dedup", scale)) = timed { () =>
+        Multimodal.videoDupPairs(Multimodal.videoKeyframeFeatures(media))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("n_matched")).as("s"))
+      }
+      media.unpersist()
+      val dims = spark.range(n.toLong).select(col("id"),
+        (col("id") % 64 + 8).cast("int").as("w"),
+        (col("id") % 48 + 8).cast("int").as("h"))
+      val bmp = Multimodal.encodeBmpFrame(dims, "id", "w", "h")
+        .repartition(cpus.toInt).cache()
+      bmp.count()
+      results(("image_phash", scale)) = timed { () =>
+        Multimodal.pHashAnyFrame(bmp)
+          .agg(count(col("phash")).as("n"),
+            sum(col("phash").bitwiseAND(lit(0xffffL))).as("s"))
+      }
+      bmp.unpersist()
+      println(s"[scaling-media] scale=$scale rows=$n done")
+    }
+    val head = Provenance.gitHead
+    val dirty = Provenance.gitTreeDirty
+    val sb = new StringBuilder
+    sb ++= "\n## Media tier — video decode / video dedup / image pHash (round 16)\n\n"
+    sb ++= s"Generated by `graft.tools.ScalingProbe media` at git `$head`" +
+      s"${if (dirty) " (DIRTY tree)" else ""}, local[$cpus], synthetic " +
+      "corpora of 2k/20k/200k media rows (WebM for even ids, IVF for odd; " +
+      "2–4 VP8 keyframes each, interframe stubs interleaved; BMPs up to " +
+      "71×55). Dup density is constant (each seed shared by 4 ids), so " +
+      "linear is the honest bar for every leg; decode and pHash should " +
+      "carry ~zero shuffle (row-local kernels), video_dedup shuffles only " +
+      "slim (frame, hash) rows.\n\n"
+    sb ++= "| op | scale | rows out | wall s | shuffle MB |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    for (((op, scale), (sec, bytes, rows)) <- results)
+      sb ++= f"| $op | ${scale}× | $rows | $sec%.2f | ${bytes / 1e6}%.1f |\n"
+    def wall(op: String, s: Int) = results((op, s))._1
+    sb ++= "\n| op | wall 10×/1× | wall 100×/10× (~10× = linear) |\n|---|---|---|\n"
+    for (op <- Seq("video_decode", "video_dedup", "image_phash"))
+      sb ++= f"| $op | ${wall(op, 10) / wall(op, 1)}%.1f× | ${wall(op, 100) / wall(op, 10)}%.1f× |\n"
+    val out = java.nio.file.Paths.get(outPath)
+    java.nio.file.Files.write(out, sb.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    println(sb.toString)
+  }
+
   private def runDeep100(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, outPath: String, cpus: String): Unit = {
     import graft.operators.{KneserNey, QualityClassifier, TextOps}
@@ -624,9 +702,10 @@ object ScalingProbe {
     val modeLm = args.contains("lm")
     val modeAnalytics = args.contains("analytics")
     val modeDeep100 = args.contains("deep100")
+    val modeMedia = args.contains("media")
     val positional = args.filterNot(a =>
       a == "100x" || a == "tpch" || a == "lm" || a == "analytics" ||
-        a == "deep100")
+        a == "deep100" || a == "media")
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = if (positional.length > 1) positional(1) else "SCALING.md"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -657,6 +736,11 @@ object ScalingProbe {
     }
     if (modeDeep100) {
       runDeep100(spark, sfDir, outPath, cpus)
+      spark.stop()
+      return
+    }
+    if (modeMedia) {
+      runMedia(spark, sfDir, outPath, cpus)
       spark.stop()
       return
     }
