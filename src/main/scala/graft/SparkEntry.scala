@@ -3202,6 +3202,22 @@ object SparkEntry {
       Multimodal.videoDupPairs(Multimodal.videoKeyframeFeatures(media))
         .orderBy("id_a", "id_b")
     }),
+    // Cluster-contraction video dedup — the 100 TB path next to the
+    // pair-emitting gate: one fingerprint row per video (ordered
+    // keyframe-hash sequence), exact groupBy, min-id representative.
+    // Same fixtures as video_dedup_keyframes; the oracle groups docs
+    // by the replayed hash sequence and labels members.
+    "video_dedup_clusters" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 100).select(
+        col("doc_id"),
+        (col("doc_id") % 25).cast("long").as("seed"),
+        ((col("doc_id") % 25) % 3 + 2).cast("int").as("nf"),
+        (((col("doc_id") % 25) % 4 + 2) * 16).cast("int").as("w"))
+      val media = Multimodal.encodeVp8Video(spec, "doc_id", "nf", "w",
+        withInterframes = true, seedCol = "seed")
+      Multimodal.videoDupClusters(Multimodal.videoKeyframeFeatures(media))
+        .orderBy("id", "cluster")
+    }),
     // DCT perceptual hash (pHash): the structure-keyed complement to
     // aHash — integer Rec.601 gray, 32x32 nearest sample, fixed-point
     // DCT (pinned cosine constants), lower-median threshold. The
@@ -8493,6 +8509,58 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_matched
         |FROM vd_match WHERE n = nf_a AND n = nf_b
         |ORDER BY id_a, id_b""".stripMargin,
+    // cluster dedup: fingerprint = ordered row-mask sequence (mask
+    // equality == hash equality on flat-MB frames); min-id labels
+    "video_dedup_clusters" ->
+      """WITH vd_docs AS (
+        |  SELECT doc_id, doc_id % 25 AS seed,
+        |         CAST((doc_id % 25) % 3 + 2 AS INTEGER) AS nf,
+        |         CAST((doc_id % 25) % 4 + 2 AS INTEGER) AS n_mb
+        |  FROM documents WHERE doc_id < 100
+        |), vd_frames AS (
+        |  SELECT doc_id, seed, nf, n_mb,
+        |         CAST(unnest(range(nf)) AS INTEGER) AS f
+        |  FROM vd_docs
+        |), vd_mb AS (
+        |  SELECT doc_id, nf, n_mb, f, seed * 131 + f AS fseed,
+        |         CAST(unnest(range(n_mb)) AS INTEGER) AS mb
+        |  FROM vd_frames
+        |), vd_delta AS (
+        |  SELECT doc_id, nf, n_mb, f, mb,
+        |    CAST(floor((floor(((CASE WHEN (fseed + mb) % 2 = 0 THEN 1 ELSE -1 END)
+        |      * ((fseed + 3 * mb) % 4 + 1) * 196 + 3) / 8.0) + 4) / 8.0) AS BIGINT) AS d
+        |  FROM vd_mb
+        |), vd_levels AS (
+        |  SELECT doc_id, nf, n_mb, f, mb,
+        |    128 + sum(d) OVER (PARTITION BY doc_id, f ORDER BY mb) AS lvl
+        |  FROM vd_delta
+        |), vd_c AS (
+        |  SELECT doc_id, nf, n_mb, f, CAST(unnest(range(8)) AS INTEGER) AS c
+        |  FROM vd_frames
+        |), vd_lum AS (
+        |  SELECT vc.doc_id, vc.nf, vc.f, vc.c, 3 * vl.lvl AS lum
+        |  FROM vd_c vc JOIN vd_levels vl
+        |    ON vl.doc_id = vc.doc_id AND vl.f = vc.f
+        |   AND vl.mb = (vc.c * vc.n_mb) // 8
+        |), vd_lum2 AS (
+        |  SELECT doc_id, nf, f, c, lum,
+        |    sum(lum) OVER (PARTITION BY doc_id, f) AS s8
+        |  FROM vd_lum
+        |), vd_mask AS (
+        |  SELECT doc_id, nf, f,
+        |    sum(CASE WHEN 8 * lum > s8 THEN 1 << c ELSE 0 END) AS rowmask
+        |  FROM vd_lum2 GROUP BY doc_id, nf, f
+        |), vd_fp AS (
+        |  SELECT doc_id,
+        |    string_agg(f || ':' || rowmask, ',' ORDER BY f) AS fp
+        |  FROM vd_mask GROUP BY doc_id
+        |), vd_reps AS (
+        |  SELECT fp, min(doc_id) AS cluster, count(*) AS n
+        |  FROM vd_fp GROUP BY fp HAVING count(*) >= 2
+        |)
+        |SELECT v.doc_id AS id, r.cluster
+        |FROM vd_fp v JOIN vd_reps r ON r.fp = v.fp
+        |ORDER BY id, cluster""".stripMargin,
     "multimodal_phash" -> {
       val images = """
         |  SELECT doc_id AS id, doc_id AS seed,

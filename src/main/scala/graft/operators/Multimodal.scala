@@ -1526,6 +1526,32 @@ object Multimodal {
     * match count joins two broadcast-size per-video count tables.
     * Same-hash frame groups are the only quadratic surface, exactly
     * like [[Dedup.hammingPairs]]' bucket tiers. */
+  /** Video duplicate CLUSTERS — the 100 TB path. [[videoDupPairs]]'
+    * pair OUTPUT is quadratic in duplicate-class size (a hot video
+    * shared m times costs m(m-1)/2 pairs — the same wall every pair
+    * emitter hits); this collapses each video to ONE fingerprint row
+    * (the ordered keyframe-hash sequence), exact-groups fingerprints,
+    * and labels members with the min-id representative: the hottest
+    * video on the web costs O(m), not O(m²) (the
+    * [[Dedup.hammingDupClusters]] contract). Output (id, cluster) for
+    * every video in a duplicate relation; unique videos are absent.
+    * Semantics: same keyframe count and every ordinal matching —
+    * exactly [[videoDupPairs]]' rule (the sequence encodes both). */
+  def videoDupClusters(kf: Dataset[VideoKeyframeFeatures]): DataFrame = {
+    val f = kf.toDF().select(col("mediaId").as("id"),
+      col("frameIdx").as("f"), col("ahash"))
+    val fp = f.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("f"), col("ahash")))).as("fp"))
+    val reps = fp.groupBy("fp")
+      .agg(min(col("id")).as("cluster"), count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .select(col("fp"), col("cluster"))
+    fp.join(reps, "fp").select(col("id"), col("cluster"))
+  }
+
+  /** Pair-emitting video dedup — ORACLE/SMALL-SCALE path: correct and
+    * exactly replayable, but its output is quadratic in duplicate-
+    * class size; at corpus scale use [[videoDupClusters]]. */
   def videoDupPairs(kf: Dataset[VideoKeyframeFeatures]): DataFrame = {
     val f = kf.toDF().select(col("mediaId").as("id"),
       col("frameIdx").as("f"), col("ahash"))

@@ -218,6 +218,24 @@ class WebmVideoSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((6L, 7L, 3L)))
   }
 
+  test("operators: videoDupClusters agrees with the pair path's connected components") {
+    val s = spark
+    import s.implicits._
+    // seeds: 1 shared by ids 10,11,13; 2 by 12,14; 3 unique to 15
+    val spec = Seq((10L, 1L), (11L, 1L), (13L, 1L), (12L, 2L), (14L, 2L), (15L, 3L))
+      .map { case (id, sd) => (id, sd, 3, 48) }.toDF("id", "seed", "nf", "w")
+    val media = Multimodal.encodeVp8Video(spec, "id", "nf", "w", seedCol = "seed")
+    val kf = Multimodal.videoKeyframeFeatures(media)
+    val clusters = Multimodal.videoDupClusters(kf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(clusters.toSeq == Seq((10L, 10L), (11L, 10L), (12L, 12L),
+      (13L, 10L), (14L, 12L)))
+    // pair path emits the same relations, quadratically
+    val pairs = Multimodal.videoDupPairs(kf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs.toSeq == Seq((10L, 11L), (10L, 13L), (11L, 13L), (12L, 14L)))
+  }
+
   test("mutation soak: demux+decode throws IllegalArgumentException or succeeds") {
     val frames = withStubs(keyframes(11L, 3, 48))
     for ((bytes, tag) <- Seq(
