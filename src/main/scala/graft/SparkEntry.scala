@@ -3202,6 +3202,24 @@ object SparkEntry {
       Multimodal.videoDupPairs(Multimodal.videoKeyframeFeatures(media))
         .orderBy("id_a", "id_b")
     }),
+    // IMA ADPCM (WAV format 17): 4-bit predictive decode as a block-
+    // independent integer state machine; the oracle replays ENCODE and
+    // DECODE in lockstep via a recursive CTE over the embedded step/
+    // index tables — every decoded sample exact, aggregated to stats.
+    "multimodal_audio_adpcm" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        lit(114).cast("int").as("frames"), // two 57-sample blocks
+        lit(1).cast("int").as("ch"),
+        lit(8000).as("rate"))
+      Multimodal.extractAudioFeatures(
+          Multimodal.encodeWavFrame(spec, "doc_id", "frames", "ch", "rate",
+            codec = "adpcm")).toDF()
+        .select(col("mediaId").as("doc_id"), col("byteLen").as("byte_len"),
+          col("nFrames").as("n_frames"), col("peakAbs").as("peak"),
+          col("sumSamples").as("sum_dec"))
+        .orderBy("doc_id")
+    }),
     // Cluster-contraction video dedup — the 100 TB path next to the
     // pair-emitting gate: one fingerprint row per video (ordered
     // keyframe-hash sequence), exact groupBy, min-id representative.
@@ -8509,6 +8527,55 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_matched
         |FROM vd_match WHERE n = nf_a AND n = nf_b
         |ORDER BY id_a, id_b""".stripMargin,
+    // IMA ADPCM: encoder and decoder stay in lockstep (the decoder's
+    // state update is a function of the chosen nibble, which is a
+    // function of the state and the target sample) — so ONE recursion
+    // over (sample, pred, idx) replays the whole encode→decode chain;
+    // step/index tables embedded as literals, all arithmetic integer
+    "multimodal_audio_adpcm" -> {
+      val steps = graft.operators.WavCodec.ImaStepTable.mkString("[", ",", "]")
+      s"""WITH RECURSIVE ad_blocks AS (
+         |  SELECT doc_id, CAST(unnest(range(2)) AS INTEGER) AS b
+         |  FROM documents WHERE doc_id < 200
+         |), ad_state AS (
+         |  SELECT doc_id, b, 0 AS j,
+         |    CAST((doc_id * 7 + (b * 57) * 13) % 65536 - 32768 AS BIGINT) AS pred,
+         |    0 AS idx
+         |  FROM ad_blocks
+         |  UNION ALL
+         |  SELECT doc_id, b, j,
+         |    CASE WHEN neg THEN greatest(-32768, pred - dq)
+         |         ELSE least(32767, pred + dq) END AS pred,
+         |    CAST(least(88, greatest(0, idx +
+         |      CASE nmag WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+         |                WHEN 7 THEN 8 ELSE -1 END)) AS INTEGER) AS idx
+         |  FROM (
+         |    SELECT doc_id, b, j + 1 AS j, pred, idx,
+         |      $steps[idx + 1] AS step,
+         |      (doc_id * 7 + (b * 57 + j + 1) * 13) % 65536 - 32768 AS s,
+         |      s - pred AS diff,
+         |      abs(diff) AS ad,
+         |      ad >= step AS b4,
+         |      ad - CASE WHEN b4 THEN step ELSE 0 END AS r1,
+         |      r1 >= step // 2 AS b2x,
+         |      r1 - CASE WHEN b2x THEN step // 2 ELSE 0 END AS r2,
+         |      r2 >= step // 4 AS b1x,
+         |      step // 8 + CASE WHEN b4 THEN step ELSE 0 END
+         |        + CASE WHEN b2x THEN step // 2 ELSE 0 END
+         |        + CASE WHEN b1x THEN step // 4 ELSE 0 END AS dq,
+         |      diff < 0 AS neg,
+         |      CASE WHEN b4 THEN 4 ELSE 0 END + CASE WHEN b2x THEN 2 ELSE 0 END
+         |        + CASE WHEN b1x THEN 1 ELSE 0 END AS nmag
+         |    FROM ad_state WHERE j < 56
+         |  )
+         |)
+         |SELECT doc_id,
+         |  CAST(60 + 2 * 32 AS BIGINT) AS byte_len,
+         |  CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(max(abs(pred)) AS INTEGER) AS peak,
+         |  CAST(sum(pred) AS BIGINT) AS sum_dec
+         |FROM ad_state GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // cluster dedup: fingerprint = ordered row-mask sequence (mask
     // equality == hash equality on flat-MB frames); min-id labels
     "video_dedup_clusters" ->

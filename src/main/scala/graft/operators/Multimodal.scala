@@ -384,8 +384,9 @@ object Multimodal {
       case "pcm8"  => WavCodec.encodePcm8
       case "alaw"  => WavCodec.encodeALaw
       case "mulaw" => WavCodec.encodeMuLaw
+      case "adpcm" => a => WavCodec.encodeImaAdpcm(a, samplesPerBlock = 57)
       case other => throw new IllegalArgumentException(
-        s"unknown WAV codec '$other' (pcm16 | pcm8 | alaw | mulaw)")
+        s"unknown WAV codec '$other' (pcm16 | pcm8 | alaw | mulaw | adpcm)")
     }
     val spark = spec.sparkSession
     import spark.implicits._

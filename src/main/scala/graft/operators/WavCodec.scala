@@ -4,9 +4,11 @@ package graft.operators
   * audio analog of the BMP work: RIFF/WAVE chunk framing with a
   * `fmt ` chunk and a `data` chunk of little-endian interleaved
   * samples. Decodes 16-bit PCM (format 1), 8-bit unsigned PCM
-  * (format 1 — widened `(b−128)·256`), and BOTH G.711 halves —
+  * (format 1 — widened `(b−128)·256`), BOTH G.711 halves —
   * A-law (format 6) and µ-law (format 7), each the ITU-T closed-form
-  * expansion; telephony-adjacent corpora carry both. Pure byte math,
+  * expansion; telephony-adjacent corpora carry both — and IMA/DVI
+  * ADPCM (format 17), the classic 4-bit predictive WAV codec, as a
+  * block-local integer state machine. Pure byte math,
   * no audio library; genuinely compressed
   * codecs (MP3/AAC/Opus — psychoacoustic transforms) stay honestly
   * out of scope the way JPEG's DCT was before [[JpegCodec]], and fail
@@ -115,6 +117,8 @@ object WavCodec {
     var rate = -1
     var bits = -1
     var fmt = -1
+    var blockAlign = -1
+    var spb = -1
     var data: Array[Short] = null
     while (off + 8 <= bytes.length) {
       val id = tag(bytes, off)
@@ -127,8 +131,8 @@ object WavCodec {
         case "fmt " =>
           require(len >= 16, "fmt chunk too short")
           fmt = le16(bytes, off + 8)
-          require(fmt == 1 || fmt == 6 || fmt == 7,
-            s"only PCM (format 1), A-law (format 6) and mu-law (format 7) supported, got $fmt")
+          require(fmt == 1 || fmt == 6 || fmt == 7 || fmt == 17,
+            s"only PCM (1), A-law (6), mu-law (7) and IMA ADPCM (17) supported, got $fmt")
           channels = le16(bytes, off + 10)
           rate = le32(bytes, off + 12)
           bits = le16(bytes, off + 22)
@@ -137,8 +141,18 @@ object WavCodec {
           if (fmt == 1)
             require(bits == 16 || bits == 8,
               s"only 8/16-bit PCM supported, got $bits")
-          else
+          else if (fmt == 17) {
+            require(bits == 4, s"IMA ADPCM must be 4-bit, got $bits")
+            require(len >= 20, "IMA ADPCM fmt chunk missing samplesPerBlock")
+            blockAlign = le16(bytes, off + 20)
+            spb = le16(bytes, off + 26)
+            require(blockAlign > 4 * channels && spb >= 2,
+              s"bad ADPCM framing (blockAlign $blockAlign, spb $spb)")
+          } else
             require(bits == 8, s"G.711 must be 8-bit, got $bits")
+        case "data" if fmt == 17 =>
+          require(channels > 0, "data chunk before fmt")
+          data = decodeImaData(bytes, off + 8, len, channels, blockAlign, spb)
         case "data" =>
           require(channels > 0, "data chunk before fmt")
           // frame alignment, every encoding: a data chunk that ends
@@ -205,6 +219,8 @@ object WavCodec {
     var rate = -1
     var bits = -1
     var fmt = -1
+    var blockAlign = -1
+    var spb = -1
     var frames = -1L
     while (off + 8 <= bytes.length) {
       val id = tag(bytes, off)
@@ -214,8 +230,8 @@ object WavCodec {
         case "fmt " =>
           require(len >= 16, "fmt chunk too short")
           fmt = le16(bytes, off + 8)
-          require(fmt == 1 || fmt == 6 || fmt == 7,
-            s"only PCM (format 1), A-law (format 6) and mu-law (format 7) supported, got $fmt")
+          require(fmt == 1 || fmt == 6 || fmt == 7 || fmt == 17,
+            s"only PCM (1), A-law (6), mu-law (7) and IMA ADPCM (17) supported, got $fmt")
           channels = le16(bytes, off + 10)
           rate = le32(bytes, off + 12)
           bits = le16(bytes, off + 22)
@@ -224,8 +240,20 @@ object WavCodec {
           if (fmt == 1)
             require(bits == 16 || bits == 8,
               s"only 8/16-bit PCM supported, got $bits")
-          else
+          else if (fmt == 17) {
+            require(bits == 4, s"IMA ADPCM must be 4-bit, got $bits")
+            require(len >= 20, "IMA ADPCM fmt chunk missing samplesPerBlock")
+            blockAlign = le16(bytes, off + 20)
+            spb = le16(bytes, off + 26)
+            require(blockAlign > 4 * channels && spb >= 2,
+              s"bad ADPCM framing (blockAlign $blockAlign, spb $spb)")
+          } else
             require(bits == 8, s"G.711 must be 8-bit, got $bits")
+        case "data" if fmt == 17 =>
+          require(channels > 0, "data chunk before fmt")
+          require(len > 0 && len % blockAlign == 0,
+            s"partial ADPCM block (len $len, blockAlign $blockAlign)")
+          frames = len.toLong / blockAlign * spb
         case "data" =>
           require(channels > 0, "data chunk before fmt")
           val bytesPer = if (fmt == 1 && bits == 16) 2 else 1
@@ -299,6 +327,171 @@ object WavCodec {
       i += 1
     }
     out
+  }
+
+  // ------------------------------------------------------------------
+  // IMA (DVI) ADPCM — WAV format 17, the classic 4-bit predictive WAV
+  // codec (the public IMA ADPCM reference algorithm: 89-entry step
+  // table, 3-bit-magnitude index adjustment, step/2/4 successive
+  // quantizer). Every operation is integer, so an external SQL oracle
+  // replays encode AND decode exactly via a recursive state chain.
+  // ------------------------------------------------------------------
+
+  /** IMA ADPCM step-size table (89 entries). */
+  val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Index adjustment by nibble magnitude (low 3 bits). */
+  val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One decoder step: apply nibble `n` to (pred, index); the new
+    * predictor IS the decoded sample. */
+  def imaStep(pred: Int, index: Int, n: Int): (Int, Int) = {
+    val step = ImaStepTable(index)
+    var dq = step >> 3
+    if ((n & 4) != 0) dq += step
+    if ((n & 2) != 0) dq += step >> 1
+    if ((n & 1) != 0) dq += step >> 2
+    val p = if ((n & 8) != 0) pred - dq else pred + dq
+    val pc = math.max(-32768, math.min(32767, p))
+    val ic = math.max(0, math.min(88, index + ImaIndexTable(n & 7)))
+    (pc, ic)
+  }
+
+  /** Encoder nibble choice for target `s` from state (pred, index) —
+    * the reference successive-subtraction quantizer. The encoder then
+    * advances its state with [[imaStep]] on the chosen nibble, staying
+    * in exact lockstep with every conforming decoder. */
+  def imaEncodeNibble(s: Int, pred: Int, index: Int): Int = {
+    val step = ImaStepTable(index)
+    var diff = s - pred
+    var n = if (diff < 0) { diff = -diff; 8 } else 0
+    if (diff >= step) { n |= 4; diff -= step }
+    if (diff >= (step >> 1)) { n |= 2; diff -= step >> 1 }
+    if (diff >= (step >> 2)) n |= 1
+    n
+  }
+
+  /** Serialize as IMA ADPCM (format 17), mono or stereo. Blocks are
+    * INDEPENDENT: each block header re-seeds the predictor with the
+    * block's first sample and the step index with 0 — so decode is
+    * block-parallel (the corpus-scale shape: a 100 TB audio scan can
+    * split WITHIN a payload), and the SQL oracle replays one block
+    * recursion with no cross-block carry. Real-world files that carry
+    * the index across blocks still DECODE correctly here — the decoder
+    * trusts each header's stored index; only this encoder pins 0.
+    * Layout per block and channel: 4-byte header (predictor i16 LE,
+    * step index u8, reserved), then nibble data — mono packs nibbles
+    * low-first in consecutive bytes; stereo alternates 4-byte
+    * (8-nibble) chunks per channel. `frames` must fill whole blocks
+    * and `samplesPerBlock−1` nibbles must fill whole bytes (mono) or
+    * chunks (stereo). */
+  def encodeImaAdpcm(a: Audio, samplesPerBlock: Int = 505): Array[Byte] = {
+    val ch = a.channels
+    val spb = samplesPerBlock
+    require(ch == 1 || ch == 2, s"IMA ADPCM here is mono/stereo, got $ch channels")
+    require(spb >= 2 && (spb - 1) % (if (ch == 2) 8 else 2) == 0,
+      s"samplesPerBlock $spb does not fill whole ${if (ch == 2) "chunks" else "bytes"}")
+    require(a.frames > 0 && a.frames % spb == 0,
+      s"frames ${a.frames} must fill whole $spb-sample blocks")
+    val nBlocks = a.frames / spb
+    val blockAlign = 4 * ch + ((spb - 1) / 2) * ch
+    val dataLen = nBlocks * blockAlign
+    // RIFF(12) + fmt(8+20) + fact(8+4) + data(8+dataLen)
+    val out = new Array[Byte](12 + 28 + 12 + 8 + dataLen)
+    def putTag(off: Int, s: String): Unit =
+      for (i <- 0 until 4) out(off + i) = s.charAt(i).toByte
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putLe32(off: Int, v: Int): Unit = {
+      putLe16(off, v & 0xffff); putLe16(off + 2, (v >>> 16) & 0xffff)
+    }
+    putTag(0, "RIFF"); putLe32(4, out.length - 8); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 20)
+    putLe16(20, 17); putLe16(22, ch); putLe32(24, a.sampleRate)
+    putLe32(28, (a.sampleRate.toLong * blockAlign / spb).toInt) // avg byte rate
+    putLe16(32, blockAlign); putLe16(34, 4)
+    putLe16(36, 2); putLe16(38, spb)
+    putTag(40, "fact"); putLe32(44, 4); putLe32(48, a.frames)
+    putTag(52, "data"); putLe32(56, dataLen)
+    var b = 0
+    while (b < nBlocks) {
+      val blockOff = 60 + b * blockAlign
+      var c = 0
+      while (c < ch) {
+        var pred = a.samples((b * spb) * ch + c).toInt
+        var idx = 0
+        putLe16(blockOff + 4 * c, pred & 0xffff)
+        out(blockOff + 4 * c + 2) = idx.toByte
+        out(blockOff + 4 * c + 3) = 0
+        val dataOff = blockOff + 4 * ch
+        var j = 0
+        while (j < spb - 1) {
+          val s = a.samples((b * spb + 1 + j) * ch + c).toInt
+          val n = imaEncodeNibble(s, pred, idx)
+          val st = imaStep(pred, idx, n)
+          pred = st._1; idx = st._2
+          val byteOff =
+            if (ch == 1) dataOff + (j >> 1)
+            else dataOff + (j >> 3) * 8 + c * 4 + ((j & 7) >> 1)
+          if ((j & 1) == 0) out(byteOff) = (n & 0xf).toByte
+          else out(byteOff) = (out(byteOff) | (n << 4)).toByte
+          j += 1
+        }
+        c += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** Decode the data chunk of an IMA ADPCM WAV into interleaved PCM16
+    * (used by [[decode]] for format 17). Block-local state; trusts
+    * each block header's predictor and index. */
+  private def decodeImaData(bytes: Array[Byte], off: Int, len: Int,
+      ch: Int, blockAlign: Int, spb: Int): Array[Short] = {
+    require(ch == 1 || ch == 2, s"IMA ADPCM here is mono/stereo, got $ch channels")
+    require(blockAlign == 4 * ch + ((spb - 1) / 2) * ch,
+      s"blockAlign $blockAlign inconsistent with $spb samples/block x $ch ch")
+    require(len > 0 && len % blockAlign == 0,
+      s"partial ADPCM block (len $len, blockAlign $blockAlign)")
+    val nBlocks = len / blockAlign
+    val outS = new Array[Short](nBlocks * spb * ch)
+    var b = 0
+    while (b < nBlocks) {
+      val blockOff = off + b * blockAlign
+      var c = 0
+      while (c < ch) {
+        var pred = ((bytes(blockOff + 4 * c) & 0xff) |
+          (bytes(blockOff + 4 * c + 1) << 8)).toShort.toInt
+        var idx = bytes(blockOff + 4 * c + 2) & 0xff
+        require(idx <= 88, s"ADPCM step index $idx out of range")
+        outS((b * spb) * ch + c) = pred.toShort
+        val dataOff = blockOff + 4 * ch
+        var j = 0
+        while (j < spb - 1) {
+          val byteOff =
+            if (ch == 1) dataOff + (j >> 1)
+            else dataOff + (j >> 3) * 8 + c * 4 + ((j & 7) >> 1)
+          val n = if ((j & 1) == 0) bytes(byteOff) & 0xf
+            else (bytes(byteOff) >> 4) & 0xf
+          val st = imaStep(pred, idx, n)
+          pred = st._1; idx = st._2
+          outS((b * spb + 1 + j) * ch + c) = pred.toShort
+          j += 1
+        }
+        c += 1
+      }
+      b += 1
+    }
+    outS
   }
 
   /** Canonical 44-byte RIFF/fmt/data header for 1-byte-per-sample

@@ -215,4 +215,74 @@ class WavCodecSpec extends SparkSpec {
     val u = Multimodal.extractAudioFeatures(mixed).collect()(0)
     assert(u.format == "unknown" && u.nFrames == 0 && u.sumSamples == 0)
   }
+
+  test("IMA ADPCM: header-seeded frames exact, smooth signals tracked, blocks independent") {
+    // smooth ramp: slope 16/sample — the adaptive step locks on fast
+    val frames = 114 // two 57-sample blocks
+    val ramp = WavCodec.Audio(1, 8000,
+      Array.tabulate[Short](frames)(i => ((i * 16) - 900).toShort))
+    val dec = WavCodec.decode(WavCodec.encodeImaAdpcm(ramp, samplesPerBlock = 57))
+    assert(dec.channels == 1 && dec.sampleRate == 8000 && dec.frames == frames)
+    assert(dec.samples(0) == ramp.samples(0)) // block 0 header seed
+    assert(dec.samples(57) == ramp.samples(57)) // block 1 header seed — independence
+    val errs = (0 until frames).map(i => math.abs(dec.samples(i) - ramp.samples(i)))
+    assert(errs.max <= 64, s"max err ${errs.max}")
+    assert(errs.sum.toDouble / frames <= 16.0, s"mean err ${errs.sum.toDouble / frames}")
+  }
+
+  test("IMA ADPCM: decode matches an independent transcription of the reference algorithm") {
+    val a = WavCodec.signal(21L, 57, 1, 8000)
+    val bytes = WavCodec.encodeImaAdpcm(a, samplesPerBlock = 57)
+    val got = WavCodec.decode(bytes).samples
+    // independent decoder: read the block directly off the bytes
+    val dataOff = 60 + 4 // header 60, block header 4
+    var pred = ((bytes(60) & 0xff) | (bytes(61) << 8)).toShort.toInt
+    var idx = bytes(62) & 0xff
+    val want = scala.collection.mutable.ArrayBuffer[Int](pred)
+    for (j <- 0 until 56) {
+      val n = if ((j & 1) == 0) bytes(dataOff + j / 2) & 0xf
+        else (bytes(dataOff + j / 2) >> 4) & 0xf
+      val step = WavCodec.ImaStepTable(idx)
+      var dq = step >> 3
+      if ((n & 4) != 0) dq += step
+      if ((n & 2) != 0) dq += step >> 1
+      if ((n & 1) != 0) dq += step >> 2
+      pred = math.max(-32768, math.min(32767, if ((n & 8) != 0) pred - dq else pred + dq))
+      idx = math.max(0, math.min(88, idx + WavCodec.ImaIndexTable(n & 7)))
+      want += pred
+    }
+    assert(got.map(_.toInt).toSeq == want.toSeq)
+  }
+
+  test("IMA ADPCM: stereo chunks interleave per channel, each decoding as its mono twin") {
+    val frames = 57
+    val l = Array.tabulate[Short](frames)(i => ((i * 23) - 500).toShort)
+    val r = Array.tabulate[Short](frames)(i => (2000 - i * 31).toShort)
+    val stereo = WavCodec.Audio(2, 8000,
+      Array.tabulate[Short](frames * 2)(i => if (i % 2 == 0) l(i / 2) else r(i / 2)))
+    val dec = WavCodec.decode(WavCodec.encodeImaAdpcm(stereo, samplesPerBlock = 57))
+    val decL = WavCodec.decode(WavCodec.encodeImaAdpcm(
+      WavCodec.Audio(1, 8000, l), samplesPerBlock = 57)).samples
+    val decR = WavCodec.decode(WavCodec.encodeImaAdpcm(
+      WavCodec.Audio(1, 8000, r), samplesPerBlock = 57)).samples
+    assert((0 until frames).forall(i => dec.samples(2 * i) == decL(i)))
+    assert((0 until frames).forall(i => dec.samples(2 * i + 1) == decR(i)))
+  }
+
+  test("IMA ADPCM: meta, fact chunk, and loud-failure contracts") {
+    val a = WavCodec.signal(5L, 114, 1, 16000)
+    val bytes = WavCodec.encodeImaAdpcm(a, samplesPerBlock = 57)
+    val m = WavCodec.meta(bytes)
+    assert(m.formatTag == 17 && m.frames == 114 && m.sampleRate == 16000)
+    assert(bytes.length == 60 + 2 * 32)
+    // corrupt step index > 88
+    val badIdx = bytes.clone(); badIdx(62) = 89.toByte
+    intercept[IllegalArgumentException](WavCodec.decode(badIdx))
+    // partial block: truncate the data chunk length coherently
+    intercept[IllegalArgumentException](
+      WavCodec.encodeImaAdpcm(WavCodec.signal(5L, 100, 1, 8000), samplesPerBlock = 57))
+    // 3+ channels refused
+    intercept[IllegalArgumentException](
+      WavCodec.encodeImaAdpcm(WavCodec.signal(5L, 57, 3, 8000), samplesPerBlock = 57))
+  }
 }
