@@ -3202,6 +3202,25 @@ object SparkEntry {
       Multimodal.videoDupPairs(Multimodal.videoKeyframeFeatures(media))
         .orderBy("id_a", "id_b")
     }),
+    // End-to-end multimodal shard path: videos packed into gzipped
+    // WebDataset tar shards (extension sniffed from container magic),
+    // re-ingested, demuxed, VP8-decoded — the full crawl-to-pixels
+    // chain under one oracle (the closed-form video features).
+    "webdataset_video" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 60).select(
+        col("doc_id"),
+        (col("doc_id") % 3 + 2).cast("int").as("nf"),
+        ((col("doc_id") % 4 + 2) * 16).cast("int").as("w"))
+      val media = Multimodal.encodeVp8Video(spec, "doc_id", "nf", "w",
+        withInterframes = true)
+      val shards = TarCodec.webdatasetBuildMedia(media, shards = 8)
+      Multimodal.videoKeyframeFeatures(TarCodec.webdatasetIngestMedia(shards))
+        .toDF()
+        .select(col("mediaId").as("doc_id"), col("format"),
+          col("frameIdx").as("frame_idx"), col("ptsMs").as("pts_ms"),
+          col("nMb").as("n_mb"), col("meanLuma").as("mean_luma"))
+        .orderBy("doc_id", "frame_idx")
+    }),
     // IMA ADPCM (WAV format 17): 4-bit predictive decode as a block-
     // independent integer state machine; the oracle replays ENCODE and
     // DECODE in lockstep via a recursive CTE over the embedded step/
@@ -8527,6 +8546,37 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_matched
         |FROM vd_match WHERE n = nf_a AND n = nf_b
         |ORDER BY id_a, id_b""".stripMargin,
+    // webdataset video: the video_frames closed form through the
+    // shard roundtrip (same pixels whatever container carried them)
+    "webdataset_video" ->
+      """WITH wv_docs AS (
+        |  SELECT doc_id, CAST(doc_id % 3 + 2 AS INTEGER) AS nf,
+        |         CAST(doc_id % 4 + 2 AS INTEGER) AS n_mb
+        |  FROM documents WHERE doc_id < 60
+        |), wv_frames AS (
+        |  SELECT doc_id, n_mb, CAST(unnest(range(nf)) AS INTEGER) AS f
+        |  FROM wv_docs
+        |), wv_mb AS (
+        |  SELECT doc_id, n_mb, f, doc_id * 131 + f AS seed,
+        |         CAST(unnest(range(n_mb)) AS INTEGER) AS mb
+        |  FROM wv_frames
+        |), wv_delta AS (
+        |  SELECT doc_id, n_mb, f, mb,
+        |    CAST(floor((floor(((CASE WHEN (seed + mb) % 2 = 0 THEN 1 ELSE -1 END)
+        |      * ((seed + 3 * mb) % 4 + 1) * 196 + 3) / 8.0) + 4) / 8.0) AS BIGINT) AS d
+        |  FROM wv_mb
+        |), wv_levels AS (
+        |  SELECT doc_id, n_mb, f, mb,
+        |    128 + sum(d) OVER (PARTITION BY doc_id, f ORDER BY mb) AS lvl
+        |  FROM wv_delta
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'ivf' END AS format,
+        |  f AS frame_idx, CAST(f * 200 AS BIGINT) AS pts_ms, n_mb,
+        |  CAST(floor(sum(lvl) / CAST(n_mb AS DOUBLE)) AS INTEGER) AS mean_luma
+        |FROM wv_levels
+        |GROUP BY doc_id, f, n_mb
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // IMA ADPCM: encoder and decoder stay in lockstep (the decoder's
     // state update is a function of the chosen nibble, which is a
     // function of the state and the target sample) — so ONE recursion

@@ -193,6 +193,46 @@ object TarCodec {
       .toDF("shard_id", "data")
   }
 
+  /** Build gzipped WebDataset shards of MEDIA payloads:
+    * (media_id, data) → one `.tar.gz` per `media_id % shards`, entry
+    * `<id>.<ext>` with the extension sniffed from the container magic
+    * (webm/ivf/bin) — the shard layout a multimodal training pipeline
+    * reads. Same single-shuffle shape as [[webdatasetBuild]]. */
+  def webdatasetBuildMedia(media: DataFrame, shards: Int): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("media_id").cast("long"), col("data"))
+      .as[(Long, Array[Byte])]
+      .groupByKey(_._1 % shards)
+      .mapGroups { (g, it) =>
+        val entries = it.toSeq.sortBy(_._1).map { case (id, d) =>
+          val ext =
+            if (EbmlMeta.isEbml(d)) "webm"
+            else if (WebmVideo.isIvf(d)) "ivf"
+            else "bin"
+          Entry(s"$id.$ext", d)
+        }
+        (g, Gzip.gzip(encode(entries)))
+      }
+      .toDF("shard_id", "data")
+  }
+
+  /** Ingest media shards: gunzip, tar-walk, one row per entry —
+    * (media_id, data), the input shape of every media kernel here.
+    * Row-local. */
+  def webdatasetIngestMedia(shards: DataFrame): DataFrame = {
+    val s = shards.sparkSession
+    import s.implicits._
+    shards.select(col("data")).as[Array[Byte]]
+      .flatMap { blob =>
+        decode(Gzip.gunzip(blob)).map { e =>
+          val stem = e.name.substring(0, e.name.lastIndexOf('.'))
+          (stem.toLong, e.data)
+        }
+      }
+      .toDF("media_id", "data")
+  }
+
   /** Ingest shards(data): gunzip, tar-walk, pair entries by stem —
     * one row per sample: (doc_id, txt, meta). A stem missing either
     * half fails loudly (a torn sample must not become a silent
