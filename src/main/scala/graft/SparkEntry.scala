@@ -3202,6 +3202,21 @@ object SparkEntry {
       Multimodal.videoDupPairs(Multimodal.videoKeyframeFeatures(media))
         .orderBy("id_a", "id_b")
     }),
+    // Tumbling-window keyframe census over a timestamped video ingest
+    // — the batch half of the batch/stream dual (StreamingSpec pins
+    // the MemoryStream run row-for-row equal).
+    "multimodal_video_stream_census" -> ((s, dir) => {
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 80).select(
+        col("doc_id"),
+        (col("doc_id") % 3 + 2).cast("int").as("nf"),
+        lit(64).cast("int").as("w"),
+        to_timestamp(lit(1704067200L) + (col("doc_id") % 3) * 3600).as("ts"))
+      val media = Multimodal.encodeVp8Video(spec, "doc_id", "nf", "w",
+        withInterframes = true)
+        .join(spec.select(col("doc_id").as("media_id"), col("ts")), "media_id")
+      Multimodal.videoKeyframeCensus(media, "ts")
+        .orderBy("window_start", "format")
+    }),
     // End-to-end multimodal shard path: videos packed into gzipped
     // WebDataset tar shards (extension sniffed from container magic),
     // re-ingested, demuxed, VP8-decoded — the full crawl-to-pixels
@@ -8546,6 +8561,20 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_matched
         |FROM vd_match WHERE n = nf_a AND n = nf_b
         |ORDER BY id_a, id_b""".stripMargin,
+    // video stream census: keyframe counts need no pixel replay —
+    // every fixture keyframe decodes, so counts are the spec arithmetic
+    "multimodal_video_stream_census" ->
+      """WITH vc_docs AS (
+        |  SELECT doc_id, CAST(doc_id % 3 + 2 AS INTEGER) AS nf,
+        |         1704067200 + (doc_id % 3) * 3600 AS wstart,
+        |         CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'ivf' END AS format
+        |  FROM documents WHERE doc_id < 80
+        |)
+        |SELECT CAST(wstart AS BIGINT) AS window_start, format,
+        |  CAST(sum(nf) AS BIGINT) AS n_keyframes,
+        |  CAST(count(*) AS BIGINT) AS n_videos
+        |FROM vc_docs GROUP BY wstart, format
+        |ORDER BY window_start, format""".stripMargin,
     // webdataset video: the video_frames closed form through the
     // shard roundtrip (same pixels whatever container carried them)
     "webdataset_video" ->

@@ -1527,6 +1527,38 @@ object Multimodal {
     * match count joins two broadcast-size per-video count tables.
     * Same-hash frame groups are the only quadratic surface, exactly
     * like [[Dedup.hammingPairs]]' bucket tiers. */
+  /** Tumbling-window census of decoded video keyframes over a
+    * TIMESTAMPED media frame (media_id, data, `tsCol`): per (window,
+    * container format), the keyframe count and video count. Decode is
+    * STATELESS row-local work ([[videoKeyframeFeatures]]' kernel with
+    * the ingest timestamp carried through), so the same call runs on a
+    * batch frame or a `readStream` source at full parallelism — the
+    * batch/stream dual every operator here follows (batch output is
+    * the oracle gate; StreamingSpec pins the MemoryStream run equal).
+    * Only the census aggregation carries state, bounded by (watermark
+    * horizon / width) × formats; callers add `withWatermark` on the
+    * stream side. Video count is `frame_idx = 0` occurrences (every
+    * video has a first keyframe) — streaming-legal, unlike a distinct
+    * count. */
+  def videoKeyframeCensus(media: DataFrame, tsCol: String,
+      width: String = "1 hour"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val kf = media.select(col("media_id").cast("long"), col("data"),
+        col(tsCol).cast("timestamp").as("__ts"))
+      .as[(Long, Array[Byte], java.sql.Timestamp)]
+      .mapPartitions(_.flatMap { case (id, bytes, ts) =>
+        val (fmt, _) = WebmVideo.demux(bytes)
+        WebmVideo.decodeKeyframes(bytes).map { case (i, _, _) => (id, fmt, i, ts) }
+      })
+      .toDF("media_id", "format", "frame_idx", "ts")
+    kf.groupBy(window(col("ts"), width), col("format"))
+      .agg(count(lit(1)).as("n_keyframes"),
+        count(when(col("frame_idx") === 0, 1)).as("n_videos"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("format"), col("n_keyframes"), col("n_videos"))
+  }
+
   /** Video duplicate CLUSTERS — the 100 TB path. [[videoDupPairs]]'
     * pair OUTPUT is quadratic in duplicate-class size (a hot video
     * shared m times costs m(m-1)/2 pairs — the same wall every pair

@@ -352,4 +352,37 @@ class StreamingSpec extends SparkSpec {
       assert(batch.count(_._2 == "pos") === 2)
     } finally q.stop()
   }
+
+  test("video keyframe census: the stream run reproduces the batch census") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 4 videos across 2 ingest hours, both containers
+    val specRows = Seq(
+      (2L, 3, Timestamp.valueOf("2024-01-01 00:10:00")),
+      (3L, 2, Timestamp.valueOf("2024-01-01 00:40:00")),
+      (4L, 2, Timestamp.valueOf("2024-01-01 01:05:00")),
+      (5L, 4, Timestamp.valueOf("2024-01-01 01:30:00")))
+    val spec = specRows.toDF("id", "nf", "ts").withColumn("w", lit(48))
+    val media = graft.operators.Multimodal
+      .encodeVp8Video(spec, "id", "nf", "w", withInterframes = true)
+      .join(spec.select(col("id").as("media_id"), col("ts")), "media_id")
+      .select(col("media_id"), col("data"), col("ts"))
+    val batch = graft.operators.Multimodal.videoKeyframeCensus(media, "ts")
+      .orderBy("window_start", "format").collect().toSeq
+    assert(batch.map(_.getLong(2)).sum == 11) // total keyframes = sum nf
+    val rows = media.as[(Long, Array[Byte], Timestamp)].collect().toSeq
+    val source = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val streamMedia = source.toDF().toDF("media_id", "data", "ts")
+      .withWatermark("ts", "2 hours")
+    val q = graft.operators.Multimodal.videoKeyframeCensus(streamMedia, "ts")
+      .writeStream.format("memory").queryName("graft_video_census")
+      .outputMode("complete").start()
+    try {
+      source.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_video_census")
+        .orderBy("window_start", "format").collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
