@@ -3202,6 +3202,22 @@ object SparkEntry {
       Multimodal.videoDupPairs(Multimodal.videoKeyframeFeatures(media))
         .orderBy("id_a", "id_b")
     }),
+    // Sitemap ingestion (sitemaps.org): urlset + sitemapindex parse —
+    // crawl-frontier seeding next to robots.txt (whose Sitemap:
+    // pointers Robots.sitemaps already extracts).
+    "web_sitemap_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val spec = tbl(s, dir, "documents").where(col("doc_id") < 150).select(
+        col("doc_id"),
+        (col("doc_id") % 4 === 0).as("idx"),
+        when(col("doc_id") % 4 === 0, col("doc_id") % 3 + 1)
+          .otherwise(col("doc_id") % 5 + 1).cast("int").as("n"))
+      val xml = spec.as[(Long, Boolean, Int)].mapPartitions(_.map {
+        case (id, idx, n) => (id, graft.operators.Sitemap.fixtureXml(id, n, idx))
+      }).toDF("doc_id", "xml")
+      graft.operators.Sitemap.sitemapFrame(xml, "doc_id", "xml")
+        .orderBy("doc_id", "ord")
+    }),
     // Tumbling-window keyframe census over a timestamped video ingest
     // — the batch half of the batch/stream dual (StreamingSpec pins
     // the MemoryStream run row-for-row equal).
@@ -8561,6 +8577,32 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_matched
         |FROM vd_match WHERE n = nf_a AND n = nf_b
         |ORDER BY id_a, id_b""".stripMargin,
+    // sitemap: fixture XML replayed as string arithmetic; 19723 =
+    // epoch day of 2024-01-01 (the fixture's lastmod base)
+    "web_sitemap_ingest" ->
+      """WITH sm_docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'sitemapindex' ELSE 'urlset' END AS kind,
+        |    CASE WHEN doc_id % 4 = 0 THEN CAST(doc_id % 3 + 1 AS INTEGER)
+        |         ELSE CAST(doc_id % 5 + 1 AS INTEGER) END AS n
+        |  FROM documents WHERE doc_id < 150
+        |), sm_e AS (
+        |  SELECT doc_id, kind, n, CAST(unnest(range(n)) AS INTEGER) AS j
+        |  FROM sm_docs
+        |)
+        |SELECT doc_id, kind, j AS ord,
+        |  CASE WHEN kind = 'sitemapindex'
+        |    THEN 'http://site' || doc_id || '.example/maps/sitemap' || j || '.xml?a=1&b=2'
+        |    ELSE 'http://site' || doc_id || '.example/page' || j || '?a=1&b=2'
+        |  END AS loc,
+        |  CAST(19723 + (doc_id + j) % 365 AS BIGINT) AS lastmod_day,
+        |  CASE WHEN kind = 'sitemapindex' THEN ''
+        |    ELSE CASE j % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+        |         ELSE 'monthly' END END AS changefreq,
+        |  CASE WHEN kind = 'sitemapindex' THEN ''
+        |    ELSE CASE j % 4 WHEN 0 THEN '0.25' WHEN 1 THEN '0.5'
+        |         WHEN 2 THEN '0.75' ELSE '1.0' END END AS priority
+        |FROM sm_e ORDER BY doc_id, ord""".stripMargin,
     // video stream census: keyframe counts need no pixel replay —
     // every fixture keyframe decodes, so counts are the spec arithmetic
     "multimodal_video_stream_census" ->
