@@ -735,4 +735,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pr.contains("CartesianProduct"), pr)
     assert(!pr.contains("BroadcastNestedLoopJoin"), pr)
   }
+
+  test("video frame decode: row-local kernels — payload bytes never shuffle") {
+    // the gate's only exchange is its orderBy range partitioning; the
+    // demux→decode chain itself adds none (flatMap over media rows)
+    val p = plan("multimodal_video_frames")
+    assert(nodes(p, "Exchange") <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("video dedup clusters: slim fingerprint exchanges only, no cartesian") {
+    // fingerprint groupBy + rep groupBy + member join + gate orderBy:
+    // every exchange carries (id, fp) or smaller — pin the count so a
+    // payload-bytes shuffle can't sneak in
+    val p = plan("video_dedup_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(nodes(p, "Exchange") <= 6, p)
+  }
+
+  test("pHash: row-local hashing; the hamming dedup never cross-joins") {
+    val p = plan("multimodal_phash")
+    assert(nodes(p, "Exchange") <= 1, p) // gate orderBy only
+    val p2 = plan("image_dedup_phash")
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"), p2)
+  }
+
+  test("ADPCM decode: row-local state machine, zero non-sort exchanges") {
+    val p = plan("multimodal_audio_adpcm")
+    assert(nodes(p, "Exchange") <= 1, p) // gate orderBy only
+  }
+
+  test("webdataset media: one re-shard exchange builds shards; ingest adds none") {
+    // groupByKey(media_id % shards) is the single corpus shuffle of the
+    // shard writer; decode after ingest is mapPartitions — the gate's
+    // orderBy adds its range exchange on top
+    val p = plan("webdataset_video")
+    assert(nodes(p, "Exchange") <= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
