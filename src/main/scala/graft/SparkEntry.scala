@@ -3202,6 +3202,27 @@ object SparkEntry {
       Multimodal.videoDupPairs(Multimodal.videoKeyframeFeatures(media))
         .orderBy("id_a", "id_b")
     }),
+    // Baseline TIFF strip decode (the seventh image format): raw +
+    // PackBits strips, both byte orders, gray + RGB, multi-strip
+    // assembly — all cycled by id — through the cross-format aHash;
+    // the oracle replays the gradient in the raster-path sampling.
+    "multimodal_tiff" -> ((s, dir) => {
+      import s.implicits._
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 64 + 8).cast("int").as("w"),
+        (col("doc_id") % 48 + 8).cast("int").as("h"))
+      val media = dims.as[(Long, Int, Int)].mapPartitions(_.map {
+        case (id, w, h) => (id, graft.operators.TiffCodec.encodeGradient(
+          id, w, h, packBits = id % 2 == 1, bigEndian = id % 3 == 0,
+          gray = id % 5 == 0))
+      }).toDF("media_id", "data")
+      Multimodal.aHashAnyFrame(media)
+        .select(col("media_id").as("doc_id"),
+          col("ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"))
+        .orderBy("doc_id")
+    }),
     // Sitemap ingestion (sitemaps.org): urlset + sitemapindex parse —
     // crawl-frontier seeding next to robots.txt (whose Sitemap:
     // pointers Robots.sitemaps already extracts).
@@ -8577,6 +8598,36 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_matched
         |FROM vd_match WHERE n = nf_a AND n = nf_b
         |ORDER BY id_a, id_b""".stripMargin,
+    // TIFF: the BMP/PNG gradient replayed in the raster-path sampling
+    // (visual row h-1-...); gray payloads carry the B-channel formula
+    "multimodal_tiff" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 5 = 0 AS gray,
+        |    CAST(n_chars % 64 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 48 + 8 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id < 200
+        |), px AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN gray THEN 3 * ((sx + sy + doc_id) % 256)
+        |    ELSE ((sx + sy + doc_id) % 256) + (xor(sx, sy) % 256)
+        |      + ((sx * 7 + sy * 3) % 256) END AS lum
+        |  FROM (
+        |    SELECT doc_id, gray,
+        |      unnest(range(0, 64)) AS i,
+        |      unnest(list_transform(range(0, 64), j -> (j % 8) * w // 8)) AS sx,
+        |      unnest(list_transform(range(0, 64), j -> h - 1 - (j // 8) * h // 8)) AS sy
+        |    FROM d)
+        |), tot AS (
+        |  SELECT doc_id, i, lum,
+        |    sum(lum) OVER (PARTITION BY doc_id) AS s
+        |  FROM px
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN i < 32 AND 64 * lum > s
+        |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |  CAST(sum(CASE WHEN i >= 32 AND 64 * lum > s
+        |    THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi
+        |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // sitemap: fixture XML replayed as string arithmetic; 19723 =
     // epoch day of 2024-01-01 (the fixture's lastmod base)
     "web_sitemap_ingest" ->

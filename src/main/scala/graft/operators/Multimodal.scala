@@ -81,6 +81,13 @@ object Multimodal {
         if (m.width > 0 && m.height > 0) return ("webp", m.width, m.height)
       } catch { case _: IllegalArgumentException => () }
     }
+    if (TiffMeta.isTiff(bytes)) {
+      try {
+        val m = TiffMeta.parse(bytes)
+        if (m != null && m.width > 0 && m.height > 0)
+          return ("tiff", m.width, m.height)
+      } catch { case _: IllegalArgumentException => () }
+    }
     ("unknown", 0, 0)
   }
 
@@ -294,6 +301,9 @@ object Multimodal {
       case "webp" =>
         // lossless only; lossy VP8 payloads hash to null (metadata tier)
         try aHashRaster(WebpCodec.decode(bytes))
+        catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
+      case "tiff" =>
+        try aHashRaster(TiffCodec.decode(bytes))
         catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
       case _ => null
     }

@@ -169,6 +169,7 @@ object PHash {
           JpegCodec.decode(bytes), JpegCodec.exifOrientation(bytes)))
         case "gif" => phashRaster(GifCodec.decode(bytes))
         case "webp" => phashRaster(WebpCodec.decode(bytes))
+        case "tiff" => phashRaster(TiffCodec.decode(bytes))
         case _ => null
       }
     } catch {

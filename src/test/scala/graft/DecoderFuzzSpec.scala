@@ -78,7 +78,25 @@ class DecoderFuzzSpec extends AnyFunSuite {
       b => graft.operators.GifCodec.decode(b)),
     ("jpeg", graft.operators.JpegCodec.encode(
       graft.operators.WebpCodec.grayGradient(7L, 24, 15)),
-      b => graft.operators.JpegCodec.decode(b)))
+      b => graft.operators.JpegCodec.decode(b)),
+    // baseline TIFF (round 16): IFD walk, strip assembly, PackBits
+    ("tiff-raw", graft.operators.TiffCodec.encodeGradient(
+      7L, 24, 15, packBits = false, bigEndian = false, gray = false),
+      b => graft.operators.TiffCodec.decode(b)),
+    ("tiff-pb-be", graft.operators.TiffCodec.encodeGradient(
+      3L, 21, 14, packBits = true, bigEndian = true, gray = true),
+      b => graft.operators.TiffCodec.decode(b)),
+    // WebM + IVF video demux→VP8 keyframe decode (round 16)
+    ("webm-video", {
+      val frames = (0 until 2).map(f =>
+        (f * 200L, graft.operators.Vp8Codec.encodeLossy(7L * 131 + f, 32, 16)))
+      graft.operators.WebmVideo.muxWebm(frames, 32, 16, 400L)
+    }, b => graft.operators.WebmVideo.decodeKeyframes(b).foreach(_ => ())),
+    ("ivf-video", {
+      val frames = (0 until 2).map(f =>
+        (f * 200L, graft.operators.Vp8Codec.encodeLossy(9L * 131 + f, 32, 16)))
+      graft.operators.WebmVideo.muxIvf(frames, 32, 16)
+    }, b => graft.operators.WebmVideo.decodeKeyframes(b).foreach(_ => ())))
 
   test("bit-flip mutations fail with IllegalArgumentException or decode cleanly") {
     val rnd = new java.util.Random(2026)
