@@ -3202,6 +3202,41 @@ object SparkEntry {
       Multimodal.videoDupPairs(Multimodal.videoKeyframeFeatures(media))
         .orderBy("id_a", "id_b")
     }),
+    // Incremental VIDEO ingest dedup: the indexed corpus is
+    // fingerprinted ONCE (class-contracted); a new batch re-encodes
+    // half the seeds (guaranteed hits, often in the OTHER container)
+    // and introduces novel seeds (guaranteed misses). O(1) per batch
+    // row however hot the indexed content is.
+    "video_dedup_incremental" -> ((s, dir) => {
+      val idxSpec = tbl(s, dir, "documents").where(col("doc_id") < 100).select(
+        col("doc_id"),
+        (col("doc_id") % 25).cast("long").as("seed"),
+        ((col("doc_id") % 25) % 3 + 2).cast("int").as("nf"),
+        (((col("doc_id") % 25) % 4 + 2) * 16).cast("int").as("w"))
+      val index = Multimodal.videoFingerprintIndex(
+        Multimodal.videoKeyframeFeatures(Multimodal.encodeVp8Video(
+          idxSpec, "doc_id", "nf", "w", withInterframes = true,
+          seedCol = "seed")))
+      // batch: ids +100000; even docs re-carry an indexed seed (hit,
+      // usually in the OTHER container — parity flips with +100000);
+      // odd docs get FIVE keyframes — structurally unmatched, since no
+      // indexed fingerprint has length 5 (indexed nf is 2..4); seed
+      // novelty alone would not guarantee a miss, the quantized
+      // flat-MB hashes collide across seeds
+      val batchSpec = tbl(s, dir, "documents").where(col("doc_id") < 100).select(
+        (col("doc_id") + 100000).cast("long").as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("doc_id") % 25)
+          .otherwise(col("doc_id") % 10 + 25).cast("long").as("seed"),
+        when(col("doc_id") % 2 === 0, (col("doc_id") % 25) % 3 + 2)
+          .otherwise(lit(5)).cast("int").as("nf"),
+        when(col("doc_id") % 2 === 0, ((col("doc_id") % 25) % 4 + 2) * 16)
+          .otherwise(lit(32)).cast("int").as("w"))
+      val batch = Multimodal.videoKeyframeFeatures(Multimodal.encodeVp8Video(
+        batchSpec, "doc_id", "nf", "w", withInterframes = true,
+        seedCol = "seed"))
+      Multimodal.videoDupAgainstIndex(batch, index)
+        .orderBy("id_new", "rep_idx")
+    }),
     // Baseline TIFF strip decode (the seventh image format): raw +
     // PackBits strips, both byte orders, gray + RGB, multi-strip
     // assembly — all cycled by id — through the cross-format aHash;
@@ -8598,6 +8633,69 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_matched
         |FROM vd_match WHERE n = nf_a AND n = nf_b
         |ORDER BY id_a, id_b""".stripMargin,
+    // incremental video dedup: both sides' fingerprints replayed in
+    // one chain (index < 100000, batch >= 100000), index contracted
+    // to min-id reps, batch equi-joined
+    "video_dedup_incremental" ->
+      """WITH vv_docs AS (
+        |  SELECT doc_id, doc_id % 25 AS seed,
+        |         CAST((doc_id % 25) % 3 + 2 AS INTEGER) AS nf,
+        |         CAST((doc_id % 25) % 4 + 2 AS INTEGER) AS n_mb
+        |  FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 25
+        |         ELSE doc_id % 10 + 25 END AS seed,
+        |    CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id % 25) % 3 + 2 AS INTEGER)
+        |         ELSE 5 END AS nf,
+        |    CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id % 25) % 4 + 2 AS INTEGER)
+        |         ELSE 2 END AS n_mb
+        |  FROM documents WHERE doc_id < 100
+        |), vv_frames AS (
+        |  SELECT doc_id, seed, nf, n_mb,
+        |         CAST(unnest(range(nf)) AS INTEGER) AS f
+        |  FROM vv_docs
+        |), vv_mb AS (
+        |  SELECT doc_id, nf, n_mb, f, seed * 131 + f AS fseed,
+        |         CAST(unnest(range(n_mb)) AS INTEGER) AS mb
+        |  FROM vv_frames
+        |), vv_delta AS (
+        |  SELECT doc_id, nf, n_mb, f, mb,
+        |    CAST(floor((floor(((CASE WHEN (fseed + mb) % 2 = 0 THEN 1 ELSE -1 END)
+        |      * ((fseed + 3 * mb) % 4 + 1) * 196 + 3) / 8.0) + 4) / 8.0) AS BIGINT) AS d
+        |  FROM vv_mb
+        |), vv_levels AS (
+        |  SELECT doc_id, nf, n_mb, f, mb,
+        |    128 + sum(d) OVER (PARTITION BY doc_id, f ORDER BY mb) AS lvl
+        |  FROM vv_delta
+        |), vv_c AS (
+        |  SELECT doc_id, nf, n_mb, f, CAST(unnest(range(8)) AS INTEGER) AS c
+        |  FROM vv_frames
+        |), vv_lum AS (
+        |  SELECT vc.doc_id, vc.nf, vc.f, vc.c, 3 * vl.lvl AS lum
+        |  FROM vv_c vc JOIN vv_levels vl
+        |    ON vl.doc_id = vc.doc_id AND vl.f = vc.f
+        |   AND vl.mb = (vc.c * vc.n_mb) // 8
+        |), vv_lum2 AS (
+        |  SELECT doc_id, nf, f, c, lum,
+        |    sum(lum) OVER (PARTITION BY doc_id, f) AS s8
+        |  FROM vv_lum
+        |), vv_mask AS (
+        |  SELECT doc_id, nf, f,
+        |    sum(CASE WHEN 8 * lum > s8 THEN 1 << c ELSE 0 END) AS rowmask
+        |  FROM vv_lum2 GROUP BY doc_id, nf, f
+        |), vv_fp AS (
+        |  SELECT doc_id,
+        |    string_agg(f || ':' || rowmask, ',' ORDER BY f) AS fp
+        |  FROM vv_mask GROUP BY doc_id
+        |), vv_idx AS (
+        |  SELECT fp, min(doc_id) AS rep
+        |  FROM vv_fp WHERE doc_id < 100000 GROUP BY fp
+        |)
+        |SELECT b.doc_id AS id_new, i.rep AS rep_idx
+        |FROM vv_fp b JOIN vv_idx i ON i.fp = b.fp
+        |WHERE b.doc_id >= 100000
+        |ORDER BY id_new, rep_idx""".stripMargin,
     // TIFF: the BMP/PNG gradient replayed in the raster-path sampling
     // (visual row h-1-...); gray payloads carry the B-channel formula
     "multimodal_tiff" ->

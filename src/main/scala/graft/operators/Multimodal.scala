@@ -1592,6 +1592,36 @@ object Multimodal {
     fp.join(reps, "fp").select(col("id"), col("cluster"))
   }
 
+  /** Persistable video fingerprint index: one row per video —
+    * (fingerprint, representative = min id, n) — the contracted form
+    * [[videoDupClusters]] groups by, ready to write to parquet and
+    * probe on the next ingest batch. The index is duplicate-CLASS
+    * sized, not corpus-sized pairs. */
+  def videoFingerprintIndex(kf: Dataset[VideoKeyframeFeatures]): DataFrame = {
+    val f = kf.toDF().select(col("mediaId").as("id"),
+      col("frameIdx").as("f"), col("ahash"))
+    f.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("f"), col("ahash")))).as("fp"))
+      .groupBy("fp")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("n"))
+  }
+
+  /** Incremental video dedup: which BATCH videos duplicate something
+    * already indexed — (id_new, rep_idx). One fingerprint row per
+    * batch video equi-joined to the class-contracted index: O(1) work
+    * per batch row however hot the indexed content is (the
+    * [[Dedup.hammingAgainstIndex]] incremental-ingest contract, on
+    * exact keyframe-sequence fingerprints). */
+  def videoDupAgainstIndex(batchKf: Dataset[VideoKeyframeFeatures],
+      index: DataFrame): DataFrame = {
+    val f = batchKf.toDF().select(col("mediaId").as("id"),
+      col("frameIdx").as("f"), col("ahash"))
+    val fp = f.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("f"), col("ahash")))).as("fp"))
+    fp.join(index.select(col("fp"), col("rep")), "fp")
+      .select(col("id").as("id_new"), col("rep").as("rep_idx"))
+  }
+
   /** Pair-emitting video dedup — ORACLE/SMALL-SCALE path: correct and
     * exactly replayable, but its output is quadratic in duplicate-
     * class size; at corpus scale use [[videoDupClusters]]. */
