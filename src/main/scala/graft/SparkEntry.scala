@@ -3202,6 +3202,31 @@ object SparkEntry {
       Multimodal.videoDupPairs(Multimodal.videoKeyframeFeatures(media))
         .orderBy("id_a", "id_b")
     }),
+    // ICO (favicon) decode: two-entry fixtures (24bpp DIB + PNG),
+    // entry census + largest-entry aHash through the shared hash
+    // space — favicon dedup rides the same machinery as every image.
+    "multimodal_ico" -> ((s, dir) => {
+      import s.implicits._
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 60 + 8).cast("int").as("w"),
+        (col("doc_id") % 40 + 8).cast("int").as("h"))
+      val media = dims.as[(Long, Int, Int)].mapPartitions(_.map {
+        case (id, w, h) => (id, graft.operators.IcoCodec.encodeGradient(id, w, h))
+      }).toDF("media_id", "data")
+      val census = media.as[(Long, Array[Byte])].mapPartitions(_.map {
+        case (id, b) =>
+          val es = graft.operators.IcoCodec.parse(b)
+          (id, es.length, es(0).width, es(0).height, es(0).bpp, es(0).png,
+            es(1).width, es(1).height, es(1).png)
+      }).toDF("doc_id", "n_entries", "w0", "h0", "bpp0", "png0",
+        "w1", "h1", "png1")
+      val hashes = Multimodal.aHashAnyFrame(media)
+        .select(col("media_id").as("doc_id"),
+          col("ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"))
+      census.join(hashes, "doc_id").orderBy("doc_id")
+    }),
     // Incremental VIDEO ingest dedup: the indexed corpus is
     // fingerprinted ONCE (class-contracted); a new batch re-encodes
     // half the seeds (guaranteed hits, often in the OTHER container)
@@ -8633,6 +8658,44 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_matched
         |FROM vd_match WHERE n = nf_a AND n = nf_b
         |ORDER BY id_a, id_b""".stripMargin,
+    // ICO: directory census is spec arithmetic; the largest entry is
+    // the full-size DIB whose raster IS the gradient (visual order),
+    // so the aHash replay uses the raster-path sampling
+    "multimodal_ico" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars % 60 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 40 + 8 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id < 200
+        |), px AS (
+        |  SELECT doc_id, i,
+        |    ((sx + sy + doc_id) % 256) + (xor(sx, sy) % 256)
+        |      + ((sx * 7 + sy * 3) % 256) AS lum
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(range(0, 64)) AS i,
+        |      unnest(list_transform(range(0, 64), j -> (j % 8) * w // 8)) AS sx,
+        |      unnest(list_transform(range(0, 64), j -> h - 1 - (j // 8) * h // 8)) AS sy
+        |    FROM d)
+        |), tot AS (
+        |  SELECT doc_id, i, lum,
+        |    sum(lum) OVER (PARTITION BY doc_id) AS s
+        |  FROM px
+        |), hs AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN i < 32 AND 64 * lum > s
+        |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |    CAST(sum(CASE WHEN i >= 32 AND 64 * lum > s
+        |      THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi
+        |  FROM tot GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, CAST(2 AS INTEGER) AS n_entries,
+        |  CAST(d.w AS INTEGER) AS w0, CAST(d.h AS INTEGER) AS h0,
+        |  CAST(24 AS INTEGER) AS bpp0, FALSE AS png0,
+        |  CAST(d.w // 2 AS INTEGER) AS w1, CAST(d.h // 2 AS INTEGER) AS h1,
+        |  TRUE AS png1, hs.ahash_lo, hs.ahash_hi
+        |FROM d JOIN hs ON hs.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // incremental video dedup: both sides' fingerprints replayed in
     // one chain (index < 100000, batch >= 100000), index contracted
     // to min-id reps, batch equi-joined

@@ -88,6 +88,13 @@ object Multimodal {
           return ("tiff", m.width, m.height)
       } catch { case _: IllegalArgumentException => () }
     }
+    if (IcoCodec.isIco(bytes)) {
+      try {
+        val es = IcoCodec.parse(bytes)
+        val big = es.maxBy(e => e.width.toLong * e.height)
+        return ("ico", big.width, big.height)
+      } catch { case _: IllegalArgumentException => () }
+    }
     ("unknown", 0, 0)
   }
 
@@ -304,6 +311,10 @@ object Multimodal {
         catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
       case "tiff" =>
         try aHashRaster(TiffCodec.decode(bytes))
+        catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
+      case "ico" =>
+        // favicons hash by their largest entry
+        try aHashRaster(IcoCodec.decodeLargest(bytes))
         catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
       case _ => null
     }

@@ -170,6 +170,7 @@ object PHash {
         case "gif" => phashRaster(GifCodec.decode(bytes))
         case "webp" => phashRaster(WebpCodec.decode(bytes))
         case "tiff" => phashRaster(TiffCodec.decode(bytes))
+        case "ico" => phashRaster(IcoCodec.decodeLargest(bytes))
         case _ => null
       }
     } catch {

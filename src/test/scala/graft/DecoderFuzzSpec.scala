@@ -96,7 +96,10 @@ class DecoderFuzzSpec extends AnyFunSuite {
       val frames = (0 until 2).map(f =>
         (f * 200L, graft.operators.Vp8Codec.encodeLossy(9L * 131 + f, 32, 16)))
       graft.operators.WebmVideo.muxIvf(frames, 32, 16)
-    }, b => graft.operators.WebmVideo.decodeKeyframes(b).foreach(_ => ())))
+    }, b => graft.operators.WebmVideo.decodeKeyframes(b).foreach(_ => ())),
+    // ICO favicon container (round 16): directory + DIB/PNG entries
+    ("ico", graft.operators.IcoCodec.encodeGradient(7L, 24, 15),
+      b => graft.operators.IcoCodec.decodeLargest(b)))
 
   test("bit-flip mutations fail with IllegalArgumentException or decode cleanly") {
     val rnd = new java.util.Random(2026)
