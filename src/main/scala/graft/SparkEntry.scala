@@ -3202,6 +3202,27 @@ object SparkEntry {
       Multimodal.videoDupPairs(Multimodal.videoKeyframeFeatures(media))
         .orderBy("id_a", "id_b")
     }),
+    // Zstd DICTIONARY decode (RFC 8878 S5): a CLI-trained dictionary
+    // + CLI-compressed frames embedded as real-interop fixtures; the
+    // dictionary parses once per partition (broadcast state shape) and
+    // both engines agree on the md5 of the decoded bytes.
+    "zstd_dict_decode" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Seq(
+        ("p1", graft.operators.ZstdDictData.p1Bytes),
+        ("p2", graft.operators.ZstdDictData.p2Bytes)).toDF("name", "frame")
+      rows.as[(String, Array[Byte])].mapPartitions { it =>
+        val d = graft.operators.Zstd.parseDictionary(
+          graft.operators.ZstdDictData.dictBytes)
+        it.map { case (n, f) =>
+          (n, f.length, new String(graft.operators.Zstd.decode(f, d), "UTF-8"))
+        }
+      }.toDF("name", "frame_len", "text")
+        .select(col("name"), col("frame_len"),
+          length(col("text")).as("out_len"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("name")
+    }),
     // ICO (favicon) decode: two-entry fixtures (24bpp DIB + PNG),
     // entry census + largest-entry aHash through the shared hash
     // space — favicon dedup rides the same machinery as every image.
@@ -8658,6 +8679,20 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(n AS BIGINT) AS n_matched
         |FROM vd_match WHERE n = nf_a AND n = nf_b
         |ORDER BY id_a, id_b""".stripMargin,
+    // zstd dictionary: the two plaintexts reconstructed as string
+    // arithmetic; md5 proves byte identity across engines
+    "zstd_dict_decode" ->
+      """WITH zd AS (
+        |  SELECT 'p1' AS name, CAST(55 AS INTEGER) AS frame_len,
+        |    'SELECT broadcast partition shuffle aggregate FROM lineitem WHERE predicate pushdown codegen window bucket salt skew exchange parquet catalyst orders;' AS text
+        |  UNION ALL
+        |  SELECT 'p2', CAST(40 AS INTEGER),
+        |    'SELECT ' || rtrim(repeat('shuffle partition broadcast ', 40))
+        |      || ' FROM orders;'
+        |)
+        |SELECT name, frame_len, CAST(length(text) AS INTEGER) AS out_len,
+        |  md5(text) AS text_md5
+        |FROM zd ORDER BY name""".stripMargin,
     // ICO: directory census is spec arithmetic; the largest entry is
     // the full-size DIB whose raster IS the gradient (visual order),
     // so the aHash replay uses the raster-path sampling

@@ -23,7 +23,12 @@ package graft.operators
   * (§3.1.1.3.2.2) and this module derives the decode tables from those
   * lists with the same `buildDTable` used for inline table
   * descriptions — one table constructor, spec-published inputs.
-  * Dictionary frames (nonzero Dictionary_ID) fail loudly; every
+  * Dictionary frames decode via [[parseDictionary]] +
+  * [[decode(bytes:Array[Byte],dict:Zstd.ZstdDict)*]] (RFC 8878 §5:
+  * structured dictionaries with entropy tables, rep codes and content
+  * history, plus raw-content dictionaries), validated byte-exact
+  * against the reference CLI's own dictionary output; a dictionary
+  * frame decoded WITHOUT its dictionary still fails loudly, and every
   * malformed input raises IllegalArgumentException, never a silent
   * fallback.
   *
@@ -51,6 +56,7 @@ object Zstd {
   private final val FrameMagic = 0xFD2FB528
   private final val SkippableMagicMask = 0xFFFFFFF0
   private final val SkippableMagicBase = 0x184D2A50
+  private final val DictMagic = 0xEC30A437
   private final val BlockMax = 128 * 1024
 
   // ---- small helpers ----------------------------------------------------
@@ -502,10 +508,64 @@ object Zstd {
     var rep2 = 8L
   }
 
+  // ---- dictionaries (RFC 8878 §5) ----------------------------------------
+
+  /** A parsed zstd dictionary: either the structured format (magic
+    * 0xEC30A437 + id + entropy tables + rep codes + content) or a
+    * RAW-CONTENT dictionary (any payload without the magic — id 0, no
+    * tables, the whole payload is history), libzstd's documented
+    * dual behavior. */
+  final class ZstdDict private[Zstd] (
+      val dictId: Long,
+      private[Zstd] val huf: HufTable,
+      private[Zstd] val ll: FseTable,
+      private[Zstd] val of: FseTable,
+      private[Zstd] val ml: FseTable,
+      private[Zstd] val rep0: Long,
+      private[Zstd] val rep1: Long,
+      private[Zstd] val rep2: Long,
+      val content: Array[Byte])
+
+  /** Parse a dictionary payload. Structured dictionaries carry a
+    * Huffman literals table and the offset/match-length/
+    * literals-length FSE tables (serialized exactly like in-frame
+    * descriptions, in libzstd's load order) plus three rep codes;
+    * anything without the magic is a raw-content dictionary. */
+  def parseDictionary(b: Array[Byte]): ZstdDict = {
+    require(b != null && b.length > 0, "empty zstd dictionary")
+    if (b.length < 8 || le32(b, 0) != DictMagic)
+      return new ZstdDict(0L, null, null, null, null, 1L, 4L, 8L, b.clone())
+    val dictId = le32(b, 4) & 0xffffffffL
+    require(dictId != 0, "zstd dictionary id 0 is reserved")
+    var p = 8
+    val (huf, consumed) = readHufTable(b, p, b.length)
+    p += consumed
+    def fse(maxSym: Int, maxLog: Int, name: String): FseTable = {
+      val fb = new FwdBits(b, p, b.length)
+      val (counts, tlog, nsym) = readNCount(fb, maxSym, maxLog)
+      p += fb.bytesConsumed
+      require(p <= b.length, s"truncated zstd dictionary $name table")
+      buildDTable(counts, nsym, tlog)
+    }
+    val of = fse(MaxOfCode, 8, "offset")
+    val ml = fse(MaxMlCode, 9, "match-length")
+    val ll = fse(MaxLlCode, 9, "literals-length")
+    require(p + 12 <= b.length, "truncated zstd dictionary rep codes")
+    val r0 = le32(b, p) & 0xffffffffL
+    val r1 = le32(b, p + 4) & 0xffffffffL
+    val r2 = le32(b, p + 8) & 0xffffffffL
+    p += 12
+    val content = java.util.Arrays.copyOfRange(b, p, b.length)
+    require(r0 >= 1 && r1 >= 1 && r2 >= 1 &&
+      r0 <= content.length && r1 <= content.length && r2 <= content.length,
+      s"zstd dictionary rep codes ($r0, $r1, $r2) out of content range ${content.length}")
+    new ZstdDict(dictId, huf, ll, of, ml, r0, r1, r2, content)
+  }
+
   // ---- compressed-block decode -------------------------------------------
 
   private def decodeBlock(b: Array[Byte], blockFrom: Int, blockUntil: Int,
-      out: Buf, frameStart: Int, ctx: FrameCtx): Unit = {
+      out: Buf, windowBase: Int, ctx: FrameCtx): Unit = {
     var p = blockFrom
     require(p < blockUntil, "empty zstd compressed block")
 
@@ -680,8 +740,8 @@ object Zstd {
       require(litPos + ll <= lits.length, "zstd sequence consumes more literals than present")
       out.append(lits, litPos, ll)
       litPos += ll
-      require(offset <= (out.n - frameStart).toLong,
-        s"zstd match offset $offset beyond frame output ${out.n - frameStart}")
+      require(offset <= (out.n - windowBase).toLong,
+        s"zstd match offset $offset beyond frame window ${out.n - windowBase}")
       out.copyMatch(offset.toInt, ml)
       i += 1
     }
@@ -691,7 +751,8 @@ object Zstd {
 
   // ---- frame decode --------------------------------------------------------
 
-  private def decodeFrame(b: Array[Byte], start: Int, out: Buf): Int = {
+  private def decodeFrame(b: Array[Byte], start: Int, out: Buf,
+      dict: ZstdDict): Int = {
     var p = start
     require(p < b.length, "truncated zstd frame header")
     val fhd = b(p) & 0xff
@@ -712,7 +773,12 @@ object Zstd {
       var dictId = 0L
       var i = 0
       while (i < didBytes) { dictId |= (b(p + i) & 0xffL) << (8 * i); i += 1 }
-      require(dictId == 0, s"zstd dictionary frames unsupported (dictionary id $dictId)")
+      if (dictId != 0) {
+        require(dict != null,
+          s"zstd frame requires dictionary id $dictId — decode(bytes, dict)")
+        require(dict.dictId == 0 || dict.dictId == dictId,
+          s"zstd dictionary id mismatch: frame wants $dictId, dictionary is ${dict.dictId}")
+      }
       p += didBytes
     }
     val fcsBytes = fcsFlag match {
@@ -732,7 +798,16 @@ object Zstd {
     }
 
     val frameStart = out.n
+    // dict content physically precedes the frame in `out` (the caller
+    // pre-seeds it), so matches reaching past the frame's own output
+    // land in dictionary history — the §5 window semantics
+    val windowBase = frameStart - (if (dict != null) dict.content.length else 0)
     val ctx = new FrameCtx
+    if (dict != null) {
+      ctx.huf = dict.huf
+      ctx.ll = dict.ll; ctx.of = dict.of; ctx.ml = dict.ml
+      ctx.rep0 = dict.rep0; ctx.rep1 = dict.rep1; ctx.rep2 = dict.rep2
+    }
     var lastBlock = false
     while (!lastBlock) {
       require(p + 3 <= b.length, "truncated zstd block header")
@@ -753,7 +828,7 @@ object Zstd {
         case 2 =>
           require(bsize <= BlockMax, s"zstd compressed block size $bsize > 128 KiB")
           require(p + bsize <= b.length, "truncated zstd compressed block")
-          decodeBlock(b, p, p + bsize, out, frameStart, ctx)
+          decodeBlock(b, p, p + bsize, out, windowBase, ctx)
           p += bsize
         case _ =>
           throw new IllegalArgumentException("reserved zstd block type")
@@ -790,10 +865,42 @@ object Zstd {
       } else {
         require(magic == FrameMagic,
           f"not a zstd frame (magic 0x${magic & 0xffffffffL}%08x at offset $p)")
-        p = decodeFrame(bytes, p + 4, out)
+        p = decodeFrame(bytes, p + 4, out, null)
       }
     }
     out.toArray
+  }
+
+  /** Decompress with a dictionary: each frame decodes against the
+    * dictionary's entropy tables, rep codes, and content history (the
+    * caller obtains the dict once via [[parseDictionary]] — at corpus
+    * scale the dictionary is broadcast state, parsed once per
+    * executor, never per row). Frames declaring a different
+    * dictionary id fail loudly. */
+  def decode(bytes: Array[Byte], dict: ZstdDict): Array[Byte] = {
+    require(dict != null, "null zstd dictionary — use decode(bytes)")
+    require(bytes != null && bytes.length >= 4, "not a zstd payload (too short)")
+    val res = new Buf(bytes.length * 4)
+    var p = 0
+    while (p < bytes.length) {
+      require(p + 4 <= bytes.length, "truncated zstd magic")
+      val magic = le32(bytes, p)
+      if ((magic & SkippableMagicMask) == SkippableMagicBase) {
+        require(p + 8 <= bytes.length, "truncated zstd skippable frame header")
+        val sz = le32(bytes, p + 4) & 0xffffffffL
+        require(p + 8 + sz <= bytes.length, "truncated zstd skippable frame")
+        p += 8 + sz.toInt
+      } else {
+        require(magic == FrameMagic,
+          f"not a zstd frame (magic 0x${magic & 0xffffffffL}%08x at offset $p)")
+        // fresh per-frame window pre-seeded with dictionary content
+        val out = new Buf(dict.content.length + bytes.length * 4)
+        out.append(dict.content, 0, dict.content.length)
+        p = decodeFrame(bytes, p + 4, out, dict)
+        res.append(out.a, dict.content.length, out.n - dict.content.length)
+      }
+    }
+    res.toArray
   }
 
   // ---- forward bit writer (encoder side) -----------------------------------
