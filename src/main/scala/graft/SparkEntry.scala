@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
 import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, KneserNey, Layout, Lz4, Mojibake, MultiClass, Multimodal, Mutate, PdfCodec, Pipeline, QualityClassifier, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, Unigram, UrlOps, WavCodec, WebArchive, WikiDump, WordPiece, Xz, ZipCodec, Zstd}
-import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader}
+import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader, ParquetFooter}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2.
@@ -1100,6 +1100,57 @@ object SparkEntry {
         .where(col("l_returnflag") === "R")
         .agg(count(lit(1)).as("n_rows"),
           round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    // Footer-only metadata scan (sources/ParquetFooter.scala): writes the
+    // fact slice as four explicit key-range files, then reads back ONLY
+    // their footers (hand-written Thrift-compact FileMetaData parse, a
+    // few KB per file) and proves the row-group statistics equal the true
+    // data stats the oracle recomputes from the table. The 100 TB shape:
+    // one driver listing + an embarrassingly-parallel tail-read per file —
+    // the manifest build every lake-scale engine runs, never touching
+    // data pages. Bucket boundaries are closed-form integer arithmetic so
+    // Spark and DuckDB can never disagree on a boundary row.
+    "parquet_footer_census" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_footer_${dir.hashCode.toHexString}"
+      val src = li(s, dir).select("l_orderkey", "l_quantity")
+      val m1 = src.agg(max("l_orderkey")).head.getLong(0) + 1 // boundary discovery
+      (0L until 4L).foreach { b =>
+        src.where(expr(s"(l_orderkey * 4) div $m1") === b)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/b=$b")
+      }
+      ParquetFooter.columnStats(s, out)
+        .where(col("column_path") === "l_orderkey")
+        .withColumn("bucket", regexp_extract(col("file"), "/b=(\\d+)/", 1).cast("long"))
+        .groupBy("bucket")
+        .agg(countDistinct("file").as("n_files"),
+          sum("rg_num_rows").as("n_rows"),
+          min("min_long").as("min_ok"),
+          max("max_long").as("max_ok"),
+          sum(coalesce(col("null_count"), lit(0L))).as("nulls"))
+        .orderBy("bucket")
+    }),
+    // Row-group pruning decision census off the SAME footers: for the
+    // fixed key range [30%, 45%] of the key span, which files can a scan
+    // skip outright (stats max < lo or min > hi — the FileSourceScan /
+    // Iceberg decision)? The oracle recomputes the identical decision
+    // from per-bucket data min/max; matching proves footer-driven
+    // pruning is exactly as selective as the data allows.
+    "parquet_prune_census" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_footer_${dir.hashCode.toHexString}"
+      val src = li(s, dir).select("l_orderkey", "l_quantity")
+      val m1 = src.agg(max("l_orderkey")).head.getLong(0) + 1
+      (0L until 4L).foreach { b =>
+        src.where(expr(s"(l_orderkey * 4) div $m1") === b)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/b=$b")
+      }
+      val lo = 3 * m1 / 10; val hi = 9 * m1 / 20
+      ParquetFooter.pruneCensus(s, out, "l_orderkey", lo, hi)
+        .withColumn("bucket", regexp_extract(col("file"), "/b=(\\d+)/", 1).cast("long"))
+        .groupBy("bucket")
+        .agg(max(col("skipped").cast("int")).cast("boolean").as("skipped"),
+          sum("rows_scanned").as("rows_scanned"))
+        .orderBy("bucket")
     }),
 
     // ----- §2.6 sort / top-k / set ops ---------------------------------
@@ -6693,6 +6744,29 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+    // The gate's footer-derived per-bucket stats must equal the true data
+    // stats (parquet writers record exact min/max/null_count for int64);
+    // n_files is 1 by construction (coalesce(1) per bucket).
+    "parquet_footer_census" ->
+      """WITH m AS (SELECT max(l_orderkey) + 1 AS m1 FROM lineitem)
+        |SELECT CAST((l_orderkey * 4) // m1 AS BIGINT) AS bucket,
+        |CAST(1 AS BIGINT) AS n_files,
+        |CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        |CAST(max(l_orderkey) AS BIGINT) AS max_ok,
+        |CAST(0 AS BIGINT) AS nulls
+        |FROM lineitem, m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "parquet_prune_census" ->
+      """WITH m AS (SELECT max(l_orderkey) + 1 AS m1 FROM lineitem),
+        |g AS (SELECT (l_orderkey * 4) // m1 AS bucket, count(*) AS n,
+        |        min(l_orderkey) AS mn, max(l_orderkey) AS mx
+        |      FROM lineitem, m GROUP BY 1),
+        |p AS (SELECT (3 * m1) // 10 AS lo, (9 * m1) // 20 AS hi FROM m)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |(mx < lo OR mn > hi) AS skipped,
+        |CAST(CASE WHEN mx < lo OR mn > hi THEN 0 ELSE n END AS BIGINT)
+        |  AS rows_scanned
+        |FROM g, p ORDER BY 1""".stripMargin,
     "groupby_quantiles" ->
       """SELECT l_returnflag, true AS ok_q50 FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.functions._
+
+import graft.sources.ParquetFooter
+
+/** The hand-written Thrift-compact footer parser, field-for-field against
+  * parquet-mr's INDEPENDENT reader (test classpath only — main code never
+  * touches parquet-mr) on real Spark-written files, including a
+  * multi-row-group file forced via a tiny block size. */
+class ParquetFooterSpec extends SparkSpec {
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(name).toFile
+    d.deleteOnExit(); d.getAbsolutePath
+  }
+
+  private def writeSample(out: String, rows: Int, blockBytes: Option[Long]): Unit = {
+    val df = spark.range(rows.toLong).selectExpr(
+      "id AS k", "CAST(id * 2.5 AS DOUBLE) AS v",
+      "concat('s', lpad(CAST(id AS STRING), 6, '0')) AS s",
+      "IF(id % 10 = 0, CAST(NULL AS BIGINT), id % 97) AS n")
+    val w = df.coalesce(1).write.mode("overwrite")
+    blockBytes.fold(w)(b => w.option("parquet.block.size", b.toString)).parquet(out)
+  }
+
+  private def onlyFile(dir: String): (String, Long) = {
+    val fs = ParquetFooter.listDataFiles(spark, dir)
+    assert(fs.size == 1)
+    fs.head
+  }
+
+  test("footer parse matches parquet-mr field-for-field (single row group)") {
+    val out = tmpDir("pqfooter1")
+    writeSample(out, 5000, None)
+    val (path, len) = onlyFile(out)
+
+    val ours = ParquetFooter.readFooter(new Configuration(), path, len)
+    val mr = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), new Configuration()))
+    try {
+      val fm = mr.getFooter
+      assert(ours.numRows == mr.getRecordCount)
+      assert(ours.rowGroups.size == fm.getBlocks.size())
+      assert(ours.createdBy.contains(fm.getFileMetaData.getCreatedBy))
+      val ourRg = ours.rowGroups.head
+      val mrRg = fm.getBlocks.get(0)
+      assert(ourRg.numRows == mrRg.getRowCount)
+      assert(ourRg.totalByteSize == mrRg.getTotalByteSize)
+      assert(ourRg.columns.size == mrRg.getColumns.size())
+      ourRg.columns.zipWithIndex.foreach { case (cc, i) =>
+        val mc = mrRg.getColumns.get(i)
+        val cm = cc.meta.get
+        assert(cm.path == mc.getPath.toDotString)
+        // parquet-mr's Java enum says BINARY where the thrift enum (and
+        // DuckDB's parquet_metadata) say BYTE_ARRAY
+        val mrType = mc.getPrimitiveType.getPrimitiveTypeName.name() match {
+          case "BINARY" => "BYTE_ARRAY"; case other => other
+        }
+        assert(ParquetFooter.TypeNames(cm.typ) == mrType)
+        assert(ParquetFooter.CodecNames(cm.codec) == mc.getCodec.name())
+        assert(cm.numValues == mc.getValueCount)
+        assert(cm.totalCompressedSize == mc.getTotalSize)
+        assert(cm.totalUncompressedSize == mc.getTotalUncompressedSize)
+        val st = mc.getStatistics
+        assert(cm.stats.flatMap(_.nullCount).contains(st.getNumNulls))
+      }
+      // decoded stats: k is INT64 0..4999; n has 500 nulls
+      val k = ourRg.columns.flatMap(_.meta).find(_.path == "k").get
+      assert(ParquetFooter.statLong(k.typ, k.stats.get.minBytes.get).contains(0L))
+      assert(ParquetFooter.statLong(k.typ, k.stats.get.maxBytes.get).contains(4999L))
+      val n = ourRg.columns.flatMap(_.meta).find(_.path == "n").get
+      assert(n.stats.flatMap(_.nullCount).contains(500L))
+      val v = ourRg.columns.flatMap(_.meta).find(_.path == "v").get
+      assert(ParquetFooter.statDouble(v.typ, v.stats.get.maxBytes.get).contains(4999 * 2.5))
+      val s = ourRg.columns.flatMap(_.meta).find(_.path == "s").get
+      assert(ParquetFooter.statString(s.typ, s.stats.get.minBytes.get).contains("s000000"))
+    } finally mr.close()
+  }
+
+  test("multi-row-group file: per-group rows and stats match parquet-mr") {
+    val out = tmpDir("pqfooterN")
+    writeSample(out, 200000, Some(256 * 1024L))
+    val (path, len) = onlyFile(out)
+
+    val ours = ParquetFooter.readFooter(new Configuration(), path, len)
+    val mr = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), new Configuration()))
+    try {
+      val fm = mr.getFooter
+      assert(ours.rowGroups.size == fm.getBlocks.size())
+      assert(ours.rowGroups.size >= 2, "tiny block size must force multiple row groups")
+      ours.rowGroups.zipWithIndex.foreach { case (rg, i) =>
+        assert(rg.numRows == fm.getBlocks.get(i).getRowCount)
+      }
+      // row groups partition the id range: min/max stats must tile [0, 200000)
+      val spans = ours.rowGroups.map { rg =>
+        val k = rg.columns.flatMap(_.meta).find(_.path == "k").get
+        (ParquetFooter.statLong(k.typ, k.stats.get.minBytes.get).get,
+          ParquetFooter.statLong(k.typ, k.stats.get.maxBytes.get).get)
+      }
+      assert(spans.head._1 == 0L && spans.last._2 == 199999L)
+      spans.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) => assert(bMin == aMax + 1)
+        case _ => ()
+      }
+    } finally mr.close()
+  }
+
+  test("footers() and columnStats() distributed scans") {
+    val out = tmpDir("pqfooterD")
+    // three files via explicit range splits
+    (0 until 3).foreach { b =>
+      spark.range(b * 1000L, (b + 1) * 1000L).selectExpr("id AS k")
+        .coalesce(1).write.mode(if (b == 0) "overwrite" else "append").parquet(out)
+    }
+    val f = ParquetFooter.footers(spark, out)
+    assert(f.count() == 3)
+    assert(f.agg(sum("num_rows")).head.getLong(0) == 3000L)
+    val cs = ParquetFooter.columnStats(spark, out).where(col("column_path") === "k")
+    val rows = cs.orderBy("min_long").collect()
+    assert(rows.length == 3)
+    assert(rows.map(r => (r.getAs[Long]("min_long"), r.getAs[Long]("max_long"))).toSeq ==
+      Seq((0L, 999L), (1000L, 1999L), (2000L, 2999L)))
+    assert(rows.forall(_.getAs[String]("codec") != null))
+  }
+
+  test("pruneCensus skips exactly the row groups outside the bound") {
+    val out = tmpDir("pqfooterP")
+    (0 until 4).foreach { b =>
+      spark.range(b * 1000L, (b + 1) * 1000L).selectExpr("id AS k")
+        .coalesce(1).write.mode(if (b == 0) "overwrite" else "append").parquet(out)
+    }
+    val pc = ParquetFooter.pruneCensus(spark, out, "k", 1500L, 2200L)
+    val agg = pc.agg(
+      sum(when(col("skipped"), 1L).otherwise(0L)).as("skipped"),
+      sum("rows_scanned").as("scanned")).head
+    assert(agg.getLong(0) == 2L) // files [0,999] and [3000,3999] pruned
+    assert(agg.getLong(1) == 2000L)
+  }
+
+  test("corrupt framing fails loudly") {
+    intercept[IllegalArgumentException](ParquetFooter.parseFile(Array[Byte](1, 2, 3)))
+    val bogus = "PAR1".getBytes ++ new Array[Byte](20) ++
+      Array[Byte](-1, -1, -1, 127) ++ "PAR1".getBytes
+    intercept[IllegalArgumentException](ParquetFooter.parseFile(bogus))
+  }
+}
