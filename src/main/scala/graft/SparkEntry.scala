@@ -3845,6 +3845,16 @@ object SparkEntry {
           sum("gz_stored_len").as("total_stored"),
           sum("roundtrip_ok").as("n_ok_stored"),
           sum("lz_ok").as("n_ok_lz"))),
+    // Full RFC 1951 encoder (stored/fixed/DYNAMIC-Huffman, best-of-three)
+    // driven per document: md5 of the decode(encode(text)) roundtrip is
+    // replayed by the oracle straight from the source text, so any
+    // encoder bit error anywhere (package-merge lengths, canonical
+    // codes, code-length RLE, header fields) flips the hash. Row-local,
+    // zero shuffle — the crawl re-compaction encode path.
+    "web_gzip_dynamic" -> ((s, dir) =>
+      WebArchive.gzipAutoCensus(tbl(s, dir, "documents"))
+        .where(col("doc_id") % 7 === 0)
+        .orderBy("doc_id")),
     // Common-Crawl-shaped ingest, full stack: per doc build
     // HTML → HTTP 200 → WARC record → own gzip member, concatenate
     // members per group file, then INGEST the blobs back — member
@@ -9759,6 +9769,12 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_ok_stored,
         |  CAST(count(*) AS BIGINT) AS n_ok_lz
         |FROM documents""".stripMargin,
+    "web_gzip_dynamic" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS md5_roundtrip,
+        |  true AS le_stored, true AS le_fixed
+        |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin,
     // Rebuild the synthesized HTML verbatim in SQL, then replay every
     // ingest field from it: body_len = strlen(html); content_length =
     // HTTP head (77 fixed bytes + the Content-Length digit count) +

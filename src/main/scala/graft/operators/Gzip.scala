@@ -245,17 +245,12 @@ object Gzip {
     (((b(i) & 0xff) << 10) ^ ((b(i + 1) & 0xff) << 5) ^ (b(i + 2) & 0xff)) &
       ((1 << HashBits) - 1)
 
-  /** Compress `raw` as ONE fixed-Huffman deflate block with greedy
-    * hash-chain LZ77 matching. Deterministic: equal input → equal
-    * output bytes (no timestamps, no randomized chains). Greedy (no
-    * lazy matching) is a documented simplification — ratio on crawl
-    * text is within a few percent of zlib -1 and the decode side
-    * accepts any conformant stream regardless. */
-  private[graft] def deflateFixed(raw: Array[Byte]): Array[Byte] = {
-    import PngCodec.{LenBase, LenExtra, DistBase, DistExtra}
-    val bw = new BitWriter
-    bw.bits(1, 1) // BFINAL
-    bw.bits(1, 2) // BTYPE 01 fixed
+  /** Greedy hash-chain LZ77 tokenizer shared by the fixed- and
+    * dynamic-Huffman emitters. Each token is one Long: a literal is the
+    * byte value (high 32 bits zero); a match packs `(len << 32) | dist`
+    * (dist ≥ 1 disambiguates). Deterministic: no randomized chains. */
+  private def lz77Tokens(raw: Array[Byte]): Array[Long] = {
+    val toks = new scala.collection.mutable.ArrayBuffer[Long](math.max(16, raw.length / 3))
     val head = Array.fill(1 << HashBits)(-1)
     val prev = new Array[Int](raw.length)
     var i = 0
@@ -276,16 +271,7 @@ object Gzip {
         }
       }
       if (bestLen >= MinMatch) {
-        val li = baseIndex(LenBase, bestLen)
-        // base index 28 is the dedicated 258 code; 227+31 also reaches
-        // 258 via index 27's extra bits, but the canonical encoding is
-        // the zero-extra symbol 285
-        val (lc, ll) = fixedLit(257 + li)
-        bw.huff(lc, ll)
-        bw.bits(bestLen - LenBase(li), LenExtra(li))
-        val di = baseIndex(DistBase, bestDist)
-        bw.huff(di, 5)
-        bw.bits(bestDist - DistBase(di), DistExtra(di))
+        toks += (bestLen.toLong << 32) | bestDist.toLong
         // insert every position of the match into the hash chains so
         // later matches can reference inside it
         val stop = math.min(i + bestLen, raw.length - MinMatch + 1)
@@ -303,14 +289,218 @@ object Gzip {
           prev(i) = head(h)
           head(h) = i
         }
-        val (lc, ll) = fixedLit(raw(i) & 0xff)
-        bw.huff(lc, ll)
+        toks += (raw(i) & 0xffL)
         i += 1
+      }
+    }
+    toks.toArray
+  }
+
+  /** Compress `raw` as ONE fixed-Huffman deflate block with greedy
+    * hash-chain LZ77 matching. Deterministic: equal input → equal
+    * output bytes (no timestamps, no randomized chains). Greedy (no
+    * lazy matching) is a documented simplification — ratio on crawl
+    * text is within a few percent of zlib -1 and the decode side
+    * accepts any conformant stream regardless. */
+  private[graft] def deflateFixed(raw: Array[Byte]): Array[Byte] = {
+    import PngCodec.{LenBase, LenExtra, DistBase, DistExtra}
+    val bw = new BitWriter
+    bw.bits(1, 1) // BFINAL
+    bw.bits(1, 2) // BTYPE 01 fixed
+    lz77Tokens(raw).foreach { t =>
+      val dist = (t & 0xffffffffL).toInt
+      if ((t >>> 32) == 0) {
+        val (lc, ll) = fixedLit(dist)
+        bw.huff(lc, ll)
+      } else {
+        val len = (t >>> 32).toInt
+        val li = baseIndex(LenBase, len)
+        // base index 28 is the dedicated 258 code; 227+31 also reaches
+        // 258 via index 27's extra bits, but the canonical encoding is
+        // the zero-extra symbol 285
+        val (lc, ll) = fixedLit(257 + li)
+        bw.huff(lc, ll)
+        bw.bits(len - LenBase(li), LenExtra(li))
+        val di = baseIndex(DistBase, dist)
+        bw.huff(di, 5)
+        bw.bits(dist - DistBase(di), DistExtra(di))
       }
     }
     val (ec, el) = fixedLit(256)
     bw.huff(ec, el)
     bw.toBytes
+  }
+
+  // ---- dynamic-Huffman block (§3.2.7) -----------------------------------
+
+  /** Optimal length-limited Huffman code lengths via package-merge
+    * (Larmore–Hirschberg). Deterministic: singletons sorted by
+    * (frequency, symbol); on equal weight during the merge the
+    * singleton precedes the package. Symbols with zero frequency get
+    * length 0. Caller guarantees ≥ 2 used symbols. */
+  private[graft] def limitedLengths(freq: Array[Long], limit: Int): Array[Int] = {
+    val used = freq.indices.filter(freq(_) > 0)
+    val lens = new Array[Int](freq.length)
+    if (used.isEmpty) return lens
+    require(used.size >= 2, "package-merge needs >= 2 used symbols")
+    require(used.size <= (1 << limit), s"cannot fit ${used.size} symbols in $limit-bit codes")
+    // item = (weight, constituent singleton symbols)
+    val singles: Vector[(Long, List[Int])] =
+      used.sortBy(s => (freq(s), s)).map(s => (freq(s), s :: Nil)).toVector
+    var list = singles
+    var level = 1
+    while (level < limit) {
+      // package adjacent pairs of the current list
+      val packed = list.grouped(2).collect {
+        case Vector(a, b) => (a._1 + b._1, a._2 ::: b._2)
+      }.toVector
+      // stable merge, singleton first on equal weight
+      val merged = Vector.newBuilder[(Long, List[Int])]
+      var i = 0; var j = 0
+      while (i < singles.length || j < packed.length) {
+        if (j >= packed.length || (i < singles.length && singles(i)._1 <= packed(j)._1)) {
+          merged += singles(i); i += 1
+        } else { merged += packed(j); j += 1 }
+      }
+      list = merged.result()
+      level += 1
+    }
+    list.take(2 * used.size - 2).foreach(_._2.foreach(s => lens(s) += 1))
+    lens
+  }
+
+  /** Canonical code assignment (§3.2.2): shorter codes first, ties by
+    * symbol order. Returns codes aligned with `lens`. */
+  private[operators] def canonicalCodes(lens: Array[Int]): Array[Int] = {
+    val maxLen = if (lens.isEmpty) 0 else lens.max
+    val count = new Array[Int](maxLen + 1)
+    lens.foreach(l => if (l > 0) count(l) += 1)
+    val next = new Array[Int](maxLen + 1)
+    var code = 0
+    var l = 1
+    while (l <= maxLen) { code = (code + count(l - 1)) << 1; next(l) = code; l += 1 }
+    lens.map { ln =>
+      if (ln == 0) 0 else { val c = next(ln); next(ln) += 1; c }
+    }
+  }
+
+  /** Order in which code-length-code lengths are transmitted (§3.2.7). */
+  private val ClOrder =
+    Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
+
+  /** RLE-encode the concatenated lit/len + dist code-length sequence
+    * with the code-length alphabet: 16 = repeat previous 3–6, 17 =
+    * 3–10 zeros, 18 = 11–138 zeros. Returns (op, extraBitsValue). */
+  private def rleCodeLengths(seq: Array[Int]): Array[(Int, Int)] = {
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Int)]
+    var i = 0
+    while (i < seq.length) {
+      val v = seq(i)
+      var run = 1
+      while (i + run < seq.length && seq(i + run) == v) run += 1
+      if (v == 0) {
+        var left = run
+        while (left >= 11) { val n = math.min(left, 138); out += ((18, n - 11)); left -= n }
+        if (left >= 3) { out += ((17, left - 3)); left = 0 }
+        while (left > 0) { out += ((0, 0)); left -= 1 }
+      } else {
+        out += ((v, 0))
+        var left = run - 1
+        while (left >= 3) { val n = math.min(left, 6); out += ((16, n - 3)); left -= n }
+        while (left > 0) { out += ((v, 0)); left -= 1 }
+      }
+      i += run
+    }
+    out.toArray
+  }
+
+  /** Compress `raw` as ONE dynamic-Huffman deflate block (§3.2.7):
+    * the same greedy LZ77 token stream as [[deflateFixed]], but with
+    * per-input optimal (package-merge, 15-bit-limited) canonical
+    * Huffman codes for the lit/len and distance alphabets, themselves
+    * transmitted under a 7-bit-limited code-length code. Each tree is
+    * forced to ≥ 2 used symbols (zlib does the same) so no decoder
+    * meets a degenerate single-code tree. Deterministic end to end. */
+  private[graft] def deflateDynamic(raw: Array[Byte]): Array[Byte] = {
+    import PngCodec.{LenBase, LenExtra, DistBase, DistExtra}
+    val toks = lz77Tokens(raw)
+    val litFreq = new Array[Long](286)
+    val distFreq = new Array[Long](30)
+    litFreq(256) = 1 // end-of-block
+    toks.foreach { t =>
+      val dist = (t & 0xffffffffL).toInt
+      if ((t >>> 32) == 0) litFreq(dist) += 1
+      else {
+        litFreq(257 + baseIndex(LenBase, (t >>> 32).toInt)) += 1
+        distFreq(baseIndex(DistBase, dist)) += 1
+      }
+    }
+    // force two used symbols per tree (mirrors zlib trees.c): a tree
+    // with < 2 codes would be degenerate for strict decoders
+    def forceTwo(f: Array[Long]): Unit = {
+      var need = 2 - f.count(_ > 0)
+      var s = 0
+      while (need > 0 && s < f.length) {
+        if (f(s) == 0) { f(s) = 1; need -= 1 }
+        s += 1
+      }
+    }
+    forceTwo(litFreq); forceTwo(distFreq)
+    val litLens = limitedLengths(litFreq, 15)
+    val distLens = limitedLengths(distFreq, 15)
+    val litCodes = canonicalCodes(litLens)
+    val distCodes = canonicalCodes(distLens)
+    val hlit = math.max(257, 286 - litLens.reverse.takeWhile(_ == 0).length)
+    val hdist = math.max(1, 30 - distLens.reverse.takeWhile(_ == 0).length)
+    val rle = rleCodeLengths(litLens.take(hlit) ++ distLens.take(hdist))
+    val clFreq = new Array[Long](19)
+    rle.foreach { case (op, _) => clFreq(op) += 1 }
+    forceTwo(clFreq)
+    val clLens = limitedLengths(clFreq, 7)
+    val clCodes = canonicalCodes(clLens)
+    val hclen = math.max(4, 19 - ClOrder.reverse.takeWhile(clLens(_) == 0).length)
+
+    val bw = new BitWriter
+    bw.bits(1, 1) // BFINAL
+    bw.bits(2, 2) // BTYPE 10 dynamic
+    bw.bits(hlit - 257, 5)
+    bw.bits(hdist - 1, 5)
+    bw.bits(hclen - 4, 4)
+    var k = 0
+    while (k < hclen) { bw.bits(clLens(ClOrder(k)), 3); k += 1 }
+    rle.foreach { case (op, extra) =>
+      bw.huff(clCodes(op), clLens(op))
+      if (op == 16) bw.bits(extra, 2)
+      else if (op == 17) bw.bits(extra, 3)
+      else if (op == 18) bw.bits(extra, 7)
+    }
+    toks.foreach { t =>
+      val dist = (t & 0xffffffffL).toInt
+      if ((t >>> 32) == 0) bw.huff(litCodes(dist), litLens(dist))
+      else {
+        val len = (t >>> 32).toInt
+        val li = baseIndex(LenBase, len)
+        bw.huff(litCodes(257 + li), litLens(257 + li))
+        bw.bits(len - LenBase(li), LenExtra(li))
+        val di = baseIndex(DistBase, dist)
+        bw.huff(distCodes(di), distLens(di))
+        bw.bits(dist - DistBase(di), DistExtra(di))
+      }
+    }
+    bw.huff(litCodes(256), litLens(256))
+    bw.toBytes
+  }
+
+  /** Best-of-three deflate: stored vs fixed vs dynamic, smallest wins
+    * (ties: dynamic, then fixed, then stored — a fixed deterministic
+    * preference). The zlib block-type decision, made whole-input. */
+  private[graft] def deflateBest(raw: Array[Byte]): Array[Byte] = {
+    val d = deflateDynamic(raw)
+    val f = deflateFixed(raw)
+    val s = deflateStored(raw)
+    if (d.length <= f.length && d.length <= s.length) d
+    else if (f.length <= s.length) f
+    else s
   }
 
   /** Stored-block deflate (§3.2.4): size is the closed form
@@ -344,8 +534,15 @@ object Gzip {
     * selects stored blocks (closed-form output size
     * `18 + n + 5·⌈n/65535⌉` — oracle-computable); default is the real
     * LZ77 + fixed-Huffman compressor. */
-  def gzip(raw: Array[Byte], stored: Boolean = false): Array[Byte] = {
-    val body = if (stored) deflateStored(raw) else deflateFixed(raw)
+  def gzip(raw: Array[Byte], stored: Boolean = false): Array[Byte] =
+    gzipWith(raw, if (stored) deflateStored(raw) else deflateFixed(raw))
+
+  /** Gzip with the best-of-three block type (stored/fixed/dynamic) —
+    * the full RFC 1951 encoder. Same deterministic member framing as
+    * [[gzip]]. */
+  def gzipAuto(raw: Array[Byte]): Array[Byte] = gzipWith(raw, deflateBest(raw))
+
+  private def gzipWith(raw: Array[Byte], body: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](10 + body.length + 8)
     out(0) = 0x1f.toByte
     out(1) = 0x8b.toByte

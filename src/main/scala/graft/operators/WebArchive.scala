@@ -650,4 +650,30 @@ object WebArchive {
       })
       .toDF("doc_id", "n_bytes", "gz_stored_len", "roundtrip_ok", "lz_ok", "lz_smaller")
   }
+
+  /** Per-doc census of the FULL RFC 1951 encoder ([[Gzip.gzipAuto]]:
+    * best of stored / fixed-Huffman / dynamic-Huffman blocks): md5 of
+    * the decoded roundtrip (the content proof an oracle can replay
+    * from the source text), plus two wiring booleans — auto never
+    * exceeds the closed-form stored size, and auto never exceeds the
+    * fixed-only encoding (both hold by construction of best-of-three).
+    * Row-local, zero shuffle — the encode path a crawl re-compaction
+    * job would run over 100 TB of text. */
+  def gzipAutoCensus(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val raw = text.getBytes(UTF_8)
+        val gz = Gzip.gzipAuto(raw)
+        val back = Gzip.gunzip(gz)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(back).map(b => f"$b%02x").mkString
+        (id, raw.length.toLong, hex,
+          gz.length <= Gzip.storedGzipSize(raw.length.toLong),
+          gz.length <= Gzip.gzip(raw).length)
+      })
+      .toDF("doc_id", "n_bytes", "md5_roundtrip", "le_stored", "le_fixed")
+  }
 }

@@ -127,4 +127,87 @@ class GzipSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Gzip.gunzip(good ++ Array[Byte](1, 2, 3)))
     assertThrows[IllegalArgumentException](Gzip.gunzip(good.dropRight(3)))
   }
+
+  // ---- dynamic-Huffman encode (gzipAuto) --------------------------------
+
+  test("gzipAuto roundtrips under our gunzip AND the independent JDK") {
+    samples.foreach { raw =>
+      val gz = Gzip.gzipAuto(raw)
+      assert(Gzip.gunzip(gz).sameElements(raw))
+      assert(jdkGunzip(gz).sameElements(raw))
+    }
+  }
+
+  test("gzipAuto never exceeds the fixed or stored encodings") {
+    samples.foreach { raw =>
+      val auto = Gzip.gzipAuto(raw).length
+      assert(auto <= Gzip.gzip(raw).length)
+      assert(auto <= Gzip.gzip(raw, stored = true).length)
+    }
+  }
+
+  test("dynamic block beats fixed on skewed-alphabet text") {
+    // heavily skewed literal distribution: dynamic's per-input code
+    // lengths must win over the fixed 8/9-bit table
+    // skewed literals with no LZ structure (seeded, deterministic):
+    // half the bytes are 'e', the rest spread over 30 rare symbols, in
+    // pseudo-random order so matches stay short and literal coding
+    // dominates the bit count
+    val rnd = new scala.util.Random(42)
+    val shuffled = Array.fill(4000) {
+      if (rnd.nextBoolean()) 'e'.toByte else (97 + rnd.nextInt(30)).toByte
+    }
+    val dyn = Gzip.gzipAuto(shuffled).length
+    val fix = Gzip.gzip(shuffled).length
+    assert(dyn < fix, s"dynamic $dyn !< fixed $fix")
+    assert(jdkGunzip(Gzip.gzipAuto(shuffled)).sameElements(shuffled))
+  }
+
+  test("gzipAuto is deterministic (dedup-safe)") {
+    val raw = ("mixed content 123 " * 64).getBytes(UTF_8)
+    assert(Gzip.gzipAuto(raw).sameElements(Gzip.gzipAuto(raw)))
+  }
+
+  test("gzipAuto ratio on natural text is within 15% of the JDK's zlib -6") {
+    val text = ("Deduplicating training data makes language models better. " +
+      "The quick brown fox jumps over the lazy dog; " +
+      "pack my box with five dozen liquor jugs. ") * 200
+    val raw = text.getBytes(UTF_8)
+    val ours = Gzip.gzipAuto(raw).length.toDouble
+    val jdk = jdkGzip(raw).length.toDouble
+    assert(ours <= jdk * 1.15, s"ours $ours vs jdk $jdk")
+  }
+
+  test("fuzz: random and structured payloads roundtrip through gzipAuto") {
+    val rnd = new scala.util.Random(0xd1ce)
+    (0 until 60).foreach { k =>
+      val n = rnd.nextInt(20000)
+      val raw =
+        if (k % 3 == 0) Array.fill(n)(rnd.nextInt(256).toByte) // incompressible
+        else if (k % 3 == 1) Array.fill(n)(rnd.nextInt(4).toByte) // tiny alphabet
+        else Array.tabulate(n)(i => ((i / 7) % 13).toByte) // runs
+      val gz = Gzip.gzipAuto(raw)
+      assert(Gzip.gunzip(gz).sameElements(raw))
+      assert(jdkGunzip(gz).sameElements(raw))
+    }
+  }
+
+  test("package-merge lengths satisfy Kraft equality and the bit limit") {
+    val rnd = new scala.util.Random(0xbeef)
+    (0 until 50).foreach { _ =>
+      val n = 2 + rnd.nextInt(284)
+      val freq = new Array[Long](n)
+      (0 until n).foreach(i => freq(i) = if (rnd.nextInt(4) == 0) 0 else rnd.nextInt(10000).toLong + 1)
+      if (freq.count(_ > 0) >= 2) {
+        // 2^limit must fit the used-symbol count (9 bits covers 286)
+        val limit = 9 + rnd.nextInt(7)
+        val lens = Gzip.limitedLengths(freq, limit)
+        assert(lens.max <= limit)
+        // optimal prefix code over >= 2 symbols is complete: Kraft sum == 1
+        val kraft = lens.filter(_ > 0).map(l => 1.0 / (1L << l)).sum
+        assert(math.abs(kraft - 1.0) < 1e-12, s"kraft $kraft")
+        assert(freq.indices.forall(i => (freq(i) > 0) == (lens(i) > 0)))
+      }
+    }
+  }
 }
