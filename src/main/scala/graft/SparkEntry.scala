@@ -3355,6 +3355,27 @@ object SparkEntry {
           shiftrightunsigned(col("ahash"), 32).as("ahash_hi"))
         .orderBy("doc_id")
     }),
+    // QOI (qoiformat.org): ninth image-format family in the shared
+    // aHash/pHash space — full decode+encode of the one-page spec (all
+    // six ops, running index, wrapping deltas). The oracle replays the
+    // gradient raster formula at the 64 aHash sample points, so the
+    // whole encode -> decode -> hash chain must be pixel-exact.
+    "multimodal_qoi" -> ((s, dir) => {
+      import s.implicits._
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 56 + 8).cast("int").as("w"),
+        (col("doc_id") % 40 + 8).cast("int").as("h"))
+      val media = dims.as[(Long, Int, Int)].mapPartitions(_.map {
+        case (id, w, h) => (id, graft.operators.QoiCodec.encodeGradient(
+          id, w, h, alpha = id % 2 == 1))
+      }).toDF("media_id", "data")
+      Multimodal.aHashAnyFrame(media)
+        .select(col("media_id").as("doc_id"),
+          col("ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"))
+        .orderBy("doc_id")
+    }),
     // Sitemap ingestion (sitemaps.org): urlset + sitemapindex parse —
     // crawl-frontier seeding next to robots.txt (whose Sitemap:
     // pointers Robots.sitemaps already extracts).
@@ -8893,6 +8914,33 @@ object SparkEntry {
         |      + ((sx * 7 + sy * 3) % 256) END AS lum
         |  FROM (
         |    SELECT doc_id, gray,
+        |      unnest(range(0, 64)) AS i,
+        |      unnest(list_transform(range(0, 64), j -> (j % 8) * w // 8)) AS sx,
+        |      unnest(list_transform(range(0, 64), j -> h - 1 - (j // 8) * h // 8)) AS sy
+        |    FROM d)
+        |), tot AS (
+        |  SELECT doc_id, i, lum,
+        |    sum(lum) OVER (PARTITION BY doc_id) AS s
+        |  FROM px
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN i < 32 AND 64 * lum > s
+        |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |  CAST(sum(CASE WHEN i >= 32 AND 64 * lum > s
+        |    THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi
+        |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "multimodal_qoi" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars % 56 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 40 + 8 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id < 200
+        |), px AS (
+        |  SELECT doc_id, i,
+        |    ((sx * 7 + doc_id) % 256) + ((sy * 11 + doc_id * 3) % 256)
+        |      + ((sx + sy + doc_id * 5) % 256) AS lum
+        |  FROM (
+        |    SELECT doc_id,
         |      unnest(range(0, 64)) AS i,
         |      unnest(list_transform(range(0, 64), j -> (j % 8) * w // 8)) AS sx,
         |      unnest(list_transform(range(0, 64), j -> h - 1 - (j // 8) * h // 8)) AS sy

@@ -88,6 +88,10 @@ object Multimodal {
           return ("tiff", m.width, m.height)
       } catch { case _: IllegalArgumentException => () }
     }
+    if (QoiCodec.isQoi(bytes)) {
+      val wh = QoiCodec.parseDimsQoi(bytes)
+      if (wh != null && wh._1 > 0 && wh._2 > 0) return ("qoi", wh._1, wh._2)
+    }
     if (IcoCodec.isIco(bytes)) {
       try {
         val es = IcoCodec.parse(bytes)
@@ -315,6 +319,9 @@ object Multimodal {
       case "ico" =>
         // favicons hash by their largest entry
         try aHashRaster(IcoCodec.decodeLargest(bytes))
+        catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
+      case "qoi" =>
+        try aHashRaster(QoiCodec.decode(bytes))
         catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => null }
       case _ => null
     }

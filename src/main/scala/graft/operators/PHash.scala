@@ -171,6 +171,7 @@ object PHash {
         case "webp" => phashRaster(WebpCodec.decode(bytes))
         case "tiff" => phashRaster(TiffCodec.decode(bytes))
         case "ico" => phashRaster(IcoCodec.decodeLargest(bytes))
+        case "qoi" => phashRaster(QoiCodec.decode(bytes))
         case _ => null
       }
     } catch {

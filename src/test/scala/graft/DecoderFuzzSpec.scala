@@ -22,6 +22,7 @@ class DecoderFuzzSpec extends AnyFunSuite {
   private val streams: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(
     ("gzip", Gzip.gzip(raw), b => Gzip.gunzip(b)),
     ("gzip-stored", Gzip.gzip(raw, stored = true), b => Gzip.gunzip(b)),
+    ("gzip-dynamic", Gzip.gzipAuto(raw), b => Gzip.gunzip(b)),
     ("bzip2", Bzip2.encode(raw), b => Bzip2.decode(b)),
     ("xz", Xz.encode(raw), b => Xz.decode(b)),
     ("zstd", Zstd.encode(raw), b => Zstd.decode(b)),
@@ -98,6 +99,9 @@ class DecoderFuzzSpec extends AnyFunSuite {
       graft.operators.WebmVideo.muxIvf(frames, 32, 16)
     }, b => graft.operators.WebmVideo.decodeKeyframes(b).foreach(_ => ())),
     // ICO favicon container (round 16): directory + DIB/PNG entries
+    // QOI (round 16): all six ops exercised by the gradient fixture
+    ("qoi", graft.operators.QoiCodec.encodeGradient(5L, 24, 15, alpha = true),
+      b => graft.operators.QoiCodec.decode(b)),
     ("ico", graft.operators.IcoCodec.encodeGradient(7L, 24, 15),
       b => graft.operators.IcoCodec.decodeLargest(b)))
 
