@@ -3376,6 +3376,44 @@ object SparkEntry {
           shiftrightunsigned(col("ahash"), 32).as("ahash_hi"))
         .orderBy("doc_id")
     }),
+    // Compressing PNG writer (adaptive per-row filters + the full
+    // RFC 1951 deflate) driven over the same gradient formula as
+    // multimodal_qoi: a different container and compressor must land on
+    // the identical aHash, and every payload must beat the stored-block
+    // encoder's closed-form size (smooth gradients always compress).
+    "multimodal_png_compressed" -> ((s, dir) => {
+      import s.implicits._
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("n_chars") % 56 + 8).cast("int").as("w"),
+        (col("doc_id") % 40 + 8).cast("int").as("h"))
+      val media = dims.as[(Long, Int, Int)].mapPartitions(_.map {
+        case (id, w, h) =>
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = (y * w + x) * 3
+              px(o) = ((x * 7 + id) % 256).toInt.toByte
+              px(o + 1) = ((y * 11 + id * 3) % 256).toInt.toByte
+              px(o + 2) = ((x + y + id * 5) % 256).toInt.toByte
+              x += 1
+            }
+            y += 1
+          }
+          val r = graft.operators.PngCodec.Raster(w, h, 3, px)
+          val gz = graft.operators.PngCodec.encodeCompressed(r)
+          (id, gz, gz.length < graft.operators.PngCodec.encode(r).length)
+      }).toDF("media_id", "data", "smaller")
+      Multimodal.aHashAnyFrame(media.select("media_id", "data"))
+        .join(media.select(col("media_id"), col("smaller")), "media_id")
+        .select(col("media_id").as("doc_id"),
+          col("ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"),
+          col("smaller"))
+        .orderBy("doc_id")
+    }),
     // Sitemap ingestion (sitemaps.org): urlset + sitemapindex parse —
     // crawl-frontier seeding next to robots.txt (whose Sitemap:
     // pointers Robots.sitemaps already extracts).
@@ -8955,6 +8993,34 @@ object SparkEntry {
         |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo,
         |  CAST(sum(CASE WHEN i >= 32 AND 64 * lum > s
         |    THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi
+        |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "multimodal_png_compressed" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars % 56 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 40 + 8 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id < 200
+        |), px AS (
+        |  SELECT doc_id, i,
+        |    ((sx * 7 + doc_id) % 256) + ((sy * 11 + doc_id * 3) % 256)
+        |      + ((sx + sy + doc_id * 5) % 256) AS lum
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(range(0, 64)) AS i,
+        |      unnest(list_transform(range(0, 64), j -> (j % 8) * w // 8)) AS sx,
+        |      unnest(list_transform(range(0, 64), j -> h - 1 - (j // 8) * h // 8)) AS sy
+        |    FROM d)
+        |), tot AS (
+        |  SELECT doc_id, i, lum,
+        |    sum(lum) OVER (PARTITION BY doc_id) AS s
+        |  FROM px
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN i < 32 AND 64 * lum > s
+        |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo,
+        |  CAST(sum(CASE WHEN i >= 32 AND 64 * lum > s
+        |    THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  true AS smaller
         |FROM tot GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // sitemap: fixture XML replayed as string arithmetic; 19723 =
     // epoch day of 2024-01-01 (the fixture's lastmod base)

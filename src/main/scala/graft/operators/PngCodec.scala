@@ -561,6 +561,10 @@ object PngCodec {
     require(img.pixels.length == img.width * img.height * img.channels, "pixel size mismatch")
     val stride = img.width * img.channels
     val z = zlibStored(filter0Rows(img.pixels, img.height, stride))
+    framePng(img, z)
+  }
+
+  private def framePng(img: Raster, z: Array[Byte]): Array[Byte] = {
     val ihdr = new Array[Byte](13)
     putBe32(ihdr, 0, img.width)
     putBe32(ihdr, 4, img.height)
@@ -573,6 +577,72 @@ object PngCodec {
     o = writeChunk(out, o, "IEND", Array.emptyByteArray)
     assert(o == out.length, s"size bookkeeping off: $o != ${out.length}")
     out
+  }
+
+  /** Serialize with REAL compression: per-row adaptive filter selection
+    * (the libpng minimum-sum-of-absolute-signed-residuals heuristic over
+    * filters 0–4) and the repo's full RFC 1951 compressor
+    * ([[Gzip.deflateBest]]: best of stored / fixed / dynamic-Huffman
+    * blocks) inside RFC 1950 zlib framing. [[encode]] stays stored so
+    * its closed-form size remains SQL-oracle-computable; this is the
+    * writer a 100 TB image sink would actually use. Deterministic. */
+  def encodeCompressed(img: Raster): Array[Byte] = {
+    require(img.width > 0 && img.height > 0, s"bad dims ${img.width}x${img.height}")
+    require(img.channels == 3 || img.channels == 4, s"bad channels ${img.channels}")
+    require(img.pixels.length == img.width * img.height * img.channels, "pixel size mismatch")
+    val ch = img.channels
+    val stride = img.width * ch
+    val raw = new Array[Byte](img.height * (stride + 1))
+    val filtered = new Array[Byte](stride) // scratch for the candidate row
+    val best = new Array[Byte](stride)
+    var y = 0
+    while (y < img.height) {
+      val rowOff = y * stride
+      var bestScore = Long.MaxValue
+      var bestF = 0
+      var f = 0
+      while (f <= 4) {
+        var score = 0L
+        var i = 0
+        while (i < stride && score < bestScore) {
+          val cur = img.pixels(rowOff + i) & 0xff
+          val left = if (i >= ch) img.pixels(rowOff + i - ch) & 0xff else 0
+          val up = if (y > 0) img.pixels(rowOff - stride + i) & 0xff else 0
+          val ul = if (y > 0 && i >= ch) img.pixels(rowOff - stride + i - ch) & 0xff else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) >> 1
+            case _ => // Paeth (§6.6 of the PNG spec)
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          val r = (cur - pred) & 0xff
+          filtered(i) = r.toByte
+          score += math.abs((r << 24) >> 24) // signed-byte magnitude
+          i += 1
+        }
+        if (score < bestScore) {
+          bestScore = score; bestF = f
+          System.arraycopy(filtered, 0, best, 0, stride)
+        }
+        f += 1
+      }
+      raw(y * (stride + 1)) = bestF.toByte
+      System.arraycopy(best, 0, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val body = Gzip.deflateBest(raw)
+    val z = new Array[Byte](2 + body.length + 4)
+    z(0) = 0x78.toByte // CMF: deflate, 32k window
+    z(1) = 0x01.toByte // FLG: check bits, no preset dictionary
+    System.arraycopy(body, 0, z, 2, body.length)
+    val ad = new Adler32()
+    ad.update(raw)
+    putBe32(z, 2 + body.length, ad.getValue.toInt)
+    framePng(img, z)
   }
 
   /** Serialize an INDEXED (color type 3) PNG: 8-bit indices, filter-0
