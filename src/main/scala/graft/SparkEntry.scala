@@ -1152,6 +1152,35 @@ object SparkEntry {
           sum("rows_scanned").as("rows_scanned"))
         .orderBy("bucket")
     }),
+    // PAGE-level pruning census (ColumnIndex/OffsetIndex, the
+    // PARQUET-1201 tier below row groups): one sorted tiny-page file;
+    // the offset-index row walk must cover every row exactly
+    // (n_rows), the column-index min/max must equal the data extremes,
+    // boundary order must record ASCENDING for a sorted key, and the
+    // kept pages must cover all matching rows while scanning fewer
+    // than the whole file. Page boundaries are writer-internal, so the
+    // oracle pins the data-derived facts and the three invariants.
+    "parquet_page_prune" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_pageidx_${dir.hashCode.toHexString}"
+      val src = li(s, dir).select("l_orderkey")
+      val m1 = src.agg(max("l_orderkey")).head.getLong(0) + 1
+      src.coalesce(1).sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").option("parquet.page.size", "2048").parquet(out)
+      val lo = 3 * m1 / 10; val hi = 9 * m1 / 20
+      val nMatch = src.where(col("l_orderkey") >= lo && col("l_orderkey") <= hi).count()
+      ParquetFooter.pagePruneCensus(s, out, "l_orderkey", lo, hi)
+        .agg(sum("page_rows").as("n_rows"),
+          min("min_long").as("min_ok"),
+          max("max_long").as("max_ok"),
+          min("boundary_order").as("bo_min"),
+          max("boundary_order").as("bo_max"),
+          sum("rows_scanned").as("rows_scanned"))
+        .select(col("n_rows"), lit(nMatch).as("n_match"),
+          col("min_ok"), col("max_ok"),
+          (col("bo_min") === 1 && col("bo_max") === 1).as("asc_order"),
+          (col("rows_scanned") >= nMatch).as("covers"),
+          (col("rows_scanned") < col("n_rows")).as("narrows"))
+    }),
 
     // ----- §2.6 sort / top-k / set ops ---------------------------------
     "topk_orders" -> ((s, dir) => {
@@ -6836,6 +6865,16 @@ object SparkEntry {
         |CAST(CASE WHEN mx < lo OR mn > hi THEN 0 ELSE n END AS BIGINT)
         |  AS rows_scanned
         |FROM g, p ORDER BY 1""".stripMargin,
+    "parquet_page_prune" ->
+      """WITH m AS (SELECT max(l_orderkey) + 1 AS m1 FROM lineitem),
+        |p AS (SELECT (3 * m1) // 10 AS lo, (9 * m1) // 20 AS hi FROM m)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(sum(CASE WHEN l_orderkey BETWEEN lo AND hi
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        |CAST(max(l_orderkey) AS BIGINT) AS max_ok,
+        |true AS asc_order, true AS covers, true AS narrows
+        |FROM lineitem, p""".stripMargin,
     "groupby_quantiles" ->
       """SELECT l_returnflag, true AS ok_q50 FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

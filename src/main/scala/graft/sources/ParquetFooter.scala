@@ -143,7 +143,21 @@ object ParquetFooter {
     def path: String = pathInSchema.mkString(".")
   }
 
-  final case class ColumnChunk(fileOffset: Long, meta: Option[ColumnMeta])
+  final case class ColumnChunk(
+      fileOffset: Long, meta: Option[ColumnMeta],
+      offsetIndexOffset: Option[Long], offsetIndexLength: Option[Int],
+      columnIndexOffset: Option[Long], columnIndexLength: Option[Int])
+
+  /** Page-index structs (parquet.thrift ColumnIndex / OffsetIndex /
+    * PageLocation) — the PAGE-level pruning tier: per-page min/max/null
+    * stats plus each page's byte span and first row index, stored
+    * between the last data page and the footer. */
+  final case class PageLocation(offset: Long, compressedPageSize: Int, firstRowIndex: Long)
+  final case class OffsetIndex(pages: Seq[PageLocation])
+  final case class ColumnIndex(
+      nullPages: Seq[Boolean], minValues: Seq[Array[Byte]],
+      maxValues: Seq[Array[Byte]], boundaryOrder: Int,
+      nullCounts: Option[Seq[Long]])
 
   final case class RowGroup(
       columns: Seq[ColumnChunk], totalByteSize: Long, numRows: Long,
@@ -221,12 +235,70 @@ object ParquetFooter {
 
   private def parseColumnChunk(r: Reader): ColumnChunk = {
     var off = 0L; var meta: Option[ColumnMeta] = None
+    var oio: Option[Long] = None; var oil: Option[Int] = None
+    var cio: Option[Long] = None; var cil: Option[Int] = None
     r.struct {
       case (2, T.I64)    => off = r.zigzag(); true
       case (3, T.STRUCT) => meta = Some(parseColumnMeta(r)); true
+      case (4, T.I64)    => oio = Some(r.zigzag()); true
+      case (5, T.I32)    => oil = Some(r.zigzag().toInt); true
+      case (6, T.I64)    => cio = Some(r.zigzag()); true
+      case (7, T.I32)    => cil = Some(r.zigzag().toInt); true
       case _ => false
     }
-    ColumnChunk(off, meta)
+    ColumnChunk(off, meta, oio, oil, cio, cil)
+  }
+
+  /** Parse a ColumnIndex blob (the byte range at
+    * `columnIndexOffset..+columnIndexLength`). Compact-protocol list
+    * elements of type bool are one byte: 1 = true (Thrift compact). */
+  def parseColumnIndex(bytes: Array[Byte]): ColumnIndex = {
+    val r = new Reader(bytes, 0)
+    var np = Seq.empty[Boolean]; var mn = Seq.empty[Array[Byte]]
+    var mx = Seq.empty[Array[Byte]]; var bo = 0
+    var nc: Option[Seq[Long]] = None
+    r.struct {
+      case (1, T.LIST) =>
+        val (sz, _) = r.listHeader()
+        np = (0 until sz).map(_ => r.u8() == 1); true
+      case (2, T.LIST) =>
+        val (sz, _) = r.listHeader()
+        mn = (0 until sz).map(_ => r.binary()); true
+      case (3, T.LIST) =>
+        val (sz, _) = r.listHeader()
+        mx = (0 until sz).map(_ => r.binary()); true
+      case (4, T.I32) => bo = r.zigzag().toInt; true
+      case (5, T.LIST) =>
+        val (sz, _) = r.listHeader()
+        nc = Some((0 until sz).map(_ => r.zigzag())); true
+      case _ => false
+    }
+    require(np.nonEmpty && np.size == mn.size && np.size == mx.size,
+      "ColumnIndex list sizes disagree")
+    ColumnIndex(np, mn, mx, bo, nc)
+  }
+
+  /** Parse an OffsetIndex blob (page byte spans + first row indexes). */
+  def parseOffsetIndex(bytes: Array[Byte]): OffsetIndex = {
+    val r = new Reader(bytes, 0)
+    var pages = Seq.empty[PageLocation]
+    r.struct {
+      case (1, T.LIST) =>
+        val (sz, _) = r.listHeader()
+        pages = (0 until sz).map { _ =>
+          var off = 0L; var cps = 0; var fri = 0L
+          r.struct {
+            case (1, T.I64) => off = r.zigzag(); true
+            case (2, T.I32) => cps = r.zigzag().toInt; true
+            case (3, T.I64) => fri = r.zigzag(); true
+            case _ => false
+          }
+          PageLocation(off, cps, fri)
+        }; true
+      case _ => false
+    }
+    require(pages.nonEmpty, "OffsetIndex has no pages")
+    OffsetIndex(pages)
   }
 
   private def parseRowGroup(r: Reader): RowGroup = {
@@ -388,6 +460,91 @@ object ParquetFooter {
     require(fl > 0 && fl <= fileLen - 12, s"$path: bad footer length $fl")
     if (fl + 8 > win.length) win = tail(fl + 8L)
     parse(java.util.Arrays.copyOfRange(win, win.length - 8 - fl, win.length - 8))
+  }
+
+  /** Read an arbitrary byte range (for the page-index blobs, which sit
+    * between the last data page and the footer). */
+  private def readRange(conf: org.apache.hadoop.conf.Configuration,
+                        path: String, off: Long, len: Int): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try { in.readFully(off, buf, 0, len) } finally { in.close() }
+    buf
+  }
+
+  private val pageRowSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("row_group", IntegerType, nullable = false),
+    StructField("page", IntegerType, nullable = false),
+    StructField("first_row", LongType, nullable = false),
+    StructField("page_rows", LongType, nullable = false),
+    StructField("null_page", BooleanType, nullable = false),
+    StructField("boundary_order", IntegerType, nullable = false),
+    StructField("null_count", LongType, nullable = true),
+    StructField("min_long", LongType, nullable = true),
+    StructField("max_long", LongType, nullable = true),
+    StructField("min_string", StringType, nullable = true),
+    StructField("max_string", StringType, nullable = true)))
+
+  /** One row per PAGE of `columnPath`: the page-index pruning tier.
+    * Same fan-out shape as [[columnStats]]; each task performs three
+    * metadata-class reads per file (footer tail + the two index blobs —
+    * a few KB each), never data pages. Files written without page
+    * indexes are skipped (index offsets absent). */
+  def pageStats(spark: SparkSession, dir: String, columnPath: String): DataFrame = {
+    val files = listDataFiles(spark, dir)
+    val parts = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    val rows = spark.sparkContext.parallelize(files, parts).flatMap { case (path, len) =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fm = readFooter(conf, path, len)
+      fm.rowGroups.zipWithIndex.flatMap { case (rg, rgi) =>
+        rg.columns.find(_.meta.exists(_.path == columnPath)).toSeq.flatMap { cc =>
+          (cc.columnIndexOffset, cc.columnIndexLength,
+            cc.offsetIndexOffset, cc.offsetIndexLength) match {
+            case (Some(cio), Some(cil), Some(oio), Some(oil)) =>
+              val ci = parseColumnIndex(readRange(conf, path, cio, cil))
+              val oi = parseOffsetIndex(readRange(conf, path, oio, oil))
+              require(ci.nullPages.size == oi.pages.size,
+                s"$path rg $rgi: ColumnIndex/OffsetIndex page counts disagree")
+              val typ = cc.meta.get.typ
+              oi.pages.zipWithIndex.map { case (pl, pi) =>
+                val pageRows =
+                  (if (pi + 1 < oi.pages.size) oi.pages(pi + 1).firstRowIndex
+                   else rg.numRows) - pl.firstRowIndex
+                val nullPage = ci.nullPages(pi)
+                def dec[A](f: (Int, Array[Byte]) => Option[A], b: Array[Byte]): Option[A] =
+                  if (nullPage) None else f(typ, b)
+                Row(path, rgi, pi, pl.firstRowIndex, pageRows, nullPage,
+                  ci.boundaryOrder,
+                  ci.nullCounts.map(nc => Long.box(nc(pi))).orNull,
+                  dec(statLong, ci.minValues(pi)).map(Long.box).orNull,
+                  dec(statLong, ci.maxValues(pi)).map(Long.box).orNull,
+                  dec(statString, ci.minValues(pi)).orNull,
+                  dec(statString, ci.maxValues(pi)).orNull)
+              }
+            case _ => Seq.empty
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rows, pageRowSchema)
+  }
+
+  /** Page-level min/max pruning census for `lo <= column <= hi`: which
+    * PAGES can a scan skip, and how many rows survive the page filter —
+    * the ColumnIndex-driven row-range narrowing of PARQUET-1201.
+    * Null-only pages and pages lacking stats are conservatively kept. */
+  def pagePruneCensus(spark: SparkSession, dir: String, columnPath: String,
+                      lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    pageStats(spark, dir, columnPath)
+      .withColumn("skipped",
+        when(col("null_page") || col("min_long").isNull || col("max_long").isNull, lit(false))
+          .otherwise(col("max_long") < lo || col("min_long") > hi))
+      .withColumn("rows_scanned",
+        when(col("skipped"), lit(0L)).otherwise(col("page_rows")))
   }
 
   private val fileRowSchema = StructType(Seq(

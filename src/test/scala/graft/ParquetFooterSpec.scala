@@ -144,6 +144,82 @@ class ParquetFooterSpec extends SparkSpec {
     assert(agg.getLong(1) == 2000L)
   }
 
+  test("page index parse matches parquet-mr's ColumnIndex/OffsetIndex readers") {
+    val out = tmpDir("pqpageidx")
+    // sorted input + tiny pages => many pages with tiling min/max
+    spark.range(50000).selectExpr("id AS k", "CAST(id % 13 AS DOUBLE) AS v")
+      .coalesce(1).sortWithinPartitions("k")
+      .write.mode("overwrite").option("parquet.page.size", "2048").parquet(out)
+    val (path, len) = onlyFile(out)
+    val conf = new Configuration()
+    val fm = ParquetFooter.readFooter(conf, path, len)
+    val mr = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
+    try {
+      fm.rowGroups.zipWithIndex.foreach { case (rg, rgi) =>
+        val block = mr.getFooter.getBlocks.get(rgi)
+        val cc = rg.columns.find(_.meta.exists(_.path == "k")).get
+        val mc = (0 until block.getColumns.size)
+          .map(block.getColumns.get).find(_.getPath.toDotString == "k").get
+        val mrCi = mr.readColumnIndex(mc)
+        val mrOi = mr.readOffsetIndex(mc)
+        val ci = ParquetFooter.parseColumnIndex(readRangeForTest(conf, path,
+          cc.columnIndexOffset.get, cc.columnIndexLength.get))
+        val oi = ParquetFooter.parseOffsetIndex(readRangeForTest(conf, path,
+          cc.offsetIndexOffset.get, cc.offsetIndexLength.get))
+        assert(oi.pages.size == mrOi.getPageCount)
+        assert(oi.pages.size >= 4, "tiny page size must force many pages")
+        oi.pages.zipWithIndex.foreach { case (pl, i) =>
+          assert(pl.offset == mrOi.getOffset(i))
+          assert(pl.compressedPageSize == mrOi.getCompressedPageSize(i))
+          assert(pl.firstRowIndex == mrOi.getFirstRowIndex(i))
+        }
+        assert(ci.nullPages.size == oi.pages.size)
+        assert(ci.boundaryOrder == 1, "sorted column must record ASCENDING")
+        val mrMins = mrCi.getMinValues; val mrMaxs = mrCi.getMaxValues
+        ci.minValues.zipWithIndex.foreach { case (mn, i) =>
+          assert(java.util.Arrays.equals(mn, mrMins.get(i).array()))
+          assert(java.util.Arrays.equals(ci.maxValues(i), mrMaxs.get(i).array()))
+        }
+        // decoded page spans tile [0, 50000) contiguously on the sorted key
+        val spans = oi.pages.indices.map { i =>
+          (ParquetFooter.statLong(2, ci.minValues(i)).get,
+            ParquetFooter.statLong(2, ci.maxValues(i)).get)
+        }
+        assert(spans.head._1 == 0L)
+        spans.sliding(2).foreach {
+          case Seq((_, aMax), (bMin, _)) => assert(bMin == aMax + 1)
+          case _ => ()
+        }
+      }
+    } finally mr.close()
+  }
+
+  test("pagePruneCensus narrows to the matching pages only") {
+    val out = tmpDir("pqpagepr")
+    spark.range(50000).selectExpr("id AS k")
+      .coalesce(1).sortWithinPartitions("k")
+      .write.mode("overwrite").option("parquet.page.size", "2048").parquet(out)
+    val pc = ParquetFooter.pagePruneCensus(spark, out, "k", 10000L, 12000L)
+    val agg = pc.agg(
+      sum(when(col("skipped"), 0L).otherwise(1L)).as("kept"),
+      count(lit(1)).as("total"),
+      sum("rows_scanned").as("scanned")).head
+    val kept = agg.getLong(0); val total = agg.getLong(1); val scanned = agg.getLong(2)
+    assert(total >= 4)
+    assert(kept < total, "some pages must be pruned")
+    assert(scanned >= 2001L, "kept pages must cover the 2001 matching rows")
+    assert(scanned < 50000L, "page filter must narrow the scan")
+  }
+
+  private def readRangeForTest(conf: Configuration, path: String,
+                               off: Long, len: Int): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    try { val b = new Array[Byte](len); in.readFully(off, b, 0, len); b }
+    finally in.close()
+  }
+
   test("corrupt framing fails loudly") {
     intercept[IllegalArgumentException](ParquetFooter.parseFile(Array[Byte](1, 2, 3)))
     val bogus = "PAR1".getBytes ++ new Array[Byte](20) ++
