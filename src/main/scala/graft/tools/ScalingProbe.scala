@@ -594,6 +594,65 @@ object ScalingProbe {
     println(sb.toString)
   }
 
+  /** Metadata tier (round 16): footer / page-index scans must cost
+    * O(files), not O(bytes). The SAME lineitem rows are written as 16,
+    * 160 and 1600 files; a metadata-only scan's wall should track the
+    * FILE count while the data volume stays constant — the property that
+    * makes a 100k-file manifest build tractable at 100 TB. */
+  private def runMeta(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outPath: String, cpus: String): Unit = {
+    import graft.sources.ParquetFooter
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), (Double, Long, Long)]
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val m1 = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    val lo = 3 * m1 / 10; val hi = 9 * m1 / 20
+    for (files <- Seq(16, 160, 1600)) {
+      val out = s"/root/repo/target/tmp/graft_meta_scale_$files"
+      li.repartition(files).write.mode("overwrite").parquet(out)
+      results(("footers", files)) = timed { () =>
+        ParquetFooter.footers(spark, out).agg(
+          count(lit(1)).as("n"), sum("num_rows").as("rows"))
+      }
+      results(("column_stats", files)) = timed { () =>
+        ParquetFooter.columnStats(spark, out)
+          .groupBy("codec").agg(count(lit(1)).as("n"))
+      }
+      results(("rg_prune", files)) = timed { () =>
+        ParquetFooter.pruneCensus(spark, out, "l_orderkey", lo, hi)
+          .agg(sum(when(col("skipped"), 1L).otherwise(0L)).as("skipped"),
+            sum("rows_scanned").as("scanned"))
+      }
+      println(s"[scaling-meta] files=$files done")
+    }
+    val head = Provenance.gitHead
+    val dirty = Provenance.gitTreeDirty
+    val sb = new StringBuilder
+    sb ++= "\n## Metadata tier — parquet footer / stats scans (round 16)\n\n"
+    sb ++= s"Generated by `graft.tools.ScalingProbe meta` at git `$head`" +
+      s"${if (dirty) " (DIRTY tree)" else ""}, local[$cpus]. The SAME " +
+      "sf0.1 lineitem rows written as 16 / 160 / 1600 parquet files: a " +
+      "footer-only scan reads a few KB per file tail and never touches " +
+      "data pages, so its wall must track the FILE count (the 100 TB " +
+      "manifest-build property), stay milliseconds-class, and carry " +
+      "~zero shuffle (the only exchange is the final tiny stats agg).\n\n"
+    sb ++= "| op | files | rows out | wall s | shuffle MB |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    for (((op, files), (sec, bytes, rows)) <- results)
+      sb ++= f"| $op | $files | $rows | $sec%.2f | ${bytes / 1e6}%.1f |\n"
+    def wall(op: String, f: Int) = results((op, f))._1
+    sb ++= "\n| op | wall 160/16 | wall 1600/160 (≤~10× = O(files); " +
+      "constant data volume throughout) |\n|---|---|---|\n"
+    for (op <- Seq("footers", "column_stats", "rg_prune"))
+      sb ++= f"| $op | ${wall(op, 160) / wall(op, 16)}%.1f× | ${wall(op, 1600) / wall(op, 160)}%.1f× |\n"
+    val out = java.nio.file.Paths.get(outPath)
+    java.nio.file.Files.write(out, sb.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    println(sb.toString)
+  }
+
   private def runDeep100(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, outPath: String, cpus: String): Unit = {
     import graft.operators.{KneserNey, QualityClassifier, TextOps}
@@ -714,9 +773,10 @@ object ScalingProbe {
     val modeAnalytics = args.contains("analytics")
     val modeDeep100 = args.contains("deep100")
     val modeMedia = args.contains("media")
+    val modeMeta = args.contains("meta")
     val positional = args.filterNot(a =>
       a == "100x" || a == "tpch" || a == "lm" || a == "analytics" ||
-        a == "deep100" || a == "media")
+        a == "deep100" || a == "media" || a == "meta")
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = if (positional.length > 1) positional(1) else "SCALING.md"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -752,6 +812,11 @@ object ScalingProbe {
     }
     if (modeMedia) {
       runMedia(spark, sfDir, outPath, cpus)
+      spark.stop()
+      return
+    }
+    if (modeMeta) {
+      runMeta(spark, sfDir, outPath, cpus)
       spark.stop()
       return
     }
