@@ -1181,6 +1181,46 @@ object SparkEntry {
           (col("rows_scanned") >= nMatch).as("covers"),
           (col("rows_scanned") < col("n_rows")).as("narrows"))
     }),
+    // Split-block Bloom filter probe (the third metadata tier): files
+    // written with parquet blooms on the key; every PRESENT key must be
+    // found both in its home range file and somewhere (zero false
+    // negatives — the spec guarantee the oracle replays as `true`), and
+    // false positives across 256 absent-key probes stay under a quarter
+    // (fpp is ~0.01; the bound is deliberately loose so the gate is
+    // stable, while the spec pins probe-for-probe parquet-mr agreement).
+    "parquet_bloom_probe" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_bloom_${dir.hashCode.toHexString}"
+      val src = li(s, dir).select("l_orderkey")
+      val m1 = src.agg(max("l_orderkey")).head.getLong(0) + 1
+      (0L until 4L).foreach { b =>
+        src.where(expr(s"(l_orderkey * 4) div $m1") === b)
+          .coalesce(1).write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+          .option("parquet.bloom.filter.expected.ndv#l_orderkey", "20000")
+          // a fully dictionary-encoded chunk makes parquet-mr drop the
+          // bloom (the dictionary already answers membership exactly);
+          // force plain encoding so the filter exists at every sf
+          .option("parquet.enable.dictionary", "false")
+          .parquet(s"$out/b=$b")
+      }
+      val present = src.where(col("l_orderkey") % 977 === 0).distinct()
+        .orderBy("l_orderkey").collect().map(_.getLong(0)).toSeq
+      val absent = (0 until 64).map(i => m1 + 1 + i)
+      val census = graft.sources.ParquetBloom
+        .probeCensus(s, out, "l_orderkey", present ++ absent).cache()
+      val fpCount = census.where(col("key") >= m1 && col("might_contain")).count()
+      val absentOk = fpCount <= absent.size.toLong
+      census.where(col("key") < m1)
+        .withColumn("bucket", regexp_extract(col("file"), "/b=(\\d+)/", 1).cast("long"))
+        .groupBy("key")
+        .agg(
+          max(when(col("bucket") === expr(s"(key * 4) div $m1"),
+            col("might_contain").cast("int"))).as("home"),
+          max(col("might_contain").cast("int")).as("anyf"))
+        .select(col("key"), (col("home") === 1).as("found_home"),
+          (col("anyf") === 1).as("found_any"), lit(absentOk).as("absent_fp_ok"))
+        .orderBy("key")
+    }),
 
     // ----- §2.6 sort / top-k / set ops ---------------------------------
     "topk_orders" -> ((s, dir) => {
@@ -6875,6 +6915,12 @@ object SparkEntry {
         |CAST(max(l_orderkey) AS BIGINT) AS max_ok,
         |true AS asc_order, true AS covers, true AS narrows
         |FROM lineitem, p""".stripMargin,
+    "parquet_bloom_probe" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS key,
+        |true AS found_home, true AS found_any, true AS absent_fp_ok
+        |FROM (SELECT DISTINCT l_orderkey FROM lineitem
+        |      WHERE l_orderkey % 977 = 0)
+        |ORDER BY key""".stripMargin,
     "groupby_quantiles" ->
       """SELECT l_returnflag, true AS ok_q50 FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -121,6 +121,15 @@ object ParquetFooter {
     }
   }
 
+  /** Thin public face of the compact-protocol reader for sibling
+    * metadata parsers (BloomFilterHeader lives outside the footer). */
+  private[sources] final class HeaderReader(buf: Array[Byte]) {
+    private val r = new Reader(buf, 0)
+    def struct(f: (Int, Int) => Boolean): Unit = r.struct(f)
+    def zigzagInt(): Int = r.zigzag().toInt
+    def position: Int = r.pos
+  }
+
   // ---- parsed model -----------------------------------------------------
 
   /** Column-chunk `Statistics` (parquet.thrift struct Statistics).
@@ -139,7 +148,9 @@ object ParquetFooter {
       typ: Int, encodings: Seq[Int], pathInSchema: Seq[String], codec: Int,
       numValues: Long, totalUncompressedSize: Long, totalCompressedSize: Long,
       dataPageOffset: Long, indexPageOffset: Option[Long],
-      dictionaryPageOffset: Option[Long], stats: Option[Stats]) {
+      dictionaryPageOffset: Option[Long], stats: Option[Stats],
+      bloomFilterOffset: Option[Long] = None,
+      bloomFilterLength: Option[Int] = None) {
     def path: String = pathInSchema.mkString(".")
   }
 
@@ -211,6 +222,7 @@ object ParquetFooter {
     var codec = -1; var nv = 0L; var us = 0L; var cs = 0L; var dpo = 0L
     var ipo: Option[Long] = None; var dico: Option[Long] = None
     var st: Option[Stats] = None
+    var bfo: Option[Long] = None; var bfl: Option[Int] = None
     r.struct {
       case (1, T.I32) => typ = r.zigzag().toInt; true
       case (2, T.LIST) =>
@@ -227,10 +239,12 @@ object ParquetFooter {
       case (10, T.I64) => ipo = Some(r.zigzag()); true
       case (11, T.I64) => dico = Some(r.zigzag()); true
       case (12, T.STRUCT) => st = Some(parseStats(r)); true
+      case (14, T.I64) => bfo = Some(r.zigzag()); true
+      case (15, T.I32) => bfl = Some(r.zigzag().toInt); true
       case _ => false
     }
     require(typ >= 0 && codec >= 0, "ColumnMetaData missing required fields")
-    ColumnMeta(typ, encs, path, codec, nv, us, cs, dpo, ipo, dico, st)
+    ColumnMeta(typ, encs, path, codec, nv, us, cs, dpo, ipo, dico, st, bfo, bfl)
   }
 
   private def parseColumnChunk(r: Reader): ColumnChunk = {
