@@ -742,6 +742,32 @@ object GraftFrame {
     * spec, so joins/aggs on the bucket columns plan exchange-free. */
   def read_table(spark: SparkSession, table: String): GraftFrame =
     new GraftFrame(spark.table(table))
+
+  // ---- metadata tier (footer / page-index / bloom scans) ----------------
+
+  /** Per-file footer census of a parquet directory — a metadata-only
+    * scan (tail reads, never data pages). [[graft.sources.ParquetFooter]]. */
+  def footer_census(spark: SparkSession, dir: String): GraftFrame =
+    new GraftFrame(graft.sources.ParquetFooter.footers(spark, dir))
+
+  /** Per (file, row group, column chunk) statistics. */
+  def column_stats(spark: SparkSession, dir: String): GraftFrame =
+    new GraftFrame(graft.sources.ParquetFooter.columnStats(spark, dir))
+
+  /** Row-group min/max skip census for `lo <= column <= hi`. */
+  def prune_census(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long): GraftFrame =
+    new GraftFrame(graft.sources.ParquetFooter.pruneCensus(spark, dir, column, lo, hi))
+
+  /** Page-level (ColumnIndex/OffsetIndex) skip census. */
+  def page_prune_census(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long): GraftFrame =
+    new GraftFrame(graft.sources.ParquetFooter.pagePruneCensus(spark, dir, column, lo, hi))
+
+  /** Split-block Bloom probe: might each file contain each key? */
+  def bloom_probe(spark: SparkSession, dir: String, column: String,
+      keys: Seq[Long]): GraftFrame =
+    new GraftFrame(graft.sources.ParquetBloom.probeCensus(spark, dir, column, keys))
 }
 
 /** Grouped-aggregation surface — `df.groupby(keys).agg(...)`.

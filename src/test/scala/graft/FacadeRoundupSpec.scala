@@ -102,4 +102,24 @@ class FacadeRoundupSpec extends SparkSpec {
     assert(r.columns.toSet == Set("cohort_day", "offset_days", "n_users"))
     assert(r.count() == 1)
   }
+  test("metadata-tier facades: footer census, prune, page prune, bloom probe") {
+    val out = java.nio.file.Files.createTempDirectory("facade_meta").toString
+    spark.range(4000).selectExpr("id AS k")
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .option("parquet.bloom.filter.expected.ndv#k", "4000")
+      .option("parquet.enable.dictionary", "false")
+      .option("parquet.page.size", "2048")
+      .parquet(out)
+    assert(GraftFrame.footer_census(spark, out).df
+      .agg(org.apache.spark.sql.functions.sum("num_rows")).head.getLong(0) == 4000L)
+    assert(GraftFrame.column_stats(spark, out).df
+      .where(col("column_path") === "k").count() >= 1)
+    assert(GraftFrame.prune_census(spark, out, "k", 100L, 200L).df
+      .agg(org.apache.spark.sql.functions.sum("rows_scanned")).head.getLong(0) == 4000L)
+    val pp = GraftFrame.page_prune_census(spark, out, "k", 100L, 200L).df
+    assert(pp.where(col("skipped")).count() > 0)
+    val probe = GraftFrame.bloom_probe(spark, out, "k", Seq(5L, 99999L)).df.collect()
+    assert(probe.exists(r => r.getLong(1) == 5L && r.getBoolean(2)))
+  }
 }
