@@ -4283,6 +4283,23 @@ object SparkEntry {
           countDistinct(col("t")).as("n_distinct"),
           sum(length(col("t"))).as("n_chars"))
     }),
+    // cl100k_base pre-tokenization (tiktoken registry, verbatim Java
+    // lookahead pattern; the oracle runs the RE2 form on the same
+    // normalized text — equal by the Gpt2PretokPatternRe2 theorem).
+    // Digits planted on every third doc pin the signature cl100k
+    // behavior: number runs chunk in threes, "'S" is a contraction.
+    "text_cl100k_pretok" -> ((s, dir) => {
+      gpt2Corpus(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" It'S 1234567 99"))).otherwise(col("text")).as("text"))
+        .select(explode(Bpe.cl100kPreTokens(col("text"))).as("t"))
+        .agg(count(lit(1)).as("n_pretok"),
+          sum(when(col("t").startsWith(" "), 1L).otherwise(0L)).as("n_spaced"),
+          countDistinct(col("t")).as("n_distinct"),
+          sum(length(col("t"))).as("n_chars"),
+          sum(when(col("t").rlike("^\\p{N}{1,3}$"), 1L).otherwise(0L)).as("n_numchunks"))
+    }),
     // GPT-2-shape byte-level BPE: the regex pre-tokenizer (case and
     // leading space KEPT — the boundary is the Ġ space byte) + byte
     // symbols with NO </w> terminal. The oracle re-derives the
@@ -6111,6 +6128,9 @@ object SparkEntry {
     * [[graft.operators.Bpe.Gpt2PretokPatternRe2]]). */
   private lazy val duckGpt2Pat: String =
     graft.operators.Bpe.Gpt2PretokPatternRe2.replace("'", "''")
+
+  private lazy val duckCl100kPat: String =
+    graft.operators.Bpe.Cl100kPretokPatternRe2.replace("'", "''")
 
   /** Normalized planted corpus + GPT-2 pre-token word table (case and
     * leading spaces kept, no `</w>`), shared by the GPT-2 BPE oracle
@@ -10156,6 +10176,22 @@ object SparkEntry {
          |  CAST(count(DISTINCT t) AS BIGINT) AS n_distinct,
          |  CAST(sum(len(t)) AS BIGINT) AS n_chars
          |FROM gp_toks""".stripMargin,
+    "text_cl100k_pretok" ->
+      s"""WITH $gpt2WordsCtes, cl_docs AS (
+         |  SELECT CASE WHEN doc_id % 3 = 0
+         |    THEN text || ' It''S 1234567 99' ELSE text END AS text
+         |  FROM gp_docs),
+         |cl_toks AS (
+         |  SELECT unnest(regexp_extract_all(text, '$duckCl100kPat')) AS t
+         |  FROM cl_docs)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pretok,
+         |  CAST(sum(CASE WHEN t LIKE ' %' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_spaced,
+         |  CAST(count(DISTINCT t) AS BIGINT) AS n_distinct,
+         |  CAST(sum(len(t)) AS BIGINT) AS n_chars,
+         |  CAST(sum(CASE WHEN regexp_full_match(t, '\\p{N}{1,3}')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_numchunks
+         |FROM cl_toks""".stripMargin,
     "text_bpe_gpt2_train" ->
       s"""$bpeGpt2Ctes
          |SELECT rank, split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs

@@ -127,6 +127,30 @@ object Bpe {
   val Gpt2PretokPatternRe2: String =
     "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
 
+  /** cl100k_base's pre-tokenization pattern, verbatim (public,
+    * openai/tiktoken registry). Differences from GPT-2 that real
+    * corpora hit constantly: case-insensitive contractions (`It'S`),
+    * digit runs chunked in threes (`1234567` → `123 456 7` — the
+    * number-tokenization change), punctuation swallowing trailing
+    * newlines, and grouped newline runs. */
+  val Cl100kPretokPattern: String =
+    "(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\\r\\n\\p{L}\\p{N}]?\\p{L}+|\\p{N}{1,3}" +
+      "| ?[^\\s\\p{L}\\p{N}]+[\\r\\n]*|\\s*[\\r\\n]+|\\s+(?!\\S)|\\s+"
+
+  /** Lookahead-free (RE2-compatible) variant of [[Cl100kPretokPattern]]
+    * — identical output on whitespace-normalized text by the same
+    * theorem as [[Gpt2PretokPatternRe2]] (the lookahead and the
+    * newline branches only act on whitespace runs ≥ 2 or `\r\n`,
+    * neither of which survive normalization). */
+  val Cl100kPretokPatternRe2: String =
+    "(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\\r\\n\\p{L}\\p{N}]?\\p{L}+|\\p{N}{1,3}" +
+      "| ?[^\\s\\p{L}\\p{N}]+[\\r\\n]*|\\s*[\\r\\n]+|\\s+"
+
+  /** Column form of cl100k pre-tokenization (codegen'd Java regex —
+    * the verbatim pattern with its lookahead). */
+  def cl100kPreTokens(c: Column): Column =
+    regexp_extract_all(c, lit(Cl100kPretokPattern), lit(0))
+
   private lazy val gpt2Regex = java.util.regex.Pattern.compile(Gpt2PretokPattern)
 
   /** Row-local GPT-2 pre-tokenization (for the encode path). The

@@ -282,4 +282,25 @@ class BpeSpec extends SparkSpec {
       .map(w => Bpe.initGpt2Symbols(w).length).sum
     assert(counts.head < raw)
   }
+  test("cl100k pretok: number chunking, case-insensitive contractions, lookahead/RE2 theorem") {
+    def split(pat: String, text: String): Seq[String] = {
+      val m = java.util.regex.Pattern.compile(pat).matcher(text)
+      val out = Seq.newBuilder[String]
+      while (m.find()) out += m.group()
+      out.result()
+    }
+    // signature divergences from GPT-2
+    assert(split(Bpe.Cl100kPretokPattern, "1234567") == Seq("123", "456", "7"))
+    assert(split(Bpe.Gpt2PretokPattern, "1234567") == Seq("1234567"))
+    assert(split(Bpe.Cl100kPretokPattern, "It'S fine") == Seq("It", "'S", " fine"))
+    assert(split(Bpe.Gpt2PretokPattern, "It'S fine") == Seq("It", "'", "S", " fine"))
+    // matches tile the input exactly
+    val sample = "Hello world! It's 2026: pack 12345 boxes, 'tis fine."
+    assert(split(Bpe.Cl100kPretokPattern, sample).mkString == sample)
+    // lookahead form == RE2 form on whitespace-normalized text
+    val norm = sample.replaceAll("\\s+", " ").trim
+    assert(split(Bpe.Cl100kPretokPattern, norm) == split(Bpe.Cl100kPretokPatternRe2, norm))
+    // and they genuinely diverge on a multi-space run (the theorem's premise)
+    assert(split(Bpe.Cl100kPretokPattern, "a  b") != split(Bpe.Cl100kPretokPatternRe2, "a  b"))
+  }
 }
