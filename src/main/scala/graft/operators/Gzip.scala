@@ -250,7 +250,8 @@ object Gzip {
     * byte value (high 32 bits zero); a match packs `(len << 32) | dist`
     * (dist ≥ 1 disambiguates). Deterministic: no randomized chains. */
   private def lz77Tokens(raw: Array[Byte]): Array[Long] = {
-    val toks = new scala.collection.mutable.ArrayBuffer[Long](math.max(16, raw.length / 3))
+    val toks = new scala.collection.mutable.ArrayBuilder.ofLong
+    toks.sizeHint(math.max(16, raw.length / 3))
     val head = Array.fill(1 << HashBits)(-1)
     val prev = new Array[Int](raw.length)
     var i = 0
@@ -293,7 +294,7 @@ object Gzip {
         i += 1
       }
     }
-    toks.toArray
+    toks.result()
   }
 
   /** Compress `raw` as ONE fixed-Huffman deflate block with greedy
@@ -302,12 +303,33 @@ object Gzip {
     * lazy matching) is a documented simplification — ratio on crawl
     * text is within a few percent of zlib -1 and the decode side
     * accepts any conformant stream regardless. */
-  private[graft] def deflateFixed(raw: Array[Byte]): Array[Byte] = {
+  private[graft] def deflateFixed(raw: Array[Byte]): Array[Byte] =
+    deflateFixedFromTokens(lz77Tokens(raw))
+
+  /** Exact fixed-block OUTPUT SIZE in bytes from a token stream — the
+    * bit cost is closed-form per token, so best-of-three selection
+    * never needs a second emit. */
+  private def fixedByteLen(toks: Array[Long]): Int = {
+    import PngCodec.{LenBase, LenExtra, DistBase, DistExtra}
+    var bits = 3L + 7L // header + EOB (symbol 256 is 7 bits)
+    toks.foreach { t =>
+      val dist = (t & 0xffffffffL).toInt
+      if ((t >>> 32) == 0) bits += fixedLit(dist)._2
+      else {
+        val li = baseIndex(LenBase, (t >>> 32).toInt)
+        val di = baseIndex(DistBase, dist)
+        bits += fixedLit(257 + li)._2 + LenExtra(li) + 5 + DistExtra(di)
+      }
+    }
+    ((bits + 7) / 8).toInt
+  }
+
+  private def deflateFixedFromTokens(toks: Array[Long]): Array[Byte] = {
     import PngCodec.{LenBase, LenExtra, DistBase, DistExtra}
     val bw = new BitWriter
     bw.bits(1, 1) // BFINAL
     bw.bits(1, 2) // BTYPE 01 fixed
-    lz77Tokens(raw).foreach { t =>
+    toks.foreach { t =>
       val dist = (t & 0xffffffffL).toInt
       if ((t >>> 32) == 0) {
         val (lc, ll) = fixedLit(dist)
@@ -421,9 +443,11 @@ object Gzip {
     * transmitted under a 7-bit-limited code-length code. Each tree is
     * forced to ≥ 2 used symbols (zlib does the same) so no decoder
     * meets a degenerate single-code tree. Deterministic end to end. */
-  private[graft] def deflateDynamic(raw: Array[Byte]): Array[Byte] = {
+  private[graft] def deflateDynamic(raw: Array[Byte]): Array[Byte] =
+    deflateDynamicFromTokens(lz77Tokens(raw))
+
+  private def deflateDynamicFromTokens(toks: Array[Long]): Array[Byte] = {
     import PngCodec.{LenBase, LenExtra, DistBase, DistExtra}
-    val toks = lz77Tokens(raw)
     val litFreq = new Array[Long](286)
     val distFreq = new Array[Long](30)
     litFreq(256) = 1 // end-of-block
@@ -495,12 +519,29 @@ object Gzip {
     * (ties: dynamic, then fixed, then stored — a fixed deterministic
     * preference). The zlib block-type decision, made whole-input. */
   private[graft] def deflateBest(raw: Array[Byte]): Array[Byte] = {
-    val d = deflateDynamic(raw)
-    val f = deflateFixed(raw)
-    val s = deflateStored(raw)
-    if (d.length <= f.length && d.length <= s.length) d
-    else if (f.length <= s.length) f
-    else s
+    // ONE LZ77 pass; fixed and stored sizes are closed-form from it
+    val toks = lz77Tokens(raw)
+    val d = deflateDynamicFromTokens(toks)
+    val fLen = fixedByteLen(toks)
+    val sLen = raw.length + 5 * math.max(1, (raw.length + 65534) / 65535)
+    if (d.length <= fLen && d.length <= sLen) d
+    else if (fLen <= sLen) deflateFixedFromTokens(toks)
+    else deflateStored(raw)
+  }
+
+  /** [[gzipAuto]] plus the three candidate body sizes from ONE token
+    * pass — census callers must not pay for repeated LZ77 matching.
+    * Returns (member, dynLen, fixedLen, storedLen). */
+  def gzipAutoStats(raw: Array[Byte]): (Array[Byte], Int, Int, Int) = {
+    val toks = lz77Tokens(raw)
+    val d = deflateDynamicFromTokens(toks)
+    val fLen = fixedByteLen(toks)
+    val sLen = raw.length + 5 * math.max(1, (raw.length + 65534) / 65535)
+    val body =
+      if (d.length <= fLen && d.length <= sLen) d
+      else if (fLen <= sLen) deflateFixedFromTokens(toks)
+      else deflateStored(raw)
+    (gzipWith(raw, body), d.length, fLen, sLen)
   }
 
   /** Stored-block deflate (§3.2.4): size is the closed form

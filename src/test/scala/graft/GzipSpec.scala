@@ -192,6 +192,16 @@ class GzipSpec extends AnyFunSuite {
     }
   }
 
+  test("gzipAutoStats' closed-form sizes equal the real encodings") {
+    (samples ++ Seq("tiny".getBytes(UTF_8))).foreach { raw =>
+      val (gz, dynLen, fixedLen, storedLen) = Gzip.gzipAutoStats(raw)
+      assert(fixedLen + 18 == Gzip.gzip(raw).length, s"fixed closed form off at n=${raw.length}")
+      assert(storedLen + 18 == Gzip.gzip(raw, stored = true).length)
+      assert(gz.length == 18 + math.min(dynLen, math.min(fixedLen, storedLen)))
+      assert(jdkGunzip(gz).sameElements(raw))
+    }
+  }
+
   test("package-merge lengths satisfy Kraft equality and the bit limit") {
     val rnd = new scala.util.Random(0xbeef)
     (0 until 50).foreach { _ =>
