@@ -25,11 +25,12 @@ object LeakCheck {
     // TLD-rooted imports outside the public Spark/test surface (local
     // val-imports like `spark.implicits._` are not TLD-rooted and the
     // repo's own `graft.*` is not a TLD)
-    // org.apache.avro and org.xerial.snappy are PUBLIC packages already
-    // on the Spark classpath, allowed as independent CROSS-ORACLES in
-    // the spec suite only (the snappy-java/avro-java precedent)
+    // org.apache.avro, org.apache.parquet and org.xerial.snappy are
+    // PUBLIC packages already on the Spark classpath, allowed as
+    // independent CROSS-ORACLES in the spec suite only (the
+    // snappy-java/avro-java/parquet-mr precedent)
     "internal-import" ->
-      """^\s*import\s+(?:com|net|io|ai|dev|internal)\.[\w.]+|^\s*import\s+org\.(?!apache\.spark|apache\.hadoop|apache\.avro|xerial\.snappy|scalatest|scalacheck)[\w.]+""",
+      """^\s*import\s+(?:com|net|io|ai|dev|internal)\.[\w.]+|^\s*import\s+org\.(?!apache\.spark|apache\.hadoop|apache\.avro|apache\.parquet|xerial\.snappy|scalatest|scalacheck)[\w.]+""",
     // URLs whose HOST carries non-public-infrastructure signals; the
     // synthetic RFC-2606-style fixtures in the URL-op tests
     // (example.com, a.com, bad.com, bbc.co.uk …) are public by
