@@ -1221,6 +1221,28 @@ object SparkEntry {
           (col("anyf") === 1).as("found_any"), lit(absentOk).as("absent_fp_ok"))
         .orderBy("key")
     }),
+    // Hand-written data-page scan (sources/ParquetPages.scala): the fact
+    // slice is written as ZSTD parquet with small pages, then BOTH
+    // columns are read back through the repo's own page walk —
+    // PageHeader thrift, zstd frame decode (RFC 8878, our decoder),
+    // RLE/bit-packed definition levels, PLAIN + RLE_DICTIONARY values —
+    // and aggregated. The oracle recomputes the same aggregates from the
+    // source table, so any bit error anywhere in the chain flips a sum.
+    "parquet_page_scan" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_pages_${dir.hashCode.toHexString}"
+      li(s, dir).select("l_orderkey", "l_quantity")
+        .coalesce(1).write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("parquet.page.size", "8192")
+        .parquet(out)
+      graft.sources.ParquetPages.scanTwoColumns(s, out, "l_orderkey", "l_quantity")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("a_long").as("sum_ok"),
+          min("a_long").as("min_ok"),
+          max("a_long").as("max_ok"),
+          round(sum("b_double"), 2).as("sum_qty"),
+          countDistinct("file").as("n_files"))
+    }),
 
     // ----- §2.6 sort / top-k / set ops ---------------------------------
     "topk_orders" -> ((s, dir) => {
@@ -6941,6 +6963,14 @@ object SparkEntry {
         |FROM (SELECT DISTINCT l_orderkey FROM lineitem
         |      WHERE l_orderkey % 977 = 0)
         |ORDER BY key""".stripMargin,
+    "parquet_page_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        |CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        |CAST(max(l_orderkey) AS BIGINT) AS max_ok,
+        |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+        |CAST(1 AS BIGINT) AS n_files
+        |FROM lineitem""".stripMargin,
     "groupby_quantiles" ->
       """SELECT l_returnflag, true AS ok_q50 FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

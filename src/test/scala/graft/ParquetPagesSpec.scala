@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+
+import graft.sources.{ParquetFooter, ParquetPages}
+
+/** The hand-written data-page reader against Spark's OWN parquet reader
+  * (an independent implementation) across codecs, encodings, nulls,
+  * multi-page chunks and dictionary-fallback chunks. */
+class ParquetPagesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(name).toFile
+    d.deleteOnExit(); d.getAbsolutePath
+  }
+
+  private def readColumn(dir: String, col0: String): Seq[Any] = {
+    val (path, len) = ParquetFooter.listDataFiles(spark, dir).head
+    val conf = new Configuration()
+    val fm = ParquetFooter.readFooter(conf, path, len)
+    fm.rowGroups.flatMap { rg =>
+      val meta = rg.columns.flatMap(_.meta).find(_.path == col0).get
+      val leaf = fm.schema.find(_.name == col0).get
+      ParquetPages.readChunk(conf, path, meta, leaf.repetition.getOrElse(0)).values.toSeq
+    }
+  }
+
+  private def writeSample(out: String, codec: String): Unit = {
+    spark.range(30000).selectExpr(
+      "id AS k",
+      "IF(id % 7 = 0, CAST(NULL AS BIGINT), id % 50) AS n", // nullable + dict-friendly
+      "CAST(id AS DOUBLE) * 1.5 AS v",
+      "concat('s', CAST(id % 40 AS STRING)) AS s",          // dict strings
+      "id % 3 = 0 AS flag")
+      .coalesce(1).write.mode("overwrite")
+      .option("compression", codec)
+      .option("parquet.page.size", "4096") // many pages per chunk
+      .parquet(out)
+  }
+
+  for (codec <- Seq("snappy", "gzip", "zstd", "uncompressed")) {
+    test(s"hand page reader matches Spark's reader, codec=$codec") {
+      val out = tmpDir(s"pqpages_$codec")
+      writeSample(out, codec)
+      val expected = spark.read.parquet(out).orderBy("k")
+        .select("k", "n", "v", "s", "flag").collect()
+      val k = readColumn(out, "k").map(_.asInstanceOf[Long])
+      val n = readColumn(out, "n")
+      val v = readColumn(out, "v").map(_.asInstanceOf[Double])
+      val s = readColumn(out, "s").map(_.asInstanceOf[String])
+      val f = readColumn(out, "flag")
+      assert(k.size == 30000)
+      // row order within the single file is the write order = k order
+      expected.zipWithIndex.foreach { case (row, i) =>
+        assert(k(i) == row.getLong(0), s"k at $i")
+        assert((n(i) == null) == row.isNullAt(1), s"n null at $i")
+        if (n(i) != null) assert(n(i).asInstanceOf[Long] == row.getLong(1), s"n at $i")
+        assert(v(i) == row.getDouble(2), s"v at $i")
+        assert(s(i) == row.getString(3), s"s at $i")
+        assert(f(i).asInstanceOf[Boolean] == row.getBoolean(4), s"flag at $i")
+      }
+    }
+  }
+
+  test("dictionary-fallback chunk (tiny dictionary page) still decodes") {
+    val out = tmpDir("pqpages_fb")
+    // high-cardinality strings overflow the dictionary -> later pages PLAIN
+    spark.range(20000).selectExpr("concat('val_', CAST(id AS STRING)) AS s", "id AS k")
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.dictionary.page.size", "1024")
+      .option("parquet.page.size", "8192")
+      .parquet(out)
+    val s = readColumn(out, "s").map(_.asInstanceOf[String])
+    assert(s.size == 20000)
+    val expected = spark.read.parquet(out).orderBy("k").select("s").as[String].collect()
+    s.zip(expected).zipWithIndex.foreach { case ((a, b), i) => assert(a == b, s"at $i") }
+  }
+
+  test("scanTwoColumns zips flat columns across files") {
+    val out = tmpDir("pqpages_scan")
+    (0 until 3).foreach { b =>
+      spark.range(b * 1000L, (b + 1) * 1000L).selectExpr("id AS k", "CAST(id AS DOUBLE)/4 AS q")
+        .coalesce(1).write.mode(if (b == 0) "overwrite" else "append").parquet(out)
+    }
+    val df = ParquetPages.scanTwoColumns(spark, out, "k", "q")
+    assert(df.count() == 3000)
+    val agg = df.agg(sum("a_long"), round(sum("b_double"), 2), count(lit(1))).head
+    assert(agg.getLong(0) == (0L until 3000L).sum)
+    assert(agg.getDouble(1) == (0 until 3000).map(_ / 4.0).sum)
+    // per-row consistency: q == k/4 after the zip
+    assert(df.where(col("b_double") =!= col("a_long") / 4.0).count() == 0)
+  }
+
+  test("RLE/bit-packed hybrid decodes spec examples") {
+    // RLE run: header = count<<1 = 6<<1 = 12 (LEB128 0x0c), value width 1 byte
+    val rle = Array[Byte](0x0c, 5)
+    assert(ParquetPages.rleHybrid(rle, 0, 3, 6)._1.toSeq == Seq(5, 5, 5, 5, 5, 5))
+    // bit-packed: header = (groups<<1)|1 = (1<<1)|1 = 3; bitWidth 1,
+    // one byte 0b10110100 -> LSB-first values 0,0,1,0,1,1,0,1
+    val bp = Array[Byte](0x03, 0xb4.toByte)
+    assert(ParquetPages.rleHybrid(bp, 0, 1, 8)._1.toSeq == Seq(0, 0, 1, 0, 1, 1, 0, 1))
+  }
+
+  test("V2 data pages and repeated columns fail loudly") {
+    val out = tmpDir("pqpages_rep")
+    Seq((1L, Seq(1, 2, 3)), (2L, Seq(4))).toDF("k", "xs")
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    intercept[Exception] {
+      ParquetPages.scanTwoColumns(spark, out, "k", "xs").collect()
+    }
+  }
+}
