@@ -768,6 +768,12 @@ object GraftFrame {
   def bloom_probe(spark: SparkSession, dir: String, column: String,
       keys: Seq[Long]): GraftFrame =
     new GraftFrame(graft.sources.ParquetBloom.probeCensus(spark, dir, column, keys))
+
+  /** Hand-written data-page scan of two flat columns (the repo's own
+    * page walk and decompressors — no parquet-mr). */
+  def page_scan(spark: SparkSession, dir: String,
+      colA: String, colB: String): GraftFrame =
+    new GraftFrame(graft.sources.ParquetPages.scanTwoColumns(spark, dir, colA, colB))
 }
 
 /** Grouped-aggregation surface — `df.groupby(keys).agg(...)`.

@@ -121,5 +121,8 @@ class FacadeRoundupSpec extends SparkSpec {
     assert(pp.where(col("skipped")).count() > 0)
     val probe = GraftFrame.bloom_probe(spark, out, "k", Seq(5L, 99999L)).df.collect()
     assert(probe.exists(r => r.getLong(1) == 5L && r.getBoolean(2)))
+    assert(GraftFrame.page_scan(spark, out, "k", "k").df
+      .agg(org.apache.spark.sql.functions.sum("a_long")).head.getLong(0)
+      == (0L until 4000L).sum)
   }
 }
