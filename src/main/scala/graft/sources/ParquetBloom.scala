@@ -161,7 +161,8 @@ object ParquetBloom {
                    case _ => false }; true
       case _ => false
     }
-    require(numBytes > 0, "BloomFilterHeader missing numBytes")
+    require(numBytes > 0 && numBytes <= (1 << 27),
+      s"implausible bloom bitset size $numBytes (cap 128 MiB)")
     require(hashOk && algoOk && compOk,
       "unsupported bloom variant (only XXHASH/BLOCK/UNCOMPRESSED)")
     (numBytes, r.position)

@@ -72,13 +72,18 @@ object ParquetFooter {
       require(n <= Int.MaxValue, "binary too long"); bytes(n.toInt)
     }
     def string(): String = new String(binary(), java.nio.charset.StandardCharsets.UTF_8)
-    /** List header: high nibble = size (15 ⇒ varint follows), low = elem type. */
+    /** List header: high nibble = size (15 ⇒ varint follows), low = elem
+      * type. Size is bounded by the remaining bytes (every element costs
+      * ≥ 1 byte) so corrupt headers can never force a giant allocation. */
     def listHeader(): (Int, Int) = {
       val h = u8(); val tp = h & 0x0f
       val sz = if ((h >>> 4) == 15) {
         val n = varint(); require(n <= Int.MaxValue, "list too long"); n.toInt
       } else h >>> 4
-      require(sz >= 0, "negative list size"); (sz, tp)
+      require(sz >= 0, "negative list size")
+      require(sz <= buf.length - pos,
+        s"list of $sz elements longer than the ${buf.length - pos} remaining bytes")
+      (sz, tp)
     }
     /** Skip one value of compact type `tp` (unknown/ignored fields). */
     def skip(tp: Int): Unit = tp match {

@@ -193,6 +193,10 @@ object ParquetPages {
     * schema); repeated fields are rejected upstream. */
   def readChunk(conf: org.apache.hadoop.conf.Configuration, path: String,
                 meta: ParquetFooter.ColumnMeta, maxDef: Int): DecodedChunk = {
+    require(meta.numValues >= 0 && meta.numValues <= Int.MaxValue,
+      s"implausible chunk value count ${meta.numValues}")
+    require(meta.totalCompressedSize > 0 && meta.totalCompressedSize <= (1L << 31) - 1,
+      s"implausible chunk size ${meta.totalCompressedSize}")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val start = meta.dictionaryPageOffset.getOrElse(meta.dataPageOffset)
@@ -209,6 +213,11 @@ object ParquetPages {
       val hdrWindow = java.util.Arrays.copyOfRange(
         chunkBytes, off, math.min(chunkBytes.length, off + 256))
       val ph = parsePageHeader(hdrWindow)
+      require(ph.compressedSize >= 0 &&
+        off.toLong + ph.headerLen + ph.compressedSize <= chunkBytes.length,
+        s"page at $off overruns the chunk (${ph.compressedSize} compressed bytes)")
+      require(ph.uncompressedSize >= 0 && ph.uncompressedSize <= (1 << 30),
+        s"implausible uncompressed page size ${ph.uncompressedSize}")
       val body = inflatePage(meta.codec, chunkBytes, off + ph.headerLen,
         ph.compressedSize, ph.uncompressedSize)
       require(body.length == ph.uncompressedSize,

@@ -226,4 +226,53 @@ class ParquetFooterSpec extends SparkSpec {
       Array[Byte](-1, -1, -1, 127) ++ "PAR1".getBytes
     intercept[IllegalArgumentException](ParquetFooter.parseFile(bogus))
   }
+
+  test("mutation fuzz: corrupt footers fail with IllegalArgumentException, never hang or OOM") {
+    val out = tmpDir("pqfooterFz")
+    writeSample(out, 2000, None)
+    val (path, _) = onlyFile(out)
+    val bytes = Files.readAllBytes(Paths.get(path.stripPrefix("file:")))
+    // the footer is the tail; mutate bytes in the last kilobyte
+    val rnd = new scala.util.Random(0xf007e4)
+    (0 until 3000).foreach { _ =>
+      val m = bytes.clone()
+      (0 until 3).foreach { _ =>
+        val i = m.length - 1 - rnd.nextInt(math.min(1024, m.length))
+        m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      try { ParquetFooter.parseFile(m); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: IndexOutOfBoundsException =>
+          fail(s"index error instead of a loud parse failure: $e")
+      }
+    }
+  }
+
+  test("mutation fuzz: corrupt page-index blobs fail loudly") {
+    val out = tmpDir("pqpageFz")
+    spark.range(20000).selectExpr("id AS k").coalesce(1).sortWithinPartitions("k")
+      .write.mode("overwrite").option("parquet.page.size", "2048").parquet(out)
+    val (path, len) = onlyFile(out)
+    val conf = new Configuration()
+    val fm = ParquetFooter.readFooter(conf, path, len)
+    val cc = fm.rowGroups.head.columns.head
+    val ci = readRangeForTest(conf, path, cc.columnIndexOffset.get, cc.columnIndexLength.get)
+    val oi = readRangeForTest(conf, path, cc.offsetIndexOffset.get, cc.offsetIndexLength.get)
+    val rnd = new scala.util.Random(0x1d3)
+    (0 until 2000).foreach { _ =>
+      def mut(b: Array[Byte]): Array[Byte] = {
+        val m = b.clone()
+        (0 until 3).foreach { _ =>
+          val i = rnd.nextInt(m.length)
+          m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        m
+      }
+      try { ParquetFooter.parseColumnIndex(mut(ci)); () }
+      catch { case _: IllegalArgumentException => () }
+      try { ParquetFooter.parseOffsetIndex(mut(oi)); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
 }
