@@ -1243,6 +1243,25 @@ object SparkEntry {
           round(sum("b_double"), 2).as("sum_qty"),
           countDistinct("file").as("n_files"))
     }),
+    // High-precision DECIMAL page decode: precision 25 forces the
+    // FIXED_LEN_BYTE_ARRAY physical form (big-endian two's-complement
+    // unscaled), constructed as exact eighths (k/8 is exact in binary
+    // AND in 3 decimal digits, so the double->decimal cast can never
+    // round differently across engines). The hand reader surfaces the
+    // unscaled long; sums are integer-exact against the oracle.
+    "parquet_decimal_scan" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_dec_${dir.hashCode.toHexString}"
+      li(s, dir).selectExpr("l_orderkey",
+        "CAST(CAST(l_orderkey AS DOUBLE) / 8 AS DECIMAL(25, 3)) AS d")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      graft.sources.ParquetPages.scanTwoColumns(s, out, "l_orderkey", "d")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("b_long").as("sum_unscaled"),
+          min("b_long").as("min_unscaled"),
+          max("b_long").as("max_unscaled"),
+          sum(when(col("b_long") === col("a_long") * 125, 1L).otherwise(0L))
+            .as("n_exact"))
+    }),
 
     // ----- §2.6 sort / top-k / set ops ---------------------------------
     "topk_orders" -> ((s, dir) => {
@@ -6970,6 +6989,13 @@ object SparkEntry {
         |CAST(max(l_orderkey) AS BIGINT) AS max_ok,
         |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
         |CAST(1 AS BIGINT) AS n_files
+        |FROM lineitem""".stripMargin,
+    "parquet_decimal_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(sum(l_orderkey) * 125 AS BIGINT) AS sum_unscaled,
+        |CAST(min(l_orderkey) * 125 AS BIGINT) AS min_unscaled,
+        |CAST(max(l_orderkey) * 125 AS BIGINT) AS max_unscaled,
+        |CAST(count(*) AS BIGINT) AS n_exact
         |FROM lineitem""".stripMargin,
     "groupby_quantiles" ->
       """SELECT l_returnflag, true AS ok_q50 FROM lineitem

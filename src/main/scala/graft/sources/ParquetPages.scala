@@ -144,7 +144,8 @@ object ParquetPages {
       s"unsupported page codec ${ParquetFooter.CodecNames.lift(c).getOrElse(c.toString)}")
   }
 
-  private def plainValues(typ: Int, b: Array[Byte], off0: Int, n: Int): Array[Any] = {
+  private def plainValues(typ: Int, b: Array[Byte], off0: Int, n: Int,
+                          typeLength: Int = 0): Array[Any] = {
     val out = new Array[Any](n)
     var p = off0
     var i = 0
@@ -182,6 +183,18 @@ object ParquetPages {
           out(i) = new String(b, p + 4, len, java.nio.charset.StandardCharsets.UTF_8)
           p += 4 + len; i += 1
         }
+      case 7 => // FIXED_LEN_BYTE_ARRAY: big-endian two's-complement
+        // unscaled decimal (the >18-precision DECIMAL physical form);
+        // surfaced as the unscaled Long — callers apply the scale
+        require(typeLength > 0, "FIXED_LEN_BYTE_ARRAY needs type_length from the schema")
+        while (i < n) {
+          var v = (b(p) >> 7).toLong // sign-extend from the first byte
+          var k = 0
+          while (k < typeLength) { v = (v << 8) | (b(p + k) & 0xffL); k += 1 }
+          require(typeLength <= 8 || BigInt(java.util.Arrays.copyOfRange(b, p, p + typeLength)).isValidLong,
+            "FLBA decimal exceeds Long unscaled range")
+          out(i) = v; p += typeLength; i += 1
+        }
       case t => throw new IllegalArgumentException(
         s"unsupported physical type ${ParquetFooter.TypeNames.lift(t).getOrElse(t.toString)}")
     }
@@ -192,7 +205,8 @@ object ParquetPages {
     * `maxDef` is 1 for OPTIONAL leaves, 0 for REQUIRED (from the footer
     * schema); repeated fields are rejected upstream. */
   def readChunk(conf: org.apache.hadoop.conf.Configuration, path: String,
-                meta: ParquetFooter.ColumnMeta, maxDef: Int): DecodedChunk = {
+                meta: ParquetFooter.ColumnMeta, maxDef: Int,
+                typeLength: Int = 0): DecodedChunk = {
     require(meta.numValues >= 0 && meta.numValues <= Int.MaxValue,
       s"implausible chunk value count ${meta.numValues}")
     require(meta.totalCompressedSize > 0 && meta.totalCompressedSize <= (1L << 31) - 1,
@@ -226,7 +240,7 @@ object ParquetPages {
       if (ph.kind == 2) { // dictionary page: PLAIN values
         require(ph.valueEncoding == 0 || ph.valueEncoding == 2,
           s"dictionary page encoding ${ph.valueEncoding} not PLAIN")
-        dict = plainValues(meta.typ, body, 0, ph.numValues)
+        dict = plainValues(meta.typ, body, 0, ph.numValues, typeLength)
       } else {
         // data page v1: [def levels if maxDef>0][values]
         var vp = 0
@@ -242,7 +256,7 @@ object ParquetPages {
         val nPresent = if (defs == null) ph.numValues else defs.count(_ == 1)
         ph.valueEncoding match {
           case 0 => // PLAIN
-            val vs = plainValues(meta.typ, body, vp, nPresent)
+            val vs = plainValues(meta.typ, body, vp, nPresent, typeLength)
             var vi = 0; var i = 0
             while (i < ph.numValues) {
               if (defs == null || defs(i) == 1) { out(filled) = vs(vi); vi += 1 }
@@ -268,16 +282,17 @@ object ParquetPages {
   /** Max definition level of a FLAT leaf from the footer schema:
     * 1 if the leaf is OPTIONAL, 0 if REQUIRED. Rejects REPEATED and
     * group-nested paths loudly (out of the flat-column scope). */
-  private def maxDefOf(fm: ParquetFooter.FileMeta, columnPath: String): Int = {
+  private def maxDefOf(fm: ParquetFooter.FileMeta, columnPath: String): (Int, Int) = {
     val leaf = fm.schema.find(_.name == columnPath).getOrElse(
       throw new IllegalArgumentException(s"column $columnPath not in schema"))
     require(leaf.numChildren.forall(_ == 0), s"$columnPath is a group, not a leaf")
-    leaf.repetition.getOrElse(0) match {
+    val maxDef = leaf.repetition.getOrElse(0) match {
       case 0 => 0 // REQUIRED
       case 1 => 1 // OPTIONAL
       case r => throw new IllegalArgumentException(
         s"$columnPath has repetition $r (REPEATED) — flat columns only")
     }
+    (maxDef, leaf.typeLength.getOrElse(0))
   }
 
   /** Read two flat columns of every file under `dir` through the hand
@@ -301,13 +316,13 @@ object ParquetPages {
     val rows = spark.sparkContext.parallelize(files, parts).flatMap { case (path, len) =>
       val conf = new org.apache.hadoop.conf.Configuration()
       val fm = ParquetFooter.readFooter(conf, path, len)
-      val defA = maxDefOf(fm, colA); val defB = maxDefOf(fm, colB)
+      val (defA, tlA) = maxDefOf(fm, colA); val (defB, tlB) = maxDefOf(fm, colB)
       var base = 0L
       fm.rowGroups.flatMap { rg =>
         val ma = rg.columns.flatMap(_.meta).find(_.path == colA).get
         val mb = rg.columns.flatMap(_.meta).find(_.path == colB).get
-        val ca = readChunk(conf, path, ma, defA)
-        val cb = readChunk(conf, path, mb, defB)
+        val ca = readChunk(conf, path, ma, defA, tlA)
+        val cb = readChunk(conf, path, mb, defB, tlB)
         require(ca.values.length == rg.numRows && cb.values.length == rg.numRows,
           "chunk value count != row-group rows (flat column invariant)")
         val rs = (0 until rg.numRows.toInt).map { i =>

@@ -25,7 +25,8 @@ class ParquetPagesSpec extends SparkSpec {
     fm.rowGroups.flatMap { rg =>
       val meta = rg.columns.flatMap(_.meta).find(_.path == col0).get
       val leaf = fm.schema.find(_.name == col0).get
-      ParquetPages.readChunk(conf, path, meta, leaf.repetition.getOrElse(0)).values.toSeq
+      ParquetPages.readChunk(conf, path, meta, leaf.repetition.getOrElse(0),
+        leaf.typeLength.getOrElse(0)).values.toSeq
     }
   }
 
@@ -93,6 +94,27 @@ class ParquetPagesSpec extends SparkSpec {
     assert(agg.getDouble(1) == (0 until 3000).map(_ / 4.0).sum)
     // per-row consistency: q == k/4 after the zip
     assert(df.where(col("b_double") =!= col("a_long") / 4.0).count() == 0)
+  }
+
+  test("FIXED_LEN_BYTE_ARRAY decimals decode to exact unscaled longs, negatives included") {
+    val out = tmpDir("pqpages_dec")
+    // (k - 1000) / 8 is exact in both binary and 3 decimal digits, so the
+    // double -> DECIMAL(25,3) cast is unambiguous; precision 25 forces FLBA
+    spark.range(2000).selectExpr(
+      "id AS k",
+      "CAST(CAST(id - 1000 AS DOUBLE) / 8 AS DECIMAL(25, 3)) AS d")
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    val d = readColumn(out, "d")
+    assert(d.size == 2000)
+    // unscaled = (k - 1000) * 125 (scale 3 on eighths)
+    d.zipWithIndex.foreach { case (v, i) =>
+      assert(v.asInstanceOf[Long] == (i - 1000L) * 125L, s"at $i")
+    }
+    // physical type really was FLBA (precision 25 > 18)
+    val (path, len) = ParquetFooter.listDataFiles(spark, out).head
+    val fm = ParquetFooter.readFooter(new Configuration(), path, len)
+    val meta = fm.rowGroups.head.columns.flatMap(_.meta).find(_.path == "d").get
+    assert(ParquetFooter.TypeNames(meta.typ) == "FIXED_LEN_BYTE_ARRAY")
   }
 
   test("RLE/bit-packed hybrid decodes spec examples") {
