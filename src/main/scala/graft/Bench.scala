@@ -190,5 +190,10 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"bench_last.json write failed: ${e.getMessage}") }
     spark.stop()
+    // Re-print AFTER Spark shutdown so the JSON is the last stdout line
+    // a tail-capture sees — BENCH_r16's `parsed: null` came from the
+    // result line being buried mid-log (round-16 VERDICT wrong #4).
+    println(line)
+    System.out.flush()
   }
 }

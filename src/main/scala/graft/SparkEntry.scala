@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, KneserNey, Layout, Lz4, Mojibake, MultiClass, Multimodal, Mutate, PdfCodec, Pipeline, QualityClassifier, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, Unigram, UrlOps, WavCodec, WebArchive, WikiDump, WordPiece, Xz, ZipCodec, Zstd}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, KneserNey, Layout, Lz4, Mojibake, MultiClass, Multimodal, Mutate, PdfCodec, Pipeline, PretrainedVocab, QualityClassifier, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, Unigram, UrlOps, WavCodec, WebArchive, WikiDump, WordPiece, Xz, ZipCodec, Zstd}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader, ParquetFooter}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -1242,6 +1242,31 @@ object SparkEntry {
           max("a_long").as("max_ok"),
           round(sum("b_double"), 2).as("sum_qty"),
           countDistinct("file").as("n_files"))
+    }),
+    // V2 data pages + the DELTA encoding family (round-16 VERDICT item
+    // 5): dictionary OFF forces parquet-mr's v2 direct encodings —
+    // doc_id rides DELTA_BINARY_PACKED, the high-cardinality text
+    // column DELTA_BYTE_ARRAY (front coding) — through the V2 page
+    // layout (raw un-prefixed level sections, values-only compression
+    // boundary). The fixture is Spark-written; the oracle recomputes
+    // the aggregates from the source table, so a single wrong delta or
+    // suffix splice breaks the hash.
+    "parquet_page_scan_v2" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_pages_v2_${dir.hashCode.toHexString}"
+      tbl(s, dir, "documents").select("doc_id", "text")
+        .coalesce(1).write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("parquet.writer.version", "v2")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.page.size", "8192")
+        .parquet(out)
+      graft.sources.ParquetPages.scanTwoColumns(s, out, "doc_id", "text")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("a_long").as("sum_id"),
+          min("a_long").as("min_id"),
+          max("a_long").as("max_id"),
+          sum(length(col("b_string"))).as("sum_len"),
+          countDistinct("b_string").as("n_texts"))
     }),
     // High-precision DECIMAL page decode: precision 25 forces the
     // FIXED_LEN_BYTE_ARRAY physical form (big-endian two's-complement
@@ -4363,6 +4388,49 @@ object SparkEntry {
       Bpe.tokenCounts(docs, "doc_id", "text", ms, Bpe.initGpt2Symbols,
         pretok = Bpe.gpt2Split).orderBy("doc_id")
     }),
+    // Pretrained-vocab tokenization (round-16 VERDICT item 4): the
+    // merge list goes THROUGH the published GPT-2 file formats —
+    // serialized to merges.txt + vocab.json text, parsed back with the
+    // format loaders — and the corpus tokenizes under the LOADED vocab
+    // via the O(len²) rank-map encoder (the path that stays feasible
+    // at 50k merges, where the fixpoint pass is O(k·len)). Counts are
+    // provably identical to text_bpe_gpt2_encode (PretrainedVocabSpec
+    // pins encoder equivalence on well-formed lists), so the oracle is
+    // the same 3-round CTE replay — what the gate adds is that the
+    // serialize→load→encode path changes nothing.
+    "text_bpe_pretrained_encode" -> ((s, dir) => {
+      val docs = gpt2Corpus(s, dir)
+      val trained = Bpe.trainIncremental(docs, "text", k = 3, batch = 3,
+        init = Bpe.initGpt2Symbols, tok = Bpe.gpt2PreTokens)
+      val loaded = PretrainedVocab.parseMergesTxt(
+        PretrainedVocab.renderMergesTxt(trained))
+      require(loaded == trained, "merges.txt round-trip drifted")
+      // vocab.json leg: ids 0..255 for base byte symbols, 256+rank for
+      // merged tokens — render and re-load must be identity
+      val vocab = (0 until 256).map(b => Bpe.byteToUnicode(b) -> b) ++
+        trained.map(m => m.merged -> (256 + m.rank))
+      require(PretrainedVocab.parseVocabJson(
+        PretrainedVocab.renderVocabJson(vocab)) == vocab.toMap,
+        "vocab.json round-trip drifted")
+      PretrainedVocab.tokenCountsMerges(docs, "doc_id", "text", loaded)
+        .orderBy("doc_id")
+    }),
+    // tiktoken-format leg: the same vocabulary expressed as a base64
+    // `.tiktoken` rank file (ranks follow creation order), loaded back
+    // and encoded with tiktoken's merged-rank algorithm — again equal
+    // to classic BPE by construction, same oracle.
+    "text_tiktoken_pretrained" -> ((s, dir) => {
+      val docs = gpt2Corpus(s, dir)
+      val trained = Bpe.trainIncremental(docs, "text", k = 3, batch = 3,
+        init = Bpe.initGpt2Symbols, tok = Bpe.gpt2PreTokens)
+      val entries = (0 until 256).map(b => Bpe.byteToUnicode(b) -> b) ++
+        trained.map(m => m.merged -> (256 + m.rank))
+      val ranks = PretrainedVocab.parseTiktoken(
+        PretrainedVocab.renderTiktoken(entries))
+      require(ranks == entries.toMap, ".tiktoken round-trip drifted")
+      PretrainedVocab.tokenCountsVocabRanks(docs, "doc_id", "text", ranks)
+        .orderBy("doc_id")
+    }),
     // Unigram-LM tokenizer (Kudo 2018, SentencePiece family): seed 40
     // substrings + all chars, 2 hard-EM Viterbi rounds, count-prune to
     // 20 multis. The oracle replays the ENTIRE training — seeding,
@@ -6990,6 +7058,14 @@ object SparkEntry {
         |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
         |CAST(1 AS BIGINT) AS n_files
         |FROM lineitem""".stripMargin,
+    "parquet_page_scan_v2" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |CAST(min(doc_id) AS BIGINT) AS min_id,
+        |CAST(max(doc_id) AS BIGINT) AS max_id,
+        |CAST(sum(strlen(text)) AS BIGINT) AS sum_len,
+        |CAST(count(DISTINCT text) AS BIGINT) AS n_texts
+        |FROM documents""".stripMargin,
     "parquet_decimal_scan" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |CAST(sum(l_orderkey) * 125 AS BIGINT) AS sum_unscaled,
@@ -10257,6 +10333,37 @@ object SparkEntry {
          |  UNION ALL SELECT 2, pr FROM gpm3)
          |ORDER BY rank""".stripMargin,
     "text_bpe_gpt2_encode" ->
+      s"""$bpeGpt2Ctes, gp_wordtok AS (
+         |  SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS ntok
+         |  FROM gpseq3
+         |), gp_docwords AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '$duckGpt2Pat')) AS w
+         |  FROM gp_docs
+         |), gp_sums AS (
+         |  SELECT doc_id, sum(ntok) AS n
+         |  FROM gp_docwords JOIN gp_wordtok ON w = word GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN gp_sums s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // identical replay to text_bpe_gpt2_encode: the pretrained gates
+    // prove the serialize→load→rank-map-encode path changes NOTHING,
+    // so the oracle is the same 3-round training + encode re-derivation
+    "text_bpe_pretrained_encode" ->
+      s"""$bpeGpt2Ctes, gp_wordtok AS (
+         |  SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS ntok
+         |  FROM gpseq3
+         |), gp_docwords AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '$duckGpt2Pat')) AS w
+         |  FROM gp_docs
+         |), gp_sums AS (
+         |  SELECT doc_id, sum(ntok) AS n
+         |  FROM gp_docwords JOIN gp_wordtok ON w = word GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens
+         |FROM documents d LEFT JOIN gp_sums s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "text_tiktoken_pretrained" ->
       s"""$bpeGpt2Ctes, gp_wordtok AS (
          |  SELECT word, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS ntok
          |  FROM gpseq3

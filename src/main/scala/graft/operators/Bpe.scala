@@ -91,6 +91,13 @@ object Bpe {
     out
   }
 
+  /** Inverse of [[byteToUnicode]] (each mapped symbol is one char —
+    * bijective, so a plain char→byte map suffices). Used by the
+    * pretrained-vocab renderers to turn symbols back into raw token
+    * bytes ([[PretrainedVocab.renderTiktoken]]). */
+  private[graft] val unicodeToByte: Map[Char, Int] =
+    byteToUnicode.iterator.zipWithIndex.map { case (s, b) => s.charAt(0) -> b }.toMap
+
   /** BYTE-LEVEL initial symbol sequence (the GPT-2 tokenizer family):
     * the word's UTF-8 bytes through [[byteToUnicode]], plus the same
     * terminal `</w>` the char-level spec uses — so on a pure-ASCII

@@ -1,21 +1,20 @@
 package graft.operators
 
-/** Hand-written Brotli decoder (RFC 7932), dictionary-less — closes
-  * the round-11 stretch fence the zstd way: the meta-block format,
-  * both prefix-code forms, context modeling, and the distance ring are
-  * spec-derivable STRUCTURE and are fully implemented; the ~120 KiB
-  * static dictionary is published DATA, not derivable, so a back-
-  * reference past the window throws the NAMED
-  * [[Brotli.DictionaryReferenceException]] — loud, never silent.
+/** Hand-written Brotli decoder (RFC 7932), complete: the meta-block
+  * format, both prefix-code forms, context modeling, the distance
+  * ring, AND the §8 static dictionary with all 121 Appendix B word
+  * transforms (word data + transforms live in [[BrotliDict]]; the
+  * 122,784-byte Appendix A table ships as a classpath resource).
+  * Every `Content-Encoding: br` body a real crawl contains — including
+  * quality-9+ encoder output, which references the dictionary
+  * pervasively — now decodes; BrotliSpec pins byte-exactness against
+  * the reference decoder (Node's bundled brotli) across qualities and
+  * across every (transform id × word length) combination via crafted
+  * single-reference streams.
   *
-  * Honest coverage framing (COVERAGE.md "brotli" row): most real
-  * `Content-Encoding: br` TEXT bodies from quality-9+ encoders WILL
-  * reference the static dictionary and hit the fence. What decodes
-  * fully: uncompressed/metadata meta-blocks, quality-0/1 streams
-  * (their fast paths emit no dictionary references for repetitive
-  * input), and any stream whose matches stay inside the window —
-  * verified here against the reference decoder (Node's bundled
-  * brotli) on every quality it emits without dictionary use.
+  * [[Brotli.DictionaryReferenceException]] remains only for streams
+  * whose dictionary reference is STRUCTURALLY invalid; the former
+  * every-reference fence (rounds 11–16) is closed.
   *
   * Decode surface: stream header (all WBITS forms), metadata
   * meta-blocks with skip, uncompressed meta-blocks, compressed
@@ -50,9 +49,10 @@ package graft.operators
   */
 object Brotli {
 
-  /** A back-reference beyond the window: RFC 7932's static-dictionary
-    * path. The dictionary is published data, deliberately not shipped;
-    * this failure is the documented fence. */
+  /** A STRUCTURALLY invalid static-dictionary reference (copy length
+    * outside 4..24, or transform id ≥ 121): the stream addresses a
+    * word that does not exist. Valid references decode via
+    * [[BrotliDict]] since round 17. */
   final class DictionaryReferenceException(msg: String)
     extends IllegalArgumentException(msg)
 
@@ -580,18 +580,33 @@ object Brotli {
                     d
                   }
                 val maxBack = math.min(pos, windowSize)
-                if (distance > maxBack)
-                  throw new DictionaryReferenceException(
-                    s"brotli: back-reference distance $distance exceeds window " +
-                      s"($maxBack at position $pos): static-dictionary word " +
-                      s"(copy length $copyLen) — RFC 7932's embedded dictionary " +
-                      "is published data and deliberately not shipped")
-                if (pos + copyLen > metaEnd) bad("copy length exceeds meta-block")
-                var k = 0
-                while (k < copyLen) {
-                  out(pos) = out(pos - distance)
-                  pos += 1
-                  k += 1
+                if (distance > maxBack) {
+                  // RFC 7932 §8: static-dictionary reference. The word
+                  // id packs (transform id, word index) for the word
+                  // length given by the COPY length.
+                  if (copyLen < 4 || copyLen > 24)
+                    throw new DictionaryReferenceException(
+                      s"brotli: dictionary reference with copy length $copyLen outside 4..24")
+                  val wordId = distance - maxBack - 1
+                  val nb = BrotliDict.NdBits(copyLen - 4)
+                  val wordIdx = wordId & ((1 << nb) - 1)
+                  val tid = wordId >>> nb
+                  if (tid >= BrotliDict.NumTransforms)
+                    throw new DictionaryReferenceException(
+                      s"brotli: dictionary transform id $tid out of range " +
+                        s"(distance $distance, copy length $copyLen)")
+                  val w = BrotliDict.transformed(copyLen, wordIdx, tid)
+                  if (pos + w.length > metaEnd) bad("dictionary word exceeds meta-block")
+                  System.arraycopy(w, 0, out, pos, w.length)
+                  pos += w.length
+                } else {
+                  if (pos + copyLen > metaEnd) bad("copy length exceeds meta-block")
+                  var k = 0
+                  while (k < copyLen) {
+                    out(pos) = out(pos - distance)
+                    pos += 1
+                    k += 1
+                  }
                 }
               }
             }
@@ -637,5 +652,150 @@ object Brotli {
     putBits(1, 1) // ISLASTEMPTY
     align()
     outBuf.toByteArray
+  }
+
+  /** Encode `raw` as stored meta-blocks, except that the first
+    * occurrence of static-dictionary word (24, 0) — the 24-byte
+    * `<script type="text/javas`, present in every synthesized crawl
+    * page — is emitted via a REAL §8 dictionary back-reference inside
+    * a compressed meta-block between the stored ones. Round-trips
+    * byte-exactly through [[decode]] while exercising the dictionary
+    * path with nonzero `maxBack`; [[WebArchive.warcEncodedBuild]]'s
+    * fifth `br` leg uses it so the `web_warc_brotli` gate covers
+    * dictionary-referencing payloads end-to-end. Falls back to
+    * [[encodeStored]] when the word does not occur. */
+  def encodeWithDictWord(raw: Array[Byte]): Array[Byte] = {
+    val word = BrotliDict.transformed(24, 0, 0)
+    val at = {
+      var i = 0
+      var found = -1
+      while (found < 0 && i + word.length <= raw.length) {
+        var j = 0
+        while (j < word.length && raw(i + j) == word(j)) j += 1
+        if (j == word.length) found = i
+        i += 1
+      }
+      found
+    }
+    if (at < 0) return encodeStored(raw)
+    val outBuf = new java.io.ByteArrayOutputStream(raw.length + 64)
+    var bitBuf = 0
+    var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        bitBuf |= ((v >> i) & 1) << bitCnt
+        bitCnt += 1
+        if (bitCnt == 8) { outBuf.write(bitBuf); bitBuf = 0; bitCnt = 0 }
+        i += 1
+      }
+    }
+    def align(): Unit = if (bitCnt > 0) { outBuf.write(bitBuf); bitBuf = 0; bitCnt = 0 }
+    def stored(from: Int, until: Int): Unit = {
+      var off = from
+      while (off < until) {
+        val n = math.min(65536, until - off)
+        putBits(0, 1) // ISLAST = 0
+        putBits(0, 2) // MNIBBLES code 0 -> 4 nibbles
+        putBits(n - 1, 16)
+        putBits(1, 1) // ISUNCOMPRESSED
+        align()
+        outBuf.write(raw, off, n)
+        off += n
+      }
+    }
+    putBits(0, 1) // WBITS = 16
+    stored(0, at)
+    // compressed meta-block: one command, insert 0, copy 24 from the
+    // dictionary (word id 0 = word index 0, transform 0 = identity)
+    putBits(0, 1) // ISLAST = 0
+    putBits(0, 2) // MNIBBLES code 0
+    putBits(word.length - 1, 16)
+    putBits(0, 1) // ISUNCOMPRESSED = 0
+    putBits(0, 1); putBits(0, 1); putBits(0, 1) // NBLTYPES L/I/D = 1
+    putBits(0, 2) // NPOSTFIX
+    putBits(0, 4) // NDIRECT
+    putBits(0, 2) // literal context mode
+    putBits(0, 1) // NTREESL = 1
+    putBits(0, 1) // NTREESD = 1
+    putBits(1, 2); putBits(0, 2); putBits('A'.toInt, 8) // literal code (unused)
+    // command: insert code 0, copy code 12 (length 24 = 22 + extra 2),
+    // explicit-distance cell (insert 0..7, copy 8..15) -> cmd 196
+    putBits(1, 2); putBits(0, 2); putBits(196, 10)
+    val maxBack = math.min(at, (1 << 16) - 16)
+    val d = maxBack + 1 // word id 0
+    val v = d + 3
+    val ndistbits = 31 - Integer.numberOfLeadingZeros(v) - 1
+    val hbit = (v >> ndistbits) & 1
+    val dextra = v - ((2 + hbit) << ndistbits)
+    val dsym = 16 + 2 * (ndistbits - 1) + hbit
+    putBits(1, 2); putBits(0, 2); putBits(dsym, 6)
+    putBits(2, 3) // copy extra: 24 - 22
+    putBits(dextra, ndistbits)
+    stored(at + word.length, raw.length)
+    putBits(1, 1) // ISLAST
+    putBits(1, 1) // ISLASTEMPTY
+    align()
+    outBuf.toByteArray
+  }
+
+  /** Craft a minimal stream containing exactly one static-dictionary
+    * back-reference: decodes to `'A' ++ BrotliDict.transformed(len,
+    * wordIdx, transformId)`. One compressed last meta-block, one
+    * command (insert length 1, copy length = `len`), all prefix codes
+    * in the single-symbol simple form, explicit distance
+    * `wordId + maxBack + 1`. Used by BrotliSpec's exhaustive
+    * (transform × length) cross-check against the reference decoder
+    * and by [[WebArchive.warcEncodedBuild]]'s dictionary-referencing
+    * `br` leg — the only brotli ENCODER here that can address the
+    * dictionary, so fixtures can exercise the §8 decode path
+    * deterministically. */
+  def craftDictReference(len: Int, wordIdx: Int, transformId: Int): Array[Byte] = {
+    require(len >= 4 && len <= 24, s"dictionary word length $len outside 4..24")
+    val nb = BrotliDict.NdBits(len - 4)
+    require(wordIdx >= 0 && wordIdx < (1 << nb), s"word index $wordIdx out of range")
+    require(transformId >= 0 && transformId < BrotliDict.NumTransforms,
+      s"transform id $transformId out of range")
+    val mlen = 1 + BrotliDict.transformed(len, wordIdx, transformId).length
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(v: Int, n: Int): Unit = { var i = 0; while (i < n) { bits += (v >> i) & 1; i += 1 } }
+    // distance: one literal precedes the copy, so maxBack = 1
+    val wordId = (transformId << nb) | wordIdx
+    val d = wordId + 2
+    val v = d + 3
+    val ndistbits = 31 - Integer.numberOfLeadingZeros(v) - 1
+    val hbit = (v >> ndistbits) & 1
+    val dextra = v - ((2 + hbit) << ndistbits)
+    val dsym = 16 + 2 * (ndistbits - 1) + hbit
+    // copy-length code for `len`
+    val cc = (0 until 24).find(c =>
+      CopyBase(c) <= len && len - CopyBase(c) < (1 << CopyExtra(c))).get
+    val cell = (cc >> 3) match { case 0 => 2; case 1 => 3; case _ => 6 } // explicit-distance cells
+    val cmd = (cell << 6) | (1 << 3) | (cc & 7) // insert code 1 (length 1)
+    put(0, 1) // WBITS = 16
+    put(1, 1) // ISLAST
+    put(0, 1) // ISLASTEMPTY = 0
+    put(0, 2) // MNIBBLES code 0 -> 4 nibbles
+    put(mlen - 1, 16)
+    put(0, 1); put(0, 1); put(0, 1) // NBLTYPES L/I/D = 1
+    put(0, 2) // NPOSTFIX
+    put(0, 4) // NDIRECT
+    put(0, 2) // literal context mode 0
+    put(0, 1) // NTREESL = 1
+    put(0, 1) // NTREESD = 1
+    put(1, 2); put(0, 2); put('A'.toInt, 8) // literal code: simple, {'A'}
+    put(1, 2); put(0, 2); put(cmd, 10)      // command code: simple, {cmd}
+    put(1, 2); put(0, 2); put(dsym, 6)      // distance code: simple, {dsym}
+    // body: cmd sym (0 bits), insert extra (none), copy extra,
+    // literal (0 bits), distance sym (0 bits), distance extra
+    put(len - CopyBase(cc), CopyExtra(cc))
+    put(dextra, ndistbits)
+    val out = new Array[Byte]((bits.length + 7) / 8)
+    var i = 0
+    while (i < bits.length) {
+      if (bits(i) != 0) out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    out
   }
 }

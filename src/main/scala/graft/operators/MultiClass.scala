@@ -131,9 +131,17 @@ object MultiClass {
     require(cw.forall(w => w >= 1L && (w & (w - 1L)) == 0L),
       s"classWeights must be positive powers of two, got $cw")
 
+    // Featurize ONCE (round-16 VERDICT item 2): `featsCol` is
+    // weight-independent, so evaluating it per round re-tokenizes the
+    // corpus `rounds` times for nothing. The slim `(buckets, label)`
+    // projection is persisted (disk-spilling) and every GD round scans
+    // the cached arrays instead; results are bit-identical.
     val labelled = docs.select(featsCol.as("__f"),
       col(labelCol).cast("string").as("__lab"))
-    // ONE setup scan: row count + label validation together
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // ONE setup scan: row count + label validation together (also
+    // materializes the cached featurization)
     val setup = labelled.agg(
       count(lit(1)).as("n"),
       coalesce(sum(when(col("__lab").isNull ||
@@ -198,6 +206,7 @@ object MultiClass {
       round += 1
     }
     McModel(labels, wQ, biasQ, numBuckets)
+    } finally labelled.unpersist(blocking = false)
   }
 
   /** Attach per-class scores (`score_<label>`, the algebraic sigmoid

@@ -136,56 +136,72 @@ object QualityClassifier {
     val labelled = docs.select(
       col(textCol).as("__text"),
       col(labelCol).cast(LongType).as("__y"))
-    // ONE setup scan: row count and label validation together (two
-    // separate actions would scan the corpus twice at 100 TB)
-    val setup = labelled.agg(
-      count(lit(1)).as("n"),
-      coalesce(sum(when(col("__y").isNull ||
-        (col("__y") =!= 0L && col("__y") =!= 1L), 1L).otherwise(0L)),
-        lit(0L)).as("bad")).collect()(0)
-    require(setup.getLong(1) == 0L,
-      s"labelCol '$labelCol' must be 0/1 and non-null for every row")
-    val n = setup.getLong(0)
-    require(n > 0L, "cannot train on an empty frame")
-    val nD = n.toDouble
+    // Featurize ONCE (round-16 VERDICT item 2): the hash buckets
+    // depend only on (text, ns, numBuckets, seed), never on the
+    // weights, so tokenizing + hashing the corpus every round is pure
+    // waste — 10 redundant full-text passes at 100 TB × 10 rounds.
+    // Project the weight-independent `(buckets, y)` slim frame once,
+    // persist it (spills to disk when the corpus outgrows memory), and
+    // run every round over the cached arrays. The per-round margin
+    // folds the bucket array against the current weight literal —
+    // exact long arithmetic, bit-identical to re-featurizing.
+    val rawB = DsirFeatures.dsirBuckets(col("__text"), ns, numBuckets, seed)
+    val feats = labelled
+      .select((if (binary) array_distinct(rawB) else rawB).as("__b"), col("__y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE setup scan: row count and label validation together (it
+      // also materializes the cached featurization)
+      val setup = feats.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("__y").isNull ||
+          (col("__y") =!= 0L && col("__y") =!= 1L), 1L).otherwise(0L)),
+          lit(0L)).as("bad")).collect()(0)
+      require(setup.getLong(1) == 0L,
+        s"labelCol '$labelCol' must be 0/1 and non-null for every row")
+      val n = setup.getLong(0)
+      require(n > 0L, "cannot train on an empty frame")
+      val nD = n.toDouble
 
-    val wQ = new Array[Long](numBuckets)
-    var biasQ = 0L
-    var round = 0
-    while (round < rounds) {
-      // |z_q| must stay below 2^53 for the exact toDouble; a document
-      // would need maxAbsW · grams > 2^53 to break it — guard loudly
-      // at one million grams per document.
-      val maxAbsW = (wQ.iterator.map(math.abs) ++ Iterator(math.abs(biasQ)))
-        .foldLeft(0L)(math.max)
-      require(maxAbsW <= (1L << 33),
-        s"weight grid overflow risk (max |w_q| = $maxAbsW): training diverged; lower lr")
+      val wQ = new Array[Long](numBuckets)
+      var biasQ = 0L
+      var round = 0
+      while (round < rounds) {
+        // |z_q| must stay below 2^53 for the exact toDouble; a document
+        // would need maxAbsW · grams > 2^53 to break it — guard loudly
+        // at one million grams per document.
+        val maxAbsW = (wQ.iterator.map(math.abs) ++ Iterator(math.abs(biasQ)))
+          .foldLeft(0L)(math.max)
+        require(maxAbsW <= (1L << 33),
+          s"weight grid overflow risk (max |w_q| = $maxAbsW): training diverged; lower lr")
 
-      val model = LrModel(wQ.clone(), biasQ, ns, numBuckets, seed, binary)
-      val p = sigmoidAlgCol(marginCol(col("__text"), model))
-      val rq = floor((p - col("__y").cast(DoubleType)) * lit(ResidScale)
-        + lit(0.5)).cast(LongType)
-      // class weight applied AFTER quantization: exact integer multiply
-      val rqw = rq * when(col("__y") === 1L, lit(posWeight)).otherwise(lit(1L))
-      // sentinel bucket −1 = the intercept: one occurrence per doc,
-      // so the bias gradient rides the same bounded aggregation
-      val withBias = concat(array(lit(BiasBucket)),
-        bucketsCol(col("__text"), model))
-      val grad = labelled
-        .select(rqw.as("__rq"), explode(withBias).as("bucket"))
-        .groupBy("bucket")
-        .agg(sum("__rq").as("g"))
-        .collect()
-      for (r <- grad) {
-        val b = r.getInt(0)
-        val gradD = r.getLong(1).toDouble / ResidScale
-        val step = lr * gradD / nD
-        val dq = math.floor(step * WeightScale + 0.5).toLong
-        if (b == BiasBucket) biasQ -= dq else wQ(b) -= dq
+        val featSum = aggregate(col("__b"), lit(0L),
+          (acc, b) => acc + element_at(lit(wQ), b + lit(1)))
+        val z = (featSum + lit(biasQ)).cast(DoubleType) / lit(WeightScale)
+        val p = sigmoidAlgCol(z)
+        val rq = floor((p - col("__y").cast(DoubleType)) * lit(ResidScale)
+          + lit(0.5)).cast(LongType)
+        // class weight applied AFTER quantization: exact integer multiply
+        val rqw = rq * when(col("__y") === 1L, lit(posWeight)).otherwise(lit(1L))
+        // sentinel bucket −1 = the intercept: one occurrence per doc,
+        // so the bias gradient rides the same bounded aggregation
+        val withBias = concat(array(lit(BiasBucket)), col("__b"))
+        val grad = feats
+          .select(rqw.as("__rq"), explode(withBias).as("bucket"))
+          .groupBy("bucket")
+          .agg(sum("__rq").as("g"))
+          .collect()
+        for (r <- grad) {
+          val b = r.getInt(0)
+          val gradD = r.getLong(1).toDouble / ResidScale
+          val step = lr * gradD / nD
+          val dq = math.floor(step * WeightScale + 0.5).toLong
+          if (b == BiasBucket) biasQ -= dq else wQ(b) -= dq
+        }
+        round += 1
       }
-      round += 1
-    }
-    LrModel(wQ, biasQ, ns, numBuckets, seed, binary)
+      LrModel(wQ, biasQ, ns, numBuckets, seed, binary)
+    } finally feats.unpersist(blocking = false)
   }
 
   /** The trained model as a frame `(bucket INT, w_q LONG)` — the

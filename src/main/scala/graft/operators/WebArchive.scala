@@ -259,13 +259,10 @@ object WebArchive {
   /** Decode an HTTP body per its Content-Encoding header (RFC 9110
     * §8.4.1): absent/`identity` passes through; `gzip`/`x-gzip` through
     * [[Gzip.gunzip]]; `deflate` through [[zlibInflate]]; `br` through
-    * [[Brotli.decode]] — fully decoded for any stream whose matches
-    * stay inside the window (uncompressed meta-blocks, quality-0..2
-    * output, high-entropy bodies), with a LOUD NAMED
-    * [[Brotli.DictionaryReferenceException]] on static-dictionary
-    * back-references (the dictionary is published data, deliberately
-    * not shipped — most quality-9+ TEXT bodies hit this fence). A
-    * comma list applies in reverse (encodings nest outermost-last);
+    * [[Brotli.decode]] — complete since round 17, including RFC 7932
+    * §8 static-dictionary back-references (the Appendix A word table
+    * ships with [[BrotliDict]]), so quality-9+ TEXT bodies decode too.
+    * A comma list applies in reverse (encodings nest outermost-last);
     * any other token fails loudly. A compressed crawl body must never
     * reach the HTML extractor undecoded. */
   def decodeHttpBody(h: HttpResponse): Array[Byte] =
@@ -470,10 +467,13 @@ object WebArchive {
     warcEncodedBuild(docs, groups, withBrotli = false)
 
   /** With `withBrotli`, every fourth record is `Content-Encoding: br`
-    * (stored-mode brotli, [[Brotli.encodeStored]]) — the
-    * `web_warc_brotli` gate's identity leg; the ingest path decodes it
-    * through the same RFC 7932 decoder that handles compressed
-    * streams. */
+    * in stored mode ([[Brotli.encodeStored]]) and every fifth a brotli
+    * stream whose `<script type="text/javas` span is carried by a REAL
+    * RFC 7932 §8 static-dictionary back-reference
+    * ([[Brotli.encodeWithDictWord]]) — the `web_warc_brotli` gate thus
+    * covers dictionary-referencing payloads, the majority class of
+    * real Common Crawl `br` bodies, end-to-end through the ingest
+    * decode path. */
   def warcEncodedBuild(docs: DataFrame, groups: Int, withBrotli: Boolean): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -483,11 +483,12 @@ object WebArchive {
       .mapGroups { (g, it) =>
         val records = it.toSeq.sortBy(_._1).map { case (id, text) =>
           val html = synthesizeHtml(id, text).getBytes(UTF_8)
-          val legs = if (withBrotli) 4L else 3L
+          val legs = if (withBrotli) 5L else 3L
           val (enc, body) = (id % legs) match {
             case 0 => (Some("gzip"), Gzip.gzip(html))
             case 1 => (Some("deflate"), zlibDeflate(html))
             case 3 => (Some("br"), Brotli.encodeStored(html))
+            case 4 => (Some("br"), Brotli.encodeWithDictWord(html))
             case _ => (None, html)
           }
           val headers = Map("Content-Type" -> "text/html; charset=utf-8") ++

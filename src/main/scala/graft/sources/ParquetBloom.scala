@@ -131,13 +131,30 @@ object ParquetBloom {
       val fs = p.getFileSystem(conf)
       val in = fs.open(p)
       try {
-        // header is a handful of bytes; 64 is a safe window
-        val hdr = new Array[Byte](64)
-        in.readFully(off, hdr, 0, 64)
+        // Window size: prefer the footer's bloomFilterLength (covers
+        // headers longer than any fixed guess — future fields); fall
+        // back to 64 bytes clamped to EOF so a filter near the file
+        // tail reads cleanly instead of dying in readFully.
+        val fileLen = fs.getFileStatus(p).getLen
+        require(off >= 0 && off < fileLen,
+          s"bloom offset $off outside file of $fileLen bytes")
+        val window = meta.bloomFilterLength
+          .map(l => math.min(l.toLong, 4096L)) // header is a prefix; 4 KiB >> any known header
+          .getOrElse(64L)
+          .min(fileLen - off).toInt
+        require(window > 0, "empty bloom header window")
+        val hdr = new Array[Byte](window)
+        in.readFully(off, hdr, 0, window)
         val (numBytes, hdrLen) = parseBloomHeader(hdr)
+        require(off + hdrLen + numBytes <= fileLen,
+          s"bloom bitset of $numBytes bytes overruns the file")
         val bits = new Array[Byte](numBytes)
         in.readFully(off + hdrLen, bits, 0, numBytes)
         new SplitBlockBloom(bits)
+      } catch {
+        case e: java.io.EOFException =>
+          throw new IllegalArgumentException(
+            s"truncated bloom filter at offset $off in $path", e)
       } finally in.close()
     }
 
@@ -185,8 +202,12 @@ object ParquetBloom {
     val rows = spark.sparkContext.parallelize(files, parts).flatMap { case (path, len) =>
       val conf = new org.apache.hadoop.conf.Configuration()
       val fm = ParquetFooter.readFooter(conf, path, len)
-      fm.rowGroups.flatMap { rg =>
-        rg.columns.find(_.meta.exists(_.path == columnPath)).toSeq.flatMap { cc =>
+      // One row per (file, key): OR over the row groups — a key the
+      // file might contain ANYWHERE must answer true, and multi-row-
+      // group files must not emit indistinguishable duplicate rows
+      // (round-16 ADVICE item 4).
+      val perRg = fm.rowGroups.flatMap { rg =>
+        rg.columns.find(_.meta.exists(_.path == columnPath)).toSeq.map { cc =>
           val meta = cc.meta.get
           val bloom = readBloomFilter(conf, path, meta, meta.bloomFilterOffset)
           keyArr.map { k =>
@@ -196,9 +217,13 @@ object ParquetBloom {
               case t => throw new IllegalArgumentException(
                 s"probeCensus handles INT32/INT64 keys, column is ${ParquetFooter.TypeNames(t)}")
             }
-            Row(path, k, bloom.forall(_.mightContain(h)))
+            bloom.forall(_.mightContain(h))
           }
         }
+      }
+      if (perRg.isEmpty) Seq.empty[Row]
+      else keyArr.indices.map { i =>
+        Row(path, keyArr(i), perRg.exists(_(i)))
       }
     }
     spark.createDataFrame(rows, probeRowSchema)

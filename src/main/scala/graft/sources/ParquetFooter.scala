@@ -128,10 +128,11 @@ object ParquetFooter {
 
   /** Thin public face of the compact-protocol reader for sibling
     * metadata parsers (BloomFilterHeader lives outside the footer). */
-  private[sources] final class HeaderReader(buf: Array[Byte]) {
-    private val r = new Reader(buf, 0)
+  private[sources] final class HeaderReader(buf: Array[Byte], start: Int = 0) {
+    private val r = new Reader(buf, start)
     def struct(f: (Int, Int) => Boolean): Unit = r.struct(f)
     def zigzagInt(): Int = r.zigzag().toInt
+    /** Absolute position in `buf`; bytes consumed = position − start. */
     def position: Int = r.pos
   }
 

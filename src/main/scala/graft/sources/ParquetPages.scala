@@ -14,10 +14,14 @@ import graft.operators.{Gzip, Snappy, Zstd}
   * (`Encodings.md`, `parquet.thrift`).
   *
   * Scope (loud fences, not silent wrongness): FLAT columns only
-  * (max repetition level 0 — no nested lists/maps), data pages V1
-  * (parquet-mr's default; V2 rejects with a named error), PLAIN and
-  * PLAIN_DICTIONARY/RLE_DICTIONARY encodings (what Spark writes),
-  * UNCOMPRESSED/SNAPPY/GZIP/ZSTD codecs (all four decoders are the
+  * (max repetition level 0 — no nested lists/maps). BOTH data-page
+  * versions decode (V1 = parquet-mr's default; V2 since round 17 —
+  * the layout arrow-rs and DuckDB write, with raw un-prefixed level
+  * sections and a values-only compression boundary). Encodings:
+  * PLAIN, PLAIN_DICTIONARY/RLE_DICTIONARY, boolean RLE, and the V2
+  * DELTA family — DELTA_BINARY_PACKED (wrapping 64-bit block/miniblock
+  * decode), DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY (front coding).
+  * Codecs: UNCOMPRESSED/SNAPPY/GZIP/ZSTD (all four decoders are the
   * repo's own hand-written implementations — reading a zstd parquet
   * chunk exercises the RFC 8878 decoder against real writer output).
   *
@@ -55,6 +59,12 @@ object ParquetPages {
       } while ((bb & 0x80) != 0)
       if ((header & 1) == 1) { // bit-packed: header>>1 groups of 8
         val groups = (header >>> 1).toInt
+        // a corrupt varint can make the truncated Int negative, which
+        // would pass the byte bound below as a negative product and
+        // then walk p backwards — reject loudly, and bound groups by
+        // the values still owed (last group may pad to 8)
+        require(groups >= 0 && groups <= (n - filled + 7) / 8,
+          s"implausible bit-packed run of $groups groups with ${n - filled} values left")
         val count = groups * 8
         require(p + groups.toLong * bitWidth <= b.length, "truncated bit-packed run")
         var bitPos = 0
@@ -89,17 +99,30 @@ object ParquetPages {
 
   // ---- PageHeader (parquet.thrift) ----------------------------------------
 
-  /** The fields of PageHeader + DataPageHeader/DictionaryPageHeader the
-    * walk needs. `kind`: 0 = data v1, 2 = dictionary (thrift PageType). */
+  /** The fields of PageHeader + DataPageHeader(V2)/DictionaryPageHeader
+    * the walk needs. `kind`: 0 = data v1, 2 = dictionary, 3 = data v2
+    * (thrift PageType). V2-only fields default to the V1-irrelevant
+    * values. */
   private[sources] final case class PageHead(
       kind: Int, uncompressedSize: Int, compressedSize: Int,
       numValues: Int, valueEncoding: Int, defLevelEncoding: Int,
-      headerLen: Int)
+      headerLen: Int,
+      numNulls: Int = -1, defLevelsByteLen: Int = 0,
+      repLevelsByteLen: Int = 0, valuesCompressed: Boolean = true)
 
-  private[sources] def parsePageHeader(buf: Array[Byte]): PageHead = {
-    val r = new ParquetFooter.HeaderReader(buf)
+  private[sources] def parsePageHeader(buf: Array[Byte]): PageHead =
+    parsePageHeader(buf, 0)
+
+  /** Parse a PageHeader starting at `start`, bounds-checked against the
+    * WHOLE buffer — headers carrying embedded Statistics (parquet-mr
+    * <1.11 defaults, Arrow/Impala page stats, wide BYTE_ARRAY min/max)
+    * can exceed any fixed window, so no windowed copy is taken
+    * (round-16 ADVICE item 1). */
+  private[sources] def parsePageHeader(buf: Array[Byte], start: Int): PageHead = {
+    val r = new ParquetFooter.HeaderReader(buf, start)
     var kind = -1; var us = -1; var cs = -1
     var nv = -1; var enc = -1; var defEnc = -1
+    var nNulls = -1; var dlBytes = 0; var rlBytes = 0; var vComp = true
     r.struct {
       case (1, 5) => kind = r.zigzagInt(); true
       case (2, 5) => us = r.zigzagInt(); true
@@ -117,14 +140,157 @@ object ParquetPages {
           case (2, 5) => enc = r.zigzagInt(); true
           case _ => false
         }; true
-      case (8, 12) =>
-        throw new IllegalArgumentException(
-          "data page V2 not supported (parquet-mr writes V1 by default)")
+      case (8, 12) => // DataPageHeaderV2 (arrow-rs, DuckDB, parquet-mr v2 mode)
+        r.struct {
+          case (1, 5) => nv = r.zigzagInt(); true
+          case (2, 5) => nNulls = r.zigzagInt(); true
+          case (3, 5) => r.zigzagInt(); true // num_rows (flat: = num_values)
+          case (4, 5) => enc = r.zigzagInt(); true
+          case (5, 5) => dlBytes = r.zigzagInt(); true
+          case (6, 5) => rlBytes = r.zigzagInt(); true
+          case (7, 1) => vComp = true; true // compact BOOLEAN_TRUE
+          case (7, 2) => vComp = false; true // compact BOOLEAN_FALSE
+          case _ => false
+        }; true
       case _ => false
     }
     require(kind >= 0 && us >= 0 && cs >= 0, "PageHeader missing required fields")
-    require(kind == 0 || kind == 2, s"unsupported page type $kind (INDEX_PAGE?)")
-    PageHead(kind, us, cs, nv, enc, defEnc, r.position)
+    require(kind == 0 || kind == 2 || kind == 3,
+      s"unsupported page type $kind (INDEX_PAGE?)")
+    if (kind == 3)
+      require(nNulls >= 0 && dlBytes >= 0 && rlBytes >= 0,
+        "DataPageHeaderV2 missing required fields")
+    PageHead(kind, us, cs, nv, enc, defEnc, r.position - start,
+      nNulls, dlBytes, rlBytes, vComp)
+  }
+
+  // ---- DELTA encodings (Encodings.md §Delta) ------------------------------
+
+  private def uleb(b: Array[Byte], off0: Int): (Long, Int) = {
+    var v = 0L; var shift = 0; var p = off0; var bb = 0
+    do {
+      require(p < b.length, "truncated ULEB128 varint")
+      bb = b(p) & 0xff; p += 1
+      v |= (bb & 0x7fL) << shift; shift += 7
+      require(shift <= 70, "overlong ULEB128 varint")
+    } while ((bb & 0x80) != 0)
+    (v, p)
+  }
+
+  /** DELTA_BINARY_PACKED (encoding 5): decode exactly `n` longs.
+    * Layout: block_size / miniblocks_per_block / total_count /
+    * first_value (zigzag), then per block: min_delta (zigzag) +
+    * per-miniblock bit widths + bit-packed miniblocks (LSB-first, the
+    * RLE-hybrid packing widened to 64-bit values). The last block
+    * omits trailing unused miniblock BODIES but keeps all width bytes;
+    * a partially used miniblock is fully present (padded). Arithmetic
+    * wraps in 64 bits per spec. Returns (values, next offset). */
+  private[graft] def deltaBinaryPacked(b: Array[Byte], off0: Int,
+      n: Int): (Array[Long], Int) = {
+    var p = off0
+    val (blockSizeL, p1) = uleb(b, p); p = p1
+    val (numMiniL, p2) = uleb(b, p); p = p2
+    val (totalL, p3) = uleb(b, p); p = p3
+    val (firstZ, p4) = uleb(b, p); p = p4
+    val blockSize = blockSizeL.toInt
+    val numMini = numMiniL.toInt
+    require(blockSize > 0 && blockSize % 128 == 0,
+      s"delta block size $blockSize not a positive multiple of 128")
+    require(numMini > 0 && blockSize % numMini == 0 &&
+      (blockSize / numMini) % 32 == 0,
+      s"delta miniblock layout $blockSize/$numMini invalid")
+    require(totalL == n,
+      s"delta header declares $totalL values, caller expects $n")
+    val perMini = blockSize / numMini
+    val out = new Array[Long](n)
+    if (n == 0) return (out, p)
+    out(0) = (firstZ >>> 1) ^ -(firstZ & 1L)
+    var filled = 1
+    var prev = out(0)
+    val widths = new Array[Int](numMini)
+    while (filled < n) {
+      val (minZ, q) = uleb(b, p); p = q
+      val minDelta = (minZ >>> 1) ^ -(minZ & 1L)
+      var mb = 0
+      while (mb < numMini) {
+        require(p < b.length, "truncated delta miniblock widths")
+        widths(mb) = b(p) & 0xff; p += 1; mb += 1
+      }
+      mb = 0
+      while (mb < numMini && filled < n) {
+        val w = widths(mb)
+        require(w <= 64, s"delta bit width $w > 64")
+        if (w == 0) {
+          var i = 0
+          while (i < perMini && filled < n) {
+            prev += minDelta; out(filled) = prev; filled += 1; i += 1
+          }
+        } else {
+          val miniBytes = perMini * w / 8
+          require(p + miniBytes <= b.length, "truncated delta miniblock")
+          var bitPos = 0
+          var i = 0
+          while (i < perMini && filled < n) {
+            var v = 0L; var got = 0
+            while (got < w) {
+              val byteI = p + (bitPos >> 3)
+              val avail = 8 - (bitPos & 7)
+              val take = math.min(avail, w - got)
+              val bits = ((b(byteI) & 0xffL) >>> (bitPos & 7)) & ((1L << take) - 1)
+              v |= bits << got
+              got += take; bitPos += take
+            }
+            prev += minDelta + v; out(filled) = prev; filled += 1; i += 1
+          }
+          p += miniBytes
+        }
+        mb += 1
+      }
+    }
+    (out, p)
+  }
+
+  /** DELTA_LENGTH_BYTE_ARRAY (encoding 6): delta-packed lengths, then
+    * the concatenated bytes. Returns (UTF-8 strings, next offset). */
+  private[graft] def deltaLengthByteArray(b: Array[Byte], off0: Int,
+      n: Int): (Array[String], Int) = {
+    val (lens, p0) = deltaBinaryPacked(b, off0, n)
+    var p = p0
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val len = lens(i).toInt
+      require(len >= 0 && p + len <= b.length, s"delta byte-array length $len overruns page")
+      out(i) = new String(b, p, len, java.nio.charset.StandardCharsets.UTF_8)
+      p += len; i += 1
+    }
+    (out, p)
+  }
+
+  /** DELTA_BYTE_ARRAY (encoding 7, incremental/front coding):
+    * delta-packed shared-prefix lengths + DELTA_LENGTH suffixes. */
+  private[graft] def deltaByteArray(b: Array[Byte], off0: Int,
+      n: Int): (Array[String], Int) = {
+    val (prefixLens, p0) = deltaBinaryPacked(b, off0, n)
+    val (suffixLens, p1) = deltaBinaryPacked(b, p0, n)
+    var p = p1
+    val out = new Array[String](n)
+    var prev = Array.emptyByteArray
+    var i = 0
+    while (i < n) {
+      val pl = prefixLens(i).toInt
+      val sl = suffixLens(i).toInt
+      require(pl >= 0 && pl <= prev.length, s"delta prefix length $pl exceeds previous value")
+      require(sl >= 0 && p + sl <= b.length, s"delta suffix length $sl overruns page")
+      val v = new Array[Byte](pl + sl)
+      System.arraycopy(prev, 0, v, 0, pl)
+      System.arraycopy(b, p, v, pl, sl)
+      p += sl
+      out(i) = new String(v, java.nio.charset.StandardCharsets.UTF_8)
+      prev = v
+      i += 1
+    }
+    (out, p)
   }
 
   // ---- chunk walk -----------------------------------------------------------
@@ -224,25 +390,68 @@ object ParquetPages {
     var filled = 0
     while (filled < meta.numValues) {
       require(off < chunkBytes.length, "chunk exhausted before all values decoded")
-      val hdrWindow = java.util.Arrays.copyOfRange(
-        chunkBytes, off, math.min(chunkBytes.length, off + 256))
-      val ph = parsePageHeader(hdrWindow)
+      val ph = parsePageHeader(chunkBytes, off)
       require(ph.compressedSize >= 0 &&
         off.toLong + ph.headerLen + ph.compressedSize <= chunkBytes.length,
         s"page at $off overruns the chunk (${ph.compressedSize} compressed bytes)")
       require(ph.uncompressedSize >= 0 && ph.uncompressedSize <= (1 << 30),
         s"implausible uncompressed page size ${ph.uncompressedSize}")
-      val body = inflatePage(meta.codec, chunkBytes, off + ph.headerLen,
-        ph.compressedSize, ph.uncompressedSize)
-      require(body.length == ph.uncompressedSize,
-        s"page inflated to ${body.length}, header says ${ph.uncompressedSize}")
+      val pageStart = off + ph.headerLen
       off += ph.headerLen + ph.compressedSize
+
+      // place `nPresent` decoded present-values into `out` per `defs`
+      def place(numValues: Int, defs: Array[Int], vs: Array[Any]): Unit = {
+        var vi = 0; var i = 0
+        while (i < numValues) {
+          if (defs == null || defs(i) == 1) { out(filled) = vs(vi); vi += 1 }
+          filled += 1; i += 1
+        }
+      }
+      // shared value-section decode: PLAIN / dictionary / DELTA family /
+      // boolean RLE — legal in both page versions
+      def decodeValues(enc: Int, body: Array[Byte], vp: Int, nPresent: Int): Array[Any] =
+        enc match {
+          case 0 => // PLAIN
+            plainValues(meta.typ, body, vp, nPresent, typeLength)
+          case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY indices
+            require(dict != null, "dictionary-encoded page before dictionary page")
+            val bw = body(vp) & 0xff
+            val (idx, _) = rleHybrid(body, vp + 1, bw, nPresent)
+            idx.take(nPresent).map(dict(_): Any)
+          case 3 => // RLE boolean values (4-byte LE length prefix, v2 writers)
+            require(meta.typ == 0, "RLE value encoding is BOOLEAN-only")
+            val (lv, _) = rleHybrid(body, vp + 4, 1, nPresent)
+            lv.take(nPresent).map(v => Boolean.box(v == 1): Any)
+          case 5 => // DELTA_BINARY_PACKED ints
+            require(meta.typ == 1 || meta.typ == 2,
+              s"DELTA_BINARY_PACKED on non-integer type ${ParquetFooter.TypeNames(meta.typ)}")
+            val (vs, _) = deltaBinaryPacked(body, vp, nPresent)
+            if (meta.typ == 1) vs.map(v => Long.box(v.toInt.toLong): Any)
+            else vs.map(Long.box(_): Any)
+          case 6 => // DELTA_LENGTH_BYTE_ARRAY strings
+            require(meta.typ == 6, "DELTA_LENGTH_BYTE_ARRAY is BYTE_ARRAY-only")
+            deltaLengthByteArray(body, vp, nPresent)._1.map(v => v: Any)
+          case 7 => // DELTA_BYTE_ARRAY strings (front coding)
+            require(meta.typ == 6, "DELTA_BYTE_ARRAY is BYTE_ARRAY-only")
+            deltaByteArray(body, vp, nPresent)._1.map(v => v: Any)
+          case e => throw new IllegalArgumentException(
+            s"unsupported value encoding ${ParquetFooter.EncodingNames.lift(e).getOrElse(e.toString)}")
+        }
+
       if (ph.kind == 2) { // dictionary page: PLAIN values
+        val body = inflatePage(meta.codec, chunkBytes, pageStart,
+          ph.compressedSize, ph.uncompressedSize)
+        require(body.length == ph.uncompressedSize,
+          s"page inflated to ${body.length}, header says ${ph.uncompressedSize}")
         require(ph.valueEncoding == 0 || ph.valueEncoding == 2,
           s"dictionary page encoding ${ph.valueEncoding} not PLAIN")
         dict = plainValues(meta.typ, body, 0, ph.numValues, typeLength)
-      } else {
-        // data page v1: [def levels if maxDef>0][values]
+      } else if (ph.kind == 0) {
+        // data page v1: [def levels if maxDef>0][values], ALL compressed
+        val body = inflatePage(meta.codec, chunkBytes, pageStart,
+          ph.compressedSize, ph.uncompressedSize)
+        require(body.length == ph.uncompressedSize,
+          s"page inflated to ${body.length}, header says ${ph.uncompressedSize}")
         var vp = 0
         val defs: Array[Int] =
           if (maxDef > 0) {
@@ -254,26 +463,38 @@ object ParquetPages {
             lv
           } else null
         val nPresent = if (defs == null) ph.numValues else defs.count(_ == 1)
-        ph.valueEncoding match {
-          case 0 => // PLAIN
-            val vs = plainValues(meta.typ, body, vp, nPresent, typeLength)
-            var vi = 0; var i = 0
-            while (i < ph.numValues) {
-              if (defs == null || defs(i) == 1) { out(filled) = vs(vi); vi += 1 }
-              filled += 1; i += 1
-            }
-          case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY indices
-            require(dict != null, "dictionary-encoded page before dictionary page")
-            val bw = body(vp) & 0xff
-            val (idx, _) = rleHybrid(body, vp + 1, bw, nPresent)
-            var vi = 0; var i = 0
-            while (i < ph.numValues) {
-              if (defs == null || defs(i) == 1) { out(filled) = dict(idx(vi)); vi += 1 }
-              filled += 1; i += 1
-            }
-          case e => throw new IllegalArgumentException(
-            s"unsupported value encoding ${ParquetFooter.EncodingNames.lift(e).getOrElse(e.toString)}")
-        }
+        place(ph.numValues, defs, decodeValues(ph.valueEncoding, body, vp, nPresent))
+      } else {
+        // data page V2: [rep levels raw][def levels raw][values,
+        // compressed iff is_compressed] — levels are NEVER compressed
+        // and carry NO 4-byte length prefix (lengths sit in the header)
+        require(ph.repLevelsByteLen == 0,
+          "repeated columns not supported (flat columns only)")
+        require(ph.defLevelsByteLen >= 0 &&
+          pageStart + ph.repLevelsByteLen + ph.defLevelsByteLen <= chunkBytes.length,
+          "V2 level sections overrun the chunk")
+        val defs: Array[Int] =
+          if (maxDef > 0 && ph.defLevelsByteLen > 0) {
+            val (lv, _) = rleHybrid(chunkBytes,
+              pageStart + ph.repLevelsByteLen, 1, ph.numValues)
+            lv
+          } else null
+        val nPresent = ph.numValues - math.max(0, ph.numNulls)
+        if (defs != null)
+          require(defs.count(_ == 1) == nPresent,
+            s"V2 def levels disagree with num_nulls (${ph.numNulls})")
+        else require(ph.numNulls <= 0, "V2 page has nulls but no def levels")
+        val levelBytes = ph.repLevelsByteLen + ph.defLevelsByteLen
+        val valuesOff = pageStart + levelBytes
+        val valuesCompLen = ph.compressedSize - levelBytes
+        require(valuesCompLen >= 0, "V2 level lengths exceed page size")
+        val values: Array[Byte] =
+          if (ph.valuesCompressed && meta.codec != 0)
+            inflatePage(meta.codec, chunkBytes, valuesOff, valuesCompLen,
+              ph.uncompressedSize - levelBytes)
+          else
+            java.util.Arrays.copyOfRange(chunkBytes, valuesOff, valuesOff + valuesCompLen)
+        place(ph.numValues, defs, decodeValues(ph.valueEncoding, values, 0, nPresent))
       }
     }
     DecodedChunk(meta.typ, out)

@@ -21,32 +21,46 @@ object LeakCheck {
   /** category → regex. Patterns target PUBLIC-vs-NON-PUBLIC provenance,
     * not style: the import allowlist is the public Spark/JDK/Scala
     * surface plus this repo's own package. */
-  private val Checks: Seq[(String, String)] = Seq(
+  /** (name, regex, applies-to-path predicate). */
+  private val Checks: Seq[(String, String, String => Boolean)] = Seq(
     // TLD-rooted imports outside the public Spark/test surface (local
     // val-imports like `spark.implicits._` are not TLD-rooted and the
     // repo's own `graft.*` is not a TLD)
     // org.apache.avro, org.apache.parquet and org.xerial.snappy are
     // PUBLIC packages already on the Spark classpath, allowed as
-    // independent CROSS-ORACLES in the spec suite only (the
-    // snappy-java/avro-java/parquet-mr precedent)
-    "internal-import" ->
+    // independent CROSS-ORACLES in the SPEC SUITE ONLY — so the
+    // exemption is scoped to src/test, and a parquet-mr/avro/snappy
+    // import appearing in src/main IS flagged (round-16 ADVICE item 3:
+    // the 'no parquet-mr on the main classpath' invariant must be
+    // machine-checked, not a comment)
+    ("internal-import",
       """^\s*import\s+(?:com|net|io|ai|dev|internal)\.[\w.]+|^\s*import\s+org\.(?!apache\.spark|apache\.hadoop|apache\.avro|apache\.parquet|xerial\.snappy|scalatest|scalacheck)[\w.]+""",
+      (f: String) => f.replace('\\', '/').contains("src/test/")),
+    ("internal-import-main",
+      """^\s*import\s+(?:com|net|io|ai|dev|internal)\.[\w.]+|^\s*import\s+org\.(?!apache\.spark|apache\.hadoop|scalatest|scalacheck)[\w.]+""",
+      (f: String) => f.replace('\\', '/').contains("src/main/")),
     // URLs whose HOST carries non-public-infrastructure signals; the
     // synthetic RFC-2606-style fixtures in the URL-op tests
     // (example.com, a.com, bad.com, bbc.co.uk …) are public by
     // construction and deliberately not flagged
-    "internal-url" ->
+    ("internal-url",
       """https?://[A-Za-z0-9.-]*(?:corp|internal|intranet|intra\.|vpn\.|staging\.|\.local\b|console\.(?:aws|cloud)|okta)[A-Za-z0-9.-]*""",
-    "internal-pkg2" ->
+      (_: String) => true),
+    ("internal-pkg2",
       """(?:com|net|io)\.(?:google\.internal|corp|intra)[.\w]*""",
-    "internal-bucket" ->
+      (_: String) => true),
+    ("internal-bucket",
       """(?:s3a?|gs|wasbs?|abfss?)://[A-Za-z0-9._-]+""",
-    "slack-link" ->
+      (_: String) => true),
+    ("slack-link",
       """(?:slack\.com/archives|app\.slack\.com|#[a-z0-9-]*-(?:eng|infra|oncall)\b)""",
-    "api-key" ->
+      (_: String) => true),
+    ("api-key",
       """(?:AKIA[0-9A-Z]{16}|sk-[A-Za-z0-9]{20,}|api[_-]?key\s*[:=]\s*["'][A-Za-z0-9]{16,})""",
-    "axon-env" ->
-      """sys\.env\(["'](?!SPARK_GRAFT_)[A-Z0-9_]+["']\)""")
+      (_: String) => true),
+    ("axon-env",
+      """sys\.env\(["'](?!SPARK_GRAFT_)[A-Z0-9_]+["']\)""",
+      (_: String) => true))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("LEAKCHECK.json")
@@ -66,10 +80,11 @@ object LeakCheck {
     val contents: Seq[(Path, Seq[String])] =
       files.map(f => f -> Files.readAllLines(f).asScala.toSeq)
     val nLines: Long = contents.map(_._2.size.toLong).sum
-    val hits: Map[String, Seq[String]] = Checks.map { case (name, pattern) =>
+    val hits: Map[String, Seq[String]] = Checks.map { case (name, pattern, applies) =>
       val re = pattern.r
       val found = contents.flatMap { case (f, lines) =>
-        lines.iterator.zipWithIndex.collect {
+        if (!applies(f.toString)) Nil
+        else lines.iterator.zipWithIndex.collect {
           case (line, i) if re.findFirstIn(line).isDefined =>
             s"$f:${i + 1}: ${line.trim.take(160)}"
         }
@@ -91,7 +106,7 @@ object LeakCheck {
          |  "n_lines": $nLines,
          |  "n_hits": $nHits,
          |  "hits": {
-         |${Checks.map { case (n, _) => s"""    ${graft.JsonOut.q(n)}: ${arr(hits(n))}""" }.mkString(",\n")}
+         |${Checks.map { case (n, _, _) => s"""    ${graft.JsonOut.q(n)}: ${arr(hits(n))}""" }.mkString(",\n")}
          |  }
          |}
          |""".stripMargin

@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.charset.StandardCharsets
 import java.nio.charset.StandardCharsets.UTF_8
 
 import org.scalatest.funsuite.AnyFunSuite
@@ -46,11 +47,80 @@ class BrotliSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(Brotli.decode(t3q11), t3))
   }
 
-  test("static-dictionary reference throws the NAMED fence exception") {
-    val e = intercept[Brotli.DictionaryReferenceException] {
-      Brotli.decode(t1q11)
+  test("q11 stream with static-dictionary references decodes exactly") {
+    // t1q11 was the round-11..16 fence pin: node's q11 output for t1
+    // references the static dictionary. Since round 17 it must decode.
+    assert(new String(Brotli.decode(t1q11), UTF_8) == t1)
+  }
+
+  test("structurally invalid dictionary reference throws the NAMED exception") {
+    // Valid crafted stream, then corrupt the transform id beyond 120:
+    // distance addressing transform id 121 for a length-4 word.
+    val good = Brotli.craftDictReference(4, 0, 120)
+    assert(new String(Brotli.decode(good), UTF_8) ==
+      "A" + new String(graft.operators.BrotliDict.transformed(4, 0, 120), UTF_8))
+    // craft with transformId forced out of range by hand: reuse the
+    // crafter's framing at tid=120 but bump the distance by one full
+    // transform stride via a direct stream build is intricate; instead
+    // pin the guard through the decoder by synthesizing the distance
+    // for tid=121 with the same single-symbol framing.
+    intercept[Brotli.DictionaryReferenceException] {
+      Brotli.decode(BrotliSpec.craftRawDictStream(len = 4, wordIdx = 0, tid = 121, mlen = 5))
     }
-    assert(e.getMessage.contains("static-dictionary"))
+  }
+
+  test("every (transform id x word length) decodes to the dictionary expansion") {
+    // 121 transforms x lengths 4..24 x {first, last} word index: crafted
+    // single-reference streams must decode to 'A' ++ transformed word.
+    // This pins the §8 word addressing, all 21 transform kinds, and the
+    // ferment rule against the embedded table; the node sweep below
+    // pins that same table against the reference decoder.
+    import graft.operators.BrotliDict
+    for (tid <- 0 until BrotliDict.NumTransforms; len <- 4 to 24;
+         widx <- Seq(0, (1 << BrotliDict.NdBits(len - 4)) - 1)) {
+      val want = "A" + new String(BrotliDict.transformed(len, widx, tid), StandardCharsets.ISO_8859_1)
+      val got = new String(Brotli.decode(Brotli.craftDictReference(len, widx, tid)),
+        StandardCharsets.ISO_8859_1)
+      assert(got == want, s"tid=$tid len=$len widx=$widx")
+    }
+  }
+
+  test("crafted dictionary streams match the reference decoder (live when node is available)") {
+    assume(BrotliSpec.nodeOnPath, "node not on PATH")
+    // All 121 transforms at a spread of lengths/indexes, decoded by
+    // Node's bundled brotli: the embedded transform table and ferment
+    // rule must be byte-exact vs the reference decoder.
+    import graft.operators.BrotliDict
+    // Empty-expansion combos (omit-k >= word length, no affixes) are
+    // excluded: their copy command never executes — MLEN is reached by
+    // the literal alone — so the unused distance bits become nonzero
+    // trailing padding that the strict reference decoder rejects
+    // (PADDING_2), and there is no dictionary output to verify anyway.
+    val combos = (for {
+      tid <- 0 until BrotliDict.NumTransforms
+      len <- Seq(4, 5, 7, 10, 13, 16, 20, 24)
+      widx <- Seq(0, (1 << BrotliDict.NdBits(len - 4)) - 1)
+    } yield (tid, len, widx))
+      .filter { case (tid, len, widx) => BrotliDict.transformed(len, widx, tid).nonEmpty }
+    val dir = java.nio.file.Files.createTempDirectory("brotli_dict_oracle")
+    for (((tid, len, widx), i) <- combos.zipWithIndex)
+      java.nio.file.Files.write(dir.resolve(s"$i.br"), Brotli.craftDictReference(len, widx, tid))
+    val script =
+      """const z = require('zlib'), fs = require('fs');
+        |const dir = process.argv[2], n = parseInt(process.argv[3]);
+        |for (let i = 0; i < n; i++) {
+        |  const out = z.brotliDecompressSync(fs.readFileSync(dir + '/' + i + '.br'));
+        |  fs.writeFileSync(dir + '/' + i + '.out', out);
+        |}""".stripMargin
+    java.nio.file.Files.write(dir.resolve("dec.js"), script.getBytes(UTF_8))
+    val rc = new ProcessBuilder("node", dir.resolve("dec.js").toString,
+      dir.toString, combos.size.toString).inheritIO().start().waitFor()
+    assert(rc == 0, "node decode failed on a crafted dictionary stream")
+    for (((tid, len, widx), i) <- combos.zipWithIndex) {
+      val ref = java.nio.file.Files.readAllBytes(dir.resolve(s"$i.out"))
+      val ours = Brotli.decode(Brotli.craftDictReference(len, widx, tid))
+      assert(java.util.Arrays.equals(ref, ours), s"tid=$tid len=$len widx=$widx")
+    }
   }
 
   test("stored encoder round-trips with the closed-form size") {
@@ -60,6 +130,33 @@ class BrotliSpec extends AnyFunSuite {
       val want = 3 * ((n + 65535) / 65536) + n + 1
       assert(enc.length == want, s"n=$n: ${enc.length} != $want")
       assert(java.util.Arrays.equals(Brotli.decode(enc), raw), s"n=$n round trip")
+    }
+  }
+
+  test("encodeWithDictWord round-trips through a real dictionary reference") {
+    val html = graft.operators.WebArchive.synthesizeHtml(7, "hello world " * 50)
+    val raw = html.getBytes(UTF_8)
+    val enc = Brotli.encodeWithDictWord(raw)
+    // the 24-byte `<script type="text/javas` span costs a handful of
+    // bits as a dictionary reference instead of 24 stored bytes
+    assert(enc.length < Brotli.encodeStored(raw).length)
+    assert(java.util.Arrays.equals(Brotli.decode(enc), raw))
+    // no dictionary word present -> plain stored fallback
+    val noword = "plain text body".getBytes(UTF_8)
+    assert(java.util.Arrays.equals(Brotli.encodeWithDictWord(noword), Brotli.encodeStored(noword)))
+    if (BrotliSpec.nodeOnPath) {
+      val dir = java.nio.file.Files.createTempDirectory("brotli_dictword")
+      java.nio.file.Files.write(dir.resolve("s.br"), enc)
+      val script =
+        """const z = require('zlib'), fs = require('fs');
+          |fs.writeFileSync(process.argv[2] + '/s.out',
+          |  z.brotliDecompressSync(fs.readFileSync(process.argv[2] + '/s.br')));""".stripMargin
+      java.nio.file.Files.write(dir.resolve("dec.js"), script.getBytes(UTF_8))
+      val rc = new ProcessBuilder("node", dir.resolve("dec.js").toString, dir.toString)
+        .inheritIO().start().waitFor()
+      assert(rc == 0, "node failed to decode the dictionary-word stream")
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(dir.resolve("s.out")), raw))
     }
   }
 
@@ -96,9 +193,7 @@ class BrotliSpec extends AnyFunSuite {
   }
 
   test("reference encoder sweep (live when node is available)") {
-    val node = new java.io.File("/usr/bin/node").exists() ||
-      sys.env.getOrElse("PATH", "").split(':').exists(p => new java.io.File(p, "node").exists())
-    assume(node, "node not on PATH; embedded fixtures above still cover the pins")
+    assume(BrotliSpec.nodeOnPath, "node not on PATH; embedded fixtures above still cover the pins")
     val dir = java.nio.file.Files.createTempDirectory("brotli_sweep")
     val raws = Seq(
       ("text", t2.getBytes(UTF_8)),
@@ -120,24 +215,57 @@ class BrotliSpec extends AnyFunSuite {
     val rc = new ProcessBuilder("node", dir.resolve("gen.js").toString, dir.toString)
       .inheritIO().start().waitFor()
     assert(rc == 0, "node fixture generation failed")
-    var matched = 0
-    var fenced = 0
+    // With the static dictionary shipped (round 17), EVERY stream the
+    // reference encoder emits at any quality must decode byte-exactly —
+    // no fenced subset remains.
     for ((name, raw) <- raws; q <- 0 to 11) {
       val br = java.nio.file.Files.readAllBytes(dir.resolve(s"${name}_q$q.br"))
-      try {
-        assert(java.util.Arrays.equals(Brotli.decode(br), raw), s"$name q$q content")
-        matched += 1
-      } catch {
-        case _: Brotli.DictionaryReferenceException => fenced += 1
-      }
+      assert(java.util.Arrays.equals(Brotli.decode(br), raw), s"$name q$q content")
     }
-    info(s"sweep: $matched matched, $fenced dictionary-fenced of 36")
-    assert(matched >= 20, s"too few decodable streams: $matched")
-    // every quality 0-2 stream must decode (fast paths never emit
-    // dictionary references)
-    for ((name, raw) <- raws; q <- 0 to 2) {
-      val br = java.nio.file.Files.readAllBytes(dir.resolve(s"${name}_q$q.br"))
-      assert(java.util.Arrays.equals(Brotli.decode(br), raw), s"$name q$q")
+    info("sweep: 36/36 matched (dictionary references included)")
+  }
+}
+
+object BrotliSpec {
+
+  def nodeOnPath: Boolean = new java.io.File("/usr/bin/node").exists() ||
+    sys.env.getOrElse("PATH", "").split(':').exists(p => new java.io.File(p, "node").exists())
+
+  /** Like [[Brotli.craftDictReference]] but with no validity checks, so
+    * the spec can address out-of-range transform ids and pin the
+    * decoder's structural guard. */
+  def craftRawDictStream(len: Int, wordIdx: Int, tid: Int, mlen: Int): Array[Byte] = {
+    val CopyExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 7, 8, 9, 10, 24)
+    val CopyBase = {
+      val b = new Array[Int](24); b(0) = 2
+      for (i <- 1 until 24) b(i) = b(i - 1) + (1 << CopyExtra(i - 1))
+      b
     }
+    val nb = graft.operators.BrotliDict.NdBits(len - 4)
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(v: Int, n: Int): Unit = { var i = 0; while (i < n) { bits += (v >> i) & 1; i += 1 } }
+    val wordId = (tid << nb) | wordIdx
+    val d = wordId + 2
+    val v = d + 3
+    val ndistbits = 31 - Integer.numberOfLeadingZeros(v) - 1
+    val hbit = (v >> ndistbits) & 1
+    val dextra = v - ((2 + hbit) << ndistbits)
+    val dsym = 16 + 2 * (ndistbits - 1) + hbit
+    val cc = (0 until 24).find(c =>
+      CopyBase(c) <= len && len - CopyBase(c) < (1 << CopyExtra(c))).get
+    val cell = (cc >> 3) match { case 0 => 2; case 1 => 3; case _ => 6 }
+    val cmd = (cell << 6) | (1 << 3) | (cc & 7)
+    put(0, 1); put(1, 1); put(0, 1); put(0, 2); put(mlen - 1, 16)
+    put(0, 1); put(0, 1); put(0, 1)
+    put(0, 2); put(0, 4); put(0, 2); put(0, 1); put(0, 1)
+    put(1, 2); put(0, 2); put('A'.toInt, 8)
+    put(1, 2); put(0, 2); put(cmd, 10)
+    put(1, 2); put(0, 2); put(dsym, 6)
+    put(len - CopyBase(cc), CopyExtra(cc))
+    put(dextra, ndistbits)
+    val out = new Array[Byte]((bits.length + 7) / 8)
+    for (i <- bits.indices if bits(i) != 0)
+      out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+    out
   }
 }

@@ -127,12 +127,152 @@ class ParquetPagesSpec extends SparkSpec {
     assert(ParquetPages.rleHybrid(bp, 0, 1, 8)._1.toSeq == Seq(0, 0, 1, 0, 1, 1, 0, 1))
   }
 
-  test("V2 data pages and repeated columns fail loudly") {
+  test("repeated columns fail loudly (flat-only fence)") {
     val out = tmpDir("pqpages_rep")
     Seq((1L, Seq(1, 2, 3)), (2L, Seq(4))).toDF("k", "xs")
       .coalesce(1).write.mode("overwrite").parquet(out)
     intercept[Exception] {
       ParquetPages.scanTwoColumns(spark, out, "k", "xs").collect()
+    }
+  }
+
+  for (codec <- Seq("snappy", "zstd", "uncompressed")) {
+    test(s"V2 data pages match Spark's reader (dictionary on), codec=$codec") {
+      // parquet-mr v2 mode: DataPageHeaderV2 layout with raw level
+      // sections; low-cardinality columns still dictionary-encode
+      val out = tmpDir(s"pqpages_v2_$codec")
+      spark.range(25000).selectExpr(
+        "id AS k",
+        "IF(id % 7 = 0, CAST(NULL AS BIGINT), id % 50) AS n",
+        "CAST(id AS DOUBLE) * 1.5 AS v",
+        "concat('s', CAST(id % 40 AS STRING)) AS s",
+        "id % 3 = 0 AS flag")
+        .coalesce(1).write.mode("overwrite")
+        .option("compression", codec)
+        .option("parquet.writer.version", "v2")
+        .option("parquet.page.size", "4096")
+        .parquet(out)
+      val expected = spark.read.parquet(out).orderBy("k")
+        .select("k", "n", "v", "s", "flag").collect()
+      val k = readColumn(out, "k").map(_.asInstanceOf[Long])
+      val n = readColumn(out, "n")
+      val v = readColumn(out, "v").map(_.asInstanceOf[Double])
+      val s = readColumn(out, "s").map(_.asInstanceOf[String])
+      val f = readColumn(out, "flag")
+      assert(k.size == 25000)
+      expected.zipWithIndex.foreach { case (row, i) =>
+        assert(k(i) == row.getLong(0), s"k at $i")
+        assert((n(i) == null) == row.isNullAt(1), s"n null at $i")
+        if (n(i) != null) assert(n(i).asInstanceOf[Long] == row.getLong(1), s"n at $i")
+        assert(v(i) == row.getDouble(2), s"v at $i")
+        assert(s(i) == row.getString(3), s"s at $i")
+        assert(f(i).asInstanceOf[Boolean] == row.getBoolean(4), s"flag at $i")
+      }
+    }
+  }
+
+  test("V2 DELTA encodings decode (dictionary off: DELTA_BINARY_PACKED + DELTA_BYTE_ARRAY)") {
+    val out = tmpDir("pqpages_v2_delta")
+    // dictionary disabled forces v2's direct encodings: ints/longs ->
+    // DELTA_BINARY_PACKED, strings -> DELTA_BYTE_ARRAY, bools -> RLE
+    spark.range(20000).selectExpr(
+      "id * 37 - 300000 AS k", // negative + positive deltas
+      "CAST(id % 1000 AS INT) AS i32",
+      "concat('value_', CAST(id AS STRING), '_tail') AS s", // shared prefixes
+      "id % 5 = 0 AS flag",
+      "IF(id % 11 = 0, CAST(NULL AS STRING), concat('n_', CAST(id % 97 AS STRING))) AS sn")
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.writer.version", "v2")
+      .option("parquet.enable.dictionary", "false")
+      .option("parquet.page.size", "4096")
+      .parquet(out)
+    // pin that DELTA encodings are actually in play
+    val (path, len) = ParquetFooter.listDataFiles(spark, out).head
+    val fm = ParquetFooter.readFooter(new Configuration(), path, len)
+    val encs = fm.rowGroups.head.columns.flatMap(_.meta)
+      .map(m => m.path -> m.encodings.toSet).toMap
+    assert(encs("k").contains(5), s"k encodings ${encs("k")} lack DELTA_BINARY_PACKED")
+    assert(encs("s").contains(7), s"s encodings ${encs("s")} lack DELTA_BYTE_ARRAY")
+    val expected = spark.read.parquet(out).orderBy("k")
+      .select("k", "i32", "s", "flag", "sn").collect()
+    val k = readColumn(out, "k").map(_.asInstanceOf[Long])
+    val i32 = readColumn(out, "i32").map(_.asInstanceOf[Long])
+    val s = readColumn(out, "s").map(_.asInstanceOf[String])
+    val f = readColumn(out, "flag")
+    val sn = readColumn(out, "sn")
+    assert(k.size == 20000)
+    expected.zipWithIndex.foreach { case (row, i) =>
+      assert(k(i) == row.getLong(0), s"k at $i")
+      assert(i32(i) == row.getInt(1).toLong, s"i32 at $i")
+      assert(s(i) == row.getString(2), s"s at $i")
+      assert(f(i).asInstanceOf[Boolean] == row.getBoolean(3), s"flag at $i")
+      assert((sn(i) == null) == row.isNullAt(4), s"sn null at $i")
+      if (sn(i) != null) assert(sn(i).asInstanceOf[String] == row.getString(4), s"sn at $i")
+    }
+  }
+
+  test("DELTA_BINARY_PACKED hand vectors: wrapping, zero-width, partial miniblocks") {
+    // encoder (mirror of the spec layout) — exercised only here
+    def encode(values: Array[Long], blockSize: Int, numMini: Int): Array[Byte] = {
+      val bb = new java.io.ByteArrayOutputStream()
+      def uleb(v0: Long): Unit = {
+        var v = v0
+        do { val b = (v & 0x7f).toInt; v >>>= 7
+          bb.write(if (v != 0) b | 0x80 else b) } while (v != 0)
+      }
+      def zz(v: Long): Unit = uleb((v << 1) ^ (v >> 63))
+      uleb(blockSize); uleb(numMini); uleb(values.length)
+      zz(values.head)
+      val perMini = blockSize / numMini
+      var idx = 1
+      while (idx < values.length) {
+        val blockVals = values.slice(idx, math.min(idx + blockSize, values.length))
+        val deltas = blockVals.zipWithIndex.map { case (v, j) =>
+          v - (if (j == 0) values(idx - 1) else blockVals(j - 1)) }
+        val minD = deltas.min
+        zz(minD)
+        val adj = deltas.map(_ - minD)
+        val miniCount = (blockVals.length + perMini - 1) / perMini
+        val widths = (0 until numMini).map { mb =>
+          if (mb >= miniCount) 0
+          else {
+            val sl = adj.slice(mb * perMini, math.min((mb + 1) * perMini, adj.length))
+            // adjusted deltas are UNSIGNED 64-bit — width from the
+            // unsigned max, not the signed one (wrapping cases)
+            val mx = sl.foldLeft(0L)((a, b) =>
+              if (java.lang.Long.compareUnsigned(a, b) >= 0) a else b)
+            if (mx == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(mx)
+          }
+        }
+        widths.foreach(bb.write)
+        for (mb <- 0 until miniCount; w = widths(mb); if w > 0) {
+          var bitBuf = 0L; var bitCnt = 0
+          for (j <- mb * perMini until (mb + 1) * perMini) {
+            val v = if (j < adj.length) adj(j) else 0L
+            var got = 0
+            while (got < w) {
+              val take = math.min(8 - bitCnt, w - got)
+              bitBuf |= (((v >>> got) & ((1L << take) - 1)) << bitCnt)
+              bitCnt += take; got += take
+              if (bitCnt == 8) { bb.write(bitBuf.toInt); bitBuf = 0; bitCnt = 0 }
+            }
+          }
+          if (bitCnt > 0) { bb.write(bitBuf.toInt) }
+        }
+        idx += blockSize
+      }
+      bb.toByteArray
+    }
+    val cases = Seq(
+      Array(7L), // single value, no blocks
+      Array(1L, 2L, 3L, 4L, 5L), // constant delta -> zero-width miniblocks
+      Array.tabulate(300)(i => (i * i).toLong - 5000), // multi-block
+      Array(Long.MaxValue, Long.MinValue, 0L, -1L, 1L), // wrapping deltas
+      Array.tabulate(130)(i => if (i % 2 == 0) 1000L else -1000L))
+    for ((vs, ci) <- cases.zipWithIndex) {
+      val enc = encode(vs, 128, 4)
+      val (dec, _) = ParquetPages.deltaBinaryPacked(enc, 0, vs.length)
+      assert(dec.toSeq == vs.toSeq, s"case $ci")
     }
   }
 }

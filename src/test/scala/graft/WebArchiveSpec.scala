@@ -235,6 +235,11 @@ class WebArchiveSpec extends SparkSpec {
     assert(java.util.Arrays.equals(
       WebArchive.decodeHttpBody(
         resp(Some("deflate, gzip"), Gzip.gzip(WebArchive.zlibDeflate(body)))), body))
+    // valid brotli decodes (complete since round 17); malformed still
+    // fails loudly by name
+    assert(java.util.Arrays.equals(
+      WebArchive.decodeHttpBody(
+        resp(Some("br"), graft.operators.Brotli.encodeStored(body))), body))
     val eBr = intercept[IllegalArgumentException](
       WebArchive.decodeHttpBody(resp(Some("br"), body)))
     assert(eBr.getMessage.contains("brotli"))
