@@ -1268,6 +1268,28 @@ object SparkEntry {
           sum(length(col("b_string"))).as("sum_len"),
           countDistinct("b_string").as("n_texts"))
     }),
+    // Repeated (LIST) columns through the hand reader (round-16
+    // VERDICT stretch item 7): repetition levels assemble per-row
+    // arrays (rep 0 starts a record), definition levels split null
+    // list / empty list / null element / value. The fixture is the
+    // documents table tokenized into array<string> and written as V2
+    // pages (dictionary-encoded repeated values); the oracle replays
+    // the split in SQL.
+    "parquet_page_scan_list" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_pages_list_${dir.hashCode.toHexString}"
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .coalesce(1).write.mode("overwrite")
+        .option("parquet.writer.version", "v2")
+        .option("parquet.page.size", "8192")
+        .parquet(out)
+      graft.sources.ParquetPages.scanListColumn(s, out, "toks")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("n_elems").as("n_tokens"),
+          sum(aggregate(col("elems"), lit(0L),
+            (a, x) => a + coalesce(length(x).cast("long"), lit(0L)))).as("sum_len"),
+          sum(when(col("n_elems") === -1L, 1L).otherwise(0L)).as("n_null_lists"))
+    }),
     // High-precision DECIMAL page decode: precision 25 forces the
     // FIXED_LEN_BYTE_ARRAY physical form (big-endian two's-complement
     // unscaled), constructed as exact eighths (k/8 is exact in binary
@@ -7066,6 +7088,14 @@ object SparkEntry {
         |CAST(sum(strlen(text)) AS BIGINT) AS sum_len,
         |CAST(count(DISTINCT text) AS BIGINT) AS n_texts
         |FROM documents""".stripMargin,
+    "parquet_page_scan_list" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |)
+        |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows,
+        |CAST((SELECT count(*) FROM w) AS BIGINT) AS n_tokens,
+        |CAST((SELECT sum(strlen(tok)) FROM w) AS BIGINT) AS sum_len,
+        |CAST(0 AS BIGINT) AS n_null_lists""".stripMargin,
     "parquet_decimal_scan" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |CAST(sum(l_orderkey) * 125 AS BIGINT) AS sum_unscaled,

@@ -372,7 +372,22 @@ object ParquetPages {
     * schema); repeated fields are rejected upstream. */
   def readChunk(conf: org.apache.hadoop.conf.Configuration, path: String,
                 meta: ParquetFooter.ColumnMeta, maxDef: Int,
-                typeLength: Int = 0): DecodedChunk = {
+                typeLength: Int = 0): DecodedChunk =
+    readChunkLevels(conf, path, meta, maxDef, 0, typeLength)._1
+
+  /** One level's bit width: levels 0..max. */
+  private def levelWidth(max: Int): Int =
+    32 - Integer.numberOfLeadingZeros(max)
+
+  /** [[readChunk]] generalized to REPEATED (nested) columns: returns
+    * the values ALIGNED TO LEVEL ENTRIES (null where def < maxDef)
+    * plus the definition- and repetition-level arrays the caller
+    * assembles records from (rep == 0 starts a new record). Flat
+    * columns pass maxRep = 0 and get the old contract (reps all
+    * zero). */
+  def readChunkLevels(conf: org.apache.hadoop.conf.Configuration, path: String,
+                      meta: ParquetFooter.ColumnMeta, maxDef: Int, maxRep: Int,
+                      typeLength: Int = 0): (DecodedChunk, Array[Int], Array[Int]) = {
     require(meta.numValues >= 0 && meta.numValues <= Int.MaxValue,
       s"implausible chunk value count ${meta.numValues}")
     require(meta.totalCompressedSize > 0 && meta.totalCompressedSize <= (1L << 31) - 1,
@@ -387,6 +402,10 @@ object ParquetPages {
     var off = 0
     var dict: Array[Any] = null
     val out = new Array[Any](meta.numValues.toInt)
+    val allDefs = new Array[Int](meta.numValues.toInt)
+    val allReps = new Array[Int](meta.numValues.toInt)
+    val defW = levelWidth(maxDef)
+    val repW = levelWidth(maxRep)
     var filled = 0
     while (filled < meta.numValues) {
       require(off < chunkBytes.length, "chunk exhausted before all values decoded")
@@ -399,11 +418,15 @@ object ParquetPages {
       val pageStart = off + ph.headerLen
       off += ph.headerLen + ph.compressedSize
 
-      // place `nPresent` decoded present-values into `out` per `defs`
-      def place(numValues: Int, defs: Array[Int], vs: Array[Any]): Unit = {
+      // place `nPresent` decoded present-values into `out` per `defs`,
+      // recording the level arrays alongside
+      def place(numValues: Int, defs: Array[Int], reps: Array[Int],
+                vs: Array[Any]): Unit = {
         var vi = 0; var i = 0
         while (i < numValues) {
-          if (defs == null || defs(i) == 1) { out(filled) = vs(vi); vi += 1 }
+          allDefs(filled) = if (defs == null) maxDef else defs(i)
+          allReps(filled) = if (reps == null) 0 else reps(i)
+          if (defs == null || defs(i) == maxDef) { out(filled) = vs(vi); vi += 1 }
           filled += 1; i += 1
         }
       }
@@ -447,41 +470,52 @@ object ParquetPages {
           s"dictionary page encoding ${ph.valueEncoding} not PLAIN")
         dict = plainValues(meta.typ, body, 0, ph.numValues, typeLength)
       } else if (ph.kind == 0) {
-        // data page v1: [def levels if maxDef>0][values], ALL compressed
+        // data page v1: [rep levels if maxRep>0][def levels if
+        // maxDef>0][values], ALL compressed; each level section is a
+        // 4-byte-length-prefixed RLE run
         val body = inflatePage(meta.codec, chunkBytes, pageStart,
           ph.compressedSize, ph.uncompressedSize)
         require(body.length == ph.uncompressedSize,
           s"page inflated to ${body.length}, header says ${ph.uncompressedSize}")
         var vp = 0
+        def prefixedLevels(width: Int): Array[Int] = {
+          val rleLen = (body(vp) & 0xff) | ((body(vp + 1) & 0xff) << 8) |
+            ((body(vp + 2) & 0xff) << 16) | ((body(vp + 3) & 0xff) << 24)
+          require(rleLen >= 0 && vp + 4 + rleLen <= body.length,
+            s"level section of $rleLen bytes overruns the page")
+          val (lv, _) = rleHybrid(body, vp + 4, width, ph.numValues)
+          vp += 4 + rleLen
+          lv
+        }
+        val reps: Array[Int] = if (maxRep > 0) prefixedLevels(repW) else null
         val defs: Array[Int] =
           if (maxDef > 0) {
             require(ph.defLevelEncoding == 3, "definition levels must be RLE")
-            val rleLen = (body(0) & 0xff) | ((body(1) & 0xff) << 8) |
-              ((body(2) & 0xff) << 16) | ((body(3) & 0xff) << 24)
-            val (lv, _) = rleHybrid(body, 4, 1, ph.numValues)
-            vp = 4 + rleLen
-            lv
+            prefixedLevels(defW)
           } else null
-        val nPresent = if (defs == null) ph.numValues else defs.count(_ == 1)
-        place(ph.numValues, defs, decodeValues(ph.valueEncoding, body, vp, nPresent))
+        val nPresent = if (defs == null) ph.numValues else defs.count(_ == maxDef)
+        place(ph.numValues, defs, reps,
+          decodeValues(ph.valueEncoding, body, vp, nPresent))
       } else {
         // data page V2: [rep levels raw][def levels raw][values,
         // compressed iff is_compressed] — levels are NEVER compressed
         // and carry NO 4-byte length prefix (lengths sit in the header)
-        require(ph.repLevelsByteLen == 0,
-          "repeated columns not supported (flat columns only)")
-        require(ph.defLevelsByteLen >= 0 &&
-          pageStart + ph.repLevelsByteLen + ph.defLevelsByteLen <= chunkBytes.length,
+        require(maxRep > 0 || ph.repLevelsByteLen == 0,
+          "page carries repetition levels but the column is flat")
+        require(ph.defLevelsByteLen >= 0 && ph.repLevelsByteLen >= 0 &&
+          pageStart + ph.repLevelsByteLen.toLong + ph.defLevelsByteLen <= chunkBytes.length,
           "V2 level sections overrun the chunk")
+        val reps: Array[Int] =
+          if (maxRep > 0 && ph.repLevelsByteLen > 0)
+            rleHybrid(chunkBytes, pageStart, repW, ph.numValues)._1
+          else null
         val defs: Array[Int] =
-          if (maxDef > 0 && ph.defLevelsByteLen > 0) {
-            val (lv, _) = rleHybrid(chunkBytes,
-              pageStart + ph.repLevelsByteLen, 1, ph.numValues)
-            lv
-          } else null
+          if (maxDef > 0 && ph.defLevelsByteLen > 0)
+            rleHybrid(chunkBytes, pageStart + ph.repLevelsByteLen, defW, ph.numValues)._1
+          else null
         val nPresent = ph.numValues - math.max(0, ph.numNulls)
         if (defs != null)
-          require(defs.count(_ == 1) == nPresent,
+          require(defs.count(_ == maxDef) == nPresent,
             s"V2 def levels disagree with num_nulls (${ph.numNulls})")
         else require(ph.numNulls <= 0, "V2 page has nulls but no def levels")
         val levelBytes = ph.repLevelsByteLen + ph.defLevelsByteLen
@@ -494,10 +528,10 @@ object ParquetPages {
               ph.uncompressedSize - levelBytes)
           else
             java.util.Arrays.copyOfRange(chunkBytes, valuesOff, valuesOff + valuesCompLen)
-        place(ph.numValues, defs, decodeValues(ph.valueEncoding, values, 0, nPresent))
+        place(ph.numValues, defs, reps, decodeValues(ph.valueEncoding, values, 0, nPresent))
       }
     }
-    DecodedChunk(meta.typ, out)
+    (DecodedChunk(meta.typ, out), allDefs, allReps)
   }
 
   /** Max definition level of a FLAT leaf from the footer schema:
@@ -514,6 +548,143 @@ object ParquetPages {
         s"$columnPath has repetition $r (REPEATED) — flat columns only")
     }
     (maxDef, leaf.typeLength.getOrElse(0))
+  }
+
+  /** The level geometry of a one-level LIST column. */
+  private[sources] final case class ListShape(
+      leafPath: String, maxDef: Int, maxRep: Int,
+      emptyListDef: Int, typ: Int)
+
+  /** Resolve `columnPath` as a LIST of primitives from the footer
+    * schema. Handles the standard 3-level shape Spark/parquet-mr write
+    * (`optional group xs (LIST) { repeated group list { <rep> T
+    * element } }`) and the legacy 2-level form (`repeated T element`
+    * directly under the group). Nested lists / structs stay fenced. */
+  private[sources] def listShapeOf(fm: ParquetFooter.FileMeta,
+      columnPath: String): ListShape = {
+    // depth-first schema walk: collect (element, children) for the
+    // top-level field named columnPath
+    val s = fm.schema
+    var i = 1 // skip root
+    var found = -1
+    while (i < s.length && found < 0) {
+      if (s(i).name == columnPath) found = i
+      else i += subtreeSize(s, i)
+    }
+    require(found >= 0, s"column $columnPath not in schema")
+    val outer = s(found)
+    require(outer.numChildren.exists(_ == 1),
+      s"$columnPath is not a single-child LIST group")
+    val outerOpt = outer.repetition.getOrElse(0) match {
+      case 0 => 0
+      case 1 => 1
+      case r => throw new IllegalArgumentException(
+        s"$columnPath has repetition $r — top-level REPEATED unsupported")
+    }
+    val mid = s(found + 1)
+    if (mid.numChildren.forall(_ == 0)) {
+      // legacy 2-level: repeated primitive directly under the group
+      require(mid.repetition.contains(2),
+        s"$columnPath.${mid.name} is not REPEATED — not a list")
+      val typ = mid.typ.getOrElse(
+        throw new IllegalArgumentException(s"$columnPath element has no type"))
+      // def levels mirror the 3-level form with a REQUIRED element:
+      // < outerOpt → null list, outerOpt → empty list, outerOpt+1 →
+      // element (elements cannot be null in the 2-level form)
+      ListShape(s"$columnPath.${mid.name}", outerOpt + 1, 1, outerOpt, typ)
+    } else {
+      // standard 3-level
+      require(mid.repetition.contains(2) && mid.numChildren.contains(1),
+        s"$columnPath.${mid.name} is not the repeated middle group of a LIST")
+      val leaf = s(found + 2)
+      require(leaf.numChildren.forall(_ == 0),
+        s"$columnPath element is a group — nested lists/structs unsupported")
+      val leafOpt = leaf.repetition.getOrElse(0) match {
+        case 0 => 0
+        case 1 => 1
+        case r => throw new IllegalArgumentException(
+          s"$columnPath element has repetition $r — unsupported")
+      }
+      val typ = leaf.typ.getOrElse(
+        throw new IllegalArgumentException(s"$columnPath element has no type"))
+      // defs: 0..outerOpt-1 → null list; outerOpt → empty list;
+      // outerOpt+1 → element at def below max (null element, only when
+      // leafOpt=1); maxDef → present element
+      ListShape(s"$columnPath.${mid.name}.${leaf.name}",
+        outerOpt + 1 + leafOpt, 1, outerOpt, typ)
+    }
+  }
+
+  private def subtreeSize(s: Seq[ParquetFooter.SchemaElement], at: Int): Int = {
+    var size = 1
+    var remaining = s(at).numChildren.getOrElse(0)
+    while (remaining > 0) {
+      val childSize = subtreeSize(s, at + size)
+      size += childSize
+      remaining -= 1
+    }
+    size
+  }
+
+  /** Read a LIST column of every file under `dir` through the hand
+    * reader: repetition levels assemble the per-record arrays (rep 0
+    * starts a record), definition levels distinguish null list / empty
+    * list / null element / present element. Output: (file, row_idx,
+    * n_elems [−1 for a null list], elems as array<string>) — elements
+    * are stringified so one schema serves every primitive type; the
+    * caller casts. Row-local per (file, row group), zero shuffle. */
+  def scanListColumn(spark: SparkSession, dir: String, columnPath: String): DataFrame = {
+    val files = ParquetFooter.listDataFiles(spark, dir)
+    val parts = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("row_idx", LongType, nullable = false),
+      StructField("n_elems", LongType, nullable = false),
+      StructField("elems", ArrayType(StringType, containsNull = true), nullable = true)))
+    val rows = spark.sparkContext.parallelize(files, parts).flatMap { case (path, len) =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fm = ParquetFooter.readFooter(conf, path, len)
+      val shape = listShapeOf(fm, columnPath)
+      var base = 0L
+      fm.rowGroups.flatMap { rg =>
+        val meta = rg.columns.flatMap(_.meta).find(_.path == shape.leafPath).getOrElse(
+          throw new IllegalArgumentException(
+            s"chunk for ${shape.leafPath} missing from row group"))
+        val (chunk, defs, reps) = readChunkLevels(conf, path, meta,
+          shape.maxDef, shape.maxRep)
+        val recs = Seq.newBuilder[Row]
+        var cur: scala.collection.mutable.ArrayBuffer[String] = null
+        var curNull = false
+        var rowIdx = base
+        def flush(): Unit = if (cur != null || curNull) {
+          recs += Row(path, rowIdx,
+            if (curNull) -1L else cur.length.toLong,
+            if (curNull) null else cur.toSeq)
+          rowIdx += 1
+        }
+        var i = 0
+        while (i < defs.length) {
+          if (reps(i) == 0) { // new record
+            flush()
+            cur = null; curNull = false
+            if (defs(i) < shape.emptyListDef) curNull = true
+            else cur = scala.collection.mutable.ArrayBuffer.empty[String]
+          }
+          if (!curNull && defs(i) > shape.emptyListDef) {
+            // an element entry: present value or (maxDef-1) null element
+            if (defs(i) == shape.maxDef) cur += String.valueOf(chunk.values(i))
+            else cur += null
+          }
+          i += 1
+        }
+        flush()
+        require(rowIdx - base == rg.numRows,
+          s"assembled ${rowIdx - base} records, row group says ${rg.numRows}")
+        base = rowIdx
+        recs.result()
+      }
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Read two flat columns of every file under `dir` through the hand

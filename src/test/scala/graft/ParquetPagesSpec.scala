@@ -211,6 +211,48 @@ class ParquetPagesSpec extends SparkSpec {
     }
   }
 
+  for (version <- Seq("v1", "v2")) {
+    test(s"LIST columns assemble from rep/def levels ($version): null/empty lists, null elements") {
+      val out = tmpDir(s"pqpages_list_$version")
+      spark.range(5000).selectExpr(
+        "id AS k",
+        """CASE WHEN id % 13 = 0 THEN CAST(NULL AS ARRAY<STRING>)
+          |     WHEN id % 7 = 0 THEN array()
+          |     WHEN id % 5 = 0 THEN array(concat('x', id), CAST(NULL AS STRING), 'tail')
+          |     ELSE array(concat('a', id), concat('b', id % 19))
+          |END AS xs""".stripMargin)
+        .coalesce(1).write.mode("overwrite")
+        .option("parquet.writer.version", version)
+        .option("parquet.page.size", "2048")
+        .parquet(out)
+      val got = ParquetPages.scanListColumn(spark, out, "xs")
+        .orderBy("row_idx").collect()
+      val want = spark.read.parquet(out).orderBy("k")
+        .selectExpr("k", "xs").collect()
+      assert(got.length == 5000)
+      want.zipWithIndex.foreach { case (row, i) =>
+        val g = got(i)
+        if (row.isNullAt(1)) {
+          assert(g.getLong(2) == -1L && g.isNullAt(3), s"null list at $i")
+        } else {
+          val xs = row.getSeq[String](1)
+          assert(g.getLong(2) == xs.length.toLong, s"n_elems at $i")
+          assert(g.getSeq[String](3) == xs, s"elems at $i")
+        }
+      }
+    }
+  }
+
+  test("LIST of longs assembles (element stringification)") {
+    val out = tmpDir("pqpages_list_long")
+    spark.range(2000).selectExpr("id AS k", "array(id, id * 2, id % 7) AS xs")
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    val got = ParquetPages.scanListColumn(spark, out, "xs").orderBy("row_idx").collect()
+    got.zipWithIndex.foreach { case (g, i) =>
+      assert(g.getSeq[String](3) == Seq(s"$i", s"${i * 2L}", s"${i % 7}"), s"at $i")
+    }
+  }
+
   test("DELTA_BINARY_PACKED hand vectors: wrapping, zero-width, partial miniblocks") {
     // encoder (mirror of the spec layout) — exercised only here
     def encode(values: Array[Long], blockSize: Int, numMini: Int): Array[Byte] = {
