@@ -310,6 +310,58 @@ object ParquetPages {
       s"unsupported page codec ${ParquetFooter.CodecNames.lift(c).getOrElse(c.toString)}")
   }
 
+  /** Shared value-section decode: PLAIN / dictionary / DELTA family /
+    * boolean RLE / BYTE_STREAM_SPLIT — legal in both page versions. */
+  private[graft] def decodePageValues(typ: Int, enc: Int, body: Array[Byte],
+      vp: Int, nPresent: Int, dict: Array[Any], typeLength: Int): Array[Any] =
+    enc match {
+      case 0 => // PLAIN
+        plainValues(typ, body, vp, nPresent, typeLength)
+      case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY indices
+        require(dict != null, "dictionary-encoded page before dictionary page")
+        val bw = body(vp) & 0xff
+        val (idx, _) = rleHybrid(body, vp + 1, bw, nPresent)
+        idx.take(nPresent).map(dict(_): Any)
+      case 3 => // RLE boolean values (4-byte LE length prefix, v2 writers)
+        require(typ == 0, "RLE value encoding is BOOLEAN-only")
+        val (lv, _) = rleHybrid(body, vp + 4, 1, nPresent)
+        lv.take(nPresent).map(v => Boolean.box(v == 1): Any)
+      case 5 => // DELTA_BINARY_PACKED ints
+        require(typ == 1 || typ == 2,
+          s"DELTA_BINARY_PACKED on non-integer type ${ParquetFooter.TypeNames(typ)}")
+        val (vs, _) = deltaBinaryPacked(body, vp, nPresent)
+        if (typ == 1) vs.map(v => Long.box(v.toInt.toLong): Any)
+        else vs.map(Long.box(_): Any)
+      case 6 => // DELTA_LENGTH_BYTE_ARRAY strings
+        require(typ == 6, "DELTA_LENGTH_BYTE_ARRAY is BYTE_ARRAY-only")
+        deltaLengthByteArray(body, vp, nPresent)._1.map(v => v: Any)
+      case 7 => // DELTA_BYTE_ARRAY strings (front coding)
+        require(typ == 6, "DELTA_BYTE_ARRAY is BYTE_ARRAY-only")
+        deltaByteArray(body, vp, nPresent)._1.map(v => v: Any)
+      case 9 => // BYTE_STREAM_SPLIT: byte j of value i at j·n + i
+        require(typ == 4 || typ == 5,
+          "BYTE_STREAM_SPLIT supported for FLOAT/DOUBLE only")
+        val w = if (typ == 4) 4 else 8
+        require(vp + nPresent.toLong * w <= body.length,
+          "BYTE_STREAM_SPLIT values overrun the page")
+        val outv = new Array[Any](nPresent)
+        var i = 0
+        while (i < nPresent) {
+          var bits = 0L; var j = w - 1
+          while (j >= 0) {
+            bits = (bits << 8) | (body(vp + j * nPresent + i) & 0xffL)
+            j -= 1
+          }
+          outv(i) =
+            if (typ == 4) java.lang.Float.intBitsToFloat(bits.toInt).toDouble
+            else java.lang.Double.longBitsToDouble(bits)
+          i += 1
+        }
+        outv
+      case e => throw new IllegalArgumentException(
+        s"unsupported value encoding ${ParquetFooter.EncodingNames.lift(e).getOrElse(e.toString)}")
+    }
+
   private def plainValues(typ: Int, b: Array[Byte], off0: Int, n: Int,
                           typeLength: Int = 0): Array[Any] = {
     val out = new Array[Any](n)
@@ -329,6 +381,18 @@ object ParquetPages {
           var v = 0L; var k = 7
           while (k >= 0) { v = (v << 8) | (b(p + k) & 0xffL); k -= 1 }
           out(i) = v; p += 8; i += 1
+        }
+      case 3 => // INT96: legacy Spark/Impala timestamp — 8-byte LE
+        // nanos-of-day then 4-byte LE Julian day; surfaced as
+        // MICROSECONDS since the Unix epoch (Spark's internal form)
+        while (i < n) {
+          var nanos = 0L; var k = 7
+          while (k >= 0) { nanos = (nanos << 8) | (b(p + k) & 0xffL); k -= 1 }
+          val jd = (b(p + 8) & 0xff) | ((b(p + 9) & 0xff) << 8) |
+            ((b(p + 10) & 0xff) << 16) | ((b(p + 11) & 0xff) << 24)
+          // Unix epoch 1970-01-01 = Julian day 2440588
+          out(i) = (jd - 2440588).toLong * 86400000000L + nanos / 1000L
+          p += 12; i += 1
         }
       case 4 => // FLOAT LE
         while (i < n) {
@@ -430,36 +494,8 @@ object ParquetPages {
           filled += 1; i += 1
         }
       }
-      // shared value-section decode: PLAIN / dictionary / DELTA family /
-      // boolean RLE — legal in both page versions
       def decodeValues(enc: Int, body: Array[Byte], vp: Int, nPresent: Int): Array[Any] =
-        enc match {
-          case 0 => // PLAIN
-            plainValues(meta.typ, body, vp, nPresent, typeLength)
-          case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY indices
-            require(dict != null, "dictionary-encoded page before dictionary page")
-            val bw = body(vp) & 0xff
-            val (idx, _) = rleHybrid(body, vp + 1, bw, nPresent)
-            idx.take(nPresent).map(dict(_): Any)
-          case 3 => // RLE boolean values (4-byte LE length prefix, v2 writers)
-            require(meta.typ == 0, "RLE value encoding is BOOLEAN-only")
-            val (lv, _) = rleHybrid(body, vp + 4, 1, nPresent)
-            lv.take(nPresent).map(v => Boolean.box(v == 1): Any)
-          case 5 => // DELTA_BINARY_PACKED ints
-            require(meta.typ == 1 || meta.typ == 2,
-              s"DELTA_BINARY_PACKED on non-integer type ${ParquetFooter.TypeNames(meta.typ)}")
-            val (vs, _) = deltaBinaryPacked(body, vp, nPresent)
-            if (meta.typ == 1) vs.map(v => Long.box(v.toInt.toLong): Any)
-            else vs.map(Long.box(_): Any)
-          case 6 => // DELTA_LENGTH_BYTE_ARRAY strings
-            require(meta.typ == 6, "DELTA_LENGTH_BYTE_ARRAY is BYTE_ARRAY-only")
-            deltaLengthByteArray(body, vp, nPresent)._1.map(v => v: Any)
-          case 7 => // DELTA_BYTE_ARRAY strings (front coding)
-            require(meta.typ == 6, "DELTA_BYTE_ARRAY is BYTE_ARRAY-only")
-            deltaByteArray(body, vp, nPresent)._1.map(v => v: Any)
-          case e => throw new IllegalArgumentException(
-            s"unsupported value encoding ${ParquetFooter.EncodingNames.lift(e).getOrElse(e.toString)}")
-        }
+        decodePageValues(meta.typ, enc, body, vp, nPresent, dict, typeLength)
 
       if (ph.kind == 2) { // dictionary page: PLAIN values
         val body = inflatePage(meta.codec, chunkBytes, pageStart,

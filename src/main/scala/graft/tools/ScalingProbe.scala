@@ -610,7 +610,13 @@ object ScalingProbe {
     val lo = 3 * m1 / 10; val hi = 9 * m1 / 20
     for (files <- Seq(16, 160, 1600)) {
       val out = s"/root/repo/target/tmp/graft_meta_scale_$files"
-      li.repartition(files).write.mode("overwrite").parquet(out)
+      // bloom filter on the key column (dictionary off for that column —
+      // a fully dict-encoded chunk makes the writer drop the bloom), so
+      // the bloom-census leg rides the same fixture set
+      li.repartition(files).write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.enable.dictionary#l_orderkey", "false")
+        .parquet(out)
       results(("footers", files)) = timed { () =>
         ParquetFooter.footers(spark, out).agg(
           count(lit(1)).as("n"), sum("num_rows").as("rows"))
@@ -623,6 +629,16 @@ object ScalingProbe {
         ParquetFooter.pruneCensus(spark, out, "l_orderkey", lo, hi)
           .agg(sum(when(col("skipped"), 1L).otherwise(0L)).as("skipped"),
             sum("rows_scanned").as("scanned"))
+      }
+      // bloom-census leg (round 17, VERDICT item 6): the point-lookup
+      // file-skip decision must also stay O(files) — each probe reads
+      // one footer + one bloom bitset per file, never data pages
+      results(("bloom_probe", files)) = timed { () =>
+        graft.sources.ParquetBloom
+          .probeCensus(spark, out, "l_orderkey",
+            Seq(lo, hi, m1 / 2, m1 + 11, m1 + 23, m1 + 37, m1 + 51, m1 + 73))
+          .agg(sum(when(col("might_contain"), 1L).otherwise(0L)).as("hits"),
+            count(lit(1)).as("n"))
       }
       // data plane, honestly measured: the hand page reader is a
       // row-boxing audit/tooling path, NOT a replacement for Spark's
@@ -641,7 +657,7 @@ object ScalingProbe {
     val head = Provenance.gitHead
     val dirty = Provenance.gitTreeDirty
     val sb = new StringBuilder
-    sb ++= "\n## Metadata tier — parquet footer / stats scans (round 16)\n\n"
+    sb ++= "\n## Metadata tier — parquet footer / stats / bloom scans (rounds 16-17)\n\n"
     sb ++= s"Generated by `graft.tools.ScalingProbe meta` at git `$head`" +
       s"${if (dirty) " (DIRTY tree)" else ""}, local[$cpus]. The SAME " +
       "sf0.1 lineitem rows written as 16 / 160 / 1600 parquet files: a " +
@@ -656,7 +672,7 @@ object ScalingProbe {
     def wall(op: String, f: Int) = results((op, f))._1
     sb ++= "\n| op | wall 160/16 | wall 1600/160 (≤~10× = O(files); " +
       "constant data volume throughout) |\n|---|---|---|\n"
-    for (op <- Seq("footers", "column_stats", "rg_prune",
+    for (op <- Seq("footers", "column_stats", "rg_prune", "bloom_probe",
         "page_scan_hand", "page_scan_spark"))
       sb ++= f"| $op | ${wall(op, 160) / wall(op, 16)}%.1f× | ${wall(op, 1600) / wall(op, 160)}%.1f× |\n"
     sb ++= f"\nHand page reader vs Spark's vectorized scan at 16 files: " +

@@ -253,6 +253,64 @@ class ParquetPagesSpec extends SparkSpec {
     }
   }
 
+  test("INT96 legacy timestamps decode to epoch micros") {
+    val out = tmpDir("pqpages_int96")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      spark.range(3000).selectExpr("id AS k",
+        "timestamp_micros(1700000000000000 + id * 1234567) AS ts")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val (path, len) = ParquetFooter.listDataFiles(spark, out).head
+    val fm = ParquetFooter.readFooter(new Configuration(), path, len)
+    val meta = fm.rowGroups.head.columns.flatMap(_.meta).find(_.path == "ts").get
+    assert(ParquetFooter.TypeNames(meta.typ) == "INT96")
+    val got = readColumn(out, "ts").map(_.asInstanceOf[Long])
+    val want = spark.read.parquet(out).orderBy("k").select("ts").collect()
+      .map { r =>
+        val t = r.getTimestamp(0).toInstant
+        t.getEpochSecond * 1000000L + t.getNano / 1000L
+      }
+    assert(got.size == 3000)
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) => assert(g == w, s"at $i") }
+  }
+
+  test("BYTE_STREAM_SPLIT layout agrees with parquet-mr's reader") {
+    // no writer config exposes BSS through Spark, so the layout is
+    // pinned against parquet-mr's OWN ByteStreamSplitValuesReader (the
+    // spec-suite cross-oracle precedent): bytes laid out stream-major
+    // must decode to the same doubles/floats through both readers.
+    val doubles = Array(0.0, -1.5, math.Pi, 1e300, -1e-300, Double.MinPositiveValue, 42.25)
+    val n = doubles.length
+    val dBytes = new Array[Byte](n * 8)
+    for (i <- 0 until n) {
+      val bits = java.lang.Double.doubleToLongBits(doubles(i))
+      for (j <- 0 until 8) dBytes(j * n + i) = ((bits >>> (8 * j)) & 0xff).toByte
+    }
+    val ours = ParquetPages.decodePageValues(5, 9, dBytes, 0, n, null, 0)
+    assert(ours.map(_.asInstanceOf[Double]).toSeq == doubles.toSeq)
+    val mrReader = new org.apache.parquet.column.values.bytestreamsplit.ByteStreamSplitValuesReaderForDouble()
+    mrReader.initFromPage(n,
+      org.apache.parquet.bytes.ByteBufferInputStream.wrap(java.nio.ByteBuffer.wrap(dBytes)))
+    for (i <- 0 until n)
+      assert(mrReader.readDouble() == doubles(i), s"parquet-mr double at $i")
+    // float leg
+    val floats = Array(0.0f, -2.5f, 3.14159f, 1e30f, Float.MinPositiveValue)
+    val m = floats.length
+    val fBytes = new Array[Byte](m * 4)
+    for (i <- 0 until m) {
+      val bits = java.lang.Float.floatToIntBits(floats(i))
+      for (j <- 0 until 4) fBytes(j * m + i) = ((bits >>> (8 * j)) & 0xff).toByte
+    }
+    val oursF = ParquetPages.decodePageValues(4, 9, fBytes, 0, m, null, 0)
+    assert(oursF.map(_.asInstanceOf[Double]).toSeq == floats.map(_.toDouble).toSeq)
+    val mrF = new org.apache.parquet.column.values.bytestreamsplit.ByteStreamSplitValuesReaderForFloat()
+    mrF.initFromPage(m,
+      org.apache.parquet.bytes.ByteBufferInputStream.wrap(java.nio.ByteBuffer.wrap(fBytes)))
+    for (i <- 0 until m)
+      assert(mrF.readFloat() == floats(i), s"parquet-mr float at $i")
+  }
+
   test("DELTA_BINARY_PACKED hand vectors: wrapping, zero-width, partial miniblocks") {
     // encoder (mirror of the spec layout) — exercised only here
     def encode(values: Array[Long], blockSize: Int, numMini: Int): Array[Byte] = {
