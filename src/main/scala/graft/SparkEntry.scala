@@ -1268,6 +1268,29 @@ object SparkEntry {
           sum(length(col("b_string"))).as("sum_len"),
           countDistinct("b_string").as("n_texts"))
     }),
+    // INT96 legacy timestamps (the physical type older Spark/Impala
+    // lakes carry) through the hand reader: events written in INT96
+    // mode, decoded back to epoch micros. Sums ride an epoch-2024
+    // offset so they stay well inside Long.
+    "parquet_page_scan_int96" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_pages_i96_${dir.hashCode.toHexString}"
+      val key = "spark.sql.parquet.outputTimestampType"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "INT96")
+      try tbl(s, dir, "events")
+        .select(col("user_id").cast("long").as("uid"), col("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      graft.sources.ParquetPages.scanTwoColumns(s, out, "uid", "ts")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("a_long").as("sum_uid"),
+          min("b_long").as("min_us"),
+          max("b_long").as("max_us"),
+          sum(col("b_long") - lit(1704067200000000L)).as("sum_rel_us"))
+    }),
     // Repeated (LIST) columns through the hand reader (round-16
     // VERDICT stretch item 7): repetition levels assemble per-row
     // arrays (rep 0 starts a record), definition levels split null
@@ -4437,6 +4460,23 @@ object SparkEntry {
       PretrainedVocab.tokenCountsMerges(docs, "doc_id", "text", loaded)
         .orderBy("doc_id")
     }),
+    // Token IDS under the loaded vocab (what a pipeline actually
+    // materializes): ids 0..255 are the byte alphabet, 256+rank the
+    // merged tokens. The oracle REBUILDS the id table in SQL — the
+    // bytes→unicode mapping from its printable-range definition and
+    // the merge ranks from the 3-round replay — and sums ids per doc,
+    // so a single wrong id anywhere breaks the hash.
+    "text_bpe_pretrained_ids" -> ((s, dir) => {
+      val docs = gpt2Corpus(s, dir)
+      val trained = Bpe.trainIncremental(docs, "text", k = 3, batch = 3,
+        init = Bpe.initGpt2Symbols, tok = Bpe.gpt2PreTokens)
+      val loaded = PretrainedVocab.parseMergesTxt(
+        PretrainedVocab.renderMergesTxt(trained))
+      val ids = ((0 until 256).map(b => Bpe.byteToUnicode(b) -> b) ++
+        loaded.map(m => m.merged -> (256 + m.rank))).toMap
+      PretrainedVocab.tokenIdSums(docs, "doc_id", "text", loaded, ids)
+        .orderBy("doc_id")
+    }),
     // tiktoken-format leg: the same vocabulary expressed as a base64
     // `.tiktoken` rank file (ranks follow creation order), loaded back
     // and encoded with tiktoken's merged-rank algorithm — again equal
@@ -7088,6 +7128,13 @@ object SparkEntry {
         |CAST(sum(strlen(text)) AS BIGINT) AS sum_len,
         |CAST(count(DISTINCT text) AS BIGINT) AS n_texts
         |FROM documents""".stripMargin,
+    "parquet_page_scan_int96" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+        |CAST(max(epoch_us(ts)) AS BIGINT) AS max_us,
+        |CAST(sum(epoch_us(ts) - 1704067200000000) AS BIGINT) AS sum_rel_us
+        |FROM events""".stripMargin,
     "parquet_page_scan_list" ->
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
@@ -10392,6 +10439,45 @@ object SparkEntry {
          |)
          |SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens
          |FROM documents d LEFT JOIN gp_sums s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // ids replay: the byte alphabet from its printable-range
+    // definition (non-printables get 256+n in ascending byte order),
+    // merged-token ids 256+rank from the 3-round replay, summed per
+    // word then per doc
+    "text_bpe_pretrained_ids" ->
+      s"""$bpeGpt2Ctes, gp_b2u AS (
+         |  SELECT b,
+         |    CASE WHEN pr THEN chr(CAST(b AS INT))
+         |         ELSE chr(256 + CAST(row_number() OVER
+         |           (PARTITION BY pr ORDER BY b) - 1 AS INT)) END AS sym
+         |  FROM (SELECT range AS b,
+         |      ((range BETWEEN 33 AND 126) OR (range BETWEEN 161 AND 172)
+         |        OR (range BETWEEN 174 AND 255)) AS pr
+         |    FROM range(256))
+         |), gp_symid AS (
+         |  SELECT replace(pr, ' ', '') AS sym, 256 + rank AS id FROM (
+         |    SELECT 0 AS rank, pr FROM gpm1
+         |    UNION ALL SELECT 1, pr FROM gpm2
+         |    UNION ALL SELECT 2, pr FROM gpm3)
+         |  UNION ALL
+         |  SELECT sym, b AS id FROM gp_b2u
+         |), gp_wsyms AS (
+         |  SELECT word, unnest(string_split(trim(seq), ' ')) AS s FROM gpseq3
+         |), gp_wordids AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS ntok,
+         |    CAST(sum(si.id) AS BIGINT) AS idsum
+         |  FROM gp_wsyms JOIN gp_symid si ON si.sym = gp_wsyms.s
+         |  GROUP BY word
+         |), gp_docwords AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '$duckGpt2Pat')) AS w
+         |  FROM gp_docs
+         |), gp_idsums AS (
+         |  SELECT doc_id, sum(ntok) AS n, sum(idsum) AS ids
+         |  FROM gp_docwords JOIN gp_wordids ON w = word GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(s.ids, 0) AS BIGINT) AS id_sum
+         |FROM documents d LEFT JOIN gp_idsums s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "text_tiktoken_pretrained" ->
       s"""$bpeGpt2Ctes, gp_wordtok AS (

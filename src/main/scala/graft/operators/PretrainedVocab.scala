@@ -282,6 +282,35 @@ object PretrainedVocab {
       .toDF(idCol, "n_tokens")
   }
 
+  /** Per-doc token COUNT + token-ID SUM under a LOADED merge list and
+    * id table — what a real pipeline materializes is the id sequence,
+    * so the gate pins ids, not just counts. Row-local; unknown symbols
+    * fail loudly (an id table must cover its own vocabulary). */
+  def tokenIdSums(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Bpe.Merge], ids: Map[String, Int]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rk = pairRankMap(merges)
+        it.map { case (id, text) =>
+          var n = 0L
+          var sum = 0L
+          Bpe.gpt2Split(text).foreach { w =>
+            encodeWordMerges(Bpe.initGpt2Symbols(w), rk).foreach { sym =>
+              val tid = ids.getOrElse(sym, throw new IllegalArgumentException(
+                s"symbol '$sym' missing from the id table"))
+              n += 1
+              sum += tid
+            }
+          }
+          (id, n, sum)
+        }
+      }
+      .toDF(idCol, "n_tokens", "id_sum")
+  }
+
   /** Per-doc token counts under a LOADED `.tiktoken`-style rank table,
     * GPT-2 pre-tokenization, via the merged-rank encoder. */
   def tokenCountsVocabRanks(docs: DataFrame, idCol: String, textCol: String,

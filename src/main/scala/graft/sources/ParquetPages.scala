@@ -192,9 +192,13 @@ object ParquetPages {
     val (numMiniL, p2) = uleb(b, p); p = p2
     val (totalL, p3) = uleb(b, p); p = p3
     val (firstZ, p4) = uleb(b, p); p = p4
+    require(blockSizeL > 0 && blockSizeL <= (1 << 24),
+      s"implausible delta block size $blockSizeL")
+    require(numMiniL > 0 && numMiniL <= blockSizeL,
+      s"implausible delta miniblock count $numMiniL")
     val blockSize = blockSizeL.toInt
     val numMini = numMiniL.toInt
-    require(blockSize > 0 && blockSize % 128 == 0,
+    require(blockSize % 128 == 0,
       s"delta block size $blockSize not a positive multiple of 128")
     require(numMini > 0 && blockSize % numMini == 0 &&
       (blockSize / numMini) % 32 == 0,
@@ -226,7 +230,7 @@ object ParquetPages {
             prev += minDelta; out(filled) = prev; filled += 1; i += 1
           }
         } else {
-          val miniBytes = perMini * w / 8
+          val miniBytes = (perMini.toLong * w / 8).toInt // ≤ 2^24·64/8, no overflow
           require(p + miniBytes <= b.length, "truncated delta miniblock")
           var bitPos = 0
           var i = 0
@@ -259,8 +263,11 @@ object ParquetPages {
     val out = new Array[String](n)
     var i = 0
     while (i < n) {
+      require(lens(i) >= 0L && lens(i) <= Int.MaxValue,
+        s"implausible delta byte-array length ${lens(i)}")
       val len = lens(i).toInt
-      require(len >= 0 && p + len <= b.length, s"delta byte-array length $len overruns page")
+      require(p + len <= b.length && p + len >= p,
+        s"delta byte-array length $len overruns page")
       out(i) = new String(b, p, len, java.nio.charset.StandardCharsets.UTF_8)
       p += len; i += 1
     }
@@ -278,10 +285,13 @@ object ParquetPages {
     var prev = Array.emptyByteArray
     var i = 0
     while (i < n) {
+      require(prefixLens(i) >= 0L && prefixLens(i) <= Int.MaxValue &&
+        suffixLens(i) >= 0L && suffixLens(i) <= Int.MaxValue,
+        s"implausible delta prefix/suffix lengths ${prefixLens(i)}/${suffixLens(i)}")
       val pl = prefixLens(i).toInt
       val sl = suffixLens(i).toInt
-      require(pl >= 0 && pl <= prev.length, s"delta prefix length $pl exceeds previous value")
-      require(sl >= 0 && p + sl <= b.length, s"delta suffix length $sl overruns page")
+      require(pl <= prev.length, s"delta prefix length $pl exceeds previous value")
+      require(p + sl <= b.length && p + sl >= p, s"delta suffix length $sl overruns page")
       val v = new Array[Byte](pl + sl)
       System.arraycopy(prev, 0, v, 0, pl)
       System.arraycopy(b, p, v, pl, sl)

@@ -103,7 +103,19 @@ class DecoderFuzzSpec extends AnyFunSuite {
     ("qoi", graft.operators.QoiCodec.encodeGradient(5L, 24, 15, alpha = true),
       b => graft.operators.QoiCodec.decode(b)),
     ("ico", graft.operators.IcoCodec.encodeGradient(7L, 24, 15),
-      b => graft.operators.IcoCodec.decodeLargest(b)))
+      b => graft.operators.IcoCodec.decodeLargest(b)),
+    // brotli §8 static-dictionary path (round 17): mutations hit the
+    // word-id/transform-id bounds and the stored↔compressed seams
+    ("brotli-dict-ref", Brotli.craftDictReference(13, 2, 44),
+      b => Brotli.decode(b)),
+    ("brotli-dict-word", Brotli.encodeWithDictWord(
+      graft.operators.WebArchive.synthesizeHtml(7, new String(raw, UTF_8)).getBytes(UTF_8)),
+      b => Brotli.decode(b)),
+    // parquet DELTA_BINARY_PACKED (round 17): header varints, widths,
+    // miniblock bounds
+    ("parquet-delta", ParquetPagesSpec.encodeDelta(
+      Array.tabulate(300)(i => (i * i).toLong - 5000), 128, 4),
+      b => graft.sources.ParquetPages.deltaBinaryPacked(b, 0, 300)))
 
   test("bit-flip mutations fail with IllegalArgumentException or decode cleanly") {
     val rnd = new java.util.Random(2026)

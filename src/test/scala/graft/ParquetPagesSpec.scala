@@ -312,8 +312,25 @@ class ParquetPagesSpec extends SparkSpec {
   }
 
   test("DELTA_BINARY_PACKED hand vectors: wrapping, zero-width, partial miniblocks") {
-    // encoder (mirror of the spec layout) — exercised only here
-    def encode(values: Array[Long], blockSize: Int, numMini: Int): Array[Byte] = {
+    import ParquetPagesSpec.encodeDelta
+    val cases = Seq(
+      Array(7L), // single value, no blocks
+      Array(1L, 2L, 3L, 4L, 5L), // constant delta -> zero-width miniblocks
+      Array.tabulate(300)(i => (i * i).toLong - 5000), // multi-block
+      Array(Long.MaxValue, Long.MinValue, 0L, -1L, 1L), // wrapping deltas
+      Array.tabulate(130)(i => if (i % 2 == 0) 1000L else -1000L))
+    for ((vs, ci) <- cases.zipWithIndex) {
+      val enc = encodeDelta(vs, 128, 4)
+      val (dec, _) = ParquetPages.deltaBinaryPacked(enc, 0, vs.length)
+      assert(dec.toSeq == vs.toSeq, s"case $ci")
+    }
+  }
+}
+
+object ParquetPagesSpec {
+  /** Mirror of the DELTA_BINARY_PACKED layout for test vectors (also
+    * the fuzz seed in DecoderFuzzSpec). */
+  def encodeDelta(values: Array[Long], blockSize: Int, numMini: Int): Array[Byte] = {
       val bb = new java.io.ByteArrayOutputStream()
       def uleb(v0: Long): Unit = {
         var v = v0
@@ -363,16 +380,4 @@ class ParquetPagesSpec extends SparkSpec {
       }
       bb.toByteArray
     }
-    val cases = Seq(
-      Array(7L), // single value, no blocks
-      Array(1L, 2L, 3L, 4L, 5L), // constant delta -> zero-width miniblocks
-      Array.tabulate(300)(i => (i * i).toLong - 5000), // multi-block
-      Array(Long.MaxValue, Long.MinValue, 0L, -1L, 1L), // wrapping deltas
-      Array.tabulate(130)(i => if (i % 2 == 0) 1000L else -1000L))
-    for ((vs, ci) <- cases.zipWithIndex) {
-      val enc = encode(vs, 128, 4)
-      val (dec, _) = ParquetPages.deltaBinaryPacked(enc, 0, vs.length)
-      assert(dec.toSeq == vs.toSeq, s"case $ci")
-    }
-  }
 }
