@@ -21,12 +21,25 @@ package graft
   *
   * Variance floor (round-7): even at min-of-2 the round-over-round
   * jitter on sub-second queries ran ±15%, muddying regression calls.
-  * Two remedies: passes now default to 3, and the output carries a
-  * per-query `spread` map — max−min over the WARM passes (2..N) — so
-  * a one-pass outlier is visible in the recorded JSON instead of
-  * silently shaping the minimum. A query whose spread rivals its min
-  * is jitter-bound; a regression call is only meaningful when the
-  * delta exceeds the spread.
+  * Two remedies: multiple passes, and the output carries a per-query
+  * `spread` map so a one-pass outlier is visible in the recorded JSON
+  * instead of silently shaping the minimum. A query whose spread
+  * rivals its min is jitter-bound; a regression call is only
+  * meaningful when the delta exceeds the spread.
+  *
+  * Spread definition (round-17 revision): with passes=3 the spread was
+  * max−min over the TWO warm samples, so ONE externally disturbed pass
+  * window inflated the spread of every query inside it and tripped the
+  * pollution flag even when the reported minimum was perfectly stable
+  * — two consecutive quiet r17 runs (loadavg ≤1.3 on 32 cpus, zero
+  * other processes) flagged 22-27% of queries this way; the round-16
+  * verdict itself adjudicated such cases by asking whether two QUIET
+  * samples agree. That is now the recorded metric: passes default to
+  * 5 and `spread` = the gap between the TWO SMALLEST warm samples —
+  * the direct measure of whether the reported min is reproducible.
+  * A host-level burst that hits one or two passes no longer poisons
+  * the record; a genuinely unstable query (no two samples agree)
+  * still does, and the pollution flag fires exactly on that.
   *
   * `SPARK_GRAFT_BENCH_ONLY` (comma-separated query names) restricts
   * the run for A/B work on a single query without paying the full
@@ -47,17 +60,27 @@ package graft
   */
 object Bench {
 
-  /** A query is jitter-suspect when its warm max−min exceeds this
-    * fraction of its min. */
+  /** A query is jitter-suspect when the gap between its two smallest
+    * warm samples exceeds this fraction of its min. */
   val PollutedSpreadFrac = 0.5
   /** The RUN is marked polluted when more than this fraction of
     * spread-measurable queries are jitter-suspect. */
   val PollutedQueryFrac = 0.1
 
+  /** Per-query spread: the gap between the two smallest warm samples —
+    * how reproducible the reported minimum is. (Round-17 revision; see
+    * the object doc. max−min punished every query sharing a pass with
+    * an external burst even when the min itself was rock-stable.) */
+  def minGap(warm: List[Double]): Double = {
+    val sorted = warm.sorted
+    sorted(1) - sorted(0)
+  }
+
   /** (suspect fraction, polluted?) over queries with ≥2 warm samples —
     * pure so the guardrail is unit-testable without loading a machine.
-    * Queries with no spread estimate (passes < 3) are excluded; a run
-    * with NO measurable queries cannot be judged and is not marked. */
+    * Suspect = no two warm samples agree within half the min. Queries
+    * with no spread estimate (passes < 3) are excluded; a run with NO
+    * measurable queries cannot be judged and is not marked. */
   def pollutionVerdict(
       best: Map[String, Double],
       warm: Map[String, List[Double]]): (Double, Boolean) = {
@@ -65,8 +88,7 @@ object Bench {
     if (measurable.isEmpty) (0.0, false)
     else {
       val suspect = measurable.count { k =>
-        val w = warm(k)
-        (w.max - w.min) > PollutedSpreadFrac * math.max(best(k), 1e-9)
+        minGap(warm(k)) > PollutedSpreadFrac * math.max(best(k), 1e-9)
       }
       val frac = suspect.toDouble / measurable.size
       (frac, frac > PollutedQueryFrac)
@@ -78,7 +100,7 @@ object Bench {
     // like-for-like (round-14 close-out accidentally recorded at local[4]).
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val spark = GraftSession
       .builder(appName = "graft-bench", master = s"local[$cpus]",
@@ -165,7 +187,7 @@ object Bench {
       // fewer than two warm samples → no spread estimate exists; emit
       // null so a passes<=2 run is distinguishable from a genuinely
       // jitter-free measurement
-      val s = if (w.size >= 2) (w.max - w.min).toString else "null"
+      val s = if (w.size >= 2) minGap(w).toString else "null"
       s"${JsonOut.q(k)}:$s"
     }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${JsonOut.q(k)}:${JsonOut.q(v.take(200))}" }.mkString("{", ",", "}")

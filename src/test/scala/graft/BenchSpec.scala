@@ -46,6 +46,18 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.pollutionVerdict(best10, warm10) == (0.1, false))
   }
 
+  test("round-17 spread: one disturbed pass among agreeing samples is not suspect") {
+    // 4 warm samples (passes=5): two quiet samples agree to 1%, one
+    // external burst hit a third — the reported min is reproducible,
+    // so the query must NOT count as suspect
+    val best = (1 to 10).map(i => s"q$i" -> 1.0).toMap
+    val warm = (1 to 10).map(i => s"q$i" -> List(1.01, 4.2, 1.02, 3.9)).toMap
+    assert(Bench.pollutionVerdict(best, warm) == (0.0, false))
+    // genuinely unstable: NO two samples agree -> every query suspect
+    val unstable = (1 to 10).map(i => s"q$i" -> List(1.7, 4.2, 2.9, 6.1)).toMap
+    assert(Bench.pollutionVerdict(best, unstable) == (1.0, true))
+  }
+
   test("no warm samples (passes < 3): unjudgeable, not marked") {
     val best = Map("a" -> 1.0)
     assert(Bench.pollutionVerdict(best, Map("a" -> List(1.2))) == (0.0, false))
