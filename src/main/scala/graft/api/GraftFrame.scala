@@ -770,10 +770,18 @@ object GraftFrame {
     new GraftFrame(graft.sources.ParquetBloom.probeCensus(spark, dir, column, keys))
 
   /** Hand-written data-page scan of two flat columns (the repo's own
-    * page walk and decompressors — no parquet-mr). */
+    * page walk and decompressors — no parquet-mr). Both page versions
+    * decode, incl. the DELTA encoding family, boolean RLE,
+    * BYTE_STREAM_SPLIT and INT96 timestamps (round 17). */
   def page_scan(spark: SparkSession, dir: String,
       colA: String, colB: String): GraftFrame =
     new GraftFrame(graft.sources.ParquetPages.scanTwoColumns(spark, dir, colA, colB))
+
+  /** Hand-written data-page scan of a one-level LIST column: records
+    * reassembled from repetition/definition levels (round 17). */
+  def page_scan_list(spark: SparkSession, dir: String,
+      column: String): GraftFrame =
+    new GraftFrame(graft.sources.ParquetPages.scanListColumn(spark, dir, column))
 }
 
 /** Grouped-aggregation surface — `df.groupby(keys).agg(...)`.

@@ -124,5 +124,11 @@ class FacadeRoundupSpec extends SparkSpec {
     assert(GraftFrame.page_scan(spark, out, "k", "k").df
       .agg(org.apache.spark.sql.functions.sum("a_long")).head.getLong(0)
       == (0L until 4000L).sum)
+    // LIST facade (round 17): arrays reassembled from rep/def levels
+    val lout = java.nio.file.Files.createTempDirectory("facade_list").toString
+    spark.range(500).selectExpr("id AS k", "array(concat('a', id), 'b') AS xs")
+      .coalesce(1).write.mode("overwrite").parquet(lout)
+    assert(GraftFrame.page_scan_list(spark, lout, "xs").df
+      .agg(org.apache.spark.sql.functions.sum("n_elems")).head.getLong(0) == 1000L)
   }
 }
