@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.api.GraftFrame
-import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, KneserNey, Layout, Lz4, Mojibake, MultiClass, Multimodal, Mutate, PdfCodec, Pipeline, PretrainedVocab, QualityClassifier, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, Unigram, UrlOps, WavCodec, WebArchive, WikiDump, WordPiece, Xz, ZipCodec, Zstd}
+import graft.operators.{Apply, AsofJoin, Blocklist, Bzip2, Bpe, Contamination, Decompress, Dedup, Dsir, Graph, Gzip, HeavyHitters, KneserNey, Layout, Lz4, Mojibake, Mp4Meta, MultiClass, Multimodal, Mutate, PdfCodec, Pipeline, PretrainedVocab, QualityClassifier, Quantization, Reductions, Robots, Similarity, Sketches, Snappy, TarCodec, TextOps, Unigram, UrlOps, WavCodec, WebArchive, WikiDump, WordPiece, Xz, ZipCodec, Zstd}
 import graft.sources.{CsvOptions, CsvReader, JsonlOptions, JsonlReader, ParquetFooter}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -3189,6 +3189,34 @@ object SparkEntry {
           col("durationMs").as("duration_ms"),
           col("width"), col("height"),
           col("nTracks").as("n_tracks"), col("byteLen").as("byte_len"))
+        .orderBy("doc_id")
+    }),
+    // MP4 SAMPLE TABLES (round 17 — the demux tier below the metadata
+    // walk): stts/stsc/stsz/stss/stco resolve every sample's byte
+    // range, decode timestamp, and sync flag — what a video-curation
+    // pipeline reads to locate keyframes BEFORE paying for any codec
+    // work. Payload spec is id-derived closed form (n = 5 + id%7
+    // samples of size 100 + (id·31+i)%50, delta 33, sync every 4,
+    // ragged 3-sample chunks), so the oracle replays every census
+    // column as integer arithmetic.
+    "multimodal_mp4_samples" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val n = 5 + (id % 7).toInt
+          val sizes = (0 until n).map(i => 100 + ((id * 31 + i) % 50).toInt)
+          val st = Mp4Meta.sampleTable(Mp4Meta.encodeWithSamples(
+            sizes, Seq.fill(n)(33), samplesPerChunk = 3, syncEvery = 4))
+          val mono = st.samples.sliding(2).forall {
+            case Seq(a, b) => b.offset > a.offset
+            case _ => true
+          }
+          (id, st.samples.size.toLong, st.samples.map(_.size).sum,
+            st.samples.count(_.keyframe).toLong,
+            st.samples.last.dts + 33L, if (mono) 1L else 0L)
+        }
+        .toDF("doc_id", "n_samples", "total_bytes", "n_sync",
+          "duration_ticks", "offsets_monotone")
         .orderBy("doc_id")
     }),
     // Compressed-audio metadata path (round 9): deterministic MPEG-1
@@ -8892,6 +8920,25 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 7 = 0 THEN 240 ELSE 381 END AS BIGINT)
         |    AS byte_len
         |FROM spec ORDER BY doc_id""".stripMargin,
+    // sample-table census: every column is integer arithmetic from the
+    // id-derived payload spec (n samples, sizes, uniform delta 33,
+    // sync every 4th sample 1-based = i%4==0 0-based)
+    "multimodal_mp4_samples" ->
+      """WITH m AS (
+        |  SELECT doc_id, 5 + doc_id % 7 AS n FROM documents
+        |), e AS (
+        |  SELECT doc_id, unnest(range(CAST(n AS BIGINT))) AS i FROM m
+        |), a AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(100 + (doc_id * 31 + i) % 50) AS BIGINT) AS total_bytes,
+        |    CAST(sum(CASE WHEN i % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sync
+        |  FROM e GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_samples, total_bytes, n_sync,
+        |  CAST(33 * n_samples AS BIGINT) AS duration_ticks,
+        |  CAST(1 AS BIGINT) AS offsets_monotone
+        |FROM a ORDER BY doc_id""".stripMargin,
     "multimodal_audio_meta_all" ->
       """WITH spec AS (
         |  SELECT doc_id,

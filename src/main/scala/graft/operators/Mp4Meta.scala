@@ -195,6 +195,148 @@ object Mp4Meta {
     AudioTrackMeta(durationMs, sampleRate, channels, tracks, codec)
   }
 
+  // ---- sample tables (ISO 14496-12 §8.5-8.7) ----------------------------
+
+  /** One sample's location + timing, fully resolved from the stbl
+    * boxes: byte `offset`/`size` in the file, decode timestamp `dts`
+    * in media-timescale ticks, and the stss sync flag. */
+  final case class SampleInfo(
+      index: Int, offset: Long, size: Long, dts: Long, keyframe: Boolean)
+
+  /** A track's resolved sample table. `timescale` is the mdhd media
+    * timescale the dts values are expressed in. */
+  final case class SampleTable(timescale: Int, samples: Vector[SampleInfo])
+
+  /** Resolve the FIRST track's sample table — the demux tier below
+    * [[parse]]: a 100 TB video-curation pipeline uses exactly this to
+    * locate keyframes and sample byte ranges BEFORE paying for any
+    * codec work (the WebM path does the same via cluster walk).
+    * Derivation per the spec: stsc runs map samples to chunks,
+    * stco/co64 give chunk base offsets, sizes accumulate within a
+    * chunk, stts runs accumulate decode deltas, stss marks sync
+    * samples (absent ⇒ every sample is sync). Missing mandatory boxes
+    * and inconsistent counts fail loudly. */
+  def sampleTable(bytes: Array[Byte]): SampleTable = {
+    require(isMp4(bytes), "not an MP4 (no leading ftyp)")
+    var timescale = -1
+    var sizes: Array[Long] = null
+    var sttsRuns: Vector[(Long, Long)] = Vector.empty
+    var stscRuns: Vector[(Long, Long)] = Vector.empty // (first_chunk, samples_per_chunk)
+    var chunkOffs: Array[Long] = null
+    var sync: Array[Long] = null // 1-based sample numbers; null = absent
+    var found = false
+
+    def u32(off: Int): Long = be32(bytes, off)
+
+    def parseStbl(s: Int, e: Int): Unit = walk(bytes, s, e) { (t, ps, pe) =>
+      t match {
+        case "stsz" =>
+          require(pe - ps >= 12, "truncated stsz")
+          val fixed = u32(ps + 4)
+          val n = u32(ps + 8)
+          require(n >= 0 && n <= (1L << 26), s"implausible stsz count $n")
+          sizes =
+            if (fixed != 0) Array.fill(n.toInt)(fixed)
+            else {
+              require(ps + 12 + 4L * n <= pe, "stsz entries overrun the box")
+              Array.tabulate(n.toInt)(i => u32(ps + 12 + 4 * i))
+            }
+        case "stts" =>
+          val n = u32(ps + 4)
+          require(n >= 0 && ps + 8 + 8L * n <= pe, s"stts entries overrun the box")
+          sttsRuns = Vector.tabulate(n.toInt)(i =>
+            (u32(ps + 8 + 8 * i), u32(ps + 12 + 8 * i)))
+        case "stsc" =>
+          val n = u32(ps + 4)
+          require(n >= 0 && ps + 8 + 12L * n <= pe, s"stsc entries overrun the box")
+          stscRuns = Vector.tabulate(n.toInt)(i =>
+            (u32(ps + 8 + 12 * i), u32(ps + 12 + 12 * i)))
+        case "stco" =>
+          val n = u32(ps + 4)
+          require(n >= 0 && ps + 8 + 4L * n <= pe, s"stco entries overrun the box")
+          chunkOffs = Array.tabulate(n.toInt)(i => u32(ps + 8 + 4 * i))
+        case "co64" =>
+          val n = u32(ps + 4)
+          require(n >= 0 && ps + 8 + 8L * n <= pe, s"co64 entries overrun the box")
+          chunkOffs = Array.tabulate(n.toInt)(i => be64(bytes, ps + 8 + 8 * i))
+        case "stss" =>
+          val n = u32(ps + 4)
+          require(n >= 0 && ps + 8 + 4L * n <= pe, s"stss entries overrun the box")
+          sync = Array.tabulate(n.toInt)(i => u32(ps + 8 + 4 * i))
+        case _ => ()
+      }
+    }
+
+    walk(bytes, 0, bytes.length) { (typ, ps, pe) =>
+      if (typ == "moov") walk(bytes, ps, pe) { (t2, ps2, pe2) =>
+        if (t2 == "trak" && !found) walk(bytes, ps2, pe2) { (t3, ps3, pe3) =>
+          if (t3 == "mdia") walk(bytes, ps3, pe3) { (t4, ps4, pe4) =>
+            t4 match {
+              case "mdhd" =>
+                val v = bytes(ps4) & 0xff
+                timescale =
+                  (if (v == 1) be32(bytes, ps4 + 20) else be32(bytes, ps4 + 12)).toInt
+              case "minf" => walk(bytes, ps4, pe4) { (t5, ps5, pe5) =>
+                if (t5 == "stbl") { parseStbl(ps5, pe5); found = true }
+              }
+              case _ => ()
+            }
+          }
+        }
+      }
+    }
+    require(found, "no trak/mdia/minf/stbl in the MP4")
+    require(timescale > 0, "mdhd timescale missing or zero")
+    require(sizes != null, "stsz missing")
+    require(sttsRuns.nonEmpty, "stts missing or empty")
+    require(stscRuns.nonEmpty, "stsc missing or empty")
+    require(chunkOffs != null && chunkOffs.nonEmpty, "stco/co64 missing or empty")
+    val n = sizes.length
+    require(sttsRuns.map(_._1).sum == n,
+      s"stts covers ${sttsRuns.map(_._1).sum} samples, stsz has $n")
+
+    // chunk index (0-based) -> samples_per_chunk from the stsc runs
+    val nChunks = chunkOffs.length
+    require(stscRuns.head._1 == 1,
+      s"stsc first run must start at chunk 1, got ${stscRuns.head._1}")
+    val spcByChunk = new Array[Long](nChunks)
+    var ri = 0
+    var c = 0
+    while (c < nChunks) {
+      while (ri + 1 < stscRuns.length && stscRuns(ri + 1)._1 <= c + 1) ri += 1
+      spcByChunk(c) = stscRuns(ri)._2
+      c += 1
+    }
+    require(spcByChunk.sum == n,
+      s"stsc/stco assign ${spcByChunk.sum} samples, stsz has $n")
+
+    val syncSet: Set[Long] = if (sync == null) null else sync.toSet
+    val out = Vector.newBuilder[SampleInfo]
+    var dts = 0L
+    var runIdx = 0
+    var runLeft = if (sttsRuns.isEmpty) 0L else sttsRuns(0)._1
+    var si = 0
+    c = 0
+    while (c < nChunks) {
+      var off = chunkOffs(c)
+      var j = 0L
+      while (j < spcByChunk(c)) {
+        val key = syncSet == null || syncSet.contains(si + 1L)
+        out += SampleInfo(si, off, sizes(si), dts, key)
+        off += sizes(si)
+        // advance dts through the stts runs
+        while (runLeft == 0L && runIdx + 1 < sttsRuns.length) {
+          runIdx += 1; runLeft = sttsRuns(runIdx)._1
+        }
+        dts += sttsRuns(runIdx)._2
+        runLeft -= 1
+        si += 1; j += 1
+      }
+      c += 1
+    }
+    SampleTable(timescale, out.result())
+  }
+
   /** Minimal spec-valid MP4 skeleton: ftyp(isom) + moov(mvhd +
     * trak/tkhd). Deterministic byte-for-byte; size is the closed form
     * `24 (ftyp) + 8 (moov) + 108 (mvhd) + 8 (trak) + 92 (tkhd)` = 240. */
@@ -233,6 +375,114 @@ object Mp4Meta {
     Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
       .foreach(be(_, 4))               // matrix
     be(width.toLong << 16, 4); be(height.toLong << 16, 4) // 16.16 fixed
+    out.toByteArray
+  }
+
+  /** Spec-valid MP4 with a REAL sample table: ftyp + moov(mvhd +
+    * trak(tkhd + mdia(mdhd + hdlr'vide' + minf(stbl(stsd + stts +
+    * stsc + stsz [+ stss] + stco/co64))))) + mdat carrying the
+    * samples' deterministic bytes. Chunking: `samplesPerChunk` per
+    * chunk with a ragged last chunk (a second stsc run when needed);
+    * stts runs are RLE over `deltas`; `syncEvery > 0` marks samples
+    * 1, 1+k, 1+2k… as sync (stss), 0 omits stss (all-sync semantics).
+    * The fixture generator for [[sampleTable]] gates/specs. */
+  def encodeWithSamples(sizes: Seq[Int], deltas: Seq[Int],
+      samplesPerChunk: Int, syncEvery: Int, timescale: Int = 600,
+      use64: Boolean = false, fixedStsz: Boolean = false): Array[Byte] = {
+    val n = sizes.length
+    require(n > 0 && deltas.length == n && samplesPerChunk > 0 && timescale > 0,
+      s"bad sample spec: $n sizes, ${deltas.length} deltas, spc=$samplesPerChunk")
+    require(sizes.forall(s => s > 0 && s <= (1 << 20)), "sample sizes must be 1..1MiB")
+    require(!fixedStsz || sizes.distinct.size == 1,
+      "fixedStsz needs uniform sample sizes")
+    val nChunks = (n + samplesPerChunk - 1) / samplesPerChunk
+    val lastChunkSamples = n - (nChunks - 1) * samplesPerChunk
+    val sttsRuns: Seq[(Int, Int)] = {
+      val rs = Seq.newBuilder[(Int, Int)]
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j < n && deltas(j) == deltas(i)) j += 1
+        rs += ((j - i, deltas(i)))
+        i = j
+      }
+      rs.result()
+    }
+    val syncs: Seq[Int] =
+      if (syncEvery <= 0) Seq.empty
+      else (1 to n by syncEvery)
+    val twoScRuns = lastChunkSamples != samplesPerChunk && nChunks > 1
+    val stsdSz = 8 + 8 + 16
+    val sttsSz = 8 + 8 + 8 * sttsRuns.size
+    val stscSz = 8 + 8 + 12 * (if (twoScRuns) 2 else 1)
+    val stszSz = 8 + 12 + (if (fixedStsz) 0 else 4 * n)
+    val stssSz = if (syncEvery <= 0) 0 else 8 + 8 + 4 * syncs.size
+    val stcoSz = 8 + 8 + (if (use64) 8 else 4) * nChunks
+    val stblSz = 8 + stsdSz + sttsSz + stscSz + stszSz + stssSz + stcoSz
+    val minfSz = 8 + stblSz
+    val mdiaSz = 8 + 32 + 33 + minfSz
+    val trakSz = 8 + 92 + mdiaSz
+    val moovSz = 8 + 108 + trakSz
+    val mdatPayloadAt = 24L + moovSz + 8
+    val duration = deltas.map(_.toLong).sum
+
+    val out = new java.io.ByteArrayOutputStream()
+    def be(v: Long, nB: Int): Unit =
+      for (i <- (nB - 1) to 0 by -1) out.write(((v >> (8 * i)) & 0xff).toInt)
+    def tagW(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    be(24, 4); tagW("ftyp"); tagW("isom"); be(0, 4); tagW("isom"); tagW("mp41")
+    be(moovSz.toLong, 4); tagW("moov")
+    // mvhd v0 (timescale doubles as the movie timescale here)
+    be(108, 4); tagW("mvhd"); be(0, 4); be(0, 4); be(0, 4)
+    be(timescale.toLong, 4); be(duration, 4)
+    be(0x00010000L, 4); be(0x0100L, 2); be(0, 2); be(0, 8)
+    Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(be(_, 4))
+    for (_ <- 0 until 6) be(0, 4)
+    be(2, 4)
+    be(trakSz.toLong, 4); tagW("trak")
+    be(92, 4); tagW("tkhd"); be(0x00000007L, 4); be(0, 4); be(0, 4)
+    be(1, 4); be(0, 4); be(duration, 4); be(0, 8)
+    be(0, 2); be(0, 2); be(0, 2); be(0, 2)
+    Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(be(_, 4))
+    be(64L << 16, 4); be(48L << 16, 4)
+    be(mdiaSz.toLong, 4); tagW("mdia")
+    be(32, 4); tagW("mdhd"); be(0, 4); be(0, 4); be(0, 4)
+    be(timescale.toLong, 4); be(duration, 4); be(0x55c4L, 2); be(0, 2) // lang 'und'
+    be(33, 4); tagW("hdlr"); be(0, 4); be(0, 4); tagW("vide")
+    be(0, 4); be(0, 4); be(0, 4); out.write(0) // reserved + empty name
+    be(minfSz.toLong, 4); tagW("minf")
+    be(stblSz.toLong, 4); tagW("stbl")
+    be(stsdSz.toLong, 4); tagW("stsd"); be(0, 4); be(1, 4)
+    be(16, 4); tagW("mp4v"); be(0, 4); be(0, 2); be(1, 2) // minimal entry
+    be(sttsSz.toLong, 4); tagW("stts"); be(0, 4); be(sttsRuns.size.toLong, 4)
+    sttsRuns.foreach { case (cnt, d) => be(cnt.toLong, 4); be(d.toLong, 4) }
+    be(stscSz.toLong, 4); tagW("stsc"); be(0, 4)
+    be(if (twoScRuns) 2L else 1L, 4)
+    be(1, 4); be(samplesPerChunk.toLong, 4); be(1, 4)
+    if (twoScRuns) { be(nChunks.toLong, 4); be(lastChunkSamples.toLong, 4); be(1, 4) }
+    be(stszSz.toLong, 4); tagW("stsz"); be(0, 4)
+    be(if (fixedStsz) sizes.head.toLong else 0L, 4); be(n.toLong, 4)
+    if (!fixedStsz) sizes.foreach(s => be(s.toLong, 4))
+    if (syncEvery > 0) {
+      be(stssSz.toLong, 4); tagW("stss"); be(0, 4); be(syncs.size.toLong, 4)
+      syncs.foreach(s => be(s.toLong, 4))
+    }
+    be(stcoSz.toLong, 4); tagW(if (use64) "co64" else "stco"); be(0, 4)
+    be(nChunks.toLong, 4)
+    var off = mdatPayloadAt
+    var si = 0
+    for (c <- 0 until nChunks) {
+      be(off, if (use64) 8 else 4)
+      val inChunk = if (c == nChunks - 1) lastChunkSamples else samplesPerChunk
+      for (_ <- 0 until inChunk) { off += sizes(si); si += 1 }
+    }
+    // mdat: deterministic per-sample bytes
+    be(8L + sizes.map(_.toLong).sum, 4); tagW("mdat")
+    var k = 0
+    sizes.foreach { s =>
+      for (j <- 0 until s) out.write((k * 131 + j) & 0xff)
+      k += 1
+    }
     out.toByteArray
   }
 

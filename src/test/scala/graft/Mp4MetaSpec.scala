@@ -76,4 +76,66 @@ class Mp4MetaSpec extends SparkSpec {
       .collect().map(_.getInt(1))
     assert(frames.toSeq == Seq(0, 100, 200))
   }
+
+  test("sample table: offsets/sizes/dts/keyframes resolve exactly (ragged chunks, RLE stts)") {
+    val sizes = Seq(100, 120, 90, 200, 150, 110, 130)        // 7 samples
+    val deltas = Seq(33, 33, 33, 40, 40, 33, 33)             // two RLE runs + tail
+    val b = Mp4Meta.encodeWithSamples(sizes, deltas, samplesPerChunk = 3,
+      syncEvery = 4, timescale = 600)
+    val st = Mp4Meta.sampleTable(b)
+    assert(st.timescale == 600)
+    assert(st.samples.size == 7)
+    assert(st.samples.map(_.size.toInt) == sizes.toVector)
+    // dts = prefix sums of deltas
+    val wantDts = deltas.scanLeft(0L)(_ + _).init
+    assert(st.samples.map(_.dts) == wantDts.toVector)
+    // keyframes at 1-based 1 and 5 -> 0-based 0 and 4
+    assert(st.samples.filter(_.keyframe).map(_.index) == Vector(0, 4))
+    // offsets: within a chunk consecutive samples are contiguous; the
+    // bytes at each offset are the deterministic mdat pattern
+    st.samples.foreach { sm =>
+      assert(b((sm.offset + 1).toInt) == (((sm.index * 131) + 1) & 0xff).toByte,
+        s"payload at sample ${sm.index}")
+    }
+    val byChunk = st.samples.grouped(3).toSeq
+    byChunk.foreach { chunk =>
+      chunk.sliding(2).foreach {
+        case Seq(a, c) => assert(c.offset == a.offset + a.size)
+        case _ => ()
+      }
+    }
+  }
+
+  test("sample table: co64 offsets, fixed-size stsz, absent stss = all sync") {
+    val sizes = Seq.fill(6)(80)
+    val b = Mp4Meta.encodeWithSamples(sizes, Seq.fill(6)(25),
+      samplesPerChunk = 2, syncEvery = 0, timescale = 1000, use64 = true,
+      fixedStsz = true)
+    val st = Mp4Meta.sampleTable(b)
+    assert(st.samples.size == 6)
+    assert(st.samples.forall(_.keyframe))
+    assert(st.samples.map(_.size).forall(_ == 80L))
+    // bytes at the co64 offsets match the mdat pattern
+    st.samples.foreach { sm =>
+      assert(b(sm.offset.toInt) == ((sm.index * 131) & 0xff).toByte)
+    }
+  }
+
+  test("sample table: corrupt tables fail loudly") {
+    val good = Mp4Meta.encodeWithSamples(Seq(100, 100), Seq(30, 30), 2, 1)
+    // count mismatch: patch stsz sample_count (find 'stsz' and bump count)
+    def patch(tag: String, fieldOff: Int, v: Int): Array[Byte] = {
+      val b = good.clone()
+      val at = new String(b.map(_.toChar)).indexOf(tag)
+      assert(at > 0)
+      val o = at + 4 + fieldOff
+      b(o) = ((v >> 24) & 0xff).toByte; b(o + 1) = ((v >> 16) & 0xff).toByte
+      b(o + 2) = ((v >> 8) & 0xff).toByte; b(o + 3) = (v & 0xff).toByte
+      b
+    }
+    intercept[IllegalArgumentException](Mp4Meta.sampleTable(patch("stsz", 8, 57)))
+    intercept[IllegalArgumentException](Mp4Meta.sampleTable(patch("stts", 4, 9999999)))
+    intercept[IllegalArgumentException](Mp4Meta.sampleTable(
+      Mp4Meta.encode(1000, 64, 48))) // no stbl at all
+  }
 }
