@@ -1313,6 +1313,84 @@ object SparkEntry {
             (a, x) => a + coalesce(length(x).cast("long"), lit(0L)))).as("sum_len"),
           sum(when(col("n_elems") === -1L, 1L).otherwise(0L)).as("n_null_lists"))
     }),
+    // STRUCT columns through the hand reader (round-17 VERDICT item 1):
+    // the generic Dremel assembler rebuilds each record from the
+    // leaves' value/def streams — null structs, null fields and the
+    // field maps all land in the aggregates, which the oracle replays
+    // from the source table. V2 pages + zstd exercise the newest
+    // level/codec seams.
+    "parquet_page_scan_struct" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_pages_st_${dir.hashCode.toHexString}"
+      tbl(s, dir, "documents").selectExpr("doc_id",
+        """CASE WHEN doc_id % 13 = 0 THEN CAST(NULL AS STRUCT<a: BIGINT, s: STRING>)
+          |     ELSE named_struct('a', doc_id * 3,
+          |       's', IF(doc_id % 5 = 0, CAST(NULL AS STRING), substring(text, 1, 40)))
+          |END AS st""".stripMargin)
+        .coalesce(1).write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("parquet.writer.version", "v2")
+        .option("parquet.page.size", "8192")
+        .parquet(out)
+      graft.sources.ParquetNested.scanStructColumn(s, out, "st")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("is_null"), 1L).otherwise(0L)).as("n_null_structs"),
+          sum(element_at(col("fields"), "a").cast("long")).as("sum_a"),
+          sum(length(element_at(col("fields"), "s")).cast("long")).as("sum_len_s"),
+          sum(when(!col("is_null") && element_at(col("fields"), "s").isNull, 1L)
+            .otherwise(0L)).as("n_null_s"))
+    }),
+    // LIST<STRUCT> through the hand reader: sibling leaves share the
+    // repeated ancestor, per-leaf spans keep them aligned. The element
+    // construction is pure doc_id arithmetic so the oracle replays it
+    // closed-form.
+    "parquet_page_scan_list_struct" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_pages_ls_${dir.hashCode.toHexString}"
+      tbl(s, dir, "documents").selectExpr("doc_id",
+        """CASE WHEN doc_id % 11 = 0 THEN CAST(NULL AS ARRAY<STRUCT<p: BIGINT, q: STRING>>)
+          |     WHEN doc_id % 7 = 0 THEN array()
+          |     ELSE transform(sequence(1, CAST(doc_id % 3 + 1 AS INT)), i ->
+          |       named_struct('p', doc_id * i,
+          |                    'q', IF(i = 2, CAST(NULL AS STRING), repeat('x', i))))
+          |END AS xs""".stripMargin)
+        .coalesce(1).write.mode("overwrite")
+        .option("compression", "gzip")
+        .option("parquet.page.size", "8192")
+        .parquet(out)
+      graft.sources.ParquetNested.scanListStructColumn(s, out, "xs")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("n_elems") === -1L, 1L).otherwise(0L)).as("n_null_lists"),
+          sum(when(col("n_elems") >= 0L, col("n_elems")).otherwise(0L)).as("n_elems"),
+          sum(aggregate(col("elems"), lit(0L),
+            (a, m) => a + coalesce(element_at(m, "p").cast("long"), lit(0L)))).as("sum_p"),
+          sum(aggregate(col("elems"), lit(0L),
+            (a, m) => a + when(element_at(m, "q").isNull, 1L).otherwise(0L))).as("n_null_q"))
+    }),
+    // LIST<LIST<BIGINT>> through the hand reader: two repetition
+    // levels, null/empty at both depths, all doc_id arithmetic.
+    "parquet_page_scan_nested_list" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_pages_ll_${dir.hashCode.toHexString}"
+      tbl(s, dir, "documents").selectExpr("doc_id",
+        """CASE WHEN doc_id % 13 = 0 THEN CAST(NULL AS ARRAY<ARRAY<BIGINT>>)
+          |     WHEN doc_id % 9 = 0 THEN array()
+          |     ELSE transform(sequence(1, CAST(doc_id % 3 + 1 AS INT)), i ->
+          |       CASE WHEN i = 2 AND doc_id % 5 = 0 THEN CAST(NULL AS ARRAY<BIGINT>)
+          |            ELSE transform(sequence(1, i), j -> doc_id * 10 + CAST(j AS BIGINT)) END)
+          |END AS xs""".stripMargin)
+        .coalesce(1).write.mode("overwrite")
+        .option("compression", "none")
+        .option("parquet.writer.version", "v2")
+        .option("parquet.page.size", "8192")
+        .parquet(out)
+      graft.sources.ParquetNested.scanNestedListColumn(s, out, "xs")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("n_outer") === -1L, 1L).otherwise(0L)).as("n_null_outer"),
+          sum(when(col("n_outer") >= 0L, col("n_outer")).otherwise(0L)).as("n_inner"),
+          sum(aggregate(col("elems"), lit(0L),
+            (a, x) => a + when(x.isNull, 1L).otherwise(0L))).as("n_inner_null"),
+          sum(aggregate(col("elems"), lit(0L),
+            (a, x) => a + coalesce(aggregate(x, lit(0L),
+              (b, y) => b + coalesce(y.cast("long"), lit(0L))), lit(0L)))).as("sum_vals"))
+    }),
     // High-precision DECIMAL page decode: precision 25 forces the
     // FIXED_LEN_BYTE_ARRAY physical form (big-endian two's-complement
     // unscaled), constructed as exact eighths (k/8 is exact in binary
@@ -7171,6 +7249,46 @@ object SparkEntry {
         |CAST((SELECT count(*) FROM w) AS BIGINT) AS n_tokens,
         |CAST((SELECT sum(strlen(tok)) FROM w) AS BIGINT) AS sum_len,
         |CAST(0 AS BIGINT) AS n_null_lists""".stripMargin,
+    "parquet_page_scan_struct" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_structs,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN doc_id * 3 ELSE 0 END) AS BIGINT) AS sum_a,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 5 <> 0
+        |      THEN length(substring(text, 1, 40)) ELSE 0 END) AS BIGINT) AS sum_len_s,
+        |CAST(sum(CASE WHEN doc_id % 13 <> 0 AND doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_s
+        |FROM documents""".stripMargin,
+    "parquet_page_scan_list_struct" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN -1
+        |         WHEN doc_id % 7 = 0 THEN 0
+        |         ELSE doc_id % 3 + 1 END AS m
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(sum(CASE WHEN m = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lists,
+        |CAST(sum(CASE WHEN m > 0 THEN m ELSE 0 END) AS BIGINT) AS n_elems,
+        |CAST(sum(CASE WHEN m > 0 THEN doc_id * ((m * (m + 1)) // 2) ELSE 0 END) AS BIGINT) AS sum_p,
+        |CAST(sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_q
+        |FROM d""".stripMargin,
+    "parquet_page_scan_nested_list" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN -1
+        |         WHEN doc_id % 9 = 0 THEN 0
+        |         ELSE doc_id % 3 + 1 END AS m,
+        |    CASE WHEN doc_id % 13 <> 0 AND doc_id % 9 <> 0
+        |          AND doc_id % 3 + 1 >= 2 AND doc_id % 5 = 0 THEN 1 ELSE 0 END AS inul
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(sum(CASE WHEN m = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_outer,
+        |CAST(sum(CASE WHEN m > 0 THEN m ELSE 0 END) AS BIGINT) AS n_inner,
+        |CAST(sum(inul) AS BIGINT) AS n_inner_null,
+        |CAST(sum(CASE WHEN m > 0 THEN
+        |    10 * doc_id * ((m * (m + 1)) // 2)
+        |    + CASE m WHEN 1 THEN 1 WHEN 2 THEN 4 ELSE 10 END
+        |    - inul * (20 * doc_id + 3)
+        |  ELSE 0 END) AS BIGINT) AS sum_vals
+        |FROM d""".stripMargin,
     "parquet_decimal_scan" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |CAST(sum(l_orderkey) * 125 AS BIGINT) AS sum_unscaled,

@@ -782,6 +782,24 @@ object GraftFrame {
   def page_scan_list(spark: SparkSession, dir: String,
       column: String): GraftFrame =
     new GraftFrame(graft.sources.ParquetPages.scanListColumn(spark, dir, column))
+
+  /** Generic Dremel assembly of a STRUCT column (round 18): fields
+    * surfaced as a name→string map, nested values in canonical form. */
+  def page_scan_struct(spark: SparkSession, dir: String,
+      column: String): GraftFrame =
+    new GraftFrame(graft.sources.ParquetNested.scanStructColumn(spark, dir, column))
+
+  /** Generic Dremel assembly of a LIST<STRUCT> (or MAP) column
+    * (round 18). */
+  def page_scan_list_struct(spark: SparkSession, dir: String,
+      column: String): GraftFrame =
+    new GraftFrame(graft.sources.ParquetNested.scanListStructColumn(spark, dir, column))
+
+  /** Generic Dremel assembly of a LIST<LIST<primitive>> column
+    * (round 18). */
+  def page_scan_nested_list(spark: SparkSession, dir: String,
+      column: String): GraftFrame =
+    new GraftFrame(graft.sources.ParquetNested.scanNestedListColumn(spark, dir, column))
 }
 
 /** Grouped-aggregation surface — `df.groupby(keys).agg(...)`.

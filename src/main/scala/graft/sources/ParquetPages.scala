@@ -157,6 +157,7 @@ object ParquetPages {
     require(kind >= 0 && us >= 0 && cs >= 0, "PageHeader missing required fields")
     require(kind == 0 || kind == 2 || kind == 3,
       s"unsupported page type $kind (INDEX_PAGE?)")
+    require(nv >= 0, s"PageHeader declares $nv values")
     if (kind == 3)
       require(nNulls >= 0 && dlBytes >= 0 && rlBytes >= 0,
         "DataPageHeaderV2 missing required fields")
@@ -329,9 +330,15 @@ object ParquetPages {
         plainValues(typ, body, vp, nPresent, typeLength)
       case 2 | 8 => // PLAIN_DICTIONARY / RLE_DICTIONARY indices
         require(dict != null, "dictionary-encoded page before dictionary page")
+        require(vp < body.length, "dictionary page has no bit-width byte")
         val bw = body(vp) & 0xff
+        require(bw <= 32, s"implausible dictionary index bit width $bw")
         val (idx, _) = rleHybrid(body, vp + 1, bw, nPresent)
-        idx.take(nPresent).map(dict(_): Any)
+        idx.take(nPresent).map { i =>
+          require(i >= 0 && i < dict.length,
+            s"dictionary index $i out of range (${dict.length} entries)")
+          dict(i): Any
+        }
       case 3 => // RLE boolean values (4-byte LE length prefix, v2 writers)
         require(typ == 0, "RLE value encoding is BOOLEAN-only")
         val (lv, _) = rleHybrid(body, vp + 4, 1, nPresent)
@@ -377,6 +384,21 @@ object ParquetPages {
     val out = new Array[Any](n)
     var p = off0
     var i = 0
+    // fixed-width types: one loud bound up front instead of a per-value
+    // check (BYTE_ARRAY lengths are validated per element below)
+    val fixedWidth = typ match {
+      case 0 => 0 // bit-packed, checked below
+      case 1 | 4 => 4
+      case 2 | 5 => 8
+      case 3 => 12
+      case 7 => typeLength
+      case _ => -1
+    }
+    if (fixedWidth > 0)
+      require(off0.toLong + fixedWidth.toLong * n <= b.length,
+        s"PLAIN values of ${ParquetFooter.TypeNames.lift(typ).getOrElse(typ.toString)} overrun the page")
+    if (typ == 0)
+      require(off0 + (n + 7) / 8 <= b.length, "PLAIN boolean bits overrun the page")
     typ match {
       case 0 => // BOOLEAN: bit-packed LSB-first
         while (i < n) { out(i) = ((b(p + (i >> 3)) >>> (i & 7)) & 1) == 1; i += 1 }
@@ -418,8 +440,11 @@ object ParquetPages {
         }
       case 6 => // BYTE_ARRAY: 4-byte LE length + bytes
         while (i < n) {
+          require(p + 4 <= b.length, "BYTE_ARRAY length prefix overruns the page")
           val len = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
             ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+          require(len >= 0 && p + 4 + len.toLong <= b.length,
+            s"BYTE_ARRAY of $len bytes overruns the page")
           out(i) = new String(b, p + 4, len, java.nio.charset.StandardCharsets.UTF_8)
           p += 4 + len; i += 1
         }
@@ -498,9 +523,13 @@ object ParquetPages {
                 vs: Array[Any]): Unit = {
         var vi = 0; var i = 0
         while (i < numValues) {
-          allDefs(filled) = if (defs == null) maxDef else defs(i)
+          require(filled < out.length,
+            "page value counts exceed the chunk's declared total")
+          val d = if (defs == null) maxDef else defs(i)
+          require(d <= maxDef, s"definition level $d exceeds max $maxDef")
+          allDefs(filled) = d
           allReps(filled) = if (reps == null) 0 else reps(i)
-          if (defs == null || defs(i) == maxDef) { out(filled) = vs(vi); vi += 1 }
+          if (d == maxDef) { out(filled) = vs(vi); vi += 1 }
           filled += 1; i += 1
         }
       }
@@ -574,6 +603,10 @@ object ParquetPages {
               ph.uncompressedSize - levelBytes)
           else
             java.util.Arrays.copyOfRange(chunkBytes, valuesOff, valuesOff + valuesCompLen)
+        // the V1 branch's loud-fence convention: a short/padded codec
+        // output fails at the boundary, not later (or never)
+        require(values.length == ph.uncompressedSize - levelBytes,
+          s"V2 values inflated to ${values.length}, header says ${ph.uncompressedSize - levelBytes}")
         place(ph.numValues, defs, reps, decodeValues(ph.valueEncoding, values, 0, nPresent))
       }
     }
@@ -708,6 +741,8 @@ object ParquetPages {
             if (curNull) null else cur.toSeq)
           rowIdx += 1
         }
+        require(defs.length == 0 || reps(0) == 0,
+          s"first level entry of ${shape.leafPath} has rep ${if (reps.nonEmpty) reps(0) else -1}, expected 0")
         var i = 0
         while (i < defs.length) {
           if (reps(i) == 0) { // new record

@@ -130,5 +130,19 @@ class FacadeRoundupSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(lout)
     assert(GraftFrame.page_scan_list(spark, lout, "xs").df
       .agg(org.apache.spark.sql.functions.sum("n_elems")).head.getLong(0) == 1000L)
+    // nested facades (round 18): generic Dremel assembly
+    val nout = java.nio.file.Files.createTempDirectory("facade_nested").toString
+    spark.range(500).selectExpr("id AS k",
+      "named_struct('a', id, 's', concat('v', id % 7)) AS st",
+      "array(named_struct('p', id), named_struct('p', id * 2)) AS ls",
+      "array(array(id), array(id, id + 1)) AS ll")
+      .coalesce(1).write.mode("overwrite").parquet(nout)
+    assert(GraftFrame.page_scan_struct(spark, nout, "st").df
+      .selectExpr("CAST(fields['a'] AS BIGINT) AS a")
+      .agg(org.apache.spark.sql.functions.sum("a")).head.getLong(0) == (0L until 500L).sum)
+    assert(GraftFrame.page_scan_list_struct(spark, nout, "ls").df
+      .agg(org.apache.spark.sql.functions.sum("n_elems")).head.getLong(0) == 1000L)
+    assert(GraftFrame.page_scan_nested_list(spark, nout, "ll").df
+      .agg(org.apache.spark.sql.functions.sum("n_outer")).head.getLong(0) == 1000L)
   }
 }
