@@ -197,7 +197,7 @@ object Bench {
       s"""{"start_ms":$t0,"end_ms":$t1,"loadavg_1m":$la}"""
     }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"passes":$passes,"pass1_total":$pass1Total,"polluted":$polluted,"polluted_frac":$pollFrac,"cpus":$cpus,"pass_bounds":$pb,"sf":${JsonOut.q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"spread_metric":"min_gap","errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"passes":$passes,"pass1_total":$pass1Total,"polluted":$polluted,"polluted_frac":$pollFrac,"cpus":$cpus,"pass_bounds":$pb,"sf":${JsonOut.q(sfDir)}}"""
     println(line)
     if (polluted)
       System.err.println(
