@@ -3297,6 +3297,35 @@ object SparkEntry {
           "duration_ticks", "offsets_monotone")
         .orderBy("doc_id")
     }),
+    // CODEC-FREE video curation over the sample tables (round-17
+    // VERDICT item 4): the keep/drop rule a 100 TB pipeline actually
+    // applies — duration bounds, keyframe density, byte-rate cap —
+    // computed ONLY from the demuxed stts/stsc/stsz/stss/stco stats,
+    // no bitstream decode. Payload spec is id-derived closed form
+    // (n = 5+id%23 samples, uniform delta 20+(id%5)·15 at timescale
+    // 600, sync every 1+id%6, sizes 100+(id·31+i)%50), so the oracle
+    // replays every stat AND the verdict as integer arithmetic.
+    "video_curate_samples" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val n = 5 + (id % 23).toInt
+          val delta = 20 + ((id % 5) * 15).toInt
+          val k = 1 + (id % 6).toInt
+          val sizes = (0 until n).map(i => 100 + ((id * 31 + i) % 50).toInt)
+          val st = Mp4Meta.sampleTable(Mp4Meta.encodeWithSamples(
+            sizes, Seq.fill(n)(delta), samplesPerChunk = 3, syncEvery = k))
+          val durationTicks = st.samples.last.dts + delta
+          val nSync = st.samples.count(_.keyframe).toLong
+          val totalBytes = st.samples.map(_.size).sum
+          val keep = durationTicks >= 400L && durationTicks <= 1500L &&
+            nSync * 300L >= durationTicks &&
+            totalBytes * 600L <= durationTicks * 1600L
+          (id, st.samples.size.toLong, durationTicks, nSync, totalBytes, keep)
+        }
+        .toDF("doc_id", "n_samples", "duration_ticks", "n_sync", "total_bytes", "keep")
+        .orderBy("doc_id")
+    }),
     // Compressed-audio metadata path (round 9): deterministic MPEG-1
     // Layer III CBR streams → frame-header walk → duration/rate/
     // bitrate extraction. Frame length is the closed form
@@ -9066,6 +9095,32 @@ object SparkEntry {
         |  CAST(33 * n_samples AS BIGINT) AS duration_ticks,
         |  CAST(1 AS BIGINT) AS offsets_monotone
         |FROM a ORDER BY doc_id""".stripMargin,
+    // curation verdict replayed as pure integer arithmetic from the
+    // id-derived payload spec (duration = n·delta ticks at timescale
+    // 600; n_sync = (n-1)//k + 1; bytes from the size formula)
+    "video_curate_samples" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    5 + doc_id % 23 AS n,
+        |    20 + (doc_id % 5) * 15 AS delta,
+        |    1 + doc_id % 6 AS k
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id, unnest(range(CAST(n AS BIGINT))) AS i FROM m
+        |), b AS (
+        |  SELECT doc_id,
+        |    CAST(sum(100 + (doc_id * 31 + i) % 50) AS BIGINT) AS total_bytes
+        |  FROM e GROUP BY doc_id
+        |)
+        |SELECT m.doc_id,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n * delta AS BIGINT) AS duration_ticks,
+        |  CAST((n - 1) // k + 1 AS BIGINT) AS n_sync,
+        |  b.total_bytes,
+        |  (n * delta BETWEEN 400 AND 1500)
+        |    AND (((n - 1) // k + 1) * 300 >= n * delta)
+        |    AND (b.total_bytes * 600 <= CAST(n * delta AS BIGINT) * 1600) AS keep
+        |FROM m JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin,
     "multimodal_audio_meta_all" ->
       """WITH spec AS (
         |  SELECT doc_id,
