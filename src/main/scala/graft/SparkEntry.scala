@@ -1931,6 +1931,55 @@ object SparkEntry {
     // "new batch" is the drop-5-token copies. Every copy must pair with
     // its original (and only index-side docs — copy-vs-copy pairs are
     // out of contract). Oracle: exact cross-group jaccard sweep.
+    // INDEX COMPACTION (round-17 VERDICT item 5): two daily band-hash
+    // indexes union, exact-dup ids collapse via one text-hash join,
+    // cross-batch near-dup classes contract to their min id, and every
+    // member's band rows re-point to the representative. The gate
+    // outputs the surviving id set; the oracle replays it as the
+    // per-class minimum of the transitive closure over exact-jaccard
+    // pairs (plus untouched singletons).
+    "dedup_index_compact" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .where(size(split(col("text"), " ")) >= 30)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val toks = split(col("text"), " ")
+      val b2 = base.select((col("doc_id") + 100000L).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 5), " ").as("text"))
+      val b3 = base.select((col("doc_id") + 200000L).as("doc_id"),
+        array_join(reverse(toks), " ").as("text"))
+      val corpus = base.unionByName(b2).unionByName(b3)
+      val i1 = Dedup.minHashIndex(base, "doc_id", "text", numHashes = 128, bands = 32)
+      val i2 = Dedup.minHashIndex(b2.unionByName(b3), "doc_id", "text",
+        numHashes = 128, bands = 32)
+      Dedup.compactMinHashIndexes(Seq(i1, i2), corpus, "doc_id", "text",
+          threshold = 0.5)
+        .select(col("id").as("doc_id")).distinct().orderBy("doc_id")
+    }),
+    // Recall preservation through compaction: a fresh batch of drop-7
+    // variants probes the COMPACTED index and must still hit — now
+    // attributed to the class representative. The oracle replays the
+    // hits as exact-jaccard pairs against the surviving rep set.
+    "dedup_index_compact_probe" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents")
+        .where(size(split(col("text"), " ")) >= 30)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val toks = split(col("text"), " ")
+      val b2 = base.select((col("doc_id") + 100000L).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 5), " ").as("text"))
+      val corpus = base.unionByName(b2)
+      val i1 = Dedup.minHashIndex(base, "doc_id", "text", numHashes = 128, bands = 32)
+      val i2 = Dedup.minHashIndex(b2, "doc_id", "text", numHashes = 128, bands = 32)
+      val compacted = Dedup.compactMinHashIndexes(Seq(i1, i2), corpus,
+        "doc_id", "text", threshold = 0.5).localCheckpoint(true)
+      val probe = base.select((col("doc_id") + 400000L).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 7), " ").as("text"))
+      Dedup.nearDupAgainstIndex(probe, "doc_id", "text",
+          compacted, corpus, "doc_id", "text",
+          threshold = 0.5, numHashes = 128, bands = 32)
+        .select(col("id_new"), col("id_idx"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_new", "id_idx")
+    }),
     "dedup_incremental" -> ((s, dir) => {
       val corpus = tbl(s, dir, "documents")
       val batch = nearDupCorpus(corpus).where(col("doc_id") >= 100000)
@@ -7778,6 +7827,121 @@ object SparkEntry {
     // Blocked cross-group sweep (same exactness argument as
     // dedupSweepCtes: jaccard ≥ 0.5 ⇒ ≥1 shared shingle; group count of
     // the shingle equi-join = |A∩B| because shingle lists are distinct).
+    // survivors = per-class minimum of the closure over exact-jaccard
+    // pairs across the two indexed batches, plus untouched singletons
+    "dedup_index_compact" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 30
+        |), corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      len(string_split(text, ' ')) - 5), ' ')
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ')
+        |                   for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |        FROM corpus)
+        |), ln AS (SELECT doc_id, len(s) AS n FROM sh
+        |), ex AS (SELECT doc_id, unnest(s) AS g FROM sh
+        |), interP AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT ia AS id_a, ib AS id_b FROM interP
+        |  JOIN ln la ON la.doc_id = interP.ia
+        |  JOIN ln lb ON lb.doc_id = interP.ib
+        |  WHERE interP.i::DOUBLE / (la.n + lb.n - interP.i) >= 0.5
+        |), edges AS (
+        |  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.r FROM edges e JOIN reach r ON r.id = e.id_b
+        |), cl AS (
+        |  SELECT id, min(r) AS c FROM reach GROUP BY id
+        |)
+        |SELECT c.doc_id FROM corpus c
+        |LEFT JOIN cl ON cl.id = c.doc_id
+        |WHERE cl.c IS NULL OR cl.c = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+    // probe hits = exact-jaccard pairs between the fresh batch and the
+    // SURVIVING representative set of the compacted two-batch corpus
+    "dedup_index_compact_probe" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 30
+        |), corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      len(string_split(text, ' ')) - 5), ' ')
+        |  FROM base
+        |), probe AS (
+        |  SELECT doc_id + 400000 AS doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      len(string_split(text, ' ')) - 7), ' ') AS text
+        |  FROM base
+        |), shC AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ')
+        |                   for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |        FROM corpus)
+        |), shP AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ')
+        |                   for i in range(1, len(w) - 1)]) AS s
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |        FROM probe)
+        |), lnC AS (SELECT doc_id, len(s) AS n FROM shC
+        |), lnP AS (SELECT doc_id, len(s) AS n FROM shP
+        |), exC AS (SELECT doc_id, unnest(s) AS g FROM shC
+        |), exP AS (SELECT doc_id, unnest(s) AS g FROM shP
+        |), interP AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        |  FROM exC a JOIN exC b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT ia AS id_a, ib AS id_b FROM interP
+        |  JOIN lnC la ON la.doc_id = interP.ia
+        |  JOIN lnC lb ON lb.doc_id = interP.ib
+        |  WHERE interP.i::DOUBLE / (la.n + lb.n - interP.i) >= 0.5
+        |), edges AS (
+        |  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT id_a, id_a FROM edges
+        |  UNION
+        |  SELECT e.id_a, r.r FROM edges e JOIN reach r ON r.id = e.id_b
+        |), cl AS (
+        |  SELECT id, min(r) AS c FROM reach GROUP BY id
+        |), survivors AS (
+        |  SELECT c.doc_id FROM corpus c
+        |  LEFT JOIN cl ON cl.id = c.doc_id
+        |  WHERE cl.c IS NULL OR cl.c = c.doc_id
+        |), interX AS (
+        |  SELECT p.doc_id AS pid, c.doc_id AS cid, count(*) AS i
+        |  FROM exP p JOIN exC c ON p.g = c.g GROUP BY 1, 2
+        |)
+        |SELECT pid AS id_new, cid AS id_idx,
+        |  CAST(round(interX.i::DOUBLE / (lp.n + lc.n - interX.i), 6) AS DOUBLE)
+        |    AS jaccard
+        |FROM interX
+        |JOIN lnP lp ON lp.doc_id = pid
+        |JOIN lnC lc ON lc.doc_id = cid
+        |WHERE cid IN (SELECT doc_id FROM survivors)
+        |  AND interX.i::DOUBLE / (lp.n + lc.n - interX.i) >= 0.5
+        |ORDER BY id_new, id_idx""".stripMargin,
     "dedup_incremental" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents

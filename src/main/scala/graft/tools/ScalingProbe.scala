@@ -797,6 +797,78 @@ object ScalingProbe {
     println(sb.toString)
   }
 
+  /** Index-compaction scaling (round 18): the maintenance claim is
+    * cost ∝ index + candidates, never a full-corpus shingle pass.
+    * Leg (a): index 1× vs 10× (per-copy dup structure preserved) —
+    * wall and shuffle must grow ~linearly. Leg (b): FIXED index while
+    * the corpus gains 9× UNRELATED rows — cost must stay near-flat,
+    * because unindexed corpus rows are pruned before any shingling
+    * (they pay one cheap md5 column scan only). LISTENER-accounted
+    * (cluster-contraction rounds checkpoint per round, so mapStats on
+    * the final plan see only the tail). */
+  private def runCompact(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outPath: String, cpus: String): Unit = {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    def legs(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val base = d.where(size(split(col("text"), " ")) >= 30)
+        .select(col("doc_id"), col("text"))
+      val toks = split(col("text"), " ")
+      val b2 = base.select((col("doc_id") + 500000000L).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 5), " ").as("text"))
+      (base, b2, base.unionByName(b2))
+    }
+    def compactAgg(b1: DataFrame, b2: DataFrame, corpus: DataFrame): DataFrame =
+      Dedup.compactMinHashIndexes(Seq(
+          Dedup.minHashIndex(b1, "doc_id", "text", numHashes = 128, bands = 32),
+          Dedup.minHashIndex(b2, "doc_id", "text", numHashes = 128, bands = 32)),
+          corpus, "doc_id", "text", threshold = 0.5)
+        .agg(countDistinct("id").as("n_ids"), count(lit(1)).as("n_rows"))
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), (Double, Long, Long)]
+    for (copies <- Seq(1, 10)) {
+      val d = scaleDocs(docs, copies)
+      val (b1, b2, corpus) = legs(d)
+      results(("index_compact", copies)) =
+        timedListener(spark, () => compactAgg(b1, b2, corpus))
+      println(s"[scaling-compact] copies=$copies done")
+    }
+    val (b1, b2, corpus1) = legs(docs)
+    val bloat = scaleDocs(docs, 10).where(col("doc_id") >= 10000000L)
+      .select((col("doc_id") + 600000000L).as("doc_id"), col("text"))
+    results(("index_compact_corpus10x", 1)) =
+      timedListener(spark, () => compactAgg(b1, b2, corpus1.unionByName(bloat)))
+    println("[scaling-compact] corpus-bloat leg done")
+    val head = Provenance.gitHead
+    val dirty = Provenance.gitTreeDirty
+    val sb = new StringBuilder
+    sb ++= "\n## Index-compaction tier — minHash index maintenance (round 18)\n\n"
+    sb ++= s"Generated by `graft.tools.ScalingProbe compact` at git `$head`" +
+      s"${if (dirty) " (DIRTY tree)" else ""}, fixtures `$sfDir`, local[$cpus]. " +
+      "Two daily band-hash indexes (batch2 = drop-5 near-dups of batch1) " +
+      "union, exact/near classes contract, rows re-point to class reps. " +
+      "`index_compact` scales BOTH index and corpus 1×→10×; " +
+      "`index_compact_corpus10x` keeps the 1× index while the corpus " +
+      "carries 9× additional UNINDEXED rows — near-flat cost is the " +
+      "O(index), not O(corpus), claim.\n\n"
+    sb ++= "| op | scale | rows out | wall s | shuffle MB (listener) |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    for (((op, sc), (sec, bytes, rows)) <- results)
+      sb ++= f"| $op | $sc× | $rows | $sec%.2f | ${bytes / 1e6}%.1f |\n"
+    val w1 = results(("index_compact", 1))
+    val w10 = results(("index_compact", 10))
+    val wb = results(("index_compact_corpus10x", 1))
+    sb ++= f"\nindex 10×/1×: wall ${w10._1 / w1._1}%.1f×, shuffle ${w10._2.toDouble / math.max(1, w1._2)}%.1f× " +
+      f"(linear bar ~10×). corpus-bloat vs 1×: wall ${wb._1 / w1._1}%.2f×, " +
+      f"shuffle ${wb._2.toDouble / math.max(1, w1._2)}%.2f× (flat bar ~1×).\n"
+    val out = java.nio.file.Paths.get(outPath)
+    java.nio.file.Files.writeString(out,
+      new String(java.nio.file.Files.readAllBytes(out),
+        java.nio.charset.StandardCharsets.UTF_8) + sb.toString)
+    println(sb.toString)
+  }
+
   def main(args: Array[String]): Unit = {
     // the "100x"/"tpch" mode flag may appear at any position; positional
     // args (sfDir, outPath) are resolved from what remains, so
@@ -808,9 +880,10 @@ object ScalingProbe {
     val modeDeep100 = args.contains("deep100")
     val modeMedia = args.contains("media")
     val modeMeta = args.contains("meta")
+    val modeCompact = args.contains("compact")
     val positional = args.filterNot(a =>
       a == "100x" || a == "tpch" || a == "lm" || a == "analytics" ||
-        a == "deep100" || a == "media" || a == "meta")
+        a == "deep100" || a == "media" || a == "meta" || a == "compact")
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = if (positional.length > 1) positional(1) else "SCALING.md"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -851,6 +924,11 @@ object ScalingProbe {
     }
     if (modeMeta) {
       runMeta(spark, sfDir, outPath, cpus)
+      spark.stop()
+      return
+    }
+    if (modeCompact) {
+      runCompact(spark, sfDir, outPath, cpus)
       spark.stop()
       return
     }

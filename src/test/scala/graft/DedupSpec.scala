@@ -730,4 +730,36 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
+  test("compactMinHashIndexes: classes contract, band rows re-point, probes still hit") {
+    val mk = (id: Long, t: String) => (id, t)
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val drop5 = (1 to 35).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val b1 = Seq(mk(1L, words), mk(7L, other)).toDF("doc_id", "text")
+    // batch 2: a near-dup of doc 1, an EXACT copy of doc 1, and a solo
+    val b2 = Seq(mk(10L, drop5), mk(11L, words), mk(20L, "lone doc body here"))
+      .toDF("doc_id", "text")
+    val corpus = b1.unionByName(b2)
+    val i1 = Dedup.minHashIndex(b1, "doc_id", "text")
+    val i2 = Dedup.minHashIndex(b2, "doc_id", "text")
+    val compact = Dedup.compactMinHashIndexes(Seq(i1, i2), corpus,
+      "doc_id", "text", threshold = 0.5).cache()
+    // {1, 10, 11} contract to 1; 7 and 20 stay
+    val ids = compact.select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 7L, 20L))
+    // re-pointing preserved the members' band coverage: the class rows
+    // under id 1 are the UNION of the members' band rows
+    val before = i1.unionByName(i2).where(col("id").isin(1L, 10L, 11L))
+      .select("band_idx", "band_hash").distinct().count()
+    val after = compact.where(col("id") === 1L)
+      .select("band_idx", "band_hash").distinct().count()
+    assert(after == before, s"class band rows $after != member union $before")
+    // a probe near the DROPPED member still hits, attributed to the rep
+    val probe = Seq((99L, (1 to 33).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val hits = Dedup.nearDupAgainstIndex(probe, "doc_id", "text",
+        compact, corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((99L, 1L)))
+  }
 }
