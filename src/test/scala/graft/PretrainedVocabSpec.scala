@@ -113,4 +113,42 @@ class PretrainedVocabSpec extends AnyFunSuite {
       assert(viaRanks.toSeq == classic.toSeq, s"word '$w'")
     }
   }
+  test("mutation fuzz: corrupt vocab files fail with IllegalArgumentException, never hang") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val merges = trainInMemory(corpus, 24)
+    val vocab = merges.zipWithIndex.map { case (m, i) => (m.left + m.right, 256 + i) }
+    val fixtures: Seq[(String, Array[Byte], Array[Byte] => Any)] = Seq(
+      ("merges.txt", PV.renderMergesTxt(merges).getBytes(UTF_8),
+        b => PV.parseMergesTxt(new String(b, UTF_8))),
+      ("vocab.json", PV.renderVocabJson(vocab).getBytes(UTF_8),
+        b => PV.parseVocabJson(new String(b, UTF_8))),
+      (".tiktoken", PV.renderTiktoken(vocab).getBytes(UTF_8),
+        b => PV.parseTiktoken(new String(b, UTF_8))))
+    val rnd = new java.util.Random(20261816L)
+    for ((name, good, parse) <- fixtures) {
+      // bit flips
+      for (trial <- 1 to 800) {
+        val m = good.clone()
+        for (_ <- 0 to rnd.nextInt(3)) {
+          val i = rnd.nextInt(m.length)
+          m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        try { parse(m); () }
+        catch {
+          case _: IllegalArgumentException => ()
+          case e: Throwable =>
+            fail(s"$name trial $trial leaked ${e.getClass.getName}: ${e.getMessage}")
+        }
+      }
+      // every truncation point
+      for (cut <- 0 until good.length) {
+        try { parse(java.util.Arrays.copyOf(good, cut)); () }
+        catch {
+          case _: IllegalArgumentException => ()
+          case e: Throwable =>
+            fail(s"$name truncated at $cut leaked ${e.getClass.getName}: ${e.getMessage}")
+        }
+      }
+    }
+  }
 }
