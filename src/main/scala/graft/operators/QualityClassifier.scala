@@ -120,10 +120,30 @@ object QualityClassifier {
     * @param binary    true = presence features (each distinct bucket
     *                  counts once per doc); false = count features
     */
+  /** Exact long fold of a bucket array against a BROADCAST weight
+    * array — identical integer arithmetic to the
+    * `element_at(lit(wQ), …)` plan-literal fold, but the model ships
+    * once per executor instead of riding every task's serialized plan
+    * every round (round-17 ADVICE item 3; same threshold and shape as
+    * [[MultiClass.BroadcastBucketThreshold]]). */
+  private def featSumBroadcastCol(df: DataFrame, feats: Column,
+      wQ: Array[Long]): Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(wQ.clone())
+    val f = udf { (buckets: Seq[Int]) =>
+      val w = bc.value
+      var acc = 0L
+      val it = buckets.iterator
+      while (it.hasNext) acc += w(it.next())
+      acc
+    }
+    f(feats)
+  }
+
   def trainLogistic(docs: DataFrame, textCol: String, labelCol: String,
       numBuckets: Int, ns: Seq[Int] = Seq(1), seed: Long = 13L,
       rounds: Int = 3, lr: Double = 0.5, posWeight: Long = 1L,
-      binary: Boolean = false): LrModel = {
+      binary: Boolean = false,
+      broadcastThreshold: Int = MultiClass.BroadcastBucketThreshold): LrModel = {
     require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
       s"numBuckets must be a positive power of two, got $numBuckets")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
@@ -175,8 +195,14 @@ object QualityClassifier {
         require(maxAbsW <= (1L << 33),
           s"weight grid overflow risk (max |w_q| = $maxAbsW): training diverged; lower lr")
 
-        val featSum = aggregate(col("__b"), lit(0L),
-          (acc, b) => acc + element_at(lit(wQ), b + lit(1)))
+        // small models: codegen'd literal fold; large models: the
+        // broadcast fold — bit-identical long arithmetic either way
+        // (pinned in QualityClassifierSpec)
+        val featSum =
+          if (numBuckets >= broadcastThreshold)
+            featSumBroadcastCol(feats, col("__b"), wQ)
+          else aggregate(col("__b"), lit(0L),
+            (acc, b) => acc + element_at(lit(wQ), b + lit(1)))
         val z = (featSum + lit(biasQ)).cast(DoubleType) / lit(WeightScale)
         val p = sigmoidAlgCol(z)
         val rq = floor((p - col("__y").cast(DoubleType)) * lit(ResidScale)

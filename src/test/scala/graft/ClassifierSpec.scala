@@ -225,4 +225,15 @@ class ClassifierSpec extends SparkSpec {
     assert(r.getAs[Double]("auc") === 1.0)
     assert(r.getAs[Double]("f1") === 1.0)
   }
+  test("broadcast-fold GD rounds are bit-identical to the plan-literal fold") {
+    val docs = toy()
+    // force the broadcast path on the same small model (threshold 1)
+    // and compare against the literal path (threshold never reached)
+    val lit = QualityClassifier.trainLogistic(docs, "text", "y", D,
+      rounds = 5, broadcastThreshold = Int.MaxValue)
+    val bc = QualityClassifier.trainLogistic(docs, "text", "y", D,
+      rounds = 5, broadcastThreshold = 1)
+    assert(lit.biasQ == bc.biasQ)
+    assert(lit.weightsQ.toSeq == bc.weightsQ.toSeq)
+  }
 }
