@@ -786,15 +786,15 @@ object Brotli {
     * once MLEN is reached). */
   private final case class EncCmd(insStart: Int, insLen: Int, copyLen: Int, dist: Int)
 
-  /** Greedy hash-chain match over `[from, until)`; chains persist
-    * across segments so matches reach back into earlier meta-blocks
-    * (the decoder's output window is stream-global). */
+  /** Hash-chain match with one-step LAZY evaluation (the zlib shape:
+    * defer a match when the next position holds a strictly longer one)
+    * over `[from, until)`; chains persist across segments so matches
+    * reach back into earlier meta-blocks (the decoder's output window
+    * is stream-global). */
   private def parseSegment(raw: Array[Byte], from: Int, until: Int,
       head: Array[Int], prev: Array[Int], hashBits: Int): scala.collection.mutable.ArrayBuffer[EncCmd] = {
     val cmds = scala.collection.mutable.ArrayBuffer.empty[EncCmd]
-    var i = from
-    var litStart = from
-    while (i < until) {
+    def findBest(i: Int): (Int, Int) = {
       var bestLen = 0
       var bestDist = 0
       if (i + EncMinMatch <= until) {
@@ -812,17 +812,36 @@ object Brotli {
           chain += 1
         }
       }
+      (bestLen, bestDist)
+    }
+    var i = from
+    var litStart = from
+    var inserted = from // first position not yet in the chains
+    def insertUpTo(p: Int): Unit = {
+      val stop = math.min(p, raw.length - EncMinMatch + 1)
+      while (inserted < stop) {
+        val h = hash4(raw, inserted, hashBits)
+        prev(inserted) = head(h); head(h) = inserted
+        inserted += 1
+      }
+      if (inserted < p) inserted = p
+    }
+    while (i < until) {
+      val (bestLen, bestDist) = findBest(i)
       if (bestLen >= EncMinMatch) {
-        cmds += EncCmd(litStart, i - litStart, bestLen, bestDist)
-        val stop = math.min(i + bestLen, raw.length - EncMinMatch + 1)
-        var j = i
-        while (j < stop) { val h = hash4(raw, j, hashBits); prev(j) = head(h); head(h) = j; j += 1 }
-        i += bestLen
-        litStart = i
-      } else {
-        if (i + EncMinMatch <= raw.length) {
-          val h = hash4(raw, i, hashBits); prev(i) = head(h); head(h) = i
+        var accept = true
+        if (bestLen < 64 && i + 1 < until) {
+          insertUpTo(i + 1)
+          if (findBest(i + 1)._1 > bestLen) accept = false
         }
+        if (accept) {
+          cmds += EncCmd(litStart, i - litStart, bestLen, bestDist)
+          insertUpTo(i + bestLen)
+          i += bestLen
+          litStart = i
+        } else i += 1 // position i becomes a literal; re-match at i+1
+      } else {
+        insertUpTo(i + 1)
         i += 1
       }
     }

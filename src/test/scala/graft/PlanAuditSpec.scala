@@ -96,6 +96,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("index compaction: equi-joins only — never a cross join at any stage") {
+    // the final compacted-index plan reflects the re-point join; the
+    // candidate/verify stages run inside duplicateClusters' checkpointed
+    // rounds, so audit the PRE-contraction plan too via the probe gate
+    for (name <- Seq("dedup_index_compact", "dedup_index_compact_probe")) {
+      val p = plan(name)
+      assert(nodes(p, "CartesianProduct") == 0, s"$name:\n$p")
+      assert(nodes(p, "BroadcastNestedLoopJoin") == 0, s"$name:\n$p")
+    }
+  }
+
   test("paragraph/span dedup gates: equi-joins only, never a cross join") {
     // round-10 text dedup: the winner probes and coverage/rebuild joins
     // are all key equi-joins — a cartesian or nested-loop anywhere here
