@@ -300,8 +300,12 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double,
       shingleN: Int = 3): DataFrame = {
     require(indexes.nonEmpty, "no indexes to compact")
+    // materialize the union ONCE: compaction fires several actions
+    // (exact-class checkpoint, contraction rounds, the final write) and
+    // the inputs are usually lazy index-build plans — without this the
+    // banding of every batch would recompute per action
     val union = indexes.map(_.select("band_idx", "band_hash", "id"))
-      .reduce(_ unionByName _).distinct()
+      .reduce(_ unionByName _).distinct().localCheckpoint(true)
     // exact classes: identical text ⇒ identical signature ⇒ identical
     // band rows; collapse to the min id before any pair expansion
     val txtHash = corpus.select(col(idCol).as("id"), md5(col(textCol)).as("__th"))
@@ -309,8 +313,6 @@ object Dedup {
     val exactRep = idsInIndex.groupBy("__th").agg(min("id").as("__rep"))
     val idToExact = idsInIndex.join(exactRep, "__th").select(col("id"), col("__rep"))
       .localCheckpoint(true)
-    val exactEdges = idToExact.where(col("id") =!= col("__rep"))
-      .select(col("id").as("id_a"), col("__rep").as("id_b"))
     // candidates between exact-class reps sharing a band bucket
     val repRows = union.join(idToExact, "id")
       .select(col("band_idx"), col("band_hash"), col("__rep").as("id")).distinct()
@@ -332,11 +334,18 @@ object Dedup {
       .join(sh.select(col("__vid").as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .where(jaccard(col("__sh_a"), col("__sh_b")) >= threshold)
       .select("id_a", "id_b")
-    val clusters = duplicateClusters(exactEdges.unionByName(verified))
-      .withColumnRenamed("id", "__cid").withColumnRenamed("cluster", "__cluster")
-    union.join(clusters, col("id") === col("__cid"), "left")
+    // contract ONLY the rep-rep pair graph, then compose the exact
+    // mapping on top: exact reps are their class minima, so
+    // min-over-reps == min-over-members and the result is identical to
+    // clustering the full member graph — at a fraction of the rounds'
+    // cost when exact classes are large (the viral-page shape)
+    val clusters = duplicateClusters(verified)
+      .withColumnRenamed("id", "__rid").withColumnRenamed("cluster", "__cluster")
+    val mapping = idToExact.join(clusters, col("__rep") === col("__rid"), "left")
+      .select(col("id"), coalesce(col("__cluster"), col("__rep")).as("__final"))
+    union.join(mapping, Seq("id"), "left")
       .select(col("band_idx"), col("band_hash"),
-        coalesce(col("__cluster"), col("id")).as("id"))
+        coalesce(col("__final"), col("id")).as("id"))
       .distinct()
   }
 
@@ -467,28 +476,90 @@ object Dedup {
     * rounds checkpoint there instead, so a multi-hour 100 TB dedup
     * survives executor loss at the cost of per-round distributed-FS
     * writes. */
+  /** Distinct-pair count at or below which [[duplicateClusters]]
+    * contracts the graph on the DRIVER with one min-rooted union-find
+    * pass instead of star-contraction rounds. A pair table this small
+    * is model-sized state (≤ ~8 MB of longs at the default), and the
+    * rounds' FIXED cost — two grouped joins, a checkpoint and a
+    * convergence scan per round, ~5 s on a 5k-pair graph regardless of
+    * size — dominates wall time on it. Above the bound (or for
+    * non-integral id types) the proven distributed contraction runs
+    * unchanged; output is identical either way: (id, component
+    * minimum) for every id in a pair, self-pair-only ids as singleton
+    * clusters. */
+  val SmallGraphPairBound: Long = 1L << 19
+
   def duplicateClusters(
       pairs: DataFrame, maxIters: Int = 20): DataFrame =
-    duplicateClustersWithRounds(pairs, maxIters)._1
+    duplicateClusters(pairs, maxIters, SmallGraphPairBound)
+
+  /** [[duplicateClusters]] with an explicit small-graph bound (0 forces
+    * the distributed path — the contract tests use it). */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int,
+      smallGraphBound: Long): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val base = pairBase(pairs)
+    val idType = base.schema("u").dataType
+    val integral = idType == LongType || idType == IntegerType
+    if (!integral || smallGraphBound <= 0L || base.count() > smallGraphBound)
+      return contractPrepared(base, maxIters)._1
+    // driver union-find, min-rooted so every root IS the component min
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    base.collect().foreach { row =>
+      val u = if (idType == LongType) row.getLong(0) else row.getInt(0).toLong
+      val v = if (idType == LongType) row.getLong(1) else row.getInt(1).toLong
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      if (u != v) {
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+    }
+    val labels = parent.keysIterator.map(id => (id, find(id))).toSeq
+    val s = pairs.sparkSession
+    import s.implicits._
+    val parts = math.max(1, math.min(labels.size / 50000 + 1,
+      s.sparkContext.defaultParallelism))
+    val df = s.sparkContext.parallelize(labels, parts).toDF("id", "cluster")
+    if (idType == IntegerType)
+      df.select(col("id").cast(IntegerType).as("id"),
+        col("cluster").cast(IntegerType).as("cluster"))
+    else df
+  }
+
+  /** Canonical big→small orientation, distinct, checkpointed ONCE —
+    * self-pairs (a, a) ride along and are split off by the consumer
+    * (re-scanning `pairs` later would re-run the upstream LSH plan). */
+  private def pairBase(pairs: DataFrame): DataFrame = {
+    val reliable =
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val base = pairs.select(
+      greatest(col("id_a"), col("id_b")).as("u"),
+      least(col("id_a"), col("id_b")).as("v")).distinct()
+    if (reliable) base.checkpoint(eager = true)
+    else base.localCheckpoint(eager = true)
+  }
 
   /** [[duplicateClusters]] exposing the round count — the convergence
     * contract (≈log₂ d rounds, not O(d)) is asserted by tests, not
-    * just claimed. */
+    * just claimed. Always the distributed star contraction. */
   private[graft] def duplicateClustersWithRounds(
-      pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
+      pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) =
+    contractPrepared(pairBase(pairs), maxIters)
+
+  private def contractPrepared(
+      base: DataFrame, maxIters: Int): (DataFrame, Int) = {
     val reliable =
-      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+      base.sparkSession.sparkContext.getCheckpointDir.isDefined
     def ckpt(df: DataFrame, eager: Boolean): DataFrame =
       if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
-    // Canonical big→small orientation. Self-pairs (a, a) carry no
-    // connectivity; split them off ONCE from the checkpointed base —
-    // re-scanning `pairs` at the end would re-run the upstream LSH
-    // plan — and re-attach them as singleton clusters at the end.
-    val base = ckpt(
-      pairs.select(
-        greatest(col("id_a"), col("id_b")).as("u"),
-        least(col("id_a"), col("id_b")).as("v")).distinct(),
-      eager = true)
     var edges = base.where(col("u") =!= col("v"))
     var iters = 0
     var converged = false

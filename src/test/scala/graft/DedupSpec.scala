@@ -167,16 +167,36 @@ class DedupSpec extends SparkSpec {
 
   test("duplicateClusters fails loudly when a component outruns maxIters") {
     // a 12-node path has diameter 11 — label propagation cannot finish
-    // in 2 rounds, and split clusters must not be returned silently
+    // in 2 rounds, and split clusters must not be returned silently.
+    // smallGraphBound = 0 forces the distributed contraction (the
+    // driver union-find path has no round bound to outrun).
     val chain = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.duplicateClusters(chain, maxIters = 2).collect()
+      Dedup.duplicateClusters(chain, maxIters = 2, smallGraphBound = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
     // with enough rounds the same chain collapses fine
-    val ok = Dedup.duplicateClusters(chain, maxIters = 20)
+    val ok = Dedup.duplicateClusters(chain, maxIters = 20, smallGraphBound = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 12L).forall(ok(_) == 1L))
+  }
+
+  test("small-graph union-find path == distributed star contraction") {
+    val rnd = new scala.util.Random(42)
+    // random graph with chains, self-pairs, singleton pairs, dup edges
+    val pairs = ((1 to 600).map { _ =>
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong)
+    } ++ Seq((500L, 500L), (600L, 601L))).toDF("id_a", "id_b")
+    val fast = Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = Dedup.duplicateClusters(pairs, maxIters = 20, smallGraphBound = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == dist)
+    // integer ids keep their type through the fast path
+    val intPairs = Seq((1, 2), (2, 3), (7, 7)).toDF("id_a", "id_b")
+    val viaInt = Dedup.duplicateClusters(intPairs).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(viaInt == Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 7))
   }
 
   test("exactByHashById keeps the min-id row per distinct text") {
