@@ -72,12 +72,18 @@ object Brotli {
       bit
     }
 
-    /** n ≤ 24 bits, LSB-first. */
+    /** n ≤ 24 bits, LSB-first — batched byte gather instead of a
+      * per-bit loop (readBit stays for the prefix-code walk). */
     def readBits(n: Int): Int = {
-      var v = 0
-      var i = 0
-      while (i < n) { v |= readBit() << i; i += 1 }
-      v
+      if (pos + n > limit) bad("truncated stream")
+      var v = 0L
+      val byteI = (pos >> 3).toInt
+      val off = (pos & 7).toInt
+      val need = (off + n + 7) >> 3
+      var k = 0
+      while (k < need) { v |= (b(byteI + k) & 0xffL) << (8 * k); k += 1 }
+      pos += n
+      ((v >>> off) & ((1L << n) - 1)).toInt
     }
 
     def byteAlign(): Unit = {
@@ -621,26 +627,25 @@ object Brotli {
 
   private final class Writer(hint: Int) {
     private val buf = new java.io.ByteArrayOutputStream(math.max(64, hint))
-    private var bitBuf = 0
+    private var bitBuf = 0L
     private var bitCnt = 0
-    /** `n` bits of `v`, LSB-first (the decoder's readBits order). */
+    /** `n` ≤ 24 bits of `v`, LSB-first (the decoder's readBits order) —
+      * batched through a 64-bit buffer, whole bytes flushed at once. */
     def putBits(v: Int, n: Int): Unit = {
-      var i = 0
-      while (i < n) {
-        bitBuf |= ((v >> i) & 1) << bitCnt
-        bitCnt += 1
-        if (bitCnt == 8) { buf.write(bitBuf); bitBuf = 0; bitCnt = 0 }
-        i += 1
+      bitBuf |= (v.toLong & ((1L << n) - 1)) << bitCnt
+      bitCnt += n
+      while (bitCnt >= 8) {
+        buf.write((bitBuf & 0xffL).toInt)
+        bitBuf >>>= 8
+        bitCnt -= 8
       }
     }
     /** One prefix-code word, MSB-first (the decoder builds
-      * `code = code<<1 | bit`). */
-    def putCode(code: Int, len: Int): Unit = {
-      var i = len - 1
-      while (i >= 0) { putBits((code >> i) & 1, 1); i -= 1 }
-    }
+      * `code = code<<1 | bit`): bit-reverse, then one batched write. */
+    def putCode(code: Int, len: Int): Unit =
+      if (len > 0) putBits(Integer.reverse(code) >>> (32 - len), len)
     def result(): Array[Byte] = {
-      if (bitCnt > 0) { buf.write(bitBuf); bitBuf = 0; bitCnt = 0 }
+      if (bitCnt > 0) { buf.write((bitBuf & 0xffL).toInt); bitBuf = 0L; bitCnt = 0 }
       buf.toByteArray
     }
   }
