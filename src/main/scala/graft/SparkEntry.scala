@@ -1391,6 +1391,30 @@ object SparkEntry {
             (a, x) => a + coalesce(aggregate(x, lit(0L),
               (b, y) => b + coalesce(y.cast("long"), lit(0L))), lit(0L)))).as("sum_vals"))
     }),
+    // Hand parquet WRITE path (round 18): a lineitem slice is written
+    // by the hand writer — PLAIN V1 pages, RLE def levels, snappy via
+    // the repo's own compressor, a hand-built Thrift compact footer —
+    // and read back by SPARK'S OWN reader (independent implementation);
+    // any footer/page bit error breaks the read or flips a sum. Nulls
+    // ride a constructed optional string column.
+    "parquet_hand_write" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_hand_write_${dir.hashCode.toHexString}"
+      val src = li(s, dir).select(
+        col("l_orderkey"),
+        col("l_quantity").cast("double").as("qty"),
+        when(col("l_linenumber") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("l_returnflag")).as("rf"),
+        (col("l_linenumber") % 2 === 0).as("even"))
+      graft.sources.ParquetWriter.writeDir(src.repartition(4), out,
+        codec = 1, pageRows = 4096)
+      s.read.parquet(out).agg(
+        count(lit(1)).as("n_rows"),
+        sum("l_orderkey").as("sum_ok"),
+        round(sum("qty"), 2).as("sum_qty"),
+        sum(when(col("rf").isNull, 1L).otherwise(0L)).as("n_null_rf"),
+        sum(length(col("rf")).cast("long")).as("sum_rf_len"),
+        sum(when(col("even"), 1L).otherwise(0L)).as("n_even"))
+    }),
     // High-precision DECIMAL page decode: precision 25 forces the
     // FIXED_LEN_BYTE_ARRAY physical form (big-endian two's-complement
     // unscaled), constructed as exact eighths (k/8 is exact in binary
@@ -7376,6 +7400,15 @@ object SparkEntry {
         |    - inul * (20 * doc_id + 3)
         |  ELSE 0 END) AS BIGINT) AS sum_vals
         |FROM d""".stripMargin,
+    "parquet_hand_write" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+        |CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CASE WHEN l_linenumber % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rf,
+        |CAST(sum(CASE WHEN l_linenumber % 3 = 0 THEN 0
+        |         ELSE strlen(l_returnflag) END) AS BIGINT) AS sum_rf_len,
+        |CAST(sum(CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+        |FROM lineitem""".stripMargin,
     "parquet_decimal_scan" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |CAST(sum(l_orderkey) * 125 AS BIGINT) AS sum_unscaled,

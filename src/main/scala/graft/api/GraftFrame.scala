@@ -22,7 +22,7 @@ import graft.sources.{CsvOptions, CsvReader}
   * Scale notes are per-method; the general rule: transformations stay
   * lazy, no method calls an action, and nothing collects to the driver.
   */
-final class GraftFrame(val df: DataFrame) {
+final class GraftFrame(val df: DataFrame) extends GraftHandSink {
 
   def spark: SparkSession = df.sparkSession
   def schema = df.schema
@@ -800,6 +800,15 @@ object GraftFrame {
   def page_scan_nested_list(spark: SparkSession, dir: String,
       column: String): GraftFrame =
     new GraftFrame(graft.sources.ParquetNested.scanNestedListColumn(spark, dir, column))
+}
+
+/** Hand-writer sink surface (round 18): spec-conformant parquet built
+  * from scratch — V1 PLAIN pages, RLE def levels, Thrift compact
+  * footer — one file per partition. See
+  * [[graft.sources.ParquetWriter]]. */
+trait GraftHandSink { self: GraftFrame =>
+  def to_parquet_hand(dir: String, codec: Int = 0, pageRows: Int = 20000): Int =
+    graft.sources.ParquetWriter.writeDir(self.df, dir, codec, pageRows)
 }
 
 /** Grouped-aggregation surface — `df.groupby(keys).agg(...)`.

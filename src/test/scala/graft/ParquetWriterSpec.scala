@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{ParquetFooter, ParquetPages, ParquetWriter}
+
+/** The hand parquet WRITER against Spark's own reader (independent
+  * implementation, parquet-mr underneath) and the repo's own hand
+  * readers — the three-way cross-check for spec-conformant output. */
+class ParquetWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(name).toFile
+    d.deleteOnExit(); d.getAbsolutePath
+  }
+
+  private def sample(n: Int) =
+    spark.range(n.toLong).selectExpr(
+      "id AS k",                                                   // required long
+      "IF(id % 7 = 0, CAST(NULL AS BIGINT), id * 3) AS n",         // nullable long
+      "CAST(id % 1000 AS INT) AS i",                               // int
+      "CAST(id AS DOUBLE) / 8 AS d",                               // double
+      "IF(id % 5 = 0, CAST(NULL AS STRING), concat('s', id % 97)) AS s", // nullable string
+      "id % 3 = 0 AS f")                                           // boolean
+
+  for ((codecName, codec) <- Seq(("uncompressed", 0), ("snappy", 1))) {
+    test(s"Spark's own reader reads our files byte-exact ($codecName)") {
+      val out = tmpDir(s"pqw_$codecName")
+      val df = sample(30000)
+      ParquetWriter.writeDir(df.repartition(3), out, codec = codec, pageRows = 4096)
+      val back = spark.read.parquet(out)
+      assert(back.schema.map(f => (f.name, f.dataType)) ==
+        df.schema.map(f => (f.name, f.dataType)))
+      val a = df.orderBy("k").collect()
+      val b = back.orderBy("k").collect()
+      assert(b.length == 30000)
+      a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+        assert(x == y, s"row $i ($codecName)")
+      }
+    }
+  }
+
+  test("our own footer + page readers complete the three-way check") {
+    val out = tmpDir("pqw_three")
+    ParquetWriter.writeDir(sample(20000).coalesce(1), out, pageRows = 2048)
+    val (path, len) = ParquetFooter.listDataFiles(spark, out).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fm = ParquetFooter.readFooter(conf, path, len)
+    assert(fm.numRows == 20000)
+    assert(fm.schema.head.numChildren.contains(6))
+    assert(fm.schema.map(_.name) ==
+      Seq("graft_schema", "k", "n", "i", "d", "s", "f"))
+    val hand = ParquetPages.scanTwoColumns(spark, out, "k", "n")
+      .orderBy("row_idx").collect()
+    assert(hand.length == 20000)
+    hand.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(2) == i.toLong, s"k at $i")
+      if (i % 7 == 0) assert(r.isNullAt(5), s"null n at $i")
+      else assert(r.getLong(5) == i.toLong * 3, s"n at $i")
+    }
+  }
+
+  test("multiple row groups split correctly and read back whole") {
+    val out = tmpDir("pqw_rg")
+    val df = sample(15000).coalesce(1)
+    val specs = df.schema.fields.map(fd => ParquetWriter.ColSpec(fd.name,
+      fd.dataType match {
+        case org.apache.spark.sql.types.BooleanType => 0
+        case org.apache.spark.sql.types.IntegerType => 1
+        case org.apache.spark.sql.types.LongType => 2
+        case org.apache.spark.sql.types.DoubleType => 5
+        case _ => 6
+      }, fd.nullable)).toSeq
+    val rows = df.collect()
+    val cols: Seq[(ParquetWriter.ColSpec, Array[Any])] =
+      specs.zipWithIndex.map { case (sp, c) =>
+        sp -> rows.map(r => if (r.isNullAt(c)) null else r.get(c))
+      }.toSeq
+    val bytes = ParquetWriter.writeBytes(cols, rows.length,
+      pageRows = 1000, rowGroupRows = 4000)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out, "f.parquet"), bytes)
+    val fm = ParquetFooter.parseFile(bytes)
+    assert(fm.rowGroups.size == 4) // 4000+4000+4000+3000
+    assert(fm.rowGroups.map(_.numRows) == Seq(4000L, 4000L, 4000L, 3000L))
+    val back = spark.read.parquet(out).orderBy("k").collect()
+    assert(back.length == 15000)
+    assert(back(14999).getLong(0) == 14999L)
+  }
+
+  test("loud contracts: nulls in a REQUIRED column, bad codec, bad type") {
+    val spec = ParquetWriter.ColSpec("x", 2, optional = false)
+    intercept[IllegalArgumentException] {
+      ParquetWriter.writeBytes(Seq((spec, Array[Any](1L, null))), 2)
+    }
+    intercept[IllegalArgumentException] {
+      ParquetWriter.writeBytes(Seq((spec, Array[Any](1L))), 1, codec = 6)
+    }
+    intercept[IllegalArgumentException] { ParquetWriter.ColSpec("x", 3, true) }
+  }
+}
