@@ -57,9 +57,10 @@ object ParquetWriter {
     def structField(id: Int): Unit = { fieldHeader(id, 12); structBegin() }
     def i32(id: Int, v: Int): Unit = { fieldHeader(id, 5); zig(v.toLong) }
     def i64(id: Int, v: Long): Unit = { fieldHeader(id, 6); zig(v) }
-    def str(id: Int, s: String): Unit = {
+    def str(id: Int, s: String): Unit =
+      listlessBinary(id, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def listlessBinary(id: Int, b: Array[Byte]): Unit = {
       fieldHeader(id, 8)
-      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       varint(b.length.toLong); out.write(b, 0, b.length)
     }
     def listBegin(id: Int, elemType: Int, size: Int): Unit = {
@@ -186,7 +187,31 @@ object ParquetWriter {
 
     // (colIdx -> (dataPageOffset, compressedSize, uncompressedSize)) per row group
     final case class ChunkInfo(offset: Long, compressed: Long, uncompressed: Long,
-        numValues: Long)
+        numValues: Long, nullCount: Long,
+        minBytes: Option[Array[Byte]], maxBytes: Option[Array[Byte]])
+
+    // PLAIN value encoding of a single stat value (the form statLong/
+    // statDouble/statString decode back — LE numerics, raw UTF8 bytes)
+    def statBytes(typ: Int, v: Any): Array[Byte] = typ match {
+      case 0 => Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)
+      case 1 =>
+        val x = v match { case i: Int => i.toLong; case l: Long => l }
+        Array.tabulate(4)(k => ((x >>> (8 * k)) & 0xff).toByte)
+      case 2 =>
+        val x = v.asInstanceOf[Long]
+        Array.tabulate(8)(k => ((x >>> (8 * k)) & 0xff).toByte)
+      case 5 =>
+        val x = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+        Array.tabulate(8)(k => ((x >>> (8 * k)) & 0xff).toByte)
+      case _ => v.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def statOrder(typ: Int): Ordering[Any] = typ match {
+      case 0 => Ordering.by((a: Any) => a.asInstanceOf[Boolean])
+      case 1 => Ordering.by((a: Any) => a match { case i: Int => i.toLong; case l: Long => l })
+      case 2 => Ordering.by((a: Any) => a.asInstanceOf[Long])
+      case 5 => Ordering.by((a: Any) => a.asInstanceOf[Double])
+      case _ => Ordering.by((a: Any) => a.asInstanceOf[String])
+    }
     val groups = Seq.newBuilder[(Seq[ChunkInfo], Int)] // (chunks, rows)
 
     var rgStart = 0
@@ -224,7 +249,24 @@ object ParquetWriter {
           uncomp += hb.length + raw.length
           p = pEnd
         }
-        ChunkInfo(chunkOffset, comp, uncomp, (rgEnd - rgStart).toLong)
+        // chunk stats: min/max over present values, null count
+        var nulls = 0L
+        var mn: Any = null
+        var mx: Any = null
+        val ord = statOrder(spec.typ)
+        var i = rgStart
+        while (i < rgEnd) {
+          val v = vals(i)
+          if (v == null) nulls += 1
+          else {
+            if (mn == null || ord.lt(v, mn)) mn = v
+            if (mx == null || ord.gt(v, mx)) mx = v
+          }
+          i += 1
+        }
+        ChunkInfo(chunkOffset, comp, uncomp, (rgEnd - rgStart).toLong, nulls,
+          Option(mn).map(statBytes(spec.typ, _)),
+          Option(mx).map(statBytes(spec.typ, _)))
       }
       groups += ((chunks, rgEnd - rgStart))
       rgStart = rgEnd
@@ -268,6 +310,15 @@ object ParquetWriter {
         f.i64(6, ci.uncompressed)
         f.i64(7, ci.compressed)
         f.i64(9, ci.offset) // data_page_offset
+        f.structField(12) // Statistics
+        f.i64(3, ci.nullCount)
+        ci.maxBytes.foreach { b =>
+          f.listlessBinary(5, b) // max_value (modern signed-ordered field)
+        }
+        ci.minBytes.foreach { b =>
+          f.listlessBinary(6, b) // min_value
+        }
+        f.structEnd()
         f.structEnd()
         f.structEnd()
       }

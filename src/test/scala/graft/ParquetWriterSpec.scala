@@ -90,6 +90,35 @@ class ParquetWriterSpec extends SparkSpec {
     assert(back(14999).getLong(0) == 14999L)
   }
 
+  test("written stats feed the repo's own prune census (and match Spark's view)") {
+    val out = tmpDir("pqw_stats")
+    // range-partitioned by k so per-file min/max spans are disjoint
+    ParquetWriter.writeDir(sample(40000).repartitionByRange(4, col("k")), out)
+    val stats = ParquetFooter.columnStats(spark, out)
+      .where(col("column_path") === "k").collect()
+    assert(stats.length == 4)
+    stats.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("min_long")) && !r.isNullAt(r.fieldIndex("max_long")))
+      assert(r.getAs[Long]("min_long") <= r.getAs[Long]("max_long"))
+    }
+    // null counts on the optional column are exact
+    val nstats = ParquetFooter.columnStats(spark, out)
+      .where(col("column_path") === "n")
+      .agg(sum("null_count")).head.getLong(0)
+    assert(nstats == (0 until 40000).count(_ % 7 == 0).toLong)
+    // prune census: a narrow k window must skip 3 of 4 files
+    val census = ParquetFooter.pruneCensus(spark, out, "k", 100L, 200L).collect()
+    assert(census.count(_.getAs[Boolean]("skipped")) == 3, census.mkString("\n"))
+    // the surviving file scans all of its rows (range split is
+    // sample-approximate, so assert structure, not an exact 10k)
+    val kept = census.filter(!_.getAs[Boolean]("skipped"))
+    assert(kept.length == 1)
+    assert(kept.head.getAs[Long]("rows_scanned") == kept.head.getAs[Long]("rg_num_rows"))
+    assert(kept.head.getAs[Long]("rows_scanned") >= 101L)
+    // Spark's own reader agrees with the planned window
+    assert(spark.read.parquet(out).where(col("k").between(100, 200)).count() == 101L)
+  }
+
   test("loud contracts: nulls in a REQUIRED column, bad codec, bad type") {
     val spec = ParquetWriter.ColSpec("x", 2, optional = false)
     intercept[IllegalArgumentException] {
