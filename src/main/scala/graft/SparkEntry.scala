@@ -1984,8 +1984,11 @@ object SparkEntry {
     // attributed to the class representative. The oracle replays the
     // hits as exact-jaccard pairs against the surviving rep set.
     "dedup_index_compact_probe" -> ((s, dir) => {
+      // half-corpus gate scale: the recall-preservation theorem is
+      // scale-free, and the compaction build itself is already paid in
+      // full by dedup_index_compact
       val base = tbl(s, dir, "documents")
-        .where(size(split(col("text"), " ")) >= 30)
+        .where(size(split(col("text"), " ")) >= 30 && col("doc_id") % 2 === 0)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       val toks = split(col("text"), " ")
       val b2 = base.select((col("doc_id") + 100000L).as("doc_id"),
@@ -7912,7 +7915,7 @@ object SparkEntry {
     "dedup_index_compact_probe" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, text FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 30
+        |  WHERE len(string_split(text, ' ')) >= 30 AND doc_id % 2 = 0
         |), corpus AS (
         |  SELECT doc_id, text FROM base
         |  UNION ALL
