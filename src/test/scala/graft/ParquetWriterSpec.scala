@@ -119,6 +119,38 @@ class ParquetWriterSpec extends SparkSpec {
     assert(spark.read.parquet(out).where(col("k").between(100, 200)).count() == 101L)
   }
 
+  test("DuckDB reads our files too (third independent reader; live when python3+duckdb present)") {
+    val probe = new ProcessBuilder("python3", "-c", "import duckdb").start()
+    assume(probe.waitFor() == 0, "python3/duckdb not available")
+    val out = tmpDir("pqw_duck")
+    ParquetWriter.writeDir(sample(12000).coalesce(1), out, codec = 1, pageRows = 2048)
+    val script =
+      s"""import duckdb, json
+         |r = duckdb.sql("SELECT count(*), sum(k), sum(n), count(s), sum(CASE WHEN f THEN 1 ELSE 0 END), round(sum(d), 2) FROM '$out/*.parquet'").fetchone()
+         |print(json.dumps([str(x) for x in r]))""".stripMargin
+    val p = new ProcessBuilder("python3", "-c", script).start()
+    val outStr = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    val err = new String(p.getErrorStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(p.waitFor() == 0, s"duckdb failed: $err")
+    val n = 12000
+    val sumK = (0 until n).map(_.toLong).sum
+    val sumN = (0 until n).filter(_ % 7 != 0).map(_ * 3L).sum
+    val cntS = (0 until n).count(_ % 5 != 0)
+    val cntF = (0 until n).count(_ % 3 == 0)
+    val sumD = BigDecimal((0 until n).map(_ / 8.0).sum).setScale(2,
+      BigDecimal.RoundingMode.HALF_EVEN)
+    val got = outStr.stripPrefix("[").stripSuffix("]")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    assert(got(0) == n.toString, s"count: $outStr")
+    assert(got(1) == sumK.toString, s"sum k: $outStr")
+    assert(got(2) == sumN.toString, s"sum n: $outStr")
+    assert(got(3) == cntS.toString, s"count s: $outStr")
+    assert(got(4) == cntF.toString, s"count f: $outStr")
+    assert(BigDecimal(got(5)) == sumD, s"sum d: $outStr")
+  }
+
   test("loud contracts: nulls in a REQUIRED column, bad codec, bad type") {
     val spec = ParquetWriter.ColSpec("x", 2, optional = false)
     intercept[IllegalArgumentException] {
