@@ -1399,12 +1399,15 @@ object SparkEntry {
     // ride a constructed optional string column.
     "parquet_hand_write" -> ((s, dir) => {
       val out = s"/root/repo/target/tmp/graft_hand_write_${dir.hashCode.toHexString}"
-      val src = li(s, dir).select(
-        col("l_orderkey"),
-        col("l_quantity").cast("double").as("qty"),
-        when(col("l_linenumber") % 3 === 0, lit(null).cast("string"))
-          .otherwise(col("l_returnflag")).as("rf"),
-        (col("l_linenumber") % 2 === 0).as("even"))
+      val src = li(s, dir).selectExpr(
+        "l_orderkey",
+        "CAST(l_quantity AS DOUBLE) AS qty",
+        "IF(l_linenumber % 3 = 0, CAST(NULL AS STRING), l_returnflag) AS rf",
+        "l_linenumber % 2 = 0 AS even",
+        """CASE WHEN l_orderkey % 9 = 0 THEN CAST(NULL AS ARRAY<BIGINT>)
+          |     WHEN l_linenumber % 4 = 0 THEN array()
+          |     ELSE sequence(CAST(1 AS BIGINT), l_linenumber % 4)
+          |END AS xs""".stripMargin)
       graft.sources.ParquetWriter.writeDir(src.repartition(4), out,
         codec = 1, pageRows = 4096)
       s.read.parquet(out).agg(
@@ -1413,7 +1416,11 @@ object SparkEntry {
         round(sum("qty"), 2).as("sum_qty"),
         sum(when(col("rf").isNull, 1L).otherwise(0L)).as("n_null_rf"),
         sum(length(col("rf")).cast("long")).as("sum_rf_len"),
-        sum(when(col("even"), 1L).otherwise(0L)).as("n_even"))
+        sum(when(col("even"), 1L).otherwise(0L)).as("n_even"),
+        sum(when(col("xs").isNull, 1L).otherwise(0L)).as("n_null_xs"),
+        sum(coalesce(size(col("xs")).cast("long"), lit(0L))).as("n_xs_elems"),
+        sum(coalesce(aggregate(col("xs"), lit(0L), (a, x) => a + x), lit(0L)))
+          .as("sum_xs"))
     }),
     // High-precision DECIMAL page decode: precision 25 forces the
     // FIXED_LEN_BYTE_ARRAY physical form (big-endian two's-complement
@@ -7410,7 +7417,11 @@ object SparkEntry {
         |CAST(sum(CASE WHEN l_linenumber % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_rf,
         |CAST(sum(CASE WHEN l_linenumber % 3 = 0 THEN 0
         |         ELSE strlen(l_returnflag) END) AS BIGINT) AS sum_rf_len,
-        |CAST(sum(CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+        |CAST(sum(CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+        |CAST(sum(CASE WHEN l_orderkey % 9 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_xs,
+        |CAST(sum(CASE WHEN l_orderkey % 9 = 0 THEN 0 ELSE l_linenumber % 4 END) AS BIGINT) AS n_xs_elems,
+        |CAST(sum(CASE WHEN l_orderkey % 9 = 0 THEN 0
+        |         ELSE ((l_linenumber % 4) * (l_linenumber % 4 + 1)) // 2 END) AS BIGINT) AS sum_xs
         |FROM lineitem""".stripMargin,
     "parquet_decimal_scan" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -73,10 +73,15 @@ object ParquetWriter {
 
   /** One column's spec: parquet physical type (0 BOOLEAN, 1 INT32,
     * 2 INT64, 5 DOUBLE, 6 BYTE_ARRAY), nullability, and the UTF8
-    * converted-type flag for strings. */
-  final case class ColSpec(name: String, typ: Int, optional: Boolean) {
+    * converted-type flag for strings. `list = true` writes the
+    * standard 3-level LIST shape (`optional group (LIST) { repeated
+    * group list { optional T element } }`) — values are Seq[Any] per
+    * row (null = null list, elements may be null). */
+  final case class ColSpec(name: String, typ: Int, optional: Boolean,
+      list: Boolean = false) {
     require(Set(0, 1, 2, 5, 6).contains(typ),
       s"unsupported physical type $typ for the hand writer")
+    require(!list || optional, "LIST columns are written as optional groups")
   }
 
   // ---- page encoding --------------------------------------------------------
@@ -132,6 +137,45 @@ object ParquetWriter {
         }
     }
     out.toByteArray
+  }
+
+  /** A 4-byte-length-prefixed RLE/bit-packed-hybrid level section of
+    * arbitrary bit width — one bit-packed run of ceil(n/8) groups (the
+    * layout [[ParquetPages.rleHybrid]] reads back). */
+  private def levelSection(levels: Array[Int], n: Int, width: Int): Array[Byte] = {
+    val groups = (n + 7) / 8
+    val hdr = new java.io.ByteArrayOutputStream(5)
+    var h = (groups.toLong << 1) | 1L
+    do {
+      val b = (h & 0x7f).toInt; h >>>= 7
+      hdr.write(if (h != 0) b | 0x80 else b)
+    } while (h != 0)
+    val hb = hdr.toByteArray
+    val packed = new Array[Byte](groups * width)
+    var bitPos = 0
+    var i = 0
+    while (i < n) {
+      var got = 0
+      val v = levels(i)
+      while (got < width) {
+        val byteI = bitPos >> 3
+        val avail = 8 - (bitPos & 7)
+        val take = math.min(avail, width - got)
+        packed(byteI) = (packed(byteI) |
+          (((v >> got) & ((1 << take) - 1)) << (bitPos & 7))).toByte
+        got += take; bitPos += take
+      }
+      i += 1
+    }
+    val rleLen = hb.length + packed.length
+    val out = new Array[Byte](4 + rleLen)
+    out(0) = (rleLen & 0xff).toByte
+    out(1) = ((rleLen >> 8) & 0xff).toByte
+    out(2) = ((rleLen >> 16) & 0xff).toByte
+    out(3) = ((rleLen >> 24) & 0xff).toByte
+    System.arraycopy(hb, 0, out, 4, hb.length)
+    System.arraycopy(packed, 0, out, 4 + hb.length, packed.length)
+    out
   }
 
   /** Definition levels for an OPTIONAL column over `vals(from until
@@ -221,14 +265,8 @@ object ParquetWriter {
         val chunkOffset = out.size().toLong
         var comp = 0L
         var uncomp = 0L
-        var p = rgStart
-        while (p < rgEnd) {
-          val pEnd = math.min(rgEnd, p + pageRows)
-          val defs = if (spec.optional) defLevels(vals, p, pEnd) else Array.emptyByteArray
-          val plain = plainEncode(spec.typ, vals, p, pEnd)
-          val raw = new Array[Byte](defs.length + plain.length)
-          System.arraycopy(defs, 0, raw, 0, defs.length)
-          System.arraycopy(plain, 0, raw, defs.length, plain.length)
+        var totalEntries = 0L
+        def emitPage(raw: Array[Byte], numValues: Int): Unit = {
           val body = if (codec == 1) Snappy.compress(raw) else raw
           val ph = new TWriter
           ph.structBegin()
@@ -236,7 +274,7 @@ object ParquetWriter {
           ph.i32(2, raw.length) // uncompressed_page_size
           ph.i32(3, body.length) // compressed_page_size
           ph.structField(5) // DataPageHeader
-          ph.i32(1, pEnd - p) // num_values
+          ph.i32(1, numValues)
           ph.i32(2, 0) // encoding = PLAIN
           ph.i32(3, 3) // definition_level_encoding = RLE
           ph.i32(4, 3) // repetition_level_encoding = RLE
@@ -247,26 +285,75 @@ object ParquetWriter {
           out.write(body, 0, body.length)
           comp += hb.length + body.length
           uncomp += hb.length + raw.length
+          totalEntries += numValues
+        }
+        var p = rgStart
+        while (p < rgEnd) {
+          val pEnd = math.min(rgEnd, p + pageRows)
+          if (spec.list) {
+            // 3-level LIST page: rep + def level sections (widths 1/2)
+            // then the PLAIN-encoded present elements. One level entry
+            // per element, or one per null/empty list.
+            val reps = new scala.collection.mutable.ArrayBuffer[Int]
+            val defs = new scala.collection.mutable.ArrayBuffer[Int]
+            val elems = new scala.collection.mutable.ArrayBuffer[Any]
+            var i = p
+            while (i < pEnd) {
+              vals(i) match {
+                case null => reps += 0; defs += 0
+                case s: scala.collection.Seq[_] if s.isEmpty => reps += 0; defs += 1
+                case s: scala.collection.Seq[_] =>
+                  var j = 0
+                  s.foreach { e =>
+                    reps += (if (j == 0) 0 else 1)
+                    if (e == null) defs += 2 else { defs += 3; elems += e }
+                    j += 1
+                  }
+                case other => throw new IllegalArgumentException(
+                  s"${spec.name}: LIST column row is ${other.getClass.getName}, not a Seq")
+              }
+              i += 1
+            }
+            val repSec = levelSection(reps.toArray, reps.length, 1)
+            val defSec = levelSection(defs.toArray, defs.length, 2)
+            val plain = plainEncode(spec.typ, elems.toArray, 0, elems.length)
+            val raw = new Array[Byte](repSec.length + defSec.length + plain.length)
+            System.arraycopy(repSec, 0, raw, 0, repSec.length)
+            System.arraycopy(defSec, 0, raw, repSec.length, defSec.length)
+            System.arraycopy(plain, 0, raw, repSec.length + defSec.length, plain.length)
+            emitPage(raw, reps.length)
+          } else {
+            val defs = if (spec.optional) defLevels(vals, p, pEnd) else Array.emptyByteArray
+            val plain = plainEncode(spec.typ, vals, p, pEnd)
+            val raw = new Array[Byte](defs.length + plain.length)
+            System.arraycopy(defs, 0, raw, 0, defs.length)
+            System.arraycopy(plain, 0, raw, defs.length, plain.length)
+            emitPage(raw, pEnd - p)
+          }
           p = pEnd
         }
-        // chunk stats: min/max over present values, null count
-        var nulls = 0L
-        var mn: Any = null
-        var mx: Any = null
-        val ord = statOrder(spec.typ)
-        var i = rgStart
-        while (i < rgEnd) {
-          val v = vals(i)
-          if (v == null) nulls += 1
-          else {
-            if (mn == null || ord.lt(v, mn)) mn = v
-            if (mx == null || ord.gt(v, mx)) mx = v
+        if (spec.list)
+          ChunkInfo(chunkOffset, comp, uncomp, totalEntries, -1L, None, None)
+        else {
+          // chunk stats: min/max over present values, null count
+          var nulls = 0L
+          var mn: Any = null
+          var mx: Any = null
+          val ord = statOrder(spec.typ)
+          var i = rgStart
+          while (i < rgEnd) {
+            val v = vals(i)
+            if (v == null) nulls += 1
+            else {
+              if (mn == null || ord.lt(v, mn)) mn = v
+              if (mx == null || ord.gt(v, mx)) mx = v
+            }
+            i += 1
           }
-          i += 1
+          ChunkInfo(chunkOffset, comp, uncomp, (rgEnd - rgStart).toLong, nulls,
+            Option(mn).map(statBytes(spec.typ, _)),
+            Option(mx).map(statBytes(spec.typ, _)))
         }
-        ChunkInfo(chunkOffset, comp, uncomp, (rgEnd - rgStart).toLong, nulls,
-          Option(mn).map(statBytes(spec.typ, _)),
-          Option(mx).map(statBytes(spec.typ, _)))
       }
       groups += ((chunks, rgEnd - rgStart))
       rgStart = rgEnd
@@ -276,19 +363,34 @@ object ParquetWriter {
     val f = new TWriter
     f.structBegin()
     f.i32(1, 1) // version
-    f.listBegin(2, 12, cols.size + 1) // schema
+    val nSchemaElems = 1 + cols.map { case (s, _) => if (s.list) 3 else 1 }.sum
+    f.listBegin(2, 12, nSchemaElems) // schema
     // root
     f.structBegin()
     f.str(4, "graft_schema")
     f.i32(5, cols.size) // num_children
     f.structEnd()
     cols.foreach { case (spec, _) =>
-      f.structBegin()
-      f.i32(1, spec.typ)
-      f.i32(3, if (spec.optional) 1 else 0) // repetition
-      f.str(4, spec.name)
-      if (spec.typ == 6) f.i32(6, 0) // converted_type UTF8
-      f.structEnd()
+      if (spec.list) {
+        // optional group <name> (LIST) { repeated group list { optional T element } }
+        f.structBegin()
+        f.i32(3, 1); f.str(4, spec.name); f.i32(5, 1); f.i32(6, 3) // LIST
+        f.structEnd()
+        f.structBegin()
+        f.i32(3, 2); f.str(4, "list"); f.i32(5, 1)
+        f.structEnd()
+        f.structBegin()
+        f.i32(1, spec.typ); f.i32(3, 1); f.str(4, "element")
+        if (spec.typ == 6) f.i32(6, 0)
+        f.structEnd()
+      } else {
+        f.structBegin()
+        f.i32(1, spec.typ)
+        f.i32(3, if (spec.optional) 1 else 0) // repetition
+        f.str(4, spec.name)
+        if (spec.typ == 6) f.i32(6, 0) // converted_type UTF8
+        f.structEnd()
+      }
     }
     f.i64(3, numRows.toLong)
     val built = groups.result()
@@ -302,23 +404,29 @@ object ParquetWriter {
         f.structField(3) // ColumnMetaData
         f.i32(1, spec.typ)
         f.listBegin(2, 5, 2); f.zig(0L); f.zig(3L) // encodings: PLAIN, RLE
-        f.listBegin(3, 8, 1) // path_in_schema
-        val nb = spec.name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        f.varint(nb.length.toLong); f.out.write(nb, 0, nb.length)
+        val pathParts =
+          if (spec.list) Seq(spec.name, "list", "element") else Seq(spec.name)
+        f.listBegin(3, 8, pathParts.size) // path_in_schema
+        pathParts.foreach { part =>
+          val nb = part.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          f.varint(nb.length.toLong); f.out.write(nb, 0, nb.length)
+        }
         f.i32(4, codec)
         f.i64(5, ci.numValues)
         f.i64(6, ci.uncompressed)
         f.i64(7, ci.compressed)
         f.i64(9, ci.offset) // data_page_offset
-        f.structField(12) // Statistics
-        f.i64(3, ci.nullCount)
-        ci.maxBytes.foreach { b =>
-          f.listlessBinary(5, b) // max_value (modern signed-ordered field)
+        if (ci.nullCount >= 0L) { // flat columns carry stats; lists don't
+          f.structField(12) // Statistics
+          f.i64(3, ci.nullCount)
+          ci.maxBytes.foreach { b =>
+            f.listlessBinary(5, b) // max_value (modern signed-ordered field)
+          }
+          ci.minBytes.foreach { b =>
+            f.listlessBinary(6, b) // min_value
+          }
+          f.structEnd()
         }
-        ci.minBytes.foreach { b =>
-          f.listlessBinary(6, b) // min_value
-        }
-        f.structEnd()
         f.structEnd()
         f.structEnd()
       }
@@ -352,8 +460,13 @@ object ParquetWriter {
   def writeDir(df: DataFrame, dir: String, codec: Int = 0,
       pageRows: Int = 20000): Int = {
     val schema = df.schema
-    val specs = schema.fields.map(fd =>
-      ColSpec(fd.name, physicalType(fd.dataType), fd.nullable)).toSeq
+    val specs = schema.fields.map { fd =>
+      fd.dataType match {
+        case ArrayType(et, _) =>
+          ColSpec(fd.name, physicalType(et), optional = true, list = true)
+        case dt => ColSpec(fd.name, physicalType(dt), fd.nullable)
+      }
+    }.toSeq
     val n = df.rdd.mapPartitionsWithIndex { (pid, it) =>
       val rows = it.toArray
       val cols = specs.zipWithIndex.map { case (spec, c) =>

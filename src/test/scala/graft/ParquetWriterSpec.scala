@@ -151,6 +151,37 @@ class ParquetWriterSpec extends SparkSpec {
     assert(BigDecimal(got(5)) == sumD, s"sum d: $outStr")
   }
 
+  test("LIST columns round-trip through Spark's reader AND our own list scanner") {
+    val out = tmpDir("pqw_list")
+    val df = spark.range(8000).selectExpr("id AS k",
+      """CASE WHEN id % 11 = 0 THEN CAST(NULL AS ARRAY<STRING>)
+        |     WHEN id % 7 = 0 THEN array()
+        |     WHEN id % 5 = 0 THEN array(concat('x', id), CAST(NULL AS STRING), 'tail')
+        |     ELSE array(concat('a', id), concat('b', id % 19))
+        |END AS xs""".stripMargin,
+      "sequence(CAST(0 AS BIGINT), id % 3) AS ns")
+    ParquetWriter.writeDir(df.coalesce(1), out, pageRows = 1024)
+    // Spark's own reader
+    val back = spark.read.parquet(out).orderBy("k").collect()
+    val want = df.orderBy("k").collect()
+    assert(back.length == 8000)
+    want.zip(back).zipWithIndex.foreach { case ((w, g), i) =>
+      assert(w == g, s"row $i")
+    }
+    // our own Dremel list scanner reads the same file
+    val hand = graft.sources.ParquetPages.scanListColumn(spark, out, "xs")
+      .orderBy("row_idx").collect()
+    want.zipWithIndex.foreach { case (row, i) =>
+      val g = hand(i)
+      if (row.isNullAt(1)) assert(g.getLong(2) == -1L, s"null list at $i")
+      else {
+        val xs = row.getSeq[String](1)
+        assert(g.getLong(2) == xs.length.toLong, s"n_elems at $i")
+        assert(g.getSeq[String](3) == xs, s"elems at $i")
+      }
+    }
+  }
+
   test("loud contracts: nulls in a REQUIRED column, bad codec, bad type") {
     val spec = ParquetWriter.ColSpec("x", 2, optional = false)
     intercept[IllegalArgumentException] {
