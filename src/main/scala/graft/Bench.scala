@@ -45,11 +45,16 @@ package graft
   * the run for A/B work on a single query without paying the full
   * suite; the recorded driver run leaves it unset.
   *
-  * Artifact durability + pollution guardrail (round-8): the full JSON
-  * line is ALSO persisted to `SPARK_GRAFT_BENCH_OUT` (default
-  * `bench_last.json` in the working directory) so a log-capture
-  * truncation can never lose the spread map again (BENCH_r07's tail
-  * cut exactly the field built to adjudicate it). And a run records
+  * Artifact durability + pollution guardrail (round-8, hardened
+  * round-19): the full JSON line is persisted to
+  * `SPARK_GRAFT_BENCH_OUT` (default `bench_last.json` in the working
+  * directory) so a log-capture truncation can never lose the spread
+  * map again (BENCH_r07's tail cut exactly the field built to
+  * adjudicate it) — and since round 19 the record is REWRITTEN (and
+  * printed) after EVERY pass with a `passes_completed` field, so an
+  * external timeout kill mid-run (BENCH_r18: rc=124, `parsed:null`
+  * after 4+ completed passes) degrades to a partial-but-parsable
+  * record instead of zero information. And a run records
   * its own trustworthiness: when more than [[PollutedQueryFrac]] of
   * queries show a warm spread exceeding [[PollutedSpreadFrac]] of
   * their minimum, the machine was contended during the run — plans
@@ -169,48 +174,69 @@ object Bench {
     // is the jitter floor; pass 1 is excluded so cold-start cost can't
     // masquerade as variance.
     var warm = Map.empty[String, List[Double]].withDefaultValue(Nil)
-    for (_ <- 2 to passes) boundedPass {
-      first.foreach {
-        case (name, fn, Right(_)) =>
-          timeOne(name, fn).foreach { t =>
-            warm = warm.updated(name, t :: warm(name))
-            if (t < best(name)) best = best.updated(name, t)
-          }
-        case _ => ()
+
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    // Assemble the full record from whatever data exists after
+    // `passesCompleted` passes. Emitted INCREMENTALLY (file overwrite +
+    // stdout line after EVERY pass, not only at the end): BENCH_r18 was
+    // an rc=124 timeout with `parsed:null` because the old harness
+    // built the JSON only after all passes finished, so the kill left
+    // zero information from ~55 minutes of completed passes. Now a
+    // timeout leaves the last completed pass's record — same schema,
+    // with `passes_completed` distinguishing a partial record from a
+    // full one.
+    def record(passesCompleted: Int): String = {
+      val ok = first.collect { case (n, _, Right(_)) => n -> best(n) }
+      val qs = ok.map { case (k, v) => s"${JsonOut.q(k)}:$v" }.mkString("{", ",", "}")
+      val sp = ok.map { case (k, _) =>
+        val w = warm(k)
+        // fewer than two warm samples → no spread estimate exists; emit
+        // null so a passes<=2 run is distinguishable from a genuinely
+        // jitter-free measurement
+        val s = if (w.size >= 2) minGap(w).toString else "null"
+        s"${JsonOut.q(k)}:$s"
+      }.mkString("{", ",", "}")
+      val es = errs.map { case (k, v) => s"${JsonOut.q(k)}:${JsonOut.q(v.take(200))}" }.mkString("{", ",", "}")
+      val total = ok.map(_._2).sum
+      val (pollFrac, polluted) = pollutionVerdict(best, warm)
+      val pb = passBounds.map { case (t0, t1, la) =>
+        s"""{"start_ms":$t0,"end_ms":$t1,"loadavg_1m":$la}"""
+      }.mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"spread_metric":"min_gap","errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"passes":$passes,"passes_completed":$passesCompleted,"pass1_total":$pass1Total,"polluted":$polluted,"polluted_frac":$pollFrac,"cpus":$cpus,"pass_bounds":$pb,"sf":${JsonOut.q(sfDir)}}"""
+    }
+    def emit(passesCompleted: Int): String = {
+      val line = record(passesCompleted)
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"bench_last.json write failed: ${e.getMessage}") }
+      println(line)
+      System.out.flush()
+      line
+    }
+    emit(1)
+
+    for (p <- 2 to passes) {
+      boundedPass {
+        first.foreach {
+          case (name, fn, Right(_)) =>
+            timeOne(name, fn).foreach { t =>
+              warm = warm.updated(name, t :: warm(name))
+              if (t < best(name)) best = best.updated(name, t)
+            }
+          case _ => ()
+        }
       }
+      emit(p)
     }
 
-    val ok = first.collect { case (n, _, Right(_)) => n -> best(n) }
-    val qs = ok.map { case (k, v) => s"${JsonOut.q(k)}:$v" }.mkString("{", ",", "}")
-    val sp = ok.map { case (k, _) =>
-      val w = warm(k)
-      // fewer than two warm samples → no spread estimate exists; emit
-      // null so a passes<=2 run is distinguishable from a genuinely
-      // jitter-free measurement
-      val s = if (w.size >= 2) minGap(w).toString else "null"
-      s"${JsonOut.q(k)}:$s"
-    }.mkString("{", ",", "}")
-    val es = errs.map { case (k, v) => s"${JsonOut.q(k)}:${JsonOut.q(v.take(200))}" }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    val line = record(passes)
     val (pollFrac, polluted) = pollutionVerdict(best, warm)
-    val pb = passBounds.map { case (t0, t1, la) =>
-      s"""{"start_ms":$t0,"end_ms":$t1,"loadavg_1m":$la}"""
-    }.mkString("[", ",", "]")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"spread_metric":"min_gap","errors":$es,"n_ok":${ok.size},"n_err":${errs.size},"passes":$passes,"pass1_total":$pass1Total,"polluted":$polluted,"polluted_frac":$pollFrac,"cpus":$cpus,"pass_bounds":$pb,"sf":${JsonOut.q(sfDir)}}"""
-    println(line)
     if (polluted)
       System.err.println(
         f"POLLUTED RUN, NOT COMPARABLE: ${pollFrac * 100}%.0f%% of queries show warm " +
           "spread > 50% of min — the machine was contended; re-record on a quiet box")
-    // Durable mirror of the exact line above: log capture can truncate,
-    // a file cannot. Same JSON, newline-terminated, atomically replaced.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable =>
-      System.err.println(s"bench_last.json write failed: ${e.getMessage}") }
     spark.stop()
     // Re-print AFTER Spark shutdown so the JSON is the last stdout line
     // a tail-capture sees — BENCH_r16's `parsed: null` came from the

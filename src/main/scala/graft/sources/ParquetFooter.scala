@@ -591,7 +591,8 @@ object ParquetFooter {
     StructField("min_double", DoubleType, nullable = true),
     StructField("max_double", DoubleType, nullable = true),
     StructField("min_string", StringType, nullable = true),
-    StructField("max_string", StringType, nullable = true)))
+    StructField("max_string", StringType, nullable = true),
+    StructField("uses_dictionary", BooleanType, nullable = false)))
 
   /** One row per file: the manifest census. Paths are listed on the
     * driver and fanned out; each task reads only its files' footers. */
@@ -628,7 +629,11 @@ object ParquetFooter {
             dec(statLong, mxB).map(Long.box).orNull,
             dec(statDouble, mnB).map(Double.box).orNull,
             dec(statDouble, mxB).map(Double.box).orNull,
-            dec(statString, mnB).orNull, dec(statString, mxB).orNull)
+            dec(statString, mnB).orNull, dec(statString, mxB).orNull,
+            // PLAIN_DICTIONARY(2) / RLE_DICTIONARY(8) in the encoding
+            // list, or an explicit dictionary page offset
+            cm.dictionaryPageOffset.isDefined ||
+              cm.encodings.exists(e => e == 2 || e == 8))
         }
       }
     }

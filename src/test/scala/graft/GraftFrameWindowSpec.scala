@@ -29,8 +29,32 @@ class GraftFrameWindowSpec extends SparkSpec {
       .map(r => Option(r.getAs[java.lang.Double](0)).map(_.toDouble))
     assert(sums.toSeq == Seq(None, Some(12.0)))
     intercept[IllegalArgumentException] {
-      new GraftFrame(series).rolling("v", "t", 2, fn = "median")
+      new GraftFrame(series).rolling("v", "t", 2, fn = "median",
+        partitionCols = Seq("grp"))
     }
+  }
+
+  test("global-window guard: empty partitionCols requires explicit opt-in") {
+    // unguarded global window = whole-frame single-partition sort — an
+    // error unless the caller opts in (r18 VERDICT item 5)
+    val msg = intercept[IllegalArgumentException] {
+      new GraftFrame(series).cumsum("v", "t")
+    }.getMessage
+    assert(msg.contains("allowGlobalWindow"))
+    intercept[IllegalArgumentException] { new GraftFrame(series).rolling("v", "t", 2) }
+    intercept[IllegalArgumentException] { new GraftFrame(series).shift("v", "t") }
+    intercept[IllegalArgumentException] { new GraftFrame(series).diff("v", "t") }
+    // opted in: same numbers as the manual running sum, through the
+    // explicit constant-partition window
+    val got = new GraftFrame(series.where(col("grp") === "a"))
+      .cumsum("v", "t", allowGlobalWindow = true)
+      .toDF.orderBy("t").select("v_cumsum").collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(10.0, 30.0, 60.0, 100.0))
+    val sh = new GraftFrame(series.where(col("grp") === "b"))
+      .shift("v", "t", allowGlobalWindow = true)
+      .toDF.orderBy("t").collect()
+      .map(r => Option(r.getAs[java.lang.Double]("v_shift")).map(_.toDouble))
+    assert(sh.toSeq == Seq(None, Some(5.0)))
   }
 
   test("shift and diff match pandas lag semantics") {

@@ -182,6 +182,157 @@ class ParquetWriterSpec extends SparkSpec {
     }
   }
 
+  test("dictionary-encoded string chunks: footer proves enc 8, all three readers agree") {
+    val out = tmpDir("pqw_dict")
+    // low-cardinality strings: long constant stretches (real RLE runs)
+    // interleaved with short alternations (bit-packed runs), null every
+    // 5th row — exercises both halves of the hybrid encoder
+    val df = spark.range(20000).selectExpr(
+      "id AS k",
+      """IF(id % 5 = 0, CAST(NULL AS STRING),
+        |   IF(id % 4096 < 3000, concat('run', CAST(id / 4096 AS INT)),
+        |      concat('alt', CAST(id % 7 AS INT)))) AS s""".stripMargin)
+    ParquetWriter.writeDir(df.coalesce(1), out, codec = 1, pageRows = 2048)
+    // footer: the string chunk REALLY used RLE_DICTIONARY (a silent
+    // PLAIN fallback would pass the value checks below)
+    val (path, len) = ParquetFooter.listDataFiles(spark, out).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fm = ParquetFooter.readFooter(conf, path, len)
+    val metas = fm.rowGroups.head.columns.flatMap(_.meta)
+    val sMeta = metas.find(_.path == "s").get
+    assert(sMeta.encodings.contains(8), s"encodings ${sMeta.encodings}")
+    assert(sMeta.dictionaryPageOffset.isDefined)
+    assert(sMeta.dictionaryPageOffset.get < sMeta.dataPageOffset)
+    val kMeta = metas.find(_.path == "k").get
+    assert(!kMeta.encodings.contains(8) && kMeta.dictionaryPageOffset.isEmpty)
+    // Spark's reader (parquet-mr underneath): byte-exact rows
+    val want = df.orderBy("k").collect()
+    val back = spark.read.parquet(out).orderBy("k").collect()
+    assert(back.length == 20000)
+    want.zip(back).zipWithIndex.foreach { case ((w, g), i) => assert(w == g, s"row $i") }
+    // our own page reader decodes the dict + index pages
+    val hand = ParquetPages.scanTwoColumns(spark, out, "k", "s")
+      .orderBy("row_idx").collect()
+    want.zipWithIndex.foreach { case (row, i) =>
+      val g = hand(i)
+      assert(g.getLong(2) == row.getLong(0), s"k at $i")
+      if (row.isNullAt(1)) assert(g.isNullAt(7), s"null s at $i")
+      else assert(g.getString(7) == row.getString(1), s"s at $i")
+    }
+    // DuckDB as the third reader (live when python3+duckdb present)
+    val probe = new ProcessBuilder("python3", "-c", "import duckdb").start()
+    if (probe.waitFor() == 0) {
+      val script =
+        s"""import duckdb, json
+           |r = duckdb.sql("SELECT count(*), count(s), count(DISTINCT s), sum(k) FROM '$out/*.parquet'").fetchone()
+           |print(json.dumps([str(x) for x in r]))""".stripMargin
+      val p = new ProcessBuilder("python3", "-c", script).start()
+      val outStr = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      assert(p.waitFor() == 0)
+      val got = outStr.stripPrefix("[").stripSuffix("]")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      assert(got(0) == "20000", outStr)
+      assert(got(1) == (0 until 20000).count(_ % 5 != 0).toString, outStr)
+      val wantDistinct = (0 until 20000).filter(_ % 5 != 0)
+        .map(i => if (i % 4096 < 3000) s"run${i / 4096}" else s"alt${i % 7}")
+        .distinct.size
+      assert(got(2) == wantDistinct.toString, outStr)
+      assert(got(3) == (0 until 20000).map(_.toLong).sum.toString, outStr)
+    }
+    // the dictionary actually pays: the STRING CHUNK (the thing dict
+    // encoding touches) is under half its PLAIN size even after snappy
+    val outPlain = tmpDir("pqw_dict_plain")
+    ParquetWriter.writeDir(df.coalesce(1), outPlain, codec = 1, pageRows = 2048,
+      dictStrings = false)
+    val (pPath, pLen) = ParquetFooter.listDataFiles(spark, outPlain).head
+    val sPlain = ParquetFooter.readFooter(conf, pPath, pLen)
+      .rowGroups.head.columns.flatMap(_.meta).find(_.path == "s").get
+    assert(sMeta.totalCompressedSize.toDouble < sPlain.totalCompressedSize * 0.5,
+      s"dict chunk ${sMeta.totalCompressedSize} vs plain ${sPlain.totalCompressedSize}")
+  }
+
+  test("dictionary cap: high-cardinality chunks fall back to PLAIN") {
+    val out = tmpDir("pqw_dict_cap")
+    // > DictMaxEntries distinct values → the whole chunk must fall back
+    val df = spark.range((ParquetWriter.DictMaxEntries + 1000).toLong)
+      .selectExpr("id AS k", "concat('u', id) AS s")
+    ParquetWriter.writeDir(df.coalesce(1), out, pageRows = 8192)
+    val (path, len) = ParquetFooter.listDataFiles(spark, out).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fm = ParquetFooter.readFooter(conf, path, len)
+    val sMeta = fm.rowGroups.head.columns.flatMap(_.meta).find(_.path == "s").get
+    assert(!sMeta.encodings.contains(8) && sMeta.dictionaryPageOffset.isEmpty)
+    val back = spark.read.parquet(out)
+    assert(back.count() == ParquetWriter.DictMaxEntries + 1000L)
+    assert(back.where(col("s") === s"u${ParquetWriter.DictMaxEntries}").count() == 1L)
+  }
+
+  test("MAP columns round-trip through Spark's reader, our Dremel scanner, and DuckDB") {
+    val out = tmpDir("pqw_map")
+    val df = spark.range(6000).selectExpr("id AS k",
+      """CASE WHEN id % 11 = 0 THEN CAST(NULL AS MAP<STRING, BIGINT>)
+        |     WHEN id % 7 = 0 THEN map()
+        |     WHEN id % 5 = 0 THEN map(concat('a', id % 13), id * 2,
+        |                              'nul', CAST(NULL AS BIGINT))
+        |     ELSE map(concat('a', id % 13), id * 2, concat('b', id % 3), id)
+        |END AS m""".stripMargin)
+    ParquetWriter.writeDir(df.coalesce(1), out, codec = 1, pageRows = 1024)
+    // Spark's reader: byte-exact rows (null map / empty map / null value)
+    val want = df.orderBy("k").collect()
+    val back = spark.read.parquet(out).orderBy("k").collect()
+    assert(back.length == 6000)
+    want.zip(back).zipWithIndex.foreach { case ((w, g), i) =>
+      assert(w.getLong(0) == g.getLong(0), s"k at $i")
+      val wm = if (w.isNullAt(1)) null else w.getMap[String, Any](1)
+      val gm = if (g.isNullAt(1)) null else g.getMap[String, Any](1)
+      assert(Option(wm).map(_.toMap) == Option(gm).map(_.toMap), s"m at $i")
+    }
+    // our own Dremel scanner: maps surface as arrays of key/value structs
+    val hand = graft.sources.ParquetNested.scanListStructColumn(spark, out, "m")
+      .orderBy("row_idx").collect()
+    want.zipWithIndex.foreach { case (row, i) =>
+      val g = hand(i)
+      if (row.isNullAt(1)) assert(g.getLong(2) == -1L, s"null map at $i")
+      else {
+        val m = row.getMap[String, Any](1)
+        assert(g.getLong(2) == m.size.toLong, s"n_pairs at $i")
+        val pairs = g.getSeq[scala.collection.Map[String, String]](3)
+          .map(e => e("key") -> e.get("value").orNull).toMap
+        val wantPairs = m.map { case (k, v) =>
+          k -> (if (v == null) null else String.valueOf(v)) }.toMap
+        assert(pairs == wantPairs, s"pairs at $i")
+      }
+    }
+    // DuckDB (third independent reader; live when python3+duckdb present)
+    val probe = new ProcessBuilder("python3", "-c", "import duckdb").start()
+    if (probe.waitFor() == 0) {
+      val script =
+        s"""import duckdb, json
+           |r = duckdb.sql("SELECT count(*), sum(CASE WHEN m IS NULL THEN 1 ELSE 0 END), sum(cardinality(m)), sum(list_sum(map_values(m))) FROM '$out/*.parquet'").fetchone()
+           |print(json.dumps([str(x) for x in r]))""".stripMargin
+      val p = new ProcessBuilder("python3", "-c", script).start()
+      val outStr = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val err = new String(p.getErrorStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(p.waitFor() == 0, s"duckdb failed: $err")
+      val got = outStr.stripPrefix("[").stripSuffix("]")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      val nNull = (0 until 6000).count(_ % 11 == 0)
+      val cardSum = (0 until 6000).map { i =>
+        if (i % 11 == 0) 0 else if (i % 7 == 0) 0 else 2 }.sum
+      // list_sum(map_values) skips NULL values: 2k+k for full maps,
+      // 2k for the null-valued variant, nothing for empty/null maps
+      val aSum = (0 until 6000).filter(i => i % 11 != 0 && i % 7 != 0)
+        .map(i => if (i % 5 == 0) 2L * i else 3L * i).sum
+      assert(got(0) == "6000", outStr)
+      assert(got(1) == nNull.toString, outStr)
+      assert(got(2) == cardSum.toString, outStr)
+      assert(got(3) == aSum.toString, outStr)
+    }
+  }
+
   test("loud contracts: nulls in a REQUIRED column, bad codec, bad type") {
     val spec = ParquetWriter.ColSpec("x", 2, optional = false)
     intercept[IllegalArgumentException] {
