@@ -35,7 +35,8 @@ package graft
   * other processes) flagged 22-27% of queries this way; the round-16
   * verdict itself adjudicated such cases by asking whether two QUIET
   * samples agree. That is now the recorded metric: passes default to
-  * 5 and `spread` = the gap between the TWO SMALLEST warm samples —
+  * 4 (round-19 budget trim, see main) and `spread` = the gap between
+  * the TWO SMALLEST warm samples —
   * the direct measure of whether the reported min is reproducible.
   * A host-level burst that hits one or two passes no longer poisons
   * the record; a genuinely unstable query (no two samples agree)
@@ -105,7 +106,12 @@ object Bench {
     // like-for-like (round-14 close-out accidentally recorded at local[4]).
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
+    // Default 4 passes (round 19, was 5): the r18 official run was killed
+    // at the ~60-minute budget with 321 queries × 5 passes — one fewer
+    // warm pass buys ~8 minutes of headroom while the spread metric
+    // still gets 3 warm samples. The quiet-box protocol can override
+    // via SPARK_GRAFT_BENCH_PASSES when more samples are wanted.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "4").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val spark = GraftSession
       .builder(appName = "graft-bench", master = s"local[$cpus]",

@@ -1456,7 +1456,9 @@ object SparkEntry {
       val out = s"/root/repo/target/tmp/graft_hand_dict_${dir.hashCode.toHexString}"
       val src = li(s, dir).selectExpr("l_orderkey", "l_returnflag",
         "IF(l_linenumber % 3 = 0, CAST(NULL AS STRING), l_linestatus) AS ls")
-      graft.sources.ParquetWriter.writeDir(src.coalesce(1), out,
+      // 4 parallel writer tasks (the writeDir scale shape); every file's
+      // two string chunks stay far below the dict caps
+      graft.sources.ParquetWriter.writeDir(src.repartition(4), out,
         codec = 1, pageRows = 4096)
       val vals = graft.sources.ParquetPages
         .scanTwoColumns(s, out, "l_orderkey", "l_returnflag")
@@ -7516,8 +7518,8 @@ object SparkEntry {
         |CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
         |CAST(sum(strlen(l_returnflag)) AS BIGINT) AS sum_rf_len,
         |CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
-        |CAST(2 AS BIGINT) AS n_dict_chunks,
-        |CAST(3 AS BIGINT) AS n_chunks
+        |CAST(8 AS BIGINT) AS n_dict_chunks,
+        |CAST(12 AS BIGINT) AS n_chunks
         |FROM lineitem""".stripMargin,
     "parquet_hand_write_map" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

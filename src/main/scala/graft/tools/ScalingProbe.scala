@@ -687,6 +687,83 @@ object ScalingProbe {
     println(sb.toString)
   }
 
+  /** Write tier (round 19; r18 VERDICT item 7): the hand parquet writer
+    * vs Spark's parquet sink over the SAME rows at 16 and 160 output
+    * files — wall clock + output bytes, hand writer both dict-encoded
+    * and forced-PLAIN so the dictionary win is recorded as a number,
+    * not prose. One writer task per file in both engines (repartition),
+    * source cached so only the WRITE is measured. */
+  private def runWrite(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, outPath: String, cpus: String): Unit = {
+    import graft.sources.ParquetWriter
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(String, Int), (Double, Long)] // (wall s, dir bytes)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").selectExpr(
+      "l_orderkey",
+      "CAST(l_quantity AS DOUBLE) AS qty",
+      "l_returnflag AS rf",
+      "IF(l_linenumber % 3 = 0, CAST(NULL AS STRING), l_linestatus) AS ls",
+      "concat('cat', CAST(l_orderkey % 997 AS INT)) AS cat")
+    li.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val nRows = li.count()
+    def dirBytes(d: String): Long = {
+      val f = new java.io.File(d)
+      if (!f.exists()) 0L
+      else f.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    def timedWrite(body: => Unit): Double = {
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      samples.min
+    }
+    for (files <- Seq(16, 160)) {
+      val src = li.repartition(files)
+      src.count() // materialize the shuffle once so writes measure writes
+      val oh = s"/root/repo/target/tmp/graft_write_hand_$files"
+      val op = s"/root/repo/target/tmp/graft_write_plain_$files"
+      val os = s"/root/repo/target/tmp/graft_write_spark_$files"
+      results(("hand_dict", files)) =
+        (timedWrite(ParquetWriter.writeDir(src, oh, codec = 1)), dirBytes(oh))
+      results(("hand_plain", files)) =
+        (timedWrite(ParquetWriter.writeDir(src, op, codec = 1,
+          dictStrings = false)), dirBytes(op))
+      results(("spark_sink", files)) =
+        (timedWrite(src.write.mode("overwrite")
+          .option("compression", "snappy").parquet(os)), dirBytes(os))
+      println(s"[scaling-write] files=$files done")
+    }
+    val head = Provenance.gitHead
+    val dirty = Provenance.gitTreeDirty
+    val sb = new StringBuilder
+    sb ++= "\n## Write tier — hand parquet writer vs Spark's sink (round 19)\n\n"
+    sb ++= s"Generated by `graft.tools.ScalingProbe write` at git `$head`" +
+      s"${if (dirty) " (DIRTY tree)" else ""}, fixtures `$sfDir`, " +
+      s"local[$cpus]. $nRows lineitem-derived rows (1 long, 1 double, " +
+      "3 strings: 3-value rf, nullable 2-value ls, 997-value cat) " +
+      "snappy-written as 16 and 160 files, one writer task per file in " +
+      "both engines; the source is cached and pre-shuffled so walls " +
+      "measure the WRITE. hand_dict = the shipping writer " +
+      "(RLE_DICTIONARY string chunks), hand_plain = dictStrings=false, " +
+      "spark_sink = Spark's parquet-mr-backed sink.\n\n"
+    sb ++= "| writer | files | wall s | out MB |\n"
+    sb ++= "|---|---|---|---|\n"
+    for (((op, files), (sec, bytes)) <- results)
+      sb ++= f"| $op | $files | $sec%.2f | ${bytes / 1e6}%.1f |\n"
+    def r(op: String, f: Int) = results((op, f))
+    sb ++= f"\nDictionary win (hand_dict vs hand_plain bytes, 16 files): " +
+      f"${r("hand_plain", 16)._2.toDouble / r("hand_dict", 16)._2}%.2f× smaller; " +
+      f"vs Spark's writer: ${r("hand_dict", 16)._2.toDouble / r("spark_sink", 16)._2}%.2f× " +
+      f"Spark's bytes. Wall vs Spark at 16 files: " +
+      f"${r("hand_dict", 16)._1 / r("spark_sink", 16)._1}%.2f×; at 160: " +
+      f"${r("hand_dict", 160)._1 / r("spark_sink", 160)._1}%.2f×.\n"
+    val out = java.nio.file.Paths.get(outPath)
+    java.nio.file.Files.write(out, sb.toString.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    println(sb.toString)
+  }
+
   private def runDeep100(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, outPath: String, cpus: String): Unit = {
     import graft.operators.{KneserNey, QualityClassifier, TextOps}
@@ -881,9 +958,11 @@ object ScalingProbe {
     val modeMedia = args.contains("media")
     val modeMeta = args.contains("meta")
     val modeCompact = args.contains("compact")
+    val modeWrite = args.contains("write")
     val positional = args.filterNot(a =>
       a == "100x" || a == "tpch" || a == "lm" || a == "analytics" ||
-        a == "deep100" || a == "media" || a == "meta" || a == "compact")
+        a == "deep100" || a == "media" || a == "meta" || a == "compact" ||
+        a == "write")
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = if (positional.length > 1) positional(1) else "SCALING.md"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -929,6 +1008,11 @@ object ScalingProbe {
     }
     if (modeCompact) {
       runCompact(spark, sfDir, outPath, cpus)
+      spark.stop()
+      return
+    }
+    if (modeWrite) {
+      runWrite(spark, sfDir, outPath, cpus)
       spark.stop()
       return
     }
