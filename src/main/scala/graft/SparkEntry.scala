@@ -1499,6 +1499,40 @@ object SparkEntry {
           "m IS NOT NULL AND exists(map_keys(m), k -> k LIKE 'f%')"),
           1L).otherwise(0L)).as("n_fkey"))
     }),
+    // Bloom filters from the HAND writer (round 19): the same
+    // probe census as parquet_bloom_probe, but the filters under test
+    // were written by the repo's own ParquetWriter (XXH64 + split-block
+    // bitset + BloomFilterHeader, zero parquet-mr) — every present key
+    // must answer true in its home range file, absents stay under the
+    // loose fp bound; the spec additionally pins probe-for-probe
+    // parquet-mr agreement on the same writer output.
+    "parquet_hand_write_bloom" -> ((s, dir) => {
+      val out = s"/root/repo/target/tmp/graft_hand_bloom_${dir.hashCode.toHexString}"
+      val src = li(s, dir).select("l_orderkey")
+      val m1 = src.agg(max("l_orderkey")).head.getLong(0) + 1
+      (0L until 4L).foreach { b =>
+        graft.sources.ParquetWriter.writeDir(
+          src.where(expr(s"(l_orderkey * 4) div $m1") === b).coalesce(1),
+          s"$out/b=$b", codec = 1, bloomColumns = Set("l_orderkey"))
+      }
+      val present = src.where(col("l_orderkey") % 977 === 0).distinct()
+        .orderBy("l_orderkey").collect().map(_.getLong(0)).toSeq
+      val absent = (0 until 64).map(i => m1 + 1 + i)
+      val census = graft.sources.ParquetBloom
+        .probeCensus(s, out, "l_orderkey", present ++ absent).cache()
+      val fpCount = census.where(col("key") >= m1 && col("might_contain")).count()
+      val absentOk = fpCount <= absent.size.toLong
+      census.where(col("key") < m1)
+        .withColumn("bucket", regexp_extract(col("file"), "/b=(\\d+)/", 1).cast("long"))
+        .groupBy("key")
+        .agg(
+          max(when(col("bucket") === expr(s"(key * 4) div $m1"),
+            col("might_contain").cast("int"))).as("home"),
+          max(col("might_contain").cast("int")).as("anyf"))
+        .select(col("key"), (col("home") === 1).as("found_home"),
+          (col("anyf") === 1).as("found_any"), lit(absentOk).as("absent_fp_ok"))
+        .orderBy("key")
+    }),
     // High-precision DECIMAL page decode: precision 25 forces the
     // FIXED_LEN_BYTE_ARRAY physical form (big-endian two's-complement
     // unscaled), constructed as exact eighths (k/8 is exact in binary
@@ -7531,6 +7565,12 @@ object SparkEntry {
         |CAST(sum(CASE WHEN l_orderkey % 9 = 0 OR l_linenumber % 4 = 0 THEN 0
         |         ELSE 1 END) AS BIGINT) AS n_fkey
         |FROM lineitem""".stripMargin,
+    "parquet_hand_write_bloom" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS key,
+        |true AS found_home, true AS found_any, true AS absent_fp_ok
+        |FROM (SELECT DISTINCT l_orderkey FROM lineitem
+        |      WHERE l_orderkey % 977 = 0)
+        |ORDER BY key""".stripMargin,
     "parquet_decimal_scan" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |CAST(sum(l_orderkey) * 125 AS BIGINT) AS sum_unscaled,

@@ -119,6 +119,52 @@ object ParquetBloom {
     }
   }
 
+  /** Bitset size in bytes for `ndv` distinct values at false-positive
+    * rate `fpp`: the split-block formula (BloomFilter.md — each key
+    * sets one bit in each of 8 words of one block, so
+    * bits = −8·ndv / ln(1 − fpp^(1/8))), rounded UP to a power of two
+    * (the block-index math requires it) and clamped to
+    * [32 B, `maxBytes`]. parquet-mr's BlockSplitBloomFilter uses the
+    * same expression. */
+  def optimalNumBytes(ndv: Long, fpp: Double, maxBytes: Int = 1 << 20): Int = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    require(maxBytes >= 32 && (maxBytes & (maxBytes - 1)) == 0,
+      s"maxBytes must be a power-of-two >= 32, got $maxBytes")
+    val bits = -8.0 * ndv / math.log(1.0 - math.pow(fpp, 1.0 / 8.0))
+    val bytes = math.max(32L, math.ceil(bits / 8.0).toLong)
+    var p = 32L
+    while (p < bytes && p < maxBytes) p <<= 1
+    math.min(p, maxBytes.toLong).toInt
+  }
+
+  /** Build the raw bitset over pre-hashed keys — the exact mirror of
+    * [[SplitBlockBloom.mightContain]]'s block/word/bit selection, with
+    * set instead of test. Output feeds [[ParquetWriter]]'s
+    * BloomFilterHeader + bitset emission and reads back through
+    * [[readBloomFilter]] (and parquet-mr — the spec cross-checks). */
+  def buildBits(hashes: Array[Long], numBytes: Int): Array[Byte] = {
+    require(numBytes >= 32 && (numBytes & (numBytes - 1)) == 0,
+      s"bitset must be a power-of-two >= 32 bytes, got $numBytes")
+    val bits = new Array[Byte](numBytes)
+    val nBlocks = numBytes / 32
+    var k = 0
+    while (k < hashes.length) {
+      val hash = hashes(k)
+      val blockIdx = (((hash >>> 32) * nBlocks) >>> 32).toInt
+      val low = hash & 0xffffffffL
+      val base = blockIdx * 32
+      var i = 0
+      while (i < 8) {
+        val bitPos = (((low * Salt(i)) & 0xffffffffL) >>> 27).toInt // top 5 of low 32
+        val byteI = base + 4 * i + (bitPos >> 3)
+        bits(byteI) = (bits(byteI) | (1 << (bitPos & 7))).toByte
+        i += 1
+      }
+      k += 1
+    }
+    bits
+  }
+
   /** Read the Bloom filter of one column chunk: the compact-protocol
     * BloomFilterHeader (numBytes + the three required unions, all of
     * which must be the spec'd variants) followed by the bitset.

@@ -25,9 +25,13 @@ import graft.operators.Snappy
   * pages, real RLE runs for repeated values) until the per-chunk caps
   * ([[DictMaxEntries]] / [[DictMaxBytes]]) force the PLAIN fallback —
   * parquet-mr's shape; UNCOMPRESSED or SNAPPY pages (the repo's own
-  * compressor). No dictionary inside LIST/MAP leaves, no bloom
-  * filters — the honest minimum a re-compaction sink needs, not a
-  * parquet-mr replacement.
+  * compressor); opt-in split-block Bloom filters (`bloomColumns`) on
+  * flat INT32/INT64/BYTE_ARRAY chunks — XXH64 of each distinct
+  * value's PLAIN encoding into the 8×32-bit-block bitset
+  * ([[ParquetBloom.buildBits]], sized by [[ParquetBloom.optimalNumBytes]]),
+  * the region after all row-group data with footer fields 14/15
+  * pointing at it. No dictionary inside LIST/MAP leaves — the honest
+  * minimum a re-compaction sink needs, not a parquet-mr replacement.
   *
   * Scale shape: one file per task ([[writeDir]] maps partitions), the
   * column buffers bounded by `rowGroupRows`; nothing shuffles.
@@ -292,9 +296,14 @@ object ParquetWriter {
   val DictMaxEntries = 1 << 16
   val DictMaxBytes: Long = 1L << 20
 
+  /** Default split-block Bloom false-positive rate (parquet-mr's). */
+  val BloomFpp = 0.01
+
   def writeBytes(cols: Seq[(ColSpec, Array[Any])], numRows: Int,
       codec: Int = 0, pageRows: Int = 20000,
-      rowGroupRows: Int = 1 << 20, dictStrings: Boolean = true): Array[Byte] = {
+      rowGroupRows: Int = 1 << 20, dictStrings: Boolean = true,
+      bloomColumns: Set[String] = Set.empty,
+      bloomFpp: Double = BloomFpp): Array[Byte] = {
     require(cols.nonEmpty, "no columns")
     require(codec == 0 || codec == 1, "hand writer codecs: UNCOMPRESSED or SNAPPY")
     require(pageRows > 0 && rowGroupRows > 0, "positive page/row-group sizes")
@@ -303,6 +312,13 @@ object ParquetWriter {
       require(spec.optional || vals.forall(_ != null),
         s"${spec.name} is REQUIRED but carries nulls")
     }
+    bloomColumns.foreach { name =>
+      val spec = cols.collectFirst { case (s, _) if s.name == name => s }
+        .getOrElse(throw new IllegalArgumentException(
+          s"bloom column $name not in the schema"))
+      require(!spec.list && !spec.map && Set(1, 2, 6).contains(spec.typ),
+        s"bloom filters cover flat INT32/INT64/BYTE_ARRAY columns; $name is not")
+    }
     val out = new java.io.ByteArrayOutputStream(1 << 16)
     out.write('P'); out.write('A'); out.write('R'); out.write('1')
 
@@ -310,7 +326,8 @@ object ParquetWriter {
     final case class ChunkInfo(offset: Long, compressed: Long, uncompressed: Long,
         numValues: Long, nullCount: Long,
         minBytes: Option[Array[Byte]], maxBytes: Option[Array[Byte]],
-        dictOffset: Option[Long] = None, dataOffset: Long = -1L) {
+        dictOffset: Option[Long] = None, dataOffset: Long = -1L,
+        bloomHashes: Array[Long] = null) {
       def firstDataOffset: Long = if (dataOffset >= 0) dataOffset else offset
     }
 
@@ -598,15 +615,73 @@ object ParquetWriter {
             if (mx != null && mx.asInstanceOf[Double] == 0.0) mx = 0.0d
           }
           val statOk = !(spec.typ == 5 && hasNaN)
+          // Bloom hashes: XXH64 of each distinct present value's PLAIN
+          // encoding (BloomFilter.md) — collected per chunk here, sized
+          // and bit-set once all row groups are on disk. Emitted even
+          // for dictionary-encoded chunks: unlike parquet-mr (whose
+          // reader consults the dictionary for membership) the repo's
+          // probeCensus reads only the filter region.
+          val bh: Array[Long] =
+            if (!bloomColumns.contains(spec.name)) null
+            else {
+              val set = new java.util.HashSet[java.lang.Long]()
+              var i = rgStart
+              while (i < rgEnd) {
+                val v = vals(i)
+                if (v != null) set.add(spec.typ match {
+                  case 1 => ParquetBloom.hashInt(v match {
+                    case x: Int => x; case x: Long => x.toInt })
+                  case 2 => ParquetBloom.hashLong(v.asInstanceOf[Long])
+                  case _ => ParquetBloom.hashBinary(v.asInstanceOf[String]
+                    .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                })
+                i += 1
+              }
+              val arr = new Array[Long](set.size)
+              val it = set.iterator()
+              var k = 0
+              while (it.hasNext) { arr(k) = it.next(); k += 1 }
+              arr
+            }
           ChunkInfo(chunkOffset, sink.comp, sink.uncomp, (rgEnd - rgStart).toLong, nulls,
             if (statOk) Option(mn).map(statBytes(spec.typ, _)) else None,
             if (statOk) Option(mx).map(statBytes(spec.typ, _)) else None,
-            dictOff, dataOff)
+            dictOff, dataOff, bh)
         }
         }
       }
       groups += ((chunks, rgEnd - rgStart))
       rgStart = rgEnd
+    }
+
+    // ---- bloom filter regions (after all row-group data, before the
+    // footer — placement is free in parquet-format; readers seek to the
+    // footer's explicit bloom_filter_offset). Per eligible chunk: the
+    // compact-protocol BloomFilterHeader (numBytes + the XXHASH/BLOCK/
+    // UNCOMPRESSED unions [[ParquetBloom.parseBloomHeader]] validates)
+    // followed by the split-block bitset. ----
+    val builtPre = groups.result()
+    val bloomAt: Seq[Seq[Option[(Long, Int)]]] = builtPre.map { case (chunks, _) =>
+      chunks.map { ci =>
+        if (ci.bloomHashes == null) None
+        else {
+          val off = out.size().toLong
+          val numBytes = ParquetBloom.optimalNumBytes(
+            math.max(1L, ci.bloomHashes.length.toLong), bloomFpp)
+          val h = new TWriter
+          h.structBegin()
+          h.i32(1, numBytes)
+          h.structField(2); h.structField(1); h.structEnd(); h.structEnd() // XXHASH
+          h.structField(3); h.structField(1); h.structEnd(); h.structEnd() // BLOCK
+          h.structField(4); h.structField(1); h.structEnd(); h.structEnd() // UNCOMPRESSED
+          h.structEnd()
+          val hb = h.bytes
+          out.write(hb, 0, hb.length)
+          val bits = ParquetBloom.buildBits(ci.bloomHashes, numBytes)
+          out.write(bits, 0, bits.length)
+          Some((off, hb.length + bits.length))
+        }
+      }
     }
 
     // ---- footer ----
@@ -670,12 +745,12 @@ object ParquetWriter {
       else if (spec.list) Seq((spec.typ, Seq(spec.name, "list", "element")))
       else Seq((spec.typ, Seq(spec.name)))
     }
-    val built = groups.result()
+    val built = builtPre
     f.listBegin(4, 12, built.size) // row_groups
-    built.foreach { case (chunks, rows) =>
+    built.zip(bloomAt).foreach { case ((chunks, rows), blooms) =>
       f.structBegin()
       f.listBegin(1, 12, chunks.size) // columns
-      chunks.zip(leafMetas).foreach { case (ci, (leafTyp, pathParts)) =>
+      chunks.zip(leafMetas).zip(blooms).foreach { case ((ci, (leafTyp, pathParts)), bloom) =>
         f.structBegin()
         f.i64(2, ci.offset) // file_offset
         f.structField(3) // ColumnMetaData
@@ -707,6 +782,10 @@ object ParquetWriter {
             f.listlessBinary(6, b) // min_value
           }
           f.structEnd()
+        }
+        bloom.foreach { case (off, len) =>
+          f.i64(14, off) // bloom_filter_offset
+          f.i32(15, len) // bloom_filter_length (header + bitset)
         }
         f.structEnd()
         f.structEnd()
@@ -751,7 +830,8 @@ object ParquetWriter {
     * partition, written through the Hadoop FS (the task-parallel sink
     * shape). Returns the file count. */
   def writeDir(df: DataFrame, dir: String, codec: Int = 0,
-      pageRows: Int = 20000, dictStrings: Boolean = true): Int = {
+      pageRows: Int = 20000, dictStrings: Boolean = true,
+      bloomColumns: Set[String] = Set.empty): Int = {
     val schema = df.schema
     val specs = schema.fields.map { fd =>
       fd.dataType match {
@@ -772,7 +852,7 @@ object ParquetWriter {
         (spec, vals)
       }
       val bytes = writeBytes(cols, rows.length, codec, pageRows,
-        dictStrings = dictStrings)
+        dictStrings = dictStrings, bloomColumns = bloomColumns)
       val path = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.parquet")
       val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
       val os = fs.create(path, true)

@@ -333,6 +333,117 @@ class ParquetWriterSpec extends SparkSpec {
     }
   }
 
+  test("bloom sizing + bitset: power-of-two sizes, zero false negatives, fpp in range") {
+    import graft.sources.ParquetBloom
+    // sizing: power-of-two, monotone in ndv, clamped at both ends
+    assert(ParquetBloom.optimalNumBytes(1, 0.01) == 32)
+    val sizes = Seq(100L, 1000L, 10000L, 100000L).map(ParquetBloom.optimalNumBytes(_, 0.01))
+    sizes.foreach(s => assert(s >= 32 && (s & (s - 1)) == 0, s"size $s"))
+    assert(sizes == sizes.sorted)
+    assert(ParquetBloom.optimalNumBytes(1L << 40, 0.01) == (1 << 20)) // cap
+    // build + probe roundtrip: every inserted hash answers true
+    val rnd = new scala.util.Random(42)
+    val present = Array.fill(5000)(rnd.nextLong())
+    val numBytes = ParquetBloom.optimalNumBytes(5000, 0.01)
+    val bloom = new ParquetBloom.SplitBlockBloom(
+      ParquetBloom.buildBits(present, numBytes))
+    present.foreach(h => assert(bloom.mightContain(h)))
+    // false positives on fresh random hashes stay near the target fpp
+    val fp = (0 until 20000).count(_ => bloom.mightContain(rnd.nextLong()))
+    assert(fp <= 20000 * 0.03, s"$fp false positives of 20000 at fpp 0.01")
+  }
+
+  test("bloom filters from OUR writer: parquet-mr and our reader agree probe-for-probe") {
+    val out = tmpDir("pqw_bloom")
+    // k: sparse longs (absents exist in-range); s: low-cardinality
+    // strings — dictionary-encoded AND bloom-filtered in the same chunk
+    val df = spark.range(20000).selectExpr("id * 7 AS k", "concat('v', id % 4096) AS s")
+    ParquetWriter.writeDir(df.coalesce(1), out, codec = 1, pageRows = 4096,
+      bloomColumns = Set("k", "s"))
+    val (path, len) = ParquetFooter.listDataFiles(spark, out).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fm = ParquetFooter.readFooter(conf, path, len)
+    val metas = fm.rowGroups.head.columns.flatMap(_.meta)
+    val kMeta = metas.find(_.path == "k").get
+    val sMeta = metas.find(_.path == "s").get
+    assert(kMeta.bloomFilterOffset.nonEmpty && kMeta.bloomFilterLength.nonEmpty)
+    assert(sMeta.bloomFilterOffset.nonEmpty && sMeta.encodings.contains(8),
+      "the string chunk must be dict-encoded AND carry a bloom filter")
+    val oursK = graft.sources.ParquetBloom
+      .readBloomFilter(conf, path, kMeta, kMeta.bloomFilterOffset).get
+    val oursS = graft.sources.ParquetBloom
+      .readBloomFilter(conf, path, sMeta, sMeta.bloomFilterOffset).get
+
+    val mr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), conf))
+    try {
+      val block = mr.getFooter.getBlocks.get(0)
+      def mrCol(name: String) = (0 until block.getColumns.size).map(block.getColumns.get)
+        .find(_.getPath.toDotString == name).get
+      val mrK = mr.getBloomFilterDataReader(block).readBloomFilter(mrCol("k"))
+      val mrS = mr.getBloomFilterDataReader(block).readBloomFilter(mrCol("s"))
+      assert(mrK != null && mrS != null,
+        "parquet-mr must parse our BloomFilterHeader + bitset")
+      (0 until 2000).foreach { i =>
+        val present = i.toLong * 7 * 10 // multiples of 7 in range
+        val absent = i.toLong * 7 + 3   // never ≡ 0 (mod 7)
+        Seq(present, absent).foreach { k =>
+          val oursAns = oursK.mightContain(graft.sources.ParquetBloom.hashLong(k))
+          assert(oursAns == mrK.findHash(mrK.hash(k)), s"disagree on k=$k")
+        }
+        assert(oursK.mightContain(graft.sources.ParquetBloom.hashLong(present)),
+          s"false negative k=$present")
+      }
+      (0 until 4096).foreach { i =>
+        val bin = org.apache.parquet.io.api.Binary.fromString(s"v$i")
+        val h = graft.sources.ParquetBloom.hashBinary(s"v$i".getBytes("UTF-8"))
+        assert(oursS.mightContain(h), s"false negative s=v$i")
+        assert(mrS.findHash(mrS.hash(bin)), s"parquet-mr false negative s=v$i")
+        val miss = org.apache.parquet.io.api.Binary.fromString(s"w$i")
+        val hMiss = graft.sources.ParquetBloom.hashBinary(s"w$i".getBytes("UTF-8"))
+        assert(oursS.mightContain(hMiss) == mrS.findHash(mrS.hash(miss)),
+          s"disagree on s=w$i")
+      }
+    } finally mr.close()
+  }
+
+  test("probeCensus prunes hand-written multi-file dirs with zero false negatives") {
+    val out = tmpDir("pqw_bloom_census")
+    // 4 writer tasks with disjoint key ranges (multiples of 3)
+    val df = spark.range(20000).selectExpr("id * 3 AS k", "concat('s', id) AS s")
+      .repartitionByRange(4, col("k"))
+    ParquetWriter.writeDir(df, out, codec = 1, bloomColumns = Set("k"))
+    val present = Seq(0L, 3L, 30000L, 300L, 59997L)
+    val absent = Seq(1L, 4L, 3001L, 44998L, 59998L) // never ≡ 0 (mod 3)
+    val rows = graft.sources.ParquetBloom
+      .probeCensus(spark, out, "k", present ++ absent).collect()
+    assert(rows.length == 10 * 4)
+    present.foreach { k =>
+      assert(rows.exists(r => r.getLong(1) == k && r.getBoolean(2)), s"lost k=$k")
+    }
+    val absentProbes = rows.filter(r => absent.contains(r.getLong(1)))
+    val fp = absentProbes.count(_.getBoolean(2))
+    assert(fp <= absentProbes.length / 4, s"$fp false positives of ${absentProbes.length}")
+    // each present key lives in exactly one range file; the other three
+    // files' filters must prune it (disjoint ranges, fpp 0.01)
+    val presentProbes = rows.filter(r => present.contains(r.getLong(1)))
+    assert(presentProbes.count(_.getBoolean(2)) <= present.size + 2,
+      "present keys should hit ~one file each")
+  }
+
+  test("bloom contract: unsupported column types fail loudly") {
+    val spec = ParquetWriter.ColSpec("d", 5, optional = false)
+    intercept[IllegalArgumentException] {
+      ParquetWriter.writeBytes(Seq((spec, Array[Any](1.0))), 1,
+        bloomColumns = Set("d"))
+    }
+    intercept[IllegalArgumentException] {
+      ParquetWriter.writeBytes(Seq((spec, Array[Any](1.0))), 1,
+        bloomColumns = Set("nope"))
+    }
+  }
+
   test("loud contracts: nulls in a REQUIRED column, bad codec, bad type") {
     val spec = ParquetWriter.ColSpec("x", 2, optional = false)
     intercept[IllegalArgumentException] {
