@@ -728,6 +728,10 @@ object ScalingProbe {
       results(("hand_plain", files)) =
         (timedWrite(ParquetWriter.writeDir(src, op, codec = 1,
           dictStrings = false)), dirBytes(op))
+      val ob = s"/root/repo/target/tmp/graft_write_bloom_$files"
+      results(("hand_bloom", files)) =
+        (timedWrite(ParquetWriter.writeDir(src, ob, codec = 1,
+          bloomColumns = Set("l_orderkey", "cat"))), dirBytes(ob))
       results(("spark_sink", files)) =
         (timedWrite(src.write.mode("overwrite")
           .option("compression", "snappy").parquet(os)), dirBytes(os))
@@ -745,6 +749,8 @@ object ScalingProbe {
       "both engines; the source is cached and pre-shuffled so walls " +
       "measure the WRITE. hand_dict = the shipping writer " +
       "(RLE_DICTIONARY string chunks), hand_plain = dictStrings=false, " +
+      "hand_bloom = dict plus split-block bloom filters on l_orderkey " +
+      "AND cat (the per-chunk distinct-hash + bitset cost), " +
       "spark_sink = Spark's parquet-mr-backed sink.\n\n"
     sb ++= "| writer | files | wall s | out MB |\n"
     sb ++= "|---|---|---|---|\n"
@@ -756,7 +762,10 @@ object ScalingProbe {
       f"vs Spark's writer: ${r("hand_dict", 16)._2.toDouble / r("spark_sink", 16)._2}%.2f× " +
       f"Spark's bytes. Wall vs Spark at 16 files: " +
       f"${r("hand_dict", 16)._1 / r("spark_sink", 16)._1}%.2f×; at 160: " +
-      f"${r("hand_dict", 160)._1 / r("spark_sink", 160)._1}%.2f×.\n"
+      f"${r("hand_dict", 160)._1 / r("spark_sink", 160)._1}%.2f×. " +
+      f"Bloom overhead (hand_bloom vs hand_dict, 16 files): " +
+      f"${r("hand_bloom", 16)._1 / r("hand_dict", 16)._1}%.2f× wall, " +
+      f"${r("hand_bloom", 16)._2.toDouble / r("hand_dict", 16)._2}%.2f× bytes.\n"
     val out = java.nio.file.Paths.get(outPath)
     java.nio.file.Files.write(out, sb.toString.getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
