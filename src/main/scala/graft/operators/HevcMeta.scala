@@ -640,6 +640,23 @@ object HevcMeta {
     out.toByteArray
   }
 
+  /** One MP4 sample for [[Mp4Meta.encodeHevc]]: a single slice NAL,
+    * 4-byte length-prefixed — keyframes are IDR_N_LP I-slices, others
+    * TRAIL_R P-slices (parameter sets live in the hvcC record, not
+    * in-band, per the hvc1 sample-entry contract). */
+  def writeSample(keyframe: Boolean, seed: Long, payloadLen: Int = 48): Array[Byte] = {
+    val nal =
+      if (keyframe) writeSlice(IdrNLp, SliceI, seed, payloadLen)
+      else writeSlice(TrailR, SliceP, seed, payloadLen)
+    val out = new Array[Byte](4 + nal.length)
+    out(0) = (nal.length >> 24).toByte
+    out(1) = ((nal.length >> 16) & 0xff).toByte
+    out(2) = ((nal.length >> 8) & 0xff).toByte
+    out(3) = (nal.length & 0xff).toByte
+    System.arraycopy(nal, 0, out, 4, nal.length)
+    out
+  }
+
   /** Serialize a minimal hvcC record around [[writeSps]]/[[writePps]]
     * output (plus a VPS) — the MP4 `hvc1` config-box shape the parser
     * reads back; lengthSize fixed at 4. */

@@ -560,4 +560,142 @@ object Mp4Meta {
     be(sampleRate.toLong << 16, 4)    // 16.16 fixed
     out.toByteArray
   }
+
+  // ---- video codec detection (stsd sample entry + config box) -----------
+
+  /** The FIRST video ('vide' handler) track's sample-entry format tag
+    * plus, when the entry carries a codec-configuration box (`hvcC`
+    * for HEVC, `avcC` for AVC, `vpcC`/`av1C` for VP9/AV1), that box's
+    * tag and raw payload — what a codec-aware curation pass dispatches
+    * on BEFORE touching any sample bytes. `configBox` payloads feed
+    * [[HevcMeta.parseHvcC]] for hvc1/hev1 entries. */
+  final case class VideoCodecInfo(codec: String,
+      configBox: Option[(String, Array[Byte])])
+
+  def videoCodecInfo(bytes: Array[Byte]): VideoCodecInfo = {
+    if (!isMp4(bytes)) return null
+    var codec: String = null
+    var config: Option[(String, Array[Byte])] = None
+    walk(bytes, 0, bytes.length) { (typ, p, e) =>
+      if (typ == "moov") walk(bytes, p, e) { (t2, p2, e2) =>
+        if (t2 == "trak") walk(bytes, p2, e2) { (t3, p3, e3) =>
+          if (t3 == "mdia") {
+            var isVideo = false
+            walk(bytes, p3, e3) { (t4, p4, e4) =>
+              if (t4 == "hdlr") {
+                require(e4 - p4 >= 12, "truncated hdlr")
+                isVideo = tag(bytes, p4 + 8) == "vide"
+              }
+            }
+            walk(bytes, p3, e3) { (t4, p4, e4) =>
+              if (t4 == "minf") walk(bytes, p4, e4) { (t5, p5, e5) =>
+                if (t5 == "stbl") walk(bytes, p5, e5) { (t6, p6, e6) =>
+                  if (t6 == "stsd" && isVideo && codec == null) {
+                    require(e6 - p6 >= 8, "truncated stsd")
+                    require(be32(bytes, p6 + 4) >= 1, "empty stsd")
+                    val entry = p6 + 8
+                    require(e6 - entry >= 8, "truncated video sample entry")
+                    val entrySz = be32(bytes, entry).toInt
+                    require(entrySz >= 8 && entry + entrySz <= e6,
+                      s"sample entry of $entrySz bytes overruns stsd")
+                    codec = tag(bytes, entry + 4)
+                    // VisualSampleEntry fixed body is 78 bytes after the
+                    // 8-byte box header; contained boxes follow
+                    if (entrySz > 86) walk(bytes, entry + 86, entry + entrySz) {
+                      (ct, cp, ce) =>
+                        if (config.isEmpty &&
+                          Set("hvcC", "avcC", "vpcC", "av1C").contains(ct))
+                          config = Some((ct,
+                            java.util.Arrays.copyOfRange(bytes, cp, ce)))
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    if (codec == null) null else VideoCodecInfo(codec, config)
+  }
+
+  /** Minimal spec-valid HEVC-in-MP4: an `hvc1` VisualSampleEntry
+    * carrying the caller's hvcC record, one chunk per sample, stss
+    * marking the caller's keyframes, and the sample payloads verbatim
+    * in mdat (length-prefixed NALs per hvcC lengthSize — the writer
+    * does not inspect them). The read side is [[videoCodecInfo]] +
+    * [[sampleTable]] + [[HevcMeta.lengthPrefixedNals]]. */
+  def encodeHevc(samples: Seq[Array[Byte]], syncSamples: Seq[Int],
+      hvcC: Array[Byte], width: Int, height: Int, timescale: Int = 600,
+      delta: Int = 20): Array[Byte] = {
+    val n = samples.length
+    require(n > 0 && timescale > 0 && delta > 0, "bad HEVC track spec")
+    require(syncSamples.forall(s => s >= 1 && s <= n), "stss out of range")
+    val entrySz = 86 + 8 + hvcC.length
+    val stsdSz = 8 + 8 + entrySz
+    val sttsSz = 8 + 8 + 8
+    val stscSz = 8 + 8 + 12
+    val stszSz = 8 + 12 + 4 * n
+    val stssSz = 8 + 8 + 4 * syncSamples.size
+    val stcoSz = 8 + 8 + 4 * n
+    val stblSz = 8 + stsdSz + sttsSz + stscSz + stszSz + stssSz + stcoSz
+    val minfSz = 8 + stblSz
+    val mdiaSz = 8 + 32 + 33 + minfSz
+    val trakSz = 8 + 92 + mdiaSz
+    val moovSz = 8 + 108 + trakSz
+    val mdatPayloadAt = 24L + moovSz + 8
+    val duration = n.toLong * delta
+    val out = new java.io.ByteArrayOutputStream()
+    def be(v: Long, nB: Int): Unit =
+      for (i <- (nB - 1) to 0 by -1) out.write(((v >> (8 * i)) & 0xff).toInt)
+    def tagW(s: String): Unit = s.foreach(c => out.write(c.toInt))
+    be(24, 4); tagW("ftyp"); tagW("isom"); be(0, 4); tagW("isom"); tagW("mp41")
+    be(moovSz.toLong, 4); tagW("moov")
+    be(108, 4); tagW("mvhd"); be(0, 4); be(0, 4); be(0, 4)
+    be(timescale.toLong, 4); be(duration, 4)
+    be(0x00010000L, 4); be(0x0100L, 2); be(0, 2); be(0, 8)
+    Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(be(_, 4))
+    for (_ <- 0 until 6) be(0, 4)
+    be(2, 4)
+    be(trakSz.toLong, 4); tagW("trak")
+    be(92, 4); tagW("tkhd"); be(0x00000007L, 4); be(0, 4); be(0, 4)
+    be(1, 4); be(0, 4); be(duration, 4); be(0, 8)
+    be(0, 2); be(0, 2); be(0, 2); be(0, 2)
+    Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(be(_, 4))
+    be(width.toLong << 16, 4); be(height.toLong << 16, 4)
+    be(mdiaSz.toLong, 4); tagW("mdia")
+    be(32, 4); tagW("mdhd"); be(0, 4); be(0, 4); be(0, 4)
+    be(timescale.toLong, 4); be(duration, 4); be(0x55c4L, 2); be(0, 2)
+    be(33, 4); tagW("hdlr"); be(0, 4); be(0, 4); tagW("vide")
+    be(0, 4); be(0, 4); be(0, 4); out.write(0)
+    be(minfSz.toLong, 4); tagW("minf")
+    be(stblSz.toLong, 4); tagW("stbl")
+    be(stsdSz.toLong, 4); tagW("stsd"); be(0, 4); be(1, 4)
+    // hvc1 VisualSampleEntry (ISO 14496-12 §12.1.3 + 14496-15 §8.4.1)
+    be(entrySz.toLong, 4); tagW("hvc1")
+    be(0, 4); be(0, 2) // reserved(6)
+    be(1, 2)           // data_reference_index
+    be(0, 2); be(0, 2); be(0, 4); be(0, 4); be(0, 4) // pre_defined/reserved
+    be(width.toLong, 2); be(height.toLong, 2)
+    be(0x00480000L, 4); be(0x00480000L, 4) // 72 dpi
+    be(0, 4); be(1, 2) // reserved + frame_count
+    for (_ <- 0 until 32) out.write(0) // compressorname
+    be(0x0018L, 2); be(0xffffL, 2) // depth 24 + pre_defined -1
+    be(8L + hvcC.length, 4); tagW("hvcC")
+    out.write(hvcC, 0, hvcC.length)
+    be(sttsSz.toLong, 4); tagW("stts"); be(0, 4); be(1, 4)
+    be(n.toLong, 4); be(delta.toLong, 4)
+    be(stscSz.toLong, 4); tagW("stsc"); be(0, 4); be(1, 4)
+    be(1, 4); be(1, 4); be(1, 4) // one sample per chunk
+    be(stszSz.toLong, 4); tagW("stsz"); be(0, 4); be(0, 4); be(n.toLong, 4)
+    samples.foreach(s => be(s.length.toLong, 4))
+    be(stssSz.toLong, 4); tagW("stss"); be(0, 4); be(syncSamples.size.toLong, 4)
+    syncSamples.foreach(s => be(s.toLong, 4))
+    be(stcoSz.toLong, 4); tagW("stco"); be(0, 4); be(n.toLong, 4)
+    var off = mdatPayloadAt
+    samples.foreach { s => be(off, 4); off += s.length }
+    be(8L + samples.map(_.length.toLong).sum, 4); tagW("mdat")
+    samples.foreach(s => out.write(s, 0, s.length))
+    out.toByteArray
+  }
 }

@@ -131,6 +131,41 @@ class HevcMetaSpec extends AnyFunSuite {
       HevcMeta.lengthPrefixedNals(Array[Byte](0, 0, 0, 9, 1), 4))
   }
 
+  test("HEVC-in-MP4 end-to-end: stsd codec dispatch, hvcC dims, sample NAL census") {
+    import graft.operators.Mp4Meta
+    val n = 9
+    val ki = 4
+    val hvcC = HevcMeta.writeHvcC(width = 320, height = 180, levelIdc = 93)
+    val samples = (0 until n).map(f =>
+      HevcMeta.writeSample(keyframe = f % ki == 0, seed = 100L + f))
+    val syncs = (0 until n).filter(_ % ki == 0).map(_ + 1)
+    val mp4 = Mp4Meta.encodeHevc(samples, syncs, hvcC, 320, 180)
+    // codec dispatch BEFORE sample bytes
+    val info = Mp4Meta.videoCodecInfo(mp4)
+    assert(info.codec == "hvc1")
+    val (cbTag, cbBytes) = info.configBox.get
+    assert(cbTag == "hvcC")
+    val rec = HevcMeta.parseHvcC(cbBytes, 0, cbBytes.length)
+    assert(rec.sps.get.width == 320 && rec.sps.get.height == 180)
+    assert(rec.lengthSize == 4)
+    // sample table + per-sample NAL walk: container sync flags must
+    // agree with the bitstream's IRAP classification
+    val st = Mp4Meta.sampleTable(mp4)
+    assert(st.samples.size == n)
+    st.samples.foreach { s =>
+      val bytes = java.util.Arrays.copyOfRange(mp4, s.offset.toInt,
+        (s.offset + s.size).toInt)
+      val nals = HevcMeta.lengthPrefixedNals(bytes, rec.lengthSize)
+      assert(nals.size == 1)
+      assert(HevcMeta.isIrap(nals.head.nalType) == s.keyframe,
+        s"sample ${s.index}: stss vs NAL type")
+    }
+    assert(st.samples.count(_.keyframe) == syncs.size)
+    // generic VideoMeta still reads the same file
+    val vm = Mp4Meta.parse(mp4)
+    assert(vm.width == 320 && vm.height == 180 && vm.nTracks == 1)
+  }
+
   // ---- the independent oracle: REAL x265 streams --------------------------
 
   test("census agrees with x265 on stream structure and coding parameters") {
