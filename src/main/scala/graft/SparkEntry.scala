@@ -3530,6 +3530,70 @@ object SparkEntry {
         .toDF("doc_id", "n_samples", "duration_ticks", "n_sync", "total_bytes", "keep")
         .orderBy("doc_id")
     }),
+    // HEVC (H.265) bitstream census (round 19): Annex-B streams from
+    // the in-repo writer over an id-derived closed form, walked by the
+    // metadata tier — NAL classes, slice-header I/P mix, SPS coding
+    // parameters. Every column replays as integer arithmetic; the
+    // LIVE x265 encoder oracle pins the same parser on real streams
+    // (padded resolutions, CRA/RASL, B-slices) in HevcMetaSpec.
+    "video_hevc_census" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents").where(col("doc_id") < 250)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 5 + 1).toInt * 32
+          val h = (id % 3 + 2).toInt * 16
+          val nf = (id % 7 + 1).toInt
+          val ki = (id % 4 + 1).toInt
+          val c = graft.operators.HevcMeta.census(
+            graft.operators.HevcMeta.writeStream(w, h, nf, ki, seed = id * 97L))
+          (id, c.width.toLong, c.height.toLong, c.nFrames.toLong,
+            c.nKeyframes.toLong, c.nSliceP.toLong, c.profileIdc.toLong,
+            c.levelIdc.toLong, c.ctbSize.toLong)
+        }
+        .toDF("doc_id", "w", "h", "n_frames", "n_key", "n_p", "profile",
+          "level", "ctb")
+        .orderBy("doc_id")
+    }),
+    // HEVC-in-MP4 (round 19): the codec-aware curation path end to
+    // end — stsd says hvc1, the hvcC record gives resolution and NAL
+    // length size BEFORE any sample bytes, the sample table locates
+    // every sample, and the per-sample NAL walk must agree with the
+    // container's stss sync flags on every keyframe.
+    "video_hevc_mp4" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{HevcMeta, Mp4Meta}
+      tbl(s, dir, "documents").where(col("doc_id") < 150)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 6 + 2).toInt * 32
+          val h = (id % 4 + 1).toInt * 36
+          val nf = (id % 8 + 2).toInt
+          val ki = (id % 3 + 2).toInt
+          val hvcC = HevcMeta.writeHvcC(w, h)
+          val samples = (0 until nf).map(f =>
+            HevcMeta.writeSample(f % ki == 0, id * 1000L + f))
+          val syncs = (0 until nf).filter(_ % ki == 0).map(_ + 1)
+          val mp4 = Mp4Meta.encodeHevc(samples, syncs, hvcC, w, h)
+          val info = Mp4Meta.videoCodecInfo(mp4)
+          val (cfgTag, cfgBytes) = info.configBox.get
+          val rec = HevcMeta.parseHvcC(cfgBytes, 0, cfgBytes.length)
+          val sps = rec.sps.get
+          val st = Mp4Meta.sampleTable(mp4)
+          val irap = st.samples.map { sm =>
+            val b = java.util.Arrays.copyOfRange(mp4, sm.offset.toInt,
+              (sm.offset + sm.size).toInt)
+            HevcMeta.lengthPrefixedNals(b, rec.lengthSize)
+              .exists(x => HevcMeta.isIrap(x.nalType))
+          }
+          (id, info.codec, cfgTag, sps.width.toLong, sps.height.toLong,
+            st.samples.size.toLong, irap.count(identity).toLong,
+            st.samples.map(_.keyframe) == irap)
+        }
+        .toDF("doc_id", "codec", "config_tag", "w", "h", "n_samples",
+          "n_key", "sync_agree")
+        .orderBy("doc_id")
+    }),
     // Compressed-audio metadata path (round 9): deterministic MPEG-1
     // Layer III CBR streams → frame-header walk → duration/rate/
     // bitrate extraction. Frame length is the closed form
@@ -9480,6 +9544,30 @@ object SparkEntry {
         |    AND (((n - 1) // k + 1) * 300 >= n * delta)
         |    AND (b.total_bytes * 600 <= CAST(n * delta AS BIGINT) * 1600) AS keep
         |FROM m JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // census columns replay from the id-derived stream spec; keyframe
+    // count is the IDR cadence ceil(nf/ki)
+    "video_hevc_census" ->
+      """SELECT doc_id,
+        |  CAST((doc_id % 5 + 1) * 32 AS BIGINT) AS w,
+        |  CAST((doc_id % 3 + 2) * 16 AS BIGINT) AS h,
+        |  CAST(doc_id % 7 + 1 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 7 + doc_id % 4 + 1) // (doc_id % 4 + 1) AS BIGINT) AS n_key,
+        |  CAST(doc_id % 7 + 1
+        |    - (doc_id % 7 + doc_id % 4 + 1) // (doc_id % 4 + 1) AS BIGINT) AS n_p,
+        |  CAST(1 AS BIGINT) AS profile,
+        |  CAST(93 AS BIGINT) AS level,
+        |  CAST(64 AS BIGINT) AS ctb
+        |FROM documents WHERE doc_id < 250 ORDER BY doc_id""".stripMargin,
+    "video_hevc_mp4" ->
+      """SELECT doc_id,
+        |  'hvc1' AS codec, 'hvcC' AS config_tag,
+        |  CAST((doc_id % 6 + 2) * 32 AS BIGINT) AS w,
+        |  CAST((doc_id % 4 + 1) * 36 AS BIGINT) AS h,
+        |  CAST(doc_id % 8 + 2 AS BIGINT) AS n_samples,
+        |  CAST((doc_id % 8 + 2 + doc_id % 3 + 1) // (doc_id % 3 + 2) AS BIGINT)
+        |    AS n_key,
+        |  true AS sync_agree
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
     "multimodal_audio_meta_all" ->
       """WITH spec AS (
         |  SELECT doc_id,
