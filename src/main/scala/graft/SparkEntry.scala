@@ -3594,6 +3594,31 @@ object SparkEntry {
           "n_key", "sync_agree")
         .orderBy("doc_id")
     }),
+    // AV1 bitstream census (round 19): low-overhead OBU streams from
+    // the in-repo writer — OBU walk, sequence-header geometry (AV1
+    // carries exact dims, arbitrary values), frame-type keyframe
+    // cadence. The LIVE libaom encoder oracle pins the same parser on
+    // real streams (per-packet keyframe flags from the encoder itself)
+    // in Av1MetaSpec.
+    "video_av1_census" -> ((s, dir) => {
+      import s.implicits._
+      tbl(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 181 + 20).toInt // arbitrary, often odd — AV1 allows it
+          val h = (id % 97 + 16).toInt
+          val nf = (id % 6 + 1).toInt
+          val ki = (id % 3 + 1).toInt
+          val c = graft.operators.Av1Meta.census(
+            graft.operators.Av1Meta.writeStream(w, h, nf, ki, seed = id * 53L))
+          (id, c.width.toLong, c.height.toLong, c.nFrames.toLong,
+            c.nKeyframes.toLong, c.nTemporalUnits.toLong, c.profile.toLong,
+            c.levelIdx.toLong, c.bitDepth.toLong, c.superblock.toLong)
+        }
+        .toDF("doc_id", "w", "h", "n_frames", "n_key", "n_td", "profile",
+          "level", "bit_depth", "sb")
+        .orderBy("doc_id")
+    }),
     // Compressed-audio metadata path (round 9): deterministic MPEG-1
     // Layer III CBR streams → frame-header walk → duration/rate/
     // bitrate extraction. Frame length is the closed form
@@ -9568,6 +9593,18 @@ object SparkEntry {
         |    AS n_key,
         |  true AS sync_agree
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+    "video_av1_census" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 181 + 20 AS BIGINT) AS w,
+        |  CAST(doc_id % 97 + 16 AS BIGINT) AS h,
+        |  CAST(doc_id % 6 + 1 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 6 + doc_id % 3 + 1) // (doc_id % 3 + 1) AS BIGINT) AS n_key,
+        |  CAST(doc_id % 6 + 1 AS BIGINT) AS n_td,
+        |  CAST(0 AS BIGINT) AS profile,
+        |  CAST(8 AS BIGINT) AS level,
+        |  CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(64 AS BIGINT) AS sb
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "multimodal_audio_meta_all" ->
       """WITH spec AS (
         |  SELECT doc_id,
