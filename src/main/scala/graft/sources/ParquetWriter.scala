@@ -367,8 +367,8 @@ object ParquetWriter {
       case 1 => Ordering.by((a: Any) => a match { case i: Int => i.toLong; case l: Long => l })
       case 2 => Ordering.by((a: Any) => a.asInstanceOf[Long])
       case 5 => Ordering.by((a: Any) => a.asInstanceOf[Double])
-      case _ => Ordering.fromLessThan((a: Any, b: Any) =>
-        utf8Less(statBytes(6, a), statBytes(6, b)))
+      case _ => throw new IllegalStateException(
+        "string stats compare BYTES (utf8Less) — see the chunk stats loop")
     }
     val groups = Seq.newBuilder[(Seq[ChunkInfo], Int)] // (chunks, rows)
 
@@ -587,19 +587,28 @@ object ParquetWriter {
         if (spec.list)
           ChunkInfo(chunkOffset, sink.comp, sink.uncomp, sink.totalEntries, -1L, None, None)
         else {
-          // chunk stats: min/max over present values, null count
+          // chunk stats: min/max over present values, null count.
+          // Strings compare (and are kept) as their UTF-8 bytes — ONE
+          // conversion per row, not per comparison (the per-comparison
+          // statBytes form doubled the hand-write gate's wall).
           var nulls = 0L
           var mn: Any = null
           var mx: Any = null
+          var mnB: Array[Byte] = null
+          var mxB: Array[Byte] = null
           var hasNaN = false
-          val ord = statOrder(spec.typ)
+          val ord = if (spec.typ == 6) null else statOrder(spec.typ)
           var i = rgStart
           while (i < rgEnd) {
             val v = vals(i)
             if (v == null) nulls += 1
             else if (spec.typ == 5 && java.lang.Double.isNaN(v.asInstanceOf[Double]))
               hasNaN = true // NaN is unordered: poisons min/max, not null_count
-            else {
+            else if (spec.typ == 6) {
+              val b = statBytes(6, v)
+              if (mnB == null || utf8Less(b, mnB)) mnB = b
+              if (mxB == null || utf8Less(mxB, b)) mxB = b
+            } else {
               if (mn == null || ord.lt(v, mn)) mn = v
               if (mx == null || ord.gt(v, mx)) mx = v
             }
@@ -643,10 +652,16 @@ object ParquetWriter {
               while (it.hasNext) { arr(k) = it.next(); k += 1 }
               arr
             }
+          val minBytes =
+            if (!statOk) None
+            else if (spec.typ == 6) Option(mnB)
+            else Option(mn).map(statBytes(spec.typ, _))
+          val maxBytes =
+            if (!statOk) None
+            else if (spec.typ == 6) Option(mxB)
+            else Option(mx).map(statBytes(spec.typ, _))
           ChunkInfo(chunkOffset, sink.comp, sink.uncomp, (rgEnd - rgStart).toLong, nulls,
-            if (statOk) Option(mn).map(statBytes(spec.typ, _)) else None,
-            if (statOk) Option(mx).map(statBytes(spec.typ, _)) else None,
-            dictOff, dataOff, bh)
+            minBytes, maxBytes, dictOff, dataOff, bh)
         }
         }
       }
