@@ -3619,6 +3619,42 @@ object SparkEntry {
           "level", "bit_depth", "sb")
         .orderBy("doc_id")
     }),
+    // AV1-in-MP4 (round 19): the av01/av1C mirror of video_hevc_mp4 —
+    // codec dispatch from stsd, geometry from the av1C-embedded
+    // sequence header, per-sample frame_type keyframes agreeing with
+    // the container's stss flags.
+    "video_av1_mp4" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Av1Meta, Mp4Meta}
+      tbl(s, dir, "documents").where(col("doc_id") < 150)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 211 + 18).toInt
+          val h = (id % 113 + 12).toInt
+          val nf = (id % 7 + 2).toInt
+          val ki = (id % 3 + 2).toInt
+          val av1C = Av1Meta.writeAv1C(w, h)
+          val samples = (0 until nf).map(f =>
+            Av1Meta.writeSample(f % ki == 0, id * 1000L + f))
+          val syncs = (0 until nf).filter(_ % ki == 0).map(_ + 1)
+          val mp4 = Mp4Meta.encodeAv1(samples, syncs, av1C, w, h)
+          val info = Mp4Meta.videoCodecInfo(mp4)
+          val (cfgTag, cfgBytes) = info.configBox.get
+          val rec = Av1Meta.parseAv1C(cfgBytes, 0, cfgBytes.length)
+          val seq = rec.sequenceHeader.get
+          val st = Mp4Meta.sampleTable(mp4)
+          val irap = st.samples.map { sm =>
+            Av1Meta.sampleIsKeyframe(seq, java.util.Arrays.copyOfRange(
+              mp4, sm.offset.toInt, (sm.offset + sm.size).toInt))
+          }
+          (id, info.codec, cfgTag, seq.maxWidth.toLong, seq.maxHeight.toLong,
+            st.samples.size.toLong, irap.count(identity).toLong,
+            st.samples.map(_.keyframe) == irap)
+        }
+        .toDF("doc_id", "codec", "config_tag", "w", "h", "n_samples",
+          "n_key", "sync_agree")
+        .orderBy("doc_id")
+    }),
     // Compressed-audio metadata path (round 9): deterministic MPEG-1
     // Layer III CBR streams → frame-header walk → duration/rate/
     // bitrate extraction. Frame length is the closed form
@@ -9605,6 +9641,16 @@ object SparkEntry {
         |  CAST(8 AS BIGINT) AS bit_depth,
         |  CAST(64 AS BIGINT) AS sb
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "video_av1_mp4" ->
+      """SELECT doc_id,
+        |  'av01' AS codec, 'av1C' AS config_tag,
+        |  CAST(doc_id % 211 + 18 AS BIGINT) AS w,
+        |  CAST(doc_id % 113 + 12 AS BIGINT) AS h,
+        |  CAST(doc_id % 7 + 2 AS BIGINT) AS n_samples,
+        |  CAST((doc_id % 7 + 2 + doc_id % 3 + 1) // (doc_id % 3 + 2) AS BIGINT)
+        |    AS n_key,
+        |  true AS sync_agree
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
     "multimodal_audio_meta_all" ->
       """WITH spec AS (
         |  SELECT doc_id,

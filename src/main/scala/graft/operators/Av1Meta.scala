@@ -259,6 +259,60 @@ object Av1Meta {
       seq.monochrome, seq.superblockSize)
   }
 
+  // ---- av1C: AV1CodecConfigurationRecord (AOM ISO-BMFF binding §2.3) ------
+
+  final case class Av1C(profile: Int, levelIdx: Int, tier: Int,
+      highBitdepth: Boolean, twelveBit: Boolean, monochrome: Boolean,
+      subsamplingX: Int, subsamplingY: Int, configObus: Array[Byte]) {
+    def bitDepth: Int =
+      if (highBitdepth) { if (twelveBit) 12 else 10 } else 8
+    /** The embedded sequence header, when the configOBUs carry one. */
+    def sequenceHeader: Option[SequenceHeader] =
+      obus(configObus).find(_.obuType == ObuSequenceHeader)
+        .map(o => parseSequenceHeader(configObus, o.offset, o.length))
+  }
+
+  def parseAv1C(bytes: Array[Byte], off: Int, len: Int): Av1C = {
+    require(len >= 4, s"av1C of $len bytes")
+    def u8(i: Int): Int = bytes(off + i) & 0xff
+    require((u8(0) >> 7) == 1 && (u8(0) & 0x7f) == 1,
+      s"av1C marker/version byte 0x${u8(0).toHexString}")
+    val b1 = u8(1)
+    val b2 = u8(2)
+    Av1C(profile = b1 >> 5, levelIdx = b1 & 0x1f, tier = b2 >> 7,
+      highBitdepth = ((b2 >> 6) & 1) == 1, twelveBit = ((b2 >> 5) & 1) == 1,
+      monochrome = ((b2 >> 4) & 1) == 1, subsamplingX = (b2 >> 3) & 1,
+      subsamplingY = (b2 >> 2) & 1,
+      configObus = java.util.Arrays.copyOfRange(bytes, off + 4, off + len))
+  }
+
+  /** Serialize a minimal av1C around [[writeSequenceHeader]] —
+    * profile 0, 8-bit 4:2:0, the sequence header as the configOBUs. */
+  def writeAv1C(width: Int, height: Int, levelIdx: Int = 8): Array[Byte] = {
+    val seq = obuBytes(ObuSequenceHeader, writeSequenceHeader(width, height, levelIdx))
+    val out = new java.io.ByteArrayOutputStream(seq.length + 4)
+    out.write(0x81) // marker 1, version 1
+    out.write(levelIdx & 0x1f) // profile 0 in the top 3 bits
+    out.write(0x0c) // tier 0, 8-bit, not mono, ssX=1, ssY=1, csp 0
+    out.write(0) // no initial_presentation_delay
+    out.write(seq, 0, seq.length)
+    out.toByteArray
+  }
+
+  /** One MP4 sample for [[Mp4Meta.encodeAv1]]: a single frame OBU
+    * (temporal delimiters are stripped in the ISO-BMFF binding). */
+  def writeSample(keyframe: Boolean, seed: Long, payloadLen: Int = 40): Array[Byte] =
+    obuBytes(ObuFrame,
+      framePayload(if (keyframe) FrameKey else FrameInter, seed, payloadLen))
+
+  /** Census over an MP4 SAMPLE's OBUs with the sequence header coming
+    * from av1C (config out-of-band): keyframe iff a frame OBU's
+    * frame_type is KEY. */
+  def sampleIsKeyframe(seq: SequenceHeader, sample: Array[Byte]): Boolean =
+    obus(sample).exists(o =>
+      (o.obuType == ObuFrame || o.obuType == ObuFrameHeader) &&
+        parseFrameInfo(seq, sample, o.offset, o.length).isKeyframe)
+
   // ---- minimal deterministic stream writer (gate fixtures) ---------------
 
   /** Plain MSB-first bit writer (AV1 has no emulation prevention). */

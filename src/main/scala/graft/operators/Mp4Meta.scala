@@ -627,7 +627,24 @@ object Mp4Meta {
     * [[sampleTable]] + [[HevcMeta.lengthPrefixedNals]]. */
   def encodeHevc(samples: Seq[Array[Byte]], syncSamples: Seq[Int],
       hvcC: Array[Byte], width: Int, height: Int, timescale: Int = 600,
-      delta: Int = 20): Array[Byte] = {
+      delta: Int = 20): Array[Byte] =
+    encodeCodedVideo("hvc1", "hvcC", hvcC, samples, syncSamples, width,
+      height, timescale, delta)
+
+  /** AV1-in-MP4 per the AOM ISO-BMFF binding: an `av01` sample entry
+    * carrying the caller's av1C record; samples are low-overhead OBUs
+    * (temporal delimiters stripped, per the binding). Read side:
+    * [[videoCodecInfo]] + [[sampleTable]] + [[Av1Meta.obus]]. */
+  def encodeAv1(samples: Seq[Array[Byte]], syncSamples: Seq[Int],
+      av1C: Array[Byte], width: Int, height: Int, timescale: Int = 600,
+      delta: Int = 20): Array[Byte] =
+    encodeCodedVideo("av01", "av1C", av1C, samples, syncSamples, width,
+      height, timescale, delta)
+
+  private def encodeCodedVideo(entryTag: String, configTag: String,
+      config: Array[Byte], samples: Seq[Array[Byte]], syncSamples: Seq[Int],
+      width: Int, height: Int, timescale: Int, delta: Int): Array[Byte] = {
+    val hvcC = config
     val n = samples.length
     require(n > 0 && timescale > 0 && delta > 0, "bad HEVC track spec")
     require(syncSamples.forall(s => s >= 1 && s <= n), "stss out of range")
@@ -671,8 +688,8 @@ object Mp4Meta {
     be(minfSz.toLong, 4); tagW("minf")
     be(stblSz.toLong, 4); tagW("stbl")
     be(stsdSz.toLong, 4); tagW("stsd"); be(0, 4); be(1, 4)
-    // hvc1 VisualSampleEntry (ISO 14496-12 §12.1.3 + 14496-15 §8.4.1)
-    be(entrySz.toLong, 4); tagW("hvc1")
+    // VisualSampleEntry (ISO 14496-12 §12.1.3) + the codec config box
+    be(entrySz.toLong, 4); tagW(entryTag)
     be(0, 4); be(0, 2) // reserved(6)
     be(1, 2)           // data_reference_index
     be(0, 2); be(0, 2); be(0, 4); be(0, 4); be(0, 4) // pre_defined/reserved
@@ -681,7 +698,7 @@ object Mp4Meta {
     be(0, 4); be(1, 2) // reserved + frame_count
     for (_ <- 0 until 32) out.write(0) // compressorname
     be(0x0018L, 2); be(0xffffL, 2) // depth 24 + pre_defined -1
-    be(8L + hvcC.length, 4); tagW("hvcC")
+    be(8L + hvcC.length, 4); tagW(configTag)
     out.write(hvcC, 0, hvcC.length)
     be(sttsSz.toLong, 4); tagW("stts"); be(0, 4); be(1, 4)
     be(n.toLong, 4); be(delta.toLong, 4)

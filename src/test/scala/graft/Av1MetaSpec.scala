@@ -69,6 +69,35 @@ class Av1MetaSpec extends AnyFunSuite {
     }
   }
 
+  test("AV1-in-MP4 end-to-end: av01 dispatch, av1C geometry, sample keyframes") {
+    import graft.operators.Mp4Meta
+    val n = 8
+    val ki = 3
+    val av1C = Av1Meta.writeAv1C(width = 100, height = 62, levelIdx = 12)
+    val samples = (0 until n).map(f =>
+      Av1Meta.writeSample(keyframe = f % ki == 0, seed = 77L + f))
+    val syncs = (0 until n).filter(_ % ki == 0).map(_ + 1)
+    val mp4 = Mp4Meta.encodeAv1(samples, syncs, av1C, 100, 62)
+    val info = Mp4Meta.videoCodecInfo(mp4)
+    assert(info.codec == "av01")
+    val (cbTag, cbBytes) = info.configBox.get
+    assert(cbTag == "av1C")
+    val rec = Av1Meta.parseAv1C(cbBytes, 0, cbBytes.length)
+    assert(rec.profile == 0 && rec.levelIdx == 12 && rec.bitDepth == 8)
+    assert(!rec.monochrome && rec.subsamplingX == 1 && rec.subsamplingY == 1)
+    val seq = rec.sequenceHeader.get
+    assert(seq.maxWidth == 100 && seq.maxHeight == 62)
+    val st = Mp4Meta.sampleTable(mp4)
+    assert(st.samples.size == n)
+    st.samples.foreach { s =>
+      val bytes = java.util.Arrays.copyOfRange(mp4, s.offset.toInt,
+        (s.offset + s.size).toInt)
+      assert(Av1Meta.sampleIsKeyframe(seq, bytes) == s.keyframe,
+        s"sample ${s.index}: stss vs frame_type")
+    }
+    intercept[IllegalArgumentException](Av1Meta.parseAv1C(cbBytes, 0, 2))
+  }
+
   test("census agrees with libaom on keyframes, frames and geometry") {
     assume(oracleAvailable, "libaom/oracle script not present")
     for ((res, ki, nf) <- Seq(("100x62", 4, 9), ("64x48", 3, 8), ("320x130", 25, 5))) {
