@@ -42,6 +42,44 @@ import graft.operators.Snappy
   */
 object ParquetWriter {
 
+  /** Primitive open-addressing Long set (linear probing, 0.5 load
+    * cap) for bloom distinct-hash collection — XXH64 outputs are
+    * already well-mixed, so the bucket index is just masked bits. The
+    * value 0 rides a separate flag (0 marks empty slots). */
+  private final class LongHashSet(expected: Int) {
+    private var cap = Integer.highestOneBit(math.max(16, expected * 2) - 1) << 1
+    private var slots = new Array[Long](cap)
+    private var n = 0
+    private var hasZero = false
+    def add(v: Long): Unit = {
+      if (v == 0L) { if (!hasZero) { hasZero = true }; return }
+      if ((n + 1) * 2 > cap) grow()
+      var i = (v ^ (v >>> 32)).toInt & (cap - 1)
+      while (slots(i) != 0L) {
+        if (slots(i) == v) return
+        i = (i + 1) & (cap - 1)
+      }
+      slots(i) = v
+      n += 1
+    }
+    private def grow(): Unit = {
+      val old = slots
+      cap <<= 1
+      slots = new Array[Long](cap)
+      val kept = n
+      n = 0
+      old.foreach(v => if (v != 0L) add(v))
+      require(n == kept, "rehash lost entries")
+    }
+    def toArray: Array[Long] = {
+      val out = new Array[Long](n + (if (hasZero) 1 else 0))
+      var k = 0
+      if (hasZero) { out(0) = 0L; k = 1 }
+      slots.foreach(v => if (v != 0L) { out(k) = v; k += 1 })
+      out
+    }
+  }
+
   /** Thrift compact-protocol writer — the mirror of
     * [[ParquetFooter.HeaderReader]]. */
   private final class TWriter {
@@ -633,7 +671,9 @@ object ParquetWriter {
           val bh: Array[Long] =
             if (!bloomColumns.contains(spec.name)) null
             else {
-              val set = new java.util.HashSet[java.lang.Long]()
+              // open-addressing primitive set: no boxing, no node GC
+              // churn on million-row chunks (production row groups)
+              val set = new LongHashSet(rgEnd - rgStart)
               var i = rgStart
               while (i < rgEnd) {
                 val v = vals(i)
@@ -646,11 +686,7 @@ object ParquetWriter {
                 })
                 i += 1
               }
-              val arr = new Array[Long](set.size)
-              val it = set.iterator()
-              var k = 0
-              while (it.hasNext) { arr(k) = it.next(); k += 1 }
-              arr
+              set.toArray
             }
           val minBytes =
             if (!statOk) None
