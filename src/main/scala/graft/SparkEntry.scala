@@ -3655,6 +3655,48 @@ object SparkEntry {
           "n_key", "sync_agree")
         .orderBy("doc_id")
     }),
+    // AV1-in-WebM (round 19): the V_AV1 leg — CodecID dispatch, the
+    // sequence header from CodecPrivate (the Matroska AV1 mapping),
+    // demuxed SimpleBlock key flags agreeing with each frame OBU's
+    // frame_type. Closes the "AV1 in WebM metadata-only" fence at the
+    // bitstream level.
+    "video_av1_webm" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Av1Meta, WebmVideo}
+      tbl(s, dir, "documents").where(col("doc_id") < 150)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 151 + 24).toInt
+          val h = (id % 89 + 14).toInt
+          val nf = (id % 6 + 2).toInt
+          val ki = (id % 3 + 2).toInt
+          val seqStream = Av1Meta.writeStream(w, h, 1, 1, seed = id)
+          val so = Av1Meta.obus(seqStream)
+            .find(_.obuType == Av1Meta.ObuSequenceHeader).get
+          val priv = java.util.Arrays.copyOfRange(seqStream,
+            so.offset - 2, so.offset + so.length)
+          val frames = (0 until nf).map { f =>
+            val key = f % ki == 0
+            (f * 33L, Av1Meta.writeSample(key, id * 1000L + f), key)
+          }
+          val webm = WebmVideo.muxWebmCoded(frames, "V_AV1", w, h, nf * 33L,
+            codecPrivate = priv)
+          val (codec, cp) = WebmVideo.trackCodec(webm)
+          val seq = {
+            val o = Av1Meta.obus(cp).find(_.obuType == Av1Meta.ObuSequenceHeader).get
+            Av1Meta.parseSequenceHeader(cp, o.offset, o.length)
+          }
+          val demuxed = WebmVideo.demuxWebm(webm)
+          val agree = demuxed.forall { fr =>
+            Av1Meta.sampleIsKeyframe(seq, java.util.Arrays.copyOfRange(
+              webm, fr.off, fr.off + fr.len)) == fr.keyframe
+          }
+          (id, codec, seq.maxWidth.toLong, seq.maxHeight.toLong,
+            demuxed.length.toLong, demuxed.count(_.keyframe).toLong, agree)
+        }
+        .toDF("doc_id", "codec", "w", "h", "n_frames", "n_key", "sync_agree")
+        .orderBy("doc_id")
+    }),
     // Compressed-audio metadata path (round 9): deterministic MPEG-1
     // Layer III CBR streams → frame-header walk → duration/rate/
     // bitrate extraction. Frame length is the closed form
@@ -9648,6 +9690,16 @@ object SparkEntry {
         |  CAST(doc_id % 113 + 12 AS BIGINT) AS h,
         |  CAST(doc_id % 7 + 2 AS BIGINT) AS n_samples,
         |  CAST((doc_id % 7 + 2 + doc_id % 3 + 1) // (doc_id % 3 + 2) AS BIGINT)
+        |    AS n_key,
+        |  true AS sync_agree
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+    "video_av1_webm" ->
+      """SELECT doc_id,
+        |  'V_AV1' AS codec,
+        |  CAST(doc_id % 151 + 24 AS BIGINT) AS w,
+        |  CAST(doc_id % 89 + 14 AS BIGINT) AS h,
+        |  CAST(doc_id % 6 + 2 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 6 + 2 + doc_id % 3 + 1) // (doc_id % 3 + 2) AS BIGINT)
         |    AS n_key,
         |  true AS sync_agree
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,

@@ -90,6 +90,23 @@ object WebmVideo {
     * by time; the fixed count keeps fixtures closed-form). */
   def muxWebm(frames: Seq[(Long, Array[Byte])], w: Int, h: Int,
       durationMs: Long, framesPerCluster: Int = 4): Array[Byte] = {
+    frames.foreach { case (_, payload) =>
+      require(payload != null && payload.length >= 3,
+        "muxWebm: VP8 payload shorter than the 3-byte frame tag")
+    }
+    muxWebmCoded(frames.map { case (pts, payload) =>
+      (pts, payload, (payload(0) & 1) == 0) // RFC 6386 §9.1 tag bit
+    }, "V_VP8", w, h, durationMs, framesPerCluster)
+  }
+
+  /** Codec-generic WebM mux: caller supplies (ptsMs, payload,
+    * keyframe) triples, the CodecID string ("V_VP8", "V_AV1", …) and
+    * an optional CodecPrivate blob (AV1 carries its sequence-header
+    * OBU there per the Matroska AV1 mapping). [[muxWebm]] is the VP8
+    * specialization that derives key flags from the frame tag. */
+  def muxWebmCoded(frames: Seq[(Long, Array[Byte], Boolean)], codecId: String,
+      w: Int, h: Int, durationMs: Long, framesPerCluster: Int = 4,
+      codecPrivate: Array[Byte] = null): Array[Byte] = {
     require(frames.nonEmpty, "muxWebm: no frames")
     require(w > 0 && h > 0 && w <= 0x3fff && h <= 0x3fff,
       s"muxWebm: bad dims ${w}x$h")
@@ -105,19 +122,19 @@ object WebmVideo {
         elem(0x73C5L, uintPayload(1)) ++ // TrackUID
         elem(0x9CL, uintPayload(0)) ++   // FlagLacing: off
         elem(0x83L, uintPayload(1)) ++   // TrackType: video
-        elem(0x86L, "V_VP8".getBytes(java.nio.charset.StandardCharsets.US_ASCII)) ++
+        elem(0x86L, codecId.getBytes(java.nio.charset.StandardCharsets.US_ASCII)) ++
+        (if (codecPrivate == null) Array.emptyByteArray
+         else elem(0x63A2L, codecPrivate)) ++ // CodecPrivate
         elem(0xE0L,
           elem(0xB0L, uintPayload(w.toLong)) ++
             elem(0xBAL, uintPayload(h.toLong)))))
     val clusters = frames.grouped(framesPerCluster).map { group =>
       val base = group.head._1
-      val blocks = group.map { case (pts, payload) =>
-        require(payload != null && payload.length >= 3,
-          "muxWebm: VP8 payload shorter than the 3-byte frame tag")
+      val blocks = group.map { case (pts, payload, key) =>
+        require(payload != null && payload.nonEmpty, "muxWebm: empty payload")
         val rel = pts - base
         require(rel >= Short.MinValue && rel <= Short.MaxValue,
           s"muxWebm: block pts $pts out of i16 range of cluster base $base")
-        val key = (payload(0) & 1) == 0
         val headBytes = Array[Byte](0x81.toByte, // track 1 vint
           ((rel >> 8) & 0xff).toByte, (rel & 0xff).toByte,
           (if (key) 0x80 else 0x00).toByte) // flags: keyframe, no lacing
@@ -127,6 +144,32 @@ object WebmVideo {
         elem(0xE7L, uintPayload(base)) ++ blocks.reduce(_ ++ _))
     }.toSeq
     ebmlHeader ++ elem(0x18538067L, info ++ tracks ++ clusters.flatten.toArray)
+  }
+
+  /** The FIRST track's CodecID string + CodecPrivate payload (null
+    * when absent) — the codec-dispatch read for WebM, the container
+    * analog of [[Mp4Meta.videoCodecInfo]]. */
+  def trackCodec(bytes: Array[Byte]): (String, Array[Byte]) = {
+    if (!EbmlMeta.isEbml(bytes)) fail("trackCodec: not an EBML payload")
+    var codec: String = null
+    var priv: Array[Byte] = null
+    EbmlMeta.walk(bytes, 0, bytes.length) { (id, p, e) =>
+      if (id == 0x18538067L) EbmlMeta.walk(bytes, p, e) { (id2, p2, e2) =>
+        if (id2 == 0x1654AE6BL) EbmlMeta.walk(bytes, p2, e2) { (id3, p3, e3) =>
+          if (id3 == 0xAEL && codec == null)
+            EbmlMeta.walk(bytes, p3, e3) { (id4, p4, e4) =>
+              id4 match {
+                case 0x86L => codec = new String(bytes, p4, e4 - p4,
+                  java.nio.charset.StandardCharsets.US_ASCII)
+                case 0x63A2L => priv = java.util.Arrays.copyOfRange(bytes, p4, e4)
+                case _ => ()
+              }
+            }
+        }
+      }
+    }
+    if (codec == null) fail("trackCodec: no CodecID in any TrackEntry")
+    (codec, priv)
   }
 
   /** Demux a WebM/Matroska payload into its frames (all tracks; the

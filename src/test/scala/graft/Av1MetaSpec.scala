@@ -98,6 +98,43 @@ class Av1MetaSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Av1Meta.parseAv1C(cbBytes, 0, 2))
   }
 
+  test("AV1-in-WebM: V_AV1 CodecID, sequence header in CodecPrivate, block flags agree") {
+    import graft.operators.WebmVideo
+    val n = 7
+    val ki = 3
+    val seqObu = {
+      val s = Av1Meta.writeStream(100, 62, 1, 1, seed = 1L, levelIdx = 12)
+      val o = Av1Meta.obus(s).find(_.obuType == Av1Meta.ObuSequenceHeader).get
+      // CodecPrivate carries the WHOLE OBU (header + payload)
+      java.util.Arrays.copyOfRange(s, o.offset - 2, o.offset + o.length)
+    }
+    val frames = (0 until n).map { f =>
+      val key = f % ki == 0
+      (f * 33L, Av1Meta.writeSample(key, 50L + f), key)
+    }
+    val webm = WebmVideo.muxWebmCoded(frames, "V_AV1", 100, 62, n * 33L,
+      codecPrivate = seqObu)
+    val (codec, priv) = WebmVideo.trackCodec(webm)
+    assert(codec == "V_AV1" && priv != null)
+    val seq = {
+      val o = Av1Meta.obus(priv).find(_.obuType == Av1Meta.ObuSequenceHeader).get
+      Av1Meta.parseSequenceHeader(priv, o.offset, o.length)
+    }
+    assert(seq.maxWidth == 100 && seq.maxHeight == 62 && seq.levelIdx == 12)
+    val demuxed = WebmVideo.demuxWebm(webm)
+    assert(demuxed.length == n)
+    demuxed.zipWithIndex.foreach { case (fr, i) =>
+      val payload = java.util.Arrays.copyOfRange(webm, fr.off, fr.off + fr.len)
+      assert(Av1Meta.sampleIsKeyframe(seq, payload) == fr.keyframe,
+        s"frame $i: container flag vs frame_type")
+      assert(fr.keyframe == (i % ki == 0))
+    }
+    // the VP8 mux path still works through the generic form
+    val vp8 = WebmVideo.trackCodec(WebmVideo.muxWebm(
+      Seq((0L, graft.operators.Vp8Codec.encodeLossy(7L, 32, 16))), 32, 16, 33L))
+    assert(vp8._1 == "V_VP8" && vp8._2 == null)
+  }
+
   test("census agrees with libaom on keyframes, frames and geometry") {
     assume(oracleAvailable, "libaom/oracle script not present")
     for ((res, ki, nf) <- Seq(("100x62", 4, 9), ("64x48", 3, 8), ("320x130", 25, 5))) {
