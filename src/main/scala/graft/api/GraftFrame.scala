@@ -794,6 +794,12 @@ object GraftFrame {
       keys: Seq[Long]): GraftFrame =
     new GraftFrame(graft.sources.ParquetBloom.probeCensus(spark, dir, column, keys))
 
+  /** Bloom probe over BYTE_ARRAY/UTF8 key columns (string join keys —
+    * ids, urls, hashes). */
+  def bloom_probe_str(spark: SparkSession, dir: String, column: String,
+      keys: Seq[String]): GraftFrame =
+    new GraftFrame(graft.sources.ParquetBloom.probeCensusBinary(spark, dir, column, keys))
+
   /** Hand-written data-page scan of two flat columns (the repo's own
     * page walk and decompressors — no parquet-mr). Both page versions
     * decode, incl. the DELTA encoding family, boolean RLE,
@@ -832,8 +838,10 @@ object GraftFrame {
   * footer — one file per partition. See
   * [[graft.sources.ParquetWriter]]. */
 trait GraftHandSink { self: GraftFrame =>
-  def to_parquet_hand(dir: String, codec: Int = 0, pageRows: Int = 20000): Int =
-    graft.sources.ParquetWriter.writeDir(self.df, dir, codec, pageRows)
+  def to_parquet_hand(dir: String, codec: Int = 0, pageRows: Int = 20000,
+      dictStrings: Boolean = true, bloomColumns: Set[String] = Set.empty): Int =
+    graft.sources.ParquetWriter.writeDir(self.df, dir, codec, pageRows,
+      dictStrings, bloomColumns)
 }
 
 /** Grouped-aggregation surface — `df.groupby(keys).agg(...)`.

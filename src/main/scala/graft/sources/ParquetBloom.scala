@@ -236,6 +236,41 @@ object ParquetBloom {
     StructField("key", LongType, nullable = false),
     StructField("might_contain", BooleanType, nullable = false)))
 
+  private val probeStrRowSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("might_contain", BooleanType, nullable = false)))
+
+  /** [[probeCensus]] for BYTE_ARRAY/UTF8 key columns — string join
+    * keys are the common 100 TB case (ids, urls, hashes). Hashing is
+    * the raw UTF-8 bytes per the spec; the walk and semantics match
+    * the integer form (OR over row groups, absent filter ⇒ true). */
+  def probeCensusBinary(spark: SparkSession, dir: String, columnPath: String,
+      keys: Seq[String]): DataFrame = {
+    val files = ParquetFooter.listDataFiles(spark, dir)
+    val parts = math.max(1, math.min(files.size, spark.sparkContext.defaultParallelism))
+    val keyBytes = keys.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+    val keyArr = keys.toArray
+    val rows = spark.sparkContext.parallelize(files, parts).flatMap { case (path, len) =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fm = ParquetFooter.readFooter(conf, path, len)
+      val perRg = fm.rowGroups.flatMap { rg =>
+        rg.columns.find(_.meta.exists(_.path == columnPath)).toSeq.map { cc =>
+          val meta = cc.meta.get
+          require(meta.typ == 6,
+            s"probeCensusBinary probes BYTE_ARRAY keys, column is ${ParquetFooter.TypeNames(meta.typ)}")
+          val bloom = readBloomFilter(conf, path, meta, meta.bloomFilterOffset)
+          keyBytes.map(k => bloom.forall(_.mightContain(hashBinary(k))))
+        }
+      }
+      if (perRg.isEmpty) Seq.empty[Row]
+      else keyArr.indices.map { i =>
+        Row(path, keyArr(i), perRg.exists(_(i)))
+      }
+    }
+    spark.createDataFrame(rows, probeStrRowSchema)
+  }
+
   /** Probe every file's Bloom filter of integer column `columnPath` for
     * each key: the file-skip decision of a point-lookup or join probe.
     * Files lacking a filter answer `true` (conservative keep). Same

@@ -432,6 +432,31 @@ class ParquetWriterSpec extends SparkSpec {
       "present keys should hit ~one file each")
   }
 
+  test("probeCensusBinary: string-key probes over hand-written filters") {
+    val out = tmpDir("pqw_bloom_str")
+    // 3 files with disjoint string-id prefixes (the url/id-lookup shape)
+    val df = spark.range(9000).selectExpr(
+      "concat('id', CAST(id div 3000 AS INT), '_', id) AS k", "id AS v")
+      .repartitionByRange(3, col("k"))
+    ParquetWriter.writeDir(df, out, codec = 1, bloomColumns = Set("k"))
+    val present = Seq("id0_5", "id1_4000", "id2_8999")
+    val absent = Seq("id0_9001", "idX_1", "nope", "id1_20000")
+    val rows = graft.sources.ParquetBloom
+      .probeCensusBinary(spark, out, "k", present ++ absent).collect()
+    assert(rows.length == 7 * 3)
+    present.foreach { k =>
+      assert(rows.exists(r => r.getString(1) == k && r.getBoolean(2)), s"lost $k")
+    }
+    val absentProbes = rows.filter(r => absent.contains(r.getString(1)))
+    assert(absentProbes.count(_.getBoolean(2)) <= absentProbes.length / 4)
+    // probing a LONG column through the binary form fails loudly
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.sources.ParquetBloom.probeCensusBinary(spark, out, "v", Seq("x")).collect()
+    }
+    assert(ex.getMessage.contains("BYTE_ARRAY") ||
+      Option(ex.getCause).exists(_.getMessage.contains("BYTE_ARRAY")))
+  }
+
   test("bloom contract: unsupported column types fail loudly") {
     val spec = ParquetWriter.ColSpec("d", 5, optional = false)
     intercept[IllegalArgumentException] {
