@@ -3697,6 +3697,56 @@ object SparkEntry {
         .toDF("doc_id", "codec", "w", "h", "n_frames", "n_key", "sync_agree")
         .orderBy("doc_id")
     }),
+    // Unified video-codec dispatch (round 19): ONE call over a mixed
+    // corpus of MP4-HEVC / MP4-AV1 / WebM-AV1 / WebM-VP8 payloads —
+    // container sniff, sample-entry / CodecID codec, config-record
+    // geometry+profile+level — the decision a mixed-crawl curation
+    // pass makes before touching sample bytes. Oracle replays every
+    // column from the id-derived shape.
+    "video_codec_dispatch" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Av1Meta, HevcMeta, Mp4Meta, Multimodal, WebmVideo}
+      val media = tbl(s, dir, "documents").where(col("doc_id") < 240)
+        .select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes = (id % 4) match {
+            case 0 => // MP4 + HEVC
+              val w = (id % 7 + 1).toInt * 16
+              val h = (id % 5 + 1).toInt * 16
+              Mp4Meta.encodeHevc(Seq(HevcMeta.writeSample(keyframe = true, id)),
+                Seq(1), HevcMeta.writeHvcC(w, h), w, h)
+            case 1 => // MP4 + AV1
+              val w = (id % 131 + 17).toInt
+              val h = (id % 71 + 11).toInt
+              Mp4Meta.encodeAv1(Seq(Av1Meta.writeSample(keyframe = true, id)),
+                Seq(1), Av1Meta.writeAv1C(w, h), w, h)
+            case 2 => // WebM + AV1 (sequence header in CodecPrivate)
+              val w = (id % 131 + 17).toInt
+              val h = (id % 71 + 11).toInt
+              val ss = Av1Meta.writeStream(w, h, 1, 1, seed = id)
+              val so = Av1Meta.obus(ss)
+                .find(_.obuType == Av1Meta.ObuSequenceHeader).get
+              WebmVideo.muxWebmCoded(
+                Seq((0L, Av1Meta.writeSample(keyframe = true, id), true)),
+                "V_AV1", w, h, 33L,
+                codecPrivate = java.util.Arrays.copyOfRange(ss,
+                  so.offset - 2, so.offset + so.length))
+            case _ => // WebM + VP8 (no config record: dims from Tracks)
+              val w = (id % 6 + 2).toInt * 16
+              WebmVideo.muxWebm(
+                Seq((0L, graft.operators.Vp8Codec.encodeLossy(id, w, 16))),
+                w, 16, 33L)
+          }
+          (id, bytes)
+        }).toDF("media_id", "data")
+      Multimodal.extractVideoCodec(media).toDF()
+        .select(col("mediaId").as("doc_id"), col("container"), col("codec"),
+          col("width").cast("long").as("w"), col("height").cast("long").as("h"),
+          col("profile").cast("long").as("profile"),
+          col("level").cast("long").as("level"),
+          col("bitDepth").cast("long").as("bit_depth"))
+        .orderBy("doc_id")
+    }),
     // Compressed-audio metadata path (round 9): deterministic MPEG-1
     // Layer III CBR streams → frame-header walk → duration/rate/
     // bitrate extraction. Frame length is the closed form
@@ -9703,6 +9753,25 @@ object SparkEntry {
         |    AS n_key,
         |  true AS sync_agree
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+    "video_codec_dispatch" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 IN (0, 1) THEN 'mp4' ELSE 'webm' END AS container,
+        |  CASE doc_id % 4 WHEN 0 THEN 'hvc1' WHEN 1 THEN 'av01'
+        |       WHEN 2 THEN 'V_AV1' ELSE 'V_VP8' END AS codec,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 0 THEN (doc_id % 7 + 1) * 16
+        |    WHEN 3 THEN (doc_id % 6 + 2) * 16
+        |    ELSE doc_id % 131 + 17 END AS BIGINT) AS w,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 0 THEN (doc_id % 5 + 1) * 16
+        |    WHEN 3 THEN 16
+        |    ELSE doc_id % 71 + 11 END AS BIGINT) AS h,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 3 THEN -1
+        |       ELSE 0 END AS BIGINT) AS profile,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 93 WHEN 3 THEN -1
+        |       ELSE 8 END AS BIGINT) AS level,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 8 END AS BIGINT) AS bit_depth
+        |FROM documents WHERE doc_id < 240 ORDER BY doc_id""".stripMargin,
     "multimodal_audio_meta_all" ->
       """WITH spec AS (
         |  SELECT doc_id,

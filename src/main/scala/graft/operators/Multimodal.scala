@@ -558,6 +558,68 @@ object Multimodal {
       .toDF("media_id", "data")
   }
 
+  /** Per-payload video CODEC dispatch — container, sample-entry codec
+    * and config-record geometry/profile/level/bit-depth for MP4
+    * (hvc1/hvcC, av01/av1C) and WebM (CodecID + the AV1 CodecPrivate
+    * sequence header): the decision a mixed-crawl curation pass makes
+    * BEFORE touching a single sample byte. Unknown containers or
+    * codecs come back "unknown"/zeroed; structurally corrupt config
+    * records fail loudly (image-codec policy). */
+  final case class VideoCodecFeatures(
+      mediaId: Long, byteLen: Long, container: String, codec: String,
+      width: Int, height: Int, profile: Int, level: Int, bitDepth: Int)
+
+  def extractVideoCodec(media: DataFrame): Dataset[VideoCodecFeatures] = {
+    implicit val enc = Encoders.product[VideoCodecFeatures]
+    media.select(col("media_id"), col("data")).mapPartitions { it: Iterator[Row] =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val blen = if (bytes == null) 0L else bytes.length.toLong
+        def unknown(container: String) =
+          VideoCodecFeatures(id, blen, container, "unknown", 0, 0, -1, -1, 0)
+        if (bytes == null) unknown("unknown")
+        else if (Mp4Meta.isMp4(bytes)) {
+          val info = Mp4Meta.videoCodecInfo(bytes)
+          if (info == null) unknown("mp4")
+          else info.configBox match {
+            case Some(("hvcC", cb)) =>
+              val rec = HevcMeta.parseHvcC(cb, 0, cb.length)
+              val sps = rec.sps
+              VideoCodecFeatures(id, blen, "mp4", info.codec,
+                sps.map(_.width).getOrElse(0), sps.map(_.height).getOrElse(0),
+                rec.profileIdc, rec.levelIdc, rec.bitDepthLuma)
+            case Some(("av1C", cb)) =>
+              val rec = Av1Meta.parseAv1C(cb, 0, cb.length)
+              val sh = rec.sequenceHeader
+              VideoCodecFeatures(id, blen, "mp4", info.codec,
+                sh.map(_.maxWidth).getOrElse(0), sh.map(_.maxHeight).getOrElse(0),
+                rec.profile, rec.levelIdx, rec.bitDepth)
+            case _ =>
+              VideoCodecFeatures(id, blen, "mp4", info.codec, 0, 0, -1, -1, 0)
+          }
+        } else if (EbmlMeta.isEbml(bytes)) {
+          val (codecId, priv) = WebmVideo.trackCodec(bytes)
+          val av1Seq =
+            if (codecId == "V_AV1" && priv != null)
+              Av1Meta.obus(priv).find(_.obuType == Av1Meta.ObuSequenceHeader)
+                .map(o => Av1Meta.parseSequenceHeader(priv, o.offset, o.length))
+            else None
+          av1Seq match {
+            case Some(sh) =>
+              VideoCodecFeatures(id, blen, "webm", codecId, sh.maxWidth,
+                sh.maxHeight, sh.profile, sh.levelIdx, sh.bitDepth)
+            case None =>
+              val wm = EbmlMeta.parse(bytes)
+              VideoCodecFeatures(id, blen, "webm", codecId,
+                if (wm == null) 0 else wm.width,
+                if (wm == null) 0 else wm.height, -1, -1, 0)
+          }
+        } else unknown("unknown")
+      }
+    }
+  }
+
   /** Batched video-metadata extraction over (media_id, data) — the box
     * walk runs row-locally; payloads never shuffle. */
   def extractVideoMeta(media: DataFrame): Dataset[VideoFeatures] = {
