@@ -24,6 +24,18 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE coalescing floor (r19 optimization): AQE costs a partition by
+      // its BYTES, but this engine's hot stages are CPU-dense per byte —
+      // minhash banding, n-gram explodes, codec encodes — where 1 MB of
+      // text is seconds of CPU. The default 1 MB minPartitionSize
+      // collapses any shuffle under ~cores·1MB to a handful of tasks, so
+      // a CPU-dense reduce stage serializes on one core exactly when the
+      // data is small relative to the machine. 64 KB keeps such stages
+      // parallel; at production scale (partitions >> 1 MB after the
+      // parallelism-first target) the floor never binds, so this is not a
+      // local-mode tune. Env-overridable for A/B and cluster profiles.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
       // graft's native expressions as SQL functions (cosine_similarity,
       // minhash_signature, simhash64, word_ngrams, product_agg)
       .config("spark.sql.extensions", "graft.GraftExtensions")

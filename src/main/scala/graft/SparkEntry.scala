@@ -28,6 +28,32 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a CPU-dense input out to the cluster's parallelism (r19
+    * optimization). The gate fixtures are single-row-group parquet
+    * files — one scan task no matter the core count — so per-row
+    * codec/minhash/n-gram work downstream of the scan serializes on one
+    * core: exactly the guide's "input skew: one huge unsplittable file →
+    * repartition immediately after the read". Width is
+    * `defaultParallelism` (scale-adaptive, never a constant); the
+    * round-robin exchange moves only the slim projected input once,
+    * before the expensive per-row stage. Applied AFTER any pushable
+    * filter so PushedFilters still reach the scan. Only row-invariant
+    * per-doc work follows a fan (results are provably partitioning-
+    * independent; double-typed aggregates stay rounded per the file
+    * header conventions). */
+  private def fan(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Scale-adaptive shard count for the blob-building gates (r19
+    * optimization, guide §2.5): 4× the core count so the group-key
+    * hash spreads over every post-shuffle partition instead of pinning
+    * the encode stage to 16 tasks on any machine wider than 16 cores.
+    * Blobs hold per-doc members concatenated in doc_id order and every
+    * consumer re-splits them per doc, so the gate output is invariant
+    * to the group count; only the stage parallelism changes. */
+  private def blobGroups(s: SparkSession): Int =
+    4 * s.sparkContext.defaultParallelism
+
   /** zipf(s=1, N=8) key from a 16-bit row hash via integer inverse-CDF
     * thresholds (cum(1/k)/H₈ · 65536, rounded) — pure integer
     * comparisons, so Spark and the SQL oracle can never disagree on a
@@ -1137,10 +1163,12 @@ object SparkEntry {
       val out = s"/root/repo/target/tmp/graft_footer_${dir.hashCode.toHexString}"
       val src = li(s, dir).select("l_orderkey", "l_quantity")
       val m1 = src.agg(max("l_orderkey")).head.getLong(0) + 1 // boundary discovery
-      (0L until 4L).foreach { b =>
-        src.where(expr(s"(l_orderkey * 4) div $m1") === b)
-          .coalesce(1).write.mode("overwrite").parquet(s"$out/b=$b")
-      }
+      // one partitionBy job (r19): the 4 buckets write in parallel; each
+      // bucket's rows hash to one task, so it still comes out 1 file per
+      // bucket with identical per-file footers
+      src.withColumn("b", expr(s"(l_orderkey * 4) div $m1"))
+        .repartition(col("b"))
+        .write.mode("overwrite").partitionBy("b").parquet(out)
       ParquetFooter.columnStats(s, out)
         .where(col("column_path") === "l_orderkey")
         .withColumn("bucket", regexp_extract(col("file"), "/b=(\\d+)/", 1).cast("long"))
@@ -1162,10 +1190,9 @@ object SparkEntry {
       val out = s"/root/repo/target/tmp/graft_footer_${dir.hashCode.toHexString}"
       val src = li(s, dir).select("l_orderkey", "l_quantity")
       val m1 = src.agg(max("l_orderkey")).head.getLong(0) + 1
-      (0L until 4L).foreach { b =>
-        src.where(expr(s"(l_orderkey * 4) div $m1") === b)
-          .coalesce(1).write.mode("overwrite").parquet(s"$out/b=$b")
-      }
+      src.withColumn("b", expr(s"(l_orderkey * 4) div $m1"))
+        .repartition(col("b"))
+        .write.mode("overwrite").partitionBy("b").parquet(out)
       val lo = 3 * m1 / 10; val hi = 9 * m1 / 20
       ParquetFooter.pruneCensus(s, out, "l_orderkey", lo, hi)
         .withColumn("bucket", regexp_extract(col("file"), "/b=(\\d+)/", 1).cast("long"))
@@ -1214,17 +1241,16 @@ object SparkEntry {
       val out = s"/root/repo/target/tmp/graft_bloom_${dir.hashCode.toHexString}"
       val src = li(s, dir).select("l_orderkey")
       val m1 = src.agg(max("l_orderkey")).head.getLong(0) + 1
-      (0L until 4L).foreach { b =>
-        src.where(expr(s"(l_orderkey * 4) div $m1") === b)
-          .coalesce(1).write.mode("overwrite")
-          .option("parquet.bloom.filter.enabled#l_orderkey", "true")
-          .option("parquet.bloom.filter.expected.ndv#l_orderkey", "20000")
-          // a fully dictionary-encoded chunk makes parquet-mr drop the
-          // bloom (the dictionary already answers membership exactly);
-          // force plain encoding so the filter exists at every sf
-          .option("parquet.enable.dictionary", "false")
-          .parquet(s"$out/b=$b")
-      }
+      src.withColumn("b", expr(s"(l_orderkey * 4) div $m1"))
+        .repartition(col("b"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey", "20000")
+        // a fully dictionary-encoded chunk makes parquet-mr drop the
+        // bloom (the dictionary already answers membership exactly);
+        // force plain encoding so the filter exists at every sf
+        .option("parquet.enable.dictionary", "false")
+        .partitionBy("b").parquet(out)
       val present = src.where(col("l_orderkey") % 977 === 0).distinct()
         .orderBy("l_orderkey").collect().map(_.getLong(0)).toSeq
       val absent = (0 until 64).map(i => m1 + 1 + i)
@@ -1430,7 +1456,11 @@ object SparkEntry {
           |     WHEN l_linenumber % 4 = 0 THEN array()
           |     ELSE sequence(CAST(1 AS BIGINT), l_linenumber % 4)
           |END AS xs""".stripMargin)
-      graft.sources.ParquetWriter.writeDir(src.repartition(4), out,
+      // core-count writer tasks (r19): the output aggregates only data
+      // content, so the file count is free to follow the parallelism
+      // (parquet_hand_write_dict keeps 4 — its n_chunks counts files)
+      graft.sources.ParquetWriter.writeDir(
+        src.repartition(s.sparkContext.defaultParallelism), out,
         codec = 1, pageRows = 4096)
       s.read.parquet(out).agg(
         count(lit(1)).as("n_rows"),
@@ -1485,7 +1515,10 @@ object SparkEntry {
           |              'line', CAST(l_linenumber AS BIGINT),
           |              concat('f', l_returnflag), CAST(NULL AS BIGINT))
           |END AS m""".stripMargin)
-      graft.sources.ParquetWriter.writeDir(src.repartition(4), out,
+      // core-count writer tasks (r19): content-only aggregates, see
+      // parquet_hand_write
+      graft.sources.ParquetWriter.writeDir(
+        src.repartition(s.sparkContext.defaultParallelism), out,
         codec = 1, pageRows = 4096)
       s.read.parquet(out).agg(
         count(lit(1)).as("n_rows"),
@@ -1603,7 +1636,7 @@ object SparkEntry {
     // ONE percentile agg with an array of percentages — two separate
     // percentile(...) calls would each buffer the full column.
     "quantiles" -> ((s, dir) =>
-      li(s, dir)
+      fan(li(s, dir).select("l_extendedprice"))
         .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ps"))
         .select(
           round(element_at(col("ps"), 1), 4).as("p50"),
@@ -4633,7 +4666,7 @@ object SparkEntry {
     // exactly) and the LZ77 + fixed-Huffman compressor (the ok bit
     // proves decode(encode(x)) == x byte-compared on every row).
     "web_gzip_roundtrip" -> ((s, dir) =>
-      WebArchive.gzipRoundTrip(tbl(s, dir, "documents"))
+      WebArchive.gzipRoundTrip(fan(tbl(s, dir, "documents")))
         .agg(
           count(lit(1)).as("n"),
           sum("n_bytes").as("total_bytes"),
@@ -4646,9 +4679,14 @@ object SparkEntry {
     // encoder bit error anywhere (package-merge lengths, canonical
     // codes, code-length RLE, header fields) flips the hash. Row-local,
     // zero shuffle — the crawl re-compaction encode path.
+    // (r19 optimization: the %7 slice moved BEFORE the census — the
+    // census is an opaque typed map, so a post-map filter can't push
+    // through it and 6/7 of the best-of-three encodes were thrown
+    // away; doc_id passes through 1:1 so the output is unchanged, and
+    // the input fans out to the core count.)
     "web_gzip_dynamic" -> ((s, dir) =>
-      WebArchive.gzipAutoCensus(tbl(s, dir, "documents"))
-        .where(col("doc_id") % 7 === 0)
+      WebArchive.gzipAutoCensus(fan(tbl(s, dir, "documents")
+          .where(col("doc_id") % 7 === 0)))
         .orderBy("doc_id")),
     // Full RFC 7932 COMPRESSOR per document (round-17 VERDICT item 3 —
     // the write-side mirror of the completed decoder): md5 of
@@ -4656,7 +4694,7 @@ object SparkEntry {
     // text; any LZ77/prefix-code/command-cell/distance-ring bit error
     // flips the hash. Row-local, zero shuffle.
     "web_brotli_roundtrip" -> ((s, dir) =>
-      WebArchive.brotliEncodeCensus(tbl(s, dir, "documents"))
+      WebArchive.brotliEncodeCensus(fan(tbl(s, dir, "documents")))
         .select(col("doc_id"), col("n_bytes"), col("md5_roundtrip"))
         .orderBy("doc_id")),
     // Common-Crawl-shaped ingest, full stack: per doc build
@@ -4668,7 +4706,7 @@ object SparkEntry {
     // (content lengths incl. the header-size arithmetic, extracted
     // text via the same entity/whitespace spec).
     "web_warc_ingest" -> ((s, dir) => {
-      val blobs = WebArchive.warcGzipBuild(tbl(s, dir, "documents"), groups = 16)
+      val blobs = WebArchive.warcGzipBuild(tbl(s, dir, "documents"), groups = blobGroups(s))
       WebArchive.warcIngest(blobs)
         .select(col("doc_id"), col("status"), col("content_length"),
           col("body_len"), col("txt"))
@@ -4701,7 +4739,7 @@ object SparkEntry {
     // back without the HTTP/HTML layer. Oracle replays text and its
     // UTF-8 byte length.
     "web_wet_ingest" -> ((s, dir) => {
-      val blobs = WebArchive.wetBuild(tbl(s, dir, "documents"), groups = 16)
+      val blobs = WebArchive.wetBuild(tbl(s, dir, "documents"), groups = blobGroups(s))
       WebArchive.wetIngest(blobs)
         .select(col("doc_id"), col("n_bytes"), col("txt"))
         .orderBy("doc_id")
@@ -4712,7 +4750,7 @@ object SparkEntry {
     // path. Oracle replays title, link count and the modular first
     // outlink.
     "web_wat_ingest" -> ((s, dir) => {
-      val blobs = WebArchive.watBuild(tbl(s, dir, "documents"), groups = 16)
+      val blobs = WebArchive.watBuild(tbl(s, dir, "documents"), groups = blobGroups(s))
       WebArchive.watIngest(blobs)
         .select(col("doc_id"), col("title"), col("n_links"), col("first_link"))
         .orderBy("doc_id")
@@ -4735,7 +4773,7 @@ object SparkEntry {
     // the extracted text; any body reaching the HTML extractor
     // undecoded destroys it.
     "web_warc_encoded" -> ((s, dir) => {
-      val blobs = WebArchive.warcEncodedBuild(tbl(s, dir, "documents"), groups = 16)
+      val blobs = WebArchive.warcEncodedBuild(tbl(s, dir, "documents"), groups = blobGroups(s))
       WebArchive.warcIngest(blobs)
         .select(col("doc_id"), col("status"), col("txt"))
         .orderBy("doc_id")
@@ -4750,7 +4788,7 @@ object SparkEntry {
     // replay as web_warc_encoded.
     "web_warc_brotli" -> ((s, dir) => {
       val blobs = WebArchive.warcEncodedBuild(tbl(s, dir, "documents"),
-        groups = 16, withBrotli = true)
+        groups = blobGroups(s), withBrotli = true)
       WebArchive.warcIngest(blobs)
         .select(col("doc_id"), col("status"), col("txt"))
         .orderBy("doc_id")
@@ -4760,7 +4798,7 @@ object SparkEntry {
     // pipeline hand-off: extraction output feeds the existing text
     // operators unchanged.
     "web_crawl_pipeline" -> ((s, dir) => {
-      val blobs = WebArchive.warcGzipBuild(tbl(s, dir, "documents"), groups = 16)
+      val blobs = WebArchive.warcGzipBuild(tbl(s, dir, "documents"), groups = blobGroups(s))
       WebArchive.warcIngest(blobs)
         .select(col("doc_id"), TextOps.tokenCount(col("txt")).cast("long").as("n_tok"))
         .where(col("n_tok") >= 20)
@@ -5566,7 +5604,8 @@ object SparkEntry {
     // here would range-SAMPLE the plan — executing the whole
     // build+ingest pipeline twice for presentation only)
     "wiki_dump_ingest" -> ((s, dir) => {
-      val shards = WikiDump.multistreamBuild(tbl(s, dir, "documents"), shards = 64)
+      val shards = WikiDump.multistreamBuild(tbl(s, dir, "documents"),
+        shards = blobGroups(s))
       WikiDump.multistreamIngest(shards)
     }),
     // Same ingest through the REAL dump shape: ONE monolithic
@@ -5593,7 +5632,7 @@ object SparkEntry {
     "decompress_auto" -> ((s, dir) => {
       import s.implicits._
       import java.nio.charset.StandardCharsets.UTF_8
-      tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+      fan(tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text")))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val raw = text.getBytes(UTF_8)
@@ -5637,7 +5676,7 @@ object SparkEntry {
     "zstd_roundtrip" -> ((s, dir) => {
       import s.implicits._
       import java.nio.charset.StandardCharsets.UTF_8
-      tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+      fan(tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text")))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val raw = text.getBytes(UTF_8)
@@ -5657,7 +5696,7 @@ object SparkEntry {
     "snappy_roundtrip" -> ((s, dir) => {
       import s.implicits._
       import java.nio.charset.StandardCharsets.UTF_8
-      tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+      fan(tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text")))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           val raw = text.getBytes(UTF_8)
@@ -5700,7 +5739,7 @@ object SparkEntry {
     "bz2_roundtrip" -> ((s, dir) => {
       import s.implicits._
       import java.nio.charset.StandardCharsets.UTF_8
-      tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+      fan(tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text")))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
           (id, new String(Bzip2.decode(Bzip2.encode(text.getBytes(UTF_8))), UTF_8))
@@ -5716,7 +5755,7 @@ object SparkEntry {
     "webdataset_roundtrip" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang").as("meta"))
-      val shards = TarCodec.webdatasetBuild(docs, shards = 16)
+      val shards = TarCodec.webdatasetBuild(docs, shards = blobGroups(s))
       TarCodec.webdatasetIngest(shards).orderBy("doc_id")
     }),
     // Avro OCF round-trip: per group one container file (deflate
@@ -5730,9 +5769,10 @@ object SparkEntry {
       val schema = AvroCodec.AvRecord("Doc", Vector(
         AvroCodec.AvField("id", AvroCodec.ALong),
         AvroCodec.AvField("text", AvroCodec.AString)))
+      val groups = blobGroups(s) // hoisted: the key fn runs on executors
       tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)]
-        .groupByKey(_._1 % 16)
+        .groupByKey(_._1 % groups)
         .mapGroups { (_, it) =>
           AvroCodec.encode(schema,
             it.toSeq.sortBy(_._1).map { case (id, t) => Seq[Any](id, t) },
@@ -5752,9 +5792,10 @@ object SparkEntry {
     "zip_roundtrip" -> ((s, dir) => {
       import s.implicits._
       import java.nio.charset.StandardCharsets.UTF_8
+      val groups = blobGroups(s) // hoisted: the key fn runs on executors
       tbl(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)]
-        .groupByKey(_._1 % 16)
+        .groupByKey(_._1 % groups)
         .mapGroups { (_, it) =>
           ZipCodec.encode(it.toSeq.sortBy(_._1).map { case (id, text) =>
             ZipCodec.Entry(s"$id.txt", text.getBytes(UTF_8))
