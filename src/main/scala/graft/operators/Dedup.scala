@@ -501,7 +501,17 @@ object Dedup {
     val base = pairBase(pairs)
     val idType = base.schema("u").dataType
     val integral = idType == LongType || idType == IntegerType
-    if (!integral || smallGraphBound <= 0L || base.count() > smallGraphBound)
+    if (!integral || smallGraphBound <= 0L)
+      return contractPrepared(base, maxIters)._1
+    // ONE bounded collect instead of count-then-collect (r19: two full
+    // jobs over the checkpointed pair table → one): pull at most
+    // bound+1 rows; more than `bound` rows means the graph is big —
+    // fall through to the distributed contraction, which re-reads the
+    // checkpoint blocks, not the pair pipeline.
+    val probeRows = base
+      .limit(math.min(smallGraphBound, Int.MaxValue - 1L).toInt + 1)
+      .collect()
+    if (probeRows.length > smallGraphBound)
       return contractPrepared(base, maxIters)._1
     // driver union-find, min-rooted so every root IS the component min
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -512,7 +522,7 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    base.collect().foreach { row =>
+    probeRows.foreach { row =>
       val u = if (idType == LongType) row.getLong(0) else row.getInt(0).toLong
       val v = if (idType == LongType) row.getLong(1) else row.getInt(1).toLong
       parent.getOrElseUpdate(u, u)

@@ -199,6 +199,25 @@ class DedupSpec extends SparkSpec {
     assert(viaInt == Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 7))
   }
 
+  test("small-graph bound dispatch: exactly-at-bound stays on the " +
+      "driver path, bound+1 falls to distributed, results identical") {
+    // r19: the path choice is a single bounded collect (limit bound+1),
+    // not count-then-collect — pin both sides of the boundary.
+    // 9 distinct undirected pairs after canonicalization: chain 1..10
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val expected = (1L to 10L).map(i => (i, 1L)).toSet
+    // bound = 9: exactly at the bound → driver union-find
+    val atBound = Dedup.duplicateClusters(chain, maxIters = 20,
+      smallGraphBound = 9L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atBound == expected)
+    // bound = 8: one over → distributed star contraction, same answer
+    val overBound = Dedup.duplicateClusters(chain, maxIters = 20,
+      smallGraphBound = 8L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(overBound == expected)
+  }
+
   test("exactByHashById keeps the min-id row per distinct text") {
     val d = Seq(
       (1L, "aaa", "x"), (2L, "aaa", "y"), (3L, "bbb", "z"),
