@@ -198,20 +198,204 @@ object Bpe {
     docs.select(explode(tok(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
+  // ---- driver-local small-vocabulary dispatch (r20 optimization) ----
+  //
+  // Every trainer's distributed rounds aggregate the WORD table, never
+  // the corpus — so when that table is model-sized the rounds are pure
+  // per-job fixed cost (scheduling + AQE + codegen, ~0.15 s each at any
+  // data size). The dispatch below collects a bounded word table ONCE
+  // and replays the identical algorithm on the driver: counts are
+  // exact long sums (order-free), the argmax tie-break is a total
+  // order replicated byte-for-byte (UTF-8 comparison, matching Spark's
+  // UTF8String ordering), and the merge rule is the same applyMerge —
+  // bit-identical output, pinned by BpeSpec parity tests. Above the
+  // bound (real production vocabularies) the distributed path runs
+  // unchanged; the probe costs one bounded read of checkpoint blocks.
+
+  /** Distinct-word count at or below which training runs on the
+    * driver. 2^17 words ≈ a few MB of driver state — model-sized,
+    * like any collected centroid table or merge list. */
+  val SmallWordTableBound: Int = 1 << 17
+
+  /** Spark's string ordering is UTF8String's unsigned byte-wise UTF-8
+    * comparison; Java's String.compareTo orders by UTF-16 code unit
+    * and disagrees on supplementary characters. The driver tie-break
+    * must compare encoded bytes to replicate the distributed
+    * `orderBy(string.asc)` exactly. */
+  private[operators] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Candidate order of the trainers: count desc, then the pair's
+    * `"left right"` form ascending in UTF-8 byte order. */
+  private def pairBefore(aCnt: Long, aL: String, aR: String,
+      bCnt: Long, bL: String, bR: String): Boolean =
+    if (aCnt != bCnt) aCnt > bCnt
+    else utf8Compare(aL + " " + aR, bL + " " + bR) < 0
+
+  /** The (word, freq) table for training: ONE localCheckpoint job (the
+    * same materialization every trainer already pays) plus one bounded
+    * read of the local blocks. Small tables come back Right for the
+    * driver-local rounds; big ones keep the checkpointed Dataset so
+    * the distributed path never recomputes the corpus aggregation. */
+  private[operators] def wordTableOrLocal(docs: DataFrame, textCol: String,
+      tok: Column => Column, bound: Int)
+      : Either[Dataset[(String, Long)], Array[(String, Long)]] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = wordFreqs(docs, textCol, tok).as[(String, Long)].localCheckpoint()
+    if (bound <= 0) return Left(wf)
+    val probe = wf.limit(bound + 1).collect()
+    if (probe.length <= bound) { wf.unpersist(blocking = false); Right(probe) }
+    else Left(wf)
+  }
+
+  /** Exact pair counts over a local word table — the driver mirror of
+    * the trainers' `flatMap(adjacent pairs) → groupBy → sum(freq)`
+    * (long sums, order-free). */
+  private def localPairCounts(words: Array[(Array[String], Long)])
+      : scala.collection.mutable.HashMap[(String, String), Long] = {
+    val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    var wi = 0
+    while (wi < words.length) {
+      val syms = words(wi)._1
+      val f = words(wi)._2
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        m.update(k, m.getOrElse(k, 0L) + f)
+        i += 1
+      }
+      wi += 1
+    }
+    m
+  }
+
+  /** Top-m candidates in the trainers' exact order — the driver mirror
+    * of `orderBy(cnt desc, concat_ws(" ", left, right) asc).limit(m)`. */
+  private def localTopM(counts: scala.collection.mutable.HashMap[(String, String), Long],
+      m: Int): Array[(String, String, Long)] = {
+    if (counts.isEmpty) return Array.empty
+    if (m == 1) {
+      var best: ((String, String), Long) = null
+      counts.foreach { e =>
+        if (best == null ||
+          pairBefore(e._2, e._1._1, e._1._2, best._2, best._1._1, best._1._2))
+          best = e
+      }
+      Array((best._1._1, best._1._2, best._2))
+    } else {
+      counts.toArray
+        .sortWith((a, b) => pairBefore(a._2, a._1._1, a._1._2, b._2, b._1._1, b._1._2))
+        .take(m)
+        .map { case ((l, r), c) => (l, r, c) }
+    }
+  }
+
+  /** Driver mirror of [[tripleBounds]]: max pre-batch count of any
+    * (·,a,b) / (a,b,·) triple per candidate — exact long sums over the
+    * same filtered triple set. */
+  private def localTripleBounds(words: Array[(Array[String], Long)],
+      top: Array[(String, String, Long)]): Map[(String, String), Long] = {
+    if (top.length == 1) return Map.empty.withDefaultValue(0L)
+    val cand = top.iterator.map { case (l, r, _) => (l, r) }.toSet
+    val tc = scala.collection.mutable.HashMap.empty[(String, String, String), Long]
+    var wi = 0
+    while (wi < words.length) {
+      val syms = words(wi)._1
+      val f = words(wi)._2
+      var i = 0
+      while (i < syms.length - 2) {
+        val a = syms(i); val b = syms(i + 1); val c = syms(i + 2)
+        if (cand((a, b)) || cand((b, c)))
+          tc.update((a, b, c), tc.getOrElse((a, b, c), 0L) + f)
+        i += 1
+      }
+      wi += 1
+    }
+    val mb = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    def bump(k: (String, String), cnt: Long): Unit =
+      mb.update(k, math.max(mb.getOrElse(k, 0L), cnt))
+    tc.foreach { case ((a, b, c), cnt) => bump((a, b), cnt); bump((b, c), cnt) }
+    mb.toMap.withDefaultValue(0L)
+  }
+
+  /** Driver-local sequential rounds — bit-identical to [[train]]'s
+    * distributed rounds (same counts, same order, same merge rule). */
+  private def trainLocalSeq(rows: Array[(String, Long)], k: Int,
+      init: String => Array[String]): Seq[Merge] = {
+    var words = rows.map { case (w, f) => (init(w), f) }
+    val out = Seq.newBuilder[Merge]
+    var r = 0
+    while (r < k) {
+      val top = localTopM(localPairCounts(words), 1)
+      require(top.nonEmpty, s"round $r: no adjacent pairs left to merge")
+      val (l, rr, _) = top.head
+      out += Merge(r, l, rr)
+      words = words.map { case (syms, f) => (applyMerge(syms, l, rr), f) }
+      r += 1
+    }
+    out.result()
+  }
+
+  /** Driver-local batched rounds — the same candidate order, triple
+    * bounds and safe-prefix rule as [[trainBatched]] /
+    * [[trainIncremental]] (whose maintained pair table provably equals
+    * the full recount, so ONE local mirror serves both). `onRound`
+    * fires with the same (rank, accepted) pairs. */
+  private def trainLocalBatched(rows: Array[(String, Long)], k: Int,
+      batch: Int, onRound: (Int, Int) => Unit,
+      init: String => Array[String]): Seq[Merge] = {
+    var words = rows.map { case (w, f) => (init(w), f) }
+    val out = Seq.newBuilder[Merge]
+    var rank = 0
+    while (rank < k) {
+      val m = math.min(batch, k - rank)
+      val top = localTopM(localPairCounts(words), m)
+      require(top.nonEmpty, s"rank $rank: no adjacent pairs left to merge")
+      val bounds = localTripleBounds(words, top)
+      val acc = safePrefix(top, bounds)
+      onRound(rank, acc.length)
+      acc.foreach { case (l, r) => out += Merge(rank, l, r); rank += 1 }
+      words = words.map { case (syms, f) =>
+        var cur = syms
+        var j = 0
+        while (j < acc.length) { cur = applyMerge(cur, acc(j)._1, acc(j)._2); j += 1 }
+        (cur, f)
+      }
+    }
+    out.result()
+  }
+
   /** Learn `k` merges. Each round: pair-count aggregation over the
     * word table + a deterministic 1-row argmax collect. The word
     * table is cached; per-round lineage is cut with localCheckpoint
-    * so round r does not replay rounds 1..r-1. */
+    * so round r does not replay rounds 1..r-1. Word tables at or
+    * under `localBound` train on the driver instead (bit-identical —
+    * see the dispatch comment above; 0 forces the distributed path). */
   def train(docs: DataFrame, textCol: String, k: Int,
       init: String => Array[String] = initSymbols,
-      tok: Column => Column = TextOps.tokens): Seq[Merge] = {
+      tok: Column => Column = TextOps.tokens,
+      localBound: Int = SmallWordTableBound): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k >= 1, s"need at least one merge, got $k")
+    val wf = wordTableOrLocal(docs, textCol, tok, localBound) match {
+      case Right(rows) => return trainLocalSeq(rows, k, init)
+      case Left(ds) => ds
+    }
     var seqs: Dataset[(Array[String], Long)] =
-      wordFreqs(docs, textCol, tok).as[(String, Long)]
-        .map { case (w, f) => (init(w), f) }
-    seqs = seqs.localCheckpoint()
+      wf.map { case (w, f) => (init(w), f) }.localCheckpoint()
+    wf.unpersist(blocking = false)
     val out = Seq.newBuilder[Merge]
     var r = 0
     while (r < k) {
@@ -271,15 +455,20 @@ object Bpe {
   def trainBatched(docs: DataFrame, textCol: String, k: Int, batch: Int = 64,
       onRound: (Int, Int) => Unit = (_, _) => (),
       init: String => Array[String] = initSymbols,
-      tok: Column => Column = TextOps.tokens): Seq[Merge] = {
+      tok: Column => Column = TextOps.tokens,
+      localBound: Int = SmallWordTableBound): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k >= 1, s"need at least one merge, got $k")
     require(batch >= 1, s"batch must be positive, got $batch")
+    val wf = wordTableOrLocal(docs, textCol, tok, localBound) match {
+      case Right(rows) => return trainLocalBatched(rows, k, batch, onRound, init)
+      case Left(ds) => ds
+    }
     var seqs: Dataset[(Array[String], Long)] =
-      wordFreqs(docs, textCol, tok).as[(String, Long)]
-        .map { case (w, f) => (init(w), f) }
+      wf.map { case (w, f) => (init(w), f) }
         .localCheckpoint()
+    wf.unpersist(blocking = false)
     val out = Seq.newBuilder[Merge]
     var rank = 0
     while (rank < k) {
@@ -415,15 +604,23 @@ object Bpe {
   def trainIncremental(docs: DataFrame, textCol: String, k: Int, batch: Int = 64,
       onRound: (Int, Int) => Unit = (_, _) => (),
       init: String => Array[String] = initSymbols,
-      tok: Column => Column = TextOps.tokens): Seq[Merge] = {
+      tok: Column => Column = TextOps.tokens,
+      localBound: Int = SmallWordTableBound): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k >= 1, s"need at least one merge, got $k")
     require(batch >= 1, s"batch must be positive, got $batch")
+    val wf = wordTableOrLocal(docs, textCol, tok, localBound) match {
+      // the incremental pair table provably equals the full recount
+      // after every round, so the driver-local batched mirror IS the
+      // incremental result (pinned in BpeSpec)
+      case Right(rows) => return trainLocalBatched(rows, k, batch, onRound, init)
+      case Left(ds) => ds
+    }
     val seeded: Dataset[(Array[String], Long)] =
-      wordFreqs(docs, textCol, tok).as[(String, Long)]
-        .map { case (w, f) => (init(w), f) }
+      wf.map { case (w, f) => (init(w), f) }
         .localCheckpoint()
+    wf.unpersist(blocking = false)
     // the ONE full pair aggregation; afterwards only deltas shuffle
     var pairs: DataFrame = seeded.flatMap { case (syms, f) =>
       (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), f))

@@ -65,9 +65,26 @@ object KneserNey {
   /** The model's count tables, all derived from the trigram type
     * table. Eagerly checkpointed: each feeds a broadcast hot slice
     * AND a residual join (plus downstream derivations), and without
-    * the cut every consumer would re-run the corpus explode. */
+    * the cut every consumer would re-run the corpus explode. `local`
+    * marks a model whose tables are bounded driver-built relations
+    * (see [[KnLocalStatsBound]]) — scoring then attaches them with
+    * plain broadcast left joins instead of the hot/residual machinery
+    * (no skew is possible in a broadcast probe). */
   final case class KnTables(t3: DataFrame, ctx2: DataFrame, b23: DataFrame,
-      mid2: DataFrame, u3: DataFrame, totals: DataFrame)
+      mid2: DataFrame, u3: DataFrame, totals: DataFrame,
+      local: Boolean = false)
+
+  /** Trigram-type count at or below which [[countTables]] derives the
+    * four downstream stat tables (and the totals row) on the DRIVER
+    * from one bounded read of the checkpointed trigram table, instead
+    * of four more checkpoint jobs — and scoring attaches all five
+    * tables as broadcast relations. Everything derived is exact
+    * integer arithmetic over the same type rows, so the tables are
+    * bit-identical (pinned in KneserNeySpec); 2^18 types ≈ ~15 MB of
+    * driver/broadcast state, the same model-sized budget as a
+    * collected centroid table. At real scale the type table exceeds
+    * the bound and the distributed derivation runs unchanged. */
+  val KnLocalStatsBound: Int = 1 << 18
 
   /** Explode a frame into its trigram stream (one row per position
     * 1..len−2), keeping `extra` passenger columns. */
@@ -87,11 +104,63 @@ object KneserNey {
   }
 
   /** Build the KN count tables from the count corpus: ONE explode,
-    * then grouped aggregations over the trigram type table. */
-  def countTables(countDocs: DataFrame, textCol: String): KnTables = {
+    * then grouped aggregations over the trigram type table. Type
+    * tables at or under `localBound` derive the four stat tables on
+    * the driver (bit-identical — see [[KnLocalStatsBound]]; 0 forces
+    * the distributed derivation). */
+  def countTables(countDocs: DataFrame, textCol: String,
+      localBound: Int = KnLocalStatsBound): KnTables = {
+    val spark = countDocs.sparkSession
+    import spark.implicits._
     val t3 = trigrams(countDocs, textCol, Seq.empty)
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
       .localCheckpoint(true)
+    if (localBound > 0) {
+      // ONE bounded read of the checkpoint blocks decides the path AND
+      // feeds the driver derivation
+      val probe = t3.limit(localBound + 1)
+        .collect().map(r =>
+          (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      if (probe.length <= localBound) {
+        // exact integer folds over the type rows — the same grouped
+        // sums/counts the distributed aggregations compute
+        val ctx2m = scala.collection.mutable.HashMap.empty[(String, String), (Long, Long)]
+        val b23m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        probe.foreach { case (w1, w2, w3, c3) =>
+          val ck = (w1, w2)
+          val cv = ctx2m.getOrElse(ck, (0L, 0L))
+          ctx2m.update(ck, (cv._1 + c3, cv._2 + 1L))
+          val bk = (w2, w3)
+          b23m.update(bk, b23m.getOrElse(bk, 0L) + 1L)
+        }
+        val mid2m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+        val u3m = scala.collection.mutable.HashMap.empty[String, Long]
+        b23m.foreach { case ((w2, w3), n1p23) =>
+          val mv = mid2m.getOrElse(w2, (0L, 0L))
+          mid2m.update(w2, (mv._1 + n1p23, mv._2 + 1L))
+          u3m.update(w3, u3m.getOrElse(w3, 0L) + 1L)
+        }
+        // the trigram table itself also becomes a local relation so the
+        // scoring attaches can broadcast it (its contents are the probe
+        // rows — the checkpointed frame is released to the GC)
+        val t3l = probe.toSeq.toDF("w1", "w2", "w3", "c3")
+        t3.unpersist(blocking = false)
+        val ctx2 = ctx2m.iterator
+          .map { case ((w1, w2), (s, n)) => (w1, w2, s, n) }.toSeq
+          .toDF("w1", "w2", "c2ctx", "n3")
+        val b23 = b23m.iterator
+          .map { case ((w2, w3), n) => (w2, w3, n) }.toSeq
+          .toDF("w2", "w3", "n1p23")
+        val mid2 = mid2m.iterator
+          .map { case (w2, (s, n)) => (w2, s, n) }.toSeq
+          .toDF("w2", "n1p2mid", "n2")
+        val u3 = u3m.iterator.map { case (w3, n) => (w3, n) }.toSeq
+          .toDF("w3", "n1p3")
+        val totals = Seq((b23m.size.toDouble, u3m.size.toDouble))
+          .toDF("__nall", "__v")
+        return KnTables(t3l, ctx2, b23, mid2, u3, totals, local = true)
+      }
+    }
     val ctx2 = t3.groupBy("w1", "w2")
       .agg(sum("c3").as("c2ctx"), count(lit(1)).as("n3"))
       .localCheckpoint(true)
@@ -176,19 +245,27 @@ object KneserNey {
     */
   def trigramLogProb(scoreDocs: DataFrame, countDocs: DataFrame,
       idCol: String, textCol: String, discount: Double = 0.75,
-      hotK: Int = 1024): DataFrame = {
+      hotK: Int = 1024, localBound: Int = KnLocalStatsBound): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0,1), got $discount")
     require(hotK >= 0, s"hotK must be non-negative, got $hotK")
-    val t = countTables(countDocs, textCol)
+    val t = countTables(countDocs, textCol, localBound)
     var s = trigrams(scoreDocs, textCol, Seq(col(idCol)))
     def salt(keys: Seq[String]): Seq[String] =
       Seq("w1", "w2", "w3").filterNot(keys.contains) :+ idCol
-    s = attachHot(s, t.t3, Seq("w1", "w2", "w3"), "c3", hotK, Seq(idCol))
-    s = attachHot(s, t.ctx2, Seq("w1", "w2"), "c2ctx", hotK, salt(Seq("w1", "w2")))
-    s = attachHot(s, t.b23, Seq("w2", "w3"), "n1p23", hotK, salt(Seq("w2", "w3")))
-    s = attachHot(s, t.mid2, Seq("w2"), "n1p2mid", hotK, salt(Seq("w2")))
-    s = attachHot(s, t.u3, Seq("w3"), "n1p3", hotK, salt(Seq("w3")))
+    // a LOCAL model attaches as plain broadcast left joins — same rows
+    // as attachHot (whose contract is exactly the left join), but the
+    // score stream takes five map-side probes and zero stat shuffles;
+    // skew de-skewing is moot when the whole table rides the broadcast
+    def attach(probe: DataFrame, stats: DataFrame, keys: Seq[String],
+        hotCol: String, saltCols: Seq[String]): DataFrame =
+      if (t.local) probe.join(broadcast(stats), keys, "left")
+      else attachHot(probe, stats, keys, hotCol, hotK, saltCols)
+    s = attach(s, t.t3, Seq("w1", "w2", "w3"), "c3", Seq(idCol))
+    s = attach(s, t.ctx2, Seq("w1", "w2"), "c2ctx", salt(Seq("w1", "w2")))
+    s = attach(s, t.b23, Seq("w2", "w3"), "n1p23", salt(Seq("w2", "w3")))
+    s = attach(s, t.mid2, Seq("w2"), "n1p2mid", salt(Seq("w2")))
+    s = attach(s, t.u3, Seq("w3"), "n1p3", salt(Seq("w3")))
     val lp = log(ladder(discount))
     val perDoc = s.crossJoin(broadcast(t.totals))
       .groupBy(idCol)
@@ -207,11 +284,12 @@ object KneserNey {
     * Higher mean lp = lower perplexity = better = head. */
   def perplexitySplit(scoreDocs: DataFrame, countDocs: DataFrame,
       idCol: String, textCol: String, headMin: Double, middleMin: Double,
-      discount: Double = 0.75, hotK: Int = 1024): DataFrame = {
+      discount: Double = 0.75, hotK: Int = 1024,
+      localBound: Int = KnLocalStatsBound): DataFrame = {
     require(headMin > middleMin,
       s"headMin ($headMin) must exceed middleMin ($middleMin)")
     val scored = trigramLogProb(scoreDocs, countDocs, idCol, textCol,
-      discount, hotK)
+      discount, hotK, localBound)
     scored.where(col("n_scored") > 0L)
       .withColumn("mean_lp", col("lp_sum") / col("n_scored").cast(DoubleType))
       .withColumn("label",

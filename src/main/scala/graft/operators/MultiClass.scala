@@ -111,10 +111,80 @@ object MultiClass {
     *                   Powers of two, applied AFTER quantization so the
     *                   arithmetic stays exact. Empty = all 1.
     */
+  /** Driver-local GD rounds over collected `(buckets, label)` rows —
+    * the exact Scala mirror of the distributed per-round expressions
+    * ([[QualityClassifier.SmallTrainDocsBound]]'s dispatch; pinned by
+    * MultiClassSpec parity tests). */
+  private def trainLocalGd(rows: Array[org.apache.spark.sql.Row],
+      labelCol: String, labels: Seq[String], numBuckets: Int,
+      rounds: Int, lr: Double, cw: Seq[Long]): McModel = {
+    val labelIdx = labels.zipWithIndex.toMap
+    rows.foreach { r =>
+      require(!r.isNullAt(1) && labelIdx.contains(r.getString(1)),
+        s"labelCol '$labelCol' must be one of $labels for every row")
+    }
+    val n = rows.length
+    require(n > 0L, "cannot train on an empty frame")
+    val nD = n.toDouble
+    val k = labels.size
+    val wQ = Array.fill(k)(new Array[Long](numBuckets))
+    val biasQ = new Array[Long](k)
+    var round = 0
+    while (round < rounds) {
+      val maxAbsW = (wQ.iterator.flatMap(_.iterator.map(math.abs)) ++
+        biasQ.iterator.map(math.abs)).foldLeft(0L)(math.max)
+      require(maxAbsW <= (1L << 33),
+        s"weight grid overflow risk (max |w_q| = $maxAbsW): training diverged; lower lr")
+      val grad = scala.collection.mutable.HashMap.empty[Int, Array[Long]]
+      rows.foreach { r =>
+        val buckets = r.getSeq[Int](0)
+        val lab = labelIdx(r.getString(1))
+        val rqw = new Array[Long](k)
+        var c = 0
+        while (c < k) {
+          var acc = biasQ(c)
+          val it = buckets.iterator
+          while (it.hasNext) acc += wQ(c)(it.next())
+          val z = acc.toDouble / QualityClassifier.WeightScale
+          val p = sigmoidAlg(z)
+          val y = if (c == lab) 1.0 else 0.0
+          val rq = math.floor((p - y) * QualityClassifier.ResidScale + 0.5).toLong
+          rqw(c) = rq * (if (c == lab) cw(c) else 1L)
+          c += 1
+        }
+        def bump(b: Int): Unit = {
+          val g = grad.getOrElseUpdate(b, new Array[Long](k))
+          var i = 0
+          while (i < k) { g(i) += rqw(i); i += 1 }
+        }
+        bump(QualityClassifier.BiasBucket)
+        val it = buckets.iterator
+        while (it.hasNext) bump(it.next())
+      }
+      grad.foreach { case (b, g) =>
+        var c = 0
+        while (c < k) {
+          val gradD = g(c).toDouble / QualityClassifier.ResidScale
+          val step = lr * gradD / nD
+          val dq = math.floor(step * QualityClassifier.WeightScale + 0.5).toLong
+          if (b == QualityClassifier.BiasBucket) biasQ(c) -= dq
+          else wQ(c)(b) -= dq
+          c += 1
+        }
+      }
+      round += 1
+    }
+    McModel(labels, wQ, biasQ, numBuckets)
+  }
+
+  private def sigmoidAlg(z: Double): Double =
+    0.5 + 0.5 * (z / (1.0 + math.abs(z)))
+
   def train(docs: DataFrame, featsCol: Column, labelCol: String,
       labels: Seq[String], numBuckets: Int, rounds: Int = 5,
       lr: Double = 0.25, classWeights: Seq[Long] = Seq.empty,
-      broadcastThreshold: Int = BroadcastBucketThreshold): McModel = {
+      broadcastThreshold: Int = BroadcastBucketThreshold,
+      localBound: Int = QualityClassifier.SmallTrainDocsBound): McModel = {
     require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
       s"numBuckets must be a positive power of two, got $numBuckets")
     require(labels.size >= 2 && labels.size <= 64,
@@ -140,6 +210,13 @@ object MultiClass {
       col(labelCol).cast("string").as("__lab"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+    // bounded-corpus dispatch: ONE limit probe (its partitions land in
+    // the cache either way) — small frames train on the driver
+    if (localBound > 0) {
+      val probe = labelled.limit(localBound + 1).collect()
+      if (probe.length <= localBound)
+        return trainLocalGd(probe, labelCol, labels, numBuckets, rounds, lr, cw)
+    }
     // ONE setup scan: row count + label validation together (also
     // materializes the cached featurization)
     val setup = labelled.agg(

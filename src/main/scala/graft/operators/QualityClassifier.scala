@@ -78,6 +78,19 @@ object QualityClassifier {
   /** Algebraic sigmoid — IEEE-exact, engine-portable. */
   def sigmoidAlg(z: Double): Double = 0.5 + 0.5 * (z / (1.0 + math.abs(z)))
 
+  /** Featurized-row count at or below which [[trainLogistic]] (and
+    * [[MultiClass.train]]) runs its GD rounds on the DRIVER over one
+    * bounded collect of the featurized frame, instead of one
+    * distributed gradient job per round. Bit-identical by the same
+    * exactness argument that makes the distributed sums order-free:
+    * margins/residuals are per-row IEEE doubles from exact longs (the
+    * identical formula, mirrored in Scala), and gradients are exact
+    * long sums — no ordering anywhere (pinned by ClassifierSpec /
+    * MultiClassSpec parity tests). 2^16 docs × a bucket array each is
+    * a few MB of driver state; production corpora exceed the bound and
+    * keep the distributed rounds, paying only one bounded probe read. */
+  val SmallTrainDocsBound: Int = 1 << 16
+
   private def sigmoidAlgCol(z: Column): Column =
     lit(0.5) + lit(0.5) * (z / (lit(1.0) + abs(z)))
 
@@ -139,11 +152,62 @@ object QualityClassifier {
     f(feats)
   }
 
+  /** Driver-local GD rounds over collected `(buckets, y)` rows — the
+    * exact Scala mirror of the distributed round expressions (see
+    * [[SmallTrainDocsBound]]). */
+  private def trainLocalGd(rows: Array[org.apache.spark.sql.Row],
+      labelCol: String, numBuckets: Int, ns: Seq[Int], seed: Long,
+      rounds: Int, lr: Double, posWeight: Long, binary: Boolean): LrModel = {
+    rows.foreach { r =>
+      require(!r.isNullAt(1) && { val y = r.getLong(1); y == 0L || y == 1L },
+        s"labelCol '$labelCol' must be 0/1 and non-null for every row")
+    }
+    val n = rows.length
+    require(n > 0, "cannot train on an empty frame")
+    val nD = n.toDouble
+    val wQ = new Array[Long](numBuckets)
+    var biasQ = 0L
+    var round = 0
+    while (round < rounds) {
+      val maxAbsW = (wQ.iterator.map(math.abs) ++ Iterator(math.abs(biasQ)))
+        .foldLeft(0L)(math.max)
+      require(maxAbsW <= (1L << 33),
+        s"weight grid overflow risk (max |w_q| = $maxAbsW): training diverged; lower lr")
+      val grad = scala.collection.mutable.HashMap.empty[Int, Long]
+      rows.foreach { r =>
+        val buckets = r.getSeq[Int](0)
+        val y = r.getLong(1)
+        var acc = 0L
+        var it = buckets.iterator
+        while (it.hasNext) acc += wQ(it.next())
+        val z = (acc + biasQ).toDouble / WeightScale
+        val p = sigmoidAlg(z)
+        val rq = math.floor((p - y.toDouble) * ResidScale + 0.5).toLong
+        val rqw = rq * (if (y == 1L) posWeight else 1L)
+        grad.update(BiasBucket, grad.getOrElse(BiasBucket, 0L) + rqw)
+        it = buckets.iterator
+        while (it.hasNext) {
+          val b = it.next()
+          grad.update(b, grad.getOrElse(b, 0L) + rqw)
+        }
+      }
+      grad.foreach { case (b, g) =>
+        val gradD = g.toDouble / ResidScale
+        val step = lr * gradD / nD
+        val dq = math.floor(step * WeightScale + 0.5).toLong
+        if (b == BiasBucket) biasQ -= dq else wQ(b) -= dq
+      }
+      round += 1
+    }
+    LrModel(wQ, biasQ, ns, numBuckets, seed, binary)
+  }
+
   def trainLogistic(docs: DataFrame, textCol: String, labelCol: String,
       numBuckets: Int, ns: Seq[Int] = Seq(1), seed: Long = 13L,
       rounds: Int = 3, lr: Double = 0.5, posWeight: Long = 1L,
       binary: Boolean = false,
-      broadcastThreshold: Int = MultiClass.BroadcastBucketThreshold): LrModel = {
+      broadcastThreshold: Int = MultiClass.BroadcastBucketThreshold,
+      localBound: Int = SmallTrainDocsBound): LrModel = {
     require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0,
       s"numBuckets must be a positive power of two, got $numBuckets")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
@@ -170,6 +234,14 @@ object QualityClassifier {
       .select((if (binary) array_distinct(rawB) else rawB).as("__b"), col("__y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // bounded-corpus dispatch: ONE limit probe (its partitions land
+      // in the cache either way) — small frames train on the driver
+      if (localBound > 0) {
+        val probe = feats.limit(localBound + 1).collect()
+        if (probe.length <= localBound)
+          return trainLocalGd(probe, labelCol, numBuckets, ns, seed,
+            rounds, lr, posWeight, binary)
+      }
       // ONE setup scan: row count and label validation together (it
       // also materializes the cached featurization)
       val setup = feats.agg(

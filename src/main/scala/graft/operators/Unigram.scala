@@ -165,21 +165,100 @@ object Unigram {
   private def ranked(chars: Seq[Piece], multis: Seq[Piece]): Seq[Piece] =
     (chars ++ multis).sortBy(p => (-p.count, p.piece))
 
+  // ---- driver-local small-vocabulary dispatch (r20 optimization) ----
+  // The [[Bpe.SmallWordTableBound]] dispatch: when the distinct-word
+  // table is model-sized, seeding and every EM round run on the driver
+  // over one bounded collect instead of per-round distributed
+  // aggregations. Bit-identical: substring/char counts are exact long
+  // sums (order-free), selection orders replicate Spark's UTF-8 string
+  // order, the Viterbi is the SAME shared function, and the prune code
+  // was always driver-side. Pinned by UnigramSpec parity tests.
+
+  /** The training word table: collected rows when it fits the bound,
+    * the cached DataFrame otherwise. */
+  private type WordsE = Either[DataFrame, Array[(String, Long)]]
+
+  private def probeLocal(words: DataFrame, localBound: Int): WordsE =
+    if (localBound <= 0) Left(words)
+    else {
+      val probe = words.limit(localBound + 1).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      if (probe.length <= localBound) Right(probe) else Left(words)
+    }
+
+  private def localSeedVocab(rows: Array[(String, Long)], seedMultis: Int,
+      maxPieceLen: Int): (Seq[Piece], Seq[Piece]) = {
+    val charCnt = scala.collection.mutable.HashMap.empty[String, Long]
+    val multiCnt = scala.collection.mutable.HashMap.empty[String, Long]
+    rows.foreach { case (w, f) =>
+      var i = 0
+      while (i < w.length) {
+        val c = w.substring(i, i + 1)
+        charCnt.update(c, charCnt.getOrElse(c, 0L) + f)
+        var l = 2
+        while (l <= maxPieceLen && i + l <= w.length) {
+          val p = w.substring(i, i + l)
+          multiCnt.update(p, multiCnt.getOrElse(p, 0L) + f)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val chars = charCnt.toSeq
+      .sortWith((a, b) => Bpe.utf8Compare(a._1, b._1) < 0)
+      .map { case (p, c) => Piece(p, c) }
+    val multis = multiCnt.toSeq
+      .sortWith((a, b) =>
+        if (a._2 != b._2) a._2 > b._2 else Bpe.utf8Compare(a._1, b._1) < 0)
+      .take(seedMultis)
+      .map { case (p, c) => Piece(p, c) }
+    (chars, multis)
+  }
+
+  private def localEmRound(rows: Array[(String, Long)], chars: Seq[Piece],
+      multis: Seq[Piece], maxPieceLen: Int): (Seq[Piece], Seq[Piece]) = {
+    val counts: Map[String, Long] =
+      (chars.iterator ++ multis.iterator).map(p => p.piece -> p.count).toMap
+    val total = (chars.iterator ++ multis.iterator).map(_.count).sum.toDouble
+    val newCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    rows.foreach { case (w, f) =>
+      viterbi(w, counts, total, maxPieceLen).foreach(p =>
+        newCounts.update(p, newCounts.getOrElse(p, 0L) + f))
+    }
+    val chars2 = chars.map(p => Piece(p.piece, newCounts.getOrElse(p.piece, 0L)))
+    val multis2 = multis.flatMap(p => newCounts.get(p.piece).map(Piece(p.piece, _)))
+    (chars2, multis2)
+  }
+
+  private def seedVocabE(words: WordsE, seedMultis: Int,
+      maxPieceLen: Int): (Seq[Piece], Seq[Piece]) = words match {
+    case Left(df)    => seedVocab(df, seedMultis, maxPieceLen)
+    case Right(rows) => localSeedVocab(rows, seedMultis, maxPieceLen)
+  }
+
+  private def emRoundE(words: WordsE, chars: Seq[Piece], multis: Seq[Piece],
+      maxPieceLen: Int): (Seq[Piece], Seq[Piece]) = words match {
+    case Left(df)    => emRound(df, chars, multis, maxPieceLen)
+    case Right(rows) => localEmRound(rows, chars, multis, maxPieceLen)
+  }
+
   /** Seed → `emRounds` hard-EM rounds → one count prune to all chars +
     * top `vocabMultis` multis. The `text_unigram_train` gate's exact
     * shape; DuckDB replays it CTE-for-CTE. */
   def trainOnce(docs: DataFrame, textCol: String, seedMultis: Int,
       vocabMultis: Int, emRounds: Int, maxPieceLen: Int,
-      maxWordLen: Int = 16): Seq[Piece] = {
+      maxWordLen: Int = 16,
+      localBound: Int = Bpe.SmallWordTableBound): Seq[Piece] = {
     require(emRounds >= 1 && seedMultis >= vocabMultis)
     val words = Bpe.wordFreqs(docs, textCol)
       .where(length(col("word")) <= maxWordLen)
       .cache()
     try {
-      var (chars, multis) = seedVocab(words, seedMultis, maxPieceLen)
+      val w = probeLocal(words, localBound)
+      var (chars, multis) = seedVocabE(w, seedMultis, maxPieceLen)
       var r = 0
       while (r < emRounds) {
-        val next = emRound(words, chars, multis, maxPieceLen)
+        val next = emRoundE(w, chars, multis, maxPieceLen)
         chars = next._1; multis = next._2
         r += 1
       }
@@ -217,18 +296,20 @@ object Unigram {
   def train(docs: DataFrame, textCol: String, vocabMultis: Int,
       seedMultis: Int, emRounds: Int = 2, maxPieceLen: Int = 4,
       maxWordLen: Int = 16, pruneBy: String = "loss",
-      shrink: Double = 0.75): Seq[Piece] = {
+      shrink: Double = 0.75,
+      localBound: Int = Bpe.SmallWordTableBound): Seq[Piece] = {
     require(pruneBy == "loss" || pruneBy == "count", s"pruneBy=$pruneBy")
     val words = Bpe.wordFreqs(docs, textCol)
       .where(length(col("word")) <= maxWordLen)
       .cache()
     try {
-      var (chars, multis) = seedVocab(words, seedMultis, maxPieceLen)
+      val w = probeLocal(words, localBound)
+      var (chars, multis) = seedVocabE(w, seedMultis, maxPieceLen)
       var done = false
       while (!done) {
         var r = 0
         while (r < emRounds) {
-          val next = emRound(words, chars, multis, maxPieceLen)
+          val next = emRoundE(w, chars, multis, maxPieceLen)
           chars = next._1; multis = next._2
           r += 1
         }

@@ -103,18 +103,85 @@ object WordPiece {
     cur
   }
 
+  // ---- driver-local small-vocabulary dispatch (r20 optimization) ----
+  // The same bounded dispatch as [[Bpe]]'s trainers: when the distinct-
+  // word table fits [[Bpe.SmallWordTableBound]], the merge rounds run
+  // on the driver over one bounded collect — pair and symbol counts
+  // are exact long sums (order-free), the score is the identical
+  // double formula over those longs, and the tie-break replicates
+  // Spark's UTF-8 string order — bit-identical output, pinned by
+  // WordPieceSpec parity tests. Big vocabularies keep the distributed
+  // rounds unchanged.
+
+  /** One driver round: winner + its integer evidence — the exact
+    * mirror of the distributed score/argmax. */
+  private def localRound(words: Array[(Array[String], Long)], r: Int)
+      : (String, String, Long, Long, Long) = {
+    val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val singles = scala.collection.mutable.HashMap.empty[String, Long]
+    var wi = 0
+    while (wi < words.length) {
+      val syms = words(wi)._1
+      val f = words(wi)._2
+      var i = 0
+      while (i < syms.length) {
+        singles.update(syms(i), singles.getOrElse(syms(i), 0L) + f)
+        if (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairs.update(k, pairs.getOrElse(k, 0L) + f)
+        }
+        i += 1
+      }
+      wi += 1
+    }
+    require(pairs.nonEmpty, s"round $r: no adjacent pairs left to merge")
+    var best: (String, String, Long, Long, Long) = null
+    var bestScore = 0.0
+    pairs.foreach { case ((l, rr), cnt) =>
+      val cl = singles(l)
+      val cr = singles(rr)
+      val score = cnt.toDouble / (cl.toDouble * cr.toDouble)
+      val better = best == null || score > bestScore ||
+        (score == bestScore &&
+          Bpe.utf8Compare(l + " " + rr, best._1 + " " + best._2) < 0)
+      if (better) { best = (l, rr, cnt, cl, cr); bestScore = score }
+    }
+    best
+  }
+
+  private def trainLocal(rows: Array[(String, Long)], k: Int)
+      : Seq[(Merge, Long, Long, Long)] = {
+    var words = rows.map { case (w, f) => (initSymbols(w), f) }
+    val out = Seq.newBuilder[(Merge, Long, Long, Long)]
+    var r = 0
+    while (r < k) {
+      val (l, rr, cnt, cl, cr) = localRound(words, r)
+      out += ((Merge(r, l, rr), cnt, cl, cr))
+      words = words.map { case (syms, f) => (applyMerge(syms, l, rr), f) }
+      r += 1
+    }
+    out.result()
+  }
+
   /** Learn `k` merges. Each round: one pair aggregation + one symbol
     * aggregation over the word table, joined into the double score,
     * then a deterministic 1-row argmax collect. The word table is
-    * vocab-sized; per-round lineage is cut with localCheckpoint. */
-  def train(docs: DataFrame, textCol: String, k: Int): Seq[Merge] = {
+    * vocab-sized; per-round lineage is cut with localCheckpoint. Word
+    * tables at or under `localBound` train on the driver instead
+    * (bit-identical; 0 forces the distributed path). */
+  def train(docs: DataFrame, textCol: String, k: Int,
+      localBound: Int = Bpe.SmallWordTableBound): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k >= 1, s"need at least one merge, got $k")
+    val wf = Bpe.wordTableOrLocal(docs, textCol, TextOps.tokens, localBound) match {
+      case Right(rows) => return trainLocal(rows, k).map(_._1)
+      case Left(ds) => ds
+    }
     var seqs: Dataset[(Array[String], Long)] =
-      Bpe.wordFreqs(docs, textCol).as[(String, Long)]
-        .map { case (w, f) => (initSymbols(w), f) }
-    seqs = seqs.localCheckpoint()
+      wf.map { case (w, f) => (initSymbols(w), f) }
+        .localCheckpoint()
+    wf.unpersist(blocking = false)
     val out = Seq.newBuilder[Merge]
     var r = 0
     while (r < k) {
@@ -150,14 +217,19 @@ object WordPiece {
   /** Like [[train]] but also returns each winner's integer evidence
     * (pair count and both symbol counts) — the `text_wordpiece_train`
     * gate emits these so the oracle compare stays integer-only. */
-  def trainWithCounts(docs: DataFrame, textCol: String, k: Int): Seq[(Merge, Long, Long, Long)] = {
+  def trainWithCounts(docs: DataFrame, textCol: String, k: Int,
+      localBound: Int = Bpe.SmallWordTableBound): Seq[(Merge, Long, Long, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k >= 1, s"need at least one merge, got $k")
+    val wf = Bpe.wordTableOrLocal(docs, textCol, TextOps.tokens, localBound) match {
+      case Right(rows) => return trainLocal(rows, k)
+      case Left(ds) => ds
+    }
     var seqs: Dataset[(Array[String], Long)] =
-      Bpe.wordFreqs(docs, textCol).as[(String, Long)]
-        .map { case (w, f) => (initSymbols(w), f) }
-    seqs = seqs.localCheckpoint()
+      wf.map { case (w, f) => (initSymbols(w), f) }
+        .localCheckpoint()
+    wf.unpersist(blocking = false)
     val out = Seq.newBuilder[(Merge, Long, Long, Long)]
     var r = 0
     while (r < k) {

@@ -79,10 +79,14 @@ class BpeSpec extends SparkSpec {
       (1L, "the the the the then then there is is is in in on"),
       (2L, "the then there these those them is in on at it"),
       (3L, "is it at on in the")).toDF("doc_id", "text")
-    val seq = Bpe.train(docs, "text", k = 8)
+    val seq = Bpe.train(docs, "text", k = 8, localBound = 0)
     for (b <- Seq(2, 4, 8)) {
-      assert(Bpe.trainBatched(docs, "text", k = 8, batch = b) == seq,
+      assert(Bpe.trainBatched(docs, "text", k = 8, batch = b,
+        localBound = 0) == seq,
         s"batched(batch=$b) diverged from sequential")
+      // driver-local dispatch: same merges (r20)
+      assert(Bpe.trainBatched(docs, "text", k = 8, batch = b) == seq,
+        s"local batched(batch=$b) diverged from distributed sequential")
     }
   }
 
@@ -142,7 +146,16 @@ class BpeSpec extends SparkSpec {
     val docs = words.grouped(12).zipWithIndex
       .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
       .toSeq.toDF("doc_id", "text")
-    val seq = Bpe.train(docs, "text", k = 20)
+    // DISTRIBUTED rounds pinned (localBound = 0): the incremental
+    // delta maintenance and batched safe-prefix machinery must keep
+    // coverage now that small word tables dispatch to the driver
+    val seq = Bpe.train(docs, "text", k = 20, localBound = 0)
+    assert(Bpe.trainIncremental(docs, "text", k = 20, batch = 6,
+      localBound = 0) == seq)
+    assert(Bpe.trainBatched(docs, "text", k = 20, batch = 6,
+      localBound = 0) == seq)
+    // and the driver-local dispatch must be bit-identical to them (r20)
+    assert(Bpe.train(docs, "text", k = 20) == seq)
     assert(Bpe.trainIncremental(docs, "text", k = 20, batch = 6) == seq)
     assert(Bpe.trainBatched(docs, "text", k = 20, batch = 6) == seq)
   }

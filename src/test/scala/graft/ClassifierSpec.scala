@@ -42,10 +42,20 @@ class ClassifierSpec extends SparkSpec {
 
   test("training is bit-deterministic across runs and partition layouts") {
     val docs = toy()
-    val a = QualityClassifier.trainLogistic(docs, "text", "y", D, rounds = 5)
+    val a = QualityClassifier.trainLogistic(docs, "text", "y", D, rounds = 5,
+      localBound = 0)
     val b = QualityClassifier.trainLogistic(docs.repartition(7), "text", "y", D,
-      rounds = 5)
+      rounds = 5, localBound = 0)
     assert(a.weightsQ.toSeq == b.weightsQ.toSeq)
+    // driver-local GD dispatch: bit-identical to the distributed rounds
+    // (r20 — exact mirror of the round expressions)
+    val c = QualityClassifier.trainLogistic(docs, "text", "y", D, rounds = 5)
+    assert(c.weightsQ.toSeq == a.weightsQ.toSeq && c.biasQ == a.biasQ)
+    val d = QualityClassifier.trainLogistic(docs, "text", "y", D, rounds = 5,
+      posWeight = 8L, binary = true)
+    val e = QualityClassifier.trainLogistic(docs, "text", "y", D, rounds = 5,
+      posWeight = 8L, binary = true, localBound = 0)
+    assert(d.weightsQ.toSeq == e.weightsQ.toSeq && d.biasQ == e.biasQ)
   }
 
   test("token multiplicity counts: a repeated signal token doubles its gradient pull") {
@@ -230,9 +240,9 @@ class ClassifierSpec extends SparkSpec {
     // force the broadcast path on the same small model (threshold 1)
     // and compare against the literal path (threshold never reached)
     val lit = QualityClassifier.trainLogistic(docs, "text", "y", D,
-      rounds = 5, broadcastThreshold = Int.MaxValue)
+      rounds = 5, broadcastThreshold = Int.MaxValue, localBound = 0)
     val bc = QualityClassifier.trainLogistic(docs, "text", "y", D,
-      rounds = 5, broadcastThreshold = 1)
+      rounds = 5, broadcastThreshold = 1, localBound = 0)
     assert(lit.biasQ == bc.biasQ)
     assert(lit.weightsQ.toSeq == bc.weightsQ.toSeq)
   }

@@ -88,11 +88,11 @@ class KneserNeySpec extends SparkSpec {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
     val plain = KneserNey.trigramLogProb(docs, docs, "doc_id", "text",
-        hotK = 0)
+        hotK = 0, localBound = 0)
       .collect().map(r => (r.getLong(0), (r.getLong(1),
         Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
     val hot = KneserNey.trigramLogProb(docs, docs, "doc_id", "text",
-        hotK = 64)
+        hotK = 64, localBound = 0)
       .collect().map(r => (r.getLong(0), (r.getLong(1),
         Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
     assert(plain.keySet === hot.keySet)
@@ -102,6 +102,42 @@ class KneserNeySpec extends SparkSpec {
     for ((id, (n, lp)) <- plain) {
       assert(hot(id)._1 === n, s"doc $id n_scored")
       (lp, hot(id)._2) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) < 1e-9, s"doc $id lp_sum $a vs $b")
+        case (a, b) => assert(a === b, s"doc $id null mismatch")
+      }
+    }
+  }
+
+  test("local-stats path matches the distributed derivation and scoring (r20)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // count tables: every stat table bit-identical (exact integers)
+    val dist = KneserNey.countTables(docs, "text", localBound = 0)
+    val loc = KneserNey.countTables(docs, "text")
+    assert(loc.local, "fixture should be under the local-stats bound")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    assert(rows(loc.t3) === rows(dist.t3))
+    assert(rows(loc.ctx2) === rows(dist.ctx2))
+    assert(rows(loc.b23) === rows(dist.b23))
+    assert(rows(loc.mid2) === rows(dist.mid2))
+    assert(rows(loc.u3) === rows(dist.u3))
+    assert(rows(loc.totals) === rows(dist.totals))
+    // scoring: same per-doc counts; lp sums to the last ulp (identical
+    // per-position doubles, only Σ association differs between plans)
+    val d = KneserNey.trigramLogProb(docs, docs, "doc_id", "text",
+        hotK = 256, localBound = 0)
+      .collect().map(r => (r.getLong(0), (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    val l = KneserNey.trigramLogProb(docs, docs, "doc_id", "text",
+        hotK = 256)
+      .collect().map(r => (r.getLong(0), (r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(d.keySet === l.keySet)
+    for ((id, (n, lp)) <- d) {
+      assert(l(id)._1 === n, s"doc $id n_scored")
+      (lp, l(id)._2) match {
         case (Some(a), Some(b)) =>
           assert(math.abs(a - b) < 1e-9, s"doc $id lp_sum $a vs $b")
         case (a, b) => assert(a === b, s"doc $id null mismatch")
@@ -158,7 +194,7 @@ class KneserNeySpec extends SparkSpec {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
     val df = KneserNey.trigramLogProb(docs, docs, "doc_id", "text",
-      hotK = 64)
+      hotK = 64, localBound = 0)
     df.collect()
     var bhj = 0; var bnl = 0; var cart = 0
     def walk(p: SparkPlan): Unit = p.foreach {
@@ -219,7 +255,7 @@ class KneserNeySpec extends SparkSpec {
         (i.toLong, s"w$i the x$i the y$i the z$i")
       }.toDF("doc_id", "text")
       val df = KneserNey.trigramLogProb(docs, docs, "doc_id", "text",
-        hotK = 8)
+        hotK = 8, localBound = 0)
       df.collect()
       // the byte-dominant shuffle stage is the salted passenger
       // exchange; bounded means its max partition carries well under

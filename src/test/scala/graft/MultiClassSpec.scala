@@ -191,10 +191,15 @@ class MultiClassSpec extends SparkSpec {
     // scoring — the two paths do the same Long fold + one division.
     val docs = toy()
     val labels = Seq("pos", "neg")
-    val lit_ = MultiClass.train(docs, feats, "lab", labels, D, rounds = 6)
+    val lit_ = MultiClass.train(docs, feats, "lab", labels, D, rounds = 6,
+      localBound = 0)
     val bc = MultiClass.train(docs, feats, "lab", labels, D, rounds = 6,
-      broadcastThreshold = 1)
+      broadcastThreshold = 1, localBound = 0)
     assert(bc.biasQ.toSeq === lit_.biasQ.toSeq)
+    // driver-local GD dispatch: bit-identical to both (r20)
+    val loc = MultiClass.train(docs, feats, "lab", labels, D, rounds = 6)
+    assert(loc.biasQ.toSeq === lit_.biasQ.toSeq)
+    assert(loc.weightsQ.map(_.toSeq).toSeq === lit_.weightsQ.map(_.toSeq).toSeq)
     assert(bc.weightsQ.map(_.toSeq).toSeq === lit_.weightsQ.map(_.toSeq).toSeq)
     val a = MultiClass.scored(docs, feats, lit_)
       .select("doc_id", "score_pos", "score_neg", "pred_label")

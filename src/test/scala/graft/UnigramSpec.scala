@@ -56,6 +56,27 @@ class UnigramSpec extends SparkSpec {
     assert(vocab.filter(_.piece.length > 1).exists(_.count > 0))
   }
 
+  test("driver-local dispatch == distributed trainOnce/train (r20)") {
+    // mixed-frequency corpus with tie candidates: seeding order, EM
+    // recounts and pruning must all agree bit-for-bit
+    val docs = Seq(
+      (1L, "abab abab cd dcba bacd"),
+      (2L, "abab cd cd abba baba"),
+      (3L, "dd dd cc bb aa abab")).toDF("doc_id", "text")
+    val dist = Unigram.trainOnce(docs, "text",
+      seedMultis = 10, vocabMultis = 5, emRounds = 2, maxPieceLen = 4,
+      localBound = 0)
+    val loc = Unigram.trainOnce(docs, "text",
+      seedMultis = 10, vocabMultis = 5, emRounds = 2, maxPieceLen = 4)
+    assert(loc == dist)
+    val distT = Unigram.train(docs, "text", vocabMultis = 3,
+      seedMultis = 10, emRounds = 1, maxPieceLen = 4, pruneBy = "count",
+      localBound = 0)
+    val locT = Unigram.train(docs, "text", vocabMultis = 3,
+      seedMultis = 10, emRounds = 1, maxPieceLen = 4, pruneBy = "count")
+    assert(locT == distT)
+  }
+
   test("trainOnce: maxWordLen excludes long words from training") {
     val docs = Seq(
       (1L, "aaaa aaaa aaaa " + "a" * 40)).toDF("doc_id", "text")

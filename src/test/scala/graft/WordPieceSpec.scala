@@ -50,6 +50,20 @@ class WordPieceSpec extends SparkSpec {
     assert(out == Seq((Merge(0, "b", "##c"), 4L, 4L, 4L)))
   }
 
+  test("driver-local dispatch == distributed rounds (r20)") {
+    // score ties and multi-round drain: the local mirror must pick the
+    // same winners with the same integer evidence at every rank
+    val docs = Seq(
+      (1L, "the the the then there"),
+      (2L, "this that then the at it"),
+      (3L, "is it at on in the then")).toDF("doc_id", "text")
+    val dist = WordPiece.trainWithCounts(docs, "text", k = 6, localBound = 0)
+    val loc = WordPiece.trainWithCounts(docs, "text", k = 6)
+    assert(loc == dist)
+    assert(WordPiece.train(docs, "text", k = 6) ==
+      WordPiece.train(docs, "text", k = 6, localBound = 0))
+  }
+
   test("encodeWord: greedy longest-match-first, whole-word [UNK] on any miss") {
     val v = Set("un", "##able", "u", "n", "a", "##b", "##l", "##e", "##a")
     assert(WordPiece.encodeWord("unable", v, 5).toSeq == Seq("un", "##able"))
