@@ -41,8 +41,23 @@ object SparkEntry {
     * per-doc work follows a fan (results are provably partitioning-
     * independent; double-typed aggregates stay rounded per the file
     * header conventions). */
-  private def fan(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def fan(df: DataFrame): DataFrame = {
+    // CONDITIONAL (r20, r19-VERDICT item 2): fan exists to rescue a
+    // scan with fewer splits than cores (the single-row-group gate
+    // fixtures — 1 task at any width). A 100 TB table arrives in
+    // hundreds of thousands of splits; repartitioning it here would
+    // full-shuffle the text payload AND cap the stage at exactly
+    // core-count tasks (giant tasks, no retry granularity). So: fan
+    // only when the scan is actually narrower than the target width.
+    // Callers apply fan directly over scan+project/filter plans (no
+    // upstream exchange), so the partition probe is plan-time only —
+    // it schedules no job.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** Test seam for the [[fan]] guard. */
+  private[graft] def fanForTest(df: DataFrame): DataFrame = fan(df)
 
   /** Scale-adaptive shard count for the blob-building gates (r19
     * optimization, guide §2.5): 4× the core count so the group-key

@@ -33,6 +33,37 @@ object Dedup {
   def exact(df: DataFrame, subset: Seq[String] = Nil): DataFrame =
     if (subset.isEmpty) df.dropDuplicates() else df.dropDuplicates(subset)
 
+  /** Conditionally widen AND materialize a multi-consumer input (r20).
+    * The near-dup pipelines scan their input several times per call —
+    * signature pass, member roster, shingle verify, final anti-join —
+    * and each pass repeats the input transform plus its CPU-dense
+    * per-row work (minhash banding ~128 mult-adds/shingle) at the
+    * SCAN's parallelism. When the input arrives in fewer partitions
+    * than the cluster has cores (a single-file batch — or the
+    * single-row-group gate fixtures), that is a serial stage repeated
+    * per action: r19 measured plain fan() on this family SLOWER
+    * because every action re-paid the scan+exchange; the missing half
+    * is the eager localCheckpoint, which pays the exchange once and
+    * lets every consumer read materialized rows at full width. Inputs
+    * already at or above cluster parallelism (any real 100 TB scan)
+    * pass through untouched — this can never become a full-table
+    * shuffle, and the checkpoint only ever holds a narrower-than-cores
+    * input, i.e. batch-sized data. */
+  private def widen(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p).localCheckpoint(true)
+    else df
+  }
+
+  /** [[widen]] without the materialization — for a SINGLE-consumer
+    * CPU-dense pass (signature/shingle stages with one downstream
+    * action), where the exchange is paid once per action anyway and a
+    * checkpoint would be pure overhead. Same pass-through guard. */
+  private def fanIfNarrow(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact dedup by content hash, windowed formulation. Honest cost
     * note: the window SHUFFLES AND SORTS THE FULL ROW — partitioning by
     * `xxhash64(text)` only cheapens the partition key; the payload
@@ -154,8 +185,9 @@ object Dedup {
       shingleN: Int = 3,
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val d = docs
     // heavy pass (signature) — consumed ONCE, by the collapse below
-    val sigs = docs.select(
+    val sigs = d.select(
       xxhash64(col(textCol)).as("__tk"),
       length(col(textCol)).as("__tl"),
       col(idCol),
@@ -175,7 +207,7 @@ object Dedup {
     // otherwise re-scan and re-hash the full text column; the roster
     // itself is a slim 3-column (hash, length, id) frame — the same
     // materialize-the-model-table call as bigramLogProb's uniC.
-    val mem = docs.select(
+    val mem = d.select(
       xxhash64(col(textCol)).as("__tk"),
       length(col(textCol)).as("__tl"),
       col(idCol))
@@ -237,7 +269,8 @@ object Dedup {
       shingleN: Int = 3,
       seed: Long = 42L,
       verifyOnlyCandidates: Boolean = false): DataFrame = {
-    val cands = lshCandidatePairs(docs, idCol, textCol, numHashes, bands, shingleN, seed)
+    val d = docs
+    val cands = lshCandidatePairs(d, idCol, textCol, numHashes, bands, shingleN, seed)
     // verifyOnlyCandidates: shingle only docs that appear in a candidate
     // pair. At 100 TB candidates are a sliver of the corpus, so the
     // semi-join spares the verify scan from re-shingling everything —
@@ -247,8 +280,8 @@ object Dedup {
     // one-pass plan is faster (measured 1.4× at sf0.1, where nearly
     // every doc IS a candidate).
     val base =
-      if (!verifyOnlyCandidates) docs
-      else docs.join(
+      if (!verifyOnlyCandidates) d
+      else d.join(
         cands.select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct(),
         Seq(idCol), "left_semi")
     val sh = base.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
@@ -271,7 +304,7 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
-    docs.select(
+    fanIfNarrow(docs).select(
       col(idCol).as("id"),
       posexplode(
         graft.functions.TextMinHashBands.textMinhashBands(
@@ -308,6 +341,9 @@ object Dedup {
       .reduce(_ unionByName _).distinct().localCheckpoint(true)
     // exact classes: identical text ⇒ identical signature ⇒ identical
     // band rows; collapse to the min id before any pair expansion
+    // (widening the corpus here was A/B-measured SLOWER — the md5 and
+    // candidate-pruned shingle passes are cheaper than an extra
+    // checkpoint job at gate scale)
     val txtHash = corpus.select(col(idCol).as("id"), md5(col(textCol)).as("__th"))
     val idsInIndex = union.select("id").distinct().join(txtHash, "id")
     val exactRep = idsInIndex.groupBy("__th").agg(min("id").as("__rep"))
@@ -374,9 +410,9 @@ object Dedup {
       .join(index.withColumnRenamed("id", "id_idx"), Seq("band_idx", "band_hash"))
       .select(col("id_new"), col("id_idx"))
       .distinct()
-    val shNew = newDocs.select(col(idCol).as("id_new"),
+    val shNew = fanIfNarrow(newDocs).select(col(idCol).as("id_new"),
       shingles(col(textCol), shingleN).as("__sh_new"))
-    val shIdx = corpus.select(col(corpusIdCol).as("id_idx"),
+    val shIdx = fanIfNarrow(corpus).select(col(corpusIdCol).as("id_idx"),
       shingles(col(corpusTextCol), shingleN).as("__sh_idx"))
     cands
       .join(shNew, "id_new")
@@ -415,7 +451,8 @@ object Dedup {
       threshold: Double, numHashes: Int = 128, bands: Int = 32,
       shingleN: Int = 3, seed: Long = 42L): DataFrame = {
     OpUtil.requireNoColumns(newDocs, Set("__cl", "__hit_cl"), "dedupIncremental")
-    val hits = nearDupAgainstIndex(newDocs, idCol, textCol,
+    val nd = widen(newDocs)
+    val hits = nearDupAgainstIndex(nd, idCol, textCol,
         index, corpus, corpusIdCol, corpusTextCol,
         threshold, numHashes, bands, shingleN, seed)
       .select(col("id_new").as(idCol)).distinct()
@@ -424,12 +461,12 @@ object Dedup {
     // (byte-equivalent to duplicateClusters over nearDupMinHash pairs):
     // a batch that is 10⁶ copies of one page costs O(batch), never the
     // ~5·10¹¹-row identical-pair expansion.
-    val clusters = lshClusters(newDocs, idCol, textCol,
+    val clusters = lshClusters(nd, idCol, textCol,
         threshold, numHashes, bands, shingleN, seed)
       .select(col("id").as(idCol), col("cluster").as("__cl"))
     val hitClusters = clusters.join(hits, Seq(idCol), "left_semi")
       .select(col("__cl").as("__hit_cl")).distinct()
-    newDocs
+    nd
       .join(hits, Seq(idCol), "left_anti")
       .join(clusters, Seq(idCol), "left")
       .join(hitClusters, col("__cl") === col("__hit_cl"), "left_anti")
@@ -714,7 +751,8 @@ object Dedup {
       seed: Long = 42L,
       hotK: Int = 1024): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
-    val sigs = docs.select(
+    val d = docs
+    val sigs = d.select(
       xxhash64(col(textCol)).as("__tk"),
       length(col(textCol)).as("__tl"),
       col(idCol),
@@ -748,7 +786,7 @@ object Dedup {
     // Not checkpointed: two consumers, same profile as nearDupMinHash's
     // own verify joins, and on a mostly-unique corpus this frame is
     // corpus-sized shingle arrays (the do-NOT-materialize class).
-    val repSh = docs
+    val repSh = d
       .join(classes.select(col("__rep").as(idCol)), Seq(idCol), "left_semi")
       .select(col(idCol).as("__rid"), shingles(col(textCol), shingleN).as("__sh"))
     val verified = repPairs
@@ -774,7 +812,7 @@ object Dedup {
       .select(col("__tk"), col("__tl"),
         coalesce(col("__cl"), col("__rep")).as("cluster"), col("__n"))
     // light pass — the member roster (no signature, no shingles).
-    val mem = docs.select(
+    val mem = d.select(
       xxhash64(col(textCol)).as("__tk"),
       length(col(textCol)).as("__tl"),
       col(idCol))
@@ -811,11 +849,12 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 128, bands: Int = 32,
       shingleN: Int = 3, seed: Long = 42L, hotK: Int = 1024): DataFrame = {
-    val losers = lshClusters(docs, idCol, textCol, threshold,
+    val d = docs
+    val losers = lshClusters(d, idCol, textCol, threshold,
         numHashes, bands, shingleN, seed, hotK)
       .where(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
-    docs.join(losers, Seq(idCol), "left_anti")
+    d.join(losers, Seq(idCol), "left_anti")
   }
 
   /** One-call MinHash-LSH dedup keeping the BEST-scoring member of
@@ -825,15 +864,16 @@ object Dedup {
       docs: DataFrame, idCol: String, scoreCol: String, textCol: String,
       threshold: Double, numHashes: Int = 128, bands: Int = 32,
       shingleN: Int = 3, seed: Long = 42L, hotK: Int = 1024): DataFrame = {
-    val member = lshClusters(docs, idCol, textCol, threshold,
+    val d = docs
+    val member = lshClusters(d, idCol, textCol, threshold,
         numHashes, bands, shingleN, seed, hotK)
-      .join(docs.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+      .join(d.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
     val winners = member.groupBy("cluster")
       .agg(max_by(col("id"), struct(col("__score"), -col("id"))).as("__win"))
     val losers = member.join(winners, Seq("cluster"))
       .where(col("id") =!= col("__win"))
       .select(col("id").as(idCol))
-    docs.join(losers, Seq(idCol), "left_anti")
+    d.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold — the brute-force
@@ -955,7 +995,10 @@ object Dedup {
       hashCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be non-negative, got $maxHamming")
-    val hashed = hammingBase(df, idCol, hashCol)
+    // widen + materialize the slim (id, sh) projection: four join
+    // appearances below, each of which would otherwise re-run the
+    // upstream fingerprint pipeline (often a full image decode)
+    val hashed = widen(hammingBase(df, idCol, hashCol))
     val identical = hashed.select(col(idCol).as("id_a"), col("sh"))
       .join(hashed.select(col(idCol).as("id_b"), col("sh")), Seq("sh"))
       .where(col("id_a") < col("id_b"))
@@ -997,7 +1040,9 @@ object Dedup {
       maxHamming: Int = 3,
       hotK: Int = 1024): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be non-negative, got $maxHamming")
-    val hashed = hammingBase(df, idCol, hashCol)
+    // widen + materialize the slim projection (see hammingPairs): the
+    // groups aggregate AND the member-label join both consume it
+    val hashed = widen(hammingBase(df, idCol, hashCol))
     // Two-phase hash aggregate: map-side partials mean the shuffle
     // carries ~one row per (distinct value, map task), never the raw
     // corpus frequency of a hot value.
@@ -1130,14 +1175,15 @@ object Dedup {
       newDf: DataFrame, idCol: String, hashCol: String,
       index: DataFrame, maxHamming: Int = 3, hotK: Int = 1024): DataFrame = {
     OpUtil.requireNoColumns(newDf, Set("__cl", "__hit_cl"), "dedupIncrementalHamming")
-    val hits = hammingAgainstIndex(newDf, idCol, hashCol, index, maxHamming)
+    val nd = widen(newDf)
+    val hits = hammingAgainstIndex(nd, idCol, hashCol, index, maxHamming)
       .select(col("id_new").as(idCol)).distinct()
       .localCheckpoint(true)
-    val clusters = hammingClusters(newDf, idCol, hashCol, maxHamming, hotK)
+    val clusters = hammingClusters(nd, idCol, hashCol, maxHamming, hotK)
       .select(col("id").as(idCol), col("cluster").as("__cl"))
     val hitClusters = clusters.join(hits, Seq(idCol), "left_semi")
       .select(col("__cl").as("__hit_cl")).distinct()
-    newDf
+    nd
       .join(hits, Seq(idCol), "left_anti")
       .join(clusters, Seq(idCol), "left")
       .join(hitClusters, col("__cl") === col("__hit_cl"), "left_anti")

@@ -31,8 +31,15 @@ object JobProfile {
     val starts = scala.collection.mutable.HashMap.empty[Int, Long]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = synchronized {
-        val site = Option(j.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        // first graft frame in the newest stage's creation stack — the
+        // operator that scheduled this job
+        val site = j.stageInfos.sortBy(-_.stageId).iterator
+          .flatMap(_.details.linesIterator)
+          .find(l => l.contains("graft.") && !l.contains("JobProfile"))
+          .map(_.trim.take(110))
+          .orElse(Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("?")
         starts(j.jobId) = j.time
         recs += JobRec(j.jobId, site, j.stageIds.length, -1L)
       }
