@@ -894,6 +894,16 @@ object ParquetWriter {
         case dt => ColSpec(fd.name, physicalType(dt), fd.nullable)
       }
     }.toSeq
+    // OVERWRITE semantics (r20 fix): per-task `fs.create(path, true)`
+    // only truncates files the CURRENT width re-writes. A prior run
+    // with MORE partitions (e.g. a 32-core bench before an 8-core
+    // rerun — the driver measures both) leaves its higher-numbered
+    // part files in place and the read returns their stale rows mixed
+    // with fresh ones. Spark's own committer truncates the directory
+    // on overwrite; this hand writer must too.
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dirFs = dirPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (dirFs.exists(dirPath)) dirFs.delete(dirPath, true)
     val n = df.rdd.mapPartitionsWithIndex { (pid, it) =>
       val rows = it.toArray
       val cols = specs.zipWithIndex.map { case (spec, c) =>

@@ -43,6 +43,19 @@ class ParquetWriterSpec extends SparkSpec {
     }
   }
 
+  test("writeDir truncates the target dir: a narrower re-write leaves no stale parts (r20)") {
+    // A wide write followed by a narrower one to the SAME dir must not
+    // leave the wide run's higher-numbered part files behind (the
+    // stale-file mix a 32-core bench before an 8-core rerun produced).
+    val out = tmpDir("pqw_rewrite")
+    ParquetWriter.writeDir(sample(8000).repartition(8), out, pageRows = 2048)
+    assert(spark.read.parquet(out).count() == 8000)
+    ParquetWriter.writeDir(sample(3000).repartition(2), out, pageRows = 2048)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3000, "stale part files from the wider write survived")
+    assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet")) == 2)
+  }
+
   test("our own footer + page readers complete the three-way check") {
     val out = tmpDir("pqw_three")
     ParquetWriter.writeDir(sample(20000).coalesce(1), out, pageRows = 2048)
